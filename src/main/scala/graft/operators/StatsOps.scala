@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators (SURVEY §2.5): RMS, per-run stats, and the
+  * Welch unequal-variance t-test the reference uses as its acceptance
+  * criterion (Python Plotting/main.py:113-115, scipy ttest_ind with
+  * equal_var=False, one-sided alternative).
+  *
+  * All moments are computed distributively (avg / var_samp / count are
+  * map-side-combinable), so the grouped stage scales to arbitrarily many
+  * runs; only the final 2-row arm pairing is driver-sized.
+  */
+object StatsOps {
+
+  /** A1: root-mean-square (main.py:73-74). */
+  def rms(x: Column): Column = sqrt(avg(x * x))
+
+  /** Welch t statistic from the two groups' moments:
+    * t = (m1-m2)/sqrt(v1/n1 + v2/n2). */
+  def welchT(m1: Column, v1: Column, n1: Column,
+             m2: Column, v2: Column, n2: Column): Column =
+    (m1 - m2) / sqrt(v1 / n1 + v2 / n2)
+
+  /** Welch–Satterthwaite degrees of freedom. */
+  def welchDf(v1: Column, n1: Column, v2: Column, n2: Column): Column = {
+    val a = v1 / n1
+    val b = v2 / n2
+    pow(a + b, 2) / (pow(a, 2) / (n1 - 1) + pow(b, 2) / (n2 - 1))
+  }
+}
+
+/** Pure-Scala special functions for the t-distribution CDF — needed for
+  * Welch p-values, which no built-in Spark expression provides.
+  * Implemented from the standard continued-fraction form of the
+  * regularized incomplete beta function (Abramowitz & Stegun 26.5.8 /
+  * Numerical Recipes §6.4 formulas — public algorithms, re-derived).
+  */
+object SpecialFns {
+
+  /** log Gamma via Lanczos approximation (g=7, n=9 coefficients). */
+  def logGamma(xIn: Double): Double = {
+    val g = 7.0
+    val c = Array(
+      0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+      771.32342877765313, -176.61502916214059, 12.507343278686905,
+      -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+    if (xIn < 0.5) {
+      // reflection: Gamma(x)Gamma(1-x) = pi/sin(pi x)
+      math.log(math.Pi / math.sin(math.Pi * xIn)) - logGamma(1.0 - xIn)
+    } else {
+      val x = xIn - 1.0
+      var a = c(0)
+      val t = x + g + 0.5
+      var i = 1
+      while (i < 9) { a += c(i) / (x + i); i += 1 }
+      0.5 * math.log(2 * math.Pi) + (x + 0.5) * math.log(t) - t + math.log(a)
+    }
+  }
+
+  /** Continued fraction for the incomplete beta (Lentz's method). */
+  private def betacf(a: Double, b: Double, x: Double): Double = {
+    val MaxIter = 300
+    val Eps = 3e-16
+    val FpMin = 1e-300
+    val qab = a + b; val qap = a + 1.0; val qam = a - 1.0
+    var c = 1.0
+    var d = 1.0 - qab * x / qap
+    if (math.abs(d) < FpMin) d = FpMin
+    d = 1.0 / d
+    var h = d
+    var m = 1
+    var converged = false
+    while (m <= MaxIter && !converged) {
+      val m2 = 2 * m
+      var aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+      d = 1.0 + aa * d; if (math.abs(d) < FpMin) d = FpMin
+      c = 1.0 + aa / c; if (math.abs(c) < FpMin) c = FpMin
+      d = 1.0 / d
+      h *= d * c
+      aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+      d = 1.0 + aa * d; if (math.abs(d) < FpMin) d = FpMin
+      c = 1.0 + aa / c; if (math.abs(c) < FpMin) c = FpMin
+      d = 1.0 / d
+      val del = d * c
+      h *= del
+      if (math.abs(del - 1.0) < Eps) converged = true
+      m += 1
+    }
+    h
+  }
+
+  /** Regularized incomplete beta I_x(a, b). */
+  def betainc(a: Double, b: Double, x: Double): Double = {
+    require(a > 0 && b > 0, s"betainc requires a,b > 0, got ($a, $b)")
+    if (x <= 0.0) 0.0
+    else if (x >= 1.0) 1.0
+    else {
+      val lbeta = logGamma(a + b) - logGamma(a) - logGamma(b) +
+        a * math.log(x) + b * math.log1p(-x)
+      val front = math.exp(lbeta)
+      if (x < (a + 1.0) / (a + b + 2.0)) front * betacf(a, b, x) / a
+      else 1.0 - front * betacf(b, a, 1.0 - x) / b
+    }
+  }
+
+  /** Student-t CDF: P(T_df <= t). */
+  def studentTCdf(t: Double, df: Double): Double = {
+    if (t.isNaN || df.isNaN) Double.NaN
+    else {
+      val x = df / (df + t * t)
+      val p = 0.5 * betainc(df / 2.0, 0.5, x)
+      if (t > 0) 1.0 - p else p
+    }
+  }
+
+  /** One-sided Welch t-test p-value from moments.
+    * alternative: "less" -> P(T <= t), "greater" -> P(T >= t),
+    * "two-sided" -> 2*P(T >= |t|) — matching scipy.stats.ttest_ind. */
+  def welchPValue(m1: Double, v1: Double, n1: Double,
+                  m2: Double, v2: Double, n2: Double,
+                  alternative: String): Double = {
+    val se2 = v1 / n1 + v2 / n2
+    val t = (m1 - m2) / math.sqrt(se2)
+    val df = se2 * se2 /
+      (v1 * v1 / (n1 * n1 * (n1 - 1)) + v2 * v2 / (n2 * n2 * (n2 - 1)))
+    alternative match {
+      case "less"    => studentTCdf(t, df)
+      case "greater" => 1.0 - studentTCdf(t, df)
+      case _         => 2.0 * (1.0 - studentTCdf(math.abs(t), df))
+    }
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Frame-based sequential operators (SURVEY §2.4). All are pure window
+  * expressions — they shuffle once on the partition key and then run
+  * inside a single sort-based window stage, so they scale linearly with
+  * rows per key and never collect to the driver.
+  */
+object WindowOps {
+
+  /** W2: numpy-style central-difference gradient with one-sided edges,
+    * unit spacing (Python Plotting/main.py:99-100 — the reference does
+    * NOT divide by the sample interval; reproduce as-is).
+    * `w` must be an ordered WindowSpec (no frame). */
+  def gradient(value: Column, w: WindowSpec): Column =
+    coalesce(
+      (lead(value, 1).over(w) - lag(value, 1).over(w)) / 2.0,
+      value - lag(value, 1).over(w),
+      lead(value, 1).over(w) - value)
+
+  /** W3: last-observation-carried-forward over an ordered window
+    * (ORC_Main.c:239-252 reuses the previous accepted sensor value). */
+  def locf(value: Column, w: WindowSpec): Column =
+    last(value, ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+  /** W4: 0-based positional index within a run (main.py:51-54). */
+  def runIndex(w: WindowSpec): Column = row_number().over(w) - 1
+
+  /** W1 (interior rows): exact sliding median over a centered row frame
+    * of `k` rows (k odd). Edge frames are truncated, NOT zero-padded —
+    * use [[medianFilterZeroPadded]] for scipy.signal.medfilt parity
+    * (main.py:69-70). Exact `percentile` (sort-based), not approx:
+    * the frame is tiny (k=15) so per-row cost is O(k log k). */
+  def medianExact(value: Column, w: WindowSpec, k: Int): Column = {
+    require(k % 2 == 1, s"median filter kernel must be odd, got $k")
+    val half = k / 2
+    call_function("percentile", value, lit(0.5))
+      .over(w.rowsBetween(-half, half))
+  }
+
+  /** W1 with scipy zero-pad edge semantics: medfilt conceptually pads
+    * k/2 zeros at both ends of each run. Equivalent closed form on a
+    * truncated frame: sort the (frame ++ zeros) multiset — rather than
+    * materialize pad rows, note the padded frame has k elements of which
+    * `k - frameSize` are zero. We express it as the exact k-element
+    * median of `frame ++ zeros` via a sorted-array expression. */
+  def medianFilterZeroPadded(value: Column, w: WindowSpec, k: Int): Column = {
+    require(k % 2 == 1, s"median filter kernel must be odd, got $k")
+    val half = k / 2
+    val frame = collect_list(value).over(w.rowsBetween(-half, half))
+    // pad with zeros up to k elements, sort, take middle element (k odd)
+    val padded = concat(
+      frame,
+      slice(array_repeat(lit(0.0), k), lit(1), lit(k) - size(frame)))
+    element_at(array_sort(padded), half + 1)
+  }
+}

@@ -1,0 +1,383 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.ScalarOps
+import graft.operators.{StatsOps, WindowOps}
+
+/** SURVEY §2.9 — the declared Tier-A oracle queries (Q1–Q20). Each is a
+  * thin DataFrame-API composition over the graft operator library; the
+  * paired DuckDB SQL in [[oracle]] is the driver's correctness contract.
+  *
+  * Scale notes (these run at sf0.01 for correctness but are shaped for
+  * 100 TB): filters precede joins/aggs so Catalyst pushes them into the
+  * parquet scan; dimension sides of joins (nation, customer at small sf)
+  * are explicitly broadcast; every aggregation is partial+final
+  * (map-side combine) by construction; window ops shuffle once on their
+  * partition key.
+  */
+object TierA {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val ShipCutoff = java.sql.Timestamp.valueOf("1998-09-02 00:00:00")
+
+  // Q1 — grouped RMS/min/max stats (A1, A2 + shipdate filter)
+  private val q1: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit(ShipCutoff))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(StatsOps.rms(col("l_quantity")), 6).as("rms_qty"),
+        round(min(col("l_extendedprice")), 6).as("min_price"),
+        round(max(col("l_extendedprice")), 6).as("max_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // Q2 — two-level partial+final aggregation (A3)
+  private val q2: Q = (s, dir) => {
+    val perRun = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"), col("l_orderkey"))
+      .agg(StatsOps.rms(col("l_discount")).as("run_rms"))
+    perRun.groupBy(col("o_orderpriority"))
+      .agg(round(avg(col("run_rms")), 6).as("avg_rms"),
+        count(lit(1)).as("runs"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // Q3 — Welch t statistic between two arms (A4 moments)
+  private val q3: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    def arm(flag: String, suffix: String) =
+      li.filter(col("l_returnflag") === flag)
+        .agg(avg(col("l_extendedprice")).as("m" + suffix),
+          var_samp(col("l_extendedprice")).as("v" + suffix),
+          count(lit(1)).as("n" + suffix))
+    arm("R", "1").crossJoin(arm("A", "2"))
+      .select(round(StatsOps.welchT(
+        col("m1"), col("v1"), col("n1"),
+        col("m2"), col("v2"), col("n2")), 6).as("welch_t"))
+  }
+
+  // Q4 — deadband (F5) + clamp (F7) scalar expressions
+  private val q4: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(ScalarOps.deadband(col("l_discount") - 0.05, 0.003), 6)
+          .as("crushed"),
+        ScalarOps.clamp(col("l_tax") * 10, 0.0, 1.0).as("clamped"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("crushed"), col("clamped"))
+      .limit(1000)
+  }
+
+  // Q5 — corner-force linear transform as projection (T4)
+  private val q5: Q = (s, dir) => {
+    val a = 0.011; val b = 0.018
+    val cb = b / (2 * (a + b)); val ca = a / (2 * (a + b))
+    val ci = 1.0 / (2 * (a + b)); val ct = 31.25
+    val q = col("l_quantity"); val d = col("l_discount"); val x = col("l_tax")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(lit(cb) * q - lit(ci) * d + lit(ct) * x + 32768.0, 6).as("act1"),
+        round(lit(cb) * q - lit(ci) * d - lit(ct) * x + 32768.0, 6).as("act2"),
+        round(lit(ca) * q + lit(ci) * d + lit(ct) * x + 32768.0, 6).as("act3"),
+        round(lit(ca) * q + lit(ci) * d - lit(ct) * x + 32768.0, 6).as("act4"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("act1"), col("act3"))
+      .limit(1000)
+  }
+
+  // Order by the exact nano timestamp (ts_ns) so tie-breaks match a
+  // nanosecond-native oracle even where micros would collide.
+  private def eventsWindow = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts_ns"), col("event_id"))
+
+  // Q6 — central-difference gradient (W2)
+  private val q6: Q = (s, dir) => {
+    t(s, dir, "events")
+      .select(col("event_id"),
+        round(WindowOps.gradient(col("value"), eventsWindow), 6).as("grad"))
+      .orderBy(col("event_id"))
+      .limit(1000)
+  }
+
+  // Q7 — row indexing / time synthesis basis (W4, M22)
+  private val q7: Q = (s, dir) => {
+    t(s, dir, "events")
+      .select(col("event_id"), WindowOps.runIndex(eventsWindow).as("idx"))
+      .orderBy(col("event_id"))
+      .limit(1000)
+  }
+
+  // Q8 — LOCF after predicate nulling (F3 + W3)
+  private val q8: Q = (s, dir) => {
+    t(s, dir, "events")
+      .select(col("event_id"),
+        round(WindowOps.locf(
+          when(abs(col("value")) < 2.5, col("value")), eventsWindow), 6)
+          .as("locf"))
+      .orderBy(col("event_id"))
+      .limit(1000)
+  }
+
+  // Q9 — exact sliding median k=15, interior rows only (W1)
+  private val q9: Q = (s, dir) => {
+    t(s, dir, "events")
+      .select(col("event_id"),
+        WindowOps.medianExact(col("value"), eventsWindow, 15).as("med"),
+        row_number().over(eventsWindow).as("rn"))
+      .filter(col("rn") > 7)
+      .select(col("event_id"), round(col("med"), 6).as("med15"))
+      .orderBy(col("event_id"))
+      .limit(1000)
+  }
+
+  // Q10 — scalar math (M1-M3)
+  private val q10: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(ScalarOps.lsbScale(col("l_quantity"), ScalarOps.AccelGPerLsb), 6)
+          .as("g_units"),
+        round(degrees(atan2(col("l_discount"), col("l_tax") + 0.01)), 6)
+          .as("angle_deg"),
+        round(ScalarOps.clampedAsin(col("l_discount") * 10), 6)
+          .as("clamped_asin"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("g_units"), col("angle_deg"), col("clamped_asin"))
+      .limit(1000)
+  }
+
+  // Q11 — sessionization skeleton: header propagation via LOCF (S2)
+  private val q11: Q = (s, dir) => {
+    t(s, dir, "events")
+      .select(col("event_id"),
+        WindowOps.locf(
+          when(col("event_type") === "login", col("event_id")), eventsWindow)
+          .as("session_head"))
+      .orderBy(col("event_id"))
+      .limit(1000)
+  }
+
+  // Q12 — arm pairing as pivoted self-join (A5)
+  private val q12: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    def armRms(tpe: String, name: String) =
+      ev.filter(col("event_type") === tpe)
+        .agg(StatsOps.rms(col("value")).as(name))
+    armRms("click", "rms_e").crossJoin(armRms("view", "rms_d"))
+      .select(round(col("rms_e") - col("rms_d"), 6).as("rms_delta"))
+  }
+
+  // Q13 — multi-way equi join + agg (north star). Dimensions broadcast.
+  private val q13: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // Q14 — left semi join
+  private val q14: Q = (s, dir) => {
+    t(s, dir, "part")
+      .join(t(s, dir, "lineitem").filter(col("l_quantity") > 45),
+        col("p_partkey") === col("l_partkey"), "left_semi")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  // Q15 — left anti join
+  private val q15: Q = (s, dir) => {
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  // Q16 — top-k (sort + limit)
+  private val q16: Q = (s, dir) => {
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  // Q17 — set op (INTERSECT, distinct semantics)
+  private val q17: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  // Q18 — ranking window (top-1 per group)
+  private val q18: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"))
+      .orderBy(col("o_custkey"))
+      .limit(1000)
+  }
+
+  // Q19 — tumbling-window agg on event time (batch form)
+  private val q19: Q = (s, dir) => {
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
+      .orderBy(col("h"), col("event_type"))
+  }
+
+  // Q20 — grouped exact distinct count
+  private val q20: Q = (s, dir) => {
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Map[String, Q] = Map(
+    "q01_grouped_stats" -> q1,
+    "q02_two_level_agg" -> q2,
+    "q03_welch_t" -> q3,
+    "q04_deadband_clamp" -> q4,
+    "q05_corner_transform" -> q5,
+    "q06_gradient" -> q6,
+    "q07_row_index" -> q7,
+    "q08_locf" -> q8,
+    "q09_median15" -> q9,
+    "q10_scalar_math" -> q10,
+    "q11_session_head" -> q11,
+    "q12_arm_pairing" -> q12,
+    "q13_join_agg" -> q13,
+    "q14_semi_join" -> q14,
+    "q15_anti_join" -> q15,
+    "q16_topk" -> q16,
+    "q17_intersect" -> q17,
+    "q18_rank_window" -> q18,
+    "q19_time_bucket_agg" -> q19,
+    "q20_distinct_count" -> q20)
+
+  val oracle: Map[String, String] = Map(
+    "q01_grouped_stats" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       ROUND(SQRT(AVG(l_quantity*l_quantity)), 6) AS rms_qty,
+        |       ROUND(MIN(l_extendedprice), 6) AS min_price,
+        |       ROUND(MAX(l_extendedprice), 6) AS max_price,
+        |       COUNT(*) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_two_level_agg" ->
+      """SELECT o_orderpriority, ROUND(AVG(run_rms), 6) AS avg_rms, COUNT(*) AS runs
+        |FROM (SELECT o.o_orderpriority, l.l_orderkey,
+        |             SQRT(AVG(l.l_discount*l.l_discount)) AS run_rms
+        |      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |      GROUP BY o.o_orderpriority, l.l_orderkey) t
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q03_welch_t" ->
+      """SELECT ROUND((a.m - b.m) / SQRT(a.v/a.n + b.v/b.n), 6) AS welch_t
+        |FROM (SELECT AVG(l_extendedprice) m, VAR_SAMP(l_extendedprice) v, COUNT(*) n
+        |      FROM lineitem WHERE l_returnflag = 'R') a,
+        |     (SELECT AVG(l_extendedprice) m, VAR_SAMP(l_extendedprice) v, COUNT(*) n
+        |      FROM lineitem WHERE l_returnflag = 'A') b""".stripMargin,
+    "q04_deadband_clamp" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       ROUND(CASE WHEN ABS(l_discount - 0.05) <= 0.003 THEN 0
+        |                  ELSE l_discount - 0.05 - SIGN(l_discount - 0.05)*0.003 END, 6) AS crushed,
+        |       LEAST(1.0, GREATEST(0.0, l_tax*10)) AS clamped
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, crushed, clamped LIMIT 1000""".stripMargin,
+    "q05_corner_transform" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       ROUND( (0.018/0.058)*l_quantity - (1.0/0.058)*l_discount + 31.25*l_tax + 32768.0, 6) AS act1,
+        |       ROUND( (0.018/0.058)*l_quantity - (1.0/0.058)*l_discount - 31.25*l_tax + 32768.0, 6) AS act2,
+        |       ROUND( (0.011/0.058)*l_quantity + (1.0/0.058)*l_discount + 31.25*l_tax + 32768.0, 6) AS act3,
+        |       ROUND( (0.011/0.058)*l_quantity + (1.0/0.058)*l_discount - 31.25*l_tax + 32768.0, 6) AS act4
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, act1, act3 LIMIT 1000""".stripMargin,
+    "q06_gradient" ->
+      """SELECT event_id,
+        |       ROUND(COALESCE((LEAD(value) OVER w - LAG(value) OVER w)/2.0,
+        |                      value - LAG(value) OVER w,
+        |                      LEAD(value) OVER w - value), 6) AS grad
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id LIMIT 1000""".stripMargin,
+    "q07_row_index" ->
+      """SELECT event_id, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS idx
+        |FROM events ORDER BY event_id LIMIT 1000""".stripMargin,
+    "q08_locf" ->
+      """SELECT event_id,
+        |       ROUND(LAST_VALUE(CASE WHEN ABS(value) < 2.5 THEN value END IGNORE NULLS)
+        |             OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING), 6) AS locf
+        |FROM events ORDER BY event_id LIMIT 1000""".stripMargin,
+    "q09_median15" ->
+      """SELECT event_id, ROUND(med, 6) AS med15 FROM (
+        |  SELECT event_id,
+        |         MEDIAN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS BETWEEN 7 PRECEDING AND 7 FOLLOWING) AS med,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn > 7 ORDER BY event_id LIMIT 1000""".stripMargin,
+    "q10_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       ROUND(l_quantity * 0.000122, 6) AS g_units,
+        |       ROUND(DEGREES(ATAN2(l_discount, l_tax + 0.01)), 6) AS angle_deg,
+        |       ROUND(ASIN(LEAST(1.0, GREATEST(-1.0, l_discount*10))), 6) AS clamped_asin
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, g_units, angle_deg, clamped_asin LIMIT 1000""".stripMargin,
+    "q11_session_head" ->
+      """SELECT event_id,
+        |       LAST_VALUE(CASE WHEN event_type = 'login' THEN event_id END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_head
+        |FROM events ORDER BY event_id LIMIT 1000""".stripMargin,
+    "q12_arm_pairing" ->
+      """SELECT ROUND(e.rms - d.rms, 6) AS rms_delta
+        |FROM (SELECT SQRT(AVG(value*value)) rms FROM events WHERE event_type='click') e,
+        |     (SELECT SQRT(AVG(value*value)) rms FROM events WHERE event_type='view')  d""".stripMargin,
+    "q13_join_agg" ->
+      """SELECT n_name, ROUND(SUM(l_extendedprice*(1-l_discount)), 4) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q14_semi_join" ->
+      """SELECT COUNT(*) AS n FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)""".stripMargin,
+    "q15_anti_join" ->
+      """SELECT COUNT(*) AS n FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "q16_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q17_intersect" ->
+      """SELECT COUNT(*) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t""".stripMargin,
+    "q18_rank_window" ->
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rn
+        |  FROM orders) t WHERE rn = 1 ORDER BY o_custkey LIMIT 1000""".stripMargin,
+    "q19_time_bucket_agg" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
+        |       COUNT(*) AS n, ROUND(SUM(value), 4) AS sv
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q20_distinct_count" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS u FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+}
