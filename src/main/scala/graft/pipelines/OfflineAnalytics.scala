@@ -1,0 +1,131 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{SpecialFns, StatsOps, WindowOps}
+import graft.sources.SessionizedCsvReader
+
+/** The reference's offline batch analytics (SURVEY §3.1,
+  * Python Plotting/main.py): per (arm, run) median-filter the measure,
+  * optionally take the numeric derivative (jerk), aggregate RMS/min/max
+  * per run, average per arm, and Welch-t-test the per-run stat
+  * populations between the two arms.
+  *
+  * Distributed shape: one shuffle on (arm, run_id) feeds both window
+  * stages (medfilt + gradient reuse the same sort), then the stats agg
+  * is partial+final. The t-test runs on the 2-row arm summary — O(1)
+  * driver work, like the reference.
+  */
+object OfflineAnalytics {
+
+  /** One-sided alternatives used by the reference (main.py:113-115):
+    * RMS and MAX expect "enabled" smaller (`less`), MIN expects
+    * "enabled" greater (closer to zero from below). */
+  val Alternatives: Map[String, String] =
+    Map("rms" -> "less", "min" -> "greater", "max" -> "less")
+
+  /** Per-(arm, run) RMS/min/max of the median-filtered (and optionally
+    * differentiated) measure. Output: arm, run_id, rms, min, max, n. */
+  def runStats(samples: DataFrame, measure: String,
+               derivative: Boolean = false, kernel: Int = 15): DataFrame = {
+    val w = Window.partitionBy(col("file"), col("arm"), col("run_id"))
+      .orderBy(col("sample_idx"))
+    val filtered = samples.withColumn("filtered",
+      WindowOps.medianFilterZeroPadded(col(measure), w, kernel))
+    val valued =
+      if (derivative)
+        filtered.withColumn("v", WindowOps.gradient(col("filtered"), w))
+      else filtered.withColumn("v", col("filtered"))
+    valued.groupBy(col("arm"), col("run_id"))
+      .agg(
+        StatsOps.rms(col("v")).as("rms"),
+        min(col("v")).as("min"),
+        max(col("v")).as("max"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Per-arm averages of the per-run stats (main.py:112), plus the
+    * moments needed for the Welch test and the arm's first-seen order
+    * (reference pairs populations by dict insertion order =
+    * first occurrence in the file, main.py:109-113). */
+  def armSummary(runStats: DataFrame): DataFrame =
+    runStats.groupBy(col("arm"))
+      .agg(
+        min(col("run_id")).as("first_run"),
+        count(lit(1)).as("runs"),
+        avg(col("rms")).as("avg_rms"),
+        avg(col("min")).as("avg_min"),
+        avg(col("max")).as("avg_max"),
+        var_samp(col("rms")).as("var_rms"),
+        var_samp(col("min")).as("var_min"),
+        var_samp(col("max")).as("var_max"))
+      .orderBy(col("first_run"))
+
+  final case class WelchResult(stat: String, t: Double, p: Double)
+
+  /** Welch one-sided t-tests between the first-seen and second-seen
+    * arm for each of rms/min/max (main.py:113-115). The input is the
+    * tiny 2-row arm summary; computing t and p on the driver mirrors
+    * the reference and keeps the special functions out of the plan. */
+  def welchTests(summary: DataFrame): Seq[WelchResult] = {
+    val rows = summary.collect()
+    require(rows.length == 2,
+      s"welchTests expects exactly 2 arms, got ${rows.length}")
+    val Seq(a, b) = rows.toSeq
+    def field(r: org.apache.spark.sql.Row, name: String): Double =
+      r.getAs[Any](name) match { case d: Double => d; case l: Long => l.toDouble }
+    Seq("rms", "min", "max").map { stat =>
+      val (m1, v1, n1) = (field(a, s"avg_$stat"), field(a, s"var_$stat"), field(a, "runs"))
+      val (m2, v2, n2) = (field(b, s"avg_$stat"), field(b, s"var_$stat"), field(b, "runs"))
+      val se2 = v1 / n1 + v2 / n2
+      val t = (m1 - m2) / math.sqrt(se2)
+      val p = SpecialFns.welchPValue(m1, v1, n1, m2, v2, n2, Alternatives(stat))
+      WelchResult(stat, t, p)
+    }
+  }
+
+  /** Full replay over a log CSV for one measure: returns
+    * (runStats sorted, armSummary, welch results). */
+  def replay(spark: SparkSession, csvPath: String, measure: String,
+             derivative: Boolean = false)
+      : (DataFrame, DataFrame, Seq[WelchResult]) = {
+    val samples = SessionizedCsvReader.read(spark, csvPath)
+    val rs = runStats(samples, measure, derivative).cache()
+    val summary = armSummary(rs)
+    (rs.orderBy(col("arm"), col("run_id")), summary, welchTests(summary))
+  }
+}
+
+/** Command-line golden replay: runs the four reference analyses
+  * (acceleration / pitch / roll / jerk) over the checked-in golden CSV
+  * and prints per-arm means + Welch tests — the numbers published in
+  * the reference's result summary (BASELINE.md, Vibration HS column). */
+object OfflineAnalyticsMain {
+  def main(args: Array[String]): Unit = {
+    val csv = if (args.nonEmpty) args(0) else SessionizedCsvReader.GoldenCsv
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("graft-offline-analytics")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val analyses = Seq(
+      ("Acceleration [g]", "acceleration_g", false),
+      ("Pitch [deg]", "pitch_deg", false),
+      ("Roll [deg]", "roll_deg", false),
+      ("Jerk", "acceleration_g", true))
+    analyses.foreach { case (title, measure, deriv) =>
+      val (_, summary, welch) =
+        OfflineAnalytics.replay(spark, csv, measure, derivative = deriv)
+      println(s"=== $title ===")
+      summary.select("arm", "runs", "avg_rms", "avg_min", "avg_max")
+        .show(truncate = false)
+      welch.foreach(w =>
+        println(f"  ${w.stat}%-4s t=${w.t}%.5f  p=${w.p}%.5e"))
+    }
+    spark.stop()
+  }
+}
