@@ -1,0 +1,66 @@
+package graft.state
+
+/** Minimal 3-vector / quaternion algebra for the sensor-fusion operators
+  * (SURVEY §2.3 M5-M10). Double precision throughout; the reference is
+  * fp32 with a fast-inverse-sqrt approximation (FusionMath.h:169-179) —
+  * Tier-B goldens compare against this Scala port, not the C binary, so
+  * exact math is used (SURVEY §7.5.1).
+  */
+final case class Vec3(x: Double, y: Double, z: Double) {
+  def +(o: Vec3): Vec3 = Vec3(x + o.x, y + o.y, z + o.z)
+  def -(o: Vec3): Vec3 = Vec3(x - o.x, y - o.y, z - o.z)
+  def *(s: Double): Vec3 = Vec3(x * s, y * s, z * s)
+  def dot(o: Vec3): Double = x * o.x + y * o.y + z * o.z
+  def cross(o: Vec3): Vec3 = Vec3(
+    y * o.z - z * o.y,
+    z * o.x - x * o.z,
+    x * o.y - y * o.x)
+  def magnitudeSquared: Double = this.dot(this)
+  def magnitude: Double = math.sqrt(magnitudeSquared)
+  def normalize: Vec3 = this * (1.0 / magnitude)
+  def isZero: Boolean = x == 0.0 && y == 0.0 && z == 0.0
+}
+
+object Vec3 {
+  val Zero: Vec3 = Vec3(0.0, 0.0, 0.0)
+}
+
+/** Hamilton quaternion (w, x, y, z). */
+final case class Quat(w: Double, x: Double, y: Double, z: Double) {
+  def +(o: Quat): Quat = Quat(w + o.w, x + o.x, y + o.y, z + o.z)
+
+  /** Hamilton product (FusionMath.h:334-360). */
+  def *(o: Quat): Quat = Quat(
+    w * o.w - x * o.x - y * o.y - z * o.z,
+    w * o.x + x * o.w + y * o.z - z * o.y,
+    w * o.y - x * o.z + y * o.w + z * o.x,
+    w * o.z + x * o.y - y * o.x + z * o.w)
+
+  /** Multiply by a vector treated as a pure quaternion (0, v)
+    * (FusionMath.h:368-380). */
+  def mulVector(v: Vec3): Quat = Quat(
+    -x * v.x - y * v.y - z * v.z,
+    w * v.x + y * v.z - z * v.y,
+    w * v.y - x * v.z + z * v.x,
+    w * v.z + x * v.y - y * v.x)
+
+  def normalize: Quat = {
+    val r = 1.0 / math.sqrt(w * w + x * x + y * y + z * z)
+    Quat(w * r, x * r, y * r, z * r)
+  }
+
+  /** ZYX Euler angles in degrees (FusionMath.h:466-476): asin input
+    * clamped to [-1, 1] (FusionMath.h:148-156). */
+  def toEulerDegrees: (Double, Double, Double) = {
+    val halfMinusYY = 0.5 - y * y
+    val roll = math.toDegrees(math.atan2(w * x + y * z, halfMinusYY - x * x))
+    val pitch = math.toDegrees(math.asin(
+      math.max(-1.0, math.min(1.0, 2.0 * (w * y - z * x)))))
+    val yaw = math.toDegrees(math.atan2(w * z + x * y, halfMinusYY - z * z))
+    (roll, pitch, yaw)
+  }
+}
+
+object Quat {
+  val Identity: Quat = Quat(1.0, 0.0, 0.0, 0.0)
+}

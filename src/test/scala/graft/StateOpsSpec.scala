@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.state._
+
+/** Unit tests for the stateful operator cores (T1/T2/T4), behavioral —
+  * convergence and hand-computed traces, not implementation echoes. */
+class StateOpsSpec extends AnyFunSuite {
+
+  private val dt = 0.000282
+  private val settings = AhrsSettings(
+    recoveryTriggerPeriod = (5.0 / dt).toInt)
+
+  test("quaternion algebra basics") {
+    val q = Quat(0.5, 0.5, 0.5, 0.5)
+    val n = q.normalize
+    assert(math.abs(n.w * n.w + n.x * n.x + n.y * n.y + n.z * n.z - 1.0) < 1e-12)
+    // identity is the multiplicative unit
+    val p = Quat(0.1, 0.2, 0.3, 0.4).normalize
+    val r = Quat.Identity * p
+    assert(math.abs(r.w - p.w) < 1e-12 && math.abs(r.z - p.z) < 1e-12)
+    // euler of identity is zero
+    val (ro, pi, ya) = Quat.Identity.toEulerDegrees
+    assert(math.abs(ro) < 1e-12 && math.abs(pi) < 1e-12 && math.abs(ya) < 1e-12)
+  }
+
+  test("AHRS settles level for a stationary level sensor") {
+    // ENU, stationary: accel = +1 g on z, no rotation.
+    var st = Ahrs.initial(settings)
+    val accel = Vec3(0, 0, 1)
+    var i = 0
+    while (st.initialising && i < 20000) {
+      st = Ahrs.update(st, settings, Vec3.Zero, accel, dt)
+      i += 1
+    }
+    assert(!st.initialising, "AHRS should leave initialisation")
+    // ~3 s of samples at 282 us
+    assert(i > 2.9 / dt && i < 3.2 / dt, s"init took $i samples")
+    val (roll, pitch, _) = st.quaternion.toEulerDegrees
+    assert(math.abs(roll) < 1e-6 && math.abs(pitch) < 1e-6)
+    assert(math.abs(Ahrs.linearAcceleration(st).z) < 1e-6)
+  }
+
+  test("AHRS converges to the accelerometer-implied tilt") {
+    // Sensor tilted 10 degrees about x: gravity reads (0, -sin10, cos10)
+    // in the sensor frame for ENU (+z up).
+    val a = math.toRadians(10)
+    val accel = Vec3(0, -math.sin(a), math.cos(a))
+    var st = Ahrs.initial(settings)
+    for (_ <- 0 until 40000)
+      st = Ahrs.update(st, settings, Vec3.Zero, accel, dt)
+    val (roll, _, _) = st.quaternion.toEulerDegrees
+    assert(math.abs(roll - (-10.0)) < 0.1, s"roll was $roll")
+    // gravity removed: linear acceleration ~ 0
+    assert(Ahrs.linearAcceleration(st).magnitude < 1e-6)
+  }
+
+  test("AHRS re-initialises when gyro range exceeded") {
+    var st = Ahrs.initial(settings)
+    for (_ <- 0 until 20000)
+      st = Ahrs.update(st, settings, Vec3.Zero, Vec3(0, 0, 1), dt)
+    assert(!st.initialising)
+    st = Ahrs.update(st, settings, Vec3(495, 0, 0), Vec3(0, 0, 1), dt)
+    assert(st.initialising && st.angularRateRecovery)
+  }
+
+  test("PID hand-computed first steps + clamps + quantization") {
+    val cfg = PidConfig(kp = 2.0, ki = 1.0, kd = 0.0, tau = 0.01,
+      limMin = -10.0, limMax = 10.0, dt = 0.1, quantizeInt16 = false)
+    // step 1: error=1, P=2, I=0.5*1*0.1*(1+0)=0.05, D=0 -> 2.05
+    val (s1, o1) = Pid.update(cfg, PidState(), 1.0, 0.0)
+    assert(math.abs(o1 - 2.05) < 1e-12)
+    // step 2: same error: I += 0.05*(1+1)=0.1 -> 0.15; out 2.15
+    val (_, o2) = Pid.update(cfg, s1, 1.0, 0.0)
+    assert(math.abs(o2 - 2.15) < 1e-12)
+    // saturation: huge error clamps to limMax
+    val (_, oSat) = Pid.update(cfg, PidState(), 100.0, 0.0)
+    assert(oSat == 10.0)
+    // quantization truncates toward zero like the int16 cast
+    val cfgQ = cfg.copy(quantizeInt16 = true)
+    val (_, oq) = Pid.update(cfgQ, PidState(), 1.0, 0.0)
+    assert(oq == 2.0)
+  }
+
+  test("PID anti-windup: integrator cannot push output past the clamp") {
+    val cfg = PidConfig(kp = 1.0, ki = 10.0, kd = 0.0, tau = 0.01,
+      limMin = -5.0, limMax = 5.0, dt = 1.0, quantizeInt16 = false)
+    var st = PidState()
+    for (_ <- 0 until 100) {
+      val (n, o) = Pid.update(cfg, st, 1.0, 0.0)
+      st = n
+      assert(o <= 5.0)
+    }
+    // integrator itself is held at limMax - P = 5 - 1 = 4
+    assert(st.integrator <= 4.0 + 1e-12)
+  }
+
+  test("corner transform coefficients and clamp") {
+    val t = CornerTransform.reference
+    assert(math.abs(t.b2ab - 0.018 / 0.058) < 1e-12)
+    assert(math.abs(t.inv2cd - 31.25) < 1e-12)
+    // zero command -> all codes at midscale 32768
+    assert(t(0, 0, 0) == ((32768, 32768, 32768, 32768)))
+    // pure roll moves act1/act3 up and act2/act4 down symmetrically
+    val (a1, a2, a3, a4) = t(0, 0, 32.0)
+    assert(a1 == 32768 + 1000 && a2 == 32768 - 1000)
+    assert(a3 == 32768 + 1000 && a4 == 32768 - 1000)
+    // clamp at the rails
+    assert(t(1e9, 0, 0) == ((65535, 65535, 65535, 65535)))
+    assert(t(-1e9, 0, 0) == ((0, 0, 0, 0)))
+  }
+}
