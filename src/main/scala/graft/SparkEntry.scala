@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.queries.TierA
+import graft.queries.{NorthStar, TierA}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     TierA.all("q13_join_agg")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * north-star training-data-pipeline ops (dedup / similarity / text /
+    * multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TierA.all
+    TierA.all ++ NorthStar.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    TierA.oracle
+    TierA.oracle ++ NorthStar.oracle
 }

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, keyword-vote language ID, shingling,
+  * and MinHash fingerprints. All pure column expressions (codegen'd,
+  * no UDFs) so they run at full scan speed over a 100 TB corpus and
+  * push column pruning into the parquet reader.
+  *
+  * Determinism note: fingerprints use md5 (identical across engines)
+  * rather than xxhash64 so results are oracle-checkable; use
+  * [[simhash64]] (xxhash64-based) where raw speed matters more than
+  * cross-engine parity.
+  */
+object TextOps {
+
+  /** Whitespace tokenization of lower-cased trimmed text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: alternating letter/digit runs — a cheap
+    * stand-in for a real tokenizer's token count (regex split keeps
+    * punctuation as boundaries). */
+  def subwordCount(text: Column): Column =
+    size(filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0))
+
+  /** Ratio of tokens found in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val stops = array(stopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(stops, t))).cast("double") /
+      greatest(size(toks), lit(1))
+  }
+
+  /** Ratio of punctuation characters [.,!?;:] to total characters. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:]", "")))
+      .cast("double") / greatest(length(text), lit(1))
+
+  /** Simple document quality score in [0,1]: rewards moderate token
+    * length and penalizes punctuation/stopword extremes. Deterministic,
+    * SQL-expressible. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokenCount(text)
+    val meanLen = length(text).cast("double") / greatest(toks, lit(1))
+    val lenScore = least(meanLen / 8.0, lit(1.0))
+    val stopScore = lit(1.0) - stopwordRatio(text, stopwords)
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    round((lenScore + stopScore + punctScore) / 3.0, 6)
+  }
+
+  /** Keyword-vote language ID: each language gets a marker-word list;
+    * winner is the language with the most marker hits (ties broken by
+    * list order). Returns the language key, or `default` when no
+    * marker hits at all. */
+  def langId(text: Column, markers: Seq[(String, Seq[String])],
+             default: String = "und"): Column = {
+    val toks = tokens(text)
+    def score(words: Seq[String]): Column =
+      size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+    val scored = markers.map { case (lang, words) => (lang, score(words)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language reaching the max score wins (deterministic)
+    val cases = scored.foldLeft(when(best <= 0, default)) {
+      case (acc, (lang, s)) => acc.when(s === best, lang)
+    }
+    cases.otherwise(default)
+  }
+
+  /** Word n-gram shingles: ["a b c", "b c d", ...]; empty array when
+    * fewer than n tokens. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** One MinHash value: min over md5("<seed>:" + shingle). Lexicographic
+    * min over hex strings — identical semantics in any engine with md5. */
+  def minhash(shingles: Column, seed: Int): Column =
+    array_min(transform(shingles, s => md5(concat(lit(s"$seed:"), s))))
+
+  /** k-element MinHash signature as an array column. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map(i => minhash(shingles, i)): _*)
+
+  /** 64-bit SimHash over tokens using xxhash64 bits: each token votes
+    * +1/-1 per bit; the sign of each bit-sum forms the fingerprint.
+    * Fast path (single hash per token, bit ops only) — not designed for
+    * cross-engine oracle parity. */
+  def simhash64(text: Column): Column = {
+    val toks = tokens(text)
+    val hashed = transform(toks, t => xxhash64(t))
+    def shr(v: Column, bits: Column): Column =
+      call_function("shiftright", v, bits)
+    def shl(v: Column, bits: Column): Column =
+      call_function("shiftleft", v, bits)
+    // fold bit votes: acc is array(64) of int votes
+    val votes = aggregate(
+      hashed,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, bit) => a + when(shr(h, bit).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)))
+    // assemble sign bits into a long
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, bit) => when(v > 0, shl(lit(1L), bit)).otherwise(0L)),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** Rolling polynomial hash fingerprint of the whole document
+    * (base-31 over UTF-8 bytes, mod 2^61-1) via a single aggregate
+    * expression — document identity stable across chunking. */
+  def rollingHash(text: Column): Column = {
+    val Mod = 2305843009213693951L // 2^61 - 1
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, c) => pmod(acc * 31 + c, lit(Mod)))
+  }
+}
