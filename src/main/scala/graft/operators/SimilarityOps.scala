@@ -57,14 +57,24 @@ object SimilarityOps {
   def hyperplaneBucket(v: Column, planes: Int): Column =
     (0 until planes).map(p => planeSign(v, p)).reduce(_ bitwiseOR _)
 
+  /** Project (id, vector) with the vector cast to double and its norm
+    * precomputed once — pairwise scoring then needs only the dot
+    * product (1 array fold per pair instead of 3). */
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+                       idAs: String, vecAs: String, normAs: String)
+      : DataFrame =
+    df.select(col(idCol).as(idAs),
+        col(vecCol).cast("array<double>").as(vecAs))
+      .withColumn(normAs, norm(col(vecAs)))
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (self-matches excluded). Output: qid, nid, cos. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = withNorm(corpus, idCol, vecCol, "nid", "cv", "cn")
+    val q = withNorm(queries, idCol, vecCol, "qid", "qv", "qn")
     val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid"))
     scored
@@ -79,13 +89,13 @@ object SimilarityOps {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               planes: Int = 8): DataFrame = {
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"))
+    val c = withNorm(corpus, idCol, vecCol, "nid", "cv", "cn")
       .withColumn("bucket", hyperplaneBucket(col("cv"), planes))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val q = withNorm(queries, idCol, vecCol, "qid", "qv", "qn")
       .withColumn("bucket", hyperplaneBucket(col("qv"), planes))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid"))
     scored

@@ -71,23 +71,58 @@ object TextOps {
   }
 
   /** Word n-gram shingles: ["a b c", "b c d", ...]; empty array when
-    * fewer than n tokens. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+    * fewer than n tokens.
+    *
+    * Performance: if the token array is not already a materialized
+    * column, every per-shingle slice re-evaluates the tokenizer
+    * (O(tokens^2) work — Spark re-evaluates expressions referenced
+    * inside lambdas). Prefer staging `tokens(text)` in its own select
+    * and calling [[shinglesFromTokens]]. */
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** N-gram shingles over an (ideally materialized) token array. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** One MinHash value: min over md5("<seed>:" + shingle). Lexicographic
     * min over hex strings — identical semantics in any engine with md5. */
   def minhash(shingles: Column, seed: Int): Column =
     array_min(transform(shingles, s => md5(concat(lit(s"$seed:"), s))))
 
-  /** k-element MinHash signature as an array column. */
+  /** k-element MinHash signature as an array column (md5-per-seed:
+    * cross-engine deterministic but k md5 calls per shingle — use for
+    * oracle-checkable fingerprints, [[minhashSignatureFast]] for LSH
+    * pipelines). */
   def minhashSignature(shingles: Column, k: Int): Column =
     array((0 until k).map(i => minhash(shingles, i)): _*)
+
+  /** Fast k-element MinHash signature: ONE xxhash64 per shingle, then
+    * k affine permutations h_i(x) = (a_i * x + b_i) mod p over the base
+    * hash — the classic cheap minhash family. ~k times fewer hash
+    * evaluations than the md5 variant; deterministic but Spark-native
+    * (no SQL oracle). */
+  def minhashSignatureFast(shingles: Column, k: Int): Column = {
+    // Mersenne prime 2^31-1 keeps h*a+b well inside a long under ANSI
+    // overflow checking (h < 2^31, a < 2^6, b < 2^27).
+    val P = 2147483647L
+    val base = transform(shingles, s => pmod(xxhash64(s), lit(P)))
+    minhashFromBase(base, k, P)
+  }
+
+  /** Affine minhash family over an already-hashed shingle array.
+    * IMPORTANT for performance: materialize `base` as its own column
+    * before calling this — the k array passes each reference it, and
+    * Spark re-evaluates nested lambda expressions per reference. */
+  def minhashFromBase(base: Column, k: Int, p: Long): Column =
+    array((0 until k).map { i =>
+      val a = 2 * i + 1
+      val b = 1_000_003L * (i + 1)
+      array_min(transform(base, h => pmod(h * a + b, lit(p))))
+    }: _*)
 
   /** 64-bit SimHash over tokens using xxhash64 bits: each token votes
     * +1/-1 per bit; the sign of each bit-sum forms the fingerprint.
