@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.sources.{OrcTelemetryStore, SessionizedCsvReader}
+import graft.streaming.StreamingPipelines
+
+/** ORC storage round-trip + structured-streaming semantics:
+  * stream results must equal their batch equivalents on replay. */
+class StorageStreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  test("ORC telemetry store round-trips the golden CSV with pruning") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    OrcTelemetryStore.ingestCsv(spark, SessionizedCsvReader.GoldenCsv, dir)
+    val back = OrcTelemetryStore.read(spark, dir)
+    assert(back.count() == 128960)
+    // values survive the round trip
+    val orig = SessionizedCsvReader.read(spark, SessionizedCsvReader.GoldenCsv)
+    // sums are partition-order dependent in fp — compare to 1e-6 abs
+    // (values are 4-dp fixed-point; a true data difference would be >= 1e-4)
+    val a = orig.agg(sum("acceleration_g"), sum("pitch_deg")).collect()(0)
+    val b = back.agg(sum("acceleration_g"), sum("pitch_deg")).collect()(0)
+    assert(math.abs(a.getDouble(0) - b.getDouble(0)) < 1e-6)
+    assert(math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-6)
+    // partition pruning: filtering one log block reads only its files
+    val pruned = back.filter(col("log_id") === 2690)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() == 64082) // counted independently from the CSV
+    assert(plan.contains("log_id"), "partition filter should appear in scan")
+  }
+
+  test("streaming tumbling aggregation equals the batch equivalent") {
+    import spark.implicits._
+    val events = Tables.load(spark, sf("sf0.001"), "events")
+      .select(col("ts"), col("event_type"), col("value"))
+    // batch truth
+    val expected = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .select(col("window.start").as("h"), col("event_type"), col("n"),
+        round(col("sv"), 6).as("sv"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+
+    // streaming replay through MemoryStream (single batch => watermark
+    // never drops anything)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val streamed = StreamingPipelines.tumblingAgg(
+      input.toDF().toDF("ts", "event_type", "value"))
+    val q = streamed.writeStream.format("memory")
+      .queryName("tumbling_out").outputMode("complete").start()
+    try {
+      input.addData(events.collect().map(r =>
+        (r.getTimestamp(0), r.getString(1), r.getDouble(2))).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("tumbling_out")
+        .select(col("h"), col("event_type"), col("n"),
+          round(col("sv"), 6).as("sv"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("gap sessions split on silence in streaming mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val sessions = StreamingPipelines.gapSessions(
+      input.toDF().toDF("ts", "user_id", "value"), gap = "10 minutes")
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions_out").outputMode("complete").start()
+    try {
+      // user 1: bursts at 10:00-10:05 and 10:30-10:31 -> 2 sessions
+      input.addData(Seq(
+        (ts(0), 1L, 1.0), (ts(5), 1L, 2.0),
+        (ts(30), 1L, 3.0), (ts(31), 1L, 4.0),
+        (ts(0), 2L, 5.0)))
+      q.processAllAvailable()
+      val got = spark.table("sessions_out")
+        .orderBy("user_id", "session_start").collect()
+      assert(got.length == 3)
+      assert(got(0).getAs[Long]("n_events") == 2) // user1 first burst
+      assert(got(1).getAs[Long]("n_events") == 2) // user1 second burst
+      assert(got(2).getAs[Long]("n_events") == 1) // user2
+    } finally q.stop()
+  }
+
+  test("streaming CSV log sink writes micro-batched files") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-csvsink").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val input = MemoryStream[(Long, Double, Double, Double)]
+    val q = StreamingPipelines.csvLogSink(
+        input.toDF().toDF("sample_idx", "acceleration_g", "pitch_deg", "roll_deg"),
+        out, ckpt)
+      .start()
+    try {
+      input.addData((0L until 100L).map(i => (i, 0.1 * i, 1.0, 2.0)))
+      q.processAllAvailable()
+      val written = spark.read.schema(
+        "sample_idx LONG, acceleration_g DOUBLE, pitch_deg DOUBLE, roll_deg DOUBLE")
+        .csv(out)
+      assert(written.count() == 100)
+    } finally q.stop()
+  }
+}
