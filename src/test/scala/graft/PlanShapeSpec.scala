@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.operators.SimilarityOps
+
+/** Physical-plan shape assertions — the properties that keep these
+  * queries viable at 100 TB: predicate pushdown into the scan, column
+  * pruning, broadcast joins for dimensions (never cartesian products),
+  * and map-side partial aggregation. A correctness-green query with the
+  * wrong plan shape is a regression these tests catch. */
+class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
+  private val dir = sf("sf0.01")
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("q01: shipdate predicate is pushed to the parquet scan") {
+    val p = q("q01_grouped_stats").queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") &&
+      p.contains("LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+  }
+
+  test("q01: scan is pruned to the referenced columns only") {
+    val p = plan(q("q01_grouped_stats"))
+    assert(!p.contains("l_partkey") && !p.contains("l_suppkey") &&
+      !p.contains("l_tax"), "scan reads columns the query never uses")
+  }
+
+  test("q13: all dimension joins broadcast; no shuffle join of dims") {
+    val p = plan(q("q13_join_agg"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // partial + final aggregation (map-side combine before the shuffle)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final HashAggregate pair")
+  }
+
+  test("q02: two-level aggregation keeps map-side partials") {
+    val p = plan(q("q02_two_level_agg"))
+    assert("HashAggregate".r.findAllIn(p).size >= 3)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("brute-force topK broadcasts the query side, not the corpus") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val p = plan(SimilarityOps.bruteForceTopK(
+      emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+      "vec_id", "embedding", 5))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query side should broadcast:\n$p")
+  }
+
+  test("whole-stage codegen covers the scalar query pipeline") {
+    // codegen stages render as "*(n) Operator" in the plan string
+    val p = plan(q("q04_deadband_clamp"))
+    assert(p.contains("*(1)"), s"no codegen span:\n$p")
+  }
+
+  test("semi/anti joins plan as joins, not subquery re-evaluation") {
+    assert(plan(q("q14_semi_join")).contains("LeftSemi"))
+    assert(plan(q("q15_anti_join")).contains("LeftAnti"))
+  }
+}
