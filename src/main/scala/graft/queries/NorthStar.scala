@@ -141,7 +141,36 @@ object NorthStar {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  // q33/q34 — one-pass distributed Welch t-test via the typed
+  // Aggregator (click vs view event values). q33 exposes the
+  // oracle-checkable pieces (t, df); q34 adds the p-value (incomplete
+  // beta — not SQL-expressible, rows-only check + ScalaTest).
+  private def welchDs(s: SparkSession, dir: String) = {
+    import s.implicits._
+    t(s, dir, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .select((col("event_type") === "click").as("isA"),
+        col("value"))
+      .as[(Boolean, Double)]
+  }
+
+  private val q33: Q = (s, dir) => {
+    welchDs(s, dir)
+      .select(new graft.operators.WelchTTest("less").toColumn)
+      .select(round(col("t"), 6).as("t"), round(col("df"), 6).as("df"))
+  }
+
+  private val q34: Q = (s, dir) => {
+    welchDs(s, dir)
+      .select(new graft.operators.WelchTTest("less").toColumn)
+      .select(round(col("t"), 6).as("t"), round(col("df"), 6).as("df"),
+        col("p").as("p_less"), col("nA").as("n_click"),
+        col("nB").as("n_view"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q33_welch_agg" -> q33,
+    "q34_welch_pvalue" -> q34,
     "q21_dedup_exact" -> q21,
     "q22_text_quality" -> q22,
     "q23_lang_id" -> q23,
@@ -156,6 +185,15 @@ object NorthStar {
     "q32_frame_sample" -> q32)
 
   val oracle: Map[String, String] = Map(
+    "q33_welch_agg" ->
+      """WITH a AS (SELECT AVG(value) m, VAR_SAMP(value) v, COUNT(*) n
+        |           FROM events WHERE event_type = 'click'),
+        |     b AS (SELECT AVG(value) m, VAR_SAMP(value) v, COUNT(*) n
+        |           FROM events WHERE event_type = 'view')
+        |SELECT ROUND((a.m - b.m) / SQRT(a.v/a.n + b.v/b.n), 6) AS t,
+        |       ROUND(POWER(a.v/a.n + b.v/b.n, 2) /
+        |             (POWER(a.v/a.n, 2)/(a.n-1) + POWER(b.v/b.n, 2)/(b.n-1)), 6) AS df
+        |FROM a, b""".stripMargin,
     "q21_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS dups
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
