@@ -167,13 +167,16 @@ object TierA {
       .limit(1000)
   }
 
-  // Q12 — arm pairing as pivoted self-join (A5)
+  // Q12 — arm pairing (A5). Conditional aggregation pivots both arms
+  // in ONE scan (avg ignores the nulls of the other arm) — same values
+  // as the oracle's two-subquery cross join, half the IO.
   private val q12: Q = (s, dir) => {
-    val ev = t(s, dir, "events")
-    def armRms(tpe: String, name: String) =
-      ev.filter(col("event_type") === tpe)
-        .agg(StatsOps.rms(col("value")).as(name))
-    armRms("click", "rms_e").crossJoin(armRms("view", "rms_d"))
+    t(s, dir, "events")
+      .agg(
+        sqrt(avg(when(col("event_type") === "click",
+          col("value") * col("value")))).as("rms_e"),
+        sqrt(avg(when(col("event_type") === "view",
+          col("value") * col("value")))).as("rms_d"))
       .select(round(col("rms_e") - col("rms_d"), 6).as("rms_delta"))
   }
 
