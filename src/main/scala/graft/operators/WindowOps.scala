@@ -33,12 +33,15 @@ object WindowOps {
   /** W1 (interior rows): exact sliding median over a centered row frame
     * of `k` rows (k odd). Edge frames are truncated, NOT zero-padded —
     * use [[medianFilterZeroPadded]] for scipy.signal.medfilt parity
-    * (main.py:69-70). Exact `percentile` (sort-based), not approx:
-    * the frame is tiny (k=15) so per-row cost is O(k log k). */
+    * (main.py:69-70). Backed by the custom
+    * [[graft.functions.ExactMedian]] TypedImperativeAggregate
+    * (interpolating, matching SQL MEDIAN): a plain double buffer beats
+    * `percentile`'s value-count map for the tiny per-frame rebuilds the
+    * window operator does. */
   def medianExact(value: Column, w: WindowSpec, k: Int): Column = {
     require(k % 2 == 1, s"median filter kernel must be odd, got $k")
     val half = k / 2
-    call_function("percentile", value, lit(0.5))
+    graft.functions.ExactMedian.exactMedian(value)
       .over(w.rowsBetween(-half, half))
   }
 
