@@ -23,9 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
+  /** Dot product via the codegen'd [[graft.functions.VectorDot]]
+    * expression (same left-to-right summation order as the
+    * higher-order-function form, so oracle parity is unaffected). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d),
-      (acc, v) => acc + v)
+    graft.functions.VectorExprs.vectorDot(
+      a.cast("array<double>"), b.cast("array<double>"))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
