@@ -109,10 +109,16 @@ object DedupOps {
                       maxBucketSize: Int = 100): DataFrame = {
     val cand = minhashLshCandidates(df, idCol, textCol, shingleN, k, bands,
       maxBucketSize)
+    // Verify on HASHED shingle sets (one long per shingle): set
+    // intersection over longs is far cheaper to ship and compare than
+    // the string shingles, and xxhash64 collisions at 2^64 are
+    // negligible for the Jaccard value.
     val sh = stagedShingles(df, idCol, textCol, shingleN)
+      .select(col("doc_id"),
+        array_distinct(transform(col("sh"), s => xxhash64(s))).as("hs"))
     cand
-      .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
-      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+      .join(sh.select(col("doc_id").as("id1"), col("hs").as("sh1")), "id1")
+      .join(sh.select(col("doc_id").as("id2"), col("hs").as("sh2")), "id2")
       .withColumn("jaccard",
         size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2"))))
