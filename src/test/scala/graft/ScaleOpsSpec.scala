@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.operators.ScaleOps
+
+/** Physical-shape checks for the scale techniques: bucketed joins must
+  * plan with no shuffle exchange; salted aggregation must be value-
+  * identical to the direct form. */
+class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("bucketed co-located join plans without shuffle exchanges") {
+    val dir = sf("sf0.001")
+    ScaleOps.writeBucketed(
+      Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice"),
+      "li_bucketed", "l_orderkey")
+    ScaleOps.writeBucketed(
+      Tables.load(spark, dir, "orders")
+        .select("o_orderkey", "o_totalprice"),
+      "o_bucketed", "o_orderkey")
+    try {
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = ScaleOps.bucketedJoin(spark, "li_bucketed", "o_bucketed",
+          "l_orderkey", "o_orderkey")
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+        assert(!plan.contains("Exchange"),
+          s"bucketed join must not shuffle:\n$plan")
+        // and it still computes the right thing
+        val direct = Tables.load(spark, dir, "lineitem")
+          .join(Tables.load(spark, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .count()
+        assert(joined.count() == direct)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+
+  test("salted aggregation equals direct aggregation on skewed data") {
+    import spark.implicits._
+    // power-law: one key holds 90% of rows
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 50000).map { i =>
+      val k = if (i % 10 != 0) "hot" else s"cold-${rnd.nextInt(50)}"
+      (k, rnd.nextDouble())
+    }
+    val df = rows.toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(sum("v").as("s"), avg("v").as("a"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    val sSum = ScaleOps.saltedSum(df, "k", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val sAvg = ScaleOps.saltedAvg(df, "k", "v").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    direct.foreach { case (k, (s, a, n)) =>
+      assert(math.abs(sSum(k) - s) < 1e-8 * math.max(1, math.abs(s)), k)
+      assert(math.abs(sAvg(k)._1 - a) < 1e-10, k)
+      assert(sAvg(k)._2 == n, k)
+    }
+    // the salted first stage really fans the hot key out
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(16L)))
+      .groupBy("k", "__salt").count()
+      .filter(col("k") === "hot").count()
+    assert(salted > 1, "hot key should split across salts")
+  }
+}
