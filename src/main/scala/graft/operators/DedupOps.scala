@@ -160,12 +160,21 @@ object DedupOps {
         shiftright(col("sim"), b * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.sim").as("sim1"), col("b.sim").as("sim2"))
+    // collect (id, sim) pairs per bucket and expand combinations in an
+    // expression — a self-join would recompute the signature
+    // aggregation once per side (same trap as minhash LSH).
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sim"))))
+        .as("members"))
+      .filter(size(col("members")) >= 2)
+    buckets
+      .select(explode(flatten(transform(col("members"), (x, i) =>
+        transform(slice(col("members"), i + 2, size(col("members"))),
+          y => struct(x.getField("doc_id").as("id1"),
+            y.getField("doc_id").as("id2"),
+            x.getField("sim").as("sim1"),
+            y.getField("sim").as("sim2")))))).as("p"))
+      .select(col("p.id1"), col("p.id2"), col("p.sim1"), col("p.sim2"))
       .distinct()
       .withColumn("hamming", bit_count(col("sim1").bitwiseXOR(col("sim2"))))
       .filter(col("hamming") <= maxHamming)

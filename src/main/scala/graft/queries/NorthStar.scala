@@ -168,9 +168,28 @@ object NorthStar {
         col("nB").as("n_view"))
   }
 
+  // q35 — corpus curation pipeline: quality-filter -> exact-dedup ->
+  // language distribution, composed from the text/dedup operators in
+  // one declarative plan (what a training-data curation job runs).
+  private val q35: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .withColumn("quality", TextOps.qualityScore(col("text"), Stopwords))
+      .filter(col("quality") >= 0.87)
+    val surviving = d
+      .groupBy(md5(lower(trim(col("text")))).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(d, "doc_id")
+    surviving
+      .select(TextOps.langId(col("text"), LangMarkers).as("lang_pred"))
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang_pred"))
+  }
+
   val all: Map[String, Q] = Map(
     "q33_welch_agg" -> q33,
     "q34_welch_pvalue" -> q34,
+    "q35_corpus_curation" -> q35,
     "q21_dedup_exact" -> q21,
     "q22_text_quality" -> q22,
     "q23_lang_id" -> q23,
@@ -185,6 +204,37 @@ object NorthStar {
     "q32_frame_sample" -> q32)
 
   val oracle: Map[String, String] = Map(
+    "q35_corpus_curation" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, toks,
+        |         len(list_filter(toks, t -> list_contains(['a','the','and','of','to','data'], t)))
+        |           * 1.0 / GREATEST(len(toks), 1) AS stop_ratio,
+        |         (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |           * 1.0 / GREATEST(length(text), 1) AS punct_ratio,
+        |         length(text) * 1.0 / GREATEST(len(toks), 1) AS mean_len
+        |  FROM d),
+        |qd AS (
+        |  SELECT doc_id, text, toks FROM m
+        |  WHERE ROUND((LEAST(mean_len / 8.0, 1.0) + (1.0 - stop_ratio) +
+        |               (1.0 - LEAST(punct_ratio * 5.0, 1.0))) / 3.0, 6) >= 0.87),
+        |kept AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM qd GROUP BY md5(lower(trim(text)))),
+        |sc AS (
+        |  SELECT len(list_filter(q.toks, t -> list_contains(['scan','row','table','filter'], t))) AS s1,
+        |         len(list_filter(q.toks, t -> list_contains(['join','merge','key','hash'], t))) AS s2,
+        |         len(list_filter(q.toks, t -> list_contains(['stream','window','batch','order'], t))) AS s3
+        |  FROM kept k JOIN qd q ON k.doc_id = q.doc_id),
+        |p AS (
+        |  SELECT CASE WHEN GREATEST(s1, s2, s3) <= 0 THEN 'und'
+        |              WHEN s1 = GREATEST(s1, s2, s3) THEN 'scanic'
+        |              WHEN s2 = GREATEST(s1, s2, s3) THEN 'joinic'
+        |              ELSE 'streamic' END AS lang_pred
+        |  FROM sc)
+        |SELECT lang_pred, COUNT(*) AS n_docs FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q33_welch_agg" ->
       """WITH a AS (SELECT AVG(value) m, VAR_SAMP(value) v, COUNT(*) n
         |           FROM events WHERE event_type = 'click'),
