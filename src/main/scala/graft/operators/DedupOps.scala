@@ -73,7 +73,10 @@ object DedupOps {
     // common-subexpression elimination across nested lambda functions,
     // so inlining shingling into the k-element signature expression
     // would re-run tokenize+shingle+hash k times per row (measured 16x
-    // slowdown). Each select boundary evaluates once.
+    // slowdown). Each select boundary evaluates once. (An
+    // explode+groupBy formulation with k codegen'd mins was tried and
+    // measured 2x SLOWER here — the per-doc shingle arrays are small
+    // enough that the extra 1.5M-row shuffle dominates.)
     val P = 2147483647L
     val sig = stagedShingles(df, idCol, textCol, shingleN)
       .select(col("doc_id"),
