@@ -255,7 +255,58 @@ object TierA {
       .orderBy(col("event_type"))
   }
 
+  // Q36 — rollup with grouping flags (subtotal + grand-total rows)
+  private val q36: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).as("g1"),
+        grouping(col("l_linestatus")).as("g2"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("g1"), col("g2"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("g1"), col("g2"), col("sum_qty"), col("n"))
+  }
+
+  // Q37 — EXCEPT (set difference, distinct semantics)
+  private val q37: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  // Q38 — second-moment aggregates: stddev, covariance, correlation
+  private val q38: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("cov_qp"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qp"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // Q39 — approximate distinct (HLL++): engine-specific sketch, so no
+  // cross-engine oracle; the error bound vs exact is asserted in
+  // TierASpec.
+  private val q39: Q = (s, dir) => {
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("u_approx"),
+        countDistinct(col("user_id")).as("u_exact"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q36_rollup" -> q36,
+    "q37_except" -> q37,
+    "q38_moments" -> q38,
+    "q39_approx_distinct" -> q39,
     "q01_grouped_stats" -> q1,
     "q02_two_level_agg" -> q2,
     "q03_welch_t" -> q3,
@@ -278,6 +329,22 @@ object TierA {
     "q20_distinct_count" -> q20)
 
   val oracle: Map[String, String] = Map(
+    "q36_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       GROUPING(l_returnflag) AS g1, GROUPING(l_linestatus) AS g2,
+        |       ROUND(SUM(l_quantity), 4) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q37_except" ->
+      """SELECT COUNT(*) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t""".stripMargin,
+    "q38_moments" ->
+      """SELECT l_returnflag,
+        |       ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price,
+        |       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS cov_qp,
+        |       ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q01_grouped_stats" ->
       """SELECT l_returnflag, l_linestatus,
         |       ROUND(SQRT(AVG(l_quantity*l_quantity)), 6) AS rms_qty,

@@ -38,6 +38,18 @@ class TierASpec extends AnyFunSuite with SparkTestBase {
       ("NATION_19", 25213145.5655), ("NATION_11", 24784590.5773)))
   }
 
+  test("q39 approx distinct stays within the requested error bound") {
+    val rows = SparkEntry.queries("q39_approx_distinct")(spark, sf("sf0.01"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) <= math.max(2.0, 0.1 * exact),
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
   test("q20 distinct count matches pinned DuckDB values") {
     val rows = SparkEntry.queries("q20_distinct_count")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1)))
