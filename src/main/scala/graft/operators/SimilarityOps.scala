@@ -86,6 +86,48 @@ object SimilarityOps {
       .select(col("qid"), col("nid"), col("cos"))
   }
 
+  /** IVF-style ANN top-k: a deterministic coarse quantizer (the
+    * `nCentroids` corpus vectors with smallest xxhash64(id) — a
+    * random-but-reproducible sample) partitions the corpus into cells;
+    * each query probes its `nProbes` nearest cells and re-ranks
+    * exactly inside them. The corpus-side assignment is one broadcast
+    * pass (corpus x nCentroids dot products, no shuffle of vectors);
+    * the probe join shuffles only on the small cell id. Recall rises
+    * with nProbes at linear extra cost — the standard IVF trade. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCentroids: Int = 16, nProbes: Int = 4): DataFrame = {
+    val cents = withNorm(corpus, idCol, vecCol, "cent_id", "centv", "centn")
+      .withColumn("h", xxhash64(col("cent_id")))
+      .orderBy(col("h"))
+      .limit(nCentroids)
+      .drop("h")
+    def assign(side: DataFrame, id: String, v: String, n: String,
+               probes: Int): DataFrame = {
+      val scored = side.crossJoin(broadcast(cents))
+        .withColumn("centcos",
+          dot(col(v), col("centv")) / (col(n) * col("centn")))
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("centcos").desc, col("cent_id"))
+      scored.withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= probes)
+        .select(col(id), col(v), col(n), col("cent_id"))
+    }
+    val c = assign(withNorm(corpus, idCol, vecCol, "nid", "cv", "cn"),
+      "nid", "cv", "cn", probes = 1)
+    val q = assign(withNorm(queries, idCol, vecCol, "qid", "qv", "qn"),
+      "qid", "qv", "qn", probes = nProbes)
+    val scored = c.join(q, Seq("cent_id"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("cos"))
+  }
+
   /** LSH-bucketed ANN top-k: candidates share a hyperplane bucket, then
     * exact cosine re-rank within the bucket. Recall depends on `planes`
     * (fewer planes = bigger buckets = higher recall + more work). */

@@ -186,10 +186,21 @@ object NorthStar {
       .orderBy(col("lang_pred"))
   }
 
+  // q40 — IVF ANN top-5 (coarse-quantizer cells + probes; no oracle,
+  // recall vs brute force asserted in NorthStarSpec)
+  private val q40: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", k = 5, nCentroids = 16, nProbes = 4)
+      .select(col("qid"), col("nid"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("qid"), col("cos").desc, col("nid"))
+  }
+
   val all: Map[String, Q] = Map(
     "q33_welch_agg" -> q33,
     "q34_welch_pvalue" -> q34,
     "q35_corpus_curation" -> q35,
+    "q40_ivf_topk" -> q40,
     "q21_dedup_exact" -> q21,
     "q22_text_quality" -> q22,
     "q23_lang_id" -> q23,

@@ -154,4 +154,23 @@ object Ahrs {
     * FusionAhrs.c:404-415). */
   def linearAcceleration(st: AhrsState): Vec3 =
     st.accelerometer - gravity(st.quaternion)
+
+  /** M13 — earth-frame acceleration: rotate the accelerometer into the
+    * Earth frame (R * a, via the quaternion rotation matrix with shared
+    * qwqw/qxqy/... terms) and remove gravity from z (ENU/NWU,
+    * FusionAhrs.c:423-454). */
+  def earthAcceleration(st: AhrsState): Vec3 = {
+    val q = st.quaternion
+    val a = st.accelerometer
+    val qwqw = q.w * q.w
+    val qwqx = q.w * q.x; val qwqy = q.w * q.y; val qwqz = q.w * q.z
+    val qxqy = q.x * q.y; val qxqz = q.x * q.z; val qyqz = q.y * q.z
+    Vec3(
+      2.0 * ((qwqw - 0.5 + q.x * q.x) * a.x + (qxqy - qwqz) * a.y +
+        (qxqz + qwqy) * a.z),
+      2.0 * ((qxqy + qwqz) * a.x + (qwqw - 0.5 + q.y * q.y) * a.y +
+        (qyqz - qwqx) * a.z),
+      2.0 * ((qxqz - qwqy) * a.x + (qyqz + qwqx) * a.y +
+        (qwqw - 0.5 + q.z * q.z) * a.z) - 1.0)
+  }
 }

@@ -56,6 +56,23 @@ class StateOpsSpec extends AnyFunSuite {
     assert(Ahrs.linearAcceleration(st).magnitude < 1e-6)
   }
 
+  test("earth-frame acceleration removes gravity in any settled pose") {
+    // tilted 10 degrees: stationary sensor must read ~zero earth accel
+    val a = math.toRadians(10)
+    val accel = Vec3(0, -math.sin(a), math.cos(a))
+    var st = Ahrs.initial(settings)
+    for (_ <- 0 until 40000)
+      st = Ahrs.update(st, settings, Vec3.Zero, accel, dt)
+    val ea = Ahrs.earthAcceleration(st)
+    assert(ea.magnitude < 1e-6, s"earth accel should vanish: $ea")
+    // identity orientation: earth accel = sensor accel minus 1g on z
+    val level = AhrsState(accelerometer = Vec3(0.1, 0.2, 1.3))
+    val eaLevel = Ahrs.earthAcceleration(level)
+    assert(math.abs(eaLevel.x - 0.1) < 1e-12)
+    assert(math.abs(eaLevel.y - 0.2) < 1e-12)
+    assert(math.abs(eaLevel.z - 0.3) < 1e-12)
+  }
+
   test("AHRS re-initialises when gyro range exceeded") {
     var st = Ahrs.initial(settings)
     for (_ <- 0 until 20000)
