@@ -150,10 +150,11 @@ object TextOps {
   }
 
   /** Rolling polynomial hash fingerprint of the whole document
-    * (base-31 over UTF-8 bytes, mod 2^61-1) via a single aggregate
-    * expression — document identity stable across chunking. */
+    * (base-31 over code points, mod 1e9+7 — the modulus keeps
+    * acc*31+c inside a long under ANSI overflow checking) via a single
+    * aggregate expression — document identity stable across chunking. */
   def rollingHash(text: Column): Column = {
-    val Mod = 2305843009213693951L // 2^61 - 1
+    val Mod = 1000000007L
     aggregate(
       transform(split(text, ""), ch => ascii(ch).cast("long")),
       lit(0L),

@@ -40,6 +40,7 @@ object NorthStar {
     val d = t(s, dir, "documents")
     d.select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.subwordCount(col("text")).as("n_subwords"),
         round(TextOps.stopwordRatio(col("text"), Stopwords), 6)
           .as("stop_ratio"),
         round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
@@ -196,11 +197,22 @@ object NorthStar {
       .orderBy(col("qid"), col("cos").desc, col("nid"))
   }
 
+  // q41 — rolling-hash document fingerprints (base-31 polynomial over
+  // UTF-8 mod 2^61-1; chunking-stable identity). Engine-specific
+  // expression — no SQL oracle; determinism + sensitivity covered in
+  // NorthStarSpec.
+  private val q41: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.rollingHash(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "q33_welch_agg" -> q33,
     "q34_welch_pvalue" -> q34,
     "q35_corpus_curation" -> q35,
     "q40_ivf_topk" -> q40,
+    "q41_rolling_fingerprint" -> q41,
     "q21_dedup_exact" -> q21,
     "q22_text_quality" -> q22,
     "q23_lang_id" -> q23,
@@ -264,7 +276,7 @@ object NorthStar {
         |         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
         |  FROM documents),
         |m AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, text,
         |         len(toks) AS n_tokens,
         |         len(list_filter(toks, t -> list_contains(['a','the','and','of','to','data'], t)))
         |           * 1.0 / GREATEST(len(toks), 1) AS stop_ratio,
@@ -272,7 +284,10 @@ object NorthStar {
         |           * 1.0 / GREATEST(length(text), 1) AS punct_ratio,
         |         length(text) * 1.0 / GREATEST(len(toks), 1) AS mean_len
         |  FROM d)
-        |SELECT doc_id, n_tokens, ROUND(stop_ratio, 6) AS stop_ratio,
+        |SELECT doc_id, n_tokens,
+        |       len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                       t -> len(t) > 0)) AS n_subwords,
+        |       ROUND(stop_ratio, 6) AS stop_ratio,
         |       ROUND(punct_ratio, 6) AS punct_ratio,
         |       ROUND((LEAST(mean_len / 8.0, 1.0) + (1.0 - stop_ratio) +
         |              (1.0 - LEAST(punct_ratio * 5.0, 1.0))) / 3.0, 6) AS quality
