@@ -33,8 +33,11 @@ object Tables {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
     if (df.schema("ts").dataType == LongType) {
+      // integral division: `/` on longs is double division in Spark and
+      // a ~1.7e18 nanos value exceeds the double mantissa (2^53), which
+      // can shift the derived micro timestamp by 1 us
       df.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(floor(col("ts_ns") / 1000L).cast(LongType)))
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
     } else df.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
   }
 

@@ -35,11 +35,15 @@ object ScaleOps {
       .saveAsTable(table)
 
   /** Join two bucketed tables on their bucket key — with matching
-    * bucket counts the planner elides both shuffle exchanges. */
+    * bucket counts the planner elides both shuffle exchanges.
+    * Table-qualified keys, so identically named key columns (the
+    * common case) don't raise an ambiguous-reference error. */
   def bucketedJoin(spark: SparkSession, left: String, right: String,
-                   leftKey: String, rightKey: String): DataFrame =
-    spark.table(left).join(spark.table(right),
-      col(leftKey) === col(rightKey))
+                   leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(left).alias("__bl")
+    val r = spark.table(right).alias("__br")
+    l.join(r, col(s"__bl.$leftKey") === col(s"__br.$rightKey"))
+  }
 
   /** Salted sum: algebraically identical to
     * `df.groupBy(key).agg(sum(valueCol))` but the first (heavy)

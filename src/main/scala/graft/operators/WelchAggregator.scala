@@ -64,7 +64,12 @@ final class WelchTTest(alternative: String)
     val t = (m1 - m2) / math.sqrt(se2)
     val df = se2 * se2 /
       (v1 * v1 / (n1 * n1 * (n1 - 1)) + v2 * v2 / (n2 * n2 * (n2 - 1)))
-    val p = SpecialFns.welchPValue(m1, v1, n1, m2, v2, n2, alternative)
+    // p from THIS t/df (one formula instance), not a re-derivation
+    val p = alternative match {
+      case "less"    => SpecialFns.studentTCdf(t, df)
+      case "greater" => 1.0 - SpecialFns.studentTCdf(t, df)
+      case _ => 2.0 * (1.0 - SpecialFns.studentTCdf(math.abs(t), df))
+    }
     WelchTResult(t, df, p, r.a.n, r.b.n)
   }
 

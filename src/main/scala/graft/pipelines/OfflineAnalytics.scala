@@ -38,7 +38,9 @@ object OfflineAnalytics {
       if (derivative)
         filtered.withColumn("v", WindowOps.gradient(col("filtered"), w))
       else filtered.withColumn("v", col("filtered"))
-    valued.groupBy(col("arm"), col("run_id"))
+    // group by file too: run_id restarts per file, so runs from
+    // different log files must never pool into one group
+    valued.groupBy(col("file"), col("arm"), col("run_id"))
       .agg(
         StatsOps.rms(col("v")).as("rms"),
         min(col("v")).as("min"),
@@ -74,8 +76,14 @@ object OfflineAnalytics {
     require(rows.length == 2,
       s"welchTests expects exactly 2 arms, got ${rows.length}")
     val Seq(a, b) = rows.toSeq
+    // null-safe: a single-run arm has null var_samp -> NaN stats,
+    // matching scipy's ttest_ind rather than crashing
     def field(r: org.apache.spark.sql.Row, name: String): Double =
-      r.getAs[Any](name) match { case d: Double => d; case l: Long => l.toDouble }
+      r.getAs[Any](name) match {
+        case d: Double => d
+        case l: Long => l.toDouble
+        case null => Double.NaN
+      }
     Seq("rms", "min", "max").map { stat =>
       val (m1, v1, n1) = (field(a, s"avg_$stat"), field(a, s"var_$stat"), field(a, "runs"))
       val (m2, v2, n2) = (field(b, s"avg_$stat"), field(b, s"var_$stat"), field(b, "runs"))

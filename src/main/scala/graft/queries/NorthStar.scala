@@ -57,13 +57,17 @@ object NorthStar {
       .orderBy(col("lang_pred"))
   }
 
-  // q24 — MinHash document fingerprints (deterministic md5 minima)
+  // q24 — MinHash document fingerprints (deterministic md5 minima).
+  // Tokens/shingles staged as their own projections (see CLAUDE.md:
+  // lambda-referenced expressions re-evaluate per element).
   private val q24: Q = (s, dir) => {
-    val sh = array_distinct(TextOps.wordShingles(col("text"), 3))
     t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        TextOps.minhash(sh, 0).as("fp0"),
-        TextOps.minhash(sh, 1).as("fp1"))
+        array_distinct(TextOps.shinglesFromTokens(col("toks"), 3)).as("sh"))
+      .select(col("doc_id"),
+        TextOps.minhash(col("sh"), 0).as("fp0"),
+        TextOps.minhash(col("sh"), 1).as("fp1"))
       .orderBy(col("doc_id"))
   }
 
@@ -96,8 +100,8 @@ object NorthStar {
     val emb = t(s, dir, "embeddings")
     SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 5)
-      .select(col("qid"), col("nid"), round(col("cos"), 6).as("cos"))
       .orderBy(col("qid"), col("cos").desc, col("nid"))
+      .select(col("qid"), col("nid"), round(col("cos"), 6).as("cos"))
   }
 
   // q29 — LSH-bucketed ANN top-5 (no oracle; recall vs q28 in tests)
@@ -105,8 +109,8 @@ object NorthStar {
     val emb = t(s, dir, "embeddings")
     SimilarityOps.lshTopK(emb, emb.filter(col("vec_id") < 50),
         "vec_id", "embedding", k = 5, planes = 4)
-      .select(col("qid"), col("nid"), round(col("cos"), 6).as("cos"))
       .orderBy(col("qid"), col("cos").desc, col("nid"))
+      .select(col("qid"), col("nid"), round(col("cos"), 6).as("cos"))
   }
 
   // q30 — multimodal feature extraction over synthetic payloads
@@ -193,12 +197,12 @@ object NorthStar {
     val emb = t(s, dir, "embeddings")
     SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 50),
         "vec_id", "embedding", k = 5, nCentroids = 16, nProbes = 4)
-      .select(col("qid"), col("nid"), round(col("cos"), 6).as("cos"))
       .orderBy(col("qid"), col("cos").desc, col("nid"))
+      .select(col("qid"), col("nid"), round(col("cos"), 6).as("cos"))
   }
 
   // q41 — rolling-hash document fingerprints (base-31 polynomial over
-  // UTF-8 mod 2^61-1; chunking-stable identity). Engine-specific
+  // code points mod 1e9+7; chunking-stable identity). Engine-specific
   // expression — no SQL oracle; determinism + sensitivity covered in
   // NorthStarSpec.
   private val q41: Q = (s, dir) => {

@@ -33,13 +33,20 @@ object ScalableSessionReader {
   private final case class HeaderState(
       logId: Option[Int], arm: Option[String], interval: Option[Double])
 
-  /** What one split contributes to the prefix. */
+  /** What one split contributes to the prefix. A Spark FilePartition
+    * can bin-pack chunks of SEVERAL files (tail of a large file plus
+    * whole small files), so the summary records the first file (to
+    * decide whether the incoming state chains from the previous
+    * partition) and the state of the LAST file's segment only (session
+    * state resets at every file boundary). */
   private final case class SplitSummary(
-      partition: Int, file: String,
-      // header values, if this split saw them (last occurrence wins)
+      partition: Int, firstFile: String, lastFile: String,
+      // header values of the last file's segment (last occurrence wins)
       lastLogId: Option[Int], lastArm: Option[String],
       lastInterval: Option[Double],
-      runOpeners: Long, dataRowsAfterLastOpener: Long)
+      runOpeners: Long, dataRowsAfterLastOpener: Long,
+      // whether the last file's segment is the partition's only segment
+      singleFile: Boolean)
 
   private val HeaderRe = "Log #:\\s*(\\d+)".r
 
@@ -80,8 +87,11 @@ object ScalableSessionReader {
     val lines = spark.read.textFile(path)
       .select(input_file_name().as("file"), col("value").as("line"))
 
-    // Phase 1: per-split summaries (tiny result, one row per split)
+    // Phase 1: per-split summaries (tiny result, one row per split).
+    // Session state resets at every file boundary within the split; the
+    // emitted summary describes only the LAST file's segment.
     val summaries = lines.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var firstFile: String = null
       var file: String = null
       var lastLog: Option[Int] = None
       var lastArm: Option[String] = None
@@ -91,7 +101,15 @@ object ScalableSessionReader {
       var any = false
       it.foreach { row =>
         any = true
-        file = row.getString(0)
+        val f = row.getString(0)
+        if (firstFile == null) firstFile = f
+        if (f != file) { // file boundary inside the split: reset segment
+          file = f
+          if (f != firstFile) {
+            lastLog = None; lastArm = None; lastInterval = None
+            openers = 0L; tail = 0L
+          }
+        }
         val line = row.getString(1)
         classify(line)._1 match {
           case 'H' =>
@@ -105,12 +123,15 @@ object ScalableSessionReader {
         }
       }
       if (any)
-        Iterator.single(SplitSummary(pid, file, lastLog, lastArm,
-          lastInterval, openers, tail))
+        Iterator.single(SplitSummary(pid, firstFile, file, lastLog, lastArm,
+          lastInterval, openers, tail, singleFile = firstFile == file))
       else Iterator.empty
     }.collect().sortBy(_.partition)
 
-    // Phase 2: prefix combine on the driver — incoming state per split
+    // Phase 2: prefix combine on the driver — incoming state per split.
+    // A partition's incoming state chains from the previous partition
+    // only when its first file CONTINUES the previous partition's last
+    // file; otherwise the partition starts a fresh file.
     final case class Incoming(state: HeaderState, runBase: Long,
         openRunRows: Long)
     val incoming = scala.collection.mutable.Map[Int, Incoming]()
@@ -119,27 +140,40 @@ object ScalableSessionReader {
     var openRunRows = 0L
     var prevFile: String = null
     summaries.foreach { s =>
-      if (s.file != prevFile) { // new file: reset all session state
+      if (s.firstFile != prevFile) { // new file at split start
         st = HeaderState(None, None, None); runBase = 0L; openRunRows = 0L
-        prevFile = s.file
       }
       incoming(s.partition) = Incoming(st, runBase, openRunRows)
-      st = HeaderState(
-        s.lastLogId.orElse(st.logId),
-        s.lastArm.orElse(st.arm),
-        s.lastInterval.orElse(st.interval))
-      runBase += s.runOpeners
-      openRunRows =
-        if (s.runOpeners > 0) s.dataRowsAfterLastOpener
-        else openRunRows + s.dataRowsAfterLastOpener
+      if (s.singleFile) {
+        st = HeaderState(
+          s.lastLogId.orElse(st.logId),
+          s.lastArm.orElse(st.arm),
+          s.lastInterval.orElse(st.interval))
+        runBase += s.runOpeners
+        openRunRows =
+          if (s.runOpeners > 0) s.dataRowsAfterLastOpener
+          else openRunRows + s.dataRowsAfterLastOpener
+      } else {
+        // last file's segment started fresh inside this split
+        st = HeaderState(s.lastLogId, s.lastArm, s.lastInterval)
+        runBase = s.runOpeners
+        openRunRows = s.dataRowsAfterLastOpener
+      }
+      prevFile = s.lastFile
     }
     val incomingB = spark.sparkContext.broadcast(incoming.toMap)
 
-    // Phase 3: parallel emit from each split's incoming state
+    // Phase 3: parallel emit. The incoming state applies to the
+    // split's first file only; session state resets at every file
+    // boundary (matching the windowed reader's partitionBy(file)).
+    // Rows before an Interval header carry null interval_s/t_s, also
+    // matching the windowed reader's LOCF semantics.
     val rows = lines.rdd.mapPartitionsWithIndex { (pid, it) =>
       incomingB.value.get(pid) match {
         case None => Iterator.empty
         case Some(inc) =>
+          var curFile: String = null
+          var first = true
           var logId = inc.state.logId
           var arm = inc.state.arm
           var interval = inc.state.interval
@@ -147,6 +181,14 @@ object ScalableSessionReader {
           var idx = inc.openRunRows
           it.flatMap { row =>
             val file = row.getString(0)
+            if (file != curFile) {
+              if (first) { first = false } // incoming state applies
+              else {
+                logId = None; arm = None; interval = None
+                run = 0L; idx = 0L
+              }
+              curFile = file
+            }
             val line = row.getString(1)
             classify(line)._1 match {
               case 'H' =>
@@ -162,9 +204,10 @@ object ScalableSessionReader {
                 (logId, arm) match {
                   case (Some(lg), Some(am)) =>
                     parseData(line).map { case (a, p, r) =>
-                      val iv = interval.getOrElse(1.0)
                       val out = Row(file, lg, am, !am.contains("disabled"),
-                        iv, run, idx.toInt, idx * iv, a, p, r)
+                        interval.map(Double.box).orNull, run, idx.toInt,
+                        interval.map(v => Double.box(v * idx)).orNull,
+                        a, p, r)
                       idx += 1
                       out
                     }

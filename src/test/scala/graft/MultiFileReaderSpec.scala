@@ -52,4 +52,21 @@ class MultiFileReaderSpec extends AnyFunSuite with SparkTestBase {
   test("scalable reader isolates sessions per file") {
     check(ScalableSessionReader.read(spark, dir))
   }
+
+  test("both readers agree row-for-row on the multi-file directory") {
+    // Spark bin-packs small files into shared FilePartitions, so this
+    // exercises file boundaries INSIDE one split of the scalable
+    // reader — run ids must restart per file exactly like the windowed
+    // reader's partitionBy(file).
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("file", "log_id", "arm", "run_id", "sample_idx",
+        "interval_s", "acceleration_g", "pitch_deg", "roll_deg")
+      .collect().map(_.toSeq)
+      .sortBy(r => (r(0).asInstanceOf[String], r(3).asInstanceOf[Long],
+        r(4).asInstanceOf[Int]))
+    val a = rows(SessionizedCsvReader.read(spark, dir))
+    val b = rows(ScalableSessionReader.read(spark, dir))
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"$x vs $y") }
+  }
 }
