@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -180,9 +179,8 @@ object NorthStar {
     val d = t(s, dir, "documents")
       .withColumn("quality", TextOps.qualityScore(col("text"), Stopwords))
       .filter(col("quality") >= 0.87)
-    val surviving = d
-      .groupBy(md5(lower(trim(col("text")))).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
+    val surviving = DedupOps.exactDedup(d, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
       .join(d, "doc_id")
     surviving
       .select(TextOps.langId(col("text"), LangMarkers).as("lang_pred"))

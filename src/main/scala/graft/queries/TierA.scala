@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,12 +25,15 @@ object TierA {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  private val ShipCutoff = java.sql.Timestamp.valueOf("1998-09-02 00:00:00")
+  // to_timestamp under the session timezone (UTC in every entry point),
+  // NOT java.sql.Timestamp.valueOf which parses in the JVM default TZ
+  // and would shift the oracle-checked cutoff on a non-UTC machine
+  private val ShipCutoff = to_timestamp(lit("1998-09-02 00:00:00"))
 
   // Q1 — grouped RMS/min/max stats (A1, A2 + shipdate filter)
   private val q1: Q = (s, dir) => {
     t(s, dir, "lineitem")
-      .filter(col("l_shipdate") <= lit(ShipCutoff))
+      .filter(col("l_shipdate") <= ShipCutoff)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(StatsOps.rms(col("l_quantity")), 6).as("rms_qty"),
