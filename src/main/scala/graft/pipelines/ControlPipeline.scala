@@ -139,6 +139,23 @@ object ControlPipeline {
     }
   }
 
+  /** Shared micro-batch fold used by BOTH streaming paths
+    * (flatMapGroupsWithState and transformWithState): sort the
+    * trigger's rows by sample index, apply the transition, return the
+    * outputs and the advanced state. One implementation so the two
+    * APIs can never drift apart. */
+  def applyOrdered(cfg: Config, st0: DeviceState,
+                   rows: Iterator[RawImuSample])
+      : (DeviceState, Array[ControlOutput]) = {
+    var st = st0
+    val outs = rows.toArray.sortBy(_.sample_idx).flatMap { s =>
+      val (next, out) = step(cfg, st, s)
+      st = next
+      out
+    }
+    (st, outs)
+  }
+
   /** Batch replay: partition by device, sort within partitions, one
     * sequential scan per partition. Requires each device's samples to
     * be wholly within one partition (repartition on the key guarantees
@@ -177,12 +194,8 @@ object ControlPipeline {
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: String, it: Iterator[RawImuSample],
          gs: GroupState[DeviceState]) => {
-          var st = gs.getOption.getOrElse(initialState(cfg))
-          val outs = it.toArray.sortBy(_.sample_idx).flatMap { s =>
-            val (next, out) = step(cfg, st, s)
-            st = next
-            out
-          }
+          val (st, outs) = applyOrdered(cfg,
+            gs.getOption.getOrElse(initialState(cfg)), it)
           gs.update(st)
           outs.iterator
         })

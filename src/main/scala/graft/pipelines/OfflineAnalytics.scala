@@ -51,7 +51,10 @@ object OfflineAnalytics {
   /** Per-arm averages of the per-run stats (main.py:112), plus the
     * moments needed for the Welch test and the arm's first-seen order
     * (reference pairs populations by dict insertion order =
-    * first occurrence in the file, main.py:109-113). */
+    * first occurrence in the file, main.py:109-113). The arm string is
+    * a deterministic tiebreak: with multiple files both arms can have
+    * first_run = 1, and a nondeterministic order would flip the
+    * one-sided t sign between runs. */
   def armSummary(runStats: DataFrame): DataFrame =
     runStats.groupBy(col("arm"))
       .agg(
@@ -63,7 +66,7 @@ object OfflineAnalytics {
         var_samp(col("rms")).as("var_rms"),
         var_samp(col("min")).as("var_min"),
         var_samp(col("max")).as("var_max"))
-      .orderBy(col("first_run"))
+      .orderBy(col("first_run"), col("arm"))
 
   final case class WelchResult(stat: String, t: Double, p: Double)
 
@@ -87,23 +90,38 @@ object OfflineAnalytics {
     Seq("rms", "min", "max").map { stat =>
       val (m1, v1, n1) = (field(a, s"avg_$stat"), field(a, s"var_$stat"), field(a, "runs"))
       val (m2, v2, n2) = (field(b, s"avg_$stat"), field(b, s"var_$stat"), field(b, "runs"))
+      // one formula instance: p derives from THIS t/df pair
       val se2 = v1 / n1 + v2 / n2
       val t = (m1 - m2) / math.sqrt(se2)
-      val p = SpecialFns.welchPValue(m1, v1, n1, m2, v2, n2, Alternatives(stat))
+      val df = se2 * se2 /
+        (v1 * v1 / (n1 * n1 * (n1 - 1)) + v2 * v2 / (n2 * n2 * (n2 - 1)))
+      val p = Alternatives(stat) match {
+        case "less"    => SpecialFns.studentTCdf(t, df)
+        case "greater" => 1.0 - SpecialFns.studentTCdf(t, df)
+        case _ => 2.0 * (1.0 - SpecialFns.studentTCdf(math.abs(t), df))
+      }
       WelchResult(stat, t, p)
     }
   }
 
-  /** Full replay over a log CSV for one measure: returns
-    * (runStats sorted, armSummary, welch results). */
-  def replay(spark: SparkSession, csvPath: String, measure: String,
-             derivative: Boolean = false)
+  /** Full analysis of one measure over an already-parsed samples
+    * table. Caller owns samples caching; runStats is tiny (one row per
+    * run) so it needs none. */
+  def analyze(samples: DataFrame, measure: String,
+              derivative: Boolean = false)
       : (DataFrame, DataFrame, Seq[WelchResult]) = {
-    val samples = SessionizedCsvReader.read(spark, csvPath)
-    val rs = runStats(samples, measure, derivative).cache()
+    val rs = runStats(samples, measure, derivative)
     val summary = armSummary(rs)
     (rs.orderBy(col("arm"), col("run_id")), summary, welchTests(summary))
   }
+
+  /** Convenience: parse + analyze one measure. For several measures
+    * over the same log, parse once and call [[analyze]] per measure
+    * (see OfflineAnalyticsMain). */
+  def replay(spark: SparkSession, csvPath: String, measure: String,
+             derivative: Boolean = false)
+      : (DataFrame, DataFrame, Seq[WelchResult]) =
+    analyze(SessionizedCsvReader.read(spark, csvPath), measure, derivative)
 }
 
 /** Command-line golden replay: runs the four reference analyses
@@ -125,15 +143,19 @@ object OfflineAnalyticsMain {
       ("Pitch [deg]", "pitch_deg", false),
       ("Roll [deg]", "roll_deg", false),
       ("Jerk", "acceleration_g", true))
-    analyses.foreach { case (title, measure, deriv) =>
-      val (_, summary, welch) =
-        OfflineAnalytics.replay(spark, csv, measure, derivative = deriv)
-      println(s"=== $title ===")
-      summary.select("arm", "runs", "avg_rms", "avg_min", "avg_max")
-        .show(truncate = false)
-      welch.foreach(w =>
-        println(f"  ${w.stat}%-4s t=${w.t}%.5f  p=${w.p}%.5e"))
-    }
+    // parse the log once; the four analyses share the cached samples
+    val samples = graft.sources.SessionizedCsvReader.read(spark, csv).cache()
+    try {
+      analyses.foreach { case (title, measure, deriv) =>
+        val (_, summary, welch) =
+          OfflineAnalytics.analyze(samples, measure, derivative = deriv)
+        println(s"=== $title ===")
+        summary.select("arm", "runs", "avg_rms", "avg_min", "avg_max")
+          .show(truncate = false)
+        welch.foreach(w =>
+          println(f"  ${w.stat}%-4s t=${w.t}%.5f  p=${w.p}%.5e"))
+      }
+    } finally samples.unpersist()
     spark.stop()
   }
 }

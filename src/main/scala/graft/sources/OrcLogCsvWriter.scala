@@ -37,6 +37,10 @@ object OrcLogCsvWriter {
   def toInBandLines(samples: DataFrame): Dataset[String] = {
     import samples.sparkSession.implicits._
     samples
+      // rows parsed before any Interval header carry null interval_s;
+      // the in-band grammar cannot place data before its Interval line,
+      // so such pre-header rows are dropped from the rendering
+      .filter(col("interval_s").isNotNull)
       .select(col("log_id"), col("arm"), col("interval_s"), col("run_id"),
         col("sample_idx"), col("acceleration_g"), col("pitch_deg"),
         col("roll_deg"))

@@ -11,52 +11,53 @@ import org.apache.spark.sql.types._
   * The window formulation needs every line of a file in one sorted
   * task. But header propagation is a prefix computation, so it splits:
   *
-  *  1. **Partition summaries** (parallel): for each input split record
-  *     the last header values seen (log id / arm / interval), how many
-  *     run-openers (`Interval:` / `Log Paused`) occurred, and how many
-  *     data rows follow the last opener (the tail of a run that may
-  *     continue into the next split).
-  *  2. **Prefix combine** (driver, one row per split — thousands, not
-  *     billions): scan summaries in split order, computing the header
-  *     state, global run ordinal, and open-run row offset flowing INTO
-  *     each split. State resets at file boundaries (splits never span
-  *     files; Hadoop text splits are line-aligned).
-  *  3. **Emit** (parallel): each split re-parses its lines starting
-  *     from its incoming state — embarrassingly parallel, no shuffle
-  *     at all for the parse itself.
+  *  1. **Segment summaries** (parallel): each input split reports, for
+  *     every contiguous file segment it contains, the last header
+  *     values seen, the run-opener count, and the trailing data-row
+  *     count of the open run.
+  *  2. **Prefix combine** (driver, one row per segment — thousands, not
+  *     billions): segments are scanned in (partition, position) order
+  *     while chaining state PER FILE — Spark bin-packs splits of
+  *     several files into one partition and can interleave a large
+  *     file's tail behind smaller whole files, so chaining by partition
+  *     adjacency alone would lose state; per-file chaining is correct
+  *     for any packing as long as each file's chunks appear in offset
+  *     order across partition ids (they do: splits are generated in
+  *     offset order and the length-descending packing sort is stable).
+  *  3. **Emit** (parallel): each split re-parses its lines, loading the
+  *     incoming state for each of its segments — embarrassingly
+  *     parallel, no shuffle at all for the parse itself.
   *
   * Output schema matches [[SessionizedCsvReader.read]] exactly, and
-  * the golden-replay spec asserts the two agree row for row.
+  * specs assert the two agree row for row, including across forced
+  * tiny splits and multi-file directories.
   */
 object ScalableSessionReader {
 
   private final case class HeaderState(
       logId: Option[Int], arm: Option[String], interval: Option[Double])
 
-  /** What one split contributes to the prefix. A Spark FilePartition
-    * can bin-pack chunks of SEVERAL files (tail of a large file plus
-    * whole small files), so the summary records the first file (to
-    * decide whether the incoming state chains from the previous
-    * partition) and the state of the LAST file's segment only (session
-    * state resets at every file boundary). */
-  private final case class SplitSummary(
-      partition: Int, firstFile: String, lastFile: String,
-      // header values of the last file's segment (last occurrence wins)
+  /** What one contiguous file segment of one split contributes. */
+  private final case class SegmentSummary(
+      partition: Int, seq: Int, file: String,
       lastLogId: Option[Int], lastArm: Option[String],
       lastInterval: Option[Double],
-      runOpeners: Long, dataRowsAfterLastOpener: Long,
-      // whether the last file's segment is the partition's only segment
-      singleFile: Boolean)
+      runOpeners: Long, dataRowsAfterLastOpener: Long)
+
+  private final case class Incoming(state: HeaderState, runBase: Long,
+      openRunRows: Long)
 
   private val HeaderRe = "Log #:\\s*(\\d+)".r
 
-  private def classify(line: String): (Char, String) = {
-    if (line.startsWith("Log #")) ('H', line)
-    else if (line.contains("Actuators")) ('A', line.trim)
-    else if (line.startsWith("Interval:")) ('I', line)
-    else if (line.startsWith("Log Paused")) ('P', line)
-    else ('D', line)
-  }
+  private def classify(line: String): Char =
+    if (line.startsWith("Log #")) 'H'
+    else if (line.contains("Actuators")) 'A'
+    else if (line.startsWith("Interval:")) 'I'
+    else if (line.startsWith("Log Paused")) 'P'
+    else 'D'
+
+  private def parseLogId(line: String): Option[Int] =
+    HeaderRe.findFirstMatchIn(line).flatMap(_.group(1).toIntOption)
 
   private def parseInterval(line: String): Option[Double] = {
     val parts = line.split(":", 2)
@@ -83,37 +84,33 @@ object ScalableSessionReader {
     StructField("pitch_deg", DoubleType), StructField("roll_deg", DoubleType)))
 
   def read(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
     val lines = spark.read.textFile(path)
       .select(input_file_name().as("file"), col("value").as("line"))
 
-    // Phase 1: per-split summaries (tiny result, one row per split).
-    // Session state resets at every file boundary within the split; the
-    // emitted summary describes only the LAST file's segment.
+    // Phase 1: one summary per contiguous file segment per split.
     val summaries = lines.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var firstFile: String = null
+      val out = scala.collection.mutable.ArrayBuffer.empty[SegmentSummary]
       var file: String = null
+      var seq = -1
       var lastLog: Option[Int] = None
       var lastArm: Option[String] = None
       var lastInterval: Option[Double] = None
       var openers = 0L
       var tail = 0L
-      var any = false
+      def flush(): Unit = if (seq >= 0)
+        out += SegmentSummary(pid, seq, file, lastLog, lastArm,
+          lastInterval, openers, tail)
       it.foreach { row =>
-        any = true
         val f = row.getString(0)
-        if (firstFile == null) firstFile = f
-        if (f != file) { // file boundary inside the split: reset segment
-          file = f
-          if (f != firstFile) {
-            lastLog = None; lastArm = None; lastInterval = None
-            openers = 0L; tail = 0L
-          }
+        if (f != file) {
+          flush()
+          file = f; seq += 1
+          lastLog = None; lastArm = None; lastInterval = None
+          openers = 0L; tail = 0L
         }
         val line = row.getString(1)
-        classify(line)._1 match {
-          case 'H' =>
-            lastLog = HeaderRe.findFirstMatchIn(line).map(_.group(1).toInt)
+        classify(line) match {
+          case 'H' => parseLogId(line).foreach(v => lastLog = Some(v))
           case 'A' => lastArm = Some(line.trim)
           case 'I' =>
             parseInterval(line).foreach(v => lastInterval = Some(v))
@@ -122,99 +119,75 @@ object ScalableSessionReader {
           case 'D' => if (parseData(line).isDefined) tail += 1
         }
       }
-      if (any)
-        Iterator.single(SplitSummary(pid, firstFile, file, lastLog, lastArm,
-          lastInterval, openers, tail, singleFile = firstFile == file))
-      else Iterator.empty
-    }.collect().sortBy(_.partition)
+      flush()
+      out.iterator
+    }.collect().sortBy(s => (s.partition, s.seq))
 
-    // Phase 2: prefix combine on the driver — incoming state per split.
-    // A partition's incoming state chains from the previous partition
-    // only when its first file CONTINUES the previous partition's last
-    // file; otherwise the partition starts a fresh file.
-    final case class Incoming(state: HeaderState, runBase: Long,
-        openRunRows: Long)
-    val incoming = scala.collection.mutable.Map[Int, Incoming]()
-    var st = HeaderState(None, None, None)
-    var runBase = 0L
-    var openRunRows = 0L
-    var prevFile: String = null
+    // Phase 2: chain state per FILE in global (partition, seq) order.
+    val perFile = scala.collection.mutable.Map[String, Incoming]()
+    val incoming = scala.collection.mutable.Map[(Int, Int), Incoming]()
     summaries.foreach { s =>
-      if (s.firstFile != prevFile) { // new file at split start
-        st = HeaderState(None, None, None); runBase = 0L; openRunRows = 0L
-      }
-      incoming(s.partition) = Incoming(st, runBase, openRunRows)
-      if (s.singleFile) {
-        st = HeaderState(
-          s.lastLogId.orElse(st.logId),
-          s.lastArm.orElse(st.arm),
-          s.lastInterval.orElse(st.interval))
-        runBase += s.runOpeners
-        openRunRows =
-          if (s.runOpeners > 0) s.dataRowsAfterLastOpener
-          else openRunRows + s.dataRowsAfterLastOpener
-      } else {
-        // last file's segment started fresh inside this split
-        st = HeaderState(s.lastLogId, s.lastArm, s.lastInterval)
-        runBase = s.runOpeners
-        openRunRows = s.dataRowsAfterLastOpener
-      }
-      prevFile = s.lastFile
+      val cur = perFile.getOrElse(s.file,
+        Incoming(HeaderState(None, None, None), 0L, 0L))
+      incoming((s.partition, s.seq)) = cur
+      perFile(s.file) = Incoming(
+        HeaderState(
+          s.lastLogId.orElse(cur.state.logId),
+          s.lastArm.orElse(cur.state.arm),
+          s.lastInterval.orElse(cur.state.interval)),
+        cur.runBase + s.runOpeners,
+        if (s.runOpeners > 0) s.dataRowsAfterLastOpener
+        else cur.openRunRows + s.dataRowsAfterLastOpener)
     }
     val incomingB = spark.sparkContext.broadcast(incoming.toMap)
 
-    // Phase 3: parallel emit. The incoming state applies to the
-    // split's first file only; session state resets at every file
-    // boundary (matching the windowed reader's partitionBy(file)).
-    // Rows before an Interval header carry null interval_s/t_s, also
+    // Phase 3: parallel emit; each segment starts from its own incoming
+    // state. Rows before an Interval header carry null interval_s/t_s,
     // matching the windowed reader's LOCF semantics.
     val rows = lines.rdd.mapPartitionsWithIndex { (pid, it) =>
-      incomingB.value.get(pid) match {
-        case None => Iterator.empty
-        case Some(inc) =>
-          var curFile: String = null
-          var first = true
-          var logId = inc.state.logId
-          var arm = inc.state.arm
-          var interval = inc.state.interval
-          var run = inc.runBase
-          var idx = inc.openRunRows
-          it.flatMap { row =>
-            val file = row.getString(0)
-            if (file != curFile) {
-              if (first) { first = false } // incoming state applies
-              else {
-                logId = None; arm = None; interval = None
-                run = 0L; idx = 0L
-              }
-              curFile = file
-            }
-            val line = row.getString(1)
-            classify(line)._1 match {
-              case 'H' =>
-                logId = HeaderRe.findFirstMatchIn(line).map(_.group(1).toInt)
-                  .orElse(logId)
-                None
-              case 'A' => arm = Some(line.trim); None
-              case 'I' =>
-                parseInterval(line).foreach(v => interval = Some(v))
-                run += 1; idx = 0; None
-              case 'P' => run += 1; idx = 0; None
-              case 'D' =>
-                (logId, arm) match {
-                  case (Some(lg), Some(am)) =>
-                    parseData(line).map { case (a, p, r) =>
-                      val out = Row(file, lg, am, !am.contains("disabled"),
-                        interval.map(Double.box).orNull, run, idx.toInt,
-                        interval.map(v => Double.box(v * idx)).orNull,
-                        a, p, r)
-                      idx += 1
-                      out
-                    }
-                  case _ => None
+      var curFile: String = null
+      var seq = -1
+      var logId: Option[Int] = None
+      var arm: Option[String] = None
+      var interval: Option[Double] = None
+      var run = 0L
+      var idx = 0L
+      it.flatMap { row =>
+        val file = row.getString(0)
+        if (file != curFile) {
+          curFile = file; seq += 1
+          val inc = incomingB.value.getOrElse((pid, seq),
+            Incoming(HeaderState(None, None, None), 0L, 0L))
+          logId = inc.state.logId
+          arm = inc.state.arm
+          interval = inc.state.interval
+          run = inc.runBase
+          idx = inc.openRunRows
+        }
+        val line = row.getString(1)
+        classify(line) match {
+          case 'H' =>
+            parseLogId(line).foreach(v => logId = Some(v))
+            None
+          case 'A' => arm = Some(line.trim); None
+          case 'I' =>
+            parseInterval(line).foreach(v => interval = Some(v))
+            run += 1; idx = 0; None
+          case 'P' => run += 1; idx = 0; None
+          case 'D' =>
+            (logId, arm) match {
+              case (Some(lg), Some(am)) =>
+                parseData(line).map { case (a, p, r) =>
+                  val out = Row(file, lg, am, !am.contains("disabled"),
+                    interval.map(Double.box).orNull, run, idx.toInt,
+                    interval.map(v => Double.box(v * idx)).orNull,
+                    a, p, r)
+                  idx += 1
+                  out
                 }
+              case _ => None
             }
-          }
+        }
       }
     }
     spark.createDataFrame(rows, schema)

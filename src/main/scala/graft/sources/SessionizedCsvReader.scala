@@ -64,17 +64,21 @@ object SessionizedCsvReader {
     val byLine = Window.partitionBy(col("file")).orderBy(col("line_no"))
     val locf = byLine.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // try_cast on header values too: a malformed header line (e.g.
+    // "Log # 42" with no colon, or "Interval:abc") must be skipped like
+    // the reference parser does, not crash the job under ANSI mode —
+    // LOCF then simply carries the previous valid value forward.
     val propagated = classified
       .withColumn("log_id",
-        last(when(col("is_hdr"),
-          regexp_extract(col("line"), "Log #:\\s*(\\d+)", 1).cast(IntegerType)),
+        last(when(col("is_hdr"), expr(
+          "try_cast(regexp_extract(line, 'Log #:\\\\s*(\\\\d+)', 1) as int)")),
           ignoreNulls = true).over(locf))
       .withColumn("arm",
         last(when(col("is_arm"), trim(col("line"))), ignoreNulls = true)
           .over(locf))
       .withColumn("interval_s",
-        last(when(col("is_interval"),
-          trim(element_at(split(col("line"), ":"), 2)).cast(DoubleType)),
+        last(when(col("is_interval"), expr(
+          "try_cast(trim(element_at(split(line, ':'), 2)) as double)")),
           ignoreNulls = true).over(locf))
       .withColumn("run_id",
         sum(when(col("is_interval") || col("is_pause"), 1L).otherwise(0L))

@@ -25,12 +25,8 @@ class ControlProcessor(cfg: ControlPipeline.Config)
 
   override def handleInputRows(key: String, rows: Iterator[RawImuSample],
       timerValues: TimerValues): Iterator[ControlOutput] = {
-    var st = Option(state.get()).getOrElse(ControlPipeline.initialState(cfg))
-    val out = rows.toArray.sortBy(_.sample_idx).flatMap { s =>
-      val (next, o) = ControlPipeline.step(cfg, st, s)
-      st = next
-      o
-    }
+    val (st, out) = ControlPipeline.applyOrdered(cfg,
+      Option(state.get()).getOrElse(ControlPipeline.initialState(cfg)), rows)
     state.update(st)
     out.iterator
   }

@@ -57,12 +57,16 @@ object StreamingPipelines {
       .outputMode("append")
 
   /** Columnar variant: stream into the canonical ORC table via
-    * foreachBatch (partitioned writes need batch APIs). */
+    * foreachBatch (partitioned writes need batch APIs). Reuses
+    * OrcTelemetryStore's partitioned layout so the streamed appends
+    * stay readable/prunable as one table with the batch-ingested
+    * data. */
   def orcLogSink(samples: DataFrame, path: String, checkpoint: String,
                  interval: String = "1 second"): DataStreamWriter[org.apache.spark.sql.Row] =
     samples.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").orc(path)
+        graft.sources.OrcTelemetryStore.write(batch, path,
+          org.apache.spark.sql.SaveMode.Append)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(interval))

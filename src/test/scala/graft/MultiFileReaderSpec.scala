@@ -53,20 +53,44 @@ class MultiFileReaderSpec extends AnyFunSuite with SparkTestBase {
     check(ScalableSessionReader.read(spark, dir))
   }
 
+  private def rows(df: org.apache.spark.sql.DataFrame) = df
+    .select("file", "log_id", "arm", "run_id", "sample_idx",
+      "interval_s", "acceleration_g", "pitch_deg", "roll_deg")
+    .collect().map(_.toSeq)
+    .sortBy(r => (r(0).asInstanceOf[String], r(3).asInstanceOf[Long],
+      r(4).asInstanceOf[Int]))
+
   test("both readers agree row-for-row on the multi-file directory") {
     // Spark bin-packs small files into shared FilePartitions, so this
     // exercises file boundaries INSIDE one split of the scalable
     // reader — run ids must restart per file exactly like the windowed
     // reader's partitionBy(file).
-    def rows(df: org.apache.spark.sql.DataFrame) = df
-      .select("file", "log_id", "arm", "run_id", "sample_idx",
-        "interval_s", "acceleration_g", "pitch_deg", "roll_deg")
-      .collect().map(_.toSeq)
-      .sortBy(r => (r(0).asInstanceOf[String], r(3).asInstanceOf[Long],
-        r(4).asInstanceOf[Int]))
     val a = rows(SessionizedCsvReader.read(spark, dir))
     val b = rows(ScalableSessionReader.read(spark, dir))
     assert(a.length == b.length)
     a.zip(b).foreach { case (x, y) => assert(x == y, s"$x vs $y") }
+  }
+
+  test("readers agree under adversarial split packing (tiny chunks, " +
+      "zero open cost)") {
+    // zero open cost + tiny maxPartitionBytes makes Spark pack chunks
+    // of the big file together with the small file in arbitrary
+    // positions — the per-file prefix chaining must survive any packing
+    val conf = spark.conf
+    val prevMax = conf.getOption("spark.sql.files.maxPartitionBytes")
+    val prevCost = conf.getOption("spark.sql.files.openCostInBytes")
+    conf.set("spark.sql.files.maxPartitionBytes", (128 * 1024).toString)
+    conf.set("spark.sql.files.openCostInBytes", "0")
+    try {
+      val a = rows(SessionizedCsvReader.read(spark, dir))
+      val b = rows(ScalableSessionReader.read(spark, dir))
+      assert(a.length == 128963 && b.length == a.length)
+      a.zip(b).foreach { case (x, y) => assert(x == y, s"$x vs $y") }
+    } finally {
+      prevMax.fold(conf.unset("spark.sql.files.maxPartitionBytes"))(
+        conf.set("spark.sql.files.maxPartitionBytes", _))
+      prevCost.fold(conf.unset("spark.sql.files.openCostInBytes"))(
+        conf.set("spark.sql.files.openCostInBytes", _))
+    }
   }
 }
