@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * (hash-based) sampling and TF-IDF term scoring. Both are pure
+  * scan-shaped or single-shuffle plans — no driver-side state, no RNG —
+  * so a re-run over 100 TB selects the same rows, which is what makes
+  * hash sampling the standard for reproducible dataset releases.
+  */
+object CurationOps {
+
+  /** Deterministic inclusion predicate: keep a row iff the first 8 hex
+    * digits of md5(salt + ":" + id), read as a 32-bit integer, fall
+    * below rate * 2^32. Cross-engine reproducible (md5 + integer
+    * compare — no engine RNG involved) and stable under repartitioning,
+    * re-runs, and scale changes. */
+  def hashKeep(id: Column, rate: Double, salt: String): Column = {
+    val threshold = math.floor(rate * 4294967296.0).toLong
+    conv(substring(md5(concat(lit(s"$salt:"), id.cast("string"))), 1, 8),
+      16, 10).cast("long") < lit(threshold)
+  }
+
+  /** Stratified deterministic sample: per-stratum rates, one scan, no
+    * shuffle (the sample is a filter, so it composes with pushdown —
+    * at 100 TB the sample runs at scan speed). Strata absent from
+    * `rates` get `defaultRate`. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       salt: String): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, r).otherwise(acc)
+    }
+    // rate is data-dependent, so inline the threshold comparison
+    val hash32 = conv(
+      substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long")
+    df.filter(hash32 < floor(rate * 4294967296.0).cast("long"))
+  }
+
+  /** Per-document TF-IDF top terms: tf = term count / doc tokens,
+    * idf = ln((N + 1) / (df + 1)) + 1 (smoothed, never negative),
+    * ranked per doc by (tfidf desc, term asc). Two shuffles: term
+    * frequencies (doc_id, term) and document frequencies (term) — both
+    * partial-aggregated map-side; N is a scalar broadcast. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("doc_len", sum(col("cnt"))
+        .over(Window.partitionBy(col("doc_id"))))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val n = df.count()
+    val scored = tf.join(dfreq, "term")
+      .withColumn("tfidf",
+        (col("cnt").cast("double") / col("doc_len")) *
+          (log((lit(n.toDouble) + 1.0) / (col("df") + 1.0)) + 1.0))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id"), col("term"), col("rk"), col("tfidf"))
+  }
+}

@@ -83,16 +83,22 @@ object DedupOps {
         transform(col("sh"), s => pmod(xxhash64(s), lit(P))).as("base"))
       .select(col("doc_id"),
         TextOps.minhashFromBase(col("base"), k, P).as("sig"))
+    bandPairs(sig, bands, rowsPerBand, maxBucketSize)
+  }
+
+  /** Shared LSH banding tail: split each row's `sig` array into
+    * `bands` band hashes, aggregate doc ids per (band, bucket), and
+    * emit pair combinations with an expression — the signature
+    * pipeline runs ONCE and no self-join ever materializes; per-bucket
+    * work is bounded by the megabucket cap. */
+  private def bandPairs(sig: DataFrame, bands: Int, rowsPerBand: Int,
+                        maxBucketSize: Int): DataFrame = {
     val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws("|",
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    // Aggregate doc ids per (band, bucket) and emit pair combinations
-    // with an expression — the signature pipeline runs ONCE and no
-    // self-join ever materializes; per-bucket work is bounded by the
-    // megabucket cap.
     val buckets = banded.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
@@ -102,6 +108,30 @@ object DedupOps {
           y => struct(x.as("id1"), y.as("id2")))))).as("p"))
       .select(col("p.id1"), col("p.id2"))
       .distinct()
+  }
+
+  /** Oracle-parity MinHash-LSH dedup: md5-based signatures
+    * ([[TextOps.minhashSignature]]) and string-shingle Jaccard verify,
+    * so every stage is reproducible in any engine with md5 — the
+    * DuckDB-checkable twin of [[minhashLshDedup]] (which trades that
+    * for one xxhash64 per shingle). Same banding, same megabucket cap,
+    * same plan shape. */
+  def minhashLshDedupParity(df: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int, k: Int, bands: Int,
+                            threshold: Double,
+                            maxBucketSize: Int = 100): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val sh = stagedShingles(df, idCol, textCol, shingleN)
+    val sig = sh.select(col("doc_id"),
+      TextOps.minhashSignature(col("sh"), k).as("sig"))
+    bandPairs(sig, bands, k / bands, maxBucketSize)
+      .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
   }
 
   /** MinHash-LSH dedup end to end: candidates -> exact Jaccard verify
@@ -156,10 +186,17 @@ object DedupOps {
     * Hamming distance 3 with certainty, more probabilistically), then
     * verified by exact Hamming distance <= maxHamming. */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 3): DataFrame = {
-    val sig = simhashSignatures(df, idCol, textCol)
+                     maxHamming: Int = 3): DataFrame =
+    simhashBandVerify(simhashSignatures(df, idCol, textCol),
+      nBands = 4, maxHamming)
+
+  /** Band-match + Hamming-verify tail shared by the 64-bit xxhash64
+    * and 32-bit md5 SimHash variants: 16-bit bands (any shared band =>
+    * candidate), then exact Hamming distance filter. */
+  private def simhashBandVerify(sig: DataFrame, nBands: Int,
+                                maxHamming: Int): DataFrame = {
     val banded = sig.select(col("doc_id"), col("sim"),
-      posexplode(array((0 until 4).map(b =>
+      posexplode(array((0 until nBands).map(b =>
         shiftright(col("sim"), b * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
@@ -184,22 +221,63 @@ object DedupOps {
       .select(col("id1"), col("id2"), col("hamming"))
   }
 
+  /** Oracle-parity SimHash near-dup: 32-bit fingerprints from md5
+    * token hashes (first 8 hex digits as an integer) instead of
+    * xxhash64, so any engine with md5 reproduces the exact signature —
+    * the DuckDB-checkable twin of [[simhashNearDup]]. Same relational
+    * vote aggregation, 2 16-bit bands, exact-Hamming verify; all
+    * arithmetic is integral, so parity is exact, not fp-lucky. */
+  def simhashNearDupParity(df: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int): DataFrame = {
+    val tok = df
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("t"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long").as("h"))
+    val voteCols = (0 until 32).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$b"))
+    val sig = tok.groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b =>
+          when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+          .reduce(_ bitwiseOR _).as("sim"))
+    simhashBandVerify(sig, nBands = 2, maxHamming)
+  }
+
   /** Embedding-cosine near-dup via hyperplane LSH (see
-    * [[SimilarityOps.hyperplaneBucket]]): bucket join + cosine verify. */
+    * [[SimilarityOps.hyperplaneBucket]]): bucket the vectors once,
+    * collect each bucket's members, and expand pair combinations with
+    * an expression — the same no-self-join pattern as the minhash and
+    * simhash operators, so the norm + bucket pipeline is computed
+    * exactly once per vector (a bucket self-join would recompute it
+    * per join side). Vectors shuffle once, keyed by bucket; `planes`
+    * controls bucket granularity and should grow with corpus size. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-                       planes: Int = 16, threshold: Double = 0.95): DataFrame = {
+                       planes: Int = 16, threshold: Double = 0.95,
+                       dims: Int = 64): DataFrame = {
     val withBucket = df.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("vn", SimilarityOps.norm(col("v")))
-      .withColumn("bucket", SimilarityOps.hyperplaneBucket(col("v"), planes))
-    withBucket.as("a").join(withBucket.as("b"),
-        col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cosine",
-        SimilarityOps.dot(col("a.v"), col("b.v")) /
-          (col("a.vn") * col("b.vn")))
+      .withColumn("bucket",
+        SimilarityOps.hyperplaneBucket(col("v"), planes, dims))
+    val buckets = withBucket
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(
+        struct(col("vec_id"), col("v"), col("vn")))).as("members"))
+      .filter(size(col("members")) >= 2)
+    buckets
+      .select(explode(flatten(transform(col("members"), (x, i) =>
+        transform(slice(col("members"), i + 2, size(col("members"))),
+          y => struct(x.getField("vec_id").as("id1"),
+            y.getField("vec_id").as("id2"),
+            x.getField("v").as("v1"), y.getField("v").as("v2"),
+            x.getField("vn").as("vn1"), y.getField("vn").as("vn2"))))))
+        .as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        (SimilarityOps.dot(col("p.v1"), col("p.v2")) /
+          (col("p.vn1") * col("p.vn2"))).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        col("cosine"))
   }
 }

@@ -68,14 +68,18 @@ object MultimodalOps {
         }
         val mean = if (n == 0) 0.0 else sum.toDouble / n
         // entropy proxy: 1 - sum((c/n)^2), a collision-probability
-        // stand-in cheap enough for a stub
-        var coll = 0.0
+        // stand-in cheap enough for a stub. The squared counts are
+        // accumulated in exact integer arithmetic with ONE final
+        // division, so the value is independent of summation order —
+        // bit-identical across engines (oracle parity) and partitions.
+        var sumSq = 0L
         var j = 0
         while (j < 256) {
-          val p2 = if (n == 0) 0.0 else counts(j).toDouble / n
-          coll += p2 * p2
+          val c = counts(j).toLong
+          sumSq += c * c
           j += 1
         }
+        val coll = if (n == 0) 0.0 else sumSq.toDouble / (n.toDouble * n)
         // ??? real codec: decode(bytes) -> pixels -> resize(8x8)
         val thumb = bytes.take(8) // STUB thumbnail
         MediaFeatures(p.media_id, p.format, n, mean, 1.0 - coll, thumb)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over embedding columns
-  * (Array[Float]). Two paths:
+  * (Array[Float]). Three paths:
   *
   *  - [[bruteForceTopK]]: exact cosine top-k with the (small) query set
   *    broadcast against the corpus — the corpus is scanned once with no
@@ -13,13 +13,19 @@ import org.apache.spark.sql.functions._
   *    tuples shuffle for the final top-k, so it scales linearly in
   *    corpus size. The right baseline, and correct at any scale where
   *    |queries| is modest.
-  *  - [[lshTopK]]: sign-of-projection (hyperplane) LSH bucketing with
-  *    deterministic pseudo-planes, re-ranked exactly within buckets —
-  *    the 100 TB path when the query set is itself huge (bucket join
-  *    replaces the broadcast).
+  *  - [[lshTopK]]: sign-of-projection (hyperplane) LSH bucketing with a
+  *    deterministic plan-time plane matrix, re-ranked exactly within
+  *    buckets — the 100 TB path when the query set is itself huge
+  *    (bucket join replaces the broadcast).
+  *  - [[ivfTopK]]: IVF-style coarse quantizer cells + probes.
   *
-  * All vector math is column expressions (zip_with/aggregate), kept in
-  * double precision.
+  * All vector math is column expressions (zip_with/aggregate or the
+  * codegen'd VectorDot), kept in double precision.
+  *
+  * Determinism: the hyperplanes and the IVF coarse quantizer are pure
+  * functions of their parameters (md5-derived constants, inlined as
+  * literals into the plan), so every operator here is reproducible
+  * across engines — the DuckDB oracles inline the same constants.
   */
 object SimilarityOps {
 
@@ -39,26 +45,44 @@ object SimilarityOps {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p,
-    * dimension i): a fixed hash mapped to [-0.5, 0.5). No RNG at
-    * runtime — the "planes" are a pure function of (p, i), so any
-    * executor regenerates them identically. */
-  private def planeComponent(p: Int, i: Column): Column =
-    (pmod(xxhash64(concat(lit(s"plane-$p-"), i.cast("string"))), lit(100000L))
-      .cast("double") / 100000.0) - 0.5
-
-  /** Sign bit of the projection of `v` onto pseudo-plane p. */
-  private def planeSign(v: Column, p: Int): Column = {
-    val proj = aggregate(
-      zip_with(v.cast("array<double>"),
-        sequence(lit(0), size(v) - 1),
-        (x, i) => x * planeComponent(p, i)),
-      lit(0.0d), (acc, x) => acc + x)
-    when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    * dimension i), as the integer c in [-50000, 49999]: first 4 bytes
+    * of md5("plane-p-i") mod 100000, shifted. The double component is
+    * c * 1e-5 — ONE fp operation on an exact integer, so an oracle
+    * that inlines c and multiplies by 1e-5 reproduces the identical
+    * IEEE double. Computed once at PLAN time and inlined as a literal —
+    * no hashing at runtime. */
+  def planeComponentInt(p: Int, i: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"plane-$p-$i".getBytes("UTF-8"))
+    val u = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    u % 100000L - 50000L
   }
 
-  /** LSH bucket id: `planes` sign bits packed into a long. */
-  def hyperplaneBucket(v: Column, planes: Int): Column =
-    (0 until planes).map(p => planeSign(v, p)).reduce(_ bitwiseOR _)
+  def planeComponent(p: Int, i: Int): Double =
+    planeComponentInt(p, i).toDouble * 1e-5
+
+  /** The full plane matrix for (planes x dims). */
+  def planeMatrix(planes: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dims)(planeComponent)
+
+  /** Left-to-right fold dot product of a vector column against a
+    * literal plane row (matches VectorDot summation order). */
+  private def dotLit(v: Column, plane: Array[Double]): Column =
+    aggregate(
+      zip_with(v, lit(plane), (x, c) => x * c),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** LSH bucket id: `planes` sign bits packed into a long. `dims` must
+    * match the embedding dimensionality (the plane matrix is a
+    * plan-time literal). */
+  def hyperplaneBucket(v: Column, planes: Int, dims: Int): Column = {
+    val m = planeMatrix(planes, dims)
+    (0 until planes).map { p =>
+      when(dotLit(v.cast("array<double>"), m(p)) >= 0,
+        shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce(_ bitwiseOR _)
+  }
 
   /** Project (id, vector) with the vector cast to double and its norm
     * precomputed once — pairwise scoring then needs only the dot
@@ -86,38 +110,69 @@ object SimilarityOps {
       .select(col("qid"), col("nid"), col("cos"))
   }
 
-  /** IVF-style ANN top-k: a deterministic coarse quantizer (the
-    * `nCentroids` corpus vectors with smallest xxhash64(id) — a
-    * random-but-reproducible sample) partitions the corpus into cells;
-    * each query probes its `nProbes` nearest cells and re-ranks
-    * exactly inside them. The corpus-side assignment is one broadcast
-    * pass (corpus x nCentroids dot products, no shuffle of vectors);
-    * the probe join shuffles only on the small cell id. Recall rises
-    * with nProbes at linear extra cost — the standard IVF trade. */
+  /** One collected centroid: id, vector, norm. */
+  final case class Centroid(id: Long, v: Array[Double], n: Double)
+
+  /** Deterministic reproducible coarse quantizer: the `nCentroids`
+    * corpus vectors with the smallest md5 of their id string — a
+    * random-but-reproducible sample that any engine derives
+    * identically. The result is collected (nCentroids rows — tiny at
+    * any corpus scale) so cell assignment becomes a pure projection. */
+  def coarseCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nCentroids: Int): Array[Centroid] =
+    corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("h", md5(col("id").cast("string")))
+      .orderBy(col("h"))
+      .limit(nCentroids)
+      .select(col("id"), col("v"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        var acc = 0.0
+        var i = 0
+        while (i < v.length) { acc += v(i) * v(i); i += 1 }
+        Centroid(r.getLong(0), v, math.sqrt(acc))
+      }
+
+  /** Array of struct(negcos, cent_id) scoring `v` against every
+    * centroid literal: min = nearest cell (ties on smaller cent_id),
+    * sorted ascending = probe order. Pure per-row expression — no
+    * shuffle, no join, for the cell assignment. */
+  private def cellScores(cents: Array[Centroid], v: Column, n: Column)
+      : Column =
+    array(cents.map { c =>
+      struct(
+        (-(dotLit(v, c.v) / (n * lit(c.n)))).as("negcos"),
+        lit(c.id).as("cent_id"))
+    }: _*)
+
+  /** IVF-style ANN top-k: a deterministic coarse quantizer (see
+    * [[coarseCentroids]]) partitions the corpus into cells; each query
+    * probes its `nProbes` nearest cells and re-ranks exactly inside
+    * them. Both cell assignments are pure projections against the
+    * collected centroid literals — NO shuffle of corpus vectors at all:
+    * the probe join broadcasts the (small) assigned query side, and
+    * only (qid, nid, cos) tuples shuffle for the final per-query top-k.
+    * Recall rises with nProbes at linear extra cost — the standard IVF
+    * trade. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nCentroids: Int = 16, nProbes: Int = 4): DataFrame = {
-    val cents = withNorm(corpus, idCol, vecCol, "cent_id", "centv", "centn")
-      .withColumn("h", xxhash64(col("cent_id")))
-      .orderBy(col("h"))
-      .limit(nCentroids)
-      .drop("h")
-    def assign(side: DataFrame, id: String, v: String, n: String,
-               probes: Int): DataFrame = {
-      val scored = side.crossJoin(broadcast(cents))
-        .withColumn("centcos",
-          dot(col(v), col("centv")) / (col(n) * col("centn")))
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("centcos").desc, col("cent_id"))
-      scored.withColumn("crk", row_number().over(w))
-        .filter(col("crk") <= probes)
-        .select(col(id), col(v), col(n), col("cent_id"))
-    }
-    val c = assign(withNorm(corpus, idCol, vecCol, "nid", "cv", "cn"),
-      "nid", "cv", "cn", probes = 1)
-    val q = assign(withNorm(queries, idCol, vecCol, "qid", "qv", "qn"),
-      "qid", "qv", "qn", probes = nProbes)
-    val scored = c.join(q, Seq("cent_id"))
+    val cents = coarseCentroids(corpus, idCol, vecCol, nCentroids)
+    val c = withNorm(corpus, idCol, vecCol, "nid", "cv", "cn")
+      .withColumn("cell",
+        array_min(cellScores(cents, col("cv"), col("cn")))
+          .getField("cent_id"))
+    val q = withNorm(queries, idCol, vecCol, "qid", "qv", "qn")
+      .withColumn("probe",
+        explode(slice(
+          sort_array(cellScores(cents, col("qv"), col("qn"))),
+          1, nProbes)))
+      .select(col("qid"), col("qv"), col("qn"),
+        col("probe.cent_id").as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("qid"))
@@ -133,11 +188,11 @@ object SimilarityOps {
     * (fewer planes = bigger buckets = higher recall + more work). */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              planes: Int = 8): DataFrame = {
+              planes: Int = 8, dims: Int = 64): DataFrame = {
     val c = withNorm(corpus, idCol, vecCol, "nid", "cv", "cn")
-      .withColumn("bucket", hyperplaneBucket(col("cv"), planes))
+      .withColumn("bucket", hyperplaneBucket(col("cv"), planes, dims))
     val q = withNorm(queries, idCol, vecCol, "qid", "qv", "qn")
-      .withColumn("bucket", hyperplaneBucket(col("qv"), planes))
+      .withColumn("bucket", hyperplaneBucket(col("qv"), planes, dims))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))

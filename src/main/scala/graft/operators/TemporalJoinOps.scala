@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks natively, built shuffle-lean:
+  *
+  *  - [[asofJoinLast]]: backward-looking as-of join expressed as ONE
+  *    union + window pass — no join operator at all. Both sides shuffle
+  *    once on the key, then a per-key ordered LOCF picks each left
+  *    row's most recent right match. This is the standard distributed
+  *    as-of formulation: cost is a single sort-shuffle of |L|+|R| rows
+  *    regardless of time-range skew, where a naive range join would be
+  *    O(|L|x|R|) within key.
+  *  - [[rangeSelfPairs]]: bounded-interval range join via time
+  *    bucketing — each row joins only its own and its neighboring
+  *    bucket, so the shuffle key is (key, bucket) and per-task work is
+  *    bounded by bucket population, never corpus size.
+  */
+object TemporalJoinOps {
+
+  /** Backward-looking as-of join: for every left row, attach `valCol`
+    * of the right row with the greatest (ts, orderCol) such that
+    * right.ts <= left.ts within the same `keys`. Right rows at the
+    * exact same ts DO match (inclusive); ties among right rows resolve
+    * to the largest `orderCol`. Left rows with no prior right row get
+    * null.
+    *
+    * `tsCol` and `orderCol` must exist on both sides; `valCol` on the
+    * right. All left columns pass through.
+    */
+  def asofJoinLast(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   tsCol: String, orderCol: String, valCol: String)
+      : DataFrame = {
+    val keyCols = keys.map(col)
+    val leftPayload = struct(left.columns.map(col): _*).as("__l")
+    val l = left.select(keyCols ++ Seq(
+      col(tsCol).as("__ts"), lit(1).as("__side"), col(orderCol).as("__ord"),
+      lit(null).cast(right.schema(valCol).dataType).as("__v"),
+      leftPayload): _*)
+    val r = right.select(keyCols ++ Seq(
+      col(tsCol).as("__ts"), lit(0).as("__side"), col(orderCol).as("__ord"),
+      col(valCol).as("__v"),
+      lit(null).cast(l.schema("__l").dataType).as("__l")): _*)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__ts"), col("__side"), col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("__match", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__l.*"), col("__match").as(s"asof_$valCol"))
+  }
+
+  /** All unordered pairs of rows sharing `keyCol` whose `tsIntCol`
+    * (any integral time unit — epoch micros/nanos) values differ by at
+    * most `tol` of the same unit. Bucketing:
+    * every row lands in bucket floor(ts/tol); one side expands to
+    * (bucket, bucket+1) so every qualifying pair co-locates in at least
+    * one (key, bucket) shuffle partition; least/greatest + distinct
+    * collapse the same-bucket double match. Returns (key, id1, id2,
+    * dt) with id1 < id2. */
+  def rangeSelfPairs(df: DataFrame, keyCol: String, tsIntCol: String,
+                     idCol: String, tol: Long): DataFrame = {
+    // `div`, not `/`: epoch-nanos exceed the double mantissa (2^53), so
+    // fp division could misassign rows near bucket boundaries and lose
+    // pairs; integral division is exact.
+    val base = df.select(col(keyCol).as("k"), col(idCol).as("id"),
+      col(tsIntCol).as("tn"),
+      expr(s"`$tsIntCol` div ${tol}L").as("b"))
+    val expanded = base.select(col("k"), col("id"), col("tn"),
+      explode(array(col("b"), col("b") + 1)).as("b"))
+    expanded.as("a")
+      .join(base.as("c"),
+        col("a.k") === col("c.k") && col("a.b") === col("c.b") &&
+          col("a.id") =!= col("c.id"))
+      .filter(abs(col("a.tn") - col("c.tn")) <= tol)
+      .select(col("a.k").as(keyCol),
+        least(col("a.id"), col("c.id")).as("id1"),
+        greatest(col("a.id"), col("c.id")).as("id2"),
+        abs(col("a.tn") - col("c.tn")).as("dt"))
+      .distinct()
+  }
+}

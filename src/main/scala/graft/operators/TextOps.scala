@@ -155,8 +155,12 @@ object TextOps {
     * aggregate expression — document identity stable across chunking. */
   def rollingHash(text: Column): Column = {
     val Mod = 1000000007L
+    // Empty tokens filtered out: Java's empty-pattern regex split emits
+    // a trailing "" under limit -1, which would silently fold an extra
+    // *31 step and break cross-engine parity with the char-range form.
     aggregate(
-      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      transform(filter(split(text, ""), ch => ch =!= lit("")),
+        ch => ascii(ch).cast("long")),
       lit(0L),
       (acc, c) => pmod(acc * 31 + c, lit(Mod)))
   }

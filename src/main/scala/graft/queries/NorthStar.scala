@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.operators.{CurationOps, DedupOps, MultimodalOps, SimilarityOps,
+  TemporalJoinOps, TextOps}
 
 /** North-star training-data-pipeline queries (BASELINE.json): dedup,
   * similarity search, text analysis, multimodal — over the `documents`
@@ -209,7 +210,96 @@ object NorthStar {
       .orderBy(col("doc_id"))
   }
 
+  // q42 — backward as-of join: each click's most recent prior-or-equal
+  // view value per user (union+window formulation, one shuffle, no
+  // join operator). Time compared at microsecond precision on both
+  // sides (DuckDB reads the nanos parquet timestamps as micros).
+  private val q42: Q = (s, dir) => {
+    val ev = t(s, dir, "events").withColumn("tus", expr("ts_ns div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("tus"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("tus"), col("event_id"), col("value"))
+    TemporalJoinOps.asofJoinLast(clicks, views, Seq("user_id"), "tus",
+        "event_id", "value")
+      .select(col("event_id"), round(col("value"), 6).as("click_value"),
+        round(col("asof_value"), 6).as("prior_view_value"))
+      .orderBy(col("event_id"))
+  }
+
+  // q43 — bounded range self-join: per-user count of event pairs
+  // within 1 hour (bucketed interval join — shuffle key is
+  // (user, hour-bucket), never a cross join).
+  private val q43: Q = (s, dir) => {
+    val ev = t(s, dir, "events").filter(col("user_id") < 30)
+      .withColumn("tus", expr("ts_ns div 1000"))
+    TemporalJoinOps.rangeSelfPairs(ev, "user_id", "tus", "event_id",
+        3600000000L)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  // q44 — exact grouped quantiles (percentile, not approx — matches
+  // DuckDB quantile_cont's linear interpolation).
+  private val q44: Q = (s, dir) => {
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("qs"))
+      .select(col("event_type"),
+        round(element_at(col("qs"), 1), 6).as("p50"),
+        round(element_at(col("qs"), 2), 6).as("p90"),
+        round(element_at(col("qs"), 3), 6).as("p99"))
+      .orderBy(col("event_type"))
+  }
+
+  // q45 — deterministic stratified sample by predicted language
+  // (md5-threshold inclusion — reproducible across engines/runs).
+  private val q45: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .withColumn("lang_pred", TextOps.langId(col("text"), LangMarkers))
+    CurationOps.stratifiedSample(d, "lang_pred", "doc_id",
+        Map("scanic" -> 0.5, "joinic" -> 0.25), 0.1, "graft")
+      .select(col("doc_id"), col("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  // q46 — per-document TF-IDF top-3 terms.
+  private val q46: Q = (s, dir) => {
+    CurationOps.tfidfTopTerms(
+        t(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", topK = 3)
+      .select(col("doc_id"), col("term"), col("rk"),
+        round(col("tfidf"), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  // q47 — oracle-parity MinHash-LSH dedup (md5 signatures + string
+  // shingle verify; the DuckDB-checkable twin of q26's fast path).
+  private val q47: Q = (s, dir) => {
+    DedupOps.minhashLshDedupParity(
+        t(s, dir, "documents").filter(col("doc_id") < 250),
+        "doc_id", "text", shingleN = 2, k = 8, bands = 4, threshold = 0.2)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jacc"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  // q48 — oracle-parity SimHash near-dup (32-bit md5 fingerprints; the
+  // DuckDB-checkable twin of q27's 64-bit xxhash64 path).
+  private val q48: Q = (s, dir) => {
+    DedupOps.simhashNearDupParity(
+        t(s, dir, "documents").filter(col("doc_id") < 250),
+        "doc_id", "text", maxHamming = 8)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q42_asof_join" -> q42,
+    "q43_range_join" -> q43,
+    "q44_group_quantiles" -> q44,
+    "q45_stratified_sample" -> q45,
+    "q46_tfidf" -> q46,
+    "q47_minhash_lsh_parity" -> q47,
+    "q48_simhash_parity" -> q48,
     "q33_welch_agg" -> q33,
     "q34_welch_pvalue" -> q34,
     "q35_corpus_curation" -> q35,
@@ -228,7 +318,277 @@ object NorthStar {
     "q31_embedding_neardup" -> q31,
     "q32_frame_sample" -> q32)
 
+  // ---- DuckDB SQL generation helpers for deterministic oracles ----
+  // The vector folds mirror the Spark side exactly: left-to-right
+  // accumulation from 0.0, same operand order per element, so the
+  // doubles are bit-identical (not just close) before ROUND.
+
+  private val Dims = 64
+
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${Dims + 1}), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+
+  private def sqlNorm(v: String): String = s"sqrt(${sqlDot(v, v)})"
+
+  /** Projection of v onto pseudo-plane p, with the plane's integer
+    * components inlined (the double component is int * 1e-5 on both
+    * engines — one identical fp op on an exact integer). */
+  private def sqlPlaneProj(v: String, p: Int): String = {
+    val ints = (0 until Dims).map(i => SimilarityOps.planeComponentInt(p, i))
+      .mkString("[", ", ", "]")
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${Dims + 1}), i -> $v[i] * ($ints[i] * 1e-5))), (x, y) -> x + y)"
+  }
+
+  private def sqlBucket(v: String, planes: Int): String =
+    (0 until planes).map(p =>
+      s"(CASE WHEN ${sqlPlaneProj(v, p)} >= 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
+
+  /** First 8 hex digits of md5 expression `h` as a BIGINT (mirrors
+    * Spark's conv(substring(md5(x), 1, 8), 16, 10)). */
+  private def sqlHex32(h: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 9), j -> CAST(strpos('0123456789abcdef', substr($h, j, 1)) - 1 AS BIGINT))), (a, x) -> a * 16 + x)"
+
+  private val q29Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${sqlNorm("v")} AS vn FROM e),
+       |b AS (SELECT vec_id, v, vn, ${sqlBucket("v", 4)} AS bucket FROM n),
+       |s AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |             ${sqlDot("q.v", "c.v")} / (q.vn * c.vn) AS cosim
+       |      FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+       |      WHERE q.vec_id < 50),
+       |r AS (SELECT qid, nid, cosim,
+       |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosim DESC, nid) AS rk
+       |      FROM s)
+       |SELECT qid, nid, ROUND(cosim, 6) AS cos FROM r WHERE rk <= 5
+       |ORDER BY qid, cosim DESC, nid""".stripMargin
+
+  private val q30Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, length(text) AS n,
+      |         list_transform(range(1, length(text) + 1),
+      |                        j -> ord(substr(text, j, 1))) AS bytes
+      |  FROM documents),
+      |u AS (SELECT doc_id, n, unnest(bytes) AS v FROM m),
+      |g AS (SELECT doc_id, n, v, COUNT(*) AS c FROM u GROUP BY doc_id, n, v),
+      |f AS (SELECT doc_id, n, SUM(c * v) AS s, SUM(c * c) AS ss
+      |      FROM g GROUP BY doc_id, n)
+      |SELECT doc_id AS media_id,
+      |       CASE doc_id % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'audio'
+      |            ELSE 'video' END AS format,
+      |       n AS n_bytes,
+      |       ROUND(s * 1.0 / n, 6) AS mean_byte,
+      |       ROUND(1.0 - ss * 1.0 / (n * n), 6) AS entropy_proxy
+      |FROM f ORDER BY media_id""".stripMargin
+
+  private val q31Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${sqlNorm("v")} AS vn FROM e),
+       |b AS (SELECT vec_id, v, vn, ${sqlBucket("v", 2)} AS bucket FROM n),
+       |p AS (SELECT a.vec_id AS id1, c.vec_id AS id2,
+       |             ${sqlDot("a.v", "c.v")} / (a.vn * c.vn) AS cosine
+       |      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+       |SELECT id1, id2, ROUND(cosine, 6) AS cos FROM p
+       |WHERE cosine >= 0.35::DOUBLE ORDER BY id1, id2""".stripMargin
+
+  private val q32Sql: String =
+    """WITH v AS (SELECT doc_id, length(text) AS n FROM documents
+      |           WHERE doc_id % 3 = 2),
+      |f AS (SELECT doc_id,
+      |             unnest(range(0, CASE WHEN n >= 32 THEN (n - 32) // 16 + 1
+      |                                  ELSE 0 END)) AS frame_idx
+      |      FROM v)
+      |SELECT doc_id AS media_id, frame_idx, 32 AS frame_len FROM f
+      |ORDER BY media_id, frame_idx""".stripMargin
+
+  private val q40Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${sqlNorm("v")} AS vn FROM e),
+       |cents AS (SELECT vec_id AS cent_id, v AS cv, vn AS cn FROM n
+       |          ORDER BY md5(vec_id::VARCHAR) LIMIT 16),
+       |cs AS (SELECT n.vec_id, n.v, n.vn, cents.cent_id,
+       |              ${sqlDot("n.v", "cents.cv")} / (n.vn * cents.cn) AS ccos
+       |       FROM n, cents),
+       |ca AS (SELECT vec_id, v, vn, cent_id FROM (
+       |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                     ORDER BY ccos DESC, cent_id) AS rk FROM cs)
+       |       WHERE rk = 1),
+       |qa AS (SELECT vec_id, v, vn, cent_id FROM (
+       |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                     ORDER BY ccos DESC, cent_id) AS rk FROM cs
+       |         WHERE vec_id < 50)
+       |       WHERE rk <= 4),
+       |p AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |             ${sqlDot("q.v", "c.v")} / (q.vn * c.vn) AS cosim
+       |      FROM qa q JOIN ca c USING (cent_id) WHERE c.vec_id <> q.vec_id),
+       |r AS (SELECT qid, nid, cosim,
+       |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosim DESC, nid) AS rk
+       |      FROM p)
+       |SELECT qid, nid, ROUND(cosim, 6) AS cos FROM r WHERE rk <= 5
+       |ORDER BY qid, cosim DESC, nid""".stripMargin
+
+  private val q41Sql: String =
+    """SELECT doc_id,
+      |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |         list_transform(range(1, length(text) + 1),
+      |           j -> CAST(ord(substr(text, j, 1)) AS BIGINT))),
+      |         (a, c) -> (a * 31 + c) % 1000000007) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val q42Sql: String =
+    """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS tn, value
+      |           FROM events WHERE event_type = 'click'),
+      |v AS (SELECT user_id, epoch_us(ts) AS tn, arg_max(value, event_id) AS value
+      |      FROM events WHERE event_type = 'view'
+      |      GROUP BY user_id, epoch_us(ts)),
+      |j AS (SELECT c.event_id, c.value AS cv, v.value AS pv
+      |      FROM c ASOF LEFT JOIN v
+      |      ON c.user_id = v.user_id AND c.tn >= v.tn)
+      |SELECT event_id, ROUND(cv, 6) AS click_value,
+      |       ROUND(pv, 6) AS prior_view_value
+      |FROM j ORDER BY event_id""".stripMargin
+
+  private val q43Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tn
+      |           FROM events WHERE user_id < 30),
+      |p AS (SELECT a.user_id FROM e a JOIN e b
+      |      ON a.user_id = b.user_id AND a.event_id < b.event_id
+      |         AND abs(a.tn - b.tn) <= 3600000000)
+      |SELECT user_id, COUNT(*) AS n_pairs FROM p
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  private val q44Sql: String =
+    """SELECT event_type,
+      |       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+      |       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+      |       ROUND(quantile_cont(value, 0.99), 6) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private val q45Sql: String = {
+    def thr(r: Double): Long = math.floor(r * 4294967296.0).toLong
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id,
+       |         len(list_filter(toks, t -> list_contains(['scan','row','table','filter'], t))) AS s1,
+       |         len(list_filter(toks, t -> list_contains(['join','merge','key','hash'], t))) AS s2,
+       |         len(list_filter(toks, t -> list_contains(['stream','window','batch','order'], t))) AS s3
+       |  FROM d),
+       |p AS (
+       |  SELECT doc_id, CASE WHEN GREATEST(s1, s2, s3) <= 0 THEN 'und'
+       |              WHEN s1 = GREATEST(s1, s2, s3) THEN 'scanic'
+       |              WHEN s2 = GREATEST(s1, s2, s3) THEN 'joinic'
+       |              ELSE 'streamic' END AS lang_pred
+       |  FROM sc),
+       |m AS (SELECT doc_id, lang_pred,
+       |             md5('graft:' || doc_id::VARCHAR) AS h FROM p),
+       |f AS (SELECT doc_id, lang_pred, ${sqlHex32("h")} AS hv FROM m)
+       |SELECT doc_id, lang_pred FROM f
+       |WHERE hv < CASE lang_pred WHEN 'scanic' THEN ${thr(0.5)}
+       |                          WHEN 'joinic' THEN ${thr(0.25)}
+       |                          ELSE ${thr(0.1)} END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private val q46Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents WHERE doc_id < 100),
+      |tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM tok GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, term, cnt,
+      |              SUM(cnt) OVER (PARTITION BY doc_id) AS doc_len FROM tf),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |nn AS (SELECT COUNT(*) AS n FROM d),
+      |s AS (SELECT doc_id, term,
+      |             (cnt * 1.0 / doc_len) * (ln((nn.n + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+      |      FROM dl JOIN dfreq USING (term), nn),
+      |r AS (SELECT doc_id, term, tfidf,
+      |             ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                 ORDER BY tfidf DESC, term) AS rk FROM s)
+      |SELECT doc_id, term, rk, ROUND(tfidf, 6) AS tfidf FROM r
+      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  private val q47Sql: String = {
+    val sigList = (0 until 8)
+      .map(i => s"list_min(list_transform(sh, x -> md5('$i:' || x)))")
+      .mkString("[", ", ", "]")
+    val bandedUnion = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, md5(sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}]) AS bucket FROM g")
+      .mkString("\n  UNION ALL ")
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents WHERE doc_id < 250),
+       |s AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(toks) >= 2
+       |              THEN list_distinct(list_transform(range(1, len(toks)),
+       |                     i -> array_to_string(toks[i:i+1], ' ')))
+       |              ELSE [] END AS sh
+       |  FROM d),
+       |g AS (SELECT doc_id, sh, $sigList AS sig FROM s),
+       |banded AS (
+       |  $bandedUnion),
+       |sized AS (SELECT doc_id, band, bucket,
+       |                 COUNT(*) OVER (PARTITION BY band, bucket) AS bsz
+       |          FROM banded),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |          FROM sized a JOIN sized b
+       |          ON a.band = b.band AND a.bucket = b.bucket
+       |             AND a.doc_id < b.doc_id AND a.bsz BETWEEN 2 AND 100),
+       |ver AS (SELECT id1, id2,
+       |               len(list_intersect(x.sh, y.sh)) * 1.0 /
+       |                 len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+       |        FROM pairs JOIN s x ON id1 = x.doc_id JOIN s y ON id2 = y.doc_id)
+       |SELECT id1, id2, ROUND(jaccard, 6) AS jacc FROM ver
+       |WHERE jaccard >= 0.2::DOUBLE ORDER BY id1, id2""".stripMargin
+  }
+
+  private val q48Sql: String = {
+    val votes = (0 until 32)
+      .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n         ")
+    val sim = (0 until 32)
+      .map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents WHERE doc_id < 250),
+       |tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+       |hh AS (SELECT doc_id, ${sqlHex32("md5(t)")} AS h FROM tok),
+       |votes AS (
+       |  SELECT doc_id,
+       |         $votes
+       |  FROM hh GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sim AS sim FROM votes),
+       |banded AS (
+       |  SELECT doc_id, sim, 0 AS band, sim & 65535 AS bucket FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, sim, 1 AS band, (sim >> 16) & 65535 AS bucket FROM sig),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |                 a.sim AS s1, b.sim AS s2
+       |          FROM banded a JOIN banded b
+       |          ON a.band = b.band AND a.bucket = b.bucket
+       |             AND a.doc_id < b.doc_id)
+       |SELECT id1, id2, bit_count(xor(s1, s2)) AS hamming FROM pairs
+       |WHERE bit_count(xor(s1, s2)) <= 8 ORDER BY id1, id2""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q29_ann_lsh_topk" -> q29Sql,
+    "q30_multimodal_features" -> q30Sql,
+    "q31_embedding_neardup" -> q31Sql,
+    "q32_frame_sample" -> q32Sql,
+    "q40_ivf_topk" -> q40Sql,
+    "q41_rolling_fingerprint" -> q41Sql,
+    "q42_asof_join" -> q42Sql,
+    "q43_range_join" -> q43Sql,
+    "q44_group_quantiles" -> q44Sql,
+    "q45_stratified_sample" -> q45Sql,
+    "q46_tfidf" -> q46Sql,
+    "q47_minhash_lsh_parity" -> q47Sql,
+    "q48_simhash_parity" -> q48Sql,
     "q35_corpus_curation" ->
       """WITH d AS (
         |  SELECT doc_id, text,

@@ -22,8 +22,14 @@ object OrcTelemetryStore {
   def write(samples: DataFrame, path: String,
             mode: SaveMode = SaveMode.Overwrite): Unit =
     samples
+      // Leading sort on the partition columns: FileFormatWriter requires
+      // output sorted by partitionBy columns and would otherwise insert
+      // its own (not-necessarily-stable) sort, destroying the run order.
+      // Sorting (partition cols, run_id, sample_idx) up front satisfies
+      // the writer's requirement, so the run-sorted row groups survive.
       .repartition(col("actuators_enabled"), col("log_id"))
-      .sortWithinPartitions(col("run_id"), col("sample_idx"))
+      .sortWithinPartitions(col("actuators_enabled"), col("log_id"),
+        col("run_id"), col("sample_idx"))
       .write
       .mode(mode)
       .partitionBy("actuators_enabled", "log_id")

@@ -37,12 +37,32 @@ object ScalableSessionReader {
   private final case class HeaderState(
       logId: Option[Int], arm: Option[String], interval: Option[Double])
 
-  /** What one contiguous file segment of one split contributes. */
+  /** What one contiguous file segment of one split contributes.
+    *
+    * The trailing data-row count (rows of the still-open run after the
+    * last opener) is split by which header fields were LOCALLY known at
+    * the time of each row, because phase 3 only emits (and advances
+    * sample_idx on) rows where log id AND arm are known — locally or
+    * inherited. Phase 2 holds the incoming state for the segment and
+    * can therefore compute the exact emitted count for any inheritance
+    * situation, keeping sample_idx chaining identical to
+    * [[SessionizedCsvReader]] even for malformed files whose data rows
+    * precede their headers across a split boundary. */
   private final case class SegmentSummary(
       partition: Int, seq: Int, file: String,
       lastLogId: Option[Int], lastArm: Option[String],
       lastInterval: Option[Double],
-      runOpeners: Long, dataRowsAfterLastOpener: Long)
+      runOpeners: Long,
+      tailBothKnown: Long, tailLogUnknown: Long,
+      tailArmUnknown: Long, tailBothUnknown: Long) {
+    /** Emitted trailing rows given the incoming header state. */
+    def emittedTail(incoming: HeaderState): Long =
+      tailBothKnown +
+        (if (incoming.logId.isDefined) tailLogUnknown else 0L) +
+        (if (incoming.arm.isDefined) tailArmUnknown else 0L) +
+        (if (incoming.logId.isDefined && incoming.arm.isDefined)
+          tailBothUnknown else 0L)
+  }
 
   private final case class Incoming(state: HeaderState, runBase: Long,
       openRunRows: Long)
@@ -96,17 +116,18 @@ object ScalableSessionReader {
       var lastArm: Option[String] = None
       var lastInterval: Option[Double] = None
       var openers = 0L
-      var tail = 0L
+      var t00 = 0L; var tLog = 0L; var tArm = 0L; var tBoth = 0L
+      def resetTail(): Unit = { t00 = 0L; tLog = 0L; tArm = 0L; tBoth = 0L }
       def flush(): Unit = if (seq >= 0)
         out += SegmentSummary(pid, seq, file, lastLog, lastArm,
-          lastInterval, openers, tail)
+          lastInterval, openers, t00, tLog, tArm, tBoth)
       it.foreach { row =>
         val f = row.getString(0)
         if (f != file) {
           flush()
           file = f; seq += 1
           lastLog = None; lastArm = None; lastInterval = None
-          openers = 0L; tail = 0L
+          openers = 0L; resetTail()
         }
         val line = row.getString(1)
         classify(line) match {
@@ -114,9 +135,15 @@ object ScalableSessionReader {
           case 'A' => lastArm = Some(line.trim)
           case 'I' =>
             parseInterval(line).foreach(v => lastInterval = Some(v))
-            openers += 1; tail = 0
-          case 'P' => openers += 1; tail = 0
-          case 'D' => if (parseData(line).isDefined) tail += 1
+            openers += 1; resetTail()
+          case 'P' => openers += 1; resetTail()
+          case 'D' => if (parseData(line).isDefined)
+            (lastLog.isDefined, lastArm.isDefined) match {
+              case (true, true)   => t00 += 1
+              case (false, true)  => tLog += 1
+              case (true, false)  => tArm += 1
+              case (false, false) => tBoth += 1
+            }
         }
       }
       flush()
@@ -136,8 +163,8 @@ object ScalableSessionReader {
           s.lastArm.orElse(cur.state.arm),
           s.lastInterval.orElse(cur.state.interval)),
         cur.runBase + s.runOpeners,
-        if (s.runOpeners > 0) s.dataRowsAfterLastOpener
-        else cur.openRunRows + s.dataRowsAfterLastOpener)
+        if (s.runOpeners > 0) s.emittedTail(cur.state)
+        else cur.openRunRows + s.emittedTail(cur.state))
     }
     val incomingB = spark.sparkContext.broadcast(incoming.toMap)
 
