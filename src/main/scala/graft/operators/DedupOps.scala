@@ -69,20 +69,29 @@ object DedupOps {
                            maxBucketSize: Int = 100): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val rowsPerBand = k / bands
-    // Stage the pipeline as materialized columns: Spark does NOT do
-    // common-subexpression elimination across nested lambda functions,
-    // so inlining shingling into the k-element signature expression
-    // would re-run tokenize+shingle+hash k times per row (measured 16x
-    // slowdown). Each select boundary evaluates once. (An
-    // explode+groupBy formulation with k codegen'd mins was tried and
-    // measured 2x SLOWER here — the per-doc shingle arrays are small
-    // enough that the extra 1.5M-row shuffle dominates.)
+    // Relational signature: explode shingles, xxhash64 each ONCE, then
+    // k affine mins as grouped aggregates. The Aggregate is a real
+    // optimizer barrier — its outputs are attributes — so no stage of
+    // the tokenize/shingle/hash pipeline can be inlined into the
+    // downstream banding generate (select-boundary "staging" is NOT a
+    // barrier: CollapseProject folds chained projections into a
+    // Generate child and lambda-body references then re-evaluate per
+    // element — a measured 10x+ blowup). The shuffle is tiny: partial
+    // aggregation collapses each partition's rows to one (doc, k mins)
+    // row before the exchange.
     val P = 2147483647L
-    val sig = stagedShingles(df, idCol, textCol, shingleN)
+    val hashed = stagedShingles(df, idCol, textCol, shingleN)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(P)).as("h"))
+    val minCols = (0 until k).map { i =>
+      val a = 2 * i + 1
+      val b = 1_000_003L * (i + 1)
+      min(pmod(col("h") * a + b, lit(P))).as(s"m$i")
+    }
+    val sig = hashed.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
-        transform(col("sh"), s => pmod(xxhash64(s), lit(P))).as("base"))
-      .select(col("doc_id"),
-        TextOps.minhashFromBase(col("base"), k, P).as("sig"))
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
     bandPairs(sig, bands, rowsPerBand, maxBucketSize)
   }
 
@@ -93,12 +102,32 @@ object DedupOps {
     * work is bounded by the megabucket cap. */
   private def bandPairs(sig: DataFrame, bands: Int, rowsPerBand: Int,
                         maxBucketSize: Int): DataFrame = {
-    val banded = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(concat_ws("|",
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+    // The signature must reach the banding generate as a materialized
+    // ATTRIBUTE, not an expression: project collapse into Generate
+    // ignores the reference-count guard and inlines the full minhash
+    // pipeline per reference (k slice(sig,...) refs re-evaluated the
+    // pipeline k times per row — measured ~25x slowdown on the banding
+    // stage — and a single-ref posexplode then cascaded the inlining
+    // into the nested lambda stages instead, ~15x worse again). The
+    // repartition is a real physical barrier; it shuffles one row of
+    // (id, k hashes) per doc — negligible next to the k-rows-per-doc
+    // banded shuffle that follows — and pre-co-locates each doc's
+    // band rows.
+    val exploded = sig.repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(col("sig")))
+    val banded =
+      if (rowsPerBand == 1)
+        exploded.select(col("doc_id"), col("pos").as("band"),
+          md5(col("col").cast("string")).as("bucket"))
+      else
+        exploded
+          .groupBy(col("doc_id"),
+            (col("pos") - pmod(col("pos"), lit(rowsPerBand)))
+              .divide(lit(rowsPerBand)).cast("int").as("band"))
+          .agg(md5(concat_ws("|",
+            transform(
+              sort_array(collect_list(struct(col("pos"), col("col")))),
+              x => x.getField("col").cast("string")))).as("bucket"))
     val buckets = banded.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
@@ -145,7 +174,12 @@ object DedupOps {
     // Verify on HASHED shingle sets (one long per shingle): set
     // intersection over longs is far cheaper to ship and compare than
     // the string shingles, and xxhash64 collisions at 2^64 are
-    // negligible for the Jaccard value.
+    // negligible for the Jaccard value. Two joins against the derived
+    // shingle table (one per pair side): a melt-into-roles + single
+    // join + re-group variant was measured ~2x SLOWER here — the extra
+    // shuffle of hash arrays costs more than the second corpus scan;
+    // at fleet scale the shingle table would be persisted and both
+    // joins read it for free.
     val sh = stagedShingles(df, idCol, textCol, shingleN)
       .select(col("doc_id"),
         array_distinct(transform(col("sh"), s => xxhash64(s))).as("hs"))
@@ -214,11 +248,13 @@ object DedupOps {
             y.getField("doc_id").as("id2"),
             x.getField("sim").as("sim1"),
             y.getField("sim").as("sim2")))))).as("p"))
-      .select(col("p.id1"), col("p.id2"), col("p.sim1"), col("p.sim2"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("sim1").bitwiseXOR(col("sim2"))))
+      // Hamming filter BEFORE the distinct: the xor+popcount is a cheap
+      // per-row expression, and dropping far pairs early shrinks the
+      // dedup shuffle to just the qualifying candidates.
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        bit_count(col("p.sim1").bitwiseXOR(col("p.sim2"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id1"), col("id2"), col("hamming"))
+      .distinct()
   }
 
   /** Oracle-parity SimHash near-dup: 32-bit fingerprints from md5

@@ -81,12 +81,29 @@ object TextOps {
   def wordShingles(text: Column, n: Int): Column =
     shinglesFromTokens(tokens(text), n)
 
-  /** N-gram shingles over an (ideally materialized) token array. */
-  def shinglesFromTokens(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  /** N-gram shingles over a token array.
+    *
+    * Built by zipping the token array against its own shifted slices
+    * (n-1 zip_with passes) instead of indexing `toks` inside a
+    * per-shingle lambda: Catalyst inlines attribute references into
+    * lambda bodies when projections collapse (e.g. into a downstream
+    * explode), and a lambda-body reference re-evaluates PER ELEMENT —
+    * the slice(toks, i, n) form re-ran the tokenizer once per shingle,
+    * O(tokens^2) per document. Collection arguments evaluate once, so
+    * this form costs ~n tokenizer evaluations per row even when fully
+    * inlined. Same output: ["t1 .. tn", "t2 .. tn+1", ...]; empty when
+    * fewer than n tokens. */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
+    // zip_with pads the shorter side with null; concat_ws skips nulls,
+    // so tail entries are short-grams — the final slice drops them.
+    val zipped = (2 to n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc,
+        slice(toks, lit(k), greatest(size(toks) - (k - 1), lit(0))),
+        (a, b) => concat_ws(" ", a, b))
+    }
+    when(size(toks) >= n, slice(zipped, lit(1), size(toks) - (n - 1)))
       .otherwise(array().cast("array<string>"))
+  }
 
   /** One MinHash value: min over md5("<seed>:" + shingle). Lexicographic
     * min over hex strings — identical semantics in any engine with md5. */

@@ -1,0 +1,137 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{CurationOps, DedupOps, TemporalJoinOps}
+
+/** Behavioral checks for the temporal-join and curation operators
+  * beyond the DuckDB oracle (which pins values at sf0.01): as-of and
+  * range joins against brute-force formulations, sampling rate
+  * convergence and determinism, parity-twin agreement. */
+class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
+  private val dir = sf("sf0.001")
+
+  private lazy val events = Tables.load(spark, dir, "events")
+    .withColumn("tus", expr("ts_ns div 1000")).cache()
+  private lazy val docs = Tables.load(spark, dir, "documents").cache()
+
+  test("as-of join equals the brute-force per-row maximum") {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("tus"), col("value"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("tus"), col("event_id"), col("value"))
+    val got = TemporalJoinOps.asofJoinLast(clicks, views, Seq("user_id"),
+        "tus", "event_id", "value")
+      .select(col("event_id"), col("asof_value"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+
+    // brute force on the driver
+    val vs = views.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val cs = clicks.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cs.nonEmpty && vs.nonEmpty)
+    cs.foreach { case (eid, uid, t) =>
+      val want = vs.getOrElse(uid, Array.empty)
+        .filter(_._2 <= t)
+        .sortBy(v => (v._2, v._3)) // (ts, event_id): LOCF takes the last
+        .lastOption.map(_._4)
+      assert(got(eid) == want, s"click $eid: got ${got(eid)} want $want")
+    }
+  }
+
+  test("range self-join equals the brute-force pair set") {
+    val tol = 3600000000L // 1 h in micros
+    val ev = events.filter(col("user_id") < 10)
+    val got = TemporalJoinOps.rangeSelfPairs(ev, "user_id", "tus",
+        "event_id", tol)
+      .select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = ev.select("user_id", "event_id", "tus").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = (for {
+      a <- rows; b <- rows
+      if a._1 == b._1 && a._2 < b._2 && math.abs(a._3 - b._3) <= tol
+    } yield (a._2, b._2)).toSet
+    assert(want.nonEmpty, "subset should contain qualifying pairs")
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("range join catches pairs exactly at the tolerance boundary") {
+    import spark.implicits._
+    // craft timestamps straddling bucket boundaries at exact distances
+    val df = Seq(
+      (1L, 10L, 999L), (1L, 11L, 1999L),    // dt=1000 == tol, adjacent buckets
+      (1L, 12L, 3000L),                     // dt=1001 from id 11 -> excluded
+      (2L, 20L, 0L), (2L, 21L, 1000L)       // dt=1000 == tol, same/adjacent
+    ).toDF("k", "id", "t")
+    val got = TemporalJoinOps.rangeSelfPairs(df, "k", "t", "id", 1000L)
+      .select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 11L), (20L, 21L)), s"got $got")
+  }
+
+  test("hash sampling hits the target rate and is deterministic") {
+    val ids = spark.range(0, 20000).toDF("id")
+    val kept = ids.filter(CurationOps.hashKeep(col("id"), 0.3, "s1"))
+    val n = kept.count()
+    assert(math.abs(n / 20000.0 - 0.3) < 0.02, s"rate ${n / 20000.0}")
+    // determinism: same salt -> same set; different salt -> different set
+    val again = ids.filter(CurationOps.hashKeep(col("id"), 0.3, "s1"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.collect().map(_.getLong(0)).toSet == again)
+    val other = ids.filter(CurationOps.hashKeep(col("id"), 0.3, "s2"))
+      .collect().map(_.getLong(0)).toSet
+    assert(other != again)
+    // nesting: a 0.1 sample is NOT a subset of a 0.3 sample only if
+    // thresholds differ — with the same salt it IS (threshold monotone)
+    val small = ids.filter(CurationOps.hashKeep(col("id"), 0.1, "s1"))
+      .collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(again), "same-salt samples must nest")
+  }
+
+  test("stratified sample respects per-stratum rates") {
+    import spark.implicits._
+    val df = (0 until 10000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "s")
+    val kept = CurationOps.stratifiedSample(df, "s", "id",
+        Map("a" -> 0.5), defaultRate = 0.05, salt = "x")
+      .groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(kept("a") / 5000.0 - 0.5) < 0.05, s"a: ${kept("a")}")
+    assert(math.abs(kept.getOrElse("b", 0L) / 5000.0 - 0.05) < 0.02,
+      s"b: ${kept.getOrElse("b", 0L)}")
+  }
+
+  test("tfidf ranks a rare repeated term above ubiquitous ones") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "zebra zebra zebra common common"),
+      (2L, "common words only here"),
+      (3L, "more common words here")).toDF("doc_id", "text")
+    val top = CurationOps.tfidfTopTerms(df, "doc_id", "text", 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top(1L) == "zebra")
+  }
+
+  test("md5-parity LSH twin finds the same high-jaccard pairs as the fast path") {
+    val parity = DedupOps.minhashLshDedupParity(docs, "doc_id", "text",
+        shingleN = 2, k = 16, bands = 16, threshold = 0.1)
+      .select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = DedupOps.minhashLshDedup(docs, "doc_id", "text",
+        shingleN = 2, k = 16, bands = 16, threshold = 0.1)
+      .select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both are candidates∩(jaccard>=t) under different hash families;
+    // the verified sets should largely agree
+    val overlap = (parity intersect fast).size.toDouble
+    assert(parity.nonEmpty && fast.nonEmpty)
+    assert(overlap / math.max(parity.size, fast.size) >= 0.5,
+      s"parity=$parity fast=$fast")
+  }
+}
