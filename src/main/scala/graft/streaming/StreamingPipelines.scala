@@ -44,6 +44,21 @@ object StreamingPipelines {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sv"))
 
+  /** Streaming exact dedup for a document/event stream: drops rows
+    * whose dedup key was already seen within the watermark horizon —
+    * the streaming form of [[graft.operators.DedupOps.exactDedup]].
+    * State is keyed by the content hash and expires with the
+    * watermark, so state-store size is bounded by the horizon's
+    * distinct-key count, not the stream's length — the property that
+    * keeps a continuous 100 TB/day ingest feasible. */
+  def streamingExactDedup(docs: DataFrame, textCol: String,
+                          tsCol: String = "ts",
+                          watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(lower(trim(col(textCol)))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** The reference's batched CSV logging sink (S3): micro-batched
     * append with a ~1 s cadence (ORC_CONFIG.h:19 64 KiB cache,
     * ORC_Main.c:806-814). */

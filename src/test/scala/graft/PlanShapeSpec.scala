@@ -67,4 +67,55 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(plan(q("q14_semi_join")).contains("LeftSemi"))
     assert(plan(q("q15_anti_join")).contains("LeftAnti"))
   }
+
+  test("as-of join plans as one union + one window — no join operator") {
+    val p = plan(q("q42_asof_join"))
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+    assert(p.contains("Window"), "expected the LOCF window")
+    // one shuffle for the window partitioning; the final orderBy adds a
+    // range exchange — but no per-row join exchange
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"too many exchanges for a single-pass as-of:\n$p")
+  }
+
+  test("range join is a bucket equi-join, never a cartesian or " +
+      "pure-inequality nested loop") {
+    val p = plan(q("q43_range_join"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to O(n^2):\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an equi-join:\n$p")
+  }
+
+  test("stratified sample is a scan-side filter with pruned columns") {
+    val p = plan(q("q45_stratified_sample"))
+    assert(p.contains("Filter"), "sample must plan as a filter")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"sampling should not shuffle (beyond the output sort):\n$p")
+  }
+
+  test("IVF assignment is a pure projection: corpus side has no " +
+      "window or repartition exchange before the probe join") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val p = plan(SimilarityOps.ivfTopK(
+      emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+      "vec_id", "embedding", 5))
+    // probe join broadcasts the assigned query side; the only
+    // exchange(s) serve the final per-query top-k window
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe join should broadcast the query side:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1,
+      s"corpus cell assignment must not shuffle:\n$p")
+  }
+
+  test("minhash LSH signature aggregation keeps map-side partials") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = plan(graft.operators.DedupOps.minhashLshCandidates(
+      docs, "doc_id", "text", shingleN = 2, k = 16, bands = 16))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final signature aggregation:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -93,6 +93,32 @@ class StorageStreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops repeats across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val deduped = StreamingPipelines.streamingExactDedup(
+      input.toDF().toDF("ts", "doc_id", "text"), "text")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try {
+      // batch 1: A, B, and an in-batch repeat of A (case/space variant)
+      input.addData(Seq(
+        (ts(0), 1L, "alpha doc"), (ts(1), 2L, "beta doc"),
+        (ts(2), 3L, "  Alpha DOC ")))
+      q.processAllAvailable()
+      // batch 2: cross-batch repeat of A (state retained) + new C
+      input.addData(Seq(
+        (ts(3), 4L, "alpha doc"), (ts(4), 5L, "gamma doc")))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L, 5L),
+        s"expected first occurrence of each content, got $kept")
+    } finally q.stop()
+  }
+
   test("streaming CSV log sink writes micro-batched files") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
