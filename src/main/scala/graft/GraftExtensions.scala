@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Abs, Expression,
+  ExpressionInfo, If, LessThanOrEqual, Literal, Multiply, Signum, Subtract}
+
+import graft.functions.{ExactMedian, RollingHash, VectorDot}
+
+/** SQL surface for the engine's custom expressions: registers them in
+  * the session function registry so `spark.sql` users call them like
+  * built-ins. Activate per session via
+  * `spark.sql.extensions=graft.GraftExtensions`, or on an existing
+  * session with [[GraftFunctions.register]].
+  *
+  * Registered:
+  *  - `vector_dot(a, b)` — codegen'd double-array dot product
+  *  - `exact_median(x)`  — exact median TypedImperativeAggregate
+  *  - `deadband(x, floor)` — noise-floor crush (reference F5)
+  *  - `rolling_hash(text)` — base-31 mod-1e9+7 document fingerprint
+  *
+  * Builders return raw Catalyst trees (the analyzer applies its usual
+  * type coercion to them, like any parsed SQL).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** F5 noise-floor crush as a Catalyst tree:
+    * if |x| <= floor then 0 else x - signum(x)*floor. */
+  private def deadbandExpr(x: Expression, floor: Expression): Expression =
+    If(LessThanOrEqual(Abs(x), floor),
+      Literal(0.0d),
+      Subtract(x, Multiply(Signum(x), floor)))
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vector_dot"),
+      info("vector_dot", "vector_dot(a, b) - dot product of two array<double>"),
+      (es: Seq[Expression]) => VectorDot(es(0), es(1))),
+    (FunctionIdentifier("exact_median"),
+      info("exact_median", "exact_median(x) - exact median aggregate"),
+      (es: Seq[Expression]) => ExactMedian(es(0))),
+    (FunctionIdentifier("deadband"),
+      info("deadband", "deadband(x, floor) - crush |x|<=floor to 0, shrink rest"),
+      (es: Seq[Expression]) => deadbandExpr(es(0), es(1))),
+    (FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", "rolling_hash(text) - base-31 mod 1e9+7 fingerprint"),
+      (es: Seq[Expression]) => RollingHash(es(0))))
+
+  /** Register on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (ident, inf, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, inf, builder)
+    }
+}

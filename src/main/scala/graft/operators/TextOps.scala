@@ -170,15 +170,8 @@ object TextOps {
     * (base-31 over code points, mod 1e9+7 — the modulus keeps
     * acc*31+c inside a long under ANSI overflow checking) via a single
     * aggregate expression — document identity stable across chunking. */
-  def rollingHash(text: Column): Column = {
-    val Mod = 1000000007L
-    // Empty tokens filtered out: Java's empty-pattern regex split emits
-    // a trailing "" under limit -1, which would silently fold an extra
-    // *31 step and break cross-engine parity with the char-range form.
-    aggregate(
-      transform(filter(split(text, ""), ch => ch =!= lit("")),
-        ch => ascii(ch).cast("long")),
-      lit(0L),
-      (acc, c) => pmod(acc * 31 + c, lit(Mod)))
-  }
+  def rollingHash(text: Column): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      graft.functions.RollingHash(
+        org.apache.spark.sql.GraftExprBridge.expression(text)))
 }

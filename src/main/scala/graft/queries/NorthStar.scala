@@ -292,7 +292,36 @@ object NorthStar {
       .orderBy(col("id1"), col("id2"))
   }
 
+  // q49 — KMV (k-minimum-values) distinct sketch: a cross-engine
+  // DETERMINISTIC approximate-distinct (md5-derived uniform hashes;
+  // estimate = (k-1) * 2^32 / h_k), the oracle-checkable counterpart
+  // of q39's Spark-native HLL sketch. Groups with fewer than k
+  // distinct keys fall back to the exact count.
+  private val q49: Q = (s, dir) => {
+    val k = 64
+    val distinctPairs = t(s, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h",
+        conv(substring(md5(concat(lit("kmv:"),
+          col("user_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"), col("user_id"))
+    val ranked = distinctPairs
+      .withColumn("rn", row_number().over(w))
+    val kth = ranked.filter(col("rn") === k)
+      .select(col("event_type"), col("h").as("hk"))
+    val counts = distinctPairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_exact"))
+    counts.join(kth, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_exact"),
+        round(when(col("hk").isNull, col("n_exact").cast("double"))
+          .otherwise(lit((k - 1) * 4294967296.0) / col("hk")), 4)
+          .as("n_est"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q49_kmv_distinct" -> q49,
     "q42_asof_join" -> q42,
     "q43_range_join" -> q43,
     "q44_group_quantiles" -> q44,
@@ -575,7 +604,24 @@ object NorthStar {
        |WHERE bit_count(xor(s1, s2)) <= 8 ORDER BY id1, id2""".stripMargin
   }
 
+  private val q49Sql: String =
+    s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+       |h AS (SELECT event_type, user_id,
+       |             ${sqlHex32("md5('kmv:' || user_id::VARCHAR)")} AS h
+       |      FROM d),
+       |r AS (SELECT event_type, h,
+       |             ROW_NUMBER() OVER (PARTITION BY event_type
+       |                 ORDER BY h, user_id) AS rn FROM h),
+       |kth AS (SELECT event_type, h AS hk FROM r WHERE rn = 64),
+       |c AS (SELECT event_type, COUNT(*) AS n_exact FROM d GROUP BY event_type)
+       |SELECT c.event_type, c.n_exact,
+       |       ROUND(CASE WHEN kth.hk IS NULL THEN c.n_exact * 1.0
+       |                  ELSE ${63 * 4294967296.0} / kth.hk END, 4) AS n_est
+       |FROM c LEFT JOIN kth USING (event_type)
+       |ORDER BY c.event_type""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q49_kmv_distinct" -> q49Sql,
     "q29_ann_lsh_topk" -> q29Sql,
     "q30_multimodal_features" -> q30Sql,
     "q31_embedding_neardup" -> q31Sql,

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL registration surface: every custom expression must be
+  * callable from spark.sql like a built-in. */
+class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("registered SQL functions evaluate like their column forms") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       deadband(0.002D, 0.003D) AS db0,
+        |       deadband(0.010D, 0.003D) AS db1,
+        |       rolling_hash('ab') AS rh""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 0.0)
+    assert(math.abs(r.getDouble(2) - 0.007) < 1e-12)
+    // ((0*31+97)%M)*31+98 = 3105
+    assert(r.getLong(3) == 3105L)
+  }
+
+  test("exact_median works as a SQL aggregate") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(1.0, 9.0, 3.0, 5.0, 7.0).toDF("x").createOrReplaceTempView("mx")
+    val m = spark.sql("SELECT exact_median(x) AS m FROM mx").collect()(0)
+    assert(m.getDouble(0) == 5.0)
+    val m4 = spark.sql(
+      "SELECT exact_median(x) AS m FROM mx WHERE x < 9").collect()(0)
+    assert(m4.getDouble(0) == 4.0) // even count: mean of middle two
+  }
+
+  test("the extensions class injects the same registry entries") {
+    // GraftExtensions is the spark.sql.extensions entry point; its
+    // injection list must stay in sync with the direct registrar.
+    val names = GraftFunctions.all.map(_._1.funcName).toSet
+    assert(names == Set("vector_dot", "exact_median", "deadband",
+      "rolling_hash"))
+    val ext = new GraftExtensions
+    val sse = new org.apache.spark.sql.SparkSessionExtensions
+    ext(sse) // must not throw; builder wiring exercised above
+  }
+}
