@@ -41,20 +41,34 @@ object GraftFunctions {
       Literal(0.0d),
       Subtract(x, Multiply(Signum(x), floor)))
 
+  /** Wrap a builder with an arity check so a wrong-argument-count call
+    * fails analysis with a clear message instead of an
+    * IndexOutOfBoundsException from es(i). */
+  private def arity(name: String, n: Int)(b: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression =
+    es => {
+      if (es.length != n) throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name, "expectedNum" -> n.toString,
+          "actualNum" -> es.length.toString, "docroot" -> ""))
+      b(es)
+    }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vector_dot"),
       info("vector_dot", "vector_dot(a, b) - dot product of two array<double>"),
-      (es: Seq[Expression]) => VectorDot(es(0), es(1))),
+      arity("vector_dot", 2)(es => VectorDot(es(0), es(1)))),
     (FunctionIdentifier("exact_median"),
       info("exact_median", "exact_median(x) - exact median aggregate"),
-      (es: Seq[Expression]) => ExactMedian(es(0))),
+      arity("exact_median", 1)(es => ExactMedian(es(0)))),
     (FunctionIdentifier("deadband"),
       info("deadband", "deadband(x, floor) - crush |x|<=floor to 0, shrink rest"),
-      (es: Seq[Expression]) => deadbandExpr(es(0), es(1))),
+      arity("deadband", 2)(es => deadbandExpr(es(0), es(1)))),
     (FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(text) - base-31 mod 1e9+7 fingerprint"),
-      (es: Seq[Expression]) => RollingHash(es(0))))
+      arity("rolling_hash", 1)(es => RollingHash(es(0)))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

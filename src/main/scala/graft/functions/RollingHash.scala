@@ -6,11 +6,15 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Base-31 rolling polynomial hash of a string mod 1e9+7 — document
-  * fingerprint stable across chunking (TextOps.rollingHash semantics:
-  * fold over UTF-16 code units, acc = (acc*31 + c) mod 1e9+7, empty
-  * string hashes to 0). A native expression instead of the
-  * split/filter/transform/aggregate HOF chain: one primitive loop,
-  * codegen'd, no per-character array allocation. */
+  * fingerprint stable across chunking: fold over Unicode CODE POINTS,
+  * acc = (acc*31 + cp) mod 1e9+7, empty string hashes to 0. Code
+  * points (not UTF-16 units) match both the original
+  * split("")+ascii() formulation (Java's regex split is
+  * code-point-aware) and the DuckDB oracle's per-character ord() —
+  * supplementary-plane text hashes identically in all three. A native
+  * expression instead of the split/filter/transform/aggregate HOF
+  * chain: one primitive loop, codegen'd, no per-character array
+  * allocation. */
 case class RollingHash(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -32,8 +36,9 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     var acc = 0L
     var i = 0
     while (i < s.length) {
-      acc = (acc * 31 + s.charAt(i)) % Mod
-      i += 1
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % Mod
+      i += Character.charCount(cp)
     }
     acc
   }
@@ -42,12 +47,16 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c => {
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
       val acc = ctx.freshName("acc")
       s"""
          |String $s = $c.toString();
          |long $acc = 0L;
-         |for (int $i = 0; $i < $s.length(); $i++) {
-         |  $acc = ($acc * 31L + $s.charAt($i)) % ${Mod}L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $acc = ($acc * 31L + $cp) % ${Mod}L;
+         |  $i += Character.charCount($cp);
          |}
          |${ev.value} = $acc;
        """.stripMargin

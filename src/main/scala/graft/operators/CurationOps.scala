@@ -11,15 +11,21 @@ import org.apache.spark.sql.functions._
   */
 object CurationOps {
 
-  /** Deterministic inclusion predicate: keep a row iff the first 8 hex
-    * digits of md5(salt + ":" + id), read as a 32-bit integer, fall
-    * below rate * 2^32. Cross-engine reproducible (md5 + integer
-    * compare — no engine RNG involved) and stable under repartitioning,
-    * re-runs, and scale changes. */
+  /** First 8 hex digits of md5 of the input string, as a 32-bit value
+    * in a long — THE cross-engine hash idiom of this library (mirrored
+    * by the DuckDB oracle generator's sqlHex32). Every consumer of a
+    * deterministic uniform hash must go through this one definition so
+    * the Spark and oracle sides cannot drift apart. */
+  def md5Hash32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** Deterministic inclusion predicate: keep a row iff
+    * md5Hash32(salt + ":" + id) falls below rate * 2^32. Cross-engine
+    * reproducible (md5 + integer compare — no engine RNG involved) and
+    * stable under repartitioning, re-runs, and scale changes. */
   def hashKeep(id: Column, rate: Double, salt: String): Column = {
     val threshold = math.floor(rate * 4294967296.0).toLong
-    conv(substring(md5(concat(lit(s"$salt:"), id.cast("string"))), 1, 8),
-      16, 10).cast("long") < lit(threshold)
+    md5Hash32(concat(lit(s"$salt:"), id.cast("string"))) < lit(threshold)
   }
 
   /** Stratified deterministic sample: per-stratum rates, one scan, no
@@ -33,9 +39,8 @@ object CurationOps {
       when(col(stratumCol) === s, r).otherwise(acc)
     }
     // rate is data-dependent, so inline the threshold comparison
-    val hash32 = conv(
-      substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 8),
-      16, 10).cast("long")
+    val hash32 =
+      md5Hash32(concat(lit(s"$salt:"), col(idCol).cast("string")))
     df.filter(hash32 < floor(rate * 4294967296.0).cast("long"))
   }
 

@@ -268,8 +268,7 @@ object DedupOps {
     val tok = df
       .select(col(idCol).as("doc_id"),
         explode(TextOps.tokens(col(textCol))).as("t"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long").as("h"))
+      .select(col("doc_id"), CurationOps.md5Hash32(col("t")).as("h"))
     val voteCols = (0 until 32).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"b$b"))
@@ -289,10 +288,19 @@ object DedupOps {
     * simhash operators, so the norm + bucket pipeline is computed
     * exactly once per vector (a bucket self-join would recompute it
     * per join side). Vectors shuffle once, keyed by bucket; `planes`
-    * controls bucket granularity and should grow with corpus size. */
+    * controls bucket granularity and should grow with corpus size.
+    *
+    * `maxBucketSize` drops degenerate megabuckets before pair
+    * expansion (the same frequent-bucket skip as the minhash path):
+    * the collected member list and its pair array live in one row, so
+    * an uncapped bucket of m vectors would materialize O(m^2) pair
+    * structs carrying full vectors — the cap bounds that at
+    * O(cap^2) regardless of corpus size. A bucket exceeding the cap
+    * means `planes` is too small for the corpus. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        planes: Int = 16, threshold: Double = 0.95,
-                       dims: Int = 64): DataFrame = {
+                       dims: Int = 64, maxBucketSize: Int = 1000)
+      : DataFrame = {
     val withBucket = df.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("vn", SimilarityOps.norm(col("v")))
@@ -302,7 +310,8 @@ object DedupOps {
       .groupBy(col("bucket"))
       .agg(sort_array(collect_list(
         struct(col("vec_id"), col("v"), col("vn")))).as("members"))
-      .filter(size(col("members")) >= 2)
+      .filter(size(col("members")) >= 2 &&
+        size(col("members")) <= maxBucketSize)
     buckets
       .select(explode(flatten(transform(col("members"), (x, i) =>
         transform(slice(col("members"), i + 2, size(col("members"))),

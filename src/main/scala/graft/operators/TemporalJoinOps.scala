@@ -6,13 +6,13 @@ import org.apache.spark.sql.functions._
 
 /** Temporal join operators Spark lacks natively, built shuffle-lean:
   *
-  *  - [[asofJoinLast]]: backward-looking as-of join expressed as ONE
-  *    union + window pass — no join operator at all. Both sides shuffle
-  *    once on the key, then a per-key ordered LOCF picks each left
-  *    row's most recent right match. This is the standard distributed
-  *    as-of formulation: cost is a single sort-shuffle of |L|+|R| rows
-  *    regardless of time-range skew, where a naive range join would be
-  *    O(|L|x|R|) within key.
+  *  - [[asofJoinLast]] / [[asofJoinNext]]: backward/forward as-of join
+  *    expressed as ONE union + window pass — no join operator at all.
+  *    Both sides shuffle once on the key, then a per-key ordered LOCF
+  *    picks each left row's nearest right match. This is the standard
+  *    distributed as-of formulation: cost is a single sort-shuffle of
+  *    |L|+|R| rows regardless of time-range skew, where a naive range
+  *    join would be O(|L|x|R|) within key.
   *  - [[rangeSelfPairs]]: bounded-interval range join via time
   *    bucketing — each row joins only its own and its neighboring
   *    bucket, so the shuffle key is (key, bucket) and per-task work is
@@ -20,19 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoinOps {
 
-  /** Backward-looking as-of join: for every left row, attach `valCol`
-    * of the right row with the greatest (ts, orderCol) such that
-    * right.ts <= left.ts within the same `keys`. Right rows at the
-    * exact same ts DO match (inclusive); ties among right rows resolve
-    * to the largest `orderCol`. Left rows with no prior right row get
-    * null.
-    *
-    * `tsCol` and `orderCol` must exist on both sides; `valCol` on the
-    * right. All left columns pass through.
-    */
-  def asofJoinLast(left: DataFrame, right: DataFrame, keys: Seq[String],
-                   tsCol: String, orderCol: String, valCol: String)
-      : DataFrame = {
+  /** Shared as-of core. `forward=false`: match the right row with the
+    * greatest (ts, orderCol) such that right.ts <= left.ts;
+    * `forward=true`: the smallest (ts, orderCol) with right.ts >=
+    * left.ts. Equal timestamps DO match (inclusive). A right row whose
+    * `valCol` is NULL still matches (and yields a null value) — match
+    * presence is tracked by a row marker, not by the value's nullness,
+    * so nullable value columns keep true as-of semantics. Left rows
+    * with no matching right row get null. All left columns pass
+    * through; the match arrives as `asof_<valCol>`. */
+  private def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       tsCol: String, orderCol: String, valCol: String,
+                       forward: Boolean): DataFrame = {
     val keyCols = keys.map(col)
     val leftPayload = struct(left.columns.map(col): _*).as("__l")
     val l = left.select(keyCols ++ Seq(
@@ -43,14 +42,37 @@ object TemporalJoinOps {
       col(tsCol).as("__ts"), lit(0).as("__side"), col(orderCol).as("__ord"),
       col(valCol).as("__v"),
       lit(null).cast(l.schema("__l").dataType).as("__l")): _*)
+    val ordering =
+      if (forward) Seq(col("__ts").desc, col("__side"), col("__ord").desc)
+      else Seq(col("__ts"), col("__side"), col("__ord"))
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("__ts"), col("__side"), col("__ord"))
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     r.unionByName(l)
-      .withColumn("__match", last(col("__v"), ignoreNulls = true).over(w))
+      // wrap right rows in a struct so a NULL value still counts as a
+      // match; ignoreNulls skips only left rows (null struct)
+      .withColumn("__match",
+        last(when(col("__side") === 0, struct(col("__v"))),
+          ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(col("__l.*"), col("__match").as(s"asof_$valCol"))
+      .select(col("__l.*"), col("__match.__v").as(s"asof_$valCol"))
   }
+
+  /** Backward-looking as-of join: for every left row, attach `valCol`
+    * of the right row with the greatest (ts, orderCol) such that
+    * right.ts <= left.ts within the same `keys`. */
+  def asofJoinLast(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   tsCol: String, orderCol: String, valCol: String)
+      : DataFrame =
+    asofJoin(left, right, keys, tsCol, orderCol, valCol, forward = false)
+
+  /** Forward-looking as-of join: for every left row, attach `valCol`
+    * of the right row with the smallest (ts, orderCol) such that
+    * right.ts >= left.ts within the same `keys`. */
+  def asofJoinNext(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   tsCol: String, orderCol: String, valCol: String)
+      : DataFrame =
+    asofJoin(left, right, keys, tsCol, orderCol, valCol, forward = true)
 
   /** All unordered pairs of rows sharing `keyCol` whose `tsIntCol`
     * (any integral time unit — epoch micros/nanos) values differ by at

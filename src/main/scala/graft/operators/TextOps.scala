@@ -167,9 +167,10 @@ object TextOps {
   }
 
   /** Rolling polynomial hash fingerprint of the whole document
-    * (base-31 over code points, mod 1e9+7 — the modulus keeps
-    * acc*31+c inside a long under ANSI overflow checking) via a single
-    * aggregate expression — document identity stable across chunking. */
+    * (base-31 over Unicode code points, mod 1e9+7) — document identity
+    * stable across chunking. Backed by the codegen'd
+    * [[graft.functions.RollingHash]] expression (one primitive loop
+    * per string). */
   def rollingHash(text: Column): Column =
     org.apache.spark.sql.GraftExprBridge.column(
       graft.functions.RollingHash(

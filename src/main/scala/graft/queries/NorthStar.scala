@@ -8,11 +8,14 @@ import graft.operators.{CurationOps, DedupOps, MultimodalOps, SimilarityOps,
   TemporalJoinOps, TextOps}
 
 /** North-star training-data-pipeline queries (BASELINE.json): dedup,
-  * similarity search, text analysis, multimodal — over the `documents`
-  * and `embeddings` tables. DuckDB oracles where the op is
-  * SQL-expressible; hash-based probabilistic ops (SimHash, hyperplane
-  * LSH, media stubs) are declared without oracle (driver rows-only
-  * check) and verified by ScalaTest instead.
+  * similarity search, text analysis, multimodal, temporal joins,
+  * sampling — over the `documents`, `embeddings`, and `events`
+  * tables. Everything carries a DuckDB oracle except the xxhash64
+  * fast paths (q26/q27 — which have md5-parity oracle twins q47/q48),
+  * the Welch p-value (q34 — incomplete beta, checked against an
+  * independent high-precision implementation), and the Spark-native
+  * HLL sketch (q39 — error-bound spec; the deterministic KMV sketch
+  * q49 is the oracle-checked counterpart).
   */
 object NorthStar {
   private type Q = (SparkSession, String) => DataFrame
@@ -57,9 +60,10 @@ object NorthStar {
       .orderBy(col("lang_pred"))
   }
 
-  // q24 — MinHash document fingerprints (deterministic md5 minima).
-  // Tokens/shingles staged as their own projections (see CLAUDE.md:
-  // lambda-referenced expressions re-evaluate per element).
+  // q24 — MinHash document fingerprints (deterministic md5 minima;
+  // shingles come from the zip_with builder, so inlining through
+  // projection collapse cannot re-evaluate the tokenizer per element —
+  // see CLAUDE.md's footgun note).
   private val q24: Q = (s, dir) => {
     t(s, dir, "documents")
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
@@ -80,7 +84,8 @@ object NorthStar {
       .orderBy(col("id1"), col("id2"))
   }
 
-  // q26 — MinHash-LSH near-dup dedup (bucket join; no oracle)
+  // q26 — MinHash-LSH near-dup dedup (xxhash64 fast path — rows-only;
+  // the md5-parity twin q47 carries the DuckDB oracle)
   private val q26: Q = (s, dir) => {
     DedupOps.minhashLshDedup(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 2, k = 16, bands = 16, threshold = 0.1)
@@ -88,7 +93,8 @@ object NorthStar {
       .orderBy(col("id1"), col("id2"))
   }
 
-  // q27 — SimHash near-dup candidates (no oracle)
+  // q27 — SimHash near-dup candidates (xxhash64 fast path — rows-only;
+  // the 32-bit md5 twin q48 carries the DuckDB oracle)
   private val q27: Q = (s, dir) => {
     DedupOps.simhashNearDup(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 24)
@@ -104,7 +110,8 @@ object NorthStar {
       .select(col("qid"), col("nid"), round(col("cos"), 6).as("cos"))
   }
 
-  // q29 — LSH-bucketed ANN top-5 (no oracle; recall vs q28 in tests)
+  // q29 — LSH-bucketed ANN top-5 (plan-time literal planes; DuckDB
+  // oracle inlines the same matrix — bit-exact)
   private val q29: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     SimilarityOps.lshTopK(emb, emb.filter(col("vec_id") < 50),
@@ -114,7 +121,8 @@ object NorthStar {
   }
 
   // q30 — multimodal feature extraction over synthetic payloads
-  // (codec step stubbed; plumbing real — no oracle)
+  // (codec step stubbed; plumbing real — byte statistics are
+  // integer-exact, DuckDB-oracle-checked)
   private val q30: Q = (s, dir) => {
     import s.implicits._
     val media = MultimodalOps
@@ -128,14 +136,16 @@ object NorthStar {
   }
 
   // q31 — embedding-cosine near-dup pairs via hyperplane buckets
+  // (DuckDB oracle inlines the same plane matrix and megabucket cap)
   private val q31: Q = (s, dir) => {
     DedupOps.embeddingNearDup(t(s, dir, "embeddings"), "vec_id",
-        "embedding", planes = 2, threshold = 0.35)
+        "embedding", planes = 4, threshold = 0.35)
       .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cos"))
       .orderBy(col("id1"), col("id2"))
   }
 
-  // q32 — video frame sampling (column-expression slicing; no oracle)
+  // q32 — video frame sampling (column-expression slicing; frame
+  // grid DuckDB-oracle-checked)
   private val q32: Q = (s, dir) => {
     val media = MultimodalOps
       .syntheticMedia(t(s, dir, "documents"), "doc_id", "text")
@@ -190,8 +200,9 @@ object NorthStar {
       .orderBy(col("lang_pred"))
   }
 
-  // q40 — IVF ANN top-5 (coarse-quantizer cells + probes; no oracle,
-  // recall vs brute force asserted in NorthStarSpec)
+  // q40 — IVF ANN top-5 (md5-ordered coarse quantizer + probes;
+  // DuckDB-oracle-checked bit for bit, recall vs brute force in
+  // NorthStarSpec)
   private val q40: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 50),
@@ -201,9 +212,8 @@ object NorthStar {
   }
 
   // q41 — rolling-hash document fingerprints (base-31 polynomial over
-  // code points mod 1e9+7; chunking-stable identity). Engine-specific
-  // expression — no SQL oracle; determinism + sensitivity covered in
-  // NorthStarSpec.
+  // code points mod 1e9+7; chunking-stable identity). Native codegen
+  // expression, DuckDB-oracle-checked via a list_reduce mirror.
   private val q41: Q = (s, dir) => {
     t(s, dir, "documents")
       .select(col("doc_id"), TextOps.rollingHash(col("text")).as("fp"))
@@ -224,6 +234,21 @@ object NorthStar {
         "event_id", "value")
       .select(col("event_id"), round(col("value"), 6).as("click_value"),
         round(col("asof_value"), 6).as("prior_view_value"))
+      .orderBy(col("event_id"))
+  }
+
+  // q50 — forward as-of join: each click's next view value per user
+  // (the mirror of q42; same single union+window pass).
+  private val q50: Q = (s, dir) => {
+    val ev = t(s, dir, "events").withColumn("tus", expr("ts_ns div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("tus"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("tus"), col("event_id"), col("value"))
+    TemporalJoinOps.asofJoinNext(clicks, views, Seq("user_id"), "tus",
+        "event_id", "value")
+      .select(col("event_id"),
+        round(col("asof_value"), 6).as("next_view_value"))
       .orderBy(col("event_id"))
   }
 
@@ -301,18 +326,18 @@ object NorthStar {
     val k = 64
     val distinctPairs = t(s, dir, "events")
       .select(col("event_type"), col("user_id")).distinct()
-      .withColumn("h",
-        conv(substring(md5(concat(lit("kmv:"),
-          col("user_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+      .withColumn("h", graft.operators.CurationOps.md5Hash32(
+        concat(lit("kmv:"), col("user_id").cast("string"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("h"), col("user_id"))
-    val ranked = distinctPairs
+    // one pass: max(rn) IS the exact distinct count, and the k-th
+    // smallest hash falls out of the same ranked rows — no second
+    // events scan, no join
+    distinctPairs
       .withColumn("rn", row_number().over(w))
-    val kth = ranked.filter(col("rn") === k)
-      .select(col("event_type"), col("h").as("hk"))
-    val counts = distinctPairs.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_exact"))
-    counts.join(kth, Seq("event_type"), "left")
+      .groupBy(col("event_type"))
+      .agg(max(col("rn")).cast("long").as("n_exact"),
+        max(when(col("rn") === k, col("h"))).as("hk"))
       .select(col("event_type"), col("n_exact"),
         round(when(col("hk").isNull, col("n_exact").cast("double"))
           .otherwise(lit((k - 1) * 4294967296.0) / col("hk")), 4)
@@ -322,6 +347,7 @@ object NorthStar {
 
   val all: Map[String, Q] = Map(
     "q49_kmv_distinct" -> q49,
+    "q50_asof_forward" -> q50,
     "q42_asof_join" -> q42,
     "q43_range_join" -> q43,
     "q44_group_quantiles" -> q44,
@@ -413,10 +439,13 @@ object NorthStar {
   private val q31Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v, ${sqlNorm("v")} AS vn FROM e),
-       |b AS (SELECT vec_id, v, vn, ${sqlBucket("v", 2)} AS bucket FROM n),
+       |b AS (SELECT vec_id, v, vn, ${sqlBucket("v", 4)} AS bucket FROM n),
+       |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bsz FROM b),
        |p AS (SELECT a.vec_id AS id1, c.vec_id AS id2,
        |             ${sqlDot("a.v", "c.v")} / (a.vn * c.vn) AS cosine
-       |      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+       |      FROM sized a JOIN sized c
+       |      ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+       |         AND a.bsz BETWEEN 2 AND 1000)
        |SELECT id1, id2, ROUND(cosine, 6) AS cos FROM p
        |WHERE cosine >= 0.35::DOUBLE ORDER BY id1, id2""".stripMargin
 
@@ -620,8 +649,21 @@ object NorthStar {
        |FROM c LEFT JOIN kth USING (event_type)
        |ORDER BY c.event_type""".stripMargin
 
+  private val q50Sql: String =
+    """WITH c AS (SELECT event_id, user_id, -epoch_us(ts) AS ntn
+      |           FROM events WHERE event_type = 'click'),
+      |v AS (SELECT user_id, -epoch_us(ts) AS ntn, arg_min(value, event_id) AS value
+      |      FROM events WHERE event_type = 'view'
+      |      GROUP BY user_id, epoch_us(ts)),
+      |j AS (SELECT c.event_id, v.value AS nv
+      |      FROM c ASOF LEFT JOIN v
+      |      ON c.user_id = v.user_id AND c.ntn >= v.ntn)
+      |SELECT event_id, ROUND(nv, 6) AS next_view_value
+      |FROM j ORDER BY event_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q49_kmv_distinct" -> q49Sql,
+    "q50_asof_forward" -> q50Sql,
     "q29_ann_lsh_topk" -> q29Sql,
     "q30_multimodal_features" -> q30Sql,
     "q31_embedding_neardup" -> q31Sql,

@@ -43,6 +43,50 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("as-of join matches a right row with a NULL value (no fallback " +
+      "to an older non-null row)") {
+    import spark.implicits._
+    val left = Seq((100L, 1L, 25L)).toDF("event_id", "k", "t")
+    val right = Seq(
+      (1L, 10L, 1L, Some(5.0)),
+      (1L, 20L, 2L, Option.empty[Double])).toDF("k", "t", "event_id", "v")
+    val back = TemporalJoinOps.asofJoinLast(left, right, Seq("k"), "t",
+        "event_id", "v")
+      .select("event_id", "asof_v").collect()
+    // true as-of match is the ts=20 row; its value is NULL — the join
+    // must NOT fall back to the older ts=10 value 5.0
+    assert(back.length == 1 && back(0).isNullAt(1),
+      s"expected null match, got ${back(0)}")
+    val fwd = TemporalJoinOps.asofJoinNext(left, right, Seq("k"), "t",
+        "event_id", "v")
+      .select("event_id", "asof_v").collect()
+    // no right row at ts >= 25 -> null
+    assert(fwd.length == 1 && fwd(0).isNullAt(1))
+  }
+
+  test("forward as-of join equals the brute-force per-row minimum") {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("tus"), col("value"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("tus"), col("event_id"), col("value"))
+    val got = TemporalJoinOps.asofJoinNext(clicks, views, Seq("user_id"),
+        "tus", "event_id", "value")
+      .select(col("event_id"), col("asof_value"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val vs = views.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val cs = clicks.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    cs.foreach { case (eid, uid, t) =>
+      val want = vs.getOrElse(uid, Array.empty)
+        .filter(_._2 >= t)
+        .sortBy(v => (v._2, v._3)) // smallest (ts, event_id) wins
+        .headOption.map(_._4)
+      assert(got(eid) == want, s"click $eid: got ${got(eid)} want $want")
+    }
+  }
+
   test("range self-join equals the brute-force pair set") {
     val tol = 3600000000L // 1 h in micros
     val ev = events.filter(col("user_id") < 10)
