@@ -17,9 +17,14 @@ object Bench {
     // class-loading + codegen startup (~3 s otherwise).
     try graft.core.Tables.load(spark, sfDir, "lineitem").count()
     catch { case _: Throwable => () }
+    // noop sink, not count(): count() lets the optimizer prune every
+    // column that doesn't feed an aggregate and drop output sorts
+    // (EliminateSorts), so projection-shaped queries would time almost
+    // nothing. The noop writer evaluates every output column fully.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

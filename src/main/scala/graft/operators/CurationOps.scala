@@ -44,6 +44,27 @@ object CurationOps {
     df.filter(hash32 < floor(rate * 4294967296.0).cast("long"))
   }
 
+  /** Deterministic train/val/test split assignment: the md5-hash
+    * fraction of each id picks the split whose cumulative weight range
+    * contains it. Reproducible across engines/runs/repartitioning and
+    * disjoint by construction — the standard way to pin dataset splits
+    * for a 100 TB corpus without a shuffle (it is a pure projection).
+    * `weights` need not sum to 1; they are normalized. */
+  def assignSplit(id: Column, weights: Seq[(String, Double)],
+                  salt: String): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0) &&
+      weights.map(_._2).sum > 0, s"bad weights $weights")
+    val total = weights.map(_._2).sum
+    val h = md5Hash32(concat(lit(s"$salt:"), id.cast("string")))
+    // cumulative integer thresholds over the 32-bit hash space
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }
+      .tail.map(c => math.floor(c / total * 4294967296.0).toLong)
+    weights.map(_._1).zip(cuts).reverse
+      .foldLeft(lit(weights.last._1)) { case (acc, (name, cut)) =>
+        when(h < cut, name).otherwise(acc)
+      }
+  }
+
   /** Per-document TF-IDF top terms: tf = term count / doc tokens,
     * idf = ln((N + 1) / (df + 1)) + 1 (smoothed, never negative),
     * ranked per doc by (tfidf desc, term asc). Two shuffles: term

@@ -166,6 +166,36 @@ object TextOps {
       lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
+  /** Overlapping token windows for LLM-style document chunking:
+    * windows of `width` tokens every `stride` tokens, plus a final
+    * shorter window when a tail would otherwise be lost. Returns
+    * array<struct<chunk_idx, chunk_text>>.
+    *
+    * The window slice references `toks` inside the lambda (one
+    * evaluation per WINDOW, not per token — windows/doc is small).
+    * Still, pass a materialized token column rather than an inline
+    * tokenizer where possible. */
+  def tokenChunks(toks: Column, width: Int, stride: Int): Column = {
+    require(stride > 0 && width >= stride,
+      s"need width >= stride > 0, got width=$width stride=$stride")
+    val n = size(toks)
+    // number of windows: 1 + ceil(max(n - width, 0) / stride)
+    val extra = greatest(n - width, lit(0))
+    val nChunks = lit(1) + ceil(extra.cast("double") / stride).cast("int")
+    transform(sequence(lit(0), nChunks - 1),
+      i => struct(i.as("chunk_idx"),
+        concat_ws(" ", slice(toks, i * stride + 1, lit(width)))
+          .as("chunk_text")))
+  }
+
+  /** Regex redaction: replace every match of each pattern with its
+    * replacement token, applied in order. Pure scan-shaped — composes
+    * with pushdown and runs at full scan speed. */
+  def redact(text: Column, rules: Seq[(String, String)]): Column =
+    rules.foldLeft(text) { case (acc, (pattern, repl)) =>
+      regexp_replace(acc, pattern, repl)
+    }
+
   /** Rolling polynomial hash fingerprint of the whole document
     * (base-31 over Unicode code points, mod 1e9+7) — document identity
     * stable across chunking. Backed by the codegen'd

@@ -345,9 +345,51 @@ object NorthStar {
       .orderBy(col("event_type"))
   }
 
+  // q51 — overlapping token-window chunking (width 32, stride 24):
+  // the LLM-training preprocessing step; chunk content pinned by its
+  // rolling-hash fingerprint.
+  private val q51: Q = (s, dir) => {
+    val chunks = t(s, dir, "documents").filter(col("doc_id") < 50)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(TextOps.tokenChunks(col("toks"), 32, 24)).as("c"))
+    chunks.select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        length(col("c.chunk_text")).as("n_chars"),
+        TextOps.rollingHash(col("c.chunk_text")).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  // q52 — deterministic train/val/test split assignment (hash-range
+  // buckets; disjoint, reproducible, shuffle-free).
+  private val q52: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .select(CurationOps.assignSplit(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "graft")
+        .as("split"))
+      .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("split"))
+  }
+
+  // q53 — regex redaction (PII-scrub shape): ordered replace rules,
+  // result pinned by fingerprint + length.
+  val RedactRules: Seq[(String, String)] = Seq(
+    "\\bdata\\b" -> "<TOPIC>",
+    "[0-9]+" -> "#")
+  private val q53: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.redact(col("text"), RedactRules).as("red"))
+      .select(col("doc_id"), length(col("red")).as("n_chars"),
+        TextOps.rollingHash(col("red")).as("red_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "q49_kmv_distinct" -> q49,
     "q50_asof_forward" -> q50,
+    "q51_doc_chunks" -> q51,
+    "q52_split_assign" -> q52,
+    "q53_redaction" -> q53,
     "q42_asof_join" -> q42,
     "q43_range_join" -> q43,
     "q44_group_quantiles" -> q44,
@@ -403,6 +445,12 @@ object NorthStar {
     * Spark's conv(substring(md5(x), 1, 8), 16, 10)). */
   private def sqlHex32(h: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 9), j -> CAST(strpos('0123456789abcdef', substr($h, j, 1)) - 1 AS BIGINT))), (a, x) -> a * 16 + x)"
+
+  /** Base-31 mod-1e9+7 rolling hash of string expression `t` (mirrors
+    * [[graft.functions.RollingHash]] — per-character ord = code
+    * points). */
+  private def sqlRollingHash(t: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length($t) + 1), j -> CAST(ord(substr($t, j, 1)) AS BIGINT))), (a, c) -> (a * 31 + c) % 1000000007)"
 
   private val q29Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -661,9 +709,59 @@ object NorthStar {
       |SELECT event_id, ROUND(nv, 6) AS next_view_value
       |FROM j ORDER BY event_id""".stripMargin
 
+  private val q51Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents WHERE doc_id < 50),
+       |c AS (
+       |  SELECT doc_id, toks,
+       |         unnest(range(0, 1 + CAST(ceil(GREATEST(len(toks) - 32, 0) / 24.0) AS INT))) AS chunk_idx
+       |  FROM d),
+       |t AS (
+       |  SELECT doc_id, chunk_idx,
+       |         array_to_string(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') AS ct
+       |  FROM c)
+       |SELECT doc_id, chunk_idx, length(ct) AS n_chars,
+       |       ${sqlRollingHash("ct")} AS chunk_fp
+       |FROM t ORDER BY doc_id, chunk_idx""".stripMargin
+
+  private val q52Sql: String = {
+    // same cumulative thresholds the Spark side computes
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val total = weights.map(_._2).sum
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }
+      .tail.map(c => math.floor(c / total * 4294967296.0).toLong)
+    val cases = weights.map(_._1).zip(cuts).dropRight(1)
+      .map { case (name, cut) => s"WHEN hv < $cut THEN '$name'" }
+      .mkString(" ")
+    s"""WITH m AS (SELECT doc_id, md5('graft:' || doc_id::VARCHAR) AS h
+       |           FROM documents),
+       |f AS (SELECT doc_id, ${sqlHex32("h")} AS hv FROM m),
+       |a AS (SELECT CASE $cases ELSE '${weights.last._1}' END AS split
+       |      FROM f)
+       |SELECT split, COUNT(*) AS n_docs FROM a
+       |GROUP BY split ORDER BY split""".stripMargin
+  }
+
+  private val q53Sql: String = {
+    // DuckDB single-quoted strings pass backslashes through verbatim,
+    // so the Java-side pattern string is inlined as-is (quotes doubled)
+    val applied = RedactRules.foldLeft("text") { case (acc, (pat, repl)) =>
+      val p = pat.replace("'", "''")
+      s"regexp_replace($acc, '$p', '$repl', 'g')"
+    }
+    s"""WITH r AS (SELECT doc_id, $applied AS red FROM documents)
+       |SELECT doc_id, length(red) AS n_chars,
+       |       ${sqlRollingHash("red")} AS red_fp
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q49_kmv_distinct" -> q49Sql,
     "q50_asof_forward" -> q50Sql,
+    "q51_doc_chunks" -> q51Sql,
+    "q52_split_assign" -> q52Sql,
+    "q53_redaction" -> q53Sql,
     "q29_ann_lsh_topk" -> q29Sql,
     "q30_multimodal_features" -> q30Sql,
     "q31_embedding_neardup" -> q31Sql,

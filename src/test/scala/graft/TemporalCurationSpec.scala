@@ -162,6 +162,57 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
     assert(top(1L) == "zebra")
   }
 
+  test("token chunking covers every token with the right overlap") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(TextOps.tokenChunks(col("toks"), 32, 24)).as("c"))
+      .select(col("c.chunk_idx"), col("c.chunk_text"))
+    val chunks = df.collect()
+      .map(r => r.getInt(0) -> r.getString(1).split(" ")).sortBy(_._1)
+    // 100 tokens, width 32, stride 24 -> 1 + ceil(68/24) = 4 chunks
+    assert(chunks.length == 4)
+    assert(chunks.take(3).forall(_._2.length == 32))
+    assert(chunks.last._2.length == 100 - 3 * 24) // final partial window
+    // consecutive chunks overlap by width - stride tokens
+    chunks.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(a.takeRight(8).sameElements(b.take(8)))
+    }
+    // concatenating each chunk's first `stride` tokens + the tail
+    // reconstructs the document
+    val rebuilt = chunks.init.flatMap(_._2.take(24)) ++ chunks.last._2
+    assert(rebuilt.sameElements(text.split(" ")))
+  }
+
+  test("split assignment is disjoint, total, and close to the weights") {
+    import graft.operators.CurationOps
+    val ids = spark.range(0, 30000).toDF("id")
+    val counts = ids
+      .select(CurationOps.assignSplit(col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "s").as("sp"))
+      .groupBy("sp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 30000) // total: every row gets a split
+    assert(math.abs(counts("train") / 30000.0 - 0.8) < 0.01)
+    assert(math.abs(counts("val") / 30000.0 - 0.1) < 0.01)
+    assert(math.abs(counts("test") / 30000.0 - 0.1) < 0.01)
+  }
+
+  test("redaction applies rules in order") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val got = Seq(Tuple1("data in 42 databases"))
+      .toDF("text")
+      .select(TextOps.redact(col("text"), Seq(
+        "\\bdata\\b" -> "<TOPIC>", "[0-9]+" -> "#")).as("r"))
+      .collect()(0).getString(0)
+    // word-bounded 'data' replaced; 'databases' untouched; digits last
+    assert(got == "<TOPIC> in # databases", got)
+  }
+
   test("md5-parity LSH twin finds the same high-jaccard pairs as the fast path") {
     val parity = DedupOps.minhashLshDedupParity(docs, "doc_id", "text",
         shingleN = 2, k = 16, bands = 16, threshold = 0.1)
