@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Abs, Expression,
+import org.apache.spark.sql.catalyst.expressions.{Abs, Cast, Expression,
   ExpressionInfo, If, LessThanOrEqual, Literal, Multiply, Signum, Subtract}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.functions.{ExactMedian, RollingHash, VectorDot}
 
@@ -57,12 +58,17 @@ object GraftFunctions {
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
+    // casts mirror the Column API entry points: VectorDot reads raw
+    // double slots from ArrayData and ExactMedian's buffer is Double,
+    // so uncast int/decimal SQL inputs would silently misread or CCE
     (FunctionIdentifier("vector_dot"),
       info("vector_dot", "vector_dot(a, b) - dot product of two array<double>"),
-      arity("vector_dot", 2)(es => VectorDot(es(0), es(1)))),
+      arity("vector_dot", 2)(es => VectorDot(
+        Cast(es(0), ArrayType(DoubleType)),
+        Cast(es(1), ArrayType(DoubleType))))),
     (FunctionIdentifier("exact_median"),
       info("exact_median", "exact_median(x) - exact median aggregate"),
-      arity("exact_median", 1)(es => ExactMedian(es(0)))),
+      arity("exact_median", 1)(es => ExactMedian(Cast(es(0), DoubleType)))),
     (FunctionIdentifier("deadband"),
       info("deadband", "deadband(x, floor) - crush |x|<=floor to 0, shrink rest"),
       arity("deadband", 2)(es => deadbandExpr(es(0), es(1)))),

@@ -12,11 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** The normalized content-identity key shared by the batch and
+    * streaming exact-dedup paths — ONE definition so the two can
+    * never silently diverge. */
+  def contentHash(text: Column): Column = md5(lower(trim(text)))
+
   /** Exact dedup on a normalized key: one row per distinct key with the
     * smallest id as the survivor and the duplicate count. Single
     * hash-shuffle, partial+final agg. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(md5(lower(trim(col(textCol)))).as("h"))
+    df.groupBy(contentHash(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dups"))
 
   /** Tokenize -> shingle -> distinct, each stage its own projection so

@@ -27,8 +27,10 @@ object TemporalJoinOps {
     * `valCol` is NULL still matches (and yields a null value) — match
     * presence is tracked by a row marker, not by the value's nullness,
     * so nullable value columns keep true as-of semantics. Left rows
-    * with no matching right row get null. All left columns pass
-    * through; the match arrives as `asof_<valCol>`. */
+    * with no matching right row get null. NULL timestamps never match
+    * (on either side — SQL comparison semantics), they don't fall to
+    * an end of the sort order. All left columns pass through; the
+    * match arrives as `asof_<valCol>`. */
   private def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                        tsCol: String, orderCol: String, valCol: String,
                        forward: Boolean): DataFrame = {
@@ -38,10 +40,11 @@ object TemporalJoinOps {
       col(tsCol).as("__ts"), lit(1).as("__side"), col(orderCol).as("__ord"),
       lit(null).cast(right.schema(valCol).dataType).as("__v"),
       leftPayload): _*)
-    val r = right.select(keyCols ++ Seq(
-      col(tsCol).as("__ts"), lit(0).as("__side"), col(orderCol).as("__ord"),
-      col(valCol).as("__v"),
-      lit(null).cast(l.schema("__l").dataType).as("__l")): _*)
+    val r = right.filter(col(tsCol).isNotNull)
+      .select(keyCols ++ Seq(
+        col(tsCol).as("__ts"), lit(0).as("__side"), col(orderCol).as("__ord"),
+        col(valCol).as("__v"),
+        lit(null).cast(l.schema("__l").dataType).as("__l")): _*)
     val ordering =
       if (forward) Seq(col("__ts").desc, col("__side"), col("__ord").desc)
       else Seq(col("__ts"), col("__side"), col("__ord"))
@@ -50,12 +53,16 @@ object TemporalJoinOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     r.unionByName(l)
       // wrap right rows in a struct so a NULL value still counts as a
-      // match; ignoreNulls skips only left rows (null struct)
+      // match; ignoreNulls skips only left rows (null struct). A left
+      // row with NULL ts sorts to one end of the partition; the outer
+      // guard voids any accidental neighbor match.
       .withColumn("__match",
         last(when(col("__side") === 0, struct(col("__v"))),
           ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(col("__l.*"), col("__match.__v").as(s"asof_$valCol"))
+      .select(col("__l.*"),
+        when(col("__ts").isNotNull, col("__match.__v"))
+          .as(s"asof_$valCol"))
   }
 
   /** Backward-looking as-of join: for every left row, attach `valCol`

@@ -138,8 +138,10 @@ object NorthStar {
   // q31 — embedding-cosine near-dup pairs via hyperplane buckets
   // (DuckDB oracle inlines the same plane matrix and megabucket cap)
   private val q31: Q = (s, dir) => {
+    // maxBucketSize passed explicitly because the oracle SQL hardcodes
+    // the same 1000 — a default change must not silently break parity
     DedupOps.embeddingNearDup(t(s, dir, "embeddings"), "vec_id",
-        "embedding", planes = 4, threshold = 0.35)
+        "embedding", planes = 4, threshold = 0.35, maxBucketSize = 1000)
       .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cos"))
       .orderBy(col("id1"), col("id2"))
   }
@@ -544,9 +546,11 @@ object NorthStar {
   private val q42Sql: String =
     """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS tn, value
       |           FROM events WHERE event_type = 'click'),
-      |v AS (SELECT user_id, epoch_us(ts) AS tn, arg_max(value, event_id) AS value
-      |      FROM events WHERE event_type = 'view'
-      |      GROUP BY user_id, epoch_us(ts)),
+      |v AS (SELECT user_id, tn, value FROM (
+      |        SELECT user_id, epoch_us(ts) AS tn, value,
+      |               ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+      |                   ORDER BY event_id DESC) AS rn
+      |        FROM events WHERE event_type = 'view') WHERE rn = 1),
       |j AS (SELECT c.event_id, c.value AS cv, v.value AS pv
       |      FROM c ASOF LEFT JOIN v
       |      ON c.user_id = v.user_id AND c.tn >= v.tn)
@@ -700,9 +704,11 @@ object NorthStar {
   private val q50Sql: String =
     """WITH c AS (SELECT event_id, user_id, -epoch_us(ts) AS ntn
       |           FROM events WHERE event_type = 'click'),
-      |v AS (SELECT user_id, -epoch_us(ts) AS ntn, arg_min(value, event_id) AS value
-      |      FROM events WHERE event_type = 'view'
-      |      GROUP BY user_id, epoch_us(ts)),
+      |v AS (SELECT user_id, ntn, value FROM (
+      |        SELECT user_id, -epoch_us(ts) AS ntn, value,
+      |               ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+      |                   ORDER BY event_id) AS rn
+      |        FROM events WHERE event_type = 'view') WHERE rn = 1),
       |j AS (SELECT c.event_id, v.value AS nv
       |      FROM c ASOF LEFT JOIN v
       |      ON c.user_id = v.user_id AND c.ntn >= v.ntn)

@@ -55,7 +55,8 @@ object StreamingPipelines {
                           tsCol: String = "ts",
                           watermark: String = "1 hour"): DataFrame =
     docs
-      .withColumn("content_hash", md5(lower(trim(col(textCol)))))
+      .withColumn("content_hash",
+        graft.operators.DedupOps.contentHash(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 

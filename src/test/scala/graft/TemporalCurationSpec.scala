@@ -64,6 +64,28 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
     assert(fwd.length == 1 && fwd(0).isNullAt(1))
   }
 
+  test("as-of join never matches NULL timestamps on either side") {
+    import spark.implicits._
+    val left = Seq((100L, 1L, Option.empty[Long]), (101L, 1L, Some(25L)))
+      .toDF("event_id", "k", "t")
+    val right = Seq(
+      (1L, Option.empty[Long], 1L, 7.0), (1L, Some(10L), 2L, 5.0))
+      .toDF("k", "t", "event_id", "v")
+    def run(f: Boolean) = {
+      val op = if (f) TemporalJoinOps.asofJoinNext _
+        else TemporalJoinOps.asofJoinLast _
+      op(left, right, Seq("k"), "t", "event_id", "v")
+        .select("event_id", "asof_v").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    }
+    val back = run(false)
+    assert(back(100L).isEmpty, "NULL-ts left row must not match")
+    assert(back(101L).contains(5.0), "non-null path unaffected")
+    val fwd = run(true)
+    assert(fwd(100L).isEmpty)
+    assert(fwd(101L).isEmpty) // no right row at ts >= 25
+  }
+
   test("forward as-of join equals the brute-force per-row minimum") {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("tus"), col("value"))
