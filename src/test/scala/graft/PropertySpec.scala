@@ -29,6 +29,45 @@ class PropertySpec extends AnyFunSuite {
       f: (A, B, C) => Unit): Unit =
     forAll(Gen.zip(ga, gb, gc))(f.tupled)
 
+  // --- RollingHash: evaluate the Catalyst expression standalone ---
+  private def rh(s: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    graft.functions.RollingHash(Literal(s))
+      .eval(null).asInstanceOf[Long]
+  }
+  private val Mod = 1000000007L
+  private val asciiText = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+
+  test("rolling hash matches an independent code-point fold") {
+    forAll(asciiText) { s =>
+      var acc = 0L
+      s.codePoints().forEach(cp => acc = (acc * 31 + cp) % Mod)
+      assert(rh(s) == acc, s"'$s'")
+    }
+    assert(rh("") == 0L)
+    // supplementary-plane char = ONE code point, not two UTF-16 units
+    val g = new String(Character.toChars(0x1D11E))
+    assert(rh(g) == 0x1D11E % Mod)
+  }
+
+  test("rolling hash composes across chunk boundaries") {
+    // hash(a ++ b) == (hash(a) * 31^cp(b) + hash(b)) mod M — the law
+    // that makes the fingerprint recomputable from chunked storage
+    def powMod(e: Long): Long = {
+      var r = 1L; var base = 31L; var n = e
+      while (n > 0) {
+        if ((n & 1) == 1) r = r * base % Mod
+        base = base * base % Mod; n >>= 1
+      }
+      r
+    }
+    forAll(Gen.zip(asciiText, asciiText)) { case (a, b) =>
+      val composed =
+        (rh(a) * powMod(b.codePointCount(0, b.length)) % Mod + rh(b)) % Mod
+      assert(rh(a + b) == composed, s"'$a' ++ '$b'")
+    }
+  }
+
   private val finite = Gen.choose(-1e3, 1e3)
   private val smallVec = for {
     x <- finite; y <- finite; z <- finite
