@@ -182,12 +182,14 @@ object DedupOps {
     // negligible for the Jaccard value. Two joins against the derived
     // shingle table (one per pair side): a melt-into-roles + single
     // join + re-group variant was measured ~2x SLOWER here — the extra
-    // shuffle of hash arrays costs more than the second corpus scan;
-    // at fleet scale the shingle table would be persisted and both
-    // joins read it for free.
+    // shuffle of hash arrays costs more than the second corpus scan.
+    // The derived table is persisted (evictable MEMORY_AND_DISK, the
+    // Spark-ML fit() convention) so the tokenize/shingle/hash pipeline
+    // runs once, not once per join side.
     val sh = stagedShingles(df, idCol, textCol, shingleN)
       .select(col("doc_id"),
         array_distinct(transform(col("sh"), s => xxhash64(s))).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand
       .join(sh.select(col("doc_id").as("id1"), col("hs").as("sh1")), "id1")
       .join(sh.select(col("doc_id").as("id2"), col("hs").as("sh2")), "id2")
