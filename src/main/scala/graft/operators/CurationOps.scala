@@ -93,4 +93,77 @@ object CurationOps {
       .filter(col("rk") <= topK)
       .select(col("doc_id"), col("term"), col("rk"), col("tfidf"))
   }
+
+  /** Per-document repetition statistics — the Gopher-style repetition
+    * signals (Rae et al. 2021, "Scaling Language Models", table A1)
+    * that catch boilerplate and degenerate generations: duplicate-token
+    * fraction, most-frequent-token fraction, duplicate-2-gram fraction,
+    * plus token count and mean token length for the length rules.
+    *
+    * Relational formulation: tokens explode once, then two aggregations
+    * with map-side partial combine ((doc, term) counts -> per-doc
+    * rollup); the 2-gram side stays an array expression (size +
+    * array_distinct, no per-element lambda references). One join keyed
+    * by doc_id puts the two sides together — at 100 TB both inputs are
+    * already hash-partitioned by doc_id from their aggregations, so AQE
+    * plans it without an extra exchange. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val tokAgg = toks
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"),
+        sum(length(col("t")) * col("c")).as("len_sum"))
+    val grams = toks
+      .select(col("doc_id"),
+        TextOps.shinglesFromTokens(col("toks"), 2).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n2"),
+        size(array_distinct(col("sh"))).as("n2d"))
+    tokAgg.join(grams, "doc_id").select(
+      col("doc_id"), col("n_tokens"),
+      (col("len_sum").cast("double") / col("n_tokens"))
+        .as("mean_token_len"),
+      (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+        .as("dup_token_frac"),
+      (col("top_c").cast("double") / col("n_tokens"))
+        .as("top_token_frac"),
+      when(col("n2") <= 0, lit(0.0))
+        .otherwise(lit(1.0) - col("n2d").cast("double") / col("n2"))
+        .as("dup_2gram_frac"))
+  }
+
+  /** Gopher-style quality gate over [[repetitionStats]] columns:
+    * token count and mean token length inside sane bounds, repetition
+    * fractions below caps. Thresholds are corpus-tunable arguments;
+    * the defaults are the Gopher rules rescaled to short synthetic
+    * docs. Pure predicate — composes with pushdown. */
+  def gopherKeep(nTokens: Column, meanTokenLen: Column,
+                 topTokenFrac: Column, dup2gramFrac: Column,
+                 minTokens: Int = 20, maxTokens: Int = 100000,
+                 minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                 maxTopFrac: Double = 0.1,
+                 maxDup2gram: Double = 0.25): Column =
+    nTokens.between(minTokens, maxTokens) &&
+      meanTokenLen.between(minMeanLen, maxMeanLen) &&
+      topTokenFrac <= maxTopFrac && dup2gramFrac <= maxDup2gram
+
+  /** Corpus-wide top-k token n-grams by occurrence count (the vocab /
+    * BPE-merge-candidate builder): one explode + one count aggregation
+    * with map-side combine, then a global top-k (TakeOrderedAndProject
+    * — each partition keeps k rows, the driver merges; no full sort).
+    * Ties broken lexicographically for a total order. */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int)
+      : DataFrame =
+    df.select(TextOps.tokens(col(textCol)).as("toks"))
+      .select(explode(TextOps.shinglesFromTokens(col("toks"), n))
+        .as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(k)
 }

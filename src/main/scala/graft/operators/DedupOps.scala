@@ -288,6 +288,67 @@ object DedupOps {
     simhashBandVerify(sig, nBands = 2, maxHamming)
   }
 
+  /** Connected components over candidate-pair edges — the cluster
+    * resolution step that turns near-dup PAIRS into dedup groups
+    * (survivor = the minimum id of each component, so the output is
+    * directly the "which doc do I keep" mapping).
+    *
+    * Iterative min-label propagation: each round joins the (symmetric)
+    * edge list with the current labels and keeps each node's minimum
+    * incoming label — two shuffles per round, both with map-side
+    * partial aggregation. Labels only ever decrease, so the label sum
+    * is a strictly decreasing convergence witness: one cheap aggregate
+    * per round replaces a change-count self-join. Every round's result
+    * is eagerly localCheckpoint'ed: each round's plan references the
+    * previous round's TWICE (directly + inside the propagation join),
+    * so without lineage truncation the logical plan doubles per round —
+    * exponential analysis cost that OOMs the driver long before the
+    * data does. (On a real cluster prefer reliable `checkpoint` over
+    * `localCheckpoint` so executor loss cannot kill the run.)
+    * Rounds needed = component diameter; near-dup clusters are
+    * shallow star-ish subgraphs (pairs come from shared LSH buckets),
+    * so a handful of rounds converges. For adversarial long-chain
+    * graphs use the large-star/small-star formulation (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"), which contracts
+    * reach quadratically per round — not needed for dedup-shaped
+    * graphs, and the fixpoint test makes the extra rounds cheap noise.
+    *
+    * Returns (id, cluster_id) for every node appearing in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val edges = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lab").cast("decimal(38,0)"))).head.getDecimal(0)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+      .localCheckpoint(true)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = prevSum == null // no edges at all
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("lab")).as("plab"))
+      val next = labels.join(prop, col("id") === col("dst"), "left")
+        .select(col("id"),
+          least(col("lab"), coalesce(col("plab"), col("lab"))).as("lab"))
+        .localCheckpoint(true)
+      val nextSum = labelSum(next)
+      labels = next
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("lab").as("cluster_id"))
+  }
+
   /** Embedding-cosine near-dup via hyperplane LSH (see
     * [[SimilarityOps.hyperplaneBucket]]): bucket the vectors once,
     * collect each bucket's members, and expand pair combinations with

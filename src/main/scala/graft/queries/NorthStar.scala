@@ -386,7 +386,41 @@ object NorthStar {
       .orderBy(col("doc_id"))
   }
 
+  // q54 — near-dup cluster resolution: SimHash parity pairs -> connected
+  // components (iterative min-label propagation) -> (doc, cluster
+  // survivor) mapping. Oracle = the same pair SQL + a recursive CTE.
+  private val q54: Q = (s, dir) => {
+    val pairs = DedupOps.simhashNearDupParity(
+      t(s, dir, "documents").filter(col("doc_id") < 250),
+      "doc_id", "text", maxHamming = 8)
+    DedupOps.connectedComponents(pairs, "id1", "id2")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  // q55 — Gopher-style repetition statistics + quality gate per doc.
+  private val q55: Q = (s, dir) => {
+    CurationOps.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("mean_token_len"), 6).as("mean_token_len"),
+        round(col("dup_token_frac"), 6).as("dup_token_frac"),
+        round(col("top_token_frac"), 6).as("top_token_frac"),
+        round(col("dup_2gram_frac"), 6).as("dup_2gram_frac"),
+        CurationOps.gopherKeep(col("n_tokens"), col("mean_token_len"),
+          col("top_token_frac"), col("dup_2gram_frac")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  // q56 — corpus-wide top-20 2-grams by occurrence (vocab builder).
+  private val q56: Q = (s, dir) => {
+    CurationOps.topNgrams(t(s, dir, "documents"), "text", n = 2, k = 20)
+      .orderBy(col("n").desc, col("gram"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q54_dedup_clusters" -> q54,
+    "q55_repetition_stats" -> q55,
+    "q56_top_ngrams" -> q56,
     "q49_kmv_distinct" -> q49,
     "q50_asof_forward" -> q50,
     "q51_doc_chunks" -> q51,
@@ -655,14 +689,16 @@ object NorthStar {
        |WHERE jaccard >= 0.2::DOUBLE ORDER BY id1, id2""".stripMargin
   }
 
-  private val q48Sql: String = {
+  /** Shared CTE chain producing SimHash-parity candidate pairs
+    * (`cand`: id1, id2, s1, s2) — the common prefix of q48 and q54. */
+  private val simhashParityCtes: String = {
     val votes = (0 until 32)
       .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
       .mkString(",\n         ")
     val sim = (0 until 32)
       .map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
        |  FROM documents WHERE doc_id < 250),
        |tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
@@ -676,14 +712,75 @@ object NorthStar {
        |  SELECT doc_id, sim, 0 AS band, sim & 65535 AS bucket FROM sig
        |  UNION ALL
        |  SELECT doc_id, sim, 1 AS band, (sim >> 16) & 65535 AS bucket FROM sig),
-       |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
-       |                 a.sim AS s1, b.sim AS s2
-       |          FROM banded a JOIN banded b
-       |          ON a.band = b.band AND a.bucket = b.bucket
-       |             AND a.doc_id < b.doc_id)
-       |SELECT id1, id2, bit_count(xor(s1, s2)) AS hamming FROM pairs
-       |WHERE bit_count(xor(s1, s2)) <= 8 ORDER BY id1, id2""".stripMargin
+       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |                a.sim AS s1, b.sim AS s2
+       |         FROM banded a JOIN banded b
+       |         ON a.band = b.band AND a.bucket = b.bucket
+       |            AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  private val q48Sql: String =
+    s"""WITH $simhashParityCtes
+       |SELECT id1, id2, bit_count(xor(s1, s2)) AS hamming FROM cand
+       |WHERE bit_count(xor(s1, s2)) <= 8 ORDER BY id1, id2""".stripMargin
+
+  private val q54Sql: String =
+    s"""WITH RECURSIVE $simhashParityCtes,
+       |p AS (SELECT id1, id2 FROM cand WHERE bit_count(xor(s1, s2)) <= 8),
+       |edges AS (SELECT id1 AS s, id2 AS dd FROM p
+       |          UNION SELECT id2, id1 FROM p),
+       |nodes AS (SELECT DISTINCT s AS id FROM edges),
+       |reach(id, lab) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dd, r.lab FROM reach r JOIN edges e ON e.s = r.id)
+       |SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach
+       |GROUP BY id ORDER BY doc_id""".stripMargin
+
+  private val q55Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+      |tf AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+      |ta AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+      |              MAX(c) AS top_c, SUM(length(t) * c) AS len_sum
+      |       FROM tf GROUP BY doc_id),
+      |g AS (SELECT doc_id,
+      |             CASE WHEN len(toks) >= 2
+      |                  THEN list_transform(range(1, len(toks)),
+      |                         i -> array_to_string(toks[i:i+1], ' '))
+      |                  ELSE [] END AS sh
+      |      FROM d),
+      |gs AS (SELECT doc_id, len(sh) AS n2, len(list_distinct(sh)) AS n2d
+      |       FROM g)
+      |SELECT ta.doc_id, n_tokens,
+      |       ROUND(len_sum * 1.0 / n_tokens, 6) AS mean_token_len,
+      |       ROUND(1.0 - n_distinct * 1.0 / n_tokens, 6) AS dup_token_frac,
+      |       ROUND(top_c * 1.0 / n_tokens, 6) AS top_token_frac,
+      |       ROUND(CASE WHEN n2 <= 0 THEN 0.0
+      |                  ELSE 1.0 - n2d * 1.0 / n2 END, 6) AS dup_2gram_frac,
+      |       (n_tokens BETWEEN 20 AND 100000)
+      |         AND (len_sum * 1.0 / n_tokens BETWEEN 3.0 AND 10.0)
+      |         AND (top_c * 1.0 / n_tokens <= 0.1)
+      |         AND (CASE WHEN n2 <= 0 THEN 0.0
+      |                   ELSE 1.0 - n2d * 1.0 / n2 END <= 0.25) AS keep
+      |FROM ta JOIN gs ON ta.doc_id = gs.doc_id
+      |ORDER BY ta.doc_id""".stripMargin
+
+  private val q56Sql: String =
+    """WITH d AS (
+      |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT CASE WHEN len(toks) >= 2
+      |              THEN list_transform(range(1, len(toks)),
+      |                     i -> array_to_string(toks[i:i+1], ' '))
+      |              ELSE [] END AS sh
+      |  FROM d),
+      |g AS (SELECT unnest(sh) AS gram FROM s),
+      |c AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY gram)
+      |SELECT gram, n FROM c ORDER BY n DESC, gram LIMIT 20""".stripMargin
 
   private val q49Sql: String =
     s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
@@ -763,6 +860,9 @@ object NorthStar {
   }
 
   val oracle: Map[String, String] = Map(
+    "q54_dedup_clusters" -> q54Sql,
+    "q55_repetition_stats" -> q55Sql,
+    "q56_top_ngrams" -> q56Sql,
     "q49_kmv_distinct" -> q49Sql,
     "q50_asof_forward" -> q50Sql,
     "q51_doc_chunks" -> q51Sql,

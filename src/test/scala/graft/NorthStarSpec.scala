@@ -106,4 +106,79 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     val hs = df.select(TextOps.rollingHash(col("t"))).collect().map(_.getLong(0))
     assert(hs(0) == hs(2) && hs(0) != hs(1))
   }
+
+  test("connected components resolve chains, triangles, and singletons") {
+    import spark.implicits._
+    // component {1..4} is a chain (diameter 3 — forces >1 round),
+    // {10,11,12} a triangle, {20,21} an isolated edge
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (21L, 20L)).toDF("id1", "id2")
+    val got = DedupOps.connectedComponents(pairs, "id1", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components of an empty pair set is empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(DedupOps.connectedComponents(empty, "id1", "id2").count() == 0)
+  }
+
+  test("connected components agree with a driver-side union-find on real pairs") {
+    val pairs = DedupOps.simhashNearDupParity(
+      docs.filter(col("doc_id") < 250), "doc_id", "text", maxHamming = 8)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // reference: tiny union-find over the collected pairs
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = parent.keys.map(x => x -> find(x)).toMap
+    val got = DedupOps.connectedComponents(
+        docs.sparkSession.createDataFrame(pairs.toSeq).toDF("id1", "id2"),
+        "id1", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
+  test("repetition stats match hand-computed values") {
+    import spark.implicits._
+    // 5 tokens: "a a b b b" -> n=5, distinct=2, top=3 ("b"),
+    // 2-grams: [a a, a b, b b, b b] -> 4 total, 3 distinct
+    val df = Seq((1L, "a a b b b")).toDF("doc_id", "text")
+    val r = graft.operators.CurationOps
+      .repetitionStats(df, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("n_tokens") == 5)
+    assert(math.abs(r.getAs[Double]("mean_token_len") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("dup_token_frac") - 0.6) < 1e-12)
+    assert(math.abs(r.getAs[Double]("top_token_frac") - 0.6) < 1e-12)
+    assert(math.abs(r.getAs[Double]("dup_2gram_frac") - 0.25) < 1e-12)
+  }
+
+  test("repetition stats: single-token doc has zero 2-gram repetition") {
+    import spark.implicits._
+    val df = Seq((1L, "solo")).toDF("doc_id", "text")
+    val r = graft.operators.CurationOps
+      .repetitionStats(df, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("n_tokens") == 1)
+    assert(r.getAs[Double]("dup_2gram_frac") == 0.0)
+  }
+
+  test("top n-grams count occurrences (not per-doc distinct) in order") {
+    import spark.implicits._
+    val df = Seq((1L, "x y x y"), (2L, "x y z")).toDF("doc_id", "text")
+    val got = graft.operators.CurationOps.topNgrams(df, "text", 2, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // doc1: [x y, y x, x y], doc2: [x y, y z]
+    assert(got.head == ("x y", 3L))
+    assert(got.toSet == Set(("x y", 3L), ("y x", 1L), ("y z", 1L)))
+  }
 }
