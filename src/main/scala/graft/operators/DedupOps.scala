@@ -288,6 +288,37 @@ object DedupOps {
     simhashBandVerify(sig, nBands = 2, maxHamming)
   }
 
+  /** Cross-corpus contamination detection (benchmark decontamination):
+    * flag corpus documents whose shingle CONTAINMENT of any probe
+    * document — |corpus ∩ probe| / |probe| — meets `threshold`.
+    * Containment (not Jaccard) is the standard decontamination metric:
+    * a benchmark item quoted inside a much longer document still scores
+    * 1.0. Inverted-index join keyed by shingle, so cost is driven by
+    * the probe set (small: benchmarks), never corpus x corpus; counts
+    * partial-aggregate map-side, and the probe-size join broadcasts.
+    * Returns (doc_id, probe_id, containment) pairs at/above threshold.
+    */
+  def crossCorpusContamination(corpus: DataFrame, probes: DataFrame,
+                               idCol: String, textCol: String,
+                               shingleN: Int, threshold: Double)
+      : DataFrame = {
+    val cs = stagedShingles(corpus, idCol, textCol, shingleN)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val ps = stagedShingles(probes, idCol, textCol, shingleN)
+    val pSizes = ps.select(col("doc_id").as("probe_id"),
+      size(col("sh")).as("n_probe"))
+    val pInv = ps.select(col("doc_id").as("probe_id"),
+      explode(col("sh")).as("s"))
+    cs.join(pInv, "s")
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(pSizes), "probe_id")
+      .withColumn("containment",
+        col("shared").cast("double") / col("n_probe"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_id"), col("probe_id"), col("containment"))
+  }
+
   /** Connected components over candidate-pair edges — the cluster
     * resolution step that turns near-dup PAIRS into dedup groups
     * (survivor = the minimum id of each component, so the output is

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
@@ -60,5 +60,28 @@ object WindowOps {
       frame,
       slice(array_repeat(lit(0.0), k), lit(1), lit(k) - size(frame)))
     element_at(array_sort(padded), half + 1)
+  }
+
+  /** Batch gap sessionization: a new session starts when the time since
+    * the same key's previous event exceeds `gap` (same units as
+    * `tsCol`). Adds `session_seq`, the 1-based running session index
+    * per key. One hash shuffle on the key + one sort — both window
+    * passes share the same (key, order) spec, so Spark plans a single
+    * sort/Window stage; at 100 TB this is the canonical sessionize
+    * shape (no self-join, no collect). `orderCols` must make the
+    * per-key order TOTAL (tiebreak duplicate timestamps) or the
+    * running sum is nondeterministic. The streaming twin is
+    * `StreamingPipelines.gapSessions` (session_window + watermark). */
+  def gapSessionize(df: DataFrame, keyCols: Seq[String],
+                    orderCols: Seq[String], tsCol: String,
+                    gap: Long): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val prev = lag(col(tsCol), 1).over(w)
+    val isStart = when(prev.isNull || col(tsCol) - prev > gap, 1)
+      .otherwise(0)
+    df.withColumn("session_seq",
+      sum(isStart).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.operators.{CurationOps, DedupOps, MultimodalOps, SimilarityOps,
-  TemporalJoinOps, TextOps}
+  TemporalJoinOps, TextOps, WindowOps}
 
 /** North-star training-data-pipeline queries (BASELINE.json): dedup,
   * similarity search, text analysis, multimodal, temporal joins,
@@ -417,7 +417,36 @@ object NorthStar {
       .orderBy(col("n").desc, col("gram"))
   }
 
+  // q57 — batch gap sessionization of the event stream (1 h gap) +
+  // per-session aggregates; the batch twin of the streaming
+  // session_window path.
+  private val q57: Q = (s, dir) => {
+    val ev = t(s, dir, "events").withColumn("tus", expr("ts_ns div 1000"))
+    WindowOps.gapSessionize(ev, Seq("user_id"), Seq("tus", "event_id"),
+        "tus", 3600000000L)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("tus")) - min(col("tus"))).as("dur_us"),
+        round(sum(col("value")), 4).as("sv"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  // q58 — cross-corpus contamination (decontamination shape): docs
+  // >= 450 act as the held-out benchmark; flag corpus docs containing
+  // >= 30% of any benchmark doc's 2-gram shingles.
+  private val q58: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    DedupOps.crossCorpusContamination(
+        d.filter(col("doc_id") < 450), d.filter(col("doc_id") >= 450),
+        "doc_id", "text", shingleN = 2, threshold = 0.3)
+      .select(col("doc_id"), col("probe_id"),
+        round(col("containment"), 6).as("cont"))
+      .orderBy(col("doc_id"), col("probe_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q57_gap_sessions" -> q57,
+    "q58_contamination" -> q58,
     "q54_dedup_clusters" -> q54,
     "q55_repetition_stats" -> q55,
     "q56_top_ngrams" -> q56,
@@ -859,7 +888,50 @@ object NorthStar {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  private val q57Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value
+      |           FROM events),
+      |s AS (SELECT user_id, event_id, tus, value,
+      |             CASE WHEN LAG(tus) OVER w IS NULL
+      |                       OR tus - LAG(tus) OVER w > 3600000000
+      |                  THEN 1 ELSE 0 END AS st
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      |g AS (SELECT user_id, tus, value,
+      |             CAST(SUM(st) OVER (PARTITION BY user_id
+      |                 ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING)
+      |               AS BIGINT) AS session_seq
+      |      FROM s)
+      |SELECT user_id, session_seq, COUNT(*) AS n_events,
+      |       MAX(tus) - MIN(tus) AS dur_us, ROUND(SUM(value), 4) AS sv
+      |FROM g GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  private val q58Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(toks) >= 2
+      |              THEN list_distinct(list_transform(range(1, len(toks)),
+      |                     i -> array_to_string(toks[i:i+1], ' ')))
+      |              ELSE [] END AS sh
+      |  FROM d),
+      |c AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id < 450),
+      |p AS (SELECT doc_id AS probe_id, sh FROM sh WHERE doc_id >= 450),
+      |pi AS (SELECT probe_id, unnest(sh) AS s FROM p),
+      |ps AS (SELECT probe_id, len(sh) AS n_probe FROM p),
+      |j AS (SELECT c.doc_id, pi.probe_id, COUNT(*) AS shared
+      |      FROM c JOIN pi USING (s) GROUP BY 1, 2)
+      |SELECT doc_id, probe_id,
+      |       ROUND(shared * 1.0 / n_probe, 6) AS cont
+      |FROM j JOIN ps USING (probe_id)
+      |WHERE shared * 1.0 / n_probe >= 0.3::DOUBLE
+      |ORDER BY doc_id, probe_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q57_gap_sessions" -> q57Sql,
+    "q58_contamination" -> q58Sql,
     "q54_dedup_clusters" -> q54Sql,
     "q55_repetition_stats" -> q55Sql,
     "q56_top_ngrams" -> q56Sql,

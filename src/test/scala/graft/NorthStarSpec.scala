@@ -172,6 +172,31 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Double]("dup_2gram_frac") == 0.0)
   }
 
+  test("gap sessionization splits on gap and restarts per key") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 0L), (1L, 2L, 10L), (1L, 3L, 2000L),
+      (1L, 4L, 2005L), (2L, 5L, 0L)).toDF("user_id", "event_id", "ts")
+    val got = graft.operators.WindowOps
+      .gapSessionize(df, Seq("user_id"), Seq("ts", "event_id"), "ts", 100L)
+      .select("event_id", "session_seq")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("contamination containment: full quote scores 1.0, disjoint drops") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // quotes probe 10 fully
+      (2L, "totally unrelated words here")).toDF("doc_id", "text")
+    val probes = Seq(
+      (10L, "beta gamma delta"),  // 2 shingles, both inside doc 1
+      (11L, "nothing shared at all")).toDF("doc_id", "text")
+    val got = DedupOps.crossCorpusContamination(corpus, probes,
+        "doc_id", "text", shingleN = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 10L, 1.0)))
+  }
+
   test("top n-grams count occurrences (not per-doc distinct) in order") {
     import spark.implicits._
     val df = Seq((1L, "x y x y"), (2L, "x y z")).toDF("doc_id", "text")
