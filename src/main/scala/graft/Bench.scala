@@ -21,7 +21,14 @@ object Bench {
     // column that doesn't feed an aggregate and drop output sorts
     // (EliminateSorts), so projection-shaped queries would time almost
     // nothing. The noop writer evaluates every output column fully.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY: optional comma-separated substring filter for
+    // targeted A/B timing of individual queries (unset = full suite).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.contains))
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

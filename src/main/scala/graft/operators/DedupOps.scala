@@ -73,31 +73,34 @@ object DedupOps {
                            shingleN: Int, k: Int, bands: Int,
                            maxBucketSize: Int = 100): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    val rowsPerBand = k / bands
-    // Relational signature: explode shingles, xxhash64 each ONCE, then
-    // k affine mins as grouped aggregates. The Aggregate is a real
-    // optimizer barrier — its outputs are attributes — so no stage of
-    // the tokenize/shingle/hash pipeline can be inlined into the
-    // downstream banding generate (select-boundary "staging" is NOT a
-    // barrier: CollapseProject folds chained projections into a
-    // Generate child and lambda-body references then re-evaluate per
-    // element — a measured 10x+ blowup). The shuffle is tiny: partial
-    // aggregation collapses each partition's rows to one (doc, k mins)
-    // row before the exchange.
-    val P = 2147483647L
     val hashed = stagedShingles(df, idCol, textCol, shingleN)
       .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(P)).as("h"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h0"))
+    bandPairs(affineMinhashSig(hashed, k), bands, k / bands, maxBucketSize)
+  }
+
+  /** Relational affine-minhash signature from exploded (doc_id, h0 =
+    * xxhash64(shingle)) rows: k affine mins as grouped aggregates. The
+    * Aggregate is a real optimizer barrier — its outputs are
+    * attributes — so no stage of the tokenize/shingle/hash pipeline
+    * can be inlined into the downstream banding generate
+    * (select-boundary "staging" is NOT a barrier: CollapseProject
+    * folds chained projections into a Generate child and lambda-body
+    * references then re-evaluate per element — a measured 10x+
+    * blowup). The shuffle is tiny: partial aggregation collapses each
+    * partition's rows to one (doc, k mins) row before the exchange. */
+  private def affineMinhashSig(hashed: DataFrame, k: Int): DataFrame = {
+    val P = 2147483647L
+    val base = hashed.select(col("doc_id"), pmod(col("h0"), lit(P)).as("h"))
     val minCols = (0 until k).map { i =>
       val a = 2 * i + 1
       val b = 1_000_003L * (i + 1)
       min(pmod(col("h") * a + b, lit(P))).as(s"m$i")
     }
-    val sig = hashed.groupBy(col("doc_id"))
+    base.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
         array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-    bandPairs(sig, bands, rowsPerBand, maxBucketSize)
   }
 
   /** Shared LSH banding tail: split each row's `sig` array into
@@ -174,22 +177,25 @@ object DedupOps {
                       shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5,
                       maxBucketSize: Int = 100): DataFrame = {
-    val cand = minhashLshCandidates(df, idCol, textCol, shingleN, k, bands,
-      maxBucketSize)
-    // Verify on HASHED shingle sets (one long per shingle): set
-    // intersection over longs is far cheaper to ship and compare than
-    // the string shingles, and xxhash64 collisions at 2^64 are
-    // negligible for the Jaccard value. Two joins against the derived
-    // shingle table (one per pair side): a melt-into-roles + single
-    // join + re-group variant was measured ~2x SLOWER here — the extra
-    // shuffle of hash arrays costs more than the second corpus scan.
-    // The derived table is persisted (evictable MEMORY_AND_DISK, the
-    // Spark-ML fit() convention) so the tokenize/shingle/hash pipeline
-    // runs once, not once per join side.
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    // ONE hashed-shingle table feeds everything: the LSH signatures
+    // derive from it (affine permutations of the same xxhash64 values)
+    // and the verify stage set-intersects it — so the tokenize/
+    // shingle/hash pipeline runs exactly once, persisted evictable
+    // MEMORY_AND_DISK (the Spark-ML fit() convention). Verify works on
+    // HASHED shingle sets (one long per shingle): cheaper to ship and
+    // compare than strings, and xxhash64 collisions at 2^64 are
+    // negligible for the Jaccard value. Two joins against the cached
+    // table (one per pair side): a melt-into-roles + single join +
+    // re-group variant was measured ~2x SLOWER — the extra shuffle of
+    // hash arrays costs more than the second cached read.
     val sh = stagedShingles(df, idCol, textCol, shingleN)
       .select(col("doc_id"),
         array_distinct(transform(col("sh"), s => xxhash64(s))).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashed = sh.select(col("doc_id"), explode(col("hs")).as("h0"))
+    val cand = bandPairs(affineMinhashSig(hashed, k), bands, k / bands,
+      maxBucketSize)
     cand
       .join(sh.select(col("doc_id").as("id1"), col("hs").as("sh1")), "id1")
       .join(sh.select(col("doc_id").as("id2"), col("hs").as("sh2")), "id2")

@@ -66,9 +66,10 @@ object WindowOps {
     * the same key's previous event exceeds `gap` (same units as
     * `tsCol`). Adds `session_seq`, the 1-based running session index
     * per key. One hash shuffle on the key + one sort — both window
-    * passes share the same (key, order) spec, so Spark plans a single
-    * sort/Window stage; at 100 TB this is the canonical sessionize
-    * shape (no self-join, no collect). `orderCols` must make the
+    * passes share the same (key, order) spec, so the two Window
+    * operators (different frames) reuse a single exchange + sort; at
+    * 100 TB this is the canonical sessionize shape (no self-join, no
+    * collect). `orderCols` must make the
     * per-key order TOTAL (tiebreak duplicate timestamps) or the
     * running sum is nondeterministic. The streaming twin is
     * `StreamingPipelines.gapSessions` (session_window + watermark). */

@@ -433,12 +433,16 @@ object NorthStar {
 
   // q58 — cross-corpus contamination (decontamination shape): docs
   // >= 450 act as the held-out benchmark; flag corpus docs containing
-  // >= 30% of any benchmark doc's 2-gram shingles.
+  // >= 30% of any benchmark doc's 3-gram shingles. 3-grams, not
+  // 2-grams: over this tiny synthetic vocabulary every 2-gram is
+  // ubiquitous, so the inverted index degenerates toward all-pairs —
+  // with 3-grams (the real-pipeline analog is 8+-grams) the index is
+  // discriminative and the join sparse.
   private val q58: Q = (s, dir) => {
     val d = t(s, dir, "documents")
     DedupOps.crossCorpusContamination(
         d.filter(col("doc_id") < 450), d.filter(col("doc_id") >= 450),
-        "doc_id", "text", shingleN = 2, threshold = 0.3)
+        "doc_id", "text", shingleN = 3, threshold = 0.3)
       .select(col("doc_id"), col("probe_id"),
         round(col("containment"), 6).as("cont"))
       .orderBy(col("doc_id"), col("probe_id"))
@@ -912,9 +916,9 @@ object NorthStar {
       |  FROM documents),
       |sh AS (
       |  SELECT doc_id,
-      |         CASE WHEN len(toks) >= 2
-      |              THEN list_distinct(list_transform(range(1, len(toks)),
-      |                     i -> array_to_string(toks[i:i+1], ' ')))
+      |         CASE WHEN len(toks) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+      |                     i -> array_to_string(toks[i:i+2], ' ')))
       |              ELSE [] END AS sh
       |  FROM d),
       |c AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id < 450),

@@ -110,6 +110,32 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"corpus cell assignment must not shuffle:\n$p")
   }
 
+  test("gap sessionization plans one sort and one window stage") {
+    val ev = Tables.load(spark, dir, "events")
+      .withColumn("tus", org.apache.spark.sql.functions.expr("ts_ns div 1000"))
+    val p = plan(graft.operators.WindowOps.gapSessionize(
+      ev, Seq("user_id"), Seq("tus", "event_id"), "tus", 3600000000L))
+    // lag + running sum share a (key, order) spec: Spark splits the
+    // two frames into two Window operators, but both reuse ONE
+    // exchange and ONE sort — the properties that matter at scale
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one hash exchange:\n$p")
+    assert("Sort \\[".r.findAllIn(p).size == 1,
+      s"expected exactly one sort shared by both windows:\n$p")
+  }
+
+  test("contamination: probe-size join broadcasts; shared counts keep partials") {
+    val docs = Tables.load(spark, dir, "documents")
+    val c = org.apache.spark.sql.functions.col("doc_id")
+    val p = plan(graft.operators.DedupOps.crossCorpusContamination(
+      docs.filter(c < 450), docs.filter(c >= 450), "doc_id", "text", 2, 0.3))
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe sizes should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final shared-shingle counts:\n$p")
+  }
+
   test("minhash LSH signature aggregation keeps map-side partials") {
     val docs = Tables.load(spark, dir, "documents")
     val p = plan(graft.operators.DedupOps.minhashLshCandidates(
