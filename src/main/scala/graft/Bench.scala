@@ -13,10 +13,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up the JVM/scan path so the first timed query doesn't absorb
-    // class-loading + codegen startup (~3 s otherwise).
-    try graft.core.Tables.load(spark, sfDir, "lineitem").count()
-    catch { case _: Throwable => () }
+    // Warm up the JVM/scan path so the first timed query per table
+    // doesn't absorb class-loading + codegen startup + the cold scan
+    // (~2-3 s otherwise, misattributed to whichever query runs first).
+    Seq("lineitem", "orders", "customer", "part", "events", "documents",
+      "embeddings").foreach { t =>
+      try graft.core.Tables.load(spark, sfDir, t).count()
+      catch { case _: Throwable => () }
+    }
     // noop sink, not count(): count() lets the optimizer prune every
     // column that doesn't feed an aggregate and drop output sorts
     // (EliminateSorts), so projection-shaped queries would time almost

@@ -183,6 +183,27 @@ object SimilarityOps {
       .select(col("qid"), col("nid"), col("cos"))
   }
 
+  /** Per-label embedding centroids, computed relationally: posexplode
+    * each vector to (label, dim, component) rows, average per (label,
+    * dim) with map-side partial aggregation, and reassemble the vector
+    * ordered by dim. This is the vector-aggregation-at-scale shape —
+    * a naive array-column aggregate would ship whole vectors to one
+    * reducer per label; here every dimension aggregates independently
+    * across the cluster and only (label, dim, sum, count) partials
+    * shuffle. Returns (label, centroid, n). */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String)
+      : DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol).cast("array<double>")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("col")).as("m"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+        .as("dims"), min(col("n")).as("n"))
+      .select(col("label"),
+        transform(col("dims"), d => d.getField("m")).as("centroid"),
+        col("n"))
+
   /** LSH-bucketed ANN top-k: candidates share a hyperplane bucket, then
     * exact cosine re-rank within the bucket. Recall depends on `planes`
     * (fewer planes = bigger buckets = higher recall + more work). */

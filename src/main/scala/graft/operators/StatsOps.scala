@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Aggregation operators (SURVEY §2.5): RMS, per-run stats, and the
@@ -16,6 +16,29 @@ object StatsOps {
 
   /** A1: root-mean-square (main.py:73-74). */
   def rms(x: Column): Column = sqrt(avg(x * x))
+
+  /** Fixed-bin histogram with a data-driven range: one aggregation for
+    * the global (min, max) — a single broadcast row — then bucket
+    * assignment as a pure projection + one count aggregation. Two scans
+    * total, no sort, no per-bin shuffle skew (bins are the shuffle
+    * key). The max value folds into the last bin. Empty bins are
+    * absent from the output (join a `sequence` spine if a dense grid
+    * is needed). Degenerate range (min == max) puts everything in bin
+    * 0. */
+  def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val range = df.agg(min(col(valueCol)).cast("double").as("lo"),
+      max(col(valueCol)).cast("double").as("hi"))
+    df.select(col(valueCol).cast("double").as("v"))
+      .crossJoin(broadcast(range))
+      .select(
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(lit(bins - 1),
+            floor((col("v") - col("lo")) /
+              ((col("hi") - col("lo")) / lit(bins.toDouble))).cast("int")))
+          .as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+  }
 
   /** Welch t statistic from the two groups' moments:
     * t = (m1-m2)/sqrt(v1/n1 + v2/n2). */

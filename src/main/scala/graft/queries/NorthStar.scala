@@ -448,7 +448,30 @@ object NorthStar {
       .orderBy(col("doc_id"), col("probe_id"))
   }
 
+  // q59 — per-label embedding centroids via the relational
+  // explode-to-(label, dim) aggregation; three representative
+  // dimensions + member count are pinned against the oracle.
+  private val q59: Q = (s, dir) => {
+    SimilarityOps.labelCentroids(t(s, dir, "embeddings"), "label",
+        "embedding")
+      .select(col("label"),
+        round(element_at(col("centroid"), 1), 6).as("c1"),
+        round(element_at(col("centroid"), 33), 6).as("c33"),
+        round(element_at(col("centroid"), 64), 6).as("c64"),
+        col("n"))
+      .orderBy(col("label"))
+  }
+
+  // q60 — 20-bin histogram of event values with a data-driven range
+  // (two scans: global min/max broadcast, then projection + count).
+  private val q60: Q = (s, dir) => {
+    graft.operators.StatsOps.histogram(t(s, dir, "events"), "value", 20)
+      .orderBy(col("bin"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q59_label_centroids" -> q59,
+    "q60_histogram" -> q60,
     "q57_gap_sessions" -> q57,
     "q58_contamination" -> q58,
     "q54_dedup_clusters" -> q54,
@@ -933,7 +956,26 @@ object NorthStar {
       |WHERE shared * 1.0 / n_probe >= 0.3::DOUBLE
       |ORDER BY doc_id, probe_id""".stripMargin
 
+  private val q59Sql: String =
+    """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT label,
+      |       ROUND(AVG(v[1]), 6) AS c1,
+      |       ROUND(AVG(v[33]), 6) AS c33,
+      |       ROUND(AVG(v[64]), 6) AS c64,
+      |       COUNT(*) AS n
+      |FROM e GROUP BY label ORDER BY label""".stripMargin
+
+  private val q60Sql: String =
+    """WITH r AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+      |b AS (SELECT CASE WHEN hi = lo THEN 0
+      |             ELSE LEAST(19, CAST(FLOOR((value - lo) /
+      |                  ((hi - lo) / 20.0)) AS INT)) END AS bin
+      |      FROM events, r)
+      |SELECT bin, COUNT(*) AS n FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q59_label_centroids" -> q59Sql,
+    "q60_histogram" -> q60Sql,
     "q57_gap_sessions" -> q57Sql,
     "q58_contamination" -> q58Sql,
     "q54_dedup_clusters" -> q54Sql,

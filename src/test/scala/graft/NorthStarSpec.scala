@@ -197,6 +197,37 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq == Seq((1L, 10L, 1.0)))
   }
 
+  test("label centroids equal exact per-dimension means") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 6.0f)),
+      (1, Seq(10.0f, 20.0f))).toDF("label", "embedding")
+    val got = SimilarityOps.labelCentroids(df, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got(0) == ((0, Seq(2.0, 4.0), 2L)))
+    assert(got(1) == ((1, Seq(10.0, 20.0), 1L)))
+  }
+
+  test("histogram bins cover all rows; max folds into last bin") {
+    import spark.implicits._
+    val df = (0 to 100).map(_.toDouble).toDF("v")
+    val got = graft.operators.StatsOps.histogram(df, "v", 10)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got.values.sum == 101)
+    assert(got.keySet == (0 to 9).toSet)
+    // [0,10) ... [90,100) with 100 folded into bin 9
+    assert(got(0) == 10 && got(9) == 11)
+  }
+
+  test("histogram degenerate range lands everything in bin 0") {
+    import spark.implicits._
+    val df = Seq(5.0, 5.0, 5.0).toDF("v")
+    val got = graft.operators.StatsOps.histogram(df, "v", 10).collect()
+    assert(got.length == 1 && got.head.getInt(0) == 0 &&
+      got.head.getLong(1) == 3)
+  }
+
   test("top n-grams count occurrences (not per-doc distinct) in order") {
     import spark.implicits._
     val df = Seq((1L, "x y x y"), (2L, "x y z")).toDF("doc_id", "text")
