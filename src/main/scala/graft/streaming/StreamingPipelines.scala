@@ -60,6 +60,33 @@ object StreamingPipelines {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-stream inner join with event-time range condition: pair
+    * each left event with right events of the same key within
+    * `tolerance` AFTER it (the streaming enrichment shape — e.g. click
+    * -> conversion attribution). Both sides carry watermarks and the
+    * join has a time-range predicate, so Spark bounds BOTH state
+    * stores: a side's row is dropped once the other side's watermark
+    * passes its join window — the condition that keeps an unbounded
+    * 100 TB/day two-stream join feasible. Inputs must already expose
+    * (key, ts, payload); output carries both payloads and both times.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       key: String, tolerance: String,
+                       watermark: String = "10 minutes"): DataFrame = {
+    val l = left.select(col(key).as("k"), col("ts").as("l_ts"),
+        col("value").as("l_value"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col(key).as("k2"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+        col("k") === col("k2") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"interval $tolerance"))
+      .select(col("k"), col("l_ts"), col("l_value"),
+        col("r_ts"), col("r_value"))
+  }
+
   /** The reference's batched CSV logging sink (S3): micro-batched
     * append with a ~1 s cadence (ORC_CONFIG.h:19 64 KiB cache,
     * ORC_Main.c:806-814). */

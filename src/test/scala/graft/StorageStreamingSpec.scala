@@ -119,6 +119,43 @@ class StorageStreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream range join equals the batch join on replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val clicks = Seq((ts(0), 1L, 1.0), (ts(20), 1L, 2.0), (ts(5), 2L, 3.0))
+    val views = Seq((ts(4), 1L, 10.0), (ts(21), 1L, 20.0), (ts(40), 2L, 30.0))
+    // batch truth: same key, view within [click, click + 10 min]
+    val bc = clicks.toDF("ts", "user_id", "value")
+    val bv = views.toDF("ts", "user_id", "value")
+    val expected = bc.as("c").join(bv.as("v"),
+        $"c.user_id" === $"v.user_id" && $"v.ts" >= $"c.ts" &&
+          $"v.ts" <= $"c.ts" + expr("interval 10 minutes"))
+      .select($"c.user_id", $"c.ts", $"v.ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2))).toSet
+    assert(expected == Set((1L, ts(0), ts(4)), (1L, ts(20), ts(21))))
+
+    val lIn = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val rIn = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val joined = StreamingPipelines.streamStreamJoin(
+      lIn.toDF().toDF("ts", "user_id", "value"),
+      rIn.toDF().toDF("ts", "user_id", "value"),
+      "user_id", "10 minutes")
+    val q = joined.writeStream.format("memory")
+      .queryName("ssjoin_out").outputMode("append").start()
+    try {
+      lIn.addData(clicks)
+      rIn.addData(views)
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_out")
+        .select(col("k"), col("l_ts"), col("r_ts"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getTimestamp(2))).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("streaming CSV log sink writes micro-batched files") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
