@@ -29,6 +29,7 @@ object Bench {
     // targeted A/B timing of individual queries (unset = full suite).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty) // empty/blank filter string == unset
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.contains))
     }

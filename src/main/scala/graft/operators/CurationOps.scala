@@ -100,13 +100,17 @@ object CurationOps {
     * fraction, most-frequent-token fraction, duplicate-2-gram fraction,
     * plus token count and mean token length for the length rules.
     *
-    * Relational formulation: tokens explode once, then two aggregations
-    * with map-side partial combine ((doc, term) counts -> per-doc
-    * rollup); the 2-gram side stays an array expression (size +
-    * array_distinct, no per-element lambda references). One join keyed
-    * by doc_id puts the two sides together — at 100 TB both inputs are
-    * already hash-partitioned by doc_id from their aggregations, so AQE
-    * plans it without an extra exchange. */
+    * Relational formulation: tokens explode once into (doc, term)
+    * counts -> per-doc rollup; 2-grams explode once into a per-doc
+    * DISTINCT count. The total 2-gram count needs no second pipeline
+    * pass at all — it is exactly n_tokens - 1 (0 below 2 tokens).
+    * (An array-expression 2-gram side was dropped: referencing the
+    * shingle array from both size() and size(array_distinct()) ran the
+    * tokenizer+shingle build twice per row after projection collapse.)
+    * One join keyed by doc_id puts the sides together — at 100 TB both
+    * inputs are already hash-partitioned by doc_id from their
+    * aggregations, so AQE plans it without an extra exchange; the join
+    * is LEFT because sub-2-token docs produce no 2-gram rows. */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
@@ -120,12 +124,13 @@ object CurationOps {
         count(lit(1)).as("n_distinct"),
         max(col("c")).as("top_c"),
         sum(length(col("t")) * col("c")).as("len_sum"))
-    val grams = toks
+    val gramDistinct = toks
       .select(col("doc_id"),
-        TextOps.shinglesFromTokens(col("toks"), 2).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("n2"),
-        size(array_distinct(col("sh"))).as("n2d"))
-    tokAgg.join(grams, "doc_id").select(
+        explode(TextOps.shinglesFromTokens(col("toks"), 2)).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("g")).as("n2d"))
+    val n2 = greatest(col("n_tokens") - 1, lit(0L))
+    tokAgg.join(gramDistinct, Seq("doc_id"), "left").select(
       col("doc_id"), col("n_tokens"),
       (col("len_sum").cast("double") / col("n_tokens"))
         .as("mean_token_len"),
@@ -133,8 +138,9 @@ object CurationOps {
         .as("dup_token_frac"),
       (col("top_c").cast("double") / col("n_tokens"))
         .as("top_token_frac"),
-      when(col("n2") <= 0, lit(0.0))
-        .otherwise(lit(1.0) - col("n2d").cast("double") / col("n2"))
+      when(n2 <= 0, lit(0.0))
+        .otherwise(lit(1.0) -
+          coalesce(col("n2d"), lit(0L)).cast("double") / n2)
         .as("dup_2gram_frac"))
   }
 

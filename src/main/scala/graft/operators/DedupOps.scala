@@ -181,18 +181,25 @@ object DedupOps {
     // ONE hashed-shingle table feeds everything: the LSH signatures
     // derive from it (affine permutations of the same xxhash64 values)
     // and the verify stage set-intersects it — so the tokenize/
-    // shingle/hash pipeline runs exactly once, persisted evictable
-    // MEMORY_AND_DISK (the Spark-ML fit() convention). Verify works on
-    // HASHED shingle sets (one long per shingle): cheaper to ship and
-    // compare than strings, and xxhash64 collisions at 2^64 are
-    // negligible for the Jaccard value. Two joins against the cached
-    // table (one per pair side): a melt-into-roles + single join +
-    // re-group variant was measured ~2x SLOWER — the extra shuffle of
-    // hash arrays costs more than the second cached read.
+    // shingle/hash pipeline runs exactly once. Lazy localCheckpoint,
+    // not persist: persist pins an entry in CacheManager until an
+    // explicit unpersist that a lazily-evaluated return value gives no
+    // safe place to call (unpersist-before-action would recompute;
+    // never-unpersist leaks the cache for the session lifetime, one
+    // corpus per call). A local checkpoint materializes once on first
+    // use, is shared by all three readers, and its blocks are
+    // reference-counted away by the ContextCleaner when the plan is
+    // GC'd. Verify works on HASHED shingle sets (one long per
+    // shingle): cheaper to ship and compare than strings, and xxhash64
+    // collisions at 2^64 are negligible for the Jaccard value. Two
+    // joins against the checkpointed table (one per pair side): a
+    // melt-into-roles + single join + re-group variant was measured
+    // ~2x SLOWER — the extra shuffle of hash arrays costs more than
+    // the second cached read.
     val sh = stagedShingles(df, idCol, textCol, shingleN)
       .select(col("doc_id"),
         array_distinct(transform(col("sh"), s => xxhash64(s))).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val hashed = sh.select(col("doc_id"), explode(col("hs")).as("h0"))
     val cand = bandPairs(affineMinhashSig(hashed, k), bands, k / bands,
       maxBucketSize)
@@ -383,6 +390,12 @@ object DedupOps {
       iter += 1
     }
     edges.unpersist()
+    // A silent exit at maxIter would return under-merged clusters that
+    // are indistinguishable from a converged result — fail loudly; the
+    // caller can raise maxIter for pathologically deep graphs.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds; " +
+        "the pair graph has a component deeper than maxIter — raise it")
     labels.select(col("id"), col("lab").as("cluster_id"))
   }
 

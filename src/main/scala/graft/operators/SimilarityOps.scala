@@ -190,19 +190,26 @@ object SimilarityOps {
     * a naive array-column aggregate would ship whole vectors to one
     * reducer per label; here every dimension aggregates independently
     * across the cluster and only (label, dim, sum, count) partials
-    * shuffle. Returns (label, centroid, n). */
+    * shuffle. Returns (label, centroid, n) where n counts EVERY member
+    * row of the label (including null/empty vectors, which contribute
+    * to no dimension) — computed by its own tiny aggregate rather than
+    * derived from per-dimension counts, which would under-report for
+    * ragged or missing vectors. */
   def labelCentroids(df: DataFrame, labelCol: String, vecCol: String)
-      : DataFrame =
+      : DataFrame = {
+    val members = df.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n"))
     df.select(col(labelCol).as("label"),
         posexplode(col(vecCol).cast("array<double>")))
       .groupBy(col("label"), col("pos"))
-      .agg(avg(col("col")).as("m"), count(lit(1)).as("n"))
+      .agg(avg(col("col")).as("m"))
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-        .as("dims"), min(col("n")).as("n"))
+        .as("dims"))
       .select(col("label"),
-        transform(col("dims"), d => d.getField("m")).as("centroid"),
-        col("n"))
+        transform(col("dims"), d => d.getField("m")).as("centroid"))
+      .join(members, "label")
+  }
 
   /** LSH-bucketed ANN top-k: candidates share a hyperplane bucket, then
     * exact cosine re-rank within the bucket. Recall depends on `planes`
