@@ -76,7 +76,8 @@ object DedupOps {
     val hashed = stagedShingles(df, idCol, textCol, shingleN)
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h0"))
-    bandPairs(affineMinhashSig(hashed, k), bands, k / bands, maxBucketSize)
+    bandPairs(affineMinhashSig(hashed, k), bands, k / bands, maxBucketSize,
+      needBarrier = false)
   }
 
   /** Relational affine-minhash signature from exploded (doc_id, h0 =
@@ -109,7 +110,8 @@ object DedupOps {
     * pipeline runs ONCE and no self-join ever materializes; per-bucket
     * work is bounded by the megabucket cap. */
   private def bandPairs(sig: DataFrame, bands: Int, rowsPerBand: Int,
-                        maxBucketSize: Int): DataFrame = {
+                        maxBucketSize: Int,
+                        needBarrier: Boolean = true): DataFrame = {
     // The signature must reach the banding generate as a materialized
     // ATTRIBUTE, not an expression: project collapse into Generate
     // ignores the reference-count guard and inlines the full minhash
@@ -119,9 +121,11 @@ object DedupOps {
     // into the nested lambda stages instead, ~15x worse again). The
     // repartition is a real physical barrier; it shuffles one row of
     // (id, k hashes) per doc — negligible next to the k-rows-per-doc
-    // banded shuffle that follows — and pre-co-locates each doc's
-    // band rows.
-    val exploded = sig.repartition(col("doc_id"))
+    // banded shuffle that follows. Callers whose signature already
+    // ends in an Aggregate (its outputs ARE attributes) pass
+    // needBarrier = false and skip that shuffle entirely.
+    val barriered = if (needBarrier) sig.repartition(col("doc_id")) else sig
+    val exploded = barriered
       .select(col("doc_id"), posexplode(col("sig")))
     val banded =
       if (rowsPerBand == 1)
@@ -202,7 +206,7 @@ object DedupOps {
       .localCheckpoint(false)
     val hashed = sh.select(col("doc_id"), explode(col("hs")).as("h0"))
     val cand = bandPairs(affineMinhashSig(hashed, k), bands, k / bands,
-      maxBucketSize)
+      maxBucketSize, needBarrier = false)
     cand
       .join(sh.select(col("doc_id").as("id1"), col("hs").as("sh1")), "id1")
       .join(sh.select(col("doc_id").as("id2"), col("hs").as("sh2")), "id2")
