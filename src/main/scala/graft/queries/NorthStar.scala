@@ -469,7 +469,40 @@ object NorthStar {
       .orderBy(col("bin"))
   }
 
+  // q61 — quartile distribution per event type (ntile over a TOTAL
+  // order — the tiebreak on event_id is what makes bucket membership,
+  // hence the per-bucket min/max, engine-independent).
+  private val q61: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("event_type"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 6).as("lo"),
+        round(max(col("value")), 6).as("hi"))
+      .orderBy(col("event_type"), col("quartile"))
+  }
+
+  // q62 — pivot (wide aggregation): per-user event counts by type,
+  // one column per event type. Spark's pivot is groupBy + conditional
+  // aggregates; the oracle spells the same CASE WHEN form.
+  private val q62: Q = (s, dir) => {
+    t(s, dir, "events")
+      .filter(col("user_id") < 50)
+      .groupBy(col("user_id"))
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q61_ntile_quartiles" -> q61,
+    "q62_pivot_counts" -> q62,
     "q59_label_centroids" -> q59,
     "q60_histogram" -> q60,
     "q57_gap_sessions" -> q57,
@@ -973,7 +1006,29 @@ object NorthStar {
       |      FROM events, r)
       |SELECT bin, COUNT(*) AS n FROM b GROUP BY bin ORDER BY bin""".stripMargin
 
+  private val q61Sql: String =
+    """WITH r AS (SELECT event_type, value,
+      |             NTILE(4) OVER (PARTITION BY event_type
+      |                 ORDER BY value, event_id) AS quartile
+      |           FROM events)
+      |SELECT event_type, quartile, COUNT(*) AS n,
+      |       ROUND(MIN(value), 6) AS lo, ROUND(MAX(value), 6) AS hi
+      |FROM r GROUP BY event_type, quartile
+      |ORDER BY event_type, quartile""".stripMargin
+
+  private val q62Sql: String =
+    """SELECT user_id,
+      |       COUNT(*) FILTER (event_type = 'click') AS click,
+      |       COUNT(*) FILTER (event_type = 'error') AS error,
+      |       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+      |       COUNT(*) FILTER (event_type = 'signup') AS signup,
+      |       COUNT(*) FILTER (event_type = 'view') AS view
+      |FROM events WHERE user_id < 50
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q61_ntile_quartiles" -> q61Sql,
+    "q62_pivot_counts" -> q62Sql,
     "q59_label_centroids" -> q59Sql,
     "q60_histogram" -> q60Sql,
     "q57_gap_sessions" -> q57Sql,
