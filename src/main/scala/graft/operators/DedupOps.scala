@@ -305,6 +305,24 @@ object DedupOps {
     simhashBandVerify(sig, nBands = 2, maxHamming)
   }
 
+  /** End-to-end near-dup corpus dedup — the composition a curation
+    * pipeline actually runs: LSH candidate pairs -> exact-Jaccard
+    * verify -> connected components -> keep each cluster's minimum id
+    * (and every unpaired document). Exact duplicates are near-dups at
+    * any threshold, so they fall out of the same pass. The anti-join
+    * ships only the (tiny) drop list against the corpus scan. */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                  threshold: Double = 0.5,
+                  maxBucketSize: Int = 100): DataFrame = {
+    val pairs = minhashLshDedup(df, idCol, textCol, shingleN, k, bands,
+      threshold, maxBucketSize)
+    val drop = connectedComponents(pairs, "id1", "id2")
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id"))
+    df.join(drop, df(idCol) === drop("id"), "left_anti")
+  }
+
   /** Cross-corpus contamination detection (benchmark decontamination):
     * flag corpus documents whose shingle CONTAINMENT of any probe
     * document — |corpus ∩ probe| / |probe| — meets `threshold`.

@@ -500,7 +500,22 @@ object NorthStar {
       .orderBy(col("user_id"))
   }
 
+  // q63 — end-to-end corpus dedup (the md5-parity composition of
+  // DedupOps.dedupCorpus): verified near-dup pairs -> connected
+  // components -> survivors (cluster minimum) + unpaired docs.
+  private val q63: Q = (s, dir) => {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 250)
+    val pairs = DedupOps.minhashLshDedupParity(d, "doc_id", "text",
+      shingleN = 2, k = 8, bands = 4, threshold = 0.2)
+    val drop = DedupOps.connectedComponents(pairs, "id1", "id2")
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id"))
+    d.join(drop, d("doc_id") === drop("id"), "left_anti")
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q63_dedup_corpus" -> q63,
     "q61_ntile_quartiles" -> q61,
     "q62_pivot_counts" -> q62,
     "q59_label_centroids" -> q59,
@@ -743,14 +758,16 @@ object NorthStar {
       |SELECT doc_id, term, rk, ROUND(tfidf, 6) AS tfidf FROM r
       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
-  private val q47Sql: String = {
+  /** Shared CTE chain producing md5-MinHash-parity verified pairs
+    * (`ver`: id1, id2, jaccard) — the common prefix of q47 and q63. */
+  private val minhashParityCtes: String = {
     val sigList = (0 until 8)
       .map(i => s"list_min(list_transform(sh, x -> md5('$i:' || x)))")
       .mkString("[", ", ", "]")
     val bandedUnion = (0 until 4)
       .map(b => s"SELECT doc_id, $b AS band, md5(sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}]) AS bucket FROM g")
       .mkString("\n  UNION ALL ")
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
        |  FROM documents WHERE doc_id < 250),
        |s AS (
@@ -773,10 +790,13 @@ object NorthStar {
        |ver AS (SELECT id1, id2,
        |               len(list_intersect(x.sh, y.sh)) * 1.0 /
        |                 len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
-       |        FROM pairs JOIN s x ON id1 = x.doc_id JOIN s y ON id2 = y.doc_id)
+       |        FROM pairs JOIN s x ON id1 = x.doc_id JOIN s y ON id2 = y.doc_id)""".stripMargin
+  }
+
+  private val q47Sql: String =
+    s"""WITH $minhashParityCtes
        |SELECT id1, id2, ROUND(jaccard, 6) AS jacc FROM ver
        |WHERE jaccard >= 0.2::DOUBLE ORDER BY id1, id2""".stripMargin
-  }
 
   /** Shared CTE chain producing SimHash-parity candidate pairs
     * (`cand`: id1, id2, s1, s2) — the common prefix of q48 and q54. */
@@ -1026,7 +1046,24 @@ object NorthStar {
       |FROM events WHERE user_id < 50
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  private val q63Sql: String =
+    s"""WITH RECURSIVE $minhashParityCtes,
+       |p AS (SELECT id1, id2 FROM ver WHERE jaccard >= 0.2::DOUBLE),
+       |edges AS (SELECT id1 AS es, id2 AS ed FROM p
+       |          UNION SELECT id2, id1 FROM p),
+       |nodes AS (SELECT DISTINCT es AS id FROM edges),
+       |reach(id, lab) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.ed, r.lab FROM reach r JOIN edges e ON e.es = r.id),
+       |cl AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+       |dr AS (SELECT id FROM cl WHERE id <> cluster_id)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id < 250 AND doc_id NOT IN (SELECT id FROM dr)
+       |ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q63_dedup_corpus" -> q63Sql,
     "q61_ntile_quartiles" -> q61Sql,
     "q62_pivot_counts" -> q62Sql,
     "q59_label_centroids" -> q59Sql,
