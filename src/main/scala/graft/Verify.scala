@@ -14,6 +14,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config(graft.core.Tables.NanosAsLongKey, "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // See Bench: keeps megabyte-scale local scans from collapsing to
+      // one partition (single-threaded expression pipelines above them).
+      .config("spark.sql.files.openCostInBytes", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -383,42 +383,68 @@ object DedupOps {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // RDD core, not DataFrame: iterative label propagation is the one
+    // workload where the declarative layer fights us — every round
+    // would re-analyze a doubled logical plan (hence per-round eager
+    // checkpoints), each join/groupBy pair costs three exchanges, and
+    // convergence needs its own action. With both sides hash-partitioned
+    // once up front, the RDD loop does ONE shuffle (the min-label
+    // reduceByKey) and ONE job per round: the propagation join and the
+    // label update are narrow, the changed-label count rides a
+    // fold-to-zero accumulator inside the same job (retry-safe: a
+    // re-run task can only inflate a nonzero count — it adds 0 when
+    // nothing changed — costing at worst one extra round, never a
+    // premature exit), and localCheckpoint truncates lineage from the
+    // persisted blocks without a second materialization. This is the
+    // same reason GraphX sits on RDDs. (On a real cluster prefer
+    // reliable checkpoint() at a coarser cadence so executor loss
+    // cannot kill a long run.)
+    import org.apache.spark.HashPartitioner
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val part = new HashPartitioner(nPart)
     val e0 = pairs.select(col(aCol).cast("long").as("src"),
-      col(bCol).cast("long").as("dst"))
-    val edges = e0
-      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .persist(MEMORY_AND_DISK)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lab").cast("decimal(38,0)"))).head.getDecimal(0)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lab"))
-      .localCheckpoint(true)
-    var prevSum = labelSum(labels)
+        col(bCol).cast("long").as("dst"))
+      .as[(Long, Long)].rdd
+    val edges = e0.flatMap { case (s, d) => Iterator((s, d), (d, s)) }
+      .distinct(nPart)
+      .partitionBy(part)
+    edges.localCheckpoint()
+    var labels = edges
+      .mapPartitions(_.map { case (k, _) => (k, k) }.distinct,
+        preservesPartitioning = true)
+    labels.localCheckpoint()
+    var converged = labels.isEmpty() // no edges at all
     var iter = 0
-    var converged = prevSum == null // no edges at all
     while (!converged && iter < maxIter) {
-      val prop = edges.join(labels, col("src") === col("id"))
-        .groupBy(col("dst")).agg(min(col("lab")).as("plab"))
-      val next = labels.join(prop, col("id") === col("dst"), "left")
-        .select(col("id"),
-          least(col("lab"), coalesce(col("plab"), col("lab"))).as("lab"))
-        .localCheckpoint(true)
-      val nextSum = labelSum(next)
+      val changed = spark.sparkContext.longAccumulator
+      val next = edges.join(labels) // narrow: co-partitioned by `part`
+        .map { case (_, (dst, lab)) => (dst, lab) }
+        .reduceByKey(part, math.min(_: Long, _: Long)) // the round's one shuffle
+        .rightOuterJoin(labels) // narrow again
+        .mapValues { case (prop, lab) => // prop: Option (left side of the ROJ)
+          val nl = math.min(lab, prop.getOrElse(lab))
+          if (nl < lab) changed.add(1L)
+          nl
+        }
+      next.localCheckpoint()
+      next.count() // the round's one job; populates `changed`
+      labels.unpersist(false)
       labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      converged = changed.value == 0L
       iter += 1
+      if (sys.env.contains("GRAFT_CC_VERBOSE"))
+        println(s"[cc] round $iter changed=${changed.value}")
     }
-    edges.unpersist()
+    edges.unpersist(false)
     // A silent exit at maxIter would return under-merged clusters that
     // are indistinguishable from a converged result — fail loudly; the
     // caller can raise maxIter for pathologically deep graphs.
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds; " +
         "the pair graph has a component deeper than maxIter — raise it")
-    labels.select(col("id"), col("lab").as("cluster_id"))
+    labels.toDF("id", "cluster_id")
   }
 
   /** Embedding-cosine near-dup via hyperplane LSH (see
