@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Structured-streaming equivalents of the reference's streaming
   * surface (SURVEY §2.8, §3.3):
@@ -85,6 +85,151 @@ object StreamingPipelines {
           col("r_ts") <= col("l_ts") + expr(s"interval $tolerance"))
       .select(col("k"), col("l_ts"), col("l_value"),
         col("r_ts"), col("r_value"))
+  }
+
+  /** One LSH band-bucket row of a streamed document. */
+  case class BandRow(band: Int, bucket: String, doc_id: Long,
+                     sig: Array[Long], ts: java.sql.Timestamp)
+  /** Bucket state: members seen within the watermark horizon, or
+    * saturated (megabucket cap hit — stop pairing, keep state tiny
+    * until the horizon passes its last arrival and it resets). */
+  case class BucketState(members: List[(Long, Array[Long], Long)],
+                         saturated: Boolean, lastMs: Long)
+  /** Candidate output: ids ordered, MinHash-estimated Jaccard. */
+  case class StreamPair(id1: Long, id2: Long, est_jaccard: Double)
+
+  /** Streaming MinHash-LSH near-dup detection: the streaming form of
+    * [[graft.operators.DedupOps.minhashLshCandidates]] — same xxhash64
+    * shingle hashing, same affine signature family, same banding — so
+    * a replay of a bounded stream emits exactly the batch candidate
+    * pair set (asserted in StorageStreamingSpec).
+    *
+    * Shape: a stateless per-partition pass computes each document's
+    * k-MinHash signature in plain Scala (a typed boundary — immune to
+    * the projection-collapse re-evaluation trap) and fans it out to
+    * `bands` (band, bucket) rows; state is keyed by the band bucket,
+    * holds the bucket's members within the watermark horizon, and each
+    * arriving document emits a candidate pair per stored member with
+    * the signature-overlap Jaccard estimate. Consumers dedup pairs
+    * across bands downstream (exactly like the batch `distinct()`).
+    *
+    * State is bounded two ways, which is what keeps a continuous
+    * ingest feasible: event-time timeout drops members older than the
+    * watermark horizon, and `maxBucketSize` marks a bucket saturated —
+    * it stops pairing and stores nothing further (the streaming analog
+    * of the batch megabucket skip, which additionally drops the
+    * bucket's earlier pairs retroactively — a stream cannot un-emit).
+    */
+  def streamingNearDup(docs: DataFrame, idCol: String, textCol: String,
+                       tsCol: String = "ts",
+                       shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                       watermark: String = "1 hour",
+                       maxBucketSize: Int = 100): Dataset[StreamPair] = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    import docs.sparkSession.implicits._
+    val r = k / bands
+    val ds = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(textCol).cast("string").as("text"))
+      .as[(Long, java.sql.Timestamp, String)]
+    val banded = ds.mapPartitions { it =>
+      it.flatMap { case (id, ts, text) =>
+        val sig = minhashSigScala(text, shingleN, k)
+        if (sig.isEmpty) Iterator.empty
+        else (0 until bands).iterator.map { b =>
+          BandRow(b, sig.slice(b * r, b * r + r).mkString("|"), id, sig, ts)
+        }
+      }
+    }
+    banded
+      .withWatermark("ts", watermark)
+      .groupByKey(x => (x.band, x.bucket))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: (Int, String), rows: Iterator[BandRow],
+         gs: GroupState[BucketState]) => {
+          val horizon = gs.getCurrentWatermarkMs()
+          val st = gs.getOption
+            .getOrElse(BucketState(Nil, saturated = false, lastMs = 0L))
+          if (gs.hasTimedOut) {
+            val kept = st.members.filter(_._3 >= horizon)
+            if (kept.isEmpty && (!st.saturated || st.lastMs < horizon))
+              gs.remove()
+            else {
+              gs.update(st.copy(members = kept))
+              gs.setTimeoutTimestamp(horizon + timeoutSlackMs)
+            }
+            Iterator.empty
+          } else if (st.saturated) {
+            val lastMs = rows.map(_.ts.getTime).foldLeft(st.lastMs)(math.max)
+            gs.update(st.copy(lastMs = lastMs))
+            gs.setTimeoutTimestamp(math.max(horizon + timeoutSlackMs, 1L))
+            Iterator.empty
+          } else {
+            var members = st.members.filter(_._3 >= horizon)
+            var saturated = false
+            var lastMs = st.lastMs
+            val out = List.newBuilder[StreamPair]
+            // In-batch arrival order is nondeterministic; sort by id so
+            // replays emit an identical stream.
+            rows.toSeq.sortBy(x => (x.doc_id, x.ts.getTime)).foreach { x =>
+              lastMs = math.max(lastMs, x.ts.getTime)
+              if (!saturated && !members.exists(_._1 == x.doc_id)) {
+                members.foreach { case (mid, msig, _) =>
+                  val est = msig.iterator.zip(x.sig.iterator)
+                    .count { case (a, b) => a == b }.toDouble / k
+                  out += (if (mid < x.doc_id) StreamPair(mid, x.doc_id, est)
+                          else StreamPair(x.doc_id, mid, est))
+                }
+                members = (x.doc_id, x.sig, x.ts.getTime) :: members
+                if (members.length > maxBucketSize) saturated = true
+              }
+            }
+            if (saturated) gs.update(BucketState(Nil, saturated = true, lastMs))
+            else gs.update(BucketState(members, saturated = false, lastMs))
+            gs.setTimeoutTimestamp(math.max(horizon + timeoutSlackMs, 1L))
+            out.result().iterator
+          }
+        })
+  }
+
+  /** How far past the current watermark a bucket's timeout is set;
+    * each firing re-prunes expired members, so this only paces cleanup
+    * frequency, not correctness. */
+  private val timeoutSlackMs = 60000L
+
+  /** Plain-Scala twin of the batch signature pipeline
+    * (TextOps.tokens -> shinglesFromTokens -> distinct -> xxhash64 ->
+    * affine mins): split on whitespace, n-token shingles joined by a
+    * space, XXH64 with Spark SQL's seed (42) over UTF8 bytes, then
+    * k affine permutations over the Mersenne prime — value-identical
+    * to `DedupOps.minhashLshCandidates`' aggregate form (asserted in
+    * StorageStreamingSpec). Empty result = fewer than `shingleN`
+    * tokens (the batch form yields an empty shingle array there). */
+  private[graft] def minhashSigScala(text: String, shingleN: Int,
+                                     k: Int): Array[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val P = 2147483647L
+    // UTF8String trim/lower + limit=-1 split: Spark's exact semantics
+    // (trim strips 0x20 only; split keeps trailing empties) — a plain
+    // String.trim/toLowerCase/split diverges on tabs and locale.
+    val norm = UTF8String.fromString(text).trim().toLowerCase().toString
+    val toks = norm.split("\\s+", -1)
+    if (toks.length < shingleN) Array.empty[Long]
+    else {
+      val base = toks.sliding(shingleN).map(_.mkString(" ")).toArray
+        .distinct
+        .map { s =>
+          val h = XXH64.hashUTF8String(UTF8String.fromString(s), 42L)
+          ((h % P) + P) % P
+        }
+      Array.tabulate(k) { i =>
+        val a = 2 * i + 1
+        val b = 1_000_003L * (i + 1)
+        base.iterator.map(h => ((h * a + b) % P + P) % P).min
+      }
+    }
   }
 
   /** The reference's batched CSV logging sink (S3): micro-batched

@@ -119,6 +119,70 @@ class StorageStreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming MinHash LSH near-dup equals the batch candidate set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+      .filter(col("doc_id") < 120)
+      .select(col("doc_id"), col("text"))
+    // batch truth: same shingling / hashing / banding constants
+    val expected = operators.DedupOps.minhashLshCandidates(
+        docs, "doc_id", "text", shingleN = 2, k = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "test corpus should produce candidates")
+
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val pairs = StreamingPipelines.streamingNearDup(
+      input.toDF().toDF("ts", "doc_id", "text"), "doc_id", "text",
+      shingleN = 2, k = 16, bands = 8)
+    val q = pairs.writeStream.format("memory")
+      .queryName("neardup_out").outputMode("append").start()
+    try {
+      // three micro-batches; all inside the watermark horizon, so the
+      // replay must reproduce the batch candidate set exactly
+      val (b1, rest) = rows.splitAt(40)
+      val (b2, b3) = rest.splitAt(40)
+      input.addData(b1.map { case (id, t) => (ts(0), id, t) }.toSeq)
+      q.processAllAvailable()
+      input.addData(b2.map { case (id, t) => (ts(5), id, t) }.toSeq)
+      q.processAllAvailable()
+      input.addData(b3.map { case (id, t) => (ts(10), id, t) }.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("neardup_out")
+        .select("id1", "id2").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"streaming pairs != batch: missing=${expected -- got} extra=${got -- expected}")
+    } finally q.stop()
+  }
+
+  test("scala minhash signature bit-matches the SQL pipeline") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+      .filter(col("doc_id") < 60).select(col("doc_id"), col("text"))
+    // SQL form: the exact expression chain the batch operators stage
+    val sql = docs
+      .select(col("doc_id"), operators.TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        operators.TextOps.shinglesFromTokens(col("toks"), 3).as("sh0"))
+      .select(col("doc_id"), array_distinct(col("sh0")).as("sh"))
+      .select(col("doc_id"),
+        array_distinct(transform(col("sh"), s => xxhash64(s))).as("hs"))
+      .select(col("doc_id"),
+        operators.TextOps.minhashFromBase(
+          transform(col("hs"), h => pmod(h, lit(2147483647L))), 8,
+          2147483647L).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    docs.collect().foreach { r =>
+      val scala = StreamingPipelines
+        .minhashSigScala(r.getString(1), 3, 8).toVector
+      val exp = if (scala.isEmpty) Vector.empty else sql(r.getLong(0))
+      assert(scala == exp, s"doc ${r.getLong(0)} signature mismatch")
+    }
+  }
+
   test("stream-stream range join equals the batch join on replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
