@@ -35,7 +35,7 @@ object NorthStar {
   // q21 — exact dedup (hash-groupBy, one shuffle)
   private val q21: Q = (s, dir) => {
     DedupOps.exactDedup(t(s, dir, "documents"), "doc_id", "text")
-      .orderBy(col("keep_id"))
+      .ordered(col("keep_id"))
   }
 
   // q22 — text quality metrics (pure scan, no shuffle)
@@ -48,7 +48,7 @@ object NorthStar {
           .as("stop_ratio"),
         round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
         TextOps.qualityScore(col("text"), Stopwords).as("quality"))
-      .orderBy(col("doc_id"))
+      .ordered(col("doc_id"))
   }
 
   // q23 — keyword-vote language ID + distribution
@@ -57,7 +57,7 @@ object NorthStar {
       .select(TextOps.langId(col("text"), LangMarkers).as("lang_pred"))
       .groupBy(col("lang_pred"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("lang_pred"))
+      .ordered(col("lang_pred"))
   }
 
   // q24 — MinHash document fingerprints (deterministic md5 minima;
@@ -72,7 +72,7 @@ object NorthStar {
       .select(col("doc_id"),
         TextOps.minhash(col("sh"), 0).as("fp0"),
         TextOps.minhash(col("sh"), 1).as("fp1"))
-      .orderBy(col("doc_id"))
+      .ordered(col("doc_id"))
   }
 
   // q25 — exact 2-gram Jaccard pairs via inverted-index join
@@ -81,7 +81,7 @@ object NorthStar {
         t(s, dir, "documents").filter(col("doc_id") < 100),
         "doc_id", "text", n = 2, threshold = 0.1)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jacc"))
-      .orderBy(col("id1"), col("id2"))
+      .ordered(col("id1"), col("id2"))
   }
 
   // q26 — MinHash-LSH near-dup dedup (xxhash64 fast path — rows-only;
@@ -90,7 +90,7 @@ object NorthStar {
     DedupOps.minhashLshDedup(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 2, k = 16, bands = 16, threshold = 0.1)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jacc"))
-      .orderBy(col("id1"), col("id2"))
+      .ordered(col("id1"), col("id2"))
   }
 
   // q27 — SimHash near-dup candidates (xxhash64 fast path — rows-only;
@@ -98,7 +98,7 @@ object NorthStar {
   private val q27: Q = (s, dir) => {
     DedupOps.simhashNearDup(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 24)
-      .orderBy(col("id1"), col("id2"))
+      .ordered(col("id1"), col("id2"))
   }
 
   // q28 — brute-force cosine top-5 for queries vec_id < 5
@@ -106,7 +106,7 @@ object NorthStar {
     val emb = t(s, dir, "embeddings")
     SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 5)
-      .orderBy(col("qid"), col("cos").desc, col("nid"))
+      .ordered(col("qid"), col("cos").desc, col("nid"))
       .select(col("qid"), col("nid"), round(col("cos"), 6).as("cos"))
   }
 
@@ -116,7 +116,7 @@ object NorthStar {
     val emb = t(s, dir, "embeddings")
     SimilarityOps.lshTopK(emb, emb.filter(col("vec_id") < 50),
         "vec_id", "embedding", k = 5, planes = 4)
-      .orderBy(col("qid"), col("cos").desc, col("nid"))
+      .ordered(col("qid"), col("cos").desc, col("nid"))
       .select(col("qid"), col("nid"), round(col("cos"), 6).as("cos"))
   }
 
@@ -132,7 +132,7 @@ object NorthStar {
       .select(col("media_id"), col("format"), col("n_bytes"),
         round(col("mean_byte"), 6).as("mean_byte"),
         round(col("entropy_proxy"), 6).as("entropy_proxy"))
-      .orderBy(col("media_id"))
+      .ordered(col("media_id"))
   }
 
   // q31 — embedding-cosine near-dup pairs via hyperplane buckets
@@ -143,7 +143,7 @@ object NorthStar {
     DedupOps.embeddingNearDup(t(s, dir, "embeddings"), "vec_id",
         "embedding", planes = 4, threshold = 0.35, maxBucketSize = 1000)
       .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cos"))
-      .orderBy(col("id1"), col("id2"))
+      .ordered(col("id1"), col("id2"))
   }
 
   // q32 — video frame sampling (column-expression slicing; frame
@@ -155,7 +155,7 @@ object NorthStar {
     MultimodalOps.frameSample(media, "data", frameBytes = 32, stride = 16)
       .select(col("media_id"), col("frame_idx"),
         length(col("frame_bytes")).as("frame_len"))
-      .orderBy(col("media_id"), col("frame_idx"))
+      .ordered(col("media_id"), col("frame_idx"))
   }
 
   // q33/q34 — one-pass distributed Welch t-test via the typed
@@ -199,7 +199,7 @@ object NorthStar {
       .select(TextOps.langId(col("text"), LangMarkers).as("lang_pred"))
       .groupBy(col("lang_pred"))
       .agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("lang_pred"))
+      .ordered(col("lang_pred"))
   }
 
   // q40 — IVF ANN top-5 (md5-ordered coarse quantizer + probes;
@@ -209,7 +209,7 @@ object NorthStar {
     val emb = t(s, dir, "embeddings")
     SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 50),
         "vec_id", "embedding", k = 5, nCentroids = 16, nProbes = 4)
-      .orderBy(col("qid"), col("cos").desc, col("nid"))
+      .ordered(col("qid"), col("cos").desc, col("nid"))
       .select(col("qid"), col("nid"), round(col("cos"), 6).as("cos"))
   }
 
@@ -219,7 +219,7 @@ object NorthStar {
   private val q41: Q = (s, dir) => {
     t(s, dir, "documents")
       .select(col("doc_id"), TextOps.rollingHash(col("text")).as("fp"))
-      .orderBy(col("doc_id"))
+      .ordered(col("doc_id"))
   }
 
   // q42 — backward as-of join: each click's most recent prior-or-equal
@@ -236,7 +236,7 @@ object NorthStar {
         "event_id", "value")
       .select(col("event_id"), round(col("value"), 6).as("click_value"),
         round(col("asof_value"), 6).as("prior_view_value"))
-      .orderBy(col("event_id"))
+      .ordered(col("event_id"))
   }
 
   // q50 — forward as-of join: each click's next view value per user
@@ -251,7 +251,7 @@ object NorthStar {
         "event_id", "value")
       .select(col("event_id"),
         round(col("asof_value"), 6).as("next_view_value"))
-      .orderBy(col("event_id"))
+      .ordered(col("event_id"))
   }
 
   // q43 — bounded range self-join: per-user count of event pairs
@@ -263,7 +263,7 @@ object NorthStar {
     TemporalJoinOps.rangeSelfPairs(ev, "user_id", "tus", "event_id",
         3600000000L)
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
-      .orderBy(col("user_id"))
+      .ordered(col("user_id"))
   }
 
   // q44 — exact grouped quantiles (percentile, not approx — matches
@@ -276,7 +276,7 @@ object NorthStar {
         round(element_at(col("qs"), 1), 6).as("p50"),
         round(element_at(col("qs"), 2), 6).as("p90"),
         round(element_at(col("qs"), 3), 6).as("p99"))
-      .orderBy(col("event_type"))
+      .ordered(col("event_type"))
   }
 
   // q45 — deterministic stratified sample by predicted language
@@ -287,7 +287,7 @@ object NorthStar {
     CurationOps.stratifiedSample(d, "lang_pred", "doc_id",
         Map("scanic" -> 0.5, "joinic" -> 0.25), 0.1, "graft")
       .select(col("doc_id"), col("lang_pred"))
-      .orderBy(col("doc_id"))
+      .ordered(col("doc_id"))
   }
 
   // q46 — per-document TF-IDF top-3 terms.
@@ -297,7 +297,7 @@ object NorthStar {
         "doc_id", "text", topK = 3)
       .select(col("doc_id"), col("term"), col("rk"),
         round(col("tfidf"), 6).as("tfidf"))
-      .orderBy(col("doc_id"), col("rk"))
+      .ordered(col("doc_id"), col("rk"))
   }
 
   // q47 — oracle-parity MinHash-LSH dedup (md5 signatures + string
@@ -307,7 +307,7 @@ object NorthStar {
         t(s, dir, "documents").filter(col("doc_id") < 250),
         "doc_id", "text", shingleN = 2, k = 8, bands = 4, threshold = 0.2)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jacc"))
-      .orderBy(col("id1"), col("id2"))
+      .ordered(col("id1"), col("id2"))
   }
 
   // q48 — oracle-parity SimHash near-dup (32-bit md5 fingerprints; the
@@ -316,7 +316,7 @@ object NorthStar {
     DedupOps.simhashNearDupParity(
         t(s, dir, "documents").filter(col("doc_id") < 250),
         "doc_id", "text", maxHamming = 8)
-      .orderBy(col("id1"), col("id2"))
+      .ordered(col("id1"), col("id2"))
   }
 
   // q49 — KMV (k-minimum-values) distinct sketch: a cross-engine
@@ -344,7 +344,7 @@ object NorthStar {
         round(when(col("hk").isNull, col("n_exact").cast("double"))
           .otherwise(lit((k - 1) * 4294967296.0) / col("hk")), 4)
           .as("n_est"))
-      .orderBy(col("event_type"))
+      .ordered(col("event_type"))
   }
 
   // q51 — overlapping token-window chunking (width 32, stride 24):
@@ -358,7 +358,7 @@ object NorthStar {
     chunks.select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
         length(col("c.chunk_text")).as("n_chars"),
         TextOps.rollingHash(col("c.chunk_text")).as("chunk_fp"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
+      .ordered(col("doc_id"), col("chunk_idx"))
   }
 
   // q52 — deterministic train/val/test split assignment (hash-range
@@ -369,7 +369,7 @@ object NorthStar {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "graft")
         .as("split"))
       .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("split"))
+      .ordered(col("split"))
   }
 
   // q53 — regex redaction (PII-scrub shape): ordered replace rules,
@@ -383,7 +383,7 @@ object NorthStar {
         TextOps.redact(col("text"), RedactRules).as("red"))
       .select(col("doc_id"), length(col("red")).as("n_chars"),
         TextOps.rollingHash(col("red")).as("red_fp"))
-      .orderBy(col("doc_id"))
+      .ordered(col("doc_id"))
   }
 
   // q54 — near-dup cluster resolution: SimHash parity pairs -> connected
@@ -395,7 +395,7 @@ object NorthStar {
       "doc_id", "text", maxHamming = 8)
     DedupOps.connectedComponents(pairs, "id1", "id2")
       .select(col("id").as("doc_id"), col("cluster_id"))
-      .orderBy(col("doc_id"))
+      .ordered(col("doc_id"))
   }
 
   // q55 — Gopher-style repetition statistics + quality gate per doc.
@@ -408,13 +408,13 @@ object NorthStar {
         round(col("dup_2gram_frac"), 6).as("dup_2gram_frac"),
         CurationOps.gopherKeep(col("n_tokens"), col("mean_token_len"),
           col("top_token_frac"), col("dup_2gram_frac")).as("keep"))
-      .orderBy(col("doc_id"))
+      .ordered(col("doc_id"))
   }
 
   // q56 — corpus-wide top-20 2-grams by occurrence (vocab builder).
   private val q56: Q = (s, dir) => {
     CurationOps.topNgrams(t(s, dir, "documents"), "text", n = 2, k = 20)
-      .orderBy(col("n").desc, col("gram"))
+      .ordered(col("n").desc, col("gram"))
   }
 
   // q57 — batch gap sessionization of the event stream (1 h gap) +
@@ -428,7 +428,7 @@ object NorthStar {
       .agg(count(lit(1)).as("n_events"),
         (max(col("tus")) - min(col("tus"))).as("dur_us"),
         round(sum(col("value")), 4).as("sv"))
-      .orderBy(col("user_id"), col("session_seq"))
+      .ordered(col("user_id"), col("session_seq"))
   }
 
   // q58 — cross-corpus contamination (decontamination shape): docs
@@ -445,7 +445,7 @@ object NorthStar {
         "doc_id", "text", shingleN = 3, threshold = 0.3)
       .select(col("doc_id"), col("probe_id"),
         round(col("containment"), 6).as("cont"))
-      .orderBy(col("doc_id"), col("probe_id"))
+      .ordered(col("doc_id"), col("probe_id"))
   }
 
   // q59 — per-label embedding centroids via the relational
@@ -459,14 +459,14 @@ object NorthStar {
         round(element_at(col("centroid"), 33), 6).as("c33"),
         round(element_at(col("centroid"), 64), 6).as("c64"),
         col("n"))
-      .orderBy(col("label"))
+      .ordered(col("label"))
   }
 
   // q60 — 20-bin histogram of event values with a data-driven range
   // (two scans: global min/max broadcast, then projection + count).
   private val q60: Q = (s, dir) => {
     graft.operators.StatsOps.histogram(t(s, dir, "events"), "value", 20)
-      .orderBy(col("bin"))
+      .ordered(col("bin"))
   }
 
   // q61 — quartile distribution per event type (ntile over a TOTAL
@@ -483,7 +483,7 @@ object NorthStar {
       .agg(count(lit(1)).as("n"),
         round(min(col("value")), 6).as("lo"),
         round(max(col("value")), 6).as("hi"))
-      .orderBy(col("event_type"), col("quartile"))
+      .ordered(col("event_type"), col("quartile"))
   }
 
   // q62 — pivot (wide aggregation): per-user event counts by type,
@@ -497,7 +497,7 @@ object NorthStar {
         Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
       .na.fill(0L)
-      .orderBy(col("user_id"))
+      .ordered(col("user_id"))
   }
 
   // q63 — end-to-end corpus dedup (the md5-parity composition of
@@ -511,7 +511,7 @@ object NorthStar {
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id"))
     d.join(drop, d("doc_id") === drop("id"), "left_anti")
-      .select(col("doc_id")).orderBy(col("doc_id"))
+      .select(col("doc_id")).ordered(col("doc_id"))
   }
 
   val all: Map[String, Q] = Map(

@@ -40,7 +40,7 @@ object TierA {
         round(min(col("l_extendedprice")), 6).as("min_price"),
         round(max(col("l_extendedprice")), 6).as("max_price"),
         count(lit(1)).as("n"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .ordered(col("l_returnflag"), col("l_linestatus"))
   }
 
   // Q2 — two-level partial+final aggregation (A3)
@@ -53,7 +53,7 @@ object TierA {
     perRun.groupBy(col("o_orderpriority"))
       .agg(round(avg(col("run_rms")), 6).as("avg_rms"),
         count(lit(1)).as("runs"))
-      .orderBy(col("o_orderpriority"))
+      .ordered(col("o_orderpriority"))
   }
 
   // Q3 — Welch t statistic between two arms (A4 moments)
@@ -194,7 +194,7 @@ object TierA {
       .groupBy(col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
         .as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name"))
+      .ordered(col("revenue").desc, col("n_name"))
   }
 
   // Q14 — left semi join
@@ -247,7 +247,7 @@ object TierA {
     t(s, dir, "events")
       .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
-      .orderBy(col("h"), col("event_type"))
+      .ordered(col("h"), col("event_type"))
   }
 
   // Q20 — grouped exact distinct count
@@ -255,7 +255,7 @@ object TierA {
     t(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("u"))
-      .orderBy(col("event_type"))
+      .ordered(col("event_type"))
   }
 
   // Q36 — rollup with grouping flags (subtotal + grand-total rows)
@@ -266,7 +266,7 @@ object TierA {
         grouping(col("l_linestatus")).as("g2"),
         round(sum(col("l_quantity")), 4).as("sum_qty"),
         count(lit(1)).as("n"))
-      .orderBy(col("g1"), col("g2"),
+      .ordered(col("g1"), col("g2"),
         col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
       .select(col("l_returnflag"), col("l_linestatus"),
@@ -291,7 +291,7 @@ object TierA {
           .as("cov_qp"),
         round(corr(col("l_quantity"), col("l_extendedprice")), 6)
           .as("corr_qp"))
-      .orderBy(col("l_returnflag"))
+      .ordered(col("l_returnflag"))
   }
 
   // Q39 — approximate distinct (HLL++): engine-specific sketch, so no
@@ -302,7 +302,7 @@ object TierA {
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.02).as("u_approx"),
         countDistinct(col("user_id")).as("u_exact"))
-      .orderBy(col("event_type"))
+      .ordered(col("event_type"))
   }
 
   val all: Map[String, Q] = Map(
