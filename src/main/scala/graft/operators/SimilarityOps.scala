@@ -211,6 +211,43 @@ object SimilarityOps {
       .join(members, "label")
   }
 
+  /** Symmetric per-vector int8 scalar quantization — the storage
+    * format a 100 TB embedding corpus actually ships (4x smaller than
+    * float32, 8x smaller than the double working form; int8 dot
+    * products for first-pass scoring). Per vector: `amax = max |x_i|`,
+    * `scale = amax / 127`, `q_i = floor(x_i / scale + 0.5)` in
+    * [-127, 127]. Output: (id, qvec: array<int>, scale, mae) where mae
+    * is the mean |x_i - q_i * scale| reconstruction error.
+    *
+    * Pure projection — zero shuffle at any scale. The scale array is
+    * passed to the element lambdas as a COLLECTION argument
+    * (array_repeat, evaluated once per row), never referenced inside a
+    * lambda body, so nothing re-evaluates per element (the
+    * CollapseProject trap). All folds run left-to-right from 0.0 with
+    * the same operand order as the DuckDB oracle — bit-identical
+    * doubles, not just close. */
+  def int8Quantize(df: DataFrame, idCol: String, vecCol: String,
+                   dims: Int = 64): DataFrame = {
+    val staged = df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("amax",
+        aggregate(col("v"), lit(0.0d), (a, x) => greatest(a, abs(x))))
+    val sArr = array_repeat(col("amax") / lit(127.0d), lit(dims))
+    staged
+      .withColumn("qd",
+        when(col("amax") === lit(0.0d),
+          array_repeat(lit(0.0d), lit(dims)))
+        .otherwise(zip_with(col("v"), sArr,
+          (x, s) => floor(x / s + lit(0.5d)))))
+      .withColumn("mae",
+        aggregate(
+          zip_with(col("v"), zip_with(col("qd"), sArr, (q, s) => q * s),
+            (x, y) => abs(x - y)),
+          lit(0.0d), (a, e) => a + e) / lit(dims.toDouble))
+      .select(col("id"), col("qd").cast("array<int>").as("qvec"),
+        (col("amax") / lit(127.0d)).as("scale"), col("mae"))
+  }
+
   /** LSH-bucketed ANN top-k: candidates share a hyperplane bucket, then
     * exact cosine re-rank within the bucket. Recall depends on `planes`
     * (fewer planes = bigger buckets = higher recall + more work). */

@@ -514,7 +514,26 @@ object NorthStar {
       .select(col("doc_id")).ordered(col("doc_id"))
   }
 
+  // q64 — int8 embedding quantization: pinned quantized components,
+  // the exact integer sum of the quantized vector, and the (rounded)
+  // scale + mean reconstruction error. Folds mirror the oracle's
+  // list_reduce form, so the doubles are bit-identical before ROUND.
+  private val q64: Q = (s, dir) => {
+    SimilarityOps.int8Quantize(t(s, dir, "embeddings"), "vec_id",
+        "embedding", dims = 64)
+      .select(col("id").as("vec_id"),
+        element_at(col("qvec"), 1).as("q1"),
+        element_at(col("qvec"), 33).as("q33"),
+        element_at(col("qvec"), 64).as("q64"),
+        aggregate(col("qvec").cast("array<bigint>"), lit(0L),
+          (a, x) => a + x).as("qsum"),
+        round(col("scale"), 6).as("scl"),
+        round(col("mae"), 6).as("mae"))
+      .ordered(col("vec_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q64_int8_quantize" -> q64,
     "q63_dedup_corpus" -> q63,
     "q61_ntile_quartiles" -> q61,
     "q62_pivot_counts" -> q62,
@@ -1062,7 +1081,39 @@ object NorthStar {
        |WHERE doc_id < 250 AND doc_id NOT IN (SELECT id FROM dr)
        |ORDER BY doc_id""".stripMargin
 
+  private val q64Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |a AS (
+      |  SELECT vec_id, v,
+      |         list_reduce(list_prepend(0.0::DOUBLE, v),
+      |                     (a, x) -> greatest(a, abs(x))) AS amax
+      |  FROM e),
+      |q AS (
+      |  SELECT vec_id, v, amax,
+      |         CASE WHEN amax = 0
+      |              THEN list_transform(range(1, 65), i -> 0.0::DOUBLE)
+      |              ELSE list_transform(range(1, 65),
+      |                     i -> floor(v[i] / (amax / 127.0) + 0.5))
+      |         END AS qd
+      |  FROM a)
+      |SELECT vec_id,
+      |       CAST(qd[1] AS INT) AS q1,
+      |       CAST(qd[33] AS INT) AS q33,
+      |       CAST(qd[64] AS INT) AS q64,
+      |       CAST(list_reduce(list_prepend(0.0::DOUBLE, qd),
+      |                        (a, x) -> a + x) AS BIGINT) AS qsum,
+      |       ROUND(amax / 127.0, 6) AS scl,
+      |       ROUND(list_reduce(list_prepend(0.0::DOUBLE,
+      |               list_transform(range(1, 65),
+      |                 i -> abs(v[i] - qd[i] * (amax / 127.0)))),
+      |               (a, e) -> a + e) / 64.0, 6) AS mae
+      |FROM q ORDER BY vec_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q64_int8_quantize" -> q64Sql,
     "q63_dedup_corpus" -> q63Sql,
     "q61_ntile_quartiles" -> q61Sql,
     "q62_pivot_counts" -> q62Sql,

@@ -75,6 +75,32 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(ivf.forall { case (q, n) => q != n })
   }
 
+  test("int8 quantization: range, reconstruction bound, cosine fidelity") {
+    val q = SimilarityOps.int8Quantize(emb, "vec_id", "embedding")
+    val rows = q.collect()
+    assert(rows.length == emb.count())
+    rows.foreach { r =>
+      val qvec = r.getSeq[Int](r.fieldIndex("qvec"))
+      val scale = r.getDouble(r.fieldIndex("scale"))
+      val mae = r.getDouble(r.fieldIndex("mae"))
+      assert(qvec.length == 64)
+      assert(qvec.forall(v => v >= -127 && v <= 127))
+      // round-to-nearest: per-element error <= scale/2, so mae too
+      assert(mae <= scale / 2 + 1e-12, s"mae $mae vs scale $scale")
+      // at least one component saturates (that's what amax/127 means)
+      assert(qvec.exists(v => math.abs(v) == 127))
+    }
+    // dequantized cosine stays close to the float cosine
+    val orig = emb.select(col("vec_id"), col("embedding"))
+    val deq = q.select(col("id").as("vec_id"),
+      zip_with(col("qvec"), array_repeat(col("scale"), lit(64)),
+        (x, s) => x * s).as("dq"))
+    val pair = orig.join(deq, "vec_id")
+      .select(SimilarityOps.cosine(col("embedding"), col("dq")).as("c"))
+      .agg(min(col("c"))).head.getDouble(0)
+    assert(pair > 0.999, s"dequantized self-cosine $pair")
+  }
+
   test("multimodal feature extraction preserves ids and byte stats") {
     import spark.implicits._
     val media = MultimodalOps.syntheticMedia(docs, "doc_id", "text")
