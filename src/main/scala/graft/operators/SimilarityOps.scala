@@ -248,6 +248,55 @@ object SimilarityOps {
         (col("amax") / lit(127.0d)).as("scale"), col("mae"))
   }
 
+  /** Quantized ANN top-k (ADC pattern): first-pass scoring runs on the
+    * int8-quantized vectors — `cos_q = qdot / (sqrt(qss_q) *
+    * sqrt(qss_n))` with the dot/sum-of-squares computed in EXACT
+    * integer arithmetic — then the top `k * oversample` candidates per
+    * query are re-ranked with the exact float cosine. At 100 TB this
+    * is the two-tier storage layout: the scan touches only the 4x-
+    * smaller int8 sidecar; original float vectors are fetched for the
+    * tiny candidate set alone (one semi-join-shaped second scan).
+    *
+    * Deterministic end to end: integer first-pass scores are exact, so
+    * the candidate cut is reproducible across engines; the rerank
+    * mirrors [[bruteForceTopK]]. Output: qid, nid, cos. */
+  def int8TopK(corpus: DataFrame, queries: DataFrame,
+               idCol: String, vecCol: String, k: Int,
+               oversample: Int = 4, dims: Int = 64): DataFrame = {
+    def quant(df: DataFrame, idAs: String, qAs: String, ssAs: String) =
+      int8Quantize(df, idCol, vecCol, dims)
+        .select(col("id").as(idAs),
+          col("qvec").cast("array<bigint>").as(qAs))
+        .withColumn(ssAs,
+          aggregate(col(qAs), lit(0L), (a, x) => a + x * x))
+    val c = quant(corpus, "nid", "cq", "css")
+    val q = quant(queries, "qid", "qq", "qss")
+    val qdot = aggregate(zip_with(col("qq"), col("cq"), (x, y) => x * y),
+      lit(0L), (a, x) => a + x)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosq").desc, col("nid"))
+    val cand = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cosq",
+        qdot.cast("double") /
+          (sqrt(col("qss").cast("double")) * sqrt(col("css").cast("double"))))
+      // drop the vectors before the ranking shuffle: only
+      // (qid, nid, cosq) tuples move
+      .select(col("qid"), col("nid"), col("cosq"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k * oversample)
+      .select(col("qid"), col("nid"))
+    // exact rerank: fetch original floats for the candidate set only
+    val cv = withNorm(corpus, idCol, vecCol, "nid", "cv", "cn")
+    val qv = withNorm(queries, idCol, vecCol, "qid", "qv", "qn")
+    val wr = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    cand.join(broadcast(qv), "qid").join(cv, "nid")
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("cos"))
+  }
+
   /** LSH-bucketed ANN top-k: candidates share a hyperplane bucket, then
     * exact cosine re-rank within the bucket. Recall depends on `planes`
     * (fewer planes = bigger buckets = higher recall + more work). */

@@ -532,7 +532,19 @@ object NorthStar {
       .ordered(col("vec_id"))
   }
 
+  // q65 — int8-quantized ANN top-5 (exact-integer first-pass scoring,
+  // float rerank; the candidate cut is reproducible across engines
+  // because the quantized scores are ratios of exact integers).
+  private val q65: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    SimilarityOps.int8TopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, oversample = 4)
+      .ordered(col("qid"), col("cos").desc, col("nid"))
+      .select(col("qid"), col("nid"), round(col("cos"), 6).as("cos"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q65_int8_topk" -> q65,
     "q64_int8_quantize" -> q64,
     "q63_dedup_corpus" -> q63,
     "q61_ntile_quartiles" -> q61,
@@ -1112,7 +1124,61 @@ object NorthStar {
       |               (a, e) -> a + e) / 64.0, 6) AS mae
       |FROM q ORDER BY vec_id""".stripMargin
 
+  private val q65Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |a AS (
+      |  SELECT vec_id, v,
+      |         list_reduce(list_prepend(0.0::DOUBLE, v),
+      |                     (a, x) -> greatest(a, abs(x))) AS amax
+      |  FROM e),
+      |qz AS (
+      |  SELECT vec_id,
+      |         CASE WHEN amax = 0
+      |              THEN list_transform(range(1, 65), i -> 0::BIGINT)
+      |              ELSE list_transform(range(1, 65),
+      |                     i -> CAST(floor(v[i] / (amax / 127.0) + 0.5)
+      |                               AS BIGINT))
+      |         END AS qd
+      |  FROM a),
+      |ss AS (
+      |  SELECT vec_id, qd,
+      |         list_reduce(list_prepend(0::BIGINT,
+      |             list_transform(qd, x -> x * x)), (a, x) -> a + x) AS qss
+      |  FROM qz),
+      |sc AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |         CAST(list_reduce(list_prepend(0::BIGINT,
+      |                list_transform(range(1, 65), i -> q.qd[i] * c.qd[i])),
+      |                (a, x) -> a + x) AS DOUBLE)
+      |           / (sqrt(CAST(q.qss AS DOUBLE)) * sqrt(CAST(c.qss AS DOUBLE)))
+      |           AS cosq
+      |  FROM ss q, ss c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+      |cand AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT qid, nid,
+      |           ROW_NUMBER() OVER (PARTITION BY qid
+      |               ORDER BY cosq DESC, nid) AS rk
+      |    FROM sc) WHERE rk <= 20),
+      |rr AS (
+      |  SELECT cand.qid, cand.nid,
+      |         list_cosine_similarity(qe.embedding::DOUBLE[],
+      |                                ce.embedding::DOUBLE[]) AS cosim
+      |  FROM cand
+      |  JOIN embeddings qe ON qe.vec_id = cand.qid
+      |  JOIN embeddings ce ON ce.vec_id = cand.nid),
+      |ranked AS (
+      |  SELECT qid, nid, cosim,
+      |         ROW_NUMBER() OVER (PARTITION BY qid
+      |             ORDER BY cosim DESC, nid) AS rk
+      |  FROM rr)
+      |SELECT qid, nid, ROUND(cosim, 6) AS cos FROM ranked WHERE rk <= 5
+      |ORDER BY qid, cosim DESC, nid""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q65_int8_topk" -> q65Sql,
     "q64_int8_quantize" -> q64Sql,
     "q63_dedup_corpus" -> q63Sql,
     "q61_ntile_quartiles" -> q61Sql,

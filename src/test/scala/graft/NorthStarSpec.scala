@@ -75,6 +75,20 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(ivf.forall { case (q, n) => q != n })
   }
 
+  test("int8 ANN top-5 nearly matches brute-force top-5") {
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = SimilarityOps.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = SimilarityOps.int8TopK(emb, queries, "vec_id", "embedding", 5,
+        oversample = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // int8 scoring distorts cosines by < 1%; with 4x oversampling the
+    // exact rerank should recover nearly every true neighbor
+    val recall = exact.count(quant.contains).toDouble / exact.size
+    assert(recall > 0.95, s"int8 ANN recall $recall")
+    assert(quant.forall { case (q, n) => q != n })
+  }
+
   test("int8 quantization: range, reconstruction bound, cosine fidelity") {
     val q = SimilarityOps.int8Quantize(emb, "vec_id", "embedding")
     val rows = q.collect()
