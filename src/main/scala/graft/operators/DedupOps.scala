@@ -33,6 +33,26 @@ object DedupOps {
         TextOps.shinglesFromTokens(col("toks"), n).as("sh0"))
       .select(col("doc_id"), array_distinct(col("sh0")).as("sh"))
 
+  /** Broadcast hint iff `est`'s (pre-checkpoint) optimized-plan size
+    * estimate fits the session's own autoBroadcastJoinThreshold. A
+    * localCheckpoint erases plan statistics (LogicalRDD reports
+    * defaultSizeInBytes = huge), so the planner falls back to
+    * sort-merge even when the table is a few MB — measured 3x on the
+    * LSH verify join. This reinstates the erased estimate rather than
+    * overriding the planner: a 100 TB corpus estimates huge and keeps
+    * the scalable shuffle join. */
+  private def hintBySize(df: DataFrame, est: DataFrame): DataFrame = {
+    val raw = est.sparkSession.conf.get(
+      "spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val thr = raw.toLongOption.getOrElse(
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+      catch { case _: IllegalArgumentException => -1L })
+    if (thr > 0 &&
+        est.queryExecution.optimizedPlan.stats.sizeInBytes <= thr)
+      broadcast(df)
+    else df
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs sharing at least one
     * shingle (inverted-index join — the exact method; use
     * [[minhashLshCandidates]] when even the inverted index is too hot).
@@ -165,12 +185,18 @@ object DedupOps {
     val sh = stagedShingles(df, idCol, textCol, shingleN)
     val sig = sh.select(col("doc_id"),
       TextOps.minhashSignature(col("sh"), k).as("sig"))
+    // |union| = n1 + n2 - |intersect| (the arrays are distinct): one
+    // set operation per candidate pair instead of two.
+    val shSz = sh.select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
     bandPairs(sig, bands, k / bands, maxBucketSize)
-      .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
-      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+      .join(shSz.select(col("doc_id").as("id1"), col("sh").as("sh1"),
+        col("n").as("n1")), "id1")
+      .join(shSz.select(col("doc_id").as("id2"), col("sh").as("sh2"),
+        col("n").as("n2")), "id2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))))
+        col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
@@ -200,19 +226,28 @@ object DedupOps {
     // melt-into-roles + single join + re-group variant was measured
     // ~2x SLOWER — the extra shuffle of hash arrays costs more than
     // the second cached read.
-    val sh = stagedShingles(df, idCol, textCol, shingleN)
+    val pre = stagedShingles(df, idCol, textCol, shingleN)
       .select(col("doc_id"),
         array_distinct(transform(col("sh"), s => xxhash64(s))).as("hs"))
-      .localCheckpoint(false)
+    val sh = pre.localCheckpoint(false)
     val hashed = sh.select(col("doc_id"), explode(col("hs")).as("h0"))
     val cand = bandPairs(affineMinhashSig(hashed, k), bands, k / bands,
       maxBucketSize, needBarrier = false)
+    // Verify: |union| derived from the two set sizes (the arrays are
+    // distinct) so only ONE set operation runs per candidate pair, and
+    // the shingle-table sides carry the pre-checkpoint broadcast
+    // decision (see hintBySize).
+    val shSz = sh.select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
     cand
-      .join(sh.select(col("doc_id").as("id1"), col("hs").as("sh1")), "id1")
-      .join(sh.select(col("doc_id").as("id2"), col("hs").as("sh2")), "id2")
+      .join(hintBySize(shSz.select(col("doc_id").as("id1"),
+        col("hs").as("sh1"), col("n").as("n1")), pre), "id1")
+      .join(hintBySize(shSz.select(col("doc_id").as("id2"),
+        col("hs").as("sh2"), col("n").as("n2")), pre), "id2")
+      .withColumn("inter",
+        size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))))
+        col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
