@@ -65,6 +65,65 @@ object CurationOps {
       }
   }
 
+  /** Distributed inclusive prefix sum of `valueCol` in `orderCol`
+    * order, WITHOUT a global single-partition window (the naive
+    * `Window.orderBy(key)` with no partition spec funnels the whole
+    * table through one task — the classic scale cliff). Two cheap
+    * passes instead:
+    *
+    *  1. bucket each row by a fixed range of the (unique, numeric)
+    *     order key; per-bucket totals are a tiny aggregate whose
+    *     running sum (over <= nBuckets rows) gives each bucket's
+    *     exclusive offset;
+    *  2. broadcast-join the offsets back and run the cumsum window
+    *     PARTITIONED by bucket — every partition sums independently.
+    *
+    * Integer addition is associative, so the result is identical to
+    * the single-task form at any bucket count. Adds columns `cumsum`
+    * (inclusive) and keeps the input columns. */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
+                nBuckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = df.agg(min(col(orderCol)).cast("long"),
+      max(col(orderCol)).cast("long")).head()
+    if (stats.isNullAt(0)) return df.withColumn("cumsum", lit(0L))
+    val lo = stats.getLong(0)
+    val width = math.max((stats.getLong(1) - lo) / nBuckets + 1, 1L)
+    val bucketed = df.withColumn("_psb",
+      ((col(orderCol).cast("long") - lit(lo)) / lit(width)).cast("long"))
+    val offsets = bucketed.groupBy(col("_psb"))
+      .agg(sum(col(valueCol)).as("_pst"))
+      .withColumn("_pso",
+        coalesce(sum(col("_pst")).over(
+          Window.orderBy(col("_psb"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_psb"), col("_pso"))
+    bucketed
+      .join(broadcast(offsets), "_psb")
+      .withColumn("cumsum",
+        col("_pso") + sum(col(valueCol)).over(
+          Window.partitionBy(col("_psb")).orderBy(col(orderCol))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("_psb", "_pso")
+  }
+
+  /** Sequence packing for LLM pretraining (concat-and-cut): documents
+    * are concatenated in `orderCol` order and cut every `maxTokens`
+    * tokens; each document is tagged with the sequence its FIRST token
+    * lands in (`seq_id`) and its offset within that sequence
+    * (`seq_off`). Built on [[prefixSum]], so there is no global
+    * single-task window at any corpus size. Documents longer than the
+    * remaining room straddle a cut — exactly the GPT-style packing
+    * semantics where sequence boundaries ignore document boundaries. */
+  def packSequences(df: DataFrame, orderCol: String, tokenCol: String,
+                    maxTokens: Int): DataFrame = {
+    val start = col("cumsum") - col(tokenCol)
+    prefixSum(df, orderCol, tokenCol)
+      .withColumn("seq_id",
+        floor(start / lit(maxTokens.toDouble)).cast("long"))
+      .withColumn("seq_off", pmod(start, lit(maxTokens.toLong)))
+  }
+
   /** Per-document TF-IDF top terms: tf = term count / doc tokens,
     * idf = ln((N + 1) / (df + 1)) + 1 (smoothed, never negative),
     * ranked per doc by (tfidf desc, term asc). Two shuffles: term

@@ -543,7 +543,22 @@ object NorthStar {
       .select(col("qid"), col("nid"), round(col("cos"), 6).as("cos"))
   }
 
+  // q66 — sequence packing (concat-and-cut at 512 tokens) via the
+  // distributed prefix sum; per-sequence doc counts and token sums.
+  // Integer arithmetic end to end, so bucketed-vs-global cumsum and
+  // Spark-vs-DuckDB all agree exactly.
+  private val q66: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+    CurationOps.packSequences(d, "doc_id", "n_tokens", maxTokens = 512)
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_sum"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .ordered(col("seq_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q66_seq_pack" -> q66,
     "q65_int8_topk" -> q65,
     "q64_int8_quantize" -> q64,
     "q63_dedup_corpus" -> q63,
@@ -1177,7 +1192,28 @@ object NorthStar {
       |SELECT qid, nid, ROUND(cosim, 6) AS cos FROM ranked WHERE rk <= 5
       |ORDER BY qid, cosim DESC, nid""".stripMargin
 
+  private val q66Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |         len(regexp_split_to_array(lower(trim(text)), '\s+'))
+      |           AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |         SUM(n_tokens) OVER (ORDER BY doc_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+      |  FROM tk),
+      |sq AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(FLOOR((cs - n_tokens) / 512.0) AS BIGINT) AS seq_id
+      |  FROM c)
+      |SELECT seq_id, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_tokens) AS BIGINT) AS tok_sum,
+      |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM sq GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q66_seq_pack" -> q66Sql,
     "q65_int8_topk" -> q65Sql,
     "q64_int8_quantize" -> q64Sql,
     "q63_dedup_corpus" -> q63Sql,

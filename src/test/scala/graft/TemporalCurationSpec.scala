@@ -235,6 +235,45 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
     assert(got == "<TOPIC> in # databases", got)
   }
 
+  test("distributed prefix sum equals the single-partition window form") {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col("doc_id"),
+      graft.operators.TextOps.tokenCount(col("text")).as("n"))
+    val naive = d.withColumn("cumsum",
+        sum(col("n")).over(Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // a bucket count that does NOT divide the id range evenly
+    val dist = CurationOps.prefixSum(d, "doc_id", "n", nBuckets = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(dist == naive)
+    // the big window must be partitioned: no single global sort of df
+    val plan = CurationOps.prefixSum(d, "doc_id", "n")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("windowspecdefinition(doc_id"),
+      "per-row window should be partitioned by bucket")
+  }
+
+  test("sequence packing: offsets chain contiguously, cuts at maxTokens") {
+    val d = docs.select(col("doc_id"),
+      graft.operators.TextOps.tokenCount(col("text")).as("n"))
+    val packed = CurationOps.packSequences(d, "doc_id", "n", maxTokens = 512)
+      .orderBy(col("doc_id")).collect()
+    var globalPos = 0L
+    packed.foreach { r =>
+      val n = r.getInt(r.fieldIndex("n")).toLong
+      val seqId = r.getLong(r.fieldIndex("seq_id"))
+      val seqOff = r.getLong(r.fieldIndex("seq_off"))
+      // each doc starts exactly where the previous one ended
+      assert(seqId == globalPos / 512 && seqOff == globalPos % 512,
+        s"doc ${r.getLong(0)}: seq $seqId/$seqOff vs pos $globalPos")
+      globalPos += n
+    }
+    // sequences are dense: every id up to the last appears
+    val seqs = packed.map(_.getLong(packed.head.fieldIndex("seq_id"))).toSet
+    assert(seqs == (0L to seqs.max).toSet)
+  }
+
   test("md5-parity LSH twin finds the same high-jaccard pairs as the fast path") {
     val parity = DedupOps.minhashLshDedupParity(docs, "doc_id", "text",
         shingleN = 2, k = 16, bands = 16, threshold = 0.1)
