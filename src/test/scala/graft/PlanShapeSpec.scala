@@ -144,4 +144,48 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"expected partial+final signature aggregation:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("int8 quantization plans as a pure projection — zero exchanges") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val p = plan(SimilarityOps.int8Quantize(emb, "vec_id", "embedding"))
+    assert(!p.contains("Exchange"), s"quantization must not shuffle:\n$p")
+  }
+
+  test("int8 ANN: both passes broadcast the query side; no shuffle join") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val p = plan(SimilarityOps.int8TopK(
+      emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+      "vec_id", "embedding", 5))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"query side should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no corpus-wide shuffle join expected at this scale:\n$p")
+  }
+
+  test("LSH verify joins recover broadcast despite the checkpoint " +
+      "erasing statistics") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = plan(graft.operators.DedupOps.minhashLshDedup(
+      docs, "doc_id", "text", shingleN = 2, k = 16, bands = 16,
+      threshold = 0.1))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"verify joins should broadcast the small shingle table:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"small-corpus verify must not sort-merge:\n$p")
+  }
+
+  test("prefix sum: the per-row window is partitioned (offsets side " +
+      "broadcasts)") {
+    val docs = Tables.load(spark, dir, "documents")
+    val d = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+      graft.operators.TextOps.tokenCount(
+        org.apache.spark.sql.functions.col("text")).as("n"))
+    val p = plan(graft.operators.CurationOps.prefixSum(d, "doc_id", "n"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket offsets should broadcast:\n$p")
+    // exactly one single-partition exchange is allowed: the <=nBuckets
+    // offset rows; the full table must never be globally sorted
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1,
+      s"full-table global window detected:\n$p")
+  }
 }
