@@ -297,6 +297,72 @@ object SimilarityOps {
       .select(col("qid"), col("nid"), col("cos"))
   }
 
+  /** Integer Lloyd k-means over the int8-quantized embeddings — the
+    * corpus-organization step of SemDeDup-style semantic dedup, and
+    * deliberately INTEGER end to end so every round is reproducible
+    * across engines (exact squared distances; centroid updates are
+    * floor(sum/n + 0.5) on exact integer sums — aggregation order can
+    * never perturb a result, unlike float k-means).
+    *
+    * Per iteration: assignment is a pure projection (the k centroids
+    * are collected once — k x dims longs — and inlined as literals;
+    * argmin via array_min over (dist, cid) structs, ties to the
+    * smaller cid), then ONE scan + one partial-aggregated shuffle of
+    * k x dims grouped sums. Empty clusters keep their previous
+    * centroid. Initial centroids: the k corpus vectors with the
+    * smallest md5(id) (the [[coarseCentroids]] idiom — reproducible
+    * in any engine with md5).
+    *
+    * Returns (id, cid) — the final assignment. */
+  def kmeansInt8(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                 iters: Int, dims: Int = 64): DataFrame = {
+    val q = int8Quantize(df, idCol, vecCol, dims)
+      .select(col("id"), col("qvec").cast("array<bigint>").as("qv"))
+      .localCheckpoint(false) // scanned once per iteration + final
+    // argmin over (dist, cid) packed into one long: min(d*k + cid) % k
+    // — ties resolve to the smaller cid, exactly like ORDER BY d, cid.
+    // d is ||c||^2 - 2 q.c, which ranks identically to ||q - c||^2
+    // (the ||q||^2 term is constant across centroids, so differences —
+    // and therefore ties — are unchanged). The dot runs through the
+    // codegen'd VectorDot; every operand is an integer-valued double
+    // well under 2^53, so the cast back to long is exact and the
+    // "integer k-means" cross-engine guarantee holds. (The earlier
+    // zip_with/aggregate fold form was interpreted, not codegen'd —
+    // measured ~10x slower on the assignment pass.)
+    def assignExpr(cents: Array[Array[Long]]): Column = {
+      val qvd = col("qv").cast("array<double>")
+      pmod(array_min(array(cents.zipWithIndex.map { case (c, i) =>
+        val cn2 = c.map(x => x * x).sum
+        (lit(cn2.toDouble) - lit(2.0d) *
+            graft.functions.VectorExprs.vectorDot(qvd, lit(c.map(_.toDouble))))
+          .cast("long") * k + i
+      }: _*)), lit(k.toLong)).cast("int")
+    }
+    var cents: Array[Array[Long]] = q
+      .withColumn("h", md5(col("id").cast("string")))
+      .orderBy(col("h"), col("id")).limit(k)
+      .select(col("qv")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    for (_ <- 1 to iters) {
+      val sums = q
+        .select(assignExpr(cents).as("cid"), posexplode(col("qv")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        Array.tabulate(dims) { p =>
+          sums.get((ci, p)) match {
+            case Some((s, n)) => math.floor(s.toDouble / n + 0.5).toLong
+            case None         => old(p)
+          }
+        }
+      }
+    }
+    q.select(col("id"), assignExpr(cents).as("cid"))
+  }
+
   /** LSH-bucketed ANN top-k: candidates share a hyperplane bucket, then
     * exact cosine re-rank within the bucket. Recall depends on `planes`
     * (fewer planes = bigger buckets = higher recall + more work). */

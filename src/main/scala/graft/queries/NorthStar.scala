@@ -557,7 +557,28 @@ object NorthStar {
       .ordered(col("seq_id"))
   }
 
+  // q67 — integer k-means over int8-quantized embeddings (k=8, 3 Lloyd
+  // rounds): per-cluster sizes + three integer centroid components
+  // recomputed from the final assignment. Exact integer distances and
+  // floor(sum/n + 0.5) updates make every round engine-independent.
+  private val q67: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val asg = SimilarityOps.kmeansInt8(emb, "vec_id", "embedding",
+      k = 8, iters = 3)
+    val qv = SimilarityOps.int8Quantize(emb, "vec_id", "embedding")
+      .select(col("id"), col("qvec").cast("array<bigint>").as("qd"))
+    def cmean(pos: Int, as: String) =
+      floor(sum(element_at(col("qd"), pos)).cast("double") /
+        count(lit(1)).cast("double") + lit(0.5d)).cast("long").as(as)
+    asg.join(qv, "id")
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        cmean(1, "c1"), cmean(33, "c33"), cmean(64, "c64"))
+      .ordered(col("cid"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q67_kmeans_int8" -> q67,
     "q66_seq_pack" -> q66,
     "q65_int8_topk" -> q65,
     "q64_int8_quantize" -> q64,
@@ -1212,7 +1233,88 @@ object NorthStar {
       |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |FROM sq GROUP BY seq_id ORDER BY seq_id""".stripMargin
 
+  /** Unrolled-iteration oracle for q67: the same quantize CTEs as q64,
+    * then per round (distances -> argmin assignment -> grouped integer
+    * sums -> floor(sum/n + 0.5) centroids with empty-cluster
+    * carry-over), then a final assignment + per-cluster summary. All
+    * integer arithmetic, so aggregation order cannot perturb it. */
+  private val q67Sql: String = {
+    val k = 8
+    val iters = 3
+    val sb = new StringBuilder
+    sb.append(
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |am AS (
+        |  SELECT vec_id, v,
+        |         list_reduce(list_prepend(0.0::DOUBLE, v),
+        |                     (a, x) -> greatest(a, abs(x))) AS amax
+        |  FROM e),
+        |qz AS (
+        |  SELECT vec_id,
+        |         CASE WHEN amax = 0
+        |              THEN list_transform(range(1, 65), i -> 0::BIGINT)
+        |              ELSE list_transform(range(1, 65),
+        |                     i -> CAST(floor(v[i] / (amax / 127.0) + 0.5)
+        |                               AS BIGINT))
+        |         END AS qd
+        |  FROM am),
+        |qup AS (
+        |  SELECT vec_id, i AS pos, qd[i] AS qv
+        |  FROM qz, range(1, 65) t(i)),
+        |sel AS (
+        |  SELECT qd, ROW_NUMBER() OVER (
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |  FROM qz),
+        |c0 AS (
+        |  SELECT rn - 1 AS cid, i AS pos, qd[i] AS val
+        |  FROM sel, range(1, 65) t(i) WHERE rn <= """.stripMargin + k + ")")
+    def assignCtes(tag: String, cents: String): String =
+      s""",
+         |d$tag AS (
+         |  SELECT q.vec_id, c.cid,
+         |         SUM((q.qv - c.val) * (q.qv - c.val)) AS d
+         |  FROM qup q JOIN $cents c ON c.pos = q.pos
+         |  GROUP BY q.vec_id, c.cid),
+         |a$tag AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (
+         |      PARTITION BY vec_id ORDER BY d, cid) AS rk
+         |    FROM d$tag) WHERE rk = 1)""".stripMargin
+    for (it <- 1 to iters) {
+      sb.append(assignCtes(it.toString, s"c${it - 1}"))
+      sb.append(
+        s""",
+           |n$it AS (
+           |  SELECT a.cid, q.pos, SUM(q.qv) AS s, COUNT(*) AS n
+           |  FROM a$it a JOIN qup q USING (vec_id)
+           |  GROUP BY a.cid, q.pos),
+           |c$it AS (
+           |  SELECT o.cid, o.pos,
+           |         COALESCE(CAST(FLOOR(CAST(n.s AS DOUBLE) / n.n + 0.5)
+           |                       AS BIGINT), o.val) AS val
+           |  FROM c${it - 1} o LEFT JOIN n$it n
+           |    ON n.cid = o.cid AND n.pos = o.pos)""".stripMargin)
+    }
+    sb.append(assignCtes("f", s"c$iters"))
+    sb.append(
+      """
+        |SELECT a.cid, COUNT(*) AS n,
+        |       CAST(FLOOR(CAST(SUM(z.qd[1]) AS DOUBLE) / COUNT(*) + 0.5)
+        |            AS BIGINT) AS c1,
+        |       CAST(FLOOR(CAST(SUM(z.qd[33]) AS DOUBLE) / COUNT(*) + 0.5)
+        |            AS BIGINT) AS c33,
+        |       CAST(FLOOR(CAST(SUM(z.qd[64]) AS DOUBLE) / COUNT(*) + 0.5)
+        |            AS BIGINT) AS c64
+        |FROM af a JOIN qz z USING (vec_id)
+        |GROUP BY a.cid ORDER BY a.cid""".stripMargin)
+    sb.toString
+  }
+
   val oracle: Map[String, String] = Map(
+    "q67_kmeans_int8" -> q67Sql,
     "q66_seq_pack" -> q66Sql,
     "q65_int8_topk" -> q65Sql,
     "q64_int8_quantize" -> q64Sql,

@@ -89,6 +89,32 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(quant.forall { case (q, n) => q != n })
   }
 
+  test("int8 k-means: deterministic, all clusters live, coherent") {
+    val a1 = SimilarityOps.kmeansInt8(emb, "vec_id", "embedding", k = 8, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = SimilarityOps.kmeansInt8(emb, "vec_id", "embedding", k = 8, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 == a2, "k-means must be exactly reproducible")
+    assert(a1.values.toSet.size == 8, s"dead clusters: ${a1.values.toSet}")
+    // cohesion: a vector is closer (cosine) to its own cluster's float
+    // centroid than to the global centroid, on average
+    val asg = SimilarityOps.kmeansInt8(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val joined = emb.join(asg, emb("vec_id") === asg("id"))
+      .select(col("cid"), col("embedding"))
+    val own = SimilarityOps.labelCentroids(joined, "cid", "embedding")
+      .select(col("label").as("cid"), col("centroid"))
+    val globalC = SimilarityOps.labelCentroids(
+        joined.withColumn("g", lit(0)), "g", "embedding")
+      .select(col("centroid").as("gcent"))
+    val scored = joined.join(own, "cid").crossJoin(globalC)
+      .select(
+        SimilarityOps.cosine(col("embedding"), col("centroid")).as("co"),
+        SimilarityOps.cosine(col("embedding"), col("gcent")).as("cg"))
+      .agg(avg(col("co")), avg(col("cg"))).head()
+    assert(scored.getDouble(0) > scored.getDouble(1) + 0.01,
+      s"clusters not cohesive: own=${scored.getDouble(0)} global=${scored.getDouble(1)}")
+  }
+
   test("int8 quantization: range, reconstruction bound, cosine fidelity") {
     val q = SimilarityOps.int8Quantize(emb, "vec_id", "embedding")
     val rows = q.collect()
