@@ -47,6 +47,12 @@ object Bench {
       val emb = graft.core.Tables.load(spark, sfDir, "embeddings").limit(32)
       noop(graft.operators.SimilarityOps.bruteForceTopK(emb, emb.limit(2),
         "vec_id", "embedding", k = 2))
+      noop(graft.operators.SimilarityOps.int8TopK(emb, emb.limit(2),
+        "vec_id", "embedding", k = 2))
+      noop(graft.operators.SimilarityOps.kmeansInt8(emb,
+        "vec_id", "embedding", k = 8, iters = 1))
+      noop(graft.operators.SimilarityOps.semanticDedup(emb,
+        "vec_id", "embedding", k = 8, iters = 1, threshold = 0.4))
     } catch { case _: Throwable => () }
     // noop sink, not count(): count() lets the optimizer prune every
     // column that doesn't feed an aggregate and drop output sorts

@@ -41,7 +41,7 @@ object DedupOps {
     * LSH verify join. This reinstates the erased estimate rather than
     * overriding the planner: a 100 TB corpus estimates huge and keeps
     * the scalable shuffle join. */
-  private def hintBySize(df: DataFrame, est: DataFrame): DataFrame = {
+  private[operators] def hintBySize(df: DataFrame, est: DataFrame): DataFrame = {
     val raw = est.sparkSession.conf.get(
       "spark.sql.autoBroadcastJoinThreshold", "10485760")
     val thr = raw.toLongOption.getOrElse(

@@ -363,6 +363,39 @@ object SimilarityOps {
     q.select(col("id"), assignExpr(cents).as("cid"))
   }
 
+  /** SemDeDup-style semantic dedup: cluster with [[kmeansInt8]], then
+    * within each cluster drop every vector that has a HIGHER-cosine-
+    * than-threshold neighbor with a smaller id (one deterministic
+    * representative per near-dup group — the standard SemDeDup keep
+    * rule, no connected components needed). Returns the surviving
+    * (id, cid) rows.
+    *
+    * Scale shape: the pairwise compare is confined to clusters — at
+    * corpus scale you raise `k` so cluster populations stay bounded
+    * (SemDeDup's own recipe), making per-cluster work O(c^2) for
+    * bounded c, never O(n^2). The cluster-tagged projection is
+    * checkpointed once and self-joined on cid; cosine reuses the
+    * codegen'd dot over precomputed norms. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int = 8, iters: Int = 3, threshold: Double = 0.4)
+      : DataFrame = {
+    val asg = kmeansInt8(df, idCol, vecCol, k, iters)
+    val pre = withNorm(df, idCol, vecCol, "id", "v", "nm")
+    val tagged = pre.join(asg, "id").localCheckpoint(false)
+    val hinted = DedupOps.hintBySize(tagged, pre)
+    val drops = tagged
+      .select(col("cid"), col("id").as("id1"), col("v").as("v1"),
+        col("nm").as("n1"))
+      .join(hinted.select(col("cid"), col("id").as("id2"),
+        col("v").as("v2"), col("nm").as("n2")), Seq("cid"))
+      .filter(col("id1") < col("id2"))
+      .filter(dot(col("v1"), col("v2")) / (col("n1") * col("n2")) >=
+        threshold)
+      .select(col("id2").as("id")).distinct()
+    tagged.join(drops, Seq("id"), "left_anti")
+      .select(col("id"), col("cid"))
+  }
+
   /** LSH-bucketed ANN top-k: candidates share a hyperplane bucket, then
     * exact cosine re-rank within the bucket. Recall depends on `planes`
     * (fewer planes = bigger buckets = higher recall + more work). */

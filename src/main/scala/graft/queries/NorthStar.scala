@@ -577,7 +577,16 @@ object NorthStar {
       .ordered(col("cid"))
   }
 
+  // q68 — SemDeDup: k-means clusters, then within-cluster cosine
+  // near-dup removal keeping the smallest id of each group.
+  private val q68: Q = (s, dir) => {
+    SimilarityOps.semanticDedup(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 8, iters = 3, threshold = 0.4)
+      .ordered(col("id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q68_semantic_dedup" -> q68,
     "q67_kmeans_int8" -> q67,
     "q66_seq_pack" -> q66,
     "q65_int8_topk" -> q65,
@@ -1238,12 +1247,12 @@ object NorthStar {
     * sums -> floor(sum/n + 0.5) centroids with empty-cluster
     * carry-over), then a final assignment + per-cluster summary. All
     * integer arithmetic, so aggregation order cannot perturb it. */
-  private val q67Sql: String = {
+  private val kmeansAfCtes: String = {
     val k = 8
     val iters = 3
     val sb = new StringBuilder
     sb.append(
-      """WITH e AS (
+      """e AS (
         |  SELECT vec_id,
         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
@@ -1299,21 +1308,42 @@ object NorthStar {
            |    ON n.cid = o.cid AND n.pos = o.pos)""".stripMargin)
     }
     sb.append(assignCtes("f", s"c$iters"))
-    sb.append(
-      """
-        |SELECT a.cid, COUNT(*) AS n,
-        |       CAST(FLOOR(CAST(SUM(z.qd[1]) AS DOUBLE) / COUNT(*) + 0.5)
-        |            AS BIGINT) AS c1,
-        |       CAST(FLOOR(CAST(SUM(z.qd[33]) AS DOUBLE) / COUNT(*) + 0.5)
-        |            AS BIGINT) AS c33,
-        |       CAST(FLOOR(CAST(SUM(z.qd[64]) AS DOUBLE) / COUNT(*) + 0.5)
-        |            AS BIGINT) AS c64
-        |FROM af a JOIN qz z USING (vec_id)
-        |GROUP BY a.cid ORDER BY a.cid""".stripMargin)
     sb.toString
   }
 
+  private val q67Sql: String =
+    s"""WITH $kmeansAfCtes
+       |SELECT a.cid, COUNT(*) AS n,
+       |       CAST(FLOOR(CAST(SUM(z.qd[1]) AS DOUBLE) / COUNT(*) + 0.5)
+       |            AS BIGINT) AS c1,
+       |       CAST(FLOOR(CAST(SUM(z.qd[33]) AS DOUBLE) / COUNT(*) + 0.5)
+       |            AS BIGINT) AS c33,
+       |       CAST(FLOOR(CAST(SUM(z.qd[64]) AS DOUBLE) / COUNT(*) + 0.5)
+       |            AS BIGINT) AS c64
+       |FROM af a JOIN qz z USING (vec_id)
+       |GROUP BY a.cid ORDER BY a.cid""".stripMargin
+
+  /** q68 oracle: the k-means chain, then within-cluster cosine pairs
+    * (same left-fold dot as the Spark side — bit-identical doubles at
+    * the threshold compare) and the keep-smallest-id rule. */
+  private val q68Sql: String =
+    s"""WITH $kmeansAfCtes,
+       |ve AS (SELECT vec_id, ${"embedding::DOUBLE[]"} AS v,
+       |              ${sqlNorm("(embedding::DOUBLE[])")} AS nm
+       |       FROM embeddings),
+       |dr AS (
+       |  SELECT DISTINCT a2.vec_id AS id
+       |  FROM af a1 JOIN af a2
+       |    ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+       |  JOIN ve e1 ON e1.vec_id = a1.vec_id
+       |  JOIN ve e2 ON e2.vec_id = a2.vec_id
+       |  WHERE ${sqlDot("e1.v", "e2.v")} / (e1.nm * e2.nm) >= 0.4)
+       |SELECT a.vec_id AS id, a.cid FROM af a
+       |WHERE a.vec_id NOT IN (SELECT id FROM dr)
+       |ORDER BY a.vec_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q68_semantic_dedup" -> q68Sql,
     "q67_kmeans_int8" -> q67Sql,
     "q66_seq_pack" -> q66Sql,
     "q65_int8_topk" -> q65Sql,

@@ -115,6 +115,38 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
       s"clusters not cohesive: own=${scored.getDouble(0)} global=${scored.getDouble(1)}")
   }
 
+  test("semantic dedup: survivors are pairwise-dissimilar within cluster; " +
+      "every dropped id has a smaller near neighbor") {
+    val thr = 0.4
+    val asg = SimilarityOps.kmeansInt8(emb, "vec_id", "embedding", 8, 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val kept = SimilarityOps.semanticDedup(emb, "vec_id", "embedding",
+        k = 8, iters = 3, threshold = thr)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty && kept.size < asg.size,
+      s"expected some drops: kept ${kept.size} of ${asg.size}")
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = asg.keys.toSeq.sorted
+    for (i <- ids; j <- ids if i < j && asg(i) == asg(j)) {
+      val c = cos(vecs(i), vecs(j))
+      if (kept(i) && kept(j))
+        assert(c < thr, s"surviving near-dup pair ($i,$j) cos=$c")
+    }
+    for (d <- ids if !kept(d)) {
+      val hasSmaller = ids.exists(i =>
+        i < d && asg(i) == asg(d) && cos(vecs(i), vecs(d)) >= thr)
+      assert(hasSmaller, s"dropped $d has no smaller near neighbor")
+    }
+  }
+
   test("int8 quantization: range, reconstruction bound, cosine fidelity") {
     val q = SimilarityOps.int8Quantize(emb, "vec_id", "embedding")
     val rows = q.collect()
