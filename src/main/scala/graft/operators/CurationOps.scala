@@ -124,6 +124,34 @@ object CurationOps {
       .withColumn("seq_off", pmod(start, lit(maxTokens.toLong)))
   }
 
+  /** Per-document unigram rarity / surprisal — the CCNet/C4-style
+    * "does this doc look like the corpus" quality signal, self-trained
+    * on the corpus itself (no external LM): per token instance the
+    * corpus frequency c, per document the instance count, the exact
+    * integer sum and min of c (rare-token detector), and the mean
+    * surprisal `ln N - mean(ln c)` in nats (higher = rarer content).
+    *
+    * Two token-keyed shuffles (corpus frequencies, then the
+    * instance-frequency join) + one doc-keyed aggregation, all
+    * partial-aggregated; the corpus token total is the only
+    * driver-side scalar (the [[graft.operators.StatsOps]] histogram
+    * idiom). The tokenize pipeline runs twice (both join sides) —
+    * cheaper at scale than materializing the exploded token table. */
+  def unigramRarity(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(TextOps.tokens(col(textCol))).as("t"))
+    val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val total = tok.count().toDouble
+    tok.join(freq, "t")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("c")).as("freq_sum"),
+        min(col("c")).as("freq_min"),
+        (lit(math.log(total)) -
+          sum(log(col("c"))) / count(lit(1))).as("surprisal"))
+  }
+
   /** Per-document TF-IDF top terms: tf = term count / doc tokens,
     * idf = ln((N + 1) / (df + 1)) + 1 (smoothed, never negative),
     * ranked per doc by (tfidf desc, term asc). Two shuffles: term

@@ -585,7 +585,18 @@ object NorthStar {
       .ordered(col("id"))
   }
 
+  // q69 — unigram rarity scoring: exact integer corpus-frequency
+  // stats per doc + mean surprisal in nats (round 4 — the one oracle
+  // column where ln's platform rounding could differ, far below 1e-4).
+  private val q69: Q = (s, dir) => {
+    CurationOps.unigramRarity(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_toks"), col("freq_sum"),
+        col("freq_min"), round(col("surprisal"), 4).as("surp"))
+      .ordered(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q69_unigram_rarity" -> q69,
     "q68_semantic_dedup" -> q68,
     "q67_kmeans_int8" -> q67,
     "q66_seq_pack" -> q66,
@@ -1342,7 +1353,23 @@ object NorthStar {
        |WHERE a.vec_id NOT IN (SELECT id FROM dr)
        |ORDER BY a.vec_id""".stripMargin
 
+  private val q69Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+      |  FROM documents),
+      |fr AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok)
+      |SELECT doc_id, COUNT(*) AS n_toks,
+      |       CAST(SUM(c) AS BIGINT) AS freq_sum,
+      |       MIN(c) AS freq_min,
+      |       ROUND(ln(total) - SUM(ln(CAST(c AS DOUBLE))) / COUNT(*), 4)
+      |         AS surp
+      |FROM tok JOIN fr USING (t), n
+      |GROUP BY doc_id, total ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q69_unigram_rarity" -> q69Sql,
     "q68_semantic_dedup" -> q68Sql,
     "q67_kmeans_int8" -> q67Sql,
     "q66_seq_pack" -> q66Sql,

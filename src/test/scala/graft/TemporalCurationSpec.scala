@@ -235,6 +235,28 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
     assert(got == "<TOPIC> in # databases", got)
   }
 
+  test("unigram rarity: exact frequency stats, rare docs score higher") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the the the"),       // 3 instances of a freq-3 token
+      (2L, "unique alone"),      // two freq-1 tokens
+      (3L, "common common")      // 2 instances of a freq-2 token
+    ).toDF("doc_id", "text")
+    val r = CurationOps.unigramRarity(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3),
+          x.getDouble(4))).toMap
+    // corpus: the=3, unique=1, alone=1, common=2; total instances = 7
+    assert(r(1L)._1 == 3 && r(1L)._2 == 9 && r(1L)._3 == 3)
+    assert(r(2L)._1 == 2 && r(2L)._2 == 2 && r(2L)._3 == 1)
+    assert(r(3L)._1 == 2 && r(3L)._2 == 4 && r(3L)._3 == 2)
+    val ln = (x: Double) => math.log(x)
+    assert(math.abs(r(1L)._4 - (ln(7) - ln(3))) < 1e-12)
+    assert(math.abs(r(2L)._4 - ln(7)) < 1e-12)
+    // the unique-token doc is the rarest, the all-"the" doc the least
+    assert(r(2L)._4 > r(3L)._4 && r(3L)._4 > r(1L)._4)
+  }
+
   test("distributed prefix sum equals the single-partition window form") {
     import org.apache.spark.sql.expressions.Window
     val d = docs.select(col("doc_id"),
