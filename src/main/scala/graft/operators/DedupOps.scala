@@ -201,6 +201,82 @@ object DedupOps {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** The persistable signature artifact for incremental dedup:
+    * (doc_id, sh, sig) with md5-parity signatures. A production
+    * pipeline writes this ONCE per corpus (any columnar format) and
+    * reads it back for every delta batch — old documents are never
+    * re-tokenized. Pair with [[minhashLshDeltaDedup]]. */
+  def minhashSignatureTable(df: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int, k: Int): DataFrame = {
+    val sh = stagedShingles(df, idCol, textCol, shingleN)
+    sh.select(col("doc_id"), col("sh"),
+      TextOps.minhashSignature(col("sh"), k).as("sig"))
+  }
+
+  /** Incremental (delta) near-dup detection: verified pairs touching at
+    * least one NEW document — new-vs-old and new-vs-new, never
+    * old-vs-old (the quadratically dominant part a daily ingest must
+    * not re-pay). Produces EXACTLY the full-corpus
+    * [[minhashLshDedupParity]] pair set restricted to pairs with a new
+    * member: banding a subset yields the same per-document buckets, and
+    * the megabucket cap counts old+new members together, so the
+    * candidate condition is unchanged. Old signatures come from a
+    * persisted [[minhashSignatureTable]]; only the delta is tokenized.
+    * Old-old pairs are excluded inside the per-bucket combination
+    * expression — they are never materialized. */
+  def minhashLshDeltaDedup(newDocs: DataFrame, oldSigs: DataFrame,
+                           idCol: String, textCol: String,
+                           shingleN: Int, k: Int, bands: Int,
+                           threshold: Double,
+                           maxBucketSize: Int = 100): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val rowsPerBand = k / bands
+    val newSigs = minhashSignatureTable(newDocs, idCol, textCol, shingleN, k)
+    val tagged = oldSigs
+      .select(col("doc_id"), col("sh"), col("sig"), lit(false).as("is_new"))
+      .unionByName(newSigs.withColumn("is_new", lit(true)))
+    // same barrier rationale as bandPairs: the new side's sig is a
+    // projection and must reach the banding generate as an attribute
+    val exploded = tagged.repartition(col("doc_id"))
+      .select(col("doc_id"), col("is_new"), posexplode(col("sig")))
+    val banded = exploded
+      .groupBy(col("doc_id"), col("is_new"),
+        (col("pos") - pmod(col("pos"), lit(rowsPerBand)))
+          .divide(lit(rowsPerBand)).cast("int").as("band"))
+      .agg(md5(concat_ws("|",
+        transform(
+          sort_array(collect_list(struct(col("pos"), col("col")))),
+          x => x.getField("col").cast("string")))).as("bucket"))
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("is_new"))))
+        .as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucketSize)
+      .filter(exists(col("ms"), m => m.getField("is_new")))
+    val cand = buckets
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        filter(
+          transform(slice(col("ms"), i + 2, size(col("ms"))),
+            y => struct(x.getField("doc_id").as("id1"),
+              y.getField("doc_id").as("id2"),
+              (x.getField("is_new") || y.getField("is_new")).as("tn"))),
+          p => p.getField("tn"))))).as("p"))
+      .select(col("p.id1"), col("p.id2"))
+      .distinct()
+    val shSz = tagged.select(col("doc_id"), col("sh"),
+      size(col("sh")).as("n"))
+    cand
+      .join(shSz.select(col("doc_id").as("id1"), col("sh").as("sh1"),
+        col("n").as("n1")), "id1")
+      .join(shSz.select(col("doc_id").as("id2"), col("sh").as("sh2"),
+        col("n").as("n2")), "id2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   /** MinHash-LSH dedup end to end: candidates -> exact Jaccard verify
     * -> pairs at/above threshold. */
   def minhashLshDedup(df: DataFrame, idCol: String, textCol: String,

@@ -595,7 +595,21 @@ object NorthStar {
       .ordered(col("doc_id"))
   }
 
+  // q70 — incremental dedup: docs >= 150 arrive as the delta against a
+  // signature table built from docs < 150; output is exactly the
+  // full-corpus parity pair set restricted to pairs touching the delta.
+  private val q70: Q = (s, dir) => {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 250)
+    val oldSigs = DedupOps.minhashSignatureTable(
+      d.filter(col("doc_id") < 150), "doc_id", "text", shingleN = 2, k = 8)
+    DedupOps.minhashLshDeltaDedup(d.filter(col("doc_id") >= 150), oldSigs,
+        "doc_id", "text", shingleN = 2, k = 8, bands = 4, threshold = 0.2)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jacc"))
+      .ordered(col("id1"), col("id2"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q70_delta_dedup" -> q70,
     "q69_unigram_rarity" -> q69,
     "q68_semantic_dedup" -> q68,
     "q67_kmeans_int8" -> q67,
@@ -1368,7 +1382,14 @@ object NorthStar {
       |FROM tok JOIN fr USING (t), n
       |GROUP BY doc_id, total ORDER BY doc_id""".stripMargin
 
+  private val q70Sql: String =
+    s"""WITH $minhashParityCtes
+       |SELECT id1, id2, ROUND(jaccard, 6) AS jacc FROM ver
+       |WHERE jaccard >= 0.2::DOUBLE AND (id1 >= 150 OR id2 >= 150)
+       |ORDER BY id1, id2""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q70_delta_dedup" -> q70Sql,
     "q69_unigram_rarity" -> q69Sql,
     "q68_semantic_dedup" -> q68Sql,
     "q67_kmeans_int8" -> q67Sql,

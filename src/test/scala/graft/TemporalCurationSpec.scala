@@ -296,6 +296,34 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
     assert(seqs == (0L to seqs.max).toSet)
   }
 
+  test("delta dedup vs a persisted signature store == full dedup " +
+      "restricted to pairs touching the delta") {
+    val d = docs.filter(col("doc_id") < 250)
+    val old = d.filter(col("doc_id") < 150)
+    val delta = d.filter(col("doc_id") >= 150)
+    // persist the signature table and read it back — the store path
+    val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
+    DedupOps.minhashSignatureTable(old, "doc_id", "text", 2, 8)
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val got = DedupOps.minhashLshDeltaDedup(delta, stored,
+        "doc_id", "text", 2, 8, bands = 4, threshold = 0.2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val want = DedupOps.minhashLshDedupParity(d, "doc_id", "text",
+        2, 8, bands = 4, threshold = 0.2)
+      .filter(col("id1") >= 150 || col("id2") >= 150)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == want.keySet,
+      s"pair sets differ: extra=${got.keySet -- want.keySet} " +
+        s"missing=${want.keySet -- got.keySet}")
+    got.foreach { case (k, j) => assert(j == want(k), s"jaccard differs at $k") }
+    assert(got.nonEmpty, "expected some delta pairs")
+    // no old-old pair can ever appear
+    assert(got.keys.forall { case (a, b) => a >= 150 || b >= 150 })
+  }
+
   test("md5-parity LSH twin finds the same high-jaccard pairs as the fast path") {
     val parity = DedupOps.minhashLshDedupParity(docs, "doc_id", "text",
         shingleN = 2, k = 16, bands = 16, threshold = 0.1)
