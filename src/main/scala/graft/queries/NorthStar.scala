@@ -608,7 +608,23 @@ object NorthStar {
       .ordered(col("id1"), col("id2"))
   }
 
+  // q71 — linear resampling of each event type's value series onto an
+  // hourly grid (micros — the cross-engine time unit, see Tables).
+  // Exact hits resolve to the sample value (the interpolation term is
+  // exactly 0.0), and all time arithmetic stays integral.
+  private val q71: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .withColumn("tus", expr("ts_ns div 1000"))
+      .select(col("event_type"), col("tus"), col("value"))
+    graft.operators.WindowOps.resampleLinear(ev, "event_type", "tus",
+        "value", step = 3600000000L)
+      .select(col("event_type"), col("ts"),
+        round(col("value"), 6).as("v"))
+      .ordered(col("event_type"), col("ts"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q71_resample" -> q71,
     "q70_delta_dedup" -> q70,
     "q69_unigram_rarity" -> q69,
     "q68_semantic_dedup" -> q68,
@@ -1388,7 +1404,47 @@ object NorthStar {
        |WHERE jaccard >= 0.2::DOUBLE AND (id1 >= 150 OR id2 >= 150)
        |ORDER BY id1, id2""".stripMargin
 
+  private val q71Sql: String = {
+    val S = 3600000000L // 1 h in micros
+    s"""WITH s0 AS (
+       |  SELECT event_type AS k, epoch_us(ts) AS ts, MIN(value) AS v
+       |  FROM events GROUP BY 1, 2),
+       |st AS (SELECT k, MIN(ts) AS mn, MAX(ts) AS mx FROM s0 GROUP BY k),
+       |gr AS (
+       |  SELECT k, unnest(generate_series(
+       |           ((mn + ${S - 1}) // $S) * $S,
+       |           (mx // $S) * $S, $S)) AS ts
+       |  FROM st
+       |  WHERE ((mn + ${S - 1}) // $S) * $S <= (mx // $S) * $S),
+       |u AS (
+       |  SELECT k, ts, v, 1 AS is_sample FROM s0
+       |  UNION ALL
+       |  SELECT k, ts, NULL, 0 FROM gr),
+       |w AS (
+       |  SELECT k, ts, is_sample,
+       |    LAST_VALUE(CASE WHEN is_sample = 1 THEN ts END IGNORE NULLS)
+       |      OVER (PARTITION BY k ORDER BY ts, is_sample DESC
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t1,
+       |    LAST_VALUE(v IGNORE NULLS)
+       |      OVER (PARTITION BY k ORDER BY ts, is_sample DESC
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v1,
+       |    FIRST_VALUE(CASE WHEN is_sample = 1 THEN ts END IGNORE NULLS)
+       |      OVER (PARTITION BY k ORDER BY ts, is_sample DESC
+       |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS t2,
+       |    FIRST_VALUE(v IGNORE NULLS)
+       |      OVER (PARTITION BY k ORDER BY ts, is_sample DESC
+       |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS v2
+       |  FROM u)
+       |SELECT k AS event_type, ts,
+       |       ROUND(CASE WHEN t2 IS NULL THEN v1
+       |                  ELSE v1 + (v2 - v1) *
+       |                       (CAST(ts - t1 AS DOUBLE) /
+       |                        CAST(t2 - t1 AS DOUBLE)) END, 6) AS v
+       |FROM w WHERE is_sample = 0 ORDER BY event_type, ts""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q71_resample" -> q71Sql,
     "q70_delta_dedup" -> q70Sql,
     "q69_unigram_rarity" -> q69Sql,
     "q68_semantic_dedup" -> q68Sql,

@@ -235,6 +235,27 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
     assert(got == "<TOPIC> in # databases", got)
   }
 
+  test("linear resample: interpolation, exact hits, degenerate keys") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 5L, 1.0), ("a", 15L, 3.0), ("a", 20L, 10.0),
+      ("b", 10L, 7.0),             // single sample, exactly on grid
+      ("c", 11L, 5.0), ("c", 14L, 6.0), // no grid point in [11,14] span
+      ("d", 10L, 1.0), ("d", 10L, 9.0)  // duplicate ts -> min collapses
+    ).toDF("k", "ts", "v")
+    val r = graft.operators.WindowOps
+      .resampleLinear(df, "k", "ts", "v", step = 10L)
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getDouble(2))
+      .toMap
+    // a: grid 10 -> between (5,1.0) and (15,3.0): 1 + 2*(5/10) = 2.0
+    //    grid 20 -> exact hit on the (20,10.0) sample
+    assert(r(("a", 10L)) == 2.0 && r(("a", 20L)) == 10.0)
+    assert(r(("b", 10L)) == 7.0)          // exact hit, no later sample
+    assert(r(("d", 10L)) == 1.0)          // min of duplicate ts values
+    assert(!r.keySet.exists(_._1 == "c")) // empty grid, no rows
+    assert(r.size == 4)
+  }
+
   test("unigram rarity: exact frequency stats, rare docs score higher") {
     import spark.implicits._
     val df = Seq(
