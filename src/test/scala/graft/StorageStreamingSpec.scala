@@ -34,6 +34,32 @@ class StorageStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("log_id"), "partition filter should appear in scan")
   }
 
+  test("JSONL store round-trips the documents table; corrupt lines " +
+      "quarantine instead of failing the read") {
+    import graft.sources.JsonlDocStore
+    val docs = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    JsonlDocStore.write(docs, dir)
+    val back = JsonlDocStore.readClean(spark, dir)
+    // .rdd.count, not .count: a bare count() over the clean filter
+    // prunes the scan to the corrupt column alone, which Spark forbids
+    assert(back.rdd.count() == docs.count())
+    val a = docs.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val b = back.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.sameElements(b), "JSONL round trip must be lossless")
+    // corrupt a copy: append garbage lines to the directory
+    val extra = new java.io.File(dir, "part-corrupt.json")
+    val w = new java.io.PrintWriter(extra)
+    w.println("{not valid json")
+    w.println("""{"doc_id": "not-a-number and no quotes close""")
+    w.close()
+    val raw = JsonlDocStore.read(spark, dir)
+    assert(JsonlDocStore.corruptCount(raw) == 2)
+    assert(JsonlDocStore.readClean(spark, dir).rdd.count() == docs.count())
+    assert(JsonlDocStore.corrupt(raw).collect()
+      .forall(_.getString(0).startsWith("{")))
+  }
+
   test("streaming tumbling aggregation equals the batch equivalent") {
     import spark.implicits._
     val events = Tables.load(spark, sf("sf0.001"), "events")
