@@ -80,7 +80,10 @@ object CurationOps {
     *
     * Integer addition is associative, so the result is identical to
     * the single-task form at any bucket count. Adds columns `cumsum`
-    * (inclusive) and keeps the input columns. */
+    * (inclusive) and keeps the input columns. `orderCol` must be
+    * UNIQUE and NON-NULL: a null order key has no position in the
+    * total order (such rows would silently drop at the offsets
+    * join). */
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
                 nBuckets: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -141,9 +144,14 @@ object CurationOps {
       : DataFrame = {
     val tok = df.select(col(idCol).as("doc_id"),
       explode(TextOps.tokens(col(textCol))).as("t"))
-    val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
-    val total = tok.count().toDouble
-    tok.join(freq, "t")
+    // checkpoint the (vocab-sized) frequency table: the corpus total
+    // derives from it and the probe join reuses it, so the tokenize
+    // pipeline runs exactly twice (freq build + probe side) — and the
+    // join side keeps its pre-checkpoint broadcast decision
+    val freqPre = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val freq = freqPre.localCheckpoint(false)
+    val total = freq.agg(sum(col("c"))).head().getLong(0).toDouble
+    tok.join(DedupOps.hintBySize(freq, freqPre), "t")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"),
         sum(col("c")).as("freq_sum"),

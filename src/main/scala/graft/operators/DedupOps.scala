@@ -124,6 +124,46 @@ object DedupOps {
         array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** ONE definition of the band-bucket derivation, shared by every
+    * LSH path (full, parity, delta) so their buckets can never drift
+    * apart: per (keys, band), md5 of the band's signature rows in
+    * position order. `exploded` must carry (pos, col) from
+    * posexplode(sig). */
+  private def bandBuckets(exploded: DataFrame, rowsPerBand: Int,
+                          keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    if (rowsPerBand == 1)
+      exploded.select(kc ++ Seq(col("pos").as("band"),
+        md5(col("col").cast("string")).as("bucket")): _*)
+    else
+      exploded
+        .groupBy(kc :+ (col("pos") - pmod(col("pos"), lit(rowsPerBand)))
+          .divide(lit(rowsPerBand)).cast("int").as("band"): _*)
+        .agg(md5(concat_ws("|",
+          transform(
+            sort_array(collect_list(struct(col("pos"), col("col")))),
+            x => x.getField("col").cast("string")))).as("bucket"))
+  }
+
+  /** ONE definition of the Jaccard verify tail: join candidate pairs
+    * to per-doc (distinct set, size) and keep pairs at/above the
+    * threshold. |union| = n1 + n2 - |inter| (sets are distinct), so a
+    * single set operation runs per pair. `sets` needs columns
+    * (doc_id, `setCol`, n) and may carry a broadcast hint. */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame,
+                            setCol: String, threshold: Double): DataFrame =
+    cand
+      .join(sets.select(col("doc_id").as("id1"), col(setCol).as("sh1"),
+        col("n").as("n1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col(setCol).as("sh2"),
+        col("n").as("n2")), "id2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+
   /** Shared LSH banding tail: split each row's `sig` array into
     * `bands` band hashes, aggregate doc ids per (band, bucket), and
     * emit pair combinations with an expression — the signature
@@ -147,19 +187,7 @@ object DedupOps {
     val barriered = if (needBarrier) sig.repartition(col("doc_id")) else sig
     val exploded = barriered
       .select(col("doc_id"), posexplode(col("sig")))
-    val banded =
-      if (rowsPerBand == 1)
-        exploded.select(col("doc_id"), col("pos").as("band"),
-          md5(col("col").cast("string")).as("bucket"))
-      else
-        exploded
-          .groupBy(col("doc_id"),
-            (col("pos") - pmod(col("pos"), lit(rowsPerBand)))
-              .divide(lit(rowsPerBand)).cast("int").as("band"))
-          .agg(md5(concat_ws("|",
-            transform(
-              sort_array(collect_list(struct(col("pos"), col("col")))),
-              x => x.getField("col").cast("string")))).as("bucket"))
+    val banded = bandBuckets(exploded, rowsPerBand, Seq("doc_id"))
     val buckets = banded.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
@@ -185,20 +213,9 @@ object DedupOps {
     val sh = stagedShingles(df, idCol, textCol, shingleN)
     val sig = sh.select(col("doc_id"),
       TextOps.minhashSignature(col("sh"), k).as("sig"))
-    // |union| = n1 + n2 - |intersect| (the arrays are distinct): one
-    // set operation per candidate pair instead of two.
     val shSz = sh.select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
-    bandPairs(sig, bands, k / bands, maxBucketSize)
-      .join(shSz.select(col("doc_id").as("id1"), col("sh").as("sh1"),
-        col("n").as("n1")), "id1")
-      .join(shSz.select(col("doc_id").as("id2"), col("sh").as("sh2"),
-        col("n").as("n2")), "id2")
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("n1") + col("n2") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
+    verifyJaccard(bandPairs(sig, bands, k / bands, maxBucketSize),
+      shSz, "sh", threshold)
   }
 
   /** The persistable signature artifact for incremental dedup:
@@ -232,21 +249,20 @@ object DedupOps {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val rowsPerBand = k / bands
     val newSigs = minhashSignatureTable(newDocs, idCol, textCol, shingleN, k)
+    // update semantics: a doc re-ingested in the delta SUPERSEDES its
+    // stored signature — without this, the stale row pairs with its
+    // own replacement (self-pairs at jaccard 1.0) and inflates bucket
+    // populations toward the megabucket cap
     val tagged = oldSigs
+      .join(newSigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("sh"), col("sig"), lit(false).as("is_new"))
       .unionByName(newSigs.withColumn("is_new", lit(true)))
     // same barrier rationale as bandPairs: the new side's sig is a
     // projection and must reach the banding generate as an attribute
     val exploded = tagged.repartition(col("doc_id"))
       .select(col("doc_id"), col("is_new"), posexplode(col("sig")))
-    val banded = exploded
-      .groupBy(col("doc_id"), col("is_new"),
-        (col("pos") - pmod(col("pos"), lit(rowsPerBand)))
-          .divide(lit(rowsPerBand)).cast("int").as("band"))
-      .agg(md5(concat_ws("|",
-        transform(
-          sort_array(collect_list(struct(col("pos"), col("col")))),
-          x => x.getField("col").cast("string")))).as("bucket"))
+    val banded = bandBuckets(exploded, rowsPerBand,
+      Seq("doc_id", "is_new"))
     val buckets = banded.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("is_new"))))
         .as("ms"))
@@ -264,17 +280,7 @@ object DedupOps {
       .distinct()
     val shSz = tagged.select(col("doc_id"), col("sh"),
       size(col("sh")).as("n"))
-    cand
-      .join(shSz.select(col("doc_id").as("id1"), col("sh").as("sh1"),
-        col("n").as("n1")), "id1")
-      .join(shSz.select(col("doc_id").as("id2"), col("sh").as("sh2"),
-        col("n").as("n2")), "id2")
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("n1") + col("n2") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
+    verifyJaccard(cand, shSz, "sh", threshold)
   }
 
   /** MinHash-LSH dedup end to end: candidates -> exact Jaccard verify
@@ -309,23 +315,11 @@ object DedupOps {
     val hashed = sh.select(col("doc_id"), explode(col("hs")).as("h0"))
     val cand = bandPairs(affineMinhashSig(hashed, k), bands, k / bands,
       maxBucketSize, needBarrier = false)
-    // Verify: |union| derived from the two set sizes (the arrays are
-    // distinct) so only ONE set operation runs per candidate pair, and
-    // the shingle-table sides carry the pre-checkpoint broadcast
-    // decision (see hintBySize).
-    val shSz = sh.select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
-    cand
-      .join(hintBySize(shSz.select(col("doc_id").as("id1"),
-        col("hs").as("sh1"), col("n").as("n1")), pre), "id1")
-      .join(hintBySize(shSz.select(col("doc_id").as("id2"),
-        col("hs").as("sh2"), col("n").as("n2")), pre), "id2")
-      .withColumn("inter",
-        size(array_intersect(col("sh1"), col("sh2"))))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("n1") + col("n2") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
+    // Verify tail with the shingle-table side carrying the
+    // pre-checkpoint broadcast decision (see hintBySize).
+    val shSz = hintBySize(
+      sh.select(col("doc_id"), col("hs"), size(col("hs")).as("n")), pre)
+    verifyJaccard(cand, shSz, "hs", threshold)
   }
 
   /** 64-bit SimHash signatures computed relationally: explode tokens,

@@ -232,18 +232,21 @@ object SimilarityOps {
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("amax",
         aggregate(col("v"), lit(0.0d), (a, x) => greatest(a, abs(x))))
-    val sArr = array_repeat(col("amax") / lit(127.0d), lit(dims))
+    // element counts derive from the actual vector, not the `dims`
+    // parameter — a mismatched dims would otherwise null-pad qd/mae
+    // silently (zip_with pads the shorter side with nulls)
+    val sArr = array_repeat(col("amax") / lit(127.0d), size(col("v")))
     staged
       .withColumn("qd",
         when(col("amax") === lit(0.0d),
-          array_repeat(lit(0.0d), lit(dims)))
+          array_repeat(lit(0.0d), size(col("v"))))
         .otherwise(zip_with(col("v"), sArr,
           (x, s) => floor(x / s + lit(0.5d)))))
       .withColumn("mae",
         aggregate(
           zip_with(col("v"), zip_with(col("qd"), sArr, (q, s) => q * s),
             (x, y) => abs(x - y)),
-          lit(0.0d), (a, e) => a + e) / lit(dims.toDouble))
+          lit(0.0d), (a, e) => a + e) / size(col("v")).cast("double"))
       .select(col("id"), col("qd").cast("array<int>").as("qvec"),
         (col("amax") / lit(127.0d)).as("scale"), col("mae"))
   }

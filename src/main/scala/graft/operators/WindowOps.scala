@@ -107,10 +107,13 @@ object WindowOps {
     val samples = df
       .groupBy(col(keyCol).as("k"), col(tsCol).cast("long").as("ts"))
       .agg(min(col(valueCol)).as("v"))
+    // ceil/floor to the grid via pmod (always nonnegative) — `div`
+    // truncates toward zero, which misplaces the grid for negative
+    // (pre-epoch) timestamps
     val grid = samples.groupBy(col("k"))
       .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
-      .withColumn("gs", expr(s"((mn + ${step - 1}L) div ${step}L) * ${step}L"))
-      .withColumn("ge", expr(s"(mx div ${step}L) * ${step}L"))
+      .withColumn("gs", col("mn") + pmod(lit(0L) - col("mn"), lit(step)))
+      .withColumn("ge", col("mx") - pmod(col("mx"), lit(step)))
       .filter(col("gs") <= col("ge"))
       .select(col("k"),
         explode(sequence(col("gs"), col("ge"), lit(step))).as("ts"))
@@ -133,7 +136,11 @@ object WindowOps {
     val fwd = Window.partitionBy(col("k"))
       .orderBy(col("ts").desc, col("is_sample"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sampleTs = when(col("is_sample") === 1, col("ts"))
+    // a sample whose value is null marks NO bracket endpoint — else t1
+    // could come from the null-valued sample while v1 carries an older
+    // value (mismatched pair)
+    val sampleTs = when(col("is_sample") === 1 && col("v").isNotNull,
+      col("ts"))
     unioned
       .withColumn("t1", last(sampleTs, ignoreNulls = true).over(back))
       .withColumn("v1", last(col("v"), ignoreNulls = true).over(back))

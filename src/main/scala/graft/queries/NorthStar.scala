@@ -1248,13 +1248,18 @@ object NorthStar {
       |           ROW_NUMBER() OVER (PARTITION BY qid
       |               ORDER BY cosq DESC, nid) AS rk
       |    FROM sc) WHERE rk <= 20),
+      |ve AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         """.stripMargin.stripSuffix("\n") + sqlNorm("(embedding::DOUBLE[])") +
+    """ AS nm
+      |  FROM embeddings),
       |rr AS (
       |  SELECT cand.qid, cand.nid,
-      |         list_cosine_similarity(qe.embedding::DOUBLE[],
-      |                                ce.embedding::DOUBLE[]) AS cosim
+      |         """.stripMargin.stripSuffix("\n") + sqlDot("qe.v", "ce.v") +
+    """ / (qe.nm * ce.nm) AS cosim
       |  FROM cand
-      |  JOIN embeddings qe ON qe.vec_id = cand.qid
-      |  JOIN embeddings ce ON ce.vec_id = cand.nid),
+      |  JOIN ve qe ON qe.vec_id = cand.qid
+      |  JOIN ve ce ON ce.vec_id = cand.nid),
       |ranked AS (
       |  SELECT qid, nid, cosim,
       |         ROW_NUMBER() OVER (PARTITION BY qid
@@ -1412,23 +1417,26 @@ object NorthStar {
        |st AS (SELECT k, MIN(ts) AS mn, MAX(ts) AS mx FROM s0 GROUP BY k),
        |gr AS (
        |  SELECT k, unnest(generate_series(
-       |           ((mn + ${S - 1}) // $S) * $S,
-       |           (mx // $S) * $S, $S)) AS ts
+       |           mn + (((-mn) % $S) + $S) % $S,
+       |           mx - ((mx % $S) + $S) % $S, $S)) AS ts
        |  FROM st
-       |  WHERE ((mn + ${S - 1}) // $S) * $S <= (mx // $S) * $S),
+       |  WHERE mn + (((-mn) % $S) + $S) % $S
+       |        <= mx - ((mx % $S) + $S) % $S),
        |u AS (
        |  SELECT k, ts, v, 1 AS is_sample FROM s0
        |  UNION ALL
        |  SELECT k, ts, NULL, 0 FROM gr),
        |w AS (
        |  SELECT k, ts, is_sample,
-       |    LAST_VALUE(CASE WHEN is_sample = 1 THEN ts END IGNORE NULLS)
+       |    LAST_VALUE(CASE WHEN is_sample = 1 AND v IS NOT NULL THEN ts END
+       |               IGNORE NULLS)
        |      OVER (PARTITION BY k ORDER BY ts, is_sample DESC
        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t1,
        |    LAST_VALUE(v IGNORE NULLS)
        |      OVER (PARTITION BY k ORDER BY ts, is_sample DESC
        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v1,
-       |    FIRST_VALUE(CASE WHEN is_sample = 1 THEN ts END IGNORE NULLS)
+       |    FIRST_VALUE(CASE WHEN is_sample = 1 AND v IS NOT NULL THEN ts END
+       |                IGNORE NULLS)
        |      OVER (PARTITION BY k ORDER BY ts, is_sample DESC
        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS t2,
        |    FIRST_VALUE(v IGNORE NULLS)

@@ -254,6 +254,14 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
     assert(r(("d", 10L)) == 1.0)          // min of duplicate ts values
     assert(!r.keySet.exists(_._1 == "c")) // empty grid, no rows
     assert(r.size == 4)
+    // pre-epoch (negative) timestamps: grid must stay inside [mn, mx]
+    val neg = Seq(("e", -20L, 2.0), ("e", 0L, 4.0))
+      .toDF("k", "ts", "v")
+    val rn = graft.operators.WindowOps
+      .resampleLinear(neg, "k", "ts", "v", step = 10L)
+      .collect().map(x => x.getLong(1) -> x.getDouble(2)).toMap
+    assert(rn == Map(-20L -> 2.0, -10L -> 3.0, 0L -> 4.0),
+      s"negative-ts grid wrong: $rn")
   }
 
   test("unigram rarity: exact frequency stats, rare docs score higher") {
@@ -343,6 +351,16 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty, "expected some delta pairs")
     // no old-old pair can ever appear
     assert(got.keys.forall { case (a, b) => a >= 150 || b >= 150 })
+    // re-ingestion: a doc present in BOTH the store and the delta is
+    // superseded — no self-pairs, no duplicates, same pair set
+    val overlapStore = DedupOps.minhashSignatureTable(
+      d.filter(col("doc_id") < 160), "doc_id", "text", 2, 8)
+    val re = DedupOps.minhashLshDeltaDedup(delta, overlapStore,
+        "doc_id", "text", 2, 8, bands = 4, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(re.forall { case (a, b) => a != b }, "self-pair leaked")
+    assert(re.length == re.distinct.length, "duplicate pairs")
+    assert(re.toSet == want.keySet, "superseded store changed the pair set")
   }
 
   test("md5-parity LSH twin finds the same high-jaccard pairs as the fast path") {
