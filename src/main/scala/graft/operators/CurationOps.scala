@@ -65,6 +65,24 @@ object CurationOps {
       }
   }
 
+  /** Deterministic per-group cap: keep at most `cap` rows per group,
+    * chosen by md5-hash rank (a reproducible "random" subset — rank by
+    * id would bias toward early documents). The standard fairness op
+    * for web corpora: no single domain/source may dominate the
+    * training mix. One hash-shuffle on the group key; selection is a
+    * rank-filter, so the output is stable under repartitioning,
+    * re-runs, and engine changes. */
+  def groupCap(df: DataFrame, groupCol: String, idCol: String,
+               cap: Int, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))),
+        col(idCol))
+    df.withColumn("_gc_rk", row_number().over(w))
+      .filter(col("_gc_rk") <= cap)
+      .drop("_gc_rk")
+  }
+
   /** Distributed inclusive prefix sum of `valueCol` in `orderCol`
     * order, WITHOUT a global single-partition window (the naive
     * `Window.orderBy(key)` with no partition spec funnels the whole

@@ -623,7 +623,17 @@ object NorthStar {
       .ordered(col("event_type"), col("ts"))
   }
 
+  // q72 — per-source document caps (domain fairness): at most 15 docs
+  // per source, chosen by md5 rank; output the kept rows.
+  private val q72: Q = (s, dir) => {
+    CurationOps.groupCap(t(s, dir, "documents"), "source", "doc_id",
+        cap = 15, salt = "cap")
+      .select(col("doc_id"), col("source"))
+      .ordered(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q72_group_cap" -> q72,
     "q71_resample" -> q71,
     "q70_delta_dedup" -> q70,
     "q69_unigram_rarity" -> q69,
@@ -1451,7 +1461,17 @@ object NorthStar {
        |FROM w WHERE is_sample = 0 ORDER BY event_type, ts""".stripMargin
   }
 
+  private val q72Sql: String =
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source,
+      |         ROW_NUMBER() OVER (PARTITION BY source
+      |             ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)),
+      |                      doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 15 ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q72_group_cap" -> q72Sql,
     "q71_resample" -> q71Sql,
     "q70_delta_dedup" -> q70Sql,
     "q69_unigram_rarity" -> q69Sql,

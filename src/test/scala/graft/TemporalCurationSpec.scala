@@ -235,6 +235,32 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
     assert(got == "<TOPIC> in # databases", got)
   }
 
+  test("group cap: per-group bound respected, deterministic, unbiased") {
+    val capped = CurationOps.groupCap(docs, "source", "doc_id", 25, "t")
+    val bySrc = capped.groupBy(col("source"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (s, n) =>
+      assert(bySrc.getOrElse(s, 0L) == math.min(n, 25L), s"source $s")
+    }
+    // deterministic under repartitioning
+    val again = CurationOps
+      .groupCap(docs.repartition(7), "source", "doc_id", 25, "t")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(again == capped.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet)
+    // hash rank, not id rank: the kept set must not be the lowest ids
+    val keptMax = capped.groupBy(col("source")).agg(max(col("doc_id")))
+      .collect().map(_.getLong(1)).max
+    val lowCut = docs.groupBy(col("source")).agg(max(col("doc_id")))
+      .collect().map(_.getLong(1)).min
+    assert(keptMax > 25, s"cap looks id-ordered (max kept id $keptMax)")
+    assert(lowCut > 0)
+  }
+
   test("linear resample: interpolation, exact hits, degenerate keys") {
     import spark.implicits._
     val df = Seq(
