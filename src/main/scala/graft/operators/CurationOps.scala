@@ -168,7 +168,9 @@ object CurationOps {
     // join side keeps its pre-checkpoint broadcast decision
     val freqPre = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
     val freq = freqPre.localCheckpoint(false)
-    val total = freq.agg(sum(col("c"))).head().getLong(0).toDouble
+    val totalRow = freq.agg(sum(col("c"))).head()
+    // empty corpus: the output is empty regardless; 1.0 keeps ln finite
+    val total = if (totalRow.isNullAt(0)) 1.0 else totalRow.getLong(0).toDouble
     tok.join(DedupOps.hintBySize(freq, freqPre), "t")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"),

@@ -235,6 +235,54 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
     assert(got == "<TOPIC> in # databases", got)
   }
 
+  test("prefix sum matches naive cumsum on adversarial random inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // sparse, clustered, and negative order keys; zero and large values
+    val keys = (Seq(Long.MinValue / 4, -1L, 0L, 1L, Long.MaxValue / 4) ++
+      Seq.fill(200)(rnd.nextLong() % 1000000) ++
+      Seq.tabulate(50)(i => 5000000L + i)).distinct
+    val data = keys.map(k => (k, math.abs(rnd.nextInt(1000)).toLong))
+    val df = data.toDF("k", "v").repartition(13)
+    for (nb <- Seq(1, 3, 64)) {
+      val got = CurationOps.prefixSum(df, "k", "v", nBuckets = nb)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      var acc = 0L
+      val want = data.sortBy(_._1).map { case (k, v) =>
+        acc += v; k -> acc
+      }.toMap
+      assert(got == want, s"nBuckets=$nb")
+    }
+  }
+
+  test("new operators tolerate empty and tiny inputs") {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val oneEmb = Seq((1L, Array.fill(64)(0.5f))).toDF("vec_id", "embedding")
+    assert(CurationOps.prefixSum(
+      emptyDocs.select(col("doc_id"), lit(1L).as("n")), "doc_id", "n")
+      .count() == 0)
+    assert(graft.operators.WindowOps.resampleLinear(
+      emptyDocs.select(col("doc_id").as("k"), col("doc_id").as("ts"),
+        lit(0.0).as("v")), "k", "ts", "v", 10L).count() == 0)
+    assert(CurationOps.groupCap(emptyDocs, "text", "doc_id", 5, "s")
+      .count() == 0)
+    assert(CurationOps.unigramRarity(emptyDocs, "doc_id", "text")
+      .count() == 0)
+    // k-means with fewer vectors than clusters still assigns everything
+    val asg = graft.operators.SimilarityOps
+      .kmeansInt8(oneEmb, "vec_id", "embedding", k = 8, iters = 2)
+      .collect()
+    assert(asg.length == 1 && asg.head.getInt(1) == 0)
+    assert(graft.operators.SimilarityOps
+      .semanticDedup(oneEmb, "vec_id", "embedding", k = 4, iters = 1)
+      .count() == 1)
+    assert(graft.operators.SimilarityOps
+      .int8TopK(oneEmb, oneEmb, "vec_id", "embedding", k = 3)
+      .count() == 0) // only self-match, which is excluded
+  }
+
   test("group cap: per-group bound respected, deterministic, unbiased") {
     val capped = CurationOps.groupCap(docs, "source", "doc_id", 25, "t")
     val bySrc = capped.groupBy(col("source"))
