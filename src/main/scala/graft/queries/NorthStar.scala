@@ -632,7 +632,37 @@ object NorthStar {
       .ordered(col("doc_id"))
   }
 
+  // q73 — the end-to-end training-data prep pipeline, composed from
+  // the individually-verified stages: quality gate -> exact dedup ->
+  // near-dup pairs -> connected components -> survivors -> per-source
+  // caps -> split assignment -> per-(split, source) counts. One
+  // oracle over the whole composition pins stage INTERACTIONS, not
+  // just stages.
+  private val q73: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .withColumn("quality", TextOps.qualityScore(col("text"), Stopwords))
+      .filter(col("quality") >= 0.87)
+    val kept = DedupOps.exactDedup(d, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+      .join(d.select(col("doc_id"), col("text"), col("source")), "doc_id")
+    val pairs = DedupOps.minhashLshDedupParity(kept, "doc_id", "text",
+      shingleN = 2, k = 8, bands = 4, threshold = 0.2)
+    val drop = DedupOps.connectedComponents(pairs, "id1", "id2")
+      .filter(col("id") =!= col("cluster_id")).select(col("id"))
+    val surv = kept.join(drop, kept("doc_id") === drop("id"), "left_anti")
+    val capped = CurationOps.groupCap(surv, "source", "doc_id", 10, "cap")
+    capped
+      .select(col("source"),
+        CurationOps.assignSplit(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "graft")
+          .as("split"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .ordered(col("split"), col("source"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q73_prep_pipeline" -> q73,
     "q72_group_cap" -> q72,
     "q71_resample" -> q71,
     "q70_delta_dedup" -> q70,
@@ -887,7 +917,11 @@ object NorthStar {
 
   /** Shared CTE chain producing md5-MinHash-parity verified pairs
     * (`ver`: id1, id2, jaccard) — the common prefix of q47 and q63. */
-  private val minhashParityCtes: String = {
+  /** md5-parity LSH CTE chain (k=8, bands=4) over an arbitrary
+    * (doc_id, text) relation `src` — ends at `ver(id1, id2, jaccard)`.
+    * Shared by q47/q63 (fixed corpus slice) and q73 (the curated
+    * survivor set). */
+  private def minhashParityCtesFrom(src: String): String = {
     val sigList = (0 until 8)
       .map(i => s"list_min(list_transform(sh, x -> md5('$i:' || x)))")
       .mkString("[", ", ", "]")
@@ -896,7 +930,7 @@ object NorthStar {
       .mkString("\n  UNION ALL ")
     s"""d AS (
        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
-       |  FROM documents WHERE doc_id < 250),
+       |  FROM $src),
        |s AS (
        |  SELECT doc_id,
        |         CASE WHEN len(toks) >= 2
@@ -919,6 +953,9 @@ object NorthStar {
        |                 len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
        |        FROM pairs JOIN s x ON id1 = x.doc_id JOIN s y ON id2 = y.doc_id)""".stripMargin
   }
+
+  private val minhashParityCtes: String =
+    minhashParityCtesFrom("documents WHERE doc_id < 250")
 
   private val q47Sql: String =
     s"""WITH $minhashParityCtes
@@ -1470,7 +1507,64 @@ object NorthStar {
       |  FROM documents)
       |WHERE rk <= 15 ORDER BY doc_id""".stripMargin
 
+  private val q73Sql: String = {
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val total = weights.map(_._2).sum
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }
+      .tail.map(c => math.floor(c / total * 4294967296.0).toLong)
+    val cases = weights.map(_._1).zip(cuts).dropRight(1)
+      .map { case (name, cut) => s"WHEN hv < $cut THEN '$name'" }
+      .mkString(" ")
+    s"""WITH RECURSIVE qd0 AS (
+       |  SELECT doc_id, text, source,
+       |         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |qm AS (
+       |  SELECT doc_id, text, source,
+       |         len(list_filter(toks, t -> list_contains(['a','the','and','of','to','data'], t)))
+       |           * 1.0 / GREATEST(len(toks), 1) AS stop_ratio,
+       |         (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+       |           * 1.0 / GREATEST(length(text), 1) AS punct_ratio,
+       |         length(text) * 1.0 / GREATEST(len(toks), 1) AS mean_len
+       |  FROM qd0),
+       |qq AS (
+       |  SELECT doc_id, text, source FROM qm
+       |  WHERE ROUND((LEAST(mean_len / 8.0, 1.0) + (1.0 - stop_ratio) +
+       |               (1.0 - LEAST(punct_ratio * 5.0, 1.0))) / 3.0, 6) >= 0.87),
+       |kept AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM qq GROUP BY md5(lower(trim(text)))),
+       |ke AS (
+       |  SELECT q.doc_id, q.text, q.source
+       |  FROM kept k JOIN qq q ON k.doc_id = q.doc_id),
+       |${minhashParityCtesFrom("ke")},
+       |pp AS (SELECT id1, id2 FROM ver WHERE jaccard >= 0.2::DOUBLE),
+       |edges AS (SELECT id1 AS es, id2 AS ed FROM pp
+       |          UNION SELECT id2, id1 FROM pp),
+       |nodes AS (SELECT DISTINCT es AS id FROM edges),
+       |reach(id, lab) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.ed, r.lab FROM reach r JOIN edges e ON e.es = r.id),
+       |cl AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+       |dr AS (SELECT id FROM cl WHERE id <> cluster_id),
+       |surv AS (SELECT doc_id, source FROM ke
+       |         WHERE doc_id NOT IN (SELECT id FROM dr)),
+       |capped AS (
+       |  SELECT doc_id, source FROM (
+       |    SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
+       |        ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |    FROM surv) WHERE rk <= 10),
+       |hh AS (SELECT source,
+       |              ${sqlHex32("md5('graft:' || doc_id::VARCHAR)")} AS hv
+       |       FROM capped),
+       |spl AS (SELECT source, CASE $cases
+       |               ELSE '${weights.last._1}' END AS split FROM hh)
+       |SELECT split, source, COUNT(*) AS n FROM spl
+       |GROUP BY split, source ORDER BY split, source""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q73_prep_pipeline" -> q73Sql,
     "q72_group_cap" -> q72Sql,
     "q71_resample" -> q71Sql,
     "q70_delta_dedup" -> q70Sql,
