@@ -287,4 +287,66 @@ object CurationOps {
       .groupBy(col("gram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram"))
       .limit(k)
+
+  /** Distributed BPE merge training — the tokenizer-training step of
+    * an LLM data pipeline. Standard algorithm: train on the WORD
+    * FREQUENCY table (vocabulary-sized — the corpus is scanned once to
+    * build it, never again), where each word is a symbol sequence
+    * starting at characters; each round counts adjacent symbol pairs
+    * weighted by word frequency (one partial-aggregated shuffle),
+    * takes the most frequent pair (count desc, pair asc — a total
+    * order over exact integers, so the learned merges are
+    * reproducible in any engine), and rewrites the sequences with a
+    * left-to-right greedy merge fold.
+    *
+    * Returns the merge table (rank, pair, cnt) — `nMerges` rows. */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    // word-frequency table; each word as its character sequence
+    // (sequence + substr — mirrors the oracle's substr-based split)
+    var cur = df
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(col("c"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("s"))
+      .localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (r <- 1 to nMerges) {
+      val best = cur
+        .select(col("c"),
+          explode(zip_with(col("s"),
+            slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))),
+            (x, y) => concat(x, lit(" "), y))).as("pair"))
+        // zip_with pads the shorter slice with null -> the last element
+        // becomes a null pair; drop it (concat propagates the null)
+        .filter(col("pair").isNotNull)
+        .groupBy(col("pair")).agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val pair = best.head.getString(0)
+        val cnt = best.head.getLong(1)
+        val Array(a, b) = pair.split(" ", 2)
+        merges += ((r, pair, cnt))
+        cur = cur
+          .select(col("c"),
+            split(trim(mergeFold(col("s"), a, b)), " ").as("s"))
+          .localCheckpoint(false)
+      }
+    }
+    spark.createDataFrame(merges.toSeq).toDF("rank", "pair", "cnt")
+  }
+
+  /** Greedy left-to-right BPE merge of adjacent (a, b) symbols inside
+    * a symbol array, as a string fold both engines can express
+    * identically: the accumulator is a space-joined symbol string with
+    * a leading space, so an `ends_with(acc, " a")` test matches only
+    * the WHOLE last symbol. */
+  private def mergeFold(s: Column, a: String, b: String): Column =
+    aggregate(s, lit(" "), (acc, x) =>
+      when(lit(b) === x && endswith(acc, lit(" " + a)),
+        concat(acc.substr(lit(1), length(acc) - lit(a.length + 1)),
+          lit(" " + a + b)))
+      .otherwise(concat(acc, lit(" "), x)))
 }

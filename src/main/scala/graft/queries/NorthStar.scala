@@ -661,7 +661,17 @@ object NorthStar {
       .ordered(col("split"), col("source"))
   }
 
+  // q74 — BPE merge training (6 rounds) on the corpus word-frequency
+  // table; the merge list (rank, pair, weighted count) is pinned
+  // against an unrolled-round oracle — integer counts and binary
+  // string tiebreaks make every round engine-independent.
+  private val q74: Q = (s, dir) => {
+    CurationOps.bpeTrain(t(s, dir, "documents"), "text", nMerges = 6)
+      .ordered(col("rank"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q74_bpe_train" -> q74,
     "q73_prep_pipeline" -> q73,
     "q72_group_cap" -> q72,
     "q71_resample" -> q71,
@@ -1563,7 +1573,51 @@ object NorthStar {
        |GROUP BY split, source ORDER BY split, source""".stripMargin
   }
 
+  /** Unrolled-round BPE oracle: per round, adjacent-pair weighted
+    * counts -> best pair (cnt desc, pair asc) -> greedy left-to-right
+    * merge via the same leading-space string fold as the Spark side. */
+  private val q74Sql: String = {
+    val n = 6
+    val sb = new StringBuilder
+    sb.append(
+      """WITH wf AS (
+        |  SELECT w, COUNT(*) AS c FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |    FROM documents) GROUP BY w),
+        |s0 AS (
+        |  SELECT c, list_transform(range(1, length(w) + 1),
+        |           i -> substr(w, i, 1)) AS s
+        |  FROM wf)""".stripMargin)
+    for (r <- 1 to n) {
+      sb.append(
+        s""",
+           |e$r AS (
+           |  SELECT c, unnest(list_transform(range(1, len(s)),
+           |           j -> s[j] || ' ' || s[j + 1])) AS pair
+           |  FROM s${r - 1}),
+           |p$r AS (SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt
+           |        FROM e$r GROUP BY pair),
+           |b$r AS (
+           |  SELECT pair, cnt, split_part(pair, ' ', 1) AS a,
+           |         split_part(pair, ' ', 2) AS b
+           |  FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+           |s$r AS (
+           |  SELECT c, string_split(trim(
+           |    list_reduce(list_prepend(' ', s), (acc, x) ->
+           |      CASE WHEN x = b.b AND ends_with(acc, ' ' || b.a)
+           |           THEN substr(acc, 1, length(acc) - length(b.a) - 1)
+           |                || ' ' || b.a || b.b
+           |           ELSE acc || ' ' || x END)), ' ') AS s
+           |  FROM s${r - 1}, b$r b)""".stripMargin)
+    }
+    sb.append("\n" + (1 to n)
+      .map(r => s"SELECT $r AS rank, pair, cnt FROM b$r")
+      .mkString("\nUNION ALL ") + "\nORDER BY rank")
+    sb.toString
+  }
+
   val oracle: Map[String, String] = Map(
+    "q74_bpe_train" -> q74Sql,
     "q73_prep_pipeline" -> q73Sql,
     "q72_group_cap" -> q72Sql,
     "q71_resample" -> q71Sql,

@@ -235,6 +235,44 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
     assert(got == "<TOPIC> in # databases", got)
   }
 
+  test("BPE training matches an independent driver-side implementation") {
+    import graft.operators.TextOps
+    val got = CurationOps.bpeTrain(docs, "text", 8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    // reference: classic dictionary BPE on the collected word freqs
+    val wf = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    var seqs = wf.map { case (w, c) => (w.map(_.toString).toBuffer, c) }
+    val want = (1 to 8).flatMap { r =>
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      seqs.foreach { case (s, c) =>
+        s.sliding(2).filter(_.size == 2).foreach { p =>
+          val k = s"${p(0)} ${p(1)}"
+          counts(k) = counts.getOrElse(k, 0L) + c
+        }
+      }
+      if (counts.isEmpty) None
+      else {
+        val (pair, cnt) = counts.minBy { case (p, c) => (-c, p) }
+        val Array(a, b) = pair.split(" ", 2)
+        seqs = seqs.map { case (s, c) =>
+          val out = scala.collection.mutable.Buffer.empty[String]
+          s.foreach { x =>
+            if (out.nonEmpty && out.last == a && x == b)
+              out(out.size - 1) = a + b
+            else out += x
+          }
+          (out, c)
+        }
+        Some((r, pair, cnt))
+      }
+    }
+    assert(got == want, s"got=$got\nwant=$want")
+    // merges are non-trivial on real text
+    assert(got.size == 8 && got.head._3 >= got.last._3)
+  }
+
   test("prefix sum matches naive cumsum on adversarial random inputs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
