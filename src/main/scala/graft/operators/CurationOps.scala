@@ -288,6 +288,33 @@ object CurationOps {
       .orderBy(col("n").desc, col("gram"))
       .limit(k)
 
+  /** Token-distribution drift between two corpora (snapshot
+    * monitoring: did this week's crawl change vocabulary?): per token,
+    * both counts and the Laplace-smoothed log-probability ratio
+    * `ln((ca+1)/(na+V)) - ln((cb+1)/(nb+V))`; the top `k` drifted
+    * tokens ranked by EXACT integer count difference (|ca-cb| desc,
+    * token asc — fp never decides membership or order). Two
+    * token-keyed partial-agg shuffles + a vocab-sized full-outer
+    * join; the three scalars (token totals, vocab size) come off the
+    * checkpointed join, so each corpus is tokenized once. */
+  def tokenDrift(a: DataFrame, b: DataFrame, textCol: String, topK: Int)
+      : DataFrame = {
+    def freqs(df: DataFrame, as: String) = df
+      .select(explode(TextOps.tokens(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as(as))
+    val j = freqs(a, "ca").join(freqs(b, "cb"), Seq("t"), "full_outer")
+      .na.fill(0L, Seq("ca", "cb"))
+      .localCheckpoint(false)
+    val tot = j.agg(sum(col("ca")), sum(col("cb")), count(lit(1))).head()
+    val (na, nb, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    j.withColumn("lr",
+        log((col("ca").cast("double") + 1.0d) / lit((na + v).toDouble)) -
+          log((col("cb").cast("double") + 1.0d) / lit((nb + v).toDouble)))
+      .orderBy(abs(col("ca") - col("cb")).desc, col("t"))
+      .limit(topK)
+      .select(col("t"), col("ca"), col("cb"), col("lr"))
+  }
+
   /** Distributed BPE merge training — the tokenizer-training step of
     * an LLM data pipeline. Standard algorithm: train on the WORD
     * FREQUENCY table (vocabulary-sized — the corpus is scanned once to

@@ -670,7 +670,18 @@ object NorthStar {
       .ordered(col("rank"))
   }
 
+  // q75 — vocabulary drift between two corpus halves: top-20 tokens by
+  // exact count difference with smoothed log-probability ratios.
+  private val q75: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    CurationOps.tokenDrift(d.filter(col("doc_id") < 250),
+        d.filter(col("doc_id") >= 250), "text", topK = 20)
+      .select(col("t"), col("ca"), col("cb"), round(col("lr"), 6).as("lr"))
+      .ordered(abs(col("ca") - col("cb")).desc, col("t"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q75_token_drift" -> q75,
     "q74_bpe_train" -> q74,
     "q73_prep_pipeline" -> q73,
     "q72_group_cap" -> q72,
@@ -1616,7 +1627,31 @@ object NorthStar {
     sb.toString
   }
 
+  private val q75Sql: String =
+    """WITH ta AS (
+      |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+      |  FROM documents WHERE doc_id < 250),
+      |tb AS (
+      |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+      |  FROM documents WHERE doc_id >= 250),
+      |fa AS (SELECT t, COUNT(*) AS ca FROM ta GROUP BY t),
+      |fb AS (SELECT t, COUNT(*) AS cb FROM tb GROUP BY t),
+      |j AS (
+      |  SELECT COALESCE(fa.t, fb.t) AS t,
+      |         COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      |  FROM fa FULL OUTER JOIN fb ON fa.t = fb.t),
+      |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+      |               CAST(SUM(cb) AS BIGINT) AS nb,
+      |               COUNT(*) AS v FROM j)
+      |SELECT t, ca, cb,
+      |       ROUND(ln((CAST(ca AS DOUBLE) + 1.0) / CAST(na + v AS DOUBLE)) -
+      |             ln((CAST(cb AS DOUBLE) + 1.0) / CAST(nb + v AS DOUBLE)), 6)
+      |         AS lr
+      |FROM j, tot
+      |ORDER BY abs(ca - cb) DESC, t LIMIT 20""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q75_token_drift" -> q75Sql,
     "q74_bpe_train" -> q74Sql,
     "q73_prep_pipeline" -> q73Sql,
     "q72_group_cap" -> q72Sql,

@@ -235,6 +235,25 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
     assert(got == "<TOPIC> in # databases", got)
   }
 
+  test("token drift: exact counts, sign of the log ratio, ranking") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha alpha alpha shared"),
+      (2L, "alpha shared")).toDF("doc_id", "text")
+    val b = Seq((3L, "beta shared shared")).toDF("doc_id", "text")
+    val r = CurationOps.tokenDrift(a, b, "text", 10)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    // corpus A: alpha=4, shared=2 (na=6); B: beta=1, shared=2 (nb=3); V=3
+    assert(r("alpha")._1 == 4 && r("alpha")._2 == 0)
+    assert(r("beta") == (0L, 1L,
+      math.log(1.0 / 9.0) - math.log(2.0 / 6.0)))
+    assert(r("alpha")._3 > 0 && r("beta")._3 < 0) // direction of drift
+    // top-ranked token is the largest absolute count difference
+    val top = CurationOps.tokenDrift(a, b, "text", 1)
+      .collect().head.getString(0)
+    assert(top == "alpha")
+  }
+
   test("BPE training matches an independent driver-side implementation") {
     import graft.operators.TextOps
     val got = CurationOps.bpeTrain(docs, "text", 8)
