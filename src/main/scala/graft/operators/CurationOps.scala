@@ -306,7 +306,11 @@ object CurationOps {
       .na.fill(0L, Seq("ca", "cb"))
       .localCheckpoint(false)
     val tot = j.agg(sum(col("ca")), sum(col("cb")), count(lit(1))).head()
-    val (na, nb, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    // empty corpora: sums are NULL; the join is empty so the scalars
+    // are unused — v=1 just keeps the ln argument finite
+    val (na, nb, v) =
+      if (tot.isNullAt(0)) (0L, 0L, 1L)
+      else (tot.getLong(0), tot.getLong(1), tot.getLong(2))
     j.withColumn("lr",
         log((col("ca").cast("double") + 1.0d) / lit((na + v).toDouble)) -
           log((col("cb").cast("double") + 1.0d) / lit((nb + v).toDouble)))
@@ -333,13 +337,18 @@ object CurationOps {
     // (sequence + substr — mirrors the oracle's substr-based split)
     var cur = df
       .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      // blank docs tokenize to one empty token; drop it — Spark's
+      // sequence(1, 0) would return a DESCENDING [1, 0] and fabricate
+      // two phantom empty symbols (the oracle's range(1, 1) is empty)
+      .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .select(col("c"),
         transform(sequence(lit(1), length(col("w"))),
           i => col("w").substr(i, lit(1))).as("s"))
       .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
-    for (r <- 1 to nMerges) {
+    var exhausted = false
+    for (r <- 1 to nMerges if !exhausted) {
       val best = cur
         .select(col("c"),
           explode(zip_with(col("s"),
@@ -360,7 +369,7 @@ object CurationOps {
           .select(col("c"),
             split(trim(mergeFold(col("s"), a, b)), " ").as("s"))
           .localCheckpoint(false)
-      }
+      } else exhausted = true // no pairs left; skip the remaining rounds
     }
     spark.createDataFrame(merges.toSeq).toDF("rank", "pair", "cnt")
   }
@@ -370,10 +379,14 @@ object CurationOps {
     * identically: the accumulator is a space-joined symbol string with
     * a leading space, so an `ends_with(acc, " a")` test matches only
     * the WHOLE last symbol. */
-  private def mergeFold(s: Column, a: String, b: String): Column =
+  private def mergeFold(s: Column, a: String, b: String): Column = {
+    // Spark's length()/substr() count CODE POINTS; JVM String.length
+    // counts UTF-16 units — they disagree on astral-plane characters
+    val aCp = a.codePointCount(0, a.length)
     aggregate(s, lit(" "), (acc, x) =>
       when(lit(b) === x && endswith(acc, lit(" " + a)),
-        concat(acc.substr(lit(1), length(acc) - lit(a.length + 1)),
+        concat(acc.substr(lit(1), length(acc) - lit(aCp + 1)),
           lit(" " + a + b)))
       .otherwise(concat(acc, lit(" "), x)))
+  }
 }

@@ -936,8 +936,6 @@ object NorthStar {
       |SELECT doc_id, term, rk, ROUND(tfidf, 6) AS tfidf FROM r
       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
-  /** Shared CTE chain producing md5-MinHash-parity verified pairs
-    * (`ver`: id1, id2, jaccard) — the common prefix of q47 and q63. */
   /** md5-parity LSH CTE chain (k=8, bands=4) over an arbitrary
     * (doc_id, text) relation `src` — ends at `ver(id1, id2, jaccard)`.
     * Shared by q47/q63 (fixed corpus slice) and q73 (the curated
@@ -1122,19 +1120,27 @@ object NorthStar {
        |       ${sqlRollingHash("ct")} AS chunk_fp
        |FROM t ORDER BY doc_id, chunk_idx""".stripMargin
 
-  private val q52Sql: String = {
-    // same cumulative thresholds the Spark side computes
-    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  /** The CASE arm list mirroring [[CurationOps.assignSplit]]'s
+    * cumulative integer thresholds over a 32-bit hash value `hv` —
+    * ONE definition shared by q52 and q73 so the cut math can never
+    * drift from the Spark side in just one of them. */
+  private def splitCaseSql(weights: Seq[(String, Double)]): String = {
     val total = weights.map(_._2).sum
     val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }
       .tail.map(c => math.floor(c / total * 4294967296.0).toLong)
     val cases = weights.map(_._1).zip(cuts).dropRight(1)
       .map { case (name, cut) => s"WHEN hv < $cut THEN '$name'" }
       .mkString(" ")
+    s"CASE $cases ELSE '${weights.last._1}' END"
+  }
+
+  private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  private val q52Sql: String = {
     s"""WITH m AS (SELECT doc_id, md5('graft:' || doc_id::VARCHAR) AS h
        |           FROM documents),
        |f AS (SELECT doc_id, ${sqlHex32("h")} AS hv FROM m),
-       |a AS (SELECT CASE $cases ELSE '${weights.last._1}' END AS split
+       |a AS (SELECT ${splitCaseSql(SplitWeights)} AS split
        |      FROM f)
        |SELECT split, COUNT(*) AS n_docs FROM a
        |GROUP BY split ORDER BY split""".stripMargin
@@ -1529,13 +1535,6 @@ object NorthStar {
       |WHERE rk <= 15 ORDER BY doc_id""".stripMargin
 
   private val q73Sql: String = {
-    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
-    val total = weights.map(_._2).sum
-    val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }
-      .tail.map(c => math.floor(c / total * 4294967296.0).toLong)
-    val cases = weights.map(_._1).zip(cuts).dropRight(1)
-      .map { case (name, cut) => s"WHEN hv < $cut THEN '$name'" }
-      .mkString(" ")
     s"""WITH RECURSIVE qd0 AS (
        |  SELECT doc_id, text, source,
        |         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
@@ -1578,8 +1577,8 @@ object NorthStar {
        |hh AS (SELECT source,
        |              ${sqlHex32("md5('graft:' || doc_id::VARCHAR)")} AS hv
        |       FROM capped),
-       |spl AS (SELECT source, CASE $cases
-       |               ELSE '${weights.last._1}' END AS split FROM hh)
+       |spl AS (SELECT source, ${splitCaseSql(SplitWeights)} AS split
+       |        FROM hh)
        |SELECT split, source, COUNT(*) AS n FROM spl
        |GROUP BY split, source ORDER BY split, source""".stripMargin
   }

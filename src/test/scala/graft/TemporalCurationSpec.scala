@@ -327,6 +327,16 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
       .count() == 0)
     assert(CurationOps.unigramRarity(emptyDocs, "doc_id", "text")
       .count() == 0)
+    assert(CurationOps.tokenDrift(emptyDocs, emptyDocs, "text", 5)
+      .count() == 0)
+    // blank docs tokenize to [""] — bpeTrain must not learn phantom
+    // empty-symbol merges from them
+    val blankDocs = Seq((1L, "ab ab"), (2L, "   "), (3L, ""))
+      .toDF("doc_id", "text")
+    val merges = CurationOps.bpeTrain(blankDocs, "text", 5).collect()
+    assert(merges.length == 1 && merges.head.getString(1) == "a b",
+      merges.mkString(","))
+    assert(CurationOps.bpeTrain(emptyDocs, "text", 3).count() == 0)
     // k-means with fewer vectors than clusters still assigns everything
     val asg = graft.operators.SimilarityOps
       .kmeansInt8(oneEmb, "vec_id", "embedding", k = 8, iters = 2)
