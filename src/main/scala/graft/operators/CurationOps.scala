@@ -374,6 +374,92 @@ object CurationOps {
     spark.createDataFrame(merges.toSeq).toDF("rank", "pair", "cnt")
   }
 
+  /** Per-document bigram surprisal — the KenLM/CCNet-style fluency
+    * signal one level up from [[unigramRarity]]: a bigram language
+    * model with add-one (Laplace) smoothing is trained on the corpus
+    * itself, and each document is scored by its mean negative
+    * log-likelihood in nats:
+    *
+    *   nll(doc) = -mean over bigrams (a b) of
+    *              ln((c(a b) + 1) / (c(a) + V))
+    *
+    * where c(·) are exact corpus counts and V is the vocabulary size.
+    * High nll = improbable token transitions (gibberish, OCR noise,
+    * boilerplate soup); low nll = fluent, corpus-typical text. This is
+    * the standard perplexity-filtering shape (CCNet trains KenLM on a
+    * reference corpus; self-training keeps the operator closed over
+    * its input, like [[unigramRarity]]).
+    *
+    * Plan shape at 100 TB: the bigram and unigram count tables are
+    * token-keyed partial aggregations (vocab-sized outputs, corpus-
+    * sized inputs); the probability table is their join on the history
+    * token (vocab²-bounded but corpus-bounded in practice — only
+    * OBSERVED bigrams exist); the per-doc score is one instance join
+    * on the bigram string + one doc-keyed aggregation. V is the only
+    * driver scalar. Documents with fewer than 2 tokens have no bigram
+    * and drop out (score them with [[unigramRarity]] instead). */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    def bigrams(d: DataFrame) = d.select(col(idCol).as("doc_id"),
+      explode(TextOps.shinglesFromTokens(toks, 2)).as("b"))
+    val uniPre = df.select(explode(toks).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("ca"))
+    val uni = uniPre.localCheckpoint(false)
+    val vocab = uni.count().max(1L)
+    // probability table keyed by the bigram string: tokens never
+    // contain whitespace (split on \s+), so the history token is
+    // unambiguously everything before the separator space
+    val probsPre = bigrams(df)
+      .groupBy(col("b")).agg(count(lit(1)).as("cab"))
+      .withColumn("t", substring_index(col("b"), " ", 1))
+      .join(uni, "t")
+      .select(col("b"),
+        (-log((col("cab").cast("double") + 1.0) /
+          (col("ca").cast("double") + vocab.toDouble))).as("nll"))
+    val probs = probsPre.localCheckpoint(false)
+    bigrams(df).join(DedupOps.hintBySize(probs, probsPre), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("nll")) / count(lit(1))).as("nll"))
+  }
+
+  /** Temperature-based source mixing — the multilingual/multi-domain
+    * sampling scheme (Conneau & Lample 2019; mT5): source `s` with
+    * `n_s` documents gets mixing weight `w_s = n_s^alpha / sum n_t^
+    * alpha` (alpha < 1 upsamples the tail relative to its natural
+    * share), and a document budget `B` turns the weights into
+    * per-source keep rates `r_s = min(1, B * w_s / n_s)`. Selection is
+    * the deterministic md5-threshold of [[hashKeep]], so the mix is
+    * reproducible across runs, engines, and repartitioning.
+    *
+    * One tiny source-keyed aggregation (broadcast back), then a pure
+    * filter — the mix runs at scan speed on 100 TB, like
+    * [[stratifiedSample]]. Returns the kept rows with `n_total` (the
+    * source's original size) attached. Oversupplied rates clamp to 1;
+    * budgets are EXPECTED counts (hash thresholds select
+    * binomially-close, not exact, subsets). */
+  def temperatureMix(df: DataFrame, sourceCol: String, idCol: String,
+                     alpha: Double, budget: Long, salt: String)
+      : DataFrame = {
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("w", pow(col("n_total").cast("double"), alpha))
+    val twRow = counts.agg(sum(col("w"))).head()
+    // empty input: no sources, the joins below are empty anyway
+    val tw = if (twRow.isNullAt(0)) 1.0 else twRow.getDouble(0)
+    val cuts = counts.withColumn("cut",
+        floor(least(lit(1.0),
+          lit(budget.toDouble) * col("w") / lit(tw) /
+            col("n_total").cast("double")) * lit(4294967296.0))
+          .cast("long"))
+      .select(col(sourceCol), col("n_total"), col("cut"))
+    df.join(broadcast(cuts), sourceCol)
+      .filter(md5Hash32(concat(lit(s"$salt:"), col(idCol).cast("string")))
+        < col("cut"))
+      .drop("cut")
+  }
+
   /** Greedy left-to-right BPE merge of adjacent (a, b) symbols inside
     * a symbol array, as a string fold both engines can express
     * identically: the accumulator is a space-joined symbol string with

@@ -77,6 +77,53 @@ object DedupOps {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Per-document duplicated-n-gram span coverage — the exact-substring
+    * duplication signal of Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better"), relationalized: a token
+    * n-gram is DUPLICATED when it occurs in at least `minDocs` distinct
+    * documents, and a document's score is the fraction of its token
+    * positions covered by at least one duplicated n-gram window.
+    * Unlike pairwise near-dup (minhash/simhash), this catches shared
+    * boilerplate SPANS inside otherwise-distinct documents — headers,
+    * license blocks, navigation chrome — the dominant duplication mode
+    * in web corpora, and the per-doc fraction is the filter signal
+    * ("drop docs that are >50% boilerplate").
+    *
+    * Plan shape at 100 TB: the positional n-gram table is one
+    * explode (corpus-token-sized); duplicated grams are one gram-keyed
+    * partial aggregation (vocab-sized output, checkpointed + broadcast
+    * when small); coverage is a semi join back + an explode by the
+    * constant n + one doc-keyed distinct-count — no self-join, nothing
+    * quadratic, every shuffle key-partitioned. Returns (doc_id,
+    * n_toks, n_cov, dup_frac) for EVERY document (zero coverage
+    * included). */
+  def dupNgramCoverage(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, minDocs: Int = 2): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    // (doc_id, pos [1-based window start], g): shinglesFromTokens is
+    // position-aligned — element i is the n-gram starting at token i
+    def grams = toks.select(col("doc_id"),
+        posexplode(TextOps.shinglesFromTokens(col("toks"), n)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        col("col").as("g"))
+    val dupPre = grams.groupBy(col("g"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("g"))
+    val dup = dupPre.localCheckpoint(false)
+    val cov = grams.join(hintBySize(dup, dupPre), Seq("g"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("cp"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("cp")).as("n_cov"))
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .join(cov, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_cov"))
+      .withColumn("dup_frac",
+        col("n_cov").cast("double") / col("n_toks"))
+  }
+
   /** MinHash + LSH banding: k-element signature split into `bands`
     * bands; documents sharing any band hash are candidate near-dups.
     * Returns distinct candidate pairs (id1 < id2). One shuffle on the

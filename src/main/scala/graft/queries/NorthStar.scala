@@ -680,7 +680,45 @@ object NorthStar {
       .ordered(abs(col("ca") - col("cb")).desc, col("t"))
   }
 
+  // q76 — self-trained bigram-LM surprisal (the perplexity-filter
+  // shape): per doc the bigram count and mean Laplace-smoothed
+  // negative log-likelihood in nats (round 4, like q69's surprisal).
+  private val q76: Q = (s, dir) => {
+    CurationOps.bigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("nll"), 4).as("nll"))
+      .ordered(col("doc_id"))
+  }
+
+  // q77 — duplicated 3-gram span coverage (exact-substring dedup
+  // signal): per doc the token count, covered-position count, and
+  // coverage fraction.
+  private val q77: Q = (s, dir) => {
+    DedupOps.dupNgramCoverage(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minDocs = 2)
+      .select(col("doc_id"), col("n_toks"), col("n_cov"),
+        round(col("dup_frac"), 6).as("dup_frac"))
+      .ordered(col("doc_id"))
+  }
+
+  // q78 — temperature-based source mixing (alpha = 0.5, budget 300):
+  // per-source original size and kept count under the deterministic
+  // md5-threshold mix.
+  private val q78: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val kept = CurationOps.temperatureMix(d, "source", "doc_id",
+        alpha = 0.5, budget = 300L, salt = "mix")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    d.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+      .join(kept, Seq("source"), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .ordered(col("source"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q78_temperature_mix" -> q78,
+    "q77_dup_ngram_spans" -> q77,
+    "q76_bigram_lm" -> q76,
     "q75_token_drift" -> q75,
     "q74_bpe_train" -> q74,
     "q73_prep_pipeline" -> q73,
@@ -1649,7 +1687,74 @@ object NorthStar {
       |FROM j, tot
       |ORDER BY abs(ca - cb) DESC, t LIMIT 20""".stripMargin
 
+  private val q76Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, ts[i] AS a, ts[i] || ' ' || ts[i + 1] AS b
+      |  FROM (SELECT doc_id, ts,
+      |               unnest(generate_series(1, len(ts) - 1)) AS i
+      |        FROM tok)),
+      |ca AS (SELECT t, COUNT(*) AS ca
+      |       FROM (SELECT unnest(ts) AS t FROM tok) GROUP BY t),
+      |v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vocab FROM ca),
+      |cb AS (SELECT b, a, COUNT(*) AS cab FROM bg GROUP BY b, a),
+      |pr AS (SELECT b,
+      |              -ln((CAST(cab AS DOUBLE) + 1.0) /
+      |                  (CAST(ca AS DOUBLE) + vocab)) AS nll
+      |       FROM cb JOIN ca ON cb.a = ca.t, v)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |       ROUND(SUM(nll) / COUNT(*), 4) AS nll
+      |FROM bg JOIN pr USING (b)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private val q77Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+      |  FROM documents),
+      |gr AS (
+      |  SELECT doc_id, pos,
+      |         ts[pos] || ' ' || ts[pos + 1] || ' ' || ts[pos + 2] AS g
+      |  FROM (SELECT doc_id, ts,
+      |               unnest(generate_series(1, len(ts) - 2)) AS pos
+      |        FROM tok)),
+      |dup AS (SELECT g FROM gr GROUP BY g
+      |        HAVING COUNT(DISTINCT doc_id) >= 2),
+      |cv AS (SELECT doc_id, COUNT(DISTINCT cp) AS n_cov
+      |       FROM (SELECT doc_id,
+      |                    unnest(generate_series(pos, pos + 2)) AS cp
+      |             FROM gr WHERE g IN (SELECT g FROM dup))
+      |       GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_toks,
+      |       COALESCE(cv.n_cov, 0) AS n_cov,
+      |       ROUND(CAST(COALESCE(cv.n_cov, 0) AS DOUBLE) /
+      |             CAST(len(t.ts) AS BIGINT), 6) AS dup_frac
+      |FROM tok t LEFT JOIN cv ON t.doc_id = cv.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  private val q78Sql: String =
+    s"""WITH c AS (SELECT source, COUNT(*) AS n_total
+       |           FROM documents GROUP BY source),
+       |tw AS (SELECT SUM(pow(CAST(n_total AS DOUBLE), 0.5)) AS w FROM c),
+       |r AS (SELECT source,
+       |             CAST(FLOOR(LEAST(1.0,
+       |               300.0 * pow(CAST(n_total AS DOUBLE), 0.5) / w /
+       |                 CAST(n_total AS DOUBLE)) * 4294967296.0)
+       |               AS BIGINT) AS cut
+       |      FROM c, tw),
+       |k AS (SELECT d.source, COUNT(*) AS n_kept
+       |      FROM documents d JOIN r USING (source)
+       |      WHERE ${sqlHex32("md5('mix:' || doc_id::VARCHAR)")} < cut
+       |      GROUP BY d.source)
+       |SELECT c.source, c.n_total, COALESCE(k.n_kept, 0) AS n_kept
+       |FROM c LEFT JOIN k ON c.source = k.source
+       |ORDER BY c.source""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q78_temperature_mix" -> q78Sql,
+    "q77_dup_ngram_spans" -> q77Sql,
+    "q76_bigram_lm" -> q76Sql,
     "q75_token_drift" -> q75Sql,
     "q74_bpe_train" -> q74Sql,
     "q73_prep_pipeline" -> q73Sql,

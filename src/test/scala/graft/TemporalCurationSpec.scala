@@ -350,6 +350,77 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
       .count() == 0) // only self-match, which is excluded
   }
 
+  test("bigram surprisal: hand-computed Laplace bigram LM") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a"), (2L, "a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    // unigrams: a:3 b:2 x:1 -> V=3; bigrams: "a b":2, "b a":1
+    // P(b|a) = (2+1)/(3+3) = 0.5; P(a|b) = (1+1)/(2+3) = 0.4
+    val got = CurationOps.bigramSurprisal(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got.keySet == Set(1L, 2L)) // single-token doc has no bigram
+    assert(got(1L)._1 == 2 && got(2L)._1 == 1)
+    val nllAB = -math.log(0.5)
+    val nllBA = -math.log(0.4)
+    assert(math.abs(got(1L)._2 - (nllAB + nllBA) / 2) < 1e-12)
+    assert(math.abs(got(2L)._2 - nllAB) < 1e-12)
+    assert(CurationOps.bigramSurprisal(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text").count() == 0)
+  }
+
+  test("dup n-gram coverage: hand-computed spans, overlaps, zero case") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x a b c y"),       // one dup window at pos 2 -> covers 2..4
+      (2L, "z a b c w"),       // same
+      (3L, "p q r"),           // no dup gram
+      (4L, "a b c a b c"))     // dup windows at pos 1 and 4 -> all 6
+      .toDF("doc_id", "text")
+    val got = DedupOps.dupNgramCoverage(d, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L) == ((5L, 3L, 0.6)))
+    assert(got(2L) == ((5L, 3L, 0.6)))
+    assert(got(3L) == ((3L, 0L, 0.0)))
+    assert(got(4L) == ((6L, 6L, 1.0)))
+  }
+
+  test("temperature mix: budget=total keeps all; subsets; tail upsampled") {
+    import spark.implicits._
+    val rows = (1L to 300L).map { i =>
+      val src = if (i <= 240) "big" else if (i <= 290) "mid" else "small"
+      (i, src)
+    }
+    val d = rows.toDF("doc_id", "source").repartition(7)
+    // alpha=1, budget=total: every rate is exactly 1 -> identity mix
+    assert(CurationOps.temperatureMix(d, "source", "doc_id",
+      alpha = 1.0, budget = 300L, salt = "s").count() == 300)
+    // smaller budget keeps a SUBSET of the bigger budget's selection
+    def ids(b: Long) = CurationOps.temperatureMix(d, "source", "doc_id",
+      alpha = 0.5, budget = b, salt = "s")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val k100 = ids(100L)
+    val k200 = ids(200L)
+    assert(k100.subsetOf(k200))
+    // alpha < 1 upsamples the tail: small sources keep a larger
+    // fraction than big ones
+    val kept = CurationOps.temperatureMix(d, "source", "doc_id",
+        alpha = 0.5, budget = 150L, salt = "s")
+      .groupBy(col("source")).agg(count(lit(1)).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fBig = kept.getOrElse("big", 0L).toDouble / 240
+    val fSmall = kept.getOrElse("small", 0L).toDouble / 10
+    assert(fSmall > fBig,
+      s"small frac $fSmall should exceed big frac $fBig")
+    // deterministic under repartitioning
+    assert(ids(150L) == CurationOps.temperatureMix(d.repartition(3),
+      "source", "doc_id", alpha = 0.5, budget = 150L, salt = "s")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet)
+  }
+
   test("group cap: per-group bound respected, deterministic, unbiased") {
     val capped = CurationOps.groupCap(docs, "source", "doc_id", 25, "t")
     val bySrc = capped.groupBy(col("source"))
