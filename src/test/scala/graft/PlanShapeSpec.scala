@@ -174,6 +174,42 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"small-corpus verify must not sort-merge:\n$p")
   }
 
+  test("temperature mix: per-source cuts broadcast; selection is a filter") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = plan(graft.operators.CurationOps.temperatureMix(
+      docs, "source", "doc_id", alpha = 0.5, budget = 100L, salt = "s"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"source cuts should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"mix must not shuffle the corpus:\n$p")
+  }
+
+  test("dup n-gram coverage: no self-join blowup; dup grams broadcast " +
+      "back when small") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = plan(graft.operators.DedupOps.dupNgramCoverage(
+      docs, "doc_id", "text", n = 3))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"coverage must stay equi-join shaped:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the tiny dup-gram set should broadcast despite the checkpoint:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregation:\n$p")
+  }
+
+  test("bigram surprisal: probability table broadcasts; counts keep " +
+      "partials") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = plan(graft.operators.CurationOps.bigramSurprisal(
+      docs, "doc_id", "text"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab-sized probability table should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final count aggregation:\n$p")
+  }
+
   test("prefix sum: the per-row window is partitioned (offsets side " +
       "broadcasts)") {
     val docs = Tables.load(spark, dir, "documents")
