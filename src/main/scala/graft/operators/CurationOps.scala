@@ -460,6 +460,43 @@ object CurationOps {
       .drop("cut")
   }
 
+  /** BPE encoding — the apply side of [[bpeTrain]]: each corpus word
+    * starts as its character sequence and the ordered merge list is
+    * replayed over it with the SAME greedy left-to-right fold used in
+    * training, yielding the word's subword count. Per document the
+    * operator returns the whitespace-token count and the total subword
+    * count — the numbers a 100 TB pipeline actually needs from its
+    * tokenizer (cost estimation, packing budgets, per-doc length
+    * filters).
+    *
+    * Scale shape: encoding happens once per DISTINCT word (the
+    * vocab-sized aggregate), not once per token instance — the merge
+    * replay is a chain of `nMerges` fold expressions over a short
+    * array, so doing it on the vocabulary and joining back is orders
+    * of magnitude cheaper than encoding every instance of "the". The
+    * instance join is token-keyed (broadcast when the vocab is small);
+    * the per-doc rollup is one partial-aggregated shuffle. Empty
+    * tokens (blank docs) are outside the trained vocabulary and drop,
+    * as in [[bpeTrain]]. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[String]): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+    val chars = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    val encoded = merges.foldLeft(chars) { (s, pair) =>
+      val Array(a, b) = pair.split(" ", 2)
+      split(trim(mergeFold(s, a, b)), " ")
+    }
+    val vocabPre = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(col("w"), size(encoded).cast("long").as("n_sub"))
+    val vocab = vocabPre.localCheckpoint(false)
+    toks.join(DedupOps.hintBySize(vocab, vocabPre), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("n_sub")).as("n_subwords"))
+  }
+
   /** Greedy left-to-right BPE merge of adjacent (a, b) symbols inside
     * a symbol array, as a string fold both engines can express
     * identically: the accumulator is a space-joined symbol string with

@@ -715,7 +715,19 @@ object NorthStar {
       .ordered(col("source"))
   }
 
+  // q79 — BPE tokenization end to end: train 6 merges on the corpus
+  // (q74's operator), then encode every document with them; per doc
+  // the whitespace-token count and the post-merge subword count.
+  private val q79: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val merges = CurationOps.bpeTrain(d, "text", nMerges = 6)
+      .orderBy(col("rank")).collect().map(_.getString(1)).toSeq
+    CurationOps.bpeEncode(d, "doc_id", "text", merges)
+      .ordered(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q79_bpe_encode" -> q79,
     "q78_temperature_mix" -> q78,
     "q77_dup_ngram_spans" -> q77,
     "q76_bigram_lm" -> q76,
@@ -1621,19 +1633,21 @@ object NorthStar {
        |GROUP BY split, source ORDER BY split, source""".stripMargin
   }
 
-  /** Unrolled-round BPE oracle: per round, adjacent-pair weighted
-    * counts -> best pair (cnt desc, pair asc) -> greedy left-to-right
-    * merge via the same leading-space string fold as the Spark side. */
-  private val q74Sql: String = {
-    val n = 6
+  /** Unrolled-round BPE CTE chain shared by q74 (the merge table) and
+    * q79 (the encoding): per round, adjacent-pair weighted counts ->
+    * best pair (cnt desc, pair asc) -> greedy left-to-right merge via
+    * the same leading-space string fold as the Spark side. `wf` is
+    * the word-frequency table, `s$r` the per-word symbol arrays after
+    * round r, `b$r` round r's winning pair. */
+  private def bpeCtes(n: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      """WITH wf AS (
+      """wf AS (
         |  SELECT w, COUNT(*) AS c FROM (
         |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
-        |    FROM documents) GROUP BY w),
+        |    FROM documents) WHERE w <> '' GROUP BY w),
         |s0 AS (
-        |  SELECT c, list_transform(range(1, length(w) + 1),
+        |  SELECT w, c, list_transform(range(1, length(w) + 1),
         |           i -> substr(w, i, 1)) AS s
         |  FROM wf)""".stripMargin)
     for (r <- 1 to n) {
@@ -1650,7 +1664,7 @@ object NorthStar {
            |         split_part(pair, ' ', 2) AS b
            |  FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
            |s$r AS (
-           |  SELECT c, string_split(trim(
+           |  SELECT w, c, string_split(trim(
            |    list_reduce(list_prepend(' ', s), (acc, x) ->
            |      CASE WHEN x = b.b AND ends_with(acc, ' ' || b.a)
            |           THEN substr(acc, 1, length(acc) - length(b.a) - 1)
@@ -1658,11 +1672,29 @@ object NorthStar {
            |           ELSE acc || ' ' || x END)), ' ') AS s
            |  FROM s${r - 1}, b$r b)""".stripMargin)
     }
-    sb.append("\n" + (1 to n)
-      .map(r => s"SELECT $r AS rank, pair, cnt FROM b$r")
-      .mkString("\nUNION ALL ") + "\nORDER BY rank")
     sb.toString
   }
+
+  private val q74Sql: String =
+    s"WITH ${bpeCtes(6)}\n" + (1 to 6)
+      .map(r => s"SELECT $r AS rank, pair, cnt FROM b$r")
+      .mkString("\nUNION ALL ") + "\nORDER BY rank"
+
+  // NB: bpeCtes output contains `||` continuation lines — it must not
+  // be interpolated into a string that is then .stripMargin'ed (the
+  // outer strip would eat the first `|` of `||`).
+  private val q79Sql: String =
+    s"WITH ${bpeCtes(6)},\n" +
+      """enc AS (SELECT w, CAST(len(s) AS BIGINT) AS n_sub FROM s6),
+        |tk AS (SELECT doc_id, w FROM (
+        |         SELECT doc_id,
+        |                unnest(regexp_split_to_array(lower(trim(text)),
+        |                       '\s+')) AS w
+        |         FROM documents) WHERE w <> '')
+        |SELECT doc_id, COUNT(*) AS n_toks,
+        |       CAST(SUM(n_sub) AS BIGINT) AS n_subwords
+        |FROM tk JOIN enc USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private val q75Sql: String =
     """WITH ta AS (
@@ -1752,6 +1784,7 @@ object NorthStar {
        |ORDER BY c.source""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q79_bpe_encode" -> q79Sql,
     "q78_temperature_mix" -> q78Sql,
     "q77_dup_ngram_spans" -> q77Sql,
     "q76_bigram_lm" -> q76Sql,

@@ -388,6 +388,31 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
     assert(got(4L) == ((6L, 6L, 1.0)))
   }
 
+  test("BPE encode: merges applied greedily left-to-right per word") {
+    import spark.implicits._
+    val d = Seq((1L, "abab ab"), (2L, "abc"), (3L, "  "))
+      .toDF("doc_id", "text")
+    // merges learned elsewhere; apply ["a b", "ab ab"]:
+    //   abab -> [ab, ab] -> [abab]   (1 subword)
+    //   ab   -> [ab]                 (1 subword)
+    //   abc  -> [ab, c]              (2 subwords)
+    val got = CurationOps.bpeEncode(d, "doc_id", "text",
+        Seq("a b", "ab ab"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == Map(1L -> ((2L, 2L)), 2L -> ((1L, 2L))),
+      got.toString) // blank doc 3 has no in-vocab token -> no row
+    // round-trip with training: encoding with ALL merges learned from
+    // a corpus collapses every word that fully merged during training
+    val corpus = Seq((1L, "xy xy xy zw")).toDF("doc_id", "text")
+    val merges = CurationOps.bpeTrain(corpus, "text", 3)
+      .orderBy(col("rank")).collect().map(_.getString(1)).toSeq
+    val enc = CurationOps.bpeEncode(corpus, "doc_id", "text", merges)
+      .collect().head
+    assert(enc.getLong(1) == 4 && enc.getLong(2) == 4,
+      s"every 2-char word should merge to one subword: $enc")
+  }
+
   test("temperature mix: budget=total keeps all; subsets; tail upsampled") {
     import spark.implicits._
     val rows = (1L to 300L).map { i =>
