@@ -497,6 +497,103 @@ object CurationOps {
       .agg(count(lit(1)).as("n_toks"), sum(col("n_sub")).as("n_subwords"))
   }
 
+  /** Zipf rank–frequency fit — the standard corpus-health diagnostic
+    * (natural corpora fit ln(freq) ≈ icept + slope·ln(rank) with slope
+    * near −1; template/boilerplate-heavy or synthetic corpora deviate).
+    * Fits ordinary least squares over the `topK` most frequent tokens.
+    *
+    * Scale shape: one token-keyed partial-aggregated shuffle builds
+    * the vocabulary-sized frequency table; the top-K selection is a
+    * TakeOrdered (no full sort — only each partition's top K ships);
+    * the rank window then runs over K rows, not the vocabulary. The
+    * corpus itself is scanned exactly once. Output: one row
+    * (n_terms, slope, icept). */
+  def zipfFit(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = df.select(explode(TextOps.tokens(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val top = freq.orderBy(col("c").desc, col("t")).limit(topK)
+    val w = Window.orderBy(col("c").desc, col("t"))
+    top.withColumn("rank", row_number().over(w))
+      .agg(count(lit(1)).as("n_terms"),
+        regr_slope(log(col("c")), log(col("rank"))).as("slope"),
+        regr_intercept(log(col("c")), log(col("rank"))).as("icept"))
+  }
+
+  /** Corpus-self-trained multinomial Naive Bayes classifier — the
+    * classic cheap quality/language classifier of data pipelines
+    * (fastText-shaped: linear over token counts). Trains on
+    * (`labelCol`, token) counts with Laplace smoothing and scores
+    * every document against every class:
+    *
+    *   score(d, l) = ln(docs_l / N) + Σ_t cnt(d,t) · ln((c(l,t)+1) /
+    *                 (tokens_l + V))
+    *
+    * Output: (doc_id, label, pred, scr) — the true label, the argmax
+    * class (ties broken by smaller class name on the ROUNDED score, so
+    * the decision is engine-independent), and the winning score.
+    *
+    * Scale shape: the model is vocabulary-sized — class-conditional
+    * counts pivot into one row per token (classes are a collected
+    * handful), broadcast-joined ([[DedupOps.hintBySize]]) against the
+    * per-document token counts; class priors and totals are collected
+    * scalars. The corpus pays two token-keyed partial-agg shuffles
+    * (model build + doc-term counts) and one doc-keyed final
+    * aggregation — nothing is ever keyed by (doc × class) except the
+    * final K-column projection. */
+  def naiveBayesLang(df: DataFrame, idCol: String, textCol: String,
+                     labelCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
+      col(labelCol).as("label"), col(textCol).as("text"))
+    val tok = base.select(col("doc_id"), col("label"),
+      explode(TextOps.tokens(col("text"))).as("t"))
+    // classes with doc priors: a handful of rows (needed first — the
+    // pivot's value list pins the model's column set)
+    val classes = base.groupBy(col("label"))
+      .agg(count(lit(1)).as("nd")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    if (classes.isEmpty)
+      return base.select(col("doc_id"), col("label"),
+        col("label").as("pred"), lit(0.0d).as("scr"))
+    val nDocs = classes.map(_._2).sum.toDouble
+    // the whole trained model is ONE vocab-sized wide table, built in
+    // a single token-keyed shuffle (pivot = conditional counts);
+    // per-class token totals and the vocabulary size are a single tiny
+    // aggregate over the (checkpointed) model — no second corpus pass
+    val widePre = tok.groupBy(col("t"))
+      .pivot("label", classes.map(_._1)).agg(count(lit(1)))
+    val wide = widePre.localCheckpoint(false)
+    val statsRow = wide.agg(count(lit(1)).as("v"),
+      classes.map { case (l, _) => sum(col(s"`$l`")).as(s"t_$l") }: _*)
+      .head()
+    val vocabV = statsRow.getLong(0).toDouble
+    val tokTotals = classes.indices
+      .map(i => classes(i)._1 ->
+        (if (statsRow.isNullAt(i + 1)) 0L else statsRow.getLong(i + 1)))
+      .toMap
+    val dt = tok.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("cnt"))
+    val scored = dt.join(DedupOps.hintBySize(wide, widePre), "t")
+    val scoreCols = classes.map { case (l, nd) =>
+      val denom = tokTotals.getOrElse(l, 0L).toDouble + vocabV
+      (lit(math.log(nd / nDocs)) +
+        sum(col("cnt") *
+          log((coalesce(col(s"`$l`"), lit(0L)).cast("double") + 1.0d) /
+            lit(denom)))).as(s"s_$l")
+    }
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(scoreCols.head, scoreCols.tail: _*)
+    // argmax with deterministic ties: min of (-rounded score, class)
+    val best = array_min(array(classes.map { case (l, _) =>
+      struct((-round(col(s"`s_$l`"), 4)).as("ns"), lit(l).as("l"))
+    }: _*))
+    perDoc
+      .withColumn("pred", best.getField("l"))
+      .withColumn("scr", -best.getField("ns"))
+      .join(base.select(col("doc_id"), col("label")), "doc_id")
+      .select(col("doc_id"), col("label"), col("pred"), col("scr"))
+  }
+
   /** Greedy left-to-right BPE merge of adjacent (a, b) symbols inside
     * a symbol array, as a string fold both engines can express
     * identically: the accumulator is a space-joined symbol string with

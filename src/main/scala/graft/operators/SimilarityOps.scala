@@ -419,4 +419,61 @@ object SimilarityOps {
       .filter(col("rk") <= k)
       .select(col("qid"), col("nid"), col("cos"))
   }
+
+  /** First principal component of an embedding corpus by power
+    * iteration — the dimensionality-reduction / embedding-diagnostics
+    * primitive (dominant variance direction; projections feed
+    * visualization, whitening, and outlier screens).
+    *
+    * Scale split: the covariance matrix is O(d²) — driver-sized at any
+    * corpus size — while everything that touches corpus rows is
+    * distributed and scanned a bounded number of times:
+    *
+    *  1. the d×d Gram matrix from the exploded (id, dim, x) rows: the
+    *     self-join on id shuffles those rows ONCE (both sides are the
+    *     identical child, so the exchange is planned once and reused),
+    *     the d² products per vector are generated after the join and
+    *     aggregated map-side — only d² partials per task ever shuffle
+    *     for the aggregation itself;
+    *  2. covariance = gram/n − μμᵀ on the driver, ROUNDED to 6 dp so
+    *     any engine derives the exact same matrix (the fit input is
+    *     pinned, like the quantizer literals elsewhere in this file);
+    *  3. `iters` power-iteration rounds on the driver (64×64 — no
+    *     cluster work), starting from the deterministic uniform unit
+    *     vector;
+    *  4. one more corpus scan projects every vector onto the component
+    *     as a pure expression (dot with literal weights) — no shuffle.
+    *
+    * Returns (id, pc1) with pc1 = (x − μ)·v. */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+                 dims: Int = 64, iters: Int = 8): DataFrame = {
+    val comp = df.select(col(idCol).as("id"),
+        posexplode(col(vecCol).cast("array<double>")))
+      .select(col("id"), (col("pos") + 1).as("i"), col("col").as("x"))
+    val n = df.count().toDouble
+    val mu = new Array[Double](dims)
+    comp.groupBy(col("i")).agg(avg(col("x")).as("m"))
+      .collect().foreach(r => mu(r.getInt(0) - 1) = r.getDouble(1))
+    val gram = Array.ofDim[Double](dims, dims)
+    comp.as("a").join(comp.as("b"), "id")
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(col("a.x") * col("b.x")).as("s"))
+      .collect().foreach { r =>
+        gram(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getDouble(2)
+      }
+    val cov = Array.tabulate(dims, dims) { (i, j) =>
+      math.rint((gram(i)(j) / n - mu(i) * mu(j)) * 1e6) / 1e6
+    }
+    var v = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
+    (1 to iters).foreach { _ =>
+      val w = Array.tabulate(dims)(i =>
+        (0 until dims).foldLeft(0.0)((acc, j) => acc + cov(i)(j) * v(j)))
+      val nm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
+      v = w.map(_ / nm)
+    }
+    val offset = (0 until dims).foldLeft(0.0)((a, i) => a + mu(i) * v(i))
+    df.select(col(idCol).as("id"),
+      (dotLit(col(vecCol).cast("array<double>"), v) - lit(offset))
+        .as("pc1"))
+  }
 }

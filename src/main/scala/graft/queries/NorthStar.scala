@@ -726,7 +726,34 @@ object NorthStar {
       .ordered(col("doc_id"))
   }
 
+  // q80 — Zipf rank-frequency fit over the top-100 vocabulary terms:
+  // the corpus-health diagnostic (natural text slopes near -1).
+  private val q80: Q = (s, dir) =>
+    CurationOps.zipfFit(t(s, dir, "documents"), "text", topK = 100)
+      .select(col("n_terms"), round(col("slope"), 6).as("slope"),
+        round(col("icept"), 6).as("icept"))
+      .ordered(col("n_terms"))
+
+  // q81 — corpus-self-trained multinomial Naive Bayes language
+  // classifier (fastText-shaped linear scorer): per doc the true
+  // label, argmax class, and winning smoothed log-likelihood.
+  private val q81: Q = (s, dir) =>
+    CurationOps.naiveBayesLang(t(s, dir, "documents"),
+        "doc_id", "text", "lang")
+      .ordered(col("doc_id"))
+
+  // q82 — first principal component by power iteration (8 rounds on
+  // the 6dp-pinned covariance); per-vector projection scores.
+  private val q82: Q = (s, dir) =>
+    SimilarityOps.pcaProject(t(s, dir, "embeddings"), "vec_id",
+        "embedding", dims = 64, iters = 8)
+      .select(col("id"), round(col("pc1"), 4).as("pc1"))
+      .ordered(col("id"))
+
   val all: Map[String, Q] = Map(
+    "q82_pca_project" -> q82,
+    "q81_nb_classify" -> q81,
+    "q80_zipf_fit" -> q80,
     "q79_bpe_encode" -> q79,
     "q78_temperature_mix" -> q78,
     "q77_dup_ngram_spans" -> q77,
@@ -1783,7 +1810,89 @@ object NorthStar {
        |FROM c LEFT JOIN k ON c.source = k.source
        |ORDER BY c.source""".stripMargin
 
+  private val q80Sql: String =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+      |  FROM documents),
+      |fr AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+      |tp AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rank
+      |       FROM fr ORDER BY c DESC, t LIMIT 100)
+      |SELECT COUNT(*) AS n_terms,
+      |       ROUND(regr_slope(ln(CAST(c AS DOUBLE)),
+      |                        ln(CAST(rank AS DOUBLE))), 6) AS slope,
+      |       ROUND(regr_intercept(ln(CAST(c AS DOUBLE)),
+      |                            ln(CAST(rank AS DOUBLE))), 6) AS icept
+      |FROM tp ORDER BY n_terms""".stripMargin
+
+  private val q81Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang AS label,
+      |         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+      |  FROM documents),
+      |ct AS (SELECT label, t, COUNT(*) AS c FROM tok GROUP BY label, t),
+      |tl AS (SELECT label, CAST(SUM(c) AS DOUBLE) AS tot
+      |       FROM ct GROUP BY label),
+      |pr AS (SELECT lang AS label, CAST(COUNT(*) AS DOUBLE) AS nd
+      |       FROM documents GROUP BY lang),
+      |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd_all FROM documents),
+      |vv AS (SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vs FROM tok),
+      |dt AS (SELECT doc_id, t, COUNT(*) AS cnt
+      |       FROM tok GROUP BY doc_id, t),
+      |s0 AS (SELECT dt.doc_id, tl.label,
+      |              SUM(cnt * ln((COALESCE(ct.c, 0) + 1.0) /
+      |                           (tl.tot + vv.vs))) AS s
+      |       FROM dt
+      |       CROSS JOIN tl
+      |       LEFT JOIN ct ON ct.label = tl.label AND ct.t = dt.t
+      |       CROSS JOIN vv
+      |       GROUP BY dt.doc_id, tl.label, tl.tot, vv.vs),
+      |sc AS (SELECT s0.doc_id, s0.label,
+      |              ln(pr.nd / nn.nd_all) + s0.s AS s
+      |       FROM s0 JOIN pr USING (label) CROSS JOIN nn),
+      |best AS (SELECT doc_id, label AS pred, ROUND(s, 4) AS scr,
+      |                ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                  ORDER BY ROUND(s, 4) DESC, label) AS rn
+      |         FROM sc)
+      |SELECT b.doc_id, d.lang AS label, b.pred, b.scr
+      |FROM best b JOIN documents d USING (doc_id)
+      |WHERE rn = 1 ORDER BY b.doc_id""".stripMargin
+
+  private val q82Sql: String = {
+    val d = 64
+    val iters = (1 to 8).map { k =>
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      // normalize via a window over w_k, NOT a scalar subquery: DuckDB
+      // inlines (does not materialize) CTEs, so a second reference to
+      // w_k would double the whole upstream chain per iteration —
+      // exponential re-evaluation (measured: hangs at 8 iterations)
+      s"""w$k AS (SELECT c.i, SUM(c.v * p.x) AS x
+         |        FROM cov c JOIN $prev p ON p.i = c.j GROUP BY c.i),
+         |v$k AS (SELECT i, x / sqrt(SUM(x * x) OVER ()) AS x FROM w$k)"""
+    }.mkString(",\n")
+    s"""WITH idx AS (SELECT unnest(generate_series(1, $d)) AS i),
+       |xe AS (SELECT vec_id, i, embedding[i]::DOUBLE AS x
+       |       FROM embeddings, idx),
+       |mu AS (SELECT i, AVG(x) AS m FROM xe GROUP BY i),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+       |gr AS (SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS g
+       |       FROM xe a JOIN xe b USING (vec_id) GROUP BY a.i, b.i),
+       |cov AS (SELECT gr.i, gr.j,
+       |               ROUND(gr.g / nn.n - ma.m * mb.m, 6) AS v
+       |        FROM gr JOIN mu ma ON ma.i = gr.i
+       |        JOIN mu mb ON mb.i = gr.j CROSS JOIN nn),
+       |v0 AS (SELECT i, 1.0 / sqrt(${d}.0) AS x FROM idx),
+       |$iters,
+       |pj AS (SELECT x.vec_id, SUM(x.x * v.x) AS dp
+       |       FROM xe x JOIN v8 v USING (i) GROUP BY x.vec_id),
+       |off AS (SELECT SUM(m.m * v.x) AS o FROM mu m JOIN v8 v USING (i))
+       |SELECT pj.vec_id AS id, ROUND(pj.dp - off.o, 4) AS pc1
+       |FROM pj CROSS JOIN off ORDER BY id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q82_pca_project" -> q82Sql,
+    "q81_nb_classify" -> q81Sql,
+    "q80_zipf_fit" -> q80Sql,
     "q79_bpe_encode" -> q79Sql,
     "q78_temperature_mix" -> q78Sql,
     "q77_dup_ngram_spans" -> q77Sql,

@@ -335,4 +335,41 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(got.head == ("x y", 3L))
     assert(got.toSet == Set(("x y", 3L), ("y x", 1L), ("y z", 1L)))
   }
+
+  test("PCA first component recovers a planted dominant direction") {
+    import spark.implicits._
+    // vectors = a_k * u + tiny fixed noise; u = (0.6, 0.8, 0, 0)
+    val u = Array(0.6, 0.8, 0.0, 0.0)
+    val as = (0 until 40).map(k => (k % 7) - 3.0) // mean ~0, spread 6
+    val rows = as.zipWithIndex.map { case (a, k) =>
+      val noise = Array(0.0, 0.0, 0.001 * ((k % 5) - 2), 0.002 * (k % 3 - 1))
+      (k.toLong, Array.tabulate(4)(i => (a * u(i) + noise(i)).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = SimilarityOps.pcaProject(df, "vec_id", "embedding",
+        dims = 4, iters = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mean = as.sum / as.length
+    // pc1 should equal the centered coefficient up to a global sign
+    val sign = math.signum(got(0L) / (as(0) - mean))
+    as.zipWithIndex.foreach { case (a, k) =>
+      assert(math.abs(got(k.toLong) - sign * (a - mean)) < 0.01,
+        s"vec $k: got ${got(k.toLong)} want ${sign * (a - mean)}")
+    }
+  }
+
+  test("PCA projection variance dominates any coordinate direction") {
+    val got = SimilarityOps.pcaProject(emb, "vec_id", "embedding")
+      .collect().map(_.getDouble(1))
+    val pcVar = got.map(x => x * x).sum / got.length -
+      math.pow(got.sum / got.length, 2)
+    // variance along each raw coordinate axis
+    (1 to 64).foreach { i =>
+      val xs = emb.select(element_at(col("embedding"), i).cast("double"))
+        .collect().map(_.getDouble(0))
+      val v = xs.map(x => x * x).sum / xs.length -
+        math.pow(xs.sum / xs.length, 2)
+      assert(pcVar >= v - 1e-9, s"axis $i variance $v exceeds pc1 $pcVar")
+    }
+  }
 }

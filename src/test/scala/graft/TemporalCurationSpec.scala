@@ -616,4 +616,66 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
     assert(overlap / math.max(parity.size, fast.size) >= 0.5,
       s"parity=$parity fast=$fast")
   }
+
+  test("Zipf fit matches hand-computed OLS; topK truncates") {
+    import spark.implicits._
+    // freqs: a=8, b=4, c=2, d=1 -> ranks 1..4
+    val df = Seq(("a " * 8) + ("b " * 4) + ("c " * 2) + "d")
+      .toDF("text")
+    val got = CurationOps.zipfFit(df, "text", topK = 100).collect().head
+    val pts = Seq((8.0, 1.0), (4.0, 2.0), (2.0, 3.0), (1.0, 4.0))
+      .map { case (c, r) => (math.log(r), math.log(c)) }
+    val mx = pts.map(_._1).sum / 4; val my = pts.map(_._2).sum / 4
+    val slope = pts.map { case (x, y) => (x - mx) * (y - my) }.sum /
+      pts.map { case (x, _) => (x - mx) * (x - mx) }.sum
+    val icept = my - slope * mx
+    assert(got.getLong(0) == 4L)
+    assert(math.abs(got.getDouble(1) - slope) < 1e-9)
+    assert(math.abs(got.getDouble(2) - icept) < 1e-9)
+    val trunc = CurationOps.zipfFit(df, "text", topK = 2).collect().head
+    assert(trunc.getLong(0) == 2L)
+    // two points: exact line through (ln1, ln8), (ln2, ln4)
+    assert(math.abs(trunc.getDouble(1) - (-1.0)) < 1e-9)
+    assert(math.abs(trunc.getDouble(2) - math.log(8.0)) < 1e-9)
+  }
+
+  test("Naive Bayes classifier matches a driver-side reference " +
+      "and separates clear classes") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "cat cat dog", "x"), (2L, "cat dog dog cat", "x"),
+      (3L, "bird fish fish", "y"), (4L, "fish bird bird", "y"),
+      (5L, "cat dog cat", "x"))
+      .toDF("doc_id", "text", "lang")
+    val got = CurationOps.naiveBayesLang(df, "doc_id", "text", "lang")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getDouble(3)))).toMap
+    // driver-side reference NB
+    val docs = Map(1L -> ("cat cat dog", "x"), 2L -> ("cat dog dog cat", "x"),
+      3L -> ("bird fish fish", "y"), 4L -> ("fish bird bird", "y"),
+      5L -> ("cat dog cat", "x"))
+    val toks = docs.map { case (id, (t, l)) => (id, t.split(" "), l) }
+    val classes = Seq("x", "y")
+    val vocabV = toks.flatMap(_._2).toSet.size.toDouble
+    val ct = classes.map(l => l -> toks.filter(_._3 == l).flatMap(_._2)
+      .groupBy(identity).map { case (k, v) => k -> v.size }).toMap
+    val tl = classes.map(l => l -> ct(l).values.sum.toDouble).toMap
+    val nd = classes.map(l => l -> toks.count(_._3 == l).toDouble).toMap
+    docs.foreach { case (id, (text, lab)) =>
+      val scores = classes.map { l =>
+        val s = math.log(nd(l) / 5.0) + text.split(" ").map { t =>
+          math.log((ct(l).getOrElse(t, 0) + 1.0) / (tl(l) + vocabV))
+        }.sum
+        l -> math.rint(s * 1e4) / 1e4
+      }
+      val (predL, predS) = scores.minBy { case (l, s) => (-s, l) }
+      val (gl, gp, gs) = got(id)
+      assert(gl == lab && gp == predL,
+        s"doc $id: got ($gl,$gp) want ($lab,$predL)")
+      assert(math.abs(gs - predS) < 2e-4, s"doc $id score $gs vs $predS")
+      // clearly separable corpus: prediction equals the true label
+      assert(gp == lab)
+    }
+  }
 }
