@@ -224,4 +224,32 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert("Exchange SinglePartition".r.findAllIn(p).size <= 1,
       s"full-table global window detected:\n$p")
   }
+
+  test("zipf fit: top-K via TakeOrdered, never a full vocabulary sort") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = plan(graft.operators.CurationOps.zipfFit(docs, "text", 100))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K should plan as TakeOrdered:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final frequency aggregation:\n$p")
+  }
+
+  test("naive bayes: vocab-sized model broadcasts; no doc-by-class " +
+      "shuffle join") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = plan(graft.operators.CurationOps.naiveBayesLang(
+      docs, "doc_id", "text", "lang"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"pivoted model table should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final term-count aggregation:\n$p")
+  }
+
+  test("PCA projection is scan-speed: zero exchanges in the output plan") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val p = plan(SimilarityOps.pcaProject(emb, "vec_id", "embedding"))
+    assert(!p.contains("Exchange"),
+      s"projection onto the literal component must not shuffle:\n$p")
+  }
 }
