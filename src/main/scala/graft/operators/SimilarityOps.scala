@@ -420,6 +420,24 @@ object SimilarityOps {
       .select(col("qid"), col("nid"), col("cos"))
   }
 
+  /** Johnson–Lindenstrauss-style random projection to `outDims`
+    * dimensions, using rows 0..outDims-1 of the same deterministic
+    * md5-derived plane family as the LSH operators ([[planeMatrix]] —
+    * plan-time literals, so any engine reproduces the identical
+    * doubles). Distances are preserved in expectation; the projection
+    * is a pure scan-speed expression with zero shuffle — the cheap
+    * first step before clustering or ANN when 64 dims is still too
+    * wide for the downstream pass. Output: (id, r1..r_outDims). */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    outDims: Int, dims: Int = 64): DataFrame = {
+    val m = planeMatrix(outDims, dims)
+    val s = math.sqrt(outDims.toDouble)
+    df.select(col(idCol).as("id") +:
+      (0 until outDims).map(p =>
+        (dotLit(col(vecCol).cast("array<double>"), m(p)) / s)
+          .as(s"r${p + 1}")): _*)
+  }
+
   /** First principal component of an embedding corpus by power
     * iteration — the dimensionality-reduction / embedding-diagnostics
     * primitive (dominant variance direction; projections feed

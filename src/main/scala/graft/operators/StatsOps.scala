@@ -40,6 +40,58 @@ object StatsOps {
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
   }
 
+  /** Winsorization (quantile clipping) — the standard outlier-damping
+    * step before training-statistics aggregation: clips `valueCol` to
+    * the exact per-key [qLo, qHi] linearly-interpolated quantiles
+    * (type 7 — quantile_cont semantics).
+    *
+    * The quantiles are computed RELATIONALLY, not by collecting each
+    * group into one aggregation buffer (Spark's exact `percentile`
+    * buffers every group value in memory — a non-starter when one key
+    * holds billions of rows): one sort-shuffle ranks values per key
+    * (row_number + per-key count share the exchange), a filter keeps
+    * only the ≤4 bracket rows per key BEFORE the tiny bounds
+    * aggregation, and the per-key bounds broadcast back onto the
+    * table. Clipping itself is scan-speed. NULL values are ignored
+    * for ranking and pass through NULL, matching quantile_cont.
+    *
+    * Adds column `{valueCol}_wins` to `df`. */
+  def winsorize(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                qLo: Double, qHi: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(0.0 <= qLo && qLo <= qHi && qHi <= 1.0, s"bad bounds $qLo $qHi")
+    val keys = keyCols.map(col)
+    val part = Window.partitionBy(keys: _*)
+    val ranked = df
+      .select(keys :+ col(valueCol).cast("double").as("v"): _*)
+      .filter(col("v").isNotNull)
+      .withColumn("rk", row_number().over(part.orderBy(col("v"))))
+      .withColumn("n", count(lit(1)).over(part))
+    // linear interpolation between the two bracket ranks of quantile q:
+    // k = 1 + (n-1)q; bound = v_floor(k)·(1−frac) + v_ceil(k)·frac
+    def contrib(q: Double): Column = {
+      val k = lit(1.0d) + (col("n") - 1).cast("double") * lit(q)
+      val frac = k - floor(k)
+      when(col("rk") === floor(k).cast("long"), col("v") * (lit(1.0d) - frac))
+        .otherwise(lit(0.0d)) +
+        when(col("rk") === ceil(k).cast("long"), col("v") * frac)
+        .otherwise(lit(0.0d))
+    }
+    def isBracket(q: Double): Column = {
+      val k = lit(1.0d) + (col("n") - 1).cast("double") * lit(q)
+      col("rk") === floor(k).cast("long") || col("rk") === ceil(k).cast("long")
+    }
+    val bounds = ranked
+      .filter(isBracket(qLo) || isBracket(qHi))
+      .groupBy(keys: _*)
+      .agg(sum(contrib(qLo)).as("w_lo"), sum(contrib(qHi)).as("w_hi"))
+    df.join(broadcast(bounds), keyCols)
+      .withColumn(s"${valueCol}_wins",
+        least(col("w_hi"), greatest(col("w_lo"),
+          col(valueCol).cast("double"))))
+      .drop("w_lo", "w_hi")
+  }
+
   /** Welch t statistic from the two groups' moments:
     * t = (m1-m2)/sqrt(v1/n1 + v2/n2). */
   def welchT(m1: Column, v1: Column, n1: Column,

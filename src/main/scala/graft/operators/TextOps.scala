@@ -178,6 +178,37 @@ object TextOps {
       lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
+  /** Per-document Shannon entropy of the character distribution, in
+    * nats — the cheap gibberish/boilerplate screen (natural text sits
+    * in a narrow band; base64 blobs score high, repeated filler low).
+    *
+    * Pure expression, zero shuffle: sort the char array, then ONE
+    * left fold accumulates run lengths (the struct accumulator
+    * references only lambda arguments, so nothing re-evaluates per
+    * element — see the CLAUDE.md lambda-body footgun):
+    * H = ln n − (Σ c·ln c)/n. */
+  def charEntropy(text: Column): Column = {
+    def clnc(c: Column): Column =
+      when(c > 0, c.cast("double") * log(c.cast("double")))
+        .otherwise(lit(0.0d))
+    val chars = array_sort(split(text, ""))
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0.0d).as("acc"))
+    val folded = aggregate(chars, zero,
+      (st, c) => when(c === st.getField("prev"),
+        struct(c.as("prev"), (st.getField("run") + 1L).as("run"),
+          st.getField("acc").as("acc")))
+        .otherwise(struct(c.as("prev"), lit(1L).as("run"),
+          (st.getField("acc") + clnc(st.getField("run"))).as("acc"))),
+      st => st.getField("acc") + clnc(st.getField("run")))
+    val n = size(chars).cast("double")
+    log(n) - folded / n
+  }
+
+  /** Distinct character count (the entropy's support size). */
+  def charDistinct(text: Column): Column =
+    size(array_distinct(split(text, "")))
+
   /** Overlapping token windows for LLM-style document chunking:
     * windows of `width` tokens every `stride` tokens, plus a final
     * shorter window when a tail would otherwise be lost. Returns

@@ -750,7 +750,39 @@ object NorthStar {
       .select(col("id"), round(col("pc1"), 4).as("pc1"))
       .ordered(col("id"))
 
+  // q83 — winsorization: per-event-type exact [0.05, 0.95] quantile
+  // clipping, quantiles computed relationally (no per-group buffering).
+  private val q83: Q = (s, dir) => {
+    graft.operators.StatsOps.winsorize(t(s, dir, "events"),
+        Seq("event_type"), "value", 0.05, 0.95)
+      .select(col("event_id"), round(col("value_wins"), 6).as("clipped"))
+      .ordered(col("event_id"))
+  }
+
+  // q84 — Johnson–Lindenstrauss random projection 64 -> 8 dims with
+  // the md5-derived literal plane family (bit-identical cross-engine).
+  private val q84: Q = (s, dir) => {
+    val r = SimilarityOps.randomProject(t(s, dir, "embeddings"),
+      "vec_id", "embedding", outDims = 8)
+    r.select(col("id") +:
+        (1 to 8).map(i => round(col(s"r$i"), 6).as(s"r$i")): _*)
+      .ordered(col("id"))
+  }
+
+  // q85 — character-distribution Shannon entropy (gibberish screen):
+  // pure zero-shuffle expression on the Spark side, relational CTE on
+  // the oracle side — same H = ln n - sum(c ln c)/n.
+  private val q85: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.charDistinct(col("text")).as("n_uniq"),
+        round(TextOps.charEntropy(col("text")), 4).as("ent"))
+      .ordered(col("doc_id"))
+
   val all: Map[String, Q] = Map(
+    "q85_char_entropy" -> q85,
+    "q84_random_project" -> q84,
+    "q83_winsorize" -> q83,
     "q82_pca_project" -> q82,
     "q81_nb_classify" -> q81,
     "q80_zipf_fit" -> q80,
@@ -1889,7 +1921,39 @@ object NorthStar {
        |FROM pj CROSS JOIN off ORDER BY id""".stripMargin
   }
 
+  private val q83Sql: String =
+    """WITH b AS (SELECT event_type,
+      |                  quantile_cont(value, 0.05) AS lo,
+      |                  quantile_cont(value, 0.95) AS hi
+      |           FROM events GROUP BY event_type)
+      |SELECT e.event_id,
+      |       ROUND(LEAST(b.hi, GREATEST(b.lo, e.value)), 6) AS clipped
+      |FROM events e JOIN b USING (event_type)
+      |ORDER BY e.event_id""".stripMargin
+
+  private val q84Sql: String = {
+    val v = "(embedding::DOUBLE[])"
+    val cols = (0 until 8).map(p =>
+      s"ROUND(${sqlPlaneProj(v, p)} / sqrt(8.0), 6) AS r${p + 1}")
+      .mkString(",\n       ")
+    s"""SELECT vec_id AS id,
+       |       $cols
+       |FROM embeddings ORDER BY id""".stripMargin
+  }
+
+  private val q85Sql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c
+      |  FROM documents),
+      |ct AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c)
+      |SELECT doc_id, COUNT(*) AS n_uniq,
+      |       ROUND(ln(SUM(k)) - SUM(k * ln(k::DOUBLE)) / SUM(k), 4) AS ent
+      |FROM ct GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q85_char_entropy" -> q85Sql,
+    "q84_random_project" -> q84Sql,
+    "q83_winsorize" -> q83Sql,
     "q82_pca_project" -> q82Sql,
     "q81_nb_classify" -> q81Sql,
     "q80_zipf_fit" -> q80Sql,

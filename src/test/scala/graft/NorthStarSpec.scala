@@ -336,6 +336,59 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSet == Set(("x y", 3L), ("y x", 1L), ("y z", 1L)))
   }
 
+  test("winsorize clips to hand-computed type-7 quantiles per key") {
+    import spark.implicits._
+    val df = ((1 to 10).map(i => ("a", i.toLong, i.toDouble)) :+
+      ("b", 99L, 42.0)).toDF("k", "id", "value")
+    val got = graft.operators.StatsOps
+      .winsorize(df, Seq("k"), "value", 0.05, 0.95)
+      .select(col("id"), col("value_wins"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // k=a, n=10: lo = 1 + 0.45*(2-1) = 1.45; hi = 9 + 0.55*(10-9) = 9.55
+    assert(math.abs(got(1L) - 1.45) < 1e-12)
+    assert(math.abs(got(10L) - 9.55) < 1e-12)
+    (2 to 9).foreach(i => assert(got(i.toLong) == i.toDouble))
+    // single-value group: lo = hi = the value
+    assert(got(99L) == 42.0)
+  }
+
+  test("random projection equals the driver-side literal plane dot") {
+    val rows = emb.limit(5).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+      .toMap
+    val m = SimilarityOps.planeMatrix(8, 64)
+    val got = SimilarityOps.randomProject(emb.limit(5), "vec_id",
+        "embedding", outDims = 8)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 8).map(i => r.getDouble(i)).toArray).toMap
+    got.foreach { case (id, rs) =>
+      val v = rows(id)
+      (0 until 8).foreach { p =>
+        val want = (0 until 64).foldLeft(0.0)((a, i) =>
+          a + v(i) * m(p)(i)) / math.sqrt(8.0)
+        assert(math.abs(rs(p) - want) < 1e-12, s"id $id dim $p")
+      }
+    }
+  }
+
+  test("char entropy: hand-computed distributions, zero for constant") {
+    import spark.implicits._
+    val df = Seq((1L, "aaaa"), (2L, "ab"), (3L, "aabb"), (4L, "abcd"),
+      (5L, "aab")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextOps.charDistinct(col("text")).as("u"),
+        TextOps.charEntropy(col("text")).as("e"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2))))
+      .toMap
+    assert(got(1L)._1 == 1 && math.abs(got(1L)._2) < 1e-12)
+    assert(got(2L)._1 == 2 && math.abs(got(2L)._2 - math.log(2)) < 1e-12)
+    assert(got(3L)._1 == 2 && math.abs(got(3L)._2 - math.log(2)) < 1e-12)
+    assert(got(4L)._1 == 4 && math.abs(got(4L)._2 - math.log(4)) < 1e-12)
+    val h5 = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(got(5L)._1 == 2 && math.abs(got(5L)._2 - h5) < 1e-12)
+  }
+
   test("PCA first component recovers a planted dominant direction") {
     import spark.implicits._
     // vectors = a_k * u + tiny fixed noise; u = (0.6, 0.8, 0, 0)
