@@ -497,6 +497,79 @@ object CurationOps {
       .agg(count(lit(1)).as("n_toks"), sum(col("n_sub")).as("n_subwords"))
   }
 
+  /** Count–min-sketch frequency estimation checked against exact
+    * counts: builds a depth×width CMS over the token stream (md5 row
+    * hashes — the cross-engine hash idiom) and reports, for the topK
+    * exact heavy hitters, both the exact count and the sketch
+    * estimate (always ≥ exact; equal when no collision).
+    *
+    * Scale shape: the sketch is the POINT — a fixed depth×width
+    * integer grid regardless of corpus size, built in one token-keyed
+    * partial-agg shuffle (each task reduces to ≤ depth·width partial
+    * cells before shuffling) and trivially mergeable across days or
+    * shards. The exact side here exists to verify the estimate; a
+    * production monitor ships only the grid. */
+  def cmsHeavyHitters(df: DataFrame, textCol: String,
+                      depth: Int = 4, width: Int = 256,
+                      topK: Int = 20): DataFrame = {
+    // deliberately NOT checkpointed: materializing the exploded token
+    // stream would write the whole corpus to disk; re-tokenizing for
+    // the (verification-only) exact side is the cheaper trade
+    val tok = df.select(explode(TextOps.tokens(col(textCol))).as("t"))
+    def bucket(j: Int, t: Column): Column =
+      pmod(md5Hash32(concat(lit(s"cms$j:"), t)), lit(width.toLong))
+    val sketch = tok
+      .select(posexplode(array((0 until depth)
+        .map(j => bucket(j, col("t"))): _*)).as(Seq("j", "b")))
+      .groupBy(col("j"), col("b")).agg(count(lit(1)).as("n"))
+    val top = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(topK)
+    top
+      .select(col("t"), col("c"), posexplode(array((0 until depth)
+        .map(j => bucket(j, col("t"))): _*)).as(Seq("j", "b")))
+      .join(sketch, Seq("j", "b"))
+      .groupBy(col("t"), col("c"))
+      .agg(min(col("n")).as("est"))
+  }
+
+  /** Per-source KL divergence from the whole-corpus token
+    * distribution (Laplace-smoothed over the corpus vocabulary) — the
+    * source-level drift/outlier monitor: a source whose text stops
+    * looking like the corpus (spam burst, scraper breakage, language
+    * shift) jumps in KL.
+    *
+    * One token-keyed partial-agg shuffle builds (source, token)
+    * counts; everything after is vocabulary-sized: corpus frequencies
+    * derive from the checkpointed counts (no second corpus pass), the
+    * vocab × sources grid left-joins the counts so unseen (source,
+    * token) pairs contribute their smoothed mass, and per-source
+    * totals broadcast. The grid is |vocab| × |sources| rows — the
+    * monitoring table's natural size; sample the vocabulary first if
+    * both are extreme. */
+  def sourceKlDivergence(df: DataFrame, srcCol: String, textCol: String)
+      : DataFrame = {
+    val tok = df.select(col(srcCol).as("source"),
+      explode(TextOps.tokens(col(textCol))).as("t"))
+    val ctPre = tok.groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val ct = ctPre.localCheckpoint(false)
+    val corpus = ct.groupBy(col("t")).agg(sum(col("c")).as("cc"))
+    val srcTotals = ct.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val Array(vocabV, totalN) = {
+      val r = corpus.agg(count(lit(1)), sum(col("cc"))).head()
+      if (r.isNullAt(1)) Array(1.0, 0.0)
+      else Array(r.getLong(0).toDouble, r.getLong(1).toDouble)
+    }
+    val ps = (coalesce(col("c"), lit(0L)).cast("double") + 1.0d) /
+      (col("ns").cast("double") + lit(vocabV))
+    val pc = (col("cc").cast("double") + 1.0d) / lit(totalN + vocabV)
+    corpus.crossJoin(broadcast(srcTotals))
+      .join(DedupOps.hintBySize(ct, ctPre), Seq("source", "t"), "left")
+      .groupBy(col("source"))
+      .agg(first(col("ns")).as("n_toks"),
+        sum(ps * log(ps / pc)).as("kl"))
+  }
+
   /** Zipf rank–frequency fit — the standard corpus-health diagnostic
     * (natural corpora fit ln(freq) ≈ icept + slope·ln(rank) with slope
     * near −1; template/boilerplate-heavy or synthetic corpora deviate).

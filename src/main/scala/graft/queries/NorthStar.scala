@@ -779,7 +779,25 @@ object NorthStar {
         round(TextOps.charEntropy(col("text")), 4).as("ent"))
       .ordered(col("doc_id"))
 
+  // q86 — count-min-sketch heavy hitters: top-20 exact tokens with
+  // their CMS estimates (est >= exact always; equality iff no row of
+  // the sketch collides the token with another).
+  private val q86: Q = (s, dir) =>
+    CurationOps.cmsHeavyHitters(t(s, dir, "documents"), "text",
+        depth = 4, width = 256, topK = 20)
+      .ordered(col("c").desc, col("t"))
+
+  // q87 — per-source KL divergence from the corpus token distribution
+  // (drift monitor); Laplace smoothing over the corpus vocabulary.
+  private val q87: Q = (s, dir) =>
+    CurationOps.sourceKlDivergence(t(s, dir, "documents"),
+        "source", "text")
+      .select(col("source"), col("n_toks"), round(col("kl"), 6).as("kl"))
+      .ordered(col("source"))
+
   val all: Map[String, Q] = Map(
+    "q87_source_kl" -> q87,
+    "q86_cms_heavy_hitters" -> q86,
     "q85_char_entropy" -> q85,
     "q84_random_project" -> q84,
     "q83_winsorize" -> q83,
@@ -1950,7 +1968,48 @@ object NorthStar {
       |       ROUND(ln(SUM(k)) - SUM(k * ln(k::DOUBLE)) / SUM(k), 4) AS ent
       |FROM ct GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  private val q86Sql: String = {
+    val b = sqlHex32("md5('cms' || js.j::VARCHAR || ':' || t)")
+    s"""WITH tok AS (
+       |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+       |  FROM documents),
+       |js AS (SELECT unnest(generate_series(0, 3)) AS j),
+       |sk AS (SELECT js.j, $b % 256 AS b, COUNT(*) AS n
+       |       FROM tok, js GROUP BY 1, 2),
+       |top AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+       |        ORDER BY c DESC, t LIMIT 20),
+       |pr AS (SELECT top.t, top.c, js.j, $b % 256 AS b
+       |       FROM top, js)
+       |SELECT pr.t, pr.c, MIN(sk.n) AS est
+       |FROM pr JOIN sk ON sk.j = pr.j AND sk.b = pr.b
+       |GROUP BY pr.t, pr.c
+       |ORDER BY pr.c DESC, pr.t""".stripMargin
+  }
+
+  private val q87Sql: String =
+    """WITH tok AS (
+      |  SELECT source,
+      |         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+      |  FROM documents),
+      |ct AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY source, t),
+      |corpus AS (SELECT t, SUM(c) AS cc FROM ct GROUP BY t),
+      |st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns
+      |       FROM ct GROUP BY source),
+      |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v,
+      |               CAST(SUM(cc) AS DOUBLE) AS n FROM corpus)
+      |SELECT st.source, st.ns AS n_toks,
+      |       ROUND(SUM(
+      |         ((COALESCE(ct.c, 0) + 1.0) / (st.ns + tot.v)) *
+      |         ln(((COALESCE(ct.c, 0) + 1.0) / (st.ns + tot.v)) /
+      |            ((corpus.cc + 1.0) / (tot.n + tot.v)))), 6) AS kl
+      |FROM corpus CROSS JOIN st CROSS JOIN tot
+      |LEFT JOIN ct ON ct.source = st.source AND ct.t = corpus.t
+      |GROUP BY st.source, st.ns
+      |ORDER BY st.source""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q87_source_kl" -> q87Sql,
+    "q86_cms_heavy_hitters" -> q86Sql,
     "q85_char_entropy" -> q85Sql,
     "q84_random_project" -> q84Sql,
     "q83_winsorize" -> q83Sql,

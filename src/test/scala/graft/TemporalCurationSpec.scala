@@ -617,6 +617,52 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
       s"parity=$parity fast=$fast")
   }
 
+  test("CMS estimates dominate exact counts; width=1 collapses to the " +
+      "total token count") {
+    import spark.implicits._
+    val df = Seq((1L, "x x y z"), (2L, "x y w")).toDF("doc_id", "text")
+    val got = CurationOps.cmsHeavyHitters(df, "text",
+        depth = 4, width = 256, topK = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("x") == ((3L, 3L)) || got("x")._2 >= 3L)
+    assert(got.forall { case (_, (c, est)) => est >= c })
+    assert(got.keySet == Set("x", "y", "z", "w"))
+    // width 1: every token lands in the single cell of each row ->
+    // estimate == total token count (7) for all tokens
+    val one = CurationOps.cmsHeavyHitters(df, "text",
+        depth = 3, width = 1, topK = 10)
+      .collect().map(_.getLong(2))
+    assert(one.nonEmpty && one.forall(_ == 7L))
+  }
+
+  test("source KL: identical distributions give zero; skew is positive " +
+      "and hand-computed") {
+    import spark.implicits._
+    val same = Seq((1L, "x y", "a"), (2L, "x y", "b"))
+      .toDF("doc_id", "text", "source")
+    val g0 = CurationOps.sourceKlDivergence(same, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(g0("a")) < 1e-12 && math.abs(g0("b")) < 1e-12)
+
+    val skew = Seq((1L, "x x x x", "a"), (2L, "y y", "b"))
+      .toDF("doc_id", "text", "source")
+    val got = CurationOps.sourceKlDivergence(skew, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    // corpus: x=4, y=2, V=2, N=6
+    def kl(cs: Map[String, Long], ns: Long): Double =
+      Seq("x" -> 4L, "y" -> 2L).map { case (t, cc) =>
+        val ps = (cs.getOrElse(t, 0L) + 1.0) / (ns + 2.0)
+        val pc = (cc + 1.0) / (6.0 + 2.0)
+        ps * math.log(ps / pc)
+      }.sum
+    assert(got("a")._1 == 4L && got("b")._1 == 2L)
+    assert(math.abs(got("a")._2 - kl(Map("x" -> 4L), 4L)) < 1e-12)
+    assert(math.abs(got("b")._2 - kl(Map("y" -> 2L), 2L)) < 1e-12)
+    assert(got("a")._2 > 0 && got("b")._2 > 0)
+  }
+
   test("Zipf fit matches hand-computed OLS; topK truncates") {
     import spark.implicits._
     // freqs: a=8, b=4, c=2, d=1 -> ranks 1..4
