@@ -252,4 +252,52 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Exchange"),
       s"projection onto the literal component must not shuffle:\n$p")
   }
+
+  test("JL random projection is scan-speed: zero exchanges") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val p = plan(SimilarityOps.randomProject(emb, "vec_id", "embedding", 8))
+    assert(!p.contains("Exchange"),
+      s"literal-plane projection must not shuffle:\n$p")
+  }
+
+  test("winsorize: bracket rows are filtered BEFORE the bounds " +
+      "aggregation; bounds broadcast back") {
+    val ev = Tables.load(spark, dir, "events")
+    val df = graft.operators.StatsOps.winsorize(
+      ev, Seq("event_type"), "value", 0.05, 0.95)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-key bounds should broadcast back:\n$p")
+    // the optimized plan must place a Filter between the rank windows
+    // and the bounds aggregate (only <=4 rows per key reach the agg)
+    val opt = df.queryExecution.optimizedPlan.toString
+    val aggIdx = opt.indexOf("Aggregate")
+    val winIdx = opt.indexOf("Window")
+    val filterBetween = opt.substring(aggIdx, winIdx).contains("Filter")
+    assert(aggIdx >= 0 && winIdx > aggIdx && filterBetween,
+      s"bracket filter must sit between windows and the aggregate:\n$opt")
+  }
+
+  test("CMS sketch and exact side keep map-side partials; the " +
+      "estimate join is broadcast") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = plan(graft.operators.CurationOps.cmsHeavyHitters(
+      docs, "text"))
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final pairs for sketch and exact counts:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"top-K x sketch join should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("source KL: the corpus never shuffles twice — grid joins stay " +
+      "broadcast") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = plan(graft.operators.CurationOps.sourceKlDivergence(
+      docs, "source", "text"))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"vocab-sized grid joins should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
