@@ -154,4 +154,26 @@ object WindowOps {
               (col("t2") - col("t1")).cast("double"))))
       .select(col("k").as(keyCol), col("ts"), col("value"))
   }
+
+  /** Trailing-window z-score — the streaming/batch anomaly-detection
+    * primitive for monitoring series (ingest rates, per-source
+    * volumes, metric counts): each row is scored against the mean and
+    * sample stddev of its `lookback` PRECEDING rows only (the row
+    * itself excluded, so a spike cannot mask itself). Rows without
+    * at least two trailing samples get a NULL z.
+    *
+    * One hash shuffle on the keys; both frame aggregates share the
+    * (key, order) sort. Bounded trailing frames cost O(lookback) per
+    * row — never the unbounded-following trap (see resampleLinear's
+    * note). Adds columns trail_avg, trail_std, z. */
+  def trailingZScore(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                     valueCol: String, lookback: Int): DataFrame = {
+    require(lookback >= 2, s"need lookback >= 2, got $lookback")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol)).rowsBetween(-lookback, -1)
+    df.withColumn("trail_avg", avg(col(valueCol)).over(w))
+      .withColumn("trail_std", stddev_samp(col(valueCol)).over(w))
+      .withColumn("z",
+        (col(valueCol) - col("trail_avg")) / col("trail_std"))
+  }
 }

@@ -795,7 +795,23 @@ object NorthStar {
       .select(col("source"), col("n_toks"), round(col("kl"), 6).as("kl"))
       .ordered(col("source"))
 
+  // q88 — trailing-window anomaly detection on the event stream:
+  // hourly counts per type, z-scored against the 24 preceding hours
+  // (self-excluded); emit |z| >= 2 anomalies.
+  private val q88: Q = (s, dir) => {
+    val hourly = t(s, dir, "events")
+      .withColumn("h",
+        (expr("(ts_ns div 1000) div 3600000000") * 3600000000L).as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("n"))
+    WindowOps.trailingZScore(hourly, Seq("event_type"), "h", "n", 24)
+      .filter(col("trail_std") > 0 && abs(col("z")) >= 2.0d)
+      .select(col("event_type"), col("h"), col("n"),
+        round(col("z"), 4).as("z"))
+      .ordered(col("event_type"), col("h"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q88_event_anomaly" -> q88,
     "q87_source_kl" -> q87,
     "q86_cms_heavy_hitters" -> q86,
     "q85_char_entropy" -> q85,
@@ -2007,7 +2023,25 @@ object NorthStar {
       |GROUP BY st.source, st.ns
       |ORDER BY st.source""".stripMargin
 
+  private val q88Sql: String =
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |         (epoch_us(ts) // 3600000000) * 3600000000 AS h,
+      |         COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |z AS (
+      |  SELECT event_type, h, n,
+      |         AVG(n) OVER w AS ta,
+      |         STDDEV_SAMP(n) OVER w AS ts_
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+      |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, h, n, ROUND((n - ta) / ts_, 4) AS z
+      |FROM z WHERE ts_ > 0 AND ABS((n - ta) / ts_) >= 2.0
+      |ORDER BY event_type, h""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q88_event_anomaly" -> q88Sql,
     "q87_source_kl" -> q87Sql,
     "q86_cms_heavy_hitters" -> q86Sql,
     "q85_char_entropy" -> q85Sql,

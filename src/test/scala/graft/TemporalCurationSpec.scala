@@ -617,6 +617,24 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
       s"parity=$parity fast=$fast")
   }
 
+  test("trailing z-score: self-excluded window, hand-computed values, " +
+      "null below two trailing samples") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+      ("a", 4L, 6.0), ("b", 1L, 5.0))
+      .toDF("k", "t", "v")
+    val got = graft.operators.WindowOps
+      .trailingZScore(df, Seq("k"), "t", "v", 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.get(5)).map(_.asInstanceOf[Double])).toMap
+    assert(got(("a", 1L)).isEmpty && got(("a", 2L)).isEmpty)
+    assert(got(("b", 1L)).isEmpty)
+    // t=3: trailing [1,2] -> avg 1.5, std sqrt(0.5); t=4: [1,2,3] -> 2, 1
+    assert(math.abs(got(("a", 3L)).get - 1.5 / math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(got(("a", 4L)).get - 4.0) < 1e-12)
+  }
+
   test("CMS estimates dominate exact counts; width=1 collapses to the " +
       "total token count") {
     import spark.implicits._
