@@ -87,6 +87,44 @@ object MultimodalOps {
     }
   }
 
+  /** Ingest a directory of raw media files through Spark's built-in
+    * `binaryFile` source into the MediaPayload schema: media_id is the
+    * md5-derived 32-bit hash of the file name (deterministic across
+    * re-ingests and engines), format comes from the extension, and
+    * dimensions stay 0 until the (stubbed) decode fills them. The
+    * source is distributed and splittable BY FILE — a 100 TB media
+    * lake parallelizes across files, and `pathGlobFilter` prunes
+    * before any byte is read. */
+  def ingestBinaryDir(spark: org.apache.spark.sql.SparkSession,
+                      path: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .select(
+        CurationOps.md5Hash32(col("path")).as("media_id"),
+        lower(element_at(split(col("path"), "\\."), -1)).as("format"),
+        lit(0).as("width"), lit(0).as("height"),
+        lit(0).as("sample_rate"),
+        col("content").as("data"),
+        col("path"), col("length"))
+
+  /** STUB resize: nearest-neighbor byte sampling to a fixed `outLen`
+    * output (a real deployment decodes pixels and resizes; the
+    * deterministic byte-level fake keeps the pipeline shape — fixed-
+    * size output column, pure expression, scan speed, no shuffle).
+    * Index i samples source position floor(i·n/outLen) (0-based). */
+  def resizeStub(data: org.apache.spark.sql.Column, outLen: Int)
+      : org.apache.spark.sql.Column = {
+    val n = length(data)
+    aggregate(
+      transform(sequence(lit(0), lit(outLen - 1)),
+        i => substring(data,
+          (floor((i * n).cast("double") / outLen) + 1).cast("int"),
+          lit(1))),
+      lit(Array.emptyByteArray),
+      (acc, b) => concat(acc, b))
+  }
+
   /** Frame sampling for "video" payloads: slice the byte stream into
     * fixed-size frames with a stride, keeping frame index — pure column
     * expressions, so sampling prunes before any decode. */

@@ -810,7 +810,20 @@ object NorthStar {
       .ordered(col("event_type"), col("h"))
   }
 
+  // q89 — stub "resize" on the synthetic media payloads: nearest-
+  // neighbor byte sampling to 16 bytes, decoded back to a string for
+  // the oracle compare (payload bytes are the UTF-8 doc text).
+  private val q89: Q = (s, dir) => {
+    val media = MultimodalOps.syntheticMedia(
+      t(s, dir, "documents"), "doc_id", "text")
+    media.select(col("media_id"),
+        decode(MultimodalOps.resizeStub(col("data"), 16), "UTF-8")
+          .as("thumb"))
+      .ordered(col("media_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q89_resize_sample" -> q89,
     "q88_event_anomaly" -> q88,
     "q87_source_kl" -> q87,
     "q86_cms_heavy_hitters" -> q86,
@@ -2040,7 +2053,15 @@ object NorthStar {
       |FROM z WHERE ts_ > 0 AND ABS((n - ta) / ts_) >= 2.0
       |ORDER BY event_type, h""".stripMargin
 
+  private val q89Sql: String =
+    """SELECT doc_id AS media_id,
+      |       list_reduce(list_transform(range(0, 16),
+      |         i -> substr(text, (i * length(text)) // 16 + 1, 1)),
+      |         (a, b) -> a || b) AS thumb
+      |FROM documents ORDER BY media_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q89_resize_sample" -> q89Sql,
     "q88_event_anomaly" -> q88Sql,
     "q87_source_kl" -> q87Sql,
     "q86_cms_heavy_hitters" -> q86Sql,

@@ -389,6 +389,40 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(got(5L)._1 == 2 && math.abs(got(5L)._2 - h5) < 1e-12)
   }
 
+  test("resize stub: nearest-neighbor byte sampling, up- and down-scale") {
+    import spark.implicits._
+    val df = Seq(("abcdefgh"), ("ab")).toDF("s")
+    val got = df.select(col("s"),
+        decode(MultimodalOps.resizeStub(encode(col("s"), "UTF-8"), 4), "UTF-8")
+          .as("r"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("abcdefgh") == "aceg")
+    assert(got("ab") == "aabb")
+  }
+
+  test("binaryFile ingest: bytes round-trip, format from extension, " +
+      "glob prunes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin")
+    java.nio.file.Files.write(dir.resolve("a.img"),
+      Array[Byte](1, 2, 3, -1))
+    java.nio.file.Files.write(dir.resolve("b.wav"),
+      "hello".getBytes("UTF-8"))
+    val all = MultimodalOps.ingestBinaryDir(spark, dir.toString)
+      .collect().map(r => r.getAs[String]("format") ->
+        r.getAs[Array[Byte]]("data")).toMap
+    assert(all.keySet == Set("img", "wav"))
+    assert(all("img").toSeq == Seq[Byte](1, 2, 3, -1))
+    assert(new String(all("wav"), "UTF-8") == "hello")
+    val imgs = MultimodalOps.ingestBinaryDir(spark, dir.toString, "*.img")
+      .collect()
+    assert(imgs.length == 1 &&
+      imgs.head.getAs[String]("format") == "img")
+    // deterministic id: same file name -> same media_id on re-ingest
+    val id1 = MultimodalOps.ingestBinaryDir(spark, dir.toString, "*.img")
+      .collect().head.getAs[Long]("media_id")
+    assert(imgs.head.getAs[Long]("media_id") == id1)
+  }
+
   test("PCA first component recovers a planted dominant direction") {
     import spark.implicits._
     // vectors = a_k * u + tiny fixed noise; u = (0.6, 0.8, 0, 0)
