@@ -173,7 +173,10 @@ object WindowOps {
       .orderBy(col(orderCol)).rowsBetween(-lookback, -1)
     df.withColumn("trail_avg", avg(col(valueCol)).over(w))
       .withColumn("trail_std", stddev_samp(col(valueCol)).over(w))
+      // guard the zero-variance window (constant trailing counts):
+      // ANSI mode would otherwise throw DIVIDE_BY_ZERO
       .withColumn("z",
-        (col(valueCol) - col("trail_avg")) / col("trail_std"))
+        when(col("trail_std") > 0,
+          (col(valueCol) - col("trail_avg")) / col("trail_std")))
   }
 }

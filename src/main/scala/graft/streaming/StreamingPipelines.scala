@@ -98,6 +98,16 @@ object StreamingPipelines {
   /** Candidate output: ids ordered, MinHash-estimated Jaccard. */
   case class StreamPair(id1: Long, id2: Long, est_jaccard: Double)
 
+  /** One closed hourly bucket of a monitored series, in event-time
+    * order per key. `h` is the hour start (epoch ms); trail/z are None
+    * until the ring holds >= 2 closed hours (matching the batch
+    * operator's null below two trailing samples). */
+  case class HourCount(h: Long, n: Long)
+  case class AnomalyState(open: Map[Long, Long], ring: List[HourCount])
+  case class AnomalyRow(key: String, h: Long, n: Long,
+      trail_avg: Option[Double], trail_std: Option[Double],
+      z: Option[Double])
+
   /** Streaming MinHash-LSH near-dup detection: the streaming form of
     * [[graft.operators.DedupOps.minhashLshCandidates]] — same xxhash64
     * shingle hashing, same affine signature family, same banding — so
@@ -197,6 +207,64 @@ object StreamingPipelines {
     * each firing re-prunes expired members, so this only paces cleanup
     * frequency, not correctness. */
   private val timeoutSlackMs = 60000L
+
+  /** Streaming trailing-window anomaly detection — the continuous
+    * form of `WindowOps.trailingZScore` over per-key hourly event
+    * counts (ingest-rate / metric monitoring): each key's state holds
+    * the still-open hour buckets plus a ring of the last `lookback`
+    * CLOSED hourly counts. An hour closes when the watermark passes
+    * its end; closing emits the hour's count z-scored against the
+    * ring (self-excluded, like the batch operator) and pushes it in.
+    *
+    * State per key is bounded by `lookback` ring entries + the open
+    * hours inside the watermark horizon — independent of stream
+    * length. Late rows beyond the watermark are dropped by the
+    * watermark itself; an idle key still closes its hours via the
+    * event-time timeout. Batch parity (same counts, same z) is
+    * asserted in StorageStreamingSpec. */
+  def streamingAnomaly(events: DataFrame, typeCol: String = "event_type",
+                       tsCol: String = "ts", lookback: Int = 24,
+                       watermark: String = "2 hours")
+      : Dataset[AnomalyRow] = {
+    import events.sparkSession.implicits._
+    val hourMs = 3600000L
+    val ds = events.select(col(typeCol).cast("string").as("k"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .as[(String, java.sql.Timestamp)]
+    ds.withWatermark("ts", watermark)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, rows: Iterator[(String, java.sql.Timestamp)],
+         gs: GroupState[AnomalyState]) => {
+          val st = gs.getOption.getOrElse(AnomalyState(Map.empty, Nil))
+          val open = scala.collection.mutable.Map(st.open.toSeq: _*)
+          rows.foreach { case (_, ts) =>
+            val h = Math.floorDiv(ts.getTime, hourMs) * hourMs
+            open(h) = open.getOrElse(h, 0L) + 1L
+          }
+          val wm = gs.getCurrentWatermarkMs()
+          val (closed, still) = open.toSeq.partition(_._1 + hourMs <= wm)
+          var ring = st.ring
+          val out = List.newBuilder[AnomalyRow]
+          closed.sortBy(_._1).foreach { case (h, n) =>
+            val vals = ring.map(_.n.toDouble)
+            val (ta, sd, z) =
+              if (vals.length >= 2) {
+                val m = vals.sum / vals.length
+                val s = math.sqrt(
+                  vals.map(v => (v - m) * (v - m)).sum / (vals.length - 1))
+                (Some(m), Some(s),
+                  if (s > 0) Some((n - m) / s) else None)
+              } else (None, None, None)
+            out += AnomalyRow(key, h, n, ta, sd, z)
+            ring = (HourCount(h, n) :: ring).take(lookback)
+          }
+          gs.update(AnomalyState(still.toMap, ring))
+          gs.setTimeoutTimestamp(math.max(wm + timeoutSlackMs, 1L))
+          out.result().iterator
+        })
+  }
 
   /** Plain-Scala twin of the batch signature pipeline
     * (TextOps.tokens -> shinglesFromTokens -> distinct -> xxhash64 ->

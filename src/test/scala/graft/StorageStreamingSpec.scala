@@ -184,6 +184,62 @@ class StorageStreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming anomaly z-scores equal the batch trailing window " +
+      "on replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hourMs = 3600000L
+    val ev = Tables.load(spark, sf("sf0.001"), "events")
+      .select(col("event_type"), col("ts"),
+        (expr("(ts_ns div 1000000) div 3600000") * hourMs).as("h"))
+    val rows = ev.select(col("event_type"), col("ts"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)))
+    // batch truth: hourly counts -> trailingZScore(24)
+    val hourly = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    val batch = graft.operators.WindowOps
+      .trailingZScore(hourly, Seq("event_type"), "h", "n", 24)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), Option(r.get(5)).map(_.asInstanceOf[Double]))))
+      .toMap
+
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val out = streaming.StreamingPipelines.streamingAnomaly(
+      input.toDF().toDF("ts", "event_type"),
+      watermark = "1 hour")
+    val q = out.writeStream.format("memory")
+      .queryName("anomaly_out").outputMode("append").start()
+    try {
+      val sorted = rows.sortBy(_._2.getTime)
+      val (b1, b2) = sorted.splitAt(sorted.length / 2)
+      input.addData(b1.map { case (k, t) => (t, k) }.toSeq)
+      q.processAllAvailable()
+      input.addData(b2.map { case (k, t) => (t, k) }.toSeq)
+      q.processAllAvailable()
+      // sentinel far in the future closes every data hour
+      val maxTs = sorted.last._2.getTime
+      input.addData(Seq((new java.sql.Timestamp(maxTs + 100L * hourMs),
+        "zz_sentinel")))
+      q.processAllAvailable()
+      val got = spark.table("anomaly_out")
+        .filter(col("key") =!= "zz_sentinel")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), Option(r.get(5)).map(_.asInstanceOf[Double]))))
+        .toMap
+      assert(got.nonEmpty && got.size == batch.size,
+        s"closed-hour count ${got.size} != batch ${batch.size}")
+      batch.foreach { case (k, (n, z)) =>
+        val (gn, gz) = got(k)
+        assert(gn == n, s"$k count $gn != $n")
+        (z, gz) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9,
+            s"$k z $b != $a")
+          case (a, b) => assert(a == b, s"$k z-presence $b != $a")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("scala minhash signature bit-matches the SQL pipeline") {
     import spark.implicits._
     val docs = Tables.load(spark, sf("sf0.001"), "documents")
