@@ -423,6 +423,72 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(imgs.head.getAs[Long]("media_id") == id1)
   }
 
+  test("randomized properties: entropy bounds, CMS domination, " +
+      "zipf slope sign") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val words = Seq("alpha", "beta", "gamma", "delta", "x", "yy", "zzz")
+    val texts = (0 until 40).map { i =>
+      (i.toLong, (0 until 1 + rnd.nextInt(30))
+        .map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val df = texts.toDF("doc_id", "text")
+    // entropy bounded by ln(support size)
+    val ent = df.select(TextOps.charDistinct(col("text")).as("u"),
+        TextOps.charEntropy(col("text")).as("e")).collect()
+    ent.foreach { r =>
+      val (u, e) = (r.getInt(0), r.getDouble(1))
+      assert(e >= -1e-12 && e <= math.log(u.toDouble) + 1e-12,
+        s"entropy $e outside [0, ln($u)]")
+    }
+    // CMS estimates dominate exact counts on arbitrary corpora
+    val cms = graft.operators.CurationOps
+      .cmsHeavyHitters(df, "text", depth = 2, width = 8, topK = 50)
+      .collect()
+    assert(cms.nonEmpty)
+    cms.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      s"CMS underestimated ${r.getString(0)}"))
+    // rank-frequency slope can never be positive (freq non-increasing
+    // in rank by construction)
+    val slope = graft.operators.CurationOps.zipfFit(df, "text", 100)
+      .collect().head.getDouble(1)
+    assert(slope <= 1e-12, s"positive zipf slope $slope")
+  }
+
+  test("winsorize randomized: clipped values stay in-range and " +
+      "order is preserved") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map(i =>
+      (s"g${i % 3}", i.toLong, rnd.nextGaussian() * (1 + i % 3)))
+    val df = rows.toDF("k", "id", "value")
+    val got = graft.operators.StatsOps
+      .winsorize(df, Seq("k"), "value", 0.1, 0.9)
+      .select(col("k"), col("id"), col("value"), col("value_wins"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    val byKey = got.groupBy(_._1)
+    byKey.foreach { case (_, g) =>
+      val lo = g.map(_._3).min; val hi = g.map(_._3).max
+      g.foreach { case (_, _, _, w) =>
+        assert(w >= lo - 1e-12 && w <= hi + 1e-12)
+      }
+      // clipping is monotone: v1 <= v2 implies w1 <= w2
+      val sorted = g.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 <= b._4 + 1e-12)
+        case _ =>
+      }
+      // interior values (strictly between bounds) are untouched
+      val ws = g.map(_._4)
+      val (wlo, whi) = (ws.min, ws.max)
+      g.foreach { case (_, _, v, w) =>
+        if (v > wlo && v < whi) assert(w == v)
+      }
+    }
+  }
+
   test("PCA first component recovers a planted dominant direction") {
     import spark.implicits._
     // vectors = a_k * u + tiny fixed noise; u = (0.6, 0.8, 0, 0)
