@@ -101,7 +101,10 @@ object MultimodalOps {
       .option("pathGlobFilter", glob)
       .load(path)
       .select(
-        CurationOps.md5Hash32(col("path")).as("media_id"),
+        // hash the BASENAME, not the full URI: the same file re-ingested
+        // from a different staging dir/mount/bucket keeps its id
+        CurationOps.md5Hash32(element_at(split(col("path"), "/"), -1))
+          .as("media_id"),
         lower(element_at(split(col("path"), "\\."), -1)).as("format"),
         lit(0).as("width"), lit(0).as("height"),
         lit(0).as("sample_rate"),
@@ -112,18 +115,29 @@ object MultimodalOps {
     * output (a real deployment decodes pixels and resizes; the
     * deterministic byte-level fake keeps the pipeline shape — fixed-
     * size output column, pure expression, scan speed, no shuffle).
-    * Index i samples source position floor(i·n/outLen) (0-based). */
+    * Index i samples source position floor(i·n/outLen) (0-based).
+    *
+    * `data` enters as the COLLECTION argument of a 1-element
+    * transform, so a computed payload expression evaluates ONCE per
+    * row; the inner lambda only references the bound variable (free),
+    * never the original column — see CLAUDE.md's lambda-body
+    * re-evaluation footgun. The sample index multiplies as a LONG so
+    * a multi-GB payload cannot overflow the position arithmetic. */
   def resizeStub(data: org.apache.spark.sql.Column, outLen: Int)
-      : org.apache.spark.sql.Column = {
-    val n = length(data)
-    aggregate(
-      transform(sequence(lit(0), lit(outLen - 1)),
-        i => substring(data,
-          (floor((i * n).cast("double") / outLen) + 1).cast("int"),
-          lit(1))),
-      lit(Array.emptyByteArray),
-      (acc, b) => concat(acc, b))
-  }
+      : org.apache.spark.sql.Column =
+    element_at(
+      transform(array(data), d => {
+        val n = length(d)
+        aggregate(
+          transform(sequence(lit(0), lit(outLen - 1)),
+            i => substring(d,
+              (floor((i.cast("long") * n).cast("double") / outLen) + 1)
+                .cast("int"),
+              lit(1))),
+          lit(Array.emptyByteArray),
+          (acc, b) => concat(acc, b))
+      }),
+      1)
 
   /** Frame sampling for "video" payloads: slice the byte stream into
     * fixed-size frames with a stride, keeping frame index — pure column

@@ -479,8 +479,13 @@ object SimilarityOps {
       .collect().foreach { r =>
         gram(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getDouble(2)
       }
+    // round half-AWAY-FROM-ZERO, matching DuckDB's ROUND (math.rint's
+    // half-to-even would disagree exactly at a .5 boundary and the pin
+    // exists so both engines iterate an identical matrix)
+    def r6(x: Double): Double =
+      math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
     val cov = Array.tabulate(dims, dims) { (i, j) =>
-      math.rint((gram(i)(j) / n - mu(i) * mu(j)) * 1e6) / 1e6
+      r6(gram(i)(j) / n - mu(i) * mu(j))
     }
     var v = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
     (1 to iters).foreach { _ =>

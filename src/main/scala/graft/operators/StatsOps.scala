@@ -85,10 +85,15 @@ object StatsOps {
       .filter(isBracket(qLo) || isBracket(qHi))
       .groupBy(keys: _*)
       .agg(sum(contrib(qLo)).as("w_lo"), sum(contrib(qHi)).as("w_hi"))
-    df.join(broadcast(bounds), keyCols)
+    // LEFT join + explicit null gate: least/greatest SKIP nulls, so
+    // without the gate a NULL value would silently clamp to the low
+    // bound, and an inner join would drop every row of an all-NULL key
+    df.join(broadcast(bounds), keyCols, "left")
       .withColumn(s"${valueCol}_wins",
-        least(col("w_hi"), greatest(col("w_lo"),
-          col(valueCol).cast("double"))))
+        when(col(valueCol).isNull || col("w_lo").isNull,
+          lit(null).cast("double"))
+          .otherwise(least(col("w_hi"), greatest(col("w_lo"),
+            col(valueCol).cast("double")))))
       .drop("w_lo", "w_hi")
   }
 

@@ -812,7 +812,10 @@ object NorthStar {
 
   // q89 — stub "resize" on the synthetic media payloads: nearest-
   // neighbor byte sampling to 16 bytes, decoded back to a string for
-  // the oracle compare (payload bytes are the UTF-8 doc text).
+  // the oracle compare. The Spark side samples BYTES (the operator's
+  // media semantics) while the oracle's substr counts CHARACTERS —
+  // equivalent only because the synthetic corpus is pure ASCII
+  // (byte == char); a non-ASCII corpus would need a byte-based oracle.
   private val q89: Q = (s, dir) => {
     val media = MultimodalOps.syntheticMedia(
       t(s, dir, "documents"), "doc_id", "text")

@@ -99,9 +99,10 @@ object StreamingPipelines {
   case class StreamPair(id1: Long, id2: Long, est_jaccard: Double)
 
   /** One closed hourly bucket of a monitored series, in event-time
-    * order per key. `h` is the hour start (epoch ms); trail/z are None
-    * until the ring holds >= 2 closed hours (matching the batch
-    * operator's null below two trailing samples). */
+    * order per key. `h` is the hour start (epoch ms). Nullability
+    * mirrors the batch operator column by column: trail_avg is None
+    * only for the FIRST closed hour (empty ring), trail_std until the
+    * ring holds >= 2 hours, z additionally when variance is zero. */
   case class HourCount(h: Long, n: Long)
   case class AnomalyState(open: Map[Long, Long], ring: List[HourCount])
   case class AnomalyRow(key: String, h: Long, n: Long,
@@ -249,14 +250,17 @@ object StreamingPipelines {
           val out = List.newBuilder[AnomalyRow]
           closed.sortBy(_._1).foreach { case (h, n) =>
             val vals = ring.map(_.n.toDouble)
-            val (ta, sd, z) =
-              if (vals.length >= 2) {
-                val m = vals.sum / vals.length
-                val s = math.sqrt(
-                  vals.map(v => (v - m) * (v - m)).sum / (vals.length - 1))
-                (Some(m), Some(s),
-                  if (s > 0) Some((n - m) / s) else None)
-              } else (None, None, None)
+            // mirror the batch operator's column-by-column nullability:
+            // avg is defined from ONE trailing sample, stddev_samp
+            // needs two, z additionally needs nonzero variance
+            val ta =
+              if (vals.nonEmpty) Some(vals.sum / vals.length) else None
+            val sd =
+              if (vals.length >= 2) Some(math.sqrt(
+                vals.map(v => (v - ta.get) * (v - ta.get)).sum /
+                  (vals.length - 1)))
+              else None
+            val z = sd.filter(_ > 0).map(s => (n - ta.get) / s)
             out += AnomalyRow(key, h, n, ta, sd, z)
             ring = (HourCount(h, n) :: ring).take(lookback)
           }

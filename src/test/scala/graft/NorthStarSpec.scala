@@ -352,6 +352,22 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(got(99L) == 42.0)
   }
 
+  test("winsorize NULL contract: null values pass through null, " +
+      "all-null keys keep their rows") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, Some(1.0)), ("a", 2L, Some(2.0)),
+      ("a", 3L, Option.empty[Double]),
+      ("b", 4L, Option.empty[Double]), ("b", 5L, Option.empty[Double]))
+      .toDF("k", "id", "value")
+    val got = graft.operators.StatsOps
+      .winsorize(df, Seq("k"), "value", 0.1, 0.9)
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[Any]("value_wins"))).toMap
+    assert(got.size == 5, "all-null key rows must survive the join")
+    assert(got(3L).isEmpty && got(4L).isEmpty && got(5L).isEmpty)
+    assert(got(1L).nonEmpty && got(2L).nonEmpty)
+  }
+
   test("random projection equals the driver-side literal plane dot") {
     val rows = emb.limit(5).collect()
       .map(r => r.getLong(0) ->

@@ -200,7 +200,8 @@ class StorageStreamingSpec extends AnyFunSuite with SparkTestBase {
     val batch = graft.operators.WindowOps
       .trailingZScore(hourly, Seq("event_type"), "h", "n", 24)
       .collect().map(r => (r.getString(0), r.getLong(1)) ->
-        ((r.getLong(2), Option(r.get(5)).map(_.asInstanceOf[Double]))))
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double]))))
       .toMap
 
     val input = MemoryStream[(java.sql.Timestamp, String)]
@@ -224,18 +225,22 @@ class StorageStreamingSpec extends AnyFunSuite with SparkTestBase {
       val got = spark.table("anomaly_out")
         .filter(col("key") =!= "zz_sentinel")
         .collect().map(r => (r.getString(0), r.getLong(1)) ->
-          ((r.getLong(2), Option(r.get(5)).map(_.asInstanceOf[Double]))))
+          ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+            Option(r.get(5)).map(_.asInstanceOf[Double]))))
         .toMap
       assert(got.nonEmpty && got.size == batch.size,
         s"closed-hour count ${got.size} != batch ${batch.size}")
-      batch.foreach { case (k, (n, z)) =>
-        val (gn, gz) = got(k)
+      def close(a: Option[Double], b: Option[Double], what: String,
+                k: Any): Unit = (a, b) match {
+        case (Some(x), Some(y)) => assert(math.abs(x - y) < 1e-9,
+          s"$k $what $y != $x")
+        case _ => assert(a == b, s"$k $what-presence $b != $a")
+      }
+      batch.foreach { case (k, (n, ta, z)) =>
+        val (gn, gta, gz) = got(k)
         assert(gn == n, s"$k count $gn != $n")
-        (z, gz) match {
-          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9,
-            s"$k z $b != $a")
-          case (a, b) => assert(a == b, s"$k z-presence $b != $a")
-        }
+        close(ta, gta, "trail_avg", k)
+        close(z, gz, "z", k)
       }
     } finally q.stop()
   }
