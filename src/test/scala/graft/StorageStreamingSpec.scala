@@ -245,6 +245,41 @@ class StorageStreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("sharded corpus writer: deterministic balanced shards, " +
+      "lossless round trip, partition dirs") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+      .withColumn("split", graft.operators.CurationOps.assignSplit(
+        col("doc_id"), Seq("train" -> 0.9, "val" -> 0.1), "s"))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-shards").toString
+    val n = sources.ShardedCorpusWriter.write(
+      docs, "doc_id", out, docsPerShard = 100, Seq("split"))
+    assert(n == 5, s"500 docs / 100 per shard should give 5, got $n")
+    val back = sources.ShardedCorpusWriter.read(spark, out)
+    // lossless round trip of the data columns
+    assert(back.count() == 500)
+    val origText = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    back.select("doc_id", "text").collect().foreach { r =>
+      assert(origText(r.getLong(0)) == r.getString(1))
+    }
+    // shard assignment is the documented content-addressed hash
+    back.select(col("doc_id"), col("shard"),
+        pmod(graft.operators.CurationOps.md5Hash32(
+          col("doc_id").cast("string")), lit(5L)).cast("int").as("want"))
+      .collect().foreach(r =>
+        assert(r.getInt(1) == r.getInt(2), s"doc ${r.getLong(0)}"))
+    // md5 balance: no shard more than 2x the target
+    val sizes = back.groupBy(col("shard")).count()
+      .collect().map(_.getLong(1))
+    assert(sizes.length == 5 && sizes.forall(_ <= 200), sizes.toSeq.toString)
+    // partition dirs materialized for pruning
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("split=train", "split=val"), dirs.toString)
+  }
+
   test("scala minhash signature bit-matches the SQL pipeline") {
     import spark.implicits._
     val docs = Tables.load(spark, sf("sf0.001"), "documents")
