@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Abs, Cast, Expression,
   ExpressionInfo, If, LessThanOrEqual, Literal, Multiply, Signum, Subtract}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{ExactMedian, RollingHash, VectorDot}
+import graft.functions.{CharEntropy, ExactMedian, RollingHash, VectorDot}
 
 /** SQL surface for the engine's custom expressions: registers them in
   * the session function registry so `spark.sql` users call them like
@@ -74,7 +74,11 @@ object GraftFunctions {
       arity("deadband", 2)(es => deadbandExpr(es(0), es(1)))),
     (FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(text) - base-31 mod 1e9+7 fingerprint"),
-      arity("rolling_hash", 1)(es => RollingHash(es(0)))))
+      arity("rolling_hash", 1)(es => RollingHash(es(0)))),
+    (FunctionIdentifier("char_entropy"),
+      info("char_entropy",
+        "char_entropy(text) - Shannon entropy (nats) of the character distribution"),
+      arity("char_entropy", 1)(es => CharEntropy(es(0)))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -181,13 +181,26 @@ object TextOps {
   /** Per-document Shannon entropy of the character distribution, in
     * nats — the cheap gibberish/boilerplate screen (natural text sits
     * in a narrow band; base64 blobs score high, repeated filler low).
-    *
-    * Pure expression, zero shuffle: sort the char array, then ONE
-    * left fold accumulates run lengths (the struct accumulator
-    * references only lambda arguments, so nothing re-evaluates per
-    * element — see the CLAUDE.md lambda-body footgun):
-    * H = ln n − (Σ c·ln c)/n. */
-  def charEntropy(text: Column): Column = {
+    * H = ln n − (Σ c·ln c)/n over code-point frequencies; zero
+    * shuffle, scan speed. Backed by the native codegen'd
+    * [[graft.functions.CharEntropy]] expression (single primitive
+    * pass — measured well above the interpreted HOF fold it
+    * replaced; the fold survives as [[charEntropyFold]] for the
+    * equivalence spec). */
+  def charEntropy(text: Column): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      graft.functions.CharEntropy(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.GraftExprBridge.expression(text),
+          org.apache.spark.sql.types.StringType)))
+
+  /** HOF-fold formulation of [[charEntropy]] — kept as the
+    * independent reference implementation for the equivalence spec:
+    * sort the char array, then ONE left fold accumulates run lengths
+    * (the struct accumulator references only lambda arguments, so
+    * nothing re-evaluates per element — see the CLAUDE.md lambda-body
+    * footgun). */
+  private[graft] def charEntropyFold(text: Column): Column = {
     def clnc(c: Column): Column =
       when(c > 0, c.cast("double") * log(c.cast("double")))
         .otherwise(lit(0.0d))

@@ -12,12 +12,14 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
       """SELECT vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
         |       deadband(0.002D, 0.003D) AS db0,
         |       deadband(0.010D, 0.003D) AS db1,
-        |       rolling_hash('ab') AS rh""".stripMargin).collect()(0)
+        |       rolling_hash('ab') AS rh,
+        |       char_entropy('aabb') AS ce""".stripMargin).collect()(0)
     assert(r.getDouble(0) == 11.0)
     assert(r.getDouble(1) == 0.0)
     assert(math.abs(r.getDouble(2) - 0.007) < 1e-12)
     // ((0*31+97)%M)*31+98 = 3105
     assert(r.getLong(3) == 3105L)
+    assert(math.abs(r.getDouble(4) - math.log(2.0)) < 1e-12)
   }
 
   test("exact_median works as a SQL aggregate") {
@@ -36,7 +38,7 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
     // injection list must stay in sync with the direct registrar.
     val names = GraftFunctions.all.map(_._1.funcName).toSet
     assert(names == Set("vector_dot", "exact_median", "deadband",
-      "rolling_hash"))
+      "rolling_hash", "char_entropy"))
     val ext = new GraftExtensions
     val sse = new org.apache.spark.sql.SparkSessionExtensions
     ext(sse) // must not throw; builder wiring exercised above

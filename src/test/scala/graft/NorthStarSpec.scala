@@ -388,6 +388,26 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("native char entropy equals the HOF-fold reference on random " +
+      "and edge-case strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val cases = Seq("", "a", "ab c d", "aAbB  !!", "zzzzzzz") ++
+      (0 until 50).map(_ => (0 until rnd.nextInt(80))
+        .map(_ => (32 + rnd.nextInt(95)).toChar).mkString)
+    val df = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        TextOps.charEntropy(col("text")).as("native"),
+        TextOps.charEntropyFold(col("text")).as("fold"))
+      .collect()
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-12,
+        s"case ${r.getLong(0)}: native ${r.getDouble(1)} " +
+          s"fold ${r.getDouble(2)}")
+    }
+  }
+
   test("char entropy: hand-computed distributions, zero for constant") {
     import spark.implicits._
     val df = Seq((1L, "aaaa"), (2L, "ab"), (3L, "aabb"), (4L, "abcd"),
