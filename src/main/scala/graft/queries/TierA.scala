@@ -305,7 +305,37 @@ object TierA {
       .ordered(col("event_type"))
   }
 
+  // Q90 — CUBE grouping sets (all 4 combinations with grouping flags)
+  private val q90: Q = (s, dir) => {
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_orderstatus")).as("g1"),
+        grouping(col("o_orderpriority")).as("g2"),
+        round(sum(col("o_totalprice")), 4).as("sum_price"),
+        count(lit(1)).as("n"))
+      .ordered(col("g1"), col("g2"),
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("g1"), col("g2"), col("sum_price"), col("n"))
+  }
+
+  // Q91 — rank-distribution windows: percent_rank + cume_dist per
+  // priority (completes the ranking-window family next to q18/q61)
+  private val q91: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .filter(col("o_orderkey") <= 2000)
+      .ordered(col("o_orderkey"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q90_cube" -> q90,
+    "q91_rank_dist" -> q91,
     "q36_rollup" -> q36,
     "q37_except" -> q37,
     "q38_moments" -> q38,
@@ -332,6 +362,23 @@ object TierA {
     "q20_distinct_count" -> q20)
 
   val oracle: Map[String, String] = Map(
+    "q90_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       GROUPING(o_orderstatus) AS g1,
+        |       GROUPING(o_orderpriority) AS g2,
+        |       ROUND(SUM(o_totalprice), 4) AS sum_price, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g1, g2, o_orderstatus NULLS FIRST,
+        |         o_orderpriority NULLS FIRST""".stripMargin,
+    "q91_rank_dist" ->
+      """SELECT o_orderkey,
+        |       ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+        |       ROUND(CUME_DIST() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |QUALIFY o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin,
     "q36_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |       GROUPING(l_returnflag) AS g1, GROUPING(l_linestatus) AS g2,
