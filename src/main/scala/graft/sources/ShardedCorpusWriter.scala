@@ -13,21 +13,29 @@ import graft.operators.CurationOps
   * Shard assignment is content-addressed: pmod(md5(id), nShards) — the
   * same document lands in the same shard on every re-run, on any
   * engine, regardless of upstream partitioning or row order (the same
-  * determinism idiom as the split/sampling operators). nShards derives
-  * from the corpus count and the target docs-per-shard, so shard size
-  * stays near-constant as the corpus grows.
+  * determinism idiom as the split/sampling operators). md5 spreads doc
+  * ids uniformly, so shard POPULATIONS are balanced regardless of id
+  * distribution.
   *
-  * Scale shape: ONE hash shuffle into exactly nShards partitions (each
-  * task owns one whole shard -> one file per shard per partition
-  * value), rows sorted within the shard by (partition cols, id) so
-  * file contents are byte-stable across runs. md5 spreads doc ids
-  * uniformly, so shard skew is bounded regardless of id distribution.
-  * At 100 TB, docsPerShard controls file size directly — no
-  * small-files problem, no giant-file stragglers.
+  * Layout: the shard id is a write-time PARTITION directory
+  * (`shard=K/...`). All rows of a shard hash identically, so they
+  * co-locate in exactly one task of the single hash shuffle and each
+  * shard directory holds exactly ONE file of ~docsPerShard rows —
+  * even when Spark's murmur3(shard) % n task routing packs several
+  * shards into one task (it does: hash-of-hash is NOT identity;
+  * relying on repartition(n, shard) alone for file balance is wrong
+  * and was measured collapsing shards 0 and 3 of 5 into one file).
+  * Task-level packing skew only affects write wall-clock, never the
+  * produced layout. Rows sort within tasks by (shard, partition cols,
+  * id) so file contents are byte-stable across runs.
   */
 object ShardedCorpusWriter {
 
-  /** Writes `df` under `path`; returns the shard count. */
+  /** Sizes shards from a corpus count and writes; returns the shard
+    * count. NOTE: the count is one extra action over `df` — if the
+    * upstream pipeline is expensive and lazy, persist it first or use
+    * [[writeShards]] with an explicit shard count to keep the write
+    * single-pass. */
   def write(df: DataFrame, idCol: String, path: String,
             docsPerShard: Long,
             partitionCols: Seq[String] = Nil): Int = {
@@ -35,17 +43,27 @@ object ShardedCorpusWriter {
     val total = df.count()
     val n = math.max(1L,
       math.ceil(total.toDouble / docsPerShard).toLong).toInt
-    val sortCols = (partitionCols :+ idCol).map(col)
+    writeShards(df, idCol, path, n, partitionCols)
+  }
+
+  /** Single-pass form with an explicit shard count. */
+  def writeShards(df: DataFrame, idCol: String, path: String,
+                  nShards: Int, partitionCols: Seq[String] = Nil): Int = {
+    require(nShards > 0, s"nShards must be positive")
+    require(!df.columns.contains("shard"),
+      "input already has a 'shard' column - the writer would overwrite it")
+    val dirCols = "shard" +: partitionCols
+    val sortCols = (dirCols :+ idCol).map(col)
     val sharded = df
       .withColumn("shard",
         pmod(CurationOps.md5Hash32(col(idCol).cast("string")),
-          lit(n.toLong)).cast("int"))
-      .repartition(n, col("shard"))
+          lit(nShards.toLong)).cast("int"))
+      .repartition(nShards, col("shard"))
       .sortWithinPartitions(sortCols: _*)
-    val w = sharded.write.mode(SaveMode.Overwrite)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+    sharded.write.mode(SaveMode.Overwrite)
+      .partitionBy(dirCols: _*)
       .parquet(path)
-    n
+    nShards
   }
 
   def read(spark: SparkSession, path: String): DataFrame =

@@ -388,6 +388,27 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("char entropy CODEGEN path (non-local plan) equals interpreted " +
+      "eval and the fold") {
+    // Seq.toDF plans are folded by ConvertToLocalRelation and evaluate
+    // custom expressions via interpreted nullSafeEval only — they never
+    // exercise doGenCode. A range-based plan runs whole-stage codegen.
+    val df = spark.range(0, 64)
+      .select(col("id"), md5(col("id").cast("string")).as("text"))
+    val got = df.select(col("id"),
+        TextOps.charEntropy(col("text")).as("native"),
+        TextOps.charEntropyFold(col("text")).as("fold"))
+      .collect()
+    assert(got.length == 64)
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-12,
+        s"id ${r.getLong(0)}: codegen ${r.getDouble(1)} " +
+          s"fold ${r.getDouble(2)}")
+      assert(r.getDouble(1) > 2.0 && r.getDouble(1) <= math.log(16.0),
+        "32 hex chars should land between ln(8)ish and ln(16)")
+    }
+  }
+
   test("native char entropy equals the HOF-fold reference on random " +
       "and edge-case strings") {
     import spark.implicits._

@@ -274,10 +274,21 @@ class StorageStreamingSpec extends AnyFunSuite with SparkTestBase {
     val sizes = back.groupBy(col("shard")).count()
       .collect().map(_.getLong(1))
     assert(sizes.length == 5 && sizes.forall(_ <= 200), sizes.toSeq.toString)
-    // partition dirs materialized for pruning
-    val dirs = new java.io.File(out).listFiles()
+    // layout contract: shard dirs at the top, split dirs inside, and
+    // exactly ONE parquet file per (shard, split) leaf — file balance
+    // must hold even though Spark task routing is murmur3(shard) % n,
+    // which packs multiple shards into one task (hash-of-hash != id)
+    val shardDirs = new java.io.File(out).listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
-    assert(dirs == Set("split=train", "split=val"), dirs.toString)
+    assert(shardDirs == (0 to 4).map(i => s"shard=$i").toSet,
+      shardDirs.toString)
+    val perFile = back
+      .groupBy(org.apache.spark.sql.functions
+        .input_file_name().as("f"))
+      .count().collect().map(_.getLong(1))
+    assert(perFile.length == 10,
+      s"expected 5 shards x 2 splits = 10 files, got ${perFile.length}")
+    assert(perFile.forall(_ <= 200), perFile.toSeq.toString)
   }
 
   test("scala minhash signature bit-matches the SQL pipeline") {
