@@ -291,6 +291,68 @@ class StorageStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(perFile.forall(_ <= 200), perFile.toSeq.toString)
   }
 
+  test("streaming anomaly survives stop/restart from checkpoint " +
+      "with exactly-once closed hours") {
+    import spark.implicits._
+    val hourMs = 3600000L
+    val ev = Tables.load(spark, sf("sf0.001"), "events")
+      .select(col("event_type").as("k"), col("ts"),
+        (expr("(ts_ns div 1000000) div 3600000") * hourMs).as("h"))
+    // batch truth over the full data (sentinel closes every hour)
+    val hourly = ev.groupBy(col("k"), col("h"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    val truth = graft.operators.WindowOps
+      .trailingZScore(hourly, Seq("k"), "h", "n", 24)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-anom-src").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-anom-out").toString + "/data"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-anom-ckpt").toString
+    val rows = ev.select(col("ts"), col("k")).orderBy(col("ts"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)))
+    val (p1, p2) = rows.splitAt(rows.length / 2)
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("ts timestamp, k string")
+        .parquet(srcDir)
+      val q = streaming.StreamingPipelines
+        .streamingAnomaly(stream, typeCol = "k", watermark = "1 hour")
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // first half, run, STOP (simulated failure/redeploy)
+    p1.toSeq.toDF("ts", "k").coalesce(1).write
+      .mode("append").parquet(srcDir)
+    runOnce()
+    // second half + far-future sentinel, RESTART from the checkpoint
+    val maxTs = rows.last._1.getTime
+    (p2.toSeq :+ ((new java.sql.Timestamp(maxTs + 100L * hourMs),
+      "zz_sentinel"))).toDF("ts", "k").coalesce(1).write
+      .mode("append").parquet(srcDir)
+    runOnce()
+
+    val got = spark.read.parquet(outDir)
+      .filter(col("key") =!= "zz_sentinel")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+    // exactly once: no (key, hour) emitted twice across the restart
+    assert(got.length == got.map(_._1).distinct.length,
+      "duplicate closed hours across restart")
+    val gotMap = got.toMap
+    assert(gotMap.size == truth.size,
+      s"closed ${gotMap.size} hours, batch truth has ${truth.size}")
+    truth.foreach { case (k, n) =>
+      assert(gotMap(k) == n, s"$k count ${gotMap(k)} != $n")
+    }
+  }
+
   test("scala minhash signature bit-matches the SQL pipeline") {
     import spark.implicits._
     val docs = Tables.load(spark, sf("sf0.001"), "documents")
