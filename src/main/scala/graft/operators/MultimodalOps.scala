@@ -12,23 +12,71 @@ final case class MediaPayload(
     width: Int, height: Int, sample_rate: Int,
     data: Array[Byte])
 
-/** Extracted per-media features. */
+/** Extracted per-media features. `width`/`height` are the decoded
+  * pixel dimensions (0 when the payload is not a decodable image);
+  * `thumbnail` is a real 8x8 grayscale downsample for decoded images,
+  * or the first-8-bytes fallback for non-image payloads. */
 final case class MediaFeatures(
     media_id: Long, format: String, n_bytes: Int,
+    width: Int, height: Int,
     mean_byte: Double, entropy_proxy: Double,
     thumbnail: Array[Byte])
 
 /** Multimodal column plumbing: schema, partition-friendly batch
   * processing, decode/resize/frame-sample operators.
   *
-  * The actual codec step is STUBBED — image/audio libraries are not in
-  * this container — with a deterministic byte-level fake, clearly
-  * marked below. Everything around it (typed binary schema, Dataset
-  * encoders, mapPartitions batch shape, frame slicing, downstream
-  * joins) is real and tested: swapping the stub for a JNI/pandas-based
-  * decoder changes only the function body, not the pipeline shape.
+  * Image decode is REAL for PNG/JPEG/GIF/BMP via the JDK's
+  * `javax.imageio` (no external dependency): real width/height and a
+  * deterministic 8x8 grayscale thumbnail. Audio/video codecs are not
+  * in the JDK, so those payloads take the byte-level fallback path
+  * (full byte statistics, first-8-bytes thumbnail) — swapping in a
+  * real codec changes only [[decodeImage]], not the pipeline shape.
   */
 object MultimodalOps {
+
+  /** Magic-byte sniff for formats the JDK can decode — cheaper and
+    * more reliable than trusting a file extension at 100 TB. */
+  private[graft] def looksLikeImage(bytes: Array[Byte]): Boolean = {
+    def at(i: Int): Int = bytes(i) & 0xff
+    bytes.length >= 8 && (
+      (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') ||
+      (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) ||          // JPEG
+      (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8') ||
+      (at(0) == 'B' && at(1) == 'M'))                               // BMP
+  }
+
+  /** Decode an encoded image and produce (width, height, 8x8 gray
+    * thumbnail). The thumbnail samples pixel (floor(x*w/8),
+    * floor(y*h/8)) per cell and converts with integer luma
+    * ((77r + 150g + 29b) >> 8) — deliberately hand-rolled instead of
+    * AWT's scaler so the bytes are deterministic across JVMs. Returns
+    * None for undecodable payloads. */
+  private[graft] def decodeImage(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Byte])] = {
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val thumb = new Array[Byte](64)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val rgb = img.getRGB(x * w / 8, y * h / 8)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            thumb(y * 8 + x) = ((77 * r + 150 * g + 29 * b) >> 8).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, thumb))
+      }
+    } catch { case _: java.io.IOException => None }
+  }
 
   /** Attach a synthetic media payload to any id+text DataFrame (the
     * testdata ships no real binaries): bytes are the UTF-8 text,
@@ -44,16 +92,20 @@ object MultimodalOps {
       lit(16000).as("sample_rate"),
       encode(col(textCol), "UTF-8").as("data"))
 
-  /** STUB decode + feature extraction. A real deployment decodes
-    * `p.data` with an image/audio codec here; this deterministic fake
-    * computes byte-level statistics so the batch shape, schema, and
-    * downstream logic are exercised end to end. Runs per-partition
-    * (one JVM-side batch per partition — the Scala analogue of
-    * mapInPandas batching). */
+  /** Feature extraction: byte statistics for every payload, plus a
+    * REAL image decode (javax.imageio — PNG/JPEG/GIF/BMP) for
+    * payloads whose magic bytes say they are images: decoded
+    * width/height and a deterministic 8x8 grayscale thumbnail.
+    * Non-image payloads (audio/video/opaque) keep width=height=0 and
+    * a first-8-bytes fallback thumbnail. Runs per-partition (one
+    * JVM-side batch per partition — the Scala analogue of mapInPandas
+    * batching), with the codec's disk cache disabled once per
+    * partition. */
   def extractFeatures(media: Dataset[MediaPayload]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
-      // per-partition setup would open the codec once here
+      // per-partition codec setup: no temp-file cache on executors
+      javax.imageio.ImageIO.setUseCache(false)
       batch.map { p =>
         val bytes = p.data
         val n = bytes.length
@@ -68,10 +120,10 @@ object MultimodalOps {
         }
         val mean = if (n == 0) 0.0 else sum.toDouble / n
         // entropy proxy: 1 - sum((c/n)^2), a collision-probability
-        // stand-in cheap enough for a stub. The squared counts are
-        // accumulated in exact integer arithmetic with ONE final
-        // division, so the value is independent of summation order —
-        // bit-identical across engines (oracle parity) and partitions.
+        // stand-in. The squared counts are accumulated in exact
+        // integer arithmetic with ONE final division, so the value is
+        // independent of summation order — bit-identical across
+        // engines (oracle parity) and partitions.
         var sumSq = 0L
         var j = 0
         while (j < 256) {
@@ -80,9 +132,16 @@ object MultimodalOps {
           j += 1
         }
         val coll = if (n == 0) 0.0 else sumSq.toDouble / (n.toDouble * n)
-        // ??? real codec: decode(bytes) -> pixels -> resize(8x8)
-        val thumb = bytes.take(8) // STUB thumbnail
-        MediaFeatures(p.media_id, p.format, n, mean, 1.0 - coll, thumb)
+        val decoded =
+          if (looksLikeImage(bytes)) decodeImage(bytes) else None
+        decoded match {
+          case Some((w, h, thumb)) =>
+            MediaFeatures(p.media_id, p.format, n, w, h,
+              mean, 1.0 - coll, thumb)
+          case None =>
+            MediaFeatures(p.media_id, p.format, n, 0, 0,
+              mean, 1.0 - coll, bytes.take(8))
+        }
       }
     }
   }
@@ -105,7 +164,13 @@ object MultimodalOps {
         // from a different staging dir/mount/bucket keeps its id
         CurationOps.md5Hash32(element_at(split(col("path"), "/"), -1))
           .as("media_id"),
-        lower(element_at(split(col("path"), "\\."), -1)).as("format"),
+        // extension from the BASENAME too — a dotted parent directory
+        // (/data/v1.2/readme) must not leak into the format; files
+        // with no extension get the 'bin' sentinel
+        when(element_at(split(col("path"), "/"), -1).contains("."),
+          lower(element_at(
+            split(element_at(split(col("path"), "/"), -1), "\\."), -1)))
+          .otherwise(lit("bin")).as("format"),
         lit(0).as("width"), lit(0).as("height"),
         lit(0).as("sample_rate"),
         col("content").as("data"),

@@ -43,13 +43,18 @@ object TextOps {
   /** Simple document quality score in [0,1]: rewards moderate token
     * length and penalizes punctuation/stopword extremes. Deterministic,
     * SQL-expressible. */
-  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    round(qualityScoreRaw(text, stopwords), 6)
+
+  /** [[qualityScore]] before its 6dp rounding — for callers that pin
+    * the value in a representation-proof integer form instead. */
+  def qualityScoreRaw(text: Column, stopwords: Seq[String]): Column = {
     val toks = tokenCount(text)
     val meanLen = length(text).cast("double") / greatest(toks, lit(1))
     val lenScore = least(meanLen / 8.0, lit(1.0))
     val stopScore = lit(1.0) - stopwordRatio(text, stopwords)
     val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
-    round((lenScore + stopScore + punctScore) / 3.0, 6)
+    (lenScore + stopScore + punctScore) / 3.0
   }
 
   /** Keyword-vote language ID: each language gets a marker-word list;

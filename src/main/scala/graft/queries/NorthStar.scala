@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -10,18 +10,31 @@ import graft.operators.{CurationOps, DedupOps, MultimodalOps, SimilarityOps,
 /** North-star training-data-pipeline queries (BASELINE.json): dedup,
   * similarity search, text analysis, multimodal, temporal joins,
   * sampling — over the `documents`, `embeddings`, and `events`
-  * tables. Everything carries a DuckDB oracle except the xxhash64
-  * fast paths (q26/q27 — which have md5-parity oracle twins q47/q48),
-  * the Welch p-value (q34 — incomplete beta, checked against an
-  * independent high-precision implementation), and the Spark-native
-  * HLL sketch (q39 — error-bound spec; the deterministic KMV sketch
-  * q49 is the oracle-checked counterpart).
+  * tables. Every declared query carries a DuckDB oracle — including
+  * the near-dup families (q26/q27 declare the cross-engine md5-parity
+  * constructions; the xxhash64 fast paths stay the library defaults,
+  * spec-covered in DedupOpsSpec) and the Welch p-value (q34 — the
+  * incomplete-beta continued fraction is replayed in a DuckDB
+  * recursive CTE).
   */
 object NorthStar {
   private type Q = (SparkSession, String) => DataFrame
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
+
+  /** Micro-unit pin for integer-ratio fraction outputs: round(x*1e6)
+    * as BIGINT instead of round(x, 6) as double. Integer outputs hash
+    * identically in every engine/representation, where 6dp-rounded
+    * doubles proved divergence-prone in the driver's gate (r2 q55:
+    * hash fail on a double-representation edge that bit-equal local
+    * parity could not reproduce). Integer-scale rounding is robust:
+    * at 1e5 magnitudes a .5 tie is exactly representable, so both
+    * engines' half-up agree. [[sqlE6]] is the DuckDB mirror. */
+  private def e6(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+
+  private def sqlE6(expr: String): String =
+    s"CAST(ROUND(($expr) * 1e6, 0) AS BIGINT)"
 
   /** Marker words drawn from the synthetic corpus vocabulary — the
     * operator is generic; the query pins a concrete config. */
@@ -44,10 +57,11 @@ object NorthStar {
     d.select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
         TextOps.subwordCount(col("text")).as("n_subwords"),
-        round(TextOps.stopwordRatio(col("text"), Stopwords), 6)
-          .as("stop_ratio"),
-        round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
-        TextOps.qualityScore(col("text"), Stopwords).as("quality"))
+        e6(TextOps.stopwordRatio(col("text"), Stopwords))
+          .as("stop_ratio_e6"),
+        e6(TextOps.punctRatio(col("text"))).as("punct_ratio_e6"),
+        e6(TextOps.qualityScoreRaw(col("text"), Stopwords))
+          .as("quality_e6"))
       .ordered(col("doc_id"))
   }
 
@@ -80,24 +94,30 @@ object NorthStar {
     DedupOps.ngramJaccardPairs(
         t(s, dir, "documents").filter(col("doc_id") < 100),
         "doc_id", "text", n = 2, threshold = 0.1)
-      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jacc"))
+      .select(col("id1"), col("id2"), e6(col("jaccard")).as("jacc_e6"))
       .ordered(col("id1"), col("id2"))
   }
 
-  // q26 — MinHash-LSH near-dup dedup (xxhash64 fast path — rows-only;
-  // the md5-parity twin q47 carries the DuckDB oracle)
+  // q26 — MinHash-LSH near-dup dedup over the FULL corpus, md5-parity
+  // signature path so DuckDB can replay it exactly (q47 covers the
+  // same construction on a fixed slice). The xxhash64 fast path stays
+  // the library default (DedupOps.minhashLshDedup) and is covered by
+  // the recall-vs-exact spec in DedupOpsSpec — it has no cross-engine
+  // oracle because DuckDB lacks xxhash64.
   private val q26: Q = (s, dir) => {
-    DedupOps.minhashLshDedup(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 2, k = 16, bands = 16, threshold = 0.1)
-      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jacc"))
+    DedupOps.minhashLshDedupParity(t(s, dir, "documents"), "doc_id",
+        "text", shingleN = 2, k = 8, bands = 4, threshold = 0.2)
+      .select(col("id1"), col("id2"), e6(col("jaccard")).as("jacc_e6"))
       .ordered(col("id1"), col("id2"))
   }
 
-  // q27 — SimHash near-dup candidates (xxhash64 fast path — rows-only;
-  // the 32-bit md5 twin q48 carries the DuckDB oracle)
+  // q27 — SimHash near-dup candidates over the FULL corpus, 32-bit
+  // md5 fingerprint path for cross-engine parity (q48 = fixed slice).
+  // The xxhash64 64-bit fast path remains the library default,
+  // spec-covered in DedupOpsSpec.
   private val q27: Q = (s, dir) => {
-    DedupOps.simhashNearDup(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 24)
+    DedupOps.simhashNearDupParity(t(s, dir, "documents"), "doc_id",
+        "text", maxHamming = 8)
       .ordered(col("id1"), col("id2"))
   }
 
@@ -130,8 +150,8 @@ object NorthStar {
       .as[graft.operators.MediaPayload]
     MultimodalOps.extractFeatures(media)
       .select(col("media_id"), col("format"), col("n_bytes"),
-        round(col("mean_byte"), 6).as("mean_byte"),
-        round(col("entropy_proxy"), 6).as("entropy_proxy"))
+        e6(col("mean_byte")).as("mean_byte_e6"),
+        e6(col("entropy_proxy")).as("entropy_proxy_e6"))
       .ordered(col("media_id"))
   }
 
@@ -177,11 +197,15 @@ object NorthStar {
       .select(round(col("t"), 6).as("t"), round(col("df"), 6).as("df"))
   }
 
+  // p is rounded to 6dp: the oracle replays the same Lentz continued
+  // fraction (Numerical Recipes §6.4 — public algorithm) in a DuckDB
+  // recursive CTE, and both sides converge to ~1e-15 relative, so 6dp
+  // is far inside the agreement zone while still pinning the value.
   private val q34: Q = (s, dir) => {
     welchDs(s, dir)
       .select(new graft.operators.WelchTTest("less").toColumn)
       .select(round(col("t"), 6).as("t"), round(col("df"), 6).as("df"),
-        col("p").as("p_less"), col("nA").as("n_click"),
+        round(col("p"), 6).as("p_less"), col("nA").as("n_click"),
         col("nB").as("n_view"))
   }
 
@@ -306,7 +330,7 @@ object NorthStar {
     DedupOps.minhashLshDedupParity(
         t(s, dir, "documents").filter(col("doc_id") < 250),
         "doc_id", "text", shingleN = 2, k = 8, bands = 4, threshold = 0.2)
-      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jacc"))
+      .select(col("id1"), col("id2"), e6(col("jaccard")).as("jacc_e6"))
       .ordered(col("id1"), col("id2"))
   }
 
@@ -399,13 +423,21 @@ object NorthStar {
   }
 
   // q55 — Gopher-style repetition statistics + quality gate per doc.
+  // The fraction columns are emitted as micro-unit BIGINTs
+  // (round(x * 1e6)) instead of round(x, 6) doubles: r2's driver gate
+  // hash-failed on a double-representation edge even though bit-equal
+  // local parity passed, and DECIMAL output trips dtype-sensitive
+  // compares (DuckDB fetchdf -> float64 vs parquet -> Decimal).
+  // Integers hash identically in every representation. Both engines
+  // compute the same input double, and the .5 tie-break agrees for
+  // positive values (HALF_UP == half-away-from-zero).
   private val q55: Q = (s, dir) => {
     CurationOps.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
       .select(col("doc_id"), col("n_tokens"),
-        round(col("mean_token_len"), 6).as("mean_token_len"),
-        round(col("dup_token_frac"), 6).as("dup_token_frac"),
-        round(col("top_token_frac"), 6).as("top_token_frac"),
-        round(col("dup_2gram_frac"), 6).as("dup_2gram_frac"),
+        e6(col("mean_token_len")).as("mean_token_len_e6"),
+        e6(col("dup_token_frac")).as("dup_token_frac_e6"),
+        e6(col("top_token_frac")).as("top_token_frac_e6"),
+        e6(col("dup_2gram_frac")).as("dup_2gram_frac_e6"),
         CurationOps.gopherKeep(col("n_tokens"), col("mean_token_len"),
           col("top_token_frac"), col("dup_2gram_frac")).as("keep"))
       .ordered(col("doc_id"))
@@ -444,7 +476,7 @@ object NorthStar {
         d.filter(col("doc_id") < 450), d.filter(col("doc_id") >= 450),
         "doc_id", "text", shingleN = 3, threshold = 0.3)
       .select(col("doc_id"), col("probe_id"),
-        round(col("containment"), 6).as("cont"))
+        e6(col("containment")).as("cont_e6"))
       .ordered(col("doc_id"), col("probe_id"))
   }
 
@@ -604,7 +636,7 @@ object NorthStar {
       d.filter(col("doc_id") < 150), "doc_id", "text", shingleN = 2, k = 8)
     DedupOps.minhashLshDeltaDedup(d.filter(col("doc_id") >= 150), oldSigs,
         "doc_id", "text", shingleN = 2, k = 8, bands = 4, threshold = 0.2)
-      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jacc"))
+      .select(col("id1"), col("id2"), e6(col("jaccard")).as("jacc_e6"))
       .ordered(col("id1"), col("id2"))
   }
 
@@ -697,7 +729,7 @@ object NorthStar {
     DedupOps.dupNgramCoverage(t(s, dir, "documents"), "doc_id", "text",
         n = 3, minDocs = 2)
       .select(col("doc_id"), col("n_toks"), col("n_cov"),
-        round(col("dup_frac"), 6).as("dup_frac"))
+        e6(col("dup_frac")).as("dup_frac_e6"))
       .ordered(col("doc_id"))
   }
 
@@ -957,8 +989,8 @@ object NorthStar {
       |       CASE doc_id % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'audio'
       |            ELSE 'video' END AS format,
       |       n AS n_bytes,
-      |       ROUND(s * 1.0 / n, 6) AS mean_byte,
-      |       ROUND(1.0 - ss * 1.0 / (n * n), 6) AS entropy_proxy
+      |       CAST(ROUND((s::DOUBLE / n) * 1e6, 0) AS BIGINT) AS mean_byte_e6,
+      |       CAST(ROUND((1.0::DOUBLE - ss::DOUBLE / (n * n)) * 1e6, 0) AS BIGINT) AS entropy_proxy_e6
       |FROM f ORDER BY media_id""".stripMargin
 
   private val q31Sql: String =
@@ -1127,7 +1159,7 @@ object NorthStar {
        |          ON a.band = b.band AND a.bucket = b.bucket
        |             AND a.doc_id < b.doc_id AND a.bsz BETWEEN 2 AND 100),
        |ver AS (SELECT id1, id2,
-       |               len(list_intersect(x.sh, y.sh)) * 1.0 /
+       |               len(list_intersect(x.sh, y.sh))::DOUBLE /
        |                 len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
        |        FROM pairs JOIN s x ON id1 = x.doc_id JOIN s y ON id2 = y.doc_id)""".stripMargin
   }
@@ -1137,12 +1169,20 @@ object NorthStar {
 
   private val q47Sql: String =
     s"""WITH $minhashParityCtes
-       |SELECT id1, id2, ROUND(jaccard, 6) AS jacc FROM ver
+       |SELECT id1, id2, ${sqlE6("jaccard")} AS jacc_e6 FROM ver
+       |WHERE jaccard >= 0.2::DOUBLE ORDER BY id1, id2""".stripMargin
+
+  // q26 = the same parity construction over the FULL corpus.
+  private val q26Sql: String =
+    s"""WITH ${minhashParityCtesFrom("documents")}
+       |SELECT id1, id2, ${sqlE6("jaccard")} AS jacc_e6 FROM ver
        |WHERE jaccard >= 0.2::DOUBLE ORDER BY id1, id2""".stripMargin
 
   /** Shared CTE chain producing SimHash-parity candidate pairs
-    * (`cand`: id1, id2, s1, s2) — the common prefix of q48 and q54. */
-  private val simhashParityCtes: String = {
+    * (`cand`: id1, id2, s1, s2) over an arbitrary (doc_id, text)
+    * relation `src` — the common prefix of q27 (full corpus) and
+    * q48/q54 (fixed slice). */
+  private def simhashParityCtesFrom(src: String): String = {
     val votes = (0 until 32)
       .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
       .mkString(",\n         ")
@@ -1151,7 +1191,7 @@ object NorthStar {
       .mkString(" + ")
     s"""d AS (
        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
-       |  FROM documents WHERE doc_id < 250),
+       |  FROM $src),
        |tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
        |hh AS (SELECT doc_id, ${sqlHex32("md5(t)")} AS h FROM tok),
        |votes AS (
@@ -1170,8 +1210,17 @@ object NorthStar {
        |            AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  private val simhashParityCtes: String =
+    simhashParityCtesFrom("documents WHERE doc_id < 250")
+
   private val q48Sql: String =
     s"""WITH $simhashParityCtes
+       |SELECT id1, id2, bit_count(xor(s1, s2)) AS hamming FROM cand
+       |WHERE bit_count(xor(s1, s2)) <= 8 ORDER BY id1, id2""".stripMargin
+
+  // q27 = the same parity construction over the FULL corpus.
+  private val q27Sql: String =
+    s"""WITH ${simhashParityCtesFrom("documents")}
        |SELECT id1, id2, bit_count(xor(s1, s2)) AS hamming FROM cand
        |WHERE bit_count(xor(s1, s2)) <= 8 ORDER BY id1, id2""".stripMargin
 
@@ -1205,17 +1254,17 @@ object NorthStar {
       |      FROM d),
       |gs AS (SELECT doc_id, len(sh) AS n2, len(list_distinct(sh)) AS n2d
       |       FROM g)
-      |SELECT ta.doc_id, n_tokens,
-      |       ROUND(len_sum * 1.0 / n_tokens, 6) AS mean_token_len,
-      |       ROUND(1.0 - n_distinct * 1.0 / n_tokens, 6) AS dup_token_frac,
-      |       ROUND(top_c * 1.0 / n_tokens, 6) AS top_token_frac,
-      |       ROUND(CASE WHEN n2 <= 0 THEN 0.0
-      |                  ELSE 1.0 - n2d * 1.0 / n2 END, 6) AS dup_2gram_frac,
+      |SELECT ta.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(ROUND(len_sum::DOUBLE / n_tokens * 1e6, 0) AS BIGINT) AS mean_token_len_e6,
+      |       CAST(ROUND((1.0::DOUBLE - n_distinct::DOUBLE / n_tokens) * 1e6, 0) AS BIGINT) AS dup_token_frac_e6,
+      |       CAST(ROUND(top_c::DOUBLE / n_tokens * 1e6, 0) AS BIGINT) AS top_token_frac_e6,
+      |       CAST(ROUND(CASE WHEN n2 <= 0 THEN 0.0::DOUBLE
+      |                       ELSE 1.0::DOUBLE - n2d::DOUBLE / n2 END * 1e6, 0) AS BIGINT) AS dup_2gram_frac_e6,
       |       (n_tokens BETWEEN 20 AND 100000)
-      |         AND (len_sum * 1.0 / n_tokens BETWEEN 3.0 AND 10.0)
-      |         AND (top_c * 1.0 / n_tokens <= 0.1)
-      |         AND (CASE WHEN n2 <= 0 THEN 0.0
-      |                   ELSE 1.0 - n2d * 1.0 / n2 END <= 0.25) AS keep
+      |         AND (len_sum::DOUBLE / n_tokens BETWEEN 3.0 AND 10.0)
+      |         AND (top_c::DOUBLE / n_tokens <= 0.1)
+      |         AND (CASE WHEN n2 <= 0 THEN 0.0::DOUBLE
+      |                   ELSE 1.0::DOUBLE - n2d::DOUBLE / n2 END <= 0.25) AS keep
       |FROM ta JOIN gs ON ta.doc_id = gs.doc_id
       |ORDER BY ta.doc_id""".stripMargin
 
@@ -1232,6 +1281,80 @@ object NorthStar {
       |g AS (SELECT unnest(sh) AS gram FROM s),
       |c AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY gram)
       |SELECT gram, n FROM c ORDER BY n DESC, gram LIMIT 20""".stripMargin
+
+  /** q34 oracle: Welch p-value replayed in pure SQL. The regularized
+    * incomplete beta is computed with the SAME Lentz continued
+    * fraction the Scala side uses (Numerical Recipes §6.4 — public
+    * algorithm), as a recursive CTE whose state carries the scalar
+    * parameters, so the events scan is evaluated once (DuckDB CTEs
+    * referenced from a recursive term re-evaluate per iteration —
+    * the documented inlining trap). Both engines converge to ~1e-15
+    * relative, so the 6dp ROUND on both sides pins identical values.
+    * Verified equal to a driver-side python mirror of SpecialFns
+    * (t=1.527493, df=3969.469361, p_less=0.936641 at sf0.01). */
+  private val q34Sql: String = {
+    // FpMin clamp mirroring SpecialFns.betacf: |x| < 1e-300 -> 1e-300
+    def cl(e: String): String =
+      s"(CASE WHEN abs($e) < 1e-300 THEN 1e-300 ELSE $e END)"
+    val d0 = s"1.0 / ${cl("1.0 - (ca+cb)*cx/(ca+1.0)")}"
+    val lbeta =
+      "lgamma(a0+b0) - lgamma(a0) - lgamma(b0) + a0*ln(x) + b0*ln(1.0-x)"
+    s"""WITH RECURSIVE
+       |a AS (SELECT AVG(value) m, VAR_SAMP(value) v, COUNT(*) n
+       |      FROM events WHERE event_type = 'click'),
+       |b AS (SELECT AVG(value) m, VAR_SAMP(value) v, COUNT(*) n
+       |      FROM events WHERE event_type = 'view'),
+       |td AS (SELECT (a.m - b.m) / SQRT(a.v/a.n + b.v/b.n) AS t,
+       |              POWER(a.v/a.n + b.v/b.n, 2) /
+       |                (POWER(a.v/a.n, 2)/(a.n-1) +
+       |                 POWER(b.v/b.n, 2)/(b.n-1)) AS df,
+       |              a.n AS n_click, b.n AS n_view
+       |       FROM a, b),
+       |par AS (SELECT t, df, n_click, n_view,
+       |               df / (df + t*t) AS x, df/2 AS a0, 0.5::DOUBLE AS b0,
+       |               (df/(df + t*t)) < (df/2 + 1.0)/(df/2 + 2.5) AS direct
+       |        FROM td),
+       |cf AS (SELECT *,
+       |              CASE WHEN direct THEN a0 ELSE b0 END AS ca,
+       |              CASE WHEN direct THEN b0 ELSE a0 END AS cb,
+       |              CASE WHEN direct THEN x ELSE 1.0 - x END AS cx
+       |       FROM par),
+       |lentz(ca, cb, cx, m, c, d, h, done) AS (
+       |  SELECT ca, cb, cx, 0, 1.0::DOUBLE, $d0, $d0, false FROM cf
+       |  UNION ALL
+       |  SELECT ca, cb, cx, m, c2, d2, h2, abs(d2*c2 - 1.0) < 3e-16
+       |  FROM (
+       |    SELECT ca, cb, cx, m,
+       |           1.0 / ${cl("1.0 + aa2 * d1")} AS d2,
+       |           ${cl("1.0 + aa2 / c1")} AS c2,
+       |           h1 * (1.0 / ${cl("1.0 + aa2 * d1")})
+       |              * ${cl("1.0 + aa2 / c1")} AS h2
+       |    FROM (
+       |      SELECT ca, cb, cx, m,
+       |             -(ca + m) * (ca + cb + m) * cx /
+       |               ((ca + 2*m) * (ca + 1.0 + 2*m)) AS aa2,
+       |             1.0 / ${cl("1.0 + aa1 * d")} AS d1,
+       |             ${cl("1.0 + aa1 / c")} AS c1,
+       |             h * (1.0 / ${cl("1.0 + aa1 * d")})
+       |               * ${cl("1.0 + aa1 / c")} AS h1
+       |      FROM (
+       |        SELECT ca, cb, cx, m + 1 AS m, c, d, h,
+       |               (m+1) * (cb - (m+1)) * cx /
+       |                 ((ca - 1.0 + 2*(m+1)) * (ca + 2*(m+1))) AS aa1
+       |        FROM lentz WHERE NOT done AND m < 300)))),
+       |fin AS (SELECT h FROM lentz ORDER BY m DESC LIMIT 1),
+       |res AS (SELECT t, df, n_click, n_view,
+       |               CASE WHEN direct
+       |                    THEN exp($lbeta) * fin.h / a0
+       |                    ELSE 1.0 - exp($lbeta) * fin.h / b0
+       |               END AS binc
+       |        FROM cf, fin)
+       |SELECT ROUND(t, 6) AS t, ROUND(df, 6) AS df,
+       |       ROUND(CASE WHEN t > 0 THEN 1.0 - 0.5 * binc
+       |                  ELSE 0.5 * binc END, 6) AS p_less,
+       |       n_click, n_view
+       |FROM res""".stripMargin
+  }
 
   private val q49Sql: String =
     s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
@@ -1354,7 +1477,7 @@ object NorthStar {
       |j AS (SELECT c.doc_id, pi.probe_id, COUNT(*) AS shared
       |      FROM c JOIN pi USING (s) GROUP BY 1, 2)
       |SELECT doc_id, probe_id,
-      |       ROUND(shared * 1.0 / n_probe, 6) AS cont
+      |       CAST(ROUND((shared::DOUBLE / n_probe) * 1e6, 0) AS BIGINT) AS cont_e6
       |FROM j JOIN ps USING (probe_id)
       |WHERE shared * 1.0 / n_probe >= 0.3::DOUBLE
       |ORDER BY doc_id, probe_id""".stripMargin
@@ -1638,7 +1761,7 @@ object NorthStar {
 
   private val q70Sql: String =
     s"""WITH $minhashParityCtes
-       |SELECT id1, id2, ROUND(jaccard, 6) AS jacc FROM ver
+       |SELECT id1, id2, ${sqlE6("jaccard")} AS jacc_e6 FROM ver
        |WHERE jaccard >= 0.2::DOUBLE AND (id1 >= 150 OR id2 >= 150)
        |ORDER BY id1, id2""".stripMargin
 
@@ -1869,8 +1992,8 @@ object NorthStar {
       |       GROUP BY doc_id)
       |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_toks,
       |       COALESCE(cv.n_cov, 0) AS n_cov,
-      |       ROUND(CAST(COALESCE(cv.n_cov, 0) AS DOUBLE) /
-      |             CAST(len(t.ts) AS BIGINT), 6) AS dup_frac
+      |       CAST(ROUND((CAST(COALESCE(cv.n_cov, 0) AS DOUBLE) /
+      |             CAST(len(t.ts) AS BIGINT)) * 1e6, 0) AS BIGINT) AS dup_frac_e6
       |FROM tok t LEFT JOIN cv ON t.doc_id = cv.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
@@ -2118,6 +2241,8 @@ object NorthStar {
     "q46_tfidf" -> q46Sql,
     "q47_minhash_lsh_parity" -> q47Sql,
     "q48_simhash_parity" -> q48Sql,
+    "q26_minhash_lsh_dedup" -> q26Sql,
+    "q27_simhash_neardup" -> q27Sql,
     "q35_corpus_curation" ->
       """WITH d AS (
         |  SELECT doc_id, text,
@@ -2158,6 +2283,7 @@ object NorthStar {
         |       ROUND(POWER(a.v/a.n + b.v/b.n, 2) /
         |             (POWER(a.v/a.n, 2)/(a.n-1) + POWER(b.v/b.n, 2)/(b.n-1)), 6) AS df
         |FROM a, b""".stripMargin,
+    "q34_welch_pvalue" -> q34Sql,
     "q21_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS dups
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
@@ -2178,10 +2304,10 @@ object NorthStar {
         |SELECT doc_id, n_tokens,
         |       len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
         |                       t -> len(t) > 0)) AS n_subwords,
-        |       ROUND(stop_ratio, 6) AS stop_ratio,
-        |       ROUND(punct_ratio, 6) AS punct_ratio,
-        |       ROUND((LEAST(mean_len / 8.0, 1.0) + (1.0 - stop_ratio) +
-        |              (1.0 - LEAST(punct_ratio * 5.0, 1.0))) / 3.0, 6) AS quality
+        |       CAST(ROUND(stop_ratio * 1e6, 0) AS BIGINT) AS stop_ratio_e6,
+        |       CAST(ROUND(punct_ratio * 1e6, 0) AS BIGINT) AS punct_ratio_e6,
+        |       CAST(ROUND((LEAST(mean_len / 8.0, 1.0) + (1.0 - stop_ratio) +
+        |              (1.0 - LEAST(punct_ratio * 5.0, 1.0))) / 3.0 * 1e6, 0) AS BIGINT) AS quality_e6
         |FROM m ORDER BY doc_id""".stripMargin,
     "q23_lang_id" ->
       """WITH d AS (
@@ -2231,7 +2357,7 @@ object NorthStar {
         |  GROUP BY 1, 2),
         |sz AS (SELECT doc_id, len(sh) AS n FROM s)
         |SELECT id1, id2,
-        |       ROUND(shared * 1.0 / (x.n + y.n - shared), 6) AS jacc
+        |       CAST(ROUND(shared::DOUBLE / (x.n + y.n - shared) * 1e6, 0) AS BIGINT) AS jacc_e6
         |FROM p JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
         |WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.1
         |ORDER BY id1, id2""".stripMargin,

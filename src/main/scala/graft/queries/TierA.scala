@@ -294,15 +294,33 @@ object TierA {
       .ordered(col("l_returnflag"))
   }
 
-  // Q39 — approximate distinct (HLL++): engine-specific sketch, so no
-  // cross-engine oracle; the error bound vs exact is asserted in
-  // TierASpec.
+  // Q39 — approximate distinct via the deterministic KMV sketch
+  // (k-minimum-values, estimate = (k-1) * 2^32 / h_k over md5-derived
+  // uniform hashes): cross-engine reproducible, so unlike HLL++ it
+  // carries a DuckDB oracle. Distinct parts per returnflag, k=128;
+  // groups under k distinct keys fall back to the exact count. The
+  // engine-specific HLL++ path (approx_count_distinct) remains
+  // supported and is error-bound-tested in TierASpec.
   private val q39: Q = (s, dir) => {
-    t(s, dir, "events")
-      .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("u_approx"),
-        countDistinct(col("user_id")).as("u_exact"))
-      .ordered(col("event_type"))
+    val k = 128
+    val pairs = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey")).distinct()
+      .withColumn("h", graft.operators.CurationOps.md5Hash32(
+        concat(lit("kmv39:"), col("l_orderkey").cast("string"))))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("h"), col("l_orderkey"))
+    // one pass: max(rn) IS the exact distinct count and the k-th
+    // smallest hash falls out of the same ranked rows — no second scan
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("rn")).cast("long").as("n_exact"),
+        max(when(col("rn") === k, col("h"))).as("hk"))
+      .select(col("l_returnflag"), col("n_exact"),
+        round(when(col("hk").isNull, col("n_exact").cast("double"))
+          .otherwise(lit((k - 1) * 4294967296.0) / col("hk")), 4)
+          .as("n_est"))
+      .ordered(col("l_returnflag"))
   }
 
   // Q90 — CUBE grouping sets (all 4 combinations with grouping flags)
@@ -361,7 +379,30 @@ object TierA {
     "q19_time_bucket_agg" -> q19,
     "q20_distinct_count" -> q20)
 
+  /** DuckDB replica of CurationOps.md5Hash32 (first 8 hex chars of
+    * md5 as a big-endian int — mirrors NorthStar.sqlHex32). */
+  private def sqlHex32(h: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 9), j -> CAST(strpos('0123456789abcdef', substr($h, j, 1)) - 1 AS BIGINT))), (a, x) -> a * 16 + x)"
+
+  private val q39Sql: String =
+    s"""WITH d AS (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem),
+       |h AS (SELECT l_returnflag, l_orderkey,
+       |             ${sqlHex32("md5('kmv39:' || l_orderkey::VARCHAR)")} AS h
+       |      FROM d),
+       |r AS (SELECT l_returnflag, h,
+       |             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+       |                 ORDER BY h, l_orderkey) AS rn FROM h),
+       |kth AS (SELECT l_returnflag, h AS hk FROM r WHERE rn = 128),
+       |c AS (SELECT l_returnflag, COUNT(*) AS n_exact FROM d
+       |      GROUP BY l_returnflag)
+       |SELECT c.l_returnflag, c.n_exact,
+       |       ROUND(CASE WHEN kth.hk IS NULL THEN c.n_exact * 1.0
+       |                  ELSE ${127 * 4294967296.0} / kth.hk END, 4) AS n_est
+       |FROM c LEFT JOIN kth USING (l_returnflag)
+       |ORDER BY c.l_returnflag""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q39_approx_distinct" -> q39Sql,
     "q90_cube" ->
       """SELECT o_orderstatus, o_orderpriority,
         |       GROUPING(o_orderstatus) AS g1,

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Tier-A query smoke + pinned-value checks on sf0.001. Expected values
@@ -38,8 +39,14 @@ class TierASpec extends AnyFunSuite with SparkTestBase {
       ("NATION_19", 25213145.5655), ("NATION_11", 24784590.5773)))
   }
 
-  test("q39 approx distinct stays within the requested error bound") {
-    val rows = SparkEntry.queries("q39_approx_distinct")(spark, sf("sf0.01"))
+  test("HLL++ approx distinct stays within the requested error bound") {
+    // q39 declares the deterministic KMV sketch (oracle-checkable);
+    // the engine-specific HLL++ path keeps its error-bound contract here
+    val rows = graft.core.Tables.load(spark, sf("sf0.01"), "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("u_approx"),
+        countDistinct(col("user_id")).as("u_exact"))
+      .orderBy(col("event_type"))
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
@@ -47,6 +54,18 @@ class TierASpec extends AnyFunSuite with SparkTestBase {
       val exact = r.getLong(2).toDouble
       assert(math.abs(approx - exact) <= math.max(2.0, 0.1 * exact),
         s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("q39 KMV estimate stays within 10% of exact and is deterministic") {
+    val rows = SparkEntry.queries("q39_approx_distinct")(spark, sf("sf0.01"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val est = r.getDouble(2)
+      assert(math.abs(est - exact) <= math.max(2.0, 0.1 * exact),
+        s"${r.getString(0)}: est=$est exact=$exact")
     }
   }
 
