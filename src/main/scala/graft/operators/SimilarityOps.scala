@@ -376,21 +376,39 @@ object SimilarityOps {
     * Scale shape: the pairwise compare is confined to clusters — at
     * corpus scale you raise `k` so cluster populations stay bounded
     * (SemDeDup's own recipe), making per-cluster work O(c^2) for
-    * bounded c, never O(n^2). The cluster-tagged projection is
-    * checkpointed once and self-joined on cid; cosine reuses the
-    * codegen'd dot over precomputed norms. */
+    * bounded c, never O(n^2). Because a fixed k gives ~n/k-sized
+    * clusters on a growing corpus, `maxClusterSize` is the backstop
+    * (mirroring the LSH family's maxBucketSize): clusters above it
+    * are md5-sharded into ceil(size/maxClusterSize) sub-cells and the
+    * pairwise join runs within (cid, sub-cell) — pair counts stay
+    * O(n * maxClusterSize) no matter how skewed the clustering, at
+    * the cost of missing cross-shard near-dups inside oversized
+    * clusters (the same recall trade every capped LSH path makes).
+    * The cluster-size table is k rows — broadcast. The cluster-tagged
+    * projection is checkpointed once and self-joined; cosine reuses
+    * the codegen'd dot over precomputed norms. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    k: Int = 8, iters: Int = 3, threshold: Double = 0.4)
-      : DataFrame = {
+                    k: Int = 8, iters: Int = 3, threshold: Double = 0.4,
+                    maxClusterSize: Int = 2000): DataFrame = {
+    require(maxClusterSize > 0, "maxClusterSize must be positive")
     val asg = kmeansInt8(df, idCol, vecCol, k, iters)
     val pre = withNorm(df, idCol, vecCol, "id", "v", "nm")
-    val tagged = pre.join(asg, "id").localCheckpoint(false)
+    val sizes = asg.groupBy(col("cid"))
+      .agg(count(lit(1)).as("csz")) // k rows — always broadcast
+    val tagged = pre.join(asg, "id")
+      .join(broadcast(sizes), "cid")
+      .withColumn("sub",
+        pmod(CurationOps.md5Hash32(
+            concat(lit("semsub:"), col("id").cast("string"))),
+          ceil(col("csz") / maxClusterSize).cast("long")).cast("int"))
+      .drop("csz")
+      .localCheckpoint(false)
     val hinted = DedupOps.hintBySize(tagged, pre)
     val drops = tagged
-      .select(col("cid"), col("id").as("id1"), col("v").as("v1"),
-        col("nm").as("n1"))
-      .join(hinted.select(col("cid"), col("id").as("id2"),
-        col("v").as("v2"), col("nm").as("n2")), Seq("cid"))
+      .select(col("cid"), col("sub"), col("id").as("id1"),
+        col("v").as("v1"), col("nm").as("n1"))
+      .join(hinted.select(col("cid"), col("sub"), col("id").as("id2"),
+        col("v").as("v2"), col("nm").as("n2")), Seq("cid", "sub"))
       .filter(col("id1") < col("id2"))
       .filter(dot(col("v1"), col("v2")) / (col("n1") * col("n2")) >=
         threshold)
@@ -465,20 +483,21 @@ object SimilarityOps {
     * Returns (id, pc1) with pc1 = (x − μ)·v. */
   def pcaProject(df: DataFrame, idCol: String, vecCol: String,
                  dims: Int = 64, iters: Int = 8): DataFrame = {
-    val comp = df.select(col(idCol).as("id"),
-        posexplode(col(vecCol).cast("array<double>")))
-      .select(col("id"), (col("pos") + 1).as("i"), col("col").as("x"))
-    val n = df.count().toDouble
-    val mu = new Array[Double](dims)
-    comp.groupBy(col("i")).agg(avg(col("x")).as("m"))
-      .collect().foreach(r => mu(r.getInt(0) - 1) = r.getDouble(1))
-    val gram = Array.ofDim[Double](dims, dims)
-    comp.as("a").join(comp.as("b"), "id")
-      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-      .agg(sum(col("a.x") * col("b.x")).as("s"))
-      .collect().foreach { r =>
-        gram(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getDouble(2)
-      }
+    // ONE corpus scan: count, per-dim sums, and the d x d gram in a
+    // single d²-buffer TypedImperativeAggregate (map-side combined;
+    // one d²-sized record per partition). Replaces the exploded
+    // self-join that materialized dims² rows per document through a
+    // shuffle — a 64x row blowup at 100 TB — and the two extra scans
+    // (count + mean aggregation) the old form needed.
+    val flat = df
+      .select(graft.functions.VectorMomentGram
+        .momentGram(col(vecCol), dims).as("mg"))
+      .head.getSeq[Double](0)
+    val n = flat(0)
+    val mu = Array.tabulate(dims)(i => flat(1 + i) / n)
+    val gram = Array.tabulate(dims, dims) { (i, j) =>
+      flat(1 + dims + i * dims + j)
+    }
     // round half-AWAY-FROM-ZERO, matching DuckDB's ROUND (math.rint's
     // half-to-even would disagree exactly at a .5 boundary and the pin
     // exists so both engines iterate an identical matrix)

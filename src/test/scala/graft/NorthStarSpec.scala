@@ -115,6 +115,29 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
       s"clusters not cohesive: own=${scored.getDouble(0)} global=${scored.getDouble(1)}")
   }
 
+  test("semantic dedup caps oversized clusters: pair work is bounded " +
+      "by maxClusterSize sub-shards on a fully-skewed fixture") {
+    import spark.implicits._
+    // worst case: every vector identical -> one cluster holds ALL rows
+    val n = 100
+    val one = Array.fill(64)(1.0f)
+    val skewed = (0L until n.toLong).map(i => (i, one)).toDF("vec_id", "embedding")
+    // uncapped semantics (cap far above the cluster): one survivor
+    val uncapped = SimilarityOps.semanticDedup(skewed, "vec_id",
+      "embedding", k = 1, iters = 1, threshold = 0.9,
+      maxClusterSize = 2000).collect()
+    assert(uncapped.length == 1 && uncapped.head.getLong(0) == 0L)
+    // capped: the 100-row cluster shards into ceil(100/10)=10 cells;
+    // each cell keeps exactly its minimum id -> survivors == occupied
+    // cells (bounded), and the pairwise join never saw the full 100^2
+    val capped = SimilarityOps.semanticDedup(skewed, "vec_id",
+      "embedding", k = 1, iters = 1, threshold = 0.9,
+      maxClusterSize = 10).collect().map(_.getLong(0)).sorted
+    assert(capped.length > 1 && capped.length <= 10,
+      s"expected 2..10 sub-cell survivors, got ${capped.length}")
+    assert(capped.contains(0L))
+  }
+
   test("semantic dedup: survivors are pairwise-dissimilar within cluster; " +
       "every dropped id has a smaller near neighbor") {
     val thr = 0.4
@@ -565,6 +588,28 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     as.zipWithIndex.foreach { case (a, k) =>
       assert(math.abs(got(k.toLong) - sign * (a - mean)) < 0.01,
         s"vec $k: got ${got(k.toLong)} want ${sign * (a - mean)}")
+    }
+  }
+
+  test("single-pass moment/gram aggregate matches the hand computation " +
+      "and survives partial-buffer merges") {
+    import spark.implicits._
+    val vecs = Seq(
+      Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0),
+      Array(-1.0, 0.5, 2.0), Array(0.0, 0.0, 1.0),
+      Array(2.5, -3.0, 0.25))
+    // repartition(3) forces multiple partial buffers through merge()
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v").repartition(3)
+    val flat = df
+      .select(graft.functions.VectorMomentGram.momentGram(col("v"), 3))
+      .head.getSeq[Double](0)
+    assert(flat(0) == vecs.length.toDouble)
+    for (i <- 0 until 3)
+      assert(math.abs(flat(1 + i) - vecs.map(_(i)).sum) < 1e-12, s"sum $i")
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val want = vecs.map(v => v(i) * v(j)).sum
+      assert(math.abs(flat(4 + i * 3 + j) - want) < 1e-12, s"gram($i,$j)")
     }
   }
 
