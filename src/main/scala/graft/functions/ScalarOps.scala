@@ -44,4 +44,20 @@ object ScalarOps {
   /** Peak-rejection raw-LSB thresholds (ORC_CONFIG.h:54-55). */
   val AccelPeakLsb: Double = 30738.0
   val GyroPeakLsb: Double = 28572.0
+
+  /** M21: random 4-digit log number the firmware stamps on each new
+    * log entry (`esp_random() % 10000`, ORC_Main.c:774). Seeded
+    * `rand`, so a run is reproducible given the seed — but Spark's
+    * rand draws per partition, so values are stable only for a fixed
+    * partition layout. Use [[keyedLogId]] when ids must survive
+    * repartitioning, re-runs, and engine changes. */
+  def randomLogId(seed: Long): Column =
+    floor(rand(seed) * 10000).cast("int")
+
+  /** Deterministic M21 variant: 4-digit id drawn from md5(salt:key) —
+    * layout-independent and cross-engine reproducible (same contract
+    * as the hash-based sampling operators). */
+  def keyedLogId(key: Column, salt: String): Column =
+    pmod(graft.operators.CurationOps.md5Hash32(
+      concat(lit(s"$salt:"), key.cast("string"))), lit(10000L)).cast("int")
 }

@@ -167,6 +167,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("M17: all 24 axes alignments are distinct proper rotations " +
+      "(signed permutations, det +1) that preserve vector norm") {
+    assert(AxesAlignment.All.length == 24)
+    assert(AxesAlignment.All.distinct.length == 24)
+    def det3(m: Array[Array[Double]]): Double =
+      m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
+      m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
+      m(0)(2) * (m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0))
+    AxesAlignment.All.foreach { spec =>
+      val m = AxesAlignment.matrix(spec)
+      // signed permutation: one +-1 per row and per column
+      m.foreach(row => assert(row.map(math.abs).sum == 1.0, spec))
+      (0 until 3).foreach(c =>
+        assert((0 until 3).map(r => math.abs(m(r)(c))).sum == 1.0, spec))
+      assert(det3(m) == 1.0, s"$spec det ${det3(m)}")
+    }
+    // the matrices are pairwise distinct too (ordinal map is faithful)
+    val keys = AxesAlignment.All.map(s =>
+      AxesAlignment.matrix(s).flatten.toSeq)
+    assert(keys.distinct.length == 24)
+    // pinned reference example: ordinal 1 = +X-Z+Y
+    assert(AxesAlignment.swap(Vec3(1.0, 2.0, 3.0), 1) ==
+      Vec3(1.0, -3.0, 2.0))
+    forAll(smallVec) { v =>
+      (0 until 24).foreach { a =>
+        val s = AxesAlignment.swap(v, a)
+        // swap only reorders/negates, but the dot sums in a different
+        // order -> compare with relative tolerance
+        assert(math.abs(s.dot(s) - v.dot(v)) <=
+          1e-12 * math.max(1.0, v.dot(v)), s"norm $a")
+      }
+    }
+  }
+
   test("AHRS quaternion stays unit-norm through arbitrary input") {
     val dt = 0.01
     val settings = AhrsSettings(recoveryTriggerPeriod = 500)
