@@ -331,7 +331,27 @@ object CurationOps {
     * left-to-right greedy merge fold.
     *
     * Returns the merge table (rank, pair, cnt) — `nMerges` rows. */
-  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): DataFrame =
+    bpeTrain(df, textCol, nMerges, batch = 1)
+
+  /** Batched variant: up to `batch` merges are selected per Spark
+    * round instead of one. A real tokenizer is 32k merges — at one
+    * driver round (pair-count job + rewrite job) per merge that is
+    * 32k Spark jobs; batching brings it to nMerges/batch rounds.
+    *
+    * Standard batched-BPE selection: the round's pair counts are
+    * ranked once, then candidates join the batch greedily only if
+    * NEITHER of their symbols appears in an earlier pick of the same
+    * batch — disjoint symbol sets mean the merges cannot interact, so
+    * replaying them in rank order inside one rewrite pass is
+    * well-defined. It remains an approximation of exact BPE: counts
+    * recorded for later picks are pre-batch counts (the trade every
+    * batched trainer makes). `batch = 1` IS exact BPE — the selection
+    * degenerates to the single argmax and the recorded counts are the
+    * true per-merge maxima. */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int, batch: Int)
+      : DataFrame = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     val spark = df.sparkSession
     // word-frequency table; each word as its character sequence
     // (sequence + substr — mirrors the oracle's substr-based split)
@@ -348,8 +368,11 @@ object CurationOps {
       .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var exhausted = false
-    for (r <- 1 to nMerges if !exhausted) {
-      val best = cur
+    while (merges.length < nMerges && !exhausted) {
+      val want = math.min(batch, nMerges - merges.length)
+      // over-fetch so the disjointness filter usually still fills the
+      // batch; bounded, so the driver collect stays tiny
+      val top = cur
         .select(col("c"),
           explode(zip_with(col("s"),
             slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))),
@@ -359,17 +382,27 @@ object CurationOps {
         .filter(col("pair").isNotNull)
         .groupBy(col("pair")).agg(sum(col("c")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
-        .limit(1).collect()
-      if (best.nonEmpty) {
-        val pair = best.head.getString(0)
-        val cnt = best.head.getLong(1)
-        val Array(a, b) = pair.split(" ", 2)
-        merges += ((r, pair, cnt))
-        cur = cur
-          .select(col("c"),
-            split(trim(mergeFold(col("s"), a, b)), " ").as("s"))
+        .limit(if (want == 1) 1 else want * 4)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val picked = top.iterator.flatMap { r =>
+          val pair = r.getString(0)
+          val Array(a, b) = pair.split(" ", 2)
+          if (used(a) || used(b)) None
+          else { used += a; used += b; Some((pair, a, b, r.getLong(1))) }
+        }.take(want).toSeq
+        picked.foreach { case (pair, _, _, cnt) =>
+          merges += ((merges.length + 1, pair, cnt))
+        }
+        // one rewrite pass replays the batch in rank order
+        val rewritten = picked.foldLeft(col("s")) { case (s, (_, a, b, _)) =>
+          split(trim(mergeFold(s, a, b)), " ")
+        }
+        cur = cur.select(col("c"), rewritten.as("s"))
           .localCheckpoint(false)
-      } else exhausted = true // no pairs left; skip the remaining rounds
+      }
     }
     spark.createDataFrame(merges.toSeq).toDF("rank", "pair", "cnt")
   }

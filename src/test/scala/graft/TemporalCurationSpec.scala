@@ -292,6 +292,39 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
     assert(got.size == 8 && got.head._3 >= got.last._3)
   }
 
+  test("batched BPE: batch=1 is exact, and batches of disjoint pairs " +
+      "reproduce the sequential merge list") {
+    import spark.implicits._
+    // top pairs have pairwise-disjoint symbols, so batched selection
+    // must agree with sequential BPE exactly on this corpus
+    val corpus = (
+      Seq.fill(100)("xy") ++ Seq.fill(90)("uv") ++
+      Seq.fill(80)("pq") ++ Seq.fill(70)("mn"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val seqMerges = CurationOps.bpeTrain(corpus, "text", 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(seqMerges.map(_._2) == Seq("x y", "u v", "p q", "m n"))
+    for (b <- Seq(2, 4, 8)) {
+      val batched = CurationOps.bpeTrain(corpus, "text", 4, batch = b)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      assert(batched == seqMerges, s"batch=$b")
+    }
+    // overlapping candidates: "ab"x10 and words forcing pair (b c)
+    // to share symbol b with (a b) — the batch must skip it and the
+    // merge list stays a valid dedup'd set
+    val overlap = (Seq.fill(10)("abc") ++ Seq.fill(6)("bc"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val m = CurationOps.bpeTrain(overlap, "text", 3, batch = 3)
+      .collect().map(_.getString(1)).toSeq
+    assert(m.distinct.length == m.length)
+    // first pick is the true argmax, same as sequential round 1
+    val firstSeq = CurationOps.bpeTrain(overlap, "text", 1)
+      .collect().head.getString(1)
+    assert(m.head == firstSeq)
+  }
+
   test("prefix sum matches naive cumsum on adversarial random inputs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
