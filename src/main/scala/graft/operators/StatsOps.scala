@@ -60,6 +60,18 @@ object StatsOps {
                 qLo: Double, qHi: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(0.0 <= qLo && qLo <= qHi && qHi <= 1.0, s"bad bounds $qLo $qHi")
+    // internal working columns — reject the inputs that actually
+    // collide (same contract style as ShardedCorpusWriter's reserved
+    // 'shard' column): w_lo/w_hi anywhere in the input makes the
+    // bounds join ambiguous; v/rk/n as KEY columns collide with the
+    // ranking projection's aliases (as the value column they are
+    // harmless — the value is renamed to v anyway)
+    val clash =
+      df.columns.toSet.intersect(Set("w_lo", "w_hi")) ++
+      keyCols.toSet.intersect(Set("v", "rk", "n"))
+    require(clash.isEmpty,
+      s"winsorize reserves internal column name(s) ${clash.mkString(", ")}" +
+        " — rename them on the input first")
     val keys = keyCols.map(col)
     val part = Window.partitionBy(keys: _*)
     val ranked = df

@@ -2094,14 +2094,21 @@ object NorthStar {
        |FROM pj CROSS JOIN off ORDER BY id""".stripMargin
   }
 
+  // The CASE gate mirrors StatsOps.winsorize's NULL contract exactly:
+  // DuckDB's LEAST/GREATEST SKIP NULLs, so without it a NULL value
+  // would clamp to the low bound here while the operator returns NULL
+  // (latent false parity failure on any corpus with NULLs); the LEFT
+  // JOIN likewise matches the operator's all-NULL-key behavior.
   private val q83Sql: String =
     """WITH b AS (SELECT event_type,
       |                  quantile_cont(value, 0.05) AS lo,
       |                  quantile_cont(value, 0.95) AS hi
       |           FROM events GROUP BY event_type)
       |SELECT e.event_id,
-      |       ROUND(LEAST(b.hi, GREATEST(b.lo, e.value)), 6) AS clipped
-      |FROM events e JOIN b USING (event_type)
+      |       CASE WHEN e.value IS NULL OR b.lo IS NULL THEN NULL
+      |            ELSE ROUND(LEAST(b.hi, GREATEST(b.lo, e.value)), 6)
+      |       END AS clipped
+      |FROM events e LEFT JOIN b USING (event_type)
       |ORDER BY e.event_id""".stripMargin
 
   private val q84Sql: String = {

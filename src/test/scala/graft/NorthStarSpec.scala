@@ -391,6 +391,24 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(got(1L).nonEmpty && got(2L).nonEmpty)
   }
 
+  test("winsorize rejects inputs whose columns collide with its " +
+      "internal names") {
+    import spark.implicits._
+    val bad = Seq(("a", 1.0, 0.0)).toDF("k", "value", "w_lo")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.StatsOps.winsorize(bad, Seq("k"), "value", 0.1, 0.9)
+    }
+    assert(e.getMessage.contains("w_lo"))
+    val badKey = Seq((1L, 2.0)).toDF("rk", "value")
+    intercept[IllegalArgumentException] {
+      graft.operators.StatsOps.winsorize(badKey, Seq("rk"), "value", 0.1, 0.9)
+    }
+    // a bystander column named v is harmless (never projected)
+    val ok = Seq(("a", 1.0, 9.9)).toDF("k", "value", "v")
+    assert(graft.operators.StatsOps
+      .winsorize(ok, Seq("k"), "value", 0.1, 0.9).count() == 1)
+  }
+
   test("random projection equals the driver-side literal plane dot") {
     val rows = emb.limit(5).collect()
       .map(r => r.getLong(0) ->

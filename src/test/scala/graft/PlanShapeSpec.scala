@@ -300,4 +300,41 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"vocab-sized grid joins should broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  // Every query where a BroadcastNestedLoopJoin is the DELIBERATE plan:
+  // a tiny broadcast side against an inequality/cross-shaped predicate
+  // (1x1 scalar pairs, the brute-force ANN baseline, scalar min/max
+  // brackets). Growing this list is a design decision, not a tweak.
+  private val DeliberateBnlj = Set(
+    "q03_welch_t",        // 1x1 per-arm scalar pair
+    "q28_cosine_topk",    // brute-force ANN: query side broadcast
+    "q60_histogram",      // global min/max scalar bracket
+    "q65_int8_topk",      // int8 rerank: quantization scalars
+    "q87_source_kl")      // 1-row total against source grid
+
+  test("full declared-query sweep: every plan builds, zero cartesian " +
+      "products, BNLJ only where deliberate") {
+    // plan health for the WHOLE 91-query surface, so a regression
+    // anywhere fails CI instead of waiting for the next manual
+    // PlanAudit run. sf0.001 keeps the driver-side constructions
+    // (kmeans/BPE/PCA collect during query building) cheap; plan
+    // SHAPE does not depend on the scale factor.
+    val tiny = sf("sf0.001")
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p =
+        try fn(spark, tiny).queryExecution.executedPlan.toString
+        catch {
+          case e: Throwable =>
+            failures += s"$name: failed to plan (${e.getClass.getSimpleName})"
+            ""
+        }
+      if (p.contains("CartesianProduct"))
+        failures += s"$name: CartesianProduct in plan"
+      if (p.contains("BroadcastNestedLoopJoin") &&
+          !DeliberateBnlj.contains(name))
+        failures += s"$name: unexpected BroadcastNestedLoopJoin"
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }
