@@ -266,4 +266,38 @@ object TextOps {
     org.apache.spark.sql.GraftExprBridge.column(
       graft.functions.RollingHash(
         org.apache.spark.sql.GraftExprBridge.expression(text)))
+
+  /** C4-style rule-filter signals (Raffel et al. 2020 §2.2, the
+    * public cleaning recipe): per-document flags every large-corpus
+    * curation job screens on, each a pure scan-speed expression —
+    * token count, bad-word hit, code brace, lorem-ipsum boilerplate,
+    * and the fraction of lines that end in terminal punctuation.
+    * Thresholding is left to [[CurationOps.c4Keep]] so corpora can
+    * tune the gates without recomputing signals. */
+  def c4Signals(text: Column, badWords: Seq[String]): Seq[Column] = {
+    val toks = tokens(text)
+    val bad = array(badWords.map(lit): _*)
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    Seq(
+      size(toks).as("n_words"),
+      (size(filter(toks, t => array_contains(bad, t))) > 0)
+        .as("has_bad_word"),
+      text.contains("{").as("has_brace"),
+      lower(text).contains("lorem ipsum").as("has_lorem"),
+      when(size(lines) <= 0, lit(0.0))
+        .otherwise(
+          size(filter(lines, l => l.rlike("[.!?]\\s*$"))).cast("double") /
+            size(lines))
+        .as("punct_line_frac"))
+  }
+
+  /** The C4 keep gate over [[c4Signals]] columns. Defaults are
+    * permissive; real corpora tighten them (C4 uses >= 3 sentences,
+    * >= 5 words per line, punctuation-terminated lines). */
+  def c4Keep(nWords: Column, hasBadWord: Column, hasBrace: Column,
+             hasLorem: Column, punctLineFrac: Column,
+             minWords: Int = 1, maxWords: Int = Int.MaxValue,
+             minPunctFrac: Double = 0.0): Column =
+    nWords.between(minWords, maxWords) && !hasBadWord && !hasBrace &&
+      !hasLorem && punctLineFrac >= minPunctFrac
 }

@@ -857,7 +857,27 @@ object NorthStar {
       .ordered(col("media_id"))
   }
 
+  // q92 — C4-style rule filtering (Raffel et al. 2020): per-doc rule
+  // signals + keep gate. The bad-word list uses real corpus vocabulary
+  // so the flag varies; brace/lorem/punct rules are degenerate on the
+  // synthetic corpus (no punctuation, single-line) but their
+  // computation is still oracle-checked. minWords=30 makes the word-
+  // count gate bite.
+  private val q92: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id") +:
+        TextOps.c4Signals(col("text"), Seq("slow", "dup")): _*)
+    d.select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        col("has_bad_word"), col("has_brace"), col("has_lorem"),
+        e6(col("punct_line_frac")).as("punct_line_frac_e6"),
+        TextOps.c4Keep(col("n_words"), col("has_bad_word"),
+          col("has_brace"), col("has_lorem"), col("punct_line_frac"),
+          minWords = 30).as("keep"))
+      .ordered(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q92_c4_rules" -> q92,
     "q89_resize_sample" -> q89,
     "q88_event_anomaly" -> q88,
     "q87_source_kl" -> q87,
@@ -2193,7 +2213,34 @@ object NorthStar {
       |         (a, b) -> a || b) AS thumb
       |FROM documents ORDER BY media_id""".stripMargin
 
+  private val q92Sql: String =
+    """WITH d AS (SELECT doc_id, text,
+      |                  regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |           FROM documents),
+      |m AS (SELECT doc_id, n_words, has_bad_word, has_brace, has_lorem,
+      |             CASE WHEN len(lines) <= 0 THEN 0.0::DOUBLE
+      |                  ELSE len(list_filter(lines,
+      |                         l -> regexp_matches(l, '[.!?]\s*$')))::DOUBLE
+      |                       / len(lines)
+      |             END AS pf
+      |      FROM (SELECT doc_id,
+      |                   len(toks) AS n_words,
+      |                   len(list_filter(toks,
+      |                     t -> list_contains(['slow','dup'], t))) > 0 AS has_bad_word,
+      |                   contains(text, '{') AS has_brace,
+      |                   contains(lower(text), 'lorem ipsum') AS has_lorem,
+      |                   list_filter(regexp_split_to_array(text, '\n'),
+      |                     l -> len(trim(l)) > 0) AS lines
+      |            FROM d))
+      |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |       has_bad_word, has_brace, has_lorem,
+      |       CAST(ROUND(pf * 1e6, 0) AS BIGINT) AS punct_line_frac_e6,
+      |       (n_words BETWEEN 30 AND 2147483647) AND NOT has_bad_word
+      |         AND NOT has_brace AND NOT has_lorem AND pf >= 0.0 AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q92_c4_rules" -> q92Sql,
     "q89_resize_sample" -> q89Sql,
     "q88_event_anomaly" -> q88Sql,
     "q87_source_kl" -> q87Sql,

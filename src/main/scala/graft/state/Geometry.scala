@@ -25,6 +25,33 @@ object Vec3 {
   val Zero: Vec3 = Vec3(0.0, 0.0, 0.0)
 }
 
+/** M4 faithful mode: the firmware's fast inverse square root
+  * (FusionMath.h:169-179 — the Pizer bit-trick variant with one
+  * polished multiply), reproduced in exact float32 semantics for
+  * bit-exact replay of firmware traces. The default pipelines use
+  * exact `1.0 / sqrt(x)` (SURVEY §7.5.1); switch normalization to
+  * this when a replay must match the device to the last float bit.
+  * Relative error is ~6e-4 worst-case over the normal float range. */
+object FastInvSqrt {
+  def apply(x: Float): Float = {
+    val i = java.lang.Float.floatToRawIntBits(x)
+    val y = java.lang.Float.intBitsToFloat(0x5F1F1412 - (i >> 1))
+    // float32 throughout, same association as the firmware expression
+    y * (1.69000231f - 0.714158168f * x * y * y)
+  }
+
+  /** Vector normalization in faithful fp32 mode. */
+  def normalize(v: Vec3): Vec3 =
+    v * apply(v.magnitudeSquared.toFloat).toDouble
+
+  /** Quaternion normalization in faithful fp32 mode. */
+  def normalize(q: Quat): Quat = {
+    val r = apply(
+      (q.w * q.w + q.x * q.x + q.y * q.y + q.z * q.z).toFloat).toDouble
+    Quat(q.w * r, q.x * r, q.y * r, q.z * r)
+  }
+}
+
 /** Hamilton quaternion (w, x, y, z). */
 final case class Quat(w: Double, x: Double, y: Double, z: Double) {
   def +(o: Quat): Quat = Quat(w + o.w, x + o.x, y + o.y, z + o.z)

@@ -201,6 +201,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("M4 faithful fast inverse sqrt: bit-exact pinned fp32 outputs " +
+      "and bounded relative error") {
+    // pinned against an independent bit-level replay of the firmware
+    // expression (magic 0x5F1F1412, one polished multiply)
+    assert(FastInvSqrt(1.0f) == 1.0001187324523926f)
+    assert(FastInvSqrt(2.0f) == 0.7074484825134277f)
+    assert(FastInvSqrt(0.25f) == 2.000237464904785f)
+    assert(FastInvSqrt(100.0f) == 0.09994177520275116f)
+    forAll(Gen.choose(1e-6, 1e6)) { x =>
+      val approx = FastInvSqrt(x.toFloat).toDouble
+      val exact = 1.0 / math.sqrt(x)
+      assert(math.abs(approx - exact) / exact < 1e-3, s"x=$x")
+    }
+    // faithful normalization lands within fp32 tolerance of unit norm
+    forAll(smallVec) { v =>
+      if (v.magnitude > 1e-3) {
+        val n = FastInvSqrt.normalize(v)
+        assert(math.abs(n.magnitude - 1.0) < 2e-3, s"$v")
+      }
+    }
+  }
+
   test("AHRS quaternion stays unit-norm through arbitrary input") {
     val dt = 0.01
     val settings = AhrsSettings(recoveryTriggerPeriod = 500)
