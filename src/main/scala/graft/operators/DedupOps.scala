@@ -257,12 +257,38 @@ object DedupOps {
                             threshold: Double,
                             maxBucketSize: Int = 100): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    val sh = stagedShingles(df, idCol, textCol, shingleN)
-    val sig = sh.select(col("doc_id"),
-      TextOps.minhashSignature(col("sh"), k).as("sig"))
-    val shSz = sh.select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
-    verifyJaccard(bandPairs(sig, bands, k / bands, maxBucketSize),
-      shSz, "sh", threshold)
+    // Same staging discipline as the fast path: the shingle table is
+    // checkpointed ONCE and feeds both the signature aggregation and
+    // the verify join. Signatures are computed RELATIONALLY (explode +
+    // k min aggregates) — the Aggregate is a real optimizer barrier,
+    // where the previous array-expression form let CollapseProject
+    // inline tokenize/shingle/distinct into each of the k md5
+    // transforms (the measured 10x+ lambda re-evaluation footgun;
+    // ~2x on this path at sf0.1). min() over md5 hex strings orders
+    // identically to array_min / DuckDB list_min.
+    val pre = stagedShingles(df, idCol, textCol, shingleN)
+    val sh = pre.localCheckpoint(false)
+    val sig = md5MinhashSig(
+      sh.select(col("doc_id"), explode(col("sh")).as("s")), k)
+    val shSz = hintBySize(
+      sh.select(col("doc_id"), col("sh"), size(col("sh")).as("n")), pre)
+    verifyJaccard(bandPairs(sig, bands, k / bands, maxBucketSize,
+      needBarrier = false), shSz, "sh", threshold)
+  }
+
+  /** Relational md5 minhash signature from exploded (doc_id, s)
+    * shingle rows: k grouped min aggregates over md5("i:" + s) — the
+    * oracle-parity twin of [[affineMinhashSig]], value-identical to
+    * `TextOps.minhashSignature` (array_min over the same md5 family)
+    * but with the Aggregate barrier that keeps the shingle pipeline
+    * from being re-evaluated per seed. */
+  private def md5MinhashSig(shingled: DataFrame, k: Int): DataFrame = {
+    val minCols = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("s")))).as(s"m$i"))
+    shingled.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** The persistable signature artifact for incremental dedup:
