@@ -11,21 +11,27 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Single-pass vector moments + gram matrix over an `array<double>`
-  * column: one corpus scan accumulates count, per-dimension sums, and
-  * the d x d outer-product sum in a flat d²-sized buffer — the input
-  * PCA/covariance needs, without the exploded self-join that
-  * materializes dims² rows per document through a shuffle (a 64x row
-  * blowup at dims=64; the 100 TB liability this replaces).
+  * column: one corpus scan accumulates row count, per-dimension entry
+  * counts and sums, and the d x d outer-product sum in a flat buffer
+  * — the input PCA/covariance needs, without the exploded self-join
+  * that materializes dims² rows per document through a shuffle (a 64x
+  * row blowup at dims=64; the 100 TB liability this replaces).
   *
-  * Buffer/result layout (flat array<double>, length 1 + d + d²):
-  * `[0]` = row count, `[1..d]` = per-dim sums, `[1+d + i*d + j]` =
-  * sum over rows of x_i * x_j. Only the upper triangle is accumulated
-  * per row (j >= i); eval mirrors it down before returning. Partial
+  * Buffer/result layout (flat array<double>, length 1 + 2d + d²):
+  * `[0]` = TOTAL input row count (null/ragged rows included — the
+  * `df.count()` the covariance normalizes by), `[1..d]` = per-dim
+  * entry counts, `[1+d..2d]` = per-dim sums, `[1+2d + i*d + j]` =
+  * sum over rows of x_i * x_j. Null rows contribute only to `[0]`;
+  * rows of a different length contribute the entries they actually
+  * have (capped at `dims`) — exactly the contract of the relational
+  * posexplode form this replaces, where explode yields each row's
+  * actual entries while `df.count()` counts every row, and what the
+  * q82 DuckDB oracle computes (AVG over present entries; COUNT(*)
+  * over all rows). Only the upper gram triangle is accumulated per
+  * row (j >= i); eval mirrors it down before returning. Partial
   * buffers merge element-wise, so the plan is the same partial+final
   * two-phase aggregation as any built-in sum — map-side combined, one
-  * d²-sized record per partition crossing the wire. Rows that are
-  * null or of a different length are skipped (same contract as the
-  * relational form, where explode just yields their actual entries).
+  * d²-sized record per partition crossing the wire.
   */
 case class VectorMomentGram(
     child: Expression,
@@ -35,7 +41,7 @@ case class VectorMomentGram(
   extends TypedImperativeAggregate[Array[Double]]
   with UnaryLike[Expression] {
 
-  private val len = 1 + dims + dims * dims
+  private val len = 1 + 2 * dims + dims * dims
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = false
@@ -46,23 +52,23 @@ case class VectorMomentGram(
 
   override def update(buf: Array[Double], input: InternalRow)
       : Array[Double] = {
+    buf(0) += 1.0
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData].toDoubleArray()
-      if (arr.length == dims) {
-        buf(0) += 1.0
-        var i = 0
-        while (i < dims) {
-          val xi = arr(i)
-          buf(1 + i) += xi
-          var j = i
-          val row = 1 + dims + i * dims
-          while (j < dims) {
-            buf(row + j) += xi * arr(j)
-            j += 1
-          }
-          i += 1
+      val d = math.min(arr.length, dims)
+      var i = 0
+      while (i < d) {
+        val xi = arr(i)
+        buf(1 + i) += 1.0
+        buf(1 + dims + i) += xi
+        var j = i
+        val row = 1 + 2 * dims + i * dims
+        while (j < d) {
+          buf(row + j) += xi * arr(j)
+          j += 1
         }
+        i += 1
       }
     }
     buf
@@ -81,7 +87,7 @@ case class VectorMomentGram(
     while (i < dims) {
       var j = 0
       while (j < i) {
-        buf(1 + dims + i * dims + j) = buf(1 + dims + j * dims + i)
+        buf(1 + 2 * dims + i * dims + j) = buf(1 + 2 * dims + j * dims + i)
         j += 1
       }
       i += 1
@@ -114,7 +120,8 @@ case class VectorMomentGram(
 
 object VectorMomentGram {
   /** Column-API entry point: one aggregated row
-    * `[n, sum_1..sum_d, gram_11..gram_dd]` (flat, length 1+d+d²). */
+    * `[n_rows, cnt_1..cnt_d, sum_1..sum_d, gram_11..gram_dd]`
+    * (flat, length 1+2d+d²). */
   def momentGram(c: Column, dims: Int): Column =
     GraftExprBridge.column(
       VectorMomentGram(

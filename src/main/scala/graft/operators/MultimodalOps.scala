@@ -75,7 +75,11 @@ object MultimodalOps {
         }
         Some((w, h, thumb))
       }
-    } catch { case _: java.io.IOException => None }
+      // NonFatal, not just IOException: the JDK BMP/GIF/JPEG readers
+      // throw unchecked exceptions (IllegalArgumentException, CMM/
+      // IndexOutOfBounds) on malformed bodies — at 100 TB of untrusted
+      // payloads one adversarial file must not kill the job
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Attach a synthetic media payload to any id+text DataFrame (the
@@ -166,8 +170,11 @@ object MultimodalOps {
           .as("media_id"),
         // extension from the BASENAME too — a dotted parent directory
         // (/data/v1.2/readme) must not leak into the format; files
-        // with no extension get the 'bin' sentinel
-        when(element_at(split(col("path"), "/"), -1).contains("."),
+        // with no extension, or a trailing dot ('dump.' splits to a
+        // trailing empty segment), get the 'bin' sentinel
+        when(element_at(split(col("path"), "/"), -1).contains(".") &&
+            length(element_at(
+              split(element_at(split(col("path"), "/"), -1), "\\."), -1)) > 0,
           lower(element_at(
             split(element_at(split(col("path"), "/"), -1), "\\."), -1)))
           .otherwise(lit("bin")).as("format"),

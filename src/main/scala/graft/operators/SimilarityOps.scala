@@ -493,10 +493,16 @@ object SimilarityOps {
       .select(graft.functions.VectorMomentGram
         .momentGram(col(vecCol), dims).as("mg"))
       .head.getSeq[Double](0)
+    // n = ALL rows (the covariance normalizer); per-dim means divide
+    // by each dimension's own entry count — the relational contract
+    // (avg over present entries) the oracle mirrors
     val n = flat(0)
-    val mu = Array.tabulate(dims)(i => flat(1 + i) / n)
+    val mu = Array.tabulate(dims) { i =>
+      val cnt = flat(1 + i)
+      if (cnt > 0) flat(1 + dims + i) / cnt else 0.0
+    }
     val gram = Array.tabulate(dims, dims) { (i, j) =>
-      flat(1 + dims + i * dims + j)
+      flat(1 + 2 * dims + i * dims + j)
     }
     // round half-AWAY-FROM-ZERO, matching DuckDB's ROUND (math.rint's
     // half-to-even would disagree exactly at a .5 boundary and the pin

@@ -272,8 +272,8 @@ object TextOps {
     * curation job screens on, each a pure scan-speed expression —
     * token count, bad-word hit, code brace, lorem-ipsum boilerplate,
     * and the fraction of lines that end in terminal punctuation.
-    * Thresholding is left to [[CurationOps.c4Keep]] so corpora can
-    * tune the gates without recomputing signals. */
+    * Thresholding is left to [[c4Keep]] so corpora can tune the
+    * gates without recomputing signals. */
   def c4Signals(text: Column, badWords: Seq[String]): Seq[Column] = {
     val toks = tokens(text)
     val bad = array(badWords.map(lit): _*)

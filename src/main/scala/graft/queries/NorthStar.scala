@@ -365,9 +365,10 @@ object NorthStar {
       .agg(max(col("rn")).cast("long").as("n_exact"),
         max(when(col("rn") === k, col("h"))).as("hk"))
       .select(col("event_type"), col("n_exact"),
+        // integer-ratio output -> 1e4-unit BIGINT pin (CLAUDE.md rule)
         round(when(col("hk").isNull, col("n_exact").cast("double"))
-          .otherwise(lit((k - 1) * 4294967296.0) / col("hk")), 4)
-          .as("n_est"))
+          .otherwise(lit((k - 1) * 4294967296.0) / col("hk")) * 1e4, 0)
+          .cast("long").as("n_est_e4"))
       .ordered(col("event_type"))
   }
 
@@ -1387,8 +1388,9 @@ object NorthStar {
        |kth AS (SELECT event_type, h AS hk FROM r WHERE rn = 64),
        |c AS (SELECT event_type, COUNT(*) AS n_exact FROM d GROUP BY event_type)
        |SELECT c.event_type, c.n_exact,
-       |       ROUND(CASE WHEN kth.hk IS NULL THEN c.n_exact * 1.0
-       |                  ELSE ${63 * 4294967296.0} / kth.hk END, 4) AS n_est
+       |       CAST(ROUND((CASE WHEN kth.hk IS NULL THEN c.n_exact::DOUBLE
+       |                        ELSE ${63 * 4294967296.0} / kth.hk
+       |                   END) * 1e4, 0) AS BIGINT) AS n_est_e4
        |FROM c LEFT JOIN kth USING (event_type)
        |ORDER BY c.event_type""".stripMargin
 

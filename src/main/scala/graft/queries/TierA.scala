@@ -317,9 +317,10 @@ object TierA {
       .agg(max(col("rn")).cast("long").as("n_exact"),
         max(when(col("rn") === k, col("h"))).as("hk"))
       .select(col("l_returnflag"), col("n_exact"),
+        // integer-ratio output -> 1e4-unit BIGINT pin (CLAUDE.md rule)
         round(when(col("hk").isNull, col("n_exact").cast("double"))
-          .otherwise(lit((k - 1) * 4294967296.0) / col("hk")), 4)
-          .as("n_est"))
+          .otherwise(lit((k - 1) * 4294967296.0) / col("hk")) * 1e4, 0)
+          .cast("long").as("n_est_e4"))
       .ordered(col("l_returnflag"))
   }
 
@@ -396,8 +397,9 @@ object TierA {
        |c AS (SELECT l_returnflag, COUNT(*) AS n_exact FROM d
        |      GROUP BY l_returnflag)
        |SELECT c.l_returnflag, c.n_exact,
-       |       ROUND(CASE WHEN kth.hk IS NULL THEN c.n_exact * 1.0
-       |                  ELSE ${127 * 4294967296.0} / kth.hk END, 4) AS n_est
+       |       CAST(ROUND((CASE WHEN kth.hk IS NULL THEN c.n_exact::DOUBLE
+       |                        ELSE ${127 * 4294967296.0} / kth.hk
+       |                   END) * 1e4, 0) AS BIGINT) AS n_est_e4
        |FROM c LEFT JOIN kth USING (l_returnflag)
        |ORDER BY c.l_returnflag""".stripMargin
 

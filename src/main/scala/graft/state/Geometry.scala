@@ -40,15 +40,25 @@ object FastInvSqrt {
     y * (1.69000231f - 0.714158168f * x * y * y)
   }
 
-  /** Vector normalization in faithful fp32 mode. */
-  def normalize(v: Vec3): Vec3 =
-    v * apply(v.magnitudeSquared.toFloat).toDouble
+  /** Vector normalization in faithful fp32 mode: the squared
+    * magnitude accumulates term-by-term in Float (a double-precision
+    * sum rounded once can land 1 ulp away — double rounding — and a
+    * replay must match the device to the last float bit), and each
+    * component multiplies by the reciprocal in Float too. */
+  def normalize(v: Vec3): Vec3 = {
+    val (fx, fy, fz) = (v.x.toFloat, v.y.toFloat, v.z.toFloat)
+    val r = apply(fx * fx + fy * fy + fz * fz)
+    Vec3((fx * r).toDouble, (fy * r).toDouble, (fz * r).toDouble)
+  }
 
-  /** Quaternion normalization in faithful fp32 mode. */
+  /** Quaternion normalization in faithful fp32 mode (same term-wise
+    * Float accumulation as the vector form). */
   def normalize(q: Quat): Quat = {
-    val r = apply(
-      (q.w * q.w + q.x * q.x + q.y * q.y + q.z * q.z).toFloat).toDouble
-    Quat(q.w * r, q.x * r, q.y * r, q.z * r)
+    val (fw, fx, fy, fz) =
+      (q.w.toFloat, q.x.toFloat, q.y.toFloat, q.z.toFloat)
+    val r = apply(fw * fw + fx * fx + fy * fy + fz * fz)
+    Quat((fw * r).toDouble, (fx * r).toDouble,
+      (fy * r).toDouble, (fz * r).toDouble)
   }
 }
 

@@ -623,12 +623,36 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
       .select(graft.functions.VectorMomentGram.momentGram(col("v"), 3))
       .head.getSeq[Double](0)
     assert(flat(0) == vecs.length.toDouble)
-    for (i <- 0 until 3)
-      assert(math.abs(flat(1 + i) - vecs.map(_(i)).sum) < 1e-12, s"sum $i")
+    for (i <- 0 until 3) {
+      assert(flat(1 + i) == vecs.length.toDouble, s"cnt $i")
+      assert(math.abs(flat(4 + i) - vecs.map(_(i)).sum) < 1e-12, s"sum $i")
+    }
     for (i <- 0 until 3; j <- 0 until 3) {
       val want = vecs.map(v => v(i) * v(j)).sum
-      assert(math.abs(flat(4 + i * 3 + j) - want) < 1e-12, s"gram($i,$j)")
+      assert(math.abs(flat(7 + i * 3 + j) - want) < 1e-12, s"gram($i,$j)")
     }
+  }
+
+  test("moment/gram aggregate: null rows count toward n only; ragged " +
+      "rows contribute the entries they have (relational contract)") {
+    import spark.implicits._
+    val rows: Seq[(Long, Option[Array[Double]])] = Seq(
+      1L -> Some(Array(1.0, 2.0, 3.0)),
+      2L -> None,                       // null row: n only
+      3L -> Some(Array(5.0)),           // ragged short: dim 0 only
+      4L -> Some(Array(1.0, 1.0, 1.0, 9.0))) // ragged long: capped at 3
+    val df = rows.toDF("id", "v")
+    val flat = df
+      .select(graft.functions.VectorMomentGram.momentGram(col("v"), 3))
+      .head.getSeq[Double](0)
+    assert(flat(0) == 4.0, "n counts every input row")
+    assert(flat(1) == 3.0 && flat(2) == 2.0 && flat(3) == 2.0, "per-dim cnt")
+    assert(flat(4) == 1.0 + 5.0 + 1.0) // dim-0 sums
+    assert(flat(5) == 2.0 + 1.0)
+    assert(flat(6) == 3.0 + 1.0)
+    // gram(0,0): 1 + 25 + 1; gram(0,2): 1*3 + 1*1 (row 3 lacks dim 2)
+    assert(flat(7) == 27.0)
+    assert(flat(7 + 2) == 4.0)
   }
 
   test("PCA projection variance dominates any coordinate direction") {

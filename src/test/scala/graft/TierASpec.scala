@@ -63,7 +63,7 @@ class TierASpec extends AnyFunSuite with SparkTestBase {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val exact = r.getLong(1).toDouble
-      val est = r.getDouble(2)
+      val est = r.getLong(2) / 1e4
       assert(math.abs(est - exact) <= math.max(2.0, 0.1 * exact),
         s"${r.getString(0)}: est=$est exact=$exact")
     }
