@@ -352,9 +352,37 @@ object TierA {
       .ordered(col("o_orderkey"))
   }
 
+  // Q93 — M17 axes-swap as a declared oracle query: alignment 1
+  // (+X-Z+Y) over a 3-column "sensor vector" (pure sign/permute
+  // projection — scan speed, zero shuffle). lineitem has duplicate
+  // (l_orderkey, l_linenumber) pairs, so the output columns join the
+  // ORDER BY for a total order.
+  private val q93: Q = (s, dir) => {
+    val (bx, by, bz) = graft.state.AxesAlignment.swapColumns(
+      col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+      ordinal = 1)
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        bx.as("bx"), by.as("by"), bz.as("bz"))
+      .ordered(col("l_orderkey"), col("l_linenumber"),
+        col("bx"), col("by"), col("bz"))
+  }
+
+  // Q94 — M21 keyed log id as a declared oracle query: the md5-based
+  // layout-independent variant (the seeded-rand form is engine-
+  // specific by construction and keeps its determinism spec).
+  private val q94: Q = (s, dir) => {
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        ScalarOps.keyedLogId(col("o_orderkey"), "log").as("log_id"))
+      .ordered(col("o_orderkey"))
+  }
+
   val all: Map[String, Q] = Map(
     "q90_cube" -> q90,
     "q91_rank_dist" -> q91,
+    "q93_axes_swap" -> q93,
+    "q94_keyed_log_id" -> q94,
     "q36_rollup" -> q36,
     "q37_except" -> q37,
     "q38_moments" -> q38,
@@ -403,8 +431,23 @@ object TierA {
        |FROM c LEFT JOIN kth USING (l_returnflag)
        |ORDER BY c.l_returnflag""".stripMargin
 
+  // alignment 1 (+X-Z+Y): bx = +sx, by = -sz, bz = +sy
+  private val q93Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |       l_quantity AS bx, -l_discount AS by, l_extendedprice AS bz
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, bx, by, bz""".stripMargin
+
+  private val q94Sql: String =
+    s"""SELECT o_orderkey,
+       |       CAST(${sqlHex32("md5('log:' || o_orderkey::VARCHAR)")} % 10000
+       |            AS INTEGER) AS log_id
+       |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q39_approx_distinct" -> q39Sql,
+    "q93_axes_swap" -> q93Sql,
+    "q94_keyed_log_id" -> q94Sql,
     "q90_cube" ->
       """SELECT o_orderstatus, o_orderpriority,
         |       GROUPING(o_orderstatus) AS g1,
