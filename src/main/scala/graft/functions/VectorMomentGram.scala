@@ -55,18 +55,23 @@ case class VectorMomentGram(
     buf(0) += 1.0
     val v = child.eval(input)
     if (v != null) {
-      val arr = v.asInstanceOf[ArrayData].toDoubleArray()
-      val d = math.min(arr.length, dims)
+      // element-wise ArrayData access, NOT toDoubleArray(): that
+      // would silently turn NULL elements into 0.0 entries, where the
+      // relational form (and the q82 oracle's AVG/SUM) skips them
+      val ad = v.asInstanceOf[ArrayData]
+      val d = math.min(ad.numElements(), dims)
       var i = 0
       while (i < d) {
-        val xi = arr(i)
-        buf(1 + i) += 1.0
-        buf(1 + dims + i) += xi
-        var j = i
-        val row = 1 + 2 * dims + i * dims
-        while (j < d) {
-          buf(row + j) += xi * arr(j)
-          j += 1
+        if (!ad.isNullAt(i)) {
+          val xi = ad.getDouble(i)
+          buf(1 + i) += 1.0
+          buf(1 + dims + i) += xi
+          var j = i
+          val row = 1 + 2 * dims + i * dims
+          while (j < d) {
+            if (!ad.isNullAt(j)) buf(row + j) += xi * ad.getDouble(j)
+            j += 1
+          }
         }
         i += 1
       }

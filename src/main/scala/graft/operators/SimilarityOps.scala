@@ -495,8 +495,13 @@ object SimilarityOps {
       .head.getSeq[Double](0)
     // n = ALL rows (the covariance normalizer); per-dim means divide
     // by each dimension's own entry count — the relational contract
-    // (avg over present entries) the oracle mirrors
+    // (avg over present entries) the oracle mirrors. A dimension with
+    // ZERO entries (every vector shorter than `dims` — a caller
+    // error) pins mu=0 here where SQL AVG would poison the component
+    // with NULL; the documented divergence only exists on that
+    // degenerate input.
     val n = flat(0)
+    require(n > 0, "pcaProject needs a non-empty input")
     val mu = Array.tabulate(dims) { i =>
       val cnt = flat(1 + i)
       if (cnt > 0) flat(1 + dims + i) / cnt else 0.0

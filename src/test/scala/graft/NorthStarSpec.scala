@@ -653,6 +653,20 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     // gram(0,0): 1 + 25 + 1; gram(0,2): 1*3 + 1*1 (row 3 lacks dim 2)
     assert(flat(7) == 27.0)
     assert(flat(7 + 2) == 4.0)
+    // NULL elements are skipped like SQL AVG/SUM, not read as 0.0
+    val withNullElem: Seq[(Long, Array[java.lang.Double])] = Seq(
+      1L -> Array[java.lang.Double](2.0, null, 4.0),
+      2L -> Array[java.lang.Double](6.0, 8.0, null))
+    val f2 = withNullElem.toDF("id", "v")
+      .select(graft.functions.VectorMomentGram.momentGram(col("v"), 3))
+      .head.getSeq[Double](0)
+    assert(f2(0) == 2.0)
+    assert(f2(1) == 2.0 && f2(2) == 1.0 && f2(3) == 1.0, "null slots skip")
+    assert(f2(4) == 8.0 && f2(5) == 8.0 && f2(6) == 4.0)
+    // gram(0,1): only row 2 has both dims 0 and 1 -> 6*8
+    assert(f2(7 + 1) == 48.0)
+    // gram(0,2): only row 1 has both dims 0 and 2 -> 2*4
+    assert(f2(7 + 2) == 8.0)
   }
 
   test("PCA projection variance dominates any coordinate direction") {
