@@ -145,6 +145,42 @@ class StorageStreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming C4 rule gate equals the batch gate (stateless " +
+      "signals compose with readStream unchanged)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bad = Seq("slow", "dup")
+    def gated(df: org.apache.spark.sql.DataFrame) = {
+      val sig = df.select(col("doc_id") +:
+        graft.operators.TextOps.c4Signals(col("text"), bad): _*)
+      sig.select(col("doc_id"),
+        graft.operators.TextOps.c4Keep(col("n_words"),
+          col("has_bad_word"), col("has_brace"), col("has_lorem"),
+          col("punct_line_frac"), minWords = 3).as("keep"))
+    }
+    val rows = Seq(
+      (1L, "one good document here indeed."),
+      (2L, "short"),                       // fails minWords
+      (3L, "this one is slow somehow ok"), // bad word
+      (4L, "code doc with { braces } in it and words"),
+      (5L, "lorem ipsum dolor sit amet filler"))
+    val input = MemoryStream[(Long, String)]
+    val q = gated(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("c4_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(2)); q.processAllAvailable()
+      input.addData(rows.drop(2)); q.processAllAvailable()
+      val streamed = spark.table("c4_out").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val batch = gated(rows.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(streamed == batch)
+      assert(batch == Map(1L -> true, 2L -> false, 3L -> false,
+        4L -> false, 5L -> false))
+    } finally q.stop()
+  }
+
   test("streaming MinHash LSH near-dup equals the batch candidate set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
