@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Abs, Cast, Expression,
   ExpressionInfo, If, LessThanOrEqual, Literal, Multiply, Signum, Subtract}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{CharEntropy, ExactMedian, RollingHash, VectorDot}
+import graft.functions.{CharEntropy, ExactMedian, RollingHash, VectorDot,
+  VectorMomentGram}
 
 /** SQL surface for the engine's custom expressions: registers them in
   * the session function registry so `spark.sql` users call them like
@@ -19,6 +20,8 @@ import graft.functions.{CharEntropy, ExactMedian, RollingHash, VectorDot}
   *  - `exact_median(x)`  — exact median TypedImperativeAggregate
   *  - `deadband(x, floor)` — noise-floor crush (reference F5)
   *  - `rolling_hash(text)` — base-31 mod-1e9+7 document fingerprint
+  *  - `char_entropy(text)` — codegen'd character-distribution entropy
+  *  - `vector_moment_gram(v, dims)` — single-pass moments + gram aggregate
   *
   * Builders return raw Catalyst trees (the analyzer applies its usual
   * type coercion to them, like any parsed SQL).
@@ -78,7 +81,21 @@ object GraftFunctions {
     (FunctionIdentifier("char_entropy"),
       info("char_entropy",
         "char_entropy(text) - Shannon entropy (nats) of the character distribution"),
-      arity("char_entropy", 1)(es => CharEntropy(es(0)))))
+      arity("char_entropy", 1)(es => CharEntropy(es(0)))),
+    (FunctionIdentifier("vector_moment_gram"),
+      info("vector_moment_gram",
+        "vector_moment_gram(v, dims) - single-pass aggregate over " +
+          "array<double>: [n_rows, cnt_1..d, sum_1..d, gram_11..dd]"),
+      arity("vector_moment_gram", 2)(es => {
+        // dims sizes the aggregation buffer, so it must be a
+        // plan-time integer literal, not a runtime column
+        val dims = es(1) match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case _ => throw new IllegalArgumentException(
+            "vector_moment_gram: dims must be an integer literal")
+        }
+        VectorMomentGram(Cast(es(0), ArrayType(DoubleType)), dims)
+      })))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

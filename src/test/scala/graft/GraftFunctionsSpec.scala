@@ -33,12 +33,29 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(m4.getDouble(0) == 4.0) // even count: mean of middle two
   }
 
+  test("vector_moment_gram works as a SQL aggregate") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(Array(1.0, 2.0), Array(3.0, 4.0)).toDF("v")
+      .createOrReplaceTempView("mg")
+    val flat = spark.sql(
+      "SELECT vector_moment_gram(v, 2) AS g FROM mg")
+      .collect()(0).getSeq[Double](0)
+    // [n, cnt0, cnt1, sum0, sum1, g00, g01, g10, g11]
+    assert(flat == Seq(2.0, 2.0, 2.0, 4.0, 6.0, 10.0, 14.0, 14.0, 20.0))
+    val e = intercept[Exception] {
+      spark.sql("SELECT vector_moment_gram(v, cast(rand()*2 as int)) FROM mg")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+
   test("the extensions class injects the same registry entries") {
     // GraftExtensions is the spark.sql.extensions entry point; its
     // injection list must stay in sync with the direct registrar.
     val names = GraftFunctions.all.map(_._1.funcName).toSet
     assert(names == Set("vector_dot", "exact_median", "deadband",
-      "rolling_hash", "char_entropy"))
+      "rolling_hash", "char_entropy", "vector_moment_gram"))
     val ext = new GraftExtensions
     val sse = new org.apache.spark.sql.SparkSessionExtensions
     ext(sse) // must not throw; builder wiring exercised above
