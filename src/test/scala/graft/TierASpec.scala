@@ -14,7 +14,14 @@ class TierASpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("every declared query has an oracle and runs at sf0.001") {
-    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // exact EQUALITY, not subset: a declared query without an oracle
+    // lands as `err: no_oracle` in the driver's correctness file —
+    // round 3 drove that set to zero and this pins it there
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
+      s"queries without oracle: ${
+        SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet}; " +
+        s"oracles without query: ${
+          SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, dir).count()
       assert(n >= 0, s"$name failed")
