@@ -94,6 +94,8 @@ object GraftFunctions {
           case _ => throw new IllegalArgumentException(
             "vector_moment_gram: dims must be an integer literal")
         }
+        if (dims <= 0) throw new IllegalArgumentException(
+          s"vector_moment_gram: dims must be positive, got $dims")
         VectorMomentGram(Cast(es(0), ArrayType(DoubleType)), dims)
       })))
 

@@ -41,6 +41,8 @@ case class VectorMomentGram(
   extends TypedImperativeAggregate[Array[Double]]
   with UnaryLike[Expression] {
 
+  require(dims > 0, s"dims must be positive, got $dims")
+
   private val len = 1 + 2 * dims + dims * dims
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)

@@ -35,14 +35,22 @@ final case class MediaFeatures(
 object MultimodalOps {
 
   /** Magic-byte sniff for formats the JDK can decode — cheaper and
-    * more reliable than trusting a file extension at 100 TB. */
+    * more reliable than trusting a file extension at 100 TB. The BMP
+    * check goes beyond the 2-byte 'BM' magic (which ordinary text can
+    * start with): the DIB header size at offset 14 must be one of the
+    * real variants with its high bytes zero, or a text payload could
+    * be garbage-decoded into nonzero dimensions. */
   private[graft] def looksLikeImage(bytes: Array[Byte]): Boolean = {
     def at(i: Int): Int = bytes(i) & 0xff
+    def bmp: Boolean =
+      bytes.length >= 18 && at(0) == 'B' && at(1) == 'M' &&
+        Set(12, 40, 56, 64, 108, 124).contains(at(14)) &&
+        at(15) == 0 && at(16) == 0 && at(17) == 0
     bytes.length >= 8 && (
       (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') ||
       (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) ||          // JPEG
       (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8') ||
-      (at(0) == 'B' && at(1) == 'M'))                               // BMP
+      bmp)
   }
 
   /** Decode an encoded image and produce (width, height, 8x8 gray

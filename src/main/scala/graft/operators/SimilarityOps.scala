@@ -391,7 +391,12 @@ object SimilarityOps {
                     k: Int = 8, iters: Int = 3, threshold: Double = 0.4,
                     maxClusterSize: Int = 2000): DataFrame = {
     require(maxClusterSize > 0, "maxClusterSize must be positive")
+    // checkpoint the (id, cid) assignment ONCE: it is referenced by
+    // both the sizes aggregation and the tagged join, and without a
+    // barrier each reference re-runs the k-dot-product assignment
+    // projection over the full corpus
     val asg = kmeansInt8(df, idCol, vecCol, k, iters)
+      .localCheckpoint(false)
     val pre = withNorm(df, idCol, vecCol, "id", "v", "nm")
     val sizes = asg.groupBy(col("cid"))
       .agg(count(lit(1)).as("csz")) // k rows — always broadcast

@@ -334,8 +334,10 @@ object NorthStar {
       .ordered(col("id1"), col("id2"))
   }
 
-  // q48 — oracle-parity SimHash near-dup (32-bit md5 fingerprints; the
-  // DuckDB-checkable twin of q27's 64-bit xxhash64 path).
+  // q48 — oracle-parity SimHash near-dup on the fixed doc_id < 250
+  // slice (32-bit md5 fingerprints; q27 runs the same construction
+  // over the full corpus — the 64-bit xxhash64 fast path lives in
+  // DedupOps.simhashNearDup, spec-covered in DedupOpsSpec).
   private val q48: Q = (s, dir) => {
     DedupOps.simhashNearDupParity(
         t(s, dir, "documents").filter(col("doc_id") < 250),
@@ -973,8 +975,7 @@ object NorthStar {
 
   /** First 8 hex digits of md5 expression `h` as a BIGINT (mirrors
     * Spark's conv(substring(md5(x), 1, 8), 16, 10)). */
-  private def sqlHex32(h: String): String =
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 9), j -> CAST(strpos('0123456789abcdef', substr($h, j, 1)) - 1 AS BIGINT))), (a, x) -> a * 16 + x)"
+  private def sqlHex32(h: String): String = OracleSql.hex32(h)
 
   /** Base-31 mod-1e9+7 rolling hash of string expression `t` (mirrors
     * [[graft.functions.RollingHash]] — per-character ord = code

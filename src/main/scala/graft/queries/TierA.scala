@@ -408,10 +408,7 @@ object TierA {
     "q19_time_bucket_agg" -> q19,
     "q20_distinct_count" -> q20)
 
-  /** DuckDB replica of CurationOps.md5Hash32 (first 8 hex chars of
-    * md5 as a big-endian int — mirrors NorthStar.sqlHex32). */
-  private def sqlHex32(h: String): String =
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 9), j -> CAST(strpos('0123456789abcdef', substr($h, j, 1)) - 1 AS BIGINT))), (a, x) -> a * 16 + x)"
+  private def sqlHex32(h: String): String = OracleSql.hex32(h)
 
   private val q39Sql: String =
     s"""WITH d AS (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem),

@@ -87,6 +87,13 @@ class MultimodalDecodeSpec extends AnyFunSuite with SparkTestBase {
     assert(MultimodalOps.looksLikeImage(pngBytes(halfAndHalf())))
     assert(!MultimodalOps.looksLikeImage("plain text".getBytes("UTF-8")))
     assert(!MultimodalOps.looksLikeImage(Array[Byte](1, 2)))
+    // the 2-byte BMP magic alone must NOT match ordinary text
+    assert(!MultimodalOps.looksLikeImage(
+      "BMW sales figures for the quarter".getBytes("UTF-8")))
+    // a real BMP (written by ImageIO) still passes the tightened check
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(halfAndHalf(), "bmp", out)
+    assert(MultimodalOps.looksLikeImage(out.toByteArray))
   }
 
   test("ingestBinaryDir takes format from the basename with sentinel") {
