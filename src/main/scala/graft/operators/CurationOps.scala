@@ -209,6 +209,54 @@ object CurationOps {
       .select(col("doc_id"), col("term"), col("rk"), col("tfidf"))
   }
 
+  /** BM25 relevance of every document against a fixed query term set
+    * (Robertson & Zaragoza 2009 — the Okapi scorer retrieval-based
+    * curation runs when selecting training documents by relevance to
+    * seed queries):
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *   idf(t)   = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+    *
+    * Scale shape: the token explode FILTERS to the query terms before
+    * any aggregation, so the (doc, term) frequency table is bounded by
+    * |Q|·matching-docs, never corpus vocabulary; document lengths are
+    * one partial-agg pass; the per-term idf table is ≤|Q| rows and
+    * broadcasts; N and avgdl are the only driver scalars (one combined
+    * aggregate action — the tfidf precedent). Only documents matching
+    * at least one term are returned. */
+  def bm25Scores(df: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = df.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val lens = toks.select(col("doc_id"),
+      size(col("toks")).cast("double").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+      .head()
+    val nDocs = stats.getLong(0).toDouble
+    val avgdl = stats.getDouble(1)
+    val qset = array(queryTerms.map(lit): _*)
+    val tf = toks
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .filter(array_contains(qset, col("t"))) // prune before the agg
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val idf = tf.groupBy(col("t"))
+      .agg(count(lit(1)).cast("double").as("nd"))
+      .select(col("t"),
+        log(lit(1.0) + (lit(nDocs) - col("nd") + 0.5) /
+          (col("nd") + 0.5)).as("idf"))
+    tf.join(broadcast(idf), "t")
+      .join(lens, "doc_id")
+      .select(col("doc_id"),
+        (col("idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)))
+          .as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("bm25"))
+  }
+
   /** Per-document repetition statistics — the Gopher-style repetition
     * signals (Rae et al. 2021, "Scaling Language Models", table A1)
     * that catch boilerplate and degenerate generations: duplicate-token

@@ -879,7 +879,17 @@ object NorthStar {
       .ordered(col("doc_id"))
   }
 
+  // q95 — BM25 relevance against a fixed query term set (retrieval-
+  // based curation; ln-derived output rounds to 4dp per convention).
+  private val q95: Q = (s, dir) => {
+    CurationOps.bm25Scores(t(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("data", "query", "window"))
+      .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
+      .ordered(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q95_bm25" -> q95,
     "q92_c4_rules" -> q92,
     "q89_resize_sample" -> q89,
     "q88_event_anomaly" -> q88,
@@ -2242,7 +2252,25 @@ object NorthStar {
       |         AND NOT has_brace AND NOT has_lorem AND pf >= 0.0 AS keep
       |FROM m ORDER BY doc_id""".stripMargin
 
+  private val q95Sql: String =
+    """WITH d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |           FROM documents),
+      |l AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM d),
+      |s AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM l),
+      |tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+      |tf AS (SELECT doc_id, t, COUNT(*)::DOUBLE AS tf FROM tok
+      |       WHERE t IN ('data','query','window') GROUP BY doc_id, t),
+      |idf AS (SELECT t, ln(1.0 + ((SELECT n FROM s) - nd + 0.5)/(nd + 0.5)) AS idf
+      |        FROM (SELECT t, COUNT(*)::DOUBLE AS nd FROM tf GROUP BY t))
+      |SELECT tf.doc_id,
+      |       ROUND(SUM(idf.idf * tf.tf * 2.2 /
+      |                 (tf.tf + 1.2 * (0.25 + 0.75 * l.dl /
+      |                                 (SELECT avgdl FROM s)))), 4) AS bm25
+      |FROM tf JOIN idf USING (t) JOIN l ON tf.doc_id = l.doc_id
+      |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q95_bm25" -> q95Sql,
     "q92_c4_rules" -> q92Sql,
     "q89_resize_sample" -> q89Sql,
     "q88_event_anomaly" -> q88Sql,

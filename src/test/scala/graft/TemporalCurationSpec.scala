@@ -325,6 +325,27 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
     assert(m.head == firstSeq)
   }
 
+  test("BM25 matches the hand-computed Okapi formula") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "data data query other words here"),   // tf(data)=2, dl=6
+      (2L, "data alone"),                          // tf(data)=1, dl=2
+      (3L, "nothing relevant at all"))             // no match, dl=4
+      .toDF("doc_id", "text")
+    val got = CurationOps.bm25Scores(docs, "doc_id", "text",
+        Seq("data", "query"), k1 = 1.2, b = 0.75)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L, 2L), "only matching docs are scored")
+    val n = 3.0; val avgdl = (6.0 + 2.0 + 4.0) / 3.0
+    def idf(nd: Double) = math.log(1.0 + (n - nd + 0.5) / (nd + 0.5))
+    def term(tf: Double, dl: Double, nd: Double) =
+      idf(nd) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    val want1 = term(2, 6, 2) + term(1, 6, 1) // data in 2 docs, query in 1
+    val want2 = term(1, 2, 2)
+    assert(math.abs(got(1L) - want1) < 1e-12, s"${got(1L)} vs $want1")
+    assert(math.abs(got(2L) - want2) < 1e-12, s"${got(2L)} vs $want2")
+  }
+
   test("prefix sum matches naive cumsum on adversarial random inputs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
