@@ -257,6 +257,55 @@ object CurationOps {
       .agg(sum(col("contrib")).as("bm25"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more likely its tokens are under a TARGET
+    * unigram model than under the RAW-corpus model,
+    *
+    *   logw(d) = Σ_{w∈d} tf(d,w) · [ln p_tgt(w) − ln p_raw(w)]
+    *   p(w)    = (c(w) + α) / (N + α·V)       (add-α, shared vocab V)
+    *
+    * where the target counts come from the rows matching `isTarget`
+    * (e.g. a trusted high-quality slice) and the raw counts from the
+    * whole input. Documents are then kept by sampling ∝ exp(logw) —
+    * the caller composes that with hashKeep/temperatureMix.
+    *
+    * Scale shape: ONE tokenize pass feeds a vocab-keyed partial
+    * aggregate that carries both counts (c_all plus a conditional
+    * c_tgt — no second corpus scan for the target model); the
+    * frequency table is checkpointed so the totals action and the
+    * probe join reuse it (the unigramRarity precedent); the per-token
+    * log-ratio joins the (doc, term) tf table term-keyed — vocab-sized
+    * side, so a shuffle hash join, never a broadcast of the
+    * vocabulary. Nothing driver-side but the three total scalars. */
+  def dsirImportanceWeights(df: DataFrame, idCol: String, textCol: String,
+                            isTarget: Column, alpha: Double = 0.5)
+      : DataFrame = {
+    require(alpha > 0.0, "alpha must be positive (unsmoothed models " +
+      "give -inf weights for tokens unseen in the target)")
+    val tok = df.select(col(idCol).as("doc_id"), isTarget.as("is_tgt"),
+        explode(TextOps.tokens(col(textCol))).as("t"))
+    val csPre = tok.groupBy(col("t"))
+      .agg(count(lit(1)).cast("double").as("c_all"),
+        sum(when(col("is_tgt"), 1.0).otherwise(0.0)).as("c_tgt"))
+    val cs = csPre.localCheckpoint(false)
+    val tot = cs.agg(sum(col("c_all")), sum(col("c_tgt")),
+      count(lit(1)).cast("double")).head()
+    // empty corpus: output is empty regardless; 1.0 keeps ln finite
+    val (nAll, nTgt, v) =
+      if (tot.isNullAt(0)) (1.0, 1.0, 1.0)
+      else (tot.getDouble(0), tot.getDouble(1), tot.getDouble(2))
+    val lr = DedupOps.hintBySize(cs, csPre).select(col("t"),
+      (log((col("c_tgt") + alpha) / (nTgt + alpha * v)) -
+        log((col("c_all") + alpha) / (nAll + alpha * v))).as("llr"))
+    tok.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .join(lr, "t")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_toks"),
+        sum(col("tf") * col("llr")).as("dsir_logw"))
+  }
+
   /** Per-document repetition statistics — the Gopher-style repetition
     * signals (Rae et al. 2021, "Scaling Language Models", table A1)
     * that catch boilerplate and degenerate generations: duplicate-token

@@ -124,6 +124,60 @@ object DedupOps {
         col("n_cov").cast("double") / col("n_toks"))
   }
 
+  /** Exact duplicated-span REMOVAL (the transform counterpart of
+    * [[dupNgramCoverage]]'s diagnostic): drop every token position
+    * covered by an n-gram that occurs in >= `minDocs` distinct
+    * documents and reassemble the surviving tokens in order — the
+    * ExactSubstr-style cleanup of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better"), expressed over
+    * token n-grams. Returns (doc_id, n_toks, n_kept, cleaned) for
+    * EVERY input document; a fully-duplicated document keeps an empty
+    * string.
+    *
+    * Scale shape: same skeleton as the coverage diagnostic — one
+    * positional explode, a gram-keyed partial agg for the duplicate
+    * set (checkpointed, broadcast when small), a semi-join + constant-n
+    * explode for covered positions, then an ANTI join of the
+    * (doc, pos, token) table against them and a doc-keyed rebuild.
+    * The collect_list buffer is bounded by a single document's length
+    * (the chunker precedent), never by group count. */
+  def removeDupNgramSpans(df: DataFrame, idCol: String, textCol: String,
+                          n: Int, minDocs: Int = 2): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    def grams = toks.select(col("doc_id"),
+        posexplode(TextOps.shinglesFromTokens(col("toks"), n)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        col("col").as("g"))
+    val dupPre = grams.groupBy(col("g"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("g"))
+    val dup = dupPre.localCheckpoint(false)
+    // covered (doc_id, position) pairs; duplicates are harmless to the
+    // anti join, so no distinct pass
+    // distinct column names on the probe side: posTab and cov share
+    // lineage through toks, so same-named join keys would trip the
+    // ambiguous-self-join resolver
+    val cov = grams.join(hintBySize(dup, dupPre), Seq("g"), "left_semi")
+      .select(col("doc_id").as("c_doc"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("cp"))
+    val posTab = toks.select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("tk"))
+    val kept = posTab.join(cov,
+        col("doc_id") === col("c_doc") && col("p") === col("cp"),
+        "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("tk")))),
+            x => x("tk")), " ").as("cleaned"))
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .join(kept, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .withColumn("cleaned", coalesce(col("cleaned"), lit("")))
+  }
+
   /** MinHash + LSH banding: k-element signature split into `bands`
     * bands; documents sharing any band hash are candidate near-dups.
     * Returns distinct candidate pairs (id1 < id2). One shuffle on the

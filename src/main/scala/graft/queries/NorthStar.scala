@@ -888,7 +888,31 @@ object NorthStar {
       .ordered(col("doc_id"))
   }
 
+  // q96 — DSIR importance weights: target model = the English slice,
+  // raw model = the whole corpus (ln-derived output, 4dp).
+  private val q96: Q = (s, dir) => {
+    CurationOps.dsirImportanceWeights(t(s, dir, "documents"), "doc_id",
+        "text", isTarget = col("lang") === "en")
+      .select(col("doc_id"), col("n_toks"),
+        round(col("dsir_logw"), 4).as("dsir_logw"))
+      .ordered(col("doc_id"))
+  }
+
+  // q97 — duplicated-span REMOVAL (q77's transform counterpart): per
+  // doc the before/after token counts and an md5 fingerprint of the
+  // reassembled text (fingerprinted like q51/q53 to keep the oracle
+  // row narrow).
+  private val q97: Q = (s, dir) => {
+    DedupOps.removeDupNgramSpans(t(s, dir, "documents"), "doc_id",
+        "text", n = 3, minDocs = 2)
+      .select(col("doc_id"), col("n_toks"), col("n_kept"),
+        md5(col("cleaned")).as("cleaned_md5"))
+      .ordered(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q97_dedup_spans" -> q97,
+    "q96_dsir_weights" -> q96,
     "q95_bm25" -> q95,
     "q92_c4_rules" -> q92,
     "q89_resize_sample" -> q89,
@@ -2269,7 +2293,61 @@ object NorthStar {
       |FROM tf JOIN idf USING (t) JOIN l ON tf.doc_id = l.doc_id
       |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
 
+  private val q96Sql: String =
+    """WITH d AS (SELECT doc_id, lang,
+      |                  regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+      |           FROM documents),
+      |tok AS (SELECT doc_id, lang, unnest(ts) AS t FROM d),
+      |cs AS (SELECT t, COUNT(*)::DOUBLE AS c_all,
+      |              SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS c_tgt
+      |       FROM tok GROUP BY t),
+      |tot AS (SELECT SUM(c_all) AS n_all, SUM(c_tgt) AS n_tgt,
+      |               COUNT(*)::DOUBLE AS v FROM cs),
+      |lr AS (SELECT t, ln((c_tgt + 0.5)/(n_tgt + 0.5*v)) -
+      |                 ln((c_all + 0.5)/(n_all + 0.5*v)) AS llr
+      |       FROM cs, tot),
+      |tf AS (SELECT doc_id, t, COUNT(*)::DOUBLE AS tf FROM tok
+      |       GROUP BY doc_id, t)
+      |SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_toks,
+      |       ROUND(SUM(tf.tf * lr.llr), 4) AS dsir_logw
+      |FROM tf JOIN lr USING (t) GROUP BY tf.doc_id
+      |ORDER BY tf.doc_id""".stripMargin
+
+  private val q97Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+      |  FROM documents),
+      |gr AS (
+      |  SELECT doc_id, pos,
+      |         ts[pos] || ' ' || ts[pos + 1] || ' ' || ts[pos + 2] AS g
+      |  FROM (SELECT doc_id, ts,
+      |               unnest(generate_series(1, len(ts) - 2)) AS pos
+      |        FROM tok)),
+      |dup AS (SELECT g FROM gr GROUP BY g
+      |        HAVING COUNT(DISTINCT doc_id) >= 2),
+      |cov AS (SELECT DISTINCT doc_id, cp
+      |        FROM (SELECT doc_id,
+      |                     unnest(generate_series(pos, pos + 2)) AS cp
+      |              FROM gr WHERE g IN (SELECT g FROM dup))),
+      |pos AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS p
+      |        FROM tok),
+      |kept AS (SELECT pos.doc_id,
+      |                COALESCE(string_agg(pos.ts[pos.p], ' ' ORDER BY pos.p),
+      |                         '') AS cleaned,
+      |                COUNT(pos.p) AS n_kept
+      |         FROM pos LEFT JOIN cov
+      |           ON pos.doc_id = cov.doc_id AND pos.p = cov.cp
+      |         WHERE cov.cp IS NULL
+      |         GROUP BY pos.doc_id)
+      |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_toks,
+      |       COALESCE(k.n_kept, 0)::BIGINT AS n_kept,
+      |       md5(COALESCE(k.cleaned, '')) AS cleaned_md5
+      |FROM tok t LEFT JOIN kept k ON t.doc_id = k.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q97_dedup_spans" -> q97Sql,
+    "q96_dsir_weights" -> q96Sql,
     "q95_bm25" -> q95Sql,
     "q92_c4_rules" -> q92Sql,
     "q89_resize_sample" -> q89Sql,

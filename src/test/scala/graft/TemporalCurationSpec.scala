@@ -442,6 +442,46 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
     assert(got(4L) == ((6L, 6L, 1.0)))
   }
 
+  test("dup-span removal: covered positions dropped, order preserved") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x a b c y"),       // dup "a b c" covers 2..4 -> keep "x y"
+      (2L, "z a b c w"),       // same -> "z w"
+      (3L, "p q r"),           // nothing duplicated -> intact
+      (4L, "a b c a b c"))     // both windows dup -> everything removed
+      .toDF("doc_id", "text")
+    val got = DedupOps.removeDupNgramSpans(d, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((5L, 2L, "x y")))
+    assert(got(2L) == ((5L, 2L, "z w")))
+    assert(got(3L) == ((3L, 3L, "p q r")))
+    assert(got(4L) == ((6L, 0L, "")))
+  }
+
+  test("DSIR importance weights match the hand-computed log-ratio sum") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a b", true),   // target slice
+      (2L, "b c", false))
+      .toDF("doc_id", "text", "is_tgt")
+    val got = CurationOps.dsirImportanceWeights(d, "doc_id", "text",
+        isTarget = col("is_tgt"), alpha = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // vocab {a,b,c}: c_all = (2,2,1), N_all = 5; c_tgt = (2,1,0),
+    // N_tgt = 3; V = 3; alpha = 0.5
+    def llr(cTgt: Double, cAll: Double) =
+      math.log((cTgt + 0.5) / (3.0 + 1.5)) -
+        math.log((cAll + 0.5) / (5.0 + 1.5))
+    val w1 = 2 * llr(2, 2) + llr(1, 2)
+    val w2 = llr(1, 2) + llr(0, 1)
+    assert(got(1L)._1 == 3L && got(2L)._1 == 2L)
+    assert(math.abs(got(1L)._2 - w1) < 1e-12, s"${got(1L)._2} vs $w1")
+    assert(math.abs(got(2L)._2 - w2) < 1e-12, s"${got(2L)._2} vs $w2")
+  }
+
   test("BPE encode: merges applied greedily left-to-right per word") {
     import spark.implicits._
     val d = Seq((1L, "abab ab"), (2L, "abc"), (3L, "  "))
