@@ -482,6 +482,65 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(got(2L)._2 - w2) < 1e-12, s"${got(2L)._2} vs $w2")
   }
 
+  test("dup-span removal matches a naive reference on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // tiny alphabet so 3-gram collisions across docs are common
+    def doc(): Seq[String] =
+      Seq.fill(3 + rnd.nextInt(12))(('a' + rnd.nextInt(4)).toChar.toString)
+    val corpus = (0L until 40L).map(i => i -> doc()).toMap
+    val n = 3
+    val naive: Map[Long, (Long, Long, String)] = {
+      val dup = corpus.toSeq
+        .flatMap { case (id, ts) =>
+          ts.sliding(n).filter(_.size == n).map(g => (id, g.mkString(" "))) }
+        .groupBy(_._2).filter(_._2.map(_._1).distinct.size >= 2).keySet
+      corpus.map { case (id, ts) =>
+        val cov = Array.fill(ts.length)(false)
+        ts.sliding(n).zipWithIndex.foreach { case (g, i) =>
+          if (g.size == n && dup(g.mkString(" ")))
+            (i until i + n).foreach(cov(_) = true) }
+        val kept = ts.indices.filterNot(cov).map(ts)
+        id -> ((ts.length.toLong, kept.length.toLong, kept.mkString(" ")))
+      }
+    }
+    val got = DedupOps.removeDupNgramSpans(
+        corpus.toSeq.map { case (id, ts) => (id, ts.mkString(" ")) }
+          .toDF("doc_id", "text"), "doc_id", "text", n = n)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == naive)
+  }
+
+  test("DSIR weights match a naive reference on a random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    def doc(): Seq[String] =
+      Seq.fill(1 + rnd.nextInt(10))(('a' + rnd.nextInt(6)).toChar.toString)
+    val corpus = (0L until 30L).map(i => (i, doc(), rnd.nextBoolean()))
+    val alpha = 0.5
+    val naive: Map[Long, Double] = {
+      val all = corpus.flatMap(c => c._2)
+      val tgt = corpus.filter(_._3).flatMap(c => c._2)
+      val cAll = all.groupBy(identity).map { case (k, v) => k -> v.size.toDouble }
+      val cTgt = tgt.groupBy(identity).map { case (k, v) => k -> v.size.toDouble }
+      val (nAll, nTgt, v) = (all.size.toDouble, tgt.size.toDouble, cAll.size.toDouble)
+      def llr(w: String) =
+        math.log((cTgt.getOrElse(w, 0.0) + alpha) / (nTgt + alpha * v)) -
+          math.log((cAll(w) + alpha) / (nAll + alpha * v))
+      corpus.map(c => c._1 -> c._2.map(llr).sum).toMap
+    }
+    val got = CurationOps.dsirImportanceWeights(
+        corpus.map { case (id, ts, t) => (id, ts.mkString(" "), t) }
+          .toDF("doc_id", "text", "is_tgt"),
+        "doc_id", "text", isTarget = col("is_tgt"), alpha = alpha)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == naive.keySet)
+    naive.foreach { case (id, w) =>
+      assert(math.abs(got(id) - w) < 1e-9, s"doc $id: ${got(id)} vs $w") }
+  }
+
   test("BPE encode: merges applied greedily left-to-right per word") {
     import spark.implicits._
     val d = Seq((1L, "abab ab"), (2L, "abc"), (3L, "  "))
