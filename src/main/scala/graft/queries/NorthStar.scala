@@ -677,9 +677,13 @@ object NorthStar {
     val d = t(s, dir, "documents")
       .withColumn("quality", TextOps.qualityScore(col("text"), Stopwords))
       .filter(col("quality") >= 0.87)
+    // the curated intermediate feeds BOTH the LSH pair mining and the
+    // survivor anti-join; materialize it once (at 100 TB the curated
+    // corpus is persisted between stages for exactly this reason)
     val kept = DedupOps.exactDedup(d, "doc_id", "text")
       .select(col("keep_id").as("doc_id"))
       .join(d.select(col("doc_id"), col("text"), col("source")), "doc_id")
+      .localCheckpoint(false)
     val pairs = DedupOps.minhashLshDedupParity(kept, "doc_id", "text",
       shingleN = 2, k = 8, bands = 4, threshold = 0.2)
     val drop = DedupOps.connectedComponents(pairs, "id1", "id2")
