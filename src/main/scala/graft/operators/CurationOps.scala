@@ -257,6 +257,62 @@ object CurationOps {
       .agg(sum(col("contrib")).as("bm25"))
   }
 
+  /** Token-budget source mixing — [[temperatureMix]]'s contract at the
+    * granularity pretraining actually budgets by: each source gets a
+    * TOKEN budget ∝ (its token count)^alpha (normalized over the whole
+    * corpus, so alpha<1 up-weights small sources), and documents are
+    * kept in deterministic md5 order until the inclusive token running
+    * sum fills the budget. Reproducible across engines, runs, and
+    * repartitioning; returns the kept (source, id, n_toks) rows.
+    *
+    * Scale shape: the per-source running sum does NOT use a naive
+    * per-source window (one task per source — a 10 TB source would
+    * funnel through a single task). It is the prefixSum idiom applied
+    * per key: the first 2 md5 hex chars give 256 range buckets that
+    * are ORDER-ALIGNED with the md5 string order, per-(source, bucket)
+    * totals roll into exclusive offsets with a tiny <=256-row-per-
+    * source window, and the within-bucket cumsum window partitions by
+    * (source, bucket) — per-task work is 1/256th of a source. Integer
+    * addition is associative, so the result is identical to the flat
+    * window (the DuckDB oracle's form). The per-source budget table
+    * and offsets are broadcast; weights are rounded to 6 dp BEFORE
+    * the floor so budget boundaries are the same doubles in every
+    * engine. */
+  def tokenBudgetMix(df: DataFrame, sourceCol: String, idCol: String,
+                     textCol: String, alpha: Double, budgetTokens: Long,
+                     salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = df.select(col(sourceCol), col(idCol),
+      TextOps.tokenCount(col(textCol)).cast("long").as("n_toks"),
+      md5(concat(lit(s"$salt:"), col(idCol).cast("string"))).as("_tb_h"))
+    val totals = lens.groupBy(col(sourceCol))
+      .agg(sum(col("n_toks")).as("t_total"))
+      .withColumn("w", pow(col("t_total").cast("double"), alpha))
+    val twRow = totals.agg(sum(col("w"))).head()
+    // empty input: no sources, the joins below are empty anyway
+    val tw = if (twRow.isNullAt(0)) 1.0 else twRow.getDouble(0)
+    val budgets = totals.withColumn("b_src",
+        floor(lit(budgetTokens.toDouble) * round(col("w") / lit(tw), 6))
+          .cast("long"))
+      .select(col(sourceCol), col("b_src"))
+    val bucketed = lens.withColumn("_tb_b",
+      conv(substring(col("_tb_h"), 1, 2), 16, 10).cast("int"))
+    val wOff = Window.partitionBy(col(sourceCol)).orderBy(col("_tb_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bucketed.groupBy(col(sourceCol), col("_tb_b"))
+      .agg(sum(col("n_toks")).as("_tb_bt"))
+      .withColumn("_tb_off", coalesce(sum(col("_tb_bt")).over(wOff), lit(0L)))
+      .select(col(sourceCol), col("_tb_b"), col("_tb_off"))
+    val wIn = Window.partitionBy(col(sourceCol), col("_tb_b"))
+      .orderBy(col("_tb_h"), col(idCol))
+    bucketed
+      .join(broadcast(offs), Seq(sourceCol, "_tb_b"))
+      .withColumn("_tb_cum", col("_tb_off") + sum(col("n_toks")).over(wIn))
+      .join(broadcast(budgets), sourceCol)
+      .filter(col("_tb_cum") <= col("b_src"))
+      .select(col(sourceCol), col(idCol), col("n_toks"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every
     * document by how much more likely its tokens are under a TARGET

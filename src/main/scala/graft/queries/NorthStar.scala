@@ -914,7 +914,20 @@ object NorthStar {
       .ordered(col("doc_id"))
   }
 
+  // q98 — token-budget source mixing (alpha = 0.5, budget 12k tokens):
+  // per source the kept doc count and kept token total under the
+  // deterministic md5-order budget fill.
+  private val q98: Q = (s, dir) => {
+    CurationOps.tokenBudgetMix(t(s, dir, "documents"), "source",
+        "doc_id", "text", alpha = 0.5, budgetTokens = 12000L,
+        salt = "tbm")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("toks_kept"))
+      .ordered(col("source"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q98_token_budget_mix" -> q98,
     "q97_dedup_spans" -> q97,
     "q96_dsir_weights" -> q96,
     "q95_bm25" -> q95,
@@ -2349,7 +2362,30 @@ object NorthStar {
       |FROM tok t LEFT JOIN kept k ON t.doc_id = k.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  private val q98Sql: String =
+    """WITH lens AS (SELECT source, doc_id,
+      |       len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT
+      |         AS n_toks,
+      |       md5('tbm:' || doc_id::VARCHAR) AS h
+      |  FROM documents),
+      |tot AS (SELECT source, SUM(n_toks) AS t_total FROM lens
+      |        GROUP BY source),
+      |w AS (SELECT source, pow(t_total::DOUBLE, 0.5) AS w FROM tot),
+      |b AS (SELECT source,
+      |             CAST(FLOOR(12000.0 * ROUND(w / (SELECT SUM(w) FROM w),
+      |                                        6)) AS BIGINT) AS b_src
+      |      FROM w),
+      |c AS (SELECT source, doc_id, n_toks,
+      |             SUM(n_toks) OVER (PARTITION BY source
+      |                               ORDER BY h, doc_id) AS cum
+      |      FROM lens)
+      |SELECT c.source, COUNT(*) AS n_docs,
+      |       CAST(SUM(c.n_toks) AS BIGINT) AS toks_kept
+      |FROM c JOIN b USING (source) WHERE c.cum <= b.b_src
+      |GROUP BY c.source ORDER BY c.source""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q98_token_budget_mix" -> q98Sql,
     "q97_dedup_spans" -> q97Sql,
     "q96_dsir_weights" -> q96Sql,
     "q95_bm25" -> q95Sql,

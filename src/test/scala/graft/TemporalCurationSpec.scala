@@ -541,6 +541,42 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(got(id) - w) < 1e-9, s"doc $id: ${got(id)} vs $w") }
   }
 
+  test("token-budget mix matches a flat naive reference on random input") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val docs = (0L until 80L).map { i =>
+      val src = s"s${rnd.nextInt(5)}"
+      val text = Seq.fill(1 + rnd.nextInt(20))("w" + rnd.nextInt(9)).mkString(" ")
+      (i, src, text)
+    }
+    val alpha = 0.5; val budget = 400L; val salt = "tbt"
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val naive: Set[Long] = {
+      val lens = docs.map { case (id, src, text) =>
+        (id, src, text.split("\\s+").length.toLong, md5hex(s"$salt:$id")) }
+      val tot = lens.groupBy(_._2).map { case (s, v) => s -> v.map(_._3).sum }
+      val w = tot.map { case (s, t) => s -> math.pow(t.toDouble, alpha) }
+      val tw = w.values.sum
+      val b = w.map { case (s, x) =>
+        s -> math.floor(budget.toDouble *
+          BigDecimal(x / tw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble).toLong }
+      lens.groupBy(_._2).flatMap { case (s, v) =>
+        val ordered = v.sortBy(d => (d._4, d._1))
+        val cums = ordered.scanLeft(0L)(_ + _._3).tail
+        ordered.zip(cums).filter(_._2 <= b(s)).map(_._1._1)
+      }.toSet
+    }
+    val got = CurationOps.tokenBudgetMix(
+        docs.toDF("doc_id", "source", "text"), "source", "doc_id",
+        "text", alpha, budget, salt)
+      .collect().map(_.getLong(1)).toSet
+    assert(naive.nonEmpty && naive.size < docs.size, "budget must bite")
+    assert(got == naive)
+  }
+
   test("BPE encode: merges applied greedily left-to-right per word") {
     import spark.implicits._
     val d = Seq((1L, "abab ab"), (2L, "abc"), (3L, "  "))
