@@ -230,13 +230,20 @@ object CurationOps {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val toks = df.select(col(idCol).as("doc_id"),
       TextOps.tokens(col(textCol)).as("toks"))
-    val lens = toks.select(col("doc_id"),
+    // checkpoint the one-row-per-doc lengths table: it feeds both the
+    // n/avgdl scalar action and the final join, and each consumer
+    // would otherwise re-tokenize the corpus (unigramRarity precedent)
+    val lensPre = toks.select(col("doc_id"),
       size(col("toks")).cast("double").as("dl"))
+    val lens = lensPre.localCheckpoint(false)
     val stats = lens.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
       .head()
+    // empty corpus: no doc can match a term, output is empty anyway
     val nDocs = stats.getLong(0).toDouble
-    val avgdl = stats.getDouble(1)
-    val qset = array(queryTerms.map(lit): _*)
+    val avgdl = if (stats.isNullAt(1)) 1.0 else stats.getDouble(1)
+    // tokens() lowercases the corpus — normalize the terms to match,
+    // so mixed-case callers don't silently score nothing
+    val qset = array(queryTerms.map(t => lit(t.toLowerCase)): _*)
     val tf = toks
       .select(col("doc_id"), explode(col("toks")).as("t"))
       .filter(array_contains(qset, col("t"))) // prune before the agg
@@ -248,7 +255,7 @@ object CurationOps {
         log(lit(1.0) + (lit(nDocs) - col("nd") + 0.5) /
           (col("nd") + 0.5)).as("idf"))
     tf.join(broadcast(idf), "t")
-      .join(lens, "doc_id")
+      .join(DedupOps.hintBySize(lens, lensPre), "doc_id")
       .select(col("doc_id"),
         (col("idf") * col("tf") * (k1 + 1.0) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)))
@@ -275,9 +282,11 @@ object CurationOps {
     * (source, bucket) — per-task work is 1/256th of a source. Integer
     * addition is associative, so the result is identical to the flat
     * window (the DuckDB oracle's form). The per-source budget table
-    * and offsets are broadcast; weights are rounded to 6 dp BEFORE
-    * the floor so budget boundaries are the same doubles in every
-    * engine. */
+    * and offsets are broadcast; weights are integerized to micro-units
+    * before normalizing so the budget boundaries derive from exact
+    * integer operands in every engine (see the inline comment).
+    * Rows with a NULL id hash to a NULL bucket and are dropped by the
+    * offsets join — ids must be non-null (the prefixSum contract). */
   def tokenBudgetMix(df: DataFrame, sourceCol: String, idCol: String,
                      textCol: String, alpha: Double, budgetTokens: Long,
                      salt: String): DataFrame = {
@@ -285,14 +294,23 @@ object CurationOps {
     val lens = df.select(col(sourceCol), col(idCol),
       TextOps.tokenCount(col(textCol)).cast("long").as("n_toks"),
       md5(concat(lit(s"$salt:"), col(idCol).cast("string"))).as("_tb_h"))
+    // integerize the weights (micro-units) so the normalizing total is
+    // an EXACT integer sum: double sums are order-dependent, and Spark
+    // (partial-agg order) vs DuckDB (scan order) genuinely differ in
+    // the last ulp — enough to flip a floor at a budget boundary. With
+    // BIGINT weights both engines derive the budgets from the same
+    // floor(budget * w_e6 / tw) double expression over identical
+    // integer operands, so the boundary cannot diverge.
     val totals = lens.groupBy(col(sourceCol))
       .agg(sum(col("n_toks")).as("t_total"))
-      .withColumn("w", pow(col("t_total").cast("double"), alpha))
-    val twRow = totals.agg(sum(col("w"))).head()
+      .withColumn("w_e6",
+        round(pow(col("t_total").cast("double"), alpha) * 1e6)
+          .cast("long"))
+    val twRow = totals.agg(sum(col("w_e6"))).head()
     // empty input: no sources, the joins below are empty anyway
-    val tw = if (twRow.isNullAt(0)) 1.0 else twRow.getDouble(0)
+    val tw = if (twRow.isNullAt(0)) 1L else twRow.getLong(0)
     val budgets = totals.withColumn("b_src",
-        floor(lit(budgetTokens.toDouble) * round(col("w") / lit(tw), 6))
+        floor(lit(budgetTokens.toDouble) * col("w_e6") / lit(tw.toDouble))
           .cast("long"))
       .select(col(sourceCol), col("b_src"))
     val bucketed = lens.withColumn("_tb_b",

@@ -673,17 +673,25 @@ object NorthStar {
   // caps -> split assignment -> per-(split, source) counts. One
   // oracle over the whole composition pins stage INTERACTIONS, not
   // just stages.
-  private val q73: Q = (s, dir) => {
+  /** q73's curate + exact-dedup stage, PRE-checkpoint — exposed so the
+    * plan-health sweep still audits the subtree that the query's own
+    * localCheckpoint hides behind a LogicalRDD (PlanShapeSpec sweeps
+    * this alongside the declared queries). */
+  private[graft] def q73CuratedStage(s: SparkSession, dir: String)
+      : DataFrame = {
     val d = t(s, dir, "documents")
       .withColumn("quality", TextOps.qualityScore(col("text"), Stopwords))
       .filter(col("quality") >= 0.87)
+    DedupOps.exactDedup(d, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+      .join(d.select(col("doc_id"), col("text"), col("source")), "doc_id")
+  }
+
+  private val q73: Q = (s, dir) => {
     // the curated intermediate feeds BOTH the LSH pair mining and the
     // survivor anti-join; materialize it once (at 100 TB the curated
     // corpus is persisted between stages for exactly this reason)
-    val kept = DedupOps.exactDedup(d, "doc_id", "text")
-      .select(col("keep_id").as("doc_id"))
-      .join(d.select(col("doc_id"), col("text"), col("source")), "doc_id")
-      .localCheckpoint(false)
+    val kept = q73CuratedStage(s, dir).localCheckpoint(false)
     val pairs = DedupOps.minhashLshDedupParity(kept, "doc_id", "text",
       shingleN = 2, k = 8, bands = 4, threshold = 0.2)
     val drop = DedupOps.connectedComponents(pairs, "id1", "id2")
@@ -2370,10 +2378,13 @@ object NorthStar {
       |  FROM documents),
       |tot AS (SELECT source, SUM(n_toks) AS t_total FROM lens
       |        GROUP BY source),
-      |w AS (SELECT source, pow(t_total::DOUBLE, 0.5) AS w FROM tot),
+      |w AS (SELECT source,
+      |             CAST(ROUND(pow(t_total::DOUBLE, 0.5) * 1e6) AS BIGINT)
+      |               AS w_e6
+      |      FROM tot),
       |b AS (SELECT source,
-      |             CAST(FLOOR(12000.0 * ROUND(w / (SELECT SUM(w) FROM w),
-      |                                        6)) AS BIGINT) AS b_src
+      |             CAST(FLOOR(12000.0 * w_e6 / (SELECT SUM(w_e6) FROM w))
+      |               AS BIGINT) AS b_src
       |      FROM w),
       |c AS (SELECT source, doc_id, n_toks,
       |             SUM(n_toks) OVER (PARTITION BY source

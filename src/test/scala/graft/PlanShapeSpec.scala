@@ -337,4 +337,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("q73 curated stage (hidden behind the query's localCheckpoint) " +
+      "stays cartesian-free") {
+    // q73 checkpoints its curate+dedup subtree, which replaces it with
+    // a LogicalRDD in the query's own plan — audit the stage directly
+    // so a regression inside it cannot hide from the sweep above.
+    val p = plan(graft.queries.NorthStar.q73CuratedStage(spark, sf("sf0.001")))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"bad stage plan:\n$p")
+  }
 }

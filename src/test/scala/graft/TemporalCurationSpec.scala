@@ -557,12 +557,11 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
       val lens = docs.map { case (id, src, text) =>
         (id, src, text.split("\\s+").length.toLong, md5hex(s"$salt:$id")) }
       val tot = lens.groupBy(_._2).map { case (s, v) => s -> v.map(_._3).sum }
-      val w = tot.map { case (s, t) => s -> math.pow(t.toDouble, alpha) }
+      val w = tot.map { case (s, t) =>
+        s -> math.round(math.pow(t.toDouble, alpha) * 1e6) }
       val tw = w.values.sum
       val b = w.map { case (s, x) =>
-        s -> math.floor(budget.toDouble *
-          BigDecimal(x / tw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-            .toDouble).toLong }
+        s -> math.floor(budget.toDouble * x / tw.toDouble).toLong }
       lens.groupBy(_._2).flatMap { case (s, v) =>
         val ordered = v.sortBy(d => (d._4, d._1))
         val cums = ordered.scanLeft(0L)(_ + _._3).tail
