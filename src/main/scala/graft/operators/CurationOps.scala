@@ -331,6 +331,45 @@ object CurationOps {
       .select(col(sourceCol), col(idCol), col("n_toks"))
   }
 
+  /** Quality-temperature sampling: rank each row's `scoreCol` into
+    * |rates| equal-probability quantile buckets (exact percentile
+    * bounds) and keep rows by a per-bucket deterministic md5 rate —
+    * the curation move that concentrates the token budget on
+    * high-quality strata while keeping a floor of low-quality text
+    * for robustness. `rates(0)` applies to the lowest-score bucket.
+    * Returns the kept rows with their `bucket` index (0-based).
+    *
+    * Scale shape: one exact-percentile aggregate action yields the
+    * nb−1 bounds (driver scalars, the tfidf precedent); bucket
+    * assignment and the md5 threshold are scan-speed expressions —
+    * zero shuffles beyond the bounds aggregate. Cross-engine
+    * determinism: score ties at a bound all fall the same side of a
+    * strict `>`, so with an integer-pinned score (e6 micro-units) the
+    * bucketing cannot diverge between engines. */
+  def quantileBucketSample(df: DataFrame, scoreCol: String, idCol: String,
+                           rates: Seq[Double], salt: String): DataFrame = {
+    require(rates.nonEmpty && rates.forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be non-empty keep probabilities in [0, 1]")
+    val nb = rates.size
+    val bounds: Seq[Double] =
+      if (nb == 1) Seq.empty
+      else {
+        val probs = (1 until nb).map(i => s"${i.toDouble / nb}D")
+          .mkString(", ")
+        val row = df.agg(expr(s"percentile($scoreCol, array($probs))"))
+          .head()
+        // empty input: no bounds needed, the filter below sees no rows
+        if (row.isNullAt(0)) Seq.empty else row.getSeq[Double](0)
+      }
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(scoreCol) > lit(b), 1).otherwise(0) }
+    val cuts = array(rates.map(r =>
+      lit(math.floor(r * 4294967296.0).toLong)): _*)
+    df.withColumn("bucket", bucket)
+      .filter(md5Hash32(concat(lit(s"$salt:"), col(idCol).cast("string"))) <
+        element_at(cuts, col("bucket") + 1))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every
     * document by how much more likely its tokens are under a TARGET

@@ -934,7 +934,22 @@ object NorthStar {
       .ordered(col("source"))
   }
 
+  // q99 — quality-temperature sampling: quintile-bucket the integer-
+  // pinned quality score, keep 10/30/50/70/90% per bucket (lowest
+  // quality sampled hardest), report per-bucket survivors.
+  private val q99: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        e6(TextOps.qualityScoreRaw(col("text"), Stopwords)).as("q_e6"))
+    CurationOps.quantileBucketSample(d, "q_e6", "doc_id",
+        rates = Seq(0.1, 0.3, 0.5, 0.7, 0.9), salt = "qmix")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("q_e6")).as("q_sum_e6"))
+      .ordered(col("bucket"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q99_quality_mix" -> q99,
     "q98_token_budget_mix" -> q98,
     "q97_dedup_spans" -> q97,
     "q96_dsir_weights" -> q96,
@@ -2395,7 +2410,46 @@ object NorthStar {
       |FROM c JOIN b USING (source) WHERE c.cum <= b.b_src
       |GROUP BY c.source ORDER BY c.source""".stripMargin
 
+  private val q99Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |         len(list_filter(toks, t -> list_contains(['a','the','and','of','to','data'], t)))
+       |           * 1.0 / GREATEST(len(toks), 1) AS stop_ratio,
+       |         (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+       |           * 1.0 / GREATEST(length(text), 1) AS punct_ratio,
+       |         length(text) * 1.0 / GREATEST(len(toks), 1) AS mean_len
+       |  FROM d),
+       |q AS (SELECT doc_id,
+       |        CAST(ROUND((LEAST(mean_len / 8.0, 1.0) + (1.0 - stop_ratio) +
+       |               (1.0 - LEAST(punct_ratio * 5.0, 1.0))) / 3.0 * 1e6, 0)
+       |          AS BIGINT) AS q_e6
+       |      FROM m),
+       |bn AS (SELECT quantile_cont(q_e6, 0.2) AS b1,
+       |              quantile_cont(q_e6, 0.4) AS b2,
+       |              quantile_cont(q_e6, 0.6) AS b3,
+       |              quantile_cont(q_e6, 0.8) AS b4
+       |       FROM q),
+       |k AS (SELECT doc_id, q_e6,
+       |             (CASE WHEN q_e6 > bn.b1 THEN 1 ELSE 0 END +
+       |              CASE WHEN q_e6 > bn.b2 THEN 1 ELSE 0 END +
+       |              CASE WHEN q_e6 > bn.b3 THEN 1 ELSE 0 END +
+       |              CASE WHEN q_e6 > bn.b4 THEN 1 ELSE 0 END) AS bucket
+       |      FROM q, bn),
+       |f AS (SELECT bucket, q_e6 FROM k
+       |      WHERE ${sqlHex32("md5('qmix:' || doc_id::VARCHAR)")} <
+       |            CAST(FLOOR((CASE bucket WHEN 0 THEN 0.1 WHEN 1 THEN 0.3
+       |                        WHEN 2 THEN 0.5 WHEN 3 THEN 0.7 ELSE 0.9 END)
+       |                       * 4294967296.0) AS BIGINT))
+       |SELECT bucket, COUNT(*) AS n_kept,
+       |       CAST(SUM(q_e6) AS BIGINT) AS q_sum_e6
+       |FROM f GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q99_quality_mix" -> q99Sql,
     "q98_token_budget_mix" -> q98Sql,
     "q97_dedup_spans" -> q97Sql,
     "q96_dsir_weights" -> q96Sql,

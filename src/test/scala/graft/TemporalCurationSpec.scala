@@ -576,6 +576,25 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
     assert(got == naive)
   }
 
+  test("quantile bucket sample: bounds split evenly, rates gate buckets") {
+    import spark.implicits._
+    val d = (1L to 10L).map(i => (i, i * 100L)).toDF("doc_id", "score")
+    // two buckets at the median (5.5): rate 0 drops ALL of the low
+    // bucket, rate 1 keeps ALL of the high bucket — md5-independent
+    val got = CurationOps.quantileBucketSample(d, "score", "doc_id",
+        rates = Seq(0.0, 1.0), salt = "qb")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == (6L to 10L).map(_ -> 1).toMap)
+    // a 0.5 mid-rate keeps a strict subset, deterministically
+    val some = CurationOps.quantileBucketSample(d, "score", "doc_id",
+        rates = Seq(0.5, 0.5), salt = "qb")
+      .collect().map(_.getLong(0)).toSet
+    val again = CurationOps.quantileBucketSample(d, "score", "doc_id",
+        rates = Seq(0.5, 0.5), salt = "qb")
+      .collect().map(_.getLong(0)).toSet
+    assert(some == again && some.size < 10)
+  }
+
   test("BPE encode: merges applied greedily left-to-right per word") {
     import spark.implicits._
     val d = Seq((1L, "abab ab"), (2L, "abc"), (3L, "  "))
