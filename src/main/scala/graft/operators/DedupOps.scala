@@ -102,11 +102,15 @@ object DedupOps {
     val toks = df.select(col(idCol).as("doc_id"),
       TextOps.tokens(col(textCol)).as("toks"))
     // (doc_id, pos [1-based window start], g): shinglesFromTokens is
-    // position-aligned — element i is the n-gram starting at token i
-    def grams = toks.select(col("doc_id"),
+    // position-aligned — element i is the n-gram starting at token i.
+    // Materialized once: the duplicate-set aggregate and the coverage
+    // probe both consume it, and the rebuild costs more than
+    // re-reading the rows (same reasoning as removeDupNgramSpans)
+    val grams = toks.select(col("doc_id"),
         posexplode(TextOps.shinglesFromTokens(col("toks"), n)))
       .select(col("doc_id"), (col("pos") + 1).as("pos"),
         col("col").as("g"))
+      .localCheckpoint(false)
     val dupPre = grams.groupBy(col("g"))
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
@@ -145,10 +149,17 @@ object DedupOps {
                           n: Int, minDocs: Int = 2): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
       TextOps.tokens(col(textCol)).as("toks"))
-    def grams = toks.select(col("doc_id"),
+    // the gram table feeds BOTH the duplicate-set aggregate and the
+    // covered-position probe; materialize it once — the rebuild
+    // (tokenize + shingle + posexplode) costs more than re-reading
+    // the rows, and executor-local storage holds one row per corpus
+    // token, the same size class as the shuffle files the two
+    // consumers write anyway
+    val grams = toks.select(col("doc_id"),
         posexplode(TextOps.shinglesFromTokens(col("toks"), n)))
       .select(col("doc_id"), (col("pos") + 1).as("pos"),
         col("col").as("g"))
+      .localCheckpoint(false)
     val dupPre = grams.groupBy(col("g"))
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
