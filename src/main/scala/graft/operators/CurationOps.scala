@@ -644,8 +644,12 @@ object CurationOps {
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val toks = TextOps.tokens(col(textCol))
-    def bigrams(d: DataFrame) = d.select(col(idCol).as("doc_id"),
-      explode(TextOps.shinglesFromTokens(toks, 2)).as("b"))
+    // the corpus bigram table feeds BOTH the probability build and the
+    // per-doc probe — materialize it once (the gram-table precedent in
+    // DedupOps: the rebuild costs more than re-reading the rows)
+    val bigrams = df.select(col(idCol).as("doc_id"),
+        explode(TextOps.shinglesFromTokens(toks, 2)).as("b"))
+      .localCheckpoint(false)
     val uniPre = df.select(explode(toks).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("ca"))
     val uni = uniPre.localCheckpoint(false)
@@ -653,7 +657,7 @@ object CurationOps {
     // probability table keyed by the bigram string: tokens never
     // contain whitespace (split on \s+), so the history token is
     // unambiguously everything before the separator space
-    val probsPre = bigrams(df)
+    val probsPre = bigrams
       .groupBy(col("b")).agg(count(lit(1)).as("cab"))
       .withColumn("t", substring_index(col("b"), " ", 1))
       .join(uni, "t")
@@ -661,7 +665,7 @@ object CurationOps {
         (-log((col("cab").cast("double") + 1.0) /
           (col("ca").cast("double") + vocab.toDouble))).as("nll"))
     val probs = probsPre.localCheckpoint(false)
-    bigrams(df).join(DedupOps.hintBySize(probs, probsPre), "b")
+    bigrams.join(DedupOps.hintBySize(probs, probsPre), "b")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("nll")) / count(lit(1))).as("nll"))
