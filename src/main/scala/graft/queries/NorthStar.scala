@@ -356,16 +356,26 @@ object NorthStar {
       .select(col("event_type"), col("user_id")).distinct()
       .withColumn("h", graft.operators.CurationOps.md5Hash32(
         concat(lit("kmv:"), col("user_id").cast("string"))))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type")).orderBy(col("h"), col("user_id"))
-    // one pass: max(rn) IS the exact distinct count, and the k-th
-    // smallest hash falls out of the same ranked rows — no second
-    // events scan, no join
-    distinctPairs
-      .withColumn("rn", row_number().over(w))
-      .groupBy(col("event_type"))
-      .agg(max(col("rn")).cast("long").as("n_exact"),
-        max(when(col("rn") === k, col("h"))).as("hk"))
+    import org.apache.spark.sql.expressions.Window
+    // two-stage k-th-smallest so no window partitions by the low-
+    // cardinality event_type alone (one task per type at scale — see
+    // q39): per-(type, 64-bucket) top-k, then the global k-th from
+    // the <= 64k survivors; the exact count is a partial-agg groupBy
+    val nExact = distinctPairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_exact"))
+    val wB = Window.partitionBy(col("event_type"), col("b"))
+      .orderBy(col("h"), col("user_id"))
+    val cand = distinctPairs
+      .withColumn("b", pmod(col("user_id"), lit(64L)).cast("int"))
+      .withColumn("rnb", row_number().over(wB))
+      .filter(col("rnb") <= k)
+    val wF = Window.partitionBy(col("event_type"))
+      .orderBy(col("h"), col("user_id"))
+    val hk = cand
+      .withColumn("rn", row_number().over(wF))
+      .filter(col("rn") === k)
+      .select(col("event_type"), col("h").as("hk"))
+    nExact.join(hk, Seq("event_type"), "left")
       .select(col("event_type"), col("n_exact"),
         // integer-ratio output -> 1e4-unit BIGINT pin (CLAUDE.md rule)
         round(when(col("hk").isNull, col("n_exact").cast("double"))

@@ -307,15 +307,27 @@ object TierA {
       .select(col("l_returnflag"), col("l_orderkey")).distinct()
       .withColumn("h", graft.operators.CurationOps.md5Hash32(
         concat(lit("kmv39:"), col("l_orderkey").cast("string"))))
-    val w = Window.partitionBy(col("l_returnflag"))
+    // the exact count is a partial-aggregated groupBy; the k-th
+    // smallest hash comes from a TWO-STAGE top-k so no window ever
+    // partitions by the 3-value flag alone (which would funnel each
+    // flag's whole distinct pair set through one task at scale):
+    // per-(flag, 64-bucket) top-k bounds stage one, and the global
+    // k-th falls out of the <= 64k surviving candidates
+    val nExact = pairs.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_exact"))
+    val wB = Window.partitionBy(col("l_returnflag"), col("b"))
       .orderBy(col("h"), col("l_orderkey"))
-    // one pass: max(rn) IS the exact distinct count and the k-th
-    // smallest hash falls out of the same ranked rows — no second scan
-    pairs
-      .withColumn("rn", row_number().over(w))
-      .groupBy(col("l_returnflag"))
-      .agg(max(col("rn")).cast("long").as("n_exact"),
-        max(when(col("rn") === k, col("h"))).as("hk"))
+    val cand = pairs
+      .withColumn("b", pmod(col("l_orderkey"), lit(64L)).cast("int"))
+      .withColumn("rnb", row_number().over(wB))
+      .filter(col("rnb") <= k)
+    val wF = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("h"), col("l_orderkey"))
+    val hk = cand
+      .withColumn("rn", row_number().over(wF))
+      .filter(col("rn") === k)
+      .select(col("l_returnflag"), col("h").as("hk"))
+    nExact.join(hk, Seq("l_returnflag"), "left")
       .select(col("l_returnflag"), col("n_exact"),
         // integer-ratio output -> 1e4-unit BIGINT pin (CLAUDE.md rule)
         round(when(col("hk").isNull, col("n_exact").cast("double"))
