@@ -48,12 +48,21 @@ object StatsOps {
     * The quantiles are computed RELATIONALLY, not by collecting each
     * group into one aggregation buffer (Spark's exact `percentile`
     * buffers every group value in memory — a non-starter when one key
-    * holds billions of rows): one sort-shuffle ranks values per key
-    * (row_number + per-key count share the exchange), a filter keeps
-    * only the ≤4 bracket rows per key BEFORE the tiny bounds
-    * aggregation, and the per-key bounds broadcast back onto the
-    * table. Clipping itself is scan-speed. NULL values are ignored
-    * for ranking and pass through NULL, matching quantile_cont.
+    * holds billions of rows). Ranking does NOT sort each key in one
+    * task either (a per-key sort window funnels a key's every row
+    * through a single task — with a handful of keys that is the
+    * whole table): the keyed bucketed two-pass of prefixSum /
+    * tokenBudgetMix, over VALUE-range buckets. Per-key min/max give
+    * 256 order-aligned buckets, per-(key, bucket) counts roll into
+    * exclusive rank offsets with a ≤256-row-per-key window, and
+    * row_number runs partitioned by (key, bucket) — per-task work is
+    * 1/256th of a key. Ties share a value, hence a bucket, and only
+    * permute equal values within it, so the interpolated bounds are
+    * unchanged. A filter keeps only the ≤4 bracket rows per key
+    * BEFORE the tiny bounds aggregation, and the per-key bounds
+    * broadcast back onto the table. Clipping itself is scan-speed.
+    * NULL values are ignored for ranking and pass through NULL,
+    * matching quantile_cont.
     *
     * Adds column `{valueCol}_wins` to `df`. */
   def winsorize(df: DataFrame, keyCols: Seq[String], valueCol: String,
@@ -68,17 +77,44 @@ object StatsOps {
     // harmless — the value is renamed to v anyway)
     val clash =
       df.columns.toSet.intersect(Set("w_lo", "w_hi")) ++
-      keyCols.toSet.intersect(Set("v", "rk", "n"))
+      keyCols.toSet.intersect(Set("v", "rk", "n", "_w_b", "_w_bc",
+        "_w_off", "_w_n", "_w_min", "_w_max"))
     require(clash.isEmpty,
       s"winsorize reserves internal column name(s) ${clash.mkString(", ")}" +
         " — rename them on the input first")
     val keys = keyCols.map(col)
-    val part = Window.partitionBy(keys: _*)
-    val ranked = df
+    val nb = 256
+    val vals = df
       .select(keys :+ col(valueCol).cast("double").as("v"): _*)
       .filter(col("v").isNotNull)
-      .withColumn("rk", row_number().over(part.orderBy(col("v"))))
-      .withColumn("n", count(lit(1)).over(part))
+    // GLOBAL value range -> order-aligned bucket in [0, nb-1]: two
+    // driver scalars instead of a per-key range join (the prefixSum
+    // precedent — and its caveat: a key concentrated inside one
+    // global bucket degrades toward the single-task rank for that
+    // key, which is still never worse than ranking the key unbucketed)
+    val gRow = vals.agg(min(col("v")), max(col("v"))).head()
+    val (gLo, gHi) =
+      if (gRow.isNullAt(0)) (0.0, 1.0) // no non-null values anywhere
+      else (gRow.getDouble(0), gRow.getDouble(1))
+    val bucketed =
+      if (gHi == gLo) vals.withColumn("_w_b", lit(0))
+      else vals.withColumn("_w_b",
+        least(lit(nb - 1),
+          floor((col("v") - lit(gLo)) * nb / lit(gHi - gLo)).cast("int")))
+    // per-(key, bucket) counts -> exclusive rank offsets + key totals
+    // (the offsets window sees <= nb rows per key, never the data)
+    val wOff = Window.partitionBy(keys: _*).orderBy(col("_w_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bucketed.groupBy(keys :+ col("_w_b"): _*)
+      .agg(count(lit(1)).as("_w_bc"))
+      .withColumn("_w_off", coalesce(sum(col("_w_bc")).over(wOff), lit(0L)))
+      .withColumn("_w_n",
+        sum(col("_w_bc")).over(Window.partitionBy(keys: _*)))
+      .select(keys :+ col("_w_b") :+ col("_w_off") :+ col("_w_n"): _*)
+    val wIn = Window.partitionBy(keys :+ col("_w_b"): _*).orderBy(col("v"))
+    val ranked = bucketed.join(offs, keyCols :+ "_w_b")
+      .withColumn("rk", col("_w_off") + row_number().over(wIn))
+      .withColumn("n", col("_w_n"))
     // linear interpolation between the two bracket ranks of quantile q:
     // k = 1 + (n-1)q; bound = v_floor(k)·(1−frac) + v_ceil(k)·frac
     def contrib(q: Double): Column = {
