@@ -300,6 +300,128 @@ object SimilarityOps {
       .select(col("qid"), col("nid"), col("cos"))
   }
 
+  /** Product-quantization codebooks: `m` subspaces x `ksub` codewords
+    * over the int8-quantized domain. The codeword source vectors are
+    * the `ksub` corpus vectors with the smallest (md5(id), id) — the
+    * [[coarseCentroids]] idiom, so any engine derives the identical
+    * codebooks — and codebook `s` is their `s`-th subvector slice.
+    * Collected once: m x ksub x subDim longs — driver-sized at any
+    * corpus scale. */
+  final case class PqCodebooks(m: Int, ksub: Int, subDim: Int,
+      words: Array[Array[Array[Long]]],  // (subspace)(code)(component)
+      norms2: Array[Array[Long]])        // (subspace)(code) = ||word||^2
+
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int, ksub: Int, dims: Int): PqCodebooks = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val subDim = dims / m
+    val rows = int8Quantize(corpus, idCol, vecCol, dims)
+      .select(col("id"), col("qvec").cast("array<bigint>").as("qv"))
+      .withColumn("h", md5(col("id").cast("string")))
+      .orderBy(col("h"), col("id")).limit(ksub)
+      .select(col("qv")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(rows.length == ksub,
+      s"corpus has ${rows.length} vectors, need >= $ksub for codebooks")
+    val words = Array.tabulate(m, ksub)((s, c) =>
+      rows(c).slice(s * subDim, (s + 1) * subDim))
+    val norms2 = Array.tabulate(m, ksub)((s, c) =>
+      words(s)(c).foldLeft(0L)((a, x) => a + x * x))
+    PqCodebooks(m, ksub, subDim, words, norms2)
+  }
+
+  /** Per-subspace code assignment: argmin over the codebook of the
+    * exact integer squared distance `||w||^2 - 2 q_s.w` (the `||q_s||^2`
+    * term is constant per subvector, so ranks and ties are unchanged),
+    * ties to the smaller code — the packed-argmin idiom from
+    * [[kmeansInt8]]. Pure projection against codeword literals: zero
+    * shuffle at any corpus size. */
+  private def pqCodeExpr(cb: PqCodebooks, qv: Column, s: Int): Column = {
+    val sub = slice(qv.cast("array<double>"), s * cb.subDim + 1, cb.subDim)
+    pmod(array_min(array((0 until cb.ksub).map { c =>
+      (lit(cb.norms2(s)(c).toDouble) - lit(2.0d) *
+          graft.functions.VectorExprs.vectorDot(
+            sub, lit(cb.words(s)(c).map(_.toDouble))))
+        .cast("long") * cb.ksub + c
+    }: _*)), lit(cb.ksub.toLong)).cast("int")
+  }
+
+  /** PQ-compressed ANN top-k — the third storage tier after float32
+    * and int8: each corpus vector is stored as `m` one-byte codes
+    * (64x smaller than float32 at m=8/dims=64), scored by asymmetric
+    * distance computation (ADC). Per query, a lookup table
+    * `lut[s][c] = q_s . word[s][c]` is built ONCE (m x ksub integer
+    * dots — a pure projection on the tiny query side); scoring a
+    * corpus row is then m table lookups instead of `dims` multiplies.
+    * The approximate cosine divides by the RECONSTRUCTED corpus norm
+    * `sqrt(sum_s ||word[s][code_s]||^2)` (exact integer, precomputed at
+    * encode time), so the first-pass cut is deterministic across
+    * engines; the top `k * oversample` candidates re-rank with the
+    * exact float cosine, exactly like [[int8TopK]].
+    *
+    * Scale shape: encode is a scan-speed projection (codeword literals
+    * inlined, no shuffle); the scan touches only the m-byte code
+    * sidecar + one bigint norm; the ADC join broadcasts the query side
+    * and only (qid, nid, score) tuples shuffle for the top-k; float
+    * vectors are fetched for the candidate set alone. Output: qid,
+    * nid, cos. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             m: Int = 8, ksub: Int = 32, oversample: Int = 8,
+             dims: Int = 64): DataFrame = {
+    val cb = pqCodebooks(corpus, idCol, vecCol, m, ksub, dims)
+    val cq = int8Quantize(corpus, idCol, vecCol, dims)
+      .select(col("id").as("nid"), col("qvec").cast("array<bigint>").as("cv8"))
+    // codes + reconstructed squared norm: both pure projections
+    val coded = cq
+      .select(col("nid") +:
+        (0 until m).map(s => pqCodeExpr(cb, col("cv8"), s).as(s"pc$s")): _*)
+      .withColumn("codes", array((0 until m).map(s => col(s"pc$s")): _*))
+      .withColumn("css",
+        (0 until m).map(s =>
+          element_at(typedlit(cb.norms2(s).toSeq), col(s"pc$s") + 1))
+          .reduce(_ + _))
+      .select(col("nid"), col("codes"), col("css"))
+    val qq = int8Quantize(queries, idCol, vecCol, dims)
+      .select(col("id").as("qid"), col("qvec").cast("array<bigint>").as("qv8"))
+      .withColumn("qss",
+        aggregate(col("qv8"), lit(0L), (a, x) => a + x * x))
+      .withColumn("lut", array((0 until m).map { s =>
+        val sub = slice(col("qv8").cast("array<double>"),
+          s * cb.subDim + 1, cb.subDim)
+        array((0 until ksub).map { c =>
+          graft.functions.VectorExprs.vectorDot(
+            sub, lit(cb.words(s)(c).map(_.toDouble)))
+        }: _*)
+      }: _*))
+      .select(col("qid"), col("qss"), col("lut"))
+    // ADC: m lookups per pair; lut/codes are join-output attributes, so
+    // the zip_with lambda reads columns, it re-evaluates nothing
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosq").desc, col("nid"))
+    val cand = coded.join(broadcast(qq), col("qid") =!= col("nid"))
+      .withColumn("adc",
+        aggregate(zip_with(col("codes"), col("lut"),
+          (cc, l) => element_at(l, cc + 1)), lit(0.0d), (a, x) => a + x))
+      .withColumn("cosq",
+        col("adc") /
+          (sqrt(col("qss").cast("double")) * sqrt(col("css").cast("double"))))
+      .select(col("qid"), col("nid"), col("cosq"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k * oversample)
+      .select(col("qid"), col("nid"))
+    // exact rerank on the candidate set only (the int8TopK tail)
+    val cv = withNorm(corpus, idCol, vecCol, "nid", "cv", "cn")
+    val qv = withNorm(queries, idCol, vecCol, "qid", "qv", "qn")
+    val wr = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    cand.join(broadcast(qv), "qid").join(cv, "nid")
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("cos"))
+  }
+
   /** Integer Lloyd k-means over the int8-quantized embeddings — the
     * corpus-organization step of SemDeDup-style semantic dedup, and
     * deliberately INTEGER end to end so every round is reproducible

@@ -958,7 +958,20 @@ object NorthStar {
       .ordered(col("bucket"))
   }
 
+  // q100 — product-quantization ANN top-5: m=8 one-byte codes per
+  // vector (64x smaller than float32), deterministic md5-sampled
+  // codebooks, ADC lookup-table first pass over exact integers, float
+  // rerank on candidates only (the int8TopK tail).
+  private val q100: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    SimilarityOps.pqTopK(emb, emb.filter(col("vec_id") < 25),
+        "vec_id", "embedding", k = 5, m = 8, ksub = 32, oversample = 8)
+      .ordered(col("qid"), col("cos").desc, col("nid"))
+      .select(col("qid"), col("nid"), round(col("cos"), 6).as("cos"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q100_pq_topk" -> q100,
     "q99_quality_mix" -> q99,
     "q98_token_budget_mix" -> q98,
     "q97_dedup_spans" -> q97,
@@ -2458,7 +2471,111 @@ object NorthStar {
        |       CAST(SUM(q_e6) AS BIGINT) AS q_sum_e6
        |FROM f GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** PQ ANN oracle: the q64 quantize CTEs, md5-ordered codeword source
+    * vectors sliced into 8 subspace codebooks, exact-integer argmin
+    * encoding (ties to the smaller code — the packed-argmin contract),
+    * integer ADC scores over the chosen codewords, reconstructed-norm
+    * cosine cut at k*oversample, then the q65 float rerank tail. */
+  private val q100Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |a AS (
+      |  SELECT vec_id, v,
+      |         list_reduce(list_prepend(0.0::DOUBLE, v),
+      |                     (a, x) -> greatest(a, abs(x))) AS amax
+      |  FROM e),
+      |qz AS (
+      |  SELECT vec_id,
+      |         CASE WHEN amax = 0
+      |              THEN list_transform(range(1, 65), i -> 0::BIGINT)
+      |              ELSE list_transform(range(1, 65),
+      |                     i -> CAST(floor(v[i] / (amax / 127.0) + 0.5)
+      |                               AS BIGINT))
+      |         END AS qd
+      |  FROM a),
+      |cwsrc AS (
+      |  SELECT qd,
+      |         ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
+      |           - 1 AS cidx
+      |  FROM qz QUALIFY cidx < 32),
+      |sub AS (SELECT unnest(range(0, 8)) AS s),
+      |cw AS (
+      |  SELECT sub.s, cwsrc.cidx,
+      |         list_transform(range(1, 9), i -> cwsrc.qd[sub.s * 8 + i]) AS w
+      |  FROM cwsrc, sub),
+      |cwn AS (
+      |  SELECT s, cidx, w,
+      |         list_reduce(list_prepend(0::BIGINT,
+      |             list_transform(w, x -> x * x)), (a, x) -> a + x) AS n2
+      |  FROM cw),
+      |dist AS (
+      |  SELECT z.vec_id, c.s, c.cidx, c.n2,
+      |         c.n2 - 2 * list_reduce(list_prepend(0::BIGINT,
+      |             list_transform(range(1, 9),
+      |               i -> z.qd[c.s * 8 + i] * c.w[i])), (a, x) -> a + x) AS d
+      |  FROM qz z, cwn c),
+      |codes AS (
+      |  SELECT vec_id, s, cidx, n2 FROM (
+      |    SELECT vec_id, s, cidx, n2,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+      |               ORDER BY d, cidx) AS rk
+      |    FROM dist) WHERE rk = 1),
+      |css AS (SELECT vec_id, CAST(SUM(n2) AS BIGINT) AS css
+      |        FROM codes GROUP BY vec_id),
+      |qs AS (
+      |  SELECT vec_id, qd,
+      |         list_reduce(list_prepend(0::BIGINT,
+      |             list_transform(qd, x -> x * x)), (a, x) -> a + x) AS qss
+      |  FROM qz WHERE vec_id < 25),
+      |adc AS (
+      |  SELECT q.vec_id AS qid, cd.vec_id AS nid,
+      |         CAST(SUM(list_reduce(list_prepend(0::BIGINT,
+      |             list_transform(range(1, 9),
+      |               i -> q.qd[w.s * 8 + i] * w.w[i])), (a, x) -> a + x))
+      |           AS BIGINT) AS adc
+      |  FROM qs q
+      |  JOIN codes cd ON cd.vec_id <> q.vec_id
+      |  JOIN cwn w ON w.s = cd.s AND w.cidx = cd.cidx
+      |  GROUP BY q.vec_id, cd.vec_id),
+      |sc AS (
+      |  SELECT adc.qid, adc.nid,
+      |         CAST(adc.adc AS DOUBLE) /
+      |           (sqrt(CAST(q.qss AS DOUBLE)) * sqrt(CAST(c.css AS DOUBLE)))
+      |           AS cosq
+      |  FROM adc
+      |  JOIN qs q ON q.vec_id = adc.qid
+      |  JOIN css c ON c.vec_id = adc.nid),
+      |cand AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT qid, nid,
+      |           ROW_NUMBER() OVER (PARTITION BY qid
+      |               ORDER BY cosq DESC, nid) AS rk
+      |    FROM sc) WHERE rk <= 40),
+      |ve AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         """.stripMargin.stripSuffix("\n") +
+    sqlNorm("(embedding::DOUBLE[])") +
+    """ AS nm
+      |  FROM embeddings),
+      |rr AS (
+      |  SELECT cand.qid, cand.nid,
+      |         """.stripMargin.stripSuffix("\n") + sqlDot("qe.v", "ce.v") +
+    """ / (qe.nm * ce.nm) AS cosim
+      |  FROM cand
+      |  JOIN ve qe ON qe.vec_id = cand.qid
+      |  JOIN ve ce ON ce.vec_id = cand.nid),
+      |ranked AS (
+      |  SELECT qid, nid, cosim,
+      |         ROW_NUMBER() OVER (PARTITION BY qid
+      |             ORDER BY cosim DESC, nid) AS rk
+      |  FROM rr)
+      |SELECT qid, nid, ROUND(cosim, 6) AS cos FROM ranked WHERE rk <= 5
+      |ORDER BY qid, cosim DESC, nid""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q100_pq_topk" -> q100Sql,
     "q99_quality_mix" -> q99Sql,
     "q98_token_budget_mix" -> q98Sql,
     "q97_dedup_spans" -> q97Sql,

@@ -89,6 +89,35 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(quant.forall { case (q, n) => q != n })
   }
 
+  test("PQ ANN recall against brute-force top-5") {
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = SimilarityOps.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = SimilarityOps.pqTopK(emb, queries, "vec_id", "embedding", 5,
+        m = 8, ksub = 32, oversample = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8 codes replace 64 floats — a lossy 64x compression, so expect
+    // real recall loss vs int8 (which keeps all 64 dims). Measured on
+    // this corpus: 0.42 @ ksub=16/os=4 rising to 0.82 @ ksub=32/os=16;
+    // the library default (ksub=32, os=8) sits at ~0.62.
+    val recall = exact.count(pq.contains).toDouble / exact.size
+    assert(recall > 0.5, s"PQ ANN recall $recall")
+    assert(pq.forall { case (q, n) => q != n })
+  }
+
+  test("PQ codebooks are deterministic and codes bound by ksub") {
+    val cb1 = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding", 8, 16, 64)
+    val cb2 = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding", 8, 16, 64)
+    assert(cb1.words.flatten.flatten.toSeq == cb2.words.flatten.flatten.toSeq)
+    assert(cb1.norms2.flatten.toSeq == cb2.norms2.flatten.toSeq)
+    assert(cb1.words.length == 8 && cb1.words.forall(_.length == 16) &&
+      cb1.words.forall(_.forall(_.length == 8)))
+    assert(cb1.subDim == 8)
+    // norms2 consistent with words
+    assert(cb1.norms2(3)(7) ==
+      cb1.words(3)(7).foldLeft(0L)((a, x) => a + x * x))
+  }
+
   test("int8 k-means: deterministic, all clusters live, coherent") {
     val a1 = SimilarityOps.kmeansInt8(emb, "vec_id", "embedding", k = 8, iters = 3)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap

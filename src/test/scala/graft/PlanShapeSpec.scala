@@ -310,7 +310,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     "q28_cosine_topk",    // brute-force ANN: query side broadcast
     "q60_histogram",      // global min/max scalar bracket
     "q65_int8_topk",      // int8 rerank: quantization scalars
-    "q87_source_kl")      // 1-row total against source grid
+    "q87_source_kl",      // 1-row total against source grid
+    "q100_pq_topk")       // PQ ADC: tiny query-LUT side broadcast
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
