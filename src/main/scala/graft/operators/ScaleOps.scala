@@ -59,6 +59,76 @@ object ScaleOps {
       .agg(sum(col("__partial")).as(s"sum_$valueCol"))
   }
 
+  /** Deterministic bloom-filter bitset over the DISTINCT values of
+    * `key`: `nHashes` md5-derived bit positions per key, packed into
+    * `nBits / 64` longs. Built relationally — keys explode to
+    * (word, mask) pairs and a partial-aggregated `bit_or` groupBy
+    * produces at most nBits/64 rows — then collected (a 2^17-bit
+    * filter is 16 KiB). False negatives are impossible by
+    * construction; the false-positive rate is the standard
+    * (1 - e^(-kn/m))^k, so size nBits at ~10-16 bits per expected
+    * distinct key. md5-derived positions make the filter identical in
+    * any engine — which is what lets a bloom-pruned join keep an
+    * exact SQL oracle. */
+  def bloomBits(keys: DataFrame, key: String, nBits: Int,
+                nHashes: Int): Array[Long] = {
+    require(nBits >= 64 && (nBits & (nBits - 1)) == 0,
+      s"nBits must be a power of two >= 64, got $nBits")
+    val nWords = nBits / 64
+    val pos = (0 until nHashes).map { j =>
+      pmod(CurationOps.md5Hash32(
+        concat(lit(s"bf$j:"), col(key).cast("string"))), lit(nBits.toLong))
+    }
+    val words = new Array[Long](nWords)
+    keys.select(col(key)).na.drop().distinct()
+      .select(explode(array(pos: _*)).as("p"))
+      .select((col("p") / 64).cast("int").as("w"),
+        call_function("shiftleft", lit(1L),
+          pmod(col("p"), lit(64L)).cast("int")).as("m"))
+      .groupBy(col("w")).agg(expr("bit_or(m)").as("bits"))
+      .collect()
+      .foreach(r => words(r.getInt(0)) = r.getLong(1))
+    words
+  }
+
+  /** Scan-speed membership probe against a collected bloom bitset
+    * (inlined as a literal array — no join, no shuffle): true iff
+    * every one of the key's `nHashes` bits is set. May be true for a
+    * key that was never inserted (false positive), never false for
+    * one that was. */
+  def bloomProbe(words: Array[Long], key: Column, nBits: Int,
+                 nHashes: Int): Column =
+    (0 until nHashes).map { j =>
+      val p = pmod(CurationOps.md5Hash32(
+        concat(lit(s"bf$j:"), key.cast("string"))), lit(nBits.toLong))
+      element_at(typedlit(words.toSeq), (p / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          pmod(p, lit(64L)).cast("int"))) =!= 0
+    }.reduce(_ && _)
+
+  /** Bloom-pruned equi-join: build a bloom filter from the (already
+    * filtered) small side's keys, prune the big side BEFORE its
+    * shuffle, then run the exact join on the survivors. Result is
+    * IDENTICAL to `big.join(small, bigKey === smallKey)` — bloom
+    * false positives are eliminated by the real join; false negatives
+    * cannot occur — but at 100 TB the big side's shuffle writes only
+    * the ~matching fraction of rows instead of the full table, which
+    * is the dominant cost of a selective fact-dim join. (Spark's AQE
+    * has a runtime bloom under `spark.sql.optimizer.runtime.
+    * bloomFilter.*`; this is the explicit, engine-deterministic form
+    * — the filter contents are reproducible md5 bits, so the whole
+    * plan stays oracle-checkable.) The probe is a literal-array pure
+    * projection; a filter much beyond ~2^22 bits (512 KiB literal)
+    * should swap the inlined array for a broadcast-joined word table
+    * instead. */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame,
+                      bigKey: String, smallKey: String,
+                      nBits: Int = 1 << 17, nHashes: Int = 5): DataFrame = {
+    val words = bloomBits(small, smallKey, nBits, nHashes)
+    big.filter(bloomProbe(words, col(bigKey), nBits, nHashes))
+      .join(small, col(bigKey) === col(smallKey))
+  }
+
   /** Salted count + mean (count-weighted recombination). */
   def saltedAvg(df: DataFrame, key: String, valueCol: String,
                 nSalts: Int = 16): DataFrame = {

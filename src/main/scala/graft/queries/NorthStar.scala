@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{CurationOps, DedupOps, MultimodalOps, SimilarityOps,
-  TemporalJoinOps, TextOps, WindowOps}
+import graft.operators.{CurationOps, DedupOps, MultimodalOps, ScaleOps,
+  SimilarityOps, TemporalJoinOps, TextOps, WindowOps}
 
 /** North-star training-data-pipeline queries (BASELINE.json): dedup,
   * similarity search, text analysis, multimodal, temporal joins,
@@ -970,7 +970,25 @@ object NorthStar {
       .select(col("qid"), col("nid"), round(col("cos"), 6).as("cos"))
   }
 
+  // q101 — bloom-pruned fact-dim join: a ~2%-selective orders subset
+  // builds a deterministic md5 bloom filter; lineitem is pruned at
+  // scan speed BEFORE its shuffle; the exact join erases false
+  // positives, so the result — and the oracle — is the plain join.
+  private val q101: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        pmod(col("o_custkey"), lit(10L)) === 0)
+    ScaleOps.bloomPrunedJoin(li, ord, "l_orderkey", "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).cast("long").as("qty_sum"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .ordered(col("l_returnflag"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q101_bloom_join" -> q101,
     "q100_pq_topk" -> q100,
     "q99_quality_mix" -> q99,
     "q98_token_budget_mix" -> q98,
@@ -2574,7 +2592,21 @@ object NorthStar {
       |SELECT qid, nid, ROUND(cosim, 6) AS cos FROM ranked WHERE rk <= 5
       |ORDER BY qid, cosim DESC, nid""".stripMargin
 
+  // The bloom prune is exact-join-preserving (false negatives are
+  // impossible; false positives die in the join), so the oracle is
+  // simply the plain join — the physical pruning is pinned by
+  // ScaleOpsSpec, not the oracle.
+  private val q101Sql: String =
+    """SELECT l_returnflag,
+      |       COUNT(*) AS n_rows,
+      |       CAST(SUM(l_quantity) AS BIGINT) AS qty_sum,
+      |       COUNT(DISTINCT o_orderkey) AS n_orders
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderpriority = '1-URGENT' AND o.o_custkey % 10 = 0
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q101_bloom_join" -> q101Sql,
     "q100_pq_topk" -> q100Sql,
     "q99_quality_mix" -> q99Sql,
     "q98_token_budget_mix" -> q98Sql,

@@ -44,6 +44,46 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bloom probe: zero false negatives, bounded false positives, " +
+      "and the pruned join equals the plain join") {
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        pmod(col("o_custkey"), lit(10L)) === 0)
+    val nBits = 1 << 17
+    val words = ScaleOps.bloomBits(ord, "o_orderkey", nBits, 5)
+    // no false negatives: every inserted key passes the probe
+    val inserted = ord.select("o_orderkey").distinct()
+    assert(inserted.filter(!ScaleOps.bloomProbe(words, col("o_orderkey"),
+      nBits, 5)).count() == 0)
+    // pruning actually happens on the big side, and keeps a superset
+    // of the true matching rows
+    val total = li.count()
+    val kept = li.filter(ScaleOps.bloomProbe(words, col("l_orderkey"),
+      nBits, 5)).count()
+    val trueMatch = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(kept >= trueMatch, s"pruned below the true match count")
+    assert(kept < total / 2,
+      s"bloom should prune a ~2%-selective join hard: kept $kept of $total")
+    // false-positive rate on keys that were never inserted stays far
+    // under the (1-e^(-kn/m))^k envelope's order of magnitude
+    val foreign = (1000000L to 1002000L).toDF("k")
+    val fp = foreign.filter(ScaleOps.bloomProbe(words, col("k"),
+      nBits, 5)).count()
+    assert(fp <= 20, s"false-positive count $fp of 2001 foreign keys")
+    // the pruned join is value-identical to the plain join
+    val pruned = ScaleOps.bloomPrunedJoin(li, ord, "l_orderkey", "o_orderkey")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pruned == plain)
+  }
+
   test("salted aggregation equals direct aggregation on skewed data") {
     import spark.implicits._
     // power-law: one key holds 90% of rows
