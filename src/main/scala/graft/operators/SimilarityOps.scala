@@ -140,7 +140,7 @@ object SimilarityOps {
     * centroid literal: min = nearest cell (ties on smaller cent_id),
     * sorted ascending = probe order. Pure per-row expression — no
     * shuffle, no join, for the cell assignment. */
-  private def cellScores(cents: Array[Centroid], v: Column, n: Column)
+  private[graft] def cellScores(cents: Array[Centroid], v: Column, n: Column)
       : Column =
     array(cents.map { c =>
       struct(

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.operators.{CurationOps, DedupOps, MultimodalOps, ScaleOps,
   SimilarityOps, TemporalJoinOps, TextOps, WindowOps}
+import graft.sources.IvfVectorStore
 
 /** North-star training-data-pipeline queries (BASELINE.json): dedup,
   * similarity search, text analysis, multimodal, temporal joins,
@@ -987,7 +988,26 @@ object NorthStar {
       .ordered(col("l_returnflag"))
   }
 
+  // q102 — incremental IVF index: build the cell-partitioned store on
+  // vec_id < 400, delta-append the rest against the FROZEN quantizer
+  // (old vectors never rescanned), search the persisted index. The
+  // result equals the one-shot IVF computation with the old-corpus
+  // quantizer — which is exactly what the oracle replays.
+  private val q102: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-q102"
+    IvfVectorStore.write(s, emb.filter(col("vec_id") < 400),
+      "vec_id", "embedding", nCentroids = 16, path)
+    IvfVectorStore.append(s, emb.filter(col("vec_id") >= 400),
+      "vec_id", "embedding", path)
+    IvfVectorStore.searchTopK(s, path, emb.filter(col("vec_id") < 25),
+        "vec_id", "embedding", k = 5, nProbes = 4)
+      .ordered(col("qid"), col("cos").desc, col("nid"))
+      .select(col("qid"), col("nid"), round(col("cos"), 6).as("cos"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q102_ivf_index" -> q102,
     "q101_bloom_join" -> q101,
     "q100_pq_topk" -> q100,
     "q99_quality_mix" -> q99,
@@ -2605,7 +2625,38 @@ object NorthStar {
       |WHERE o.o_orderpriority = '1-URGENT' AND o.o_custkey % 10 = 0
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q40's IVF oracle with the quantizer restricted to the index's
+    * build corpus (vec_id < 400): the store's delta path must give the
+    * same answer as assigning every vector against that frozen set. */
+  private val q102Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${sqlNorm("v")} AS vn FROM e),
+       |cents AS (SELECT vec_id AS cent_id, v AS cv, vn AS cn FROM n
+       |          WHERE vec_id < 400
+       |          ORDER BY md5(vec_id::VARCHAR) LIMIT 16),
+       |cs AS (SELECT n.vec_id, n.v, n.vn, cents.cent_id,
+       |              ${sqlDot("n.v", "cents.cv")} / (n.vn * cents.cn) AS ccos
+       |       FROM n, cents),
+       |ca AS (SELECT vec_id, v, vn, cent_id FROM (
+       |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                     ORDER BY ccos DESC, cent_id) AS rk FROM cs)
+       |       WHERE rk = 1),
+       |qa AS (SELECT vec_id, v, vn, cent_id FROM (
+       |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                     ORDER BY ccos DESC, cent_id) AS rk FROM cs
+       |         WHERE vec_id < 25)
+       |       WHERE rk <= 4),
+       |p AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |             ${sqlDot("q.v", "c.v")} / (q.vn * c.vn) AS cosim
+       |      FROM qa q JOIN ca c USING (cent_id) WHERE c.vec_id <> q.vec_id),
+       |r AS (SELECT qid, nid, cosim,
+       |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosim DESC, nid) AS rk
+       |      FROM p)
+       |SELECT qid, nid, ROUND(cosim, 6) AS cos FROM r WHERE rk <= 5
+       |ORDER BY qid, cosim DESC, nid""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q102_ivf_index" -> q102Sql,
     "q101_bloom_join" -> q101Sql,
     "q100_pq_topk" -> q100Sql,
     "q99_quality_mix" -> q99Sql,

@@ -118,6 +118,44 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
       cb1.words(3)(7).foldLeft(0L)((a, x) => a + x * x))
   }
 
+  test("IVF index store: frozen quantizer, findable delta, " +
+      "partition-pruned search") {
+    import graft.sources.IvfVectorStore
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-spec").toString
+    val old = emb.filter(col("vec_id") < 400)
+    IvfVectorStore.write(spark, old, "vec_id", "embedding", 16, path)
+    val centsBefore = spark.read.parquet(s"$path/centroids")
+      .orderBy("cent_id").collect().map(_.getLong(0)).toSeq
+    IvfVectorStore.append(spark, emb.filter(col("vec_id") >= 400),
+      "vec_id", "embedding", path)
+    // append must not touch the quantizer
+    val centsAfter = spark.read.parquet(s"$path/centroids")
+      .orderBy("cent_id").collect().map(_.getLong(0)).toSeq
+    assert(centsBefore == centsAfter)
+    // every vector (old + delta) is in the store exactly once
+    val stored = spark.read.parquet(s"$path/vectors")
+    assert(stored.count() == 500 &&
+      stored.select("id").distinct().count() == 500)
+    // delta vectors are findable: query BY a delta vector — its top-1
+    // is its identical twin only if one exists, but it must at least
+    // appear as a neighbor of something when probed directly
+    val res = IvfVectorStore.searchTopK(spark, path,
+      emb.filter(col("vec_id") >= 400 && col("vec_id") < 410),
+      "vec_id", "embedding", k = 5, nProbes = 4)
+    assert(res.groupBy("qid").count().count() == 10,
+      "every delta query must return neighbors")
+    // the scan is partition-pruned to the probed cells
+    val probed = IvfVectorStore.searchTopK(spark, path,
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5, 2)
+    val scan = probed.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      s"expected cell partition filter on the vectors scan:\n$scan")
+    // the quantizer really spread the corpus (pruning has something
+    // to prune): all 16 cells are live
+    assert(stored.select("cell").distinct().count() == 16)
+  }
+
   test("int8 k-means: deterministic, all clusters live, coherent") {
     val a1 = SimilarityOps.kmeansInt8(emb, "vec_id", "embedding", k = 8, iters = 3)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
