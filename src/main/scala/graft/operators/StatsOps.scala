@@ -40,6 +40,52 @@ object StatsOps {
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
   }
 
+  /** Deterministic sampled quantiles per key: the sample is the `k`
+    * rows with the smallest md5(salt:id) — a uniform-in-hash-space,
+    * engine-reproducible subset (the KMV idiom of q49, keeping the
+    * VALUES this time) — and the result is the exact type-7
+    * interpolated quantile over that sample. Error is the standard
+    * order-statistic bound O(1/sqrt(k)) per quantile.
+    *
+    * Scale shape: the k-smallest-hash set is a mergeable bounded
+    * sketch; relationally it is selected with the two-stage ranking
+    * from q49 (per-(key, 64-bucket) top-k first, then the per-key
+    * top-k over the <= 64k survivors), so no window ever funnels a
+    * whole key through one task. The final percentile aggregates k
+    * values per key — bounded buffers by construction, unlike exact
+    * per-key percentile over raw data, which holds every row of the
+    * largest key in one buffer (the winsorize doc above). NULL values
+    * are excluded before sampling (they'd poison the sample slots).
+    * Output: key, q_<pct> columns (doubles). */
+  def sampledQuantiles(df: DataFrame, keyCol: String, valueCol: String,
+                       idCol: String, k: Int, qs: Seq[Double],
+                       salt: String): DataFrame = {
+    require(k > 0 && qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      s"bad sample size $k or quantiles $qs")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(valueCol).cast("double").as("__v"),
+        col(idCol).cast("long").as("__id"))
+      .withColumn("__h", CurationOps.md5Hash32(
+        concat(lit(s"$salt:"), col("__id").cast("string"))))
+    val wB = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__h"), col("__id"))
+    val cand = base
+      .withColumn("__b", pmod(col("__id"), lit(64L)))
+      .withColumn("__rb", row_number().over(wB))
+      .filter(col("__rb") <= k)
+    val wF = Window.partitionBy(col("__k")).orderBy(col("__h"), col("__id"))
+    val sample = cand
+      .withColumn("__r", row_number().over(wF))
+      .filter(col("__r") <= k)
+    def pctName(q: Double): String =
+      "q_" + (q * 100).toString.replaceAll("\\.?0+$", "").replace('.', '_')
+    sample.groupBy(col("__k").as(keyCol))
+      .agg(percentile(col("__v"), lit(qs.head)).as(pctName(qs.head)),
+        qs.tail.map(q =>
+          percentile(col("__v"), lit(q)).as(pctName(q))): _*)
+  }
+
   /** Winsorization (quantile clipping) — the standard outlier-damping
     * step before training-statistics aggregation: clips `valueCol` to
     * the exact per-key [qLo, qHi] linearly-interpolated quantiles

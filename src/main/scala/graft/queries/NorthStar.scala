@@ -1006,7 +1006,36 @@ object NorthStar {
       .select(col("qid"), col("nid"), round(col("cos"), 6).as("cos"))
   }
 
+  // q103 — deterministic sampled quantiles: per event_type, exact
+  // type-7 quantiles over the 256 smallest-md5-hash sample rows (the
+  // KMV idiom keeping values). Bounded mergeable state per key.
+  private val q103: Q = (s, dir) => {
+    graft.operators.StatsOps.sampledQuantiles(t(s, dir, "events"),
+        "event_type", "value", "event_id", k = 256,
+        qs = Seq(0.5, 0.9, 0.99), salt = "sq")
+      .select(col("event_type"), e6(col("q_50")).as("p50_e6"),
+        e6(col("q_90")).as("p90_e6"), e6(col("q_99")).as("p99_e6"))
+      .ordered(col("event_type"))
+  }
+
+  // q104 — bounded-heap grouped top-k: per event_type, the 5 largest
+  // (value, event_id) rows via the k-bounded TypedImperativeAggregate
+  // — no rank-window sort; only k-row states cross the shuffle.
+  private val q104: Q = (s, dir) => {
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(graft.functions.TopKRows.topK(col("value"), col("event_id"), 5)
+        .as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("rk"),
+        e6(col("col").getField("score")).as("value_e6"),
+        col("col").getField("id").as("event_id"))
+      .ordered(col("event_type"), col("rk"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q104_grouped_topk" -> q104,
+    "q103_sampled_quantiles" -> q103,
     "q102_ivf_index" -> q102,
     "q101_bloom_join" -> q101,
     "q100_pq_topk" -> q100,
@@ -2655,7 +2684,35 @@ object NorthStar {
        |SELECT qid, nid, ROUND(cosim, 6) AS cos FROM r WHERE rk <= 5
        |ORDER BY qid, cosim DESC, nid""".stripMargin
 
+  private val q103Sql: String =
+    s"""WITH h AS (SELECT event_type, event_id, value,
+       |                  ${sqlHex32("md5('sq:' || event_id::VARCHAR)")} AS h
+       |           FROM events WHERE value IS NOT NULL),
+       |r AS (SELECT event_type, value,
+       |             ROW_NUMBER() OVER (PARTITION BY event_type
+       |                 ORDER BY h, event_id) AS rk
+       |      FROM h),
+       |s AS (SELECT event_type, value FROM r WHERE rk <= 256)
+       |SELECT event_type,
+       |       ${sqlE6("quantile_cont(value, 0.5)")} AS p50_e6,
+       |       ${sqlE6("quantile_cont(value, 0.9)")} AS p90_e6,
+       |       ${sqlE6("quantile_cont(value, 0.99)")} AS p99_e6
+       |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // value IS NOT NULL mirrors the aggregate's null-skip contract (no
+  // NULLs in the testdata, but the gate must not diverge if some land)
+  private val q104Sql: String =
+    """WITH r AS (SELECT event_type, event_id, value,
+      |                  ROW_NUMBER() OVER (PARTITION BY event_type
+      |                      ORDER BY value DESC, event_id) AS rk
+      |           FROM events WHERE value IS NOT NULL)
+      |SELECT event_type, CAST(rk AS INT) AS rk,
+      |       CAST(ROUND(value * 1e6, 0) AS BIGINT) AS value_e6, event_id
+      |FROM r WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q104_grouped_topk" -> q104Sql,
+    "q103_sampled_quantiles" -> q103Sql,
     "q102_ivf_index" -> q102Sql,
     "q101_bloom_join" -> q101Sql,
     "q100_pq_topk" -> q100Sql,
