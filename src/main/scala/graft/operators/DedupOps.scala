@@ -491,6 +491,18 @@ object DedupOps {
     simhashBandVerify(simhashSignatures(df, idCol, textCol),
       nBands = 4, maxHamming)
 
+  /** Near-dup pairs over ANY precomputed 64-bit fingerprint column —
+    * e.g. the perceptual image hash from
+    * [[MultimodalOps.perceptualHash64]] — via the simhash tail:
+    * 16-bit band match (any shared band => candidate; certain for
+    * Hamming <= 3), exact Hamming verify. One shuffle keyed by band
+    * bucket; no self-join. */
+  def fingerprintNearDup(df: DataFrame, idCol: String, fpCol: String,
+                         maxHamming: Int = 3): DataFrame =
+    simhashBandVerify(
+      df.select(col(idCol).as("doc_id"), col(fpCol).cast("long").as("sim")),
+      nBands = 4, maxHamming)
+
   /** Band-match + Hamming-verify tail shared by the 64-bit xxhash64
     * and 32-bit md5 SimHash variants: 16-bit bands (any shared band =>
     * candidate), then exact Hamming distance filter. */

@@ -90,6 +90,121 @@ object MultimodalOps {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** RIFF/WAVE magic sniff (mirrors [[looksLikeImage]]). */
+  private[graft] def looksLikeWav(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+      b(11) == 'E'
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** REAL audio decode for PCM WAV — a hand-rolled RIFF chunk walk
+    * (byte-level, deterministic, no codec library): returns
+    * (sampleRate, channels, bitsPerSample, nSamples, rms) for 8-bit
+    * unsigned / 16-bit signed little-endian PCM, None for anything
+    * else (compressed formats keep the byte-stat fallback path, the
+    * same split as image decode). nSamples counts per-channel frames x
+    * channels (raw samples); rms is over the integer sample domain
+    * (8-bit values centered by -128), with the sum of squares in
+    * exact integer arithmetic — order-independent. Truncated data
+    * chunks clip to the real payload instead of failing: one ragged
+    * file must not kill a 100 TB scan. */
+  private[graft] def decodeWav(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Long, Double)] = {
+    if (!looksLikeWav(bytes)) return None
+    val n = bytes.length
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+    var result: Option[(Int, Int, Int, Long, Double)] = None
+    while (pos + 8 <= n && result.isEmpty) {
+      val id = new String(bytes, pos, 4, "US-ASCII")
+      val size = le32(bytes, pos + 4).toInt
+      if (id == "fmt " && pos + 8 + 16 <= n) {
+        val audioFormat = le16(bytes, pos + 8)
+        val channels = le16(bytes, pos + 10)
+        val rate = le32(bytes, pos + 12).toInt
+        val bits = le16(bytes, pos + 22)
+        if (audioFormat == 1 && channels > 0 &&
+            (bits == 8 || bits == 16))
+          fmt = Some((channels, rate, bits))
+      } else if (id == "data") {
+        fmt.foreach { case (channels, rate, bits) =>
+          val start = pos + 8
+          val len = math.max(0, math.min(size, n - start))
+          val bytesPer = bits / 8
+          val nSamples = (len / bytesPer).toLong
+          var sumSq = 0L
+          var i = 0
+          while (i < nSamples) {
+            val v =
+              if (bits == 8) (bytes(start + i) & 0xff) - 128
+              else le16(bytes, start + 2 * i).toShort.toInt
+            sumSq += v.toLong * v
+            i += 1
+          }
+          val rms =
+            if (nSamples == 0) 0.0
+            else math.sqrt(sumSq.toDouble / nSamples)
+          result = Some((rate, channels, bits, nSamples, rms))
+        }
+      }
+      if (result.isEmpty) pos += 8 + size + (size & 1) // word-aligned
+    }
+    result
+  }
+
+  /** Audio feature extraction: REAL PCM-WAV decode (header facts +
+    * exact-integer RMS) for payloads whose magic says RIFF/WAVE;
+    * every other payload keeps zeros with is_wav=false — swapping in
+    * codec decoders changes only [[decodeWav]], not the pipeline
+    * shape (the image-decode split, applied to audio). Runs
+    * per-partition like [[extractFeatures]]. */
+  def audioFeatures(media: Dataset[MediaPayload]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { p =>
+        decodeWav(p.data) match {
+          case Some((rate, ch, bits, ns, rms)) =>
+            (p.media_id, p.format, true, rate, ch, bits, ns, rms)
+          case None =>
+            (p.media_id, p.format, false, 0, 0, 0, 0L, 0.0)
+        }
+      }
+    }.toDF("media_id", "format", "is_wav", "sample_rate", "channels",
+      "bits", "n_samples", "rms")
+  }
+
+  /** 64-bit perceptual hash (aHash) over an 8x8 grayscale thumbnail
+    * column (the [[decodeImage]] output): bit i is set iff pixel_i *
+    * 64 >= sum(pixels) — the mean compare kept in exact integers so
+    * the hash is engine-reproducible. Near-identical images differ in
+    * a few bits; pair detection composes with
+    * [[DedupOps.fingerprintNearDup]] (band + Hamming verify). Pure
+    * column expression: byte i is read with substring+hex+conv, the
+    * pixel array enters the bit fold as a collection argument
+    * (evaluated once — the CLAUDE.md lambda rule). */
+  def perceptualHash64(thumb: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val px = transform(sequence(lit(0), lit(63)),
+      i => conv(hex(substring(thumb, (i + 1).cast("int"), lit(1))), 16, 10)
+        .cast("long"))
+    // two nested 1-element transforms bind the pixel array and its sum
+    // as lambda variables, so each is evaluated ONCE per row — the
+    // resizeStub collection-argument idiom, twice
+    element_at(transform(array(px), p =>
+      element_at(transform(array(aggregate(p, lit(0L), (a, x) => a + x)),
+        total => aggregate(
+          zip_with(p, sequence(lit(0), lit(63)), (x, i) =>
+            when(x * 64 >= total,
+              call_function("shiftleft", lit(1L), i.cast("int")))
+              .otherwise(lit(0L))),
+          lit(0L), (a, x) => a.bitwiseOR(x))), 1)), 1)
+  }
+
   /** Attach a synthetic media payload to any id+text DataFrame (the
     * testdata ships no real binaries): bytes are the UTF-8 text,
     * metadata derived deterministically. */

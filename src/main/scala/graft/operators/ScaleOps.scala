@@ -129,6 +129,35 @@ object ScaleOps {
       .join(small, col(bigKey) === col(smallKey))
   }
 
+  /** Salted skew JOIN: an inner equi-join where a few hot keys would
+    * overflow their shuffle partition (one key's rows all hash to one
+    * reducer — the classic 100 TB fact-join stall). Each big-side row
+    * draws a deterministic-per-row salt in [0, nSalts); the small
+    * side replicates nSalts times; the join runs on (key, salt), so a
+    * hot key's rows spread over nSalts partitions. Result is
+    * multiset-identical to `big.join(small, bigKey === smallKey)` —
+    * every big row still meets every matching small row exactly once
+    * (its salt replica). Cost: the small side shuffles nSalts times
+    * larger — use for genuinely small-but-unbroadcastable sides, and
+    * prefer AQE skew splitting when its thresholds catch the skew. */
+  def saltedJoin(big: DataFrame, small: DataFrame,
+                 bigKey: String, smallKey: String,
+                 nSalts: Int = 16): DataFrame = {
+    require(nSalts > 0, s"nSalts must be positive, got $nSalts")
+    val bcols = big.columns
+    require(!bcols.contains("__salt") && !small.columns.contains("__salt"),
+      "input already has a __salt column")
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(nSalts.toLong))
+        .cast("int"))
+    val repl = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    salted.join(repl,
+        salted(bigKey) === repl(smallKey) &&
+          salted("__salt") === repl("__salt"))
+      .drop("__salt")
+  }
+
   /** Salted count + mean (count-weighted recombination). */
   def saltedAvg(df: DataFrame, key: String, valueCol: String,
                 nSalts: Int = 16): DataFrame = {

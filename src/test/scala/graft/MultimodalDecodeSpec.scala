@@ -96,6 +96,116 @@ class MultimodalDecodeSpec extends AnyFunSuite with SparkTestBase {
     assert(MultimodalOps.looksLikeImage(out.toByteArray))
   }
 
+  /** Minimal PCM WAV writer: RIFF/fmt/data with 16-bit LE or 8-bit
+    * samples — independent of the decoder's own chunk walk. */
+  private def wavBytes(rate: Int, channels: Int, bits: Int,
+                       samples: Seq[Int]): Array[Byte] = {
+    val bytesPer = bits / 8
+    val dataLen = samples.length * bytesPer
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * bytesPer)
+      .putShort((channels * bytesPer).toShort).putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach { s =>
+      if (bits == 16) bb.putShort(s.toShort)
+      else bb.put(((s + 128) & 0xff).toByte)
+    }
+    bb.array()
+  }
+
+  test("PCM WAV decodes: header facts and exact-integer RMS") {
+    val samples = Seq(0, 1000, -1000, 2000, -2000, 0, 500, -500)
+    val bytes = wavBytes(16000, 1, 16, samples)
+    val Some((rate, ch, bits, n, rms)) = MultimodalOps.decodeWav(bytes)
+    assert(rate == 16000 && ch == 1 && bits == 16 && n == 8)
+    val expect = math.sqrt(
+      samples.map(s => s.toLong * s).sum.toDouble / samples.length)
+    assert(rms == expect)
+    // 8-bit path: values centered at -128
+    val b8 = wavBytes(8000, 2, 8, Seq(0, 127, -128, 64))
+    val Some((r8, c8, bb8, n8, rms8)) = MultimodalOps.decodeWav(b8)
+    assert(r8 == 8000 && c8 == 2 && bb8 == 8 && n8 == 4)
+    assert(rms8 == math.sqrt((0L + 127 * 127 + 128 * 128 + 64 * 64) / 4.0))
+  }
+
+  test("WAV decode clips truncated data and rejects non-PCM") {
+    val full = wavBytes(16000, 1, 16, Seq(100, 200, 300, 400))
+    val truncated = full.take(full.length - 4) // lose 2 samples
+    val Some((_, _, _, n, _)) = MultimodalOps.decodeWav(truncated)
+    assert(n == 2, "truncated data chunk must clip, not fail")
+    // float PCM (format 3) is not decodable here
+    val nonPcm = full.clone()
+    nonPcm(20) = 3 // audioFormat LE low byte
+    assert(MultimodalOps.decodeWav(nonPcm).isEmpty)
+    assert(MultimodalOps.decodeWav("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(MultimodalOps.decodeWav("not audio at all".getBytes).isEmpty)
+  }
+
+  test("audioFeatures: real WAV decode with byte-stat fallback") {
+    import spark.implicits._
+    val media = Seq(
+      MediaPayload(1L, "audio", 0, 0, 0,
+        wavBytes(22050, 2, 16, Seq(10, -10, 20, -20))),
+      MediaPayload(2L, "audio", 0, 0, 0, "mp3-ish junk".getBytes)).toDS()
+    val rows = MultimodalOps.audioFeatures(media)
+      .orderBy("media_id").collect()
+    assert(rows(0).getBoolean(2) && rows(0).getInt(3) == 22050 &&
+      rows(0).getInt(4) == 2 && rows(0).getLong(6) == 4)
+    assert(!rows(1).getBoolean(2) && rows(1).getInt(3) == 0)
+  }
+
+  test("perceptual hash: stable under small noise, far for distinct " +
+      "images, and pairs via fingerprintNearDup") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    def noisyRamp(noise: Int): BufferedImage = {
+      val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = math.min(255, math.max(0,
+          x * 8 + (if (noise > 0) rnd.nextInt(2 * noise) - noise else 0)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def checker(): BufferedImage = {
+      val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32)
+        img.setRGB(x, y, if ((x / 4 + y / 4) % 2 == 0) 0xffffff else 0)
+      img
+    }
+    val media = Seq(
+      MediaPayload(1L, "img", 0, 0, 0, pngBytes(noisyRamp(0))),
+      MediaPayload(2L, "img", 0, 0, 0, pngBytes(noisyRamp(6))),
+      MediaPayload(3L, "img", 0, 0, 0, pngBytes(checker()))).toDS()
+    val hashed = MultimodalOps.extractFeatures(media).toDF()
+      .select(col("media_id"),
+        MultimodalOps.perceptualHash64(col("thumbnail")).as("ph"))
+    val hs = hashed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hs(1L), hs(2L)) <= 8,
+      s"noisy twin too far: ${hamming(hs(1L), hs(2L))}")
+    assert(hamming(hs(1L), hs(3L)) > 12,
+      s"distinct images too close: ${hamming(hs(1L), hs(3L))}")
+    // determinism across evaluation paths
+    val again = MultimodalOps.extractFeatures(media).toDF()
+      .select(col("media_id"),
+        MultimodalOps.perceptualHash64(col("thumbnail")).as("ph"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs == again)
+    // band+verify composition surfaces exactly the near pair
+    val pairs = graft.operators.DedupOps.fingerprintNearDup(
+        hashed, "media_id", "ph", maxHamming = 8)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
   test("ingestBinaryDir takes format from the basename with sentinel") {
     // dotted parent dir must not leak into format (ADVICE r2)
     val root = Files.createTempDirectory("graft_media").resolve("v1.2")

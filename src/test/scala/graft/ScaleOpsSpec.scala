@@ -84,6 +84,33 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(pruned == plain)
   }
 
+  test("salted join equals plain join on skewed data and spreads " +
+      "the hot key") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 95% of big-side rows share one key
+    val big = (1 to 20000).map { i =>
+      val k = if (i % 20 != 0) 1L else (rnd.nextInt(50) + 2).toLong
+      (k, i)
+    }.toDF("k", "payload")
+    val small = (1L to 60L).map(k => (k, s"dim-$k")).toDF("sk", "attr")
+    val plain = big.join(small, col("k") === col("sk"))
+      .select("k", "payload", "attr").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sortBy(identity[(Long, Int, String)])
+    val salted = ScaleOps.saltedJoin(big, small, "k", "sk")
+      .select("k", "payload", "attr").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sortBy(identity[(Long, Int, String)])
+    assert(salted.toSeq == plain.toSeq)
+    // the hot key really fans out across salts on the join key pair
+    val fanout = big.withColumn("__salt",
+        pmod(xxhash64(monotonically_increasing_id()), lit(16L)))
+      .filter(col("k") === 1L)
+      .select("__salt").distinct().count()
+    assert(fanout > 8, s"hot key used only $fanout of 16 salts")
+  }
+
   test("salted aggregation equals direct aggregation on skewed data") {
     import spark.implicits._
     // power-law: one key holds 90% of rows
