@@ -94,6 +94,42 @@ class StorageStreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming grouped top-k (bounded aggregate) equals batch " +
+      "across micro-batches") {
+    import spark.implicits._
+    // the TypedImperativeAggregate must merge partial states across
+    // micro-batch boundaries exactly like a batch shuffle merge
+    val rnd = new scala.util.Random(21)
+    val rows = (1L to 3000L).map(id =>
+      (s"g${id % 5}", rnd.nextDouble(), id))
+    val expected = rows.toDF("g", "v", "id")
+      .groupBy("g")
+      .agg(graft.functions.TopKRows.topK(col("v"), col("id"), 7).as("top"))
+      .select(col("g"), explode(col("top")).as("t"))
+      .select(col("g"), col("t.score"), col("t.id"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double, Long)]
+    val streamed = input.toDF().toDF("g", "v", "id")
+      .groupBy("g")
+      .agg(graft.functions.TopKRows.topK(col("v"), col("id"), 7).as("top"))
+    val q = streamed.writeStream.format("memory")
+      .queryName("topk_out").outputMode("complete").start()
+    try {
+      rows.grouped(700).foreach { batch => // 5 micro-batches
+        input.addData(batch)
+        q.processAllAvailable()
+      }
+      val got = spark.table("topk_out")
+        .select(col("g"), explode(col("top")).as("t"))
+        .select(col("g"), col("t.score"), col("t.id"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("gap sessions split on silence in streaming mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
