@@ -11,6 +11,45 @@ import org.apache.spark.sql.functions._
   */
 object CurationOps {
 
+  /** Deflate compression-ratio quality signal: templated / highly
+    * repetitive text (boilerplate, keyword stuffing, generated spam)
+    * compresses far below natural prose, so `n_deflate / n_bytes` is
+    * a cheap corpus-quality feature (the zlib analogue of the Gopher
+    * repetition rules — used together, they catch different spam).
+    * Runs per-partition with ONE reused Deflater (native zlib state
+    * released on task completion), fixed compression level — output
+    * is deterministic for a given JDK's zlib, and spec-pinned rather
+    * than oracle-checked (the oracle engine has no deflate). Pure
+    * map work: scan speed, zero shuffle. */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String,
+                       level: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater(level, false)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => defl.end()))
+        it.map { case (id, t) =>
+          val in =
+            if (t == null) Array.emptyByteArray else t.getBytes("UTF-8")
+          defl.reset()
+          defl.setInput(in)
+          defl.finish()
+          var out = new Array[Byte](math.max(64, in.length / 2))
+          var n = 0
+          while (!defl.finished()) {
+            if (n == out.length)
+              out = java.util.Arrays.copyOf(out, out.length * 2)
+            n += defl.deflate(out, n, out.length - n)
+          }
+          (id, in.length, n,
+            if (in.length == 0) 1.0 else n.toDouble / in.length)
+        }
+      }.toDF("doc_id", "n_bytes", "n_deflate", "deflate_ratio")
+  }
+
   /** First 8 hex digits of md5 of the input string, as a 32-bit value
     * in a long — THE cross-engine hash idiom of this library (mirrored
     * by the DuckDB oracle generator's sqlHex32). Every consumer of a

@@ -824,6 +824,31 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
       s"parity=$parity fast=$fast")
   }
 
+  test("compression ratio: repetitive text compresses below varied " +
+      "text; deterministic across partitionings; empty-safe") {
+    import spark.implicits._
+    val spam = ("buy now " * 400).trim
+    val varied = new scala.util.Random(9).alphanumeric.take(3200)
+      .grouped(4).map(_.mkString).mkString(" ")
+    val rows = Seq((1L, spam), (2L, varied), (3L, ""))
+    val r = CurationOps.compressionRatio(rows.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getInt(1), x.getInt(2), x.getDouble(3))).toMap
+    assert(r(1L)._3 < 0.05, s"spam ratio ${r(1L)._3}")
+    assert(r(2L)._3 > 0.5, s"varied ratio ${r(2L)._3}")
+    assert(r(2L)._3 > 4 * r(1L)._3)
+    // empty text: ratio pins to 1.0; n_deflate is the zlib empty-
+    // stream envelope (header+trailer), not 0
+    assert(r(3L)._1 == 0 && r(3L)._3 == 1.0)
+    // partitioning must not change a per-row signal
+    val r13 = CurationOps.compressionRatio(
+        rows.toDF("doc_id", "text").repartition(13), "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getInt(1), x.getInt(2), x.getDouble(3))).toMap
+    assert(r13 == r)
+  }
+
   test("trailing z-score: self-excluded window, hand-computed values, " +
       "null below two trailing samples") {
     import spark.implicits._
