@@ -422,6 +422,95 @@ object SimilarityOps {
       .select(col("qid"), col("nid"), col("cos"))
   }
 
+  /** IVF-PQ ANN top-k — the billion-vector composite index (the
+    * faiss-IVFPQ shape): an IVF coarse quantizer prunes the search to
+    * `nProbes` of `nCentroids` cells, and WITHIN the probed cells the
+    * first pass scores PQ codes by ADC instead of touching vectors.
+    * Per corpus row the scan needs the cell id, m code bytes and one
+    * bigint reconstructed norm; float vectors are fetched only for
+    * the `k * oversample` re-rank candidates. Cost per query:
+    * |corpus| * nProbes/nCentroids ADC lookups — both factors
+    * (cell pruning, code compression) multiply.
+    *
+    * Every stage reuses a proven deterministic contract: cell
+    * assignment and probe order from [[ivfTopK]] (float cosine vs the
+    * md5-sampled centroids, ties to smaller cent_id), codes/LUT/
+    * reconstructed norms from [[pqTopK]] (exact integers), rerank
+    * from [[int8TopK]] — so the composition is oracle-checkable end
+    * to end. The probe join is an equi-join on the cell id (broadcast
+    * query side), not a cross join. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                nCentroids: Int = 16, nProbes: Int = 4,
+                m: Int = 8, ksub: Int = 32, oversample: Int = 8,
+                dims: Int = 64): DataFrame = {
+    val cents = coarseCentroids(corpus, idCol, vecCol, nCentroids)
+    val cb = pqCodebooks(corpus, idCol, vecCol, m, ksub, dims)
+    // corpus side: cell (float contract) + codes/css (integer contract)
+    val cq = int8Quantize(corpus, idCol, vecCol, dims)
+      .select(col("id").as("nid"),
+        col("qvec").cast("array<bigint>").as("cv8"))
+    val coded = cq
+      .select(col("nid") +:
+        (0 until m).map(s => pqCodeExpr(cb, col("cv8"), s).as(s"pc$s")): _*)
+      .withColumn("codes", array((0 until m).map(s => col(s"pc$s")): _*))
+      .withColumn("css",
+        (0 until m).map(s =>
+          element_at(typedlit(cb.norms2(s).toSeq), col(s"pc$s") + 1))
+          .reduce(_ + _))
+      .select(col("nid"), col("codes"), col("css"))
+    val cells = withNorm(corpus, idCol, vecCol, "nid", "cv", "cn")
+      .withColumn("cell",
+        array_min(cellScores(cents, col("cv"), col("cn")))
+          .getField("cent_id"))
+      .select(col("nid"), col("cell"))
+    val c = coded.join(cells, "nid")
+    // query side: probe cells + ADC lookup table + exact norm
+    val q = int8Quantize(queries, idCol, vecCol, dims)
+      .select(col("id").as("qid"),
+        col("qvec").cast("array<bigint>").as("qv8"))
+      .withColumn("qss",
+        aggregate(col("qv8"), lit(0L), (a, x) => a + x * x))
+      .withColumn("lut", array((0 until m).map { s =>
+        val sub = slice(col("qv8").cast("array<double>"),
+          s * cb.subDim + 1, cb.subDim)
+        array((0 until ksub).map { cIdx =>
+          graft.functions.VectorExprs.vectorDot(
+            sub, lit(cb.words(s)(cIdx).map(_.toDouble)))
+        }: _*)
+      }: _*))
+    val qp = withNorm(queries, idCol, vecCol, "qid", "qv", "qn")
+      .withColumn("probe",
+        explode(slice(
+          sort_array(cellScores(cents, col("qv"), col("qn"))),
+          1, nProbes)))
+      .select(col("qid"), col("probe.cent_id").as("cell"))
+      .join(q, "qid")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosq").desc, col("nid"))
+    val cand = c.join(broadcast(qp), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("adc",
+        aggregate(zip_with(col("codes"), col("lut"),
+          (cc, l) => element_at(l, cc + 1)), lit(0.0d), (a, x) => a + x))
+      .withColumn("cosq",
+        col("adc") /
+          (sqrt(col("qss").cast("double")) * sqrt(col("css").cast("double"))))
+      .select(col("qid"), col("nid"), col("cosq"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k * oversample)
+      .select(col("qid"), col("nid"))
+    val cv = withNorm(corpus, idCol, vecCol, "nid", "cv", "cn")
+    val qv = withNorm(queries, idCol, vecCol, "qid", "qv", "qn")
+    val wr = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    cand.join(broadcast(qv), "qid").join(cv, "nid")
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("cos"))
+  }
+
   /** Integer Lloyd k-means over the int8-quantized embeddings — the
     * corpus-organization step of SemDeDup-style semantic dedup, and
     * deliberately INTEGER end to end so every round is reproducible

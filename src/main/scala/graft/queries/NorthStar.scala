@@ -1033,7 +1033,20 @@ object NorthStar {
       .ordered(col("event_type"), col("rk"))
   }
 
+  // q105 — IVF-PQ composite ANN (the faiss-IVFPQ shape): coarse cells
+  // prune the search to 4 of 16 cells, ADC over one-byte PQ codes
+  // scores inside the probed cells, float rerank on candidates only.
+  private val q105: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    SimilarityOps.ivfPqTopK(emb, emb.filter(col("vec_id") < 25),
+        "vec_id", "embedding", k = 5, nCentroids = 16, nProbes = 4,
+        m = 8, ksub = 32, oversample = 8)
+      .ordered(col("qid"), col("cos").desc, col("nid"))
+      .select(col("qid"), col("nid"), round(col("cos"), 6).as("cos"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q105_ivfpq_topk" -> q105,
     "q104_grouped_topk" -> q104,
     "q103_sampled_quantiles" -> q103,
     "q102_ivf_index" -> q102,
@@ -2710,7 +2723,117 @@ object NorthStar {
       |       CAST(ROUND(value * 1e6, 0) AS BIGINT) AS value_e6, event_id
       |FROM r WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin
 
+  /** IVF-PQ oracle: q40's cell-assignment/probe CTEs composed with
+    * q100's quantize/codebook/ADC CTEs — the ADC pair join is
+    * restricted to (query probe cell = corpus cell), then the q65
+    * rerank tail. */
+  private val q105Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${sqlNorm("v")} AS vn FROM e),
+       |cents AS (SELECT vec_id AS cent_id, v AS cv, vn AS cn FROM n
+       |          ORDER BY md5(vec_id::VARCHAR) LIMIT 16),
+       |cs AS (SELECT n.vec_id, n.vn, cents.cent_id,
+       |              ${sqlDot("n.v", "cents.cv")} / (n.vn * cents.cn) AS ccos
+       |       FROM n, cents),
+       |ca AS (SELECT vec_id, cent_id FROM (
+       |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                     ORDER BY ccos DESC, cent_id) AS rk FROM cs)
+       |       WHERE rk = 1),
+       |qa AS (SELECT vec_id, cent_id FROM (
+       |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                     ORDER BY ccos DESC, cent_id) AS rk FROM cs
+       |         WHERE vec_id < 25)
+       |       WHERE rk <= 4),
+       |a8 AS (
+       |  SELECT vec_id, v,
+       |         list_reduce(list_prepend(0.0::DOUBLE, v),
+       |                     (a, x) -> greatest(a, abs(x))) AS amax
+       |  FROM e),
+       |qz AS (
+       |  SELECT vec_id,
+       |         CASE WHEN amax = 0
+       |              THEN list_transform(range(1, 65), i -> 0::BIGINT)
+       |              ELSE list_transform(range(1, 65),
+       |                     i -> CAST(floor(v[i] / (amax / 127.0) + 0.5)
+       |                               AS BIGINT))
+       |         END AS qd
+       |  FROM a8),
+       |cwsrc AS (
+       |  SELECT qd,
+       |         ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
+       |           - 1 AS cidx
+       |  FROM qz QUALIFY cidx < 32),
+       |sub AS (SELECT unnest(range(0, 8)) AS s),
+       |cw AS (
+       |  SELECT sub.s, cwsrc.cidx,
+       |         list_transform(range(1, 9), i -> cwsrc.qd[sub.s * 8 + i]) AS w
+       |  FROM cwsrc, sub),
+       |cwn AS (
+       |  SELECT s, cidx, w,
+       |         list_reduce(list_prepend(0::BIGINT,
+       |             list_transform(w, x -> x * x)), (a, x) -> a + x) AS n2
+       |  FROM cw),
+       |dist AS (
+       |  SELECT z.vec_id, c.s, c.cidx, c.n2,
+       |         c.n2 - 2 * list_reduce(list_prepend(0::BIGINT,
+       |             list_transform(range(1, 9),
+       |               i -> z.qd[c.s * 8 + i] * c.w[i])), (a, x) -> a + x) AS d
+       |  FROM qz z, cwn c),
+       |codes AS (
+       |  SELECT vec_id, s, cidx, n2 FROM (
+       |    SELECT vec_id, s, cidx, n2,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+       |               ORDER BY d, cidx) AS rk
+       |    FROM dist) WHERE rk = 1),
+       |css AS (SELECT vec_id, CAST(SUM(n2) AS BIGINT) AS css
+       |        FROM codes GROUP BY vec_id),
+       |qs AS (
+       |  SELECT vec_id, qd,
+       |         list_reduce(list_prepend(0::BIGINT,
+       |             list_transform(qd, x -> x * x)), (a, x) -> a + x) AS qss
+       |  FROM qz WHERE vec_id < 25),
+       |adc AS (
+       |  SELECT q.vec_id AS qid, cd.vec_id AS nid,
+       |         CAST(SUM(list_reduce(list_prepend(0::BIGINT,
+       |             list_transform(range(1, 9),
+       |               i -> q.qd[w.s * 8 + i] * w.w[i])), (a, x) -> a + x))
+       |           AS BIGINT) AS adc
+       |  FROM qs q
+       |  JOIN qa ON qa.vec_id = q.vec_id
+       |  JOIN ca ON ca.cent_id = qa.cent_id
+       |  JOIN codes cd ON cd.vec_id = ca.vec_id AND cd.vec_id <> q.vec_id
+       |  JOIN cwn w ON w.s = cd.s AND w.cidx = cd.cidx
+       |  GROUP BY q.vec_id, cd.vec_id),
+       |sc AS (
+       |  SELECT adc.qid, adc.nid,
+       |         CAST(adc.adc AS DOUBLE) /
+       |           (sqrt(CAST(q.qss AS DOUBLE)) * sqrt(CAST(c.css AS DOUBLE)))
+       |           AS cosq
+       |  FROM adc
+       |  JOIN qs q ON q.vec_id = adc.qid
+       |  JOIN css c ON c.vec_id = adc.nid),
+       |cand AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |           ROW_NUMBER() OVER (PARTITION BY qid
+       |               ORDER BY cosq DESC, nid) AS rk
+       |    FROM sc) WHERE rk <= 40),
+       |rr AS (
+       |  SELECT cand.qid, cand.nid,
+       |         ${sqlDot("qe.v", "ce.v")} / (qe.vn * ce.vn) AS cosim
+       |  FROM cand
+       |  JOIN n qe ON qe.vec_id = cand.qid
+       |  JOIN n ce ON ce.vec_id = cand.nid),
+       |ranked AS (
+       |  SELECT qid, nid, cosim,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY cosim DESC, nid) AS rk
+       |  FROM rr)
+       |SELECT qid, nid, ROUND(cosim, 6) AS cos FROM ranked WHERE rk <= 5
+       |ORDER BY qid, cosim DESC, nid""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q105_ivfpq_topk" -> q105Sql,
     "q104_grouped_topk" -> q104Sql,
     "q103_sampled_quantiles" -> q103Sql,
     "q102_ivf_index" -> q102Sql,

@@ -105,6 +105,25 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(pq.forall { case (q, n) => q != n })
   }
 
+  test("IVF-PQ ANN recall against brute-force top-5") {
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = SimilarityOps.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = SimilarityOps.ivfPqTopK(emb, queries, "vec_id", "embedding", 5,
+        nCentroids = 16, nProbes = 4, m = 8, ksub = 32, oversample = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both losses multiply: ~4/16 cell coverage (IVF recall ~0.45
+    // here) x PQ code distortion — still must clearly beat the 25%
+    // cell-coverage chance floor
+    val recall = exact.count(ivfpq.contains).toDouble / exact.size
+    assert(recall > 0.3, s"IVF-PQ recall $recall")
+    assert(ivfpq.forall { case (q, n) => q != n })
+    // and it returns at most k per query
+    val perQ = SimilarityOps.ivfPqTopK(emb, queries, "vec_id", "embedding", 5)
+      .groupBy("qid").count().collect().map(_.getLong(1))
+    assert(perQ.forall(_ <= 5))
+  }
+
   test("PQ codebooks are deterministic and codes bound by ksub") {
     val cb1 = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding", 8, 16, 64)
     val cb2 = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding", 8, 16, 64)
