@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Abs, Cast, Expression,
   ExpressionInfo, If, LessThanOrEqual, Literal, Multiply, Signum, Subtract}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{CharEntropy, ExactMedian, RollingHash, VectorDot,
-  VectorMomentGram}
+import graft.functions.{CharEntropy, ExactMedian, RollingHash, TopKRows,
+  VectorDot, VectorMomentGram}
 
 /** SQL surface for the engine's custom expressions: registers them in
   * the session function registry so `spark.sql` users call them like
@@ -22,6 +22,7 @@ import graft.functions.{CharEntropy, ExactMedian, RollingHash, VectorDot,
   *  - `rolling_hash(text)` — base-31 mod-1e9+7 document fingerprint
   *  - `char_entropy(text)` — codegen'd character-distribution entropy
   *  - `vector_moment_gram(v, dims)` — single-pass moments + gram aggregate
+  *  - `top_k_rows(score, id, k)` — bounded-buffer grouped top-k aggregate
   *
   * Builders return raw Catalyst trees (the analyzer applies its usual
   * type coercion to them, like any parsed SQL).
@@ -97,6 +98,22 @@ object GraftFunctions {
         if (dims <= 0) throw new IllegalArgumentException(
           s"vector_moment_gram: dims must be positive, got $dims")
         VectorMomentGram(Cast(es(0), ArrayType(DoubleType)), dims)
+      })),
+    (FunctionIdentifier("top_k_rows"),
+      info("top_k_rows",
+        "top_k_rows(score, id, k) - aggregate: the k largest (score, id) " +
+          "pairs as array<struct<score,id>>, score desc / id asc"),
+      arity("top_k_rows", 3)(es => {
+        // k sizes the bounded buffer — a plan-time integer literal
+        val k = es(2) match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case _ => throw new IllegalArgumentException(
+            "top_k_rows: k must be an integer literal")
+        }
+        if (k <= 0) throw new IllegalArgumentException(
+          s"top_k_rows: k must be positive, got $k")
+        TopKRows(Cast(es(0), DoubleType),
+          Cast(es(1), org.apache.spark.sql.types.LongType), k)
       })))
 
   /** Register on an already-built session. */

@@ -654,6 +654,51 @@ object SimilarityOps {
       .select(col("qid"), col("nid"), col("cos"))
   }
 
+  /** Multi-probe LSH ANN top-k: each query probes its own hyperplane
+    * bucket PLUS the buckets reached by flipping the `nFlips` planes
+    * with the smallest |projection margin| — the planes most likely
+    * to have put a true neighbor on the other side (Lv et al.,
+    * VLDB'07). Recall rises like adding tables, but with ONE corpus
+    * bucketing pass and no extra corpus state: only the (tiny) query
+    * side fans out 1 + nFlips times. Probe buckets are all distinct
+    * (each flip changes one bit), so no candidate pair is scored
+    * twice. Margins are exact doubles of the deterministic plane
+    * matrix with ties broken by plane index — engine-reproducible,
+    * hence oracle-checkable. */
+  def multiProbeLshTopK(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        planes: Int = 8, nFlips: Int = 2,
+                        dims: Int = 64): DataFrame = {
+    require(nFlips >= 0 && nFlips <= planes,
+      s"nFlips=$nFlips must be in [0, planes=$planes]")
+    val m = planeMatrix(planes, dims)
+    val c = withNorm(corpus, idCol, vecCol, "nid", "cv", "cn")
+      .withColumn("bucket", hyperplaneBucket(col("cv"), planes, dims))
+    val margins = array((0 until planes).map(p =>
+      struct(abs(dotLit(col("qv"), m(p))).as("m"),
+        lit(p).as("p"))): _*)
+    val q = withNorm(queries, idCol, vecCol, "qid", "qv", "qn")
+      .withColumn("bucket0", hyperplaneBucket(col("qv"), planes, dims))
+      .withColumn("flip", explode(concat(
+        array(lit(-1)),
+        transform(slice(sort_array(margins), 1, nFlips),
+          s => s.getField("p")))))
+      .withColumn("bucket",
+        when(col("flip") === -1, col("bucket0"))
+          .otherwise(col("bucket0").bitwiseXOR(
+            call_function("shiftleft", lit(1L), col("flip")))))
+      .select(col("qid"), col("qv"), col("qn"), col("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("cos"))
+  }
+
   /** Johnson–Lindenstrauss-style random projection to `outDims`
     * dimensions, using rows 0..outDims-1 of the same deterministic
     * md5-derived plane family as the LSH operators ([[planeMatrix]] —

@@ -50,12 +50,33 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("integer literal"))
   }
 
+  test("top_k_rows works as a SQL aggregate") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(("a", 1.0, 1L), ("a", 5.0, 2L), ("a", 5.0, 3L), ("a", 2.0, 4L),
+      ("b", 9.0, 5L)).toDF("g", "s", "id").createOrReplaceTempView("tk")
+    val rows = spark.sql(
+      "SELECT g, top_k_rows(s, id, 2) AS top FROM tk GROUP BY g ORDER BY g")
+      .collect()
+    val a = rows(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(a == Seq((5.0, 2L), (5.0, 3L))) // tie -> smaller id first
+    val b = rows(1).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(b == Seq((9.0, 5L)))
+    val e = intercept[Exception] {
+      spark.sql("SELECT top_k_rows(s, id, cast(rand()*2 as int)) FROM tk")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+
   test("the extensions class injects the same registry entries") {
     // GraftExtensions is the spark.sql.extensions entry point; its
     // injection list must stay in sync with the direct registrar.
     val names = GraftFunctions.all.map(_._1.funcName).toSet
     assert(names == Set("vector_dot", "exact_median", "deadband",
-      "rolling_hash", "char_entropy", "vector_moment_gram"))
+      "rolling_hash", "char_entropy", "vector_moment_gram", "top_k_rows"))
     val ext = new GraftExtensions
     val sse = new org.apache.spark.sql.SparkSessionExtensions
     ext(sse) // must not throw; builder wiring exercised above

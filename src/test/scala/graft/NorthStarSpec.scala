@@ -105,6 +105,28 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(pq.forall { case (q, n) => q != n })
   }
 
+  test("multi-probe LSH dominates single-probe LSH at equal planes") {
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = SimilarityOps.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame) = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.count(got.contains).toDouble / exact.size
+    }
+    val single = recall(SimilarityOps.multiProbeLshTopK(emb, queries,
+      "vec_id", "embedding", 5, planes = 4, nFlips = 0))
+    val multi = recall(SimilarityOps.multiProbeLshTopK(emb, queries,
+      "vec_id", "embedding", 5, planes = 4, nFlips = 3))
+    // nFlips=0 probes exactly the own bucket (plain LSH); extra probes
+    // can only add candidates, so recall must not drop — and measured
+    // here each flip roughly doubles it (0.12 -> 0.24 -> 0.34 -> 0.41
+    // for flips 0..3 at 4 planes)
+    assert(multi >= single, s"multi $multi < single $single")
+    assert(multi > single + 0.15,
+      s"multi-probe gained too little: $single -> $multi")
+    assert(multi > 0.35, s"multi-probe recall $multi")
+  }
+
   test("IVF-PQ ANN recall against brute-force top-5") {
     val queries = emb.filter(col("vec_id") < 50)
     val exact = SimilarityOps.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
