@@ -11,6 +11,36 @@ import org.apache.spark.sql.functions._
   */
 object CurationOps {
 
+  /** ANALYZE-shape table profiler: per column — row count, non-null
+    * count, exact distinct count, min/max (cast to string so one
+    * result schema fits every column type; typed comparison happens
+    * BEFORE the cast, so numeric min/max are numeric). ONE scan of
+    * the source: all statistics ride a single aggregate row (Spark
+    * plans the multi-distinct via Expand — an n_cols-way row
+    * amplification inside one stage, the standard ANALYZE trade; for
+    * very wide tables profile column batches), which is then melted
+    * driver-side into one row per column. Feeds layout decisions —
+    * bucketing/bloom sizing (ndv), partition pruning viability
+    * (min/max), null-handling audits. */
+  def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileTable needs at least one column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"__nn_$c"),
+      countDistinct(col(c)).as(s"__ndv_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")))
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val nRows = r.getLong(r.fieldIndex("__rows"))
+    cols.map { c =>
+      (c, nRows, r.getLong(r.fieldIndex(s"__nn_$c")),
+        r.getLong(r.fieldIndex(s"__ndv_$c")),
+        Option(r.getString(r.fieldIndex(s"__min_$c"))),
+        Option(r.getString(r.fieldIndex(s"__max_$c"))))
+    }.toDF("column", "n_rows", "n_nonnull", "ndv", "min_str", "max_str")
+  }
+
   /** Deflate compression-ratio quality signal: templated / highly
     * repetitive text (boilerplate, keyword stuffing, generated spam)
     * compresses far below natural prose, so `n_deflate / n_bytes` is

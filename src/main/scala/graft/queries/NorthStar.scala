@@ -1057,7 +1057,17 @@ object NorthStar {
       .select(col("qid"), col("nid"), round(col("cos"), 6).as("cos"))
   }
 
+  // q107 — ANALYZE-shape table profile of documents: one scan, all
+  // per-column stats on a single aggregate row, melted to one row per
+  // column (drives bucketing/bloom sizing and pruning decisions).
+  private val q107: Q = (s, dir) => {
+    CurationOps.profileTable(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "n_chars", "source", "text"))
+      .ordered(col("column"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q107_table_profile" -> q107,
     "q106_multiprobe_lsh" -> q106,
     "q105_ivfpq_topk" -> q105,
     "q104_grouped_topk" -> q104,
@@ -2877,7 +2887,17 @@ object NorthStar {
        |ORDER BY qid, cosim DESC, nid""".stripMargin
   }
 
+  private val q107Sql: String =
+    Seq("doc_id", "lang", "n_chars", "source", "text").map { c =>
+      s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+         |       COUNT($c) AS n_nonnull, COUNT(DISTINCT $c) AS ndv,
+         |       CAST(MIN($c) AS VARCHAR) AS min_str,
+         |       CAST(MAX($c) AS VARCHAR) AS max_str
+         |FROM documents""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+
   val oracle: Map[String, String] = Map(
+    "q107_table_profile" -> q107Sql,
     "q106_multiprobe_lsh" -> q106Sql,
     "q105_ivfpq_topk" -> q105Sql,
     "q104_grouped_topk" -> q104Sql,

@@ -94,6 +94,50 @@ class StorageStreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming delta ingest into the IVF index equals batch append") {
+    import spark.implicits._
+    import graft.sources.IvfVectorStore
+    val emb = Tables.load(spark, sf("sf0.01"), "embeddings")
+    val mkPath = () => java.nio.file.Files
+      .createTempDirectory("graft-ivf-stream").toString
+    val (batchPath, streamPath) = (mkPath(), mkPath())
+    val old = emb.filter(col("vec_id") < 400)
+    IvfVectorStore.write(spark, old, "vec_id", "embedding", 16, batchPath)
+    IvfVectorStore.write(spark, old, "vec_id", "embedding", 16, streamPath)
+    val delta = emb.filter(col("vec_id") >= 400)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    // batch append in one shot
+    IvfVectorStore.append(spark,
+      emb.filter(col("vec_id") >= 400), "vec_id", "embedding", batchPath)
+    // streaming append via foreachBatch over 4 micro-batches — the
+    // production delta-ingest shape (each micro-batch assigns only its
+    // own rows against the frozen stored quantizer)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        IvfVectorStore.append(spark, batch, "vec_id", "embedding",
+          streamPath)
+      }
+      .start()
+    try {
+      delta.grouped(25).foreach { g =>
+        input.addData(g)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def snapshot(path: String) =
+      spark.read.parquet(s"$path/vectors")
+        // partition-dir type inference reads cell back as int
+        .select(col("id"), col("cell").cast("long")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (b, s) = (snapshot(batchPath), snapshot(streamPath))
+    assert(s.size == 500 && b == s,
+      "streamed store must hold identical cell assignments")
+  }
+
   test("streaming grouped top-k (bounded aggregate) equals batch " +
       "across micro-batches") {
     import spark.implicits._
