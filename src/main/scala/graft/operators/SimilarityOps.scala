@@ -84,6 +84,22 @@ object SimilarityOps {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** First-pass candidate cut WITHOUT a rank-window sort: a rank
+    * window over the scored pairs sorts every (qid, nid, score) tuple
+    * of the candidate cross-product through the shuffle; the bounded
+    * [[graft.functions.TopKRows]] aggregate keeps ≤2n entries per
+    * map-side partial and ships n-row states — per-query network cost
+    * O(n x partitions) no matter how many candidates were scored.
+    * Ordering contract is identical (score desc, nid asc), so
+    * downstream results — and the oracles — are unchanged. */
+  private def topCandidates(scored: DataFrame, scoreCol: String, n: Int)
+      : DataFrame =
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.TopKRows.topK(col(scoreCol), col("nid"), n)
+        .as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.id").as("nid"))
+
   /** Project (id, vector) with the vector cast to double and its norm
     * precomputed once — pairwise scoring then needs only the dot
     * product (1 array fold per pair instead of 3). */
@@ -276,18 +292,17 @@ object SimilarityOps {
     val q = quant(queries, "qid", "qq", "qss")
     val qdot = aggregate(zip_with(col("qq"), col("cq"), (x, y) => x * y),
       lit(0L), (a, x) => a + x)
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosq").desc, col("nid"))
-    val cand = c.join(broadcast(q), col("qid") =!= col("nid"))
-      .withColumn("cosq",
-        qdot.cast("double") /
-          (sqrt(col("qss").cast("double")) * sqrt(col("css").cast("double"))))
-      // drop the vectors before the ranking shuffle: only
-      // (qid, nid, cosq) tuples move
-      .select(col("qid"), col("nid"), col("cosq"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k * oversample)
-      .select(col("qid"), col("nid"))
+    // candidate cut via the bounded top-k aggregate: only k*oversample
+    // (qid, nid) states per query cross the shuffle — never a sort of
+    // the full |Q| x |C| scored cross-product
+    val cand = topCandidates(
+      c.join(broadcast(q), col("qid") =!= col("nid"))
+        .withColumn("cosq",
+          qdot.cast("double") /
+            (sqrt(col("qss").cast("double")) *
+              sqrt(col("css").cast("double"))))
+        .select(col("qid"), col("nid"), col("cosq")),
+      "cosq", k * oversample)
     // exact rerank: fetch original floats for the candidate set only
     val cv = withNorm(corpus, idCol, vecCol, "nid", "cv", "cn")
     val qv = withNorm(queries, idCol, vecCol, "qid", "qv", "qn")
@@ -396,20 +411,20 @@ object SimilarityOps {
       }: _*))
       .select(col("qid"), col("qss"), col("lut"))
     // ADC: m lookups per pair; lut/codes are join-output attributes, so
-    // the zip_with lambda reads columns, it re-evaluates nothing
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosq").desc, col("nid"))
-    val cand = coded.join(broadcast(qq), col("qid") =!= col("nid"))
-      .withColumn("adc",
-        aggregate(zip_with(col("codes"), col("lut"),
-          (cc, l) => element_at(l, cc + 1)), lit(0.0d), (a, x) => a + x))
-      .withColumn("cosq",
-        col("adc") /
-          (sqrt(col("qss").cast("double")) * sqrt(col("css").cast("double"))))
-      .select(col("qid"), col("nid"), col("cosq"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k * oversample)
-      .select(col("qid"), col("nid"))
+    // the zip_with lambda reads columns, it re-evaluates nothing. The
+    // cut uses the bounded top-k aggregate — no sort of the scored
+    // cross-product
+    val cand = topCandidates(
+      coded.join(broadcast(qq), col("qid") =!= col("nid"))
+        .withColumn("adc",
+          aggregate(zip_with(col("codes"), col("lut"),
+            (cc, l) => element_at(l, cc + 1)), lit(0.0d), (a, x) => a + x))
+        .withColumn("cosq",
+          col("adc") /
+            (sqrt(col("qss").cast("double")) *
+              sqrt(col("css").cast("double"))))
+        .select(col("qid"), col("nid"), col("cosq")),
+      "cosq", k * oversample)
     // exact rerank on the candidate set only (the int8TopK tail)
     val cv = withNorm(corpus, idCol, vecCol, "nid", "cv", "cn")
     val qv = withNorm(queries, idCol, vecCol, "qid", "qv", "qn")
@@ -486,20 +501,18 @@ object SimilarityOps {
           1, nProbes)))
       .select(col("qid"), col("probe.cent_id").as("cell"))
       .join(q, "qid")
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosq").desc, col("nid"))
-    val cand = c.join(broadcast(qp), Seq("cell"))
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("adc",
-        aggregate(zip_with(col("codes"), col("lut"),
-          (cc, l) => element_at(l, cc + 1)), lit(0.0d), (a, x) => a + x))
-      .withColumn("cosq",
-        col("adc") /
-          (sqrt(col("qss").cast("double")) * sqrt(col("css").cast("double"))))
-      .select(col("qid"), col("nid"), col("cosq"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k * oversample)
-      .select(col("qid"), col("nid"))
+    val cand = topCandidates(
+      c.join(broadcast(qp), Seq("cell"))
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("adc",
+          aggregate(zip_with(col("codes"), col("lut"),
+            (cc, l) => element_at(l, cc + 1)), lit(0.0d), (a, x) => a + x))
+        .withColumn("cosq",
+          col("adc") /
+            (sqrt(col("qss").cast("double")) *
+              sqrt(col("css").cast("double"))))
+        .select(col("qid"), col("nid"), col("cosq")),
+      "cosq", k * oversample)
     val cv = withNorm(corpus, idCol, vecCol, "nid", "cv", "cn")
     val qv = withNorm(queries, idCol, vecCol, "qid", "qv", "qn")
     val wr = Window.partitionBy(col("qid"))
