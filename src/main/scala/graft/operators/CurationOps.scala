@@ -113,6 +113,37 @@ object CurationOps {
     df.filter(hash32 < floor(rate * 4294967296.0).cast("long"))
   }
 
+  /** Weighted sample WITHOUT replacement, n rows per group, via
+    * priority sampling (Duffield–Lund–Thorup, JACM 54(6) 2007): each
+    * row draws priority w/u with u a uniform integer in [1, 2^32],
+    * and the n highest-priority rows per group are the sample —
+    * heavier rows win proportionally more often, and the scheme
+    * yields unbiased subset-sum estimators. Determinism: u is the
+    * md5 hash of (salt, id), and the priority is ONE IEEE division
+    * of two exact integers — correctly rounded by the standard, so
+    * every engine computes the bit-identical double (no
+    * transcendentals, unlike the exp-jitter u^(1/w) formulation).
+    * Scale shape: the per-group cut is the bounded
+    * [[graft.functions.TopKRows]] aggregate — map-side partials hold
+    * <= 2n entries and only n-row states cross the one shuffle; no
+    * sort window over the full corpus, no per-group value buffer.
+    * Output: group, id, priority (ties broken id asc, so the sampled
+    * set is total-order deterministic). */
+  def prioritySample(df: DataFrame, groupCol: String, idCol: String,
+                     weightCol: String, n: Int, salt: String)
+      : DataFrame = {
+    val u = md5Hash32(concat(lit(s"$salt:"), col(idCol).cast("string"))) +
+      lit(1L) // [1, 2^32]: never zero, division always finite
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(groupCol).as("group"), col(idCol).cast("long").as("id"),
+        (col(weightCol).cast("double") / u.cast("double")).as("pri"))
+      .groupBy(col("group"))
+      .agg(graft.functions.TopKRows.topK(col("pri"), col("id"), n).as("top"))
+      .select(col("group"), explode(col("top")).as("t"))
+      .select(col("group"), col("t.id").as("id"),
+        col("t.score").as("priority"))
+  }
+
   /** Deterministic train/val/test split assignment: the md5-hash
     * fraction of each id picks the split whose cumulative weight range
     * contains it. Reproducible across engines/runs/repartitioning and

@@ -158,6 +158,48 @@ object ScaleOps {
       .drop("__salt")
   }
 
+  /** Z-order (Morton) clustering key: quantize each column to `bits`
+    * bits by scaling its [min, max] range onto [0, 2^bits), then
+    * bit-interleave the cells (dim 0 owns bit positions 0, D, 2D, …).
+    * Writing a table `repartitionByRange`-d and sorted by this key
+    * gives files whose min/max ranges are tight in EVERY interleaved
+    * dimension — so a predicate on ANY one of them prunes files via
+    * column statistics, where a single-column sort only skips on that
+    * one column. This is the standard multi-dimensional data-skipping
+    * layout for 100 TB lakehouse tables (Delta/Iceberg `OPTIMIZE
+    * ZORDER BY`). All arithmetic is exact-integer (scaling uses
+    * integer multiply + floor-div, interleave is shifts and masks), so
+    * the key is codegen'd, zero-shuffle, and engine-reproducible.
+    * `ranges` pins (min, max) per column — pass precomputed table
+    * stats (one scalar agg) so the key is a pure projection. */
+  def zorderKey(cols: Seq[Column], ranges: Seq[(Long, Long)], bits: Int)
+      : Column = {
+    require(cols.nonEmpty && cols.size == ranges.size,
+      s"cols/ranges mismatch: ${cols.size} vs ${ranges.size}")
+    val d = cols.size
+    require(bits > 0 && bits * d <= 62, s"bits*dims must fit a long")
+    ranges.foreach { case (mn, mx) =>
+      require(mx >= mn, s"empty range ($mn, $mx)") }
+    val cells = cols.zip(ranges).map { case (c, (mn, mx)) =>
+      val den = mx - mn + 1L
+      require(den <= (Long.MaxValue >> bits), s"range too wide for $bits bits")
+      // ((v - mn) << bits) div den: exact integer scaling onto
+      // [0, 2^bits). Floor-div via subtract-remainder — (a - a%b)/b is
+      // exact (numerator divisible, quotient < 2^bits), where
+      // floor(double-div) can round up across an integer at 2^53+
+      // magnitudes. Clamp first so out-of-range values (stale stats)
+      // stay in the cube.
+      val clamped = least(greatest(c.cast("long"), lit(mn)), lit(mx))
+      val a = shiftleft(clamped - lit(mn), bits)
+      ((a - pmod(a, lit(den))) / lit(den.toDouble)).cast("long")
+    }
+    (0 until bits).flatMap { i =>
+      cells.zipWithIndex.map { case (cell, dim) =>
+        shiftleft(shiftright(cell, i).bitwiseAND(lit(1L)), i * d + dim)
+      }
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Salted count + mean (count-weighted recombination). */
   def saltedAvg(df: DataFrame, key: String, valueCol: String,
                 nSalts: Int = 16): DataFrame = {

@@ -75,12 +75,15 @@ object SimilarityOps {
 
   /** LSH bucket id: `planes` sign bits packed into a long. `dims` must
     * match the embedding dimensionality (the plane matrix is a
-    * plan-time literal). */
-  def hyperplaneBucket(v: Column, planes: Int, dims: Int): Column = {
-    val m = planeMatrix(planes, dims)
-    (0 until planes).map { p =>
-      when(dotLit(v.cast("array<double>"), m(p)) >= 0,
-        shiftleft(lit(1L), p)).otherwise(0L)
+    * plan-time literal). `planeOffset` selects an independent plane
+    * set (global plane ids planeOffset until planeOffset+planes) so
+    * banded schemes can derive per-band signatures from one family. */
+  def hyperplaneBucket(v: Column, planes: Int, dims: Int,
+                       planeOffset: Int = 0): Column = {
+    (0 until planes).map { j =>
+      val plane = Array.tabulate(dims)(planeComponent(planeOffset + j, _))
+      when(dotLit(v.cast("array<double>"), plane) >= 0,
+        shiftleft(lit(1L), j)).otherwise(0L)
     }.reduce(_ bitwiseOR _)
   }
 
@@ -644,6 +647,51 @@ object SimilarityOps {
       .select(col("id2").as("id")).distinct()
     tagged.join(drops, Seq("id"), "left_anti")
       .select(col("id"), col("cid"))
+  }
+
+  /** Embedding-cosine near-duplicate PAIRS: banded random-hyperplane
+    * LSH — `bands` independent signatures of `planesPerBand` sign bits
+    * each; a pair is a candidate if it collides in ANY band — then an
+    * exact-cosine verify at `threshold`. The embedding-space sibling
+    * of minhash LSH for text: per-band collision probability is
+    * (1 - theta/pi)^planesPerBand, so more bands buy recall and more
+    * planes per band buy precision (Charikar STOC'02 sign-random-
+    * projection). Scale shape mirrors the minhash path: candidates
+    * come from a per-(band, bucket) collect + combinations expression
+    * (no self-join, so the signature projection runs once), hub
+    * buckets are capped at `maxBucketSize` for a hard quadratic
+    * bound, and pairs are dedup'd across bands BEFORE the vector
+    * verify join — only surviving candidates ever touch a second
+    * embedding read. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, bands: Int = 4,
+                         planesPerBand: Int = 8, dims: Int = 64,
+                         maxBucketSize: Int = 1000): DataFrame = {
+    require(bands > 0 && planesPerBand > 0 && maxBucketSize > 1,
+      s"bad LSH config ($bands, $planesPerBand, $maxBucketSize)")
+    val base = withNorm(df, idCol, vecCol, "id", "v", "nm")
+    val banded = base.select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          hyperplaneBucket(col("v"), planesPerBand, dims,
+            planeOffset = b * planesPerBand)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val pairs = banded.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("id"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucketSize))
+      .select(explode(flatten(transform(col("members"), (x, i) =>
+        transform(slice(col("members"), i + 2, size(col("members"))),
+          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .distinct()
+    pairs
+      .join(base.select(col("id").as("id1"), col("v").as("v1"),
+        col("nm").as("n1")), "id1")
+      .join(base.select(col("id").as("id2"), col("v").as("v2"),
+        col("nm").as("n2")), "id2")
+      .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
   }
 
   /** LSH-bucketed ANN top-k: candidates share a hyperplane bucket, then

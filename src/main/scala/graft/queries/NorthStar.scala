@@ -1066,7 +1066,50 @@ object NorthStar {
       .ordered(col("column"))
   }
 
+  // q108 — weighted sampling without replacement: 10 documents per
+  // lang, inclusion probability proportional to n_chars, via
+  // md5-deterministic priority sampling. The cut is the bounded
+  // TopKRows aggregate — no sort window, <= 2k rows of state per
+  // map-side partial.
+  private val q108: Q = (s, dir) => {
+    CurationOps.prioritySample(t(s, dir, "documents"), "lang", "doc_id",
+        "n_chars", n = 10, salt = "ps")
+      .select(col("group").as("lang"), col("id").as("doc_id"),
+        round(col("priority") * lit(1e12), 0).cast("long").as("pri_e12"))
+      .ordered(col("lang"), col("pri_e12").desc, col("doc_id"))
+  }
+
+  // q109 — embedding-cosine near-duplicate pairs: banded
+  // random-hyperplane LSH (8 bands x 4 sign bits) proposes candidate
+  // pairs, exact cosine >= 0.35 verifies. The embedding-space sibling
+  // of minhash LSH — candidates from per-bucket combinations, hub
+  // buckets capped, pairs dedup'd across bands before the verify join.
+  private val q109: Q = (s, dir) => {
+    SimilarityOps.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.35, bands = 8, planesPerBand = 4)
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+      .ordered(col("id1"), col("id2"))
+  }
+
+  // q110 — Z-order clustering key over (l_orderkey, l_partkey,
+  // l_suppkey): the multi-dimensional data-skipping layout key for
+  // 100 TB tables — sorting files by this key makes min/max column
+  // stats tight in EVERY interleaved dimension. Exact-integer
+  // arithmetic, pure projection, zero shuffle.
+  private val q110: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").filter(col("l_suppkey") < 25)
+    li.select(col("l_orderkey"), col("l_linenumber"),
+        ScaleOps.zorderKey(
+          Seq(col("l_orderkey"), col("l_partkey"), col("l_suppkey")),
+          Seq((0L, 16383L), (0L, 2047L), (0L, 127L)), bits = 8)
+          .as("zkey"))
+      .ordered(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q110_zorder_key" -> q110,
+    "q109_cosine_near_dup" -> q109,
+    "q108_priority_sample" -> q108,
     "q107_table_profile" -> q107,
     "q106_multiprobe_lsh" -> q106,
     "q105_ivfpq_topk" -> q105,
@@ -1168,9 +1211,10 @@ object NorthStar {
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${Dims + 1}), i -> $v[i] * ($ints[i] * 1e-5))), (x, y) -> x + y)"
   }
 
-  private def sqlBucket(v: String, planes: Int): String =
+  private def sqlBucket(v: String, planes: Int, planeOffset: Int = 0)
+      : String =
     (0 until planes).map(p =>
-      s"(CASE WHEN ${sqlPlaneProj(v, p)} >= 0 THEN ${1L << p} ELSE 0 END)")
+      s"(CASE WHEN ${sqlPlaneProj(v, planeOffset + p)} >= 0 THEN ${1L << p} ELSE 0 END)")
       .mkString(" + ")
 
   /** First 8 hex digits of md5 expression `h` as a BIGINT (mirrors
@@ -2896,7 +2940,80 @@ object NorthStar {
          |FROM documents""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
 
+  /** Priority sampling: u = hex32(md5) + 1 and ONE IEEE division of
+    * two exact integers — the priority doubles are bit-identical
+    * across engines, so the top-10 cut and the e12 pin both agree. */
+  private val q108Sql: String =
+    s"""WITH w AS (
+       |  SELECT lang, doc_id,
+       |         CAST(n_chars AS DOUBLE) /
+       |           CAST(${sqlHex32("md5('ps:' || doc_id::VARCHAR)")} + 1
+       |                AS DOUBLE) AS pri
+       |  FROM documents
+       |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+       |r AS (SELECT lang, doc_id, pri,
+       |             ROW_NUMBER() OVER (PARTITION BY lang
+       |                 ORDER BY pri DESC, doc_id) AS rk
+       |      FROM w)
+       |SELECT lang, doc_id, CAST(ROUND(pri * 1e12, 0) AS BIGINT) AS pri_e12
+       |FROM r WHERE rk <= 10
+       |ORDER BY lang, pri_e12 DESC, doc_id""".stripMargin
+
+  /** Banded hyperplane LSH replica: 8 per-band bucket projections
+    * (planes 4b..4b+3), bucket-size gate, within-bucket pairs, exact
+    * cosine verify — the same candidate set as the Spark side. */
+  private val q109Sql: String = {
+    val bandSelects = (0 until 8).map(b =>
+      s"SELECT vec_id, $b AS band, ${sqlBucket("v", 4, b * 4)} AS bucket FROM n")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${sqlNorm("v")} AS vn FROM e),
+       |bands AS ($bandSelects),
+       |ok AS (SELECT band, bucket FROM bands GROUP BY band, bucket
+       |       HAVING COUNT(*) BETWEEN 2 AND 1000),
+       |pairs AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+       |          FROM bands a
+       |          JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |            AND a.vec_id < b.vec_id
+       |          JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket),
+       |vf AS (SELECT p.id1, p.id2,
+       |              ${sqlDot("x.v", "y.v")} / (x.vn * y.vn) AS cosim
+       |       FROM pairs p
+       |       JOIN n x ON x.vec_id = p.id1
+       |       JOIN n y ON y.vec_id = p.id2)
+       |SELECT id1, id2, ROUND(cosim, 6) AS cos FROM vf WHERE cosim >= 0.35
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** Z-order replica: the same exact-integer quantize (clamp, shift,
+    * subtract-remainder floor-div) and bit interleave, in DuckDB
+    * integer operators. */
+  private val q110Sql: String = {
+    val colSpecs = Seq(("l_orderkey", 0L, 16383L), ("l_partkey", 0L, 2047L),
+      ("l_suppkey", 0L, 127L))
+    val bits = 8
+    val cells = colSpecs.map { case (c, mn, mx) =>
+      val den = mx - mn + 1
+      val a = s"((LEAST(GREATEST(CAST($c AS BIGINT), $mn), $mx) - $mn) << $bits)"
+      s"(($a - $a % $den) // $den)"
+    }
+    val zkey = (0 until bits).flatMap { i =>
+      cells.indices.map { dim =>
+        s"(((c$dim >> $i) & 1) << ${i * 3 + dim})"
+      }
+    }.mkString(" | ")
+    s"""WITH c AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |         ${cells(0)} AS c0, ${cells(1)} AS c1, ${cells(2)} AS c2
+       |  FROM lineitem WHERE l_suppkey < 25)
+       |SELECT l_orderkey, l_linenumber, ($zkey) AS zkey
+       |FROM c ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q110_zorder_key" -> q110Sql,
+    "q109_cosine_near_dup" -> q109Sql,
+    "q108_priority_sample" -> q108Sql,
     "q107_table_profile" -> q107Sql,
     "q106_multiprobe_lsh" -> q106Sql,
     "q105_ivfpq_topk" -> q105Sql,

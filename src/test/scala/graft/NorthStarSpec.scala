@@ -777,6 +777,84 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(f2(7 + 2) == 8.0)
   }
 
+  test("cosine near-dup pairs: output is a verified subset of the exact " +
+      "pair set with usable recall") {
+    import graft.operators.SimilarityOps
+    // exact ground truth, driver-side over the 500 sf0.01 vectors
+    val vecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val ids = vecs.keys.toArray.sorted
+    val exact = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      if cos(vecs(ids(i)), vecs(ids(j))) >= 0.35
+    } yield (ids(i), ids(j))).toSet
+    assert(exact.nonEmpty, "fixture should contain pairs above 0.35")
+    val got = SimilarityOps.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.35, bands = 8, planesPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is exact by construction (LSH candidates are verified
+    // with the true cosine): every emitted pair must be a true pair
+    assert(got.subsetOf(exact),
+      s"emitted non-pairs: ${got.diff(exact).take(5)}")
+    // 8 bands x 4 planes at theta(0.35) ~ 69.5 deg: per-band collision
+    // (1 - theta/pi)^4 ~ 0.14, any-band ~ 0.70 -> require >= half
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall over ${exact.size} true pairs")
+  }
+
+  test("cosine near-dup pairs: hub buckets are capped, so pair work " +
+      "is bounded") {
+    import graft.operators.SimilarityOps
+    import spark.implicits._
+    // 60 identical vectors: one giant bucket in every band. With
+    // maxBucketSize = 20 the bucket is dropped entirely -> no pairs;
+    // with the default cap the 1,770 pairs all verify at cos = 1.
+    val dup = (0L until 60L).map(i => (i, Array.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val capped = SimilarityOps.cosineNearDupPairs(dup, "vec_id",
+      "embedding", threshold = 0.9, maxBucketSize = 20).count()
+    assert(capped == 0, s"capped run emitted $capped pairs")
+    val full = SimilarityOps.cosineNearDupPairs(dup, "vec_id",
+      "embedding", threshold = 0.9).count()
+    assert(full == 60L * 59 / 2, s"uncapped run emitted $full pairs")
+  }
+
+  test("priority sample: deterministic, bounded per group, and " +
+      "weight-biased") {
+    import graft.operators.CurationOps
+    import spark.implicits._
+    // 1,000 rows in one group: ids < 500 weight 1, ids >= 500 weight
+    // 100. A 100x weight wins the priority contest unless its uniform
+    // draw is ~100x unluckier, so the 50-row sample should be nearly
+    // all heavy rows.
+    val df = (0L until 1000L)
+      .map(i => (i, "g", if (i < 500) 1.0 else 100.0))
+      .toDF("id", "grp", "w")
+    val s1 = CurationOps.prioritySample(df, "grp", "id", "w", 50, "t")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(s1.size == 50)
+    val heavy = s1.count(_._2 >= 500)
+    assert(heavy >= 45, s"only $heavy of 50 sampled rows are heavy")
+    // determinism: same salt -> same set; and a group smaller than n
+    // returns all its (positive-weight) rows
+    val s2 = CurationOps.prioritySample(df, "grp", "id", "w", 50, "t")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(s1 == s2)
+    val tiny = df.filter(col("id") < 10)
+      .withColumn("w", when(col("id") === 0, lit(null)).otherwise(col("w")))
+    val all = CurationOps.prioritySample(tiny, "grp", "id", "w", 50, "t")
+    assert(all.count() == 9, "null-weight row must be excluded")
+  }
+
   test("PCA projection variance dominates any coordinate direction") {
     val got = SimilarityOps.pcaProject(emb, "vec_id", "embedding")
       .collect().map(_.getDouble(1))

@@ -140,4 +140,66 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("k") === "hot").count()
     assert(salted > 1, "hot key should split across salts")
   }
+
+  test("zorder key matches a reference Morton interleave and clamps " +
+      "out-of-range values") {
+    import spark.implicits._
+    val bits = 4
+    val ranges = Seq((0L, 15L), (10L, 41L), (-8L, 7L))
+    // reference implementation, independent arithmetic (plain multiply
+    // + integer divide), over cell boundaries and out-of-range probes
+    def refCell(v: Long, mn: Long, mx: Long): Long = {
+      val c = math.max(mn, math.min(mx, v))
+      ((c - mn) * (1L << bits)) / (mx - mn + 1)
+    }
+    def refKey(x: Long, y: Long, z: Long): Long = {
+      val cells = Seq(refCell(x, 0, 15), refCell(y, 10, 41),
+        refCell(z, -8, 7))
+      (0 until bits).flatMap(i => cells.zipWithIndex.map {
+        case (c, d) => ((c >> i) & 1L) << (i * 3 + d)
+      }).reduce(_ | _)
+    }
+    val probes = for {
+      x <- Seq(-5L, 0L, 7L, 15L, 99L); y <- Seq(9L, 10L, 25L, 41L, 42L)
+      z <- Seq(-9L, -8L, 0L, 7L, 8L)
+    } yield (x, y, z)
+    val df = probes.toDF("x", "y", "z")
+    val got = df.select(col("x"), col("y"), col("z"),
+        ScaleOps.zorderKey(Seq(col("x"), col("y"), col("z")), ranges, bits)
+          .as("k"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        r.getLong(3))).toMap
+    probes.foreach { case p @ (x, y, z) =>
+      assert(got(p) == refKey(x, y, z), s"probe $p")
+      assert(got(p) >= 0 && got(p) < (1L << (bits * 3)), s"range $p")
+    }
+  }
+
+  test("zorder layout skips better than a single-column sort on the " +
+      "non-leading dimensions") {
+    val li = Tables.load(spark, sf("sf0.001"), "lineitem")
+      .select(col("l_orderkey").cast("long").as("a"),
+        col("l_partkey").cast("long").as("b"))
+    val stats = li.agg(min("a"), max("a"), min("b"), max("b")).head()
+    val ranges = Seq((stats.getLong(0), stats.getLong(1)),
+      (stats.getLong(2), stats.getLong(3)))
+    val rows = li.select(col("a"), col("b"),
+        ScaleOps.zorderKey(Seq(col("a"), col("b")), ranges, 8).as("zk"))
+      .collect()
+    // chunk the two layouts into 16 "files"; a predicate on b prunes a
+    // file iff b is outside the file's [min, max] — so the summed b
+    // spans measure skippability. Z-order must beat the a-sorted
+    // layout on b by a wide margin (a-sorted files each span ~all of b)
+    def spanSum(sorted: Array[(Long, Long)]): Long = {
+      val chunk = math.max(1, sorted.length / 16)
+      sorted.grouped(chunk).map { g =>
+        g.map(_._2).max - g.map(_._2).min }.sum
+    }
+    val bySingle = spanSum(rows.map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1))
+    val byZ = spanSum(rows.map(r => (r.getLong(2), r.getLong(1)))
+      .sortBy(_._1))
+    assert(byZ * 2 < bySingle,
+      s"z-order b-span $byZ should halve the single-sort span $bySingle")
+  }
 }
