@@ -200,6 +200,27 @@ object ScaleOps {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Write `df` Z-order-clustered: range-partition on [[zorderKey]]
+    * into `numFiles` files and sort each file by the key, so every
+    * file covers a compact hyper-rectangle of the interleaved
+    * dimensions and parquet min/max column stats prune scans on ANY
+    * of them. The key column is dropped before the write — skipping
+    * works off the ORIGINAL columns' chunk stats, which is the point.
+    * `repartitionByRange` samples the key to place balanced split
+    * points (a skewed key distribution still yields even files), and
+    * the sort composes with it per-partition — one shuffle total. */
+  def writeZOrdered(df: DataFrame, cols: Seq[String],
+                    ranges: Seq[(Long, Long)], bits: Int, path: String,
+                    numFiles: Int = 64): Unit = {
+    require(!df.columns.contains("__zkey"),
+      "input must not already contain a __zkey column")
+    df.withColumn("__zkey", zorderKey(cols.map(col), ranges, bits))
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Salted count + mean (count-weighted recombination). */
   def saltedAvg(df: DataFrame, key: String, valueCol: String,
                 nSalts: Int = 16): DataFrame = {

@@ -175,6 +175,42 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("writeZOrdered: round-trips the data and every file covers a " +
+      "tight range of BOTH dimensions") {
+    val li = Tables.load(spark, sf("sf0.001"), "lineitem")
+      .select(col("l_orderkey").cast("long").as("a"),
+        col("l_partkey").cast("long").as("b"))
+    val stats = li.agg(min("a"), max("a"), min("b"), max("b")).head()
+    val (aLo, aHi, bLo, bHi) = (stats.getLong(0), stats.getLong(1),
+      stats.getLong(2), stats.getLong(3))
+    val out = java.nio.file.Files.createTempDirectory("zord").toString
+    try {
+      ScaleOps.writeZOrdered(li, Seq("a", "b"),
+        Seq((aLo, aHi), (bLo, bHi)), bits = 8, out, numFiles = 16)
+      val back = spark.read.parquet(out)
+      // same multiset of rows
+      assert(back.count() == li.count())
+      assert(back.groupBy("a", "b").count()
+        .except(li.groupBy("a", "b").count()).isEmpty)
+      // per-file spans: each of the 16 files must cover well under the
+      // full [min, max] width in BOTH dimensions (a file of a
+      // single-column layout spans ~everything in the other dimension)
+      val spans = back.withColumn("f", input_file_name())
+        .groupBy("f")
+        .agg((max("a") - min("a")).as("sa"), (max("b") - min("b")).as("sb"))
+        .collect()
+      assert(spans.length == 16, s"expected 16 files, got ${spans.length}")
+      val aw = (aHi - aLo).toDouble
+      val bw = (bHi - bLo).toDouble
+      val avgA = spans.map(_.getLong(1)).sum / spans.length / aw
+      val avgB = spans.map(_.getLong(2)).sum / spans.length / bw
+      assert(avgA < 0.5, s"mean a-span fraction $avgA")
+      assert(avgB < 0.5, s"mean b-span fraction $avgB")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("zorder layout skips better than a single-column sort on the " +
       "non-leading dimensions") {
     val li = Tables.load(spark, sf("sf0.001"), "lineitem")
