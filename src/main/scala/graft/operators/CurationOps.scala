@@ -129,14 +129,22 @@ object CurationOps {
     * sort window over the full corpus, no per-group value buffer.
     * Output: group, id, priority (ties broken id asc, so the sampled
     * set is total-order deterministic). */
+  /** The priority expression shared by the batch and streaming
+    * samplers — w/u with u an md5-derived uniform in [1, 2^32]. ONE
+    * definition so the two paths cannot drift. */
+  def samplePriority(idCol: String, weightCol: String, salt: String)
+      : Column = {
+    val u = md5Hash32(concat(lit(s"$salt:"), col(idCol).cast("string"))) +
+      lit(1L) // [1, 2^32]: never zero, division always finite
+    col(weightCol).cast("double") / u.cast("double")
+  }
+
   def prioritySample(df: DataFrame, groupCol: String, idCol: String,
                      weightCol: String, n: Int, salt: String)
       : DataFrame = {
-    val u = md5Hash32(concat(lit(s"$salt:"), col(idCol).cast("string"))) +
-      lit(1L) // [1, 2^32]: never zero, division always finite
     df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
       .select(col(groupCol).as("group"), col(idCol).cast("long").as("id"),
-        (col(weightCol).cast("double") / u.cast("double")).as("pri"))
+        samplePriority(idCol, weightCol, salt).as("pri"))
       .groupBy(col("group"))
       .agg(graft.functions.TopKRows.topK(col("pri"), col("id"), n).as("top"))
       .select(col("group"), explode(col("top")).as("t"))

@@ -44,6 +44,27 @@ object StreamingPipelines {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sv"))
 
+  /** Streaming weighted sample without replacement: maintains, per
+    * group, the n highest-priority rows seen so far — the streaming
+    * form of [[graft.operators.CurationOps.prioritySample]], sharing
+    * its exact priority definition (md5-deterministic w/u), so at any
+    * point the maintained sample EQUALS the batch sample of every row
+    * ingested so far (priorities don't depend on arrival order, and
+    * the k-bounded [[graft.functions.TopKRows]] state merges across
+    * micro-batches exactly like a batch shuffle merge). State is n
+    * (score, id) pairs per group — bounded regardless of stream
+    * length; complete/update output mode. */
+  def streamingPrioritySample(docs: DataFrame, groupCol: String,
+                              idCol: String, weightCol: String, n: Int,
+                              salt: String): DataFrame =
+    docs
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(groupCol).as("group"), col(idCol).cast("long").as("id"),
+        graft.operators.CurationOps
+          .samplePriority(idCol, weightCol, salt).as("pri"))
+      .groupBy(col("group"))
+      .agg(graft.functions.TopKRows.topK(col("pri"), col("id"), n).as("top"))
+
   /** Streaming exact dedup for a document/event stream: drops rows
     * whose dedup key was already seen within the watermark horizon —
     * the streaming form of [[graft.operators.DedupOps.exactDedup]].

@@ -174,6 +174,41 @@ class StorageStreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming priority sample equals the batch sample at every " +
+      "micro-batch prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(33)
+    val rows = (1L to 2000L).map(id =>
+      (id, s"g${id % 4}", 1.0 + rnd.nextInt(100)))
+    def batchSample(prefix: Seq[(Long, String, Double)]) =
+      graft.operators.CurationOps.prioritySample(
+          prefix.toDF("id", "grp", "w"), "grp", "id", "w", 12, "sps")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val input = MemoryStream[(Long, String, Double)]
+    val streamed = graft.streaming.StreamingPipelines
+      .streamingPrioritySample(input.toDF().toDF("id", "grp", "w"),
+        "grp", "id", "w", 12, "sps")
+    val q = streamed.writeStream.format("memory")
+      .queryName("psample_out").outputMode("complete").start()
+    try {
+      var seen = Vector.empty[(Long, String, Double)]
+      rows.grouped(500).foreach { batch => // 4 micro-batches
+        input.addData(batch)
+        q.processAllAvailable()
+        seen ++= batch
+        // the ANYTIME property: after every micro-batch the maintained
+        // sample equals the batch sample of everything ingested so far
+        val got = spark.table("psample_out")
+          .select(col("group"), explode(col("top")).as("t"))
+          .select(col("group"), col("t.id"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        assert(got == batchSample(seen),
+          s"diverged at ${seen.size} ingested rows")
+      }
+    } finally q.stop()
+  }
+
   test("gap sessions split on silence in streaming mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
