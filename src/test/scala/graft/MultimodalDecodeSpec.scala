@@ -83,6 +83,51 @@ class MultimodalDecodeSpec extends AnyFunSuite with SparkTestBase {
     assert(f.width == 0 && f.height == 0)
   }
 
+  test("resizeImage: real pixel resize — dimensions, quadrant colors, " +
+      "upscale, and corrupt-payload drop") {
+    import spark.implicits._
+    // 16x16 solid quadrants: red | green / blue | white
+    val quad = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      quad.setRGB(x, y, (x < 8, y < 8) match {
+        case (true, true)  => 0xff0000
+        case (false, true) => 0x00ff00
+        case (true, false) => 0x0000ff
+        case (false, false) => 0xffffff
+      })
+    val junk = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 9)
+    val media = Seq(
+      MediaPayload(1L, "img", 0, 0, 0, pngBytes(quad)),
+      MediaPayload(2L, "img", 0, 0, 0, junk),
+      MediaPayload(3L, "txt", 0, 0, 0, "not an image".getBytes("UTF-8"))
+    ).toDS()
+    val got = MultimodalOps.resizeImage(media, 8, 8).collect()
+    // undecodable and non-image rows drop; the good row survives
+    assert(got.map(_.media_id).toSeq == Seq(1L))
+    val r = got.head
+    assert(r.src_width == 16 && r.src_height == 16)
+    assert(r.width == 8 && r.height == 8)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.png))
+    assert(back.getWidth == 8 && back.getHeight == 8)
+    // interior points of each quadrant keep their solid color exactly
+    // (bilinear interpolation only blends at quadrant boundaries)
+    assert((back.getRGB(1, 1) & 0xffffff) == 0xff0000)
+    assert((back.getRGB(6, 1) & 0xffffff) == 0x00ff00)
+    assert((back.getRGB(1, 6) & 0xffffff) == 0x0000ff)
+    assert((back.getRGB(6, 6) & 0xffffff) == 0xffffff)
+    // upscale path: 4x4 solid -> 32x32, still solid everywhere
+    val solid = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) solid.setRGB(x, y, 0x123456)
+    val up = MultimodalOps.resizeImage(
+      Seq(MediaPayload(5L, "img", 0, 0, 0, pngBytes(solid))).toDS(),
+      32, 32).collect().head
+    val upImg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(up.png))
+    assert(upImg.getWidth == 32)
+    assert((upImg.getRGB(16, 16) & 0xffffff) == 0x123456)
+  }
+
   test("looksLikeImage sniffs magic bytes, not extensions") {
     assert(MultimodalOps.looksLikeImage(pngBytes(halfAndHalf())))
     assert(!MultimodalOps.looksLikeImage("plain text".getBytes("UTF-8")))
