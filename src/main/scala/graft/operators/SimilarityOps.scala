@@ -694,6 +694,48 @@ object SimilarityOps {
       .select(col("id1"), col("id2"), col("cos"))
   }
 
+  /** Embedding-space contamination detection: which training vectors
+    * near-duplicate a benchmark/probe vector (cosine >= threshold)?
+    * The embedding sibling of
+    * [[graft.operators.DedupOps.crossCorpusContamination]] — catches
+    * paraphrased or re-tokenized benchmark leakage that exact text
+    * matching misses.
+    *
+    * Scale shape (probes are benchmark-sized, the corpus is the
+    * 100 TB side): the corpus is NEVER shuffled. Banded hyperplane
+    * signatures are a scan-speed projection on both sides; the tiny
+    * probe side broadcasts into the candidate equi-join; the
+    * candidate (probe, train) id pairs — bounded by probe count x
+    * bucket collisions — dedup across bands and broadcast back, with
+    * the probe vectors attached, into a second corpus scan for the
+    * exact-cosine verify. Two corpus scans, zero corpus exchanges.
+    * Output: pid, tid, cos. */
+  def embeddingContamination(corpus: DataFrame, probes: DataFrame,
+                             idCol: String, vecCol: String,
+                             threshold: Double, bands: Int = 8,
+                             planesPerBand: Int = 4, dims: Int = 64)
+      : DataFrame = {
+    require(bands > 0 && planesPerBand > 0, "bad LSH config")
+    val c = withNorm(corpus, idCol, vecCol, "tid", "tv", "tn")
+    val p = withNorm(probes, idCol, vecCol, "pid", "pv", "pn")
+    def banded(df: DataFrame, id: String, v: String): DataFrame =
+      df.select(col(id),
+          posexplode(array((0 until bands).map(b =>
+            hyperplaneBucket(col(v), planesPerBand, dims,
+              planeOffset = b * planesPerBand)): _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket")
+    val cand = banded(c, "tid", "tv")
+      .join(broadcast(banded(p, "pid", "pv")), Seq("band", "bucket"))
+      .select(col("pid"), col("tid"))
+      .distinct()
+    c.join(broadcast(cand
+        .join(p.select(col("pid"), col("pv"), col("pn")), "pid")), "tid")
+      .withColumn("cos", dot(col("pv"), col("tv")) / (col("pn") * col("tn")))
+      .filter(col("cos") >= threshold)
+      .select(col("pid"), col("tid"), col("cos"))
+  }
+
   /** LSH-bucketed ANN top-k: candidates share a hyperplane bucket, then
     * exact cosine re-rank within the bucket. Recall depends on `planes`
     * (fewer planes = bigger buckets = higher recall + more work). */

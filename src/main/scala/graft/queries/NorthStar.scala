@@ -1106,7 +1106,21 @@ object NorthStar {
       .ordered(col("zkey"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  // q111 — embedding-space contamination: training vectors (id >= 20)
+  // that near-duplicate a "benchmark" probe vector (id < 20) at
+  // cosine >= 0.35. Corpus never shuffles: probe signatures broadcast
+  // into the candidate join, candidates broadcast into the verify.
+  private val q111: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    SimilarityOps.embeddingContamination(
+        emb.filter(col("vec_id") >= 20), emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", threshold = 0.35)
+      .select(col("pid"), col("tid"), round(col("cos"), 6).as("cos"))
+      .ordered(col("pid"), col("tid"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q111_embedding_contamination" -> q111,
     "q110_zorder_key" -> q110,
     "q109_cosine_near_dup" -> q109,
     "q108_priority_sample" -> q108,
@@ -3010,7 +3024,31 @@ object NorthStar {
        |FROM c ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin
   }
 
+  /** Cross-corpus LSH replica: per-band buckets on both id splits,
+    * candidate equi-join, distinct pairs, exact-cosine verify. */
+  private val q111Sql: String = {
+    def sel(pred: String) = (0 until 8).map(b =>
+      s"SELECT vec_id, $b AS band, ${sqlBucket("v", 4, b * 4)} AS bucket FROM n WHERE $pred")
+    val cb = sel("vec_id >= 20").mkString("\nUNION ALL\n")
+    val pb = sel("vec_id < 20").mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${sqlNorm("v")} AS vn FROM e),
+       |cb AS ($cb),
+       |pb AS ($pb),
+       |cand AS (SELECT DISTINCT pb.vec_id AS pid, cb.vec_id AS tid
+       |         FROM cb JOIN pb ON cb.band = pb.band
+       |           AND cb.bucket = pb.bucket),
+       |vf AS (SELECT cand.pid, cand.tid,
+       |              ${sqlDot("p.v", "t.v")} / (p.vn * t.vn) AS cosim
+       |       FROM cand
+       |       JOIN n p ON p.vec_id = cand.pid
+       |       JOIN n t ON t.vec_id = cand.tid)
+       |SELECT pid, tid, ROUND(cosim, 6) AS cos FROM vf WHERE cosim >= 0.35
+       |ORDER BY pid, tid""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q111_embedding_contamination" -> q111Sql,
     "q110_zorder_key" -> q110Sql,
     "q109_cosine_near_dup" -> q109Sql,
     "q108_priority_sample" -> q108Sql,

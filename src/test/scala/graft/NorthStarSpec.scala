@@ -828,6 +828,41 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(full == 60L * 59 / 2, s"uncapped run emitted $full pairs")
   }
 
+  test("embedding contamination: verified subset of exact cross-split " +
+      "pairs, usable recall, and a corpus-broadcast-free plan") {
+    import graft.operators.SimilarityOps
+    val vecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val exact = (for {
+      p <- vecs.keys if p < 20; t <- vecs.keys if t >= 20
+      if cos(vecs(p), vecs(t)) >= 0.3
+    } yield (p, t)).toSet
+    assert(exact.nonEmpty, "fixture should contain cross-split pairs")
+    val result = SimilarityOps.embeddingContamination(
+      emb.filter(col("vec_id") >= 20), emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", threshold = 0.3)
+    val got = result.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), s"non-pairs: ${got.diff(exact).take(5)}")
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall over ${exact.size} true pairs")
+    // the 100 TB contract: the corpus side is never sort-merge-joined
+    // or shuffled into a join — probe signatures and candidates
+    // broadcast instead
+    val plan = result.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"corpus SMJ:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected broadcast candidate+verify joins:\n$plan")
+  }
+
   test("priority sample: deterministic, bounded per group, and " +
       "weight-biased") {
     import graft.operators.CurationOps
