@@ -121,13 +121,17 @@ object MultimodalOps {
     * exact integer arithmetic — order-independent. Truncated data
     * chunks clip to the real payload instead of failing: one ragged
     * file must not kill a 100 TB scan. */
-  private[graft] def decodeWav(bytes: Array[Byte])
-      : Option[(Int, Int, Int, Long, Double)] = {
+  /** The RIFF chunk walk shared by [[decodeWav]] and [[audioWindows]]:
+    * locates the PCM data region for the first `data` chunk following
+    * a supported `fmt ` chunk. Returns (rate, channels, bits, start
+    * offset, clipped byte length). */
+  private def wavPcmRegion(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Int, Int)] = {
     if (!looksLikeWav(bytes)) return None
     val n = bytes.length
     var pos = 12
     var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
-    var result: Option[(Int, Int, Int, Long, Double)] = None
+    var result: Option[(Int, Int, Int, Int, Int)] = None
     while (pos + 8 <= n && result.isEmpty) {
       val id = new String(bytes, pos, 4, "US-ASCII")
       val size = le32(bytes, pos + 4).toInt
@@ -143,27 +147,38 @@ object MultimodalOps {
         fmt.foreach { case (channels, rate, bits) =>
           val start = pos + 8
           val len = math.max(0, math.min(size, n - start))
-          val bytesPer = bits / 8
-          val nSamples = (len / bytesPer).toLong
-          var sumSq = 0L
-          var i = 0
-          while (i < nSamples) {
-            val v =
-              if (bits == 8) (bytes(start + i) & 0xff) - 128
-              else le16(bytes, start + 2 * i).toShort.toInt
-            sumSq += v.toLong * v
-            i += 1
-          }
-          val rms =
-            if (nSamples == 0) 0.0
-            else math.sqrt(sumSq.toDouble / nSamples)
-          result = Some((rate, channels, bits, nSamples, rms))
+          result = Some((rate, channels, bits, start, len))
         }
       }
       if (result.isEmpty) pos += 8 + size + (size & 1) // word-aligned
     }
     result
   }
+
+  /** Sample i (raw interleaved order) of the located PCM region, in
+    * the centered integer domain (8-bit unsigned recentered by -128,
+    * 16-bit signed as-is). */
+  @inline private def pcmSample(bytes: Array[Byte], start: Int,
+                                bits: Int, i: Int): Int =
+    if (bits == 8) (bytes(start + i) & 0xff) - 128
+    else le16(bytes, start + 2 * i).toShort.toInt
+
+  private[graft] def decodeWav(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Long, Double)] =
+    wavPcmRegion(bytes).map { case (rate, channels, bits, start, len) =>
+      val nSamples = (len / (bits / 8)).toLong
+      var sumSq = 0L
+      var i = 0
+      while (i < nSamples) {
+        val v = pcmSample(bytes, start, bits, i)
+        sumSq += v.toLong * v
+        i += 1
+      }
+      val rms =
+        if (nSamples == 0) 0.0
+        else math.sqrt(sumSq.toDouble / nSamples)
+      (rate, channels, bits, nSamples, rms)
+    }
 
   /** Audio feature extraction: REAL PCM-WAV decode (header facts +
     * exact-integer RMS) for payloads whose magic says RIFF/WAVE;
@@ -184,6 +199,62 @@ object MultimodalOps {
       }
     }.toDF("media_id", "format", "is_wav", "sample_rate", "channels",
       "bits", "n_samples", "rms")
+  }
+
+  /** Windowed PCM features — the speech/audio curation signals
+    * (silence trimming, music-vs-speech gates, clipping detection)
+    * need per-frame-window stats, not one whole-file RMS. Cuts the
+    * decoded stream into fixed windows of `windowFrames` per-channel
+    * frames and emits, per window: exact-integer RMS over all
+    * channels, zero crossings of channel 0 (sign flips between
+    * consecutive frames, zero treated as non-negative), and the peak
+    * absolute sample. One streaming pass over the payload bytes — no
+    * sample array is materialized, so a multi-GB file costs O(window)
+    * memory. Non-WAV payloads emit no rows (same split as
+    * [[audioFeatures]]). Output: media_id, window_idx, n_frames, rms,
+    * zero_crossings, peak. */
+  def audioWindows(media: Dataset[MediaPayload], windowFrames: Int)
+      : DataFrame = {
+    require(windowFrames > 0, s"bad window $windowFrames")
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { p =>
+        wavPcmRegion(p.data) match {
+          case None => Iterator.empty
+          case Some((_, channels, bits, start, len)) =>
+            val nFrames = len / (bits / 8) / channels
+            (0 until ((nFrames + windowFrames - 1) / windowFrames))
+              .iterator.map { w =>
+                val f0 = w * windowFrames
+                val f1 = math.min(f0 + windowFrames, nFrames)
+                var sumSq = 0L
+                var zc = 0
+                var peak = 0
+                var prevSign = 0 // sign of the previous ch-0 sample
+                var f = f0
+                while (f < f1) {
+                  var c = 0
+                  while (c < channels) {
+                    val v = pcmSample(p.data, start, bits, f * channels + c)
+                    sumSq += v.toLong * v
+                    if (math.abs(v) > peak) peak = math.abs(v)
+                    if (c == 0) {
+                      val s = if (v < 0) -1 else 1
+                      if (f > f0 && s != prevSign) zc += 1
+                      prevSign = s
+                    }
+                    c += 1
+                  }
+                  f += 1
+                }
+                val n = (f1 - f0).toLong * channels
+                val rms = if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n)
+                (p.media_id, w, f1 - f0, rms, zc, peak)
+              }
+        }
+      }
+    }.toDF("media_id", "window_idx", "n_frames", "rms",
+      "zero_crossings", "peak")
   }
 
   /** 64-bit perceptual hash (aHash) over an 8x8 grayscale thumbnail

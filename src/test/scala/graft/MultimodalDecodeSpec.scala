@@ -191,6 +191,46 @@ class MultimodalDecodeSpec extends AnyFunSuite with SparkTestBase {
     assert(MultimodalOps.decodeWav("not audio at all".getBytes).isEmpty)
   }
 
+  test("audioWindows: per-window RMS, zero crossings, and peak on a " +
+      "known square wave; stereo channel-0 ZCR; non-WAV emits no rows") {
+    import spark.implicits._
+    // 16 frames: window 0 silent, window 1 a +/-1000 square wave of
+    // period 2 (sign flips between every consecutive frame: 7 flips)
+    val mono = Seq.fill(8)(0) ++
+      (0 until 8).map(i => if (i % 2 == 0) 1000 else -1000)
+    val media = Seq(
+      MediaPayload(1L, "wav", 0, 0, 0, wavBytes(16000, 1, 16, mono)),
+      MediaPayload(2L, "txt", 0, 0, 0, "nope".getBytes("UTF-8"))).toDS()
+    val got = MultimodalOps.audioWindows(media, windowFrames = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getDouble(3), r.getInt(4), r.getInt(5))).sortBy(x => (x._1, x._2))
+    assert(got.length == 2, "non-WAV payload must emit no rows")
+    assert(got(0) == ((1L, 0, 8, 0.0, 0, 0)))
+    val (_, w1, n1, rms1, zc1, pk1) = got(1)
+    assert(w1 == 1 && n1 == 8)
+    assert(rms1 == 1000.0) // constant-magnitude wave: RMS exact
+    assert(zc1 == 7 && pk1 == 1000)
+    // stereo: ZCR counts channel 0 only; RMS covers both channels.
+    // ch0 alternates +/-500 (3 flips in 4 frames); ch1 constant 100.
+    val stereo = (0 until 4).flatMap(i =>
+      Seq(if (i % 2 == 0) 500 else -500, 100))
+    val sRows = MultimodalOps.audioWindows(
+      Seq(MediaPayload(3L, "wav", 0, 0, 0,
+        wavBytes(8000, 2, 16, stereo))).toDS(), windowFrames = 4)
+      .collect()
+    assert(sRows.length == 1)
+    val r = sRows.head
+    assert(r.getInt(2) == 4 && r.getInt(4) == 3 && r.getInt(5) == 500)
+    assert(math.abs(r.getDouble(3) -
+      math.sqrt((4 * 500L * 500 + 4 * 100L * 100).toDouble / 8)) < 1e-12)
+    // ragged tail: 10 frames at window 8 -> windows of 8 and 2
+    val tail = MultimodalOps.audioWindows(
+      Seq(MediaPayload(4L, "wav", 0, 0, 0,
+        wavBytes(8000, 1, 16, Seq.fill(10)(7)))).toDS(), windowFrames = 8)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).sorted
+    assert(tail.toSeq == Seq((0, 8), (1, 2)))
+  }
+
   test("audioFeatures: real WAV decode with byte-stat fallback") {
     import spark.implicits._
     val media = Seq(
