@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{CurationOps, DedupOps, MultimodalOps, ScaleOps,
-  SimilarityOps, TemporalJoinOps, TextOps, WindowOps}
+import graft.operators.{CurationOps, DedupOps, FunnelOps, MultimodalOps,
+  ScaleOps, SimilarityOps, TemporalJoinOps, TextOps, WindowOps}
 import graft.sources.IvfVectorStore
 
 /** North-star training-data-pipeline queries (BASELINE.json): dedup,
@@ -1119,7 +1119,32 @@ object NorthStar {
       .ordered(col("pid"), col("tid"))
   }
 
+  // q112 — ordered funnel conversion (signup → view → click →
+  // purchase): stage k matches at the earliest stage-k event at-or-
+  // after the stage k-1 match. All four stages run in ONE entity-
+  // keyed sort-window stage; the rollup is a 1-row aggregate.
+  private val q112: Q = (s, dir) => {
+    val ev = t(s, dir, "events").withColumn("tus", expr("ts_ns div 1000"))
+    val stages = Seq("signup", "view", "click", "purchase")
+    FunnelOps.funnelConversion(
+        FunnelOps.funnelStageTimes(ev, "user_id", "event_type", "tus",
+          "event_id", stages), stages)
+      .ordered(col("stage_idx"))
+  }
+
+  // q113 — cohort retention matrix: daily activity buckets, cohort =
+  // first active day; distinct active users per (cohort, day offset).
+  // The event log collapses to the distinct activity grid first.
+  private val q113: Q = (s, dir) => {
+    val ev = t(s, dir, "events").withColumn("tus", expr("ts_ns div 1000"))
+    FunnelOps.cohortRetention(ev, "user_id", "tus", 86400000000L)
+      .withColumnRenamed("offset", "day_offset")
+      .ordered(col("cohort"), col("day_offset"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q113_cohort_retention" -> q113,
+    "q112_funnel" -> q112,
     "q111_embedding_contamination" -> q111,
     "q110_zorder_key" -> q110,
     "q109_cosine_near_dup" -> q109,
@@ -3047,7 +3072,49 @@ object NorthStar {
        |ORDER BY pid, tid""".stripMargin
   }
 
+  private val q112Sql: String = {
+    val stages = Seq("signup", "view", "click", "purchase")
+    val win = "WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id " +
+      "ROWS UNBOUNDED PRECEDING)"
+    val stageCtes = stages.zipWithIndex.map { case (stg, i) =>
+      val src = if (i == 0) "e" else s"s${i - 1}"
+      val gate =
+        if (i == 0) s"event_type = '$stg'"
+        else s"event_type = '$stg' AND t${i - 1} <= tus"
+      s"""s$i AS (SELECT *, MIN(CASE WHEN $gate THEN tus END) OVER w AS t$i
+         |      FROM $src $win)""".stripMargin
+    }.mkString(",\n")
+    val mins = stages.indices.map(i => s"MIN(t$i) AS t$i").mkString(", ")
+    val cnts = stages.indices.map(i => s"COUNT(t$i) AS c$i").mkString(", ")
+    val rows = stages.zipWithIndex.map { case (stg, i) =>
+      s"""SELECT $i AS stage_idx, '$stg' AS stage, c$i AS n_entities,
+         |       CASE WHEN c0 > 0
+         |            THEN CAST(ROUND((c$i::DOUBLE / c0) * 1e6, 0) AS BIGINT)
+         |            ELSE 0 END AS conv_e6
+         |FROM c""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+       |           FROM events),
+       |$stageCtes,
+       |u AS (SELECT user_id, $mins FROM s${stages.size - 1} GROUP BY user_id),
+       |c AS (SELECT $cnts FROM u)
+       |$rows
+       |ORDER BY stage_idx""".stripMargin
+  }
+
+  private val q113Sql: String =
+    """WITH a AS (SELECT DISTINCT user_id,
+      |                  epoch_us(ts) // 86400000000 AS bucket
+      |           FROM events),
+      |c AS (SELECT user_id, MIN(bucket) AS cohort FROM a GROUP BY user_id)
+      |SELECT c.cohort, a.bucket - c.cohort AS day_offset,
+      |       COUNT(*) AS n_active
+      |FROM a JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q113_cohort_retention" -> q113Sql,
+    "q112_funnel" -> q112Sql,
     "q111_embedding_contamination" -> q111Sql,
     "q110_zorder_key" -> q110Sql,
     "q109_cosine_near_dup" -> q109Sql,
