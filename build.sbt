@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Required by any session touching events.parquet when the driver
+  // writes TIMESTAMP(NANOS); set JVM-wide so concurrently-built test
+  // SparkSessions can't race on per-suite config (r3 verdict item 3).
+  "-Dspark.sql.legacy.parquet.nanosAsLong=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

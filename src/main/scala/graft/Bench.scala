@@ -66,16 +66,30 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.contains))
     }
+    // A failed query must NEVER look like a fast one (r3: 26 analysis
+    // errors were reported as ~0.07 s "times"): failures are emitted as
+    // {"err": "..."} entries and excluded from the total.
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val outcome =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160))
+        }
+      name -> (outcome, (System.nanoTime() - t0) / 1e9)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, (None, v))      => "\"" + k + "\":" + v
+      case (k, (Some(err), _)) => "\"" + k + "\":{\"err\":\"" + err + "\"}"
+    }.mkString("{", ",", "}")
+    val ok = results.collect { case (_, (None, v)) => v }
+    val nErr = results.size - ok.size
+    val total = if (ok.nonEmpty) ok.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir"}""")
+    if (nErr > 0)
+      System.err.println(s"[bench] $nErr of ${results.size} queries FAILED; total covers ${ok.size} ok queries only")
     spark.stop()
   }
 }

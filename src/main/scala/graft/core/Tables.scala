@@ -25,20 +25,39 @@ object Tables {
     if (name == "events") normalizeEventTs(df) else df
   }
 
-  /** events.ts arrives as epoch-nanos LONG (see [[NanosAsLongKey]]).
-    * Re-expose `ts` as a micro-precision TimestampType for SQL parity
-    * and keep the exact nano value as `ts_ns` so window orderings can
-    * match a nanosecond-native oracle bit-for-bit. */
+  /** Normalizes `events.ts` across the parquet writer variants seen in
+    * the wild (the driver has regenerated testdata with different ones):
+    *   - TIMESTAMP(NANOS)      → read as epoch-nano LONG under
+    *     [[NanosAsLongKey]];
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ;
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=true)  → TIMESTAMP (LTZ).
+    * All three normalize to the same pair: `ts` as micro-precision
+    * TimestampType (for SQL/oracle parity) plus `ts_ns` as epoch nanos
+    * so window orderings can match a nanosecond-native oracle
+    * bit-for-bit. Sessions pin spark.sql.session.timeZone=UTC, so the
+    * NTZ→LTZ cast is value-preserving. */
   private def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
-    if (df.schema("ts").dataType == LongType) {
-      // integral division: `/` on longs is double division in Spark and
-      // a ~1.7e18 nanos value exceeds the double mantissa (2^53), which
-      // can shift the derived micro timestamp by 1 us
-      df.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-    } else df.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        // integral division: `/` on longs is double division in Spark and
+        // a ~1.7e18 nanos value exceeds the double mantissa (2^53), which
+        // can shift the derived micro timestamp by 1 us
+        df.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case TimestampNTZType =>
+        // unix_micros rejects NTZ input; cast first (UTC session ⇒ same
+        // instant), and re-expose ts as plain TimestampType so every
+        // downstream query sees one schema regardless of writer variant.
+        df.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+      case TimestampType =>
+        df.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts: unsupported parquet timestamp physical type $other")
+    }
   }
 
   /** Register every table as a temp view (for spark.sql entry points). */

@@ -17,6 +17,11 @@ class ControlProcessorSpec extends AnyFunSuite {
     .appName("graft-tws-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    // Session-config race guard: suites run concurrently in one forked
+    // JVM and getOrCreate() can win the shared-session race; carry the
+    // confs every other suite needs (also set JVM-wide in build.sbt).
+    .config("spark.sql.session.timeZone", "UTC")
+    .config(graft.core.Tables.NanosAsLongKey, "true")
     .config("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     .getOrCreate()
