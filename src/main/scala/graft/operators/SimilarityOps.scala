@@ -167,6 +167,59 @@ object SimilarityOps {
         lit(c.id).as("cent_id"))
     }: _*)
 
+  /** Plan-literal budget for inlined centroid tables. Below it, the
+    * literal form of [[cellScores]] wins (fully codegen'd scoring, zero
+    * join); above it the k·dims Literal nodes make analysis/codegen
+    * cost — and the serialized plan each task receives — grow linearly
+    * with k, so the centroids ship as a one-row broadcast RELATION
+    * instead (see [[withCellScores]]): plan size stays O(1) at
+    * production k. 16 cells x 64 dims = 1k scalars stays literal;
+    * a 65k-scalar quantizer flips to broadcast automatically. */
+  val MaxLiteralCentroidScalars: Int = 1 << 14
+
+  /** One-row relation carrying the whole centroid set as
+    * array<struct<cent_id,cv,cn>> DATA (sorted by cent_id). Broadcast-
+    * cross-joined against the scan: every task reads the centroids from
+    * the broadcast block exactly once, not from the plan. */
+  private def centroidArray(df: DataFrame, cents: Array[Centroid])
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    cents.toSeq.map(c => (c.id, c.v.toSeq, c.n))
+      .toDF("cent_id", "cv", "cn")
+      .agg(array_sort(collect_list(
+        struct(col("cent_id"), col("cv"), col("cn")))).as("__cents"))
+  }
+
+  /** [[cellScores]] against a broadcast centroid-array column. Scoring
+    * runs per centroid element through the codegen'd VectorDot (same
+    * left-to-right fold order as `dotLit` — identical IEEE doubles), so
+    * the HOF lambda dispatch costs O(k) per row, not O(k·dims). */
+  private def cellScoresFromArray(centsArr: Column, v: Column, n: Column)
+      : Column =
+    transform(centsArr, c => struct(
+      (-(graft.functions.VectorExprs.vectorDot(v, c.getField("cv")) /
+        (n * c.getField("cn")))).as("negcos"),
+      c.getField("cent_id").as("cent_id")))
+
+  /** Adds `outCol` = the [[cellScores]] array for `vCol`/`nCol`,
+    * choosing literal-inline vs broadcast-relation form by the
+    * `maxLiteralScalars` budget. Both forms produce bit-identical
+    * scores and the same struct shape — callers (and oracles) never
+    * see which one ran. */
+  private[graft] def withCellScores(df: DataFrame, cents: Array[Centroid],
+      vCol: String, nCol: String, outCol: String,
+      maxLiteralScalars: Int = MaxLiteralCentroidScalars): DataFrame = {
+    val dims = if (cents.isEmpty) 0 else cents(0).v.length
+    if (cents.length.toLong * dims <= maxLiteralScalars)
+      df.withColumn(outCol, cellScores(cents, col(vCol), col(nCol)))
+    else
+      df.crossJoin(broadcast(centroidArray(df, cents)))
+        .withColumn(outCol,
+          cellScoresFromArray(col("__cents"), col(vCol), col(nCol)))
+        .drop("__cents")
+  }
+
   /** IVF-style ANN top-k: a deterministic coarse quantizer (see
     * [[coarseCentroids]]) partitions the corpus into cells; each query
     * probes its `nProbes` nearest cells and re-ranks exactly inside
@@ -178,17 +231,20 @@ object SimilarityOps {
     * trade. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nCentroids: Int = 16, nProbes: Int = 4): DataFrame = {
+              nCentroids: Int = 16, nProbes: Int = 4,
+              maxLiteralScalars: Int = MaxLiteralCentroidScalars)
+      : DataFrame = {
     val cents = coarseCentroids(corpus, idCol, vecCol, nCentroids)
-    val c = withNorm(corpus, idCol, vecCol, "nid", "cv", "cn")
-      .withColumn("cell",
-        array_min(cellScores(cents, col("cv"), col("cn")))
-          .getField("cent_id"))
-    val q = withNorm(queries, idCol, vecCol, "qid", "qv", "qn")
+    val c = withCellScores(
+        withNorm(corpus, idCol, vecCol, "nid", "cv", "cn"),
+        cents, "cv", "cn", "__sc", maxLiteralScalars)
+      .withColumn("cell", array_min(col("__sc")).getField("cent_id"))
+      .drop("__sc")
+    val q = withCellScores(
+        withNorm(queries, idCol, vecCol, "qid", "qv", "qn"),
+        cents, "qv", "qn", "__sc", maxLiteralScalars)
       .withColumn("probe",
-        explode(slice(
-          sort_array(cellScores(cents, col("qv"), col("qn"))),
-          1, nProbes)))
+        explode(slice(sort_array(col("__sc")), 1, nProbes)))
       .select(col("qid"), col("qv"), col("qn"),
         col("probe.cent_id").as("cell"))
     val scored = c.join(broadcast(q), Seq("cell"))
@@ -461,7 +517,9 @@ object SimilarityOps {
                 idCol: String, vecCol: String, k: Int,
                 nCentroids: Int = 16, nProbes: Int = 4,
                 m: Int = 8, ksub: Int = 32, oversample: Int = 8,
-                dims: Int = 64): DataFrame = {
+                dims: Int = 64,
+                maxLiteralScalars: Int = MaxLiteralCentroidScalars)
+      : DataFrame = {
     val cents = coarseCentroids(corpus, idCol, vecCol, nCentroids)
     val cb = pqCodebooks(corpus, idCol, vecCol, m, ksub, dims)
     // corpus side: cell (float contract) + codes/css (integer contract)
@@ -477,10 +535,10 @@ object SimilarityOps {
           element_at(typedlit(cb.norms2(s).toSeq), col(s"pc$s") + 1))
           .reduce(_ + _))
       .select(col("nid"), col("codes"), col("css"))
-    val cells = withNorm(corpus, idCol, vecCol, "nid", "cv", "cn")
-      .withColumn("cell",
-        array_min(cellScores(cents, col("cv"), col("cn")))
-          .getField("cent_id"))
+    val cells = withCellScores(
+        withNorm(corpus, idCol, vecCol, "nid", "cv", "cn"),
+        cents, "cv", "cn", "__sc", maxLiteralScalars)
+      .withColumn("cell", array_min(col("__sc")).getField("cent_id"))
       .select(col("nid"), col("cell"))
     val c = coded.join(cells, "nid")
     // query side: probe cells + ADC lookup table + exact norm
@@ -497,11 +555,11 @@ object SimilarityOps {
             sub, lit(cb.words(s)(cIdx).map(_.toDouble)))
         }: _*)
       }: _*))
-    val qp = withNorm(queries, idCol, vecCol, "qid", "qv", "qn")
+    val qp = withCellScores(
+        withNorm(queries, idCol, vecCol, "qid", "qv", "qn"),
+        cents, "qv", "qn", "__sc", maxLiteralScalars)
       .withColumn("probe",
-        explode(slice(
-          sort_array(cellScores(cents, col("qv"), col("qn"))),
-          1, nProbes)))
+        explode(slice(sort_array(col("__sc")), 1, nProbes)))
       .select(col("qid"), col("probe.cent_id").as("cell"))
       .join(q, "qid")
     val cand = topCandidates(
@@ -545,9 +603,16 @@ object SimilarityOps {
     *
     * Returns (id, cid) — the final assignment. */
   def kmeansInt8(df: DataFrame, idCol: String, vecCol: String, k: Int,
-                 iters: Int, dims: Int = 64): DataFrame = {
+                 iters: Int, dims: Int = 64,
+                 maxLiteralScalars: Int = MaxLiteralCentroidScalars)
+      : DataFrame = {
+    // qvd is materialized INTO the checkpoint so neither assignment
+    // form re-casts the bigint vector per centroid (the checkpoint is
+    // a real barrier — CollapseProject cannot inline it into lambda
+    // bodies downstream).
     val q = int8Quantize(df, idCol, vecCol, dims)
-      .select(col("id"), col("qvec").cast("array<bigint>").as("qv"))
+      .select(col("id"), col("qvec").cast("array<bigint>").as("qv"),
+        col("qvec").cast("array<double>").as("qvd"))
       .localCheckpoint(false) // scanned once per iteration + final
     // argmin over (dist, cid) packed into one long: min(d*k + cid) % k
     // — ties resolve to the smaller cid, exactly like ORDER BY d, cid.
@@ -559,23 +624,49 @@ object SimilarityOps {
     // "integer k-means" cross-engine guarantee holds. (The earlier
     // zip_with/aggregate fold form was interpreted, not codegen'd —
     // measured ~10x slower on the assignment pass.)
-    def assignExpr(cents: Array[Array[Long]]): Column = {
-      val qvd = col("qv").cast("array<double>")
+    def assignExpr(cents: Array[Array[Long]]): Column =
       pmod(array_min(array(cents.zipWithIndex.map { case (c, i) =>
         val cn2 = c.map(x => x * x).sum
         (lit(cn2.toDouble) - lit(2.0d) *
-            graft.functions.VectorExprs.vectorDot(qvd, lit(c.map(_.toDouble))))
+            graft.functions.VectorExprs.vectorDot(col("qvd"),
+              lit(c.map(_.toDouble))))
           .cast("long") * k + i
       }: _*)), lit(k.toLong)).cast("int")
-    }
+    // Broadcast-relation twin of assignExpr for production k·dims: the
+    // centroids ride a one-row broadcast as DATA, scored by transform
+    // over the array — identical packed-argmin arithmetic (cn2 and the
+    // dot are integer-valued doubles < 2^53, so both forms compute the
+    // same exact longs), plan size O(1) in k.
+    def assignedDf(cents: Array[Array[Long]]): DataFrame =
+      if (k.toLong * dims <= maxLiteralScalars)
+        q.withColumn("cid", assignExpr(cents))
+      else {
+        val spark = q.sparkSession
+        import spark.implicits._
+        val arr = cents.zipWithIndex.toSeq
+          .map { case (c, i) =>
+            (i, c.map(_.toDouble).toSeq, c.map(x => x * x).sum.toDouble) }
+          .toDF("cid", "cv", "cn2")
+          .agg(array_sort(collect_list(
+            struct(col("cid"), col("cv"), col("cn2")))).as("__cents"))
+        q.crossJoin(broadcast(arr))
+          .withColumn("cid",
+            pmod(array_min(transform(col("__cents"), c =>
+              (c.getField("cn2") - lit(2.0d) *
+                  graft.functions.VectorExprs.vectorDot(col("qvd"),
+                    c.getField("cv")))
+                .cast("long") * k + c.getField("cid").cast("long"))),
+              lit(k.toLong)).cast("int"))
+          .drop("__cents")
+      }
     var cents: Array[Array[Long]] = q
       .withColumn("h", md5(col("id").cast("string")))
       .orderBy(col("h"), col("id")).limit(k)
       .select(col("qv")).collect()
       .map(_.getSeq[Long](0).toArray)
     for (_ <- 1 to iters) {
-      val sums = q
-        .select(assignExpr(cents).as("cid"), posexplode(col("qv")))
+      val sums = assignedDf(cents)
+        .select(col("cid"), posexplode(col("qv")))
         .groupBy(col("cid"), col("pos"))
         .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
         .collect()
@@ -590,7 +681,7 @@ object SimilarityOps {
         }
       }
     }
-    q.select(col("id"), assignExpr(cents).as("cid"))
+    assignedDf(cents).select(col("id"), col("cid"))
   }
 
   /** SemDeDup-style semantic dedup: cluster with [[kmeansInt8]], then

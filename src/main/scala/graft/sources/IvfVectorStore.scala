@@ -52,15 +52,17 @@ object IvfVectorStore {
         r.getDouble(2)))
 
   /** (id, v, nm, cell) for `df` against the FROZEN centroid set —
-    * a pure projection (centroid literals inlined), zero shuffle. */
+    * a pure projection (centroid literals inlined below the plan-size
+    * budget; a one-row broadcast relation above it), zero shuffle. */
   private def assigned(df: DataFrame, idCol: String, vecCol: String,
                        cents: Array[Centroid]): DataFrame =
-    df.select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nm", sqrt(SimilarityOps.dot(col("v"), col("v"))))
-      .withColumn("cell",
-        array_min(SimilarityOps.cellScores(cents, col("v"), col("nm")))
-          .getField("cent_id"))
+    SimilarityOps.withCellScores(
+        df.select(col(idCol).cast("long").as("id"),
+            col(vecCol).cast("array<double>").as("v"))
+          .withColumn("nm", sqrt(SimilarityOps.dot(col("v"), col("v")))),
+        cents, "v", "nm", "__sc")
+      .withColumn("cell", array_min(col("__sc")).getField("cent_id"))
+      .drop("__sc")
 
   /** Build the index from scratch: derive + persist the quantizer,
     * write the corpus cell-partitioned. One corpus scan. */
@@ -96,14 +98,14 @@ object IvfVectorStore {
                  idCol: String, vecCol: String, k: Int,
                  nProbes: Int): DataFrame = {
     val cents = readCentroids(spark, path)
-    val q = queries
-      .select(col(idCol).cast("long").as("qid"),
-        col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("qn", sqrt(SimilarityOps.dot(col("qv"), col("qv"))))
+    val q = SimilarityOps.withCellScores(
+        queries
+          .select(col(idCol).cast("long").as("qid"),
+            col(vecCol).cast("array<double>").as("qv"))
+          .withColumn("qn", sqrt(SimilarityOps.dot(col("qv"), col("qv")))),
+        cents, "qv", "qn", "__sc")
       .withColumn("probe",
-        explode(slice(
-          sort_array(SimilarityOps.cellScores(cents, col("qv"), col("qn"))),
-          1, nProbes)))
+        explode(slice(sort_array(col("__sc")), 1, nProbes)))
       .select(col("qid"), col("qv"), col("qn"),
         col("probe.cent_id").as("cell"))
     val probedCells = q.select(col("cell")).distinct()

@@ -75,6 +75,35 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(ivf.forall { case (q, n) => q != n })
   }
 
+  test("broadcast-relation centroids match literal-inline bit-for-bit") {
+    val queries = emb.filter(col("vec_id") < 20)
+    def run(budget: Int) = SimilarityOps.ivfTopK(emb, queries,
+        "vec_id", "embedding", 5, nCentroids = 16, nProbes = 4,
+        maxLiteralScalars = budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // budget 0 forces the broadcast-relation form; the default keeps
+    // 16x64 = 1k scalars literal. Same cells, same probes, same cosines
+    // (identical IEEE doubles — same fold order through VectorDot).
+    assert(run(0) == run(SimilarityOps.MaxLiteralCentroidScalars))
+    def cluster(budget: Int) = SimilarityOps.kmeansInt8(emb,
+        "vec_id", "embedding", k = 8, iters = 2,
+        maxLiteralScalars = budget)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cluster(0) == cluster(SimilarityOps.MaxLiteralCentroidScalars))
+  }
+
+  test("production-k quantizer (k*dims >= 64k) plans and runs bounded") {
+    // 1024 centroids x 64 dims = 65536 scalars — far over the literal
+    // budget, so the assignment must ride the broadcast relation: plan
+    // size stays O(1) in k instead of carrying 65k Literal nodes.
+    val small = emb.filter(col("vec_id") < 200)
+    val asg = SimilarityOps.kmeansInt8(small, "vec_id", "embedding",
+      k = 1024, iters = 1)
+    val rows = asg.collect()
+    assert(rows.length == small.count())
+    assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 1024))
+  }
+
   test("int8 ANN top-5 nearly matches brute-force top-5") {
     val queries = emb.filter(col("vec_id") < 50)
     val exact = SimilarityOps.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
