@@ -14,6 +14,7 @@ final case class AhrsSettings(
     gain: Double = 0.5,
     gyroscopeRangeDps: Double = 500.0,      // 0 = unlimited
     accelerationRejectionDeg: Double = 10.0, // 0 = disabled
+    magneticRejectionDeg: Double = 10.0,     // 0 = disabled
     recoveryTriggerPeriod: Int = 17730)      // ~5 s at 282 us/sample
 {
   /** Derived thresholds (FusionAhrs.c:86-104). */
@@ -24,6 +25,13 @@ final case class AhrsSettings(
       Double.MaxValue
     else {
       val s = 0.5 * math.sin(math.toRadians(accelerationRejectionDeg))
+      s * s
+    }
+  val magRejectionThreshold: Double =
+    if (magneticRejectionDeg == 0.0 || gain == 0.0 || recoveryTriggerPeriod == 0)
+      Double.MaxValue
+    else {
+      val s = 0.5 * math.sin(math.toRadians(magneticRejectionDeg))
       s * s
     }
 }
@@ -37,7 +45,11 @@ final case class AhrsState(
     halfAccelerometerFeedback: Vec3 = Vec3.Zero,
     accelerometerIgnored: Boolean = false,
     accelerationRecoveryTrigger: Int = 0,
-    accelerationRecoveryTimeout: Int = 0)
+    accelerationRecoveryTimeout: Int = 0,
+    halfMagnetometerFeedback: Vec3 = Vec3.Zero,
+    magnetometerIgnored: Boolean = false,
+    magneticRecoveryTrigger: Int = 0,
+    magneticRecoveryTimeout: Int = 0)
 
 object Ahrs {
   /** FusionAhrs.c:21-26. */
@@ -45,14 +57,40 @@ object Ahrs {
   val InitialisationPeriod = 3.0
 
   def initial(settings: AhrsSettings): AhrsState =
-    AhrsState(accelerationRecoveryTimeout = settings.recoveryTriggerPeriod)
+    AhrsState(accelerationRecoveryTimeout = settings.recoveryTriggerPeriod,
+      magneticRecoveryTimeout = settings.recoveryTriggerPeriod)
 
-  /** One filter step (gyro in dps, accel in g, dt in seconds) —
-    * FusionAhrsUpdate specialised to the no-magnetometer path
-    * (FusionAhrs.c:113-217, 324-333). ENU/NWU convention (the two share
-    * the same gravity column, FusionAhrs.c:224-235). */
+  /** One no-magnetometer filter step (gyro in dps, accel in g, dt in
+    * seconds) — FusionAhrsUpdateNoMagnetometer (FusionAhrs.c:324-333):
+    * the full update with a zero magnetometer, then the heading zeroed
+    * while initialising. ENU/NWU convention (the two share the same
+    * gravity column, FusionAhrs.c:224-235). */
   def update(st0: AhrsState, settings: AhrsSettings,
              gyro: Vec3, accel: Vec3, dt: Double): AhrsState = {
+    val st = updateWithMagnetometer(st0, settings, gyro, accel, Vec3.Zero, dt)
+    // No-magnetometer variant zeroes the heading while initialising
+    // (FusionAhrs.c:324-333 -> SetHeading(0), FusionAhrs.c:495-507)
+    if (st.initialising) {
+      val quaternion = st.quaternion
+      val yaw = math.atan2(
+        quaternion.w * quaternion.z + quaternion.x * quaternion.y,
+        0.5 - quaternion.y * quaternion.y - quaternion.z * quaternion.z)
+      val half = 0.5 * yaw
+      val rotation = Quat(math.cos(half), 0.0, 0.0, -math.sin(half))
+      st.copy(quaternion = rotation * quaternion)
+    } else st
+  }
+
+  /** One 9-DoF filter step — the full FusionAhrsUpdate (FusionAhrs.c:
+    * 113-217) including the magnetometer feedback branch (lines
+    * 171-204): feedback = Feedback(normalise(halfGravity x mag),
+    * halfMagnetic), with the same rejection threshold / +1-9 recovery
+    * trigger machinery as the accelerometer path. ENU convention for
+    * halfMagnetic (first column of R^T scaled by -0.5, FusionAhrs.c:
+    * 264-271 — the convention the reference firmware configures).
+    * A zero magnetometer reduces exactly to the 6-DoF path. */
+  def updateWithMagnetometer(st0: AhrsState, settings: AhrsSettings,
+             gyro: Vec3, accel: Vec3, mag: Vec3, dt: Double): AhrsState = {
     // Reinitialise (keeping orientation) if gyroscope range exceeded
     var st =
       if (math.abs(gyro.x) > settings.gyroRangeThreshold ||
@@ -116,22 +154,52 @@ object Ahrs {
       if (!accelerometerIgnored) appliedFeedback = halfAccelFeedbackState
     }
 
+    // Magnetometer feedback (FusionAhrs.c:171-204): the sensor vector
+    // is normalise(halfGravity x mag) — the horizontal west direction
+    // measured by the magnetometer — compared against halfMagnetic,
+    // the west direction the current orientation implies. Same
+    // >90-degree normalization and recovery trigger as the accel path.
+    var halfMagFeedbackState = st.halfMagnetometerFeedback
+    var magnetometerIgnored = true
+    var magTrigger = st.magneticRecoveryTrigger
+    var magTimeout = st.magneticRecoveryTimeout
+    var appliedMagFeedback = Vec3.Zero
+    if (!mag.isZero) {
+      // ENU halfMagnetic: first column of R^T scaled by -0.5
+      // (FusionAhrs.c:264-271)
+      val halfMagnetic = Vec3(
+        0.5 - q.w * q.w - q.x * q.x,
+        q.w * q.z - q.x * q.y,
+        -1.0 * (q.x * q.z + q.w * q.y))
+      val sensor = halfGravity.cross(mag).normalize
+      val rawFeedback = sensor.cross(halfMagnetic)
+      halfMagFeedbackState =
+        if (sensor.dot(halfMagnetic) < 0.0) rawFeedback.normalize
+        else rawFeedback
+      if (initialising ||
+          halfMagFeedbackState.magnitudeSquared <= settings.magRejectionThreshold) {
+        magnetometerIgnored = false
+        magTrigger -= 9
+      } else {
+        magTrigger += 1
+      }
+      if (magTrigger > magTimeout) {
+        magTimeout = 0
+        magnetometerIgnored = false
+      } else {
+        magTimeout = settings.recoveryTriggerPeriod
+      }
+      magTrigger =
+        math.max(0, math.min(settings.recoveryTriggerPeriod, magTrigger))
+      if (!magnetometerIgnored) appliedMagFeedback = halfMagFeedbackState
+    }
+
     // Integrate: q += q (x) (0.5*omega_rad + gain*feedback) * dt, then
     // normalize (FusionAhrs.c:206-215)
     val halfGyroRad = gyro * (math.toRadians(0.5))
-    val adjusted = halfGyroRad + appliedFeedback * rampedGain
-    var quaternion = (q + q.mulVector(adjusted * dt)).normalize
-
-    // No-magnetometer variant zeroes the heading while initialising
-    // (FusionAhrs.c:324-333 -> SetHeading(0), FusionAhrs.c:495-507)
-    if (initialising) {
-      val yaw = math.atan2(
-        quaternion.w * quaternion.z + quaternion.x * quaternion.y,
-        0.5 - quaternion.y * quaternion.y - quaternion.z * quaternion.z)
-      val half = 0.5 * yaw
-      val rotation = Quat(math.cos(half), 0.0, 0.0, -math.sin(half))
-      quaternion = rotation * quaternion
-    }
+    val adjusted =
+      halfGyroRad + (appliedFeedback + appliedMagFeedback) * rampedGain
+    val quaternion = (q + q.mulVector(adjusted * dt)).normalize
 
     st.copy(
       quaternion = quaternion,
@@ -141,7 +209,29 @@ object Ahrs {
       halfAccelerometerFeedback = halfAccelFeedbackState,
       accelerometerIgnored = accelerometerIgnored,
       accelerationRecoveryTrigger = trigger,
-      accelerationRecoveryTimeout = timeout)
+      accelerationRecoveryTimeout = timeout,
+      halfMagnetometerFeedback = halfMagFeedbackState,
+      magnetometerIgnored = magnetometerIgnored,
+      magneticRecoveryTrigger = magTrigger,
+      magneticRecoveryTimeout = magTimeout)
+  }
+
+  /** FusionAhrsUpdateExternalHeading (FusionAhrs.c:343-363): a heading
+    * measurement (degrees) is converted to a synthetic magnetometer
+    * from the current roll, then fed through the full update. */
+  def updateExternalHeading(st0: AhrsState, settings: AhrsSettings,
+             gyro: Vec3, accel: Vec3, headingDeg: Double, dt: Double)
+      : AhrsState = {
+    val q = st0.quaternion
+    val roll = math.atan2(q.w * q.x + q.y * q.z,
+      0.5 - q.y * q.y - q.x * q.x)
+    val headingRad = math.toRadians(headingDeg)
+    val sinHeading = math.sin(headingRad)
+    val mag = Vec3(
+      math.cos(headingRad),
+      -1.0 * math.cos(roll) * sinHeading,
+      sinHeading * math.sin(roll))
+    updateWithMagnetometer(st0, settings, gyro, accel, mag, dt)
   }
 
   /** Gravity direction in the sensor frame (FusionAhrs.c:387-396). */

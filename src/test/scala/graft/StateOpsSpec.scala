@@ -56,6 +56,52 @@ class StateOpsSpec extends AnyFunSuite {
     assert(Ahrs.linearAcceleration(st).magnitude < 1e-6)
   }
 
+  test("9-DoF AHRS heading converges to a planted magnetic reference") {
+    // Level stationary sensor with earth magnetic north = +y (ENU): a
+    // device at Euler yaw ψ measures m_sensor = R^T(ŷ) = (sin ψ,
+    // cos ψ, 0), and the tilt-compensated compass (FusionCompass.c ENU
+    // branch) reads that vector back as heading ψ. So planting
+    // mag = (sin h, cos h, 0) must pull the fused yaw to h exactly.
+    val accel = Vec3(0, 0, 1)
+    for (h <- Seq(0.0, 30.0, -60.0)) {
+      val hr = math.toRadians(h)
+      val mag = Vec3(math.sin(hr), math.cos(hr), 0.0)
+      // planted mag really encodes heading h per the tilt-compensated
+      // compass (FusionCompass.c ENU branch)
+      assert(math.abs(Compass.headingEnuDegrees(accel, mag) - h) < 1e-9)
+      var st = Ahrs.initial(settings)
+      for (_ <- 0 until 40000)
+        st = Ahrs.updateWithMagnetometer(st, settings, Vec3.Zero, accel,
+          mag, dt)
+      val (roll, pitch, yaw) = st.quaternion.toEulerDegrees
+      assert(math.abs(roll) < 0.05 && math.abs(pitch) < 0.05)
+      val err = math.abs(((yaw - h) % 360.0 + 540.0) % 360.0 - 180.0)
+      assert(err < 0.1, s"heading $h: yaw $yaw")
+    }
+  }
+
+  test("external-heading update steers yaw; zero mag reduces to 6-DoF") {
+    val accel = Vec3(0, 0, 1)
+    var st = Ahrs.initial(settings)
+    for (_ <- 0 until 40000)
+      st = Ahrs.updateExternalHeading(st, settings, Vec3.Zero, accel,
+        45.0, dt)
+    val (_, _, yaw) = st.quaternion.toEulerDegrees
+    assert(math.abs(yaw - 135.0) < 0.1, s"yaw $yaw")
+    // zero-mag reduction: for an exactly level run the heading-zeroing
+    // wrapper is the identity rotation, so the 6-DoF update and the
+    // full update with a zero magnetometer must agree bit-for-bit
+    // (including the untouched magnetometer state fields)
+    var a = Ahrs.initial(settings)
+    var b = Ahrs.initial(settings)
+    for (i <- 0 until 15000) {
+      a = Ahrs.update(a, settings, Vec3.Zero, accel, dt)
+      b = Ahrs.updateWithMagnetometer(b, settings, Vec3.Zero, accel,
+        Vec3.Zero, dt)
+      assert(a == b, s"diverged at step $i")
+    }
+  }
+
   test("earth-frame acceleration removes gravity in any settled pose") {
     // tilted 10 degrees: stationary sensor must read ~zero earth accel
     val a = math.toRadians(10)
