@@ -64,6 +64,16 @@ object IvfVectorStore {
       .withColumn("cell", array_min(col("__sc")).getField("cent_id"))
       .drop("__sc")
 
+  /** Cluster rows by their cell before the dynamic-partition write:
+    * without this every input task appends a file into every cell
+    * directory (tasks x cells files per write — the many-small-files
+    * cliff at 1000 executors); after it each cell's rows sit in
+    * exactly one task, so each write lands one file per cell. Hash
+    * collisions merely co-locate two cells in one task — the dynamic
+    * writer still splits them into their own directories. */
+  private def clusteredByCell(df: DataFrame): DataFrame =
+    df.repartition(col("cell"))
+
   /** Build the index from scratch: derive + persist the quantizer,
     * write the corpus cell-partitioned. One corpus scan. */
   def write(spark: SparkSession, corpus: DataFrame,
@@ -73,7 +83,7 @@ object IvfVectorStore {
       nCentroids)
     centroidRows(spark, cents).coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
-    assigned(corpus, idCol, vecCol, cents)
+    clusteredByCell(assigned(corpus, idCol, vecCol, cents))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/vectors")
   }
@@ -84,7 +94,7 @@ object IvfVectorStore {
   def append(spark: SparkSession, delta: DataFrame,
              idCol: String, vecCol: String, path: String): Unit = {
     val cents = readCentroids(spark, path)
-    assigned(delta, idCol, vecCol, cents)
+    clusteredByCell(assigned(delta, idCol, vecCol, cents))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$path/vectors")
   }

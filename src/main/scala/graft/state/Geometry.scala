@@ -25,6 +25,41 @@ object Vec3 {
   val Zero: Vec3 = Vec3(0.0, 0.0, 0.0)
 }
 
+/** Row-major 3x3 matrix (rows as vectors) — just enough for the
+  * calibration models and axis alignment (FusionMath.h:103-116). */
+final case class Mat3(r0: Vec3, r1: Vec3, r2: Vec3) {
+  def mulVector(v: Vec3): Vec3 = Vec3(r0.dot(v), r1.dot(v), r2.dot(v))
+}
+
+object Mat3 {
+  val Identity: Mat3 =
+    Mat3(Vec3(1, 0, 0), Vec3(0, 1, 0), Vec3(0, 0, 1))
+  def diagonal(d: Vec3): Mat3 =
+    Mat3(Vec3(d.x, 0, 0), Vec3(0, d.y, 0), Vec3(0, 0, d.z))
+}
+
+/** M15/M16 — named sensor calibration models (FusionCalibration.h:
+  * 26-39). The pipelines inline these as expression primitives at
+  * their call sites; the named forms exist so a library user can apply
+  * the standard models directly (e.g. inside a mapPartitions replay or
+  * a typed Dataset transform). */
+object Calibration {
+  /** Gyroscope/accelerometer model (FusionCalibration.h:26-28):
+    * misalignment * ((uncalibrated - offset) .* sensitivity). */
+  def inertial(uncalibrated: Vec3, misalignment: Mat3,
+               sensitivity: Vec3, offset: Vec3): Vec3 = {
+    val d = uncalibrated - offset
+    misalignment.mulVector(
+      Vec3(d.x * sensitivity.x, d.y * sensitivity.y, d.z * sensitivity.z))
+  }
+
+  /** Magnetometer model (FusionCalibration.h:37-39):
+    * softIron * (uncalibrated - hardIron). */
+  def magnetic(uncalibrated: Vec3, softIronMatrix: Mat3,
+               hardIronOffset: Vec3): Vec3 =
+    softIronMatrix.mulVector(uncalibrated - hardIronOffset)
+}
+
 /** M4 faithful mode: the firmware's fast inverse square root
   * (FusionMath.h:169-179 — the Pizer bit-trick variant with one
   * polished multiply), reproduced in exact float32 semantics for

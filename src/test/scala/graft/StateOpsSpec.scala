@@ -128,6 +128,22 @@ class StateOpsSpec extends AnyFunSuite {
     assert(st.initialising && st.angularRateRecovery)
   }
 
+  test("calibration models: identity is a no-op; hand-computed case") {
+    val v = Vec3(1.5, -2.0, 0.25)
+    assert(Calibration.inertial(v, Mat3.Identity, Vec3(1, 1, 1),
+      Vec3.Zero) == v)
+    assert(Calibration.magnetic(v, Mat3.Identity, Vec3.Zero) == v)
+    // misalignment swaps x/y and negates z; sensitivity 2x on x;
+    // offset removes (0.5, 0, 0.25): hand trace of
+    // M * ((u - offset) .* s)
+    val m = Mat3(Vec3(0, 1, 0), Vec3(1, 0, 0), Vec3(0, 0, -1))
+    val got = Calibration.inertial(v, m, Vec3(2, 1, 1), Vec3(0.5, 0, 0.25))
+    assert(got == Vec3(-2.0, 2.0, 0.0))
+    val mag = Calibration.magnetic(Vec3(3, 4, 5),
+      Mat3.diagonal(Vec3(0.5, 0.25, 2.0)), Vec3(1, 0, 1))
+    assert(mag == Vec3(1.0, 1.0, 8.0))
+  }
+
   test("PID hand-computed first steps + clamps + quantization") {
     val cfg = PidConfig(kp = 2.0, ki = 1.0, kd = 0.0, tau = 0.01,
       limMin = -10.0, limMax = 10.0, dt = 0.1, quantizeInt16 = false)
