@@ -925,6 +925,54 @@ object CurationOps {
         sum(ps * log(ps / pc)).as("kl"))
   }
 
+  /** Distributed binary logistic regression by full-batch gradient
+    * descent — the quality-classifier training step of a curation
+    * pipeline (fastText-style doc scoring), expressed Spark-first:
+    * the weight vector lives driver-side (d+1 doubles — the only
+    * state), and each iteration is ONE aggregation over the cached
+    * feature projection computing sum_rows (sigmoid(w·x) - y) * x_j
+    * per feature with map-side partial aggregation. Per-iteration
+    * cluster traffic is partitions × (d+2) doubles, independent of
+    * corpus size; features never leave the cluster. z is built
+    * strictly left-to-right (b + w1·x1 + ... ) and the update is
+    * w_j - lr * sum_j / n, so an engine replaying the same arithmetic
+    * (see the unrolled-CTE DuckDB oracle) reproduces the weights to
+    * float noise.
+    *
+    * Returns ONE row: w0 (bias), w1..wd, acc (training accuracy at
+    * the z >= 0 decision boundary), n. */
+  def logisticRegressionGd(df: DataFrame, features: Seq[Column],
+      label: Column, iters: Int, lr: Double): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    val d = features.size
+    val data = df.select(label.cast("double").as("y") +:
+        features.zipWithIndex.map { case (c, i) =>
+          c.cast("double").as(s"x$i") }: _*)
+      .localCheckpoint(false) // scanned once per iteration + once final
+    def z(w: Array[Double]): Column =
+      (0 until d).foldLeft(lit(w(0)): Column) { (acc, j) =>
+        acc + lit(w(j + 1)) * col(s"x$j")
+      }
+    var w = Array.fill(d + 1)(0.0)
+    for (_ <- 1 to iters) {
+      val p = lit(1.0) / (lit(1.0) + exp(-z(w)))
+      val aggs = (count(lit(1)).as("n") +: sum(p - col("y")).as("g0") +:
+        (0 until d).map(j =>
+          sum((p - col("y")) * col(s"x$j")).as(s"g${j + 1}")))
+      val r = data.agg(aggs.head, aggs.tail: _*).head()
+      val n = r.getLong(0).toDouble
+      w = Array.tabulate(d + 1)(j => w(j) - lr * r.getDouble(j + 1) / n)
+    }
+    val correct = sum(when((z(w) >= 0.0) === (col("y") === 1.0), 1L)
+      .otherwise(0L))
+    val outCols = count(lit(1)).as("n") +: correct.as("n_correct") +:
+      (0 to d).map(j => min(lit(w(j))).as(s"w$j"))
+    data.agg(outCols.head, outCols.tail: _*)
+      .select((0 to d).map(j => col(s"w$j")) ++ Seq(
+        (col("n_correct").cast("double") / col("n")).as("acc"),
+        col("n")): _*)
+  }
+
   /** Zipf rank–frequency fit — the standard corpus-health diagnostic
     * (natural corpora fit ln(freq) ≈ icept + slope·ln(rank) with slope
     * near −1; template/boilerplate-heavy or synthetic corpora deviate).

@@ -1142,7 +1142,24 @@ object NorthStar {
       .ordered(col("cohort"), col("day_offset"))
   }
 
+  // q114 — distributed logistic-regression training (full-batch GD,
+  // 5 iterations, lr=1): quality-classifier shape — features are the
+  // oracle-mirrored token stats, label = (lang = 'en'). The oracle
+  // replays the identical arithmetic via an unrolled CTE chain.
+  private val q114: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    CurationOps.logisticRegressionGd(d,
+        features = Seq(
+          TextOps.tokenCount(col("text")) / lit(100.0d),
+          TextOps.stopwordRatio(col("text"), Stopwords)),
+        label = col("lang") === "en", iters = 5, lr = 1.0)
+      .select(e6(col("w0")).as("w0_e6"), e6(col("w1")).as("w1_e6"),
+        e6(col("w2")).as("w2_e6"), e6(col("acc")).as("acc_e6"),
+        col("n"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q114_logreg_quality" -> q114,
     "q113_cohort_retention" -> q113,
     "q112_funnel" -> q112,
     "q111_embedding_contamination" -> q111,
@@ -3112,7 +3129,42 @@ object NorthStar {
       |FROM a JOIN c USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q114 oracle: the 5 GD iterations unrolled as a CTE chain, each
+    * replaying the exact arithmetic of the Spark loop (z built
+    * left-to-right, update = w - (lr*sum)/n). GROUP BY the constant
+    * weight columns keeps the per-iteration aggregate one row. */
+  private val q114Sql: String = {
+    val steps = (1 to 5).map { i =>
+      s"""it$i AS (
+         |  SELECT b - 1.0 * SUM(p - y) / COUNT(*) AS b,
+         |         w1 - 1.0 * SUM((p - y) * x0) / COUNT(*) AS w1,
+         |         w2 - 1.0 * SUM((p - y) * x1) / COUNT(*) AS w2
+         |  FROM (SELECT y, x0, x1, b, w1, w2,
+         |               1.0 / (1.0 + exp(-((b + w1 * x0) + w2 * x1))) AS p
+         |        FROM d CROSS JOIN it${i - 1})
+         |  GROUP BY b, w1, w2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d0 AS (
+       |  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |d AS (
+       |  SELECT y, len(toks) / 100.0 AS x0,
+       |         len(list_filter(toks, t -> list_contains(['a','the','and','of','to','data'], t)))
+       |           * 1.0 / GREATEST(len(toks), 1) AS x1
+       |  FROM d0),
+       |it0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2),
+       |$steps
+       |SELECT ${sqlE6("b")} AS w0_e6, ${sqlE6("w1")} AS w1_e6,
+       |       ${sqlE6("w2")} AS w2_e6,
+       |       ${sqlE6("SUM(CASE WHEN (((b + w1 * x0) + w2 * x1) >= 0) = (y = 1.0) THEN 1 ELSE 0 END) * 1.0 / COUNT(*)")} AS acc_e6,
+       |       COUNT(*) AS n
+       |FROM d CROSS JOIN it5
+       |GROUP BY b, w1, w2""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q114_logreg_quality" -> q114Sql,
     "q113_cohort_retention" -> q113Sql,
     "q112_funnel" -> q112Sql,
     "q111_embedding_contamination" -> q111Sql,

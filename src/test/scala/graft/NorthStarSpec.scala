@@ -75,6 +75,24 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(ivf.forall { case (q, n) => q != n })
   }
 
+  test("logistic-regression GD separates linearly separable labels") {
+    import org.apache.spark.sql.functions.{col => c}
+    val spark2 = spark
+    import spark2.implicits._
+    // y = 1 iff x0 > 0.5: fully separable on one feature
+    val df = (0 until 400)
+      .map(i => (i, i / 400.0, if (i / 400.0 > 0.5) 1 else 0))
+      .toDF("id", "x0", "y")
+    val out = graft.operators.CurationOps.logisticRegressionGd(df,
+      features = Seq(c("x0") - 0.5), label = c("y") === 1,
+      iters = 200, lr = 5.0).head()
+    val acc = out.getDouble(out.fieldIndex("acc"))
+    assert(acc >= 0.99, s"train accuracy $acc")
+    assert(out.getLong(out.fieldIndex("n")) == 400)
+    // weight on the informative (centered) feature must be positive
+    assert(out.getDouble(out.fieldIndex("w1")) > 0.0)
+  }
+
   test("broadcast-relation centroids match literal-inline bit-for-bit") {
     val queries = emb.filter(col("vec_id") < 20)
     def run(budget: Int) = SimilarityOps.ivfTopK(emb, queries,
