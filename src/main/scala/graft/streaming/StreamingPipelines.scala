@@ -230,6 +230,83 @@ object StreamingPipelines {
     * frequency, not correctness. */
   private val timeoutSlackMs = 60000L
 
+  /** One buffered reference row (epoch ms, tie order, value). */
+  final case class AsOfRef(tsMs: Long, ord: Long, v: Double)
+  /** One probe awaiting watermark finality. */
+  final case class AsOfProbe(tsMs: Long, id: Long)
+  final case class AsOfState(refs: List[AsOfRef], probes: List[AsOfProbe])
+  /** Emitted match: the streaming twin of `asof_<valCol>` (None =
+    * no reference at or before the probe). */
+  final case class AsOfMatch(k: String, id: Long, tsMs: Long,
+                             asofV: Option[Double])
+
+  /** Streaming backward as-of join — the continuous form of
+    * [[graft.operators.TemporalJoinOps.asofJoinLast]]: every probe row
+    * gets the reference value with the greatest (ts, ord) at or before
+    * its event time, per key. Both streams union into ONE keyed state
+    * stream (same shape as the batch operator's union + window — no
+    * stream-stream join, one shuffle).
+    *
+    * Correctness under disorder: a probe is emitted only once the
+    * watermark passes its event time STRICTLY — any reference that
+    * could still arrive has ts >= watermark > probe.ts, so the match
+    * set is final; rows later than that are the watermark's own late
+    * drops, exactly the contract of every watermarked operator here.
+    * State per key is bounded by the watermark horizon: pending
+    * probes inside it, references inside it, plus ONE carried
+    * reference at-or-before the watermark (the LOCF carry every
+    * future probe may still need). An idle key flushes via the
+    * event-time timeout. */
+  def streamingAsOf(probes: DataFrame, refs: DataFrame,
+                    keyCol: String, tsCol: String, probeIdCol: String,
+                    refOrdCol: String, valCol: String,
+                    watermark: String = "1 hour"): Dataset[AsOfMatch] = {
+    import probes.sparkSession.implicits._
+    val p = probes.select(col(keyCol).cast("string").as("k"),
+      col(tsCol).cast("timestamp").as("ts"), lit(1).as("side"),
+      col(probeIdCol).cast("long").as("ord"),
+      lit(Double.NaN).as("v"))
+    val r = refs.select(col(keyCol).cast("string").as("k"),
+      col(tsCol).cast("timestamp").as("ts"), lit(0).as("side"),
+      col(refOrdCol).cast("long").as("ord"),
+      col(valCol).cast("double").as("v"))
+    r.unionByName(p)
+      .withWatermark("ts", watermark)
+      .as[(String, java.sql.Timestamp, Int, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String,
+         rows: Iterator[(String, java.sql.Timestamp, Int, Long, Double)],
+         gs: GroupState[AsOfState]) => {
+          val st = gs.getOption.getOrElse(AsOfState(Nil, Nil))
+          var refsB = st.refs
+          var probesB = st.probes
+          rows.foreach { case (_, ts, side, ord, v) =>
+            if (side == 0) refsB ::= AsOfRef(ts.getTime, ord, v)
+            else probesB ::= AsOfProbe(ts.getTime, ord)
+          }
+          val wm = gs.getCurrentWatermarkMs()
+          val (ready, pending) = probesB.partition(_.tsMs < wm)
+          val out = ready.sortBy(pr => (pr.tsMs, pr.id)).map { pr =>
+            val cand = refsB.filter(_.tsMs <= pr.tsMs)
+            val m =
+              if (cand.isEmpty) None
+              else Some(cand.maxBy(rr => (rr.tsMs, rr.ord)).v)
+            AsOfMatch(key, pr.id, pr.tsMs, m)
+          }
+          // evict references the watermark has finalized, keeping the
+          // single newest one at-or-before wm as the LOCF carry
+          val (future, past) = refsB.partition(_.tsMs > wm)
+          val carry =
+            if (past.isEmpty) Nil
+            else List(past.maxBy(rr => (rr.tsMs, rr.ord)))
+          gs.update(AsOfState(carry ++ future, pending))
+          gs.setTimeoutTimestamp(math.max(wm + timeoutSlackMs, 1L))
+          out.iterator
+        })
+  }
+
   /** Streaming trailing-window anomaly detection — the continuous
     * form of `WindowOps.trailingZScore` over per-key hourly event
     * counts (ingest-rate / metric monitoring): each key's state holds

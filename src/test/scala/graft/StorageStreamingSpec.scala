@@ -234,6 +234,63 @@ class StorageStreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming as-of join equals batch asofJoinLast under disorder") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = 1700000000000L
+    // duplicate ref timestamps exercise the (ts, ord) tie-break; probes
+    // starting before any ref exercise the no-match path
+    val refRows = for (k <- Seq("A", "B"); i <- 0 until 40) yield
+      (k, base + rnd.nextInt(600000).toLong - (rnd.nextInt(600000) % 2),
+        i.toLong, rnd.nextInt(1000).toDouble)
+    val probeRows = for (k <- Seq("A", "B"); i <- 0 until 60) yield
+      (k, base - 30000 + rnd.nextInt(660000).toLong, (1000 + i).toLong)
+    val refsDf = refRows.map { case (k, t, o, v) =>
+      (k, new java.sql.Timestamp(t), o, v) }.toDF("k", "ts", "ord", "v")
+    val probesDf = probeRows.map { case (k, t, i) =>
+      (k, new java.sql.Timestamp(t), i) }.toDF("k", "ts", "ord")
+    val expected = graft.operators.TemporalJoinOps.asofJoinLast(
+        probesDf, refsDf, Seq("k"), "ts", "ord", "v")
+      .select(col("k"), col("ord").as("id"), col("asof_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val refIn = MemoryStream[(String, java.sql.Timestamp, Long, Double)]
+    val probeIn = MemoryStream[(String, java.sql.Timestamp, Long)]
+    // watermark delay (2 h) exceeds the 11-minute data span, so fully
+    // shuffled multi-batch replay never late-drops anything; the
+    // far-future sentinel then drags the watermark past every probe
+    val streamed = StreamingPipelines.streamingAsOf(
+      probeIn.toDF().toDF("k", "ts", "id"),
+      refIn.toDF().toDF("k", "ts", "ord", "v"),
+      "k", "ts", "id", "ord", "v", watermark = "2 hours")
+    val q = streamed.writeStream.format("memory")
+      .queryName("asof_out").outputMode("append").start()
+    try {
+      val shuffledRefs = rnd.shuffle(refRows.toList).map { case (k, t, o, v) =>
+        (k, new java.sql.Timestamp(t), o, v) }
+      val shuffledProbes = rnd.shuffle(probeRows.toList).map { case (k, t, i) =>
+        (k, new java.sql.Timestamp(t), i) }
+      for (c <- 0 until 3) {
+        refIn.addData(shuffledRefs.drop(c * 27).take(27))
+        probeIn.addData(shuffledProbes.drop(c * 40).take(40))
+        q.processAllAvailable()
+      }
+      val far = new java.sql.Timestamp(base + 1000000000L)
+      refIn.addData(Seq(("Z", far, 0L, 0.0)))
+      q.processAllAvailable()
+      // one more micro-batch so the advanced watermark's timeouts fire
+      refIn.addData(Seq(("Z", far, 1L, 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("asof_out")
+        .select(col("k"), col("id"), col("asofV"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops repeats across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
