@@ -368,6 +368,74 @@ object StreamingPipelines {
         })
   }
 
+  /** One buffered funnel event (epoch ms, tie order, stage index). */
+  final case class FunnelEvent(tsMs: Long, tie: Long, stageIdx: Int)
+  /** `times` is the matched-stage prefix (times(i) = stage i match
+    * time); `buffered` holds events the watermark has not finalized. */
+  final case class FunnelState(times: List[Long],
+                               buffered: List[FunnelEvent])
+  /** Emitted stage completion — final by construction. */
+  final case class FunnelHit(k: String, stageIdx: Int, tsMs: Long)
+
+  /** Streaming ordered funnel — the continuous form of
+    * [[graft.operators.FunnelOps.funnelStageTimes]]: per entity, stage
+    * k completes at the earliest stage-k event at-or-after the stage
+    * k-1 completion. The batch window rule collapses to a sequential
+    * automaton over (ts, tie)-ordered events: an event of stage index
+    * j matches exactly when j stages are already matched (its ts is
+    * >= t_{j-1} by sort order; ties at equal ts resolve by `tieCol`,
+    * the batch operator's convention).
+    *
+    * Events ahead of the watermark stay buffered; only the finalized
+    * region (ts < watermark, where late arrivals are impossible) is
+    * folded into the automaton, so every emitted completion is final
+    * under any arrival order. Per-key state: the O(stages) time
+    * prefix + the horizon-bounded buffer. Non-stage event types are
+    * filtered BEFORE the shuffle. */
+  def streamingFunnel(events: DataFrame, entityCol: String,
+                      typeCol: String, tsCol: String, tieCol: String,
+                      stages: Seq[String],
+                      watermark: String = "1 hour"): Dataset[FunnelHit] = {
+    require(stages.nonEmpty && stages.distinct == stages,
+      s"stages must be non-empty and distinct: $stages")
+    import events.sparkSession.implicits._
+    val idx = stages.zipWithIndex
+      .map { case (s, i) => when(col(typeCol) === s, i) }
+      .reduceRight(_ otherwise _) // right fold: each when gets ONE else
+    events
+      .withColumn("__si", idx).filter(col("__si").isNotNull)
+      .select(col(entityCol).cast("string").as("k"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(tieCol).cast("long").as("tie"), col("__si").cast("int"))
+      .withWatermark("ts", watermark)
+      .as[(String, java.sql.Timestamp, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String,
+         rows: Iterator[(String, java.sql.Timestamp, Long, Int)],
+         gs: GroupState[FunnelState]) => {
+          val st = gs.getOption.getOrElse(FunnelState(Nil, Nil))
+          var buf = st.buffered
+          rows.foreach { case (_, ts, tie, si) =>
+            buf ::= FunnelEvent(ts.getTime, tie, si)
+          }
+          val wm = gs.getCurrentWatermarkMs()
+          val (ripe, keep) = buf.partition(_.tsMs < wm)
+          var times = st.times
+          val out = List.newBuilder[FunnelHit]
+          ripe.sortBy(e => (e.tsMs, e.tie)).foreach { e =>
+            if (e.stageIdx == times.length) {
+              times = times :+ e.tsMs
+              out += FunnelHit(key, e.stageIdx, e.tsMs)
+            }
+          }
+          gs.update(FunnelState(times, keep))
+          gs.setTimeoutTimestamp(math.max(wm + timeoutSlackMs, 1L))
+          out.result().iterator
+        })
+  }
+
   /** Plain-Scala twin of the batch signature pipeline
     * (TextOps.tokens -> shinglesFromTokens -> distinct -> xxhash64 ->
     * affine mins): split on whitespace, n-token shingles joined by a

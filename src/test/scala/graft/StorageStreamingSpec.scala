@@ -291,6 +291,59 @@ class StorageStreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming funnel equals batch stage times under disorder") {
+    import spark.implicits._
+    val stages = Seq("signup", "view", "click", "purchase")
+    val ev = Tables.load(spark, sf("sf0.001"), "events")
+      .filter(col("user_id") < 40)
+      .select(col("user_id").cast("long").as("u"),
+        col("event_type").as("et"),
+        (unix_micros(col("ts")) / 1000L).cast("long").as("tms"),
+        col("event_id").cast("long").as("eid"))
+    val rows = ev.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // batch truth, melted to (entity, stage_idx, t) for reached stages
+    val bt = graft.operators.FunnelOps.funnelStageTimes(
+        ev, "u", "et", "tms", "eid", stages)
+      .collect().flatMap { r =>
+        stages.indices.flatMap(i =>
+          if (r.isNullAt(i + 1)) None
+          else Some((r.getLong(0).toString, i, r.getLong(i + 1))))
+      }.toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+    val streamed = StreamingPipelines.streamingFunnel(
+      input.toDF().toDF("u", "et", "ts", "eid"),
+      "u", "et", "ts", "eid", stages, watermark = "30 days")
+    val q = streamed.writeStream.format("memory")
+      .queryName("funnel_out").outputMode("append").start()
+    try {
+      val shuffled = new scala.util.Random(5).shuffle(rows.toList)
+        .map { case (u, et, tms, eid) =>
+          (u, et, new java.sql.Timestamp(tms), eid) }
+      val third = (shuffled.size + 2) / 3
+      for (c <- 0 until 3) {
+        input.addData(shuffled.drop(c * third).take(third))
+        q.processAllAvailable()
+      }
+      // sentinel key drags the shared watermark past every real event,
+      // then one more batch lets the event-time timeouts flush
+      val far = new java.sql.Timestamp(shuffled.map(_._3.getTime).max +
+        100L * 24 * 3600 * 1000)
+      input.addData(Seq((-1L, "signup", far, 0L)))
+      q.processAllAvailable()
+      input.addData(Seq((-1L, "signup", far, 1L)))
+      q.processAllAvailable()
+      val got = spark.table("funnel_out")
+        .filter(col("k") =!= "-1")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .toSet
+      assert(got == bt)
+      assert(bt.nonEmpty, "expected some funnel activity in the sample")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops repeats across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
