@@ -344,6 +344,72 @@ class StorageStreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming as-of survives stop/restart from checkpoint " +
+      "with exactly-once matches") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val base = 1700000000000L
+    val refRows = for (k <- Seq("A", "B"); i <- 0 until 30) yield
+      (k, new java.sql.Timestamp(base + rnd.nextInt(600000).toLong),
+        i.toLong, rnd.nextInt(1000).toDouble)
+    val probeRows = for (k <- Seq("A", "B"); i <- 0 until 40) yield
+      (k, new java.sql.Timestamp(base - 30000 + rnd.nextInt(660000).toLong),
+        (1000 + i).toLong)
+    val expected = graft.operators.TemporalJoinOps.asofJoinLast(
+        probeRows.toDF("k", "ts", "ord"), refRows.toDF("k", "ts", "ord", "v"),
+        Seq("k"), "ts", "ord", "v")
+      .select(col("k"), col("ord"), col("asof_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+
+    val refDir = java.nio.file.Files
+      .createTempDirectory("graft-asof-refs").toString
+    val probeDir = java.nio.file.Files
+      .createTempDirectory("graft-asof-probes").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-asof-out").toString + "/data"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-asof-ckpt").toString
+    def runOnce(): Unit = {
+      val refs = spark.readStream
+        .schema("k string, ts timestamp, ord bigint, v double")
+        .parquet(refDir)
+      val probes = spark.readStream
+        .schema("k string, ts timestamp, id bigint").parquet(probeDir)
+      val q = StreamingPipelines.streamingAsOf(probes, refs,
+          "k", "ts", "id", "ord", "v", watermark = "2 hours")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val (r1, r2) = rnd.shuffle(refRows.toList).splitAt(refRows.size / 2)
+    val (p1, p2) = rnd.shuffle(probeRows.toList).splitAt(probeRows.size / 2)
+    r1.toDF("k", "ts", "ord", "v").coalesce(1).write.mode("append")
+      .parquet(refDir)
+    p1.toDF("k", "ts", "id").coalesce(1).write.mode("append")
+      .parquet(probeDir)
+    runOnce() // then STOP — simulated failure/redeploy
+    val far = new java.sql.Timestamp(base + 1000000000L)
+    (r2 :+ (("Z", far, 0L, 0.0))).toDF("k", "ts", "ord", "v")
+      .coalesce(1).write.mode("append").parquet(refDir)
+    p2.toDF("k", "ts", "id").coalesce(1).write.mode("append")
+      .parquet(probeDir)
+    runOnce() // RESTART from the checkpoint
+    // one more micro-batch so timeouts flush behind the advanced
+    // watermark
+    Seq(("Z", new java.sql.Timestamp(far.getTime + 1000), 1L, 0.0))
+      .toDF("k", "ts", "ord", "v").coalesce(1).write.mode("append")
+      .parquet(refDir)
+    runOnce()
+    val out = spark.read.parquet(outDir)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out.map(x => (x._1, x._2)).distinct.length == out.length,
+      "duplicate probe answered across restart")
+    assert(out.toSet == expected)
+  }
+
   test("streaming exact dedup drops repeats across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
