@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relational edge tables — the similarity-graph
+  * companion to [[DedupOps.connectedComponents]]: once near-dup pairs
+  * form a graph, centrality ranks the canonical representative (or
+  * surfaces hub documents) without leaving DataFrames.
+  *
+  * PageRank (Page et al. 1998, the simplified no-dangling-mass form)
+  * as iterative relational algebra: each iteration is one join of the
+  * rank vector against the (edge, out-degree) relation plus one
+  * dst-keyed partial-aggregated sum — the exact shuffle shape of a
+  * sparse matrix-vector multiply. Rank-vector lineage is cut with
+  * localCheckpoint per iteration so the plan stays one-iteration deep.
+  * At cluster scale, pre-partition `edges` and the rank vector on the
+  * same key so the per-iteration join is co-located (bucketing does
+  * this for free on a persisted edge table).
+  *
+  * Arithmetic contract (cross-engine): init 1.0/N; update
+  * (1.0 - d)/N + d * coalesce(sum(pr_src / outdeg_src), 0.0) — every
+  * constant an IEEE op both engines perform identically, so an oracle
+  * replaying the same expressions reproduces the doubles to summation
+  * noise.
+  */
+object GraphOps {
+
+  /** PageRank over a directed edge list. Nodes = distinct src ∪ dst;
+    * nodes without in-edges settle at (1-d)/N; out-edge-less nodes
+    * leak their mass (the simplified form — mirror it in any oracle).
+    * Returns (node, pr). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(false)
+    val n = nodes.count().toDouble
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // (src, dst, deg) scanned once per iteration
+    val ed = e.join(deg, "src").localCheckpoint(false)
+    var p = nodes.withColumn("pr", lit(1.0) / lit(n))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(p, col("src") === col("node"))
+        .select(col("dst"), (col("pr") / col("deg")).as("w"))
+        .groupBy(col("dst")).agg(sum(col("w")).as("sw"))
+      p = nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) / lit(n) +
+            lit(damping) * coalesce(col("sw"), lit(0.0))).as("pr"))
+        .localCheckpoint(false)
+    }
+    p
+  }
+}

@@ -4,8 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{CurationOps, DedupOps, FunnelOps, MultimodalOps,
-  ScaleOps, SimilarityOps, TemporalJoinOps, TextOps, WindowOps}
+import graft.operators.{CurationOps, DedupOps, FunnelOps, GraphOps,
+  MultimodalOps, ScaleOps, SimilarityOps, TemporalJoinOps, TextOps,
+  WindowOps}
 import graft.sources.IvfVectorStore
 
 /** North-star training-data-pipeline queries (BASELINE.json): dedup,
@@ -1158,7 +1159,22 @@ object NorthStar {
         col("n"))
   }
 
+  // q115 — PageRank centrality over the exact-Jaccard near-dup graph
+  // (the q25 pair derivation, symmetrized): 3 iterations, d = 0.85.
+  // Ranks canonical representatives / hub docs inside dup clusters.
+  private val q115: Q = (s, dir) => {
+    val pairs = DedupOps.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", n = 2, threshold = 0.1)
+      .select(col("id1"), col("id2"))
+    val edges = pairs.union(pairs.select(col("id2"), col("id1")))
+    GraphOps.pageRank(edges, "id1", "id2", iters = 3)
+      .select(col("node").as("doc_id"), e6(col("pr")).as("pr_e6"))
+      .ordered(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q115_pagerank" -> q115,
     "q114_logreg_quality" -> q114,
     "q113_cohort_retention" -> q113,
     "q112_funnel" -> q112,
@@ -3163,7 +3179,56 @@ object NorthStar {
        |GROUP BY b, w1, w2""".stripMargin
   }
 
+  /** q115 oracle: the q25 pair derivation feeding 3 unrolled PageRank
+    * iterations — update arithmetic mirrors GraphOps.pageRank exactly
+    * ((1.0 - 0.85)/n + 0.85 * COALESCE(SUM(pr/deg), 0.0)). */
+  private val q115Sql: String = {
+    def iter(i: Int): String =
+      s"""p$i AS (
+         |  SELECT nd.node, (1.0 - 0.85) / nn.n +
+         |         0.85 * COALESCE(SUM(c.w), 0.0) AS pr
+         |  FROM nd CROSS JOIN nn
+         |  LEFT JOIN (SELECT e.dst, p${i - 1}.pr / deg.deg AS w
+         |             FROM e JOIN p${i - 1} ON e.src = p${i - 1}.node
+         |                    JOIN deg ON e.src = deg.src) c
+         |    ON c.dst = nd.node
+         |  GROUP BY nd.node, nn.n)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents WHERE doc_id < 100),
+       |s AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(toks) >= 2
+       |              THEN list_distinct(list_transform(range(1, len(toks)),
+       |                     i -> array_to_string(toks[i:i+1], ' ')))
+       |              ELSE [] END AS sh
+       |  FROM d),
+       |inv AS (SELECT doc_id, unnest(sh) AS s1 FROM s),
+       |pp AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+       |  FROM inv a JOIN inv b ON a.s1 = b.s1 AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+       |fil AS (
+       |  SELECT id1, id2 FROM pp
+       |  JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+       |  WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.1),
+       |e AS (SELECT id1 AS src, id2 AS dst FROM fil
+       |      UNION ALL SELECT id2, id1 FROM fil),
+       |nd AS (SELECT DISTINCT src AS node FROM e),
+       |nn AS (SELECT COUNT(*) AS n FROM nd),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |p0 AS (SELECT node, 1.0 / nn.n AS pr FROM nd CROSS JOIN nn),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT node AS doc_id,
+       |       ${sqlE6("pr")} AS pr_e6
+       |FROM p3 ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q115_pagerank" -> q115Sql,
     "q114_logreg_quality" -> q114Sql,
     "q113_cohort_retention" -> q113Sql,
     "q112_funnel" -> q112Sql,

@@ -75,6 +75,28 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(ivf.forall { case (q, n) => q != n })
   }
 
+  test("pageRank hand trace: directed leak and symmetric fixpoint") {
+    import org.apache.spark.sql.functions.{col => c}
+    val spark2 = spark
+    import spark2.implicits._
+    // single directed edge 1 -> 2, N = 2, d = 0.85:
+    // iter1: p(1) = 0.15/2 = 0.075, p(2) = 0.075 + 0.85 * 0.5 = 0.5
+    // iter2: p(2) = 0.075 + 0.85 * 0.075 = 0.13875
+    val e = Seq((1L, 2L)).toDF("s", "d")
+    val got1 = graft.operators.GraphOps.pageRank(e, "s", "d", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got1(1L) - 0.075) < 1e-12)
+    assert(math.abs(got1(2L) - 0.5) < 1e-12)
+    val got2 = graft.operators.GraphOps.pageRank(e, "s", "d", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got2(2L) - 0.13875) < 1e-12)
+    // symmetric pair: uniform 1/N is the fixpoint at any iteration
+    val sym = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+    val gotS = graft.operators.GraphOps.pageRank(sym, "s", "d", iters = 3)
+      .collect().map(r => r.getDouble(1))
+    assert(gotS.forall(p => math.abs(p - 0.5) < 1e-12))
+  }
+
   test("logistic-regression GD separates linearly separable labels") {
     import org.apache.spark.sql.functions.{col => c}
     val spark2 = spark
