@@ -436,6 +436,60 @@ object StreamingPipelines {
         })
   }
 
+  /** `cohort` fixes at the first finalized bucket; `open` holds
+    * buckets the watermark has not yet closed. */
+  final case class RetentionState(cohort: Option[Long], open: List[Long])
+  /** One finalized (entity, activity-bucket) cell of the retention
+    * grid: cohort bucket index + day offset. */
+  final case class RetentionHit(k: String, cohort: Long, offset: Long)
+
+  /** Streaming cohort retention — the continuous form of
+    * [[graft.operators.FunnelOps.cohortRetention]]: each entity's
+    * activity buckets emit as the watermark closes them, tagged with
+    * the entity's cohort (its earliest bucket). A bucket only closes
+    * once no event can reach it any more (its end is behind the
+    * watermark), and the cohort is necessarily final by the time the
+    * first bucket closes (any future event's bucket sits at or beyond
+    * the watermark bucket), so every emitted cell is exact and
+    * exactly-once. State per entity: the cohort long + the open
+    * buckets inside the watermark horizon. Downstream, a grouped
+    * count over (cohort, offset) reproduces the batch matrix. */
+  def streamingRetention(events: DataFrame, entityCol: String,
+                         tsCol: String, bucketMs: Long,
+                         watermark: String = "1 hour")
+      : Dataset[RetentionHit] = {
+    require(bucketMs > 0, s"bad bucket width $bucketMs")
+    import events.sparkSession.implicits._
+    events
+      .select(col(entityCol).cast("string").as("k"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, rows: Iterator[(String, java.sql.Timestamp)],
+         gs: GroupState[RetentionState]) => {
+          val st = gs.getOption.getOrElse(RetentionState(None, Nil))
+          var open = st.open
+          rows.foreach { case (_, ts) =>
+            val b = Math.floorDiv(ts.getTime, bucketMs)
+            if (!open.contains(b)) open ::= b
+          }
+          val wm = gs.getCurrentWatermarkMs()
+          val (closed, still) = open.partition(b => (b + 1) * bucketMs <= wm)
+          var cohort = st.cohort
+          val out = List.newBuilder[RetentionHit]
+          closed.sorted.foreach { b =>
+            if (cohort.forall(b < _)) cohort = Some(b)
+            out += RetentionHit(key, cohort.get, b - cohort.get)
+          }
+          gs.update(RetentionState(cohort, still))
+          gs.setTimeoutTimestamp(math.max(wm + timeoutSlackMs, 1L))
+          out.result().iterator
+        })
+  }
+
   /** Plain-Scala twin of the batch signature pipeline
     * (TextOps.tokens -> shinglesFromTokens -> distinct -> xxhash64 ->
     * affine mins): split on whitespace, n-token shingles joined by a

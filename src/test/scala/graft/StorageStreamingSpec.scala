@@ -410,6 +410,51 @@ class StorageStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSet == expected)
   }
 
+  test("streaming retention grid equals batch cohortRetention") {
+    import spark.implicits._
+    val dayMs = 86400000L
+    val ev = Tables.load(spark, sf("sf0.001"), "events")
+      .filter(col("user_id") < 50)
+      .select(col("user_id").cast("long").as("u"),
+        (unix_micros(col("ts")) / 1000L).cast("long").as("tms"))
+    val expected = graft.operators.FunnelOps.cohortRetention(
+        ev, "u", "tms", dayMs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val streamed = StreamingPipelines.streamingRetention(
+      input.toDF().toDF("u", "ts"), "u", "ts", dayMs,
+      watermark = "90 days")
+    val q = streamed.writeStream.format("memory")
+      .queryName("retention_out").outputMode("append").start()
+    try {
+      val rows = ev.collect().map(r =>
+        (r.getLong(0), new java.sql.Timestamp(r.getLong(1)))).toList
+      val shuffled = new scala.util.Random(9).shuffle(rows)
+      val third = (shuffled.size + 2) / 3
+      for (c <- 0 until 3) {
+        input.addData(shuffled.drop(c * third).take(third))
+        q.processAllAvailable()
+      }
+      val far = new java.sql.Timestamp(rows.map(_._2.getTime).max +
+        200L * dayMs)
+      input.addData(Seq((-1L, far)))
+      q.processAllAvailable()
+      input.addData(Seq((-2L, far)))
+      q.processAllAvailable()
+      val got = spark.table("retention_out")
+        .filter(col("k") >= "0")
+        .groupBy(col("cohort"), col("offset"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(got == expected)
+      assert(expected.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops repeats across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
