@@ -55,4 +55,36 @@ object GraphOps {
     }
     p
   }
+
+  /** Per-node triangle count, degree, and local clustering
+    * coefficient over an UNDIRECTED edge list given as canonical
+    * pairs (`aCol` < `bCol`, deduplicated). The standard distributed
+    * triangle enumeration: each triangle x<y<z is found exactly once
+    * by joining wedge (x,y)+(y,z) against closing edge (x,z) — join
+    * keys are node ids, so every stage is a hash-partitioned
+    * equi-join whose cost is edge-degree bound, never all-triples.
+    * cc = 2*t / (deg*(deg-1)) (0 when deg < 2). */
+  def triangleStats(pairs: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b")).distinct().localCheckpoint(false)
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"),
+        col("e2.b").as("z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("cc",
+        when(col("deg") < 2, lit(0.0)).otherwise(
+          lit(2.0) * col("tri") / (col("deg") * (col("deg") - lit(1L)))))
+  }
 }

@@ -1173,7 +1173,23 @@ object NorthStar {
       .ordered(col("doc_id"))
   }
 
+  // q116 — per-node triangles + local clustering coefficient over the
+  // exact-Jaccard near-dup graph (doc_id < 500: the full corpus at
+  // sf0.01, a bounded subgraph above). Wedge-join enumeration — each
+  // triangle found once; every stage an equi-join.
+  private val q116: Q = (s, dir) => {
+    val pairs = DedupOps.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", n = 2, threshold = 0.1)
+      .select(col("id1"), col("id2"))
+    GraphOps.triangleStats(pairs, "id1", "id2")
+      .select(col("node").as("doc_id"), col("deg"), col("tri"),
+        e6(col("cc")).as("cc_e6"))
+      .ordered(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q116_triangle_cc" -> q116,
     "q115_pagerank" -> q115,
     "q114_logreg_quality" -> q114,
     "q113_cohort_retention" -> q113,
@@ -3227,7 +3243,51 @@ object NorthStar {
        |FROM p3 ORDER BY doc_id""".stripMargin
   }
 
+  /** q116 oracle: same pair derivation (doc_id < 500), wedge-join
+    * triangle enumeration, cc = 2*tri/(deg*(deg-1)) mirroring
+    * GraphOps.triangleStats exactly. */
+  private val q116Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents WHERE doc_id < 500),
+      |s AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(toks) >= 2
+      |              THEN list_distinct(list_transform(range(1, len(toks)),
+      |                     i -> array_to_string(toks[i:i+1], ' ')))
+      |              ELSE [] END AS sh
+      |  FROM d),
+      |inv AS (SELECT doc_id, unnest(sh) AS s1 FROM s),
+      |pp AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+      |  FROM inv a JOIN inv b ON a.s1 = b.s1 AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+      |fil AS (
+      |  SELECT id1, id2 FROM pp
+      |  JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+      |  WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.1),
+      |deg AS (
+      |  SELECT node, COUNT(*) AS deg
+      |  FROM (SELECT id1 AS node FROM fil UNION ALL SELECT id2 FROM fil)
+      |  GROUP BY node),
+      |tri0 AS (
+      |  SELECT e1.id1 AS x, e1.id2 AS y, e2.id2 AS z
+      |  FROM fil e1 JOIN fil e2 ON e1.id2 = e2.id1
+      |       JOIN fil e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2),
+      |tc AS (
+      |  SELECT node, COUNT(*) AS tri
+      |  FROM (SELECT unnest([x, y, z]) AS node FROM tri0) GROUP BY node)
+      |SELECT deg.node AS doc_id, deg.deg, COALESCE(tc.tri, 0) AS tri,
+      |       CAST(ROUND((CASE WHEN deg.deg < 2 THEN 0.0
+      |                        ELSE 2.0 * COALESCE(tc.tri, 0) /
+      |                             (deg.deg * (deg.deg - 1)) END) * 1e6, 0)
+      |            AS BIGINT) AS cc_e6
+      |FROM deg LEFT JOIN tc USING (node)
+      |ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q116_triangle_cc" -> q116Sql,
     "q115_pagerank" -> q115Sql,
     "q114_logreg_quality" -> q114Sql,
     "q113_cohort_retention" -> q113Sql,

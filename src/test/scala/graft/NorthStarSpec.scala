@@ -97,6 +97,21 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(gotS.forall(p => math.abs(p - 0.5) < 1e-12))
   }
 
+  test("triangleStats hand trace: one triangle plus a pendant node") {
+    val spark2 = spark
+    import spark2.implicits._
+    // triangle {1,2,3} + pendant edge 3-4
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = graft.operators.GraphOps.triangleStats(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L)._1 == 3L && got(3L)._2 == 1L &&
+      math.abs(got(3L)._3 - 1.0 / 3.0) < 1e-15)
+    assert(got(4L) == ((1L, 0L, 0.0)))
+  }
+
   test("logistic-regression GD separates linearly separable labels") {
     import org.apache.spark.sql.functions.{col => c}
     val spark2 = spark
