@@ -76,6 +76,32 @@ class TemporalPropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("rangeSelfPairs matches brute force incl. bucket boundaries") {
+    import spark.implicits._
+    for (seed <- 16 to 20) {
+      val rnd = new scala.util.Random(seed)
+      val tol = 10L
+      // ts values cluster near multiples of tol to stress the
+      // bucket-boundary expansion
+      val rows = (0 until 120).map { i =>
+        (s"k${rnd.nextInt(3)}",
+          rnd.nextInt(8) * tol + rnd.nextInt(3) - 1L, i.toLong)
+      }
+      val expected = (for {
+        a <- rows; b <- rows
+        if a._1 == b._1 && a._3 < b._3 && math.abs(a._2 - b._2) <= tol
+      } yield {
+        val (i, j) = (math.min(a._3, b._3), math.max(a._3, b._3))
+        (a._1, i, j, math.abs(a._2 - b._2))
+      }).toSet
+      val got = TemporalJoinOps.rangeSelfPairs(
+          rows.toDF("k", "tn", "id"), "k", "tn", "id", tol)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("funnelStageTimes matches the sequential automaton on random logs") {
     import spark.implicits._
     val stages = Seq("a", "b", "c")
