@@ -56,6 +56,41 @@ object GraphOps {
     p
   }
 
+  /** Synchronous label propagation (community detection) over a
+    * DIRECTED edge list (pass both directions for undirected graphs):
+    * labels start as node ids; each round every node adopts the most
+    * frequent label among its in-neighbors, ties to the SMALLEST
+    * label — a fully deterministic round, so any engine replaying the
+    * rule reproduces the labels exactly (unlike the randomized
+    * classic). Per round: one label join + one (node, label)-keyed
+    * partial-aggregated count + one argmin — the PageRank shuffle
+    * shape with a struct-min instead of a sum. Nodes without
+    * in-neighbors keep their label. Returns (node, community) after
+    * `iters` rounds. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).localCheckpoint(false)
+    var lab = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().withColumn("lab", col("node"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      val counts = e.join(lab, col("src") === col("node"))
+        .groupBy(col("dst"), col("lab").as("nl"))
+        .agg(count(lit(1)).as("c"))
+      // argmax count, ties to smallest label: lexicographic struct min
+      val best = counts.groupBy(col("dst"))
+        .agg(min(struct((-col("c")).as("negc"), col("nl").as("l")))
+          .as("m"))
+        .select(col("dst"), col("m.l").as("newlab"))
+      lab = lab.join(best, col("node") === col("dst"), "left")
+        .select(col("node"), coalesce(col("newlab"), col("lab")).as("lab"))
+        .localCheckpoint(false)
+    }
+    lab.select(col("node"), col("lab").as("community"))
+  }
+
   /** Per-node triangle count, degree, and local clustering
     * coefficient over an UNDIRECTED edge list given as canonical
     * pairs (`aCol` < `bCol`, deduplicated). The standard distributed

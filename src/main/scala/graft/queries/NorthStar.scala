@@ -1188,7 +1188,21 @@ object NorthStar {
       .ordered(col("doc_id"))
   }
 
+  // q117 — deterministic synchronous label propagation (3 rounds) on
+  // the same bounded near-dup graph as q116, symmetrized.
+  private val q117: Q = (s, dir) => {
+    val pairs = DedupOps.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", n = 2, threshold = 0.1)
+      .select(col("id1"), col("id2"))
+    val edges = pairs.union(pairs.select(col("id2"), col("id1")))
+    GraphOps.labelPropagation(edges, "id1", "id2", iters = 3)
+      .select(col("node").as("doc_id"), col("community"))
+      .ordered(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q117_label_prop" -> q117,
     "q116_triangle_cc" -> q116,
     "q115_pagerank" -> q115,
     "q114_logreg_quality" -> q114,
@@ -3286,7 +3300,57 @@ object NorthStar {
       |FROM deg LEFT JOIN tc USING (node)
       |ORDER BY doc_id""".stripMargin
 
+  /** q117 oracle: 3 unrolled label-propagation rounds — most frequent
+    * in-neighbor label, ties to the smallest (ROW_NUMBER ORDER BY
+    * c DESC, lab), keep-old on no in-neighbors. All-integer, so no
+    * float parity concerns. */
+  private val q117Sql: String = {
+    def round(i: Int): String =
+      s"""c$i AS (
+         |  SELECT e.dst, l${i - 1}.lab, COUNT(*) AS c
+         |  FROM e JOIN l${i - 1} ON e.src = l${i - 1}.node
+         |  GROUP BY e.dst, l${i - 1}.lab),
+         |b$i AS (
+         |  SELECT dst, lab FROM (
+         |    SELECT dst, lab,
+         |           ROW_NUMBER() OVER (PARTITION BY dst
+         |                              ORDER BY c DESC, lab) AS rk
+         |    FROM c$i) WHERE rk = 1),
+         |l$i AS (
+         |  SELECT l${i - 1}.node, COALESCE(b$i.lab, l${i - 1}.lab) AS lab
+         |  FROM l${i - 1} LEFT JOIN b$i ON b$i.dst = l${i - 1}.node)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents WHERE doc_id < 500),
+       |s AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(toks) >= 2
+       |              THEN list_distinct(list_transform(range(1, len(toks)),
+       |                     i -> array_to_string(toks[i:i+1], ' ')))
+       |              ELSE [] END AS sh
+       |  FROM d),
+       |inv AS (SELECT doc_id, unnest(sh) AS s1 FROM s),
+       |pp AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+       |  FROM inv a JOIN inv b ON a.s1 = b.s1 AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+       |fil AS (
+       |  SELECT id1, id2 FROM pp
+       |  JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+       |  WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.1),
+       |e AS (SELECT id1 AS src, id2 AS dst FROM fil
+       |      UNION ALL SELECT id2, id1 FROM fil),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT node AS doc_id, lab AS community
+       |FROM l3 ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q117_label_prop" -> q117Sql,
     "q116_triangle_cc" -> q116Sql,
     "q115_pagerank" -> q115Sql,
     "q114_logreg_quality" -> q114Sql,

@@ -112,6 +112,21 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(got(4L) == ((1L, 0L, 0.0)))
   }
 
+  test("labelPropagation hand trace: triangle converges to min label") {
+    val spark2 = spark
+    import spark2.implicits._
+    // complete triangle, symmetrized. Round 1: (2,1,1) (ties -> min);
+    // round 2: everyone sees a majority of label 1 -> (1,1,1).
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("a", "b")
+    val got = graft.operators.GraphOps.labelPropagation(edges, "a", "b", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val r1 = graft.operators.GraphOps.labelPropagation(edges, "a", "b", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("logistic-regression GD separates linearly separable labels") {
     import org.apache.spark.sql.functions.{col => c}
     val spark2 = spark
