@@ -75,14 +75,25 @@ object Bench {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160))
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(160))
         }
       name -> (outcome, (System.nanoTime() - t0) / 1e9)
     }
+    // Full JSON string escaping (same contract as Verify's q()): any
+    // control char < 0x20 in a Spark error message — not just \n\r\t —
+    // would otherwise emit invalid JSON and zero the round's bench.
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.map {
       case (k, (None, v))      => "\"" + k + "\":" + v
-      case (k, (Some(err), _)) => "\"" + k + "\":{\"err\":\"" + err + "\"}"
+      case (k, (Some(err), _)) => "\"" + k + "\":{\"err\":" + jstr(err) + "}"
     }.mkString("{", ",", "}")
     val ok = results.collect { case (_, (None, v)) => v }
     val nErr = results.size - ok.size

@@ -620,12 +620,12 @@ object DedupOps {
     * partial aggregation. Labels only ever decrease, so the label sum
     * is a strictly decreasing convergence witness: one cheap aggregate
     * per round replaces a change-count self-join. Every round's result
-    * is eagerly localCheckpoint'ed: each round's plan references the
-    * previous round's TWICE (directly + inside the propagation join),
-    * so without lineage truncation the logical plan doubles per round —
-    * exponential analysis cost that OOMs the driver long before the
-    * data does. (On a real cluster prefer reliable `checkpoint` over
-    * `localCheckpoint` so executor loss cannot kill the run.)
+    * is eagerly persisted (DISK_ONLY, lineage RETAINED) and round n-1
+    * explicitly unpersisted — bounded storage, and an executor loss
+    * recomputes lost blocks from lineage instead of killing the run
+    * (the r4 localCheckpoint formulation discarded lineage, which a
+    * cluster cannot survive). Lineage depth grows one shuffle per
+    * round, bounded by maxIter — well under any stack/DAG limit.
     * Rounds needed = component diameter; near-dup clusters are
     * shallow star-ish subgraphs (pairs come from shared LSH buckets),
     * so a handful of rounds converges. For adversarial long-chain
@@ -649,12 +649,12 @@ object DedupOps {
     // fold-to-zero accumulator inside the same job (retry-safe: a
     // re-run task can only inflate a nonzero count — it adds 0 when
     // nothing changed — costing at worst one extra round, never a
-    // premature exit), and localCheckpoint truncates lineage from the
-    // persisted blocks without a second materialization. This is the
-    // same reason GraphX sits on RDDs. (On a real cluster prefer
-    // reliable checkpoint() at a coarser cadence so executor loss
-    // cannot kill a long run.)
+    // premature exit), and DISK_ONLY persists keep each round's blocks
+    // durable-with-lineage. This is the same reason GraphX sits on
+    // RDDs. (For multi-hour runs a reliable checkpoint() every ~10
+    // rounds additionally caps recompute depth after repeated losses.)
     import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
     val spark = pairs.sparkSession
     import spark.implicits._
     val nPart = spark.sessionState.conf.numShufflePartitions
@@ -665,11 +665,11 @@ object DedupOps {
     val edges = e0.flatMap { case (s, d) => Iterator((s, d), (d, s)) }
       .distinct(nPart)
       .partitionBy(part)
-    edges.localCheckpoint()
+    edges.persist(StorageLevel.DISK_ONLY)
     var labels = edges
       .mapPartitions(_.map { case (k, _) => (k, k) }.distinct,
         preservesPartitioning = true)
-    labels.localCheckpoint()
+    labels.persist(StorageLevel.DISK_ONLY)
     var converged = labels.isEmpty() // no edges at all
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -683,7 +683,7 @@ object DedupOps {
           if (nl < lab) changed.add(1L)
           nl
         }
-      next.localCheckpoint()
+      next.persist(StorageLevel.DISK_ONLY)
       next.count() // the round's one job; populates `changed`
       labels.unpersist(false)
       labels = next
@@ -703,47 +703,33 @@ object DedupOps {
   }
 
   /** Embedding-cosine near-dup via hyperplane LSH (see
-    * [[SimilarityOps.hyperplaneBucket]]): bucket the vectors once,
-    * collect each bucket's members, and expand pair combinations with
-    * an expression — the same no-self-join pattern as the minhash and
-    * simhash operators, so the norm + bucket pipeline is computed
-    * exactly once per vector (a bucket self-join would recompute it
-    * per join side). Vectors shuffle once, keyed by bucket; `planes`
-    * controls bucket granularity and should grow with corpus size.
+    * [[SimilarityOps.hyperplaneBucket]]): a single-band facade over
+    * [[SimilarityOps.cosineNearDupPairs]] — one `planes`-bit signature
+    * per vector (= one band of `planes` planes, so the candidate set is
+    * pairwise-identical to the historical single-bucket formulation an
+    * oracle replays), then ID-only bucket collection, combination
+    * expansion, cross-candidate dedup, and an exact-cosine verify join.
     *
-    * `maxBucketSize` drops degenerate megabuckets before pair
-    * expansion (the same frequent-bucket skip as the minhash path):
-    * the collected member list and its pair array live in one row, so
-    * an uncapped bucket of m vectors would materialize O(m^2) pair
-    * structs carrying full vectors — the cap bounds that at
-    * O(cap^2) regardless of corpus size. A bucket exceeding the cap
-    * means `planes` is too small for the corpus. */
+    * Unified onto the banded machinery (r5) because the old body
+    * collected FULL 64-dim vectors per bucket into one row before pair
+    * expansion — an O(cap * dims) row that became executor-memory
+    * pressure exactly on the hub buckets that matter at 100 TB. The
+    * shared path collects only ids (the verify join re-reads vectors
+    * for surviving candidates), so a capped bucket costs O(cap) small
+    * longs per row and the quadratic work is bounded pair structs.
+    *
+    * `maxBucketSize` still skips degenerate megabuckets — that is a
+    * RECALL decision, not a silent one: audit it with
+    * [[SimilarityOps.oversizedBuckets]] (bands = 1, planesPerBand =
+    * `planes`), which returns exactly the buckets this operator
+    * skipped. A non-empty audit means `planes` is too small for the
+    * corpus. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        planes: Int = 16, threshold: Double = 0.95,
                        dims: Int = 64, maxBucketSize: Int = 1000)
-      : DataFrame = {
-    val withBucket = df.select(col(idCol).as("vec_id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .withColumn("vn", SimilarityOps.norm(col("v")))
-      .withColumn("bucket",
-        SimilarityOps.hyperplaneBucket(col("v"), planes, dims))
-    val buckets = withBucket
-      .groupBy(col("bucket"))
-      .agg(sort_array(collect_list(
-        struct(col("vec_id"), col("v"), col("vn")))).as("members"))
-      .filter(size(col("members")) >= 2 &&
-        size(col("members")) <= maxBucketSize)
-    buckets
-      .select(explode(flatten(transform(col("members"), (x, i) =>
-        transform(slice(col("members"), i + 2, size(col("members"))),
-          y => struct(x.getField("vec_id").as("id1"),
-            y.getField("vec_id").as("id2"),
-            x.getField("v").as("v1"), y.getField("v").as("v2"),
-            x.getField("vn").as("vn1"), y.getField("vn").as("vn2"))))))
-        .as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
-        (SimilarityOps.dot(col("p.v1"), col("p.v2")) /
-          (col("p.vn1") * col("p.vn2"))).as("cosine"))
-      .filter(col("cosine") >= threshold)
-  }
+      : DataFrame =
+    SimilarityOps.cosineNearDupPairs(df, idCol, vecCol, threshold,
+        bands = 1, planesPerBand = planes, dims = dims,
+        maxBucketSize = maxBucketSize)
+      .select(col("id1"), col("id2"), col("cos").as("cosine"))
 }

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.rdd.RDD
+import org.apache.spark.storage.StorageLevel
 
 /** Graph analytics over relational edge tables — the similarity-graph
   * companion to [[DedupOps.connectedComponents]]: once near-dup pairs
@@ -12,11 +14,20 @@ import org.apache.spark.sql.functions._
   * as iterative relational algebra: each iteration is one join of the
   * rank vector against the (edge, out-degree) relation plus one
   * dst-keyed partial-aggregated sum — the exact shuffle shape of a
-  * sparse matrix-vector multiply. Rank-vector lineage is cut with
-  * localCheckpoint per iteration so the plan stays one-iteration deep.
-  * At cluster scale, pre-partition `edges` and the rank vector on the
-  * same key so the per-iteration join is co-located (bucketing does
-  * this for free on a persisted edge table).
+  * sparse matrix-vector multiply. At cluster scale, pre-partition
+  * `edges` and the rank vector on the same key so the per-iteration
+  * join is co-located (bucketing does this for free on a persisted
+  * edge table — see [[triangleStatsBucketed]] for the pattern).
+  *
+  * Iteration-state durability: every round's state is persisted at
+  * DISK_ONLY with lineage RETAINED and the previous round explicitly
+  * unpersisted — storage held is one round's vector, and an executor
+  * loss recomputes the lost blocks from lineage instead of killing the
+  * job (`localCheckpoint` would discard lineage, making lost blocks
+  * unrecoverable; reliable `checkpoint` needs a caller-owned
+  * checkpoint dir). The DataFrame plan is re-rooted on the persisted
+  * RDD each round so analysis cost stays one-round deep instead of
+  * doubling per round.
   *
   * Arithmetic contract (cross-engine): init 1.0/N; update
   * (1.0 - d)/N + d * coalesce(sum(pr_src / outdeg_src), 0.0) — every
@@ -26,33 +37,59 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Materialize one iteration's state durably: persist the rows at
+    * DISK_ONLY (lineage retained — recoverable after executor loss),
+    * force computation, drop round n-1's blocks, and re-root the
+    * DataFrame on the persisted RDD so the logical plan doesn't grow
+    * with the round count. Returns (round DataFrame, its RDD handle —
+    * pass it back as `prev` next round). */
+  private def materializeRound(df: DataFrame, prev: Option[RDD[Row]])
+      : (DataFrame, RDD[Row]) = {
+    val rdd = df.rdd.persist(StorageLevel.DISK_ONLY)
+    rdd.count() // compute round n BEFORE releasing round n-1
+    prev.foreach(_.unpersist(false))
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
   /** PageRank over a directed edge list. Nodes = distinct src ∪ dst;
     * nodes without in-edges settle at (1-d)/N; out-edge-less nodes
     * leak their mass (the simplified form — mirror it in any oracle).
+    *
+    * Edge contract: the list is treated as a MULTIGRAPH — duplicate
+    * (src, dst) rows add to the out-degree and contribute twice, and a
+    * self-loop feeds a node its own rank. Callers wanting simple-graph
+    * semantics (every current in-repo caller) must `.distinct()` the
+    * symmetrized pairs first; any oracle must replay the same choice.
     * Returns (node, pr). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val nodes = e.select(col("src").as("node"))
+    val nodesRdd = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(false)
+      .distinct().rdd.persist(StorageLevel.DISK_ONLY)
+    val nodes = e.sparkSession.createDataFrame(nodesRdd,
+      e.select(col("src").as("node")).schema)
     val n = nodes.count().toDouble
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // (src, dst, deg) scanned once per iteration
-    val ed = e.join(deg, "src").localCheckpoint(false)
+    val edRdd = e.join(deg, "src").rdd.persist(StorageLevel.DISK_ONLY)
+    val ed = e.sparkSession.createDataFrame(edRdd, e.join(deg, "src").schema)
     var p = nodes.withColumn("pr", lit(1.0) / lit(n))
-      .localCheckpoint(false)
+    var prev: Option[RDD[Row]] = None
     for (_ <- 1 to iters) {
       val contrib = ed.join(p, col("src") === col("node"))
         .select(col("dst"), (col("pr") / col("deg")).as("w"))
         .groupBy(col("dst")).agg(sum(col("w")).as("sw"))
-      p = nodes.join(contrib, col("node") === col("dst"), "left")
+      val next = nodes.join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(1.0 - damping) / lit(n) +
             lit(damping) * coalesce(col("sw"), lit(0.0))).as("pr"))
-        .localCheckpoint(false)
+      val (pm, rdd) = materializeRound(next, prev)
+      p = pm; prev = Some(rdd)
     }
+    nodesRdd.unpersist(false)
+    edRdd.unpersist(false)
     p
   }
 
@@ -65,16 +102,26 @@ object GraphOps {
     * classic). Per round: one label join + one (node, label)-keyed
     * partial-aggregated count + one argmin — the PageRank shuffle
     * shape with a struct-min instead of a sum. Nodes without
-    * in-neighbors keep their label. Returns (node, community) after
-    * `iters` rounds. */
+    * in-neighbors keep their label.
+    *
+    * Edge contract: MULTIGRAPH, like [[pageRank]] — duplicate
+    * (src, dst) rows double that neighbor's vote in the frequency
+    * count. Callers wanting simple-graph semantics must `.distinct()`
+    * first (all current in-repo callers do); oracles must match.
+    * Returns (node, community) after `iters` rounds. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iters: Int): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).localCheckpoint(false)
+    val eRdd = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).rdd.persist(StorageLevel.DISK_ONLY)
+    val e = edges.sparkSession.createDataFrame(eRdd,
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")).schema)
     var lab = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().withColumn("lab", col("node"))
-      .localCheckpoint(false)
+    var prev: Option[RDD[Row]] = None
+    val (lab0, rdd0) = materializeRound(lab, None)
+    lab = lab0; prev = Some(rdd0)
     for (_ <- 1 to iters) {
       val counts = e.join(lab, col("src") === col("node"))
         .groupBy(col("dst"), col("lab").as("nl"))
@@ -84,25 +131,19 @@ object GraphOps {
         .agg(min(struct((-col("c")).as("negc"), col("nl").as("l")))
           .as("m"))
         .select(col("dst"), col("m.l").as("newlab"))
-      lab = lab.join(best, col("node") === col("dst"), "left")
+      val next = lab.join(best, col("node") === col("dst"), "left")
         .select(col("node"), coalesce(col("newlab"), col("lab")).as("lab"))
-        .localCheckpoint(false)
+      val (lm, rdd) = materializeRound(next, prev)
+      lab = lm; prev = Some(rdd)
     }
+    eRdd.unpersist(false)
     lab.select(col("node"), col("lab").as("community"))
   }
 
-  /** Per-node triangle count, degree, and local clustering
-    * coefficient over an UNDIRECTED edge list given as canonical
-    * pairs (`aCol` < `bCol`, deduplicated). The standard distributed
-    * triangle enumeration: each triangle x<y<z is found exactly once
-    * by joining wedge (x,y)+(y,z) against closing edge (x,z) — join
-    * keys are node ids, so every stage is a hash-partitioned
-    * equi-join whose cost is edge-degree bound, never all-triples.
-    * cc = 2*t / (deg*(deg-1)) (0 when deg < 2). */
-  def triangleStats(pairs: DataFrame, aCol: String, bCol: String)
-      : DataFrame = {
-    val e = pairs.select(col(aCol).cast("long").as("a"),
-      col(bCol).cast("long").as("b")).distinct().localCheckpoint(false)
+  /** Wedge-join triangle enumeration over a canonical distinct edge
+    * relation (a < b). Factored so the plain and bucketed entry points
+    * share one plan shape. */
+  private def triangleCore(e: DataFrame): DataFrame = {
     val deg = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -121,5 +162,37 @@ object GraphOps {
       .withColumn("cc",
         when(col("deg") < 2, lit(0.0)).otherwise(
           lit(2.0) * col("tri") / (col("deg") * (col("deg") - lit(1L)))))
+  }
+
+  /** Per-node triangle count, degree, and local clustering
+    * coefficient over an UNDIRECTED edge list given as canonical
+    * pairs (`aCol` < `bCol`; duplicates removed here). The standard
+    * distributed triangle enumeration: each triangle x<y<z is found
+    * exactly once by joining wedge (x,y)+(y,z) against closing edge
+    * (x,z) — join keys are node ids, so every stage is a
+    * hash-partitioned equi-join whose cost is edge-degree bound,
+    * never all-triples. cc = 2*t / (deg*(deg-1)) (0 when deg < 2). */
+  def triangleStats(pairs: DataFrame, aCol: String, bCol: String)
+      : DataFrame =
+    triangleCore(pairs.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b")).distinct())
+
+  /** [[triangleStats]] with the canonical edge relation first persisted
+    * as a bucketed+sorted table on `a` (via [[ScaleOps.writeBucketed]]),
+    * so the edge sides keyed on `a` — the e2 wedge side and the e3
+    * closing-edge side (bucket key `a` is a subset of its (a, b) join
+    * clustering) — scan pre-partitioned with no shuffle exchange. The
+    * 100 TB shape: a similarity graph is built once and mined many
+    * times, so the edge table should live bucketed on disk rather than
+    * be re-shuffled per query. Identical results to [[triangleStats]];
+    * only the physical plan changes. */
+  def triangleStatsBucketed(spark: SparkSession, pairs: DataFrame,
+                            aCol: String, bCol: String,
+                            table: String = "graft_tri_edges",
+                            buckets: Int = 32): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b")).distinct()
+    ScaleOps.writeBucketed(e, table, "a", buckets)
+    triangleCore(spark.table(table))
   }
 }

@@ -27,12 +27,24 @@ object ScaleOps {
   /** Persist `df` as a bucketed+sorted managed table on `key` so joins
     * on that key become shuffle-free. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int = 8): Unit =
+                    buckets: Int = 8): Unit = {
+    val spark = df.sparkSession
+    // mode("overwrite") only replaces tables REGISTERED in this
+    // session's catalog; an orphaned managed-table directory from a
+    // previous JVM (fresh derby metastore, surviving warehouse dir)
+    // fails saveAsTable with LOCATION_ALREADY_EXISTS — drop both the
+    // entry and any leftover location first.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two bucketed tables on their bucket key — with matching
     * bucket counts the planner elides both shuffle exchanges.

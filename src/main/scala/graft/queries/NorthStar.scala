@@ -1153,7 +1153,11 @@ object NorthStar {
         features = Seq(
           TextOps.tokenCount(col("text")) / lit(100.0d),
           TextOps.stopwordRatio(col("text"), Stopwords)),
-        label = col("lang") === "en", iters = 5, lr = 1.0)
+        // coalesce: the oracle's CASE WHEN maps NULL lang to 0.0; a bare
+        // === would null-propagate and silently DROP those rows from the
+        // gradient sums if the regenerated fixture ever grows NULL langs
+        label = coalesce(col("lang") === "en", lit(false)),
+        iters = 5, lr = 1.0)
       .select(e6(col("w0")).as("w0_e6"), e6(col("w1")).as("w1_e6"),
         e6(col("w2")).as("w2_e6"), e6(col("acc")).as("acc_e6"),
         col("n"))
@@ -1182,7 +1186,12 @@ object NorthStar {
         t(s, dir, "documents").filter(col("doc_id") < 500),
         "doc_id", "text", n = 2, threshold = 0.1)
       .select(col("id1"), col("id2"))
-    GraphOps.triangleStats(pairs, "id1", "id2")
+    // Bucketed variant: edges land once as a bucketed table on `a`, so
+    // the wedge and closing-edge join sides keyed on `a` scan with no
+    // exchange — the persist-once / mine-many shape a 100 TB similarity
+    // graph wants (PLAN_AUDIT shows the exchange-count drop vs r4).
+    GraphOps.triangleStatsBucketed(s, pairs, "id1", "id2",
+        table = "graft_q116_edges")
       .select(col("node").as("doc_id"), col("deg"), col("tri"),
         e6(col("cc")).as("cc_e6"))
       .ordered(col("doc_id"))

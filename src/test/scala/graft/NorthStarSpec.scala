@@ -910,6 +910,61 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.5, s"recall $recall over ${exact.size} true pairs")
   }
 
+  test("embeddingNearDup (banded facade): pairwise-identical to the " +
+      "single-bucket formulation it replaced, on the real fixture") {
+    import graft.operators.SimilarityOps
+    // Ground truth for the OLD operator's semantics: pairs that share
+    // the single 4-plane bucket AND verify at cosine >= 0.35 — computed
+    // driver-side from the fixture, independent of the new code path.
+    val planes = 4
+    val withB = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        SimilarityOps.hyperplaneBucket(col("embedding"), planes, 64)
+          .as("bucket"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val byId = withB.sortBy(_._1)
+    val old = (for {
+      i <- byId.indices.iterator; j <- (i + 1) until byId.length
+      if byId(i)._3 == byId(j)._3 &&
+        cos(byId(i)._2, byId(j)._2) >= 0.35
+    } yield (byId(i)._1, byId(j)._1)).toSet
+    assert(old.nonEmpty, "fixture should have same-bucket pairs at 0.35")
+    val got = DedupOps.embeddingNearDup(emb, "vec_id", "embedding",
+        planes = planes, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall >= the replaced operator's comes for free from equality
+    assert(got == old,
+      s"missing ${old.diff(got).take(5)}, extra ${got.diff(old).take(5)}")
+  }
+
+  test("oversizedBuckets audits exactly what the hub cap dropped") {
+    import graft.operators.SimilarityOps
+    import spark.implicits._
+    // 60 identical vectors: one megabucket. Cap 20 -> the dedup emits
+    // nothing, and the audit names the dropped bucket with its size —
+    // the recall loss is measured, never silent.
+    val dup = (0L until 60L).map(i => (i, Array.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val dropped = SimilarityOps.oversizedBuckets(dup, "vec_id",
+        "embedding", bands = 1, planesPerBand = 16, maxBucketSize = 20)
+      .collect()
+    assert(dropped.length == 1, s"expected one megabucket: ${dropped.toSeq}")
+    assert(dropped.head.getAs[Long]("bucket_size") == 60L)
+    val pairs = DedupOps.embeddingNearDup(dup, "vec_id", "embedding",
+      planes = 16, threshold = 0.9, maxBucketSize = 20).count()
+    assert(pairs == 0, "capped megabucket must emit no pairs")
+    // default cap: nothing dropped, audit is empty
+    assert(SimilarityOps.oversizedBuckets(dup, "vec_id", "embedding",
+      bands = 1, planesPerBand = 16).isEmpty)
+  }
+
   test("cosine near-dup pairs: hub buckets are capped, so pair work " +
       "is bounded") {
     import graft.operators.SimilarityOps
