@@ -725,6 +725,91 @@ object CurationOps {
     spark.createDataFrame(merges.toSeq).toDF("rank", "pair", "cnt")
   }
 
+  /** Production-scale BPE training: [[bpeTrain]]'s batched loop, with
+    * the per-round PAIR COUNT measured on an md5-deterministic sample
+    * of the word-frequency table ([[hashKeep]] on the word string, so
+    * membership is stable across rounds, engines, and partitioning)
+    * while the REWRITE still applies to the full table. Pair counting
+    * dominates a training round (it explodes every symbol adjacency);
+    * at a web-corpus vocabulary a `sampleRate` of a few percent cuts
+    * that cost proportionally while rank order — all that selection
+    * needs — is preserved for the high-frequency pairs that win merge
+    * rounds (frequency estimates from a fixed random word subset are
+    * unbiased up to the per-word weight).
+    *
+    * Job arithmetic: one pair-count job + one bounded driver collect +
+    * one rewrite per ROUND, rounds ≈ nMerges / batch (the disjointness
+    * filter can under-fill a batch, adding rounds only when candidate
+    * symbols overlap heavily). A 32k-merge tokenizer at batch = 128 is
+    * ~250 rounds = O(hundreds) of jobs — not O(32k) — and each
+    * pair-count scan touches `sampleRate` of the vocabulary.
+    *
+    * Returned `cnt` is the SAMPLE count (the selection statistic), not
+    * a full-corpus count — rescale by 1/sampleRate for an estimate.
+    * The extra `round` column records which Spark round picked each
+    * merge, so callers (and specs) can audit the round budget.
+    * `sampleRate = 1.0` reproduces `bpeTrain(df, textCol, nMerges,
+    * batch)` exactly, merge for merge and count for count. */
+  def bpeTrainSampled(df: DataFrame, textCol: String, nMerges: Int,
+                      batch: Int, sampleRate: Double,
+                      salt: String = "bpe"): DataFrame = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
+    require(sampleRate > 0.0 && sampleRate <= 1.0,
+      s"sampleRate must be in (0, 1], got $sampleRate")
+    val spark = df.sparkSession
+    // word-frequency table as in bpeTrain, plus the sample-membership
+    // bit — computed ONCE from the word string, then carried through
+    // rewrites (the sampled word set must not drift between rounds)
+    var cur = df
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(col("c"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("s"),
+        hashKeep(col("w"), sampleRate, salt).as("in_sample"))
+      .localCheckpoint(false)
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Int)]
+    var exhausted = false
+    var round = 0
+    while (merges.length < nMerges && !exhausted) {
+      round += 1
+      val want = math.min(batch, nMerges - merges.length)
+      val top = cur
+        .filter(col("in_sample")) // the ONLY difference from bpeTrain
+        .select(col("c"),
+          explode(zip_with(col("s"),
+            slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))),
+            (x, y) => concat(x, lit(" "), y))).as("pair"))
+        .filter(col("pair").isNotNull)
+        .groupBy(col("pair")).agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(if (want == 1) 1 else want * 4)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val picked = top.iterator.flatMap { r =>
+          val pair = r.getString(0)
+          val Array(a, b) = pair.split(" ", 2)
+          if (used(a) || used(b)) None
+          else { used += a; used += b; Some((pair, a, b, r.getLong(1))) }
+        }.take(want).toSeq
+        picked.foreach { case (pair, _, _, cnt) =>
+          merges += ((merges.length + 1, pair, cnt, round))
+        }
+        val rewritten = picked.foldLeft(col("s")) { case (s, (_, a, b, _)) =>
+          split(trim(mergeFold(s, a, b)), " ")
+        }
+        cur = cur.select(col("c"), rewritten.as("s"), col("in_sample"))
+          .localCheckpoint(false)
+      }
+    }
+    spark.createDataFrame(merges.toSeq)
+      .toDF("rank", "pair", "cnt", "round")
+  }
+
   /** Per-document bigram surprisal — the KenLM/CCNet-style fluency
     * signal one level up from [[unigramRarity]]: a bigram language
     * model with add-one (Laplace) smoothing is trained on the corpus
@@ -1021,16 +1106,31 @@ object CurationOps {
                      labelCol: String): DataFrame = {
     val base = df.select(col(idCol).as("doc_id"),
       col(labelCol).as("label"), col(textCol).as("text"))
-    val tok = base.select(col("doc_id"), col("label"),
+    nbTrainScore(base, base.select(col("doc_id"), col("text")))
+      .join(base.select(col("doc_id"), col("label")), "doc_id")
+      .select(col("doc_id"), col("label"), col("pred"), col("scr"))
+  }
+
+  /** The train/score core behind [[naiveBayesLang]] and
+    * [[detectLanguage]]: fit the multinomial model on `train`
+    * (doc_id, label, text) and score `score` (doc_id, text) — the two
+    * may differ, which is what lets the default lang-id path train on
+    * the labeled subset and predict the whole corpus. Returns
+    * (doc_id, pred, scr) for every score doc with >= 1 token (every
+    * token scores — out-of-vocabulary ones via the Laplace floor, so
+    * only token-less docs drop out and fall to the caller's fallback).
+    * Empty/unlabeled train => empty result (schema preserved). */
+  private def nbTrainScore(train: DataFrame, score: DataFrame): DataFrame = {
+    val tok = train.select(col("doc_id"), col("label"),
       explode(TextOps.tokens(col("text"))).as("t"))
     // classes with doc priors: a handful of rows (needed first — the
     // pivot's value list pins the model's column set)
-    val classes = base.groupBy(col("label"))
+    val classes = train.groupBy(col("label"))
       .agg(count(lit(1)).as("nd")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     if (classes.isEmpty)
-      return base.select(col("doc_id"), col("label"),
-        col("label").as("pred"), lit(0.0d).as("scr"))
+      return score.select(col("doc_id"), lit("").as("pred"),
+        lit(0.0d).as("scr")).where(lit(false))
     val nDocs = classes.map(_._2).sum.toDouble
     // the whole trained model is ONE vocab-sized wide table, built in
     // a single token-keyed shuffle (pivot = conditional counts);
@@ -1047,9 +1147,14 @@ object CurationOps {
       .map(i => classes(i)._1 ->
         (if (statsRow.isNullAt(i + 1)) 0L else statsRow.getLong(i + 1)))
       .toMap
-    val dt = tok.groupBy(col("doc_id"), col("t"))
+    val dt = score
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t"))
       .agg(count(lit(1)).as("cnt"))
-    val scored = dt.join(DedupOps.hintBySize(wide, widePre), "t")
+    // LEFT join so out-of-vocabulary tokens (impossible when score ==
+    // train, routine otherwise) still contribute their Laplace-floor
+    // log-probability instead of silently dropping the token
+    val scored = dt.join(DedupOps.hintBySize(wide, widePre), Seq("t"), "left")
     val scoreCols = classes.map { case (l, nd) =>
       val denom = tokTotals.getOrElse(l, 0L).toDouble + vocabV
       (lit(math.log(nd / nDocs)) +
@@ -1066,8 +1171,43 @@ object CurationOps {
     perDoc
       .withColumn("pred", best.getField("l"))
       .withColumn("scr", -best.getField("ns"))
-      .join(base.select(col("doc_id"), col("label")), "doc_id")
-      .select(col("doc_id"), col("label"), col("pred"), col("scr"))
+      .select(col("doc_id"), col("pred"), col("scr"))
+  }
+
+  /** The DEFAULT language-ID path: train the corpus-self-supervised
+    * Naive Bayes model on the rows where `labelCol` is present and
+    * predict every document with it; documents the model cannot score
+    * (no tokens, or an empty/absent training set) fall back to the
+    * zero-training keyword vote ([[TextOps.langId]]). Pass `labelCol =
+    * None` for the pure keyword path — the thin adapter mode the
+    * keyword-era queries keep their contract through.
+    *
+    * Returns (doc_id, lang_pred, lang_src) with lang_src in
+    * {"nb", "keyword"} so downstream filters can weight the two
+    * sources differently. Scale shape: the NB side is the
+    * vocabulary-sized model of [[naiveBayesLang]] (two token-keyed
+    * shuffles + one doc-keyed aggregation); the keyword vote is a
+    * scan-speed expression; the stitch is one left join on doc id. */
+  def detectLanguage(df: DataFrame, idCol: String, textCol: String,
+                     labelCol: Option[String],
+                     markers: Seq[(String, Seq[String])],
+                     default: String = "und"): DataFrame = {
+    val kw = TextOps.langId(col("text"), markers, default)
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    labelCol match {
+      case None =>
+        base.select(col("doc_id"), kw.as("lang_pred"),
+          lit("keyword").as("lang_src"))
+      case Some(lc) =>
+        val train = df.filter(col(lc).isNotNull)
+          .select(col(idCol).as("doc_id"), col(lc).as("label"),
+            col(textCol).as("text"))
+        base.join(nbTrainScore(train, base), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("pred"), kw).as("lang_pred"),
+            when(col("pred").isNotNull, lit("nb"))
+              .otherwise(lit("keyword")).as("lang_src"))
+    }
   }
 
   /** Greedy left-to-right BPE merge of adjacent (a, b) symbols inside

@@ -67,10 +67,15 @@ object NorthStar {
       .ordered(col("doc_id"))
   }
 
-  // q23 — keyword-vote language ID + distribution
+  // q23 — language-ID distribution via the default detectLanguage
+  // path in keyword (zero-training) mode: the thin adapter that keeps
+  // this query's keyword-vote contract — and its oracle — unchanged
+  // while the operator surface routes through one entry point (the NB
+  // mode is exercised by q81 and the accuracy spec).
   private val q23: Q = (s, dir) => {
-    t(s, dir, "documents")
-      .select(TextOps.langId(col("text"), LangMarkers).as("lang_pred"))
+    CurationOps.detectLanguage(t(s, dir, "documents"), "doc_id", "text",
+        labelCol = None, LangMarkers)
+      .select(col("lang_pred"))
       .groupBy(col("lang_pred"))
       .agg(count(lit(1)).as("n"))
       .ordered(col("lang_pred"))

@@ -910,6 +910,41 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.5, s"recall $recall over ${exact.size} true pairs")
   }
 
+  test("detectLanguage: NB default path beats the keyword vote on the " +
+      "labeled fixture, and keyword mode matches TextOps.langId") {
+    import graft.operators.CurationOps
+    import graft.queries.NorthStar
+    val labels = docs.select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def accuracy(preds: Map[Long, String]): Double =
+      labels.count { case (id, l) => preds.get(id).contains(l) }.toDouble /
+        labels.size
+    val nb = CurationOps.detectLanguage(docs, "doc_id", "text",
+        Some("lang"), NorthStar.LangMarkers).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+    val kw = CurationOps.detectLanguage(docs, "doc_id", "text",
+        None, NorthStar.LangMarkers).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val nbAcc = accuracy(nb.map { case (id, (p, _)) => id -> p }.toMap)
+    val kwAcc = accuracy(kw.map { case (id, (p, _)) => id -> p })
+    info(f"NB accuracy $nbAcc%.3f vs keyword $kwAcc%.3f " +
+      s"over ${labels.size} labeled docs")
+    // the promotion criterion: the trained path must not lose to the
+    // zero-training fallback on labeled data
+    assert(nbAcc >= kwAcc, s"NB $nbAcc < keyword $kwAcc")
+    // every fixture doc has tokens, so the NB mode should score all of
+    // them from the model, not the fallback
+    assert(nb.forall(_._2._2 == "nb"), "expected all-NB provenance")
+    // keyword mode is the exact langId contract (q23's oracle relies
+    // on this equivalence)
+    val direct = docs.select(col("doc_id"),
+        graft.operators.TextOps.langId(col("text"),
+          NorthStar.LangMarkers).as("p")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kw.map { case (id, (p, _)) => id -> p } == direct)
+    assert(kw.values.forall(_._2 == "keyword"))
+  }
+
   test("embeddingNearDup (banded facade): pairwise-identical to the " +
       "single-bucket formulation it replaced, on the real fixture") {
     import graft.operators.SimilarityOps

@@ -325,6 +325,65 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
     assert(m.head == firstSeq)
   }
 
+  test("sampled BPE at rate 1.0 reproduces batched bpeTrain exactly") {
+    for (b <- Seq(1, 4)) {
+      val full = CurationOps.bpeTrain(docs, "text", 8, batch = b)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      val sampled = CurationOps
+        .bpeTrainSampled(docs, "text", 8, batch = b, sampleRate = 1.0)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      assert(sampled == full, s"batch=$b")
+    }
+  }
+
+  test("sampled BPE selects from exactly the md5-kept word subset") {
+    import spark.implicits._
+    // hashKeep(salt="bpe", rate=0.5) keeps {uv, pq} and drops {xy, mn}
+    // (fixed md5 arithmetic — membership is part of the contract)
+    val corpus = (
+      Seq.fill(100)("xy") ++ Seq.fill(90)("uv") ++
+      Seq.fill(80)("pq") ++ Seq.fill(70)("mn"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val got = CurationOps
+      .bpeTrainSampled(corpus, "text", 4, batch = 4, sampleRate = 0.5)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    // only sampled words feed the counts: u v (90) then p q (80), both
+    // disjoint -> one round; the unsampled xy/mn can never be picked,
+    // and with no pairs left in the sample the train stops early
+    assert(got == Seq((1, "u v", 90L, 1), (2, "p q", 80L, 1)), got.toString)
+  }
+
+  test("sampled BPE trains 1k merges in O(nMerges/batch) rounds") {
+    import spark.implicits._
+    // 400 distinct 24-char words over a 256-symbol alphabet: enough
+    // adjacency diversity that batch=64 disjoint picks usually fill.
+    // Deterministic LCG so the corpus (and the measured round count)
+    // is reproducible.
+    val alphabet = (0 until 256).map(i => (0x4E00 + i).toChar)
+    var seed = 123456789L
+    def nextInt(n: Int): Int = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      (((seed >>> 33) % n + n) % n).toInt
+    }
+    val words = (0 until 400).map { _ =>
+      (0 until 24).map(_ => alphabet(nextInt(256))).mkString
+    }
+    val corpus = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val m = CurationOps
+      .bpeTrainSampled(corpus, "text", 1000, batch = 64, sampleRate = 1.0)
+      .collect()
+    assert(m.length == 1000, s"trained ${m.length} merges")
+    val rounds = m.map(_.getInt(3)).max
+    info(s"1000 merges / batch 64 -> $rounds rounds (ideal 16)")
+    // the disjointness filter may under-fill some batches; the bound
+    // that matters is O(nMerges/batch), not O(nMerges)
+    assert(rounds <= 64, s"$rounds rounds for 1000 merges at batch=64")
+  }
+
   test("BM25 matches the hand-computed Okapi formula") {
     import spark.implicits._
     val docs = Seq(
