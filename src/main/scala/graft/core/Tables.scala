@@ -22,7 +22,12 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") normalizeEventTs(df) else df
+    name match {
+      case "events"     => normalizeEventTs(df)
+      case "documents"  => normalizeDocuments(df)
+      case "embeddings" => normalizeEmbeddings(df)
+      case _            => df
+    }
   }
 
   /** Normalizes `events.ts` across the parquet writer variants seen in
@@ -58,6 +63,48 @@ object Tables {
         throw new IllegalArgumentException(
           s"events.ts: unsupported parquet timestamp physical type $other")
     }
+  }
+
+  /** The same driver-regeneration hazard as events.ts, for the other two
+    * tables it rewrites (r4 verdict item 8): pyarrow can emit
+    * `embeddings.embedding` as list<float>, list<double>, or
+    * large_list<*>, and integer id/count columns as int32 instead of
+    * int64. The engine's canonical schema is long ids, array<float>
+    * embeddings, long counts — the codegen vector expressions and every
+    * oracle assume it. Casts are applied only on drift, so the common
+    * path keeps its scan plan (and pushdown) untouched;
+    * DocEmbSchemaCanarySpec pins each variant against committed
+    * fixtures so the next regeneration fails one loud spec instead of
+    * dozens of queries. */
+  private def normalizeDocuments(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.LongType
+    Seq("doc_id", "n_chars").foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c) && d.schema(c).dataType != LongType)
+        d.withColumn(c, col(c).cast(LongType))
+      else d
+    }
+  }
+
+  private def normalizeEmbeddings(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType}
+    val idFixed =
+      if (df.schema("vec_id").dataType != LongType)
+        df.withColumn("vec_id", col("vec_id").cast(LongType))
+      else df
+    val canonical = ArrayType(FloatType, containsNull = true)
+    val embFixed = idFixed.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => idFixed
+      case _: ArrayType =>
+        idFixed.withColumn("embedding", col("embedding").cast(canonical))
+      case other => throw new IllegalArgumentException(
+        s"embeddings.embedding: unsupported type $other")
+    }
+    if (embFixed.columns.contains("label") &&
+        embFixed.schema("label").dataType != IntegerType)
+      embFixed.withColumn("label", col("label").cast(IntegerType))
+    else embFixed
   }
 
   /** Register every table as a temp view (for spark.sql entry points). */
