@@ -513,25 +513,35 @@ object DedupOps {
         shiftright(col("sim"), b * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    // collect (id, sim) pairs per bucket and expand combinations in an
-    // expression — a self-join would recompute the signature
-    // aggregation once per side (same trap as minhash LSH).
-    val buckets = banded.groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sim"))))
-        .as("members"))
-      .filter(size(col("members")) >= 2)
-    buckets
-      .select(explode(flatten(transform(col("members"), (x, i) =>
-        transform(slice(col("members"), i + 2, size(col("members"))),
-          y => struct(x.getField("doc_id").as("id1"),
-            y.getField("doc_id").as("id2"),
-            x.getField("sim").as("sim1"),
-            y.getField("sim").as("sim2")))))).as("p"))
+    // Pair expansion as an equi-join on (band, bucket) rather than the
+    // earlier collect_list + in-expression combination expansion: the
+    // expression form materialized ALL C(m, 2) pair structs of a bucket
+    // as ONE flattened array value before exploding — an uncapped
+    // single-row memory cliff on hot buckets, pinned to one task and
+    // invisible to AQE. Correlated signatures make hot buckets the
+    // NORM on a duplicate-heavy corpus (the 10x ScaleStress run
+    // measured 35 s in the expansion vs ~23 s for the join form).
+    // The join streams each pair and produces the identical pair set
+    // (id1 < id2). While the banded relation fits the broadcast
+    // threshold the join plans as BHJ — the best possible shape: every
+    // probe-side partition expands its own rows against the hash
+    // relation, so hot buckets parallelize by INPUT rows, immune to
+    // key skew. Past the threshold it becomes an SMJ whose two
+    // identical (band, bucket) exchanges stage-reuse under AQE, and
+    // whose skewed buckets AQE can split. Either way the signature
+    // vote-agg's expensive map side (token explode + hash + partial
+    // sums) is one reusable shuffle stage.
+    val l = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id1"), col("sim").as("sim1"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id2"), col("sim").as("sim2"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
       // Hamming filter BEFORE the distinct: the xor+popcount is a cheap
       // per-row expression, and dropping far pairs early shrinks the
       // dedup shuffle to just the qualifying candidates.
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
-        bit_count(col("p.sim1").bitwiseXOR(col("p.sim2"))).as("hamming"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("sim1").bitwiseXOR(col("sim2"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

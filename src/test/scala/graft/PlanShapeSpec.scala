@@ -57,6 +57,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"query side should broadcast:\n$p")
   }
 
+  test("simhash band pairing: pairs ride a hash equi-join on " +
+      "(band, bucket), never a cartesian or collect_list expansion") {
+    // The pair expansion self-joins the banded signature relation on
+    // (band, bucket). At this scale the banded side broadcasts (BHJ):
+    // pair expansion then parallelizes over probe-side INPUT rows, so
+    // hot buckets cannot pin a single task the way the former
+    // collect_list + in-expression combination expansion did. Past
+    // the broadcast threshold the same plan becomes an SMJ whose
+    // identical exchanges AQE stage-reuses and skew-splits.
+    val docs = Tables.load(spark, dir, "documents")
+    val p = plan(graft.operators.DedupOps.simhashNearDupParity(
+      docs, "doc_id", "text", maxHamming = 8))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"pair expansion should be an equi-join:\n$p")
+    assert(!p.contains("collect_list"),
+      "pair expansion regressed to the collect_list form")
+  }
+
   test("whole-stage codegen covers the scalar query pipeline") {
     // codegen stages render as "*(n) Operator" in the plan string
     val p = plan(q("q04_deadband_clamp"))
