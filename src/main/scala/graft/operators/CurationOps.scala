@@ -1034,21 +1034,9 @@ object CurationOps {
         features.zipWithIndex.map { case (c, i) =>
           c.cast("double").as(s"x$i") }: _*)
       .localCheckpoint(false) // scanned once per iteration + once final
-    def z(w: Array[Double]): Column =
-      (0 until d).foldLeft(lit(w(0)): Column) { (acc, j) =>
-        acc + lit(w(j + 1)) * col(s"x$j")
-      }
-    var w = Array.fill(d + 1)(0.0)
-    for (_ <- 1 to iters) {
-      val p = lit(1.0) / (lit(1.0) + exp(-z(w)))
-      val aggs = (count(lit(1)).as("n") +: sum(p - col("y")).as("g0") +:
-        (0 until d).map(j =>
-          sum((p - col("y")) * col(s"x$j")).as(s"g${j + 1}")))
-      val r = data.agg(aggs.head, aggs.tail: _*).head()
-      val n = r.getLong(0).toDouble
-      w = Array.tabulate(d + 1)(j => w(j) - lr * r.getDouble(j + 1) / n)
-    }
-    val correct = sum(when((z(w) >= 0.0) === (col("y") === 1.0), 1L)
+    val w = gdWeights(data, d, iters, lr)
+    val zf = zOf(w, d)
+    val correct = sum(when((zf >= 0.0) === (col("y") === 1.0), 1L)
       .otherwise(0L))
     val outCols = count(lit(1)).as("n") +: correct.as("n_correct") +:
       (0 to d).map(j => min(lit(w(j))).as(s"w$j"))
@@ -1056,6 +1044,56 @@ object CurationOps {
       .select((0 to d).map(j => col(s"w$j")) ++ Seq(
         (col("n_correct").cast("double") / col("n")).as("acc"),
         col("n")): _*)
+  }
+
+  /** ((w0 + w1*x0) + w2*x1) + … — the fold order every engine mirrors
+    * (the oracle parenthesizes identically, so the doubles match
+    * bit-for-bit given equal weights). */
+  private def zOf(w: Array[Double], d: Int): Column =
+    (0 until d).foldLeft(lit(w(0)): Column) { (acc, j) =>
+      acc + lit(w(j + 1)) * col(s"x$j")
+    }
+
+  /** The GD training loop shared by [[logisticRegressionGd]] and
+    * [[logisticTrainScore]]: one map-side-combined aggregation job per
+    * iteration; the d+1 weights live as driver doubles and return as
+    * plan literals. `data` must carry columns y, x0..x{d-1}. */
+  private def gdWeights(data: DataFrame, d: Int, iters: Int,
+      lr: Double): Array[Double] = {
+    var w = Array.fill(d + 1)(0.0)
+    for (_ <- 1 to iters) {
+      val p = lit(1.0) / (lit(1.0) + exp(-zOf(w, d)))
+      val aggs = (count(lit(1)).as("n") +: sum(p - col("y")).as("g0") +:
+        (0 until d).map(j =>
+          sum((p - col("y")) * col(s"x$j")).as(s"g${j + 1}")))
+      val r = data.agg(aggs.head, aggs.tail: _*).head()
+      val n = r.getLong(0).toDouble
+      w = Array.tabulate(d + 1)(j => w(j) - lr * r.getDouble(j + 1) / n)
+    }
+    w
+  }
+
+  /** The INFERENCE half of the quality-classifier loop — the
+    * FineWeb/DCLM score-and-filter pattern: train the logistic model
+    * (same GD loop as [[logisticRegressionGd]]), then score EVERY row
+    * with the trained weights inlined as plan literals. Scoring is a
+    * pure projection at scan speed: no join, no shuffle, no driver
+    * funnel — exactly how a 100 TB corpus gets quality-scored by a
+    * model whose weights fit in a plan. Returns (id, score) with
+    * score = sigmoid((w0 + w1*x0) + w2*x1 + …). */
+  def logisticTrainScore(df: DataFrame, idCol: String,
+      features: Seq[Column], label: Column, iters: Int,
+      lr: Double): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    val d = features.size
+    val data = df.select(Seq(col(idCol).as("id"),
+        label.cast("double").as("y")) ++
+        features.zipWithIndex.map { case (c, i) =>
+          c.cast("double").as(s"x$i") }: _*)
+      .localCheckpoint(false) // scanned once per iteration + once scoring
+    val w = gdWeights(data, d, iters, lr)
+    data.select(col("id"),
+      (lit(1.0) / (lit(1.0) + exp(-zOf(w, d)))).as("score"))
   }
 
   /** Zipf rank–frequency fit — the standard corpus-health diagnostic

@@ -356,6 +356,39 @@ object DedupOps {
         array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** LSH capacity diagnostic — per-band bucket-population statistics of
+    * the md5-parity minhash banding, WITHOUT materializing a single
+    * candidate pair: bucket count, colliding-bucket count, the total
+    * candidate-pair mass Σ m·(m−1)/2 a full dedup run would have to
+    * verify, and the largest bucket. This is how a 100 TB pipeline
+    * sizes `maxBucketSize`, predicts verify-join cost, and detects
+    * banding collapse (low-entropy corpora pushing everything into few
+    * buckets) BEFORE paying for the pair expansion — the planning
+    * query you run first, at one signature-aggregation + two bounded
+    * shuffles total. All outputs are integers, so the result is
+    * engine-exact. */
+  def lshCollisionStats(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val sh = stagedShingles(df, idCol, textCol, shingleN)
+    val sig = md5MinhashSig(
+      sh.select(col("doc_id"), explode(col("sh")).as("s")), k)
+    // sig comes out of an Aggregate (outputs are attributes), so no
+    // repartition barrier is needed before the banding explode
+    val exploded = sig.select(col("doc_id"), posexplode(col("sig")))
+    val banded = bandBuckets(exploded, k / bands, Seq("doc_id"))
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("m"))
+      .groupBy(col("band"))
+      .agg(sum(col("m")).as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("m") >= 2, 1L).otherwise(0L)).as("n_buckets_ge2"),
+        // m·(m−1) is even, so the integral halving is exact
+        (sum(col("m") * (col("m") - lit(1L))) / lit(2)).cast("long")
+          .as("cand_pairs"),
+        max(col("m")).as("max_bucket"))
+  }
+
   /** The persistable signature artifact for incremental dedup:
     * (doc_id, sh, sig) with md5-parity signatures. A production
     * pipeline writes this ONCE per corpus (any columnar format) and

@@ -813,6 +813,51 @@ object SimilarityOps {
       .select(col("id1"), col("id2"), col("cos"))
   }
 
+  /** kNN GRAPH over the corpus — top-k cosine neighbors for EVERY
+    * vector, the input SemDeDup-style clustering, near-dup community
+    * mining, and graph-based curation all start from. Differs from the
+    * ANN query families (lshTopK/ivfTopK/…) in that there is no small
+    * query side: both sides are the 100 TB corpus, so the shape must
+    * be a banded self-join, never a broadcast.
+    *
+    * Candidates come from the same banded hyperplane signatures as
+    * [[cosineNearDupPairs]] (collide in ANY band), expanded DIRECTED
+    * via an equi-join on (band, bucket) — streamed, AQE-skew-
+    * splittable, no per-bucket array materialization — with the
+    * megabucket cap applied via a bucket-size semi-filter. Exact
+    * cosine re-rank + row_number keeps each node's top k. Per-node
+    * candidate counts are bounded by bands × maxBucketSize, so the
+    * rank window state is bounded too. */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
+               bands: Int = 8, planesPerBand: Int = 4, dims: Int = 64,
+               maxBucketSize: Int = 1000): DataFrame = {
+    require(k > 0 && bands > 0 && planesPerBand > 0 && maxBucketSize > 1,
+      s"bad kNN-graph config ($k, $bands, $planesPerBand, $maxBucketSize)")
+    val base = withNorm(df, idCol, vecCol, "id", "v", "nm")
+    val banded = bandedSignatures(base, bands, planesPerBand, dims)
+    val ok = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBucketSize))
+      .select(col("band"), col("bucket"))
+    val cand = banded.join(ok, Seq("band", "bucket"))
+      .join(banded.select(col("band"), col("bucket"),
+        col("id").as("nid")), Seq("band", "bucket"))
+      .filter(col("id") =!= col("nid"))
+      .select(col("id"), col("nid"))
+      .distinct()
+    val scored = cand
+      .join(base.select(col("id"), col("v").as("v1"), col("nm").as("n1")),
+        "id")
+      .join(base.select(col("id").as("nid"), col("v").as("v2"),
+        col("nm").as("n2")), "nid")
+      .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("id"), col("nid"), col("cos"))
+  }
+
   /** Embedding-space contamination detection: which training vectors
     * near-duplicate a benchmark/probe vector (cosine >= threshold)?
     * The embedding sibling of

@@ -1215,7 +1215,50 @@ object NorthStar {
       .ordered(col("doc_id"))
   }
 
+  // q118 — quality-classifier INFERENCE (the FineWeb/DCLM score-and-
+  // filter pattern): the q114 GD loop trains weights into driver
+  // literals; every document is then scored at scan speed — a pure
+  // projection, no join, no shuffle. Per-doc sigmoid score (e6) +
+  // keep flag.
+  private val q118: Q = (s, dir) => {
+    CurationOps.logisticTrainScore(t(s, dir, "documents"), "doc_id",
+        features = Seq(
+          TextOps.tokenCount(col("text")) / lit(100.0d),
+          TextOps.stopwordRatio(col("text"), Stopwords)),
+        label = coalesce(col("lang") === "en", lit(false)),
+        iters = 5, lr = 1.0)
+      .select(col("id").as("doc_id"), e6(col("score")).as("score_e6"),
+        when(col("score") >= 0.5, 1L).otherwise(0L).as("keep"))
+      .ordered(col("doc_id"))
+  }
+
+  // q119 — kNN graph: top-3 cosine neighbors for EVERY corpus vector
+  // via the banded-LSH self-join (q109's banding, equi-join expanded)
+  // + exact cosine re-rank. The corpus-scale input to SemDeDup-style
+  // clustering and near-dup community mining — no broadcastable query
+  // side exists, so the shape matters.
+  private val q119: Q = (s, dir) => {
+    SimilarityOps.knnGraph(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 3, bands = 8, planesPerBand = 4)
+      .select(col("id"), col("nid"), round(col("cos"), 6).as("cos"))
+      .ordered(col("id"), col("cos").desc, col("nid"))
+  }
+
+  // q120 — LSH collision statistics (capacity planning): per-band
+  // bucket-population moments of the q26 md5-parity banding —
+  // candidate-pair mass, colliding buckets, max bucket — with ZERO
+  // pairs materialized. The query a pipeline runs BEFORE a full dedup
+  // to size caps and predict verify cost. Integer-exact.
+  private val q120: Q = (s, dir) => {
+    DedupOps.lshCollisionStats(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 2, k = 8, bands = 4)
+      .ordered(col("band"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q120_lsh_collision_stats" -> q120,
+    "q119_knn_graph" -> q119,
+    "q118_quality_score" -> q118,
     "q117_label_prop" -> q117,
     "q116_triangle_cc" -> q116,
     "q115_pagerank" -> q115,
@@ -3223,6 +3266,100 @@ object NorthStar {
        |GROUP BY b, w1, w2""".stripMargin
   }
 
+  /** q118 oracle: the q114 GD-iteration CTEs with doc_id carried
+    * through, then per-doc sigmoid scoring against the it5 weights —
+    * the score expression parenthesizes exactly like the Spark side
+    * ((b + w1*x0) + w2*x1). */
+  private val q118Sql: String = {
+    val steps = (1 to 5).map { i =>
+      s"""it$i AS (
+         |  SELECT b - 1.0 * SUM(p - y) / COUNT(*) AS b,
+         |         w1 - 1.0 * SUM((p - y) * x0) / COUNT(*) AS w1,
+         |         w2 - 1.0 * SUM((p - y) * x1) / COUNT(*) AS w2
+         |  FROM (SELECT y, x0, x1, b, w1, w2,
+         |               1.0 / (1.0 + exp(-((b + w1 * x0) + w2 * x1))) AS p
+         |        FROM d CROSS JOIN it${i - 1})
+         |  GROUP BY b, w1, w2)""".stripMargin
+    }.mkString(",\n")
+    val score = "1.0 / (1.0 + exp(-((b + w1 * x0) + w2 * x1)))"
+    s"""WITH d0 AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, y, len(toks) / 100.0 AS x0,
+       |         len(list_filter(toks, t -> list_contains(['a','the','and','of','to','data'], t)))
+       |           * 1.0 / GREATEST(len(toks), 1) AS x1
+       |  FROM d0),
+       |it0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2),
+       |$steps
+       |SELECT doc_id, ${sqlE6(score)} AS score_e6,
+       |       CAST(CASE WHEN $score >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM d CROSS JOIN it5 ORDER BY doc_id""".stripMargin
+  }
+
+  /** q119 oracle: the q109 banded candidate machinery, directed
+    * (a <> b instead of a < b), ranked per source node. */
+  private val q119Sql: String = {
+    val bandSelects = (0 until 8).map(b =>
+      s"SELECT vec_id, $b AS band, ${sqlBucket("v", 4, b * 4)} AS bucket FROM n")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${sqlNorm("v")} AS vn FROM e),
+       |bands AS ($bandSelects),
+       |ok AS (SELECT band, bucket FROM bands GROUP BY band, bucket
+       |       HAVING COUNT(*) BETWEEN 2 AND 1000),
+       |cand AS (SELECT DISTINCT a.vec_id AS id, b.vec_id AS nid
+       |         FROM bands a
+       |         JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |           AND a.vec_id <> b.vec_id
+       |         JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket),
+       |vf AS (SELECT c.id, c.nid,
+       |              ${sqlDot("x.v", "y.v")} / (x.vn * y.vn) AS cosim
+       |       FROM cand c
+       |       JOIN n x ON x.vec_id = c.id
+       |       JOIN n y ON y.vec_id = c.nid),
+       |r AS (SELECT id, nid, cosim,
+       |             ROW_NUMBER() OVER (PARTITION BY id
+       |                 ORDER BY cosim DESC, nid) AS rk
+       |      FROM vf)
+       |SELECT id, nid, ROUND(cosim, 6) AS cos FROM r WHERE rk <= 3
+       |ORDER BY id, cosim DESC, nid""".stripMargin
+  }
+
+  /** q120 oracle: the q26/q47 signature + banding CTEs, aggregated to
+    * per-band bucket-population moments instead of pairs. All integer
+    * outputs. */
+  private val q120Sql: String = {
+    val sigList = (0 until 8)
+      .map(i => s"list_min(list_transform(sh, x -> md5('$i:' || x)))")
+      .mkString("[", ", ", "]")
+    val bandedUnion = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, md5(sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}]) AS bucket FROM g")
+      .mkString("\n  UNION ALL ")
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(toks) >= 2
+       |              THEN list_distinct(list_transform(range(1, len(toks)),
+       |                     i -> array_to_string(toks[i:i+1], ' ')))
+       |              ELSE [] END AS sh
+       |  FROM d),
+       |g AS (SELECT doc_id, sh, $sigList AS sig FROM s WHERE len(sh) > 0),
+       |banded AS (
+       |  $bandedUnion),
+       |m AS (SELECT band, bucket, COUNT(*) AS m FROM banded
+       |      GROUP BY band, bucket)
+       |SELECT band, CAST(SUM(m) AS BIGINT) AS n_docs,
+       |       COUNT(*) AS n_buckets,
+       |       CAST(SUM(CASE WHEN m >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_ge2,
+       |       CAST(SUM(m * (m - 1)) // 2 AS BIGINT) AS cand_pairs,
+       |       CAST(MAX(m) AS BIGINT) AS max_bucket
+       |FROM m GROUP BY band ORDER BY band""".stripMargin
+  }
+
   /** q115 oracle: the q25 pair derivation feeding 3 unrolled PageRank
     * iterations — update arithmetic mirrors GraphOps.pageRank exactly
     * ((1.0 - 0.85)/n + 0.85 * COALESCE(SUM(pr/deg), 0.0)). */
@@ -3364,6 +3501,9 @@ object NorthStar {
   }
 
   val oracle: Map[String, String] = Map(
+    "q120_lsh_collision_stats" -> q120Sql,
+    "q119_knn_graph" -> q119Sql,
+    "q118_quality_score" -> q118Sql,
     "q117_label_prop" -> q117Sql,
     "q116_triangle_cc" -> q116Sql,
     "q115_pagerank" -> q115Sql,

@@ -15,7 +15,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * rounding boundaries that engine-vs-engine order differences cannot
   * flip them. If corpus regeneration ever lands a sum on a boundary,
   * this fails loudly here instead of as an opaque driver hash
-  * mismatch. */
+  * mismatch. q118 (per-doc scoring with the GD weights) joins the list
+  * in r5: its 500 e6-rounded sigmoids each roll the same dice. */
 class IterativeFloatParitySpec extends AnyFunSuite with SparkTestBase {
   private val dir = sf("sf0.01")
 
@@ -34,7 +35,8 @@ class IterativeFloatParitySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  for (q <- Seq("q114_logreg_quality", "q115_pagerank")) {
+  for (q <- Seq("q114_logreg_quality", "q115_pagerank",
+      "q118_quality_score")) {
     test(s"$q output is identical under 3-way/coarse vs 8-way/fine layouts") {
       val narrow = runWith(q, shuffle = "3", openCost = "4194304")
       val wide = runWith(q, shuffle = "8", openCost = "16384")

@@ -75,6 +75,74 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(ivf.forall { case (q, n) => q != n })
   }
 
+  test("logisticTrainScore separates: positives score high, negatives low") {
+    import org.apache.spark.sql.functions.{col => c}
+    val spark2 = spark
+    import spark2.implicits._
+    // y = 1 iff x0 > 0.5 — fully separable; after training, scores
+    // must order the classes correctly
+    val df = (0 until 400)
+      .map(i => (i.toLong, i / 400.0, if (i / 400.0 > 0.5) 1 else 0))
+      .toDF("id", "x0", "y")
+    val scored = graft.operators.CurationOps.logisticTrainScore(df, "id",
+        features = Seq(c("x0") - 0.5), label = c("y") === 1,
+        iters = 200, lr = 5.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored.size == 400)
+    val pos = (201 until 400).map(i => scored(i.toLong))
+    val neg = (0 until 200).map(i => scored(i.toLong))
+    assert(pos.min > 0.5, s"worst positive ${pos.min}")
+    assert(neg.max < 0.5, s"worst negative ${neg.max}")
+    // scoring must agree with the training entry point's weights: the
+    // decision boundary (score >= 0.5 <=> z >= 0) reproduces acc
+    val acc = graft.operators.CurationOps.logisticRegressionGd(df,
+      Seq(c("x0") - 0.5), c("y") === 1, 200, 5.0).head()
+    assert(acc.getDouble(acc.fieldIndex("acc")) >= 0.99)
+  }
+
+  test("knnGraph: every node gets <= k neighbors; recall vs brute force") {
+    val k = 3
+    val got = SimilarityOps.knnGraph(emb, "vec_id", "embedding", k,
+        bands = 8, planesPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val perNode = got.groupBy(_._1).map(_._2.size)
+    assert(perNode.max <= k)
+    assert(got.forall { case (a, b) => a != b })
+    // ground truth: brute-force top-k with the corpus as its own query
+    // set; banded LSH (8 bands x 4 planes — q109's config) should
+    // recover well over half of the true neighbor edges
+    val exact = SimilarityOps.bruteForceTopK(emb, emb, "vec_id",
+        "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall > 0.5, s"kNN-graph recall $recall")
+  }
+
+  test("lshCollisionStats: pair mass bounds the realized candidate set") {
+    val stats = graft.operators.DedupOps.lshCollisionStats(docs,
+        "doc_id", "text", shingleN = 2, k = 8, bands = 4)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(stats.size == 4)
+    val nDocs = docs.count()
+    for ((band, (nd, nb, nb2, pairs, maxB)) <- stats) {
+      assert(nd == nDocs, s"band $band counted $nd of $nDocs docs")
+      assert(nb2 <= nb && maxB >= 1 && pairs >= nb2,
+        s"band $band inconsistent: $nb2/$nb/$pairs/$maxB")
+    }
+    // the predicted pair mass must upper-bound the distinct candidate
+    // pairs an uncapped parity dedup run actually materializes
+    val cand = graft.operators.DedupOps.minhashLshDedupParity(docs,
+        "doc_id", "text", shingleN = 2, k = 8, bands = 4,
+        threshold = 0.0, maxBucketSize = Int.MaxValue)
+      .select("id1", "id2").distinct().count()
+    val mass = stats.values.map(_._4).sum
+    assert(cand <= mass,
+      s"realized candidates $cand exceed predicted mass $mass")
+    assert(mass > 0)
+  }
+
   test("pageRank hand trace: directed leak and symmetric fixpoint") {
     import org.apache.spark.sql.functions.{col => c}
     val spark2 = spark
