@@ -747,9 +747,9 @@ object SimilarityOps {
     * of minhash LSH for text: per-band collision probability is
     * (1 - theta/pi)^planesPerBand, so more bands buy recall and more
     * planes per band buy precision (Charikar STOC'02 sign-random-
-    * projection). Scale shape mirrors the minhash path: candidates
-    * come from a per-(band, bucket) collect + combinations expression
-    * (no self-join, so the signature projection runs once), hub
+    * projection). Scale shape: candidates come from a streamed
+    * (band, bucket) equi-join of the banded signature relation (hot
+    * buckets parallelize/skew-split instead of pinning one task), hub
     * buckets are capped at `maxBucketSize` for a hard quadratic
     * bound, and pairs are dedup'd across bands BEFORE the vector
     * verify join — only surviving candidates ever touch a second
@@ -795,13 +795,23 @@ object SimilarityOps {
       s"bad LSH config ($bands, $planesPerBand, $maxBucketSize)")
     val base = withNorm(df, idCol, vecCol, "id", "v", "nm")
     val banded = bandedSignatures(base, bands, planesPerBand, dims)
-    val pairs = banded.groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col("id"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucketSize))
-      .select(explode(flatten(transform(col("members"), (x, i) =>
-        transform(slice(col("members"), i + 2, size(col("members"))),
-          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+    // Pair expansion as an equi-join on (band, bucket) with the
+    // bucket-size cap as a semi-filter — same r5 rewrite as the
+    // simhash tail (DedupOps.simhashBandVerify): the former
+    // collect_list + combinations expression materialized up to
+    // C(maxBucketSize, 2) pair structs as ONE array value pinned to
+    // one task; the join streams pairs, parallelizes hot buckets by
+    // probe-side rows under BHJ, and AQE-skew-splits them under SMJ.
+    // Identical pair set (id1 < id2).
+    val ok = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBucketSize))
+      .select(col("band"), col("bucket"))
+    val pairs = banded.join(ok, Seq("band", "bucket"))
+      .join(banded.select(col("band"), col("bucket"),
+        col("id").as("id2")), Seq("band", "bucket"))
+      .filter(col("id") < col("id2"))
+      .select(col("id").as("id1"), col("id2"))
       .distinct()
     pairs
       .join(base.select(col("id").as("id1"), col("v").as("v1"),
