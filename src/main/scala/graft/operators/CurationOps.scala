@@ -1263,4 +1263,46 @@ object CurationOps {
           lit(" " + a + b)))
       .otherwise(concat(acc, lit(" "), x)))
   }
+
+  /** Boilerplate / template detection by within-group document
+    * frequency (the CCNet line-dedup idea, generalized to n-grams for
+    * corpora without line structure): an n-gram is boilerplate inside
+    * its `groupCol` (domain / source) when it appears in at least
+    * `pctThreshold`% of that group's documents. Emits per-doc
+    * n_grams (distinct), n_boiler, and an `is_template` flag (more
+    * than half the doc's grams are group-boilerplate).
+    *
+    * Scale shape: gram-doc pairs are aggregated gram-keyed (partial
+    * agg) against a broadcast per-group doc count; the flagged
+    * boilerplate set is inherently small (each gram must recur across
+    * >= pct% of a group's docs, so the set is bounded by
+    * 100/pct x grams-per-doc per group — template material, not
+    * corpus material), so the count-back join broadcasts under AQE.
+    * Documents shorter than n tokens have no grams and no output row
+    * (same as the oracle). Integer outputs only. */
+  def boilerplateGrams(df: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, n: Int = 2,
+                       pctThreshold: Int = 20): DataFrame = {
+    require(n >= 1 && pctThreshold >= 1 && pctThreshold <= 100,
+      s"bad n=$n or pctThreshold=$pctThreshold")
+    val toks = TextOps.tokens(col(textCol))
+    val g = df.select(col(idCol).as("__id"), col(groupCol).as("__g"),
+        explode(array_distinct(
+          TextOps.shinglesFromTokens(toks, n))).as("__gram"))
+    val groupDocs = df.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__nd"))
+    val boiler = g.groupBy(col("__g"), col("__gram"))
+      .agg(count(lit(1)).as("__df"))
+      .join(broadcast(groupDocs), "__g")
+      .filter(col("__df") * 100 >= col("__nd") * pctThreshold)
+      .select(col("__g"), col("__gram"))
+    val base = g.groupBy(col("__id")).agg(count(lit(1)).as("n_grams"))
+    val nb = g.join(boiler, Seq("__g", "__gram"))
+      .groupBy(col("__id")).agg(count(lit(1)).as("__nb"))
+    base.join(nb, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_grams"),
+        coalesce(col("__nb"), lit(0L)).as("n_boiler"))
+      .withColumn("is_template",
+        col("n_boiler") * 100 >= col("n_grams") * 50)
+  }
 }

@@ -775,4 +775,37 @@ object DedupOps {
         bands = 1, planesPerBand = planes, dims = dims,
         maxBucketSize = maxBucketSize)
       .select(col("id1"), col("id2"), col("cos").as("cosine"))
+
+  /** Per-document n-gram novelty: how much of a doc's distinct n-gram
+    * set FIRST appears in that document, under the corpus's id order
+    * (ids are ingestion order in an append-only corpus, so this is
+    * "new content contributed at ingestion time" — the complement of
+    * the duplicated-content coverage in [[dupNgramCoverage]], which
+    * asks how much of a doc appears anywhere else regardless of
+    * direction). Novelty ~1 = fresh material; ~0 = everything was
+    * already in earlier documents. Used for ordering-aware curation
+    * (dedup curricula, incremental crawl triage).
+    *
+    * Scale shape: distinct (gram, doc) pairs, one gram-keyed
+    * min-aggregation (partial agg; the gram table is never held
+    * per-doc), one gram-keyed count-back join, one doc-keyed count —
+    * the [[ngramJaccardPairs]] inverted-index discipline, with
+    * nothing quadratic. Docs with fewer than n tokens emit no row
+    * (no grams — same as the oracle). Integer outputs. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = TextOps.tokens(col(textCol))
+    val g = df.select(col(idCol).cast("long").as("__id"),
+      explode(array_distinct(
+        TextOps.shinglesFromTokens(toks, n))).as("__gram"))
+    val first = g.groupBy(col("__gram"))
+      .agg(min(col("__id")).as("__first"))
+    g.join(first, "__gram")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col("__id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("__id").as(idCol), col("n_grams"), col("n_novel"))
+  }
 }

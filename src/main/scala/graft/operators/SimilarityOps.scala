@@ -1067,4 +1067,74 @@ object SimilarityOps {
       (dotLit(col(vecCol).cast("array<double>"), v) - lit(offset))
         .as("pc1"))
   }
+
+  /** Cluster prototypicality (SemDeDup / SSL-prototypes pruning,
+    * Sorscher et al. 2022): cluster with [[kmeansInt8]], re-center on
+    * each final cluster's integer mean, and score every vector by its
+    * EXACT integer squared distance to its own cluster's mean —
+    * far-from-prototype examples are the hard/noisy tail that
+    * data-pruning recipes drop (or keep, for hard-example mining).
+    * Emits the distance, the farthest-first rank and size within the
+    * cluster, and an `is_outlier` flag for the top `outlierPct`%.
+    *
+    * Cross-engine determinism: quantized coords and centroid means
+    * are integers (floor(sum/n + 0.5), the q67 update rule), so the
+    * distance is an exact integer and rank ties break on id.
+    *
+    * Scale shape: assignment and distance are scan-speed against
+    * k x dims broadcast centroids; the only new shuffle is the
+    * within-cluster rank window, partitioned by cid — cluster
+    * populations are ~n/k, so at corpus scale raise k to keep them
+    * bounded (the SemDeDup recipe [[semanticDedup]] already follows);
+    * for a rank-free variant at extreme scale, threshold on the
+    * distance itself against per-cluster quantiles from
+    * [[graft.operators.StatsOps.sampledQuantiles]]. */
+  def clusterPrototypicality(df: DataFrame, idCol: String,
+                             vecCol: String, k: Int, iters: Int,
+                             outlierPct: Int = 10, dims: Int = 64)
+      : DataFrame = {
+    require(outlierPct >= 0 && outlierPct <= 100,
+      s"outlierPct must be in [0,100], got $outlierPct")
+    import org.apache.spark.sql.expressions.Window
+    val asg = kmeansInt8(df, idCol, vecCol, k, iters, dims)
+    val qv = int8Quantize(df, idCol, vecCol, dims)
+      .select(col("id"), col("qvec").cast("array<bigint>").as("__qd"),
+        col("qvec").cast("array<double>").as("__qdd"))
+    val joined = asg.join(qv, "id")
+    // final per-cluster integer means — k x dims longs, driver-sized
+    val means: Map[Int, Array[Long]] = joined
+      .select(col("cid"), posexplode(col("__qd")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        math.floor(r.getLong(2).toDouble / r.getLong(3) + 0.5).toLong)
+      .toMap
+      .groupBy(_._1._1)
+      .map { case (cid, ps) =>
+        cid -> Array.tabulate(dims)(p => ps((cid, p)))
+      }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = means.toSeq
+      .map { case (cid, c) =>
+        (cid, c.map(_.toDouble).toSeq, c.map(x => x * x).sum) }
+      .toDF("cid", "__cv", "__cn2")
+    // ||q - c||^2 = ||q||^2 + ||c||^2 - 2 q.c — every operand an
+    // integer-valued double < 2^53, so the long cast is exact.
+    val qn2 = graft.functions.VectorExprs.vectorDot(
+      col("__qdd"), col("__qdd"))
+    val dist = (qn2 + col("__cn2").cast("double") - lit(2.0d) *
+        graft.functions.VectorExprs.vectorDot(col("__qdd"), col("__cv")))
+      .cast("long")
+    val byClusterFar = Window.partitionBy(col("cid"))
+      .orderBy(col("dist").desc, col("id"))
+    joined.join(broadcast(cents), "cid")
+      .withColumn("dist", dist)
+      .withColumn("rk", row_number().over(byClusterFar))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("cid"))))
+      .select(col("id").as(idCol), col("cid"), col("dist"),
+        col("rk"), col("n"),
+        (col("rk") * 100 <= col("n") * outlierPct).as("is_outlier"))
+  }
 }

@@ -203,6 +203,83 @@ object StatsOps {
     val b = v2 / n2
     pow(a + b, 2) / (pow(a, 2) / (n1 - 1) + pow(b, 2) / (n2 - 1))
   }
+
+  /** HyperLogLog distinct-count sketch per key (Flajolet et al. 2007)
+    * over a 32-bit md5 hash: register index = top `p` hash bits,
+    * rank rho = position of the leftmost 1-bit in the remaining
+    * `32 - p` bits (rho = 33 - p when they are all zero). Complements
+    * the KMV sketch (q49): HLL registers are fixed-size (2^p bytes-ish
+    * per key vs k hashes), merge by element-wise max, and estimate
+    * via the harmonic mean alpha_m * m^2 / sum(2^-rho_j).
+    *
+    * Scale shape: one partial-aggregated shuffle to (key, register) —
+    * map-side combine collapses each partition to <= m rows per key
+    * before the exchange — then one bounded (<= m rows per key)
+    * aggregation to the register sum. Mergeable across corpora /
+    * streaming micro-batches by construction (max of registers).
+    *
+    * Cross-engine determinism: the register index/rank are integer
+    * bit ops on the md5 hash, and the harmonic sum is carried as the
+    * EXACT integer sum of 2^(rmax+1-rho) (every term a power of two,
+    * rmax+1 = 33-p bits max — the scaled sum fits well under 2^53), so
+    * `reg_sum_p` is engine-independent and `est_raw` is a single IEEE
+    * multiply+divide on identical operands. The bias corrections
+    * (linear counting below 2.5m, the 32-bit saturation above 2^32/30)
+    * go through ln — deterministic given identical inputs on one
+    * platform but not pinned cross-libm, so oracle queries should hash
+    * the raw columns and leave `est` to spec-level accuracy checks.
+    *
+    * Output: key, n_exact-free columns only — n_regs (non-zero
+    * registers), reg_sum_p (integer harmonic sum scaled by
+    * 2^(33-p)), est_raw, est (corrected). */
+  def hllDistinct(df: DataFrame, keyCol: String, valueCol: String,
+                  p: Int = 8, salt: String = "hll"): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val rbits = 32 - p                    // width of the rank window
+    val rmax = rbits + 1                  // rho when the window is 0
+    val alpha =
+      if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
+      else if (m == 64) 0.709
+      else if (m == 32) 0.697
+      else 0.673
+    // scaled-sum constant: each register contributes 2^(rmax - rho),
+    // an exact integer; a zero register contributes 2^rmax.
+    val full = 1L << rmax
+    val h = CurationOps.md5Hash32(
+      concat(lit(s"$salt:"), col(valueCol).cast("string")))
+    val w = pmod(h, lit(1L << rbits))
+    val regs = df
+      .select(col(keyCol).as("__k"),
+        shiftright(h, rbits).as("__j"),
+        when(w === 0, lit(rmax))
+          .otherwise(lit(rmax) - length(bin(w))).as("__rho"))
+      .groupBy(col("__k"), col("__j"))
+      .agg(max(col("__rho")).as("__r"))
+    val sums = regs
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr(s"CAST(shiftleft(1, $rmax - __r) AS BIGINT)"))
+          .as("__sp"))
+      .withColumn("reg_sum_p",
+        col("__sp") + (lit(m.toLong) - col("n_regs")) * lit(full))
+    // est_raw = alpha * m^2 / (reg_sum_p / 2^rmax)
+    //         = alpha * (m^2 * 2^rmax) / reg_sum_p
+    val scale = m.toDouble * m.toDouble * full.toDouble
+    val raw = lit(alpha) * lit(scale) / col("reg_sum_p").cast("double")
+    val zeros = lit(m.toLong) - col("n_regs")
+    val two32 = 4294967296.0
+    sums
+      .withColumn("est_raw", raw)
+      .withColumn("est",
+        when(col("est_raw") <= lit(2.5 * m) && zeros > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+        .when(col("est_raw") > lit(two32 / 30.0),
+          lit(-two32) * log(lit(1.0) - col("est_raw") / lit(two32)))
+        .otherwise(col("est_raw")))
+      .select(col("__k").as(keyCol), col("n_regs"), col("reg_sum_p"),
+        col("est_raw"), col("est"))
+  }
 }
 
 /** Pure-Scala special functions for the t-distribution CDF — needed for
@@ -305,4 +382,5 @@ object SpecialFns {
       case _         => 2.0 * (1.0 - studentTCdf(math.abs(t), df))
     }
   }
+
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -300,4 +300,71 @@ object TextOps {
              minPunctFrac: Double = 0.0): Column =
     nWords.between(minWords, maxWords) && !hasBadWord && !hasBrace &&
       !hasLorem && punctLineFrac >= minPunctFrac
+
+  /** Vocabulary coverage curve: for each percentage threshold, the
+    * smallest frequency-ranked vocabulary (ties broken toward fewer
+    * terms) whose token occurrences cover at least that share of the
+    * corpus — the standard tokenizer/vocab-sizing question ("how many
+    * types cover 95% of tokens").
+    *
+    * Scale shape: NO per-term global sort. Terms are aggregated once
+    * (term-keyed, partial-aggregated), then collapsed to the
+    * DISTINCT-FREQUENCY table (n, g_terms) — thousands of rows even
+    * on a billion-type vocabulary, since distinct counts grow ~n^0.5
+    * on Zipfian corpora — and the cumulative walk + threshold
+    * crossing run on that tiny table (its single-partition window is
+    * the prefixSum-offsets idiom). Within the crossing frequency
+    * group the answer is closed-form integer arithmetic: every term
+    * there contributes exactly n tokens, so the number of terms
+    * needed is ceil((target - cum_before) / n) — no intra-group
+    * ranking ever happens.
+    *
+    * Output (one row per threshold): pct (int), vocab_size,
+    * cum_tokens (coverage actually reached), total_tokens — all
+    * exact integers, engine-independent. */
+  def vocabCoverage(df: DataFrame, textCol: String,
+                    pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be in [1,100], got $pcts")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tf = df
+      .select(explode(tokens(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col("__t"))
+      .agg(count(lit(1)).as("n"))
+    val gc = tf.groupBy(col("n"))
+      .agg(count(lit(1)).as("g_terms"))
+      .withColumn("toks", col("n") * col("g_terms"))
+    val byFreq = Window.orderBy(col("n").desc)
+    // total rides the same tiny-table window as the walk (one
+    // single-partition exchange total; the corpus is scanned ONCE)
+    val walk = gc
+      .withColumn("cum_end",
+        sum(col("toks")).over(
+          byFreq.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_before", col("cum_end") - col("toks"))
+      .withColumn("terms_before",
+        coalesce(sum(col("g_terms")).over(
+          byFreq.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total",
+        sum(col("toks")).over(byFreq.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    val th = pcts.toDF("pct").select(col("pct").cast("int").as("pct"))
+    // target = ceil(total * pct / 100); the crossing group is the one
+    // whose cumulative range straddles it; j terms of frequency n
+    // close the gap.
+    walk.crossJoin(broadcast(th))
+      .filter(col("cum_end") * 100 >= col("total") * col("pct") &&
+        col("cum_before") * 100 < col("total") * col("pct"))
+      .withColumn("__target",
+        expr("(total * pct + 99) DIV 100"))
+      .withColumn("__j",
+        expr("(__target - cum_before + n - 1) DIV n"))
+      .select(col("pct"),
+        (col("terms_before") + col("__j")).as("vocab_size"),
+        (col("cum_before") + col("__j") * col("n")).as("cum_tokens"),
+        col("total").as("total_tokens"))
+  }
 }

@@ -1255,7 +1255,72 @@ object NorthStar {
       .ordered(col("band"))
   }
 
+  // q121 — HyperLogLog distinct users per event_type (p=8, 256
+  // registers): the fixed-size mergeable complement to the KMV sketch
+  // (q49). The oracle replays the integer register pipeline exactly —
+  // the hashed columns are the exact harmonic-sum integer and the
+  // raw estimate (one IEEE multiply+divide on identical operands);
+  // the ln-based bias corrections stay spec-covered (StatsOpsSpec
+  // accuracy floor), not oracle-hashed, per the libm-drift rule.
+  private val q121: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val sk = graft.operators.StatsOps.hllDistinct(
+      ev, "event_type", "user_id", p = 8, salt = "hll")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(sk, "event_type")
+      .select(col("event_type"), col("n_exact"), col("n_regs"),
+        col("reg_sum_p"), e6(col("est_raw")).as("est_raw_e6"))
+      .ordered(col("event_type"))
+  }
+
+  // q122 — vocabulary coverage curve: smallest frequency-ranked vocab
+  // covering 50/90/95/99% of corpus tokens. The tokenizer-sizing
+  // query. No per-term sort anywhere: the walk runs on the
+  // distinct-frequency table and the crossing group closes in integer
+  // arithmetic (see TextOps.vocabCoverage).
+  private val q122: Q = (s, dir) => {
+    TextOps.vocabCoverage(t(s, dir, "documents"), "text",
+        Seq(50, 90, 95, 99))
+      .ordered(col("pct"))
+  }
+
+  // q123 — boilerplate / template 2-grams by within-source document
+  // frequency (CCNet line dedup generalized to grams): a gram present
+  // in >= 20% of its source's docs is template material; per-doc
+  // boilerplate counts + template flag.
+  private val q123: Q = (s, dir) => {
+    CurationOps.boilerplateGrams(t(s, dir, "documents"), "doc_id",
+        "text", "source", n = 2, pctThreshold = 20)
+      .ordered(col("doc_id"))
+  }
+
+  // q124 — per-doc 2-gram novelty under ingestion (id) order: the
+  // share of a doc's distinct grams that first appear in it —
+  // ordering-aware dedup triage (complement of q77's coverage).
+  private val q124: Q = (s, dir) => {
+    DedupOps.ngramNovelty(t(s, dir, "documents"), "doc_id", "text",
+        n = 2)
+      .ordered(col("doc_id"))
+  }
+
+  // q125 — cluster prototypicality / data-pruning scores (SSL
+  // prototypes): exact integer distance to the own-cluster mean of
+  // the q67 k-means, farthest-first rank within cluster, top-10%
+  // outlier flag. The oracle replays the k-means CTE chain plus the
+  // same re-centering.
+  private val q125: Q = (s, dir) => {
+    SimilarityOps.clusterPrototypicality(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 3, outlierPct = 10)
+      .ordered(col("vec_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q125_prototypicality" -> q125,
+    "q124_ngram_novelty" -> q124,
+    "q123_boilerplate_grams" -> q123,
+    "q122_vocab_coverage" -> q122,
+    "q121_hll_distinct" -> q121,
     "q120_lsh_collision_stats" -> q120,
     "q119_knn_graph" -> q119,
     "q118_quality_score" -> q118,
@@ -3360,6 +3425,150 @@ object NorthStar {
        |FROM m GROUP BY band ORDER BY band""".stripMargin
   }
 
+  /** q121 oracle: the HLL register pipeline in integer arithmetic —
+    * register = top 8 bits of the 32-bit md5 hash, rho via the
+    * minimal-binary length both engines share (`bin`), harmonic sum
+    * carried as the exact integer sum of 2^(25-rho). The raw estimate
+    * is alpha*m^2*2^25/reg_sum_p — one IEEE multiply+divide on
+    * identical operands, so the e6 pin is engine-independent. */
+  private val q121Sql: String = {
+    val alpha = "0.7213 / (1.0 + 1.079 / 256.0)"
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |         ${sqlHex32("md5('hll:' || user_id::VARCHAR)")} AS h
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, h // 16777216 AS j,
+       |         CASE WHEN h % 16777216 = 0 THEN 25
+       |              ELSE 25 - len(bin(h % 16777216)) END AS rho
+       |  FROM h),
+       |m AS (SELECT event_type, j, MAX(rho) AS r FROM r GROUP BY 1, 2),
+       |s AS (SELECT event_type, COUNT(*) AS n_regs,
+       |             CAST(SUM((1::BIGINT) << (25 - r)) AS BIGINT) AS sp
+       |      FROM m GROUP BY 1),
+       |x AS (SELECT event_type, n_regs,
+       |             sp + (256 - n_regs) * 33554432 AS reg_sum_p
+       |      FROM s),
+       |c AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+       |      FROM events GROUP BY 1)
+       |SELECT c.event_type, c.n_exact, x.n_regs, x.reg_sum_p,
+       |       ${sqlE6(s"($alpha) * 2199023255552.0 / CAST(x.reg_sum_p AS DOUBLE)")} AS est_raw_e6
+       |FROM c JOIN x USING (event_type)
+       |ORDER BY c.event_type""".stripMargin
+  }
+
+  /** q122 oracle: term frequencies collapse to the distinct-frequency
+    * table; the threshold crossing closes in integer arithmetic inside
+    * the crossing group (j = ceil((target - cum_before)/n)) — the
+    * exact construction of TextOps.vocabCoverage. */
+  private val q122Sql: String =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+      |  FROM documents),
+      |tf AS (SELECT t, COUNT(*) AS n FROM tok WHERE t <> '' GROUP BY t),
+      |gc AS (SELECT n, COUNT(*) AS g_terms, n * COUNT(*) AS toks
+      |       FROM tf GROUP BY n),
+      |w AS (
+      |  SELECT n, g_terms, toks,
+      |         CAST(SUM(toks) OVER (ORDER BY n DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS BIGINT) AS cum_end,
+      |         CAST(COALESCE(SUM(g_terms) OVER (ORDER BY n DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS BIGINT) AS terms_before
+      |  FROM gc),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM tf),
+      |th AS (SELECT unnest([50, 90, 95, 99]) AS pct),
+      |pick AS (
+      |  SELECT th.pct, w.n, w.cum_end - w.toks AS cum_before,
+      |         w.terms_before, tot.total
+      |  FROM th, w, tot
+      |  WHERE w.cum_end * 100 >= tot.total * th.pct
+      |    AND (w.cum_end - w.toks) * 100 < tot.total * th.pct),
+      |calc AS (
+      |  SELECT pct, total,
+      |         ((total * pct + 99) // 100 - cum_before + n - 1) // n AS j,
+      |         cum_before, terms_before, n
+      |  FROM pick)
+      |SELECT pct, terms_before + j AS vocab_size,
+      |       cum_before + j * n AS cum_tokens, total AS total_tokens
+      |FROM calc ORDER BY pct""".stripMargin
+
+  /** Shared gram-table CTE prefix for q123/q124: distinct 2-grams per
+    * document under the corpus tokenizer (the q56 segmentation). */
+  private val gram2Ctes: String =
+    """d AS (
+      |  SELECT doc_id, source,
+      |         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, source,
+      |         CASE WHEN len(toks) >= 2
+      |              THEN list_distinct(list_transform(range(1, len(toks)),
+      |                     i -> array_to_string(toks[i:i+1], ' ')))
+      |              ELSE [] END AS grams
+      |  FROM d),
+      |g AS (SELECT doc_id, source, unnest(grams) AS gram FROM sh)""".stripMargin
+
+  /** q123 oracle: within-source gram document frequency against the
+    * per-source doc count; >= 20% flags boilerplate. */
+  private val q123Sql: String =
+    s"""WITH $gram2Ctes,
+       |sn AS (SELECT source, COUNT(*) AS nd FROM documents GROUP BY source),
+       |b AS (SELECT source, gram, COUNT(*) AS dfreq FROM g
+       |      GROUP BY source, gram),
+       |bo AS (SELECT b.source, b.gram FROM b JOIN sn USING (source)
+       |       WHERE b.dfreq * 100 >= sn.nd * 20),
+       |base AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+       |nb AS (SELECT g.doc_id, COUNT(*) AS n_boiler
+       |       FROM g JOIN bo ON g.source = bo.source AND g.gram = bo.gram
+       |       GROUP BY g.doc_id)
+       |SELECT base.doc_id, base.n_grams,
+       |       COALESCE(nb.n_boiler, 0) AS n_boiler,
+       |       (COALESCE(nb.n_boiler, 0) * 100 >= base.n_grams * 50)
+       |         AS is_template
+       |FROM base LEFT JOIN nb USING (doc_id)
+       |ORDER BY base.doc_id""".stripMargin
+
+  /** q124 oracle: first-occurrence doc per gram (min doc_id), then the
+    * per-doc novel-gram count. */
+  private val q124Sql: String =
+    s"""WITH $gram2Ctes,
+       |f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
+       |p AS (
+       |  SELECT g.doc_id, COUNT(*) AS n_grams,
+       |         CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_novel
+       |  FROM g JOIN f USING (gram) GROUP BY g.doc_id)
+       |SELECT doc_id, n_grams, n_novel FROM p ORDER BY doc_id""".stripMargin
+
+  /** q125 oracle: the q67 k-means CTE chain, re-centered on each final
+    * cluster's integer mean, exact integer squared distance, farthest-
+    * first rank within cluster, top-10% outlier flag. */
+  private val q125Sql: String =
+    s"""WITH $kmeansAfCtes,
+       |cm AS (
+       |  SELECT a.cid, q.pos,
+       |         CAST(FLOOR(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*) + 0.5)
+       |              AS BIGINT) AS val
+       |  FROM af a JOIN qup q USING (vec_id)
+       |  GROUP BY a.cid, q.pos),
+       |dd AS (
+       |  SELECT a.vec_id, a.cid,
+       |         CAST(SUM((q.qv - m.val) * (q.qv - m.val)) AS BIGINT) AS dist
+       |  FROM af a JOIN qup q USING (vec_id)
+       |       JOIN cm m ON m.cid = a.cid AND m.pos = q.pos
+       |  GROUP BY a.vec_id, a.cid),
+       |rk AS (
+       |  SELECT vec_id, cid, dist,
+       |         ROW_NUMBER() OVER (PARTITION BY cid
+       |             ORDER BY dist DESC, vec_id) AS rk,
+       |         COUNT(*) OVER (PARTITION BY cid) AS n
+       |  FROM dd)
+       |SELECT vec_id, cid, dist, rk, n,
+       |       (rk * 100 <= n * 10) AS is_outlier
+       |FROM rk ORDER BY vec_id""".stripMargin
+
   /** q115 oracle: the q25 pair derivation feeding 3 unrolled PageRank
     * iterations — update arithmetic mirrors GraphOps.pageRank exactly
     * ((1.0 - 0.85)/n + 0.85 * COALESCE(SUM(pr/deg), 0.0)). */
@@ -3501,6 +3710,11 @@ object NorthStar {
   }
 
   val oracle: Map[String, String] = Map(
+    "q125_prototypicality" -> q125Sql,
+    "q124_ngram_novelty" -> q124Sql,
+    "q123_boilerplate_grams" -> q123Sql,
+    "q122_vocab_coverage" -> q122Sql,
+    "q121_hll_distinct" -> q121Sql,
     "q120_lsh_collision_stats" -> q120Sql,
     "q119_knn_graph" -> q119Sql,
     "q118_quality_score" -> q118Sql,

@@ -1161,4 +1161,104 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
       assert(pcVar >= v - 1e-9, s"axis $i variance $v exceeds pc1 $pcVar")
     }
   }
+
+  test("hll distinct: accurate at 10k, duplicate-insensitive, " +
+      "linear counting near-exact at small cardinality") {
+    import graft.operators.StatsOps
+    val df = spark.range(10000).select(lit("k").as("k"), col("id"))
+    val r = StatsOps.hllDistinct(df, "k", "id", p = 8).collect().head
+    val est = r.getAs[Double]("est")
+    // sigma = 1.04/sqrt(256) = 6.5%; 10k is far above the 2.5m
+    // correction boundary, so est = est_raw here
+    assert(math.abs(est - 10000) < 2000, s"est $est too far from 10000")
+    // registers are a max-sketch: triplicating every value changes
+    // nothing (this is what makes it mergeable across corpora)
+    val r3 = StatsOps.hllDistinct(df.union(df).union(df), "k", "id",
+      p = 8).collect().head
+    assert(r3.getAs[Long]("reg_sum_p") == r.getAs[Long]("reg_sum_p"))
+    assert(r3.getAs[Long]("n_regs") == r.getAs[Long]("n_regs"))
+    // small cardinality: the linear-counting branch is near-exact
+    val sm = spark.range(50).select(lit("k").as("k"), col("id"))
+    val rs = StatsOps.hllDistinct(sm, "k", "id", p = 8).collect().head
+    assert(math.abs(rs.getAs[Double]("est") - 50) <= 5,
+      s"linear counting gave ${rs.getAs[Double]("est")} for 50")
+  }
+
+  test("vocab coverage: hand-traced thresholds including a frequency " +
+      "tie crossing") {
+    import spark.implicits._
+    // term freqs: a:4, b:4, c:2 -> total 10; the 50% and 80% targets
+    // both land inside the tied freq-4 group
+    val df = Seq((1L, "a a a a b b"), (2L, "b b c c"))
+      .toDF("doc_id", "text")
+    val got = TextOps.vocabCoverage(df, "text", Seq(50, 80, 100))
+      .collect()
+      .map(r => r.getAs[Int]("pct") ->
+        ((r.getAs[Long]("vocab_size"), r.getAs[Long]("cum_tokens"),
+          r.getAs[Long]("total_tokens"))))
+      .toMap
+    assert(got(50) == ((2L, 8L, 10L)))  // target 5: one freq-4 term
+                                        // is not enough, two cover 8
+    assert(got(80) == ((2L, 8L, 10L)))  // target 8: exactly two terms
+    assert(got(100) == ((3L, 10L, 10L)))
+  }
+
+  test("boilerplate grams: within-source DF threshold flags template " +
+      "material only") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "buy now alpha beta", "s1"),
+      (2L, "buy now gamma delta", "s1"),
+      (3L, "buy now epsilon zeta", "s1"),
+      (4L, "unique words only here", "s1"),
+      (5L, "buy now", "s2")).toDF("doc_id", "text", "source")
+    val got = graft.operators.CurationOps
+      .boilerplateGrams(df, "doc_id", "text", "source",
+        n = 2, pctThreshold = 60)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_boiler"),
+          r.getAs[Boolean]("is_template"))))
+      .toMap
+    // "buy now" hits 3/4 = 75% of s1 and 1/1 of s2; no other gram
+    // recurs across docs
+    assert(got(1L) == ((3L, 1L, false)))
+    assert(got(4L) == ((3L, 0L, false)))
+    assert(got(5L) == ((1L, 1L, true)))
+  }
+
+  test("ngram novelty: first occurrence wins by id order") {
+    import spark.implicits._
+    // doc 1 "a b c": both grams first here; doc 2 "a b d": "a b"
+    // already seen, "b d" novel — input order deliberately reversed
+    val df = Seq((2L, "a b d"), (1L, "a b c")).toDF("doc_id", "text")
+    val got = DedupOps.ngramNovelty(df, "doc_id", "text", n = 2)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"))))
+      .toMap
+    assert(got(1L) == ((2L, 2L)))
+    assert(got(2L) == ((2L, 1L)))
+  }
+
+  test("cluster prototypicality: per-cluster ranks are a permutation, " +
+      "distances sort, and the outlier budget is exact") {
+    val rows = SimilarityOps.clusterPrototypicality(emb, "vec_id",
+      "embedding", k = 8, iters = 3, outlierPct = 10).collect()
+    assert(rows.length == emb.count())
+    rows.groupBy(_.getAs[Int]("cid")).foreach { case (cid, rs) =>
+      val n = rs.head.getAs[Long]("n")
+      assert(rs.length.toLong == n, s"cluster $cid count mismatch")
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to rs.length),
+        s"cluster $cid ranks are not a permutation")
+      val byRank = rs.sortBy(_.getAs[Int]("rk"))
+      val dists = byRank.map(_.getAs[Long]("dist"))
+      assert(dists.forall(_ >= 0L))
+      assert(dists.zip(dists.tail).forall { case (a, b) => a >= b },
+        s"cluster $cid rank order disagrees with distance order")
+      // rk*100 <= n*10  <=>  rk <= floor(n/10): exactly n/10 outliers
+      assert(rs.count(_.getAs[Boolean]("is_outlier")).toLong == n / 10,
+        s"cluster $cid outlier budget wrong")
+    }
+  }
 }

@@ -368,4 +368,61 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"bad stage plan:\n$p")
   }
+
+  test("hll sketch: two partial-aggregated stages, no window, no " +
+      "single-partition funnel") {
+    val ev = Tables.load(spark, dir, "events")
+    val p = plan(graft.operators.StatsOps.hllDistinct(
+      ev, "event_type", "user_id"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final register aggregation:\n$p")
+    assert(!p.contains("Window") && !p.contains("Exchange SinglePartition"),
+      s"sketch must stay keyed end-to-end:\n$p")
+  }
+
+  test("vocab coverage: the only single-partition work is the " +
+      "distinct-frequency table; terms are never globally sorted") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = plan(graft.operators.TextOps.vocabCoverage(
+      docs, "text", Seq(95)))
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1,
+      s"per-term global sort detected:\n$p")
+    assert(!p.contains("CartesianProduct"), s"bad join shape:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final term-frequency aggregation:\n$p")
+  }
+
+  test("boilerplate grams: per-group doc counts broadcast; gram work " +
+      "stays equi-join shaped") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = plan(graft.operators.CurationOps.boilerplateGrams(
+      docs, "doc_id", "text", "source"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source doc counts should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"bad join shape:\n$p")
+  }
+
+  test("ngram novelty: inverted-index shape — gram-keyed partial " +
+      "aggs, no cartesian") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = plan(graft.operators.DedupOps.ngramNovelty(
+      docs, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"bad join shape:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final gram aggregation:\n$p")
+  }
+
+  test("prototypicality: centroids broadcast; the only window is " +
+      "partitioned by cluster") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val p = plan(SimilarityOps.clusterPrototypicality(
+      emb, "vec_id", "embedding", k = 8, iters = 3))
+    assert(p.contains("BroadcastHashJoin"),
+      s"k x dims centroid table should broadcast:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global funnel detected:\n$p")
+    assert(!p.contains("CartesianProduct"), s"bad join shape:\n$p")
+  }
 }
