@@ -1092,8 +1092,82 @@ object CurationOps {
           c.cast("double").as(s"x$i") }: _*)
       .localCheckpoint(false) // scanned once per iteration + once scoring
     val w = gdWeights(data, d, iters, lr)
-    data.select(col("id"),
+    data.select(col("id"), col("y"),
       (lit(1.0) / (lit(1.0) + exp(-zOf(w, d)))).as("score"))
+  }
+
+  /** Per-group quality-greedy token-budget fill — downsampling a hot
+    * domain to a token quota while keeping its BEST documents (the
+    * complement of [[tokenBudgetMix]]'s hash-uniform fill): documents
+    * rank within their group by (quality desc, id), and a document is
+    * kept iff the tokens of strictly better documents haven't already
+    * consumed the budget (the packSequences greedy — the boundary doc
+    * may straddle the quota). Integer cumulative sums; deterministic
+    * whenever the quality doubles are (libm-free signals like
+    * qualityScoreRaw qualify).
+    *
+    * Scale shape: one window per group (rank + running sum share the
+    * same spec, one Exchange + one Sort keyed by group). Groups are
+    * domains/sources — if a single group outgrows a task, pre-split
+    * with the [[globalRank]] value-bucket two-pass per group. Appends
+    * q_rank, cum_before, kept. */
+  def qualityBudgetFill(df: DataFrame, groupCol: String, idCol: String,
+                        tokenCol: String, qualityCol: String,
+                        budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    df.withColumn("q_rank", row_number().over(w))
+      .withColumn("cum_before",
+        coalesce(sum(col(tokenCol)).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("kept", col("cum_before") < lit(budgetTokens))
+  }
+
+  /** PMI-lift collocations (word2vec-style phrase mining, Mikolov et
+    * al. 2013): the top-K token bigrams by association lift
+    * N_uni^2 * c(ab) / (c(a) * c(b) * N_big) — the exp of PMI, which
+    * ranks identically to PMI itself but never calls ln: every factor
+    * is an exact integer, the chained divisions are IEEE ops on exact
+    * operands, so the lift doubles (and therefore the ranking and the
+    * e6 pin) are engine-independent. `minCount` suppresses the
+    * rare-pair lift explosion (the standard PMI failure mode).
+    *
+    * Scale shape: one bigram-keyed and one unigram-keyed partial-
+    * aggregated count, two broadcast joins of the vocabulary-sized
+    * unigram table onto the bigram table keyed by each side, scalar
+    * totals broadcast, and a TakeOrdered top-K — no global sort. */
+  def collocations(df: DataFrame, textCol: String, minCount: Int,
+                   topK: Int): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val base = df.select(toks.as("__t"))
+    val uni = base.select(explode(col("__t")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val big = base
+      .select(explode(TextOps.shinglesFromTokens(col("__t"), 2))
+        .as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .withColumn("__a", split(col("gram"), " ").getItem(0))
+      .withColumn("__b", split(col("gram"), " ").getItem(1))
+    val nUni = uni.agg(sum(col("cw")).as("n_uni"))
+    val nBig = base
+      .select((greatest(size(col("__t")) - 1, lit(0))).as("nb"))
+      .agg(sum(col("nb")).as("n_big"))
+    val ua = uni.select(col("w").as("__a"), col("cw").as("c_a"))
+    val ub = uni.select(col("w").as("__b"), col("cw").as("c_b"))
+    big.join(broadcast(ua), "__a").join(broadcast(ub), "__b")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBig))
+      .withColumn("lift",
+        col("c_ab").cast("double") * col("n_uni").cast("double") *
+          col("n_uni").cast("double") / col("c_a").cast("double") /
+          col("c_b").cast("double") / col("n_big").cast("double"))
+      .orderBy(col("lift").desc, col("gram"))
+      .limit(topK)
+      .select(col("gram"), col("c_ab"), col("c_a"), col("c_b"),
+        col("lift"))
   }
 
   /** Zipf rank–frequency fit — the standard corpus-health diagnostic
@@ -1262,6 +1336,50 @@ object CurationOps {
         concat(acc.substr(lit(1), length(acc) - lit(aCp + 1)),
           lit(" " + a + b)))
       .otherwise(concat(acc, lit(" "), x)))
+  }
+
+  /** Exact global rank (1-based, total order by (value, id)) WITHOUT
+    * a global sort — the building block for rank-normalized quality
+    * ensembling (blend signals by rank instead of raw scale, the
+    * FineWeb-style multi-signal filter). The winsorize bucketing: the
+    * global value range splits into `nBuckets` order-aligned buckets
+    * (two driver scalars), per-bucket counts roll into exclusive
+    * offsets over a <= nBuckets-row window, and row_number runs
+    * partitioned per bucket — per-task work is ~1/nBuckets of the
+    * table, never the whole column through one task. Ranks are exact
+    * integers, engine-independent whenever the value doubles are
+    * (IEEE-deterministic arithmetic, no libm — e.g. qualityScoreRaw).
+    * Rows with NULL values are dropped (no rank). Appends `outCol`. */
+  def globalRank(df: DataFrame, valueCol: String, idCol: String,
+                 outCol: String = "rank", nBuckets: Int = 256)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(valueCol).isNotNull)
+      .withColumn("__grv", col(valueCol).cast("double"))
+    val gRow = base.agg(min(col("__grv")), max(col("__grv"))).head()
+    if (gRow.isNullAt(0))
+      return base.withColumn(outCol, lit(null).cast("long"))
+        .drop("__grv")
+    val (lo, hi) = (gRow.getDouble(0), gRow.getDouble(1))
+    val bucketed =
+      if (hi == lo) base.withColumn("__grb", lit(0))
+      else base.withColumn("__grb",
+        least(lit(nBuckets - 1),
+          floor((col("__grv") - lit(lo)) * nBuckets / lit(hi - lo))
+            .cast("int")))
+    val offsets = bucketed.groupBy(col("__grb"))
+      .agg(count(lit(1)).as("__grc"))
+      .withColumn("__gro",
+        coalesce(sum(col("__grc")).over(
+          Window.orderBy(col("__grb"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__grb"), col("__gro"))
+    bucketed.join(broadcast(offsets), "__grb")
+      .withColumn(outCol,
+        col("__gro") + row_number().over(
+          Window.partitionBy(col("__grb"))
+            .orderBy(col("__grv"), col(idCol))))
+      .drop("__grv", "__grb", "__gro")
   }
 
   /** Boilerplate / template detection by within-group document

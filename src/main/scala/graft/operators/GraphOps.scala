@@ -195,4 +195,59 @@ object GraphOps {
     ScaleOps.writeBucketed(e, table, "a", buckets)
     triangleCore(spark.table(table))
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) over a directed edge
+    * list, in the UNNORMALIZED integer form: h_0 = 1 for every node,
+    * then per round a = A^T h (authority = sum of in-neighbor hub
+    * scores) and h = A a using the fresh authorities. Without the
+    * usual L2 normalization every round is a pure integer sum —
+    * associative, so the scores are EXACTLY engine-independent (the
+    * ranking they induce is identical to normalized HITS, which only
+    * rescales). Integer growth is ~(max degree)^(2*iters) per round
+    * pair: at the default 2 iterations a degree-1e4 hub graph peaks
+    * ~1e16 < 2^63; for deeper runs or hotter hubs switch to doubles
+    * and oracle at e6 like [[pageRank]].
+    *
+    * Edge contract: MULTIGRAPH, like [[pageRank]] — duplicate edges
+    * double their contribution; callers wanting simple-graph
+    * semantics must `.distinct()` first, and oracles must match.
+    * Per round: two edge-keyed partial-aggregated shuffles (the
+    * sparse mat-vec shape). Returns (node, hub, auth) after `iters`
+    * rounds; nodes with no in-edges have auth 0, no out-edges hub 0.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters must be in [1,8]: $iters")
+    // persist the edge list once — the upstream derivation (often an
+    // expensive similarity-pair job) must not recompute 2x per round
+    val eRdd = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).rdd.persist(StorageLevel.DISK_ONLY)
+    val e = edges.sparkSession.createDataFrame(eRdd,
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")).schema)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var h = nodes.withColumn("hub", lit(1L))
+    var a: DataFrame = null
+    var prev: Option[RDD[Row]] = None
+    for (_ <- 1 to iters) {
+      val auth = e.join(h, col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("s"))
+      a = nodes.join(auth, col("node") === col("dst"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("auth"))
+      val hub = e.join(a.withColumnRenamed("node", "dn"),
+          col("dst") === col("dn"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("s"))
+      val next = nodes.join(a, "node")
+        .join(hub, col("node") === col("src"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("hub"),
+          col("auth"))
+      val (nm, rdd) = materializeRound(next, prev)
+      h = nm.select(col("node"), col("hub"))
+      a = nm.select(col("node"), col("auth"))
+      prev = Some(rdd)
+    }
+    eRdd.unpersist(false)
+    h.join(a, "node").select(col("node"), col("hub"), col("auth"))
+  }
 }

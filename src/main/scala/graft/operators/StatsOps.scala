@@ -231,13 +231,194 @@ object StatsOps {
     *
     * Output: key, n_exact-free columns only — n_regs (non-zero
     * registers), reg_sum_p (integer harmonic sum scaled by
-    * 2^(33-p)), est_raw, est (corrected). */
+    * 2^(33-p)), est_raw, est (corrected).
+    *
+    * Composition: [[hllRegisters]] (the mergeable state) →
+    * [[hllMergeRegisters]] (fold corpora / micro-batches) →
+    * [[hllEstimate]]. This function is the one-shot pipeline. */
   def hllDistinct(df: DataFrame, keyCol: String, valueCol: String,
-                  p: Int = 8, salt: String = "hll"): DataFrame = {
+                  p: Int = 8, salt: String = "hll"): DataFrame =
+    hllEstimate(hllRegisters(df, keyCol, valueCol, p, salt), keyCol, p)
+
+  /** The HLL register table for a batch of rows: (key, register j,
+    * max rank r) — the MERGEABLE sketch state. Persist this (a few
+    * hundred rows per key) and fold new corpora / streaming
+    * micro-batches in with [[hllMergeRegisters]]; old data is never
+    * rescanned — the incremental-maintenance contract of
+    * [[graft.sources.IvfVectorStore]], at sketch size. */
+  def hllRegisters(df: DataFrame, keyCol: String, valueCol: String,
+                   p: Int = 8, salt: String = "hll"): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
-    val m = 1 << p
     val rbits = 32 - p                    // width of the rank window
     val rmax = rbits + 1                  // rho when the window is 0
+    val h = CurationOps.md5Hash32(
+      concat(lit(s"$salt:"), col(valueCol).cast("string")))
+    val w = pmod(h, lit(1L << rbits))
+    df.select(col(keyCol).as("__k"),
+        shiftright(h, rbits).as("__j"),
+        when(w === 0, lit(rmax))
+          .otherwise(lit(rmax) - length(bin(w))).as("__rho"))
+      .groupBy(col("__k"), col("__j"))
+      .agg(max(col("__rho")).as("__r"))
+  }
+
+  /** Element-wise max of register tables — HLL union. Both inputs
+    * must come from [[hllRegisters]] with the same p and salt. */
+  def hllMergeRegisters(a: DataFrame, b: DataFrame): DataFrame =
+    a.union(b).groupBy(col("__k"), col("__j"))
+      .agg(max(col("__r")).as("__r"))
+
+  /** Pairwise set-OVERLAP estimation across keys by inclusion-
+    * exclusion on HLL sketches: |A ∩ B| ≈ est(A) + est(B) -
+    * est(A ∪ B), where the union sketch is the element-wise register
+    * max — the join-cardinality / audience-overlap planning query,
+    * answered from KEY-SIZED sketch state without ever joining the
+    * raw sets. Produces every unordered key pair (key_a < key_b by
+    * string order); nKeys is expected to be dimension-sized (the
+    * pair expansion is nKeys^2 register-table rows, not data rows).
+    *
+    * Determinism: raw estimates only (single IEEE ops on exact
+    * integer register sums — see [[hllDistinct]]); the subtraction
+    * chain est_a + est_b - est_ab is IEEE-deterministic on identical
+    * operands, so oracle queries can hash its e6. Standard-error
+    * caveat: inclusion-exclusion differences inherit ~1.04/sqrt(m)
+    * error of each term — small overlaps of large sets drown in
+    * sketch noise (can go negative); clamp at 0 like any HLL
+    * intersection. Output: key_a, key_b, reg_sum_a/b/ab (exact
+    * integers), inter_raw (clamped raw-estimate difference). */
+  def hllIntersect(regs: DataFrame, keyCol: String, p: Int = 8)
+      : DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val ra = regs.select(col("__k").as("__ka"), col("__j"),
+      col("__r").as("__rha"))
+    val rb = regs.select(col("__k").as("__kb"), col("__j"),
+      col("__r").as("__rhb"))
+    // full outer per (pair, j): a register may be live in only one
+    // side; the union takes the max of present sides
+    val joined = ra.join(rb, Seq("__j"))
+      .filter(col("__ka") < col("__kb"))
+    val m = 1 << p
+    val rmax = 32 - p + 1
+    val full = 1L << rmax
+    val alpha =
+      if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
+      else if (m == 64) 0.709
+      else if (m == 32) 0.697
+      else 0.673
+    // NOTE this equi-join keeps only registers live on BOTH sides;
+    // one-sided registers are folded in via the per-side sums below.
+    val both = joined.groupBy(col("__ka"), col("__kb"))
+      .agg(
+        sum(expr(s"CAST(shiftleft(1, $rmax - greatest(__rha, __rhb)) AS BIGINT)"))
+          .as("__spab"),
+        sum(expr(s"CAST(shiftleft(1, $rmax - __rha) AS BIGINT)"))
+          .as("__spa_b"),
+        sum(expr(s"CAST(shiftleft(1, $rmax - __rhb) AS BIGINT)"))
+          .as("__spb_b"),
+        count(lit(1)).as("__nb"))
+    // per-key totals over ALL live registers (broadcast-sized)
+    val tot = regs.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"),
+        sum(expr(s"CAST(shiftleft(1, $rmax - __r) AS BIGINT)"))
+          .as("__sp"))
+    val ta = tot.select(col("__k").as("__ka"), col("__n").as("__na"),
+      col("__sp").as("__spa"))
+    val tb = tot.select(col("__k").as("__kb"), col("__n").as("__nb2"),
+      col("__sp").as("__spb"))
+    // union sketch sum = both-live max terms + one-sided terms +
+    // 2^rmax per register live on neither side
+    val out = both.join(broadcast(ta), "__ka").join(broadcast(tb), "__kb")
+      .withColumn("reg_sum_a",
+        col("__spa") + (lit(m.toLong) - col("__na")) * lit(full))
+      .withColumn("reg_sum_b",
+        col("__spb") + (lit(m.toLong) - col("__nb2")) * lit(full))
+      .withColumn("reg_sum_ab",
+        col("__spab") +
+          (col("__spa") - col("__spa_b")) +   // live only in a
+          (col("__spb") - col("__spb_b")) +   // live only in b
+          (lit(m.toLong) - col("__na") - col("__nb2") + col("__nb")) *
+            lit(full))                        // live in neither
+    val scale = m.toDouble * m.toDouble * full.toDouble
+    def raw(c: Column): Column = lit(alpha) * lit(scale) / c.cast("double")
+    out.select(col("__ka").as("key_a"), col("__kb").as("key_b"),
+      col("reg_sum_a"), col("reg_sum_b"), col("reg_sum_ab"),
+      greatest(lit(0.0),
+        raw(col("reg_sum_a")) + raw(col("reg_sum_b")) -
+          raw(col("reg_sum_ab"))).as("inter_raw"))
+  }
+
+  /** Binned two-sample Kolmogorov–Smirnov drift statistic, each key
+    * vs the REST of the data (leave-one-out): the distribution-shift
+    * screen between corpus slices (per-source length distributions,
+    * per-snapshot quality drift) that [[graft.operators.CurationOps]]'
+    * KL divergence (q87) complements — KS is the sup-norm CDF gap, so
+    * it catches location/shape shifts that bucket-frequency KL
+    * smoothes over.
+    *
+    * Exactness: values bin by INTEGER width ((hi-lo) div bins + 1 —
+    * two driver scalars), CDFs are exact integer counts, and the gap
+    * compares by cross-multiplication — ks_num = max_b
+    * |C_key(b) * n_rest - C_rest(b) * n_key| — so every output column
+    * except the final convenience ratio is an exact integer, and the
+    * ratio is one IEEE division on exact operands. `ks_e6` =
+    * round(1e6 * ks_num / (n_key * n_rest)) — the classical binned
+    * D statistic in micro-units.
+    *
+    * Scale shape: one (key, bin)-keyed partial-aggregated count, a
+    * broadcast (keys x bins) dense grid (dimension-sized), per-key
+    * cumulative windows over <= bins rows. The raw table is scanned
+    * once. Requires a non-null integer-ish value column. */
+  def ksDrift(df: DataFrame, keyCol: String, valueCol: String,
+              bins: Int = 32): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(valueCol).cast("long").as("__v"))
+    val gRow = vals.agg(min(col("__v")), max(col("__v"))).head()
+    if (gRow.isNullAt(0)) return vals.limit(0)
+      .select(col("__k").as(keyCol), lit(0L).as("n_key"),
+        lit(0L).as("n_rest"), lit(0L).as("ks_num"), lit(0.0).as("ks"))
+    val lo = gRow.getLong(0)
+    val width = math.max((gRow.getLong(1) - lo) / bins + 1, 1L)
+    val perKB = vals
+      .withColumn("__b", expr(s"(__v - ${lo}L) DIV ${width}L"))
+      .groupBy(col("__k"), col("__b")).agg(count(lit(1)).as("__c"))
+    // dense (key x live-bin) grid so a key missing a bin still sees
+    // the rest-CDF move there — both sides are dimension-sized
+    val keys = perKB.select(col("__k")).distinct()
+    val binTot = perKB.groupBy(col("__b")).agg(sum(col("__c")).as("__tc"))
+    val grid = keys.crossJoin(broadcast(binTot))
+      .join(perKB, Seq("__k", "__b"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+    val byBin = Window.partitionBy(col("__k")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val whole = Window.partitionBy(col("__k"))
+    val cum = grid
+      .withColumn("__ck", sum(col("__c")).over(byBin))
+      .withColumn("__ct", sum(col("__tc")).over(byBin))
+      .withColumn("__nk", sum(col("__c")).over(whole))
+      .withColumn("__nt", sum(col("__tc")).over(whole))
+    cum
+      .withColumn("__gap",
+        abs(col("__ck") * (col("__nt") - col("__nk")) -
+          (col("__ct") - col("__ck")) * col("__nk")))
+      .groupBy(col("__k"))
+      .agg(max(col("__nk")).as("n_key"),
+        (max(col("__nt")) - max(col("__nk"))).as("n_rest"),
+        max(col("__gap")).as("ks_num"))
+      .select(col("__k").as(keyCol), col("n_key"), col("n_rest"),
+        col("ks_num"),
+        (col("ks_num").cast("double") /
+          (col("n_key") * col("n_rest")).cast("double")).as("ks"))
+  }
+
+  /** Estimate from a register table (see [[hllDistinct]] for the
+    * determinism contract of each output column). */
+  def hllEstimate(regs: DataFrame, keyCol: String, p: Int = 8)
+      : DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val rmax = 32 - p + 1
     val alpha =
       if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
       else if (m == 64) 0.709
@@ -246,16 +427,6 @@ object StatsOps {
     // scaled-sum constant: each register contributes 2^(rmax - rho),
     // an exact integer; a zero register contributes 2^rmax.
     val full = 1L << rmax
-    val h = CurationOps.md5Hash32(
-      concat(lit(s"$salt:"), col(valueCol).cast("string")))
-    val w = pmod(h, lit(1L << rbits))
-    val regs = df
-      .select(col(keyCol).as("__k"),
-        shiftright(h, rbits).as("__j"),
-        when(w === 0, lit(rmax))
-          .otherwise(lit(rmax) - length(bin(w))).as("__rho"))
-      .groupBy(col("__k"), col("__j"))
-      .agg(max(col("__rho")).as("__r"))
     val sums = regs
       .groupBy(col("__k"))
       .agg(count(lit(1)).as("n_regs"),

@@ -1315,7 +1315,174 @@ object NorthStar {
       .ordered(col("vec_id"))
   }
 
+  // q126 — HITS hubs & authorities over the DIRECTED near-dup graph
+  // (q25's pairs, id1 -> id2 = earlier doc feeds its later near-dups):
+  // hubs = canonical source docs, authorities = derived copies. The
+  // unnormalized integer form makes every round an exact integer sum
+  // (see GraphOps.hits), so the oracle unrolls two rounds in BIGINTs.
+  private val q126: Q = (s, dir) => {
+    val pairs = DedupOps.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", n = 2, threshold = 0.1)
+      .select(col("id1"), col("id2"))
+    GraphOps.hits(pairs, "id1", "id2", iters = 2)
+      .select(col("node").as("doc_id"), col("hub"), col("auth"))
+      .ordered(col("doc_id"))
+  }
+
+  // q127 — rank-normalized quality ensembling (multi-signal corpus
+  // filter): exact global ranks of two signals via the bucketed
+  // no-global-sort ranking (CurationOps.globalRank), blended by rank
+  // sum — scale-free signal combination, all-integer output. Both
+  // signal doubles are libm-free IEEE arithmetic, so the orders (and
+  // hence the ranks) are engine-independent.
+  private val q127: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.qualityScoreRaw(col("text"), Stopwords).as("__q"),
+        TextOps.tokenCount(col("text")).cast("long").as("__l"))
+    val ranked = CurationOps.globalRank(
+      CurationOps.globalRank(d, "__q", "doc_id", "q_rank"),
+      "__l", "doc_id", "l_rank")
+    val n = d.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("q_rank"), col("l_rank"),
+        (col("q_rank") + col("l_rank")).as("blend"),
+        (col("q_rank") + col("l_rank") >= col("__n")).as("keep"))
+      .ordered(col("doc_id"))
+  }
+
+  // q128 — audience-overlap / join-cardinality estimation from HLL
+  // sketches: every event-type pair's user overlap by inclusion-
+  // exclusion on the q121 register tables (union = register max),
+  // with the exact overlap alongside. The raw sets join only for the
+  // n_exact reference column; the estimate itself reads KEY-SIZED
+  // sketch state.
+  private val q128: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val regs = graft.operators.StatsOps.hllRegisters(
+      ev, "event_type", "user_id", p = 8, salt = "hll")
+    val sk = graft.operators.StatsOps.hllIntersect(regs, "event_type")
+    val d = ev.select(col("event_type"), col("user_id")).distinct()
+    val ex = d.as("a").join(d.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("key_a"),
+        col("b.event_type").as("key_b"))
+      .agg(count(lit(1)).as("n_exact"))
+    sk.join(ex, Seq("key_a", "key_b"), "left")
+      .select(col("key_a"), col("key_b"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        col("reg_sum_a"), col("reg_sum_b"), col("reg_sum_ab"),
+        e6(col("inter_raw")).as("inter_raw_e6"))
+      .ordered(col("key_a"), col("key_b"))
+  }
+
+  // q129 — per-source distribution drift: binned two-sample KS of the
+  // token-count distribution, each source vs the rest of the corpus.
+  // Integer bins, integer CDF cross-multiplication — everything but
+  // the final convenience ratio is exact (see StatsOps.ksDrift).
+  private val q129: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .select(col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+    graft.operators.StatsOps.ksDrift(d, "source", "n_tok", bins = 32)
+      .select(col("source"), col("n_key"), col("n_rest"), col("ks_num"),
+        e6(col("ks")).as("ks_e6"))
+      .ordered(col("source"))
+  }
+
+  // q130 — PMI-lift collocations (phrase mining for tokenizer /
+  // phrase-merge vocabularies): top-20 bigrams by association lift
+  // with a min-count floor. Lift = exp(PMI) as exact-rational
+  // arithmetic — no ln anywhere (see CurationOps.collocations).
+  private val q130: Q = (s, dir) => {
+    CurationOps.collocations(t(s, dir, "documents"), "text",
+        minCount = 5, topK = 20)
+      .select(col("gram"), col("c_ab"), col("c_a"), col("c_b"),
+        e6(col("lift")).as("lift_e6"))
+      .ordered(col("lift_e6").desc, col("gram"))
+  }
+
+  // q131 — classifier calibration (reliability diagram) for the q118
+  // quality scores, EQUAL-MASS decile bins (the sklearn
+  // strategy='quantile' curve — fixed-width bins degenerate when the
+  // model concentrates its scores): rank over the ALREADY-PINNED e6
+  // integer score (so ordering can never straddle a cross-engine
+  // ulp) via the bucketed no-sort ranking, bin = (rank-1)*10 div n.
+  // Per-bin count, positives, exact score mass, observed positive
+  // rate — all integers.
+  private val q131: Q = (s, dir) => {
+    val scored = CurationOps.logisticTrainScore(t(s, dir, "documents"),
+        "doc_id",
+        features = Seq(
+          TextOps.tokenCount(col("text")) / lit(100.0d),
+          TextOps.stopwordRatio(col("text"), Stopwords)),
+        label = coalesce(col("lang") === "en", lit(false)),
+        iters = 5, lr = 1.0)
+      .select(col("id"), col("y"), e6(col("score")).as("se6"))
+    val n = scored.agg(count(lit(1)).as("__n"))
+    CurationOps.globalRank(scored, "se6", "id", "__rk")
+      .crossJoin(broadcast(n))
+      .withColumn("bin", expr("(__rk - 1) * 10 DIV __n"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y").cast("long")).as("n_pos"),
+        sum(col("se6")).as("sum_score_e6"))
+      .withColumn("pos_rate_e6",
+        e6(col("n_pos").cast("double") / col("n").cast("double")))
+      .ordered(col("bin"))
+  }
+
+  // q132 — per-source quality-greedy token budget (keep each source's
+  // BEST docs up to a 2k-token quota — hot-domain downsampling that
+  // preserves quality, vs q98's hash-uniform fill). All-integer
+  // cumulative arithmetic over the deterministic quality order.
+  private val q132: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_toks"),
+        TextOps.qualityScoreRaw(col("text"), Stopwords).as("__q"))
+    CurationOps.qualityBudgetFill(d, "source", "doc_id", "n_toks",
+        "__q", budgetTokens = 2000L)
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        col("q_rank"), col("cum_before"), col("kept"))
+      .ordered(col("doc_id"))
+  }
+
+  // q133 — canonical representatives per near-dup cluster: the q54
+  // components, each cluster keeping its highest-quality member
+  // (quality desc, id tiebreak) — the "which copy do we train on"
+  // decision, made deterministically. Emits cluster size alongside.
+  private val q133: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val pairs = DedupOps.simhashNearDupParity(
+      docs.filter(col("doc_id") < 250), "doc_id", "text", maxHamming = 8)
+    val comp = DedupOps.connectedComponents(pairs, "id1", "id2")
+    val q = docs.select(col("doc_id").as("id"),
+      TextOps.qualityScoreRaw(col("text"), Stopwords).as("__q"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("__q").desc, col("id"))
+    comp.join(q, "id")
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("__rn") === 1)
+      .select(col("cluster_id"), col("id").as("rep_id"), col("size"),
+        e6(col("__q")).as("rep_quality_e6"))
+      .ordered(col("cluster_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q133_cluster_reps" -> q133,
+    "q132_quality_budget" -> q132,
+    "q131_calibration" -> q131,
+    "q130_collocations" -> q130,
+    "q129_ks_drift" -> q129,
+    "q128_hll_overlap" -> q128,
+    "q127_rank_blend" -> q127,
+    "q126_hits" -> q126,
     "q125_prototypicality" -> q125,
     "q124_ngram_novelty" -> q124,
     "q123_boilerplate_grams" -> q123,
@@ -3569,6 +3736,323 @@ object NorthStar {
        |       (rk * 100 <= n * 10) AS is_outlier
        |FROM rk ORDER BY vec_id""".stripMargin
 
+  /** q132 oracle: the q22 quality arithmetic feeding per-source
+    * (quality DESC, doc_id) windows — rank + exclusive token prefix
+    * sum + the budget gate, all integers. */
+  private val q132Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, text,
+      |         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, source, len(toks) AS n_toks,
+      |         len(list_filter(toks, t -> list_contains(['a','the','and','of','to','data'], t)))
+      |           * 1.0 / GREATEST(len(toks), 1) AS stop_ratio,
+      |         (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+      |           * 1.0 / GREATEST(length(text), 1) AS punct_ratio,
+      |         length(text) * 1.0 / GREATEST(len(toks), 1) AS mean_len
+      |  FROM d),
+      |q AS (
+      |  SELECT doc_id, source, n_toks,
+      |         (LEAST(mean_len / 8.0, 1.0) + (1.0 - stop_ratio) +
+      |          (1.0 - LEAST(punct_ratio * 5.0, 1.0))) / 3.0 AS qual
+      |  FROM m),
+      |r AS (
+      |  SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
+      |         ROW_NUMBER() OVER (PARTITION BY source
+      |             ORDER BY qual DESC, doc_id) AS q_rank,
+      |         CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY source
+      |             ORDER BY qual DESC, doc_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS BIGINT) AS cum_before
+      |  FROM q)
+      |SELECT doc_id, source, n_toks, q_rank, cum_before,
+      |       (cum_before < 2000) AS kept
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** q133 oracle: the q54 component chain, then per cluster the
+    * (quality DESC, doc_id) head with the cluster size. */
+  private val q133Sql: String =
+    s"""WITH RECURSIVE $simhashParityCtes,
+       |p AS (SELECT id1, id2 FROM cand WHERE bit_count(xor(s1, s2)) <= 8),
+       |edges AS (SELECT id1 AS s, id2 AS dd FROM p
+       |          UNION SELECT id2, id1 FROM p),
+       |nodes AS (SELECT DISTINCT s AS id FROM edges),
+       |reach(id, lab) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dd, r.lab FROM reach r JOIN edges e ON e.s = r.id),
+       |comp AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach
+       |         GROUP BY id),
+       |dq AS (
+       |  SELECT doc_id, text,
+       |         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |mq AS (
+       |  SELECT doc_id,
+       |         len(list_filter(toks, t -> list_contains(['a','the','and','of','to','data'], t)))
+       |           * 1.0 / GREATEST(len(toks), 1) AS stop_ratio,
+       |         (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+       |           * 1.0 / GREATEST(length(text), 1) AS punct_ratio,
+       |         length(text) * 1.0 / GREATEST(len(toks), 1) AS mean_len
+       |  FROM dq),
+       |qq AS (
+       |  SELECT doc_id,
+       |         (LEAST(mean_len / 8.0, 1.0) + (1.0 - stop_ratio) +
+       |          (1.0 - LEAST(punct_ratio * 5.0, 1.0))) / 3.0 AS qual
+       |  FROM mq),
+       |r AS (
+       |  SELECT comp.cluster_id, comp.doc_id, qq.qual,
+       |         ROW_NUMBER() OVER (PARTITION BY comp.cluster_id
+       |             ORDER BY qq.qual DESC, comp.doc_id) AS rn,
+       |         COUNT(*) OVER (PARTITION BY comp.cluster_id) AS sz
+       |  FROM comp JOIN qq USING (doc_id))
+       |SELECT cluster_id, doc_id AS rep_id, CAST(sz AS BIGINT) AS size,
+       |       ${sqlE6("qual")} AS rep_quality_e6
+       |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
+  /** q130 oracle: the q56 bigram counts + unigram counts, association
+    * lift via the exact division chain of CurationOps.collocations
+    * (identical operand order), TOP-20 by (lift, gram). */
+  private val q130Sql: String =
+    """WITH d AS (
+      |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |uni AS (
+      |  SELECT t AS w, COUNT(*) AS cw FROM (
+      |    SELECT unnest(toks) AS t FROM d) WHERE t <> '' GROUP BY t),
+      |big AS (
+      |  SELECT gram, COUNT(*) AS c_ab FROM (
+      |    SELECT unnest(CASE WHEN len(toks) >= 2
+      |             THEN list_transform(range(1, len(toks)),
+      |                    i -> array_to_string(toks[i:i+1], ' '))
+      |             ELSE [] END) AS gram
+      |    FROM d)
+      |  GROUP BY gram HAVING COUNT(*) >= 5),
+      |nu AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_uni FROM uni),
+      |nb AS (SELECT CAST(SUM(GREATEST(len(toks) - 1, 0)) AS BIGINT) AS n_big
+      |       FROM d),
+      |lifted AS (
+      |  SELECT big.gram, big.c_ab, a.cw AS c_a, b.cw AS c_b,
+      |         CAST(big.c_ab AS DOUBLE) * CAST(nu.n_uni AS DOUBLE) *
+      |           CAST(nu.n_uni AS DOUBLE) / CAST(a.cw AS DOUBLE) /
+      |           CAST(b.cw AS DOUBLE) / CAST(nb.n_big AS DOUBLE) AS lift
+      |  FROM big
+      |  JOIN uni a ON a.w = string_split(big.gram, ' ')[1]
+      |  JOIN uni b ON b.w = string_split(big.gram, ' ')[2]
+      |  CROSS JOIN nu CROSS JOIN nb),
+      |top AS (
+      |  SELECT gram, c_ab, c_a, c_b,
+      |         CAST(ROUND(lift * 1e6, 0) AS BIGINT) AS lift_e6
+      |  FROM lifted ORDER BY lift DESC, gram LIMIT 20)
+      |SELECT gram, c_ab, c_a, c_b, lift_e6
+      |FROM top ORDER BY lift_e6 DESC, gram""".stripMargin
+
+  /** q131 oracle: the q118 GD chain, decile bins over the e6 integer
+    * score (binning on the pinned integer can never straddle a
+    * cross-engine ulp), per-bin integer aggregates. */
+  private val q131Sql: String = {
+    val steps = (1 to 5).map { i =>
+      s"""it$i AS (
+         |  SELECT b - 1.0 * SUM(p - y) / COUNT(*) AS b,
+         |         w1 - 1.0 * SUM((p - y) * x0) / COUNT(*) AS w1,
+         |         w2 - 1.0 * SUM((p - y) * x1) / COUNT(*) AS w2
+         |  FROM (SELECT y, x0, x1, b, w1, w2,
+         |               1.0 / (1.0 + exp(-((b + w1 * x0) + w2 * x1))) AS p
+         |        FROM d CROSS JOIN it${i - 1})
+         |  GROUP BY b, w1, w2)""".stripMargin
+    }.mkString(",\n")
+    val score = "1.0 / (1.0 + exp(-((b + w1 * x0) + w2 * x1)))"
+    s"""WITH d0 AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, y, len(toks) / 100.0 AS x0,
+       |         len(list_filter(toks, t -> list_contains(['a','the','and','of','to','data'], t)))
+       |           * 1.0 / GREATEST(len(toks), 1) AS x1
+       |  FROM d0),
+       |it0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2),
+       |$steps,
+       |sc AS (
+       |  SELECT doc_id, y, ${sqlE6(score)} AS se6
+       |  FROM d CROSS JOIN it5),
+       |binned AS (
+       |  SELECT y, se6,
+       |         (ROW_NUMBER() OVER (ORDER BY se6, doc_id) - 1) * 10
+       |           // COUNT(*) OVER () AS bin
+       |  FROM sc)
+       |SELECT bin, COUNT(*) AS n,
+       |       CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+       |       CAST(SUM(se6) AS BIGINT) AS sum_score_e6,
+       |       CAST(ROUND(CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) /
+       |         CAST(COUNT(*) AS DOUBLE) * 1e6, 0) AS BIGINT) AS pos_rate_e6
+       |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
+  /** q128 oracle: the q121 register pipeline for every key, pairwise
+    * inclusion-exclusion with the union sum decomposed into both-live
+    * max terms + one-sided terms + empty-register padding — the exact
+    * integer construction of StatsOps.hllIntersect. */
+  private val q128Sql: String = {
+    val alpha = "0.7213 / (1.0 + 1.079 / 256.0)"
+    def raw(c: String) =
+      s"($alpha) * 2199023255552.0 / CAST($c AS DOUBLE)"
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |         ${sqlHex32("md5('hll:' || user_id::VARCHAR)")} AS h
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, h // 16777216 AS j,
+       |         CASE WHEN h % 16777216 = 0 THEN 25
+       |              ELSE 25 - len(bin(h % 16777216)) END AS rho
+       |  FROM h),
+       |mm AS (SELECT event_type AS k, j, MAX(rho) AS r FROM r GROUP BY 1, 2),
+       |tot AS (SELECT k, COUNT(*) AS n,
+       |               CAST(SUM((1::BIGINT) << (25 - r)) AS BIGINT) AS sp
+       |        FROM mm GROUP BY k),
+       |pair AS (
+       |  SELECT a.k AS key_a, b.k AS key_b, a.r AS ra2, b.r AS rb2
+       |  FROM mm a JOIN mm b ON a.j = b.j AND a.k < b.k),
+       |bth AS (
+       |  SELECT key_a, key_b,
+       |         CAST(SUM((1::BIGINT) << (25 - GREATEST(ra2, rb2))) AS BIGINT) AS spab,
+       |         CAST(SUM((1::BIGINT) << (25 - ra2)) AS BIGINT) AS spa_b,
+       |         CAST(SUM((1::BIGINT) << (25 - rb2)) AS BIGINT) AS spb_b,
+       |         COUNT(*) AS nb
+       |  FROM pair GROUP BY 1, 2),
+       |x AS (
+       |  SELECT key_a, key_b,
+       |         ta.sp + (256 - ta.n) * 33554432 AS reg_sum_a,
+       |         tb.sp + (256 - tb.n) * 33554432 AS reg_sum_b,
+       |         spab + (ta.sp - spa_b) + (tb.sp - spb_b) +
+       |           (256 - ta.n - tb.n + nb) * 33554432 AS reg_sum_ab
+       |  FROM bth JOIN tot ta ON ta.k = key_a
+       |            JOIN tot tb ON tb.k = key_b),
+       |ex AS (
+       |  SELECT a.event_type AS key_a, b.event_type AS key_b,
+       |         COUNT(*) AS n_exact
+       |  FROM (SELECT DISTINCT event_type, user_id FROM events) a
+       |  JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+       |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+       |  GROUP BY 1, 2)
+       |SELECT x.key_a, x.key_b, COALESCE(ex.n_exact, 0) AS n_exact,
+       |       x.reg_sum_a, x.reg_sum_b, x.reg_sum_ab,
+       |       CAST(ROUND(GREATEST(0.0,
+       |         ${raw("x.reg_sum_a")} + ${raw("x.reg_sum_b")} -
+       |         ${raw("x.reg_sum_ab")}) * 1e6, 0) AS BIGINT) AS inter_raw_e6
+       |FROM x LEFT JOIN ex USING (key_a, key_b)
+       |ORDER BY x.key_a, x.key_b""".stripMargin
+  }
+
+  /** q129 oracle: integer bin width from the global range, dense
+    * (source x live-bin) grid, exact integer CDF cross-multiplication
+    * — StatsOps.ksDrift exactly. */
+  private val q129Sql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |         len(regexp_split_to_array(lower(trim(text)), '\s+')) AS v
+      |  FROM documents),
+      |g AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM d),
+      |pk AS (
+      |  SELECT source, (v - g.lo) // ((g.hi - g.lo) // 32 + 1) AS b,
+      |         COUNT(*) AS c
+      |  FROM d, g GROUP BY 1, 2),
+      |ks AS (SELECT DISTINCT source FROM pk),
+      |bt AS (SELECT b, CAST(SUM(c) AS BIGINT) AS tc FROM pk GROUP BY b),
+      |grid AS (
+      |  SELECT ks.source, bt.b, bt.tc, COALESCE(pk.c, 0) AS c
+      |  FROM ks CROSS JOIN bt
+      |  LEFT JOIN pk ON pk.source = ks.source AND pk.b = bt.b),
+      |cum AS (
+      |  SELECT source, b,
+      |         CAST(SUM(c) OVER w AS BIGINT) AS ck,
+      |         CAST(SUM(tc) OVER w AS BIGINT) AS ct,
+      |         CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS nk,
+      |         CAST(SUM(tc) OVER (PARTITION BY source) AS BIGINT) AS nt
+      |  FROM grid
+      |  WINDOW w AS (PARTITION BY source ORDER BY b
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |agg AS (
+      |  SELECT source, MAX(nk) AS n_key, MAX(nt) - MAX(nk) AS n_rest,
+      |         MAX(ABS(ck * (nt - nk) - (ct - ck) * nk)) AS ks_num
+      |  FROM cum GROUP BY source)
+      |SELECT source, n_key, n_rest, ks_num,
+      |       CAST(ROUND(CAST(ks_num AS DOUBLE) /
+      |         CAST(n_key * n_rest AS DOUBLE) * 1e6, 0) AS BIGINT) AS ks_e6
+      |FROM agg ORDER BY source""".stripMargin
+
+  /** q126 oracle: the q25 pair derivation (directed id1 -> id2), two
+    * unrolled integer HITS rounds (a = A^T h then h = A a with the
+    * fresh authorities — GraphOps.hits exactly). */
+  private val q126Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents WHERE doc_id < 100),
+      |s AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(toks) >= 2
+      |              THEN list_distinct(list_transform(range(1, len(toks)),
+      |                     i -> array_to_string(toks[i:i+1], ' ')))
+      |              ELSE [] END AS sh
+      |  FROM d),
+      |inv AS (SELECT doc_id, unnest(sh) AS s1 FROM s),
+      |pp AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+      |  FROM inv a JOIN inv b ON a.s1 = b.s1 AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+      |e AS (
+      |  SELECT id1 AS src, id2 AS dst FROM pp
+      |  JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+      |  WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.1),
+      |nd AS (SELECT DISTINCT node FROM (
+      |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      |a1 AS (SELECT dst, COUNT(*) AS auth FROM e GROUP BY dst),
+      |h1 AS (SELECT e.src, CAST(SUM(COALESCE(a1.auth, 0)) AS BIGINT) AS hub
+      |       FROM e LEFT JOIN a1 USING (dst) GROUP BY e.src),
+      |a2 AS (SELECT e.dst, CAST(SUM(COALESCE(h1.hub, 0)) AS BIGINT) AS auth
+      |       FROM e LEFT JOIN h1 USING (src) GROUP BY e.dst),
+      |h2 AS (SELECT e.src, CAST(SUM(COALESCE(a2.auth, 0)) AS BIGINT) AS hub
+      |       FROM e LEFT JOIN a2 USING (dst) GROUP BY e.src)
+      |SELECT nd.node AS doc_id, COALESCE(h2.hub, 0) AS hub,
+      |       COALESCE(a2.auth, 0) AS auth
+      |FROM nd LEFT JOIN h2 ON nd.node = h2.src
+      |        LEFT JOIN a2 ON nd.node = a2.dst
+      |ORDER BY doc_id""".stripMargin
+
+  /** q127 oracle: the q22 quality arithmetic (identical IEEE ops),
+    * plain ROW_NUMBER ranks with the same (value, id) tiebreak, rank
+    * sum blend. */
+  private val q127Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |         len(toks) AS n_tok,
+      |         len(list_filter(toks, t -> list_contains(['a','the','and','of','to','data'], t)))
+      |           * 1.0 / GREATEST(len(toks), 1) AS stop_ratio,
+      |         (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+      |           * 1.0 / GREATEST(length(text), 1) AS punct_ratio,
+      |         length(text) * 1.0 / GREATEST(len(toks), 1) AS mean_len
+      |  FROM d),
+      |q AS (
+      |  SELECT doc_id, n_tok,
+      |         (LEAST(mean_len / 8.0, 1.0) + (1.0 - stop_ratio) +
+      |          (1.0 - LEAST(punct_ratio * 5.0, 1.0))) / 3.0 AS qual
+      |  FROM m),
+      |r AS (
+      |  SELECT doc_id,
+      |         ROW_NUMBER() OVER (ORDER BY qual, doc_id) AS q_rank,
+      |         ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) AS l_rank,
+      |         COUNT(*) OVER () AS n
+      |  FROM q)
+      |SELECT doc_id, q_rank, l_rank, q_rank + l_rank AS blend,
+      |       (q_rank + l_rank >= n) AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
+
   /** q115 oracle: the q25 pair derivation feeding 3 unrolled PageRank
     * iterations — update arithmetic mirrors GraphOps.pageRank exactly
     * ((1.0 - 0.85)/n + 0.85 * COALESCE(SUM(pr/deg), 0.0)). */
@@ -3710,6 +4194,14 @@ object NorthStar {
   }
 
   val oracle: Map[String, String] = Map(
+    "q133_cluster_reps" -> q133Sql,
+    "q132_quality_budget" -> q132Sql,
+    "q131_calibration" -> q131Sql,
+    "q130_collocations" -> q130Sql,
+    "q129_ks_drift" -> q129Sql,
+    "q128_hll_overlap" -> q128Sql,
+    "q127_rank_blend" -> q127Sql,
+    "q126_hits" -> q126Sql,
     "q125_prototypicality" -> q125Sql,
     "q124_ngram_novelty" -> q124Sql,
     "q123_boilerplate_grams" -> q123Sql,

@@ -1241,6 +1241,162 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) == ((2L, 1L)))
   }
 
+  test("quality budget fill: greedy keep order, boundary straddle, " +
+      "per-group independence") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "g", 1000L, 0.9), (2L, "g", 900L, 0.8),
+      (3L, "g", 500L, 0.7), (4L, "g", 100L, 0.6),
+      (5L, "h", 5000L, 0.1)).toDF("id", "grp", "tok", "q")
+    val got = graft.operators.CurationOps
+      .qualityBudgetFill(df, "grp", "id", "tok", "q", 2000L)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("q_rank"), r.getAs[Long]("cum_before"),
+          r.getAs[Boolean]("kept"))))
+      .toMap
+    assert(got(1L) == ((1, 0L, true)))
+    assert(got(2L) == ((2, 1000L, true)))
+    // doc 3 starts at 1900 < 2000: kept, straddling the quota
+    assert(got(3L) == ((3, 1900L, true)))
+    assert(got(4L) == ((4, 2400L, false)))
+    // other group: its first doc is always kept, however large
+    assert(got(5L) == ((1, 0L, true)))
+  }
+
+  test("collocations: hand-traced lift values, rank, and tie break") {
+    import spark.implicits._
+    // tokens: doc1 = x y x y, doc2 = x y z.
+    // c(x y)=3, c(y x)=1, c(y z)=1; c_x=3, c_y=3, c_z=1;
+    // N_uni=7, N_big=5. lift(x y) = 3*49/(3*3*5) = 49/15;
+    // lift(y z) = 1*49/(3*1*5) = 49/15 (exact tie -> gram order);
+    // lift(y x) = 49/45.
+    val df = Seq("x y x y", "x y z").toDF("text")
+    val got = graft.operators.CurationOps
+      .collocations(df, "text", minCount = 1, topK = 10)
+      .collect()
+      .map(r => (r.getAs[String]("gram"), r.getAs[Long]("c_ab"),
+        r.getAs[Double]("lift")))
+    assert(got.map(_._1).toSeq == Seq("x y", "y z", "y x"))
+    assert(got(0)._2 == 3L)
+    assert(math.abs(got(0)._3 - 49.0 / 15.0) < 1e-12)
+    assert(math.abs(got(2)._3 - 49.0 / 45.0) < 1e-12)
+  }
+
+  test("calibration bins: equal-mass deciles, conserved counts, " +
+      "monotone mean score") {
+    val scored = graft.operators.CurationOps.logisticTrainScore(docs,
+        "doc_id",
+        features = Seq(
+          TextOps.tokenCount(col("text")) / lit(100.0d),
+          TextOps.stopwordRatio(col("text"),
+            graft.queries.NorthStar.Stopwords)),
+        label = coalesce(col("lang") === "en", lit(false)),
+        iters = 5, lr = 1.0)
+    val ranked = graft.operators.CurationOps.globalRank(
+      scored.withColumn("se6",
+        round(col("score") * lit(1e6), 0).cast("long")),
+      "se6", "id", "rk")
+    val total = docs.count()
+    val rows = ranked
+      .withColumn("bin", expr(s"(rk - 1) * 10 DIV ${total}L"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+        sum(col("se6")).as("mass"))
+      .collect()
+      .map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("pos"),
+          r.getAs[Long]("mass"))))
+      .toMap
+    assert(rows.values.map(_._1).sum == total)
+    assert(rows.keySet == (0L to 9L).toSet,
+      s"equal-mass deciles must all be populated: $rows")
+    // equal mass: every bin within 1 of total/10
+    assert(rows.values.forall(v => math.abs(v._1 - total / 10) <= 1))
+    // rank binning guarantees per-bin MEAN score is non-decreasing
+    val means = (0L to 9L).map(b =>
+      rows(b)._3.toDouble / rows(b)._1)
+    assert(means.zip(means.tail).forall { case (a, b) => a <= b },
+      s"mean score must not decrease across rank deciles: $means")
+    // positives must be spread, not all in one bin (sanity of y join)
+    assert(rows.values.map(_._2).sum == docs
+      .filter(col("lang") === "en").count().toDouble)
+  }
+
+  test("hll intersect: inclusion-exclusion recovers a planted overlap " +
+      "within sketch error") {
+    import spark.implicits._
+    import graft.operators.StatsOps
+    // |A| = 8000, |B| = 8000, |A ∩ B| = 4000
+    val a = (0L until 8000L).map(("A", _))
+    val b = (4000L until 12000L).map(("B", _))
+    val regs = StatsOps.hllRegisters((a ++ b).toDF("k", "id"), "k", "id")
+    val r = StatsOps.hllIntersect(regs, "k").collect()
+    assert(r.length == 1)
+    val est = r.head.getAs[Double]("inter_raw")
+    // each raw term carries ~6.5% sigma; the difference of three
+    // correlated terms is loose — allow a wide (but useful) band
+    assert(math.abs(est - 4000.0) < 2500.0,
+      s"overlap estimate $est too far from 4000")
+    // union decomposition must be consistent: reg_sum_ab equals the
+    // directly-computed union sketch sum
+    val union = StatsOps
+      .hllDistinct((a ++ b).map(x => ("U", x._2)).toDF("k", "id"),
+        "k", "id")
+      .collect().head.getAs[Long]("reg_sum_p")
+    assert(r.head.getAs[Long]("reg_sum_ab") == union,
+      "pairwise union sum must equal the one-shot union sketch")
+  }
+
+  test("ks drift: separated distributions hit D = 1, identical ones " +
+      "hit 0") {
+    import spark.implicits._
+    import graft.operators.StatsOps
+    val sep = Seq.fill(2)(Seq(0L, 0L, 1L, 1L)).flatten.map(("A", _)) ++
+      Seq(10L, 10L, 11L, 11L).map(("B", _))
+    val r = StatsOps.ksDrift(sep.toDF("k", "v"), "k", "v", bins = 32)
+      .collect().map(x => x.getAs[String]("k") -> x.getAs[Double]("ks"))
+      .toMap
+    assert(r("B") == 1.0, s"fully separated B should give D=1: $r")
+    val same = (1L to 100L).flatMap(v => Seq(("A", v), ("B", v)))
+    val r2 = StatsOps.ksDrift(same.toDF("k", "v"), "k", "v", bins = 16)
+      .collect().map(x => x.getAs[String]("k") -> x.getAs[Long]("ks_num"))
+      .toMap
+    assert(r2.values.forall(_ == 0L),
+      s"identical distributions must give ks_num 0: $r2")
+  }
+
+  test("hits hand trace: integer hub/authority scores on a 4-node dag") {
+    import spark.implicits._
+    // 1 -> 3, 2 -> 3, 3 -> 4; two rounds of a = A^T h, h = A a:
+    // a1 = indeg (3:2, 4:1); h1 = (1:2, 2:2, 3:1);
+    // a2 = (3: h1(1)+h1(2) = 4, 4: h1(3) = 1); h2 = (1:4, 2:4, 3:1)
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = graft.operators.GraphOps.hits(e, "src", "dst", iters = 2)
+      .collect()
+      .map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("hub"), r.getAs[Long]("auth"))))
+      .toMap
+    assert(got == Map(1L -> ((4L, 0L)), 2L -> ((4L, 0L)),
+      3L -> ((1L, 4L)), 4L -> ((0L, 1L))))
+  }
+
+  test("global rank equals the single-sort row_number, ties broken " +
+      "by id") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // duplicate-heavy values so bucket-boundary ties are exercised
+    val rows = (1L to 2000L).map(id => (id, rnd.nextInt(50).toDouble))
+    val df = rows.toDF("id", "v")
+    val got = graft.operators.CurationOps
+      .globalRank(df, "v", "id", "rank")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank"))
+      .toMap
+    val want = rows.sortBy { case (id, v) => (v, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    assert(got == want)
+  }
+
   test("cluster prototypicality: per-cluster ranks are a permutation, " +
       "distances sort, and the outlier budget is exact") {
     val rows = SimilarityOps.clusterPrototypicality(emb, "vec_id",

@@ -331,7 +331,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     "q60_histogram",      // global min/max scalar bracket
     "q65_int8_topk",      // int8 rerank: quantization scalars
     "q87_source_kl",      // 1-row total against source grid
-    "q100_pq_topk")       // PQ ADC: tiny query-LUT side broadcast
+    "q100_pq_topk",       // PQ ADC: tiny query-LUT side broadcast
+    "q122_vocab_coverage", // |thresholds|-row broadcast against the
+                           // distinct-frequency walk
+    "q127_rank_blend",    // 1-row corpus count against ranked docs
+    "q129_ks_drift",      // <=bins-row live-bin grid against keys
+    "q130_collocations",  // 1-row unigram/bigram totals vs pair table
+    "q131_calibration")   // 1-row corpus count against ranked scores
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
@@ -412,6 +418,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       !p.contains("BroadcastNestedLoopJoin"), s"bad join shape:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"expected partial+final gram aggregation:\n$p")
+  }
+
+  test("ks drift: keyed windows only — no full-table funnel, no " +
+      "cartesian on data-sized tables") {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("source"),
+        graft.operators.TextOps.tokenCount(
+          org.apache.spark.sql.functions.col("text")).cast("long").as("n"))
+    val p = plan(graft.operators.StatsOps.ksDrift(docs, "source", "n"))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"full-table funnel detected:\n$p")
+    assert(!p.contains("CartesianProduct"), s"bad join shape:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final bin-count aggregation:\n$p")
+  }
+
+  test("global rank: bucketed — offsets broadcast, ranking window " +
+      "partitioned, no full-table funnel") {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.operators.TextOps.tokenCount(
+          org.apache.spark.sql.functions.col("text")).as("n"))
+    val p = plan(graft.operators.CurationOps.globalRank(
+      docs, "n", "doc_id", "rank"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket offsets should broadcast:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1,
+      s"full-table global sort detected:\n$p")
   }
 
   test("prototypicality: centroids broadcast; the only window is " +

@@ -138,6 +138,53 @@ class StorageStreamingSpec extends AnyFunSuite with SparkTestBase {
       "streamed store must hold identical cell assignments")
   }
 
+  test("streaming HLL register-store maintenance equals the one-shot " +
+      "batch sketch") {
+    import spark.implicits._
+    import graft.operators.StatsOps
+    val ev = Tables.load(spark, sf("sf0.01"), "events")
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val store = Files.createTempDirectory("graft-hll-store").toString
+    // seed the persisted register table with the first slice, then
+    // fold 4 micro-batches in — old events are never rescanned, the
+    // store stays <= nKeys * 256 rows
+    val (seed, rest) = ev.splitAt(ev.length / 3)
+    StatsOps.hllRegisters(seed.toSeq.toDF("event_type", "user_id"),
+        "event_type", "user_id")
+      .write.mode("overwrite").parquet(store)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val q = input.toDF().toDF("event_type", "user_id")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val merged = StatsOps.hllMergeRegisters(
+            spark.read.parquet(store),
+            StatsOps.hllRegisters(batch, "event_type", "user_id"))
+          .localCheckpoint(true) // materialize BEFORE overwriting source
+        merged.write.mode("overwrite").parquet(store)
+      }
+      .start()
+    try {
+      rest.grouped(math.max(rest.length / 4, 1)).foreach { g =>
+        input.addData(g.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = StatsOps
+      .hllEstimate(spark.read.parquet(store), "event_type")
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val batch = StatsOps
+      .hllDistinct(ev.toSeq.toDF("event_type", "user_id"),
+        "event_type", "user_id")
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      "folded register store must equal the one-shot sketch exactly")
+    assert(spark.read.parquet(store).count() <= batch.size * 256L)
+  }
+
   test("streaming grouped top-k (bounded aggregate) equals batch " +
       "across micro-batches") {
     import spark.implicits._
