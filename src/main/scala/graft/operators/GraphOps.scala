@@ -196,6 +196,51 @@ object GraphOps {
     triangleCore(spark.table(table))
   }
 
+  /** Newman modularity per community — the quality score for a
+    * community assignment ([[labelPropagation]]'s output, or any
+    * (node, label) table): contribution of community c is
+    * e_in/m - (d_c/2m)^2 over the DIRECTED double-counted edge list
+    * (an undirected graph passed as symmetric pairs — so e_in2 counts
+    * each internal undirected edge twice and m2 = 2m, and the
+    * classical formula becomes e_in2/m2 - (d_c/m2)^2). Total Q is the
+    * sum over rows. All inputs are exact integer counts; the two
+    * divisions are single IEEE ops, so the e6 pin is engine-
+    * independent.
+    *
+    * Scale shape: two label-keyed broadcast-or-shuffle joins of the
+    * community table onto the edges + three partial-aggregated
+    * counts; the only driver value is the total edge count. Every
+    * label in `labels` gets a row (zero-internal-edge communities
+    * coalesce to 0). */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 labels: DataFrame, nodeCol: String, labCol: String)
+      : DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val lab = labels.select(col(nodeCol).cast("long").as("node"),
+      col(labCol).cast("long").as("c"))
+    val m2 = e.count()
+    require(m2 > 0, "modularity needs a non-empty edge list")
+    val dc = e.join(lab, col("src") === col("node"))
+      .groupBy(col("c")).agg(count(lit(1)).as("d_c"))
+    val ein = e
+      .join(lab.select(col("node").as("sn"), col("c").as("cs")),
+        col("src") === col("sn"))
+      .join(lab.select(col("node").as("dn"), col("c").as("cd")),
+        col("dst") === col("dn"))
+      .filter(col("cs") === col("cd"))
+      .groupBy(col("cs").as("c")).agg(count(lit(1)).as("e_in2"))
+    val nn = lab.groupBy(col("c")).agg(count(lit(1)).as("n_nodes"))
+    nn.join(dc, Seq("c"), "left").join(ein, Seq("c"), "left")
+      .select(col("c").as("community"), col("n_nodes"),
+        coalesce(col("e_in2"), lit(0L)).as("e_in2"),
+        coalesce(col("d_c"), lit(0L)).as("d_c"))
+      .withColumn("modularity",
+        col("e_in2").cast("double") / lit(m2.toDouble) -
+          (col("d_c").cast("double") / lit(m2.toDouble)) *
+          (col("d_c").cast("double") / lit(m2.toDouble)))
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) over a directed edge
     * list, in the UNNORMALIZED integer form: h_0 = 1 for every node,
     * then per round a = A^T h (authority = sum of in-neighbor hub

@@ -1474,7 +1474,53 @@ object NorthStar {
       .ordered(col("cluster_id"))
   }
 
+  // q134 — modularity of the q117 label-propagation communities over
+  // the same symmetrized near-dup graph: the "are these communities
+  // real" score a pipeline checks before trusting cluster-level
+  // decisions. Integer edge counts; two IEEE divisions (see
+  // GraphOps.modularity).
+  private val q134: Q = (s, dir) => {
+    val pairs = DedupOps.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", n = 2, threshold = 0.1)
+      .select(col("id1"), col("id2"))
+    val edges = pairs.union(pairs.select(col("id2"), col("id1")))
+      .localCheckpoint(false) // labels + 3 modularity scans reuse it
+    val comm = GraphOps.labelPropagation(edges, "id1", "id2", iters = 3)
+    GraphOps.modularity(edges, "id1", "id2", comm, "node", "community")
+      .select(col("community"), col("n_nodes"), col("e_in2"),
+        col("d_c"), e6(col("modularity")).as("mod_e6"))
+      .ordered(col("community"))
+  }
+
+  // q135 — kNN label-noise screen (confident-learning-lite) over the
+  // embeddings table: each vector's label vs its top-3 LSH-kNN
+  // neighbors' labels; minority-label rows are suspects. The q119
+  // neighbor derivation, so vectors without colliding buckets have
+  // no row (no evidence either way).
+  private val q135: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val knn = SimilarityOps.knnGraph(emb, "vec_id", "embedding", k = 3,
+      bands = 8, planesPerBand = 4)
+    val lab = emb.select(col("vec_id"), col("label"))
+    knn.select(col("id"), col("nid"))
+      .join(lab.select(col("vec_id").as("id"), col("label").as("own")),
+        "id")
+      .join(lab.select(col("vec_id").as("nid"), col("label").as("nl")),
+        "nid")
+      .groupBy(col("id"))
+      .agg(min(col("own")).as("label"), count(lit(1)).as("n_nbrs"),
+        sum(when(col("nl") === col("own"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .select(col("id").as("vec_id"), col("label"), col("n_nbrs"),
+        col("n_agree"),
+        (col("n_agree") * 2 < col("n_nbrs")).as("is_suspect"))
+      .ordered(col("vec_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q135_label_noise" -> q135,
+    "q134_modularity" -> q134,
     "q133_cluster_reps" -> q133,
     "q132_quality_budget" -> q132,
     "q131_calibration" -> q131,
@@ -4193,7 +4239,111 @@ object NorthStar {
        |FROM l3 ORDER BY doc_id""".stripMargin
   }
 
+  /** q134 oracle: the q117 label chain, then per-community integer
+    * degree / internal-edge counts and the two-division modularity
+    * contribution (GraphOps.modularity exactly). */
+  private val q134Sql: String = {
+    def round(i: Int): String =
+      s"""c$i AS (
+         |  SELECT e.dst, l${i - 1}.lab, COUNT(*) AS c
+         |  FROM e JOIN l${i - 1} ON e.src = l${i - 1}.node
+         |  GROUP BY e.dst, l${i - 1}.lab),
+         |b$i AS (
+         |  SELECT dst, lab FROM (
+         |    SELECT dst, lab,
+         |           ROW_NUMBER() OVER (PARTITION BY dst
+         |                              ORDER BY c DESC, lab) AS rk
+         |    FROM c$i) WHERE rk = 1),
+         |l$i AS (
+         |  SELECT l${i - 1}.node, COALESCE(b$i.lab, l${i - 1}.lab) AS lab
+         |  FROM l${i - 1} LEFT JOIN b$i ON b$i.dst = l${i - 1}.node)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents WHERE doc_id < 500),
+       |s AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(toks) >= 2
+       |              THEN list_distinct(list_transform(range(1, len(toks)),
+       |                     i -> array_to_string(toks[i:i+1], ' ')))
+       |              ELSE [] END AS sh
+       |  FROM d),
+       |inv AS (SELECT doc_id, unnest(sh) AS s1 FROM s),
+       |pp AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+       |  FROM inv a JOIN inv b ON a.s1 = b.s1 AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+       |fil AS (
+       |  SELECT id1, id2 FROM pp
+       |  JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+       |  WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.1),
+       |e AS (SELECT id1 AS src, id2 AS dst FROM fil
+       |      UNION ALL SELECT id2, id1 FROM fil),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |m2 AS (SELECT COUNT(*) AS m2 FROM e),
+       |dc AS (SELECT l3.lab AS c, COUNT(*) AS d_c
+       |       FROM e JOIN l3 ON e.src = l3.node GROUP BY 1),
+       |ein AS (SELECT a.lab AS c, COUNT(*) AS e_in2
+       |        FROM e JOIN l3 a ON e.src = a.node
+       |               JOIN l3 b ON e.dst = b.node
+       |        WHERE a.lab = b.lab GROUP BY 1),
+       |nn AS (SELECT lab AS c, COUNT(*) AS n_nodes FROM l3 GROUP BY 1)
+       |SELECT nn.c AS community, nn.n_nodes,
+       |       COALESCE(ein.e_in2, 0) AS e_in2,
+       |       COALESCE(dc.d_c, 0) AS d_c,
+       |       ${sqlE6("""CAST(COALESCE(ein.e_in2, 0) AS DOUBLE) / m2.m2 -
+         (CAST(COALESCE(dc.d_c, 0) AS DOUBLE) / m2.m2) *
+         (CAST(COALESCE(dc.d_c, 0) AS DOUBLE) / m2.m2)""")} AS mod_e6
+       |FROM nn LEFT JOIN dc ON dc.c = nn.c
+       |        LEFT JOIN ein ON ein.c = nn.c
+       |        CROSS JOIN m2
+       |ORDER BY community""".stripMargin
+  }
+
+  /** q135 oracle: the q119 kNN chain joined with labels, per-vector
+    * neighbor agreement counts. */
+  private val q135Sql: String = {
+    val bandSelects = (0 until 8).map(b =>
+      s"SELECT vec_id, $b AS band, ${sqlBucket("v", 4, b * 4)} AS bucket FROM n")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${sqlNorm("v")} AS vn FROM e),
+       |bands AS ($bandSelects),
+       |ok AS (SELECT band, bucket FROM bands GROUP BY band, bucket
+       |       HAVING COUNT(*) BETWEEN 2 AND 1000),
+       |cand AS (SELECT DISTINCT a.vec_id AS id, b.vec_id AS nid
+       |         FROM bands a
+       |         JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |           AND a.vec_id <> b.vec_id
+       |         JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket),
+       |vf AS (SELECT c.id, c.nid,
+       |              ${sqlDot("x.v", "y.v")} / (x.vn * y.vn) AS cosim
+       |       FROM cand c
+       |       JOIN n x ON x.vec_id = c.id
+       |       JOIN n y ON y.vec_id = c.nid),
+       |r AS (SELECT id, nid, cosim,
+       |             ROW_NUMBER() OVER (PARTITION BY id
+       |                 ORDER BY cosim DESC, nid) AS rk
+       |      FROM vf),
+       |knn AS (SELECT id, nid FROM r WHERE rk <= 3),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |j AS (SELECT k.id, la.label AS own, lb.label AS nl
+       |      FROM knn k JOIN lab la ON la.vec_id = k.id
+       |                 JOIN lab lb ON lb.vec_id = k.nid)
+       |SELECT id AS vec_id, MIN(own) AS label, COUNT(*) AS n_nbrs,
+       |       CAST(SUM(CASE WHEN nl = own THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_agree,
+       |       (CAST(SUM(CASE WHEN nl = own THEN 1 ELSE 0 END) AS BIGINT)
+       |          * 2 < COUNT(*)) AS is_suspect
+       |FROM j GROUP BY id ORDER BY vec_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q135_label_noise" -> q135Sql,
+    "q134_modularity" -> q134Sql,
     "q133_cluster_reps" -> q133Sql,
     "q132_quality_budget" -> q132Sql,
     "q131_calibration" -> q131Sql,

@@ -1241,6 +1241,58 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) == ((2L, 1L)))
   }
 
+  test("modularity hand trace: two triangles with a bridge score " +
+      "Q = 5/14 total") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    val e = (und ++ und.map(_.swap)).toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("node", "c")
+    val got = graft.operators.GraphOps
+      .modularity(e, "a", "b", labels, "node", "c")
+      .collect()
+      .map(r => r.getAs[Long]("community") ->
+        ((r.getAs[Long]("n_nodes"), r.getAs[Long]("e_in2"),
+          r.getAs[Long]("d_c"), r.getAs[Double]("modularity"))))
+      .toMap
+    // per community: e_in2 = 6 (3 undirected internal edges doubled),
+    // d_c = 7 (2+2+3), m2 = 14 -> 6/14 - (7/14)^2 = 3/7 - 1/4 = 5/28
+    assert(got.keySet == Set(1L, 4L))
+    got.values.foreach { case (n, ein, dcv, q) =>
+      assert(n == 3L && ein == 6L && dcv == 7L)
+      assert(math.abs(q - (3.0 / 7.0 - 0.25)) < 1e-12)
+    }
+  }
+
+  test("label-noise screen: a planted minority label among identical " +
+      "vectors is the only suspect") {
+    import spark.implicits._
+    val base = Array.tabulate(64)(i => 1.0f / (i + 1))
+    def jig(k: Int) = base.updated(0, base(0) + k * 1e-6f).toSeq
+    val emb = Seq(
+      (1L, jig(1), 0), (2L, jig(2), 0), (3L, jig(3), 0), (4L, jig(4), 1))
+      .toDF("vec_id", "embedding", "label")
+    val knn = SimilarityOps.knnGraph(emb, "vec_id", "embedding", k = 3,
+      bands = 8, planesPerBand = 4)
+    val lab = emb.select(col("vec_id"), col("label"))
+    val got = knn.select(col("id"), col("nid"))
+      .join(lab.select(col("vec_id").as("id"), col("label").as("own")),
+        "id")
+      .join(lab.select(col("vec_id").as("nid"), col("label").as("nl")),
+        "nid")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("nl") === col("own"), 1L).otherwise(0L)).as("ag"))
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("ag") * 2 < r.getAs[Long]("n")))
+      .toMap
+    assert(got(4L), "planted minority label must be flagged")
+    assert(Seq(1L, 2L, 3L).forall(id => !got(id)),
+      s"majority labels must not be flagged: $got")
+  }
+
   test("quality budget fill: greedy keep order, boundary straddle, " +
       "per-group independence") {
     import spark.implicits._
