@@ -776,6 +776,30 @@ object DedupOps {
         maxBucketSize = maxBucketSize)
       .select(col("id1"), col("id2"), col("cos").as("cosine"))
 
+  /** Soft dedup by inverse cluster size: every member of a near-dup
+    * cluster keeps with probability 1/size (deterministically —
+    * md5(salt:id) * size < 2^32, an exact integer compare), so each
+    * cluster contributes ~1 surviving doc in expectation while
+    * preserving WITHIN-cluster diversity that hard canonical-pick
+    * dedup discards. The count-flattening recipe for duplicate-heavy
+    * corpora; reruns and corpus unions keep identical decisions
+    * (hash-determined, not RNG).
+    *
+    * Scale shape: one cluster-keyed count + one join back — the
+    * exactDedup discipline. Input is a (id, cluster) table (e.g.
+    * [[connectedComponents]] output). Appends size, kept. */
+  def clusterDownsample(components: DataFrame, idCol: String,
+                        clusterCol: String, salt: String = "cds")
+      : DataFrame = {
+    val sizes = components.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("size"))
+    components.join(sizes, clusterCol)
+      .withColumn("kept",
+        CurationOps.md5Hash32(
+          concat(lit(s"$salt:"), col(idCol).cast("string"))) *
+          col("size") < lit(4294967296L))
+  }
+
   /** Per-document n-gram novelty: how much of a doc's distinct n-gram
     * set FIRST appears in that document, under the corpus's id order
     * (ids are ingestion order in an append-only corpus, so this is

@@ -1068,6 +1068,47 @@ object SimilarityOps {
         .as("pc1"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two retriever
+    * candidate lists — the standard way to combine a cheap recall
+    * retriever with an exact or cross-modal one without score
+    * calibration: fused(q, d) = sum over retrievers of
+    * 1/(c + rank_r(q, d)), ranked per query. Only RANKS feed the
+    * fusion (scores are used to rank within each list, then
+    * discarded), so engines agreeing on each list's order agree on
+    * the fusion bit-for-bit: each reciprocal is one IEEE division and
+    * the two-term sum has a fixed operand order (list `a` first).
+    *
+    * Scale shape: two per-query rank windows over candidate lists
+    * (k-bounded by construction upstream), one (query, candidate)
+    * equi-join (full outer — a doc may appear in only one list), one
+    * fused rank window. Nothing touches the corpus. Output: qCol,
+    * idCol, rank_a / rank_b (0 = absent from that list), rrf. */
+  def rrfFuse(a: DataFrame, b: DataFrame, qCol: String, idCol: String,
+              scoreCol: String, k: Int, c: Int = 60): DataFrame = {
+    require(k > 0 && c >= 0, s"bad rrf config k=$k c=$c")
+    import org.apache.spark.sql.expressions.Window
+    def ranked(df: DataFrame, out: String) = df
+      .select(col(qCol).as("__q"), col(idCol).as("__id"),
+        col(scoreCol).as("__s"))
+      .withColumn(out, row_number().over(
+        Window.partitionBy(col("__q"))
+          .orderBy(col("__s").desc, col("__id"))))
+      .drop("__s")
+    val j = ranked(a, "__ra")
+      .join(ranked(b, "__rb"), Seq("__q", "__id"), "full_outer")
+    val rrf =
+      coalesce(lit(1.0) / (lit(c.toDouble) + col("__ra")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(c.toDouble) + col("__rb")), lit(0.0))
+    j.withColumn("rrf", rrf)
+      .withColumn("__frk", row_number().over(
+        Window.partitionBy(col("__q"))
+          .orderBy(col("rrf").desc, col("__id"))))
+      .filter(col("__frk") <= k)
+      .select(col("__q").as(qCol), col("__id").as(idCol),
+        coalesce(col("__ra"), lit(0)).as("rank_a"),
+        coalesce(col("__rb"), lit(0)).as("rank_b"), col("rrf"))
+  }
+
   /** Cluster prototypicality (SemDeDup / SSL-prototypes pruning,
     * Sorscher et al. 2022): cluster with [[kmeansInt8]], re-center on
     * each final cluster's integer mean, and score every vector by its

@@ -1518,7 +1518,43 @@ object NorthStar {
       .ordered(col("vec_id"))
   }
 
+  // q136 — inverse-cluster-size soft dedup over the q54 near-dup
+  // components: each cluster member survives with deterministic
+  // probability 1/size (md5 integer compare), flattening duplicate
+  // counts while keeping within-cluster diversity — the soft
+  // alternative to q133's hard canonical pick.
+  private val q136: Q = (s, dir) => {
+    val pairs = DedupOps.simhashNearDupParity(
+      t(s, dir, "documents").filter(col("doc_id") < 250),
+      "doc_id", "text", maxHamming = 8)
+    DedupOps.clusterDownsample(
+        DedupOps.connectedComponents(pairs, "id1", "id2"),
+        "id", "cluster_id")
+      .select(col("id").as("doc_id"), col("cluster_id"), col("size"),
+        col("kept"))
+      .ordered(col("doc_id"))
+  }
+
+  // q137 — reciprocal-rank fusion of two ANN retrievers (the exact
+  // brute-force list and the LSH-bucketed list for queries
+  // vec_id < 5): rank-only fusion, so no score calibration and an
+  // engine-independent result (see SimilarityOps.rrfFuse).
+  private val q137: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = SimilarityOps.bruteForceTopK(emb, q, "vec_id",
+      "embedding", k = 5)
+    val lsh = SimilarityOps.lshTopK(emb, q, "vec_id", "embedding",
+      k = 5, planes = 4)
+    SimilarityOps.rrfFuse(brute, lsh, "qid", "nid", "cos", k = 5)
+      .select(col("qid"), col("nid"), col("rank_a").as("rank_brute"),
+        col("rank_b").as("rank_lsh"), e6(col("rrf")).as("rrf_e6"))
+      .ordered(col("qid"), col("rrf_e6").desc, col("nid"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q137_rrf_fusion" -> q137,
+    "q136_cluster_downsample" -> q136,
     "q135_label_noise" -> q135,
     "q134_modularity" -> q134,
     "q133_cluster_reps" -> q133,
@@ -4341,7 +4377,73 @@ object NorthStar {
        |FROM j GROUP BY id ORDER BY vec_id""".stripMargin
   }
 
+  /** q136 oracle: the q54 component chain + cluster sizes + the
+    * md5-integer keep compare (hash * size < 2^32). */
+  private val q136Sql: String =
+    s"""WITH RECURSIVE $simhashParityCtes,
+       |p AS (SELECT id1, id2 FROM cand WHERE bit_count(xor(s1, s2)) <= 8),
+       |edges AS (SELECT id1 AS s, id2 AS dd FROM p
+       |          UNION SELECT id2, id1 FROM p),
+       |nodes AS (SELECT DISTINCT s AS id FROM edges),
+       |reach(id, lab) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dd, r.lab FROM reach r JOIN edges e ON e.s = r.id),
+       |comp AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach
+       |         GROUP BY id),
+       |sz AS (SELECT cluster_id, COUNT(*) AS size FROM comp
+       |       GROUP BY cluster_id)
+       |SELECT comp.doc_id, comp.cluster_id, sz.size,
+       |       (${sqlHex32("md5('cds:' || comp.doc_id::VARCHAR)")} * sz.size
+       |          < 4294967296) AS kept
+       |FROM comp JOIN sz USING (cluster_id)
+       |ORDER BY comp.doc_id""".stripMargin
+
+  /** q137 oracle: the q28 brute list and the q29 LSH list restricted
+    * to queries vec_id < 5, fused by reciprocal rank (a-term first,
+    * one IEEE division each — SimilarityOps.rrfFuse exactly). */
+  private val q137Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${sqlNorm("v")} AS vn FROM e),
+       |bs AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |              ${sqlDot("q.v", "c.v")} / (q.vn * c.vn) AS cosim
+       |       FROM n q JOIN n c ON c.vec_id <> q.vec_id
+       |       WHERE q.vec_id < 5),
+       |br AS (SELECT qid, nid,
+       |              ROW_NUMBER() OVER (PARTITION BY qid
+       |                  ORDER BY cosim DESC, nid) AS ra
+       |       FROM bs QUALIFY ra <= 5),
+       |bkt AS (SELECT vec_id, v, vn, ${sqlBucket("v", 4)} AS bucket FROM n),
+       |ls AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |              ${sqlDot("q.v", "c.v")} / (q.vn * c.vn) AS cosim
+       |       FROM bkt q JOIN bkt c ON q.bucket = c.bucket
+       |         AND c.vec_id <> q.vec_id
+       |       WHERE q.vec_id < 5),
+       |lr AS (SELECT qid, nid,
+       |              ROW_NUMBER() OVER (PARTITION BY qid
+       |                  ORDER BY cosim DESC, nid) AS rb
+       |       FROM ls QUALIFY rb <= 5),
+       |f AS (SELECT COALESCE(br.qid, lr.qid) AS qid,
+       |             COALESCE(br.nid, lr.nid) AS nid, br.ra, lr.rb
+       |      FROM br FULL OUTER JOIN lr
+       |        ON br.qid = lr.qid AND br.nid = lr.nid),
+       |s AS (SELECT qid, nid, ra, rb,
+       |             COALESCE(1.0 / (60.0 + ra), 0.0) +
+       |             COALESCE(1.0 / (60.0 + rb), 0.0) AS rrf
+       |      FROM f),
+       |r AS (SELECT qid, nid, ra, rb, rrf,
+       |             ROW_NUMBER() OVER (PARTITION BY qid
+       |                 ORDER BY rrf DESC, nid) AS frk
+       |      FROM s)
+       |SELECT qid, nid, COALESCE(ra, 0) AS rank_brute,
+       |       COALESCE(rb, 0) AS rank_lsh,
+       |       ${sqlE6("rrf")} AS rrf_e6
+       |FROM r WHERE frk <= 5
+       |ORDER BY qid, rrf_e6 DESC, nid""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q137_rrf_fusion" -> q137Sql,
+    "q136_cluster_downsample" -> q136Sql,
     "q135_label_noise" -> q135Sql,
     "q134_modularity" -> q134Sql,
     "q133_cluster_reps" -> q133Sql,

@@ -1241,6 +1241,48 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) == ((2L, 1L)))
   }
 
+  test("rrf fusion hand trace: shared candidate wins, absent lists " +
+      "contribute zero") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 0.9), (1L, 11L, 0.8)).toDF("q", "d", "s")
+    val b = Seq((1L, 11L, 0.7), (1L, 12L, 0.6)).toDF("q", "d", "s")
+    val got = SimilarityOps.rrfFuse(a, b, "q", "d", "s", k = 5)
+      .collect()
+      .map(r => r.getAs[Long]("d") ->
+        ((r.getAs[Int]("rank_a"), r.getAs[Int]("rank_b"),
+          r.getAs[Double]("rrf"))))
+      .toMap
+    assert(got(11L) == ((2, 1, 1.0 / 62.0 + 1.0 / 61.0)))
+    assert(got(10L) == ((1, 0, 1.0 / 61.0)))
+    assert(got(12L) == ((0, 2, 1.0 / 62.0)))
+    // fused order: 11 (in both lists) > 10 (rank-1 single) > 12
+    val order = SimilarityOps.rrfFuse(a, b, "q", "d", "s", k = 5)
+      .orderBy(col("rrf").desc, col("d")).collect().map(_.getAs[Long]("d"))
+    assert(order.toSeq == Seq(11L, 10L, 12L))
+  }
+
+  test("cluster downsample: singletons always survive, big clusters " +
+      "thin to ~1, decisions deterministic") {
+    import spark.implicits._
+    val comp = ((0L until 100L).map(i => (i, 500L)) :+ ((200L, 201L)))
+      .toDF("id", "cluster_id")
+    val run1 = graft.operators.DedupOps
+      .clusterDownsample(comp, "id", "cluster_id")
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("size"), r.getAs[Boolean]("kept"))))
+      .toMap
+    assert(run1(200L) == ((1L, true)), "singleton must always be kept")
+    val keptBig = run1.filter(_._2._1 == 100L).count(_._2._2)
+    assert(keptBig <= 8, s"1/100 thinning kept $keptBig of 100")
+    val run2 = graft.operators.DedupOps
+      .clusterDownsample(comp, "id", "cluster_id")
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("kept")).toMap
+    assert(run1.view.mapValues(_._2).toMap == run2,
+      "hash decisions must be identical across runs")
+  }
+
   test("modularity hand trace: two triangles with a bridge score " +
       "Q = 5/14 total") {
     import spark.implicits._
