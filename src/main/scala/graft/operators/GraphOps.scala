@@ -196,6 +196,56 @@ object GraphOps {
     triangleCore(spark.table(table))
   }
 
+  /** Weighted PageRank over a directed edge list with INTEGER edge
+    * weights (similarity-weighted centrality — pass e6-pinned
+    * similarity scores as weights so the out-weight sums stay exact
+    * integers): update (1-d)/N + d * sum(pr_src * w / W_src), where
+    * W_src is the exact integer out-weight total. The only
+    * order-dependent float accumulation is the per-dst contribution
+    * sum — the same accepted class as [[pageRank]] (oracle at e6,
+    * partition-parity spec coverage). Zero-weight edges contribute
+    * nothing; a node whose W_src is 0 leaks its mass like an
+    * out-edge-less node in the unweighted form.
+    *
+    * Edge contract: MULTIGRAPH, like [[pageRank]] — duplicate rows
+    * add their weights. Returns (node, pr). */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iters: Int,
+                       damping: Double = 0.85): DataFrame = {
+    val sel = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"),
+      col(weightCol).cast("long").as("w"))
+    val nodesRdd = sel.select(col("src").as("node"))
+      .union(sel.select(col("dst").as("node")))
+      .distinct().rdd.persist(StorageLevel.DISK_ONLY)
+    val nodes = sel.sparkSession.createDataFrame(nodesRdd,
+      sel.select(col("src").as("node")).schema)
+    val n = nodes.count().toDouble
+    val wsum = sel.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    val edRdd = sel.join(wsum, "src").filter(col("wsum") > 0)
+      .rdd.persist(StorageLevel.DISK_ONLY)
+    val ed = sel.sparkSession.createDataFrame(edRdd,
+      sel.join(wsum, "src").schema)
+    var p = nodes.withColumn("pr", lit(1.0) / lit(n))
+    var prev: Option[RDD[Row]] = None
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(p, col("src") === col("node"))
+        .select(col("dst"),
+          (col("pr") * col("w").cast("double") /
+            col("wsum").cast("double")).as("wc"))
+        .groupBy(col("dst")).agg(sum(col("wc")).as("sw"))
+      val next = nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) / lit(n) +
+            lit(damping) * coalesce(col("sw"), lit(0.0))).as("pr"))
+      val (pm, rdd) = materializeRound(next, prev)
+      p = pm; prev = Some(rdd)
+    }
+    nodesRdd.unpersist(false)
+    edRdd.unpersist(false)
+    p
+  }
+
   /** Newman modularity per community — the quality score for a
     * community assignment ([[labelPropagation]]'s output, or any
     * (node, label) table): contribution of community c is

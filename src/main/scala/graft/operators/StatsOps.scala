@@ -371,7 +371,6 @@ object StatsOps {
   def ksDrift(df: DataFrame, keyCol: String, valueCol: String,
               bins: Int = 32): DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")
-    import org.apache.spark.sql.expressions.Window
     val vals = df.filter(col(valueCol).isNotNull)
       .select(col(keyCol).as("__k"), col(valueCol).cast("long").as("__v"))
     val gRow = vals.agg(min(col("__v")), max(col("__v"))).head()
@@ -380,9 +379,33 @@ object StatsOps {
         lit(0L).as("n_rest"), lit(0L).as("ks_num"), lit(0.0).as("ks"))
     val lo = gRow.getLong(0)
     val width = math.max((gRow.getLong(1) - lo) / bins + 1, 1L)
-    val perKB = vals
+    ksFromBinCounts(ksBinCounts(df, keyCol, valueCol, lo, width), keyCol)
+  }
+
+  /** The mergeable state behind [[ksDrift]]: per-(key, bin) counts
+    * under a FIXED (lo, width) binning. Counts merge by SUM, so a
+    * persisted table folds streaming micro-batches / corpus deltas
+    * without rescanning old data (pin lo/width up front from a
+    * reference sample — the monitor-over-time contract requires a
+    * stable grid anyway). */
+  def ksBinCounts(df: DataFrame, keyCol: String, valueCol: String,
+                  lo: Long, width: Long): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(valueCol).cast("long").as("__v"))
       .withColumn("__b", expr(s"(__v - ${lo}L) DIV ${width}L"))
       .groupBy(col("__k"), col("__b")).agg(count(lit(1)).as("__c"))
+  }
+
+  /** Merge two [[ksBinCounts]] tables (same lo/width) by summation. */
+  def ksMergeBinCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.union(b).groupBy(col("__k"), col("__b"))
+      .agg(sum(col("__c")).as("__c"))
+
+  /** The KS statistic from a bin-count table — see [[ksDrift]] for
+    * the exactness contract. */
+  def ksFromBinCounts(perKB: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // dense (key x live-bin) grid so a key missing a bin still sees
     // the rest-CDF move there — both sides are dimension-sized
     val keys = perKB.select(col("__k")).distinct()

@@ -1552,7 +1552,25 @@ object NorthStar {
       .ordered(col("qid"), col("rrf_e6").desc, col("nid"))
   }
 
+  // q138 — similarity-weighted PageRank over the near-dup graph:
+  // edges carry the e6-pinned Jaccard as an INTEGER weight, so
+  // out-weight totals are exact and the only float accumulation is
+  // the q115-class contribution sum. Ranks canonical hub docs by how
+  // STRONGLY (not just how often) they duplicate.
+  private val q138: Q = (s, dir) => {
+    val pairs = DedupOps.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", n = 2, threshold = 0.1)
+      .select(col("id1"), col("id2"), e6(col("jaccard")).as("w"))
+    val edges = pairs.union(pairs.select(col("id2").as("id1"),
+      col("id1").as("id2"), col("w")))
+    GraphOps.pageRankWeighted(edges, "id1", "id2", "w", iters = 3)
+      .select(col("node").as("doc_id"), e6(col("pr")).as("pr_e6"))
+      .ordered(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q138_weighted_pagerank" -> q138,
     "q137_rrf_fusion" -> q137,
     "q136_cluster_downsample" -> q136,
     "q135_label_noise" -> q135,
@@ -4441,7 +4459,60 @@ object NorthStar {
        |FROM r WHERE frk <= 5
        |ORDER BY qid, rrf_e6 DESC, nid""".stripMargin
 
+  /** q138 oracle: the q115 pair chain with e6-integer Jaccard weights
+    * feeding 3 unrolled weighted-PageRank rounds — update arithmetic
+    * mirrors GraphOps.pageRankWeighted exactly. */
+  private val q138Sql: String = {
+    def iter(i: Int): String =
+      s"""p$i AS (
+         |  SELECT nd.node, (1.0 - 0.85) / nn.n +
+         |         0.85 * COALESCE(SUM(c.wc), 0.0) AS pr
+         |  FROM nd CROSS JOIN nn
+         |  LEFT JOIN (SELECT e.dst, p${i - 1}.pr * e.w / ws.wsum AS wc
+         |             FROM e JOIN p${i - 1} ON e.src = p${i - 1}.node
+         |                    JOIN ws ON e.src = ws.src) c
+         |    ON c.dst = nd.node
+         |  GROUP BY nd.node, nn.n)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents WHERE doc_id < 100),
+       |s AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(toks) >= 2
+       |              THEN list_distinct(list_transform(range(1, len(toks)),
+       |                     i -> array_to_string(toks[i:i+1], ' ')))
+       |              ELSE [] END AS sh
+       |  FROM d),
+       |inv AS (SELECT doc_id, unnest(sh) AS s1 FROM s),
+       |pp AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+       |  FROM inv a JOIN inv b ON a.s1 = b.s1 AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+       |fil AS (
+       |  SELECT id1, id2,
+       |         CAST(ROUND(shared * 1.0 / (x.n + y.n - shared) * 1e6, 0)
+       |              AS BIGINT) AS w
+       |  FROM pp
+       |  JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+       |  WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.1),
+       |e AS (SELECT id1 AS src, id2 AS dst, w FROM fil
+       |      UNION ALL SELECT id2, id1, w FROM fil),
+       |nd AS (SELECT DISTINCT src AS node FROM e),
+       |nn AS (SELECT COUNT(*) AS n FROM nd),
+       |ws AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum FROM e
+       |       GROUP BY src),
+       |p0 AS (SELECT node, 1.0 / nn.n AS pr FROM nd CROSS JOIN nn),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT node AS doc_id,
+       |       ${sqlE6("pr")} AS pr_e6
+       |FROM p3 ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q138_weighted_pagerank" -> q138Sql,
     "q137_rrf_fusion" -> q137Sql,
     "q136_cluster_downsample" -> q136Sql,
     "q135_label_noise" -> q135Sql,

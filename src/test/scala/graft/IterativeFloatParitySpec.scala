@@ -35,8 +35,11 @@ class IterativeFloatParitySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  // q138 (weighted PageRank) joins in r5: integer weights keep the
+  // out-weight totals exact, but the per-dst contribution sum is the
+  // same order-dependent class as q115's.
   for (q <- Seq("q114_logreg_quality", "q115_pagerank",
-      "q118_quality_score")) {
+      "q118_quality_score", "q138_weighted_pagerank")) {
     test(s"$q output is identical under 3-way/coarse vs 8-way/fine layouts") {
       val narrow = runWith(q, shuffle = "3", openCost = "4194304")
       val wide = runWith(q, shuffle = "8", openCost = "16384")

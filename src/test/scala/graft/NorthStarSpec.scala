@@ -1241,6 +1241,21 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) == ((2L, 1L)))
   }
 
+  test("weighted pagerank hand trace: mass follows edge weight") {
+    import spark.implicits._
+    // 1 -> 2 (w=1000), 1 -> 3 (w=3000); one round, d=0.85, n=3:
+    // node1 gets (1-d)/3 = 0.05; node2 = 0.05 + 0.85*(1/3)*(1/4);
+    // node3 = 0.05 + 0.85*(1/3)*(3/4)
+    val e = Seq((1L, 2L, 1000L), (1L, 3L, 3000L)).toDF("s", "d", "w")
+    val got = graft.operators.GraphOps
+      .pageRankWeighted(e, "s", "d", "w", iters = 1)
+      .collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("pr")).toMap
+    assert(math.abs(got(1L) - 0.05) < 1e-12)
+    assert(math.abs(got(2L) - (0.05 + 0.85 / 3.0 * 0.25)) < 1e-12)
+    assert(math.abs(got(3L) - (0.05 + 0.85 / 3.0 * 0.75)) < 1e-12)
+  }
+
   test("rrf fusion hand trace: shared candidate wins, absent lists " +
       "contribute zero") {
     import spark.implicits._

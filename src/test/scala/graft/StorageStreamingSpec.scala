@@ -185,6 +185,53 @@ class StorageStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(store).count() <= batch.size * 256L)
   }
 
+  test("streaming KS drift monitor: folded bin-count store equals the " +
+      "one-shot batch statistic") {
+    import spark.implicits._
+    import graft.operators.StatsOps
+    val ev = Tables.load(spark, sf("sf0.01"), "events")
+      .select(col("event_type"),
+        (col("value") * 100).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // pin the grid once (the monitor-over-time contract)
+    val lo = ev.map(_._2).min
+    val width = math.max((ev.map(_._2).max - lo) / 32 + 1, 1L)
+    val store = Files.createTempDirectory("graft-ks-store").toString
+    val (seed, rest) = ev.splitAt(ev.length / 3)
+    StatsOps.ksBinCounts(seed.toSeq.toDF("k", "v"), "k", "v", lo, width)
+      .write.mode("overwrite").parquet(store)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val q = input.toDF().toDF("k", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val merged = StatsOps.ksMergeBinCounts(
+            spark.read.parquet(store),
+            StatsOps.ksBinCounts(batch, "k", "v", lo, width))
+          .localCheckpoint(true)
+        merged.write.mode("overwrite").parquet(store)
+      }
+      .start()
+    try {
+      rest.grouped(math.max(rest.length / 4, 1)).foreach { g =>
+        input.addData(g.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("k") ->
+        ((r.getAs[Long]("n_key"), r.getAs[Long]("ks_num"))))
+      .toMap
+    val streamed = snap(StatsOps.ksFromBinCounts(
+      spark.read.parquet(store), "k"))
+    val batch = snap(StatsOps.ksFromBinCounts(
+      StatsOps.ksBinCounts(ev.toSeq.toDF("k", "v"), "k", "v", lo, width),
+      "k"))
+    assert(streamed == batch,
+      "folded bin-count store must reproduce the batch KS exactly")
+  }
+
   test("streaming grouped top-k (bounded aggregate) equals batch " +
       "across micro-batches") {
     import spark.implicits._
