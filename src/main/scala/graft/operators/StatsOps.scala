@@ -382,6 +382,45 @@ object StatsOps {
     ksFromBinCounts(ksBinCounts(df, keyCol, valueCol, lo, width), keyCol)
   }
 
+  /** Rand index between two clusterings of the same items (Rand 1971)
+    * — the cross-view validation score: do text-derived communities
+    * agree with embedding-space clusters / labels? Computed from the
+    * contingency table by pair counting: with a = sum_ij C(n_ij, 2),
+    * r = sum_i C(n_i., 2), c = sum_j C(n_.j, 2), T = C(N, 2), the
+    * index is (T + 2a - r - c) / T — all exact integers and one IEEE
+    * division, so the e6 pin is engine-independent.
+    *
+    * Scale shape: one id-keyed join, one (labelA, labelB)-keyed count
+    * (contingency cells — label-pair-sized, tiny), then three
+    * one-row aggregates combined by broadcast. Items present in only
+    * one clustering are excluded (inner join). Output: one row —
+    * n_items, a_pairs, row_pairs, col_pairs, total_pairs, rand. */
+  def randIndex(a: DataFrame, idA: String, labA: String,
+                b: DataFrame, idB: String, labB: String): DataFrame = {
+    val j = a.select(col(idA).cast("long").as("__id"),
+        col(labA).cast("long").as("__la"))
+      .join(b.select(col(idB).cast("long").as("__id"),
+        col(labB).cast("long").as("__lb")), "__id")
+    val cells = j.groupBy(col("__la"), col("__lb"))
+      .agg(count(lit(1)).as("__n"))
+    val st = cells.agg(sum(col("__n")).as("__nt"),
+      sum(col("__n") * (col("__n") - 1)).as("__sc"))
+    val rt = cells.groupBy(col("__la")).agg(sum(col("__n")).as("__nr"))
+      .agg(sum(col("__nr") * (col("__nr") - 1)).as("__sr"))
+    val ct = cells.groupBy(col("__lb")).agg(sum(col("__n")).as("__nc"))
+      .agg(sum(col("__nc") * (col("__nc") - 1)).as("__scc"))
+    st.crossJoin(broadcast(rt)).crossJoin(broadcast(ct))
+      .select(col("__nt").as("n_items"),
+        expr("__sc DIV 2").as("a_pairs"),
+        expr("__sr DIV 2").as("row_pairs"),
+        expr("__scc DIV 2").as("col_pairs"),
+        expr("(__nt * (__nt - 1)) DIV 2").as("total_pairs"))
+      .withColumn("rand",
+        (col("total_pairs") + lit(2L) * col("a_pairs") -
+          col("row_pairs") - col("col_pairs")).cast("double") /
+          col("total_pairs").cast("double"))
+  }
+
   /** The mergeable state behind [[ksDrift]]: per-(key, bin) counts
     * under a FIXED (lo, width) binning. Counts merge by SUM, so a
     * persisted table folds streaming micro-batches / corpus deltas

@@ -1569,7 +1569,29 @@ object NorthStar {
       .ordered(col("doc_id"))
   }
 
+  // q139 — cross-view cluster agreement: the Rand index between the
+  // q117 text-derived communities and the embedding labels for the
+  // shared ids (doc_id == vec_id in the fixture) — "do text near-dup
+  // communities line up with embedding-space structure". All-integer
+  // pair counting (see StatsOps.randIndex).
+  private val q139: Q = (s, dir) => {
+    val pairs = DedupOps.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", n = 2, threshold = 0.1)
+      .select(col("id1"), col("id2"))
+    val edges = pairs.union(pairs.select(col("id2"), col("id1")))
+    val comm = GraphOps.labelPropagation(edges, "id1", "id2", iters = 3)
+    graft.operators.StatsOps.randIndex(
+        comm, "node", "community",
+        t(s, dir, "embeddings"), "vec_id", "label")
+      .select(col("n_items"), col("a_pairs"), col("row_pairs"),
+        col("col_pairs"), col("total_pairs"),
+        e6(col("rand")).as("rand_e6"))
+      .ordered(col("n_items"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q139_cluster_agreement" -> q139,
     "q138_weighted_pagerank" -> q138,
     "q137_rrf_fusion" -> q137,
     "q136_cluster_downsample" -> q136,
@@ -4511,7 +4533,73 @@ object NorthStar {
        |FROM p3 ORDER BY doc_id""".stripMargin
   }
 
+  /** q139 oracle: the q117 label chain, joined to the embeddings
+    * labels, then the all-integer pair-counting Rand index
+    * (StatsOps.randIndex exactly). */
+  private val q139Sql: String = {
+    def round(i: Int): String =
+      s"""c$i AS (
+         |  SELECT e.dst, l${i - 1}.lab, COUNT(*) AS c
+         |  FROM e JOIN l${i - 1} ON e.src = l${i - 1}.node
+         |  GROUP BY e.dst, l${i - 1}.lab),
+         |b$i AS (
+         |  SELECT dst, lab FROM (
+         |    SELECT dst, lab,
+         |           ROW_NUMBER() OVER (PARTITION BY dst
+         |                              ORDER BY c DESC, lab) AS rk
+         |    FROM c$i) WHERE rk = 1),
+         |l$i AS (
+         |  SELECT l${i - 1}.node, COALESCE(b$i.lab, l${i - 1}.lab) AS lab
+         |  FROM l${i - 1} LEFT JOIN b$i ON b$i.dst = l${i - 1}.node)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents WHERE doc_id < 500),
+       |s AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(toks) >= 2
+       |              THEN list_distinct(list_transform(range(1, len(toks)),
+       |                     i -> array_to_string(toks[i:i+1], ' ')))
+       |              ELSE [] END AS sh
+       |  FROM d),
+       |inv AS (SELECT doc_id, unnest(sh) AS s1 FROM s),
+       |pp AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+       |  FROM inv a JOIN inv b ON a.s1 = b.s1 AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+       |fil AS (
+       |  SELECT id1, id2 FROM pp
+       |  JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+       |  WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.1),
+       |e AS (SELECT id1 AS src, id2 AS dst FROM fil
+       |      UNION ALL SELECT id2, id1 FROM fil),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |jn AS (SELECT l3.lab AS la, emb.label AS lb
+       |       FROM l3 JOIN embeddings emb ON emb.vec_id = l3.node),
+       |cells AS (SELECT la, lb, COUNT(*) AS n FROM jn GROUP BY 1, 2),
+       |st AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+       |              CAST(SUM(n * (n - 1)) AS BIGINT) AS sc FROM cells),
+       |rt AS (SELECT CAST(SUM(nr * (nr - 1)) AS BIGINT) AS sr
+       |       FROM (SELECT CAST(SUM(n) AS BIGINT) AS nr FROM cells
+       |             GROUP BY la)),
+       |ct AS (SELECT CAST(SUM(nc * (nc - 1)) AS BIGINT) AS scc
+       |       FROM (SELECT CAST(SUM(n) AS BIGINT) AS nc FROM cells
+       |             GROUP BY lb))
+       |SELECT st.nt AS n_items, st.sc // 2 AS a_pairs,
+       |       rt.sr // 2 AS row_pairs, ct.scc // 2 AS col_pairs,
+       |       (st.nt * (st.nt - 1)) // 2 AS total_pairs,
+       |       ${sqlE6("""CAST((st.nt * (st.nt - 1)) // 2 + 2 * (st.sc // 2) -
+         rt.sr // 2 - ct.scc // 2 AS DOUBLE) /
+         CAST((st.nt * (st.nt - 1)) // 2 AS DOUBLE)""")} AS rand_e6
+       |FROM st CROSS JOIN rt CROSS JOIN ct
+       |ORDER BY n_items""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q139_cluster_agreement" -> q139Sql,
     "q138_weighted_pagerank" -> q138Sql,
     "q137_rrf_fusion" -> q137Sql,
     "q136_cluster_downsample" -> q136Sql,

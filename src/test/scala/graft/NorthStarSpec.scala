@@ -1241,6 +1241,27 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) == ((2L, 1L)))
   }
 
+  test("rand index: identical clusterings score 1, a half-crossed " +
+      "partition scores 1/3") {
+    import spark.implicits._
+    import graft.operators.StatsOps
+    val a = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L))
+      .toDF("id", "lab")
+    val same = StatsOps.randIndex(a, "id", "lab", a, "id", "lab")
+      .collect().head
+    assert(same.getAs[Long]("n_items") == 4L)
+    assert(same.getAs[Double]("rand") == 1.0)
+    // B = {1,3}, {2,4}: every cell is 1 -> a=0, r=c=2, T=6 ->
+    // (6 + 0 - 2 - 2)/6 = 1/3
+    val b = Seq((1L, 7L), (3L, 7L), (2L, 8L), (4L, 8L))
+      .toDF("id", "lab")
+    val crossed = StatsOps.randIndex(a, "id", "lab", b, "id", "lab")
+      .collect().head
+    assert(crossed.getAs[Long]("a_pairs") == 0L)
+    assert(crossed.getAs[Long]("total_pairs") == 6L)
+    assert(math.abs(crossed.getAs[Double]("rand") - 1.0 / 3.0) < 1e-15)
+  }
+
   test("weighted pagerank hand trace: mass follows edge weight") {
     import spark.implicits._
     // 1 -> 2 (w=1000), 1 -> 3 (w=3000); one round, d=0.85, n=3:

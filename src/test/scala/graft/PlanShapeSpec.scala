@@ -338,8 +338,9 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     "q129_ks_drift",      // <=bins-row live-bin grid against keys
     "q130_collocations",  // 1-row unigram/bigram totals vs pair table
     "q131_calibration",   // 1-row corpus count against ranked scores
-    "q137_rrf_fusion")    // brute-force retriever side: query broadcast
+    "q137_rrf_fusion",    // brute-force retriever side: query broadcast
                           // (the q28 shape feeding the fusion)
+    "q139_cluster_agreement") // three 1-row pair-sum brackets combined
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
