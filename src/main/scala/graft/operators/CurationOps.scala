@@ -1423,4 +1423,111 @@ object CurationOps {
       .withColumn("is_template",
         col("n_boiler") * 100 >= col("n_grams") * 50)
   }
+
+  /** Data-mixing reweighting: given per-group target mixture shares
+    * (the "pretraining mix" table — e.g. 30% en, 25% code, ...),
+    * compute each group's natural weight share and the sampling rate
+    * that would realize the target from this corpus, capped at
+    * `maxRate` effective epochs (the standard "don't repeat a small
+    * source more than N times" rule). Groups absent from `targets`
+    * get target share 0 (rate 0 — excluded from the mix).
+    *
+    * Scale shape: one weight aggregation over the corpus (map-side
+    * combined), a broadcast join against the tiny targets table, and
+    * a broadcast of the single-row total — no windows, no
+    * single-partition exchange. Weights are exact integer sums, so
+    * nat_share / rate / expected weight are each one IEEE division or
+    * multiply on exact operands — engine-independent.
+    *
+    * Output per group: n_rows, weight (sum of weightCol), tgt_share
+    * (echoed), nat_share, rate (min(maxRate, tgt*total/weight)),
+    * exp_weight (round(rate*weight) — the token count the mix would
+    * draw from this group). */
+  def mixtureReweight(df: DataFrame, groupCol: String, weightCol: Column,
+                      targets: Seq[(String, Double)],
+                      maxRate: Double): DataFrame = {
+    require(maxRate > 0, s"maxRate must be > 0, got $maxRate")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = df.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(weightCol.cast("long")).as("weight"))
+    val tgt = targets.toDF("group", "tgt_share")
+    val total = w.agg(sum(col("weight")).as("__total"))
+    w.join(broadcast(tgt), Seq("group"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("tgt_share", coalesce(col("tgt_share"), lit(0.0)))
+      .withColumn("nat_share",
+        col("weight").cast("double") / col("__total"))
+      .withColumn("rate",
+        least(lit(maxRate),
+          col("tgt_share") * col("__total") / col("weight")))
+      .withColumn("exp_weight",
+        round(col("rate") * col("weight"), 0).cast("long"))
+      .select(col("group"), col("n_rows"), col("weight"),
+        col("nat_share"), col("tgt_share"), col("rate"),
+        col("exp_weight"))
+  }
+
+  /** Per-group z-score feature normalization + composite ranking: the
+    * "normalize quality signals within each language, then take the
+    * best K docs per language" selection step. Signals MUST be
+    * integer-valued columns (counts, lengths): group moments are then
+    * exact BIGINT sums, and mean / sd / z are a fixed sequence of IEEE
+    * ops on exact operands — engine-independent, unlike
+    * stddev_samp-style streaming accumulators whose result depends on
+    * partial-aggregation order.
+    *
+    * sd uses the sample form sqrt((ss - s*s/n) / (n-1)) computed in
+    * DOUBLE; a zero-variance or singleton group contributes z = 0.
+    * composite = sum_i weight_i * z_i, folded left-to-right in signal
+    * order. One corpus scan, one group aggregation (broadcast back),
+    * one per-group top-K window over rows already shuffled by group.
+    *
+    * Output: group, id, the raw signals, composite, rank (1..topK by
+    * composite desc, id asc tiebreak). */
+  def zScoreRank(df: DataFrame, groupCol: String, idCol: String,
+                 signals: Seq[(String, Column, Double)],
+                 topK: Int): DataFrame = {
+    require(signals.nonEmpty && topK >= 1,
+      s"need signals and topK >= 1, got ${signals.size}, $topK")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(
+      col(groupCol).as("group") +: col(idCol).as("id") +:
+        signals.map { case (n, c, _) => c.cast("long").as(n) }: _*)
+    val momentAggs = signals.flatMap { case (n, _, _) =>
+      Seq(sum(col(n)).as(s"__s_$n"),
+        sum(col(n) * col(n)).as(s"__ss_$n"))
+    }
+    val allAggs = count(lit(1)).as("__n") +: momentAggs
+    val moments = base.groupBy(col("group"))
+      .agg(allAggs.head, allAggs.tail: _*)
+    val zCols = signals.map { case (n, _, _) =>
+      val nn = col("__n").cast("double")
+      val s = col(s"__s_$n").cast("double")
+      val ss = col(s"__ss_$n").cast("double")
+      val mean = s / nn
+      // gate on the (exact-operand) variance numerator, not the sd:
+      // sqrt never runs on a <= 0 argument, so zero-variance groups
+      // can't diverge across engines on NaN semantics
+      val varNum = ss - s * s / nn
+      val sd = sqrt(varNum / (nn - lit(1.0)))
+      when(col("__n") > 1 && varNum > 0,
+        (col(n).cast("double") - mean) / sd).otherwise(lit(0.0))
+        .as(s"__z_$n")
+    }
+    val composite = signals.map { case (n, _, w) =>
+      lit(w) * col(s"__z_$n")
+    }.reduceLeft(_ + _)
+    val ranked = base.join(moments, "group")
+      .select(col("group") +: col("id") +:
+        (signals.map { case (n, _, _) => col(n) } ++ zCols): _*)
+      .withColumn("composite", composite)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("group"))
+        .orderBy(col("composite").desc, col("id"))))
+      .filter(col("rank") <= topK)
+    ranked.select(col("group") +: col("id") +:
+      (signals.map { case (n, _, _) => col(n) } :+
+        col("composite") :+ col("rank")): _*)
+  }
 }

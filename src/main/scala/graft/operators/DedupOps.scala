@@ -832,4 +832,26 @@ object DedupOps {
           .as("n_novel"))
       .select(col("__id").as(idCol), col("n_grams"), col("n_novel"))
   }
+
+  /** Pair-greedy duplicate resolution: given candidate pairs with
+    * id1 < id2 (any near-dup family's output), drop every doc that
+    * appears as the LARGER side of at least one pair — the standard
+    * "keep the first occurrence" rule applied edge-wise. Unlike
+    * [[connectedComponents]] resolution this is non-transitive (a
+    * kept doc may still near-duplicate a dropped doc through a
+    * chain), but it is one anti-join — no iteration — which is why
+    * production dedup passes use it when cluster-exactness isn't
+    * required.
+    *
+    * Scale shape: distinct id2 set (already pair-sized, far smaller
+    * than the corpus) left-anti-joined against the docs — one
+    * shuffle, AQE broadcasts the drop set when it is small. Returns
+    * the doc rows plus a `keep` flag (true = survives). */
+  def greedyPairDrop(docs: DataFrame, idCol: String,
+                     pairs: DataFrame): DataFrame = {
+    val dropIds = pairs.select(col("id2").as("__drop")).distinct()
+    docs.join(dropIds, docs(idCol) === col("__drop"), "left")
+      .withColumn("keep", col("__drop").isNull)
+      .drop("__drop")
+  }
 }

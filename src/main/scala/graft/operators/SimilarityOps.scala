@@ -1178,4 +1178,64 @@ object SimilarityOps {
         col("rk"), col("n"),
         (col("rk") * 100 <= col("n") * outlierPct).as("is_outlier"))
   }
+
+  /** Per-label embedding-space skew: the cosine of each label's
+    * centroid against the global centroid — "which classes sit off to
+    * one side of the corpus" (embedding drift / source-skew report).
+    *
+    * Cross-engine determinism is the whole design: raw float sums are
+    * partial-aggregation-order dependent, so elements are first
+    * quantized to exact integers (round(x * 1e6) as BIGINT), per-
+    * (label, dim) sums are then EXACT, the global dim sums are exact
+    * sums of those, and each centroid component is one IEEE division.
+    * Components are assembled in dim order and the cosine is the
+    * [[graft.functions.VectorExprs.vectorDot]] left-to-right fold —
+    * the same op sequence the DuckDB oracle replays, so the doubles
+    * match bit-for-bit before any final rounding.
+    *
+    * Scale shape: one posexplode scan, a (label x dim)-keyed partial
+    * aggregation (bounded: labels x dims rows), then driver-sized
+    * centroid assembly — no vector collect_list over raw rows, no
+    * all-pairs. Output: label, n_vecs, cosg (cos vs global), cnorm,
+    * gnorm (centroid L2 norms, micro-unit scale of the quantization).
+    */
+  def labelCentroidSkew(df: DataFrame, vecCol: String,
+                        labelCol: String): DataFrame = {
+    val q = df
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)))
+      .select(col("label"), col("pos"),
+        round(col("col").cast("double") * lit(1e6), 0).cast("long")
+          .as("q"))
+    val perLabelPos = q.groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+    def toVec(grouped: DataFrame, keyCols: Seq[Column],
+              extra: Seq[Column]): DataFrame = {
+      val aggs = array_sort(collect_list(struct(col("pos"), col("c"))))
+        .as("__pc") +: extra
+      grouped
+        .groupBy(keyCols: _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("__v", transform(col("__pc"), _.getField("c")))
+        .drop("__pc")
+    }
+    val lab = toVec(
+      perLabelPos.withColumn("c", col("s").cast("double") / col("n")),
+      Seq(col("label")), Seq(max(col("n")).as("n_vecs")))
+    val glob = toVec(
+      perLabelPos.groupBy(col("pos"))
+        .agg(sum(col("s")).as("gs"), sum(col("n")).as("gn"))
+        .withColumn("c", col("gs").cast("double") / col("gn")),
+      Seq(lit(1).as("__one")), Seq(count(lit(1)).as("__dims")))
+      .select(col("__v").as("__gv"))
+    val dotLG = graft.functions.VectorExprs.vectorDot(col("__v"),
+      col("__gv"))
+    val cnorm = sqrt(graft.functions.VectorExprs.vectorDot(col("__v"),
+      col("__v")))
+    val gnorm = sqrt(graft.functions.VectorExprs.vectorDot(col("__gv"),
+      col("__gv")))
+    lab.crossJoin(broadcast(glob))
+      .select(col("label"), col("n_vecs"),
+        (dotLG / (cnorm * gnorm)).as("cosg"),
+        cnorm.as("cnorm"), gnorm.as("gnorm"))
+  }
 }

@@ -367,4 +367,85 @@ object TextOps {
         (col("cum_before") + col("__j") * col("n")).as("cum_tokens"),
         col("total").as("total_tokens"))
   }
+
+  /** Distinct (group, term) vocabulary table for a grouped corpus —
+    * the shared scan under [[vocabJaccardPairs]] and
+    * [[vocabMinhashSim]]. One explode + one distinct (term-keyed
+    * partial agg); blank tokens dropped. */
+  private def groupVocab(df: DataFrame, groupCol: String,
+                         textCol: String): DataFrame =
+    df.select(col(groupCol).as("g"),
+        explode(tokens(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+      .distinct()
+
+  /** Exact pairwise vocabulary Jaccard between groups (sources,
+    * shards, snapshots) — "how much wording do two corpora share".
+    * Inverted-index shape: the self-join is keyed on the TERM, so
+    * shared-term counting shuffles by term (partial-aggregated), never
+    * materializes a group cross product, and only emits group pairs
+    * that share at least one term.
+    *
+    * Scale note: a term present in all G groups contributes G(G-1)/2
+    * join rows, so this exact form is for BOUNDED group counts
+    * (sources, snapshots — tens to hundreds). For many groups use
+    * [[vocabMinhashSim]]: k minima per group replace the full vocab,
+    * making the pair stage O(G^2 * k) on k-row signatures instead of
+    * O(G^2 * sharedVocab).
+    *
+    * Output: g1, g2 (g1 < g2), v1, v2 (distinct-term counts), shared,
+    * jaccard — counts exact integers, jaccard one IEEE division. */
+  def vocabJaccardPairs(df: DataFrame, groupCol: String,
+                        textCol: String): DataFrame = {
+    val vocab = groupVocab(df, groupCol, textCol)
+    val sizes = vocab.groupBy(col("g")).agg(count(lit(1)).as("v"))
+    vocab.as("a").join(vocab.as("b"),
+        col("a.t") === col("b.t") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("g1"), col("b.g").as("g2"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("g").as("g1"), col("v").as("v1")), "g1")
+      .join(sizes.select(col("g").as("g2"), col("v").as("v2")), "g2")
+      .select(col("g1"), col("g2"), col("v1"), col("v2"), col("shared"),
+        (col("shared").cast("double") /
+          (col("v1") + col("v2") - col("shared"))).as("jaccard"))
+  }
+
+  /** k-minimum md5 signature of each group's vocabulary: one row per
+    * (group, seed in [0,k)) holding min over the group's distinct
+    * terms of md5Hash32(seed + ":" + term). The group's entire
+    * vocabulary collapses to k longs — the sketch [[vocabMinhashSim]]
+    * compares. Cross-engine deterministic (md5 idiom, no RNG). */
+  def vocabMinhashSketch(df: DataFrame, groupCol: String,
+                         textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val seeds = array((0 until k).map(lit): _*)
+    groupVocab(df, groupCol, textCol)
+      .select(col("g"), col("t"), explode(seeds).as("seed"))
+      .select(col("g"), col("seed"),
+        graft.operators.CurationOps.md5Hash32(
+          concat(col("seed").cast("string"), lit(":"), col("t")))
+          .as("h"))
+      .groupBy(col("g"), col("seed"))
+      .agg(min(col("h")).as("minh"))
+  }
+
+  /** Estimated pairwise vocabulary Jaccard from k-min signatures: the
+    * match fraction of the two groups' signature components is an
+    * unbiased Jaccard estimate (one-permutation MinHash argument).
+    * The pair join runs on G*k signature rows — independent of vocab
+    * size — so it scales to group counts where [[vocabJaccardPairs]]'s
+    * exact term join cannot. Output: g1, g2, k, matches, est_jaccard
+    * (= matches/k, one division). */
+  def vocabMinhashSim(df: DataFrame, groupCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    val sig = vocabMinhashSketch(df, groupCol, textCol, k)
+    sig.as("a").join(sig.as("b"),
+        col("a.seed") === col("b.seed") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("g1"), col("b.g").as("g2"))
+      .agg(sum(when(col("a.minh") === col("b.minh"), 1L)
+        .otherwise(0L)).as("matches"))
+      .select(col("g1"), col("g2"), lit(k).as("k"), col("matches"),
+        (col("matches").cast("double") / lit(k.toDouble))
+          .as("est_jaccard"))
+  }
 }

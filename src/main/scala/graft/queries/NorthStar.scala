@@ -1590,7 +1590,155 @@ object NorthStar {
       .ordered(col("n_items"))
   }
 
+  // q140 — semi-structured property extraction: parse the events
+  // table's JSON `props` payload (get_json_object — codegen'd, no
+  // UDF) and aggregate the extracted field per event type. The scan
+  // stays one pass; the oracle replays the extraction with a core
+  // regexp (no DuckDB JSON extension dependency) — equivalent on the
+  // {"k": N} payload contract.
+  private val q140: Q = (s, dir) => {
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"),
+        e6(sum(col("k")).cast("double") / count(col("k")))
+          .as("k_avg_e6"))
+      .ordered(col("event_type"))
+  }
+
+  /** q141's pretraining-mix target shares (sum to 1.0; en upweighted,
+    * the rest spread) — the operator is generic, the query pins a
+    * concrete mix. */
+  private val MixTargets: Seq[(String, Double)] = Seq(
+    "en" -> 0.30, "zh" -> 0.25, "es" -> 0.15, "de" -> 0.15,
+    "fr" -> 0.15)
+
+  // q141 — data-mixing reweighting: token-weighted sampling rates per
+  // language realizing a target mixture, capped at 4 effective
+  // epochs (CurationOps.mixtureReweight).
+  private val q141: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    CurationOps.mixtureReweight(d, "lang",
+        TextOps.tokenCount(col("text")), MixTargets, maxRate = 4.0)
+      .select(col("group").as("lang"), col("n_rows"),
+        col("weight").as("tokens"),
+        e6(col("nat_share")).as("nat_e6"),
+        e6(col("tgt_share")).as("tgt_e6"),
+        e6(col("rate")).as("rate_e6"),
+        col("exp_weight").as("exp_tokens"))
+      .ordered(col("lang"))
+  }
+
+  // q142 — exact pairwise source-vocabulary Jaccard (term-keyed
+  // inverted-index join; 20 sources -> 190 pairs). The sketch twin
+  // is q143.
+  private val q142: Q = (s, dir) => {
+    TextOps.vocabJaccardPairs(t(s, dir, "documents"), "source", "text")
+      .select(col("g1"), col("g2"), col("v1"), col("v2"), col("shared"),
+        e6(col("jaccard")).as("jacc_e6"))
+      .ordered(col("g1"), col("g2"))
+  }
+
+  // q143 — k-min MinHash sketch of each source's vocabulary and the
+  // signature-agreement Jaccard estimate: the scale path of q142
+  // (pair stage sees k longs per source, never the vocabularies).
+  private val q143: Q = (s, dir) => {
+    TextOps.vocabMinhashSim(t(s, dir, "documents"), "source", "text",
+        k = 16)
+      .select(col("g1"), col("g2"), col("k"), col("matches"),
+        e6(col("est_jaccard")).as("est_e6"))
+      .ordered(col("g1"), col("g2"))
+  }
+
+  // q144 — tokenizer fertility per language: whitespace tokens vs
+  // BPE-ish subword splits vs chars, all exact integer sums with one
+  // final division each (the chars-per-token / subwords-per-token
+  // report that sizes a tokenizer for a corpus).
+  private val q144: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .select(col("lang"),
+        TextOps.tokenCount(col("text")).as("nt"),
+        TextOps.subwordCount(col("text")).as("ns"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens"),
+        sum(col("ns")).as("subwords"), sum(col("nc")).as("chars"))
+      .select(col("lang"), col("n_docs"), col("tokens"),
+        col("subwords"), col("chars"),
+        e6(col("subwords").cast("double") / col("tokens"))
+          .as("fert_e6"),
+        e6(col("chars").cast("double") / col("subwords")).as("cps_e6"),
+        e6(col("chars").cast("double") / col("tokens")).as("cpt_e6"))
+      .ordered(col("lang"))
+  }
+
+  // q145 — per-label embedding centroid skew vs the global centroid
+  // (SimilarityOps.labelCentroidSkew): integer-quantized exact sums,
+  // fold-ordered cosine — bit-equal doubles before rounding.
+  private val q145: Q = (s, dir) => {
+    SimilarityOps.labelCentroidSkew(t(s, dir, "embeddings"),
+        "embedding", "label")
+      .select(col("label"), col("n_vecs"),
+        e6(col("cosg")).as("cosg_e6"),
+        round(col("cnorm"), 0).cast("long").as("cnorm"),
+        round(col("gnorm"), 0).cast("long").as("gnorm"))
+      .ordered(col("label"))
+  }
+
+  // q146 — dedup impact report: pair-greedy resolution of the 2-gram
+  // Jaccard near-dup pairs (DedupOps.greedyPairDrop), rolled up to
+  // docs/tokens kept vs dropped per source — the "what did dedup cost
+  // each source" accounting a curation run ships with.
+  private val q146: Q = (s, dir) => {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 500)
+    val pairs = DedupOps.ngramJaccardPairs(d, "doc_id", "text", n = 2,
+      threshold = 0.1)
+    DedupOps.greedyPairDrop(d, "doc_id", pairs)
+      .select(col("source"), col("keep"),
+        TextOps.tokenCount(col("text")).as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("nt")).as("tokens_total"),
+        sum(when(col("keep"), col("nt")).otherwise(0L))
+          .as("tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("tokens_total"), col("tokens_kept"),
+        e6((col("tokens_total") - col("tokens_kept")).cast("double") /
+          col("tokens_total")).as("drop_e6"))
+      .ordered(col("source"))
+  }
+
+  // q147 — per-language z-score composite quality ranking
+  // (CurationOps.zScoreRank): integer signals -> exact group moments
+  // -> engine-independent z-scores, top-5 docs per language.
+  private val q147: Q = (s, dir) => {
+    val stopArr = array(Stopwords.map(lit): _*)
+    val toks = TextOps.tokens(col("text"))
+    CurationOps.zScoreRank(t(s, dir, "documents"), "lang", "doc_id",
+        Seq(
+          ("n_tokens", TextOps.tokenCount(col("text")), 1.0),
+          ("n_stop",
+            size(filter(toks, x => array_contains(stopArr, x))), -1.0),
+          ("n_chars", length(col("text")), 0.5)),
+        topK = 5)
+      .select(col("group").as("lang"), col("id").as("doc_id"),
+        col("n_tokens"), col("n_stop"), col("n_chars"),
+        e6(col("composite")).as("comp_e6"), col("rank"))
+      .ordered(col("lang"), col("rank"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q147_zscore_rank" -> q147,
+    "q146_dedup_impact" -> q146,
+    "q145_centroid_skew" -> q145,
+    "q144_token_fertility" -> q144,
+    "q143_vocab_sketch" -> q143,
+    "q142_vocab_jaccard" -> q142,
+    "q141_mixture_reweight" -> q141,
+    "q140_props_extract" -> q140,
     "q139_cluster_agreement" -> q139,
     "q138_weighted_pagerank" -> q138,
     "q137_rrf_fusion" -> q137,
@@ -4598,7 +4746,227 @@ object NorthStar {
        |ORDER BY n_items""".stripMargin
   }
 
+  /** q140 oracle: the JSON `props` field via a core regexp (DuckDB's
+    * JSON functions live in an extension; the {"k": N} payload makes
+    * the regexp extraction exactly equivalent to $.k). */
+  private val q140Sql: String =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |         CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1),
+       |                     '') AS BIGINT) AS k
+       |  FROM events)
+       |SELECT event_type, COUNT(*) AS n,
+       |       CAST(SUM(k) AS BIGINT) AS k_sum,
+       |       MIN(k) AS k_min, MAX(k) AS k_max,
+       |       ${sqlE6("CAST(SUM(k) AS DOUBLE) / COUNT(k)")} AS k_avg_e6
+       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q141 oracle: mixtureReweight's exact integer weights + one
+    * division / LEAST per derived column, target shares inlined as a
+    * VALUES table. */
+  private val q141Sql: String =
+    s"""WITH d AS (
+       |  SELECT lang,
+       |         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS nt
+       |  FROM documents),
+       |w AS (SELECT lang, COUNT(*) AS n_rows,
+       |             CAST(SUM(nt) AS BIGINT) AS tokens
+       |      FROM d GROUP BY lang),
+       |tgt AS (SELECT * FROM (VALUES ('en', 0.30), ('zh', 0.25),
+       |        ('es', 0.15), ('de', 0.15), ('fr', 0.15)) t(g, ts)),
+       |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM w)
+       |SELECT w.lang, w.n_rows, w.tokens,
+       |       ${sqlE6("CAST(w.tokens AS DOUBLE) / tot.total")} AS nat_e6,
+       |       ${sqlE6("COALESCE(tgt.ts, 0.0)")} AS tgt_e6,
+       |       ${sqlE6("LEAST(4.0, COALESCE(tgt.ts, 0.0) * tot.total / w.tokens)")} AS rate_e6,
+       |       CAST(ROUND(LEAST(4.0, COALESCE(tgt.ts, 0.0) * tot.total
+       |                  / w.tokens) * w.tokens, 0) AS BIGINT)
+       |         AS exp_tokens
+       |FROM w LEFT JOIN tgt ON w.lang = tgt.g CROSS JOIN tot
+       |ORDER BY w.lang""".stripMargin
+
+  /** Shared distinct (group, term) vocabulary CTE body for
+    * q142/q143 (mirrors TextOps.groupVocab: whitespace tokens,
+    * blanks dropped). */
+  private def sqlGroupVocab(groupCol: String): String =
+    s"""v AS (
+       |  SELECT DISTINCT g, t FROM (
+       |    SELECT $groupCol AS g,
+       |           unnest(regexp_split_to_array(lower(trim(text)),
+       |                  '\\s+')) AS t
+       |    FROM documents)
+       |  WHERE t <> '')""".stripMargin
+
+  /** q142 oracle: exact pairwise vocab Jaccard — term-keyed self-join
+    * on the distinct vocabulary, count/size arithmetic all integer. */
+  private val q142Sql: String =
+    s"""WITH ${sqlGroupVocab("source")},
+       |s AS (SELECT g, COUNT(*) AS v FROM v GROUP BY g),
+       |p AS (SELECT a.g AS g1, b.g AS g2, COUNT(*) AS shared
+       |      FROM v a JOIN v b ON a.t = b.t AND a.g < b.g
+       |      GROUP BY 1, 2)
+       |SELECT g1, g2, x.v AS v1, y.v AS v2, shared,
+       |       ${sqlE6("CAST(shared AS DOUBLE) / (x.v + y.v - shared)")} AS jacc_e6
+       |FROM p JOIN s x ON g1 = x.g JOIN s y ON g2 = y.g
+       |ORDER BY g1, g2""".stripMargin
+
+  /** q143 oracle: k-min md5 vocabulary signatures (the md5Hash32
+    * idiom, seed || ':' || term) and the signature match fraction. */
+  private val q143Sql: String = {
+    val h = sqlHex32("md5(CAST(seed AS VARCHAR) || ':' || t)")
+    s"""WITH ${sqlGroupVocab("source")},
+       |sig AS (
+       |  SELECT g, seed, MIN($h) AS minh
+       |  FROM v CROSS JOIN range(0, 16) r(seed)
+       |  GROUP BY g, seed),
+       |p AS (SELECT a.g AS g1, b.g AS g2,
+       |             CAST(SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0
+       |                  END) AS BIGINT) AS matches
+       |      FROM sig a JOIN sig b ON a.seed = b.seed AND a.g < b.g
+       |      GROUP BY 1, 2)
+       |SELECT g1, g2, 16 AS k, matches,
+       |       ${sqlE6("CAST(matches AS DOUBLE) / 16.0")} AS est_e6
+       |FROM p ORDER BY g1, g2""".stripMargin
+  }
+
+  /** q144 oracle: fertility ratios from exact integer sums (token /
+    * subword mirrors = the q22 constructions). */
+  private val q144Sql: String =
+    s"""WITH d AS (
+       |  SELECT lang,
+       |         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS nt,
+       |         len(list_filter(regexp_split_to_array(lower(text),
+       |             '[^a-z0-9]+'), t -> len(t) > 0)) AS ns,
+       |         length(text) AS nc
+       |  FROM documents),
+       |a AS (SELECT lang, COUNT(*) AS n_docs,
+       |             CAST(SUM(nt) AS BIGINT) AS tokens,
+       |             CAST(SUM(ns) AS BIGINT) AS subwords,
+       |             CAST(SUM(nc) AS BIGINT) AS chars
+       |      FROM d GROUP BY lang)
+       |SELECT lang, n_docs, tokens, subwords, chars,
+       |       ${sqlE6("CAST(subwords AS DOUBLE) / tokens")} AS fert_e6,
+       |       ${sqlE6("CAST(chars AS DOUBLE) / subwords")} AS cps_e6,
+       |       ${sqlE6("CAST(chars AS DOUBLE) / tokens")} AS cpt_e6
+       |FROM a ORDER BY lang""".stripMargin
+
+  /** q145 oracle: labelCentroidSkew replayed — integer-quantized
+    * element sums, one division per centroid component, list
+    * assembly in dim order, and the sqlDot left-to-right fold. */
+  private val q145Sql: String =
+    s"""WITH q AS (
+       |  SELECT label, i.i AS pos,
+       |         CAST(ROUND(embedding[i.i]::DOUBLE * 1e6, 0) AS BIGINT)
+       |           AS qv
+       |  FROM embeddings CROSS JOIN range(1, ${Dims + 1}) i(i)),
+       |lp AS (SELECT label, pos, CAST(SUM(qv) AS BIGINT) AS s,
+       |              COUNT(*) AS n
+       |       FROM q GROUP BY label, pos),
+       |lv AS (SELECT label, MAX(n) AS n_vecs,
+       |              list(CAST(s AS DOUBLE) / n ORDER BY pos) AS v
+       |       FROM lp GROUP BY label),
+       |gp AS (SELECT pos, CAST(SUM(s) AS BIGINT) AS gs,
+       |              CAST(SUM(n) AS BIGINT) AS gn
+       |       FROM lp GROUP BY pos),
+       |gl AS (SELECT list(CAST(gs AS DOUBLE) / gn ORDER BY pos) AS g
+       |       FROM gp)
+       |SELECT label, n_vecs,
+       |       ${sqlE6(s"${sqlDot("v", "g")} / (sqrt(${sqlDot("v", "v")}) * sqrt(${sqlDot("g", "g")}))")} AS cosg_e6,
+       |       CAST(ROUND(sqrt(${sqlDot("v", "v")}), 0) AS BIGINT) AS cnorm,
+       |       CAST(ROUND(sqrt(${sqlDot("g", "g")}), 0) AS BIGINT) AS gnorm
+       |FROM lv CROSS JOIN gl ORDER BY label""".stripMargin
+
+  /** q146 oracle: the q138 2-gram Jaccard pair chain (threshold 0.1,
+    * doc_id < 500), pair-greedy drop of every id2, rolled up to
+    * docs/tokens kept per source. */
+  private val q146Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents WHERE doc_id < 500),
+       |s AS (
+       |  SELECT doc_id, source, len(toks) AS nt,
+       |         CASE WHEN len(toks) >= 2
+       |              THEN list_distinct(list_transform(range(1, len(toks)),
+       |                     i -> array_to_string(toks[i:i+1], ' ')))
+       |              ELSE [] END AS sh
+       |  FROM d),
+       |inv AS (SELECT doc_id, unnest(sh) AS s1 FROM s),
+       |pp AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+       |  FROM inv a JOIN inv b ON a.s1 = b.s1 AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+       |fil AS (
+       |  SELECT id1, id2 FROM pp
+       |  JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+       |  WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.1),
+       |dr AS (SELECT DISTINCT id2 FROM fil),
+       |k AS (SELECT s.doc_id, s.source, s.nt,
+       |             dr.id2 IS NULL AS keep
+       |      FROM s LEFT JOIN dr ON s.doc_id = dr.id2)
+       |SELECT source, COUNT(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_kept,
+       |       CAST(SUM(nt) AS BIGINT) AS tokens_total,
+       |       CAST(SUM(CASE WHEN keep THEN nt ELSE 0 END) AS BIGINT)
+       |         AS tokens_kept,
+       |       ${sqlE6("""CAST(SUM(nt) - SUM(CASE WHEN keep THEN nt ELSE 0 END) AS DOUBLE) / SUM(nt)""")} AS drop_e6
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
+
+  /** q147 oracle: zScoreRank replayed — exact integer moments per
+    * language, the identical mean/sd/z op sequence, composite fold
+    * 1.0*z1 + (-1.0)*z2 + 0.5*z3, top-5 by composite desc. */
+  private val q147Sql: String = {
+    def z(x: String, s: String, ss: String): String =
+      s"""CASE WHEN n > 1 AND (CAST($ss AS DOUBLE) -
+         |       CAST($s AS DOUBLE) * CAST($s AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+         |     THEN (CAST($x AS DOUBLE) - CAST($s AS DOUBLE) / CAST(n AS DOUBLE))
+         |          / sqrt((CAST($ss AS DOUBLE) - CAST($s AS DOUBLE) *
+         |              CAST($s AS DOUBLE) / CAST(n AS DOUBLE))
+         |              / (CAST(n AS DOUBLE) - 1.0))
+         |     ELSE 0.0 END""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |         len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+       |           AS n_tokens,
+       |         len(list_filter(regexp_split_to_array(lower(trim(text)),
+       |             '\\s+'), t -> list_contains(['a','the','and','of','to','data'], t)))
+       |           AS n_stop,
+       |         length(text) AS n_chars
+       |  FROM documents),
+       |m AS (SELECT lang, COUNT(*) AS n,
+       |             CAST(SUM(n_tokens) AS BIGINT) AS s1,
+       |             CAST(SUM(n_tokens * n_tokens) AS BIGINT) AS ss1,
+       |             CAST(SUM(n_stop) AS BIGINT) AS s2,
+       |             CAST(SUM(n_stop * n_stop) AS BIGINT) AS ss2,
+       |             CAST(SUM(n_chars) AS BIGINT) AS s3,
+       |             CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss3
+       |      FROM d GROUP BY lang),
+       |z AS (SELECT d.doc_id, d.lang, d.n_tokens, d.n_stop, d.n_chars,
+       |             1.0 * (${z("d.n_tokens", "m.s1", "m.ss1")}) +
+       |             (-1.0) * (${z("d.n_stop", "m.s2", "m.ss2")}) +
+       |             0.5 * (${z("d.n_chars", "m.s3", "m.ss3")})
+       |               AS composite
+       |      FROM d JOIN m ON d.lang = m.lang),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+       |               ORDER BY composite DESC, doc_id) AS rank
+       |      FROM z)
+       |SELECT lang, doc_id, n_tokens, n_stop, n_chars,
+       |       ${sqlE6("composite")} AS comp_e6,
+       |       CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q147_zscore_rank" -> q147Sql,
+    "q146_dedup_impact" -> q146Sql,
+    "q145_centroid_skew" -> q145Sql,
+    "q144_token_fertility" -> q144Sql,
+    "q143_vocab_sketch" -> q143Sql,
+    "q142_vocab_jaccard" -> q142Sql,
+    "q141_mixture_reweight" -> q141Sql,
+    "q140_props_extract" -> q140Sql,
     "q139_cluster_agreement" -> q139Sql,
     "q138_weighted_pagerank" -> q138Sql,
     "q137_rrf_fusion" -> q137Sql,

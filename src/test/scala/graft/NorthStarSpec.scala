@@ -1547,4 +1547,88 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
         s"cluster $cid outlier budget wrong")
     }
   }
+
+  test("vocab Jaccard pairs: hand-traced overlap, and the sketch " +
+      "estimate agrees with the exact value on identical/disjoint sets") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "ga", "a b c d"), (2L, "ga", "c d e"), // vocab ga = {a..e}
+      (3L, "gb", "a b c d e"),                    // vocab gb = {a..e}
+      (4L, "gc", "x y z")                         // vocab gc disjoint
+    ).toDF("id", "g", "text")
+    val exact = TextOps.vocabJaccardPairs(df, "g", "text")
+      .collect().map(r => (r.getAs[String]("g1"), r.getAs[String]("g2"))
+        -> (r.getAs[Long]("shared"), r.getAs[Double]("jaccard"))).toMap
+    assert(exact(("ga", "gb")) == ((5L, 1.0))) // identical vocabularies
+    assert(!exact.contains(("ga", "gc"))) // no shared term -> no row
+    assert(!exact.contains(("gb", "gc")))
+    val sk = TextOps.vocabMinhashSim(df, "g", "text", k = 16)
+      .collect().map(r => (r.getAs[String]("g1"), r.getAs[String]("g2"))
+        -> r.getAs[Double]("est_jaccard")).toMap
+    // identical vocabularies agree on every signature component
+    assert(sk(("ga", "gb")) == 1.0)
+    // disjoint vocabularies share a component only on a 2^-32 hash
+    // collision — deterministic fixture, so pin the observed zero
+    assert(math.abs(sk.getOrElse(("ga", "gc"), 0.0)) < 1e-9)
+  }
+
+  test("mixtureReweight: hand-traced rates, caps, and zero-target groups") {
+    import spark.implicits._
+    // weights: a=600, b=300, c=100 (total 1000)
+    val df = Seq(("a", 600L), ("b", 300L), ("c", 100L))
+      .toDF("g", "w")
+    val got = graft.operators.CurationOps.mixtureReweight(df, "g",
+        col("w"), Seq("a" -> 0.2, "b" -> 0.8), maxRate = 2.0)
+      .collect().map(r => r.getAs[String]("group") ->
+        (r.getAs[Double]("nat_share"), r.getAs[Double]("tgt_share"),
+          r.getAs[Double]("rate"), r.getAs[Long]("exp_weight"))).toMap
+    // uncapped, rate*weight collapses to the target draw: 0.2*1000
+    assert(got("a") == ((0.6, 0.2, 0.2 * 1000 / 600, 200L)))
+    // b wants 0.8*1000/300 = 2.67 epochs -> capped at 2.0
+    assert(got("b") == ((0.3, 0.8, 2.0, 600L)))
+    // c has no target -> share 0, rate 0, nothing drawn
+    assert(got("c") == ((0.1, 0.0, 0.0, 0L)))
+  }
+
+  test("zScoreRank: hand-traced z-scores, ranking, and top-K cut") {
+    import spark.implicits._
+    // group g: x = 1, 2, 3 -> mean 2, sd 1, z = -1, 0, 1
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L),
+      ("h", 7L, 5L), ("h", 8L, 5L)).toDF("grp", "id", "x")
+    val got = graft.operators.CurationOps.zScoreRank(df, "grp", "id",
+        Seq(("x", col("x"), 2.0)), topK = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("composite"), r.getAs[Int]("rank"))).toMap
+    assert(got(3L) == ((2.0, 1))) // z=1, weight 2
+    assert(got(2L) == ((0.0, 2)))
+    assert(!got.contains(1L)) // rank 3 cut by topK=2
+    // zero-variance group h: z = 0 for both, id tiebreak
+    assert(got(7L) == ((0.0, 1)) && got(8L) == ((0.0, 2)))
+  }
+
+  test("labelCentroidSkew: symmetric two-label fixture lands at cos 45deg") {
+    import spark.implicits._
+    // label 0 along +x, label 1 along +y; global centroid = (.5, .5)
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val rows = SimilarityOps.labelCentroidSkew(df, "embedding", "label")
+      .collect().map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("cosg"))).toMap
+    assert(rows(0)._1 == 2L && rows(1)._1 == 2L)
+    assert(math.abs(rows(0)._2 - math.sqrt(0.5)) < 1e-9)
+    assert(math.abs(rows(1)._2 - math.sqrt(0.5)) < 1e-9)
+  }
+
+  test("greedyPairDrop: larger pair sides drop, everything else keeps") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 3L), (2L, 3L), (1L, 5L)).toDF("id1", "id2")
+    val kept = DedupOps.greedyPairDrop(docs, "doc_id", pairs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("keep")).toMap
+    assert(kept == Map(1L -> true, 2L -> true, 3L -> false,
+      4L -> true, 5L -> false))
+  }
 }

@@ -340,7 +340,9 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     "q131_calibration",   // 1-row corpus count against ranked scores
     "q137_rrf_fusion",    // brute-force retriever side: query broadcast
                           // (the q28 shape feeding the fusion)
-    "q139_cluster_agreement") // three 1-row pair-sum brackets combined
+    "q139_cluster_agreement", // three 1-row pair-sum brackets combined
+    "q141_mixture_reweight", // 1-row corpus token total vs group table
+    "q145_centroid_skew") // 1-row global-centroid list vs label rows
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
