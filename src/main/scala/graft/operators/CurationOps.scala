@@ -1424,6 +1424,45 @@ object CurationOps {
         col("n_boiler") * 100 >= col("n_grams") * 50)
   }
 
+  /** Quantile normalization across groups (the batch-effect remover):
+    * each row's value is replaced by the GLOBAL value at the same
+    * rank fraction, so every group ends up with an identical score
+    * distribution — "a 90th-percentile doc from a verbose source and
+    * one from a terse source now carry the same normalized score".
+    * Rank-based and integer-exact: within-group rank r of n_g maps to
+    * global rank ceil(r * N / n_g), all in BIGINT arithmetic, then one
+    * equi-join picks the global value — no floating interpolation, so
+    * the result is engine-independent whenever `valueCol` is integer.
+    *
+    * Scale shape: the global side is [[globalRank]] (bucketed rank —
+    * no single-partition sort); the per-group rank is a window over
+    * data already shuffled by group; group sizes join broadcast. The
+    * rank-lookup equi-join shuffles by global rank — uniform by
+    * construction. Ties order by (value, id) on both sides.
+    *
+    * Output: group, id, value, norm (global value at the mapped
+    * rank). */
+  def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
+                        valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("group"),
+      col(idCol).as("id"), col(valueCol).as("value"))
+    val g = globalRank(base, "value", "id", "grank")
+      .select(col("grank"), col("value").as("norm"))
+    val sizes = base.groupBy(col("group"))
+      .agg(count(lit(1)).as("__ng"))
+    val total = base.agg(count(lit(1)).as("__n"))
+    base
+      .withColumn("__r", row_number().over(Window.partitionBy(col("group"))
+        .orderBy(col("value"), col("id"))))
+      .join(broadcast(sizes), "group")
+      .crossJoin(broadcast(total))
+      .withColumn("grank",
+        expr("(__r * __n + __ng - 1) DIV __ng"))
+      .join(g, "grank")
+      .select(col("group"), col("id"), col("value"), col("norm"))
+  }
+
   /** Data-mixing reweighting: given per-group target mixture shares
     * (the "pretraining mix" table — e.g. 30% en, 25% code, ...),
     * compute each group's natural weight share and the sampling rate

@@ -833,6 +833,41 @@ object DedupOps {
       .select(col("__id").as(idCol), col("n_grams"), col("n_novel"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs: |A ∩ B| / |A| and / |B| for
+    * doc pairs sharing at least one n-gram, kept when either direction
+    * clears `threshold`. Containment catches the duplication mode
+    * Jaccard structurally misses — a short doc quoted inside a long
+    * one scores near 1.0 containment but near 0 Jaccard (the long
+    * doc's extra grams swamp the union). Web-scale curation runs both
+    * (RefinedWeb-style) because each filters what the other passes.
+    *
+    * Same inverted-index discipline as [[ngramJaccardPairs]]: the
+    * self-join is gram-keyed, shared counts partial-aggregate, and
+    * only co-occurring pairs materialize — nothing quadratic in docs.
+    * Output: id1 < id2, n1, n2 (distinct gram counts), shared, cont1
+    * (= shared/n1), cont2 (= shared/n2) — counts exact, each
+    * containment one IEEE division. */
+  def ngramContainmentPairs(df: DataFrame, idCol: String,
+                            textCol: String, n: Int,
+                            threshold: Double): DataFrame = {
+    val sh = stagedShingles(df, idCol, textCol, n)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("nsh"))
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.withColumnRenamed("doc_id", "id1")
+        .withColumnRenamed("nsh", "n1"), "id1")
+      .join(sizes.withColumnRenamed("doc_id", "id2")
+        .withColumnRenamed("nsh", "n2"), "id2")
+      .withColumn("cont1", col("shared").cast("double") / col("n1"))
+      .withColumn("cont2", col("shared").cast("double") / col("n2"))
+      .filter(greatest(col("cont1"), col("cont2")) >= threshold)
+      .select(col("id1"), col("id2"), col("n1"), col("n2"),
+        col("shared"), col("cont1"), col("cont2"))
+  }
+
   /** Pair-greedy duplicate resolution: given candidate pairs with
     * id1 < id2 (any near-dup family's output), drop every doc that
     * appears as the LARGER side of at least one pair — the standard

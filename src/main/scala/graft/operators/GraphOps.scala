@@ -345,4 +345,40 @@ object GraphOps {
     eRdd.unpersist(false)
     h.join(a, "node").select(col("node"), col("hub"), col("auth"))
   }
+
+  /** Bounded k-core peeling: `rounds` iterations of "remove every node
+    * with degree < k, then recount". With enough rounds this converges
+    * to the exact k-core; a FIXED round count is declared instead so
+    * the result is replayable as a finite oracle (the GraphOps
+    * iteration contract — same as pageRank/labelPropagation). Edge
+    * contract: callers pass the symmetrized distinct edge list, so
+    * degree = COUNT over outgoing rows.
+    *
+    * Per round: one degree aggregation + two semi joins (both ends
+    * must survive) — all key-partitioned; surviving-edge state is
+    * persisted DISK_ONLY and re-rooted per round like every GraphOps
+    * iteration (lineage kept, round n-1 released). Returns the nodes
+    * still standing after the last peel with their residual degrees:
+    * (node, deg). */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+                k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"bad k=$k or rounds=$rounds")
+    var e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    var prev: Option[RDD[Row]] = None
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("__keep"))
+      val next = e
+        .join(keep, col("src") === col("__keep"), "left_semi")
+        .join(keep, col("dst") === col("__keep"), "left_semi")
+      val (em, rdd) = materializeRound(next, prev)
+      e = em; prev = Some(rdd)
+    }
+    // the result reads from the last persisted round's RDD; it stays
+    // pinned (DISK_ONLY) until the session drops it — same contract as
+    // the other GraphOps iterations' final round
+    e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+  }
 }

@@ -1730,7 +1730,91 @@ object NorthStar {
       .ordered(col("lang"), col("rank"))
   }
 
+  // q148 — cross-modal language skew: documents joined to their
+  // embeddings (doc_id == vec_id), then the q145 centroid-skew
+  // machinery grouped by LANGUAGE instead of cluster label — "are
+  // the languages separated in embedding space". Same operator,
+  // different grouping: labelCentroidSkew is generic over the label
+  // column type.
+  private val q148: Q = (s, dir) => {
+    val joined = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .join(t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+    SimilarityOps.labelCentroidSkew(joined, "embedding", "lang")
+      .select(col("label").as("lang"), col("n_vecs"),
+        e6(col("cosg")).as("cosg_e6"),
+        round(col("cnorm"), 0).cast("long").as("cnorm"))
+      .ordered(col("lang"))
+  }
+
+  // q149 — asymmetric containment pairs: catches short-doc-inside-
+  // long-doc duplication that Jaccard misses
+  // (DedupOps.ngramContainmentPairs).
+  private val q149: Q = (s, dir) => {
+    DedupOps.ngramContainmentPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", n = 3, threshold = 0.5)
+      .select(col("id1"), col("id2"), col("n1"), col("n2"),
+        col("shared"), e6(col("cont1")).as("cont1_e6"),
+        e6(col("cont2")).as("cont2_e6"))
+      .ordered(col("id1"), col("id2"))
+  }
+
+  // q150 — k-core peeling of the near-dup graph: 3 rounds of
+  // "drop nodes with degree < 2" over the symmetrized 2-gram Jaccard
+  // pairs — the dense duplication cores that survive are template
+  // families, the first candidates for aggressive dedup.
+  private val q150: Q = (s, dir) => {
+    val pairs = DedupOps.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", n = 2, threshold = 0.1)
+      .select(col("id1"), col("id2"))
+    val edges = pairs.union(pairs.select(col("id2"), col("id1")))
+    GraphOps.kCorePeel(edges, "id1", "id2", k = 2, rounds = 3)
+      .select(col("node").as("doc_id"), col("deg"))
+      .ordered(col("doc_id"))
+  }
+
+  // q151 — per-user event burstiness: activity concentration over
+  // hourly buckets (peak-hour count vs the mean over ACTIVE hours) —
+  // the bot/spam screen on an event stream. Exact integers + one
+  // final division.
+  private val q151: Q = (s, dir) => {
+    t(s, dir, "events")
+      .withColumn("h", expr("(ts_ns div 1000) div 3600000000"))
+      .groupBy(col("user_id"), col("h"))
+      .agg(count(lit(1)).as("nh"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("nh")).as("n_events"),
+        count(lit(1)).as("n_hours"), max(col("nh")).as("max_hour"))
+      .select(col("user_id"), col("n_events"), col("n_hours"),
+        col("max_hour"),
+        e6((col("max_hour") * col("n_hours")).cast("double") /
+          col("n_events")).as("burst_e6"))
+      .ordered(col("user_id"))
+  }
+
+  // q152 — quantile normalization of doc length across sources
+  // (CurationOps.quantileNormalize): every source's length
+  // distribution is mapped onto the global one — rank-exact integer
+  // arithmetic, no interpolation.
+  private val q152: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    CurationOps.quantileNormalize(d, "source", "doc_id", "n_chars")
+      .select(col("group").as("source"), col("id").as("doc_id"),
+        col("value").as("n_chars"), col("norm"))
+      .ordered(col("source"), col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q152_quantile_norm" -> q152,
+    "q151_user_burstiness" -> q151,
+    "q150_kcore" -> q150,
+    "q149_containment_pairs" -> q149,
+    "q148_lang_centroid_skew" -> q148,
     "q147_zscore_rank" -> q147,
     "q146_dedup_impact" -> q146,
     "q145_centroid_skew" -> q145,
@@ -4958,7 +5042,133 @@ object NorthStar {
        |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
   }
 
+  /** q148 oracle: q145's quantized-centroid replay with the label
+    * taken from the documents⋈embeddings join (language). */
+  private val q148Sql: String =
+    s"""WITH j AS (
+       |  SELECT d.lang AS label, e.embedding
+       |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+       |q AS (
+       |  SELECT label, i.i AS pos,
+       |         CAST(ROUND(embedding[i.i]::DOUBLE * 1e6, 0) AS BIGINT)
+       |           AS qv
+       |  FROM j CROSS JOIN range(1, ${Dims + 1}) i(i)),
+       |lp AS (SELECT label, pos, CAST(SUM(qv) AS BIGINT) AS s,
+       |              COUNT(*) AS n
+       |       FROM q GROUP BY label, pos),
+       |lv AS (SELECT label, MAX(n) AS n_vecs,
+       |              list(CAST(s AS DOUBLE) / n ORDER BY pos) AS v
+       |       FROM lp GROUP BY label),
+       |gp AS (SELECT pos, CAST(SUM(s) AS BIGINT) AS gs,
+       |              CAST(SUM(n) AS BIGINT) AS gn
+       |       FROM lp GROUP BY pos),
+       |gl AS (SELECT list(CAST(gs AS DOUBLE) / gn ORDER BY pos) AS g
+       |       FROM gp)
+       |SELECT label AS lang, n_vecs,
+       |       ${sqlE6(s"${sqlDot("v", "g")} / (sqrt(${sqlDot("v", "v")}) * sqrt(${sqlDot("g", "g")}))")} AS cosg_e6,
+       |       CAST(ROUND(sqrt(${sqlDot("v", "v")}), 0) AS BIGINT) AS cnorm
+       |FROM lv CROSS JOIN gl ORDER BY lang""".stripMargin
+
+  /** Shared 2/3-gram Jaccard/containment pair-chain CTEs (mirrors
+    * DedupOps.stagedShingles + the inverted-index join) over
+    * doc_id < 500. Emits CTEs d, s, inv, pp, sz. */
+  private def sqlPairChain(n: Int): String = {
+    val lastStart = s"len(toks) - ${n - 2}"
+    s"""d AS (
+       |  SELECT doc_id, source,
+       |         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents WHERE doc_id < 500),
+       |s AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(toks) >= $n
+       |              THEN list_distinct(list_transform(range(1, $lastStart),
+       |                     i -> array_to_string(toks[i:i+${n - 1}], ' ')))
+       |              ELSE [] END AS sh
+       |  FROM d),
+       |inv AS (SELECT doc_id, unnest(sh) AS s1 FROM s),
+       |pp AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+       |  FROM inv a JOIN inv b ON a.s1 = b.s1 AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(sh) AS n FROM s)""".stripMargin
+  }
+
+  /** q149 oracle: the 3-gram pair chain with asymmetric containment
+    * in both directions, kept when either clears 0.5. */
+  private val q149Sql: String =
+    s"""WITH ${sqlPairChain(3)}
+       |SELECT id1, id2, x.n AS n1, y.n AS n2, shared,
+       |       ${sqlE6("CAST(shared AS DOUBLE) / x.n")} AS cont1_e6,
+       |       ${sqlE6("CAST(shared AS DOUBLE) / y.n")} AS cont2_e6
+       |FROM pp JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+       |WHERE GREATEST(CAST(shared AS DOUBLE) / x.n,
+       |               CAST(shared AS DOUBLE) / y.n) >= 0.5
+       |ORDER BY id1, id2""".stripMargin
+
+  /** q150 oracle: the 2-gram threshold-0.1 pair chain symmetrized,
+    * then 3 unrolled degree-< 2 peels (kCorePeel exactly). */
+  private val q150Sql: String = {
+    def peel(i: Int): String =
+      s"""k$i AS (SELECT src FROM e${i - 1} GROUP BY src
+         |        HAVING COUNT(*) >= 2),
+         |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+         |        JOIN k$i a ON e.src = a.src
+         |        JOIN k$i b ON e.dst = b.src)""".stripMargin
+    s"""WITH ${sqlPairChain(2)},
+       |fil AS (
+       |  SELECT id1, id2 FROM pp
+       |  JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+       |  WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.1),
+       |e0 AS (SELECT id1 AS src, id2 AS dst FROM fil
+       |       UNION ALL SELECT id2, id1 FROM fil),
+       |${peel(1)},
+       |${peel(2)},
+       |${peel(3)}
+       |SELECT src AS doc_id, COUNT(*) AS deg
+       |FROM e3 GROUP BY src ORDER BY doc_id""".stripMargin
+  }
+
+  /** q151 oracle: hourly activity buckets per user, peak-vs-mean
+    * concentration over ACTIVE hours. */
+  private val q151Sql: String =
+    s"""WITH h AS (
+       |  SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+       |         COUNT(*) AS nh
+       |  FROM events GROUP BY 1, 2),
+       |u AS (SELECT user_id, CAST(SUM(nh) AS BIGINT) AS n_events,
+       |             COUNT(*) AS n_hours, MAX(nh) AS max_hour
+       |      FROM h GROUP BY user_id)
+       |SELECT user_id, n_events, n_hours, max_hour,
+       |       ${sqlE6("CAST(max_hour * n_hours AS DOUBLE) / n_events")} AS burst_e6
+       |FROM u ORDER BY user_id""".stripMargin
+
+  /** q152 oracle: quantileNormalize replayed — within-source rank r
+    * of ng maps to global rank ceil(r*N/ng) (integer DIV), the global
+    * value at that rank is the normalized score. Ties (value, id) on
+    * both sides. */
+  private val q152Sql: String =
+    s"""WITH d AS (SELECT source, doc_id, n_chars AS value
+       |           FROM documents),
+       |g AS (SELECT value AS norm,
+       |             ROW_NUMBER() OVER (ORDER BY value, doc_id) AS grank
+       |      FROM d),
+       |t AS (SELECT COUNT(*) AS n FROM d),
+       |sz AS (SELECT source, COUNT(*) AS ng FROM d GROUP BY source),
+       |p AS (SELECT source, doc_id, value,
+       |             ROW_NUMBER() OVER (PARTITION BY source
+       |                 ORDER BY value, doc_id) AS r
+       |      FROM d)
+       |SELECT p.source, p.doc_id, p.value AS n_chars, g.norm
+       |FROM p JOIN sz ON p.source = sz.source CROSS JOIN t
+       |JOIN g ON g.grank = (p.r * t.n + sz.ng - 1) // sz.ng
+       |ORDER BY p.source, p.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q152_quantile_norm" -> q152Sql,
+    "q151_user_burstiness" -> q151Sql,
+    "q150_kcore" -> q150Sql,
+    "q149_containment_pairs" -> q149Sql,
+    "q148_lang_centroid_skew" -> q148Sql,
     "q147_zscore_rank" -> q147Sql,
     "q146_dedup_impact" -> q146Sql,
     "q145_centroid_skew" -> q145Sql,

@@ -1621,6 +1621,56 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(rows(1)._2 - math.sqrt(0.5)) < 1e-9)
   }
 
+  test("containment pairs: a quoted short doc scores 1.0 containment " +
+      "where Jaccard stays low") {
+    import spark.implicits._
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val short = "gamma delta epsilon zeta" // verbatim span of `long`
+    val other = "one two three four five six seven"
+    val df = Seq((1L, long), (2L, short), (3L, other))
+      .toDF("doc_id", "text")
+    val got = DedupOps.ngramContainmentPairs(df, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) ->
+        (r.getAs[Double]("cont1"), r.getAs[Double]("cont2"))).toMap
+    // short doc: 2 distinct 3-grams, both inside long's 8 -> cont2 = 1
+    assert(got((1L, 2L))._2 == 1.0)
+    assert(got((1L, 2L))._1 == 0.25) // 2 shared of long's 8
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
+    // the same pair fails a 0.5 JACCARD gate: 2 / (8 + 2 - 2) = 0.25
+    val jac = DedupOps.ngramJaccardPairs(df, "doc_id", "text", 3, 0.5)
+    assert(jac.count() == 0)
+  }
+
+  test("kCorePeel: pendant nodes peel, the triangle core survives") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 4 hanging off 1
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = graft.operators.GraphOps
+      .kCorePeel(edges, "src", "dst", k = 2, rounds = 3)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("deg"))
+      .toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L)) // 4 peeled
+  }
+
+  test("quantileNormalize: hand-traced rank mapping onto the global " +
+      "distribution") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 20L),
+      ("b", 3L, 1L), ("b", 4L, 2L), ("b", 5L, 3L), ("b", 6L, 100L))
+      .toDF("g", "id", "v")
+    val got = graft.operators.CurationOps
+      .quantileNormalize(df, "g", "id", "v")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("norm"))
+      .toMap
+    // global sorted: 1,2,3,10,20,100 (ranks 1..6); N=6
+    // a (n=2): r=1 -> ceil(6/2)=3 -> 3; r=2 -> 6 -> 100
+    // b (n=4): r=1 -> 2 -> 2; r=2 -> 3 -> 3; r=3 -> 5 -> 20; r=4 -> 100
+    assert(got == Map(1L -> 3L, 2L -> 100L, 3L -> 2L, 4L -> 3L,
+      5L -> 20L, 6L -> 100L))
+  }
+
   test("greedyPairDrop: larger pair sides drop, everything else keeps") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")

@@ -342,7 +342,9 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
                           // (the q28 shape feeding the fusion)
     "q139_cluster_agreement", // three 1-row pair-sum brackets combined
     "q141_mixture_reweight", // 1-row corpus token total vs group table
-    "q145_centroid_skew") // 1-row global-centroid list vs label rows
+    "q145_centroid_skew", // 1-row global-centroid list vs label rows
+    "q148_lang_centroid_skew", // same 1-row global-centroid bracket
+    "q152_quantile_norm") // 1-row corpus count vs per-group ranks
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
