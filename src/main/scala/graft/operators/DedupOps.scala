@@ -868,6 +868,23 @@ object DedupOps {
         col("shared"), col("cont1"), col("cont2"))
   }
 
+  /** Duplicate document-PREFIX groups: documents sharing their first
+    * `k` tokens verbatim — the "same template opening" signal
+    * (scraped mirrors, generated boilerplate, OCR headers) that's
+    * cheaper than any pairwise method: one projection + one
+    * prefix-keyed aggregation, no joins at all. Emits only groups of
+    * >= 2 docs: (prefix, n_docs, first_doc). */
+  def prefixTemplateGroups(df: DataFrame, idCol: String,
+                           textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.select(col(idCol).cast("long").as("__id"),
+        array_join(slice(TextOps.tokens(col(textCol)), 1, k), " ")
+          .as("prefix"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"), min(col("__id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** Pair-greedy duplicate resolution: given candidate pairs with
     * id1 < id2 (any near-dup family's output), drop every doc that
     * appears as the LARGER side of at least one pair — the standard

@@ -513,6 +513,58 @@ object StatsOps {
       .select(col("__k").as(keyCol), col("n_regs"), col("reg_sum_p"),
         col("est_raw"), col("est"))
   }
+
+  /** Per-group chi-squared goodness-of-fit against the global
+    * distribution of a binned integer value — "which sources' length
+    * (or score) distributions deviate from the corpus". Values land
+    * in `nBins` fixed-width buckets (last bucket open-ended), the
+    * expected count is the global bin share scaled to the group size,
+    * and the statistic sums (o - e)^2 / e over every bin the corpus
+    * populates (absent group bins count o = 0).
+    *
+    * Engine determinism: bin counts are exact integers; each bin's
+    * term is a fixed IEEE op sequence; and the per-group sum folds
+    * over bins IN BIN ORDER (array_sort + left-to-right aggregate,
+    * never a float SUM whose partial order floats) — the same
+    * discipline as the centroid cosine ops. Group/bin grids are
+    * bounded (groups x nBins), so the dense frame broadcasts.
+    *
+    * Output: group, n (group rows), n_bins (populated corpus bins —
+    * df+1 for the test), chi2 (double; pin at the call site). */
+  def chi2GoodnessOfFit(df: DataFrame, groupCol: String,
+                        valueCol: Column, nBins: Int,
+                        binWidth: Long): DataFrame = {
+    require(nBins >= 2 && binWidth >= 1,
+      s"bad nBins=$nBins or binWidth=$binWidth")
+    // DIV, not `/`: Column `/` on longs is double division (rounds
+    // past 2^53); integral DIV mirrors DuckDB's `//` exactly
+    val binned = df
+      .select(col(groupCol).as("group"), valueCol.cast("long").as("__v"))
+      .select(col("group"),
+        least(expr(s"__v DIV $binWidth"), lit(nBins - 1L)).as("bin"))
+    val obs = binned.groupBy(col("group"), col("bin"))
+      .agg(count(lit(1)).as("o"))
+    val gb = obs.groupBy(col("bin")).agg(sum(col("o")).as("g"))
+    val ns = obs.groupBy(col("group")).agg(sum(col("o")).as("n"))
+    val total = gb.agg(sum(col("g")).as("__N"))
+    val dense = ns.crossJoin(broadcast(gb))
+      .join(obs, Seq("group", "bin"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("__o", coalesce(col("o"), lit(0L)).cast("double"))
+      .withColumn("__e",
+        col("g").cast("double") * col("n") / col("__N"))
+      .withColumn("__t",
+        (col("__o") - col("__e")) * (col("__o") - col("__e")) /
+          col("__e"))
+    dense.groupBy(col("group"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_bins"),
+        array_sort(collect_list(struct(col("bin"), col("__t"))))
+          .as("__bt"))
+      .withColumn("chi2",
+        aggregate(col("__bt"), lit(0.0d),
+          (a, x) => a + x.getField("__t")))
+      .select(col("group"), col("n"), col("n_bins"), col("chi2"))
+  }
 }
 
 /** Pure-Scala special functions for the t-distribution CDF — needed for

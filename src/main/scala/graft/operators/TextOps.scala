@@ -429,6 +429,108 @@ object TextOps {
       .agg(min(col("h")).as("minh"))
   }
 
+  /** Per-document character-trigram commonness — the log-free
+    * perplexity proxy: how frequent, corpus-wide, are the character
+    * trigrams this document is made of. Spam/mojibake/generated noise
+    * sits in the low tail (rare trigrams), boilerplate in the high
+    * tail. Log-probability LM scoring is deliberately avoided: ln()
+    * is not bit-identical across engines' libm, while occurrence
+    * COUNTS are exact integers — so the per-doc sum is
+    * engine-independent and the mean is one IEEE division.
+    *
+    * Trigrams come from [[shinglesFromTokens]] over the char array
+    * (collection-argument zip_with — one tokenize per row even under
+    * projection collapse, see the CLAUDE.md footgun); ALL positions
+    * count (not distinct), matching an LM's view of the text. Shape:
+    * one explode, one trigram-keyed count (partial-aggregated), one
+    * join back, one doc-keyed aggregation. Output: id, n_tris,
+    * freq_sum (exact), commonness (= freq_sum/n_tris, double). */
+  def trigramCommonness(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    // split on "" keeps a trailing "" (java limit -1 semantics) —
+    // filter it so the char array matches substr-based replays
+    val chars = filter(split(lower(col(textCol)), ""), _ =!= "")
+    val tris = df.select(col(idCol).as("__id"),
+      explode(shinglesFromTokens(chars, 3)).as("__tri"))
+    val counts = tris.groupBy(col("__tri"))
+      .agg(count(lit(1)).as("__cnt"))
+    tris.join(counts, "__tri")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tris"), sum(col("__cnt")).as("freq_sum"))
+      .select(col("__id").as(idCol), col("n_tris"), col("freq_sum"),
+        (col("freq_sum").cast("double") / col("n_tris"))
+          .as("commonness"))
+  }
+
+  /** Vocabulary growth curve (the Heaps-law measurement): distinct
+    * terms and cumulative tokens seen after ingesting documents in id
+    * order up to each checkpoint. The standard corpus-sizing
+    * question — "how fast is the type inventory still growing".
+    *
+    * Scale shape: each term collapses to its FIRST document
+    * (term-keyed min — one partial-aggregated pass), first-occurrence
+    * ids map to their covering checkpoint with a chained-when scalar
+    * (no non-equi join against the checkpoint list), and the
+    * cumulative walk runs on the |checkpoints|-row table (tiny
+    * single-partition window — the vocabCoverage idiom). Checkpoints
+    * past the corpus end report the full-corpus totals. Output per
+    * checkpoint: cp, vocab_size, tokens_seen (exact integers). */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+                  checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty && checkpoints == checkpoints.sorted,
+      s"checkpoints must be sorted non-empty, got $checkpoints")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    def cpOf(c: Column): Column =
+      checkpoints.foldRight(lit(null).cast("long")) { (cp, rest) =>
+        when(c < cp, lit(cp)).otherwise(rest)
+      }
+    val first = df
+      .select(col(idCol).cast("long").as("__id"),
+        explode(tokens(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col("__t")).agg(min(col("__id")).as("__fd"))
+      .withColumn("cp", cpOf(col("__fd")))
+      .filter(col("cp").isNotNull)
+      .groupBy(col("cp")).agg(count(lit(1)).as("__nv"))
+    val toks = df
+      .select(col(idCol).cast("long").as("__id"),
+        tokenCount(col(textCol)).cast("long").as("__nt"))
+      .withColumn("cp", cpOf(col("__id")))
+      .filter(col("cp").isNotNull)
+      .groupBy(col("cp")).agg(sum(col("__nt")).as("__tk"))
+    val byCp = Window.orderBy(col("cp"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    checkpoints.toDF("cp")
+      .join(first, Seq("cp"), "left")
+      .join(toks, Seq("cp"), "left")
+      .withColumn("vocab_size",
+        sum(coalesce(col("__nv"), lit(0L))).over(byCp))
+      .withColumn("tokens_seen",
+        sum(coalesce(col("__tk"), lit(0L))).over(byCp))
+      .select(col("cp"), col("vocab_size"), col("tokens_seen"))
+  }
+
+  /** Longest run of a repeated token — the degenerate-repetition
+    * signal ("buy buy buy buy ...") Gopher-class filters cut on. A
+    * pure per-row left-to-right fold over the token array (one
+    * aggregate HOF, no shuffle): state (mx, cur, prev), run extends
+    * when the token equals its predecessor. Engine-independent
+    * integer output. */
+  def maxTokenRun(text: Column): Column = {
+    val zero = struct(lit(0L).as("mx"), lit(0L).as("cur"),
+      lit("").as("prev"))
+    aggregate(tokens(text), zero,
+      (acc, t) => {
+        val cur = when(t === acc.getField("prev"),
+          acc.getField("cur") + lit(1L)).otherwise(lit(1L))
+        struct(greatest(acc.getField("mx"), cur).as("mx"),
+          cur.as("cur"), t.as("prev"))
+      },
+      acc => acc.getField("mx"))
+  }
+
   /** Estimated pairwise vocabulary Jaccard from k-min signatures: the
     * match fraction of the two groups' signature components is an
     * unbiased Jaccard estimate (one-permutation MinHash argument).

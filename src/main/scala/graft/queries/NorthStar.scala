@@ -1809,7 +1809,63 @@ object NorthStar {
       .ordered(col("source"), col("doc_id"))
   }
 
+  // q153 — char-trigram commonness (log-free perplexity proxy): rare-
+  // trigram docs are the noise tail, common-trigram docs the
+  // boilerplate tail (TextOps.trigramCommonness). Counts exact.
+  private val q153: Q = (s, dir) => {
+    TextOps.trigramCommonness(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_tris"), col("freq_sum"),
+        e6(col("commonness")).as("comm_e6"))
+      .ordered(col("doc_id"))
+  }
+
+  // q154 — per-source chi-squared goodness-of-fit of the doc-length
+  // distribution vs the corpus (StatsOps.chi2GoodnessOfFit): 8
+  // 64-char bins, bin-ordered fold — the "which sources look unlike
+  // the corpus" screen.
+  private val q154: Q = (s, dir) => {
+    graft.operators.StatsOps.chi2GoodnessOfFit(
+        t(s, dir, "documents"), "source", col("n_chars"),
+        nBins = 8, binWidth = 64L)
+      .select(col("group").as("source"), col("n"), col("n_bins"),
+        e6(col("chi2")).as("chi2_e6"))
+      .ordered(col("source"))
+  }
+
+  // q155 — duplicate 8-token document prefixes: the zero-join
+  // template-opening screen (DedupOps.prefixTemplateGroups).
+  private val q155: Q = (s, dir) => {
+    DedupOps.prefixTemplateGroups(t(s, dir, "documents"), "doc_id",
+        "text", k = 8)
+      .select(col("prefix"), col("n_docs"), col("first_doc"))
+      .ordered(col("prefix"))
+  }
+
+  // q156 — vocabulary growth (Heaps curve) at doc-count checkpoints:
+  // distinct types + cumulative tokens after the first cp docs in id
+  // order (TextOps.vocabGrowth).
+  private val q156: Q = (s, dir) => {
+    TextOps.vocabGrowth(t(s, dir, "documents"), "doc_id", "text",
+        checkpoints = Seq(50L, 100L, 200L, 500L, 1000L, 2000L, 5000L))
+      .ordered(col("cp"))
+  }
+
+  // q157 — longest repeated-token run per doc: the degenerate-
+  // repetition filter signal, one per-row fold (TextOps.maxTokenRun).
+  private val q157: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.maxTokenRun(col("text")).as("max_run"))
+      .ordered(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q157_max_token_run" -> q157,
+    "q156_vocab_growth" -> q156,
+    "q155_prefix_template" -> q155,
+    "q154_source_chi2" -> q154,
+    "q153_trigram_commonness" -> q153,
     "q152_quantile_norm" -> q152,
     "q151_user_burstiness" -> q151,
     "q150_kcore" -> q150,
@@ -5163,7 +5219,107 @@ object NorthStar {
        |JOIN g ON g.grank = (p.r * t.n + sz.ng - 1) // sz.ng
        |ORDER BY p.source, p.doc_id""".stripMargin
 
+  /** q153 oracle: char trigrams as space-joined char triples (the
+    * shinglesFromTokens-over-chars key format), ALL positions, corpus
+    * count join-back. */
+  private val q153Sql: String =
+    s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |tri AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, length(t) - 1),
+       |           i -> substr(t, i, 1) || ' ' || substr(t, i + 1, 1)
+       |                || ' ' || substr(t, i + 2, 1))) AS tri
+       |  FROM d),
+       |c AS (SELECT tri, COUNT(*) AS cnt FROM tri GROUP BY tri),
+       |a AS (SELECT doc_id, COUNT(*) AS n_tris,
+       |             CAST(SUM(cnt) AS BIGINT) AS freq_sum
+       |      FROM tri JOIN c USING (tri) GROUP BY doc_id)
+       |SELECT doc_id, n_tris, freq_sum,
+       |       ${sqlE6("CAST(freq_sum AS DOUBLE) / n_tris")} AS comm_e6
+       |FROM a ORDER BY doc_id""".stripMargin
+
+  /** q154 oracle: chi2GoodnessOfFit replayed — integral bin DIV, the
+    * same (o-e)^2/e op sequence, bin-ordered list fold. */
+  private val q154Sql: String =
+    s"""WITH b AS (SELECT source, LEAST(n_chars // 64, 7) AS bin
+       |           FROM documents),
+       |obs AS (SELECT source, bin, COUNT(*) AS o FROM b GROUP BY 1, 2),
+       |gb AS (SELECT bin, CAST(SUM(o) AS BIGINT) AS g FROM obs
+       |       GROUP BY bin),
+       |ns AS (SELECT source, CAST(SUM(o) AS BIGINT) AS n FROM obs
+       |       GROUP BY source),
+       |tot AS (SELECT CAST(SUM(g) AS BIGINT) AS nn FROM gb),
+       |dense AS (
+       |  SELECT ns.source, ns.n, gb.bin,
+       |         CAST(COALESCE(obs.o, 0) AS DOUBLE) AS o,
+       |         CAST(gb.g AS DOUBLE) * ns.n / tot.nn AS e
+       |  FROM ns CROSS JOIN gb CROSS JOIN tot
+       |  LEFT JOIN obs ON obs.source = ns.source AND obs.bin = gb.bin),
+       |tt AS (SELECT source, n, bin, (o - e) * (o - e) / e AS term
+       |       FROM dense),
+       |c AS (SELECT source, MAX(n) AS n, COUNT(*) AS n_bins,
+       |             list(term ORDER BY bin) AS terms
+       |      FROM tt GROUP BY source)
+       |SELECT source, n, n_bins,
+       |       ${sqlE6("list_reduce(list_prepend(0.0::DOUBLE, terms), (a, x) -> a + x)")} AS chi2_e6
+       |FROM c ORDER BY source""".stripMargin
+
+  /** q155 oracle: first-8-token prefixes, groups of >= 2. */
+  private val q155Sql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |         array_to_string((regexp_split_to_array(lower(trim(text)),
+       |             '\\s+'))[1:8], ' ') AS prefix
+       |  FROM documents)
+       |SELECT prefix, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+       |FROM p GROUP BY prefix HAVING COUNT(*) >= 2
+       |ORDER BY prefix""".stripMargin
+
+  /** q156 oracle: first-occurrence doc per term + cumulative tokens,
+    * evaluated at each checkpoint (docs with id < cp). */
+  private val q156Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |f AS (SELECT t, MIN(doc_id) AS fd FROM (
+       |        SELECT doc_id, unnest(toks) AS t FROM d)
+       |      WHERE t <> '' GROUP BY t),
+       |cps AS (SELECT CAST(cp AS BIGINT) AS cp FROM (VALUES (50),
+       |        (100), (200), (500), (1000), (2000), (5000)) c(cp))
+       |SELECT cp,
+       |       CAST((SELECT COUNT(*) FROM f WHERE fd < cp) AS BIGINT)
+       |         AS vocab_size,
+       |       CAST((SELECT COALESCE(SUM(len(toks)), 0) FROM d
+       |             WHERE doc_id < cp) AS BIGINT) AS tokens_seen
+       |FROM cps ORDER BY cp""".stripMargin
+
+  /** q157 oracle: the maxTokenRun fold replayed as a list_reduce with
+    * the identical (mx, cur, prev) state machine. */
+  private val q157Sql: String = {
+    val zero =
+      "{'mx': CAST(0 AS BIGINT), 'cur': CAST(0 AS BIGINT), 'prev': ''}"
+    val step = "{'mx': GREATEST(a.mx, CASE WHEN x.prev = a.prev " +
+      "THEN a.cur + 1 ELSE 1 END), 'cur': CASE WHEN x.prev = a.prev " +
+      "THEN a.cur + 1 ELSE 1 END, 'prev': x.prev}"
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |       struct_extract(list_reduce(list_prepend($zero,
+       |         list_transform(toks, t -> {'mx': CAST(0 AS BIGINT),
+       |           'cur': CAST(0 AS BIGINT), 'prev': t})),
+       |         (a, x) -> $step), 'mx') AS max_run
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q157_max_token_run" -> q157Sql,
+    "q156_vocab_growth" -> q156Sql,
+    "q155_prefix_template" -> q155Sql,
+    "q154_source_chi2" -> q154Sql,
+    "q153_trigram_commonness" -> q153Sql,
     "q152_quantile_norm" -> q152Sql,
     "q151_user_burstiness" -> q151Sql,
     "q150_kcore" -> q150Sql,

@@ -1671,6 +1671,70 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
       5L -> 20L, 6L -> 100L))
   }
 
+  test("maxTokenRun: runs count, singletons and no-repeat docs score 1") {
+    import spark.implicits._
+    val df = Seq((1L, "a a a b b a"), (2L, "solo"),
+      (3L, "x y z w")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextOps.maxTokenRun(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("trigramCommonness: duplicated docs double their trigram counts") {
+    import spark.implicits._
+    val df = Seq((1L, "abcd"), (2L, "abcd"), (3L, "wxyz"))
+      .toDF("doc_id", "text")
+    val got = TextOps.trigramCommonness(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tris"), r.getAs[Double]("commonness"))).toMap
+    // "abcd" -> trigrams {abc, bcd} x 2 docs -> each count 2
+    assert(got(1L) == ((2L, 2.0)) && got(2L) == ((2L, 2.0)))
+    assert(got(3L) == ((2L, 1.0)))
+  }
+
+  test("chi2GoodnessOfFit: identical group distributions score 0, " +
+      "skewed groups score > 0") {
+    import spark.implicits._
+    val same = Seq(("a", 10L), ("a", 100L), ("b", 10L), ("b", 100L))
+      .toDF("g", "v")
+    val z = graft.operators.StatsOps
+      .chi2GoodnessOfFit(same, "g", col("v"), nBins = 4, binWidth = 32L)
+      .collect().map(r => r.getAs[String]("group") ->
+        r.getAs[Double]("chi2")).toMap
+    assert(z("a") == 0.0 && z("b") == 0.0)
+    val skew = Seq(("a", 10L), ("a", 12L), ("a", 14L), ("b", 100L),
+      ("b", 110L), ("b", 120L)).toDF("g", "v")
+    val s = graft.operators.StatsOps
+      .chi2GoodnessOfFit(skew, "g", col("v"), nBins = 4, binWidth = 32L)
+      .collect().map(r => r.getAs[Double]("chi2"))
+    assert(s.forall(_ > 0.0)) // each group concentrated in its own bin
+  }
+
+  test("vocabGrowth: hand-traced checkpoints incl. past-corpus tail") {
+    import spark.implicits._
+    val df = Seq((0L, "a b"), (1L, "b c"), (2L, "d"))
+      .toDF("doc_id", "text")
+    val got = TextOps.vocabGrowth(df, "doc_id", "text",
+        Seq(1L, 2L, 3L, 10L))
+      .collect().map(r => r.getAs[Long]("cp") ->
+        (r.getAs[Long]("vocab_size"), r.getAs[Long]("tokens_seen")))
+      .toMap
+    assert(got == Map(1L -> ((2L, 2L)), 2L -> ((3L, 4L)),
+      3L -> ((4L, 5L)), 10L -> ((4L, 5L))))
+  }
+
+  test("prefixTemplateGroups: shared k-token openings group, " +
+      "unique ones drop") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox"), (2L, "the quick red dog"),
+      (3L, "entirely different text")).toDF("doc_id", "text")
+    val got = DedupOps.prefixTemplateGroups(df, "doc_id", "text", k = 2)
+      .collect().map(r => r.getAs[String]("prefix") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("first_doc")))
+    assert(got.toSeq == Seq("the quick" -> ((2L, 1L))))
+  }
+
   test("greedyPairDrop: larger pair sides drop, everything else keeps") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
