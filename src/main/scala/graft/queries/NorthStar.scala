@@ -1860,7 +1860,123 @@ object NorthStar {
       .ordered(col("doc_id"))
   }
 
+  // q158 — near-dup graph degree distribution: how concentrated is
+  // duplication (a long-tailed degree histogram means hub templates).
+  // Pure integer histogram over the symmetrized q25-style pair list.
+  private val q158: Q = (s, dir) => {
+    val pairs = DedupOps.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", n = 2, threshold = 0.1)
+      .select(col("id1"), col("id2"))
+    pairs.union(pairs.select(col("id2"), col("id1")))
+      .groupBy(col("id1").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .ordered(col("deg"))
+  }
+
+  // q159 — int8 quantization error report per embedding label: the
+  // "is 8-bit good enough for this corpus region" decision. Per-row
+  // MAE comes from the deterministic int8Quantize fold; rows pin to
+  // e9 BIGINTs BEFORE the label sum, so the aggregation is exact
+  // integer arithmetic (no order-floating float SUM).
+  private val q159: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    SimilarityOps.int8Quantize(emb, "vec_id", "embedding")
+      .select(col("id").as("vec_id"),
+        round(col("mae") * lit(1e9), 0).cast("long").as("mae_e9"))
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("mae_e9")).as("sum_mae_e9"),
+        max(col("mae_e9")).as("max_mae_e9"))
+      .select(col("label"), col("n_vecs"), col("sum_mae_e9"),
+        col("max_mae_e9"),
+        round(col("sum_mae_e9").cast("double") / col("n_vecs"), 0)
+          .cast("long").as("mean_mae_e9"))
+      .ordered(col("label"))
+  }
+
+  // q160 — per-source quality-gate pass-rate matrix: three concrete
+  // gates (token-count band, stopword floor, repetition cap) and the
+  // conjunction — the "why are we dropping this source's docs"
+  // report. All-integer counting, one corpus scan.
+  private val q160: Q = (s, dir) => {
+    val toks = TextOps.tokens(col("text"))
+    val stopArr = array(Stopwords.map(lit): _*)
+    val d = t(s, dir, "documents").select(col("source"),
+      TextOps.tokenCount(col("text")).cast("long").as("nt"),
+      size(filter(toks, x => array_contains(stopArr, x))).cast("long")
+        .as("nstop"),
+      TextOps.maxTokenRun(col("text")).as("run"))
+    def pass(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val gLen = col("nt").between(30L, 70L)
+    val gStop = col("nstop") * 1000L >= col("nt") * 50L
+    val gRun = col("run") <= 2L
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), pass(gLen).as("pass_len"),
+        pass(gStop).as("pass_stop"), pass(gRun).as("pass_run"),
+        pass(gLen && gStop && gRun).as("pass_all"))
+      .select(col("source"), col("n_docs"), col("pass_len"),
+        col("pass_stop"), col("pass_run"), col("pass_all"),
+        e6(col("pass_all").cast("double") / col("n_docs"))
+          .as("rate_e6"))
+      .ordered(col("source"))
+  }
+
+  // q161 — most-duplicated 3-gram per document with its corpus doc
+  // frequency: the "show me the boilerplate span" drill-down on the
+  // q77-style duplication signals. Ties break (df desc, gram asc).
+  private val q161: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(
+        TextOps.shinglesFromTokens(TextOps.tokens(col("text")), 3)))
+        .as("g"))
+    val dfreq = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("gram_df"))
+    grams.join(dfreq, "g")
+      .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("gram_df").desc, col("g"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("g").as("top_gram"), col("gram_df"))
+      .ordered(col("doc_id"))
+  }
+
+  // q162 — dataset card: the one-row corpus summary a curation run
+  // publishes (docs, tokens, vocabulary, sources, languages, exact-
+  // dup groups, template-prefix groups, near-dup pairs). Each figure
+  // is a 1-row aggregate crossJoined in — every input scanned once.
+  private val q162: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val base = d.agg(count(lit(1)).as("n_docs"),
+      sum(TextOps.tokenCount(col("text"))).as("n_tokens"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"))
+    val vocab = d.select(explode(TextOps.tokens(col("text"))).as("t"))
+      .filter(col("t") =!= "").agg(countDistinct(col("t")).as("vocab_size"))
+    val dupg = d.groupBy(col("text")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).agg(count(lit(1)).as("exact_dup_groups"))
+    val tmpl = DedupOps.prefixTemplateGroups(d, "doc_id", "text", 8)
+      .agg(count(lit(1)).as("template_groups"))
+    val ndp = DedupOps.ngramJaccardPairs(d.filter(col("doc_id") < 500),
+        "doc_id", "text", n = 2, threshold = 0.1)
+      .agg(count(lit(1)).as("near_dup_pairs"))
+    base.crossJoin(broadcast(vocab)).crossJoin(broadcast(dupg))
+      .crossJoin(broadcast(tmpl)).crossJoin(broadcast(ndp))
+      .select(col("n_docs"), col("n_tokens"), col("vocab_size"),
+        col("n_sources"), col("n_langs"), col("exact_dup_groups"),
+        col("template_groups"), col("near_dup_pairs"))
+      .ordered(col("n_docs"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q162_dataset_card" -> q162,
+    "q161_top_span" -> q161,
+    "q160_gate_rates" -> q160,
+    "q159_quant_error" -> q159,
+    "q158_degree_stats" -> q158,
     "q157_max_token_run" -> q157,
     "q156_vocab_growth" -> q156,
     "q155_prefix_template" -> q155,
@@ -5294,27 +5410,160 @@ object NorthStar {
        |             WHERE doc_id < cp) AS BIGINT) AS tokens_seen
        |FROM cps ORDER BY cp""".stripMargin
 
-  /** q157 oracle: the maxTokenRun fold replayed as a list_reduce with
-    * the identical (mx, cur, prev) state machine. */
-  private val q157Sql: String = {
+  /** The maxTokenRun (mx, cur, prev) state machine as a DuckDB
+    * list_reduce over a token-array expression. */
+  private def sqlMaxRun(toks: String): String = {
     val zero =
       "{'mx': CAST(0 AS BIGINT), 'cur': CAST(0 AS BIGINT), 'prev': ''}"
     val step = "{'mx': GREATEST(a.mx, CASE WHEN x.prev = a.prev " +
       "THEN a.cur + 1 ELSE 1 END), 'cur': CASE WHEN x.prev = a.prev " +
       "THEN a.cur + 1 ELSE 1 END, 'prev': x.prev}"
+    s"""struct_extract(list_reduce(list_prepend($zero,
+       |  list_transform($toks, t -> {'mx': CAST(0 AS BIGINT),
+       |    'cur': CAST(0 AS BIGINT), 'prev': t})),
+       |  (a, x) -> $step), 'mx')""".stripMargin
+  }
+
+  /** q157 oracle: the maxTokenRun fold replayed as a list_reduce with
+    * the identical (mx, cur, prev) state machine. */
+  private val q157Sql: String =
     s"""WITH d AS (
        |  SELECT doc_id,
        |         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
        |  FROM documents)
        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-       |       struct_extract(list_reduce(list_prepend($zero,
-       |         list_transform(toks, t -> {'mx': CAST(0 AS BIGINT),
-       |           'cur': CAST(0 AS BIGINT), 'prev': t})),
-       |         (a, x) -> $step), 'mx') AS max_run
+       |       ${sqlMaxRun("toks")} AS max_run
        |FROM d ORDER BY doc_id""".stripMargin
-  }
+
+  /** q158 oracle: the 2-gram pair chain symmetrized, degree per node,
+    * then the degree histogram. */
+  private val q158Sql: String =
+    s"""WITH ${sqlPairChain(2)},
+       |fil AS (
+       |  SELECT id1, id2 FROM pp
+       |  JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+       |  WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.1),
+       |e0 AS (SELECT id1 AS src FROM fil
+       |       UNION ALL SELECT id2 FROM fil),
+       |dg AS (SELECT src AS node, COUNT(*) AS deg FROM e0
+       |       GROUP BY src)
+       |SELECT deg, COUNT(*) AS n_nodes FROM dg GROUP BY deg
+       |ORDER BY deg""".stripMargin
+
+  /** q159 oracle: the q64 int8 quantization chain with the RAW mae
+    * fold pinned to e9 per row, then exact integer label sums. */
+  private val q159Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |a AS (
+       |  SELECT vec_id, label, v,
+       |         list_reduce(list_prepend(0.0::DOUBLE, v),
+       |                     (a, x) -> greatest(a, abs(x))) AS amax
+       |  FROM e),
+       |q AS (
+       |  SELECT vec_id, label, v, amax,
+       |         CASE WHEN amax = 0
+       |              THEN list_transform(range(1, 65), i -> 0.0::DOUBLE)
+       |              ELSE list_transform(range(1, 65),
+       |                     i -> floor(v[i] / (amax / 127.0) + 0.5))
+       |         END AS qd
+       |  FROM a),
+       |m AS (
+       |  SELECT label,
+       |         CAST(ROUND(list_reduce(list_prepend(0.0::DOUBLE,
+       |               list_transform(range(1, 65),
+       |                 i -> abs(v[i] - qd[i] * (amax / 127.0)))),
+       |               (a, e) -> a + e) / 64.0 * 1e9, 0) AS BIGINT)
+       |           AS mae_e9
+       |  FROM q)
+       |SELECT label, COUNT(*) AS n_vecs,
+       |       CAST(SUM(mae_e9) AS BIGINT) AS sum_mae_e9,
+       |       MAX(mae_e9) AS max_mae_e9,
+       |       CAST(ROUND(CAST(SUM(mae_e9) AS DOUBLE) / COUNT(*), 0)
+       |            AS BIGINT) AS mean_mae_e9
+       |FROM m GROUP BY label ORDER BY label""".stripMargin
+
+  /** q160 oracle: the three gates replayed with integer comparisons
+    * and the maxTokenRun fold. */
+  private val q160Sql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |         len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+       |           AS nt,
+       |         len(list_filter(regexp_split_to_array(lower(trim(text)),
+       |             '\\s+'), t -> list_contains(['a','the','and','of','to','data'], t)))
+       |           AS nstop,
+       |         ${sqlMaxRun("regexp_split_to_array(lower(trim(text)), '\\s+')")}
+       |           AS run
+       |  FROM documents),
+       |g AS (SELECT source,
+       |             CASE WHEN nt BETWEEN 30 AND 70 THEN 1 ELSE 0 END AS gl,
+       |             CASE WHEN nstop * 1000 >= nt * 50 THEN 1 ELSE 0 END AS gs,
+       |             CASE WHEN run <= 2 THEN 1 ELSE 0 END AS gr
+       |      FROM d)
+       |SELECT source, COUNT(*) AS n_docs,
+       |       CAST(SUM(gl) AS BIGINT) AS pass_len,
+       |       CAST(SUM(gs) AS BIGINT) AS pass_stop,
+       |       CAST(SUM(gr) AS BIGINT) AS pass_run,
+       |       CAST(SUM(gl * gs * gr) AS BIGINT) AS pass_all,
+       |       ${sqlE6("CAST(SUM(gl * gs * gr) AS DOUBLE) / COUNT(*)")} AS rate_e6
+       |FROM g GROUP BY source ORDER BY source""".stripMargin
+
+  /** q161 oracle: distinct 3-grams per doc, corpus doc frequency,
+    * ROW_NUMBER argmax with (df desc, gram asc) ties. */
+  private val q161Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |         unnest(CASE WHEN len(toks) >= 3
+       |           THEN list_distinct(list_transform(range(1, len(toks) - 1),
+       |                  i -> array_to_string(toks[i:i+2], ' ')))
+       |           ELSE [] END) AS g
+       |  FROM d),
+       |fq AS (SELECT g, COUNT(*) AS gram_df FROM g GROUP BY g),
+       |r AS (SELECT g.doc_id, g.g, fq.gram_df,
+       |             ROW_NUMBER() OVER (PARTITION BY g.doc_id
+       |                 ORDER BY fq.gram_df DESC, g.g) AS rk
+       |      FROM g JOIN fq USING (g))
+       |SELECT doc_id, g AS top_gram, gram_df FROM r WHERE rk = 1
+       |ORDER BY doc_id""".stripMargin
+
+  /** q162 oracle: the dataset card as scalar subqueries over one WITH
+    * (near-dup pairs reuse the chain CTEs). */
+  private val q162Sql: String =
+    s"""WITH ${sqlPairChain(2)},
+       |fil AS (
+       |  SELECT id1, id2 FROM pp
+       |  JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+       |  WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.1)
+       |SELECT
+       |  (SELECT COUNT(*) FROM documents) AS n_docs,
+       |  (SELECT CAST(SUM(len(regexp_split_to_array(lower(trim(text)),
+       |       '\\s+'))) AS BIGINT) FROM documents) AS n_tokens,
+       |  (SELECT COUNT(DISTINCT t) FROM (
+       |     SELECT unnest(regexp_split_to_array(lower(trim(text)),
+       |       '\\s+')) AS t FROM documents) WHERE t <> '') AS vocab_size,
+       |  (SELECT COUNT(DISTINCT source) FROM documents) AS n_sources,
+       |  (SELECT COUNT(DISTINCT lang) FROM documents) AS n_langs,
+       |  (SELECT COUNT(*) FROM (SELECT text FROM documents
+       |     GROUP BY text HAVING COUNT(*) >= 2)) AS exact_dup_groups,
+       |  (SELECT COUNT(*) FROM (
+       |     SELECT array_to_string((regexp_split_to_array(lower(trim(text)),
+       |       '\\s+'))[1:8], ' ') AS p FROM documents
+       |     GROUP BY p HAVING COUNT(*) >= 2)) AS template_groups,
+       |  (SELECT COUNT(*) FROM fil) AS near_dup_pairs""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q162_dataset_card" -> q162Sql,
+    "q161_top_span" -> q161Sql,
+    "q160_gate_rates" -> q160Sql,
+    "q159_quant_error" -> q159Sql,
+    "q158_degree_stats" -> q158Sql,
     "q157_max_token_run" -> q157Sql,
     "q156_vocab_growth" -> q156Sql,
     "q155_prefix_template" -> q155Sql,

@@ -345,7 +345,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     "q145_centroid_skew", // 1-row global-centroid list vs label rows
     "q148_lang_centroid_skew", // same 1-row global-centroid bracket
     "q152_quantile_norm", // 1-row corpus count vs per-group ranks
-    "q154_source_chi2") // <=nBins-row global grid + 1-row total
+    "q154_source_chi2", // <=nBins-row global grid + 1-row total
+    "q162_dataset_card") // five 1-row summary aggregates combined
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
