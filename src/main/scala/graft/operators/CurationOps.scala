@@ -956,21 +956,52 @@ object CurationOps {
     // stream would write the whole corpus to disk; re-tokenizing for
     // the (verification-only) exact side is the cheaper trade
     val tok = df.select(explode(TextOps.tokens(col(textCol))).as("t"))
-    def bucket(j: Int, t: Column): Column =
-      pmod(md5Hash32(concat(lit(s"cms$j:"), t)), lit(width.toLong))
-    val sketch = tok
-      .select(posexplode(array((0 until depth)
-        .map(j => bucket(j, col("t"))): _*)).as(Seq("j", "b")))
-      .groupBy(col("j"), col("b")).agg(count(lit(1)).as("n"))
     val top = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("t")).limit(topK)
-    top
-      .select(col("t"), col("c"), posexplode(array((0 until depth)
-        .map(j => bucket(j, col("t"))): _*)).as(Seq("j", "b")))
-      .join(sketch, Seq("j", "b"))
-      .groupBy(col("t"), col("c"))
-      .agg(min(col("n")).as("est"))
+    cmsEstimate(cmsSketch(df, textCol, depth, width), top, "t",
+        depth, width)
+      .join(top, "t")
+      .select(col("t"), col("c"), col("est"))
   }
+
+  /** The deterministic CMS bucket for hash row `j`: md5Hash32 over a
+    * row-salted term, mod width — one definition shared by sketch
+    * build and estimation so they cannot drift. */
+  private def cmsBucket(j: Int, t: Column, width: Int): Column =
+    pmod(md5Hash32(concat(lit(s"cms$j:"), t)), lit(width.toLong))
+
+  /** Count-min sketch TABLE for a corpus's token stream: one row per
+    * (hash row j, bucket b) with the occurrence count n. depth x width
+    * rows regardless of corpus size — and mergeable by plain SUM
+    * ([[cmsMergeSketches]]), so a persisted sketch folds micro-batches
+    * or corpus deltas WITHOUT rescanning old data: the incremental /
+    * streaming heavy-hitters monitor (same store-fold contract as
+    * StatsOps.ksBinCounts). */
+  def cmsSketch(df: DataFrame, textCol: String, depth: Int = 4,
+                width: Int = 256): DataFrame =
+    df.select(explode(TextOps.tokens(col(textCol))).as("t"))
+      .select(posexplode(array((0 until depth)
+        .map(j => cmsBucket(j, col("t"), width)): _*)).as(Seq("j", "b")))
+      .groupBy(col("j"), col("b")).agg(count(lit(1)).as("n"))
+
+  /** Merge two [[cmsSketch]] tables (same depth/width) by summation —
+    * CMS cells are counters, so the merge is exact. */
+  def cmsMergeSketches(a: DataFrame, b: DataFrame): DataFrame =
+    a.union(b).groupBy(col("j"), col("b")).agg(sum(col("n")).as("n"))
+
+  /** Point estimates from a [[cmsSketch]] table for candidate terms:
+    * min over the term's depth buckets (the classic CMS upper-bound
+    * estimate). The candidate side is exploded depth ways and joined
+    * bucket-keyed against the depth x width sketch — never against
+    * the corpus. Output: t, est. */
+  def cmsEstimate(sketch: DataFrame, terms: DataFrame, termCol: String,
+                  depth: Int = 4, width: Int = 256): DataFrame =
+    terms.select(col(termCol).as("t")).distinct()
+      .select(col("t"), posexplode(array((0 until depth)
+        .map(j => cmsBucket(j, col("t"), width)): _*)).as(Seq("j", "b")))
+      .join(sketch, Seq("j", "b"))
+      .groupBy(col("t"))
+      .agg(min(col("n")).as("est"))
 
   /** Per-source KL divergence from the whole-corpus token
     * distribution (Laplace-smoothed over the corpus vocabulary) — the

@@ -232,6 +232,53 @@ class StorageStreamingSpec extends AnyFunSuite with SparkTestBase {
       "folded bin-count store must reproduce the batch KS exactly")
   }
 
+  test("streaming CMS sketch fold equals the one-shot batch sketch " +
+      "and estimates exactly") {
+    import spark.implicits._
+    import graft.operators.CurationOps
+    val docs = Tables.load(spark, sf("sf0.01"), "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val store = Files.createTempDirectory("graft-cms-store").toString
+    val (seed, rest) = docs.splitAt(docs.length / 3)
+    CurationOps.cmsSketch(seed.toSeq.toDF("doc_id", "text"), "text")
+      .write.mode("overwrite").parquet(store)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val merged = CurationOps.cmsMergeSketches(
+            spark.read.parquet(store),
+            CurationOps.cmsSketch(batch, "text"))
+          .localCheckpoint(true)
+        merged.write.mode("overwrite").parquet(store)
+      }
+      .start()
+    try {
+      rest.grouped(math.max(rest.length / 4, 1)).foreach { g =>
+        input.addData(g.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batchDf = docs.toSeq.toDF("doc_id", "text")
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Int]("j"), r.getAs[Long]("b")) ->
+        r.getAs[Long]("n")).toMap
+    val folded = spark.read.parquet(store)
+    assert(cells(folded) == cells(CurationOps.cmsSketch(batchDf, "text")),
+      "folded sketch cells must equal the one-shot batch sketch")
+    // and the downstream estimates agree term-for-term
+    val top = batchDf
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(20)
+    def ests(sk: org.apache.spark.sql.DataFrame) =
+      CurationOps.cmsEstimate(sk, top, "t").collect()
+        .map(r => r.getAs[String]("t") -> r.getAs[Long]("est")).toMap
+    assert(ests(folded) == ests(CurationOps.cmsSketch(batchDf, "text")))
+  }
+
   test("streaming grouped top-k (bounded aggregate) equals batch " +
       "across micro-batches") {
     import spark.implicits._
