@@ -1201,6 +1201,27 @@ object SimilarityOps {
     */
   def labelCentroidSkew(df: DataFrame, vecCol: String,
                         labelCol: String): DataFrame = {
+    val (lab, glob) = labelAndGlobalCentroids(df, vecCol, labelCol)
+    val dotLG = graft.functions.VectorExprs.vectorDot(col("__v"),
+      col("__gv"))
+    val cnorm = sqrt(graft.functions.VectorExprs.vectorDot(col("__v"),
+      col("__v")))
+    val gnorm = sqrt(graft.functions.VectorExprs.vectorDot(col("__gv"),
+      col("__gv")))
+    lab.crossJoin(broadcast(glob))
+      .select(col("label"), col("n_vecs"),
+        (dotLG / (cnorm * gnorm)).as("cosg"),
+        cnorm.as("cnorm"), gnorm.as("gnorm"))
+  }
+
+  /** Per-label centroid VECTORS (and the global one) from the exact
+    * integer-quantized sums — the shared machinery under
+    * [[labelCentroidSkew]] and the pairwise centroid-similarity
+    * queries. Returns (labels df: label, n_vecs, __v) and (global df:
+    * one row, __gv); components are micro-unit-scale doubles assembled
+    * in dim order. */
+  private[graft] def labelAndGlobalCentroids(df: DataFrame,
+      vecCol: String, labelCol: String): (DataFrame, DataFrame) = {
     val q = df
       .select(col(labelCol).as("label"), posexplode(col(vecCol)))
       .select(col("label"), col("pos"),
@@ -1227,15 +1248,29 @@ object SimilarityOps {
         .withColumn("c", col("gs").cast("double") / col("gn")),
       Seq(lit(1).as("__one")), Seq(count(lit(1)).as("__dims")))
       .select(col("__v").as("__gv"))
-    val dotLG = graft.functions.VectorExprs.vectorDot(col("__v"),
-      col("__gv"))
-    val cnorm = sqrt(graft.functions.VectorExprs.vectorDot(col("__v"),
-      col("__v")))
-    val gnorm = sqrt(graft.functions.VectorExprs.vectorDot(col("__gv"),
-      col("__gv")))
-    lab.crossJoin(broadcast(glob))
-      .select(col("label"), col("n_vecs"),
-        (dotLG / (cnorm * gnorm)).as("cosg"),
-        cnorm.as("cnorm"), gnorm.as("gnorm"))
+    (lab, glob)
+  }
+
+  /** Pairwise centroid cosine between labels/groups — "which sources
+    * are semantically interchangeable". The pair stage runs on the
+    * label-count-sized centroid table (one fold-ordered cosine per
+    * pair), never on raw vectors. Output: l1 < l2 (string order),
+    * n1, n2, cos. */
+  def centroidPairSimilarity(df: DataFrame, vecCol: String,
+                             labelCol: String): DataFrame = {
+    val (lab, _) = labelAndGlobalCentroids(df, vecCol, labelCol)
+    val dot = graft.functions.VectorExprs.vectorDot(col("a.__v"),
+      col("b.__v"))
+    val na = sqrt(graft.functions.VectorExprs.vectorDot(col("a.__v"),
+      col("a.__v")))
+    val nb = sqrt(graft.functions.VectorExprs.vectorDot(col("b.__v"),
+      col("b.__v")))
+    // broadcast the (label-count-sized) right side: the inequality
+    // join otherwise plans as a banned CartesianProduct
+    lab.as("a").join(broadcast(lab.as("b")),
+        col("a.label") < col("b.label"))
+      .select(col("a.label").as("l1"), col("b.label").as("l2"),
+        col("a.n_vecs").as("n1"), col("b.n_vecs").as("n2"),
+        (dot / (na * nb)).as("cos"))
   }
 }

@@ -1971,7 +1971,110 @@ object NorthStar {
       .ordered(col("n_docs"))
   }
 
+  // q163 — lexical diversity per source: type-token ratio and the
+  // Simpson index 1 - sum(c_i^2)/N^2 — the log-free diversity metric
+  // (entropy needs ln(); Simpson is exact integer sums + one
+  // division), the repetitive/spammy-source screen.
+  private val q163: Q = (s, dir) => {
+    val tf = t(s, dir, "documents")
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        e6(col("n_types").cast("double") / col("n_tokens"))
+          .as("ttr_e6"),
+        e6(lit(1.0) - col("sum_c2").cast("double") /
+          (col("n_tokens").cast("double") *
+            col("n_tokens").cast("double"))).as("simpson_e6"))
+      .ordered(col("source"))
+  }
+
+  // q164 — event-type transition matrix: consecutive event pairs per
+  // user in (ts, event_id) order — the Markov-chain behavioral
+  // profile. One user-keyed window, integer counts.
+  private val q164: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .ordered(col("prev_type"), col("next_type"))
+  }
+
+  // q165 — dedup method agreement: the 2-gram Jaccard (0.1) pair set
+  // vs the 3-gram containment (0.5) pair set over the same docs —
+  // overlap counts + agreement Jaccard. The "are my dedup passes
+  // redundant or complementary" report.
+  private val q165: Q = (s, dir) => {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 500)
+    val jac = DedupOps.ngramJaccardPairs(d, "doc_id", "text", 2, 0.1)
+      .select(col("id1"), col("id2"))
+    val con = DedupOps.ngramContainmentPairs(d, "doc_id", "text", 3, 0.5)
+      .select(col("id1"), col("id2"))
+    val nj = jac.agg(count(lit(1)).as("n_jac"))
+    val nc = con.agg(count(lit(1)).as("n_con"))
+    val nb = jac.join(con, Seq("id1", "id2"), "left_semi")
+      .agg(count(lit(1)).as("n_both"))
+    nj.crossJoin(broadcast(nc)).crossJoin(broadcast(nb))
+      .select(col("n_jac"), col("n_con"), col("n_both"),
+        e6(col("n_both").cast("double") /
+          (col("n_jac") + col("n_con") - col("n_both")))
+          .as("agree_e6"))
+      .ordered(col("n_jac"))
+  }
+
+  // q166 — dedup threshold sensitivity: pair count and greedy-dropped
+  // doc count at each Jaccard threshold, from ONE pair computation
+  // (the "how aggressive should dedup be" tuning curve).
+  private val q166: Q = (s, dir) => {
+    val pairs = DedupOps.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", n = 2, threshold = 0.1)
+      .select(col("id1"), col("id2"), e6(col("jaccard")).as("j6"))
+    val th = Seq(100000L, 200000L, 300000L, 400000L, 500000L)
+    val thDf = {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      th.toDF("thr_e6")
+    }
+    pairs.crossJoin(broadcast(thDf))
+      .filter(col("j6") >= col("thr_e6"))
+      .groupBy(col("thr_e6"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id2")).as("n_dropped"))
+      .ordered(col("thr_e6"))
+  }
+
+  // q167 — pairwise source centroid similarity in embedding space:
+  // the q145 integer-quantized centroid machinery, then a fold-
+  // ordered cosine for every source pair (bounded: sources^2) —
+  // "which sources are semantically interchangeable"
+  // (SimilarityOps.centroidPairSimilarity).
+  private val q167: Q = (s, dir) => {
+    val joined = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .join(t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+    SimilarityOps.centroidPairSimilarity(joined, "embedding", "source")
+      .select(col("l1").as("s1"), col("l2").as("s2"), col("n1"),
+        col("n2"), e6(col("cos")).as("cos_e6"))
+      .ordered(col("s1"), col("s2"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q167_source_centroid_pairs" -> q167,
+    "q166_dedup_sensitivity" -> q166,
+    "q165_method_agreement" -> q165,
+    "q164_event_transitions" -> q164,
+    "q163_lexical_diversity" -> q163,
     "q162_dataset_card" -> q162,
     "q161_top_span" -> q161,
     "q160_gate_rates" -> q160,
@@ -5243,26 +5346,28 @@ object NorthStar {
 
   /** Shared 2/3-gram Jaccard/containment pair-chain CTEs (mirrors
     * DedupOps.stagedShingles + the inverted-index join) over
-    * doc_id < 500. Emits CTEs d, s, inv, pp, sz. */
-  private def sqlPairChain(n: Int): String = {
+    * doc_id < 500. Emits CTEs {p}d, {p}s, {p}inv, {p}pp, {p}sz —
+    * pass a prefix when two chains coexist in one query. */
+  private def sqlPairChain(n: Int, p: String = ""): String = {
     val lastStart = s"len(toks) - ${n - 2}"
-    s"""d AS (
+    s"""${p}d AS (
        |  SELECT doc_id, source,
        |         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
        |  FROM documents WHERE doc_id < 500),
-       |s AS (
+       |${p}s AS (
        |  SELECT doc_id,
        |         CASE WHEN len(toks) >= $n
        |              THEN list_distinct(list_transform(range(1, $lastStart),
        |                     i -> array_to_string(toks[i:i+${n - 1}], ' ')))
        |              ELSE [] END AS sh
-       |  FROM d),
-       |inv AS (SELECT doc_id, unnest(sh) AS s1 FROM s),
-       |pp AS (
+       |  FROM ${p}d),
+       |${p}inv AS (SELECT doc_id, unnest(sh) AS s1 FROM ${p}s),
+       |${p}pp AS (
        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
-       |  FROM inv a JOIN inv b ON a.s1 = b.s1 AND a.doc_id < b.doc_id
+       |  FROM ${p}inv a JOIN ${p}inv b
+       |    ON a.s1 = b.s1 AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
-       |sz AS (SELECT doc_id, len(sh) AS n FROM s)""".stripMargin
+       |${p}sz AS (SELECT doc_id, len(sh) AS n FROM ${p}s)""".stripMargin
   }
 
   /** q149 oracle: the 3-gram pair chain with asymmetric containment
@@ -5558,7 +5663,105 @@ object NorthStar {
        |     GROUP BY p HAVING COUNT(*) >= 2)) AS template_groups,
        |  (SELECT COUNT(*) FROM fil) AS near_dup_pairs""".stripMargin
 
+  /** q163 oracle: type-token ratio + Simpson index from exact term
+    * counts. */
+  private val q163Sql: String =
+    s"""WITH tf AS (
+       |  SELECT source, t, COUNT(*) AS c FROM (
+       |    SELECT source, unnest(regexp_split_to_array(lower(trim(text)),
+       |      '\\s+')) AS t FROM documents)
+       |  WHERE t <> '' GROUP BY source, t),
+       |a AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |             COUNT(*) AS n_types,
+       |             CAST(SUM(c * c) AS BIGINT) AS sum_c2
+       |      FROM tf GROUP BY source)
+       |SELECT source, n_tokens, n_types,
+       |       ${sqlE6("CAST(n_types AS DOUBLE) / n_tokens")} AS ttr_e6,
+       |       ${sqlE6("1.0 - CAST(sum_c2 AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))")} AS simpson_e6
+       |FROM a ORDER BY source""".stripMargin
+
+  /** q164 oracle: LAG over (user, (ts, event_id)) — the transition
+    * matrix. */
+  private val q164Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |                  epoch_us(ts) AS tu FROM events),
+       |l AS (SELECT event_type AS next_type,
+       |             LAG(event_type) OVER (PARTITION BY user_id
+       |                 ORDER BY tu, event_id) AS prev_type
+       |      FROM e)
+       |SELECT prev_type, next_type, COUNT(*) AS n FROM l
+       |WHERE prev_type IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY prev_type, next_type""".stripMargin
+
+  /** q165 oracle: both pair chains (2-gram Jaccard 0.1, 3-gram
+    * containment 0.5) and their overlap counts. */
+  private val q165Sql: String =
+    s"""WITH ${sqlPairChain(2)},
+       |fil AS (
+       |  SELECT id1, id2 FROM pp
+       |  JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+       |  WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.1),
+       |${sqlPairChain(3, "c")},
+       |cfil AS (
+       |  SELECT id1, id2 FROM cpp
+       |  JOIN csz x ON id1 = x.doc_id JOIN csz y ON id2 = y.doc_id
+       |  WHERE GREATEST(CAST(shared AS DOUBLE) / x.n,
+       |                 CAST(shared AS DOUBLE) / y.n) >= 0.5),
+       |nj AS (SELECT COUNT(*) AS n_jac FROM fil),
+       |nc AS (SELECT COUNT(*) AS n_con FROM cfil),
+       |nb AS (SELECT COUNT(*) AS n_both FROM fil
+       |       JOIN cfil USING (id1, id2))
+       |SELECT n_jac, n_con, n_both,
+       |       ${sqlE6("CAST(n_both AS DOUBLE) / (n_jac + n_con - n_both)")} AS agree_e6
+       |FROM nj CROSS JOIN nc CROSS JOIN nb""".stripMargin
+
+  /** q166 oracle: the e6-pinned pair list crossed with the threshold
+    * spine — counts per threshold from one pair computation. */
+  private val q166Sql: String =
+    s"""WITH ${sqlPairChain(2)},
+       |filv AS (
+       |  SELECT id1, id2,
+       |         CAST(ROUND(CAST(shared AS DOUBLE) / (x.n + y.n - shared)
+       |              * 1e6, 0) AS BIGINT) AS j6
+       |  FROM pp
+       |  JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+       |  WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.1),
+       |th AS (SELECT CAST(thr AS BIGINT) AS thr_e6 FROM (VALUES
+       |       (100000), (200000), (300000), (400000), (500000)) t(thr))
+       |SELECT thr_e6, COUNT(*) AS n_pairs,
+       |       COUNT(DISTINCT id2) AS n_dropped
+       |FROM filv CROSS JOIN th WHERE j6 >= thr_e6
+       |GROUP BY thr_e6 ORDER BY thr_e6""".stripMargin
+
+  /** q167 oracle: the q148 centroid chain keyed by source, then the
+    * pairwise fold-ordered cosine. */
+  private val q167Sql: String =
+    s"""WITH j AS (
+       |  SELECT d.source AS label, e.embedding
+       |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+       |q AS (
+       |  SELECT label, i.i AS pos,
+       |         CAST(ROUND(embedding[i.i]::DOUBLE * 1e6, 0) AS BIGINT)
+       |           AS qv
+       |  FROM j CROSS JOIN range(1, ${Dims + 1}) i(i)),
+       |lp AS (SELECT label, pos, CAST(SUM(qv) AS BIGINT) AS s,
+       |              COUNT(*) AS n
+       |       FROM q GROUP BY label, pos),
+       |lv AS (SELECT label, MAX(n) AS n_vecs,
+       |              list(CAST(s AS DOUBLE) / n ORDER BY pos) AS v
+       |       FROM lp GROUP BY label)
+       |SELECT a.label AS s1, b.label AS s2,
+       |       a.n_vecs AS n1, b.n_vecs AS n2,
+       |       ${sqlE6(s"${sqlDot("a.v", "b.v")} / (sqrt(${sqlDot("a.v", "a.v")}) * sqrt(${sqlDot("b.v", "b.v")}))")} AS cos_e6
+       |FROM lv a JOIN lv b ON a.label < b.label
+       |ORDER BY s1, s2""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q167_source_centroid_pairs" -> q167Sql,
+    "q166_dedup_sensitivity" -> q166Sql,
+    "q165_method_agreement" -> q165Sql,
+    "q164_event_transitions" -> q164Sql,
+    "q163_lexical_diversity" -> q163Sql,
     "q162_dataset_card" -> q162Sql,
     "q161_top_span" -> q161Sql,
     "q160_gate_rates" -> q160Sql,

@@ -1735,6 +1735,22 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq == Seq("the quick" -> ((2L, 1L))))
   }
 
+  test("centroidPairSimilarity: orthogonal label centroids score 0, " +
+      "aligned ones 1") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), "x"), (2L, Seq(1.0f, 0.0f), "x2"),
+      (3L, Seq(0.0f, 1.0f), "y")
+    ).toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.centroidPairSimilarity(df, "embedding",
+        "label")
+      .collect().map(r => (r.getAs[String]("l1"), r.getAs[String]("l2"))
+        -> r.getAs[Double]("cos")).toMap
+    assert(math.abs(got(("x", "x2")) - 1.0) < 1e-9)
+    assert(math.abs(got(("x", "y"))) < 1e-9)
+    assert(math.abs(got(("x2", "y"))) < 1e-9)
+  }
+
   test("greedyPairDrop: larger pair sides drop, everything else keeps") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")

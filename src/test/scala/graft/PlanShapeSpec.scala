@@ -346,7 +346,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     "q148_lang_centroid_skew", // same 1-row global-centroid bracket
     "q152_quantile_norm", // 1-row corpus count vs per-group ranks
     "q154_source_chi2", // <=nBins-row global grid + 1-row total
-    "q162_dataset_card") // five 1-row summary aggregates combined
+    "q162_dataset_card", // five 1-row summary aggregates combined
+    "q165_method_agreement", // three 1-row pair-count brackets
+    "q166_dedup_sensitivity", // 5-row threshold spine vs pair list
+    "q167_source_centroid_pairs") // label-count-sized centroid
+                                  // inequality self-join (broadcast)
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
