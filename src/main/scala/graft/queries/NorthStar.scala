@@ -2069,7 +2069,100 @@ object NorthStar {
       .ordered(col("s1"), col("s2"))
   }
 
+  // q168 — hourly event rate on a DENSE time grid with a 3-hour
+  // trailing mean: gap hours are zero-filled (a sparse groupBy would
+  // silently skip them and the moving average would lie). The spine
+  // is a 1-row bounds aggregate exploded into hours; the window sums
+  // integers over a 3-row frame — exact.
+  private val q168: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = t(s, dir, "events")
+      .withColumn("h", expr("(ts_ns div 1000) div 3600000000"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"))
+    val spine = hourly.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("h"))
+    val types = hourly.select(col("event_type")).distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-2, 0)
+    types.crossJoin(broadcast(spine))
+      .join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("s3", sum(col("n")).over(w))
+      .withColumn("c3", count(lit(1)).over(w))
+      .select(col("event_type"), col("h"), col("n"),
+        e6(col("s3").cast("double") / col("c3")).as("ma3_e6"))
+      .ordered(col("event_type"), col("h"))
+  }
+
+  // q169 — doc-length Gini coefficient per source (inequality of the
+  // length distribution — a "few giant docs dominate this source"
+  // screen): G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over
+  // ranks within source. Numerator exact integer, one division.
+  private val q169: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("x"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        col("n_chars").cast("long").as("x"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("chars_sum"),
+        sum(col("i") * col("x")).as("sxi"))
+      .select(col("source"), col("n_docs"), col("chars_sum"),
+        e6((lit(2L) * col("sxi") -
+            (col("n_docs") + 1L) * col("chars_sum")).cast("double") /
+          (col("n_docs").cast("double") *
+            col("chars_sum").cast("double"))).as("gini_e6"))
+      .ordered(col("source"))
+  }
+
+  // q170 — k-means cluster purity vs embedding labels: the cluster
+  // quality confusion report (majority label + purity per cluster).
+  // Deterministic: kmeansInt8 is the md5-seeded exact-integer
+  // k-means; ties break (count desc, label asc).
+  private val q170: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings")
+    val asg = SimilarityOps.kmeansInt8(emb, "vec_id", "embedding",
+      k = 8, iters = 3)
+    val counts = asg
+      .join(emb.select(col("vec_id").as("id"), col("label")), "id")
+      .groupBy(col("cid"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    val wC = Window.partitionBy(col("cid"))
+      .orderBy(col("c").desc, col("label"))
+    counts
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("cid"))))
+      .withColumn("rk", row_number().over(wC))
+      .filter(col("rk") === 1)
+      .select(col("cid"), col("n"), col("label").as("top_label"),
+        col("c").as("top_n"),
+        e6(col("c").cast("double") / col("n")).as("purity_e6"))
+      .ordered(col("cid"))
+  }
+
+  // q171 — near-dup cluster size distribution: connected components
+  // over the 2-gram Jaccard pairs, then the size histogram — "is
+  // duplication pairwise noise or giant template families".
+  private val q171: Q = (s, dir) => {
+    val pairs = DedupOps.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", n = 2, threshold = 0.1)
+    DedupOps.connectedComponents(pairs, "id1", "id2")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("size"))
+      .groupBy(col("size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .ordered(col("size"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q171_cluster_sizes" -> q171,
+    "q170_cluster_purity" -> q170,
+    "q169_length_gini" -> q169,
+    "q168_event_rate_ma" -> q168,
     "q167_source_centroid_pairs" -> q167,
     "q166_dedup_sensitivity" -> q166,
     "q165_method_agreement" -> q165,
@@ -5756,7 +5849,90 @@ object NorthStar {
        |FROM lv a JOIN lv b ON a.label < b.label
        |ORDER BY s1, s2""".stripMargin
 
+  /** q168 oracle: dense hour spine x types, zero-filled, 3-row
+    * trailing window. */
+  private val q168Sql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+       |         COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM hourly),
+       |spine AS (SELECT unnest(range(lo, hi + 1)) AS h FROM b),
+       |ty AS (SELECT DISTINCT event_type FROM hourly),
+       |dense AS (
+       |  SELECT ty.event_type, spine.h, COALESCE(hourly.n, 0) AS n
+       |  FROM ty CROSS JOIN spine
+       |  LEFT JOIN hourly ON hourly.event_type = ty.event_type
+       |    AND hourly.h = spine.h),
+       |m AS (SELECT event_type, h, n, SUM(n) OVER w AS s3,
+       |             COUNT(*) OVER w AS c3
+       |      FROM dense
+       |      WINDOW w AS (PARTITION BY event_type ORDER BY h
+       |                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+       |SELECT event_type, h, CAST(n AS BIGINT) AS n,
+       |       ${sqlE6("CAST(s3 AS DOUBLE) / c3")} AS ma3_e6
+       |FROM m ORDER BY event_type, h""".stripMargin
+
+  /** q169 oracle: the rank-sum Gini with integer numerator. */
+  private val q169Sql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id, n_chars AS x,
+       |         ROW_NUMBER() OVER (PARTITION BY source
+       |             ORDER BY n_chars, doc_id) AS i
+       |  FROM documents),
+       |a AS (SELECT source, COUNT(*) AS n_docs,
+       |             CAST(SUM(x) AS BIGINT) AS chars_sum,
+       |             CAST(SUM(i * x) AS BIGINT) AS sxi
+       |      FROM d GROUP BY source)
+       |SELECT source, n_docs, chars_sum,
+       |       ${sqlE6("CAST(2 * sxi - (n_docs + 1) * chars_sum AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(chars_sum AS DOUBLE))")} AS gini_e6
+       |FROM a ORDER BY source""".stripMargin
+
+  /** q170 oracle: the k-means assignment chain (af) joined to labels,
+    * majority label per cluster via ROW_NUMBER (count desc, label). */
+  private val q170Sql: String =
+    s"""WITH $kmeansAfCtes,
+       |cl AS (SELECT a.cid, e.label FROM af a
+       |       JOIN embeddings e ON a.vec_id = e.vec_id),
+       |cnt AS (SELECT cid, label, COUNT(*) AS c FROM cl GROUP BY 1, 2),
+       |tot AS (SELECT cid, CAST(SUM(c) AS BIGINT) AS n FROM cnt
+       |        GROUP BY cid),
+       |r AS (SELECT cid, label, c,
+       |             ROW_NUMBER() OVER (PARTITION BY cid
+       |                 ORDER BY c DESC, label) AS rk
+       |      FROM cnt)
+       |SELECT r.cid, tot.n, r.label AS top_label,
+       |       CAST(r.c AS BIGINT) AS top_n,
+       |       ${sqlE6("CAST(r.c AS DOUBLE) / tot.n")} AS purity_e6
+       |FROM r JOIN tot ON r.cid = tot.cid WHERE r.rk = 1
+       |ORDER BY r.cid""".stripMargin
+
+  /** q171 oracle: recursive min-label reach over the symmetrized
+    * Jaccard pairs (the q54 component idiom), then the size
+    * histogram. */
+  private val q171Sql: String =
+    s"""WITH RECURSIVE ${sqlPairChain(2)},
+       |fil AS (
+       |  SELECT id1, id2 FROM pp
+       |  JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+       |  WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.1),
+       |edges AS (SELECT id1 AS s2, id2 AS dd FROM fil
+       |          UNION SELECT id2, id1 FROM fil),
+       |nodes AS (SELECT DISTINCT s2 AS id FROM edges),
+       |reach(id, lab) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dd, r.lab FROM reach r JOIN edges e ON e.s2 = r.id),
+       |comp AS (SELECT id, MIN(lab) AS cl FROM reach GROUP BY id),
+       |szs AS (SELECT cl, COUNT(*) AS size FROM comp GROUP BY cl)
+       |SELECT size, COUNT(*) AS n_clusters FROM szs GROUP BY size
+       |ORDER BY size""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q171_cluster_sizes" -> q171Sql,
+    "q170_cluster_purity" -> q170Sql,
+    "q169_length_gini" -> q169Sql,
+    "q168_event_rate_ma" -> q168Sql,
     "q167_source_centroid_pairs" -> q167Sql,
     "q166_dedup_sensitivity" -> q166Sql,
     "q165_method_agreement" -> q165Sql,

@@ -349,8 +349,9 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     "q162_dataset_card", // five 1-row summary aggregates combined
     "q165_method_agreement", // three 1-row pair-count brackets
     "q166_dedup_sensitivity", // 5-row threshold spine vs pair list
-    "q167_source_centroid_pairs") // label-count-sized centroid
+    "q167_source_centroid_pairs", // label-count-sized centroid
                                   // inequality self-join (broadcast)
+    "q168_event_rate_ma") // hour-spine broadcast vs type list
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
