@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Abs, Cast, Expression,
   ExpressionInfo, If, LessThanOrEqual, Literal, Multiply, Signum, Subtract}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{CharEntropy, ExactMedian, RollingHash, TopKRows,
-  VectorDot, VectorMomentGram}
+import graft.functions.{CharEntropy, ExactMedian, MaxTokenRun,
+  RollingHash, TopKRows, VectorDot, VectorMomentGram}
 
 /** SQL surface for the engine's custom expressions: registers them in
   * the session function registry so `spark.sql` users call them like
@@ -83,6 +83,11 @@ object GraftFunctions {
       info("char_entropy",
         "char_entropy(text) - Shannon entropy (nats) of the character distribution"),
       arity("char_entropy", 1)(es => CharEntropy(es(0)))),
+    (FunctionIdentifier("max_token_run"),
+      info("max_token_run",
+        "max_token_run(text) - longest run of a repeated whitespace token" +
+          " (input is tokenized as split(text, '\\\\s+', -1))"),
+      arity("max_token_run", 1)(es => MaxTokenRun(es(0)))),
     (FunctionIdentifier("vector_moment_gram"),
       info("vector_moment_gram",
         "vector_moment_gram(v, dims) - single-pass aggregate over " +

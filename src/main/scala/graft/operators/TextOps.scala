@@ -513,12 +513,21 @@ object TextOps {
   }
 
   /** Longest run of a repeated token — the degenerate-repetition
-    * signal ("buy buy buy buy ...") Gopher-class filters cut on. A
-    * pure per-row left-to-right fold over the token array (one
-    * aggregate HOF, no shuffle): state (mx, cur, prev), run extends
-    * when the token equals its predecessor. Engine-independent
-    * integer output. */
+    * signal ("buy buy buy buy ...") Gopher-class filters cut on.
+    * Native codegen'd expression ([[graft.functions.MaxTokenRun]]):
+    * one byte scan per row, no token-array materialization, no
+    * interpreted-HOF dispatch — the fold form survives as
+    * [[maxTokenRunFold]] for the equivalence spec. */
   def maxTokenRun(text: Column): Column = {
+    import org.apache.spark.sql.GraftExprBridge
+    GraftExprBridge.column(graft.functions.MaxTokenRun(
+      GraftExprBridge.expression(lower(trim(text)))))
+  }
+
+  /** The aggregate-HOF reference implementation of [[maxTokenRun]]
+    * (state machine (mx, cur, prev)); kept as the cross-check the
+    * codegen equivalence spec runs against. */
+  private[graft] def maxTokenRunFold(text: Column): Column = {
     val zero = struct(lit(0L).as("mx"), lit(0L).as("cur"),
       lit("").as("prev"))
     aggregate(tokens(text), zero,

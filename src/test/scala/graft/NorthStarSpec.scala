@@ -1671,6 +1671,38 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
       5L -> 20L, 6L -> 100L))
   }
 
+  test("maxTokenRun CODEGEN path (non-local plan) equals the HOF fold " +
+      "on fixture text and crafted edges") {
+    // range-based plan -> whole-stage codegen exercises doGenCode
+    // (Seq.toDF would constant-fold through interpreted eval only)
+    val edges = Seq("", " ", "  ", "\t", "a", "a ", " a", "a\tb",
+      "a\t\ta", "x X", "a a  a\ta", "tail tail", "ab a b ab",
+      "é é é", "a  ", "\t\t")
+    val fixture = graft.core.Tables.load(spark, dir, "documents")
+      .limit(64).collect().map(_.getAs[String]("text"))
+    val all = (edges ++ fixture).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toMap
+    val lookup = udf((id: Long) => all(id))
+    val got = spark.range(0, all.size)
+      .select(col("id"), lookup(col("id")).as("text"))
+      .select(col("id"),
+        TextOps.maxTokenRun(col("text")).as("native"),
+        TextOps.maxTokenRunFold(col("text")).as("fold"))
+      .collect()
+    assert(got.length == all.size)
+    got.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"id ${r.getLong(0)} text '${all(r.getLong(0))}': " +
+          s"native ${r.getLong(1)} fold ${r.getLong(2)}")
+    }
+    // spot-pin the crafted semantics
+    val byText = got.map(r => all(r.getLong(0)) -> r.getLong(1)).toMap
+    assert(byText("x X") == 2L) // lowercase before compare
+    assert(byText("a a  a\ta") == 4L)
+    assert(byText("") == 1L && byText("a") == 1L)
+    assert(byText("\t\t") == 2L) // two empty tokens after space-trim
+  }
+
   test("maxTokenRun: runs count, singletons and no-repeat docs score 1") {
     import spark.implicits._
     val df = Seq((1L, "a a a b b a"), (2L, "solo"),
