@@ -550,4 +550,62 @@ object StreamingPipelines {
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(interval))
+
+  /** One buffered transition event (epoch ms, tie order, type). */
+  final case class TransEvent(tsMs: Long, tie: Long, typ: String)
+  /** `last` = the latest FINALIZED event (the left side of the next
+    * transition); `buffered` holds events the watermark hasn't
+    * finalized. */
+  final case class TransState(last: Option[TransEvent],
+                              buffered: List[TransEvent])
+  /** Emitted consecutive-event transition — final by construction. */
+  final case class TransitionHit(k: String, prevType: String,
+                                 nextType: String, tsMs: Long)
+
+  /** Streaming event-type transitions — the continuous form of the
+    * q164 Markov transition matrix: per entity, each FINALIZED event
+    * pairs with its (ts, tie)-ordered predecessor. Events ahead of
+    * the watermark stay buffered; only the region where late arrivals
+    * are impossible is folded, so emitted transitions are exact and
+    * exactly-once under any arrival order. State per entity: one last
+    * event + the horizon-bounded buffer. Downstream, a grouped count
+    * over (prevType, nextType) reproduces the batch matrix. */
+  def streamingTransitions(events: DataFrame, entityCol: String,
+                           typeCol: String, tsCol: String,
+                           tieCol: String,
+                           watermark: String = "1 hour")
+      : Dataset[TransitionHit] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col(entityCol).cast("string").as("k"),
+        col(typeCol).cast("string").as("typ"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(tieCol).cast("long").as("tie"))
+      .withWatermark("ts", watermark)
+      .as[(String, String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String,
+         rows: Iterator[(String, String, java.sql.Timestamp, Long)],
+         gs: GroupState[TransState]) => {
+          val st = gs.getOption.getOrElse(TransState(None, Nil))
+          var buf = st.buffered
+          rows.foreach { case (_, typ, ts, tie) =>
+            buf ::= TransEvent(ts.getTime, tie, typ)
+          }
+          val wm = gs.getCurrentWatermarkMs()
+          val (ripe, keep) = buf.partition(_.tsMs < wm)
+          var last = st.last
+          val out = List.newBuilder[TransitionHit]
+          ripe.sortBy(e => (e.tsMs, e.tie)).foreach { e =>
+            last.foreach(p =>
+              out += TransitionHit(key, p.typ, e.typ, e.tsMs))
+            last = Some(e)
+          }
+          gs.update(TransState(last, keep))
+          gs.setTimeoutTimestamp(math.max(wm + timeoutSlackMs, 1L))
+          out.result().iterator
+        })
+  }
 }

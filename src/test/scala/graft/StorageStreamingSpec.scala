@@ -432,6 +432,58 @@ class StorageStreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming event transitions equal the batch matrix under " +
+      "disorder") {
+    import spark.implicits._
+    val ev = Tables.load(spark, sf("sf0.001"), "events")
+      .filter(col("user_id") < 40)
+      .select(col("user_id").cast("long").as("u"),
+        col("event_type").as("et"),
+        (unix_micros(col("ts")) / 1000L).cast("long").as("tms"),
+        col("event_id").cast("long").as("eid"))
+    val rows = ev.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // batch truth: LAG over (u, (tms, eid)) -> (prev, next) counts
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("tms"), col("eid"))
+    val bt = ev.withColumn("prev", lag(col("et"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("et")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(2)).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+    val streamed = StreamingPipelines.streamingTransitions(
+      input.toDF().toDF("u", "et", "ts", "eid"),
+      "u", "et", "ts", "eid", watermark = "30 days")
+    val q = streamed.writeStream.format("memory")
+      .queryName("trans_out").outputMode("append").start()
+    try {
+      val shuffled = new scala.util.Random(17).shuffle(rows.toList)
+        .map { case (u, et, tms, eid) =>
+          (u, et, new java.sql.Timestamp(tms), eid) }
+      val third = (shuffled.size + 2) / 3
+      for (c <- 0 until 3) {
+        input.addData(shuffled.drop(c * third).take(third))
+        q.processAllAvailable()
+      }
+      val far = new java.sql.Timestamp(shuffled.map(_._3.getTime).max +
+        100L * 24 * 3600 * 1000)
+      input.addData(Seq((-1L, "click", far, 0L)))
+      q.processAllAvailable()
+      input.addData(Seq((-1L, "click", far, 1L)))
+      q.processAllAvailable()
+      val got = spark.table("trans_out")
+        .filter(col("k") =!= "-1")
+        .groupBy(col("prevType"), col("nextType")).count()
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          r.getLong(2)).toMap
+      assert(got == bt,
+        "streamed transition counts must equal the batch LAG matrix")
+    } finally q.stop()
+  }
+
   test("streaming funnel equals batch stage times under disorder") {
     import spark.implicits._
     val stages = Seq("signup", "view", "click", "purchase")
