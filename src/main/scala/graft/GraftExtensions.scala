@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Abs, Cast, Expression,
   ExpressionInfo, If, LessThanOrEqual, Literal, Multiply, Signum, Subtract}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{CharEntropy, ExactMedian, MaxTokenRun,
-  RollingHash, TopKRows, VectorDot, VectorMomentGram}
+import graft.functions.{CharEntropy, CharNgrams, ExactMedian,
+  MaxTokenRun, RollingHash, TopKRows, VectorDot, VectorMomentGram}
 
 /** SQL surface for the engine's custom expressions: registers them in
   * the session function registry so `spark.sql` users call them like
@@ -88,6 +88,17 @@ object GraftFunctions {
         "max_token_run(text) - longest run of a repeated whitespace token" +
           " (input is tokenized as split(text, '\\\\s+', -1))"),
       arity("max_token_run", 1)(es => MaxTokenRun(es(0)))),
+    (FunctionIdentifier("char_ngrams"),
+      info("char_ngrams",
+        "char_ngrams(text, n) - space-joined code-point n-grams"),
+      arity("char_ngrams", 2)(es => {
+        val n = es(1) match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case _ => throw new IllegalArgumentException(
+            "char_ngrams: n must be an integer literal")
+        }
+        CharNgrams(es(0), n)
+      })),
     (FunctionIdentifier("vector_moment_gram"),
       info("vector_moment_gram",
         "vector_moment_gram(v, dims) - single-pass aggregate over " +

@@ -368,6 +368,22 @@ object TextOps {
         col("total").as("total_tokens"))
   }
 
+  /** Character n-grams (space-joined, code-point-aware) — the native
+    * codegen'd expression ([[graft.functions.CharNgrams]]); the HOF
+    * chain form survives as [[charNgramsFold]] for the equivalence
+    * spec. */
+  def charNgrams(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftExprBridge
+    GraftExprBridge.column(graft.functions.CharNgrams(
+      GraftExprBridge.expression(text), n))
+  }
+
+  /** The zip_with-chain reference implementation of [[charNgrams]]
+    * (split("") keeps a trailing "" under java limit -1 — filtered so
+    * the char array matches substr-based replays). */
+  private[graft] def charNgramsFold(text: Column, n: Int): Column =
+    shinglesFromTokens(filter(split(text, ""), _ =!= ""), n)
+
   /** Distinct (group, term) vocabulary table for a grouped corpus —
     * the shared scan under [[vocabJaccardPairs]] and
     * [[vocabMinhashSim]]. One explode + one distinct (term-keyed
@@ -447,11 +463,8 @@ object TextOps {
     * freq_sum (exact), commonness (= freq_sum/n_tris, double). */
   def trigramCommonness(df: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
-    // split on "" keeps a trailing "" (java limit -1 semantics) —
-    // filter it so the char array matches substr-based replays
-    val chars = filter(split(lower(col(textCol)), ""), _ =!= "")
     val tris = df.select(col(idCol).as("__id"),
-      explode(shinglesFromTokens(chars, 3)).as("__tri"))
+      explode(charNgrams(lower(col(textCol)), 3)).as("__tri"))
     val counts = tris.groupBy(col("__tri"))
       .agg(count(lit(1)).as("__cnt"))
     tris.join(counts, "__tri")

@@ -1703,6 +1703,34 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(byText("\t\t") == 2L) // two empty tokens after space-trim
   }
 
+  test("charNgrams CODEGEN path (non-local plan) equals the zip_with " +
+      "chain on fixture text and crafted edges") {
+    val edges = Seq("", "a", "ab", "abc", "abcd", "a b", "a  b",
+      "ééé", "aé b", "\ta\tb")
+    val fixture = graft.core.Tables.load(spark, dir, "documents")
+      .limit(32).collect().map(_.getAs[String]("text"))
+    val all = (edges ++ fixture).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toMap
+    val lookup = udf((id: Long) => all(id))
+    val got = spark.range(0, all.size)
+      .select(col("id"), lookup(col("id")).as("text"))
+      .select(col("id"),
+        TextOps.charNgrams(lower(col("text")), 3).as("native"),
+        TextOps.charNgramsFold(lower(col("text")), 3).as("fold"))
+      .collect()
+    assert(got.length == all.size)
+    got.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"id ${r.getLong(0)} text '${all(r.getLong(0))}'")
+    }
+    val byText = got.map(r => all(r.getLong(0)) -> r.getSeq[String](1))
+      .toMap
+    assert(byText("") == Seq() && byText("ab") == Seq())
+    assert(byText("abc") == Seq("a b c"))
+    assert(byText("abcd") == Seq("a b c", "b c d"))
+    assert(byText("a b") == Seq("a   b")) // the space IS a code point
+  }
+
   test("maxTokenRun: runs count, singletons and no-repeat docs score 1") {
     import spark.implicits._
     val df = Seq((1L, "a a a b b a"), (2L, "solo"),
