@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Abs, Cast, Expression,
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.functions.{CharEntropy, CharNgrams, ExactMedian,
-  MaxTokenRun, RollingHash, TopKRows, VectorDot, VectorMomentGram}
+  MaxTokenRun, RollingHash, TokenNgrams, TopKRows, VectorDot, VectorMomentGram}
 
 /** SQL surface for the engine's custom expressions: registers them in
   * the session function registry so `spark.sql` users call them like
@@ -21,6 +21,9 @@ import graft.functions.{CharEntropy, CharNgrams, ExactMedian,
   *  - `deadband(x, floor)` — noise-floor crush (reference F5)
   *  - `rolling_hash(text)` — base-31 mod-1e9+7 document fingerprint
   *  - `char_entropy(text)` — codegen'd character-distribution entropy
+  *  - `max_token_run(text)` — longest repeated-token run (byte scan)
+  *  - `char_ngrams(text, n)` — code-point n-grams, space-joined
+  *  - `token_ngrams(toks, n)` — word shingles over array<string>
   *  - `vector_moment_gram(v, dims)` — single-pass moments + gram aggregate
   *  - `top_k_rows(score, id, k)` — bounded-buffer grouped top-k aggregate
   *
@@ -98,6 +101,17 @@ object GraftFunctions {
             "char_ngrams: n must be an integer literal")
         }
         CharNgrams(es(0), n)
+      })),
+    (FunctionIdentifier("token_ngrams"),
+      info("token_ngrams",
+        "token_ngrams(toks, n) - space-joined n-gram shingles over array<string>"),
+      arity("token_ngrams", 2)(es => {
+        val n = es(1) match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case _ => throw new IllegalArgumentException(
+            "token_ngrams: n must be an integer literal")
+        }
+        TokenNgrams(es(0), n)
       })),
     (FunctionIdentifier("vector_moment_gram"),
       info("vector_moment_gram",

@@ -98,19 +98,29 @@ object TextOps {
   def wordShingles(text: Column, n: Int): Column =
     shinglesFromTokens(tokens(text), n)
 
-  /** N-gram shingles over a token array.
-    *
-    * Built by zipping the token array against its own shifted slices
-    * (n-1 zip_with passes) instead of indexing `toks` inside a
-    * per-shingle lambda: Catalyst inlines attribute references into
-    * lambda bodies when projections collapse (e.g. into a downstream
-    * explode), and a lambda-body reference re-evaluates PER ELEMENT —
-    * the slice(toks, i, n) form re-ran the tokenizer once per shingle,
-    * O(tokens^2) per document. Collection arguments evaluate once, so
-    * this form costs ~n tokenizer evaluations per row even when fully
-    * inlined. Same output: ["t1 .. tn", "t2 .. tn+1", ...]; empty when
-    * fewer than n tokens. */
+  /** N-gram shingles over a token array — native codegen'd expression
+    * ([[graft.functions.TokenNgrams]]): the token array (the child)
+    * evaluates exactly ONCE per row regardless of projection
+    * collapse, which is the property the earlier zip_with chain
+    * existed to guarantee (a lambda-BODY reference to `toks`
+    * re-evaluates per element — the slice(toks, i, n) form re-ran the
+    * tokenizer once per shingle, O(tokens^2) per document; see the
+    * CLAUDE.md footgun). The native form additionally removes the
+    * chain's n-1 interpreted zip_with passes and array allocations.
+    * Output: ["t1 .. tn", "t2 .. tn+1", ...]; empty when fewer than
+    * n tokens. */
   def shinglesFromTokens(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftExprBridge
+    GraftExprBridge.column(graft.functions.TokenNgrams(
+      GraftExprBridge.expression(toks), n))
+  }
+
+  /** The zip_with-chain reference implementation of
+    * [[shinglesFromTokens]] (kept for the codegen equivalence spec).
+    * Evaluate-once discipline as documented above still applies to
+    * any caller of this form. */
+  private[graft] def shinglesFromTokensFold(toks: Column, n: Int)
+      : Column = {
     // zip_with pads the shorter side with null; concat_ws skips nulls,
     // so tail entries are short-grams — the final slice drops them.
     val zipped = (2 to n).foldLeft(toks) { (acc, k) =>

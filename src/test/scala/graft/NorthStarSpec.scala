@@ -1731,6 +1731,29 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(byText("a b") == Seq("a   b")) // the space IS a code point
   }
 
+  test("shinglesFromTokens CODEGEN path equals the zip_with chain for " +
+      "n in 1..4 on fixture text and edges") {
+    val edges = Seq("", "a", "a b", "a b c", "a b c d e",
+      "x x x", "é ü ß", "one")
+    val fixture = graft.core.Tables.load(spark, dir, "documents")
+      .limit(32).collect().map(_.getAs[String]("text"))
+    val all = (edges ++ fixture).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toMap
+    val lookup = udf((id: Long) => all(id))
+    val base = spark.range(0, all.size)
+      .select(col("id"), TextOps.tokens(lookup(col("id"))).as("toks"))
+    (1 to 4).foreach { n =>
+      val got = base.select(col("id"),
+          TextOps.shinglesFromTokens(col("toks"), n).as("native"),
+          TextOps.shinglesFromTokensFold(col("toks"), n).as("fold"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n id ${r.getLong(0)} text '${all(r.getLong(0))}'")
+      }
+    }
+  }
+
   test("maxTokenRun: runs count, singletons and no-repeat docs score 1") {
     import spark.implicits._
     val df = Seq((1L, "a a a b b a"), (2L, "solo"),
