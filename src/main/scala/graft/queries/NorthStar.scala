@@ -2158,7 +2158,49 @@ object NorthStar {
       .ordered(col("size"))
   }
 
+  // q172 — regex redaction + content fingerprint: mask the stopword
+  // list (the PII-redaction shape on this corpus's vocabulary), count
+  // the masked spans, and fingerprint the redacted text with the
+  // native rolling hash — the "did redaction change the doc, and to
+  // what" audit record.
+  private val q172: Q = (s, dir) => {
+    val pat = "\\b(" + Stopwords.mkString("|") + ")\\b"
+    val low = lower(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        regexp_count(low, lit(pat)).cast("long").as("n_masked"),
+        TextOps.rollingHash(TextOps.redact(low, Seq(pat -> "[X]")))
+          .as("red_hash"))
+      .ordered(col("doc_id"))
+  }
+
+  // q173 — in-session event-type co-occurrence: which event types
+  // happen together inside one 30-minute gap session (the q57
+  // sessionizer feeding a per-session distinct-pair count) — the
+  // market-basket view of the event stream.
+  private val q173: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .withColumn("tus", expr("ts_ns div 1000"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("tus"))
+    val st = WindowOps.gapSessionize(ev, Seq("user_id"),
+        Seq("tus", "event_id"), "tus", gap = 1800000000L)
+      .select(col("user_id"), col("session_seq"), col("event_type"))
+      .distinct()
+    st.as("a").join(st.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session_seq") === col("b.session_seq") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .ordered(col("type_a"), col("type_b"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q173_session_cooccur" -> q173,
+    "q172_redact_fingerprint" -> q172,
     "q171_cluster_sizes" -> q171,
     "q170_cluster_purity" -> q170,
     "q169_length_gini" -> q169,
@@ -5928,7 +5970,50 @@ object NorthStar {
        |SELECT size, COUNT(*) AS n_clusters FROM szs GROUP BY size
        |ORDER BY size""".stripMargin
 
+  /** q172 oracle: the same word-boundary mask (global flag —
+    * DuckDB's regexp_replace defaults to first-match-only) and the
+    * rolling-hash replay over the redacted text. */
+  private val q172Sql: String = {
+    val pat = "\\b(" + Stopwords.mkString("|") + ")\\b"
+    s"""WITH d AS (SELECT doc_id, lower(text) AS low,
+       |                  regexp_split_to_array(lower(trim(text)),
+       |                    '\\s+') AS toks
+       |           FROM documents),
+       |r AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |             CAST(len(regexp_extract_all(low, '$pat'))
+       |                  AS BIGINT) AS n_masked,
+       |             regexp_replace(low, '$pat', '[X]', 'g') AS red
+       |      FROM d)
+       |SELECT doc_id, n_tokens, n_masked,
+       |       ${sqlRollingHash("red")} AS red_hash
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  /** q173 oracle: the q57 session-id construction (LAG + running
+    * is-start sum), then distinct per-session types and the ordered
+    * pair count. */
+  private val q173Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |                  epoch_us(ts) AS tu FROM events),
+       |l AS (SELECT *, LAG(tu) OVER (PARTITION BY user_id
+       |               ORDER BY tu, event_id) AS prev FROM e),
+       |s AS (SELECT user_id, event_type,
+       |             SUM(CASE WHEN prev IS NULL OR tu - prev > 1800000000
+       |                 THEN 1 ELSE 0 END)
+       |               OVER (PARTITION BY user_id ORDER BY tu, event_id
+       |                     ROWS UNBOUNDED PRECEDING) AS sess
+       |      FROM l),
+       |st AS (SELECT DISTINCT user_id, sess, event_type FROM s),
+       |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+       |      FROM st a JOIN st b
+       |        ON a.user_id = b.user_id AND a.sess = b.sess
+       |       AND a.event_type < b.event_type)
+       |SELECT type_a, type_b, COUNT(*) AS n_sessions
+       |FROM p GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q173_session_cooccur" -> q173Sql,
+    "q172_redact_fingerprint" -> q172Sql,
     "q171_cluster_sizes" -> q171Sql,
     "q170_cluster_purity" -> q170Sql,
     "q169_length_gini" -> q169Sql,
