@@ -991,17 +991,21 @@ object CurationOps {
 
   /** Point estimates from a [[cmsSketch]] table for candidate terms:
     * min over the term's depth buckets (the classic CMS upper-bound
-    * estimate). The candidate side is exploded depth ways and joined
-    * bucket-keyed against the depth x width sketch — never against
-    * the corpus. Output: t, est. */
+    * estimate). The candidate side is exploded depth ways and
+    * LEFT-joined bucket-keyed against the depth x width sketch —
+    * never against the corpus — with absent buckets counting as zero,
+    * so a term the sketch never saw correctly estimates 0 instead of
+    * vanishing from the output (or, worse, taking its min over only
+    * the non-empty buckets it happens to collide into).
+    * Output: t, est. */
   def cmsEstimate(sketch: DataFrame, terms: DataFrame, termCol: String,
                   depth: Int = 4, width: Int = 256): DataFrame =
     terms.select(col(termCol).as("t")).distinct()
       .select(col("t"), posexplode(array((0 until depth)
         .map(j => cmsBucket(j, col("t"), width)): _*)).as(Seq("j", "b")))
-      .join(sketch, Seq("j", "b"))
+      .join(sketch, Seq("j", "b"), "left")
       .groupBy(col("t"))
-      .agg(min(col("n")).as("est"))
+      .agg(min(coalesce(col("n"), lit(0L))).as("est"))
 
   /** Per-source KL divergence from the whole-corpus token
     * distribution (Laplace-smoothed over the corpus vocabulary) — the
@@ -1500,7 +1504,10 @@ object CurationOps {
     * that would realize the target from this corpus, capped at
     * `maxRate` effective epochs (the standard "don't repeat a small
     * source more than N times" rule). Groups absent from `targets`
-    * get target share 0 (rate 0 — excluded from the mix).
+    * get target share 0 (rate 0 — excluded from the mix); targets
+    * naming groups ABSENT from the corpus surface as zero-weight
+    * rows (n_rows 0, rate 0) instead of silently vanishing, so a
+    * declared share that cannot be realized is visible in the output.
     *
     * Scale shape: one weight aggregation over the corpus (map-side
     * combined), a broadcast join against the tiny targets table, and
@@ -1524,14 +1531,23 @@ object CurationOps {
         sum(weightCol.cast("long")).as("weight"))
     val tgt = targets.toDF("group", "tgt_share")
     val total = w.agg(sum(col("weight")).as("__total"))
-    w.join(broadcast(tgt), Seq("group"), "left")
+    // full outer (tgt side is a handful of rows — the exchange is
+    // noise next to the corpus aggregation feeding `w`): targets for
+    // absent groups must surface, not drop
+    w.join(tgt, Seq("group"), "full_outer")
       .crossJoin(broadcast(total))
+      .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
+      .withColumn("weight", coalesce(col("weight"), lit(0L)))
       .withColumn("tgt_share", coalesce(col("tgt_share"), lit(0.0)))
       .withColumn("nat_share",
         col("weight").cast("double") / col("__total"))
+      // weight 0 (group absent, or all-zero weights) => rate 0, not
+      // the maxRate that least(maxRate, x/0 = Inf) would produce
       .withColumn("rate",
-        least(lit(maxRate),
-          col("tgt_share") * col("__total") / col("weight")))
+        when(col("weight") > 0,
+          least(lit(maxRate),
+            col("tgt_share") * col("__total") / col("weight")))
+          .otherwise(lit(0.0)))
       .withColumn("exp_weight",
         round(col("rate") * col("weight"), 0).cast("long"))
       .select(col("group"), col("n_rows"), col("weight"),

@@ -537,11 +537,14 @@ object StatsOps {
     require(nBins >= 2 && binWidth >= 1,
       s"bad nBins=$nBins or binWidth=$binWidth")
     // DIV, not `/`: Column `/` on longs is double division (rounds
-    // past 2^53); integral DIV mirrors DuckDB's `//` exactly
+    // past 2^53); integral DIV mirrors DuckDB's `//` exactly.
+    // Clamped on BOTH ends: negative values land in bin 0 rather
+    // than minting negative bin ids outside the documented grid.
     val binned = df
       .select(col(groupCol).as("group"), valueCol.cast("long").as("__v"))
       .select(col("group"),
-        least(expr(s"__v DIV $binWidth"), lit(nBins - 1L)).as("bin"))
+        greatest(lit(0L),
+          least(expr(s"__v DIV $binWidth"), lit(nBins - 1L))).as("bin"))
     val obs = binned.groupBy(col("group"), col("bin"))
       .agg(count(lit(1)).as("o"))
     val gb = obs.groupBy(col("bin")).agg(sum(col("o")).as("g"))

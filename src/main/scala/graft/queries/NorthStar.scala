@@ -5242,11 +5242,16 @@ object NorthStar {
 
   /** q140 oracle: the JSON `props` field via a core regexp (DuckDB's
     * JSON functions live in an extension; the {"k": N} payload makes
-    * the regexp extraction exactly equivalent to $.k). */
+    * the regexp extraction exactly equivalent to $.k). The regexp
+    * also accepts negative and quoted integer payloads ("k": -3,
+    * "k": "7") so a driver-side fixture widening cannot silently
+    * diverge from Spark's get_json_object+cast; PropsCanarySpec pins
+    * the current payload shape. */
   private val q140Sql: String =
     s"""WITH e AS (
        |  SELECT event_type,
-       |         CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1),
+       |         CAST(NULLIF(regexp_extract(props,
+       |                     '"k":\\s*"?(-?\\d+)', 1),
        |                     '') AS BIGINT) AS k
        |  FROM events)
        |SELECT event_type, COUNT(*) AS n,
@@ -5268,16 +5273,22 @@ object NorthStar {
        |      FROM d GROUP BY lang),
        |tgt AS (SELECT * FROM (VALUES ('en', 0.30), ('zh', 0.25),
        |        ('es', 0.15), ('de', 0.15), ('fr', 0.15)) t(g, ts)),
-       |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM w)
-       |SELECT w.lang, w.n_rows, w.tokens,
-       |       ${sqlE6("CAST(w.tokens AS DOUBLE) / tot.total")} AS nat_e6,
-       |       ${sqlE6("COALESCE(tgt.ts, 0.0)")} AS tgt_e6,
-       |       ${sqlE6("LEAST(4.0, COALESCE(tgt.ts, 0.0) * tot.total / w.tokens)")} AS rate_e6,
-       |       CAST(ROUND(LEAST(4.0, COALESCE(tgt.ts, 0.0) * tot.total
-       |                  / w.tokens) * w.tokens, 0) AS BIGINT)
+       |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM w),
+       |f AS (SELECT COALESCE(w.lang, tgt.g) AS lang,
+       |             COALESCE(w.n_rows, 0) AS n_rows,
+       |             COALESCE(w.tokens, 0) AS tokens,
+       |             COALESCE(tgt.ts, 0.0) AS ts
+       |      FROM w FULL JOIN tgt ON w.lang = tgt.g)
+       |SELECT f.lang, f.n_rows, f.tokens,
+       |       ${sqlE6("CAST(f.tokens AS DOUBLE) / tot.total")} AS nat_e6,
+       |       ${sqlE6("f.ts")} AS tgt_e6,
+       |       ${sqlE6("CASE WHEN f.tokens > 0 THEN LEAST(4.0, f.ts * tot.total / f.tokens) ELSE 0.0 END")} AS rate_e6,
+       |       CAST(ROUND(CASE WHEN f.tokens > 0
+       |                  THEN LEAST(4.0, f.ts * tot.total / f.tokens)
+       |                  ELSE 0.0 END * f.tokens, 0) AS BIGINT)
        |         AS exp_tokens
-       |FROM w LEFT JOIN tgt ON w.lang = tgt.g CROSS JOIN tot
-       |ORDER BY w.lang""".stripMargin
+       |FROM f CROSS JOIN tot
+       |ORDER BY f.lang""".stripMargin
 
   /** Shared distinct (group, term) vocabulary CTE body for
     * q142/q143 (mirrors TextOps.groupVocab: whitespace tokens,
@@ -5597,7 +5608,8 @@ object NorthStar {
   /** q154 oracle: chi2GoodnessOfFit replayed — integral bin DIV, the
     * same (o-e)^2/e op sequence, bin-ordered list fold. */
   private val q154Sql: String =
-    s"""WITH b AS (SELECT source, LEAST(n_chars // 64, 7) AS bin
+    s"""WITH b AS (SELECT source,
+       |                  GREATEST(0, LEAST(n_chars // 64, 7)) AS bin
        |           FROM documents),
        |obs AS (SELECT source, bin, COUNT(*) AS o FROM b GROUP BY 1, 2),
        |gb AS (SELECT bin, CAST(SUM(o) AS BIGINT) AS g FROM obs

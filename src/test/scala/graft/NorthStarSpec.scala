@@ -1590,6 +1590,23 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(got("c") == ((0.1, 0.0, 0.0, 0L)))
   }
 
+  test("mixtureReweight: absent target groups surface; zero weight " +
+      "means rate 0, not maxRate") {
+    import spark.implicits._
+    val df = Seq(("a", 600L), ("b", 0L)).toDF("g", "w")
+    val got = graft.operators.CurationOps.mixtureReweight(df, "g",
+        col("w"), Seq("a" -> 0.5, "ghost" -> 0.5), maxRate = 2.0)
+      .collect().map(r => r.getAs[String]("group") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("weight"),
+          r.getAs[Double]("rate"), r.getAs[Long]("exp_weight"))).toMap
+    // a target naming a group absent from the corpus must not vanish
+    assert(got("ghost") == ((0L, 0L, 0.0, 0L)))
+    // a present group whose weights sum to 0: guarded division,
+    // rate 0 rather than least(maxRate, Inf) = maxRate
+    assert(got("b") == ((1L, 0L, 0.0, 0L)))
+    assert(got("a")._3 == 0.5 * 600 / 600)
+  }
+
   test("zScoreRank: hand-traced z-scores, ranking, and top-K cut") {
     import spark.implicits._
     // group g: x = 1, 2, 3 -> mean 2, sd 1, z = -1, 0, 1
@@ -1792,6 +1809,17 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
       .chi2GoodnessOfFit(skew, "g", col("v"), nBins = 4, binWidth = 32L)
       .collect().map(r => r.getAs[Double]("chi2"))
     assert(s.forall(_ > 0.0)) // each group concentrated in its own bin
+    // negative values clamp into bin 0 (not negative bin ids outside
+    // the nBins grid): -5 and 3 both land in bin 0, so a group of
+    // negatives is indistinguishable from a group of small positives
+    val neg = Seq(("a", -5L), ("a", 3L), ("b", -5L), ("b", 3L))
+      .toDF("g", "v")
+    val nz = graft.operators.StatsOps
+      .chi2GoodnessOfFit(neg, "g", col("v"), nBins = 4, binWidth = 32L)
+      .collect()
+    assert(nz.forall(_.getAs[Long]("n_bins") == 1L),
+      "negative values must clamp to bin 0, not mint extra bins")
+    assert(nz.forall(_.getAs[Double]("chi2") == 0.0))
   }
 
   test("vocabGrowth: hand-traced checkpoints incl. past-corpus tail") {

@@ -277,6 +277,20 @@ class StorageStreamingSpec extends AnyFunSuite with SparkTestBase {
       CurationOps.cmsEstimate(sk, top, "t").collect()
         .map(r => r.getAs[String]("t") -> r.getAs[Long]("est")).toMap
     assert(ests(folded) == ests(CurationOps.cmsSketch(batchDf, "text")))
+    // a candidate term the sketch never saw estimates 0 (left-join
+    // with absent buckets counting as zero), not a vanished row or a
+    // min over only the buckets it happens to collide into — pinned
+    // on a tiny sketch where empty buckets actually exist (the sf0.01
+    // sketch above has every bucket populated, where upper-bound
+    // collision inflation is the documented CMS behavior)
+    import spark.implicits._
+    val tinySketch = CurationOps.cmsSketch(
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), "text")
+    val u = CurationOps.cmsEstimate(
+        tinySketch, Seq("zz-never-in-corpus-zz").toDF("t"), "t")
+      .collect()
+    assert(u.length == 1 && u.head.getAs[Long]("est") == 0L,
+      s"unseen term must estimate 0, got ${u.toSeq}")
   }
 
   test("streaming grouped top-k (bounded aggregate) equals batch " +
