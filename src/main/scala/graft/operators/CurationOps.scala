@@ -1616,4 +1616,43 @@ object CurationOps {
       (signals.map { case (n, _, _) => col(n) } :+
         col("composite") :+ col("rank")): _*)
   }
+
+  /** k-anonymity audit over quasi-identifier columns — the privacy
+    * pre-release check a training-data pipeline runs after redaction:
+    * rows whose quasi-identifier combination is shared by fewer than
+    * `k` rows are re-identifiable ("at risk"). `quasi` are the
+    * (name, expression) quasi-identifier columns (bucket continuous
+    * values first — a raw length column makes every row unique and
+    * the audit vacuous); `report` is the (name, expression) grouping
+    * the risk report aggregates over.
+    *
+    * Scale shape: one (report, quasi*)-keyed partial-agg count over
+    * the corpus, then one report-keyed rollup of the (bounded)
+    * equivalence-class table. No windows, no driver collection; at
+    * 100 TB the class table is the cardinality of the quasi grid, not
+    * the corpus.
+    *
+    * Output per report group: n_rows, n_classes (distinct quasi
+    * combos), min_class (smallest class size), n_small (classes with
+    * < k rows), rows_at_risk (rows in those classes), risk ratio =
+    * rows_at_risk / n_rows (double — pin at the call site). */
+  def kAnonymityAudit(df: DataFrame, quasi: Seq[(String, Column)],
+                      report: (String, Column), k: Int): DataFrame = {
+    require(quasi.nonEmpty && k >= 2, s"need quasi cols and k >= 2")
+    val classes = df
+      .select(report._2.as("__r") +:
+        quasi.map { case (n, c) => c.as(s"__q_$n") }: _*)
+      .groupBy(col("__r") +: quasi.map { case (n, _) =>
+        col(s"__q_$n") }: _*)
+      .agg(count(lit(1)).as("__cn"))
+    classes.groupBy(col("__r").as(report._1))
+      .agg(sum(col("__cn")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("__cn")).as("min_class"),
+        sum(when(col("__cn") < k, 1L).otherwise(0L)).as("n_small"),
+        sum(when(col("__cn") < k, col("__cn")).otherwise(0L))
+          .as("rows_at_risk"))
+      .withColumn("risk",
+        col("rows_at_risk").cast("double") / col("n_rows"))
+  }
 }

@@ -906,4 +906,80 @@ object DedupOps {
       .withColumn("keep", col("__drop").isNull)
       .drop("__drop")
   }
+
+  /** Edit-distance-verified near-dup pairs: candidates are documents
+    * sharing their first `prefixLen` tokens verbatim (the
+    * [[prefixTemplateGroups]] blocking key — the classic "sorted
+    * neighborhood" blocking step, one aggregation, no all-pairs), and
+    * a candidate pair is confirmed when the full-text Levenshtein
+    * distance is at most `maxDistRatio` of the longer text. Catches
+    * the template-with-small-edits duplicates that token-set methods
+    * (MinHash/SimHash) over-merge on and exact hashing misses.
+    *
+    * Scale shape: docs shuffle once on the prefix key; each group
+    * expands to in-group pairs (id1 < id2) — groups are capped at
+    * `maxGroup` members (oversized template groups are boilerplate
+    * families, already surfaced by [[prefixTemplateGroups]]; emitting
+    * their O(m^2) pairs would dominate the job — same hub-cap
+    * discipline as the LSH banding, and the cap is VISIBLE: capped
+    * groups emit no pairs but are countable via
+    * [[prefixTemplateGroups]]). The O(len^2) Levenshtein runs only on
+    * surviving candidates, never corpus-wide. Levenshtein (unit
+    * costs) is engine-portable — DuckDB's levenshtein() matches
+    * Spark's exactly.
+    *
+    * Output: (id1, id2, dist, max_len, keep) with keep = dist <=
+    * floor(maxDistRatio * max_len). */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        prefixLen: Int, maxDistRatio: Double,
+                        maxGroup: Int = 64): DataFrame = {
+    require(prefixLen >= 1 && maxDistRatio > 0 && maxGroup >= 2,
+      s"bad prefixLen=$prefixLen maxDistRatio=$maxDistRatio " +
+        s"maxGroup=$maxGroup")
+    val base = df.select(col(idCol).cast("long").as("__id"),
+      lower(trim(col(textCol))).as("__t"),
+      array_join(slice(TextOps.tokens(col(textCol)), 1, prefixLen), " ")
+        .as("__pfx"))
+    val sized = base.withColumn("__gsz",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__pfx"))))
+      .filter(col("__gsz").between(2, maxGroup))
+    val pairs = sized.as("a").join(sized.as("b"),
+        col("a.__pfx") === col("b.__pfx") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id1"), col("b.__id").as("id2"),
+        levenshtein(col("a.__t"), col("b.__t")).as("dist"),
+        greatest(length(col("a.__t")), length(col("b.__t")))
+          .as("max_len"))
+    pairs.withColumn("keep",
+      col("dist") <= floor(lit(maxDistRatio) * col("max_len")))
+  }
+
+  /** Train/val/test leakage audit: near-dup pairs (any pair family's
+    * (id1, id2) output) whose two sides landed in DIFFERENT splits —
+    * the "test set contaminated by training near-dups" check every
+    * model-data pipeline needs before training. `splits` maps id ->
+    * split (e.g. [[CurationOps.assignSplit]] output). Pure
+    * composition: two id-keyed joins of the (small) pair table
+    * against the split assignment, one aggregation — the corpus is
+    * never re-scanned. Output per unordered split pair (split_a <
+    * split_b lexically): n_pairs, first example (min (id1, id2)). */
+  def splitLeakageAudit(pairs: DataFrame, splits: DataFrame,
+                        idCol: String, splitCol: String): DataFrame = {
+    val s1 = splits.select(col(idCol).cast("long").as("__i1"),
+      col(splitCol).as("__s1"))
+    val s2 = splits.select(col(idCol).cast("long").as("__i2"),
+      col(splitCol).as("__s2"))
+    pairs.join(s1, col("id1") === col("__i1"))
+      .join(s2, col("id2") === col("__i2"))
+      .filter(col("__s1") =!= col("__s2"))
+      .select(least(col("__s1"), col("__s2")).as("split_a"),
+        greatest(col("__s1"), col("__s2")).as("split_b"),
+        col("id1"), col("id2"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(struct(col("id1"), col("id2"))).as("__ex"))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        col("__ex.id1").as("ex_id1"), col("__ex.id2").as("ex_id2"))
+  }
 }

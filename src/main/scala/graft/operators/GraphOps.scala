@@ -381,4 +381,110 @@ object GraphOps {
     e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
   }
+
+  /** Personalized PageRank (random walk with restart to a SEED set —
+    * Jeh & Widom 2003's topic-sensitive form): the teleport vector is
+    * uniform over the seed nodes present in the graph instead of over
+    * all nodes, so rank mass concentrates around the seeds. The
+    * data-curation use: given a few hand-blessed (or hand-flagged)
+    * documents, rank the rest of the similarity graph by proximity —
+    * "find more like these" / "find everything contaminated by
+    * these" without an embedding model.
+    *
+    * Same iterative sparse mat-vec shuffle shape, durability contract
+    * (DISK_ONLY + re-root + release n-1), and multigraph edge
+    * contract as [[pageRank]]. Arithmetic (mirror in oracles): tele(v)
+    * = 1/|S| for seed nodes (|S| counts only seeds PRESENT in the
+    * graph; absent seed ids are ignored), else 0.0; init pr = tele;
+    * update (1-d)*tele + d*coalesce(sum(pr_src/deg_src), 0.0).
+    * Out-edge-less nodes leak mass, exactly as in [[pageRank]].
+    * Returns (node, pr). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+                           dstCol: String, seeds: Seq[Long], iters: Int,
+                           damping: Double = 0.85): DataFrame = {
+    require(seeds.nonEmpty && iters >= 1,
+      s"need seeds and iters >= 1, got ${seeds.size}, $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodesRdd = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().rdd.persist(StorageLevel.DISK_ONLY)
+    val nodes = e.sparkSession.createDataFrame(nodesRdd,
+      e.select(col("src").as("node")).schema)
+    val seedSet = col("node").isInCollection(seeds)
+    val nSeeds = nodes.filter(seedSet).count().toDouble
+    require(nSeeds > 0, "no seed id is present in the graph")
+    val tele = when(seedSet, lit(1.0) / lit(nSeeds)).otherwise(lit(0.0))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edRdd = e.join(deg, "src").rdd.persist(StorageLevel.DISK_ONLY)
+    val ed = e.sparkSession.createDataFrame(edRdd, e.join(deg, "src").schema)
+    var p = nodes.withColumn("pr", tele)
+    var prev: Option[RDD[Row]] = None
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(p, col("src") === col("node"))
+        .select(col("dst"), (col("pr") / col("deg")).as("w"))
+        .groupBy(col("dst")).agg(sum(col("w")).as("sw"))
+      val next = nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) * tele +
+            lit(damping) * coalesce(col("sw"), lit(0.0))).as("pr"))
+      val (pm, rdd) = materializeRound(next, prev)
+      p = pm; prev = Some(rdd)
+    }
+    nodesRdd.unpersist(false)
+    edRdd.unpersist(false)
+    p
+  }
+
+  /** Deterministic random walks over a directed edge list — the
+    * DeepWalk / node2vec corpus-generation step (Perozzi et al. 2014)
+    * with the RNG replaced by a hash: from node u at step s of walk w,
+    * the next hop is the out-neighbor v minimizing
+    * md5Hash32("walk:" + w + ":" + s + ":" + u + ":" + v) — a
+    * per-(walk, step, node) pseudo-random uniform choice that every
+    * engine (and every re-run, at any parallelism) reproduces exactly.
+    * Walks that reach an out-edge-less node stop early (standard
+    * truncation).
+    *
+    * Scale shape: `steps` joins of the frontier (|nodes| x
+    * walksPerNode rows) against the edge table, each followed by one
+    * (walk, step, node)-keyed argmin aggregation — no per-node
+    * neighbor collection, no driver loop over nodes. The output is
+    * the training corpus for skip-gram-style graph embeddings; feed
+    * it to the window/pairing ops downstream.
+    *
+    * Returns (start, walk, step, node): step 0 is the start node
+    * itself, step k the position after k hops. */
+  def deterministicWalks(edges: DataFrame, srcCol: String,
+                         dstCol: String, walksPerNode: Int,
+                         steps: Int): DataFrame = {
+    require(walksPerNode >= 1 && steps >= 1,
+      s"bad walksPerNode=$walksPerNode or steps=$steps")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    // walk ids via a literal-sequence explode, not a crossJoin: same
+    // fan-out, no join operator in the plan
+    val starts = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .select(col("node").as("start"),
+        explode(sequence(lit(0L), lit(walksPerNode - 1L))).as("walk"))
+    var frontier = starts.select(col("start"), col("walk"),
+      lit(0).as("step"), col("start").as("node"))
+    var acc = frontier
+    for (s <- 1 to steps) {
+      val hop = frontier.join(e, col("node") === col("src"))
+        .select(col("start"), col("walk"),
+          struct(
+            CurationOps.md5Hash32(concat_ws(":", lit("walk"),
+              col("walk"), lit(s), col("node"), col("dst"))).as("h"),
+            col("dst").as("nxt")).as("pick"))
+        .groupBy(col("start"), col("walk"))
+        .agg(min(col("pick")).as("pick"))
+        .select(col("start"), col("walk"), lit(s).as("step"),
+          col("pick.nxt").as("node"))
+      frontier = hop
+      acc = acc.unionByName(hop)
+    }
+    acc
+  }
 }

@@ -1273,4 +1273,45 @@ object SimilarityOps {
         col("a.n_vecs").as("n1"), col("b.n_vecs").as("n2"),
         (dot / (na * nb)).as("cos"))
   }
+
+  /** Retrieval-quality evaluation: recall@k and MRR of an approximate
+    * top-k result against the exact one — the metric every ANN index
+    * deploy gates on, as a first-class distributed query rather than
+    * a test-only assertion. Both inputs are (qid, nid, cos) tables
+    * (the [[bruteForceTopK]] / [[lshTopK]] / [[ivfTopK]] / [[pqTopK]]
+    * output contract); ranks are re-derived per qid by
+    * (cos desc, nid asc), so callers pass the raw top-k output.
+    *
+    * recall@k = |approx ∩ truth| / |truth|; rr = 1/rank (in the
+    * approx list) of the TRUE nearest neighbor (truth rank 1), 0 when
+    * the approx list misses it. Queries the approx side returned
+    * nothing for (empty LSH bucket) surface with hits 0 — a left join
+    * from the truth side, not a silent drop.
+    *
+    * Scale shape: one qid+nid-keyed join of two k-bounded tables and
+    * a qid-keyed rollup — cost is queries x k, independent of corpus
+    * size. All outputs exact-integer-derived (counts and 1/rank on
+    * an integer rank). Output per qid: n_truth, hits, recall
+    * (double), rr (double) — pin both at the call site. */
+  def recallEval(truth: DataFrame, approx: DataFrame): DataFrame = {
+    def ranked(df: DataFrame, r: String) = df.withColumn(r,
+      row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid"))))
+    val t = ranked(truth, "t_rk").select(col("qid"), col("nid"),
+      col("t_rk"))
+    val a = ranked(approx, "a_rk").select(col("qid").as("__aq"),
+      col("nid").as("__an"), col("a_rk"))
+    val j = t.join(a, col("qid") === col("__aq") &&
+      col("nid") === col("__an"), "left")
+    j.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("a_rk").isNotNull, 1L).otherwise(0L)).as("hits"),
+        max(when(col("t_rk") === 1, col("a_rk"))).as("__rk1"))
+      .withColumn("recall",
+        col("hits").cast("double") / col("n_truth"))
+      .withColumn("rr",
+        when(col("__rk1").isNotNull,
+          lit(1.0) / col("__rk1").cast("double")).otherwise(lit(0.0)))
+      .drop("__rk1")
+  }
 }

@@ -582,4 +582,101 @@ object TextOps {
         (col("matches").cast("double") / lit(k.toDouble))
           .as("est_jaccard"))
   }
+
+  /** Exact-phrase occurrence stats over the canonical token stream:
+    * (n_hits, first_pos) for a token phrase, where the canonical
+    * stream is the tokens space-joined with single separators — so
+    * matching is at token boundaries only, robust to the original
+    * text's whitespace.
+    *
+    * Semantics contract (mirror in any oracle): n_hits counts
+    * LEFT-TO-RIGHT NON-OVERLAPPING occurrences (the `replace`
+    * semantics both Spark and DuckDB implement identically — for a
+    * phrase that can overlap itself, e.g. "a b a" in "a b a b a",
+    * later overlapping starts are not counted); first_pos is the
+    * 1-based token index of the first occurrence, null when absent.
+    *
+    * Scale shape: a pure per-row string expression — no shuffle, no
+    * index build; the full-corpus phrase scan parallelizes perfectly
+    * and pushes nothing but the text column through the reader. For
+    * repeated interactive phrase workloads build the positional gram
+    * table (see [[DedupOps.dupNgramCoverage]]'s inverted layout)
+    * instead. */
+  def phraseStats(text: Column, phrase: Seq[String]): Column = {
+    require(phrase.nonEmpty && phrase.forall(_.nonEmpty),
+      s"phrase must be non-empty tokens, got $phrase")
+    val needle = " " + phrase.map(_.toLowerCase).mkString(" ") + " "
+    val canon = concat(lit(" "), array_join(tokens(text), " "), lit(" "))
+    val nHits = ((length(canon) -
+      length(replace(canon, lit(needle), lit("")))) /
+      lit(needle.length)).cast("long")
+    val ix = instr(canon, needle) // 1-based char pos, 0 when absent
+    // token index = spaces in the prefix before the match + 1
+    val prefix = canon.substr(lit(1), ix - 1)
+    val firstPos = when(ix > 0,
+      (length(prefix) - length(replace(prefix, lit(" "), lit(""))) +
+        lit(1)).cast("long"))
+    struct(nHits.as("n_hits"), firstPos.as("first_pos"))
+  }
+
+  /** Sparse lexical k-nearest-neighbors: for every document, the k
+    * most TF-IDF-cosine-similar documents, computed over `shingleN`-
+    * gram terms through a document-frequency-pruned inverted index —
+    * the classic "more like this" retrieval without an embedding
+    * model, and the lexical twin of [[SimilarityOps.knnGraph]].
+    *
+    * Scale shape: one term-keyed aggregation builds (doc, term, tf);
+    * terms with df < `minDf` cannot produce a pair and terms with
+    * df > `maxDf` are stop-shingles whose O(df^2) join fan-out would
+    * dominate (the df cap is the inverted-index hub cap — same
+    * discipline as LSH megabuckets; recall loss is confined to pairs
+    * similar ONLY through ubiquitous shingles). The pair space is
+    * then one self-join keyed on surviving terms + one (id1, id2)
+    * partial-agg sum; per-query top-k cuts via row_number over rows
+    * already shuffled by qid.
+    *
+    * Engine determinism: idf is pinned to an integer ONCE
+    * (idf3 = round(ln((N+1)/(df+1)) * 1e3)); weights tf*idf3 and all
+    * dot products are then exact BIGINT sums, and cosine is
+    * num / sqrt(ssq_a * ssq_b) — one correctly-rounded IEEE sqrt +
+    * divide on exact operands, bit-identical in any engine. Ranking
+    * ties break on nid asc.
+    *
+    * Output: qid, nid, shared (co-occurring terms), cos (double —
+    * e6-pin at the call site), rk (1..k). */
+  def tfidfKnn(df: DataFrame, idCol: String, textCol: String,
+               shingleN: Int, k: Int, minDf: Int = 2,
+               maxDf: Int = 200): DataFrame = {
+    require(shingleN >= 1 && k >= 1 && minDf >= 2 && maxDf >= minDf,
+      s"bad shingleN=$shingleN k=$k minDf=$minDf maxDf=$maxDf")
+    val tf = df.select(col(idCol).cast("long").as("__id"),
+        explode(wordShingles(col(textCol), shingleN)).as("t"))
+      .groupBy(col("__id"), col("t")).agg(count(lit(1)).as("tf"))
+    val n = df.select(col(idCol)).distinct().count()
+    val dfc = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(minDf, maxDf))
+      .withColumn("idf3",
+        round(log((lit(n) + lit(1.0)) / (col("df") + lit(1.0))) *
+          lit(1e3), 0).cast("long"))
+    val w = tf.join(dfc, "t")
+      .select(col("__id"), col("t"), (col("tf") * col("idf3")).as("w"))
+    val ssq = w.groupBy(col("__id"))
+      .agg(sum(col("w") * col("w")).as("ssq"))
+    val num = w.as("a").join(w.as("b"),
+        col("a.t") === col("b.t") && col("a.__id") =!= col("b.__id"))
+      .groupBy(col("a.__id").as("qid"), col("b.__id").as("nid"))
+      .agg(count(lit(1)).as("shared"),
+        sum(col("a.w") * col("b.w")).as("num"))
+    val scored = num
+      .join(ssq.select(col("__id").as("qid"), col("ssq").as("sa")), "qid")
+      .join(ssq.select(col("__id").as("nid"), col("ssq").as("sb")), "nid")
+      .withColumn("cos", col("num").cast("double") /
+        sqrt(col("sa").cast("double") * col("sb").cast("double")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("shared"), col("cos"),
+        col("rk"))
+  }
 }

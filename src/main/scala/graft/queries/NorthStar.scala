@@ -2198,7 +2198,138 @@ object NorthStar {
       .ordered(col("type_a"), col("type_b"))
   }
 
+  /** Shared bounded near-dup graph for q174/q180 (the q115
+    * derivation): symmetrized exact-Jaccard bigram pairs over
+    * doc_id < 100. */
+  private def nearDupEdges100(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", n = 2, threshold = 0.1)
+      .select(col("id1"), col("id2"))
+    pairs.union(pairs.select(col("id2"), col("id1")))
+  }
+
+  // q174 — personalized PageRank over the near-dup graph, seeded on
+  // the 10 smallest node ids present in it (a deterministic stand-in
+  // for "hand-flagged documents"): rank the similarity graph by
+  // proximity to the seeds ("find more like these"). The seed
+  // collect is 10 longs — driver-bounded by construction.
+  private val q174: Q = (s, dir) => {
+    val edges = nearDupEdges100(s, dir)
+    val seeds = edges.select(col("id1").as("node"))
+      .union(edges.select(col("id2")))
+      .distinct().orderBy(col("node")).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    GraphOps.personalizedPageRank(edges, "id1", "id2", seeds,
+        iters = 3)
+      .select(col("node").as("doc_id"), e6(col("pr")).as("ppr_e6"))
+      .ordered(col("doc_id"))
+  }
+
+  // q175 — edit-distance-verified template near-dup pairs: 6-token
+  // prefix blocking, Levenshtein confirm at 30% of the longer text.
+  private val q175: Q = (s, dir) => {
+    DedupOps.editDistancePairs(t(s, dir, "documents"), "doc_id",
+        "text", prefixLen = 6, maxDistRatio = 0.3)
+      .select(col("id1"), col("id2"), col("dist"), col("max_len"),
+        col("keep").cast("int").as("keep"))
+      .ordered(col("id1"), col("id2"))
+  }
+
+  // q176 — k-anonymity audit: quasi-identifier = (lang, source,
+  // 256-char length bucket), risk report per language, k = 5.
+  private val q176: Q = (s, dir) => {
+    CurationOps.kAnonymityAudit(t(s, dir, "documents"),
+        quasi = Seq("lang" -> col("lang"), "source" -> col("source"),
+          "len_b" -> expr("n_chars DIV 256")),
+        report = ("lang", col("lang")), k = 5)
+      .select(col("lang"), col("n_rows"), col("n_classes"),
+        col("min_class"), col("n_small"), col("rows_at_risk"),
+        e6(col("risk")).as("risk_e6"))
+      .ordered(col("lang"))
+  }
+
+  // q177 — sparse lexical kNN: trigram TF-IDF cosine top-5 per doc
+  // through a df-pruned inverted index (the lexical "more like
+  // this" twin of the embedding knn graph q119).
+  private val q177: Q = (s, dir) => {
+    TextOps.tfidfKnn(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, k = 5, minDf = 2, maxDf = 200)
+      .select(col("qid"), col("nid"), col("shared"),
+        e6(col("cos")).as("cos_e6"), col("rk"))
+      .ordered(col("qid"), col("rk"))
+  }
+
+  /** q178's phrases: one plain phrase, one self-overlapping phrase
+    * (pins the documented non-overlapping count semantics). */
+  val SearchPhrases: Seq[(String, Seq[String])] = Seq(
+    "batch_stream" -> Seq("batch", "stream"),
+    "data_data" -> Seq("data", "data"))
+
+  // q178 — exact-phrase search over the canonical token stream: hit
+  // count + first position per document, per phrase. Pure scan — no
+  // shuffle, no index.
+  private val q178: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    SearchPhrases.map { case (name, ph) =>
+      d.select(lit(name).as("phrase"), col("doc_id"),
+          TextOps.phraseStats(col("text"), ph).as("st"))
+        .select(col("phrase"), col("doc_id"),
+          col("st.n_hits").as("n_hits"),
+          col("st.first_pos").as("first_pos"))
+        .filter(col("n_hits") > 0)
+    }.reduce(_ unionByName _)
+      .ordered(col("phrase"), col("doc_id"))
+  }
+
+  // q179 — train/val/test leakage audit: exact-Jaccard near-dup
+  // pairs (doc_id < 500) whose sides landed in different md5 splits.
+  private val q179: Q = (s, dir) => {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 500)
+    val pairs = DedupOps.ngramJaccardPairs(d, "doc_id", "text",
+        n = 2, threshold = 0.1)
+      .select(col("id1"), col("id2"))
+    val splits = d.select(col("doc_id"),
+      CurationOps.assignSplit(col("doc_id"), SplitWeights, "graft")
+        .as("split"))
+    DedupOps.splitLeakageAudit(pairs, splits, "doc_id", "split")
+      .ordered(col("split_a"), col("split_b"))
+  }
+
+  // q180 — deterministic random walks (DeepWalk corpus generation)
+  // over the near-dup graph: 2 walks per node, 3 steps, hash-argmin
+  // next-hop choice.
+  private val q180: Q = (s, dir) => {
+    GraphOps.deterministicWalks(nearDupEdges100(s, dir), "id1",
+        "id2", walksPerNode = 2, steps = 3)
+      .ordered(col("start"), col("walk"), col("step"))
+  }
+
+  // q181 — ANN retrieval-quality evaluation as a first-class query:
+  // recall@5 and MRR of hyperplane-LSH top-5 against exact cosine
+  // top-5 for the first 50 query vectors.
+  private val q181: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+    val truth = SimilarityOps.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", k = 5)
+    val approx = SimilarityOps.lshTopK(emb, queries, "vec_id",
+      "embedding", k = 5, planes = 4)
+    SimilarityOps.recallEval(truth, approx)
+      .select(col("qid"), col("n_truth"), col("hits"),
+        e6(col("recall")).as("recall_e6"), e6(col("rr")).as("rr_e6"))
+      .ordered(col("qid"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q181_ann_recall" -> q181,
+    "q180_walk_corpus" -> q180,
+    "q179_split_leakage" -> q179,
+    "q178_phrase_search" -> q178,
+    "q177_tfidf_knn" -> q177,
+    "q176_k_anonymity" -> q176,
+    "q175_edit_pairs" -> q175,
+    "q174_ppr_seed" -> q174,
     "q173_session_cooccur" -> q173,
     "q172_redact_fingerprint" -> q172,
     "q171_cluster_sizes" -> q171,
@@ -6023,7 +6154,284 @@ object NorthStar {
        |SELECT type_a, type_b, COUNT(*) AS n_sessions
        |FROM p GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin
 
+  /** Shared CTE prelude for q174/q180: the q115 pair derivation
+    * (doc_id < 100 bigram-Jaccard graph), symmetrized into `e` with
+    * node set `nd`. */
+  private val nearDupEdges100Sql: String =
+    s"""d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents WHERE doc_id < 100),
+       |s AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(toks) >= 2
+       |              THEN list_distinct(list_transform(range(1, len(toks)),
+       |                     i -> array_to_string(toks[i:i+1], ' ')))
+       |              ELSE [] END AS sh
+       |  FROM d),
+       |inv AS (SELECT doc_id, unnest(sh) AS s1 FROM s),
+       |pp AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+       |  FROM inv a JOIN inv b ON a.s1 = b.s1 AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+       |fil AS (
+       |  SELECT id1, id2 FROM pp
+       |  JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+       |  WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.1),
+       |e AS (SELECT id1 AS src, id2 AS dst FROM fil
+       |      UNION ALL SELECT id2, id1 FROM fil),
+       |nd AS (SELECT DISTINCT src AS node FROM e)""".stripMargin
+
+  /** q174 oracle: the q115 graph, 3 unrolled personalized-PageRank
+    * iterations with teleport uniform over the 10 smallest node ids —
+    * arithmetic mirrors GraphOps.personalizedPageRank exactly. */
+  private val q174Sql: String = {
+    def iter(i: Int): String =
+      s"""p$i AS (
+         |  SELECT ndf.node,
+         |         (1.0 - 0.85) * (CASE WHEN ndf.is_seed = 1
+         |                         THEN 1.0 / sn.n ELSE 0.0 END) +
+         |         0.85 * COALESCE(SUM(c.w), 0.0) AS pr
+         |  FROM ndf CROSS JOIN sn
+         |  LEFT JOIN (SELECT e.dst, p${i - 1}.pr / deg.deg AS w
+         |             FROM e JOIN p${i - 1} ON e.src = p${i - 1}.node
+         |                    JOIN deg ON e.src = deg.src) c
+         |    ON c.dst = ndf.node
+         |  GROUP BY ndf.node, ndf.is_seed, sn.n)""".stripMargin
+    s"""WITH $nearDupEdges100Sql,
+       |sd AS (SELECT node FROM nd ORDER BY node LIMIT 10),
+       |sn AS (SELECT COUNT(*) AS n FROM sd),
+       |ndf AS (SELECT nd.node,
+       |               CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END
+       |                 AS is_seed
+       |        FROM nd LEFT JOIN sd ON nd.node = sd.node),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |p0 AS (SELECT node, CASE WHEN is_seed = 1 THEN 1.0 / sn.n
+       |                    ELSE 0.0 END AS pr
+       |       FROM ndf CROSS JOIN sn),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT node AS doc_id, ${sqlE6("pr")} AS ppr_e6
+       |FROM p3 ORDER BY doc_id""".stripMargin
+  }
+
+  /** q175 oracle: 6-token prefix blocking + levenshtein — DuckDB's
+    * levenshtein() is the same unit-cost edit distance as Spark's. */
+  private val q175Sql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, lower(trim(text)) AS t,
+       |         array_to_string((regexp_split_to_array(lower(trim(text)),
+       |             '\\s+'))[1:6], ' ') AS pfx
+       |  FROM documents),
+       |g AS (SELECT *, COUNT(*) OVER (PARTITION BY pfx) AS gsz FROM b),
+       |f AS (SELECT * FROM g WHERE gsz BETWEEN 2 AND 64),
+       |p AS (SELECT a.doc_id AS id1, c.doc_id AS id2,
+       |             levenshtein(a.t, c.t) AS dist,
+       |             GREATEST(length(a.t), length(c.t)) AS max_len
+       |      FROM f a JOIN f c ON a.pfx = c.pfx AND a.doc_id < c.doc_id)
+       |SELECT id1, id2, dist, max_len,
+       |       CASE WHEN dist <= FLOOR(0.3 * max_len) THEN 1 ELSE 0 END
+       |         AS keep
+       |FROM p ORDER BY id1, id2""".stripMargin
+
+  /** q176 oracle: quasi-class counts then per-lang risk rollup. */
+  private val q176Sql: String =
+    s"""WITH c AS (
+       |  SELECT lang, source, n_chars // 256 AS lb, COUNT(*) AS cn
+       |  FROM documents GROUP BY 1, 2, 3)
+       |SELECT lang, CAST(SUM(cn) AS BIGINT) AS n_rows,
+       |       COUNT(*) AS n_classes, MIN(cn) AS min_class,
+       |       CAST(SUM(CASE WHEN cn < 5 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_small,
+       |       CAST(SUM(CASE WHEN cn < 5 THEN cn ELSE 0 END) AS BIGINT)
+       |         AS rows_at_risk,
+       |       ${sqlE6("CAST(SUM(CASE WHEN cn < 5 THEN cn ELSE 0 END) AS DOUBLE) / SUM(cn)")}
+       |         AS risk_e6
+       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q177 oracle: trigram TF-IDF cosine knn — idf pinned to an
+    * integer once (idf3), every dot product an exact BIGINT sum,
+    * cosine one sqrt+divide on exact operands. */
+  private val q177Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+       |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS t
+       |  FROM toks WHERE len(tk) >= 3),
+       |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM sh GROUP BY 1, 2),
+       |nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+       |dfc AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+       |kept AS (
+       |  SELECT t, CAST(ROUND(ln((nn.n + 1.0) / (df + 1.0)) * 1e3, 0)
+       |              AS BIGINT) AS idf3
+       |  FROM dfc CROSS JOIN nn WHERE df BETWEEN 2 AND 200),
+       |w AS (SELECT doc_id, tf.t, tf * idf3 AS w
+       |      FROM tf JOIN kept ON tf.t = kept.t),
+       |ssq AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS ssq
+       |        FROM w GROUP BY 1),
+       |num AS (
+       |  SELECT a.doc_id AS qid, b.doc_id AS nid, COUNT(*) AS shared,
+       |         CAST(SUM(a.w * b.w) AS BIGINT) AS num
+       |  FROM w a JOIN w b ON a.t = b.t AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT qid, nid, shared,
+       |         num::DOUBLE / sqrt(sa.ssq::DOUBLE * sb.ssq::DOUBLE) AS cos
+       |  FROM num JOIN ssq sa ON num.qid = sa.doc_id
+       |           JOIN ssq sb ON num.nid = sb.doc_id),
+       |r AS (SELECT qid, nid, shared, cos,
+       |             ROW_NUMBER() OVER (PARTITION BY qid
+       |               ORDER BY cos DESC, nid) AS rk
+       |      FROM sc)
+       |SELECT qid, nid, shared, ${sqlE6("cos")} AS cos_e6, rk
+       |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
+  /** q178 oracle: canonical token stream, replace-based
+    * non-overlapping count (identical semantics both engines),
+    * first_pos from the space count of the match prefix. */
+  private val q178Sql: String = {
+    def arm(name: String, phrase: Seq[String]): String = {
+      val needle = " " + phrase.mkString(" ") + " "
+      s"""SELECT '$name' AS phrase, doc_id,
+         |       (length(s) - length(replace(s, '$needle', '')))
+         |         // ${needle.length} AS n_hits,
+         |       instr(s, '$needle') AS ix, s
+         |FROM cs""".stripMargin
+    }
+    s"""WITH cs AS (
+       |  SELECT doc_id,
+       |         ' ' || array_to_string(regexp_split_to_array(
+       |           lower(trim(text)), '\\s+'), ' ') || ' ' AS s
+       |  FROM documents),
+       |h AS (${arm("batch_stream", Seq("batch", "stream"))}
+       |      UNION ALL
+       |      ${arm("data_data", Seq("data", "data"))}),
+       |f AS (
+       |  SELECT phrase, doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+       |         CASE WHEN ix > 0 THEN CAST(length(p) -
+       |           length(replace(p, ' ', '')) + 1 AS BIGINT) END
+       |           AS first_pos
+       |  FROM (SELECT *, substr(s, 1, ix - 1) AS p FROM h))
+       |SELECT phrase, doc_id, n_hits, first_pos FROM f
+       |WHERE n_hits > 0 ORDER BY phrase, doc_id""".stripMargin
+  }
+
+  /** q179 oracle: the q116-style pair derivation at doc_id < 500 fed
+    * through the q52 md5 split, cross-split pairs rolled up. */
+  private val q179Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents WHERE doc_id < 500),
+       |s AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(toks) >= 2
+       |              THEN list_distinct(list_transform(range(1, len(toks)),
+       |                     i -> array_to_string(toks[i:i+1], ' ')))
+       |              ELSE [] END AS sh
+       |  FROM d),
+       |inv AS (SELECT doc_id, unnest(sh) AS s1 FROM s),
+       |pp AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+       |  FROM inv a JOIN inv b ON a.s1 = b.s1 AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+       |fil AS (
+       |  SELECT id1, id2 FROM pp
+       |  JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+       |  WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.1),
+       |m AS (SELECT doc_id, md5('graft:' || doc_id::VARCHAR) AS h
+       |      FROM d),
+       |hv AS (SELECT doc_id, ${sqlHex32("h")} AS hv FROM m),
+       |spl AS (SELECT doc_id, ${splitCaseSql(SplitWeights)} AS split
+       |        FROM hv),
+       |x AS (
+       |  SELECT LEAST(s1.split, s2.split) AS split_a,
+       |         GREATEST(s1.split, s2.split) AS split_b, id1, id2
+       |  FROM fil JOIN spl s1 ON fil.id1 = s1.doc_id
+       |           JOIN spl s2 ON fil.id2 = s2.doc_id
+       |  WHERE s1.split <> s2.split)
+       |SELECT split_a, split_b, COUNT(*) AS n_pairs,
+       |       MIN({'id1': id1, 'id2': id2}).id1 AS ex_id1,
+       |       MIN({'id1': id1, 'id2': id2}).id2 AS ex_id2
+       |FROM x GROUP BY split_a, split_b
+       |ORDER BY split_a, split_b""".stripMargin
+
+  /** q180 oracle: 3 unrolled walk steps; next hop = argmin of the
+    * md5Hash32 of "walk:w:s:u:v" over out-neighbors, ties to the
+    * smaller dst — mirrors GraphOps.deterministicWalks' struct-min. */
+  private val q180Sql: String = {
+    def hop(i: Int): String = {
+      val h = sqlHex32(s"md5('walk:' || walk || ':' || $i || ':' || " +
+        "node || ':' || dst)")
+      s"""s$i AS (
+         |  SELECT start, walk, $i AS step, nxt AS node FROM (
+         |    SELECT f.start, f.walk, e.dst AS nxt,
+         |           ROW_NUMBER() OVER (PARTITION BY f.start, f.walk
+         |             ORDER BY $h, e.dst) AS rk
+         |    FROM s${i - 1} f JOIN e ON f.node = e.src)
+         |  WHERE rk = 1)""".stripMargin
+    }
+    s"""WITH $nearDupEdges100Sql,
+       |s0 AS (SELECT node AS start, w AS walk, 0 AS step, node
+       |       FROM nd CROSS JOIN (VALUES (0), (1)) v(w)),
+       |${hop(1)},
+       |${hop(2)},
+       |${hop(3)}
+       |SELECT start, walk, step, node FROM
+       |  (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+       |   UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+       |ORDER BY start, walk, step""".stripMargin
+  }
+
+  /** q181 oracle: brute-force and hyperplane-LSH top-5 CTEs (the
+    * q28/q29 machinery) joined per (qid, nid); recall@5 + MRR. */
+  private val q181Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${sqlNorm("v")} AS vn FROM e),
+       |q AS (SELECT * FROM n WHERE vec_id < 50),
+       |bs AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |              ${sqlDot("q.v", "c.v")} / (q.vn * c.vn) AS cosim
+       |       FROM q JOIN n c ON c.vec_id <> q.vec_id),
+       |bt AS (SELECT qid, nid,
+       |              ROW_NUMBER() OVER (PARTITION BY qid
+       |                ORDER BY cosim DESC, nid) AS t_rk
+       |       FROM bs),
+       |tt AS (SELECT qid, nid, t_rk FROM bt WHERE t_rk <= 5),
+       |b AS (SELECT vec_id, v, vn, ${sqlBucket("v", 4)} AS bucket FROM n),
+       |ls AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |              ${sqlDot("q.v", "c.v")} / (q.vn * c.vn) AS cosim
+       |       FROM b q JOIN b c ON q.bucket = c.bucket
+       |            AND c.vec_id <> q.vec_id
+       |       WHERE q.vec_id < 50),
+       |lr AS (SELECT qid, nid,
+       |              ROW_NUMBER() OVER (PARTITION BY qid
+       |                ORDER BY cosim DESC, nid) AS a_rk
+       |       FROM ls),
+       |aa AS (SELECT qid, nid, a_rk FROM lr WHERE a_rk <= 5),
+       |j AS (SELECT tt.qid, tt.t_rk, aa.a_rk
+       |      FROM tt LEFT JOIN aa ON tt.qid = aa.qid
+       |              AND tt.nid = aa.nid)
+       |SELECT qid, COUNT(*) AS n_truth,
+       |       CAST(SUM(CASE WHEN a_rk IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS hits,
+       |       ${sqlE6("CAST(SUM(CASE WHEN a_rk IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")}
+       |         AS recall_e6,
+       |       ${sqlE6("COALESCE(1.0 / MAX(CASE WHEN t_rk = 1 THEN a_rk END), 0.0)")}
+       |         AS rr_e6
+       |FROM j GROUP BY qid ORDER BY qid""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q181_ann_recall" -> q181Sql,
+    "q180_walk_corpus" -> q180Sql,
+    "q179_split_leakage" -> q179Sql,
+    "q178_phrase_search" -> q178Sql,
+    "q177_tfidf_knn" -> q177Sql,
+    "q176_k_anonymity" -> q176Sql,
+    "q175_edit_pairs" -> q175Sql,
+    "q174_ppr_seed" -> q174Sql,
     "q173_session_cooccur" -> q173Sql,
     "q172_redact_fingerprint" -> q172Sql,
     "q171_cluster_sizes" -> q171Sql,

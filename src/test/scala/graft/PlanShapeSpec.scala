@@ -351,7 +351,9 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     "q166_dedup_sensitivity", // 5-row threshold spine vs pair list
     "q167_source_centroid_pairs", // label-count-sized centroid
                                   // inequality self-join (broadcast)
-    "q168_event_rate_ma") // hour-spine broadcast vs type list
+    "q168_event_rate_ma", // hour-spine broadcast vs type list
+    "q181_ann_recall")    // truth side IS bruteForceTopK (the q28
+                          // shape); the LSH side stays equi-joined
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
