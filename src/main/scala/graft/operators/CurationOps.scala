@@ -1655,4 +1655,74 @@ object CurationOps {
       .withColumn("risk",
         col("rows_at_risk").cast("double") / col("n_rows"))
   }
+
+  /** Materialize a [[mixtureReweight]] mix into an explicit epoch
+    * plan: every document emits floor(rate) full copies plus one
+    * Bernoulli(frac(rate)) extra copy decided by the md5 hash of
+    * (salt, id) — the deterministic realization of "repeat this
+    * source 2.3 times" that a training-data writer consumes. The
+    * expected emitted weight per group equals mixtureReweight's
+    * exp_weight; zero-rate groups (no target, or absent) emit
+    * nothing.
+    *
+    * Scale shape: the per-group rate table is broadcast back onto the
+    * corpus scan (group count is mix-sized); each row expands via one
+    * sequence-explode of at most ceil(maxRate) copy ids — no shuffle
+    * beyond the rate aggregation itself. Determinism: copy count is
+    * floor of an exact-operand double; the Bernoulli draw is the
+    * [[hashKeep]] integer-threshold compare.
+    *
+    * Output: (group, id, copy) — copy 0..floor(rate), one row per
+    * emitted copy. */
+  def materializeMixture(df: DataFrame, groupCol: String, idCol: String,
+                         weightCol: Column,
+                         targets: Seq[(String, Double)],
+                         maxRate: Double, salt: String): DataFrame = {
+    val rates = mixtureReweight(df, groupCol, weightCol, targets,
+        maxRate)
+      .select(col("group"), col("rate"))
+    val nFull = floor(col("rate")).cast("long")
+    val frac = col("rate") - floor(col("rate"))
+    val extraKeep = md5Hash32(concat(lit(s"$salt:"),
+      col("id").cast("string"))) <
+      floor(frac * lit(4294967296.0)).cast("long")
+    df.select(col(groupCol).as("group"), col(idCol).cast("long").as("id"))
+      .join(broadcast(rates), "group")
+      .select(col("group"), col("id"),
+        explode(when(nFull > 0 || extraKeep,
+            sequence(lit(0L), nFull))
+          .otherwise(array().cast("array<long>"))).as("copy"))
+      .filter(col("copy") < nFull ||
+        (col("copy") === nFull && extraKeep))
+  }
+
+  /** Differentially-private noisy group counts with DETERMINISTIC
+    * (seeded) Laplace noise — the privacy-preserving release of a
+    * histogram over sensitive groupings, reproducible across engines
+    * and re-runs: u32 = md5Hash32(salt + ":" + group key);
+    * u = (u32 + 0.5) / 2^32 in (0, 1); noise = -(1/eps) * sign(u-.5)
+    * * ln(1 - 2|u-.5|) — the standard inverse-CDF Laplace draw with
+    * the RNG replaced by the hash (same discipline as every sampler
+    * in this file; a production release would swap in a true RNG,
+    * the query shape is identical). Counts have sensitivity 1, so
+    * scale 1/eps gives eps-DP per group.
+    *
+    * One partial-agg count over the corpus, then per-group scalar
+    * math — nothing else. Output: group key columns, n (true count —
+    * drop it in an actual release; kept here for the oracle), noisy
+    * (double; pin at call site). */
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[String],
+                    epsilon: Double, salt: String): DataFrame = {
+    require(groupCols.nonEmpty && epsilon > 0,
+      s"need group cols and epsilon > 0, got $epsilon")
+    val counts = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val key = concat_ws("|", groupCols.map(col): _*)
+    val u = (md5Hash32(concat(lit(s"$salt:"), key)).cast("double") +
+      lit(0.5)) / lit(4294967296.0)
+    val c = u - lit(0.5)
+    val noise = (-lit(1.0) / lit(epsilon)) * signum(c) *
+      log(lit(1.0) - lit(2.0) * abs(c))
+    counts.withColumn("noisy", col("n").cast("double") + noise)
+  }
 }

@@ -487,4 +487,30 @@ object GraphOps {
     }
     acc
   }
+
+  /** Skip-gram training pairs from a walk corpus (the output contract
+    * of [[deterministicWalks]]): for every walk, each (center,
+    * context) node pair within `window` steps of each other —
+    * exactly the pair extraction DeepWalk feeds to word2vec, with
+    * pair frequencies aggregated (the trainer wants counts, not the
+    * raw stream). Direction-signed offsets collapse: (u, v) from
+    * offset +2 and (u, v) from offset -2 both count toward (u, v).
+    *
+    * Scale shape: one self-join of the walk table keyed on
+    * (start, walk) — each side bounded by walk length, so the
+    * per-walk fan-out is steps x window, then one (center, context)
+    * partial-agg count. Returns (center, context, n). */
+  def walkSkipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val a = walks.select(col("start").as("__s"), col("walk").as("__w"),
+      col("step").as("__pa"), col("node").as("center"))
+    val b = walks.select(col("start").as("__s2"),
+      col("walk").as("__w2"), col("step").as("__pb"),
+      col("node").as("context"))
+    a.join(b, col("__s") === col("__s2") && col("__w") === col("__w2") &&
+        col("__pa") =!= col("__pb") &&
+        abs(col("__pa") - col("__pb")) <= window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

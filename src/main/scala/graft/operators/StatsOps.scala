@@ -568,6 +568,60 @@ object StatsOps {
           (a, x) => a + x.getField("__t")))
       .select(col("group"), col("n"), col("n_bins"), col("chi2"))
   }
+
+  /** Per-group Population Stability Index against the global
+    * distribution of a binned integer value — the drift metric risk
+    * teams bucket alongside KS ([[ksBinCounts]]) and chi-squared
+    * ([[chi2GoodnessOfFit]]): psi = sum_bins (p_i - q_i) *
+    * ln(p_i / q_i) with p the group's bin share and q the global
+    * share, additively smoothed (`alpha` per bin) so empty group
+    * bins stay finite. Conventional reading: < 0.1 stable, 0.1-0.25
+    * drifting, > 0.25 broken.
+    *
+    * Same scale + determinism discipline as [[chi2GoodnessOfFit]]
+    * (this is one more derived column on the identical dense-grid
+    * shape): bins clamped to [0, nBins-1], exact integer counts, per
+    * term a fixed IEEE op sequence, per-group sum folded IN BIN
+    * ORDER. ln is the one transcendental — both engines' libm agree
+    * on the fixture scale (the q87 KL precedent).
+    *
+    * Output: group, n, n_bins, psi (double; pin at call site). */
+  def psiDrift(df: DataFrame, groupCol: String, valueCol: Column,
+               nBins: Int, binWidth: Long,
+               alpha: Double = 0.5): DataFrame = {
+    require(nBins >= 2 && binWidth >= 1 && alpha > 0,
+      s"bad nBins=$nBins binWidth=$binWidth alpha=$alpha")
+    val binned = df
+      .select(col(groupCol).as("group"), valueCol.cast("long").as("__v"))
+      .select(col("group"),
+        greatest(lit(0L),
+          least(expr(s"__v DIV $binWidth"), lit(nBins - 1L))).as("bin"))
+    val obs = binned.groupBy(col("group"), col("bin"))
+      .agg(count(lit(1)).as("o"))
+    val gb = obs.groupBy(col("bin")).agg(sum(col("o")).as("g"))
+    val ns = obs.groupBy(col("group")).agg(sum(col("o")).as("n"))
+    val total = gb.agg(sum(col("g")).as("__N"),
+      count(lit(1)).as("__B"))
+    val dense = ns.crossJoin(broadcast(gb))
+      .join(obs, Seq("group", "bin"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("__p",
+        (coalesce(col("o"), lit(0L)).cast("double") + lit(alpha)) /
+          (col("n").cast("double") + lit(alpha) * col("__B")))
+      .withColumn("__q",
+        (col("g").cast("double") + lit(alpha)) /
+          (col("__N").cast("double") + lit(alpha) * col("__B")))
+      .withColumn("__t",
+        (col("__p") - col("__q")) * log(col("__p") / col("__q")))
+    dense.groupBy(col("group"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_bins"),
+        array_sort(collect_list(struct(col("bin"), col("__t"))))
+          .as("__bt"))
+      .withColumn("psi",
+        aggregate(col("__bt"), lit(0.0d),
+          (a, x) => a + x.getField("__t")))
+      .select(col("group"), col("n"), col("n_bins"), col("psi"))
+  }
 }
 
 /** Pure-Scala special functions for the t-distribution CDF — needed for

@@ -2321,7 +2321,55 @@ object NorthStar {
       .ordered(col("qid"))
   }
 
+  // q182 — skip-gram pairs from the q180 walk corpus (window 2):
+  // the (center, context) frequency table a word2vec-style graph
+  // embedding trainer consumes.
+  private val q182: Q = (s, dir) => {
+    val walks = GraphOps.deterministicWalks(nearDupEdges100(s, dir),
+      "id1", "id2", walksPerNode = 2, steps = 3)
+    GraphOps.walkSkipGramPairs(walks, window = 2)
+      .ordered(col("center"), col("context"))
+  }
+
+  // q183 — Population Stability Index per source on the q154 length
+  // grid (8 x 64-char bins, alpha 0.5): the third drift metric next
+  // to KS (q129) and chi2 (q154).
+  private val q183: Q = (s, dir) => {
+    graft.operators.StatsOps.psiDrift(t(s, dir, "documents"),
+        "source", col("n_chars"), nBins = 8, binWidth = 64L,
+        alpha = 0.5)
+      .select(col("group").as("source"), col("n"), col("n_bins"),
+        e6(col("psi")).as("psi_e6"))
+      .ordered(col("source"))
+  }
+
+  // q184 — materialize the q141 mixture into an explicit epoch plan:
+  // floor(rate) full copies per doc + a deterministic Bernoulli
+  // extra copy (md5 on "epoch:id").
+  private val q184: Q = (s, dir) => {
+    CurationOps.materializeMixture(t(s, dir, "documents"), "lang",
+        "doc_id", TextOps.tokenCount(col("text")), MixTargets,
+        maxRate = 4.0, salt = "epoch")
+      .select(col("group").as("lang"), col("id"), col("copy"))
+      .ordered(col("lang"), col("id"), col("copy"))
+  }
+
+  // q185 — eps-DP noisy counts over the (lang, source) grid with
+  // seeded Laplace noise (eps = 1): the reproducible privacy-release
+  // shape of a sensitive histogram.
+  private val q185: Q = (s, dir) => {
+    CurationOps.dpNoisyCounts(t(s, dir, "documents"),
+        Seq("lang", "source"), epsilon = 1.0, salt = "dp")
+      .select(col("lang"), col("source"), col("n"),
+        e6(col("noisy")).as("noisy_e6"))
+      .ordered(col("lang"), col("source"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q185_dp_counts" -> q185,
+    "q184_epoch_plan" -> q184,
+    "q183_psi_drift" -> q183,
+    "q182_walk_pairs" -> q182,
     "q181_ann_recall" -> q181,
     "q180_walk_corpus" -> q180,
     "q179_split_leakage" -> q179,
@@ -6423,7 +6471,119 @@ object NorthStar {
        |         AS rr_e6
        |FROM j GROUP BY qid ORDER BY qid""".stripMargin
 
+  /** q182 oracle: the q180 walk CTEs + a (start, walk)-keyed
+    * self-join within window 2. */
+  private val q182Sql: String = {
+    def hop(i: Int): String = {
+      val h = sqlHex32(s"md5('walk:' || walk || ':' || $i || ':' || " +
+        "node || ':' || dst)")
+      s"""s$i AS (
+         |  SELECT start, walk, $i AS step, nxt AS node FROM (
+         |    SELECT f.start, f.walk, e.dst AS nxt,
+         |           ROW_NUMBER() OVER (PARTITION BY f.start, f.walk
+         |             ORDER BY $h, e.dst) AS rk
+         |    FROM s${i - 1} f JOIN e ON f.node = e.src)
+         |  WHERE rk = 1)""".stripMargin
+    }
+    s"""WITH $nearDupEdges100Sql,
+       |s0 AS (SELECT node AS start, w AS walk, 0 AS step, node
+       |       FROM nd CROSS JOIN (VALUES (0), (1)) v(w)),
+       |${hop(1)},
+       |${hop(2)},
+       |${hop(3)},
+       |wk AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+       |       UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+       |SELECT a.node AS center, b.node AS context, COUNT(*) AS n
+       |FROM wk a JOIN wk b ON a.start = b.start AND a.walk = b.walk
+       |     AND a.step <> b.step AND abs(a.step - b.step) <= 2
+       |GROUP BY 1, 2 ORDER BY center, context""".stripMargin
+  }
+
+  /** q183 oracle: the q154 dense grid carrying the smoothed-share PSI
+    * term, bin-ordered fold. */
+  private val q183Sql: String =
+    s"""WITH b AS (SELECT source,
+       |                  GREATEST(0, LEAST(n_chars // 64, 7)) AS bin
+       |           FROM documents),
+       |obs AS (SELECT source, bin, COUNT(*) AS o FROM b GROUP BY 1, 2),
+       |gb AS (SELECT bin, CAST(SUM(o) AS BIGINT) AS g FROM obs
+       |       GROUP BY bin),
+       |ns AS (SELECT source, CAST(SUM(o) AS BIGINT) AS n FROM obs
+       |       GROUP BY source),
+       |tot AS (SELECT CAST(SUM(g) AS BIGINT) AS nn,
+       |               COUNT(*) AS bb FROM gb),
+       |dense AS (
+       |  SELECT ns.source, ns.n, gb.bin,
+       |         (CAST(COALESCE(obs.o, 0) AS DOUBLE) + 0.5) /
+       |           (CAST(ns.n AS DOUBLE) + 0.5 * tot.bb) AS p,
+       |         (CAST(gb.g AS DOUBLE) + 0.5) /
+       |           (CAST(tot.nn AS DOUBLE) + 0.5 * tot.bb) AS q
+       |  FROM ns CROSS JOIN gb CROSS JOIN tot
+       |  LEFT JOIN obs ON obs.source = ns.source AND obs.bin = gb.bin),
+       |tt AS (SELECT source, n, bin, (p - q) * ln(p / q) AS term
+       |       FROM dense),
+       |c AS (SELECT source, MAX(n) AS n, COUNT(*) AS n_bins,
+       |             list(term ORDER BY bin) AS terms
+       |      FROM tt GROUP BY source)
+       |SELECT source, n, n_bins,
+       |       ${sqlE6("list_reduce(list_prepend(0.0::DOUBLE, terms), (a, x) -> a + x)")} AS psi_e6
+       |FROM c ORDER BY source""".stripMargin
+
+  /** q184 oracle: the q141 rate chain, each doc exploded into
+    * floor(rate)+1 candidate copies, the last kept by the md5
+    * Bernoulli threshold. */
+  private val q184Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS nt
+       |  FROM documents),
+       |w AS (SELECT lang, CAST(SUM(nt) AS BIGINT) AS tokens
+       |      FROM d GROUP BY lang),
+       |tgt AS (SELECT * FROM (VALUES ('en', 0.30), ('zh', 0.25),
+       |        ('es', 0.15), ('de', 0.15), ('fr', 0.15)) t(g, ts)),
+       |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM w),
+       |r AS (SELECT w.lang,
+       |             CASE WHEN w.tokens > 0
+       |                  THEN LEAST(4.0, COALESCE(tgt.ts, 0.0) *
+       |                             tot.total / w.tokens)
+       |                  ELSE 0.0 END AS rate
+       |      FROM w LEFT JOIN tgt ON w.lang = tgt.g CROSS JOIN tot),
+       |x AS (
+       |  SELECT d.lang, d.doc_id AS id,
+       |         CAST(FLOOR(r.rate) AS BIGINT) AS nf,
+       |         r.rate - FLOOR(r.rate) AS frac,
+       |         ${sqlHex32("md5('epoch:' || d.doc_id::VARCHAR)")} AS h
+       |  FROM d JOIN r ON d.lang = r.lang),
+       |k AS (SELECT lang, id, nf,
+       |             h < CAST(FLOOR(frac * 4294967296.0) AS BIGINT)
+       |               AS keep_x
+       |      FROM x),
+       |ex AS (SELECT lang, id, nf, keep_x,
+       |              unnest(range(0, nf + 1)) AS copy
+       |       FROM k WHERE nf > 0 OR keep_x)
+       |SELECT lang, id, copy FROM ex
+       |WHERE copy < nf OR (copy = nf AND keep_x)
+       |ORDER BY lang, id, copy""".stripMargin
+
+  /** q185 oracle: group counts + the seeded inverse-CDF Laplace
+    * draw replayed op for op. */
+  private val q185Sql: String =
+    s"""WITH c AS (SELECT lang, source, COUNT(*) AS n FROM documents
+       |           GROUP BY 1, 2),
+       |u AS (SELECT lang, source, n,
+       |             (${sqlHex32("md5('dp:' || lang || '|' || source)")}
+       |              + 0.5) / 4294967296.0 AS u
+       |      FROM c)
+       |SELECT lang, source, n,
+       |       ${sqlE6("n + (-1.0 / 1.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))")}
+       |         AS noisy_e6
+       |FROM u ORDER BY lang, source""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q185_dp_counts" -> q185Sql,
+    "q184_epoch_plan" -> q184Sql,
+    "q183_psi_drift" -> q183Sql,
+    "q182_walk_pairs" -> q182Sql,
     "q181_ann_recall" -> q181Sql,
     "q180_walk_corpus" -> q180Sql,
     "q179_split_leakage" -> q179Sql,

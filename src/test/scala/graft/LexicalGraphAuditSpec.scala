@@ -180,6 +180,90 @@ class LexicalGraphAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(got.size == 2)
   }
 
+  test("walkSkipGramPairs: window-bounded pairs, both directions, " +
+      "counts aggregated") {
+    // one walk 1 -> 2 -> 3 -> 4 (steps 0..3), window 2
+    val walks = Seq((1L, 0L, 0, 1L), (1L, 0L, 1, 2L), (1L, 0L, 2, 3L),
+      (1L, 0L, 3, 4L)).toDF("start", "walk", "step", "node")
+    val got = GraphOps.walkSkipGramPairs(walks, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // offsets ±1 and ±2 only: (1,4) is 3 apart -> absent
+    assert(got((1L, 2L)) == 1L && got((2L, 1L)) == 1L)
+    assert(got((1L, 3L)) == 1L && got((2L, 4L)) == 1L)
+    assert(!got.contains((1L, 4L)) && !got.contains((4L, 1L)))
+    // symmetric totals: every pair appears in both directions
+    assert(got.forall { case ((a, b), n) => got((b, a)) == n })
+  }
+
+  test("psiDrift: identical groups ~0, skewed groups larger, " +
+      "negatives clamp to bin 0") {
+    val same = Seq(("a", 10L), ("a", 100L), ("b", 10L), ("b", 100L))
+      .toDF("g", "v")
+    val z = graft.operators.StatsOps
+      .psiDrift(same, "g", col("v"), nBins = 4, binWidth = 32L)
+      .collect().map(r => r.getAs[String]("group") ->
+        r.getAs[Double]("psi")).toMap
+    // smoothing keeps identical-shape groups near (not exactly) 0
+    assert(z.values.forall(p => math.abs(p) < 0.01), s"psi $z")
+    val skew = Seq(("a", 10L), ("a", 12L), ("a", 14L), ("b", 100L),
+      ("b", 110L), ("b", 120L)).toDF("g", "v")
+    val s = graft.operators.StatsOps
+      .psiDrift(skew, "g", col("v"), nBins = 4, binWidth = 32L)
+      .collect().map(r => r.getAs[Double]("psi"))
+    assert(s.forall(_ > 0.25), s"fully-separated groups, got ${s.toSeq}")
+    val neg = Seq(("a", -5L), ("b", 3L)).toDF("g", "v")
+    val nb = graft.operators.StatsOps
+      .psiDrift(neg, "g", col("v"), nBins = 4, binWidth = 32L)
+      .collect()
+    assert(nb.forall(_.getAs[Long]("n_bins") == 1L))
+  }
+
+  test("materializeMixture: full copies exact, fractional copies " +
+      "Bernoulli-deterministic, zero-rate groups absent") {
+    // weights a=600, b=300, c=100, targets a->0.2 b->0.8, cap 2.0
+    // (the mixtureReweight hand trace): rates a=1/3, b=2.0, c=0
+    val docs = (1L to 6L).map(i => (i, "a", 100L)) ++
+      Seq((7L, "b", 150L), (8L, "b", 150L)) :+ ((9L, "c", 100L))
+    val df = docs.toDF("id", "g", "w")
+    val got = CurationOps.materializeMixture(df, "g", "id", col("w"),
+        Seq("a" -> 0.2, "b" -> 0.8), maxRate = 2.0, salt = "epoch")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // b at rate exactly 2.0: copies 0 and 1 for every doc, no extra
+    val bRows = got.filter(_._1 == "b")
+    assert(bRows.toSet == Set(("b", 7L, 0L), ("b", 7L, 1L),
+      ("b", 8L, 0L), ("b", 8L, 1L)))
+    // c has no target: nothing emitted
+    assert(!got.exists(_._1 == "c"))
+    // a at rate 1/3: each doc emits 0 or 1 copy (copy id 0)
+    val aRows = got.filter(_._1 == "a")
+    assert(aRows.forall(_._3 == 0L))
+    assert(aRows.map(_._2).distinct.length == aRows.length)
+    // deterministic re-run
+    val again = CurationOps.materializeMixture(df, "g", "id", col("w"),
+        Seq("a" -> 0.2, "b" -> 0.8), maxRate = 2.0, salt = "epoch")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.sorted.toSeq == got.sorted.toSeq)
+  }
+
+  test("dpNoisyCounts: true counts intact, noise bounded and seeded") {
+    val df = Seq(("en", "s1"), ("en", "s1"), ("en", "s2"), ("de", "s1"))
+      .toDF("lang", "source")
+    def run() = CurationOps.dpNoisyCounts(df, Seq("lang", "source"),
+        epsilon = 1.0, salt = "dp")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val got = run()
+    assert(got(("en", "s1"))._1 == 2L && got(("de", "s1"))._1 == 1L)
+    // |Laplace(1)| from a 32-bit uniform is < ln(2^32) ~ 22.2
+    assert(got.values.forall { case (n, z) => math.abs(z - n) < 23.0 })
+    // seeded: bit-identical on re-run; keyed: different groups get
+    // different draws
+    assert(run() == got)
+    val noises = got.map { case ((_, _), (n, z)) => z - n }.toSeq
+    assert(noises.distinct.size == noises.size)
+  }
+
   test("recallEval: hand-traced recall@k and MRR") {
     // truth q1: n1 (rank1), n2, n3; approx q1: n2, n9, n1
     // hits = 2 of 3; true top-1 (n1) sits at approx rank 3 -> rr 1/3

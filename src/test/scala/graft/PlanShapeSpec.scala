@@ -352,8 +352,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     "q167_source_centroid_pairs", // label-count-sized centroid
                                   // inequality self-join (broadcast)
     "q168_event_rate_ma", // hour-spine broadcast vs type list
-    "q181_ann_recall")    // truth side IS bruteForceTopK (the q28
+    "q181_ann_recall",    // truth side IS bruteForceTopK (the q28
                           // shape); the LSH side stays equi-joined
+    "q183_psi_drift",     // <=nBins-row global grid + 1-row total
+                          // (the q154 dense-grid shape)
+    "q184_epoch_plan")    // 1-row corpus token total inside the
+                          // embedded q141 rate chain
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
