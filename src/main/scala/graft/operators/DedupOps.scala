@@ -77,6 +77,60 @@ object DedupOps {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Exact n-gram Jaccard pairs via PREFIX FILTERING (the
+    * AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al.
+    * WWW'08) — the scale path for [[ngramJaccardPairs]], LOSSLESSLY:
+    * two sets can reach Jaccard >= t only if they share a shingle
+    * inside their (|S| - ceil(t|S|) + 1)-prefixes under one global
+    * canonical order (rarest-first: df asc, shingle asc), so only
+    * prefix shingles enter the inverted-index join. At t = 0.4 a
+    * 500-shingle doc indexes 301 shingles instead of 500, and —
+    * decisive at scale — the ubiquitous high-df shingles that
+    * dominate the full index's df^2 join fan-out sort to the END of
+    * the canonical order and mostly drop out of every prefix.
+    * Verification is exact: candidates join back to the full shingle
+    * ARRAYS (doc-length-bounded) and score size(array_intersect) —
+    * no second corpus-wide term join. Same output contract and same
+    * Jaccard op sequence as [[ngramJaccardPairs]]; results are
+    * identical by the prefix-filter theorem (the equivalence is
+    * spec-pinned, and the ORACLE is the plain exact derivation).
+    * Returns (id1, id2, jaccard) with jaccard >= threshold. */
+  def prefixFilteredJaccardPairs(df: DataFrame, idCol: String,
+                                 textCol: String, n: Int,
+                                 threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    // the shingle table feeds the index derivation AND both verify
+    // sides — cut lineage once (the tfidfKnn checkpoint pattern)
+    val sh = stagedShingles(df, idCol, textCol, n).localCheckpoint(false)
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val dfc = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val pref = inv.join(dfc, "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("s"))))
+      .join(sh.select(col("doc_id"), size(col("sh")).as("nsh")),
+        "doc_id")
+      .filter(col("rn") <=
+        col("nsh") - ceil(lit(threshold) * col("nsh")) + 1)
+      .select(col("doc_id"), col("s"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")),
+        "id1")
+      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")),
+        "id2")
+      .withColumn("shared", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   /** Per-document duplicated-n-gram span coverage — the exact-substring
     * duplication signal of Lee et al. 2022 ("Deduplicating Training
     * Data Makes Language Models Better"), relationalized: a token

@@ -1293,6 +1293,33 @@ object SimilarityOps {
     * size. All outputs exact-integer-derived (counts and 1/rank on
     * an integer rank). Output per qid: n_truth, hits, recall
     * (double), rr (double) — pin both at the call site. */
+  /** Embedding-table health diagnostics, per dimension: count, mean,
+    * population variance, exact min/max, and the zero fraction — the
+    * "is this embedding column sane" pre-index check (dead dims,
+    * clipped dims, anisotropy via outlier dim variance). One
+    * posexplode + one dim-keyed partial aggregation; output is
+    * dimensionality-sized regardless of corpus size.
+    *
+    * min/max/counts are exact and order-independent; mean/var are
+    * double sums (order-stable to ~1e-13 relative — fine under e6
+    * pinning, the q59 centroid precedent). Output: dim (0-based), n,
+    * mean, var, vmin, vmax, zero_frac. */
+  def embeddingHealth(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("__s"),
+        sum(col("v") * col("v")).as("__ss"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+        sum(when(col("v") === 0.0, 1L).otherwise(0L)).as("__z"))
+      .withColumn("mean", col("__s") / col("n"))
+      .withColumn("var",
+        col("__ss") / col("n") - col("mean") * col("mean"))
+      .withColumn("zero_frac",
+        col("__z").cast("double") / col("n"))
+      .select(col("dim"), col("n"), col("mean"), col("var"),
+        col("vmin"), col("vmax"), col("zero_frac"))
+
   def recallEval(truth: DataFrame, approx: DataFrame): DataFrame = {
     def ranked(df: DataFrame, r: String) = df.withColumn(r,
       row_number().over(Window.partitionBy(col("qid"))

@@ -649,9 +649,14 @@ object TextOps {
                maxDf: Int = 200): DataFrame = {
     require(shingleN >= 1 && k >= 1 && minDf >= 2 && maxDf >= minDf,
       s"bad shingleN=$shingleN k=$k minDf=$minDf maxDf=$maxDf")
+    // the (doc, term, tf) table feeds FOUR consumers (df counts, both
+    // join sides of the pair space, the norm aggregation) — cut the
+    // lineage once so the shingle explode + aggregation runs once,
+    // not per consumer (the sourceKlDivergence checkpoint pattern)
     val tf = df.select(col(idCol).cast("long").as("__id"),
         explode(wordShingles(col(textCol), shingleN)).as("t"))
       .groupBy(col("__id"), col("t")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val n = df.select(col(idCol)).distinct().count()
     val dfc = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(minDf, maxDf))
@@ -678,5 +683,45 @@ object TextOps {
       .filter(col("rk") <= k)
       .select(col("qid"), col("nid"), col("shared"), col("cos"),
         col("rk"))
+  }
+
+  /** Pair-level modified n-gram precision (the BLEU-n core,
+    * Papineni et al. 2002) for CANDIDATE pairs: how much of doc
+    * id2's n-gram mass doc id1 covers, with clipped counts —
+    * sum_g min(c1(g), c2(g)) / total n-grams in id2. The
+    * summarization / paraphrase-mining lens on a near-dup candidate
+    * list: token-SET methods (Jaccard) ignore repetition, this
+    * scores the multiset.
+    *
+    * Scale shape: positional (not distinct) n-gram counts are one
+    * explode + one (doc, gram)-keyed partial agg; the pair scoring
+    * joins the PAIR-SIDED gram tables only — grams of docs never
+    * appearing in `pairs` are semi-join-pruned before the gram
+    * join, and nothing corpus-wide is pairwise. `pairs` is any
+    * (id1, id2) candidate table (LSH, prefix blocking, near-dup
+    * output).
+    *
+    * Output: id1, id2, total2 (id2's n-gram count), clipped,
+    * precision (double — pin at the call site). */
+  def pairNgramPrecision(df: DataFrame, idCol: String, textCol: String,
+                         pairs: DataFrame, n: Int): DataFrame = {
+    val g = df.select(col(idCol).cast("long").as("__id"),
+        explode(wordShingles(col(textCol), n)).as("g"))
+      .groupBy(col("__id"), col("g")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val p = pairs.select(col("id1").cast("long").as("id1"),
+      col("id2").cast("long").as("id2"))
+    val g2 = g.join(p.select(col("id2").as("__id")).distinct(), "__id")
+    val g1 = g.join(p.select(col("id1").as("__id")).distinct(), "__id")
+    p.join(g2.select(col("__id").as("id2"), col("g"), col("c").as("c2")),
+        "id2")
+      .join(g1.select(col("__id").as("__i1"), col("g").as("g1"),
+        col("c").as("c1")),
+        col("id1") === col("__i1") && col("g") === col("g1"), "left")
+      .groupBy(col("id1"), col("id2"))
+      .agg(sum(col("c2")).as("total2"),
+        sum(least(col("c2"), coalesce(col("c1"), lit(0L)))).as("clipped"))
+      .withColumn("precision",
+        col("clipped").cast("double") / col("total2"))
   }
 }

@@ -2365,7 +2365,63 @@ object NorthStar {
       .ordered(col("lang"), col("source"))
   }
 
+  // q186 — pair-level modified bigram precision (the BLEU-2 core)
+  // over the q115 candidate pairs: the multiset/repetition-aware
+  // score next to the set-based Jaccard that proposed the pairs.
+  private val q186: Q = (s, dir) => {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 100)
+    val pairs = DedupOps.ngramJaccardPairs(d, "doc_id", "text",
+        n = 2, threshold = 0.1)
+      .select(col("id1"), col("id2"))
+    TextOps.pairNgramPrecision(d, "doc_id", "text", pairs, n = 2)
+      .select(col("id1"), col("id2"), col("total2"), col("clipped"),
+        e6(col("precision")).as("prec_e6"))
+      .ordered(col("id1"), col("id2"))
+  }
+
+  // q187 — embedding-table health diagnostics per dimension: the
+  // pre-index sanity check (dead/clipped dims, variance outliers).
+  private val q187: Q = (s, dir) => {
+    SimilarityOps.embeddingHealth(t(s, dir, "embeddings"), "embedding")
+      .select(col("dim"), col("n"), e6(col("mean")).as("mean_e6"),
+        e6(col("var")).as("var_e6"), e6(col("vmin")).as("vmin_e6"),
+        e6(col("vmax")).as("vmax_e6"),
+        e6(col("zero_frac")).as("zero_e6"))
+      .ordered(col("dim"))
+  }
+
+  // q188 — Matryoshka-style truncation evaluation: recall@5 + MRR of
+  // exact search over the FIRST 32 dims against full-64-dim truth —
+  // the "can we halve the index" decision, via the q181 eval harness.
+  private val q188: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val half = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 32).as("embedding"))
+    val truth = SimilarityOps.bruteForceTopK(emb,
+      emb.filter(col("vec_id") < 50), "vec_id", "embedding", k = 5)
+    val approx = SimilarityOps.bruteForceTopK(half,
+      half.filter(col("vec_id") < 50), "vec_id", "embedding", k = 5)
+    SimilarityOps.recallEval(truth, approx)
+      .select(col("qid"), col("n_truth"), col("hits"),
+        e6(col("recall")).as("recall_e6"), e6(col("rr")).as("rr_e6"))
+      .ordered(col("qid"))
+  }
+
+  // q189 — prefix-filtered (PPJoin-style) exact trigram Jaccard join
+  // over the FULL corpus at t = 0.4: the lossless scale path whose
+  // oracle is the plain exact derivation.
+  private val q189: Q = (s, dir) => {
+    DedupOps.prefixFilteredJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.4)
+      .select(col("id1"), col("id2"), e6(col("jaccard")).as("jacc_e6"))
+      .ordered(col("id1"), col("id2"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q189_ppjoin_pairs" -> q189,
+    "q188_trunc_recall" -> q188,
+    "q187_embed_health" -> q187,
+    "q186_pair_bleu" -> q186,
     "q185_dp_counts" -> q185,
     "q184_epoch_plan" -> q184,
     "q183_psi_drift" -> q183,
@@ -6579,7 +6635,130 @@ object NorthStar {
        |         AS noisy_e6
        |FROM u ORDER BY lang, source""".stripMargin
 
+  /** q186 oracle: positional (multiset) bigram counts, the q115 fil
+    * pairs, clipped-count precision. */
+  private val q186Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents WHERE doc_id < 100),
+       |s AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(toks) >= 2
+       |              THEN list_distinct(list_transform(range(1, len(toks)),
+       |                     i -> array_to_string(toks[i:i+1], ' ')))
+       |              ELSE [] END AS sh
+       |  FROM d),
+       |inv AS (SELECT doc_id, unnest(sh) AS s1 FROM s),
+       |pp AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+       |  FROM inv a JOIN inv b ON a.s1 = b.s1 AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+       |fil AS (
+       |  SELECT id1, id2 FROM pp
+       |  JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+       |  WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.1),
+       |gm AS (
+       |  SELECT doc_id,
+       |         unnest(CASE WHEN len(toks) >= 2
+       |                THEN list_transform(range(1, len(toks)),
+       |                       i -> array_to_string(toks[i:i+1], ' '))
+       |                ELSE [] END) AS g
+       |  FROM d),
+       |gc AS (SELECT doc_id, g, COUNT(*) AS c FROM gm GROUP BY 1, 2),
+       |j AS (
+       |  SELECT fil.id1, fil.id2, g2.c AS c2, COALESCE(g1.c, 0) AS c1
+       |  FROM fil JOIN gc g2 ON g2.doc_id = fil.id2
+       |  LEFT JOIN gc g1 ON g1.doc_id = fil.id1 AND g1.g = g2.g)
+       |SELECT id1, id2, CAST(SUM(c2) AS BIGINT) AS total2,
+       |       CAST(SUM(LEAST(c2, c1)) AS BIGINT) AS clipped,
+       |       ${sqlE6("CAST(SUM(LEAST(c2, c1)) AS DOUBLE) / SUM(c2)")}
+       |         AS prec_e6
+       |FROM j GROUP BY id1, id2 ORDER BY id1, id2""".stripMargin
+
+  /** q187 oracle: per-dim moments over the exploded embedding table —
+    * mean/var replayed with the identical op sequence. */
+  private val q187Sql: String =
+    s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+       |u AS (SELECT unnest(v) AS val,
+       |             generate_subscripts(v, 1) - 1 AS dim FROM e),
+       |a AS (SELECT dim, COUNT(*) AS n, SUM(val) AS s,
+       |             SUM(val * val) AS ss, MIN(val) AS vmin,
+       |             MAX(val) AS vmax,
+       |             CAST(SUM(CASE WHEN val = 0.0 THEN 1 ELSE 0 END)
+       |                  AS BIGINT) AS z
+       |      FROM u GROUP BY dim)
+       |SELECT dim, n, ${sqlE6("s / n")} AS mean_e6,
+       |       ${sqlE6("ss / n - (s / n) * (s / n)")} AS var_e6,
+       |       ${sqlE6("vmin")} AS vmin_e6, ${sqlE6("vmax")} AS vmax_e6,
+       |       ${sqlE6("CAST(z AS DOUBLE) / n")} AS zero_e6
+       |FROM a ORDER BY dim""".stripMargin
+
+  /** Variable-dims dot for q188's truncated side. */
+  private def sqlDotN(a: String, b: String, dims: Int): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${dims + 1}), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+
+  /** q188 oracle: the q181 recall/MRR harness with the approx side
+    * an exact search over the first 32 dims. */
+  private val q188Sql: String = {
+    def brute(dims: Int, rkName: String): String =
+      s"""SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |       ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |         ${sqlDotN("q.v", "c.v", dims)} /
+         |         (sqrt(${sqlDotN("q.v", "q.v", dims)}) *
+         |          sqrt(${sqlDotN("c.v", "c.v", dims)})) DESC,
+         |         c.vec_id) AS $rkName
+         |FROM e q JOIN e c ON c.vec_id <> q.vec_id
+         |WHERE q.vec_id < 50""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bt AS (${brute(64, "t_rk")}),
+       |tt AS (SELECT qid, nid, t_rk FROM bt WHERE t_rk <= 5),
+       |ar AS (${brute(32, "a_rk")}),
+       |aa AS (SELECT qid, nid, a_rk FROM ar WHERE a_rk <= 5),
+       |j AS (SELECT tt.qid, tt.t_rk, aa.a_rk
+       |      FROM tt LEFT JOIN aa ON tt.qid = aa.qid
+       |              AND tt.nid = aa.nid)
+       |SELECT qid, COUNT(*) AS n_truth,
+       |       CAST(SUM(CASE WHEN a_rk IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS hits,
+       |       ${sqlE6("CAST(SUM(CASE WHEN a_rk IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")}
+       |         AS recall_e6,
+       |       ${sqlE6("COALESCE(1.0 / MAX(CASE WHEN t_rk = 1 THEN a_rk END), 0.0)")}
+       |         AS rr_e6
+       |FROM j GROUP BY qid ORDER BY qid""".stripMargin
+  }
+
+  /** q189 oracle: the PLAIN exact trigram-Jaccard derivation — prefix
+    * filtering is lossless, so ground truth needs no replication of
+    * the optimization. */
+  private val q189Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(tk) >= 3
+       |              THEN list_distinct(list_transform(range(1, len(tk) - 1),
+       |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+       |              ELSE [] END AS sh
+       |  FROM d),
+       |inv AS (SELECT doc_id, unnest(sh) AS s1 FROM s),
+       |pp AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+       |  FROM inv a JOIN inv b ON a.s1 = b.s1 AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(sh) AS n FROM s)
+       |SELECT id1, id2,
+       |       ${sqlE6("shared * 1.0 / (x.n + y.n - shared)")} AS jacc_e6
+       |FROM pp JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+       |WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.4
+       |ORDER BY id1, id2""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q189_ppjoin_pairs" -> q189Sql,
+    "q188_trunc_recall" -> q188Sql,
+    "q187_embed_health" -> q187Sql,
+    "q186_pair_bleu" -> q186Sql,
     "q185_dp_counts" -> q185Sql,
     "q184_epoch_plan" -> q184Sql,
     "q183_psi_drift" -> q183Sql,

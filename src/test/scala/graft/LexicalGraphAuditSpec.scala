@@ -264,6 +264,53 @@ class LexicalGraphAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(noises.distinct.size == noises.size)
   }
 
+  test("prefixFilteredJaccardPairs == ngramJaccardPairs (lossless " +
+      "prefix filter) on real docs at two thresholds") {
+    val docs = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    for (t <- Seq(0.4, 0.2)) {
+      def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          math.round(r.getDouble(2) * 1e6)).toMap
+      val exact = norm(DedupOps.ngramJaccardPairs(docs, "doc_id",
+        "text", n = 3, threshold = t))
+      val pp = norm(DedupOps.prefixFilteredJaccardPairs(docs, "doc_id",
+        "text", n = 3, threshold = t))
+      assert(pp == exact, s"t=$t: prefix filtering must be lossless")
+      assert(exact.nonEmpty, s"t=$t: fixture should produce pairs")
+    }
+  }
+
+  test("pairNgramPrecision: hand-traced clipped counts") {
+    // ref 1: "a b a b c" bigrams: ab, ba, ab, bc -> {ab:2, ba:1, bc:1}
+    // cand 2: "a b a b a b"      -> {ab:3, ba:2}, total2 = 5
+    // clipped: min(3,2) + min(2,1) = 3 -> precision 3/5
+    // cand 3: "x y z" -> {xy:1, yz:1}, clipped 0
+    val docs = Seq((1L, "a b a b c"), (2L, "a b a b a b"),
+      (3L, "x y z")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id1", "id2")
+    val got = TextOps.pairNgramPrecision(docs, "doc_id", "text",
+        pairs, n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got((1L, 2L)) == ((5L, 3L, 0.6)))
+    assert(got((1L, 3L)) == ((2L, 0L, 0.0)))
+  }
+
+  test("embeddingHealth: hand-traced per-dim stats") {
+    val df = Seq(
+      Tuple1(Seq(1.0f, 0.0f)), Tuple1(Seq(3.0f, 0.0f)))
+      .toDF("embedding")
+    val got = SimilarityOps.embeddingHealth(df, "embedding")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    // dim 0: values 1, 3 -> mean 2, var (1+9)/2 - 4 = 1, min 1 max 3
+    assert(got(0) == ((2L, 2.0, 1.0, 1.0, 3.0, 0.0)))
+    // dim 1: all zero -> dead dim, zero_frac 1
+    assert(got(1) == ((2L, 0.0, 0.0, 0.0, 0.0, 1.0)))
+  }
+
   test("recallEval: hand-traced recall@k and MRR") {
     // truth q1: n1 (rank1), n2, n3; approx q1: n2, n9, n1
     // hits = 2 of 3; true top-1 (n1) sits at approx rank 3 -> rr 1/3

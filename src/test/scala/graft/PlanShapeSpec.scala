@@ -356,8 +356,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
                           // shape); the LSH side stays equi-joined
     "q183_psi_drift",     // <=nBins-row global grid + 1-row total
                           // (the q154 dense-grid shape)
-    "q184_epoch_plan")    // 1-row corpus token total inside the
+    "q184_epoch_plan",    // 1-row corpus token total inside the
                           // embedded q141 rate chain
+    "q188_trunc_recall")  // BOTH eval sides are bruteForceTopK (the
+                          // deliberate q28 broadcast shape)
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
