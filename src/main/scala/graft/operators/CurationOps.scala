@@ -1725,4 +1725,52 @@ object CurationOps {
       log(lit(1.0) - lit(2.0) * abs(c))
     counts.withColumn("noisy", col("n").cast("double") + noise)
   }
+
+  /** Windowed co-occurrence PMI — the word2vec-statistics companion
+    * to the adjacency-only [[collocations]]: token pairs co-occurring
+    * within `window` positions inside a document, scored by pointwise
+    * mutual information ln(p(a,b) / (p(a) p(b))) with p(a,b) over the
+    * window-pair space and p(t) over the token space. Top `topK`
+    * pairs by PMI (ties id-ordered) — the semantic-association probe
+    * ("which tokens travel together beyond chance").
+    *
+    * Scale shape: the positional self-join is per-document and
+    * window-bounded (tokens x window pairs per doc — linear in corpus
+    * size for fixed window), followed by pair- and token-keyed
+    * partial aggregations; the top-K cut is a TakeOrdered, not a
+    * single-partition sort. PMI is ln of ONE double quotient of
+    * exact integer products — mirror the op sequence in any oracle.
+    *
+    * Output: t1, t2 (t1 <= t2), c_pair, c1, c2, pmi (double — pin at
+    * the call site). */
+  def windowPmi(df: DataFrame, idCol: String, textCol: String,
+                window: Int, minCount: Long, topK: Int): DataFrame = {
+    require(window >= 1 && minCount >= 1 && topK >= 1,
+      s"bad window=$window minCount=$minCount topK=$topK")
+    val inv = df.select(col(idCol).as("__id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("p", "t")))
+      .localCheckpoint(false)
+    val uni = inv.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val nTok = inv.count()
+    val pairsRaw = inv.as("a").join(inv.as("b"),
+        col("a.__id") === col("b.__id") && col("b.p") > col("a.p") &&
+          col("b.p") - col("a.p") <= window)
+      .select(least(col("a.t"), col("b.t")).as("t1"),
+        greatest(col("a.t"), col("b.t")).as("t2"))
+    val cp = pairsRaw.groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("c_pair"))
+      .localCheckpoint(false)
+    val nPairs = cp.agg(sum(col("c_pair"))).head().getLong(0)
+    cp.filter(col("c_pair") >= minCount)
+      .join(uni.select(col("t").as("t1"), col("c").as("c1")), "t1")
+      .join(uni.select(col("t").as("t2"), col("c").as("c2")), "t2")
+      .withColumn("pmi",
+        log((col("c_pair").cast("double") * lit(nTok.toDouble) *
+          lit(nTok.toDouble)) /
+          (lit(nPairs.toDouble) * col("c1") * col("c2"))))
+      .orderBy(col("pmi").desc, col("t1"), col("t2"))
+      .limit(topK)
+      .select(col("t1"), col("t2"), col("c_pair"), col("c1"),
+        col("c2"), col("pmi"))
+  }
 }

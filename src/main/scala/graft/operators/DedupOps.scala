@@ -77,6 +77,70 @@ object DedupOps {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** LSH band-configuration tuning sweep: [[lshCollisionStats]] for
+    * EVERY (bands, rowsPerBand) split of one k-component signature,
+    * from ONE signature aggregation — the "pick b and r before the
+    * dedup run" planning query. More bands/fewer rows = more
+    * candidates (higher recall, more verify cost); the sweep shows
+    * the frontier on the actual corpus: per config, total buckets,
+    * colliding buckets, the candidate-pair mass Σ m(m−1)/2 a dedup
+    * run would verify, and the largest bucket. All integers —
+    * engine-exact.
+    *
+    * Scale: the signature table is checkpointed once and each config
+    * adds one banding aggregation over doc×k rows — no pairs are
+    * ever materialized. */
+  def lshBandTuningSweep(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int, k: Int,
+                         bandsList: Seq[Int]): DataFrame = {
+    require(bandsList.nonEmpty && bandsList.forall(b => b >= 1 && k % b == 0),
+      s"every bands value must divide k=$k, got $bandsList")
+    val sh = stagedShingles(df, idCol, textCol, shingleN)
+    val sig = md5MinhashSig(
+      sh.select(col("doc_id"), explode(col("sh")).as("s")), k)
+      .localCheckpoint(false)
+    bandsList.map { b =>
+      val exploded = sig.select(col("doc_id"), posexplode(col("sig")))
+      val banded = bandBuckets(exploded, k / b, Seq("doc_id"))
+      banded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("m"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(col("m") >= 2, 1L).otherwise(0L)).as("n_buckets_ge2"),
+          sum(when(col("m") >= 2, expr("m * (m - 1) DIV 2"))
+            .otherwise(0L)).as("cand_pairs"),
+          max(col("m")).as("max_bucket"))
+        .select(lit(b).as("bands"), lit(k / b).as("rows_per_band"),
+          col("n_buckets"), col("n_buckets_ge2"), col("cand_pairs"),
+          col("max_bucket"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Exact-dedup storage-savings accounting per group (source /
+    * shard / language): how many docs and bytes survive a global
+    * keep-first-occurrence content dedup, attributed to the group of
+    * each DROPPED copy — the capacity-planning report behind "dedup
+    * saves us N% of the training corpus". One content-hash
+    * aggregation + one hash-keyed join back + one group rollup.
+    * Output: group, n_docs, n_kept, bytes, kept_bytes, savings
+    * (= 1 - kept_bytes/bytes, double — pin at call site). */
+  def dedupSavingsReport(df: DataFrame, idCol: String, groupCol: String,
+                         textCol: String, bytesCol: Column): DataFrame = {
+    val d = df.select(col(idCol).cast("long").as("__id"),
+      col(groupCol).as("group"), bytesCol.cast("long").as("__b"),
+      contentHash(col(textCol)).as("__h"))
+    val keep = d.groupBy(col("__h")).agg(min(col("__id")).as("__keeper"))
+    d.join(keep, "__h")
+      .withColumn("__kept", col("__id") === col("__keeper"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("__b")).as("bytes"),
+        sum(when(col("__kept"), col("__b")).otherwise(0L))
+          .as("kept_bytes"))
+      .withColumn("savings",
+        lit(1.0) - col("kept_bytes").cast("double") / col("bytes"))
+  }
+
   /** Exact n-gram Jaccard pairs via PREFIX FILTERING (the
     * AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al.
     * WWW'08) — the scale path for [[ngramJaccardPairs]], LOSSLESSLY:
@@ -114,9 +178,14 @@ object DedupOps {
         "doc_id")
       .filter(col("rn") <=
         col("nsh") - ceil(lit(threshold) * col("nsh")) + 1)
-      .select(col("doc_id"), col("s"))
+      .select(col("doc_id"), col("s"), col("nsh"))
+    // length filter (also lossless): J(A,B) >= t forces
+    // t·|A| <= |B| <= |A|/t — prunes cross-length candidates inside
+    // shared-prefix buckets before the distinct/verify
     val cand = pref.as("a").join(pref.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.nsh") >= ceil(lit(threshold) * col("a.nsh")) &&
+          col("a.nsh") >= ceil(lit(threshold) * col("b.nsh")))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
     cand

@@ -485,7 +485,11 @@ object GraphOps {
       frontier = hop
       acc = acc.unionByName(hop)
     }
-    acc
+    // materialize once: the walk table is nodes x walksPerNode x
+    // (steps+1) rows, and every consumer (skip-gram self-join = TWO
+    // scans, window pairing, sinks) would otherwise re-run the whole
+    // steps-deep join chain per scan
+    acc.localCheckpoint(false)
   }
 
   /** Skip-gram training pairs from a walk corpus (the output contract

@@ -2417,7 +2417,42 @@ object NorthStar {
       .ordered(col("id1"), col("id2"))
   }
 
+  // q190 — LSH band-configuration tuning sweep: bucket/candidate
+  // statistics for every split of the k=8 md5 minhash signature,
+  // from one signature pass (full corpus, bigram shingles).
+  private val q190: Q = (s, dir) => {
+    DedupOps.lshBandTuningSweep(t(s, dir, "documents"), "doc_id",
+        "text", shingleN = 2, k = 8, bandsList = Seq(8, 4, 2, 1))
+      .ordered(col("bands").desc)
+  }
+
+  // q191 — exact-dedup storage-savings report per source: bytes
+  // surviving a global keep-first content dedup, drops attributed to
+  // the holding source.
+  private val q191: Q = (s, dir) => {
+    DedupOps.dedupSavingsReport(t(s, dir, "documents"), "doc_id",
+        "source", "text", col("n_chars"))
+      .select(col("group").as("source"), col("n_docs"), col("n_kept"),
+        col("bytes"), col("kept_bytes"),
+        e6(col("savings")).as("savings_e6"))
+      .ordered(col("source"))
+  }
+
+  // q192 — windowed co-occurrence PMI (window 3, min pair count 10,
+  // top 20): the beyond-adjacency association probe next to q130's
+  // adjacent-bigram lift.
+  private val q192: Q = (s, dir) => {
+    CurationOps.windowPmi(t(s, dir, "documents"), "doc_id", "text",
+        window = 3, minCount = 10L, topK = 20)
+      .select(col("t1"), col("t2"), col("c_pair"), col("c1"),
+        col("c2"), e6(col("pmi")).as("pmi_e6"))
+      .ordered(col("pmi_e6").desc, col("t1"), col("t2"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q192_window_pmi" -> q192,
+    "q191_dedup_savings" -> q191,
+    "q190_lsh_tuning" -> q190,
     "q189_ppjoin_pairs" -> q189,
     "q188_trunc_recall" -> q188,
     "q187_embed_health" -> q187,
@@ -6754,7 +6789,98 @@ object NorthStar {
        |WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.4
        |ORDER BY id1, id2""".stripMargin
 
+  /** q190 oracle: the q26 md5 minhash signature CTEs + one banding
+    * per config, integer bucket statistics. */
+  private val q190Sql: String = {
+    val sigList = (0 until 8)
+      .map(i => s"list_min(list_transform(sh, x -> md5('$i:' || x)))")
+      .mkString("[", ", ", "]")
+    def cfg(b: Int): String = {
+      val r = 8 / b
+      val banded = (0 until b).map { j =>
+        val parts = (1 to r).map(i => s"sig[${j * r + i}]")
+          .mkString(" || '|' || ")
+        s"SELECT doc_id, $j AS band, md5($parts) AS bucket FROM g"
+      }.mkString("\n    UNION ALL ")
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+         |       COUNT(*) AS n_buckets,
+         |       CAST(SUM(CASE WHEN m >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_buckets_ge2,
+         |       CAST(SUM(CASE WHEN m >= 2 THEN m * (m - 1) // 2
+         |                ELSE 0 END) AS BIGINT) AS cand_pairs,
+         |       MAX(m) AS max_bucket
+         |FROM (SELECT band, bucket, COUNT(*) AS m FROM (
+         |    $banded) GROUP BY band, bucket)""".stripMargin
+    }
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(toks) >= 2
+       |              THEN list_distinct(list_transform(range(1, len(toks)),
+       |                     i -> array_to_string(toks[i:i+1], ' ')))
+       |              ELSE [] END AS sh
+       |  FROM d),
+       |g AS (SELECT doc_id, $sigList AS sig FROM s)
+       |${Seq(8, 4, 2, 1).map(cfg).mkString("\nUNION ALL\n")}
+       |ORDER BY bands DESC""".stripMargin
+  }
+
+  /** q191 oracle: global keep-first content dedup, per-source byte
+    * rollup. */
+  private val q191Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, n_chars,
+       |         md5(lower(trim(text))) AS h
+       |  FROM documents),
+       |k AS (SELECT h, MIN(doc_id) AS keeper FROM d GROUP BY h)
+       |SELECT source, COUNT(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_kept,
+       |       CAST(SUM(n_chars) AS BIGINT) AS bytes,
+       |       CAST(SUM(CASE WHEN doc_id = keeper THEN n_chars
+       |                ELSE 0 END) AS BIGINT) AS kept_bytes,
+       |       ${sqlE6("1.0 - CAST(SUM(CASE WHEN doc_id = keeper THEN n_chars ELSE 0 END) AS DOUBLE) / SUM(n_chars)")}
+       |         AS savings_e6
+       |FROM d JOIN k USING (h)
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  /** q192 oracle: per-doc positional window pairs, PMI as ln of ONE
+    * double quotient mirroring windowPmi's op sequence. */
+  private val q192Sql: String =
+    s"""WITH inv AS (
+       |  SELECT doc_id,
+       |         generate_subscripts(regexp_split_to_array(lower(trim(text)),
+       |           '\\s+'), 1) - 1 AS p,
+       |         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+       |  FROM documents),
+       |uni AS (SELECT t, COUNT(*) AS c FROM inv GROUP BY t),
+       |nt AS (SELECT COUNT(*) AS n FROM inv),
+       |pr AS (
+       |  SELECT LEAST(a.t, b.t) AS t1, GREATEST(a.t, b.t) AS t2
+       |  FROM inv a JOIN inv b ON a.doc_id = b.doc_id
+       |       AND b.p > a.p AND b.p - a.p <= 3),
+       |cp AS (SELECT t1, t2, COUNT(*) AS c_pair FROM pr GROUP BY 1, 2),
+       |np AS (SELECT CAST(SUM(c_pair) AS BIGINT) AS n FROM cp),
+       |sc AS (
+       |  SELECT t1, t2, c_pair, u1.c AS c1, u2.c AS c2,
+       |         ln((CAST(c_pair AS DOUBLE) * CAST(nt.n AS DOUBLE) *
+       |             CAST(nt.n AS DOUBLE)) /
+       |            (CAST(np.n AS DOUBLE) * c1 * c2)) AS pmi
+       |  FROM cp JOIN uni u1 ON cp.t1 = u1.t
+       |          JOIN uni u2 ON cp.t2 = u2.t
+       |          CROSS JOIN nt CROSS JOIN np
+       |  WHERE c_pair >= 10)
+       |SELECT t1, t2, c_pair, c1, c2, pmi_e6 FROM (
+       |  SELECT t1, t2, c_pair, c1, c2, ${sqlE6("pmi")} AS pmi_e6
+       |  FROM sc ORDER BY pmi DESC, t1, t2 LIMIT 20)
+       |ORDER BY pmi_e6 DESC, t1, t2""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q192_window_pmi" -> q192Sql,
+    "q191_dedup_savings" -> q191Sql,
+    "q190_lsh_tuning" -> q190Sql,
     "q189_ppjoin_pairs" -> q189Sql,
     "q188_trunc_recall" -> q188Sql,
     "q187_embed_health" -> q187Sql,

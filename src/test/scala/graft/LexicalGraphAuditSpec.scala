@@ -311,6 +311,55 @@ class LexicalGraphAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(got(1) == ((2L, 0.0, 0.0, 0.0, 0.0, 1.0)))
   }
 
+  test("lshBandTuningSweep: config monotonicity and exact counts on " +
+      "a duplicate-pair fixture") {
+    // docs 1,2 identical (all 8 sig components equal -> collide in
+    // every config); doc 3 disjoint vocabulary
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"),
+      (3L, "v w x y z")).toDF("doc_id", "text")
+    val got = DedupOps.lshBandTuningSweep(docs, "doc_id", "text",
+        shingleN = 2, k = 8, bandsList = Seq(8, 4, 2, 1))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    for ((b, (nb, ge2, cand, mx)) <- got) {
+      // per config: docs 1+2 share every band bucket, doc 3 none
+      assert(ge2 == b.toLong, s"bands=$b colliding buckets")
+      assert(cand == b.toLong, s"bands=$b pair mass")
+      assert(mx == 2L && nb == 2L * b, s"bands=$b buckets")
+    }
+    assert(got.keySet == Set(8, 4, 2, 1))
+  }
+
+  test("dedupSavingsReport: cross-source drop attribution") {
+    // doc 1 (s1) is the keeper; doc 2 (s2) duplicates it -> s2 holds
+    // the savings; doc 3 unique
+    val docs = Seq((1L, "s1", "same text", 100L),
+      (2L, "s2", "same text", 100L), (3L, "s2", "other", 50L))
+      .toDF("doc_id", "source", "text", "n_chars")
+    val got = DedupOps.dedupSavingsReport(docs, "doc_id", "source",
+        "text", col("n_chars"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    assert(got("s1") == ((1L, 1L, 100L, 100L, 0.0)))
+    assert(got("s2") == ((2L, 1L, 150L, 50L, 1.0 - 50.0 / 150.0)))
+  }
+
+  test("windowPmi: window bound, associated pair outranks chance") {
+    // "x y" always adjacent (5 docs); fillers vary; "x z" never
+    // within the window
+    val docs = (1L to 5L)
+      .map(i => (i, s"x y f$i g$i h$i j$i z"))
+      .toDF("doc_id", "text")
+    val got = CurationOps.windowPmi(docs, "doc_id", "text",
+        window = 2, minCount = 5L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(5))).toMap
+    assert(got.contains(("x", "y")) && got(("x", "y"))._1 == 5L)
+    assert(got(("x", "y"))._2 > 0.0, "always-together pair has PMI > 0")
+    assert(!got.contains(("x", "z")), "beyond-window pair absent")
+  }
+
   test("recallEval: hand-traced recall@k and MRR") {
     // truth q1: n1 (rank1), n2, n3; approx q1: n2, n9, n1
     // hits = 2 of 3; true top-1 (n1) sits at approx rank 3 -> rr 1/3
