@@ -7,7 +7,7 @@ import graft.core.Tables
 import graft.operators.{CurationOps, DedupOps, FunnelOps, GraphOps,
   MultimodalOps, ScaleOps, SimilarityOps, TemporalJoinOps, TextOps,
   WindowOps}
-import graft.sources.IvfVectorStore
+import graft.sources.{InvertedIndexStore, IvfVectorStore}
 
 /** North-star training-data-pipeline queries (BASELINE.json): dedup,
   * similarity search, text analysis, multimodal, temporal joins,
@@ -2449,7 +2449,26 @@ object NorthStar {
       .ordered(col("pmi_e6").desc, col("t1"), col("t2"))
   }
 
+  // q193 — BM25 top-50 through the persisted term-sharded inverted
+  // index (built on docs < 400, delta-appended with the rest — the
+  // q102 build/append/search shape for lexical retrieval). The store
+  // path scores EXACTLY like the one-shot bm25Scores scan, which is
+  // what the oracle replays.
+  private val q193: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-inv-q193"
+    InvertedIndexStore.write(s, d.filter(col("doc_id") < 400),
+      "doc_id", "text", nShards = 16, path)
+    InvertedIndexStore.append(s, d.filter(col("doc_id") >= 400),
+      "doc_id", "text", path)
+    InvertedIndexStore.searchBm25(s, path,
+        Seq("data", "query", "window"), k = 50)
+      .select(col("doc_id"), e6(col("bm25")).as("bm25_e6"))
+      .ordered(col("bm25_e6").desc, col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q193_index_bm25" -> q193,
     "q192_window_pmi" -> q192,
     "q191_dedup_savings" -> q191,
     "q190_lsh_tuning" -> q190,
@@ -6877,7 +6896,33 @@ object NorthStar {
        |  FROM sc ORDER BY pmi DESC, t1, t2 LIMIT 20)
        |ORDER BY pmi_e6 DESC, t1, t2""".stripMargin
 
+  /** q193 oracle: the q95 BM25 replay (the store path is exactly the
+    * scan path — folded stats are value-identical), top-50 cut on the
+    * raw score, output re-ordered on the e6 pin. */
+  private val q193Sql: String =
+    s"""WITH d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |           FROM documents),
+       |l AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM d),
+       |s AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM l),
+       |tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+       |tf AS (SELECT doc_id, t, COUNT(*)::DOUBLE AS tf FROM tok
+       |       WHERE t IN ('data','query','window') GROUP BY doc_id, t),
+       |idf AS (SELECT t, ln(1.0 + ((SELECT n FROM s) - nd + 0.5)/(nd + 0.5)) AS idf
+       |        FROM (SELECT t, COUNT(*)::DOUBLE AS nd FROM tf GROUP BY t)),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |         SUM(idf.idf * tf.tf * 2.2 /
+       |             (tf.tf + 1.2 * (0.25 + 0.75 * l.dl /
+       |                             (SELECT avgdl FROM s)))) AS bm25
+       |  FROM tf JOIN idf USING (t) JOIN l ON tf.doc_id = l.doc_id
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, bm25_e6 FROM (
+       |  SELECT doc_id, ${sqlE6("bm25")} AS bm25_e6
+       |  FROM sc ORDER BY bm25 DESC, doc_id LIMIT 50)
+       |ORDER BY bm25_e6 DESC, doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q193_index_bm25" -> q193Sql,
     "q192_window_pmi" -> q192Sql,
     "q191_dedup_savings" -> q191Sql,
     "q190_lsh_tuning" -> q190Sql,

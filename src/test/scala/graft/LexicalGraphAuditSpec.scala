@@ -360,6 +360,50 @@ class LexicalGraphAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.contains(("x", "z")), "beyond-window pair absent")
   }
 
+  test("InvertedIndexStore: build+append == one-shot scan BM25; " +
+      "postings scan is shard-pruned; stats fold exactly") {
+    import graft.sources.InvertedIndexStore
+    val docs = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-inv-spec").toString
+    val terms = Seq("data", "query", "window")
+    InvertedIndexStore.write(spark, docs.filter(col("doc_id") < 300),
+      "doc_id", "text", nShards = 16, path)
+    InvertedIndexStore.append(spark, docs.filter(col("doc_id") >= 300),
+      "doc_id", "text", path)
+    // store-backed scores == the one-shot scan computation, exactly
+    val store = InvertedIndexStore.searchBm25(spark, path, terms,
+        k = 1000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val scan = graft.operators.CurationOps.bm25Scores(docs, "doc_id",
+        "text", terms)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("bm25")).toMap
+    // identical doc set; scores agree to summation-order noise (the
+    // per-doc contrib SUM folds in a different partial-agg order) —
+    // far inside the e6 pin the q193 oracle hashes on
+    assert(store.keySet == scan.keySet)
+    assert(store.forall { case (id, v) =>
+      math.abs(v - scan(id)) < 1e-12 },
+      "store scores must match the scan to float-summation noise")
+    // folded stats equal the corpus truth
+    val st = spark.read.parquet(s"$path/stats")
+      .agg(sum("n_docs"), sum("total_tokens")).head()
+    assert(st.getLong(0) == docs.count())
+    // the postings scan is partition-pruned on the term shards
+    val plan = InvertedIndexStore.searchBm25(spark, path, terms, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"),
+      s"expected shard partition filter on the postings scan:\n$plan")
+    // and the shard set is a strict subset: <= |terms| of 16 dirs
+    val shardDirs = new java.io.File(s"$path/postings").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs > terms.size,
+      "fixture must have more live shards than query terms " +
+        "(otherwise pruning proves nothing)")
+  }
+
   test("recallEval: hand-traced recall@k and MRR") {
     // truth q1: n1 (rank1), n2, n3; approx q1: n2, n9, n1
     // hits = 2 of 3; true top-1 (n1) sits at approx rank 3 -> rr 1/3
