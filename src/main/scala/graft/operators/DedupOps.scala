@@ -115,6 +115,44 @@ object DedupOps {
     }.reduce(_ unionByName _)
   }
 
+  /** MinHash estimator calibration: for the md5-parity LSH candidate
+    * pairs, compare the SIGNATURE-estimated Jaccard (matching
+    * components / k — the unbiased MinHash estimate) against the
+    * exact set Jaccard, aggregated to MAE and signed bias — "is k
+    * big enough, and is the banding feeding us honest candidates" as
+    * one bounded query (pairs only; the corpus is never pairwise).
+    * Same signature/banding/verify machinery as the q47 parity
+    * operator, so any oracle can replay it term for term.
+    * Output (single row): n_pairs, mae, bias (doubles — pin at the
+    * call site). */
+  def minhashCalibration(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 2, k: Int = 8, bands: Int = 4,
+                         maxBucketSize: Int = 100): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val pre = stagedShingles(df, idCol, textCol, shingleN)
+    val sh = pre.localCheckpoint(false)
+    val sig = md5MinhashSig(
+        sh.select(col("doc_id"), explode(col("sh")).as("s")), k)
+      .localCheckpoint(false)
+    val shSz = hintBySize(
+      sh.select(col("doc_id"), col("sh"), size(col("sh")).as("n")), pre)
+    val exact = verifyJaccard(
+      bandPairs(sig, bands, k / bands, maxBucketSize,
+        needBarrier = false),
+      shSz, "sh", threshold = 0.0)
+    exact
+      .join(sig.select(col("doc_id").as("id1"), col("sig").as("g1")),
+        "id1")
+      .join(sig.select(col("doc_id").as("id2"), col("sig").as("g2")),
+        "id2")
+      .withColumn("est",
+        size(filter(zip_with(col("g1"), col("g2"), (x, y) => x === y),
+          b => b)).cast("double") / k)
+      .agg(count(lit(1)).as("n_pairs"),
+        avg(abs(col("est") - col("jaccard"))).as("mae"),
+        avg(col("est") - col("jaccard")).as("bias"))
+  }
+
   /** Exact-dedup storage-savings accounting per group (source /
     * shard / language): how many docs and bytes survive a global
     * keep-first-occurrence content dedup, attributed to the group of

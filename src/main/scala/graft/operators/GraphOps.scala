@@ -517,4 +517,32 @@ object GraphOps {
       .groupBy(col("center"), col("context"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Two-hop reach per node over a DIRECTED edge list (symmetrize
+    * for undirected): the count of DISTINCT nodes reachable in
+    * exactly <= 2 hops, excluding the node itself — the "blast
+    * radius" of a contaminated document in the similarity graph
+    * (1-hop near-dups plus their near-dups). One edge self-join on
+    * the middle node + one distinct count, both key-partitioned;
+    * fan-out is bounded by sum of deg(u)·deg(mid) — degree-cap the
+    * edge list first on hub-heavy graphs (the q116 wedge discipline).
+    * Output: (node, deg, reach2). */
+  def twoHopReach(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val oneHop = e.select(col("src"), col("dst").as("__r"))
+    val twoHop = e.as("a").join(
+        e.select(col("src").as("__m"), col("dst").as("__r")).as("b"),
+        col("a.dst") === col("__m"))
+      .select(col("a.src").as("src"), col("__r"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    oneHop.unionByName(twoHop)
+      .filter(col("__r") =!= col("src"))
+      .distinct()
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("reach2"))
+      .join(deg.select(col("src").as("node"), col("deg")), "node")
+      .select(col("node"), col("deg"), col("reach2"))
+  }
 }

@@ -622,6 +622,52 @@ object StatsOps {
           (a, x) => a + x.getField("__t")))
       .select(col("group"), col("n"), col("n_bins"), col("psi"))
   }
+
+  /** Per-group robust (median/MAD) outlier detection — the
+    * heavy-tail-safe companion to mean/sd z-scores (one wild
+    * document inflates sd and hides every other outlier; the median
+    * absolute deviation doesn't budge): a row is an outlier when
+    * |x - median| > cutoff * 1.4826 * MAD (1.4826 = 1/Φ⁻¹(3/4), the
+    * consistency constant making MAD estimate sd under normality).
+    *
+    * Uses the exact type-7 `percentile` aggregate per group twice
+    * (values, then absolute deviations) — the q44 precedent, whose
+    * per-group buffer caveat is documented on [[sampledQuantiles]];
+    * swap in the KMV-sampled quantiles for groups that don't fit an
+    * aggregation buffer at 100 TB. A zero-MAD group (over half the
+    * values identical) reports outliers as values NOT EQUAL to the
+    * median — the conventional degenerate-MAD fallback, and exact
+    * on integer inputs.
+    *
+    * Output per group: n, med, mad, n_out, out_frac (double — pin at
+    * the call site). */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: Column,
+                  cutoff: Double = 3.0): DataFrame = {
+    require(cutoff > 0, s"cutoff must be > 0, got $cutoff")
+    val base = df.select(col(groupCol).as("group"),
+        valueCol.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .localCheckpoint(false)
+    val med = base.groupBy(col("group"))
+      .agg(percentile(col("__v"), lit(0.5)).as("med"))
+    val dev = base.join(med, "group")
+      .withColumn("__d", abs(col("__v") - col("med")))
+    val mad = dev.groupBy(col("group"))
+      .agg(max(col("med")).as("med"),
+        percentile(col("__d"), lit(0.5)).as("mad"),
+        count(lit(1)).as("n"))
+    dev.drop("med").join(mad, "group")
+      .withColumn("__out",
+        when(col("mad") > 0,
+          col("__d") > lit(cutoff) * lit(1.4826) * col("mad"))
+          .otherwise(col("__d") > 0))
+      .groupBy(col("group"))
+      .agg(max(col("n")).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("__out"), 1L).otherwise(0L)).as("n_out"))
+      .withColumn("out_frac",
+        col("n_out").cast("double") / col("n"))
+  }
 }
 
 /** Pure-Scala special functions for the t-distribution CDF — needed for

@@ -2467,7 +2467,41 @@ object NorthStar {
       .ordered(col("bm25_e6").desc, col("doc_id"))
   }
 
+  // q194 — robust (median/MAD) length-outlier report per source: the
+  // heavy-tail-safe twin of the mean/sd screens (q83/q147).
+  private val q194: Q = (s, dir) => {
+    graft.operators.StatsOps.madOutliers(t(s, dir, "documents"),
+        "source", col("n_chars"), cutoff = 3.0)
+      .select(col("group").as("source"), col("n"),
+        e6(col("med")).as("med_e6"), e6(col("mad")).as("mad_e6"),
+        col("n_out"), e6(col("out_frac")).as("frac_e6"))
+      .ordered(col("source"))
+  }
+
+  // q195 — two-hop reach (contamination blast radius) per node over
+  // the symmetrized near-dup graph.
+  private val q195: Q = (s, dir) => {
+    GraphOps.twoHopReach(nearDupEdges100(s, dir), "id1", "id2")
+      .select(col("node").as("doc_id"), col("deg"), col("reach2"))
+      .ordered(col("doc_id"))
+  }
+
+  // q196 — MinHash estimator calibration on the q47 parity slice
+  // (doc_id < 250): signature-estimated vs exact Jaccard over the
+  // LSH candidate pairs, as MAE + signed bias.
+  private val q196: Q = (s, dir) => {
+    DedupOps.minhashCalibration(
+        t(s, dir, "documents").filter(col("doc_id") < 250),
+        "doc_id", "text")
+      .select(col("n_pairs"), e6(col("mae")).as("mae_e6"),
+        e6(col("bias")).as("bias_e6"))
+      .ordered(col("n_pairs"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q196_minhash_calib" -> q196,
+    "q195_two_hop_reach" -> q195,
+    "q194_mad_outliers" -> q194,
     "q193_index_bm25" -> q193,
     "q192_window_pmi" -> q192,
     "q191_dedup_savings" -> q191,
@@ -6921,7 +6955,66 @@ object NorthStar {
        |  FROM sc ORDER BY bm25 DESC, doc_id LIMIT 50)
        |ORDER BY bm25_e6 DESC, doc_id""".stripMargin
 
+  /** q194 oracle: quantile_cont == Spark's type-7 percentile (the
+    * q44 pin); same deviation / threshold / degenerate-MAD ops. */
+  private val q194Sql: String =
+    s"""WITH b AS (SELECT source, n_chars::DOUBLE AS v FROM documents),
+       |m AS (SELECT source, quantile_cont(v, 0.5) AS med
+       |      FROM b GROUP BY source),
+       |d AS (SELECT b.source, ABS(b.v - m.med) AS dv, m.med
+       |      FROM b JOIN m USING (source)),
+       |md AS (SELECT source, MAX(med) AS med,
+       |              quantile_cont(dv, 0.5) AS mad, COUNT(*) AS n
+       |       FROM d GROUP BY source),
+       |o AS (SELECT d.source,
+       |             CASE WHEN md.mad > 0
+       |                  THEN d.dv > 3.0 * 1.4826 * md.mad
+       |                  ELSE d.dv > 0 END AS is_out
+       |      FROM d JOIN md USING (source))
+       |SELECT md.source, md.n, ${sqlE6("md.med")} AS med_e6,
+       |       ${sqlE6("md.mad")} AS mad_e6,
+       |       CAST(SUM(CASE WHEN o.is_out THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_out,
+       |       ${sqlE6("CAST(SUM(CASE WHEN o.is_out THEN 1 ELSE 0 END) AS DOUBLE) / md.n")}
+       |         AS frac_e6
+       |FROM o JOIN md USING (source)
+       |GROUP BY md.source, md.n, md.med, md.mad
+       |ORDER BY md.source""".stripMargin
+
+  /** q195 oracle: the near-dup edge CTE + a middle-node self-join,
+    * distinct union of 1- and 2-hop targets, self excluded. */
+  private val q195Sql: String =
+    s"""WITH $nearDupEdges100Sql,
+       |one AS (SELECT src, dst AS r FROM e),
+       |two AS (SELECT a.src, b.dst AS r
+       |        FROM e a JOIN e b ON a.dst = b.src),
+       |u AS (SELECT DISTINCT src, r FROM
+       |        (SELECT * FROM one UNION ALL SELECT * FROM two)
+       |      WHERE r <> src),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)
+       |SELECT u.src AS doc_id, deg.deg, COUNT(*) AS reach2
+       |FROM u JOIN deg USING (src)
+       |GROUP BY u.src, deg.deg ORDER BY doc_id""".stripMargin
+
+  /** q196 oracle: the q47 parity CTEs + the signature-match estimate
+    * per candidate pair, MAE/bias rollup. */
+  private val q196Sql: String =
+    s"""WITH $minhashParityCtes,
+       |wj AS (
+       |  SELECT ver.id1, ver.id2, ver.jaccard,
+       |         len(list_filter(range(1, 9),
+       |               i -> x.sig[i] = y.sig[i]))::DOUBLE / 8 AS est
+       |  FROM ver JOIN g x ON ver.id1 = x.doc_id
+       |           JOIN g y ON ver.id2 = y.doc_id)
+       |SELECT COUNT(*) AS n_pairs,
+       |       ${sqlE6("AVG(ABS(est - jaccard))")} AS mae_e6,
+       |       ${sqlE6("AVG(est - jaccard)")} AS bias_e6
+       |FROM wj ORDER BY n_pairs""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q196_minhash_calib" -> q196Sql,
+    "q195_two_hop_reach" -> q195Sql,
+    "q194_mad_outliers" -> q194Sql,
     "q193_index_bm25" -> q193Sql,
     "q192_window_pmi" -> q192Sql,
     "q191_dedup_savings" -> q191Sql,
