@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Abs, Cast, Expression,
   ExpressionInfo, If, LessThanOrEqual, Literal, Multiply, Signum, Subtract}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{CharEntropy, CharNgrams, ExactMedian,
+import graft.functions.{CharEntropy, CharNgrams, ExactMedian, JaroWinkler,
   MaxTokenRun, RollingHash, TokenNgrams, TopKRows, VectorDot, VectorMomentGram}
 
 /** SQL surface for the engine's custom expressions: registers them in
@@ -86,6 +86,11 @@ object GraftFunctions {
       info("char_entropy",
         "char_entropy(text) - Shannon entropy (nats) of the character distribution"),
       arity("char_entropy", 1)(es => CharEntropy(es(0)))),
+    (FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity over UTF-8 bytes" +
+          " (rapidfuzz semantics: 0.7 boost threshold, 4-byte prefix cap)"),
+      arity("jaro_winkler", 2)(es => JaroWinkler(es(0), es(1)))),
     (FunctionIdentifier("max_token_run"),
       info("max_token_run",
         "max_token_run(text) - longest run of a repeated whitespace token" +

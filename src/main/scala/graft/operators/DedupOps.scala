@@ -1143,4 +1143,46 @@ object DedupOps {
       .select(col("split_a"), col("split_b"), col("n_pairs"),
         col("__ex.id1").as("ex_id1"), col("__ex.id2").as("ex_id2"))
   }
+
+  /** SymSpell-style LOSSLESS edit-distance-1 pair join: every row
+    * pair whose strings are within Levenshtein distance 1 (including
+    * 0 — distinct ids with identical strings). Blocking is the
+    * depth-1 DELETION NEIGHBORHOOD — each string keys into itself
+    * plus every one-character deletion, and any two strings at
+    * distance <= 1 provably share a variant (substitution: both drop
+    * the differing position; insertion: the longer side drops the
+    * inserted character and meets the shorter side's identity
+    * variant) — so unlike the prefix blocking of
+    * [[editDistancePairs]] this candidate set misses NOTHING at
+    * d = 1; the exact `levenshtein` verify only removes false
+    * candidates (e.g. transposed neighbors at distance 2). The
+    * oracle for q198 is therefore the PLAIN all-pairs derivation.
+    *
+    * Scale shape: |variants| = len+1 rows per string, candidates
+    * co-locate on the variant-keyed shuffle, and a variant bucket
+    * only grows with strings one edit apart at the SAME position —
+    * data-bounded fan-in (a dictionary has no megabucket the way LSH
+    * bands do). Distances are over CHARACTERS (Spark and DuckDB
+    * levenshtein agree; byte == char on the ASCII fixtures).
+    *
+    * Output: (id1, id2, dist) with id1 < id2. */
+  def symspellPairs(df: DataFrame, idCol: String, strCol: String)
+      : DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(strCol).as("s"))
+    val ex = base.select(col("id"), col("s"),
+      explode(array_distinct(array_union(array(col("s")),
+        transform(sequence(lit(1), length(col("s"))),
+          i => concat(col("s").substr(lit(1), i - 1),
+            col("s").substr(i + 1, length(col("s")) - i)))))).as("v"))
+    ex.as("a")
+      .join(ex.as("b"),
+        col("a.v") === col("b.v") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.s").as("s1"), col("b.s").as("s2"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("s1"), col("s2")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("id1"), col("id2"), col("dist"))
+  }
 }

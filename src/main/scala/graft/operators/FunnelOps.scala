@@ -123,4 +123,43 @@ object FunnelOps {
     val l = c.cast("long")
     ((l - (l % width)) / width).cast("long")
   }
+
+  /** Last-touch attribution: every `convType` event is attributed to
+    * the most recent `touchTypes` event by the same entity at
+    * ts <= conversion ts (ties by the greatest `ordCol`), provided
+    * that touch is within `lookback` time-units; conversions with no
+    * touch in the window report channel "(none)". One
+    * [[TemporalJoinOps.asofJoinLast]] (the union+window as-of — a
+    * single entity-keyed shuffle, no join operator, state bounded by
+    * the window frame) plus one channel rollup.
+    *
+    * `tsIntCol` is an integral clock (epoch nanos/micros) and
+    * `lookback` the same unit. Output per channel: n_conv, revenue
+    * (SUM of the conversions' `valueCol` — a double; pin at the call
+    * site). */
+  def lastTouchAttribution(events: DataFrame, entityCol: String,
+      tsIntCol: String, ordCol: String, typeCol: String,
+      valueCol: String, convType: String, touchTypes: Seq[String],
+      lookback: Long): DataFrame = {
+    require(lookback > 0, s"bad lookback $lookback")
+    require(!touchTypes.contains(convType),
+      "conversion type cannot also be a touch type")
+    val ev = events.select(col(entityCol).as("entity"),
+      col(tsIntCol).cast("long").as("ts"),
+      col(ordCol).cast("long").as("ord"),
+      col(typeCol).as("etype"), col(valueCol).cast("double").as("value"))
+    val conv = ev.filter(col("etype") === convType)
+      .select(col("entity"), col("ts"), col("ord"), col("value"))
+    val touch = ev.filter(col("etype").isin(touchTypes: _*))
+      .select(col("entity"), col("ts"), col("ord"),
+        struct(col("ts").as("t_ts"), col("etype").as("t_type")).as("tv"))
+    TemporalJoinOps.asofJoinLast(conv, touch, Seq("entity"), "ts",
+        "ord", "tv")
+      .withColumn("channel",
+        when(col("asof_tv").isNotNull &&
+          col("ts") - col("asof_tv.t_ts") <= lookback,
+          col("asof_tv.t_type")).otherwise(lit("(none)")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conv"), sum(col("value")).as("revenue"))
+  }
 }

@@ -724,4 +724,48 @@ object TextOps {
       .withColumn("precision",
         col("clipped").cast("double") / col("total2"))
   }
+
+  /** Jaro-Winkler similarity column — the native codegen'd
+    * [[graft.functions.JaroWinkler]] expression (rapidfuzz byte
+    * semantics: 0.7 boost threshold, 4-byte prefix cap, empty side
+    * scores 0). Registered in SQL as `jaro_winkler(a, b)`. */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftExprBridge
+    GraftExprBridge.column(graft.functions.JaroWinkler(
+      GraftExprBridge.expression(a), GraftExprBridge.expression(b)))
+  }
+
+  /** Record-linkage top match: for every row, the single most
+    * Jaro-Winkler-similar OTHER row inside the same block ("which
+    * existing record is this probably a duplicate of"). Pairwise work
+    * is bounded by the caller's blocking key — sum over blocks of
+    * |block|^2 comparisons, each a codegen'd byte-loop projection;
+    * at 100 TB the blocking key IS the cost model (nation, zip
+    * prefix, phonetic key), exactly like the prefix blocking of
+    * [[DedupOps.editDistancePairs]]. Selection is one partial-agg
+    * max-by — no per-block sort window, no pair materialization past
+    * the aggregate.
+    *
+    * Determinism contract: the winner is picked by the MICRO-UNIT
+    * pinned score (round(jw*1e6)) with lowest candidate id as the
+    * tiebreak, so cross-engine last-ulp double noise cannot flip the
+    * argmax (the CLAUDE.md LIMIT-by-raw-double footgun).
+    * Output: (block, id, match_id, jw_e6); singleton blocks drop out
+    * (no candidate). */
+  def jaroWinklerTopMatch(df: DataFrame, blockCol: String,
+                          idCol: String, strCol: String): DataFrame = {
+    val base = df.select(col(blockCol).as("block"),
+      col(idCol).cast("long").as("id"), col(strCol).as("s"))
+    base.join(base.select(col("block"), col("id").as("cand_id"),
+        col("s").as("cand_s")), Seq("block"))
+      .filter(col("id") =!= col("cand_id"))
+      .withColumn("jw_e6",
+        round(jaroWinkler(col("s"), col("cand_s")) * lit(1e6), 0)
+          .cast("long"))
+      .groupBy(col("block"), col("id"))
+      .agg(max(struct(col("jw_e6"), negate(col("cand_id")).as("__neg"),
+        col("cand_id").as("cand_id"))).as("__b"))
+      .select(col("block"), col("id"),
+        col("__b.cand_id").as("match_id"), col("__b.jw_e6").as("jw_e6"))
+  }
 }

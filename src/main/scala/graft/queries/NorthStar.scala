@@ -2498,7 +2498,44 @@ object NorthStar {
       .ordered(col("n_pairs"))
   }
 
+  // q197 — record-linkage top match: each customer's most
+  // Jaro-Winkler-similar other customer within their nation (native
+  // codegen jaro_winkler; e6-pinned argmax, candidate-id tiebreak).
+  private val q197: Q = (s, dir) => {
+    TextOps.jaroWinklerTopMatch(t(s, dir, "customer"),
+        "c_nationkey", "c_custkey", "c_name")
+      .select(col("block").cast("long").as("nation"),
+        col("id").as("c_custkey"), col("match_id"), col("jw_e6"))
+      .ordered(col("c_custkey"))
+  }
+
+  // q198 — SymSpell lossless edit-distance-1 pairs over customer
+  // names (custkey < 2000 bounds the all-pairs oracle at any SF):
+  // deletion-neighborhood blocking, exact levenshtein verify.
+  private val q198: Q = (s, dir) => {
+    DedupOps.symspellPairs(
+        t(s, dir, "customer").filter(col("c_custkey") < 2000),
+        "c_custkey", "c_name")
+      .ordered(col("id1"), col("id2"))
+  }
+
+  // q199 — last-touch attribution: purchases credited to the latest
+  // click/view/signup by the same user within a 4 h lookback; the
+  // as-of union+window shape (one user-keyed shuffle, no join).
+  private val q199: Q = (s, dir) => {
+    FunnelOps.lastTouchAttribution(t(s, dir, "events"),
+        "user_id", "ts_ns", "event_id", "event_type", "value",
+        "purchase", Seq("click", "view", "signup"),
+        lookback = 4L * 3600L * 1000000000L)
+      .select(col("channel"), col("n_conv"),
+        e6(col("revenue")).as("rev_e6"))
+      .ordered(col("channel"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q199_last_touch" -> q199,
+    "q198_symspell_pairs" -> q198,
+    "q197_jw_top_match" -> q197,
     "q196_minhash_calib" -> q196,
     "q195_two_hop_reach" -> q195,
     "q194_mad_outliers" -> q194,
@@ -7011,7 +7048,56 @@ object NorthStar {
        |       ${sqlE6("AVG(est - jaccard)")} AS bias_e6
        |FROM wj ORDER BY n_pairs""".stripMargin
 
+  /** q197 oracle: DuckDB's jaro_winkler_similarity implements the
+    * same rapidfuzz byte semantics the native expression pins
+    * (JaroWinklerSpec); argmax replayed as ROW_NUMBER over the
+    * e6-pinned score with the candidate-id tiebreak. */
+  private val q197Sql: String =
+    s"""WITH c AS (SELECT c_nationkey AS b, c_custkey AS k, c_name AS n
+       |           FROM customer),
+       |p AS (SELECT a.b, a.k, x.k AS ck,
+       |             ${sqlE6("jaro_winkler_similarity(a.n, x.n)")} AS jw
+       |      FROM c a JOIN c x ON a.b = x.b AND a.k <> x.k),
+       |r AS (SELECT b, k, ck, jw, ROW_NUMBER() OVER
+       |        (PARTITION BY k ORDER BY jw DESC, ck) AS rn FROM p)
+       |SELECT CAST(b AS BIGINT) AS nation, k AS c_custkey,
+       |       ck AS match_id, jw AS jw_e6
+       |FROM r WHERE rn = 1 ORDER BY c_custkey""".stripMargin
+
+  /** q198 oracle: the PLAIN all-pairs levenshtein derivation — the
+    * deletion-neighborhood blocking is lossless at d = 1, so the
+    * oracle needs no knowledge of it. */
+  private val q198Sql: String =
+    s"""WITH c AS (SELECT c_custkey AS k, c_name AS n FROM customer
+       |           WHERE c_custkey < 2000)
+       |SELECT a.k AS id1, x.k AS id2,
+       |       CAST(levenshtein(a.n, x.n) AS BIGINT) AS dist
+       |FROM c a JOIN c x ON a.k < x.k
+       |WHERE levenshtein(a.n, x.n) <= 1
+       |ORDER BY id1, id2""".stripMargin
+
+  /** q199 oracle: per-conversion correlated pick of the latest
+    * in-window touch (ts desc, event_id desc), channel rollup. */
+  private val q199Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, value,
+       |                  epoch_us(ts) AS tu FROM events),
+       |conv AS (SELECT * FROM e WHERE event_type = 'purchase'),
+       |tch AS (SELECT * FROM e
+       |        WHERE event_type IN ('click', 'view', 'signup')),
+       |pick AS (SELECT c.event_id, c.value,
+       |    (SELECT t.event_type FROM tch t
+       |     WHERE t.user_id = c.user_id AND t.tu <= c.tu
+       |       AND c.tu - t.tu <= CAST(14400000000 AS BIGINT)
+       |     ORDER BY t.tu DESC, t.event_id DESC LIMIT 1) AS ch
+       |  FROM conv c)
+       |SELECT COALESCE(ch, '(none)') AS channel,
+       |       COUNT(*) AS n_conv, ${sqlE6("SUM(value)")} AS rev_e6
+       |FROM pick GROUP BY 1 ORDER BY channel""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q199_last_touch" -> q199Sql,
+    "q198_symspell_pairs" -> q198Sql,
+    "q197_jw_top_match" -> q197Sql,
     "q196_minhash_calib" -> q196Sql,
     "q195_two_hop_reach" -> q195Sql,
     "q194_mad_outliers" -> q194Sql,
