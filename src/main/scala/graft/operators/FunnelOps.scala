@@ -162,4 +162,43 @@ object FunnelOps {
       .groupBy(col("channel"))
       .agg(count(lit(1)).as("n_conv"), sum(col("value")).as("revenue"))
   }
+
+  /** Multi-touch participation: for every conversion, EVERY
+    * `touchTypes` event by the same entity within the `lookback`
+    * window participates (the companion to [[lastTouchAttribution]]'s
+    * winner-take-all). One bucketed
+    * [[TemporalJoinOps.rangeJoinLookback]] (no per-key cartesian)
+    * plus integer rollups — deliberately counts, not fractional
+    * credit shares, so the output is engine-exact.
+    *
+    * Output per channel: n_pairs ((conversion, touch) in-window
+    * pairs), n_conv (distinct conversions the channel touched);
+    * plus a "(none)" row counting conversions no channel touched. */
+  def multiTouchParticipation(events: DataFrame, entityCol: String,
+      tsIntCol: String, ordCol: String, typeCol: String,
+      convType: String, touchTypes: Seq[String], lookback: Long)
+      : DataFrame = {
+    require(!touchTypes.contains(convType),
+      "conversion type cannot also be a touch type")
+    val ev = events.select(col(entityCol).as("entity"),
+      col(tsIntCol).cast("long").as("__ts"),
+      col(ordCol).cast("long").as("__ord"), col(typeCol).as("etype"))
+    val conv = ev.filter(col("etype") === convType)
+      .select(col("entity"), col("__ts").as("c_ts"),
+        col("__ord").as("c_ord"))
+    val touch = ev.filter(col("etype").isin(touchTypes: _*))
+      .select(col("entity"), col("__ts").as("t_ts"),
+        col("etype").as("t_type"))
+    val pairs = TemporalJoinOps.rangeJoinLookback(conv, touch,
+      "entity", "c_ts", "t_ts", lookback).localCheckpoint(false)
+    val byChannel = pairs.groupBy(col("t_type").as("channel"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("c_ord")).as("n_conv"))
+    val none = conv.agg(count(lit(1)).as("__c"))
+      .crossJoin(broadcast(
+        pairs.agg(countDistinct(col("c_ord")).as("__t"))))
+      .select(lit("(none)").as("channel"), lit(0L).as("n_pairs"),
+        (col("__c") - col("__t")).as("n_conv"))
+    byChannel.unionByName(none)
+  }
 }

@@ -110,4 +110,38 @@ object TemporalJoinOps {
         abs(col("a.tn") - col("c.tn")).as("dt"))
       .distinct()
   }
+
+  /** Bucketed two-table LOOKBACK interval join: every (left, right)
+    * row pair sharing `keyCol` with
+    * right.ts in [left.ts - lookback, left.ts] — the multi-touch /
+    * "events preceding this one" shape, without an unbounded
+    * inequality join (which Spark would plan as a per-key cartesian).
+    * Same discipline as [[rangeSelfPairs]]: both sides bucket by
+    * `ts div lookback` (integral division — epoch nanos exceed the
+    * double mantissa), the LEFT side expands to (b, b-1) so every
+    * qualifying pair co-locates in exactly one (key, bucket)
+    * partition — a right row's bucket is unique, so no post-join
+    * dedup is needed. Pair fan-out is bounded by events per
+    * (key, lookback window); pick `lookback` so that stays small, or
+    * pre-aggregate the right side.
+    *
+    * Caller contract: same `keyCol` name on both sides; all other
+    * column names disjoint; ts columns integral and nonnegative.
+    * Output: all left columns + all right columns. */
+  def rangeJoinLookback(left: DataFrame, right: DataFrame,
+      keyCol: String, leftTsCol: String, rightTsCol: String,
+      lookback: Long): DataFrame = {
+    require(lookback > 0, s"bad lookback $lookback")
+    val le = left
+      .withColumn("__lb", expr(s"`$leftTsCol` div ${lookback}L"))
+      .withColumn("__jb",
+        explode(array(col("__lb"), col("__lb") - 1)))
+      .drop("__lb")
+    val re = right
+      .withColumn("__jb", expr(s"`$rightTsCol` div ${lookback}L"))
+    le.join(re, Seq(keyCol, "__jb"))
+      .filter(col(rightTsCol) <= col(leftTsCol) &&
+        col(rightTsCol) >= col(leftTsCol) - lookback)
+      .drop("__jb")
+  }
 }

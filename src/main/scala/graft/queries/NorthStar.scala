@@ -2532,7 +2532,19 @@ object NorthStar {
       .ordered(col("channel"))
   }
 
+  // q200 — multi-touch participation: every in-window touch counts
+  // (the companion report to q199's winner-take-all), via the
+  // bucketed two-table lookback interval join.
+  private val q200: Q = (s, dir) => {
+    FunnelOps.multiTouchParticipation(t(s, dir, "events"),
+        "user_id", "ts_ns", "event_id", "event_type",
+        "purchase", Seq("click", "view", "signup"),
+        lookback = 4L * 3600L * 1000000000L)
+      .ordered(col("channel"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q200_multi_touch" -> q200,
     "q199_last_touch" -> q199,
     "q198_symspell_pairs" -> q198,
     "q197_jw_top_match" -> q197,
@@ -7094,7 +7106,29 @@ object NorthStar {
        |       COUNT(*) AS n_conv, ${sqlE6("SUM(value)")} AS rev_e6
        |FROM pick GROUP BY 1 ORDER BY channel""".stripMargin
 
+  /** q200 oracle: plain in-window inequality join (DuckDB handles
+    * the small side), channel rollups + the untouched remainder. */
+  private val q200Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |                  epoch_us(ts) AS tu FROM events),
+       |conv AS (SELECT user_id, event_id AS cid, tu AS ctu FROM e
+       |         WHERE event_type = 'purchase'),
+       |tch AS (SELECT user_id, event_type AS tt, tu AS ttu FROM e
+       |        WHERE event_type IN ('click', 'view', 'signup')),
+       |p AS (SELECT c.cid, t.tt FROM conv c JOIN tch t
+       |      ON c.user_id = t.user_id AND t.ttu <= c.ctu
+       |         AND c.ctu - t.ttu <= CAST(14400000000 AS BIGINT)),
+       |ch AS (SELECT tt AS channel, COUNT(*) AS n_pairs,
+       |              COUNT(DISTINCT cid) AS n_conv FROM p GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS c FROM conv),
+       |tchd AS (SELECT COUNT(DISTINCT cid) AS t FROM p)
+       |SELECT channel, n_pairs, n_conv FROM ch
+       |UNION ALL
+       |SELECT '(none)', CAST(0 AS BIGINT), c - t FROM tot, tchd
+       |ORDER BY channel""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q200_multi_touch" -> q200Sql,
     "q199_last_touch" -> q199Sql,
     "q198_symspell_pairs" -> q198Sql,
     "q197_jw_top_match" -> q197Sql,

@@ -108,4 +108,41 @@ class LinkageAttributionSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map("view" -> ((2L, 7.0)), "(none)" -> ((1L, 7.0)),
       "signup" -> ((1L, 1.0))))
   }
+
+  test("rangeJoinLookback: window endpoints inclusive, cross-bucket " +
+      "pairs found exactly once, keys respected") {
+    import graft.operators.TemporalJoinOps
+    val l = Seq((1L, 25L, "a"), (1L, 100L, "b"))
+      .toDF("k", "lts", "ltag")
+    val r = Seq((1L, 15L), (1L, 20L), (1L, 25L), (1L, 14L), (1L, 95L),
+      (2L, 25L)).toDF("k", "rts")
+    val got = TemporalJoinOps.rangeJoinLookback(l, r, "k", "lts",
+        "rts", 10L)
+      .select(col("lts"), col("rts")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    // lts 25 window [15,25]: rts 15 (bucket 1 — cross-bucket), 20,
+    // 25 (endpoint); 14 excluded; lts 100 window [90,100]: 95.
+    assert(got == Seq((25L, 15L), (25L, 20L), (25L, 25L),
+      (100L, 95L)))
+  }
+
+  test("multiTouchParticipation: every in-window touch counts once, " +
+      "untouched conversions land in (none)") {
+    val ev = Seq(
+      (1L, 10L, 1L, "click", 0.0), (1L, 20L, 2L, "view", 0.0),
+      (1L, 25L, 3L, "purchase", 5.0),  // [15,25]: view only
+      (1L, 100L, 4L, "purchase", 7.0), // [90,100]: nothing -> (none)
+      (2L, 50L, 5L, "signup", 0.0),
+      (2L, 50L, 6L, "purchase", 1.0),  // same-ts signup counts
+      (3L, 5L, 7L, "click", 0.0), (3L, 5L, 8L, "view", 0.0),
+      (3L, 6L, 9L, "purchase", 2.0))   // BOTH click and view count
+      .toDF("user", "ts", "ord", "etype", "value")
+    val got = FunnelOps.multiTouchParticipation(ev, "user", "ts",
+        "ord", "etype", "purchase", Seq("click", "view", "signup"),
+        lookback = 10L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("click" -> ((1L, 1L)), "view" -> ((2L, 2L)),
+      "signup" -> ((1L, 1L)), "(none)" -> ((0L, 1L))))
+  }
 }
