@@ -2543,7 +2543,47 @@ object NorthStar {
       .ordered(col("channel"))
   }
 
+  // q201 — ROLLUP hierarchy revenue: region -> nation -> total over
+  // the customer side of orders; grouping_id pins subtotal rows
+  // engine-independently (Spark's bit layout == DuckDB's GROUPING),
+  // coalesce keeps the total ORDER BY null-order-proof.
+  private val q201: Q = (s, dir) => {
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(grouping_id().as("lvl"), count(lit(1)).as("n_orders"),
+        e6(sum(col("o_totalprice"))).as("rev_e6"))
+      .select(col("lvl").cast("long").as("lvl"),
+        coalesce(col("r_name"), lit("(all)")).as("region"),
+        coalesce(col("n_name"), lit("(all)")).as("nation"),
+        col("n_orders"), col("rev_e6"))
+      .ordered(col("lvl"), col("region"), col("nation"))
+  }
+
+  // q202 — CUBE over (returnflag, linestatus): all four grouping
+  // levels of the classic pricing-summary dimensions in one pass.
+  private val q202: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("lvl"), count(lit(1)).as("n"),
+        e6(sum(col("l_quantity"))).as("qty_e6"),
+        e6(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("rev_e6"))
+      .select(col("lvl").cast("long").as("lvl"),
+        coalesce(col("l_returnflag"), lit("(all)")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("lstatus"),
+        col("n"), col("qty_e6"), col("rev_e6"))
+      .ordered(col("lvl"), col("rflag"), col("lstatus"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q202_cube_pricing" -> q202,
+    "q201_rollup_revenue" -> q201,
     "q200_multi_touch" -> q200,
     "q199_last_touch" -> q199,
     "q198_symspell_pairs" -> q198,
@@ -7127,7 +7167,38 @@ object NorthStar {
        |SELECT '(none)', CAST(0 AS BIGINT), c - t FROM tot, tchd
        |ORDER BY channel""".stripMargin
 
+  /** q201 oracle: GROUP BY ROLLUP with GROUPING() — bit-compatible
+    * with Spark's grouping_id (probed: (0, 1, 3)). */
+  private val q201Sql: String =
+    s"""SELECT CAST(GROUPING(r_name, n_name) AS BIGINT) AS lvl,
+       |       COALESCE(r_name, '(all)') AS region,
+       |       COALESCE(n_name, '(all)') AS nation,
+       |       COUNT(*) AS n_orders,
+       |       ${sqlE6("SUM(o_totalprice)")} AS rev_e6
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP (r_name, n_name)
+       |ORDER BY lvl, region, nation""".stripMargin
+
+  /** q202 oracle: GROUP BY CUBE, same grouping-bit contract. */
+  private val q202Sql: String =
+    s"""SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+       |         AS lvl,
+       |       COALESCE(l_returnflag, '(all)') AS rflag,
+       |       COALESCE(l_linestatus, '(all)') AS lstatus,
+       |       COUNT(*) AS n,
+       |       ${sqlE6("SUM(l_quantity)")} AS qty_e6,
+       |       ${sqlE6("SUM(l_extendedprice * (1.0 - l_discount))")}
+       |         AS rev_e6
+       |FROM lineitem
+       |GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY lvl, rflag, lstatus""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q202_cube_pricing" -> q202Sql,
+    "q201_rollup_revenue" -> q201Sql,
     "q200_multi_touch" -> q200Sql,
     "q199_last_touch" -> q199Sql,
     "q198_symspell_pairs" -> q198Sql,
