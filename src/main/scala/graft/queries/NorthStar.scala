@@ -2581,7 +2581,43 @@ object NorthStar {
       .ordered(col("lvl"), col("rflag"), col("lstatus"))
   }
 
+  // q203 — month-over-month revenue growth: monthly rollup + a
+  // broadcast self-join on the shifted month (no unpartitioned lag
+  // window — the month table is agg-sized but the shape generalizes).
+  // Growth is defined for months with a direct predecessor only.
+  private val q203: Q = (s, dir) => {
+    val m = t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mon"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("rev"))
+    val prev = m.select(
+      (col("mon") + expr("INTERVAL 1 MONTH")).as("mon"),
+      col("rev").as("prev_rev"))
+    m.join(broadcast(prev), Seq("mon"))
+      .select(date_format(col("mon"), "yyyy-MM").as("month"),
+        col("n_orders"), e6(col("rev")).as("rev_e6"),
+        e6((col("rev") - col("prev_rev")) / col("prev_rev"))
+          .as("growth_e6"))
+      .ordered(col("month"))
+  }
+
+  // q204 — share-of-total revenue per nation: one keyed rollup + a
+  // broadcast 1-row total (no window-over-everything exchange).
+  private val q204: Q = (s, dir) => {
+    val n = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("rev"))
+    n.crossJoin(broadcast(n.agg(sum(col("rev")).as("__tot"))))
+      .select(col("nation"), col("n_orders"), e6(col("rev")).as("rev_e6"),
+        e6(col("rev") / col("__tot")).as("share_e6"))
+      .ordered(col("nation"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q204_revenue_share" -> q204,
+    "q203_monthly_growth" -> q203,
     "q202_cube_pricing" -> q202,
     "q201_rollup_revenue" -> q201,
     "q200_multi_touch" -> q200,
@@ -7196,7 +7232,35 @@ object NorthStar {
        |GROUP BY CUBE (l_returnflag, l_linestatus)
        |ORDER BY lvl, rflag, lstatus""".stripMargin
 
+  /** q203 oracle: monthly rollup joined to its one-month shift. */
+  private val q203Sql: String =
+    s"""WITH m AS (SELECT date_trunc('month', o_orderdate) AS mon,
+       |                  COUNT(*) AS n_orders,
+       |                  SUM(o_totalprice) AS rev
+       |           FROM orders GROUP BY 1)
+       |SELECT strftime(a.mon, '%Y-%m') AS month, a.n_orders,
+       |       ${sqlE6("a.rev")} AS rev_e6,
+       |       ${sqlE6("(a.rev - b.rev) / b.rev")} AS growth_e6
+       |FROM m a JOIN m b ON a.mon = b.mon + INTERVAL 1 MONTH
+       |ORDER BY month""".stripMargin
+
+  /** q204 oracle: per-nation rollup + the sum-of-group-sums total
+    * (matching the Spark derivation's fold structure). */
+  private val q204Sql: String =
+    s"""WITH n AS (SELECT n_name AS nation, COUNT(*) AS n_orders,
+       |                  SUM(o_totalprice) AS rev
+       |           FROM orders
+       |           JOIN customer ON o_custkey = c_custkey
+       |           JOIN nation ON c_nationkey = n_nationkey
+       |           GROUP BY 1),
+       |t AS (SELECT SUM(rev) AS tot FROM n)
+       |SELECT nation, n_orders, ${sqlE6("rev")} AS rev_e6,
+       |       ${sqlE6("rev / tot")} AS share_e6
+       |FROM n, t ORDER BY nation""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q204_revenue_share" -> q204Sql,
+    "q203_monthly_growth" -> q203Sql,
     "q202_cube_pricing" -> q202Sql,
     "q201_rollup_revenue" -> q201Sql,
     "q200_multi_touch" -> q200Sql,

@@ -77,7 +77,8 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
     val names = GraftFunctions.all.map(_._1.funcName).toSet
     assert(names == Set("vector_dot", "exact_median", "deadband",
       "rolling_hash", "char_entropy", "max_token_run", "char_ngrams",
-      "token_ngrams", "vector_moment_gram", "top_k_rows"))
+      "token_ngrams", "vector_moment_gram", "top_k_rows",
+      "jaro_winkler"))
     val ext = new GraftExtensions
     val sse = new org.apache.spark.sql.SparkSessionExtensions
     ext(sse) // must not throw; builder wiring exercised above

@@ -358,8 +358,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
                           // (the q154 dense-grid shape)
     "q184_epoch_plan",    // 1-row corpus token total inside the
                           // embedded q141 rate chain
-    "q188_trunc_recall")  // BOTH eval sides are bruteForceTopK (the
+    "q188_trunc_recall",  // BOTH eval sides are bruteForceTopK (the
                           // deliberate q28 broadcast shape)
+    "q200_multi_touch",   // 1-row conv-total x 1-row touched-total
+                          // bracket for the "(none)" remainder row
+    "q204_revenue_share") // 1-row grand-total bracket vs nation rows
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
