@@ -1773,4 +1773,108 @@ object CurationOps {
       .select(col("t1"), col("t2"), col("c_pair"), col("c1"),
         col("c2"), col("pmi"))
   }
+
+  /** nDCG@k retrieval-quality evaluation, one query per term: documents
+    * are ranked by the per-term BM25 score (same formula as
+    * [[bm25Scores]], not summed across terms) and graded by integer
+    * term frequency, so DCG@k / IDCG@k compares the score-order against
+    * the gain-order. Integer gains keep the ideal ranking
+    * tie-order-free; both rankings tiebreak on doc id. Scale shape:
+    * identical to [[bm25Scores]] (term-pruned tf, broadcast idf, one
+    * doc-length join) plus two windows partitioned by term — the
+    * partition count is |Q|, which is what a query-eval batch
+    * parallelizes over.
+    *
+    * Output per term: term, n_docs (matching docs), dcg, idcg, ndcg
+    * (doubles — pin at the call site). */
+  def retrievalNdcg(df: DataFrame, idCol: String, textCol: String,
+                    queryTerms: Seq[String], kTop: Int = 10,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(kTop > 0, s"kTop must be > 0, got $kTop")
+    val toks = df.select(col(idCol).as("doc_id"),
+      graft.operators.TextOps.tokens(col(textCol)).as("toks"))
+    val lensPre = toks.select(col("doc_id"),
+      size(col("toks")).cast("double").as("dl"))
+    val lens = lensPre.localCheckpoint(false)
+    val stats = lens.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+      .head()
+    val nDocs = stats.getLong(0).toDouble
+    val avgdl = if (stats.isNullAt(1)) 1.0 else stats.getDouble(1)
+    val qset = array(queryTerms.map(t => lit(t.toLowerCase)): _*)
+    val tf = toks
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .filter(array_contains(qset, col("t")))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val idf = tf.groupBy(col("t"))
+      .agg(count(lit(1)).cast("double").as("nd"))
+      .select(col("t"),
+        log(lit(1.0) + (lit(nDocs) - col("nd") + 0.5) /
+          (col("nd") + 0.5)).as("idf"))
+    val scored = tf.join(broadcast(idf), "t")
+      .join(lens, "doc_id")
+      .select(col("t"), col("doc_id"), col("tf"),
+        (col("idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)))
+          .as("score"))
+    val byScore = Window.partitionBy(col("t"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val byGain = Window.partitionBy(col("t"))
+      .orderBy(col("tf").desc, col("doc_id"))
+    // discount written as ln(r+1)/ln(2) on BOTH engines so the
+    // expression shape is shared (log2() builtins may differ at ulp)
+    val ln2 = log(lit(2.0))
+    def disc(r: Column): Column = log(r.cast("double") + lit(1.0)) / ln2
+    scored
+      .withColumn("rnk", row_number().over(byScore))
+      .withColumn("grank", row_number().over(byGain))
+      .groupBy(col("t").as("term"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rnk") <= kTop, col("tf") / disc(col("rnk")))
+          .otherwise(lit(0.0))).as("dcg"),
+        sum(when(col("grank") <= kTop, col("tf") / disc(col("grank")))
+          .otherwise(lit(0.0))).as("idcg"))
+      .withColumn("ndcg",
+        when(col("idcg") > 0.0, col("dcg") / col("idcg")).otherwise(0.0))
+  }
+
+  /** Weighted (multiset) Jaccard between every pair of groups' term
+    * distributions: sum_t min(tf_a, tf_b) / sum_t max(tf_a, tf_b) —
+    * the frequency-aware companion to the set-Jaccard vocabulary
+    * comparison. Exact integer arithmetic end to end (the identity
+    * sum max = tot_a + tot_b − sum min needs only the INNER join on
+    * shared terms plus per-group totals — no full-outer union row
+    * set), so the single ratio is the only double. Scale shape: the
+    * pair enumeration joins on the TERM (shuffle key with corpus-wide
+    * cardinality); the per-pair aggregate and the totals join are
+    * group-count-sized.
+    *
+    * Output per pair (src_a < src_b): src_a, src_b, inter (sum-min),
+    * tot_a, tot_b, wjacc (double — pin at the call site). */
+  def weightedVocabJaccard(df: DataFrame, groupCol: String,
+                           textCol: String): DataFrame = {
+    val counts = df.select(col(groupCol).as("g"),
+        explode(graft.operators.TextOps.tokens(col(textCol))).as("t"))
+      .groupBy(col("g"), col("t"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val totals = counts.groupBy(col("g")).agg(sum(col("c")).as("tot"))
+    val shared = counts.as("a")
+      .join(counts.as("b"),
+        col("a.t") === col("b.t") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("src_a"), col("b.g").as("src_b"))
+      .agg(sum(least(col("a.c"), col("b.c"))).as("inter"))
+    totals.as("x")
+      .join(totals.as("y"), col("x.g") < col("y.g"))
+      .join(shared,
+        col("x.g") === col("src_a") && col("y.g") === col("src_b"),
+        "left")
+      .select(col("x.g").as("src_a"), col("y.g").as("src_b"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        col("x.tot").as("tot_a"), col("y.tot").as("tot_b"))
+      .withColumn("wjacc", col("inter").cast("double") /
+        (col("tot_a") + col("tot_b") - col("inter")).cast("double"))
+  }
 }

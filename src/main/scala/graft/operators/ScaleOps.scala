@@ -245,4 +245,29 @@ object ScaleOps {
       .agg((sum(col("__s")) / sum(col("__n"))).as(s"avg_$valueCol"),
         sum(col("__n")).as("n"))
   }
+
+  /** CDC-style snapshot diff: classify every key across two corpus
+    * snapshots as added / removed / changed / unchanged. The payloads
+    * are reduced to md5 fingerprints BEFORE the join, so at 100 TB the
+    * full-outer hash join moves (key, 32-byte hash) rows — never
+    * document bodies — and the join key partitions both sides the same
+    * way (one shuffle each, no broadcast needed on same-scale
+    * snapshots). This is the daily-incremental-pipeline primitive:
+    * `added ∪ changed` is the reprocessing frontier, `removed` the
+    * retraction feed.
+    *
+    * Output: keyCol, status ('added'|'removed'|'changed'|'unchanged'). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+                   payloadCol: String): DataFrame = {
+    val o = oldDf.select(col(keyCol).as("__k"),
+      md5(col(payloadCol)).as("__old_fp"))
+    val n = newDf.select(col(keyCol).as("__k"),
+      md5(col(payloadCol)).as("__new_fp"))
+    o.join(n, Seq("__k"), "full_outer")
+      .select(col("__k").as(keyCol),
+        when(col("__old_fp").isNull, lit("added"))
+          .when(col("__new_fp").isNull, lit("removed"))
+          .when(col("__old_fp") =!= col("__new_fp"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
 }

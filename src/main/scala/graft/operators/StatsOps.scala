@@ -668,6 +668,211 @@ object StatsOps {
       .withColumn("out_frac",
         col("n_out").cast("double") / col("n"))
   }
+
+  /** CUSUM change-point detection per key: over an ordered series the
+    * cumulative sum of deviations from the key's mean peaks (in
+    * absolute value) at the most likely single shift point (Page's
+    * CUSUM, the batch form). valueCol must be integral: the statistic
+    * is computed in EXACT integer arithmetic — n·prefix_i − i·S equals
+    * n·(prefix_i − i·mean), so the argmax never touches a double and
+    * cannot diverge on windowed-sum fold order (a double prefix sum is
+    * a left fold on Spark but a segment tree in DuckDB). Scale shape:
+    * one groupBy for the per-key totals (broadcast back — one row per
+    * key), one key-partitioned ordered window for the prefix sum, one
+    * more for the argmax — no unpartitioned exchange. Ties on the
+    * scaled |cusum| break toward the earliest point.
+    *
+    * Output per key: key, change_point (orderCol value at the peak),
+    * cusum (= scaled/n, one exact-long division — deterministic
+    * double; pin at the call site), n_points. */
+  def cusumChangepoint(df: DataFrame, keyCol: String, orderCol: String,
+                       valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = df.groupBy(col(keyCol))
+      .agg(sum(col(valueCol).cast("long")).as("__s"),
+        count(lit(1)).as("n_points"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    val cu = df.join(broadcast(m), keyCol)
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__scaled",
+        sum(col(valueCol).cast("long")).over(w) * col("n_points") -
+          col("__i") * col("__s"))
+    val r = Window.partitionBy(col(keyCol))
+      .orderBy(abs(col("__scaled")).desc, col(orderCol))
+    cu.withColumn("__rn", row_number().over(r))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col(orderCol).as("change_point"),
+        (col("__scaled").cast("double") / col("n_points").cast("double"))
+          .as("cusum"),
+        col("n_points"))
+  }
+
+  /** Benford first-significant-digit screen: observed vs expected
+    * log10(1 + 1/d) digit shares and the chi-squared contribution per
+    * digit — the classic fraud / synthetic-data quality test. Only
+    * values >= 1 participate (first digit of |x| < 1 depends on
+    * fractional rendering). The digit comes from
+    * floor(v / 10^floor(log10 v)) with the two power-of-ten guard
+    * cases (0 and 10 — reachable only when log10 lands on the wrong
+    * side of an integer boundary at last-ulp) both mapped to 1, so a
+    * cross-engine ulp disagreement at exactly 10^k cannot diverge.
+    * Pure scan + 9-row aggregate: one shuffle.
+    *
+    * Output per digit 1..9: digit, n_obs, obs_share, exp_share,
+    * chi2_contrib (doubles — pin at the call site). */
+  def benfordFirstDigit(df: DataFrame, valueCol: Column): DataFrame = {
+    val v = valueCol.cast("double")
+    val raw = floor(v / pow(lit(10.0), floor(log10(v)))).cast("long")
+    val digit = when(raw === 0L || raw === 10L, 1L).otherwise(raw)
+    val perDigit = df.filter(v >= 1.0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = perDigit.agg(sum(col("n_obs")).as("__n"))
+    perDigit.crossJoin(broadcast(tot))
+      .withColumn("exp_share",
+        log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
+      .withColumn("obs_share", col("n_obs").cast("double") / col("__n"))
+      .withColumn("chi2_contrib", {
+        val expN = col("exp_share") * col("__n").cast("double")
+        (col("n_obs").cast("double") - expN) * (col("n_obs").cast("double") - expN) / expN
+      })
+      .select(col("digit"), col("n_obs"), col("obs_share"),
+        col("exp_share"), col("chi2_contrib"))
+  }
+
+  /** Exponential goodness-of-fit per key: MLE rate from inter-arrival
+    * gaps (lambda = n / sum(gaps) — the sum stays an exact integer in
+    * the source time unit, so lambda is bit-deterministic across
+    * engines and fold orders) and the Kolmogorov-Smirnov distance
+    * between the empirical gap CDF and the fitted 1 - exp(-lambda x).
+    * Ties among equal gaps cannot move the statistic: within a tie
+    * group the upper-side max is attained at the largest rank and the
+    * lower-side at the smallest, both present under any tie order.
+    * Scale shape: two key-partitioned windows (lag + rank) and one
+    * aggregate — no unpartitioned exchange.
+    *
+    * `unitPerSecond` converts the integer time unit to seconds (1e9
+    * for nanos). Output per key: key, n_gaps, mean_gap_s, rate_hz, ks
+    * (doubles — pin at the call site). */
+  def exponentialFitKs(df: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String,
+                       unitPerSecond: Double = 1e9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wo = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val gaps = df
+      .withColumn("__prev", lag(col(tsCol), 1).over(wo))
+      .filter(col("__prev").isNotNull)
+      .select(col(keyCol),
+        (col(tsCol) - col("__prev")).cast("long").as("__gap"))
+    val stats = gaps.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("__gap")).as("__sum"))
+    val wr = Window.partitionBy(col(keyCol))
+      .orderBy(col("__gap"))
+    gaps.withColumn("__i", row_number().over(wr))
+      .join(broadcast(stats), keyCol)
+      .filter(col("__sum") > 0L)
+      .withColumn("__lambda",
+        col("n_gaps").cast("double") * lit(unitPerSecond) /
+          col("__sum").cast("double"))
+      .withColumn("__fit",
+        lit(1.0) - exp(-col("__lambda") * col("__gap").cast("double") /
+          lit(unitPerSecond)))
+      .withColumn("__d", greatest(
+        col("__i").cast("double") / col("n_gaps") - col("__fit"),
+        col("__fit") - (col("__i") - 1L).cast("double") / col("n_gaps")))
+      .groupBy(col(keyCol))
+      .agg(max(col("n_gaps")).as("n_gaps"),
+        (max(col("__sum")).cast("double") / max(col("n_gaps")).cast("double") /
+          lit(unitPerSecond)).as("mean_gap_s"),
+        max(col("__lambda")).as("rate_hz"),
+        max(col("__d")).as("ks"))
+  }
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) two-sample test with the
+    * normal approximation and tie correction. Ranks are never
+    * materialized per row: values collapse to per-distinct-value
+    * groups first (one hash aggregate), and the average rank of a tie
+    * group is before + (t+1)/2 from a prefix sum over the DISTINCT
+    * value table — the only ordered exchange is over distinct values,
+    * not rows (the q49/q152 bounded-prefix-sum convention; for a
+    * 100-TB column the distinct table is what a rank test has to
+    * scan anyway, and the same two-stage bucket split applies if it
+    * grows). All partial sums are exact: integer counts, tie term
+    * t³−t integer, and R1 accumulates half-integers (exact in
+    * doubles far past 2^52/2).
+    *
+    * Output (one row): n1, n2, u1, z (doubles — pin at the call
+    * site); z uses sigma² = n1·n2/12 · ((n+1) − Σ(t³−t)/(n(n−1))). */
+  def mannWhitneyU(df: DataFrame, valueCol: Column,
+                   isA: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.select(valueCol.cast("double").as("__v"),
+        when(isA, 1L).otherwise(0L).as("__a"))
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("__t"), sum(col("__a")).as("__ta"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = g
+      .withColumn("__before", coalesce(sum(col("__t")).over(w), lit(0L)))
+      .agg(sum(col("__t")).as("n"), sum(col("__ta")).as("n1"),
+        sum(col("__ta").cast("double") *
+          (col("__before").cast("double") +
+            (col("__t") + 1L).cast("double") / 2.0)).as("r1"),
+        sum(col("__t") * col("__t") * col("__t") - col("__t"))
+          .as("tie_t"))
+    agg
+      .withColumn("n2", col("n") - col("n1"))
+      .withColumn("u1",
+        col("r1") - (col("n1") * (col("n1") + 1L)).cast("double") / 2.0)
+      .withColumn("__mu", (col("n1") * col("n2")).cast("double") / 2.0)
+      .withColumn("__sig2",
+        (col("n1") * col("n2")).cast("double") / 12.0 *
+          ((col("n") + 1L).cast("double") -
+            col("tie_t").cast("double") /
+              (col("n") * (col("n") - 1L)).cast("double")))
+      .select(col("n1"), col("n2"), col("u1"),
+        ((col("u1") - col("__mu")) / sqrt(col("__sig2"))).as("z"))
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013, "Improving the
+    * sensitivity of online controlled experiments"): adjust each
+    * unit's experiment-period metric by its pre-period covariate,
+    * post' = post - theta * (pre - mean(pre)), with theta =
+    * cov(pre, post) / var(pre) estimated POOLED across all arms (the
+    * standard choice — theta must not depend on assignment). Moments
+    * use the explicit avg-of-products form on both engines so the
+    * expression shape (not each engine's var_pop algorithm) defines
+    * the result. Scale shape: the pooled moments are a 1-row
+    * broadcast; everything else is per-arm partial aggregation.
+    *
+    * Input: one row per unit with (armCol, preCol, postCol). Output
+    * per arm: arm, n_units, mean_post, var_post, var_adj,
+    * var_reduction = 1 - var_adj/var_post (doubles — pin at the call
+    * site). */
+  def cuped(perUnit: DataFrame, armCol: String, preCol: String,
+            postCol: String): DataFrame = {
+    val pre = col(preCol).cast("double")
+    val post = col(postCol).cast("double")
+    val pooled = perUnit.agg(
+      avg(pre).as("__mpre"), avg(post).as("__mpost"),
+      avg(pre * pre).as("__mpre2"), avg(pre * post).as("__mprepost"))
+      .select(col("__mpre"),
+        ((col("__mprepost") - col("__mpre") * col("__mpost")) /
+          (col("__mpre2") - col("__mpre") * col("__mpre"))).as("__theta"))
+    perUnit.crossJoin(broadcast(pooled))
+      .withColumn("__adj",
+        post - col("__theta") * (pre - col("__mpre")))
+      .groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).as("n_units"),
+        avg(post).as("mean_post"),
+        (avg(post * post) - avg(post) * avg(post)).as("var_post"),
+        (avg(col("__adj") * col("__adj")) -
+          avg(col("__adj")) * avg(col("__adj"))).as("var_adj"))
+      .withColumn("var_reduction",
+        when(col("var_post") > 0.0,
+          lit(1.0) - col("var_adj") / col("var_post")).otherwise(0.0))
+  }
 }
 
 /** Pure-Scala special functions for the t-distribution CDF — needed for

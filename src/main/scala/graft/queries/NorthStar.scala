@@ -2615,7 +2615,225 @@ object NorthStar {
       .ordered(col("nation"))
   }
 
+  // q205 — CDC snapshot diff: two derived corpus snapshots (old drops
+  // doc_id%7==0 and truncates doc_id%3==0 by 20 chars; new drops
+  // doc_id%5==0) classified added/removed/changed/unchanged via the
+  // fingerprint full-outer join — the daily-incremental primitive.
+  private val q205: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val oldSnap = d.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          expr("substring(text, 1, greatest(1, length(text) - 20))"))
+          .otherwise(col("text")).as("text"))
+    val newSnap = d.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("text"))
+    ScaleOps.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .ordered(col("status"))
+  }
+
+  // q206 — nDCG@10 retrieval eval: per query term, BM25-ranked top-10
+  // graded by integer term frequency (the eval metric missing next to
+  // q181's recall/MRR and q137's RRF).
+  private val q206: Q = (s, dir) => {
+    CurationOps.retrievalNdcg(t(s, dir, "documents"), "doc_id", "text",
+        Seq("data", "query", "window"), kTop = 10)
+      .select(col("term"), col("n_docs"), e6(col("dcg")).as("dcg_e6"),
+        e6(col("idcg")).as("idcg_e6"), e6(col("ndcg")).as("ndcg_e6"))
+      .ordered(col("term"))
+  }
+
+  // q207 — weighted (multiset) vocabulary Jaccard per source pair:
+  // the frequency-aware companion to q142's set Jaccard; exact
+  // integers until the single output ratio.
+  private val q207: Q = (s, dir) => {
+    CurationOps.weightedVocabJaccard(t(s, dir, "documents"), "source",
+        "text")
+      .select(col("src_a"), col("src_b"), col("inter"), col("tot_a"),
+        col("tot_b"), e6(col("wjacc")).as("wjacc_e6"))
+      .ordered(col("src_a"), col("src_b"))
+  }
+
+  // q208 — CUSUM change-point per event type over the DENSE hourly
+  // grid (q168's zero-filled spine — a gap hour is evidence of a
+  // shift, not missing data); exact-integer argmax.
+  private val q208: Q = (s, dir) => {
+    val hourly = t(s, dir, "events")
+      .withColumn("h", expr("(ts_ns div 1000) div 3600000000"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"))
+    val spine = hourly.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("h"))
+    val types = hourly.select(col("event_type")).distinct()
+    val dense = types.crossJoin(broadcast(spine))
+      .join(hourly, Seq("event_type", "h"), "left")
+      .na.fill(0L, Seq("n"))
+    graft.operators.StatsOps.cusumChangepoint(dense, "event_type", "h", "n")
+      .select(col("event_type"), col("change_point").as("change_h"),
+        e6(col("cusum")).as("cusum_e6"), col("n_points").as("n_hours"))
+      .ordered(col("event_type"))
+  }
+
+  // q209 — Benford first-digit screen on order totals: observed vs
+  // log10(1+1/d) expected shares + per-digit chi2 contribution (the
+  // classic synthetic-data / fraud quality test).
+  private val q209: Q = (s, dir) => {
+    graft.operators.StatsOps.benfordFirstDigit(t(s, dir, "orders"), col("o_totalprice"))
+      .select(col("digit"), col("n_obs"),
+        e6(col("obs_share")).as("obs_share_e6"),
+        e6(col("exp_share")).as("exp_share_e6"),
+        e6(col("chi2_contrib")).as("chi2_e6"))
+      .ordered(col("digit"))
+  }
+
+  // q210 — exponential goodness-of-fit on inter-arrival gaps per
+  // event type: MLE rate (exact-integer gap sum, so lambda is
+  // bit-deterministic) + the KS distance against the fitted CDF —
+  // the parametric companion to q129's two-sample KS.
+  private val q210: Q = (s, dir) => {
+    graft.operators.StatsOps.exponentialFitKs(t(s, dir, "events"), "event_type",
+        "ts_ns", "event_id", unitPerSecond = 1e9)
+      .select(col("event_type"), col("n_gaps"),
+        e6(col("mean_gap_s")).as("mean_gap_s_e6"),
+        e6(col("rate_hz")).as("rate_hz_e6"), e6(col("ks")).as("ks_e6"))
+      .ordered(col("event_type"))
+  }
+
+  // q211 — CUPED variance reduction for an A/B readout: arms by
+  // user_id parity, pre/post periods split at the corpus time
+  // midpoint (exact integer), theta pooled across arms.
+  private val q211: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val mid = ev.agg(expr("(min(ts_ns) + max(ts_ns)) div 2").as("mid"))
+    val perUnit = ev.crossJoin(broadcast(mid))
+      .groupBy((col("user_id") % 2).as("arm"), col("user_id"))
+      .agg(sum(when(col("ts_ns") < col("mid"), col("value"))
+          .otherwise(lit(0.0))).as("pre"),
+        sum(when(col("ts_ns") >= col("mid"), col("value"))
+          .otherwise(lit(0.0))).as("post"))
+    graft.operators.StatsOps.cuped(perUnit, "arm", "pre", "post")
+      .select(col("arm").cast("long").as("arm"), col("n_units"),
+        e6(col("mean_post")).as("mean_post_e6"),
+        e6(col("var_post")).as("var_post_e6"),
+        e6(col("var_adj")).as("var_adj_e6"),
+        e6(col("var_reduction")).as("var_red_e6"))
+      .ordered(col("arm"))
+  }
+
+  // q212 — serpentine (snake-draft) shard balancing: sources ranked
+  // by token count, dealt into 4 bins in boustrophedon order — the
+  // deterministic SQL-expressible cousin of LPT bin packing for
+  // balanced export shards; load ratio pins the balance quality.
+  private val q212: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val nBins = 4
+    val tok = t(s, dir, "documents")
+      .select(col("source"), TextOps.tokenCount(col("text")).as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("tok"))
+    val binned = tok
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("tok").desc, col("source"))) - 1)
+      .withColumn("off", col("pos") % nBins)
+      .withColumn("bin",
+        when((col("pos") / nBins).cast("long") % 2 === 0, col("off"))
+          .otherwise(lit(nBins - 1) - col("off")))
+    val out = binned.groupBy(col("bin").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_sources"), sum(col("tok")).as("tot_tokens"))
+    out.crossJoin(broadcast(out.agg(sum(col("tot_tokens")).as("__tot"))))
+      .select(col("bin"), col("n_sources"), col("tot_tokens"),
+        e6(col("tot_tokens").cast("double") * nBins /
+          col("__tot").cast("double")).as("load_e6"))
+      .ordered(col("bin"))
+  }
+
+  // q213 — Cramér's V association between order status and priority:
+  // the dense r×c expected grid (missing cells still contribute
+  // exp to chi2), V = sqrt(chi2 / (N·(min(r,c)−1))).
+  private val q213: Q = (s, dir) => {
+    val cells = t(s, dir, "orders")
+      .groupBy(col("o_orderstatus").as("st"),
+        col("o_orderpriority").as("pr"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val rowT = cells.groupBy(col("st")).agg(sum(col("n")).as("rn"))
+    val colT = cells.groupBy(col("pr")).agg(sum(col("n")).as("cn"))
+    // tot shares lineage with cells; checkpoint breaks the self-join
+    // ambiguity the crossJoin would otherwise trip over.
+    val tot = cells.agg(sum(col("n")).as("grand_n")).localCheckpoint(false)
+    val dense = rowT.crossJoin(broadcast(colT))
+      .join(cells, Seq("st", "pr"), "left").na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(tot))
+      .withColumn("exp", col("rn").cast("double") * col("cn").cast("double") /
+        col("grand_n").cast("double"))
+      .withColumn("contrib",
+        (col("n").cast("double") - col("exp")) *
+          (col("n").cast("double") - col("exp")) / col("exp"))
+    dense.agg(sum(col("contrib")).as("chi2"),
+        countDistinct(col("st")).as("r"), countDistinct(col("pr")).as("c"),
+        max(col("grand_n")).as("n_orders"))
+      .select(e6(col("chi2")).as("chi2_e6"),
+        e6(sqrt(col("chi2") / (col("n_orders").cast("double") *
+          (least(col("r"), col("c")) - 1L).cast("double")))).as("v_e6"),
+        col("r"), col("c"), col("n_orders"))
+      .ordered(col("r"))
+  }
+
+  // q214 — closed-form OLS per order priority: totalprice regressed
+  // on line count (slope / intercept / r² from explicit moment
+  // expressions shared verbatim with the oracle — the closed-form
+  // companion to q114's gradient-descent fit).
+  private val q214: Q = (s, dir) => {
+    val nl = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val j = t(s, dir, "orders")
+      .join(nl, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority").as("prio"), col("x"),
+        col("o_totalprice").as("y"))
+    j.groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"), avg(col("x")).as("mx"),
+        avg(col("y")).as("my"), avg(col("x") * col("x")).as("mxx"),
+        avg(col("y") * col("y")).as("myy"),
+        avg(col("x") * col("y")).as("mxy"))
+      .withColumn("slope",
+        (col("mxy") - col("mx") * col("my")) /
+          (col("mxx") - col("mx") * col("mx")))
+      .select(col("prio"), col("n"), e6(col("slope")).as("slope_e6"),
+        e6(col("my") - col("slope") * col("mx")).as("intercept_e6"),
+        e6((col("mxy") - col("mx") * col("my")) *
+          (col("mxy") - col("mx") * col("my")) /
+          ((col("mxx") - col("mx") * col("mx")) *
+            (col("myy") - col("my") * col("my")))).as("r2_e6"))
+      .ordered(col("prio"))
+  }
+
+  // q215 — Mann-Whitney U rank-sum test, click vs view values: the
+  // nonparametric companion to q03's Welch t — tie-corrected normal
+  // approximation, ranks from the distinct-value prefix sum.
+  private val q215: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "view"))
+    graft.operators.StatsOps.mannWhitneyU(ev, col("value"),
+        col("event_type") === "click")
+      .select(col("n1"), col("n2"), e6(col("u1")).as("u1_e6"),
+        e6(col("z")).as("z_e6"))
+      .ordered(col("n1"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q215_mann_whitney" -> q215,
+    "q214_ols_lines_price" -> q214,
+    "q213_cramers_v" -> q213,
+    "q212_snake_shards" -> q212,
+    "q211_cuped" -> q211,
+    "q210_exp_fit_ks" -> q210,
+    "q209_benford" -> q209,
+    "q208_cusum_shift" -> q208,
+    "q207_weighted_jaccard" -> q207,
+    "q206_retrieval_ndcg" -> q206,
+    "q205_snapshot_diff" -> q205,
     "q204_revenue_share" -> q204,
     "q203_monthly_growth" -> q203,
     "q202_cube_pricing" -> q202,
@@ -7258,7 +7476,300 @@ object NorthStar {
        |       ${sqlE6("rev / tot")} AS share_e6
        |FROM n, t ORDER BY nation""".stripMargin
 
+  /** q205 oracle: the same two derived snapshots, full-outer joined,
+    * fingerprints compared by md5 like the Spark side. */
+  private val q205Sql: String =
+    """WITH oldd AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0
+      |              THEN substring(text, 1, greatest(1, length(text) - 20))
+      |              ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0),
+      |newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+      |j AS (
+      |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |         CASE WHEN o.doc_id IS NULL THEN 'added'
+      |              WHEN n.doc_id IS NULL THEN 'removed'
+      |              WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id)
+      |SELECT status, COUNT(*) AS n_docs, MIN(doc_id) AS min_id,
+      |       MAX(doc_id) AS max_id
+      |FROM j GROUP BY status ORDER BY status""".stripMargin
+
+  /** q206 oracle: per-term BM25 ranking (q95's formula, unsummed) with
+    * row_number cutoffs and the shared ln(r+1)/ln(2) discount. */
+  private val q206Sql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |                  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |           FROM documents),
+       |l AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM d),
+       |s AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM l),
+       |tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+       |tf AS (SELECT doc_id, t, COUNT(*)::DOUBLE AS tf FROM tok
+       |       WHERE t IN ('data','query','window') GROUP BY doc_id, t),
+       |idf AS (SELECT t, ln(1.0 + ((SELECT n FROM s) - nd + 0.5)/(nd + 0.5)) AS idf
+       |        FROM (SELECT t, COUNT(*)::DOUBLE AS nd FROM tf GROUP BY t)),
+       |sc AS (SELECT tf.t, tf.doc_id, tf.tf,
+       |              idf.idf * tf.tf * 2.2 /
+       |                (tf.tf + 1.2 * (0.25 + 0.75 * l.dl /
+       |                                (SELECT avgdl FROM s))) AS score
+       |       FROM tf JOIN idf USING (t) JOIN l ON tf.doc_id = l.doc_id),
+       |r AS (SELECT t, tf,
+       |             row_number() OVER (PARTITION BY t
+       |                                ORDER BY score DESC, doc_id) AS rnk,
+       |             row_number() OVER (PARTITION BY t
+       |                                ORDER BY tf DESC, doc_id) AS grank
+       |      FROM sc),
+       |a AS (SELECT t AS term, COUNT(*) AS n_docs,
+       |             SUM(CASE WHEN rnk <= 10
+       |                      THEN tf / (ln(rnk + 1.0) / ln(2.0))
+       |                      ELSE 0.0 END) AS dcg,
+       |             SUM(CASE WHEN grank <= 10
+       |                      THEN tf / (ln(grank + 1.0) / ln(2.0))
+       |                      ELSE 0.0 END) AS idcg
+       |      FROM r GROUP BY t)
+       |SELECT term, n_docs, ${sqlE6("dcg")} AS dcg_e6,
+       |       ${sqlE6("idcg")} AS idcg_e6,
+       |       ${sqlE6("CASE WHEN idcg > 0.0 THEN dcg / idcg ELSE 0.0 END")} AS ndcg_e6
+       |FROM a ORDER BY term""".stripMargin
+
+  /** q207 oracle: inner join on shared terms for the min-sums, the
+    * max-sum via tot_a + tot_b - inter. */
+  private val q207Sql: String =
+    s"""WITH tok AS (SELECT source AS g,
+       |                    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+       |             FROM documents),
+       |c AS (SELECT g, t, COUNT(*) AS c FROM tok GROUP BY g, t),
+       |tt AS (SELECT g, SUM(c) AS tot FROM c GROUP BY g),
+       |sh AS (SELECT a.g AS src_a, b.g AS src_b,
+       |              SUM(LEAST(a.c, b.c)) AS inter
+       |       FROM c a JOIN c b ON a.t = b.t AND a.g < b.g
+       |       GROUP BY 1, 2)
+       |SELECT x.g AS src_a, y.g AS src_b,
+       |       COALESCE(sh.inter, 0) AS inter,
+       |       x.tot AS tot_a, y.tot AS tot_b,
+       |       ${sqlE6("COALESCE(sh.inter, 0)::DOUBLE / (x.tot + y.tot - COALESCE(sh.inter, 0))::DOUBLE")} AS wjacc_e6
+       |FROM tt x JOIN tt y ON x.g < y.g
+       |LEFT JOIN sh ON sh.src_a = x.g AND sh.src_b = y.g
+       |ORDER BY src_a, src_b""".stripMargin
+
+  /** q208 oracle: the q168 dense spine + the exact-integer scaled
+    * CUSUM argmax (n·prefix − i·S). */
+  private val q208Sql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+       |         COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM hourly),
+       |spine AS (SELECT unnest(range(lo, hi + 1)) AS h FROM b),
+       |ty AS (SELECT DISTINCT event_type FROM hourly),
+       |dense AS (
+       |  SELECT ty.event_type, spine.h, COALESCE(hourly.n, 0) AS n
+       |  FROM ty CROSS JOIN spine
+       |  LEFT JOIN hourly ON hourly.event_type = ty.event_type
+       |    AND hourly.h = spine.h),
+       |m AS (SELECT event_type, SUM(n) AS s, COUNT(*) AS np
+       |      FROM dense GROUP BY 1),
+       |cu AS (SELECT d.event_type, d.h, m.np,
+       |              SUM(d.n) OVER w * m.np -
+       |                ROW_NUMBER() OVER w * m.s AS scaled
+       |       FROM dense d JOIN m ON d.event_type = m.event_type
+       |       WINDOW w AS (PARTITION BY d.event_type ORDER BY d.h
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING
+       |                    AND CURRENT ROW)),
+       |r AS (SELECT event_type, h, scaled, np,
+       |             ROW_NUMBER() OVER (PARTITION BY event_type
+       |                                ORDER BY ABS(scaled) DESC, h) AS rn
+       |      FROM cu)
+       |SELECT event_type, h AS change_h,
+       |       ${sqlE6("scaled::DOUBLE / np::DOUBLE")} AS cusum_e6,
+       |       CAST(np AS BIGINT) AS n_hours
+       |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
+
+  /** q209 oracle: first digit via floor(v / 10^floor(log10 v)) with
+    * the same 0/10 -> 1 power-of-ten guard as the Spark side. */
+  private val q209Sql: String =
+    s"""WITH v AS (SELECT o_totalprice::DOUBLE AS v FROM orders
+       |           WHERE o_totalprice >= 1.0),
+       |d0 AS (SELECT CAST(FLOOR(v / POWER(10.0, FLOOR(LOG10(v)))) AS BIGINT) AS raw
+       |       FROM v),
+       |dd AS (SELECT CASE WHEN raw = 0 OR raw = 10 THEN 1 ELSE raw END AS digit
+       |       FROM d0),
+       |pd AS (SELECT digit, COUNT(*) AS n_obs FROM dd GROUP BY digit),
+       |tt AS (SELECT SUM(n_obs) AS n FROM pd)
+       |SELECT digit, n_obs,
+       |       ${sqlE6("n_obs::DOUBLE / n")} AS obs_share_e6,
+       |       ${sqlE6("LOG10(1.0 + 1.0 / digit::DOUBLE)")} AS exp_share_e6,
+       |       ${sqlE6("(n_obs::DOUBLE - LOG10(1.0 + 1.0 / digit::DOUBLE) * n::DOUBLE) * (n_obs::DOUBLE - LOG10(1.0 + 1.0 / digit::DOUBLE) * n::DOUBLE) / (LOG10(1.0 + 1.0 / digit::DOUBLE) * n::DOUBLE)")} AS chi2_e6
+       |FROM pd, tt ORDER BY digit""".stripMargin
+
+  /** q210 oracle: integer nanosecond gap sums (lambda bit-exact), the
+    * fitted CDF and two-sided KS rank bounds. */
+  private val q210Sql: String =
+    s"""WITH e AS (SELECT event_type, epoch_us(ts) * 1000 AS ts_ns, event_id
+       |           FROM events),
+       |g AS (SELECT event_type,
+       |             ts_ns - LAG(ts_ns) OVER (PARTITION BY event_type
+       |                                      ORDER BY ts_ns, event_id) AS gap
+       |      FROM e),
+       |gg AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+       |st AS (SELECT event_type, COUNT(*) AS n, SUM(gap) AS s
+       |       FROM gg GROUP BY 1),
+       |r AS (SELECT gg.event_type, gg.gap, st.n, st.s,
+       |             st.n::DOUBLE * 1e9 / st.s::DOUBLE AS lam,
+       |             ROW_NUMBER() OVER (PARTITION BY gg.event_type
+       |                                ORDER BY gg.gap) AS i
+       |      FROM gg JOIN st USING (event_type) WHERE st.s > 0),
+       |k AS (SELECT event_type, n, s,
+       |             GREATEST(
+       |               i::DOUBLE / n -
+       |                 (1.0 - EXP(-lam * gap::DOUBLE / 1e9)),
+       |               (1.0 - EXP(-lam * gap::DOUBLE / 1e9)) -
+       |                 (i - 1)::DOUBLE / n) AS d
+       |      FROM r)
+       |SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+       |       ${sqlE6("s::DOUBLE / n::DOUBLE / 1e9")} AS mean_gap_s_e6,
+       |       ${sqlE6("n::DOUBLE * 1e9 / s::DOUBLE")} AS rate_hz_e6,
+       |       ${sqlE6("MAX(d)")} AS ks_e6
+       |FROM k GROUP BY event_type, n, s ORDER BY event_type""".stripMargin
+
+  /** q211 oracle: integer time midpoint, pooled theta from explicit
+    * avg-of-products moments — the Spark expression shape verbatim. */
+  private val q211Sql: String =
+    s"""WITH b AS (SELECT (MIN(epoch_us(ts) * 1000) +
+       |                   MAX(epoch_us(ts) * 1000)) // 2 AS mid
+       |           FROM events),
+       |u AS (SELECT user_id % 2 AS arm, user_id,
+       |             SUM(CASE WHEN epoch_us(ts) * 1000 < b.mid
+       |                      THEN value ELSE 0.0 END) AS pre,
+       |             SUM(CASE WHEN epoch_us(ts) * 1000 >= b.mid
+       |                      THEN value ELSE 0.0 END) AS post
+       |      FROM events, b GROUP BY 1, 2),
+       |p AS (SELECT AVG(pre) AS mpre, AVG(post) AS mpost,
+       |             AVG(pre * pre) AS mpre2,
+       |             AVG(pre * post) AS mprepost FROM u),
+       |th AS (SELECT mpre,
+       |              (mprepost - mpre * mpost) /
+       |                (mpre2 - mpre * mpre) AS theta FROM p),
+       |a AS (SELECT u.arm, u.post,
+       |             u.post - th.theta * (u.pre - th.mpre) AS adj
+       |      FROM u, th),
+       |f AS (SELECT arm, COUNT(*) AS n_units, AVG(post) AS mean_post,
+       |             AVG(post * post) - AVG(post) * AVG(post) AS var_post,
+       |             AVG(adj * adj) - AVG(adj) * AVG(adj) AS var_adj
+       |      FROM a GROUP BY arm)
+       |SELECT arm, n_units, ${sqlE6("mean_post")} AS mean_post_e6,
+       |       ${sqlE6("var_post")} AS var_post_e6,
+       |       ${sqlE6("var_adj")} AS var_adj_e6,
+       |       ${sqlE6("CASE WHEN var_post > 0.0 THEN 1.0 - var_adj / var_post ELSE 0.0 END")} AS var_red_e6
+       |FROM f ORDER BY arm""".stripMargin
+
+  /** q212 oracle: rank desc with source tiebreak, boustrophedon bin
+    * id, 1-row total bracket. */
+  private val q212Sql: String =
+    s"""WITH tok AS (
+       |  SELECT source,
+       |         SUM(len(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS tok
+       |  FROM documents GROUP BY source),
+       |r AS (SELECT source, tok,
+       |             ROW_NUMBER() OVER (ORDER BY tok DESC, source) - 1 AS pos
+       |      FROM tok),
+       |bn AS (SELECT source, tok,
+       |              CASE WHEN (pos // 4) % 2 = 0 THEN pos % 4
+       |                   ELSE 3 - pos % 4 END AS bin
+       |       FROM r),
+       |o AS (SELECT bin, COUNT(*) AS n_sources, SUM(tok) AS tot_tokens
+       |      FROM bn GROUP BY bin),
+       |t AS (SELECT SUM(tot_tokens) AS tot FROM o)
+       |SELECT CAST(bin AS BIGINT) AS bin, n_sources,
+       |       CAST(tot_tokens AS BIGINT) AS tot_tokens,
+       |       ${sqlE6("tot_tokens::DOUBLE * 4 / tot::DOUBLE")} AS load_e6
+       |FROM o, t ORDER BY bin""".stripMargin
+
+  /** q213 oracle: dense r×c grid via row/col total cross join, chi2
+    * over every cell, V = sqrt(chi2/(N·(min(r,c)−1))). */
+  private val q213Sql: String =
+    s"""WITH cells AS (SELECT o_orderstatus AS st, o_orderpriority AS pr,
+       |                      COUNT(*) AS n
+       |               FROM orders GROUP BY 1, 2),
+       |rt AS (SELECT st, SUM(n) AS rn FROM cells GROUP BY st),
+       |ct AS (SELECT pr, SUM(n) AS cn FROM cells GROUP BY pr),
+       |tt AS (SELECT SUM(n) AS grand_n FROM cells),
+       |dense AS (
+       |  SELECT rt.st, ct.pr, rt.rn, ct.cn,
+       |         COALESCE(cells.n, 0) AS n, tt.grand_n
+       |  FROM rt CROSS JOIN ct
+       |  LEFT JOIN cells ON cells.st = rt.st AND cells.pr = ct.pr
+       |  CROSS JOIN tt),
+       |co AS (SELECT n::DOUBLE AS nd,
+       |              rn::DOUBLE * cn::DOUBLE / grand_n::DOUBLE AS exp,
+       |              st, pr, grand_n
+       |       FROM dense),
+       |ag AS (SELECT SUM((nd - exp) * (nd - exp) / exp) AS chi2,
+       |              COUNT(DISTINCT st) AS r, COUNT(DISTINCT pr) AS c,
+       |              MAX(grand_n) AS n_orders
+       |       FROM co)
+       |SELECT ${sqlE6("chi2")} AS chi2_e6,
+       |       ${sqlE6("SQRT(chi2 / (n_orders::DOUBLE * (LEAST(r, c) - 1)::DOUBLE))")} AS v_e6,
+       |       CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+       |       CAST(n_orders AS BIGINT) AS n_orders
+       |FROM ag ORDER BY r""".stripMargin
+
+  /** q214 oracle: explicit moment expressions, slope in a CTE so the
+    * intercept references the same double. */
+  private val q214Sql: String =
+    s"""WITH nl AS (SELECT l_orderkey, COUNT(*)::DOUBLE AS x
+       |            FROM lineitem GROUP BY l_orderkey),
+       |j AS (SELECT o_orderpriority AS prio, nl.x, o_totalprice AS y
+       |      FROM orders JOIN nl ON o_orderkey = nl.l_orderkey),
+       |m AS (SELECT prio, COUNT(*) AS n, AVG(x) AS mx, AVG(y) AS my,
+       |             AVG(x * x) AS mxx, AVG(y * y) AS myy,
+       |             AVG(x * y) AS mxy
+       |      FROM j GROUP BY prio),
+       |sl AS (SELECT *, (mxy - mx * my) / (mxx - mx * mx) AS slope
+       |       FROM m)
+       |SELECT prio, n, ${sqlE6("slope")} AS slope_e6,
+       |       ${sqlE6("my - slope * mx")} AS intercept_e6,
+       |       ${sqlE6("(mxy - mx * my) * (mxy - mx * my) / ((mxx - mx * mx) * (myy - my * my))")} AS r2_e6
+       |FROM sl ORDER BY prio""".stripMargin
+
+  /** q215 oracle: distinct-value tie groups, prefix-sum average
+    * ranks, tie-corrected sigma — the Spark expressions verbatim. */
+  private val q215Sql: String =
+    s"""WITH s AS (SELECT value AS v,
+       |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+       |           FROM events WHERE event_type IN ('click', 'view')),
+       |g AS (SELECT v, COUNT(*) AS t, SUM(a) AS ta FROM s GROUP BY v),
+       |c AS (SELECT t, ta,
+       |             COALESCE(SUM(t) OVER (ORDER BY v
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |               0) AS bef
+       |      FROM g),
+       |ag AS (SELECT SUM(t) AS n, SUM(ta) AS n1,
+       |              SUM(ta::DOUBLE * (bef::DOUBLE + (t + 1)::DOUBLE / 2.0)) AS r1,
+       |              SUM(t * t * t - t) AS tie_t
+       |       FROM c),
+       |f AS (SELECT n, n1, n - n1 AS n2, r1, tie_t,
+       |             r1 - (n1 * (n1 + 1))::DOUBLE / 2.0 AS u1
+       |      FROM ag)
+       |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       |       ${sqlE6("u1")} AS u1_e6,
+       |       ${sqlE6("(u1 - (n1 * n2)::DOUBLE / 2.0) / SQRT((n1 * n2)::DOUBLE / 12.0 * ((n + 1)::DOUBLE - tie_t::DOUBLE / (n * (n - 1))::DOUBLE))")} AS z_e6
+       |FROM f ORDER BY n1""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q215_mann_whitney" -> q215Sql,
+    "q214_ols_lines_price" -> q214Sql,
+    "q213_cramers_v" -> q213Sql,
+    "q212_snake_shards" -> q212Sql,
+    "q211_cuped" -> q211Sql,
+    "q210_exp_fit_ks" -> q210Sql,
+    "q209_benford" -> q209Sql,
+    "q208_cusum_shift" -> q208Sql,
+    "q207_weighted_jaccard" -> q207Sql,
+    "q206_retrieval_ndcg" -> q206Sql,
+    "q205_snapshot_diff" -> q205Sql,
     "q204_revenue_share" -> q204Sql,
     "q203_monthly_growth" -> q203Sql,
     "q202_cube_pricing" -> q202Sql,

@@ -362,7 +362,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
                           // deliberate q28 broadcast shape)
     "q200_multi_touch",   // 1-row conv-total x 1-row touched-total
                           // bracket for the "(none)" remainder row
-    "q204_revenue_share") // 1-row grand-total bracket vs nation rows
+    "q204_revenue_share",  // 1-row grand-total bracket vs nation rows
+    "q207_weighted_jaccard", // group-count-sized totals inequality
+                             // self-join (broadcast pair spine)
+    "q208_cusum_shift",   // hour-spine broadcast vs type list (the
+                          // q168 dense-grid shape)
+    "q209_benford",       // 1-row observed-total bracket vs 9 digits
+    "q211_cuped",         // 1-row midpoint + 1-row pooled-theta
+                          // brackets vs per-unit rows
+    "q212_snake_shards",  // 1-row token grand-total bracket vs bins
+    "q213_cramers_v")     // r-row x c-row dense-grid cross (r,c <= 5)
+                          // + 1-row grand-N bracket
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
