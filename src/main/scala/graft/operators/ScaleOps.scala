@@ -270,4 +270,32 @@ object ScaleOps {
           .when(col("__old_fp") =!= col("__new_fp"), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
   }
+
+  /** Small-file compaction / shard-packing planner: within each
+    * partition key, items are packed in a deterministic order into
+    * sequential target-size shards — shard id = floor(running size
+    * BEFORE this item / target), the streaming first-fit plan a
+    * compactor can execute file-by-file. One window per partition key
+    * (prefix sum), one aggregate; no global sort — each source's plan
+    * is independent, so at 100 TB the planning itself partitions.
+    *
+    * Output per (partCol, shard): partCol, shard, n_items, tot_size,
+    * first item, last item (by orderCol), fill = tot_size/target. */
+  def compactionPlan(df: DataFrame, partCol: String, orderCol: String,
+                     sizeCol: Column, targetSize: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(partCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(partCol), col(orderCol),
+        sizeCol.cast("long").as("__sz"))
+      .withColumn("shard",
+        (coalesce(sum(col("__sz")).over(w), lit(0L)) /
+          lit(targetSize)).cast("long"))
+      .groupBy(col(partCol), col("shard"))
+      .agg(count(lit(1)).as("n_items"), sum(col("__sz")).as("tot_size"),
+        min(col(orderCol)).as("first_item"),
+        max(col(orderCol)).as("last_item"))
+      .withColumn("fill",
+        col("tot_size").cast("double") / lit(targetSize.toDouble))
+  }
 }

@@ -873,6 +873,201 @@ object StatsOps {
         when(col("var_post") > 0.0,
           lit(1.0) - col("var_adj") / col("var_post")).otherwise(0.0))
   }
+
+  /** Kaplan-Meier product-limit survival estimator from per-unit
+    * (duration, observed) rows: S(t) = prod over event times t_i <= t
+    * of (1 - d_i / n_i) with n_i = units still at risk (duration >=
+    * t_i). The product is exp of a prefix sum of ln terms over the
+    * DISTINCT duration table — one hash aggregate to collapse units,
+    * one bounded ordered prefix sum (durations, not units — the
+    * q49-style bounded-prefix-sum convention), no per-unit window. A
+    * time where d = n_risk (everyone still at risk fails — only
+    * reachable at the LAST event time, since any later row would need
+    * n_risk = 0 yet contain units) is emitted as surv = 0 exactly
+    * rather than via ln(0), whose value differs across engines
+    * (Spark: NULL, DuckDB: -Inf).
+    *
+    * Output per event time (d > 0 only): duration, n_risk, d_events,
+    * c_censored, surv (double — pin at the call site). */
+  def kaplanMeier(perUnit: DataFrame, durCol: String,
+                  eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = perUnit
+      .select(col(durCol).cast("long").as("__d"),
+        when(col(eventCol).cast("boolean"), 1L).otherwise(0L).as("__e"))
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).as("__n"), sum(col("__e")).as("d_events"))
+    val wBefore = Window.orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wUpTo = Window.orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    g.crossJoin(broadcast(g.agg(sum(col("__n")).as("__tot"))))
+      .withColumn("n_risk",
+        col("__tot") - coalesce(sum(col("__n")).over(wBefore), lit(0L)))
+      .withColumn("surv",
+        when(col("d_events") === col("n_risk"), lit(0.0))
+          .otherwise(exp(sum(
+            when(col("d_events") > 0L && col("d_events") < col("n_risk"),
+              log(lit(1.0) - col("d_events").cast("double") /
+                col("n_risk").cast("double"))).otherwise(lit(0.0)))
+            .over(wUpTo))))
+      .filter(col("d_events") > 0L)
+      .select(col("__d").as("duration"), col("n_risk"), col("d_events"),
+        (col("__n") - col("d_events")).as("c_censored"), col("surv"))
+  }
+
+  /** Market-basket association rules over (basket, item) pairs:
+    * support / confidence / lift for every unordered item pair with at
+    * least `minPairs` co-occurrences. Items dedup within basket first
+    * (one hash aggregate), then the pair table comes from an equi-join
+    * of the distinct-item table with itself ON THE BASKET KEY with
+    * a < b — co-partitioned on basket, output bounded by
+    * (items-per-basket choose 2), never an all-pairs cross of the item
+    * vocabulary. Item supports broadcast back (vocabulary-sized).
+    *
+    * Output: item_a, item_b, pair_n, n_a, n_b, n_baskets, support,
+    * confidence (P(b|a)), lift (doubles — pin at the call site). */
+  def pairLift(df: DataFrame, basketCol: String, itemCol: String,
+               minPairs: Long = 1L): DataFrame = {
+    val bi = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val nBaskets = bi.agg(countDistinct(col("__b")).as("n_baskets"))
+    val itemN = bi.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    val pairs = bi.join(
+        bi.select(col("__b"), col("__i").as("__j")), Seq("__b"))
+      .filter(col("__i") < col("__j"))
+      .groupBy(col("__i").as("item_a"), col("__j").as("item_b"))
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minPairs)
+    pairs
+      .join(broadcast(itemN.select(col("__i").as("item_a"),
+        col("__n").as("n_a"))), Seq("item_a"))
+      .join(broadcast(itemN.select(col("__i").as("item_b"),
+        col("__n").as("n_b"))), Seq("item_b"))
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("support",
+        col("pair_n").cast("double") / col("n_baskets").cast("double"))
+      .withColumn("confidence",
+        col("pair_n").cast("double") / col("n_a").cast("double"))
+      .withColumn("lift",
+        col("pair_n").cast("double") * col("n_baskets").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+      .select(col("item_a"), col("item_b"), col("pair_n"), col("n_a"),
+        col("n_b"), col("n_baskets"), col("support"), col("confidence"),
+        col("lift"))
+  }
+
+  /** Sample autocorrelation of an ordered series at lags 1..maxLag:
+    * acf_k = sum_t (x_t - m)(x_{t+k} - m) / sum_t (x_t - m)^2 with the
+    * full-series mean and denominator (the standard biased estimator).
+    * Lagged pairs come from a self-equi-join on index difference (the
+    * series side is an already-aggregated bounded table — e.g. daily
+    * counts — so the join broadcasts; no per-row window, no
+    * unpartitioned sort of the underlying data).
+    *
+    * Input: one row per series point (orderCol dense-unique, valueCol
+    * numeric). Output per lag 1..maxLag: lag, n_pairs, acf (double —
+    * pin at the call site). */
+  def acfByLag(series: DataFrame, orderCol: String, valueCol: String,
+               maxLag: Int): DataFrame = {
+    val s = series.select(col(orderCol).cast("long").as("__t"),
+      col(valueCol).cast("double").as("__x"))
+    val m = s.agg(avg(col("__x")).as("__m"))
+    val withM = s.crossJoin(broadcast(m))
+    val denom = withM
+      .agg(sum((col("__x") - col("__m")) * (col("__x") - col("__m")))
+        .as("__den"))
+    val b = withM.select(col("__t").as("__t2"), col("__x").as("__x2"))
+    withM.join(broadcast(b),
+        col("__t2") - col("__t") >= 1L &&
+          col("__t2") - col("__t") <= lit(maxLag.toLong))
+      .groupBy((col("__t2") - col("__t")).as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("__x") - col("__m")) * (col("__x2") - col("__m")))
+          .as("__num"))
+      .crossJoin(broadcast(denom))
+      .select(col("lag"), col("n_pairs"),
+        (col("__num") / col("__den")).as("acf"))
+  }
+
+  /** Stratified inverse-propensity-weighted treatment-effect estimate:
+    * propensity e_s = treated share within each stratum (estimated from
+    * the data — the classic plug-in), then Hajek-normalized weighted
+    * means mean_t = sum(t·y/e)/sum(t/e) and mean_c =
+    * sum((1-t)·y/(1-e))/sum((1-t)/(1-e)), ate = mean_t - mean_c.
+    * Strata with a degenerate arm (e = 0 or 1) are excluded — their
+    * counterfactual weight is undefined; n_excluded reports them.
+    * Shape: one stratum aggregate (broadcast back) + one global
+    * aggregate — no row-level window.
+    *
+    * Output (one row): n_units, n_strata, n_excluded, mean_t, mean_c,
+    * ate (doubles — pin at the call site). */
+  def ipwEstimate(df: DataFrame, treatCol: Column, stratumCol: Column,
+                  outcomeCol: Column): DataFrame = {
+    val u = df.select(when(treatCol, 1.0).otherwise(0.0).as("__t"),
+      stratumCol.as("__s"), outcomeCol.cast("double").as("__y"))
+    val strata = u.groupBy(col("__s"))
+      .agg(avg(col("__t")).as("__e"), count(lit(1)).as("__sn"))
+    u.join(broadcast(strata), Seq("__s"))
+      .withColumn("__ok", col("__e") > 0.0 && col("__e") < 1.0)
+      .agg(count(lit(1)).as("n_units"),
+        countDistinct(col("__s")).as("n_strata"),
+        countDistinct(when(!col("__ok"), col("__s"))).as("n_excluded"),
+        sum(when(col("__ok"), col("__t") * col("__y") / col("__e"))
+          .otherwise(0.0)).as("__ty"),
+        sum(when(col("__ok"), col("__t") / col("__e")).otherwise(0.0))
+          .as("__tw"),
+        sum(when(col("__ok"),
+          (lit(1.0) - col("__t")) * col("__y") / (lit(1.0) - col("__e")))
+          .otherwise(0.0)).as("__cy"),
+        sum(when(col("__ok"),
+          (lit(1.0) - col("__t")) / (lit(1.0) - col("__e")))
+          .otherwise(0.0)).as("__cw"))
+      .select(col("n_units"), col("n_strata"), col("n_excluded"),
+        (col("__ty") / col("__tw")).as("mean_t"),
+        (col("__cy") / col("__cw")).as("mean_c"),
+        (col("__ty") / col("__tw") - col("__cy") / col("__cw")).as("ate"))
+  }
+
+  /** Holt double-exponential smoothing (level + linear trend) over an
+    * ordered series, initialized (l, b) = (x_1, x_1 - x_0) at the
+    * second point, then for each later x:
+    * l' = a·x + (1-a)(l + b); b' = g(l' - l) + (1-g)b.
+    * The recursion is inherently sequential, so the bounded series
+    * (e.g. daily totals — NOT raw rows) is collapsed to ONE array via
+    * sort_array(collect_list(struct(t, x))) and folded once with the
+    * aggregate HOF — the array is the only state, evaluated once (a
+    * collection argument, per the CLAUDE.md lambda-body rule). The
+    * h-step forecast is l + h·b.
+    *
+    * Output per horizon 1..hMax: h, level, trend, forecast (doubles —
+    * pin at the call site; level/trend are the final smoothed state,
+    * constant across rows). */
+  def holtForecast(series: DataFrame, orderCol: String, valueCol: String,
+                   alpha: Double, gamma: Double, hMax: Int): DataFrame = {
+    val arr = series
+      .agg(sort_array(collect_list(struct(
+        col(orderCol).cast("long").as("t"),
+        col(valueCol).cast("double").as("x")))).as("__s"))
+      .select(transform(col("__s"), e => e.getField("x")).as("__xs"))
+    val folded = arr.select(aggregate(
+      slice(col("__xs"), lit(3), greatest(size(col("__xs")) - 2, lit(0))),
+      struct(element_at(col("__xs"), 2).as("l"),
+        (element_at(col("__xs"), 2) - element_at(col("__xs"), 1)).as("b")),
+      (st, x) => {
+        val lNew = lit(alpha) * x +
+          lit(1.0 - alpha) * (st.getField("l") + st.getField("b"))
+        struct(lNew.as("l"),
+          (lit(gamma) * (lNew - st.getField("l")) +
+            lit(1.0 - gamma) * st.getField("b")).as("b"))
+      }).as("__st"))
+    folded.select(col("__st").getField("l").as("l"),
+        col("__st").getField("b").as("b"))
+      .crossJoin(
+        series.sparkSession.range(1, hMax + 1).select(col("id").as("h")))
+      .select(col("h"), col("l").as("level"), col("b").as("trend"),
+        (col("l") + col("h").cast("double") * col("b")).as("forecast"))
+  }
 }
 
 /** Pure-Scala special functions for the t-distribution CDF — needed for

@@ -2822,7 +2822,164 @@ object NorthStar {
       .ordered(col("n1"))
   }
 
+  private val DayNs = 86400000000000L
+
+  // q216 — market-basket association rules: brand pairs co-ordered in
+  // the same order, support / confidence / lift with a min-pair floor.
+  // Pair table from a basket-key equi-join (bounded by brands-per-
+  // order choose 2), never an all-pairs brand cross.
+  private val q216: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val pt = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val bi = li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+    graft.operators.StatsOps.pairLift(bi, "basket", "item", minPairs = 5L)
+      .select(col("item_a"), col("item_b"), col("pair_n"), col("n_a"),
+        col("n_b"), col("n_baskets"),
+        e6(col("support")).as("support_e6"),
+        e6(col("confidence")).as("conf_e6"),
+        e6(col("lift")).as("lift_e6"))
+      .ordered(col("item_a"), col("item_b"))
+  }
+
+  // q217 — Kaplan-Meier survival: time (days) from a user's first
+  // event to their first purchase, censored at their last event.
+  // Integer day durations, distinct-duration prefix sums only.
+  private val q217: Q = (s, dir) => {
+    val per = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(min(col("ts_ns")).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts_ns"))).as("p"),
+        max(col("ts_ns")).as("last_ts"))
+      .select(expr(s"(coalesce(p, last_ts) - t0) div $DayNs").as("dur"),
+        col("p").isNotNull.as("ev"))
+    graft.operators.StatsOps.kaplanMeier(per, "dur", "ev")
+      .select(col("duration"), col("n_risk"), col("d_events"),
+        col("c_censored"), e6(col("surv")).as("surv_e6"))
+      .ordered(col("duration"))
+  }
+
+  // q218 — small-file compaction plan: docs packed per source into
+  // sequential ~2000-token shards by running-size-before (streaming
+  // first-fit) — the plan a compactor executes file-by-file.
+  private val q218: Q = (s, dir) => {
+    ScaleOps.compactionPlan(t(s, dir, "documents"), "source", "doc_id",
+        TextOps.tokenCount(col("text")), targetSize = 2000L)
+      .select(col("source"), col("shard"), col("n_items"), col("tot_size"),
+        col("first_item"), col("last_item"), e6(col("fill")).as("fill_e6"))
+      .ordered(col("source"), col("shard"))
+  }
+
+  // q219 — autocorrelation of the daily event-count series at lags
+  // 1..5 (full-series mean/denominator); the lagged pairs come from a
+  // broadcast self-join of the bounded 30-row day table.
+  private val q219: Q = (s, dir) => {
+    val series = t(s, dir, "events")
+      .groupBy(expr(s"ts_ns div $DayNs").as("day"))
+      .agg(count(lit(1)).as("n"))
+    graft.operators.StatsOps.acfByLag(series, "day", "n", maxLag = 5)
+      .select(col("lag"), col("n_pairs"), e6(col("acf")).as("acf_e6"))
+      .ordered(col("lag"))
+  }
+
+  // q220 — day-of-week seasonality index: per-weekday mean daily
+  // count over the overall mean. Weekday = epoch-day mod 7 (pure
+  // integer arithmetic — no engine calendar/locale dependence).
+  private val q220: Q = (s, dir) => {
+    val daily = t(s, dir, "events")
+      .groupBy(expr(s"ts_ns div $DayNs").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val overall = daily.agg(avg(col("n")).as("oa"))
+    daily.groupBy((col("day") % 7L).as("dow"))
+      .agg(count(lit(1)).as("n_days"), avg(col("n")).as("avg_n"))
+      .crossJoin(broadcast(overall))
+      .select(col("dow"), col("n_days"), e6(col("avg_n")).as("avg_n_e6"),
+        e6(col("avg_n") / col("oa")).as("idx_e6"))
+      .ordered(col("dow"))
+  }
+
+  // q221 — stratified IPW treatment-effect estimate: treatment =
+  // odd user_id, strata = event_type, outcome = value; Hajek-
+  // normalized weighted means (the causal companion to q211's CUPED).
+  private val q221: Q = (s, dir) => {
+    graft.operators.StatsOps.ipwEstimate(t(s, dir, "events"),
+        col("user_id") % 2L === 1L, col("event_type"), col("value"))
+      .select(col("n_units"), col("n_strata"), col("n_excluded"),
+        e6(col("mean_t")).as("mean_t_e6"),
+        e6(col("mean_c")).as("mean_c_e6"),
+        e6(col("ate")).as("ate_e6"))
+      .ordered(col("n_units"))
+  }
+
+  // q222 — Holt linear-trend forecast of daily event counts, 7-day
+  // horizon. alpha = 0.5, gamma = 0.25 — both exactly representable,
+  // so 1-alpha / 1-gamma are bit-identical literals on both engines
+  // and the sequential fold (array aggregate here, recursive CTE in
+  // the oracle) produces bit-equal doubles.
+  private val q222: Q = (s, dir) => {
+    val daily = t(s, dir, "events")
+      .groupBy(expr(s"ts_ns div $DayNs").as("day"))
+      .agg(count(lit(1)).as("n"))
+    graft.operators.StatsOps.holtForecast(daily, "day", "n",
+        alpha = 0.5, gamma = 0.25, hMax = 7)
+      .select(col("h"), e6(col("level")).as("level_e6"),
+        e6(col("trend")).as("trend_e6"),
+        e6(col("forecast")).as("forecast_e6"))
+      .ordered(col("h"))
+  }
+
+  // q223 — shuffle-skew advisor: top-20 heaviest lineitem part keys
+  // with task share at 32 partitions and the salt factor a salted
+  // repartition would need (ScaleOps.saltedJoin's parameter) — the
+  // diagnosis half of the salting machinery, as data.
+  private val q223: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val counts = t(s, dir, "lineitem").groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("tot"))
+    counts
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("l_partkey"))).cast("long"))
+      .filter(col("rank") <= 20L)
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("l_partkey"), col("n"),
+        e6(col("n").cast("double") / col("tot").cast("double"))
+          .as("share_e6"),
+        greatest(lit(1L), ceil(col("n").cast("double") * lit(32.0) /
+          col("tot").cast("double"))).as("salt"))
+      .ordered(col("rank"))
+  }
+
+  // q224 — sampled join-cardinality estimation (the optimizer's
+  // row-count planning primitive, as a query): |orders ⋈ lineitem|
+  // estimated from a 10% md5-deterministic order sample, vs exact.
+  private val q224: Q = (s, dir) => {
+    val ord = t(s, dir, "orders").select(col("o_orderkey"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"))
+    val samp = ord.filter(graft.operators.CurationOps.hashKeep(
+      col("o_orderkey"), rate = 0.1, salt = "cardest"))
+    val nSamp = samp.agg(count(lit(1)).as("n_sample"))
+    val est = li.join(samp, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("__joined"))
+    val exact = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("exact_rows"))
+    nSamp.crossJoin(est).crossJoin(exact)
+      .select(col("n_sample"), (col("__joined") * 10L).as("est_rows"),
+        col("exact_rows"),
+        e6((col("__joined") * 10L - col("exact_rows")).cast("double") /
+          col("exact_rows").cast("double")).as("rel_err_e6"))
+      .ordered(col("n_sample"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q224_card_est" -> q224,
+    "q223_skew_advisor" -> q223,
+    "q222_holt_forecast" -> q222,
+    "q221_ipw_estimate" -> q221,
+    "q220_dow_seasonality" -> q220,
+    "q219_daily_acf" -> q219,
+    "q218_compaction_plan" -> q218,
+    "q217_kaplan_meier" -> q217,
+    "q216_basket_lift" -> q216,
     "q215_mann_whitney" -> q215,
     "q214_ols_lines_price" -> q214,
     "q213_cramers_v" -> q213,
@@ -7758,7 +7915,208 @@ object NorthStar {
        |       ${sqlE6("(u1 - (n1 * n2)::DOUBLE / 2.0) / SQRT((n1 * n2)::DOUBLE / 12.0 * ((n + 1)::DOUBLE - tie_t::DOUBLE / (n * (n - 1))::DOUBLE))")} AS z_e6
        |FROM f ORDER BY n1""".stripMargin
 
+  /** q216 oracle: distinct (order, brand), basket-key self-join with
+    * a < b, supports joined back. */
+  private val q216Sql: String =
+    s"""WITH bi AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+       |            FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |nb AS (SELECT COUNT(DISTINCT b) AS n_baskets FROM bi),
+       |itn AS (SELECT i, COUNT(*) AS n FROM bi GROUP BY i),
+       |pr AS (SELECT a.i AS item_a, c.i AS item_b, COUNT(*) AS pair_n
+       |       FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+       |SELECT item_a, item_b, pair_n, na.n AS n_a, nbb.n AS n_b,
+       |       nb.n_baskets,
+       |       ${sqlE6("pair_n::DOUBLE / nb.n_baskets::DOUBLE")} AS support_e6,
+       |       ${sqlE6("pair_n::DOUBLE / na.n::DOUBLE")} AS conf_e6,
+       |       ${sqlE6("pair_n::DOUBLE * nb.n_baskets::DOUBLE / (na.n::DOUBLE * nbb.n::DOUBLE)")} AS lift_e6
+       |FROM pr JOIN itn na ON na.i = item_a
+       |        JOIN itn nbb ON nbb.i = item_b
+       |        CROSS JOIN nb
+       |ORDER BY item_a, item_b""".stripMargin
+
+  /** q217 oracle: per-user durations, distinct-duration prefix sums,
+    * surv = exp(sum ln(1 - d/n)) with the d = n_risk terminal row
+    * emitted as exactly 0 (ln(0) differs across engines). */
+  private val q217Sql: String =
+    s"""WITH per AS (SELECT user_id, MIN(epoch_us(ts) * 1000) AS t0,
+       |                    MIN(CASE WHEN event_type = 'purchase'
+       |                             THEN epoch_us(ts) * 1000 END) AS p,
+       |                    MAX(epoch_us(ts) * 1000) AS last_ts
+       |             FROM events GROUP BY user_id),
+       |d AS (SELECT (COALESCE(p, last_ts) - t0) // 86400000000000 AS dur,
+       |             CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS e
+       |      FROM per),
+       |g AS (SELECT dur, COUNT(*) AS n, SUM(e) AS d_events
+       |      FROM d GROUP BY dur),
+       |tt AS (SELECT SUM(n) AS tot FROM g),
+       |r AS (SELECT dur, n, d_events,
+       |             tot - COALESCE(SUM(n) OVER (ORDER BY dur
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |               0) AS n_risk
+       |      FROM g, tt),
+       |sv AS (SELECT dur, n, d_events, n_risk,
+       |              CASE WHEN d_events = n_risk THEN 0.0
+       |                   ELSE EXP(SUM(CASE WHEN d_events > 0
+       |                       AND d_events < n_risk
+       |                     THEN LN(1.0 - d_events::DOUBLE / n_risk::DOUBLE)
+       |                     ELSE 0.0 END) OVER (ORDER BY dur
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING
+       |                       AND CURRENT ROW))
+       |              END AS surv
+       |       FROM r)
+       |SELECT CAST(dur AS BIGINT) AS duration,
+       |       CAST(n_risk AS BIGINT) AS n_risk,
+       |       CAST(d_events AS BIGINT) AS d_events,
+       |       CAST(n - d_events AS BIGINT) AS c_censored,
+       |       ${sqlE6("surv")} AS surv_e6
+       |FROM sv WHERE d_events > 0 ORDER BY duration""".stripMargin
+
+  /** q218 oracle: per-source running token sum BEFORE each doc,
+    * integer-divided by the 2000-token target. */
+  private val q218Sql: String =
+    s"""WITH tk AS (SELECT source, doc_id,
+       |         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS sz
+       |       FROM documents),
+       |c AS (SELECT source, doc_id, sz,
+       |        COALESCE(SUM(sz) OVER (PARTITION BY source ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          // 2000 AS shard
+       |      FROM tk)
+       |SELECT source, CAST(shard AS BIGINT) AS shard,
+       |       COUNT(*) AS n_items, CAST(SUM(sz) AS BIGINT) AS tot_size,
+       |       MIN(doc_id) AS first_item, MAX(doc_id) AS last_item,
+       |       ${sqlE6("SUM(sz)::DOUBLE / 2000.0")} AS fill_e6
+       |FROM c GROUP BY source, shard ORDER BY source, shard""".stripMargin
+
+  /** q219 oracle: 30-row day table, pair join on day difference,
+    * full-series mean and denominator. */
+  private val q219Sql: String =
+    s"""WITH d AS (SELECT epoch_us(ts) * 1000 // 86400000000000 AS t,
+       |                  COUNT(*) AS x
+       |           FROM events GROUP BY 1),
+       |m AS (SELECT AVG(x::DOUBLE) AS m FROM d),
+       |den AS (SELECT SUM((x::DOUBLE - m) * (x::DOUBLE - m)) AS den
+       |        FROM d, m),
+       |p AS (SELECT b.t - a.t AS lag, COUNT(*) AS n_pairs,
+       |             SUM((a.x::DOUBLE - m) * (b.x::DOUBLE - m)) AS num
+       |      FROM d a, d b, m
+       |      WHERE b.t - a.t BETWEEN 1 AND 5 GROUP BY 1)
+       |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+       |       ${sqlE6("num / den")} AS acf_e6
+       |FROM p, den ORDER BY lag""".stripMargin
+
+  /** q220 oracle: epoch-day mod 7 weekday, per-dow mean over overall
+    * mean — integer sums, no calendar functions. */
+  private val q220Sql: String =
+    s"""WITH d AS (SELECT epoch_us(ts) * 1000 // 86400000000000 AS day,
+       |                  COUNT(*) AS n
+       |           FROM events GROUP BY 1),
+       |oa AS (SELECT AVG(n::DOUBLE) AS oa FROM d),
+       |w AS (SELECT day % 7 AS dow, COUNT(*) AS n_days,
+       |             AVG(n::DOUBLE) AS avg_n
+       |      FROM d GROUP BY 1)
+       |SELECT CAST(dow AS BIGINT) AS dow, n_days,
+       |       ${sqlE6("avg_n")} AS avg_n_e6,
+       |       ${sqlE6("avg_n / oa")} AS idx_e6
+       |FROM w, oa ORDER BY dow""".stripMargin
+
+  /** q221 oracle: stratum propensities, Hajek-normalized IPW means,
+    * degenerate strata excluded and counted. */
+  private val q221Sql: String =
+    s"""WITH u AS (SELECT CASE WHEN user_id % 2 = 1 THEN 1.0 ELSE 0.0 END
+       |                    AS t,
+       |                  event_type AS s, value AS y FROM events),
+       |st AS (SELECT s, AVG(t) AS e FROM u GROUP BY s),
+       |j AS (SELECT u.t, u.y, st.e, st.s,
+       |             (st.e > 0.0 AND st.e < 1.0) AS ok
+       |      FROM u JOIN st ON u.s = st.s),
+       |ag AS (SELECT COUNT(*) AS n_units,
+       |              COUNT(DISTINCT s) AS n_strata,
+       |              COUNT(DISTINCT CASE WHEN NOT ok THEN s END)
+       |                AS n_excluded,
+       |              SUM(CASE WHEN ok THEN t * y / e ELSE 0.0 END) AS ty,
+       |              SUM(CASE WHEN ok THEN t / e ELSE 0.0 END) AS tw,
+       |              SUM(CASE WHEN ok THEN (1.0 - t) * y / (1.0 - e)
+       |                  ELSE 0.0 END) AS cy,
+       |              SUM(CASE WHEN ok THEN (1.0 - t) / (1.0 - e)
+       |                  ELSE 0.0 END) AS cw
+       |       FROM j)
+       |SELECT n_units, n_strata, n_excluded,
+       |       ${sqlE6("ty / tw")} AS mean_t_e6,
+       |       ${sqlE6("cy / cw")} AS mean_c_e6,
+       |       ${sqlE6("ty / tw - cy / cw")} AS ate_e6
+       |FROM ag ORDER BY n_units""".stripMargin
+
+  /** q222 oracle: the Holt recursion as a recursive CTE — identical
+    * literal double arithmetic to the Spark fold (0.5/0.25/0.75 all
+    * exactly representable). */
+  private val q222Sql: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT epoch_us(ts) * 1000 // 86400000000000 AS t,
+       |         COUNT(*)::DOUBLE AS x
+       |  FROM events GROUP BY 1),
+       |r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY t) AS i FROM d),
+       |nn AS (SELECT MAX(i) AS n FROM r),
+       |s AS (
+       |  SELECT 2 AS i,
+       |         (SELECT x FROM r WHERE i = 2) AS l,
+       |         (SELECT x FROM r WHERE i = 2) -
+       |           (SELECT x FROM r WHERE i = 1) AS b
+       |  UNION ALL
+       |  SELECT q.i + 1, q.lnew,
+       |         0.25 * (q.lnew - q.l) + 0.75 * q.b
+       |  FROM (SELECT s.i, s.l, s.b,
+       |               0.5 * r.x + 0.5 * (s.l + s.b) AS lnew
+       |        FROM s JOIN r ON r.i = s.i + 1) q),
+       |fin AS (SELECT l, b FROM s, nn WHERE s.i = nn.n)
+       |SELECT h, ${sqlE6("l")} AS level_e6, ${sqlE6("b")} AS trend_e6,
+       |       ${sqlE6("l + h * b")} AS forecast_e6
+       |FROM fin, generate_series(1, 7) AS g(h)
+       |ORDER BY h""".stripMargin
+
+  /** q223 oracle: top-20 part keys by line count (partkey tiebreak),
+    * share and ceil-ratio salt at 32 tasks. */
+  private val q223Sql: String =
+    s"""WITH c AS (SELECT l_partkey, COUNT(*) AS n
+       |           FROM lineitem GROUP BY 1),
+       |tt AS (SELECT SUM(n) AS tot FROM c),
+       |r AS (SELECT l_partkey, n,
+       |             ROW_NUMBER() OVER (ORDER BY n DESC, l_partkey)
+       |               AS rank
+       |      FROM c)
+       |SELECT CAST(rank AS BIGINT) AS rank, l_partkey, n,
+       |       ${sqlE6("n::DOUBLE / tot::DOUBLE")} AS share_e6,
+       |       GREATEST(1, CAST(CEIL(n::DOUBLE * 32.0 / tot::DOUBLE)
+       |         AS BIGINT)) AS salt
+       |FROM r, tt WHERE rank <= 20 ORDER BY rank""".stripMargin
+
+  /** q224 oracle: md5-deterministic 10% order sample (hex32 parity
+    * with CurationOps.hashKeep at rate 0.1), x10 scale-up vs exact. */
+  private val q224Sql: String = {
+    val thr = math.floor(0.1 * 4294967296.0).toLong
+    s"""WITH samp AS (SELECT o_orderkey FROM orders
+       |  WHERE ${sqlHex32("md5('cardest:' || CAST(o_orderkey AS VARCHAR))")} < $thr),
+       |ns AS (SELECT COUNT(*) AS n_sample FROM samp),
+       |je AS (SELECT COUNT(*) AS joined FROM lineitem
+       |       JOIN samp ON l_orderkey = o_orderkey),
+       |jx AS (SELECT COUNT(*) AS exact_rows FROM lineitem
+       |       JOIN orders ON l_orderkey = o_orderkey)
+       |SELECT n_sample, joined * 10 AS est_rows, exact_rows,
+       |       ${sqlE6("(joined * 10 - exact_rows)::DOUBLE / exact_rows::DOUBLE")} AS rel_err_e6
+       |FROM ns, je, jx ORDER BY n_sample""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q224_card_est" -> q224Sql,
+    "q223_skew_advisor" -> q223Sql,
+    "q222_holt_forecast" -> q222Sql,
+    "q221_ipw_estimate" -> q221Sql,
+    "q220_dow_seasonality" -> q220Sql,
+    "q219_daily_acf" -> q219Sql,
+    "q218_compaction_plan" -> q218Sql,
+    "q217_kaplan_meier" -> q217Sql,
+    "q216_basket_lift" -> q216Sql,
     "q215_mann_whitney" -> q215Sql,
     "q214_ols_lines_price" -> q214Sql,
     "q213_cramers_v" -> q213Sql,
