@@ -298,4 +298,29 @@ object ScaleOps {
       .withColumn("fill",
         col("tot_size").cast("double") / lit(targetSize.toDouble))
   }
+
+  /** Partial aggregate state for incremental materialized-view
+    * maintenance: per-key (n, sum_v, min_v, max_v) over one data slice
+    * (a partition, a day, a delta batch). States are data, not plans —
+    * persist them and the base slice never needs re-scanning. Use an
+    * exact-integer value column (e.g. money in cents as BIGINT) so
+    * merged sums are bit-equal to a full recompute regardless of fold
+    * order. */
+  def partialAggState(df: DataFrame, keys: Seq[String],
+                      valueCol: Column): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(valueCol).as("sum_v"),
+        min(valueCol).as("min_v"), max(valueCol).as("max_v"))
+
+  /** Merges [[partialAggState]] slices into the full-data aggregate:
+    * union + one re-aggregation (sum of counts/sums, min of mins, max
+    * of maxs — all algebraic, so any grouping of slices merges to the
+    * same result). At 100 TB this is the nightly-refresh shape: merge
+    * yesterday's state with today's delta state instead of re-scanning
+    * the full history. */
+  def mergeAggStates(states: Seq[DataFrame], keys: Seq[String]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
 }

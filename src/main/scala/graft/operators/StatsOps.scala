@@ -1068,6 +1068,42 @@ object StatsOps {
       .select(col("h"), col("l").as("level"), col("b").as("trend"),
         (col("l") + col("h").cast("double") * col("b")).as("forecast"))
   }
+
+  /** Binary-classifier evaluation from per-unit (pred, truth) boolean
+    * columns: confusion counts plus accuracy / precision / recall / F1
+    * / Matthews correlation in ONE map-side-combinable aggregate (four
+    * conditional sums — no per-class shuffle, no window). Degenerate
+    * denominators (no predicted positives, no actual positives, an
+    * all-one-class truth for MCC) yield metric = 0 rather than NaN, so
+    * the output is total and engine-independent.
+    *
+    * Output (one row): tp, fp, fn, tn, accuracy, precision, recall,
+    * f1, mcc (doubles — pin at the call site). */
+  def binaryEval(df: DataFrame, predCol: Column, truthCol: Column): DataFrame = {
+    val p = predCol.cast("boolean")
+    val t = truthCol.cast("boolean")
+    val c = df.agg(
+      sum(when(p && t, 1L).otherwise(0L)).as("tp"),
+      sum(when(p && !t, 1L).otherwise(0L)).as("fp"),
+      sum(when(!p && t, 1L).otherwise(0L)).as("fn"),
+      sum(when(!p && !t, 1L).otherwise(0L)).as("tn"))
+    def d(c: Column): Column = c.cast("double")
+    val prec = when(col("tp") + col("fp") > 0L,
+      d(col("tp")) / d(col("tp") + col("fp"))).otherwise(0.0)
+    val rec = when(col("tp") + col("fn") > 0L,
+      d(col("tp")) / d(col("tp") + col("fn"))).otherwise(0.0)
+    val mccDen = d(col("tp") + col("fp")) * d(col("tp") + col("fn")) *
+      d(col("tn") + col("fp")) * d(col("tn") + col("fn"))
+    c.select(col("tp"), col("fp"), col("fn"), col("tn"),
+        (d(col("tp") + col("tn")) /
+          d(col("tp") + col("fp") + col("fn") + col("tn"))).as("accuracy"),
+        prec.as("precision"), rec.as("recall"),
+        when(prec + rec > 0.0, lit(2.0) * prec * rec / (prec + rec))
+          .otherwise(0.0).as("f1"),
+        when(mccDen > 0.0,
+          (d(col("tp")) * d(col("tn")) - d(col("fp")) * d(col("fn"))) /
+            sqrt(mccDen)).otherwise(0.0).as("mcc"))
+  }
 }
 
 /** Pure-Scala special functions for the t-distribution CDF — needed for
@@ -1170,5 +1206,6 @@ object SpecialFns {
       case _         => 2.0 * (1.0 - studentTCdf(math.abs(t), df))
     }
   }
+
 
 }

@@ -2970,7 +2970,181 @@ object NorthStar {
       .ordered(col("n_sample"))
   }
 
+  // q225 — RFM customer segmentation: per-customer recency/frequency/
+  // monetary quartiles (ntile over a TOTAL order — custkey tiebreak
+  // makes bucket membership engine-independent), segment rollup.
+  // Monetary is exact cents (BIGINT) so sums hash identically. The
+  // three unpartitioned ntile sorts are oracle-demo shape; at 100 TB
+  // swap in broadcast quantile breakpoints (the q99 bucketing path).
+  private val q225: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val per = t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate").cast("date")).as("last_d"),
+        count(lit(1)).as("freq"),
+        sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    per.select(col("o_custkey"), col("cents"),
+        ntile(4).over(Window.orderBy(col("last_d"), col("o_custkey")))
+          .cast("long").as("r"),
+        ntile(4).over(Window.orderBy(col("freq"), col("o_custkey")))
+          .cast("long").as("f"),
+        ntile(4).over(Window.orderBy(col("cents"), col("o_custkey")))
+          .cast("long").as("m"))
+      .groupBy(col("r"), col("f"), col("m"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("tot_cents"))
+      .ordered(col("r"), col("f"), col("m"))
+  }
+
+  // q226 — Pareto / ABC classification of brand revenue: bounded
+  // brand rollup (broadcast part dim), cumulative share over the
+  // 25-row brand table (rev desc, brand tiebreak), A/B/C cut at
+  // 80%/95% via integer cross-multiplication (no double compare at
+  // the class boundary). Revenue is exact cents.
+  private val q226: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem").select(col("l_partkey"),
+      expr("CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+        .as("c"))
+    val rev = li.join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand")).agg(sum(col("c")).as("rev_cents"))
+    val w = Window.orderBy(col("rev_cents").desc, col("brand"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rev.crossJoin(broadcast(rev.agg(sum(col("rev_cents")).as("__tot"))))
+      .withColumn("cum_cents", sum(col("rev_cents")).over(w))
+      .select(col("brand"), col("rev_cents"), col("cum_cents"),
+        when(col("cum_cents") * 100L <= col("__tot") * 80L, "A")
+          .when(col("cum_cents") * 100L <= col("__tot") * 95L, "B")
+          .otherwise("C").as("cls"),
+        e6(col("rev_cents").cast("double") / col("__tot").cast("double"))
+          .as("share_e6"))
+      .ordered(col("cls"), col("brand"))
+  }
+
+  // q227 — 7-day rolling distinct users per day: tiny distinct-day
+  // grid broadcast against events with a range predicate (7x bounded
+  // fan-out — the grid side broadcasts, the event side never
+  // shuffles), then one distinct aggregate per grid day.
+  private val q227: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(expr(s"ts_ns div $DayNs").as("day"), col("user_id"))
+    val days = ev.select(col("day").as("d")).distinct()
+    ev.join(broadcast(days),
+        col("day") >= col("d") - 6L && col("day") <= col("d"))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("users_7d"),
+        countDistinct(col("day")).as("days_present"))
+      .select(col("d").as("day"), col("users_7d"), col("days_present"))
+      .ordered(col("day"))
+  }
+
+  // q228 — incremental aggregate maintenance: per-priority partial
+  // states (n, sum, min, max in exact cents) over the pre-/post-cutoff
+  // order slices, merged via ScaleOps.mergeAggStates — bit-equal to
+  // the oracle's full recompute without re-scanning the "old" slice.
+  private val q228: Q = (s, dir) => {
+    val o = t(s, dir, "orders").select(col("o_orderpriority").as("prio"),
+      col("o_orderdate"),
+      expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val cut = lit("1999-01-01").cast("timestamp")
+    val old = ScaleOps.partialAggState(
+      o.filter(col("o_orderdate") < cut), Seq("prio"), col("cents"))
+    val delta = ScaleOps.partialAggState(
+      o.filter(col("o_orderdate") >= cut), Seq("prio"), col("cents"))
+    ScaleOps.mergeAggStates(Seq(old, delta), Seq("prio"))
+      .select(col("prio"), col("n"), col("sum_v").as("sum_cents"),
+        col("min_v").as("min_cents"), col("max_v").as("max_cents"))
+      .ordered(col("prio"))
+  }
+
+  // q229 — WAU/MAU stickiness: weekly and 28-day distinct users
+  // (epoch-day integer buckets, no calendar dependence; 28 = 4 weeks
+  // so week div 4 IS the period key), period counts broadcast back.
+  private val q229: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(expr(s"ts_ns div $DayNs div 7").as("week"),
+        expr(s"ts_ns div $DayNs div 28").as("period"), col("user_id"))
+    val wau = ev.groupBy(col("week"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    val mau = ev.groupBy(col("period"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    wau.withColumn("period", expr("week div 4"))
+      .join(broadcast(mau), Seq("period"))
+      .select(col("week"), col("wau"), col("mau"),
+        e6(col("wau").cast("double") / col("mau").cast("double"))
+          .as("stick_e6"))
+      .ordered(col("week"))
+  }
+
+  // q230 — order-to-ship lag distribution by priority: one fact-fact
+  // equi-join (AQE-sized shuffle), integer day lags, exact percentile
+  // (linear interpolation — matches DuckDB quantile_cont).
+  private val q230: Q = (s, dir) => {
+    t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("prio"),
+        datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")).cast("long").as("lag_d"))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"), min(col("lag_d")).as("min_lag"),
+        max(col("lag_d")).as("max_lag"),
+        e6(avg(col("lag_d"))).as("avg_lag_e6"),
+        e6(expr("percentile(lag_d, 0.5D)")).as("p50_lag_e6"))
+      .ordered(col("prio"))
+  }
+
+  // q231 — binary-classifier eval: predict heavy purchasers (>= 13)
+  // from heavy clickers (>= 13) per user; confusion counts + accuracy
+  // / precision / recall / F1 / MCC in one map-side-combinable
+  // aggregate (StatsOps.binaryEval).
+  private val q231: Q = (s, dir) => {
+    val per = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("clicks"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("buys"))
+    graft.operators.StatsOps
+      .binaryEval(per, col("clicks") >= 13L, col("buys") >= 13L)
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        e6(col("accuracy")).as("acc_e6"), e6(col("precision")).as("prec_e6"),
+        e6(col("recall")).as("rec_e6"), e6(col("f1")).as("f1_e6"),
+        e6(col("mcc")).as("mcc_e6"))
+      .ordered(col("tp"))
+  }
+
+  // q232 — inter-order gap stats by market segment: per-customer lag
+  // window (PARTITIONED — scales with customers), date+orderkey
+  // tiebreak for a total order, then one segment rollup.
+  private val q232: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d"), col("o_orderkey"))
+    val g = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d"))
+      .withColumn("gap",
+        datediff(col("d"), lag(col("d"), 1).over(w)).cast("long"))
+      .filter(col("gap").isNotNull)
+    g.join(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_gaps"), e6(avg(col("gap"))).as("avg_gap_e6"),
+        min(col("gap")).as("min_gap"), max(col("gap")).as("max_gap"))
+      .ordered(col("segment"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q232_order_gaps" -> q232,
+    "q231_binary_eval" -> q231,
+    "q230_ship_lag" -> q230,
+    "q229_stickiness" -> q229,
+    "q228_agg_merge" -> q228,
+    "q227_rolling_dau" -> q227,
+    "q226_pareto_abc" -> q226,
+    "q225_rfm_segments" -> q225,
     "q224_card_est" -> q224,
     "q223_skew_advisor" -> q223,
     "q222_holt_forecast" -> q222,
@@ -8107,7 +8281,153 @@ object NorthStar {
        |FROM ns, je, jx ORDER BY n_sample""".stripMargin
   }
 
+  /** q225 oracle: identical NTILE total orders (custkey tiebreak). */
+  private val q225Sql: String =
+    s"""WITH per AS (SELECT o_custkey, MAX(o_orderdate::DATE) AS last_d,
+       |                    COUNT(*) AS freq,
+       |                    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+       |             FROM orders GROUP BY 1),
+       |sc AS (SELECT o_custkey, cents,
+       |         NTILE(4) OVER (ORDER BY last_d, o_custkey) AS r,
+       |         NTILE(4) OVER (ORDER BY freq, o_custkey) AS f,
+       |         NTILE(4) OVER (ORDER BY cents, o_custkey) AS m
+       |       FROM per)
+       |SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+       |       CAST(m AS BIGINT) AS m, COUNT(*) AS n_customers,
+       |       CAST(SUM(cents) AS BIGINT) AS tot_cents
+       |FROM sc GROUP BY r, f, m ORDER BY r, f, m""".stripMargin
+
+  /** q226 oracle: exact-cents brand rollup, cumulative sum over the
+    * (rev desc, brand) total order, integer 80/95 cut. */
+  private val q226Sql: String =
+    s"""WITH rev AS (SELECT p_brand AS brand,
+       |         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+       |             AS BIGINT)) AS rev_cents
+       |       FROM lineitem JOIN part ON l_partkey = p_partkey
+       |       GROUP BY 1),
+       |tt AS (SELECT SUM(rev_cents) AS tot FROM rev),
+       |c AS (SELECT brand, rev_cents, tot,
+       |        SUM(rev_cents) OVER (ORDER BY rev_cents DESC, brand
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          AS cum_cents
+       |      FROM rev, tt)
+       |SELECT brand, rev_cents, CAST(cum_cents AS BIGINT) AS cum_cents,
+       |       CASE WHEN cum_cents * 100 <= tot * 80 THEN 'A'
+       |            WHEN cum_cents * 100 <= tot * 95 THEN 'B'
+       |            ELSE 'C' END AS cls,
+       |       ${sqlE6("rev_cents::DOUBLE / tot::DOUBLE")} AS share_e6
+       |FROM c ORDER BY cls, brand""".stripMargin
+
+  /** q227 oracle: distinct-day grid, 7-day range join, distinct
+    * users per grid day. */
+  private val q227Sql: String =
+    s"""WITH ev AS (SELECT epoch_us(ts) * 1000 // 86400000000000 AS day,
+       |                   user_id
+       |            FROM events),
+       |dg AS (SELECT DISTINCT day AS d FROM ev)
+       |SELECT d AS day, COUNT(DISTINCT user_id) AS users_7d,
+       |       COUNT(DISTINCT ev.day) AS days_present
+       |FROM ev JOIN dg ON ev.day BETWEEN dg.d - 6 AND dg.d
+       |GROUP BY d ORDER BY day""".stripMargin
+
+  /** q228 oracle: the full recompute the merged partial states must
+    * equal bit-for-bit (exact integer cents). */
+  private val q228Sql: String =
+    s"""SELECT o_orderpriority AS prio, COUNT(*) AS n,
+       |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+       |            AS BIGINT) AS sum_cents,
+       |       CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+       |            AS BIGINT) AS min_cents,
+       |       CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+       |            AS BIGINT) AS max_cents
+       |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin
+
+  /** q229 oracle: epoch-day integer week/28-day buckets. */
+  private val q229Sql: String =
+    s"""WITH ev AS (SELECT (epoch_us(ts) * 1000 // 86400000000000) // 7
+       |                     AS week,
+       |                   (epoch_us(ts) * 1000 // 86400000000000) // 28
+       |                     AS period,
+       |                   user_id
+       |            FROM events),
+       |w AS (SELECT week, COUNT(DISTINCT user_id) AS wau
+       |      FROM ev GROUP BY 1),
+       |m AS (SELECT period, COUNT(DISTINCT user_id) AS mau
+       |      FROM ev GROUP BY 1)
+       |SELECT week, wau, mau,
+       |       ${sqlE6("wau::DOUBLE / mau::DOUBLE")} AS stick_e6
+       |FROM w JOIN m ON w.week // 4 = m.period
+       |ORDER BY week""".stripMargin
+
+  /** q230 oracle: integer day lags, quantile_cont matches Spark's
+    * exact interpolating percentile. */
+  private val q230Sql: String =
+    s"""WITH j AS (SELECT o_orderpriority AS prio,
+       |         date_diff('day', o_orderdate::DATE, l_shipdate::DATE)
+       |           AS lag_d
+       |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+       |SELECT prio, COUNT(*) AS n, MIN(lag_d) AS min_lag,
+       |       MAX(lag_d) AS max_lag,
+       |       ${sqlE6("AVG(lag_d::DOUBLE)")} AS avg_lag_e6,
+       |       ${sqlE6("quantile_cont(lag_d, 0.5)")} AS p50_lag_e6
+       |FROM j GROUP BY prio ORDER BY prio""".stripMargin
+
+  /** q231 oracle: per-user click/purchase counts, one conditional-sum
+    * confusion aggregate, guarded metric denominators. */
+  private val q231Sql: String =
+    s"""WITH per AS (SELECT user_id,
+       |         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |           AS clicks,
+       |         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |           AS buys
+       |       FROM events GROUP BY 1),
+       |c AS (SELECT
+       |        SUM(CASE WHEN clicks >= 13 AND buys >= 13 THEN 1 ELSE 0 END) AS tp,
+       |        SUM(CASE WHEN clicks >= 13 AND buys < 13 THEN 1 ELSE 0 END) AS fp,
+       |        SUM(CASE WHEN clicks < 13 AND buys >= 13 THEN 1 ELSE 0 END) AS fn,
+       |        SUM(CASE WHEN clicks < 13 AND buys < 13 THEN 1 ELSE 0 END) AS tn
+       |      FROM per),
+       |m AS (SELECT tp, fp, fn, tn,
+       |        (tp + tn)::DOUBLE / (tp + fp + fn + tn)::DOUBLE AS accuracy,
+       |        CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp)::DOUBLE
+       |             ELSE 0.0 END AS precision,
+       |        CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn)::DOUBLE
+       |             ELSE 0.0 END AS recall
+       |      FROM c)
+       |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       |       ${sqlE6("accuracy")} AS acc_e6,
+       |       ${sqlE6("precision")} AS prec_e6,
+       |       ${sqlE6("recall")} AS rec_e6,
+       |       ${sqlE6("CASE WHEN precision + recall > 0 THEN 2.0 * precision * recall / (precision + recall) ELSE 0.0 END")} AS f1_e6,
+       |       ${sqlE6("CASE WHEN (tp+fp)::DOUBLE*(tp+fn)::DOUBLE*(tn+fp)::DOUBLE*(tn+fn)::DOUBLE > 0 THEN (tp::DOUBLE*tn::DOUBLE - fp::DOUBLE*fn::DOUBLE) / SQRT((tp+fp)::DOUBLE*(tp+fn)::DOUBLE*(tn+fp)::DOUBLE*(tn+fn)::DOUBLE) ELSE 0.0 END")} AS mcc_e6
+       |FROM m ORDER BY tp""".stripMargin
+
+  /** q232 oracle: per-customer LAG over (date, orderkey), segment
+    * rollup. */
+  private val q232Sql: String =
+    s"""WITH g AS (SELECT o_custkey,
+       |         date_diff('day',
+       |           LAG(o_orderdate::DATE) OVER (PARTITION BY o_custkey
+       |             ORDER BY o_orderdate::DATE, o_orderkey),
+       |           o_orderdate::DATE) AS gap
+       |       FROM orders),
+       |f AS (SELECT o_custkey, gap FROM g WHERE gap IS NOT NULL)
+       |SELECT c_mktsegment AS segment, COUNT(*) AS n_gaps,
+       |       ${sqlE6("AVG(gap::DOUBLE)")} AS avg_gap_e6,
+       |       MIN(gap) AS min_gap, MAX(gap) AS max_gap
+       |FROM f JOIN customer ON o_custkey = c_custkey
+       |GROUP BY 1 ORDER BY segment""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q232_order_gaps" -> q232Sql,
+    "q231_binary_eval" -> q231Sql,
+    "q230_ship_lag" -> q230Sql,
+    "q229_stickiness" -> q229Sql,
+    "q228_agg_merge" -> q228Sql,
+    "q227_rolling_dau" -> q227Sql,
+    "q226_pareto_abc" -> q226Sql,
+    "q225_rfm_segments" -> q225Sql,
     "q224_card_est" -> q224Sql,
     "q223_skew_advisor" -> q223Sql,
     "q222_holt_forecast" -> q222Sql,
