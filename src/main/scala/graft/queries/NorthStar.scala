@@ -3136,7 +3136,101 @@ object NorthStar {
       .ordered(col("segment"))
   }
 
+  // q233 — merge-on-read snapshot: orders base + an upsert batch
+  // (every 10th order restatused 'X') + a later tombstone batch
+  // (every 100th order deleted — delete wins over the earlier upsert
+  // on the overlap), read through MergeOnReadStore's latest-wins
+  // window and rolled up by status. The oracle derives the same final
+  // state directly from the version rules.
+  private val q233: Q = (s, dir) => {
+    import graft.sources.MergeOnReadStore
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-mor-q233"
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    MergeOnReadStore.writeBase(o, path)
+    MergeOnReadStore.appendDelta(
+      o.filter(col("o_orderkey") % 10L === 0L)
+        .withColumn("o_orderstatus", lit("X")),
+      o.filter(lit(false)), "o_orderkey", path)
+    MergeOnReadStore.appendDelta(
+      o.filter(lit(false)),
+      o.filter(col("o_orderkey") % 100L === 0L).select(col("o_orderkey")),
+      "o_orderkey", path)
+    MergeOnReadStore.read(s, "o_orderkey", path)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"))
+      .ordered(col("status"))
+  }
+
+  // q234 — cohort LTV accumulation curves: cohort = a customer's
+  // first-order month, k = months since; cumulative exact-cents
+  // revenue per cohort member at each k. One custkey shuffle to tag
+  // orders with their cohort, one (cohort, k) rollup, one cumulative
+  // window over the bounded cohort×month grid.
+  private val q234: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders").select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("mi"),
+      expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val first = o.groupBy(col("o_custkey")).agg(min(col("mi")).as("c0"))
+    val tagged = o.join(first, Seq("o_custkey"))
+    val sizes = first.groupBy(col("c0")).agg(count(lit(1)).as("n_cust"))
+    val grid = tagged.groupBy(col("c0"), (col("mi") - col("c0")).as("k"))
+      .agg(sum(col("cents")).as("rev_cents"))
+    val w = Window.partitionBy(col("c0")).orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.withColumn("cum_cents", sum(col("rev_cents")).over(w))
+      .join(broadcast(sizes), Seq("c0"))
+      .select(col("c0").as("cohort"), col("k"), col("n_cust"),
+        col("rev_cents"), col("cum_cents"),
+        e6(col("cum_cents").cast("double") / lit(100.0) /
+          col("n_cust").cast("double")).as("ltv_e6"))
+      .ordered(col("cohort"), col("k"))
+  }
+
+  // q235 — Herfindahl-Hirschman revenue concentration by nation per
+  // order year: one keyed rollup, per-year totals broadcast back,
+  // HHI = sum of squared shares.
+  private val q235: Q = (s, dir) => {
+    val n = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        col("n_name"))
+      .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+    val tot = n.groupBy(col("yr")).agg(sum(col("cents")).as("tot"),
+      count(lit(1)).as("n_nations"))
+    n.join(broadcast(tot), Seq("yr"))
+      .groupBy(col("yr"), col("n_nations"))
+      .agg(sum((col("cents").cast("double") / col("tot").cast("double")) *
+        (col("cents").cast("double") / col("tot").cast("double")))
+        .as("hhi"))
+      .select(col("yr"), col("n_nations"), e6(col("hhi")).as("hhi_e6"))
+      .ordered(col("yr"))
+  }
+
+  // q236 — day-of-week × hour activity heatmap: pure integer epoch
+  // arithmetic (no calendar/locale), counts + global share per cell.
+  private val q236: Q = (s, dir) => {
+    val cells = t(s, dir, "events")
+      .groupBy(expr(s"(ts_ns div $DayNs) % 7").as("dow"),
+        expr("(ts_ns div 3600000000000) % 24").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    cells.crossJoin(broadcast(cells.agg(sum(col("n")).as("__tot"))))
+      .select(col("dow"), col("hr"), col("n"),
+        e6(col("n").cast("double") / col("__tot").cast("double"))
+          .as("share_e6"))
+      .ordered(col("dow"), col("hr"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q236_dow_hour_heatmap" -> q236,
+    "q235_hhi_concentration" -> q235,
+    "q234_ltv_curve" -> q234,
+    "q233_mor_snapshot" -> q233,
     "q232_order_gaps" -> q232,
     "q231_binary_eval" -> q231,
     "q230_ship_lag" -> q230,
@@ -8419,7 +8513,73 @@ object NorthStar {
        |FROM f JOIN customer ON o_custkey = c_custkey
        |GROUP BY 1 ORDER BY segment""".stripMargin
 
+  /** q233 oracle: final state by the version rules — delete (ver 2)
+    * beats the ver-1 upsert on the %100 overlap. */
+  private val q233Sql: String =
+    s"""WITH m AS (SELECT o_orderkey,
+       |         CASE WHEN o_orderkey % 10 = 0 THEN 'X'
+       |              ELSE o_orderstatus END AS status
+       |       FROM orders WHERE o_orderkey % 100 <> 0)
+       |SELECT status, COUNT(*) AS n FROM m GROUP BY 1
+       |ORDER BY status""".stripMargin
+
+  /** q234 oracle: first-order month per customer, (cohort, k) grid,
+    * cumulative exact cents over k. */
+  private val q234Sql: String =
+    s"""WITH o AS (SELECT o_custkey,
+       |         year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+       |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+       |       FROM orders),
+       |f AS (SELECT o_custkey, MIN(mi) AS c0 FROM o GROUP BY 1),
+       |sz AS (SELECT c0, COUNT(*) AS n_cust FROM f GROUP BY 1),
+       |g AS (SELECT f.c0, o.mi - f.c0 AS k, SUM(o.cents) AS rev_cents
+       |      FROM o JOIN f ON o.o_custkey = f.o_custkey
+       |      GROUP BY 1, 2),
+       |c AS (SELECT c0, k, rev_cents,
+       |        SUM(rev_cents) OVER (PARTITION BY c0 ORDER BY k
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          AS cum_cents
+       |      FROM g)
+       |SELECT c.c0 AS cohort, CAST(c.k AS BIGINT) AS k, sz.n_cust,
+       |       CAST(c.rev_cents AS BIGINT) AS rev_cents,
+       |       CAST(c.cum_cents AS BIGINT) AS cum_cents,
+       |       ${sqlE6("c.cum_cents::DOUBLE / 100.0 / sz.n_cust::DOUBLE")} AS ltv_e6
+       |FROM c JOIN sz ON c.c0 = sz.c0
+       |ORDER BY cohort, k""".stripMargin
+
+  /** q235 oracle: per-(year, nation) exact-cents rollup, squared
+    * shares summed per year. */
+  private val q235Sql: String =
+    s"""WITH n AS (SELECT year(o_orderdate) AS yr, n_name,
+       |         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+       |       FROM orders
+       |       JOIN customer ON o_custkey = c_custkey
+       |       JOIN nation ON c_nationkey = n_nationkey
+       |       GROUP BY 1, 2),
+       |t AS (SELECT yr, SUM(cents) AS tot, COUNT(*) AS n_nations
+       |      FROM n GROUP BY 1)
+       |SELECT CAST(n.yr AS BIGINT) AS yr, t.n_nations,
+       |       ${sqlE6("SUM((n.cents::DOUBLE / t.tot::DOUBLE) * (n.cents::DOUBLE / t.tot::DOUBLE))")} AS hhi_e6
+       |FROM n JOIN t ON n.yr = t.yr
+       |GROUP BY n.yr, t.n_nations ORDER BY yr""".stripMargin
+
+  /** q236 oracle: integer epoch dow/hour cells + global share. */
+  private val q236Sql: String =
+    s"""WITH c AS (SELECT (epoch_us(ts) * 1000 // 86400000000000) % 7
+       |                    AS dow,
+       |                  (epoch_us(ts) * 1000 // 3600000000000) % 24
+       |                    AS hr,
+       |                  COUNT(*) AS n
+       |           FROM events GROUP BY 1, 2),
+       |t AS (SELECT SUM(n) AS tot FROM c)
+       |SELECT dow, hr, n, ${sqlE6("n::DOUBLE / tot::DOUBLE")} AS share_e6
+       |FROM c, t ORDER BY dow, hr""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q236_dow_hour_heatmap" -> q236Sql,
+    "q235_hhi_concentration" -> q235Sql,
+    "q234_ltv_curve" -> q234Sql,
+    "q233_mor_snapshot" -> q233Sql,
     "q232_order_gaps" -> q232Sql,
     "q231_binary_eval" -> q231Sql,
     "q230_ship_lag" -> q230Sql,
