@@ -545,4 +545,75 @@ object GraphOps {
       .join(deg.select(col("src").as("node"), col("deg")), "node")
       .select(col("node"), col("deg"), col("reach2"))
   }
+
+  /** Multi-source BFS hop distances, bounded at `maxHops`: per round
+    * ONE frontier-edge join + one distinct + one anti-join against the
+    * settled set — the textbook frontier relaxation as relational
+    * algebra, with round state made durable exactly like [[pageRank]]
+    * (DISK_ONLY persist, round n-1 released, plan re-rooted so
+    * analysis cost stays one round deep). Early-exits when a frontier
+    * empties (the count is the same action that forces the round).
+    * Returns (node, dist) for every node within `maxHops` of a seed;
+    * unreachable nodes are absent (callers outer-join as needed). */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: Seq[Long], maxHops: Int): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = seeds.toDF("node").withColumn("dist", lit(0L))
+    var frontier = dist.select(col("node"))
+    var prev: Option[RDD[Row]] = None
+    var h = 1
+    var done = false
+    while (h <= maxHops && !done) {
+      val next = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(h.toLong))
+      val (nm, rdd) = materializeRound(dist.unionByName(next), prev)
+      done = nm.count() == dist.count() // no new nodes settled
+      dist = nm; prev = Some(rdd)
+      frontier = dist.filter(col("dist") === h.toLong).select(col("node"))
+      h += 1
+    }
+    dist
+  }
+
+  /** Degree assortativity of an undirected graph (pass both edge
+    * directions): the Pearson correlation between the degrees at the
+    * two ends of each edge (Newman 2002's r, computed over the
+    * directed-pair list, which for a symmetrized simple graph equals
+    * the undirected definition). One degree aggregate joined back to
+    * both endpoints (key-partitioned — the degree table is node-sized,
+    * so it is NOT broadcast; AQE downgrades to broadcast when small) +
+    * one corr aggregate — no iteration. Returns one row (n_edges, r). */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    e.join(deg.select(col("node").as("src"), col("deg").as("dx")),
+        Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("deg").as("dy")),
+        Seq("dst"))
+      .agg(count(lit(1)).as("n_edges"),
+        avg(col("dx").cast("double")).as("mx"),
+        avg(col("dy").cast("double")).as("my"),
+        avg(col("dx").cast("double") * col("dy").cast("double")).as("mxy"),
+        avg(col("dx").cast("double") * col("dx").cast("double")).as("mxx"),
+        avg(col("dy").cast("double") * col("dy").cast("double")).as("myy"))
+      // population-moment Pearson form, guarded: a regular graph (zero
+      // degree variance) yields r = NULL, matching SQL corr semantics
+      // without ANSI divide-by-zero (and the expression tree is
+      // oracle-replayable, unlike engine-internal streaming corr).
+      .select(col("n_edges"),
+        when((col("mxx") - col("mx") * col("mx")) > 0.0 &&
+            (col("myy") - col("my") * col("my")) > 0.0,
+          (col("mxy") - col("mx") * col("my")) /
+            sqrt((col("mxx") - col("mx") * col("mx")) *
+              (col("myy") - col("my") * col("my"))))
+          .as("r"))
+  }
 }

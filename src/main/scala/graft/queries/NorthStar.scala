@@ -3226,7 +3226,87 @@ object NorthStar {
       .ordered(col("dow"), col("hr"))
   }
 
+  /** A denser similarity graph than [[nearDupEdges100]] (threshold
+    * 0.05, 200 docs — avg degree ~24 at sf0.01) for the traversal
+    * queries, where the 0.1 graph degenerates to isolated pairs. */
+  private def nearDupEdgesDense(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text", n = 2, threshold = 0.05)
+      .select(col("id1"), col("id2"))
+    pairs.union(pairs.select(col("id2"), col("id1")))
+  }
+
+  // q237 — multi-source BFS hop distances over the dense near-dup
+  // graph from the 3 smallest node ids (deterministic seed stand-in,
+  // the q174 convention; the seed collect is 3 longs). Frontier
+  // relaxation bounded at 3 hops; unreachable nodes absent.
+  private val q237: Q = (s, dir) => {
+    val edges = nearDupEdgesDense(s, dir)
+    val seeds = edges.select(col("id1").as("n")).distinct()
+      .orderBy(col("n")).limit(3).collect().map(_.getLong(0)).toSeq
+    GraphOps.bfsDistances(edges, "id1", "id2", seeds, maxHops = 3)
+      .select(col("node").as("doc_id"), col("dist"))
+      .ordered(col("doc_id"))
+  }
+
+  // q238 — returns analysis by brand: return-flag line rate and
+  // returned exact-cents revenue, one broadcast dim join + one
+  // rollup.
+  private val q238: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_returned"),
+        sum(when(col("l_returnflag") === "R",
+          expr("CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          .otherwise(0L)).as("ret_cents"))
+      .select(col("brand"), col("n_lines"), col("n_returned"),
+        col("ret_cents"),
+        e6(col("n_returned").cast("double") / col("n_lines").cast("double"))
+          .as("ret_rate_e6"))
+      .ordered(col("brand"))
+  }
+
+  // q239 — degree assortativity of the dense near-dup graph (Newman's
+  // r as guarded population-moment Pearson over directed-pair endpoint
+  // degrees; the 0.1 graph is all isolated pairs — zero variance).
+  private val q239: Q = (s, dir) => {
+    GraphOps.degreeAssortativity(nearDupEdgesDense(s, dir), "id1", "id2")
+      .select(col("n_edges"), e6(col("r")).as("r_e6"))
+      .ordered(col("n_edges"))
+  }
+
+  // q240 — top session-opening paths: each user's first 3 event types
+  // (ts + event_id total order), pivoted via conditional aggregates
+  // (no collect_list order dependence), counted per path. The window
+  // is user-partitioned — scales with users.
+  private val q240: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts_ns"),
+        col("event_id"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("rn") === 1, col("event_type"))).as("e1"),
+        max(when(col("rn") === 2, col("event_type"))).as("e2"),
+        max(when(col("rn") === 3, col("event_type"))).as("e3"))
+      .groupBy(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .ordered(col("path"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q240_session_paths" -> q240,
+    "q239_assortativity" -> q239,
+    "q238_returns_by_brand" -> q238,
+    "q237_bfs_dist" -> q237,
     "q236_dow_hour_heatmap" -> q236,
     "q235_hhi_concentration" -> q235,
     "q234_ltv_curve" -> q234,
@@ -7117,6 +7197,13 @@ object NorthStar {
   /** Shared CTE prelude for q174/q180: the q115 pair derivation
     * (doc_id < 100 bigram-Jaccard graph), symmetrized into `e` with
     * node set `nd`. */
+  /** Parameterized twin of [[nearDupEdges100Sql]] for queries that
+    * need a denser similarity graph (lower threshold / more docs). */
+  private def nearDupEdgesSqlAt(maxId: Int, thr: String): String =
+    nearDupEdges100Sql
+      .replace("doc_id < 100", s"doc_id < $maxId")
+      .replace(">= 0.1", s">= $thr")
+
   private val nearDupEdges100Sql: String =
     s"""d AS (
        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
@@ -8575,7 +8662,76 @@ object NorthStar {
        |SELECT dow, hr, n, ${sqlE6("n::DOUBLE / tot::DOUBLE")} AS share_e6
        |FROM c, t ORDER BY dow, hr""".stripMargin
 
+  /** q237 oracle: recursive-CTE BFS bounded at 3 hops over the dense
+    * graph, min dist per node, from the 3 smallest node ids. The
+    * frontier recursion carries (node, dist) pairs DISTINCT per level
+    * (USING KEY would be nicer, but plain dedup-per-level keeps the
+    * row count at nodes x hops instead of path-enumeration blowup). */
+  private val q237Sql: String =
+    s"""WITH RECURSIVE ${nearDupEdgesSqlAt(200, "0.05")},
+       |seeds AS (SELECT DISTINCT src AS node FROM e
+       |          ORDER BY node LIMIT 3),
+       |walk(node, dist) AS (
+       |  SELECT node, 0 FROM seeds
+       |  UNION
+       |  SELECT e.dst, w.dist + 1 FROM walk w
+       |  JOIN e ON w.node = e.src WHERE w.dist < 3),
+       |bd AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY node)
+       |SELECT node AS doc_id, CAST(dist AS BIGINT) AS dist
+       |FROM bd ORDER BY doc_id""".stripMargin
+
+  /** q238 oracle: broadcast-dim rollup with exact returned cents. */
+  private val q238Sql: String =
+    s"""SELECT p_brand AS brand, COUNT(*) AS n_lines,
+       |       SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+       |         AS n_returned,
+       |       SUM(CASE WHEN l_returnflag = 'R'
+       |           THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+       |                AS BIGINT) ELSE 0 END) AS ret_cents,
+       |       ${sqlE6("SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE")} AS ret_rate_e6
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY 1 ORDER BY brand""".stripMargin
+
+  /** q239 oracle: endpoint degrees joined to the directed pair list,
+    * the SAME guarded population-moment Pearson form as the operator
+    * (engine corr() uses streaming internals; the moment expressions
+    * replay bit-for-bit). */
+  private val q239Sql: String =
+    s"""WITH ${nearDupEdgesSqlAt(200, "0.05")},
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |mo AS (SELECT COUNT(*) AS n_edges,
+       |              AVG(a.deg::DOUBLE) AS mx, AVG(b.deg::DOUBLE) AS my,
+       |              AVG(a.deg::DOUBLE * b.deg::DOUBLE) AS mxy,
+       |              AVG(a.deg::DOUBLE * a.deg::DOUBLE) AS mxx,
+       |              AVG(b.deg::DOUBLE * b.deg::DOUBLE) AS myy
+       |       FROM e JOIN deg a ON e.src = a.src
+       |              JOIN deg b ON e.dst = b.src)
+       |SELECT n_edges,
+       |       CASE WHEN mxx - mx * mx > 0 AND myy - my * my > 0
+       |            THEN ${sqlE6("(mxy - mx * my) / SQRT((mxx - mx * mx) * (myy - my * my))")}
+       |            ELSE NULL END AS r_e6
+       |FROM mo ORDER BY n_edges""".stripMargin
+
+  /** q240 oracle: first-3 pivot via conditional MAX, concat_ws
+    * (NULL-skipping in both engines). */
+  private val q240Sql: String =
+    s"""WITH r AS (SELECT user_id, event_type,
+       |         ROW_NUMBER() OVER (PARTITION BY user_id
+       |           ORDER BY epoch_us(ts) * 1000, event_id) AS rn
+       |       FROM events),
+       |p AS (SELECT user_id,
+       |        MAX(CASE WHEN rn = 1 THEN event_type END) AS e1,
+       |        MAX(CASE WHEN rn = 2 THEN event_type END) AS e2,
+       |        MAX(CASE WHEN rn = 3 THEN event_type END) AS e3
+       |      FROM r WHERE rn <= 3 GROUP BY user_id)
+       |SELECT concat_ws('>', e1, e2, e3) AS path, COUNT(*) AS n_users
+       |FROM p GROUP BY 1 ORDER BY path""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q240_session_paths" -> q240Sql,
+    "q239_assortativity" -> q239Sql,
+    "q238_returns_by_brand" -> q238Sql,
+    "q237_bfs_dist" -> q237Sql,
     "q236_dow_hour_heatmap" -> q236Sql,
     "q235_hhi_concentration" -> q235Sql,
     "q234_ltv_curve" -> q234Sql,

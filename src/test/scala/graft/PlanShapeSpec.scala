@@ -371,8 +371,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     "q211_cuped",         // 1-row midpoint + 1-row pooled-theta
                           // brackets vs per-unit rows
     "q212_snake_shards",  // 1-row token grand-total bracket vs bins
-    "q213_cramers_v")     // r-row x c-row dense-grid cross (r,c <= 5)
+    "q213_cramers_v",     // r-row x c-row dense-grid cross (r,c <= 5)
                           // + 1-row grand-N bracket
+    "q216_basket_lift",   // 1-row basket grand-total bracket vs pairs
+    "q217_kaplan_meier",  // 1-row unit grand-total bracket vs the
+                          // distinct-duration table
+    "q219_daily_acf",     // 1-row series mean/denominator brackets +
+                          // 30-row day-table lag inequality self-join
+    "q220_dow_seasonality", // 1-row overall-mean bracket vs 7 dows
+    "q222_holt_forecast", // 1-row folded (level, trend) state x
+                          // horizon spine
+    "q223_skew_advisor",  // 1-row total-rows bracket vs key rows
+    "q224_card_est",      // three 1-row count brackets combined
+    "q226_pareto_abc",    // 1-row revenue grand-total bracket vs the
+                          // 25-row brand table
+    "q227_rolling_dau",   // 30-row distinct-day grid broadcast with
+                          // the 7-day range predicate (bounded fan-out)
+    "q236_dow_hour_heatmap") // 1-row grand-total bracket vs 168 cells
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
