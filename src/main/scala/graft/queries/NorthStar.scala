@@ -3302,7 +3302,178 @@ object NorthStar {
       .ordered(col("path"))
   }
 
+  // q241 — Hill tail-index estimator of the doc-length distribution
+  // from the top-k order statistics (k = 100, deterministic doc_id
+  // tiebreak so both engines pick identical boundary rows):
+  // 1/alpha = mean ln(x_i / x_(k+1)). The top-(k+1) sort is LIMIT-
+  // bounded; a flat tail (all top values equal) yields alpha NULL
+  // rather than a divide-by-zero.
+  private val q241: Q = (s, dir) => {
+    val k = 100
+    val top = t(s, dir, "documents")
+      .select(col("n_chars").cast("double").as("x"), col("doc_id"))
+      .orderBy(col("x").desc, col("doc_id")).limit(k + 1)
+    val xk = top.orderBy(col("x").asc, col("doc_id").desc).limit(1)
+      .select(col("x").as("xmin"))
+    top.orderBy(col("x").desc, col("doc_id")).limit(k)
+      .crossJoin(broadcast(xk))
+      .agg(count(lit(1)).as("k"),
+        avg(log(col("x") / col("xmin"))).as("ia"))
+      .select(col("k"), e6(col("ia")).as("inv_alpha_e6"),
+        when(col("ia") > 0.0, e6(lit(1.0) / col("ia")))
+          .otherwise(lit(null).cast("long")).as("alpha_e6"))
+      .ordered(col("k"))
+  }
+
+  // q242 — Theil T inequality index of per-customer revenue: exact
+  // cents per customer, 1-row mean broadcast back, T = mean of
+  // (x/mu) ln(x/mu). The multiplicative companion to q169's Gini.
+  private val q242: Q = (s, dir) => {
+    val per = t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+    val mu = per.agg(avg(col("cents").cast("double")).as("mu"))
+    per.crossJoin(broadcast(mu))
+      .agg(count(lit(1)).as("n_cust"),
+        avg((col("cents").cast("double") / col("mu")) *
+          log(col("cents").cast("double") / col("mu"))).as("theil"))
+      .select(col("n_cust"), e6(col("theil")).as("theil_e6"))
+      .ordered(col("n_cust"))
+  }
+
+  // q243 — churn-label generation by signup-week cohort: a user is
+  // churned if silent for the last 7 days of the observation window
+  // (global max day = 1-row broadcast). The standard weak-label table
+  // a retention model trains on.
+  private val q243: Q = (s, dir) => {
+    val per = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(min(expr(s"ts_ns div $DayNs")).as("d0"),
+        max(expr(s"ts_ns div $DayNs")).as("dl"))
+    val mx = per.agg(max(col("dl")).as("dmax"))
+    per.crossJoin(broadcast(mx))
+      .groupBy(expr("d0 div 7").as("cohort_week"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("dl") < col("dmax") - 7L, 1L).otherwise(0L))
+          .as("n_churned"))
+      .select(col("cohort_week"), col("n_users"), col("n_churned"),
+        e6(col("n_churned").cast("double") / col("n_users").cast("double"))
+          .as("churn_e6"))
+      .ordered(col("cohort_week"))
+  }
+
+  // q244 — bipartite degree histogram: distinct suppliers per part
+  // from lineitem, then parts-per-degree — the fan-out profile that
+  // sizes a part-supplier co-location strategy.
+  private val q244: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(countDistinct(col("l_suppkey")).as("k_suppliers"))
+      .groupBy(col("k_suppliers"))
+      .agg(count(lit(1)).as("n_parts"))
+      .ordered(col("k_suppliers"))
+  }
+
+  // q245 — trigram coverage curve: share of total char-trigram mass
+  // captured by the top-k most frequent trigrams, k in {10, 100,
+  // 1000}. Each top-k is a distributed TakeOrdered (no global sort);
+  // ties broken on the gram string so both engines pick identical
+  // boundary rows. The "how head-heavy is this corpus" companion to
+  // Heaps (q156) and Zipf (q80).
+  private val q245: Q = (s, dir) => {
+    val counts = t(s, dir, "documents")
+      .select(explode(TextOps.charNgrams(lower(col("text")), 3)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("tot"))
+    Seq(10, 100, 1000).map { k =>
+      counts.orderBy(col("n").desc, col("g")).limit(k)
+        .agg(coalesce(sum(col("n")), lit(0L)).as("mass"),
+          count(lit(1)).as("n_grams"))
+        .withColumn("k", lit(k.toLong))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("n_grams"), col("mass"),
+        e6(col("mass").cast("double") / col("tot").cast("double"))
+          .as("cover_e6"))
+      .ordered(col("k"))
+  }
+
+  // q246 — A/B sample-size calculator per event type: required n per
+  // arm for a 5% MDE at alpha=.05 / power=.80 (z constants pinned as
+  // literals), variance from explicit moments so the oracle replays
+  // the identical expression tree.
+  private val q246: Q = (s, dir) => {
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("m"),
+        avg(col("value") * col("value")).as("m2"))
+      .withColumn("s2",
+        (col("m2") - col("m") * col("m")) * col("n").cast("double") /
+          (col("n").cast("double") - 1.0))
+      .withColumn("delta", col("m") * 0.05)
+      .select(col("event_type"), col("n"), e6(col("m")).as("mean_e6"),
+        e6(col("s2")).as("var_e6"),
+        e6(lit(2.0) * lit((1.96 + 0.84) * (1.96 + 0.84)) * col("s2") /
+          (col("delta") * col("delta"))).as("n_req_e6"))
+      .ordered(col("event_type"))
+  }
+
+  // q247 — additive day-of-week decomposition of the daily event
+  // series: trend = 7-day centered MA over the bounded day table,
+  // seasonal = mean detrended residual per weekday (integer epoch
+  // dow). The classical-decomposition companion to q220's ratio
+  // index.
+  private val q247: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "events")
+      .groupBy(expr(s"ts_ns div $DayNs").as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    daily.withColumn("trend", avg(col("n")).over(w))
+      .groupBy((col("day") % 7L).as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        avg(col("n") - col("trend")).as("seas"))
+      .select(col("dow"), col("n_days"), e6(col("seas")).as("seas_e6"))
+      .ordered(col("dow"))
+  }
+
+  // q248 — revenue bridge 1996 -> 1997 by brand: volume effect
+  // (q2-q1)·p1 + price effect (p2-p1)·q2 decomposes the revenue
+  // delta exactly (the two terms telescope to r2-r1). Quantities are
+  // integer-valued doubles (exact sums); revenue in exact cents.
+  private val q248: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .filter(year(col("l_shipdate")).isin(1996, 1997))
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        year(col("l_shipdate")).as("yr"), col("l_quantity").as("qty"),
+        expr("CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+          .as("c"))
+    li.groupBy(col("brand"))
+      .agg(sum(when(col("yr") === 1996, col("qty")).otherwise(0.0)).as("q1"),
+        sum(when(col("yr") === 1997, col("qty")).otherwise(0.0)).as("q2"),
+        sum(when(col("yr") === 1996, col("c")).otherwise(0L)).as("r1"),
+        sum(when(col("yr") === 1997, col("c")).otherwise(0L)).as("r2"))
+      .filter(col("q1") > 0.0 && col("q2") > 0.0)
+      .withColumn("p1", col("r1").cast("double") / lit(100.0) / col("q1"))
+      .withColumn("p2", col("r2").cast("double") / lit(100.0) / col("q2"))
+      .select(col("brand"), col("r1"), col("r2"),
+        e6(col("q1")).as("q1_e6"), e6(col("q2")).as("q2_e6"),
+        e6((col("q2") - col("q1")) * col("p1")).as("vol_eff_e6"),
+        e6((col("p2") - col("p1")) * col("q2")).as("price_eff_e6"))
+      .ordered(col("brand"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q248_rev_bridge" -> q248,
+    "q247_dow_decompose" -> q247,
+    "q246_power_analysis" -> q246,
+    "q245_trigram_coverage" -> q245,
+    "q244_degree_hist" -> q244,
+    "q243_churn_label" -> q243,
+    "q242_theil_index" -> q242,
+    "q241_hill_tail" -> q241,
     "q240_session_paths" -> q240,
     "q239_assortativity" -> q239,
     "q238_returns_by_brand" -> q238,
@@ -8727,7 +8898,140 @@ object NorthStar {
        |SELECT concat_ws('>', e1, e2, e3) AS path, COUNT(*) AS n_users
        |FROM p GROUP BY 1 ORDER BY path""".stripMargin
 
+  /** q241 oracle: top-101 by (length desc, doc_id), x_(k+1) = the
+    * minimal member under the reversed order, Hill mean of logs. */
+  private val q241Sql: String =
+    s"""WITH t1 AS (SELECT n_chars::DOUBLE AS x, doc_id FROM documents
+       |            ORDER BY n_chars DESC, doc_id LIMIT 101),
+       |mn AS (SELECT x AS xmin FROM t1 ORDER BY x ASC, doc_id DESC
+       |       LIMIT 1),
+       |tk AS (SELECT x FROM t1 ORDER BY x DESC, doc_id LIMIT 100),
+       |ag AS (SELECT COUNT(*) AS k, AVG(LN(x / xmin)) AS ia
+       |       FROM tk, mn)
+       |SELECT k, ${sqlE6("ia")} AS inv_alpha_e6,
+       |       CASE WHEN ia > 0 THEN ${sqlE6("1.0 / ia")}
+       |            ELSE NULL END AS alpha_e6
+       |FROM ag ORDER BY k""".stripMargin
+
+  /** q242 oracle: exact-cents per customer, 1-row mean, Theil T. */
+  private val q242Sql: String =
+    s"""WITH per AS (SELECT o_custkey,
+       |         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+       |       FROM orders GROUP BY 1),
+       |m AS (SELECT AVG(cents::DOUBLE) AS mu FROM per)
+       |SELECT COUNT(*) AS n_cust,
+       |       ${sqlE6("AVG((cents::DOUBLE / mu) * LN(cents::DOUBLE / mu))")} AS theil_e6
+       |FROM per, m ORDER BY n_cust""".stripMargin
+
+  /** q243 oracle: per-user first/last epoch day, global max day,
+    * churn = silent for the final 7 days. */
+  private val q243Sql: String =
+    s"""WITH per AS (SELECT user_id,
+       |         MIN(epoch_us(ts) * 1000 // 86400000000000) AS d0,
+       |         MAX(epoch_us(ts) * 1000 // 86400000000000) AS dl
+       |       FROM events GROUP BY 1),
+       |mx AS (SELECT MAX(dl) AS dmax FROM per)
+       |SELECT d0 // 7 AS cohort_week, COUNT(*) AS n_users,
+       |       SUM(CASE WHEN dl < dmax - 7 THEN 1 ELSE 0 END)
+       |         AS n_churned,
+       |       ${sqlE6("SUM(CASE WHEN dl < dmax - 7 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE")} AS churn_e6
+       |FROM per, mx GROUP BY d0 // 7
+       |ORDER BY cohort_week""".stripMargin
+
+  /** q244 oracle: suppliers-per-part distinct counts histogrammed. */
+  private val q244Sql: String =
+    s"""WITH d AS (SELECT l_partkey,
+       |                  COUNT(DISTINCT l_suppkey) AS k_suppliers
+       |           FROM lineitem GROUP BY 1)
+       |SELECT k_suppliers, COUNT(*) AS n_parts FROM d
+       |GROUP BY 1 ORDER BY k_suppliers""".stripMargin
+
+  /** q245 oracle: the q153 trigram CTE counted, three ordered-LIMIT
+    * head sums unioned, 1-row total. */
+  private val q245Sql: String = {
+    def head(k: Int): String =
+      s"""SELECT $k AS k, COUNT(*) AS n_grams,
+         |       COALESCE(SUM(n), 0) AS mass
+         |FROM (SELECT n FROM c ORDER BY n DESC, g LIMIT $k)""".stripMargin
+    s"""WITH d AS (SELECT lower(text) AS t FROM documents),
+       |tri AS (
+       |  SELECT unnest(list_transform(range(1, length(t) - 1),
+       |           i -> substr(t, i, 1) || ' ' || substr(t, i + 1, 1)
+       |                || ' ' || substr(t, i + 2, 1))) AS g
+       |  FROM d),
+       |c AS (SELECT g, COUNT(*) AS n FROM tri GROUP BY g),
+       |tt AS (SELECT SUM(n) AS tot FROM c),
+       |u AS (${head(10)} UNION ALL ${head(100)} UNION ALL ${head(1000)})
+       |SELECT k, n_grams, CAST(mass AS BIGINT) AS mass,
+       |       ${sqlE6("mass::DOUBLE / tot::DOUBLE")} AS cover_e6
+       |FROM u, tt ORDER BY k""".stripMargin
+  }
+
+  /** q246 oracle: identical moment expressions and pinned z
+    * literals. */
+  private val q246Sql: String =
+    s"""WITH g AS (SELECT event_type, COUNT(*) AS n,
+       |                  AVG(value) AS m, AVG(value * value) AS m2
+       |           FROM events GROUP BY 1),
+       |s AS (SELECT event_type, n, m,
+       |             (m2 - m * m) * n::DOUBLE / (n::DOUBLE - 1.0) AS s2,
+       |             m * 0.05 AS delta
+       |      FROM g)
+       |SELECT event_type, n, ${sqlE6("m")} AS mean_e6,
+       |       ${sqlE6("s2")} AS var_e6,
+       |       ${sqlE6("2.0 * ((1.96 + 0.84) * (1.96 + 0.84)) * s2 / (delta * delta)")} AS n_req_e6
+       |FROM s ORDER BY event_type""".stripMargin
+
+  /** q247 oracle: 7-day centered MA trend over the bounded day
+    * table, per-dow mean residual. */
+  private val q247Sql: String =
+    s"""WITH daily AS (SELECT epoch_us(ts) * 1000 // 86400000000000
+       |                        AS day,
+       |                      COUNT(*)::DOUBLE AS n
+       |               FROM events GROUP BY 1),
+       |tr AS (SELECT day, n,
+       |         AVG(n) OVER (ORDER BY day
+       |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+       |       FROM daily)
+       |SELECT day % 7 AS dow, COUNT(*) AS n_days,
+       |       ${sqlE6("AVG(n - trend)")} AS seas_e6
+       |FROM tr GROUP BY 1 ORDER BY dow""".stripMargin
+
+  /** q248 oracle: conditional-sum pivot, identical price/effect
+    * expressions (exact qty sums, exact cents). */
+  private val q248Sql: String =
+    s"""WITH li AS (SELECT p_brand AS brand, year(l_shipdate) AS yr,
+       |         l_quantity AS qty,
+       |         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+       |              AS BIGINT) AS c
+       |       FROM lineitem JOIN part ON l_partkey = p_partkey
+       |       WHERE year(l_shipdate) IN (1996, 1997)),
+       |g AS (SELECT brand,
+       |        SUM(CASE WHEN yr = 1996 THEN qty ELSE 0 END) AS q1,
+       |        SUM(CASE WHEN yr = 1997 THEN qty ELSE 0 END) AS q2,
+       |        SUM(CASE WHEN yr = 1996 THEN c ELSE 0 END) AS r1,
+       |        SUM(CASE WHEN yr = 1997 THEN c ELSE 0 END) AS r2
+       |      FROM li GROUP BY 1),
+       |f AS (SELECT brand, q1, q2,
+       |             CAST(r1 AS BIGINT) AS r1, CAST(r2 AS BIGINT) AS r2,
+       |             r1::DOUBLE / 100.0 / q1 AS p1,
+       |             r2::DOUBLE / 100.0 / q2 AS p2
+       |      FROM g WHERE q1 > 0 AND q2 > 0)
+       |SELECT brand, r1, r2, ${sqlE6("q1")} AS q1_e6,
+       |       ${sqlE6("q2")} AS q2_e6,
+       |       ${sqlE6("(q2 - q1) * p1")} AS vol_eff_e6,
+       |       ${sqlE6("(p2 - p1) * q2")} AS price_eff_e6
+       |FROM f ORDER BY brand""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q248_rev_bridge" -> q248Sql,
+    "q247_dow_decompose" -> q247Sql,
+    "q246_power_analysis" -> q246Sql,
+    "q245_trigram_coverage" -> q245Sql,
+    "q244_degree_hist" -> q244Sql,
+    "q243_churn_label" -> q243Sql,
+    "q242_theil_index" -> q242Sql,
+    "q241_hill_tail" -> q241Sql,
     "q240_session_paths" -> q240Sql,
     "q239_assortativity" -> q239Sql,
     "q238_returns_by_brand" -> q238Sql,

@@ -387,7 +387,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
                           // 25-row brand table
     "q227_rolling_dau",   // 30-row distinct-day grid broadcast with
                           // the 7-day range predicate (bounded fan-out)
-    "q236_dow_hour_heatmap") // 1-row grand-total bracket vs 168 cells
+    "q236_dow_hour_heatmap", // 1-row grand-total bracket vs 168 cells
+    "q241_hill_tail",     // 1-row x_(k+1) bracket vs the top-k rows
+    "q242_theil_index",   // 1-row mean bracket vs per-customer rows
+    "q243_churn_label",   // 1-row max-day bracket vs per-user rows
+    "q245_trigram_coverage") // 1-row mass grand-total vs 3 head rows
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
