@@ -3465,7 +3465,293 @@ object NorthStar {
       .ordered(col("brand"))
   }
 
+  // q249 — SCD Type-2 state intervals from the event stream: per
+  // user in (ts, event_id) order, consecutive same-type runs collapse
+  // to one validity interval [run start, next run start); the last
+  // run per user stays open. The dimensional-modeling builder a
+  // warehouse derives slowly-changing attributes with. Durations are
+  // exact ns BIGINTs.
+  private val q249: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val runs = t(s, dir, "events")
+      .withColumn("prv", lag(col("event_type"), 1).over(w))
+      .withColumn("chg",
+        when(col("prv").isNull || col("prv") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run_id"),
+        col("event_type").as("state"))
+      .agg(min(col("ts_ns")).as("t0"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    runs.withColumn("t1", lead(col("t0"), 1).over(w2))
+      .groupBy(col("state"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("n_closed"),
+        coalesce(sum(col("t1") - col("t0")), lit(0L)).as("dur_ns"))
+      .ordered(col("state"))
+  }
+
+  // q250 — Markov transition entropy: H(next | prev) per source
+  // event type from the q164 transition counts, via the one-aggregate
+  // identity H = ln n - (sum c ln c) / n (no per-row probability
+  // join). Perplexity = exp(H) is the "effective branching factor"
+  // of each state.
+  private val q250: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("prev_type"))
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_next"),
+        sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("slc"))
+      .withColumn("h", log(col("n").cast("double")) -
+        col("slc") / col("n").cast("double"))
+      .select(col("prev_type"), col("n"), col("n_next"),
+        e6(col("h")).as("entropy_e6"), e6(exp(col("h"))).as("ppl_e6"))
+      .ordered(col("prev_type"))
+  }
+
+  // q251 — A/B conversion significance: deterministic user_id-parity
+  // arms, conversion = first purchase lands within 24h of the user's
+  // first event (lifetime conversion is degenerate at 100% on this
+  // corpus — and a 0-variance pooled rate divides by zero), pooled
+  // two-proportion z-test. One user-keyed aggregate then a single
+  // scalar row — no join anywhere; a degenerate pooled rate yields
+  // NULL z rather than an error.
+  private val q251: Q = (s, dir) => {
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_ns")).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts_ns")))
+          .as("tp"))
+      .withColumn("conv",
+        when(col("tp").isNotNull && col("tp") < col("t0") + lit(DayNs),
+          1L).otherwise(0L))
+      .withColumn("arm", col("user_id") % 2L)
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0L, col("conv")).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1L, col("conv")).otherwise(0L)).as("c1"))
+      .withColumn("p0", col("c0").cast("double") / col("n0").cast("double"))
+      .withColumn("p1", col("c1").cast("double") / col("n1").cast("double"))
+      .withColumn("pp", (col("c0") + col("c1")).cast("double") /
+        (col("n0") + col("n1")).cast("double"))
+      .select(col("n0"), col("n1"), col("c0"), col("c1"),
+        e6(col("p0")).as("p0_e6"), e6(col("p1")).as("p1_e6"),
+        when(col("pp") > 0.0 && col("pp") < 1.0,
+          e6((col("p1") - col("p0")) /
+            sqrt(col("pp") * (lit(1.0) - col("pp")) *
+              (lit(1.0) / col("n0").cast("double") +
+               lit(1.0) / col("n1").cast("double")))))
+          .otherwise(lit(null).cast("long")).as("z_e6"))
+      .ordered(col("n0"))
+  }
+
+  // q252 — Jensen-Shannon divergence between the token distributions
+  // of the doc_id-parity corpus halves: one token-keyed aggregate
+  // pivots both sides' counts (no outer join), a 1-row total bracket,
+  // then the symmetric KL-to-midpoint sum. The bounded-metric
+  // companion to q87's KL and q183's PSI.
+  private val q252: Q = (s, dir) => {
+    val cnt = t(s, dir, "documents")
+      .select((col("doc_id") % 2L).as("side"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok"))
+      .agg(sum(when(col("side") === 0L, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("side") === 1L, 1L).otherwise(0L)).as("c1"))
+    val tot = cnt.agg(sum(col("c0")).as("t0"), sum(col("c1")).as("t1"))
+    cnt.crossJoin(broadcast(tot))
+      .withColumn("p", col("c0").cast("double") / col("t0").cast("double"))
+      .withColumn("q", col("c1").cast("double") / col("t1").cast("double"))
+      .withColumn("m", (col("p") + col("q")) / 2.0)
+      .agg(sum(when(col("c0") > 0L, 1L).otherwise(0L)).as("v0"),
+        sum(when(col("c1") > 0L, 1L).otherwise(0L)).as("v1"),
+        sum(when(col("c0") > 0L && col("c1") > 0L, 1L).otherwise(0L))
+          .as("v_shared"),
+        sum(when(col("p") > 0.0, col("p") * log(col("p") / col("m")))
+          .otherwise(0.0) * 0.5 +
+          when(col("q") > 0.0, col("q") * log(col("q") / col("m")))
+            .otherwise(0.0) * 0.5).as("jsd"))
+      .select(col("v0"), col("v1"), col("v_shared"),
+        e6(col("jsd")).as("jsd_e6"),
+        e6(col("jsd") / lit(math.log(2.0))).as("jsd_bits_e6"))
+      .ordered(col("v0"))
+  }
+
+  // q253 — per-brand price elasticity of demand: OLS slope of
+  // ln(quantity) on ln(effective unit price) from per-brand moments
+  // (one broadcast dim join + one aggregate; the grouped-regression
+  // generalization of q214's single OLS line).
+  private val q253: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        log(col("l_extendedprice") * (lit(1.0) - col("l_discount")) /
+          col("l_quantity")).as("x"),
+        log(col("l_quantity")).as("y"))
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("n"), avg(col("x")).as("mx"),
+        avg(col("y")).as("my"), avg(col("x") * col("x")).as("mx2"),
+        avg(col("y") * col("y")).as("my2"),
+        avg(col("x") * col("y")).as("mxy"))
+      .withColumn("slope", (col("mxy") - col("mx") * col("my")) /
+        (col("mx2") - col("mx") * col("mx")))
+      .select(col("brand"), col("n"), e6(col("slope")).as("slope_e6"),
+        e6((col("mxy") - col("mx") * col("my")) *
+          (col("mxy") - col("mx") * col("my")) /
+          ((col("mx2") - col("mx") * col("mx")) *
+           (col("my2") - col("my") * col("my")))).as("r2_e6"))
+      .ordered(col("brand"))
+  }
+
+  // q254 — decision-stump split finder: information gain of the
+  // n_chars <= thr split for label (lang = 'en') over a fixed
+  // threshold grid. The big table collapses to one row per distinct
+  // n_chars FIRST; the 9-row grid and 1-row parent bracket join the
+  // tiny per-value table, never the corpus. Degenerate splits (an
+  // empty side) yield NULL gain.
+  private val q254: Q = (s, dir) => {
+    val pv = t(s, dir, "documents")
+      .groupBy(col("n_chars"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pos"))
+    val grid = s.range(100L, 501L, 50L).select(col("id").as("thr"))
+    val parent = pv.agg(sum(col("cnt")).as("n_tot"),
+      sum(col("pos")).as("pos_tot"))
+    def bent(p: Column): Column =
+      when(p > 0.0 && p < 1.0,
+        -(p * log(p) + (lit(1.0) - p) * log(lit(1.0) - p)))
+        .otherwise(0.0)
+    pv.crossJoin(broadcast(grid))
+      .groupBy(col("thr"))
+      .agg(sum(when(col("n_chars") <= col("thr"), col("cnt"))
+          .otherwise(0L)).as("n_le"),
+        sum(when(col("n_chars") <= col("thr"), col("pos"))
+          .otherwise(0L)).as("pos_le"))
+      .crossJoin(broadcast(parent))
+      .withColumn("n_gt", col("n_tot") - col("n_le"))
+      .withColumn("pos_gt", col("pos_tot") - col("pos_le"))
+      .withColumn("gain", bent(col("pos_tot").cast("double") /
+          col("n_tot").cast("double")) -
+        (col("n_le").cast("double") / col("n_tot").cast("double")) *
+          bent(col("pos_le").cast("double") / col("n_le").cast("double")) -
+        (col("n_gt").cast("double") / col("n_tot").cast("double")) *
+          bent(col("pos_gt").cast("double") / col("n_gt").cast("double")))
+      .select(col("thr"), col("n_le"), col("pos_le"), col("n_gt"),
+        col("pos_gt"),
+        when(col("n_le") > 0L && col("n_gt") > 0L, e6(col("gain")))
+          .otherwise(lit(null).cast("long")).as("gain_e6"))
+      .ordered(col("thr"))
+  }
+
+  // q255 — Good-Turing missing mass per language: N1/N (the
+  // probability the next token is unseen) from singleton/doubleton
+  // type counts. One (lang, term) aggregate then a per-lang rollup —
+  // the smoothing statistic an n-gram LM needs.
+  private val q255: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("v_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n2"))
+      .select(col("lang"), col("n_tokens"), col("v_types"), col("n1"),
+        col("n2"),
+        e6(col("n1").cast("double") / col("n_tokens").cast("double"))
+          .as("p_unseen_e6"))
+      .ordered(col("lang"))
+  }
+
+  // q256 — Pearson correlation matrix over the four numeric lineitem
+  // measures from ONE moment aggregate (10 avg moments), unpivoted to
+  // the 6 upper-triangle pairs with stack — a standard profiling
+  // operator with zero joins.
+  private val q256: Q = (s, dir) => {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val m = t(s, dir, "lineitem").agg(
+      count(lit(1)).as("n"),
+      avg(col("l_quantity")).as("m1"), avg(col("l_extendedprice")).as("m2"),
+      avg(col("l_discount")).as("m3"), avg(col("l_tax")).as("m4"),
+      avg(col("l_quantity") * col("l_quantity")).as("s1"),
+      avg(col("l_extendedprice") * col("l_extendedprice")).as("s2"),
+      avg(col("l_discount") * col("l_discount")).as("s3"),
+      avg(col("l_tax") * col("l_tax")).as("s4"),
+      avg(col("l_quantity") * col("l_extendedprice")).as("x12"),
+      avg(col("l_quantity") * col("l_discount")).as("x13"),
+      avg(col("l_quantity") * col("l_tax")).as("x14"),
+      avg(col("l_extendedprice") * col("l_discount")).as("x23"),
+      avg(col("l_extendedprice") * col("l_tax")).as("x24"),
+      avg(col("l_discount") * col("l_tax")).as("x34"))
+    def corr6(i: Int, j: Int): Column =
+      e6((col(s"x$i$j") - col(s"m$i") * col(s"m$j")) /
+        sqrt((col(s"s$i") - col(s"m$i") * col(s"m$i")) *
+             (col(s"s$j") - col(s"m$j") * col(s"m$j"))))
+    val pairs = for {
+      i <- 1 to 4; j <- (i + 1) to 4
+    } yield (cols(i - 1), cols(j - 1), i, j)
+    pairs.map { case (a, b, i, j) =>
+      m.select(lit(a).as("var1"), lit(b).as("var2"), col("n"),
+        corr6(i, j).as("corr_e6"))
+    }.reduce(_ unionByName _)
+      .ordered(col("var1"), col("var2"))
+  }
+
+  // q257 — Spearman rank correlation between l_quantity and
+  // l_discount: both columns have tiny distinct-value sets, so the
+  // average-rank maps are computed on the collapsed value tables
+  // (bounded single-partition prefix sums) and joined back broadcast;
+  // Pearson on ranks comes from one moment aggregate.
+  private val q257: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    def rankMap(df: DataFrame, c: String, out: String): DataFrame = {
+      val w = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .withColumn("before", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .select(col(c),
+          (col("before").cast("double") +
+            (col("cnt").cast("double") + 1.0) / 2.0).as(out))
+    }
+    val li = t(s, dir, "lineitem").select(col("l_quantity"), col("l_discount"))
+    li.join(broadcast(rankMap(li, "l_quantity", "rq")), Seq("l_quantity"))
+      .join(broadcast(rankMap(li, "l_discount", "rd")), Seq("l_discount"))
+      .agg(count(lit(1)).as("n"), avg(col("rq")).as("mx"),
+        avg(col("rd")).as("my"), avg(col("rq") * col("rq")).as("mx2"),
+        avg(col("rd") * col("rd")).as("my2"),
+        avg(col("rq") * col("rd")).as("mxy"))
+      .select(col("n"),
+        e6((col("mxy") - col("mx") * col("my")) /
+          sqrt((col("mx2") - col("mx") * col("mx")) *
+               (col("my2") - col("my") * col("my")))).as("rho_e6"))
+      .ordered(col("n"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q257_spearman" -> q257,
+    "q256_corr_matrix" -> q256,
+    "q255_good_turing" -> q255,
+    "q254_stump_split" -> q254,
+    "q253_elasticity" -> q253,
+    "q252_jsd_drift" -> q252,
+    "q251_ab_sig" -> q251,
+    "q250_transition_entropy" -> q250,
+    "q249_scd2_intervals" -> q249,
     "q248_rev_bridge" -> q248,
     "q247_dow_decompose" -> q247,
     "q246_power_analysis" -> q246,
@@ -9023,7 +9309,252 @@ object NorthStar {
        |       ${sqlE6("(p2 - p1) * q2")} AS price_eff_e6
        |FROM f ORDER BY brand""".stripMargin
 
+  /** q249 oracle: change-flag prefix-sum run ids, per-run min ts,
+    * LEAD to the next run's start, per-state rollup. */
+  private val q249Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |                  epoch_us(ts) * 1000 AS ts_ns FROM events),
+       |l AS (SELECT *, CASE WHEN LAG(event_type) OVER w IS NULL
+       |                       OR LAG(event_type) OVER w <> event_type
+       |                     THEN 1 ELSE 0 END AS chg
+       |      FROM e WINDOW w AS (PARTITION BY user_id
+       |                          ORDER BY ts_ns, event_id)),
+       |r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id
+       |        ORDER BY ts_ns, event_id ROWS UNBOUNDED PRECEDING)
+       |        AS run_id FROM l),
+       |runs AS (SELECT user_id, run_id, event_type AS state,
+       |                MIN(ts_ns) AS t0
+       |         FROM r GROUP BY 1, 2, 3),
+       |iv AS (SELECT state, t0, LEAD(t0) OVER (PARTITION BY user_id
+       |                ORDER BY run_id) AS t1 FROM runs)
+       |SELECT state, COUNT(*) AS n_intervals,
+       |       CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_closed,
+       |       CAST(COALESCE(SUM(t1 - t0), 0) AS BIGINT) AS dur_ns
+       |FROM iv GROUP BY 1 ORDER BY state""".stripMargin
+
+  /** q250 oracle: transition counts, then the one-aggregate entropy
+    * identity H = ln n - (sum c ln c)/n. */
+  private val q250Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |                  epoch_us(ts) * 1000 AS ts_ns FROM events),
+       |l AS (SELECT event_type,
+       |             LAG(event_type) OVER (PARTITION BY user_id
+       |                 ORDER BY ts_ns, event_id) AS prev_type
+       |      FROM e),
+       |tr AS (SELECT prev_type, event_type, COUNT(*) AS c FROM l
+       |       WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |g AS (SELECT prev_type, CAST(SUM(c) AS BIGINT) AS n,
+       |             COUNT(*) AS n_next,
+       |             SUM(c::DOUBLE * LN(c::DOUBLE)) AS slc
+       |      FROM tr GROUP BY 1),
+       |h AS (SELECT prev_type, n, n_next,
+       |             LN(n::DOUBLE) - slc / n::DOUBLE AS h FROM g)
+       |SELECT prev_type, n, n_next, ${sqlE6("h")} AS entropy_e6,
+       |       ${sqlE6("EXP(h)")} AS ppl_e6
+       |FROM h ORDER BY prev_type""".stripMargin
+
+  /** q251 oracle: per-user 24h-window conversion, parity arms,
+    * pooled z with the same degeneracy guard. */
+  private val q251Sql: String =
+    s"""WITH u0 AS (SELECT user_id,
+       |         MIN(epoch_us(ts) * 1000) AS t0,
+       |         MIN(CASE WHEN event_type = 'purchase'
+       |             THEN epoch_us(ts) * 1000 END) AS tp
+       |       FROM events GROUP BY 1),
+       |u AS (SELECT user_id,
+       |        CASE WHEN tp IS NOT NULL AND tp < t0 + $DayNs
+       |             THEN 1 ELSE 0 END AS conv
+       |      FROM u0),
+       |a AS (SELECT
+       |  CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n0,
+       |  CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n1,
+       |  CAST(SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)
+       |       AS BIGINT) AS c0,
+       |  CAST(SUM(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END)
+       |       AS BIGINT) AS c1
+       |  FROM u),
+       |p AS (SELECT n0, n1, c0, c1,
+       |             c0::DOUBLE / n0::DOUBLE AS p0,
+       |             c1::DOUBLE / n1::DOUBLE AS p1,
+       |             (c0 + c1)::DOUBLE / (n0 + n1)::DOUBLE AS pp
+       |      FROM a)
+       |SELECT n0, n1, c0, c1, ${sqlE6("p0")} AS p0_e6,
+       |       ${sqlE6("p1")} AS p1_e6,
+       |       CASE WHEN pp > 0 AND pp < 1 THEN
+       |         ${sqlE6("(p1 - p0) / SQRT(pp * (1 - pp) * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE))")}
+       |       ELSE NULL END AS z_e6
+       |FROM p ORDER BY n0""".stripMargin
+
+  /** q252 oracle: one token-keyed side pivot, 1-row totals, symmetric
+    * KL-to-midpoint. */
+  private val q252Sql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id % 2 AS side,
+       |         unnest(regexp_split_to_array(lower(trim(text)),
+       |                                      '\\s+')) AS tok
+       |  FROM documents),
+       |c AS (SELECT tok,
+       |        CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+       |             AS BIGINT) AS c0,
+       |        CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+       |             AS BIGINT) AS c1
+       |      FROM tk WHERE length(tok) > 0 GROUP BY 1),
+       |t AS (SELECT CAST(SUM(c0) AS BIGINT) AS t0,
+       |             CAST(SUM(c1) AS BIGINT) AS t1 FROM c),
+       |p AS (SELECT c0, c1, c0::DOUBLE / t0::DOUBLE AS p,
+       |             c1::DOUBLE / t1::DOUBLE AS q,
+       |             (c0::DOUBLE / t0::DOUBLE +
+       |              c1::DOUBLE / t1::DOUBLE) / 2.0 AS m
+       |      FROM c, t)
+       |SELECT
+       |  CAST(SUM(CASE WHEN c0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+       |  CAST(SUM(CASE WHEN c1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+       |  CAST(SUM(CASE WHEN c0 > 0 AND c1 > 0 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS v_shared,
+       |  ${sqlE6("SUM((CASE WHEN p > 0 THEN p * LN(p / m) ELSE 0.0 END) * 0.5 + (CASE WHEN q > 0 THEN q * LN(q / m) ELSE 0.0 END) * 0.5)")} AS jsd_e6,
+       |  ${sqlE6("SUM((CASE WHEN p > 0 THEN p * LN(p / m) ELSE 0.0 END) * 0.5 + (CASE WHEN q > 0 THEN q * LN(q / m) ELSE 0.0 END) * 0.5) / LN(2.0)")} AS jsd_bits_e6
+       |FROM p ORDER BY v0""".stripMargin
+
+  /** q253 oracle: per-brand log-log OLS slope + r2 from identical
+    * moment expressions. */
+  private val q253Sql: String =
+    s"""WITH li AS (SELECT p_brand AS brand,
+       |         LN(l_extendedprice * (1 - l_discount) / l_quantity)
+       |           AS x,
+       |         LN(l_quantity) AS y
+       |       FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |g AS (SELECT brand, COUNT(*) AS n, AVG(x) AS mx, AVG(y) AS my,
+       |             AVG(x * x) AS mx2, AVG(y * y) AS my2,
+       |             AVG(x * y) AS mxy
+       |      FROM li GROUP BY 1)
+       |SELECT brand, n,
+       |       ${sqlE6("(mxy - mx * my) / (mx2 - mx * mx)")} AS slope_e6,
+       |       ${sqlE6("(mxy - mx * my) * (mxy - mx * my) / ((mx2 - mx * mx) * (my2 - my * my))")} AS r2_e6
+       |FROM g ORDER BY brand""".stripMargin
+
+  /** q254 oracle: per-value collapse, 9-row grid cross, binary
+    * entropies with the same 0/1 guards, degenerate splits NULL. */
+  private val q254Sql: String = {
+    def bent(p: String): String =
+      s"(CASE WHEN ($p) > 0 AND ($p) < 1 THEN -(($p) * LN($p) + " +
+        s"(1 - ($p)) * LN(1 - ($p))) ELSE 0.0 END)"
+    val pPar = "pos_tot::DOUBLE / n_tot::DOUBLE"
+    val pLe = "pos_le::DOUBLE / n_le::DOUBLE"
+    val pGt = "pos_gt::DOUBLE / n_gt::DOUBLE"
+    val gain = s"${bent(pPar)} - (n_le::DOUBLE / n_tot::DOUBLE) * " +
+      s"${bent(pLe)} - (n_gt::DOUBLE / n_tot::DOUBLE) * ${bent(pGt)}"
+    s"""WITH pv AS (SELECT n_chars, COUNT(*) AS cnt,
+       |         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS pos
+       |       FROM documents GROUP BY 1),
+       |grid AS (SELECT range AS thr FROM range(100, 501, 50)),
+       |le AS (SELECT thr,
+       |         CAST(SUM(CASE WHEN n_chars <= thr THEN cnt ELSE 0
+       |              END) AS BIGINT) AS n_le,
+       |         CAST(SUM(CASE WHEN n_chars <= thr THEN pos ELSE 0
+       |              END) AS BIGINT) AS pos_le
+       |       FROM pv, grid GROUP BY 1),
+       |par AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tot,
+       |               CAST(SUM(pos) AS BIGINT) AS pos_tot FROM pv),
+       |j AS (SELECT thr, n_le, pos_le, n_tot - n_le AS n_gt,
+       |             pos_tot - pos_le AS pos_gt, n_tot, pos_tot
+       |      FROM le, par)
+       |SELECT thr, n_le, pos_le, n_gt, pos_gt,
+       |       CASE WHEN n_le > 0 AND n_gt > 0
+       |            THEN ${sqlE6(gain)} ELSE NULL END AS gain_e6
+       |FROM j ORDER BY thr""".stripMargin
+  }
+
+  /** q255 oracle: (lang, term) counts then singleton/doubleton
+    * rollup. */
+  private val q255Sql: String =
+    s"""WITH tk AS (
+       |  SELECT lang,
+       |         unnest(regexp_split_to_array(lower(trim(text)),
+       |                                      '\\s+')) AS tok
+       |  FROM documents),
+       |c AS (SELECT lang, tok, COUNT(*) AS c FROM tk
+       |      WHERE length(tok) > 0 GROUP BY 1, 2),
+       |g AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |             COUNT(*) AS v_types,
+       |             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+       |                  AS BIGINT) AS n1,
+       |             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+       |                  AS BIGINT) AS n2
+       |      FROM c GROUP BY 1)
+       |SELECT lang, n_tokens, v_types, n1, n2,
+       |       ${sqlE6("n1::DOUBLE / n_tokens::DOUBLE")} AS p_unseen_e6
+       |FROM g ORDER BY lang""".stripMargin
+
+  /** q256 oracle: one moment row, six unpivoted pair correlations. */
+  private val q256Sql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def corr(i: Int, j: Int): String =
+      sqlE6(s"(x$i$j - m$i * m$j) / SQRT((s$i - m$i * m$i) * " +
+        s"(s$j - m$j * m$j))")
+    val branches = (for { i <- 1 to 4; j <- (i + 1) to 4 } yield
+      s"""SELECT '${cols(i - 1)}' AS var1, '${cols(j - 1)}' AS var2,
+         |       n, ${corr(i, j)} AS corr_e6 FROM m""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH m AS (SELECT COUNT(*) AS n,
+       |  AVG(l_quantity) AS m1, AVG(l_extendedprice) AS m2,
+       |  AVG(l_discount) AS m3, AVG(l_tax) AS m4,
+       |  AVG(l_quantity * l_quantity) AS s1,
+       |  AVG(l_extendedprice * l_extendedprice) AS s2,
+       |  AVG(l_discount * l_discount) AS s3,
+       |  AVG(l_tax * l_tax) AS s4,
+       |  AVG(l_quantity * l_extendedprice) AS x12,
+       |  AVG(l_quantity * l_discount) AS x13,
+       |  AVG(l_quantity * l_tax) AS x14,
+       |  AVG(l_extendedprice * l_discount) AS x23,
+       |  AVG(l_extendedprice * l_tax) AS x24,
+       |  AVG(l_discount * l_tax) AS x34
+       |  FROM lineitem)
+       |$branches
+       |ORDER BY var1, var2""".stripMargin
+  }
+
+  /** q257 oracle: average-rank maps over the collapsed value tables,
+    * broadcast-style joins back, Pearson on ranks. */
+  private val q257Sql: String =
+    s"""WITH q AS (SELECT l_quantity AS v, COUNT(*) AS cnt
+       |           FROM lineitem GROUP BY 1),
+       |qr AS (SELECT v,
+       |         COALESCE(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN
+       |           UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE +
+       |         (cnt::DOUBLE + 1.0) / 2.0 AS rq
+       |       FROM q),
+       |d AS (SELECT l_discount AS v, COUNT(*) AS cnt
+       |      FROM lineitem GROUP BY 1),
+       |dr AS (SELECT v,
+       |         COALESCE(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN
+       |           UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE +
+       |         (cnt::DOUBLE + 1.0) / 2.0 AS rd
+       |       FROM d),
+       |j AS (SELECT rq, rd FROM lineitem
+       |      JOIN qr ON l_quantity = qr.v
+       |      JOIN dr ON l_discount = dr.v),
+       |g AS (SELECT COUNT(*) AS n, AVG(rq) AS mx, AVG(rd) AS my,
+       |             AVG(rq * rq) AS mx2, AVG(rd * rd) AS my2,
+       |             AVG(rq * rd) AS mxy
+       |      FROM j)
+       |SELECT n,
+       |       ${sqlE6("(mxy - mx * my) / SQRT((mx2 - mx * mx) * (my2 - my * my))")} AS rho_e6
+       |FROM g ORDER BY n""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q257_spearman" -> q257Sql,
+    "q256_corr_matrix" -> q256Sql,
+    "q255_good_turing" -> q255Sql,
+    "q254_stump_split" -> q254Sql,
+    "q253_elasticity" -> q253Sql,
+    "q252_jsd_drift" -> q252Sql,
+    "q251_ab_sig" -> q251Sql,
+    "q250_transition_entropy" -> q250Sql,
+    "q249_scd2_intervals" -> q249Sql,
     "q248_rev_bridge" -> q248Sql,
     "q247_dow_decompose" -> q247Sql,
     "q246_power_analysis" -> q246Sql,

@@ -391,7 +391,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     "q241_hill_tail",     // 1-row x_(k+1) bracket vs the top-k rows
     "q242_theil_index",   // 1-row mean bracket vs per-customer rows
     "q243_churn_label",   // 1-row max-day bracket vs per-user rows
-    "q245_trigram_coverage") // 1-row mass grand-total vs 3 head rows
+    "q245_trigram_coverage", // 1-row mass grand-total vs 3 head rows
+    "q252_jsd_drift",     // 1-row corpus-half totals vs vocab rows
+    "q254_stump_split")   // 9-row threshold grid + 1-row parent
+                          // bracket vs the collapsed per-value table
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
