@@ -3742,7 +3742,231 @@ object NorthStar {
       .ordered(col("n"))
   }
 
+  // q258 — held-out cross-entropy under an add-one-smoothed unigram
+  // LM: train on the even-doc_id half per language, score the odd
+  // half (OOV mass via the smoothing floor). Token-keyed left join +
+  // two bounded per-lang rollups — the CCNet-style LM quality filter
+  // at corpus scale.
+  private val q258: Q = (s, dir) => {
+    val tok = t(s, dir, "documents")
+      .select((col("doc_id") % 2L).as("side"), col("lang"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tr = tok.filter(col("side") === 0L)
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val trTot = tr.groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_train"), count(lit(1)).as("v_train"))
+    tok.filter(col("side") === 1L)
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("m"))
+      .join(tr, Seq("lang", "tok"), "left")
+      .join(trTot, Seq("lang"))
+      .withColumn("lp", log(
+        (coalesce(col("c"), lit(0L)).cast("double") + 1.0) /
+          (col("n_train") + col("v_train")).cast("double")))
+      .groupBy(col("lang"))
+      .agg(first(col("n_train")).as("n_train"),
+        first(col("v_train")).as("v_train"),
+        sum(col("m")).as("n_test"),
+        (-sum(col("m").cast("double") * col("lp")) /
+          sum(col("m")).cast("double")).as("xent"))
+      .select(col("lang"), col("n_train"), col("v_train"),
+        col("n_test"), e6(col("xent")).as("xent_e6"),
+        e6(exp(col("xent"))).as("ppl_e6"))
+      .ordered(col("lang"))
+  }
+
+  // q259 — empirical-rule coverage: share of values within 1/2/3
+  // sample standard deviations of the mean, per event type. Moments
+  // from one aggregate, re-joined equi on the 5-row type key — the
+  // "is this column roughly normal" profiling check.
+  private val q259: Q = (s, dir) => {
+    val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+    val m = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("mu"),
+        avg(col("value") * col("value")).as("m2"))
+      .withColumn("sd", sqrt((col("m2") - col("mu") * col("mu")) *
+        col("n").cast("double") / (col("n").cast("double") - 1.0)))
+    def within(k: Int): Column =
+      e6(sum(when(abs(col("value") - col("mu")) <=
+          lit(k.toDouble) * col("sd"), 1L).otherwise(0L))
+        .cast("double") / count(lit(1)).cast("double"))
+    ev.join(broadcast(m), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), within(1).as("within1_e6"),
+        within(2).as("within2_e6"), within(3).as("within3_e6"))
+      .ordered(col("event_type"))
+  }
+
+  // q260 — robust location estimates per event type: arithmetic,
+  // geometric, harmonic, and 90%-central trimmed means (trim set via
+  // percent_rank inside the type partition — deterministic on the
+  // value order both engines share). Geometric/harmonic are defined
+  // over the strictly-positive values (the corpus contains value=0
+  // rows at sf0.1 — ln/reciprocal guards, n_pos reported).
+  private val q260: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    t(s, dir, "events")
+      .select(col("event_type"), col("value"))
+      .withColumn("pr", percent_rank().over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > 0.0, 1L).otherwise(0L)).as("n_pos"),
+        e6(avg(col("value"))).as("mean_e6"),
+        e6(exp(avg(when(col("value") > 0.0, log(col("value"))))))
+          .as("geo_e6"),
+        e6(sum(when(col("value") > 0.0, 1L).otherwise(0L))
+          .cast("double") /
+          sum(when(col("value") > 0.0, lit(1.0) / col("value"))))
+          .as("harm_e6"),
+        e6(avg(when(col("pr") >= 0.05 && col("pr") <= 0.95,
+          col("value")))).as("trim_e6"))
+      .ordered(col("event_type"))
+  }
+
+  // q261 — referential-integrity audit: childless orders, orphan
+  // lineitems, and the exact-cents reconciliation of o_totalprice
+  // against the order's line extendedprice sum. Semi/anti joins plus
+  // two 1-row scalar brackets.
+  private val q261: Q = (s, dir) => {
+    val ord = t(s, dir, "orders").select(col("o_orderkey"),
+      expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("oc"))
+    val ls = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
+        .as("lc"))
+    val a = ord.join(ls, col("o_orderkey") === col("l_orderkey"), "left")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("lc").isNotNull, 1L).otherwise(0L))
+          .as("n_with_lines"),
+        sum(when(col("lc").isNull, 1L).otherwise(0L)).as("n_childless"),
+        e6(avg(when(col("lc").isNotNull, abs(col("oc") - col("lc"))
+          .cast("double")))).as("avg_absdiff_cents_e6"),
+        coalesce(max(when(col("lc").isNotNull,
+          abs(col("oc") - col("lc")))), lit(0L)).as("max_absdiff_cents"))
+    val orphans = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_lines"))
+    a.crossJoin(broadcast(orphans))
+      .select(col("n_orders"), col("n_with_lines"), col("n_childless"),
+        col("n_orphan_lines"), col("avg_absdiff_cents_e6"),
+        col("max_absdiff_cents"))
+      .ordered(col("n_orders"))
+  }
+
+  // q262 — zero-filled date-spine revenue: the daily order-revenue
+  // series on a gap-free day spine (sequence-exploded from the 1-row
+  // min/max bracket, never a driver loop), 7-day trailing sums,
+  // rolled up per month. The "dashboard series with no missing days"
+  // builder.
+  private val q262: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .select(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+        .cast("long").as("day"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("rev"))
+    val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    spine.join(daily, Seq("day"), "left")
+      .withColumn("rev", coalesce(col("rev"), lit(0L)))
+      .withColumn("t7", sum(col("rev")).over(w))
+      .groupBy(expr("day div 30").as("epoch_month"))
+      .agg(count(lit(1)).as("n_days"), sum(col("rev")).as("rev"),
+        min(col("t7")).as("t7_min"), max(col("t7")).as("t7_max"))
+      .ordered(col("epoch_month"))
+  }
+
+  // q263 — session pattern classes: 30-minute-gap sessions per user,
+  // each classified by the order of its first error vs first purchase
+  // (the MATCH_RECOGNIZE-style "did failures precede checkout"
+  // audit). One user-keyed window chain, integer counts.
+  private val q263: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val gap = 1800000000000L
+    t(s, dir, "events")
+      .withColumn("prev", lag(col("ts_ns"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("ts_ns") - col("prev") > gap, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(when(col("event_type") === "error", col("ts_ns")))
+          .as("te"),
+        min(when(col("event_type") === "purchase", col("ts_ns")))
+          .as("tp"))
+      .withColumn("pattern",
+        when(col("te").isNotNull && col("tp").isNotNull &&
+          col("te") < col("tp"), "error_then_purchase")
+        .when(col("te").isNotNull && col("tp").isNotNull,
+          "purchase_then_error")
+        .when(col("te").isNotNull, "error_only")
+        .when(col("tp").isNotNull, "purchase_only")
+        .otherwise("neither"))
+      .groupBy(col("pattern")).agg(count(lit(1)).as("n_sessions"))
+      .ordered(col("pattern"))
+  }
+
+  // q264 — day-over-day volatility per event type: sample std and max
+  // of log returns of the daily count series (lag inside the bounded
+  // type×day grid). The stability profile of an ingest stream.
+  private val q264: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    t(s, dir, "events")
+      .groupBy(col("event_type"), expr(s"ts_ns div $DayNs").as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .withColumn("r", log(col("n") / lag(col("n"), 1).over(w)))
+      .filter(col("r").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rets"), avg(col("r")).as("mr"),
+        avg(col("r") * col("r")).as("mr2"), max(abs(col("r"))).as("mx"))
+      .select(col("event_type"), col("n_rets"),
+        e6(sqrt((col("mr2") - col("mr") * col("mr")) *
+          col("n_rets").cast("double") /
+          (col("n_rets").cast("double") - 1.0))).as("vol_e6"),
+        e6(col("mx")).as("max_abs_ret_e6"))
+      .ordered(col("event_type"))
+  }
+
+  // q265 — year-over-year customer migration matrix: every customer
+  // classified retained / churned / new / inactive by 1996-vs-1997
+  // order activity, counted per market segment. One custkey-keyed
+  // flag aggregate left-joined onto the dimension.
+  private val q265: Q = (s, dir) => {
+    val fl = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .groupBy(col("o_custkey"))
+      .agg(max(when(year(col("o_orderdate")) === 1996, 1L).otherwise(0L))
+          .as("a96"),
+        max(when(year(col("o_orderdate")) === 1997, 1L).otherwise(0L))
+          .as("a97"))
+    t(s, dir, "customer")
+      .join(fl, col("c_custkey") === col("o_custkey"), "left")
+      .withColumn("status",
+        when(col("a96") === 1L && col("a97") === 1L, "retained")
+        .when(col("a96") === 1L, "churned")
+        .when(col("a97") === 1L, "new")
+        .otherwise("inactive"))
+      .groupBy(col("c_mktsegment").as("segment"), col("status"))
+      .agg(count(lit(1)).as("n_customers"))
+      .ordered(col("segment"), col("status"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q265_migration_matrix" -> q265,
+    "q264_volatility" -> q264,
+    "q263_pattern_sessions" -> q263,
+    "q262_revenue_spine" -> q262,
+    "q261_integrity_audit" -> q261,
+    "q260_robust_means" -> q260,
+    "q259_sigma_coverage" -> q259,
+    "q258_heldout_xent" -> q258,
     "q257_spearman" -> q257,
     "q256_corr_matrix" -> q256,
     "q255_good_turing" -> q255,
@@ -9545,7 +9769,199 @@ object NorthStar {
        |       ${sqlE6("(mxy - mx * my) / SQRT((mx2 - mx * mx) * (my2 - my * my))")} AS rho_e6
        |FROM g ORDER BY n""".stripMargin
 
+  /** q258 oracle: even-half add-one unigram LM, odd-half scoring,
+    * identical smoothing expression. */
+  private val q258Sql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id % 2 AS side, lang,
+       |         unnest(regexp_split_to_array(lower(trim(text)),
+       |                                      '\\s+')) AS tok
+       |  FROM documents),
+       |f AS (SELECT * FROM tk WHERE length(tok) > 0),
+       |tr AS (SELECT lang, tok, COUNT(*) AS c FROM f
+       |       WHERE side = 0 GROUP BY 1, 2),
+       |tt AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_train,
+       |              COUNT(*) AS v_train FROM tr GROUP BY 1),
+       |te AS (SELECT lang, tok, COUNT(*) AS m FROM f
+       |       WHERE side = 1 GROUP BY 1, 2),
+       |j AS (SELECT te.lang, te.m,
+       |             LN((COALESCE(tr.c, 0)::DOUBLE + 1.0) /
+       |                (tt.n_train + tt.v_train)::DOUBLE) AS lp,
+       |             tt.n_train, tt.v_train
+       |      FROM te LEFT JOIN tr ON te.lang = tr.lang
+       |                          AND te.tok = tr.tok
+       |      JOIN tt ON te.lang = tt.lang),
+       |g AS (SELECT lang, ANY_VALUE(n_train) AS n_train,
+       |             ANY_VALUE(v_train) AS v_train,
+       |             CAST(SUM(m) AS BIGINT) AS n_test,
+       |             -SUM(m::DOUBLE * lp) / SUM(m)::DOUBLE AS xent
+       |      FROM j GROUP BY 1)
+       |SELECT lang, n_train, v_train, n_test,
+       |       ${sqlE6("xent")} AS xent_e6, ${sqlE6("EXP(xent)")} AS ppl_e6
+       |FROM g ORDER BY lang""".stripMargin
+
+  /** q259 oracle: sample-sd moments re-joined on the type key, the
+    * same 1/2/3-sigma conditional shares. */
+  private val q259Sql: String = {
+    def w(k: Int): String = sqlE6(
+      s"SUM(CASE WHEN ABS(value - mu) <= $k.0 * sd THEN 1 ELSE 0 " +
+        "END)::DOUBLE / COUNT(*)::DOUBLE")
+    s"""WITH m AS (SELECT event_type, COUNT(*) AS n, AVG(value) AS mu,
+       |                  AVG(value * value) AS m2
+       |           FROM events GROUP BY 1),
+       |s AS (SELECT event_type, n, mu,
+       |             SQRT((m2 - mu * mu) * n::DOUBLE /
+       |                  (n::DOUBLE - 1.0)) AS sd
+       |      FROM m),
+       |j AS (SELECT e.event_type, e.value, s.mu, s.sd
+       |      FROM events e JOIN s ON e.event_type = s.event_type)
+       |SELECT event_type, COUNT(*) AS n, ${w(1)} AS within1_e6,
+       |       ${w(2)} AS within2_e6, ${w(3)} AS within3_e6
+       |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin
+  }
+
+  /** q260 oracle: percent_rank trim window, identical mean
+    * expressions. */
+  private val q260Sql: String =
+    s"""WITH r AS (SELECT event_type, value,
+       |             PERCENT_RANK() OVER (PARTITION BY event_type
+       |                                  ORDER BY value) AS pr
+       |           FROM events)
+       |SELECT event_type, COUNT(*) AS n,
+       |       CAST(SUM(CASE WHEN value > 0 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_pos,
+       |       ${sqlE6("AVG(value)")} AS mean_e6,
+       |       ${sqlE6("EXP(AVG(CASE WHEN value > 0 THEN LN(value) END))")} AS geo_e6,
+       |       ${sqlE6("SUM(CASE WHEN value > 0 THEN 1 ELSE 0 END)::DOUBLE / SUM(CASE WHEN value > 0 THEN 1.0 / value END)")} AS harm_e6,
+       |       ${sqlE6("AVG(CASE WHEN pr >= 0.05 AND pr <= 0.95 THEN value END)")} AS trim_e6
+       |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** q261 oracle: left-join reconciliation in exact cents + anti-join
+    * orphan count. */
+  private val q261Sql: String =
+    s"""WITH ls AS (SELECT l_orderkey,
+       |         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+       |              AS BIGINT) AS lc
+       |       FROM lineitem GROUP BY 1),
+       |a AS (SELECT COUNT(*) AS n_orders,
+       |        CAST(SUM(CASE WHEN lc IS NOT NULL THEN 1 ELSE 0 END)
+       |             AS BIGINT) AS n_with_lines,
+       |        CAST(SUM(CASE WHEN lc IS NULL THEN 1 ELSE 0 END)
+       |             AS BIGINT) AS n_childless,
+       |        ${sqlE6("AVG(CASE WHEN lc IS NOT NULL THEN ABS(CAST(ROUND(o_totalprice * 100) AS BIGINT) - lc)::DOUBLE END)")} AS avg_absdiff_cents_e6,
+       |        CAST(COALESCE(MAX(CASE WHEN lc IS NOT NULL THEN
+       |          ABS(CAST(ROUND(o_totalprice * 100) AS BIGINT) - lc)
+       |          END), 0) AS BIGINT) AS max_absdiff_cents
+       |      FROM orders LEFT JOIN ls ON o_orderkey = l_orderkey),
+       |o AS (SELECT COUNT(*) AS n_orphan_lines FROM lineitem
+       |      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+       |SELECT n_orders, n_with_lines, n_childless, n_orphan_lines,
+       |       avg_absdiff_cents_e6, max_absdiff_cents
+       |FROM a, o ORDER BY n_orders""".stripMargin
+
+  /** q262 oracle: range() day spine, zero-filled left join, 7-day
+    * trailing window, 30-day-bucket rollup. */
+  private val q262Sql: String =
+    s"""WITH daily AS (SELECT
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |           AS day,
+       |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+       |              AS BIGINT) AS rev
+       |       FROM orders GROUP BY 1),
+       |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |spine AS (SELECT unnest(range(b.d0, b.d1 + 1)) AS day FROM b),
+       |z AS (SELECT s.day, COALESCE(d.rev, 0) AS rev
+       |      FROM spine s LEFT JOIN daily d ON s.day = d.day),
+       |t AS (SELECT day, rev,
+       |        CAST(SUM(rev) OVER (ORDER BY day ROWS BETWEEN 6
+       |             PRECEDING AND CURRENT ROW) AS BIGINT) AS t7
+       |      FROM z)
+       |SELECT day // 30 AS epoch_month, COUNT(*) AS n_days,
+       |       CAST(SUM(rev) AS BIGINT) AS rev,
+       |       CAST(MIN(t7) AS BIGINT) AS t7_min,
+       |       CAST(MAX(t7) AS BIGINT) AS t7_max
+       |FROM t GROUP BY 1 ORDER BY epoch_month""".stripMargin
+
+  /** q263 oracle: 30-min-gap sessions, first-error vs first-purchase
+    * ordering classes. */
+  private val q263Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |                  epoch_us(ts) * 1000 AS ts_ns FROM events),
+       |l AS (SELECT *, CASE WHEN LAG(ts_ns) OVER w IS NULL
+       |                       OR ts_ns - LAG(ts_ns) OVER w
+       |                          > 1800000000000
+       |                     THEN 1 ELSE 0 END AS brk
+       |      FROM e WINDOW w AS (PARTITION BY user_id
+       |                          ORDER BY ts_ns, event_id)),
+       |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+       |        ORDER BY ts_ns, event_id ROWS UNBOUNDED PRECEDING)
+       |        AS sess FROM l),
+       |g AS (SELECT user_id, sess,
+       |        MIN(CASE WHEN event_type = 'error' THEN ts_ns END)
+       |          AS te,
+       |        MIN(CASE WHEN event_type = 'purchase' THEN ts_ns END)
+       |          AS tp
+       |      FROM s GROUP BY 1, 2),
+       |c AS (SELECT CASE
+       |        WHEN te IS NOT NULL AND tp IS NOT NULL AND te < tp
+       |          THEN 'error_then_purchase'
+       |        WHEN te IS NOT NULL AND tp IS NOT NULL
+       |          THEN 'purchase_then_error'
+       |        WHEN te IS NOT NULL THEN 'error_only'
+       |        WHEN tp IS NOT NULL THEN 'purchase_only'
+       |        ELSE 'neither' END AS pattern
+       |      FROM g)
+       |SELECT pattern, COUNT(*) AS n_sessions FROM c
+       |GROUP BY 1 ORDER BY pattern""".stripMargin
+
+  /** q264 oracle: daily type counts, LAG log returns, sample-sd
+    * moments. */
+  private val q264Sql: String =
+    s"""WITH d AS (SELECT event_type,
+       |                  epoch_us(ts) * 1000 // $DayNs AS day,
+       |                  COUNT(*)::DOUBLE AS n
+       |           FROM events GROUP BY 1, 2),
+       |r AS (SELECT event_type,
+       |             LN(n / LAG(n) OVER (PARTITION BY event_type
+       |                                 ORDER BY day)) AS r
+       |      FROM d),
+       |f AS (SELECT * FROM r WHERE r IS NOT NULL),
+       |g AS (SELECT event_type, COUNT(*) AS n_rets, AVG(r) AS mr,
+       |             AVG(r * r) AS mr2, MAX(ABS(r)) AS mx
+       |      FROM f GROUP BY 1)
+       |SELECT event_type, n_rets,
+       |       ${sqlE6("SQRT((mr2 - mr * mr) * n_rets::DOUBLE / (n_rets::DOUBLE - 1.0))")} AS vol_e6,
+       |       ${sqlE6("mx")} AS max_abs_ret_e6
+       |FROM g ORDER BY event_type""".stripMargin
+
+  /** q265 oracle: 1996/1997 activity flags left-joined onto the
+    * customer dimension. */
+  private val q265Sql: String =
+    s"""WITH fl AS (SELECT o_custkey,
+       |         MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0
+       |             END) AS a96,
+       |         MAX(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0
+       |             END) AS a97
+       |       FROM orders
+       |       WHERE year(o_orderdate) IN (1996, 1997) GROUP BY 1)
+       |SELECT c_mktsegment AS segment,
+       |       CASE WHEN a96 = 1 AND a97 = 1 THEN 'retained'
+       |            WHEN a96 = 1 THEN 'churned'
+       |            WHEN a97 = 1 THEN 'new'
+       |            ELSE 'inactive' END AS status,
+       |       COUNT(*) AS n_customers
+       |FROM customer LEFT JOIN fl ON c_custkey = o_custkey
+       |GROUP BY 1, 2 ORDER BY segment, status""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q265_migration_matrix" -> q265Sql,
+    "q264_volatility" -> q264Sql,
+    "q263_pattern_sessions" -> q263Sql,
+    "q262_revenue_spine" -> q262Sql,
+    "q261_integrity_audit" -> q261Sql,
+    "q260_robust_means" -> q260Sql,
+    "q259_sigma_coverage" -> q259Sql,
+    "q258_heldout_xent" -> q258Sql,
     "q257_spearman" -> q257Sql,
     "q256_corr_matrix" -> q256Sql,
     "q255_good_turing" -> q255Sql,

@@ -393,8 +393,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     "q243_churn_label",   // 1-row max-day bracket vs per-user rows
     "q245_trigram_coverage", // 1-row mass grand-total vs 3 head rows
     "q252_jsd_drift",     // 1-row corpus-half totals vs vocab rows
-    "q254_stump_split")   // 9-row threshold grid + 1-row parent
+    "q254_stump_split",   // 9-row threshold grid + 1-row parent
                           // bracket vs the collapsed per-value table
+    "q261_integrity_audit") // 1-row orphan-count bracket vs the 1-row
+                          // reconciliation aggregate
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
