@@ -3958,7 +3958,526 @@ object NorthStar {
       .ordered(col("segment"), col("status"))
   }
 
+  // q266 — new-vs-repeat monthly revenue split: each order flagged
+  // against its customer's first-order month (one custkey-keyed
+  // aggregate joined back), rolled up per calendar month in exact
+  // cents. The acquisition-vs-retention revenue mix every
+  // subscription dashboard leads with.
+  private val q266: Q = (s, dir) => {
+    val om = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("c"))
+    val firstM = om.groupBy(col("o_custkey")).agg(min(col("m")).as("m0"))
+    om.join(firstM, Seq("o_custkey"))
+      .withColumn("repeat", col("m") > col("m0"))
+      .groupBy(col("m"))
+      .agg(sum(when(!col("repeat"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("repeat"), 1L).otherwise(0L)).as("n_repeat"),
+        sum(when(!col("repeat"), col("c")).otherwise(0L)).as("rev_new"),
+        sum(when(col("repeat"), col("c")).otherwise(0L)).as("rev_repeat"))
+      .ordered(col("m"))
+  }
+
+  // q267 — multiclass eval of the q81 Naive Bayes language
+  // classifier: per-class confusion totals and precision / recall /
+  // F1 from the 25-cell (label, pred) matrix. Never-predicted classes
+  // yield NULL precision rather than a divide-by-zero.
+  private val q267: Q = (s, dir) => {
+    val cm = CurationOps.naiveBayesLang(t(s, dir, "documents"),
+        "doc_id", "text", "lang")
+      .groupBy(col("label"), col("pred")).agg(count(lit(1)).as("n"))
+    val byTrue = cm.groupBy(col("label"))
+      .agg(sum(col("n")).as("n_true"),
+        sum(when(col("pred") === col("label"), col("n")).otherwise(0L))
+          .as("tp"))
+    val byPred = cm.groupBy(col("pred")).agg(sum(col("n")).as("n_pred"))
+    byTrue.join(byPred, col("label") === col("pred"), "left")
+      .withColumn("prec", when(col("n_pred") > 0L,
+        col("tp").cast("double") / col("n_pred").cast("double")))
+      .withColumn("rec",
+        col("tp").cast("double") / col("n_true").cast("double"))
+      .select(col("label"), col("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"), col("tp"),
+        e6(col("prec")).as("prec_e6"), e6(col("rec")).as("rec_e6"),
+        when(col("prec").isNotNull && col("prec") + col("rec") > 0.0,
+          e6(lit(2.0) * col("prec") * col("rec") /
+            (col("prec") + col("rec"))))
+          .otherwise(lit(null).cast("long")).as("f1_e6"))
+      .ordered(col("label"))
+  }
+
+  // q268 — ship-latency SLA by supplier nation: days from order date
+  // to line ship date (fact-fact equi-join on orderkey, then two
+  // broadcast dimension hops), share of lines slower than 90 days and
+  // mean slip among the slow. The per-sourcing-geography scorecard.
+  private val q268: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_shipdate").cast("date").as("ship"))
+      .join(t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("odate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"),
+        datediff(col("ship"), col("odate")).cast("long").as("slip"))
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("slip") > 90L, 1L).otherwise(0L)).as("n_late"),
+        e6(sum(when(col("slip") > 90L, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double"))
+          .as("late_share_e6"),
+        e6(avg(when(col("slip") > 90L, col("slip").cast("double"))))
+          .as("avg_slip_e6"))
+      .ordered(col("n_name"))
+  }
+
+  // q269 — weighted quantiles: revenue-weighted p50/p90 of order
+  // quantity per return flag. The big table collapses to the ~50
+  // distinct quantity values per flag FIRST (exact cents weights),
+  // so the cumulative-weight scan runs on a bounded grid.
+  private val q269: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val v = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("q"))
+      .agg(sum(expr(
+        "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        .as("w"))
+    val w = Window.partitionBy(col("flag")).orderBy(col("q"))
+    val tot = v.groupBy(col("flag")).agg(sum(col("w")).as("tw"))
+    v.withColumn("cw", sum(col("w")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(tot, Seq("flag"))
+      .groupBy(col("flag"))
+      .agg(first(col("tw")).as("total_w"),
+        min(when(col("cw").cast("double") >=
+          lit(0.5) * col("tw").cast("double"), col("q"))).as("p50_q"),
+        min(when(col("cw").cast("double") >=
+          lit(0.9) * col("tw").cast("double"), col("q"))).as("p90_q"))
+      .ordered(col("flag"))
+  }
+
+  // q270 — two-way ANOVA of event value on type x weekday: sum-of-
+  // squares decomposition (main effects, interaction, residual) and
+  // eta-squared shares, all from the exact-cents 35-cell table.
+  // Absolute SS are pinned as whole-unit BIGINTs (the 35-term double
+  // folds agree far inside 0.5); shares are e6 ratios.
+  private val q270: Q = (s, dir) => {
+    val cells = t(s, dir, "events")
+      .select(col("event_type").as("a"),
+        (expr(s"ts_ns div $DayNs") % 7L).as("b"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("vc"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("sv"),
+        sum(col("vc") * col("vc")).as("sv2"))
+    val grand = cells.agg(sum(col("n")).as("nn"), sum(col("sv")).as("gs"),
+      sum(col("sv2")).as("gs2"))
+    val ac = cells.groupBy(col("a"))
+      .agg(sum(col("n")).as("na"), sum(col("sv")).as("sa"))
+    val bc = cells.groupBy(col("b"))
+      .agg(sum(col("n")).as("nb"), sum(col("sv")).as("sb"))
+    def cc(c: Column): Column = c.cast("double")
+    val gm = cc(col("gs")) / cc(col("nn"))
+    val ssa = ac.crossJoin(broadcast(grand))
+      .agg(sum(cc(col("na")) *
+        (cc(col("sa")) / cc(col("na")) - gm) *
+        (cc(col("sa")) / cc(col("na")) - gm)).as("ss_a"))
+    val ssb = bc.crossJoin(broadcast(grand))
+      .agg(sum(cc(col("nb")) *
+        (cc(col("sb")) / cc(col("nb")) - gm) *
+        (cc(col("sb")) / cc(col("nb")) - gm)).as("ss_b"))
+    val ssc = cells.crossJoin(broadcast(grand))
+      .agg(sum(cc(col("n")) *
+        (cc(col("sv")) / cc(col("n")) - gm) *
+        (cc(col("sv")) / cc(col("n")) - gm)).as("ss_cells"))
+    val sst = grand.select(col("nn"),
+      (cc(col("gs2")) - cc(col("nn")) *
+        (cc(col("gs")) / cc(col("nn"))) *
+        (cc(col("gs")) / cc(col("nn")))).as("ss_tot"))
+    sst.crossJoin(broadcast(ssa)).crossJoin(broadcast(ssb))
+      .crossJoin(broadcast(ssc))
+      .select(col("nn").as("n"),
+        round(col("ss_a") / 1e4, 0).cast("long").as("ss_a"),
+        round(col("ss_b") / 1e4, 0).cast("long").as("ss_b"),
+        round((col("ss_cells") - col("ss_a") - col("ss_b")) / 1e4, 0)
+          .cast("long").as("ss_ab"),
+        round((col("ss_tot") - col("ss_cells")) / 1e4, 0)
+          .cast("long").as("ss_resid"),
+        e6(col("ss_a") / col("ss_tot")).as("eta2_a_e6"),
+        e6(col("ss_b") / col("ss_tot")).as("eta2_b_e6"),
+        e6((col("ss_cells") - col("ss_a") - col("ss_b")) /
+          col("ss_tot")).as("eta2_ab_e6"))
+      .ordered(col("n"))
+  }
+
+  // q271 — conversion by session entry type: 30-minute-gap sessions
+  // keyed by their first event (first_value over the session window),
+  // purchase rate per entry. The landing-page-effectiveness cut of
+  // the q263 machinery.
+  private val q271: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val gap = 1800000000000L
+    val sess = t(s, dir, "events")
+      .withColumn("prev", lag(col("ts_ns"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("ts_ns") - col("prev") > gap, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val w3 = Window.partitionBy(col("user_id"), col("sess"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    sess.withColumn("entry", first(col("event_type")).over(w3))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(max(col("entry")).as("entry"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      .groupBy(col("entry"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("conv")).as("n_conv"))
+      .select(col("entry"), col("n_sessions"), col("n_conv"),
+        e6(col("n_conv").cast("double") /
+          col("n_sessions").cast("double")).as("conv_e6"))
+      .ordered(col("entry"))
+  }
+
+  // q272 — order-size dispersion: lines-per-order histogram vs the
+  // Poisson(lambda = mean) expectation, plus the variance/mean
+  // dispersion index (1-row moment bracket; overdispersion => the
+  // independence assumption fails).
+  private val q272: Q = (s, dir) => {
+    val k = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("k"))
+    val hist = k.groupBy(col("k")).agg(count(lit(1)).as("n_orders"))
+    val mom = k.agg(count(lit(1)).as("nn"),
+      avg(col("k").cast("double")).as("lam"),
+      avg(col("k").cast("double") * col("k").cast("double")).as("m2"))
+    hist.crossJoin(broadcast(mom))
+      .select(col("k"), col("n_orders"),
+        e6(col("nn").cast("double") * exp(-col("lam")) *
+          pow(col("lam"), col("k").cast("double")) /
+          factorial(col("k").cast("int")).cast("double"))
+          .as("expected_e6"),
+        e6(col("lam")).as("lambda_e6"),
+        e6((col("m2") - col("lam") * col("lam")) *
+          col("nn").cast("double") / (col("nn").cast("double") - 1.0) /
+          col("lam")).as("dispersion_e6"))
+      .ordered(col("k"))
+  }
+
+  // q273 — quantity x discount pricing heatmap: 2-D equi-width bins
+  // (5 quantity bands x 6 discount bands), line counts and mean net
+  // revenue per cell. Numeric-axis binning is one projection — the
+  // profiling companion to q236's categorical grid.
+  private val q273: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .select(expr("CAST(l_quantity AS BIGINT) - 1").as("qi"),
+        expr("CAST(ROUND(l_discount * 100) AS BIGINT)").as("di"),
+        expr("CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+          .as("c"))
+      .groupBy(expr("qi div 10").as("q_band"),
+        expr("di div 2").as("d_band"))
+      .agg(count(lit(1)).as("n"),
+        e6(avg(col("c").cast("double")) / 100.0).as("avg_net_e6"))
+      .ordered(col("q_band"), col("d_band"))
+  }
+
+  // q274 — threshold-free ranking eval: AUC of the per-user click
+  // count scoring "heavy purchaser" (the q231 task without the fixed
+  // cutoff), via the midrank/Mann-Whitney identity on the collapsed
+  // score histogram — the big table reduces to ~20 (score, n_pos,
+  // n_neg) rows before the single bounded cumulative scan.
+  private val q274: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val per = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("score"),
+        (sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          >= 13L).as("pos"))
+    val hist = per.groupBy(col("score"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum_nn", sum(col("nn")).over(w))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np").cast("double") *
+          ((col("cum_nn") - col("nn")).cast("double") +
+            col("nn").cast("double") / 2.0)).as("num"))
+      .select(col("n_pos"), col("n_neg"),
+        e6(col("num") / (col("n_pos").cast("double") *
+          col("n_neg").cast("double"))).as("auc_e6"),
+        e6(lit(2.0) * col("num") / (col("n_pos").cast("double") *
+          col("n_neg").cast("double")) - lit(1.0)).as("gini_e6"))
+      .ordered(col("n_pos"))
+  }
+
+  // q275 — rolling-origin forecast backtest: one-step-ahead errors of
+  // naive / seasonal-naive-7 / trailing-MA-7 on the zero-filled daily
+  // revenue spine, MAE / RMSE / MAPE per method. Model selection by
+  // walk-forward evidence instead of a single fit. MA-7 is an exact
+  // BIGINT window sum divided once, so both engines see identical
+  // forecasts.
+  private val q275: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .select(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+        .cast("long").as("day"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("rev"))
+    val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.orderBy(col("day"))
+    val z = spine.join(daily, Seq("day"), "left")
+      .withColumn("rev", coalesce(col("rev"), lit(0L)))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("naive", lag(col("rev"), 1).over(w))
+      .withColumn("snaive", lag(col("rev"), 7).over(w))
+      .withColumn("ma7", sum(col("rev")).over(w.rowsBetween(-7, -1))
+        .cast("double") / 7.0)
+      .filter(col("rn") > 7)
+    z.selectExpr("rev",
+        "stack(3, 'naive', CAST(naive AS DOUBLE), " +
+          "'snaive', CAST(snaive AS DOUBLE), 'ma7', ma7) " +
+          "AS (method, fc)")
+      .withColumn("err", col("fc") - col("rev").cast("double"))
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n_days"),
+        e6(avg(abs(col("err"))) / 100.0).as("mae_e6"),
+        e6(sqrt(avg(col("err") * col("err"))) / 100.0).as("rmse_e6"),
+        e6(avg(when(col("rev") > 0L,
+          abs(col("err")) / col("rev").cast("double")))).as("mape_e6"))
+      .ordered(col("method"))
+  }
+
+  // q276 — Adamic-Adar link prediction between suppliers through
+  // shared parts: distinct (part, supplier) edges, hub parts capped
+  // at degree 30 BEFORE the wedge self-join (the standard bound that
+  // keeps common-neighbor enumeration linear in edges), pair score =
+  // sum of 1/ln(deg) over shared parts, pairs sharing >= 2 parts.
+  private val q276: Q = (s, dir) => {
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    val deg = edges.groupBy(col("p")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= 2L && col("d") <= 30L)
+    val e = edges.join(deg, Seq("p"))
+    e.select(col("p"), col("s").as("s1"), col("d"))
+      .join(e.select(col("p"), col("s").as("s2")), Seq("p"))
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(lit(1.0) / log(col("d").cast("double"))).as("aa"))
+      .filter(col("n_common") >= 2L)
+      .select(col("s1"), col("s2"), col("n_common"),
+        e6(col("aa")).as("aa_e6"))
+      .ordered(col("s1"), col("s2"))
+  }
+
+  // q277 — duplicate-payment candidates: orders blocked on
+  // (customer, $100 amount band) — equality blocking shrinks the
+  // self-join to within-block pairs — then pairs of distinct orders
+  // whose dates fall within 45 days. The integrity sweep every AP
+  // system runs before month-close.
+  private val q277: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey").as("cust"), col("o_orderkey").as("k"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("c"),
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+          .cast("long").as("day"))
+      .withColumn("band", expr("c div 10000"))
+    o.select(col("cust"), col("band"), col("k").as("k1"),
+        col("c").as("c1"), col("day").as("d1"))
+      .join(o.select(col("cust"), col("band"), col("k").as("k2"),
+        col("c").as("c2"), col("day").as("d2")), Seq("cust", "band"))
+      .filter(col("k1") < col("k2") &&
+        abs(col("d1") - col("d2")) <= 45L)
+      .select(col("cust"), col("k1"), col("k2"), col("c1"), col("c2"),
+        abs(col("d1") - col("d2")).as("day_gap"))
+      .ordered(col("cust"), col("k1"), col("k2"))
+  }
+
+  // q278 — Gaussian KDE profile of order value on a 25-point grid:
+  // the fact table collapses to a $100-bin histogram first, so the
+  // kernel sum is grid x bins (bounded), not grid x rows. Output is
+  // the expected order count per $1000 band at each grid point — the
+  // smooth distribution profile a pricing dashboard plots.
+  private val q278: Q = (s, dir) => {
+    val cents = t(s, dir, "orders")
+      .select(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("c"))
+    val hist = cents.groupBy(expr("c div 10000").as("bin"))
+      .agg(count(lit(1)).as("nb"))
+    val st = cents.agg(count(lit(1)).as("n"), min(col("c")).as("mn"),
+      max(col("c")).as("mx"))
+    val grid = st.select(col("n"), col("mn"), col("mx"),
+        explode(sequence(lit(0), lit(24))).as("i"))
+      .withColumn("g", col("mn").cast("double") / 100.0 +
+        col("i").cast("double") *
+          ((col("mx") - col("mn")).cast("double") / 100.0) / 24.0)
+      .withColumn("h",
+        ((col("mx") - col("mn")).cast("double") / 100.0) / 20.0)
+    grid.crossJoin(hist)
+      .withColumn("z", (col("g") -
+        (col("bin").cast("double") * 100.0 + 50.0)) / col("h"))
+      .groupBy(col("i"), col("g"), col("h"), col("n"))
+      .agg(sum(col("nb").cast("double") *
+        exp(col("z") * col("z") * -0.5)).as("ksum"))
+      .select(col("i"),
+        e6(col("g")).as("g_e6"),
+        e6(col("ksum") / (col("h") * lit(math.sqrt(2.0 * math.Pi))) *
+          lit(1000.0)).as("exp_per_1k_e6"))
+      .ordered(col("i"))
+  }
+
+  // q279 — Gaussian Naive Bayes language classifier from three
+  // integer character statistics (chars, digits, spaces): class
+  // means/variances come from exact BIGINT power sums (bit-identical
+  // cross-engine), scoring is one broadcast of the 5-class stats
+  // table, argmax by (score, lang) window rank, confusion rollup.
+  // The numeric-feature complement of the q81 multinomial NB.
+  private val q279: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val f = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang").as("label"),
+        length(col("text")).cast("long").as("x1"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("long").as("x2"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), " ", "")))
+          .cast("long").as("x3"))
+    val st = f.groupBy(col("label").as("cl"))
+      .agg(count(lit(1)).as("nc"),
+        sum(col("x1")).as("s1a"), sum(col("x1") * col("x1")).as("s2a"),
+        sum(col("x2")).as("s1b"), sum(col("x2") * col("x2")).as("s2b"),
+        sum(col("x3")).as("s1c"), sum(col("x3") * col("x3")).as("s2c"))
+    val tot = f.agg(count(lit(1)).as("nt"))
+    def mu(s1: String): Column =
+      col(s1).cast("double") / col("nc").cast("double")
+    def va(s1: String, s2: String): Column = greatest(
+      (col("nc") * col(s2) - col(s1) * col(s1)).cast("double") /
+        (col("nc") * col("nc")).cast("double"), lit(0.5))
+    def term(x: String, s1: String, s2: String): Column = {
+      val m = mu(s1); val v = va(s1, s2)
+      log(v) * -0.5 - (col(x).cast("double") - m) *
+        (col(x).cast("double") - m) / (v * 2.0)
+    }
+    val scored = f.crossJoin(broadcast(st.crossJoin(tot)))
+      .withColumn("score",
+        term("x1", "s1a", "s2a") + term("x2", "s1b", "s2b") +
+          term("x3", "s1c", "s2c") +
+          log(col("nc").cast("double") / col("nt").cast("double")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cl"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("label"), col("cl").as("pred"))
+      .agg(count(lit(1)).as("n"))
+      .ordered(col("label"), col("pred"))
+  }
+
+  // q280 — one-pass deterministic Poisson bootstrap of mean order
+  // value: 64 replicates materialized as md5-derived Poisson(1)
+  // weights (integer threshold compare on the hash — no engine RNG,
+  // no data reshuffle; the explode is map-side and collapses straight
+  // into 64 partial-agg groups). Replicate sums are exact BIGINTs.
+  private val q280: Q = (s, dir) => {
+    // floor(CDF_Poisson(1)(k) * 2^32) for k = 0..7; u >= all => 8.
+    val thr = Seq(1580030169L, 3160060337L, 3950075422L, 4213413783L,
+      4279248374L, 4292415292L, 4294609778L, 4294923276L)
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("c"))
+      .withColumn("b", explode(sequence(lit(1), lit(64))))
+      .withColumn("u", CurationOps.md5Hash32(
+        concat(lit("boot:"), col("b").cast("string"), lit(":"),
+          col("k").cast("string"))))
+      .withColumn("w", thr.foldLeft(lit(0L)) { (acc, t) =>
+        acc + when(col("u") >= lit(t), 1L).otherwise(0L) })
+    val reps = o.groupBy(col("b"))
+      .agg(sum(col("w")).as("ws"), sum(col("w") * col("c")).as("wx"))
+      .select((col("wx").cast("double") / col("ws").cast("double") /
+        100.0).as("m"))
+    val base = t(s, dir, "orders")
+      .agg(count(lit(1)).as("n_orders"),
+        avg(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+          .cast("double")).as("mean_c"))
+    reps.agg(count(lit(1)).as("n_reps"), e6(avg(col("m"))).as("boot_mean_e6"),
+        e6(stddev_samp(col("m"))).as("boot_se_e6"),
+        e6(min(col("m"))).as("boot_min_e6"),
+        e6(max(col("m"))).as("boot_max_e6"))
+      .crossJoin(broadcast(base))
+      .select(col("n_orders"), col("n_reps"),
+        e6(col("mean_c") / 100.0).as("mean_e6"), col("boot_mean_e6"),
+        col("boot_se_e6"), col("boot_min_e6"), col("boot_max_e6"))
+      .ordered(col("n_orders"))
+  }
+
+  // q281 — whale concentration trend: global exact p99 order-value
+  // threshold from a two-level prefix sum over the cents histogram
+  // ($1000-band partial sums first, so no single-partition scan of
+  // the distinct-value grid), then per-month revenue share of orders
+  // at or above it.
+  private val q281: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders")
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("m"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("c"))
+    val hist = o.groupBy(col("c")).agg(count(lit(1)).as("n"))
+      .withColumn("bkt", expr("c div 100000"))
+    val bktTot = hist.groupBy(col("bkt")).agg(sum(col("n")).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(
+        Window.orderBy(col("bkt")).rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+    val nTot = o.agg(count(lit(1)).as("nt"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist.join(bktTot, Seq("bkt"))
+      .withColumn("cum", col("off") + sum(col("n")).over(wIn))
+      .crossJoin(broadcast(nTot))
+      .filter(col("cum").cast("double") >=
+        col("nt").cast("double") * 0.99)
+      .agg(min(col("c")).as("thr"))
+    o.crossJoin(broadcast(thr))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("c") >= col("thr"), 1L).otherwise(0L))
+          .as("n_whale"),
+        sum(col("c")).as("rev"),
+        sum(when(col("c") >= col("thr"), col("c")).otherwise(0L))
+          .as("whale_rev"),
+        max(col("thr")).as("thr"))
+      .withColumn("share_e6", e6(col("whale_rev").cast("double") /
+        col("rev").cast("double")))
+      .ordered(col("m"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q281_whale_share" -> q281,
+    "q280_poisson_bootstrap" -> q280,
+    "q279_gaussian_nb" -> q279,
+    "q278_kde_profile" -> q278,
+    "q277_dup_invoices" -> q277,
+    "q276_adamic_adar" -> q276,
+    "q275_backtest" -> q275,
+    "q274_auc_rank" -> q274,
+    "q273_price_heatmap" -> q273,
+    "q272_order_size_dispersion" -> q272,
+    "q271_entry_conversion" -> q271,
+    "q270_two_way_anova" -> q270,
+    "q269_weighted_median" -> q269,
+    "q268_late_lines" -> q268,
+    "q267_nb_confusion" -> q267,
+    "q266_new_vs_repeat" -> q266,
     "q265_migration_matrix" -> q265,
     "q264_volatility" -> q264,
     "q263_pattern_sessions" -> q263,
@@ -9953,7 +10472,418 @@ object NorthStar {
        |FROM customer LEFT JOIN fl ON c_custkey = o_custkey
        |GROUP BY 1, 2 ORDER BY segment, status""".stripMargin
 
+  /** q266 oracle: first-order month per customer joined back, exact
+    * cents. */
+  private val q266Sql: String =
+    s"""WITH om AS (SELECT o_custkey,
+       |         year(o_orderdate) * 12 + month(o_orderdate) AS m,
+       |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+       |       FROM orders),
+       |f AS (SELECT o_custkey, MIN(m) AS m0 FROM om GROUP BY 1)
+       |SELECT om.m AS m,
+       |  CAST(SUM(CASE WHEN om.m <= f.m0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_new,
+       |  CAST(SUM(CASE WHEN om.m > f.m0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_repeat,
+       |  CAST(SUM(CASE WHEN om.m <= f.m0 THEN c ELSE 0 END) AS BIGINT)
+       |    AS rev_new,
+       |  CAST(SUM(CASE WHEN om.m > f.m0 THEN c ELSE 0 END) AS BIGINT)
+       |    AS rev_repeat
+       |FROM om JOIN f ON om.o_custkey = f.o_custkey
+       |GROUP BY 1 ORDER BY m""".stripMargin
+
+  /** q267 oracle: the q81 NB prediction table wrapped as a derived
+    * table, per-class confusion rollup with the same guards. */
+  private val q267Sql: String =
+    s"""WITH cm AS (SELECT label, pred, COUNT(*) AS n
+       |            FROM ($q81Sql) GROUP BY 1, 2),
+       |bt AS (SELECT label, CAST(SUM(n) AS BIGINT) AS n_true,
+       |         CAST(SUM(CASE WHEN pred = label THEN n ELSE 0 END)
+       |              AS BIGINT) AS tp
+       |       FROM cm GROUP BY 1),
+       |bp AS (SELECT pred, CAST(SUM(n) AS BIGINT) AS n_pred
+       |       FROM cm GROUP BY 1),
+       |j AS (SELECT bt.label, bt.n_true,
+       |             COALESCE(bp.n_pred, 0) AS n_pred, bt.tp,
+       |             CASE WHEN bp.n_pred > 0
+       |                  THEN bt.tp::DOUBLE / bp.n_pred::DOUBLE
+       |                  END AS prec,
+       |             bt.tp::DOUBLE / bt.n_true::DOUBLE AS rec
+       |      FROM bt LEFT JOIN bp ON bt.label = bp.pred)
+       |SELECT label, n_true, n_pred, tp, ${sqlE6("prec")} AS prec_e6,
+       |       ${sqlE6("rec")} AS rec_e6,
+       |       CASE WHEN prec IS NOT NULL AND prec + rec > 0 THEN
+       |         ${sqlE6("2.0 * prec * rec / (prec + rec)")}
+       |       ELSE NULL END AS f1_e6
+       |FROM j ORDER BY label""".stripMargin
+
+  /** q268 oracle: order-to-ship slip by supplier nation. */
+  private val q268Sql: String =
+    s"""WITH li AS (SELECT n_name,
+       |         DATE_DIFF('day', CAST(o_orderdate AS DATE),
+       |                   CAST(l_shipdate AS DATE)) AS slip
+       |       FROM lineitem
+       |       JOIN orders ON l_orderkey = o_orderkey
+       |       JOIN supplier ON l_suppkey = s_suppkey
+       |       JOIN nation ON s_nationkey = n_nationkey)
+       |SELECT n_name, COUNT(*) AS n_lines,
+       |  CAST(SUM(CASE WHEN slip > 90 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_late,
+       |  ${sqlE6("SUM(CASE WHEN slip > 90 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE")} AS late_share_e6,
+       |  ${sqlE6("AVG(CASE WHEN slip > 90 THEN slip::DOUBLE END)")} AS avg_slip_e6
+       |FROM li GROUP BY 1 ORDER BY n_name""".stripMargin
+
+  /** q269 oracle: per-flag distinct-quantity weight grid, cumulative
+    * weights, first value crossing each quantile. */
+  private val q269Sql: String =
+    s"""WITH v AS (SELECT l_returnflag AS flag,
+       |         CAST(l_quantity AS BIGINT) AS q,
+       |         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+       |              * 100) AS BIGINT)) AS BIGINT) AS w
+       |       FROM lineitem GROUP BY 1, 2),
+       |c AS (SELECT flag, q, w,
+       |        CAST(SUM(w) OVER (PARTITION BY flag ORDER BY q
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+       |      FROM v),
+       |t AS (SELECT flag, CAST(SUM(w) AS BIGINT) AS tw FROM v
+       |      GROUP BY 1)
+       |SELECT c.flag AS flag, ANY_VALUE(t.tw) AS total_w,
+       |       MIN(CASE WHEN cw::DOUBLE >= 0.5 * tw::DOUBLE THEN q END)
+       |         AS p50_q,
+       |       MIN(CASE WHEN cw::DOUBLE >= 0.9 * tw::DOUBLE THEN q END)
+       |         AS p90_q
+       |FROM c JOIN t ON c.flag = t.flag
+       |GROUP BY 1 ORDER BY flag""".stripMargin
+
+  /** q270 oracle: exact-cents 35-cell table, identical SS / eta2
+    * expressions, whole-unit BIGINT pins. */
+  private val q270Sql: String =
+    s"""WITH cells AS (SELECT event_type AS a,
+       |         (epoch_us(ts) * 1000 // $DayNs) % 7 AS b,
+       |         COUNT(*) AS n,
+       |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+       |              AS BIGINT) AS sv,
+       |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT) *
+       |                  CAST(ROUND(value * 100) AS BIGINT))
+       |              AS BIGINT) AS sv2
+       |       FROM events GROUP BY 1, 2),
+       |grand AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+       |                 CAST(SUM(sv) AS BIGINT) AS gs,
+       |                 CAST(SUM(sv2) AS BIGINT) AS gs2 FROM cells),
+       |ac AS (SELECT a, CAST(SUM(n) AS BIGINT) AS na,
+       |              CAST(SUM(sv) AS BIGINT) AS sa
+       |       FROM cells GROUP BY 1),
+       |bc AS (SELECT b, CAST(SUM(n) AS BIGINT) AS nb,
+       |              CAST(SUM(sv) AS BIGINT) AS sb
+       |       FROM cells GROUP BY 1),
+       |sa AS (SELECT SUM(na::DOUBLE *
+       |         (sa::DOUBLE / na::DOUBLE - gs::DOUBLE / nn::DOUBLE) *
+       |         (sa::DOUBLE / na::DOUBLE - gs::DOUBLE / nn::DOUBLE))
+       |         AS ss_a
+       |       FROM ac, grand),
+       |sb AS (SELECT SUM(nb::DOUBLE *
+       |         (sb::DOUBLE / nb::DOUBLE - gs::DOUBLE / nn::DOUBLE) *
+       |         (sb::DOUBLE / nb::DOUBLE - gs::DOUBLE / nn::DOUBLE))
+       |         AS ss_b
+       |       FROM bc, grand),
+       |sc AS (SELECT SUM(n::DOUBLE *
+       |         (sv::DOUBLE / n::DOUBLE - gs::DOUBLE / nn::DOUBLE) *
+       |         (sv::DOUBLE / n::DOUBLE - gs::DOUBLE / nn::DOUBLE))
+       |         AS ss_cells
+       |       FROM cells, grand),
+       |st AS (SELECT nn, gs2::DOUBLE - nn::DOUBLE *
+       |         (gs::DOUBLE / nn::DOUBLE) * (gs::DOUBLE / nn::DOUBLE)
+       |         AS ss_tot
+       |       FROM grand)
+       |SELECT nn AS n,
+       |  CAST(ROUND(ss_a / 1e4, 0) AS BIGINT) AS ss_a,
+       |  CAST(ROUND(ss_b / 1e4, 0) AS BIGINT) AS ss_b,
+       |  CAST(ROUND((ss_cells - ss_a - ss_b) / 1e4, 0) AS BIGINT)
+       |    AS ss_ab,
+       |  CAST(ROUND((ss_tot - ss_cells) / 1e4, 0) AS BIGINT)
+       |    AS ss_resid,
+       |  ${sqlE6("ss_a / ss_tot")} AS eta2_a_e6,
+       |  ${sqlE6("ss_b / ss_tot")} AS eta2_b_e6,
+       |  ${sqlE6("(ss_cells - ss_a - ss_b) / ss_tot")} AS eta2_ab_e6
+       |FROM st, sa, sb, sc ORDER BY n""".stripMargin
+
+  /** q271 oracle: session ids as q263, FIRST_VALUE entry type,
+    * per-entry conversion. */
+  private val q271Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |                  epoch_us(ts) * 1000 AS ts_ns FROM events),
+       |l AS (SELECT *, CASE WHEN LAG(ts_ns) OVER w IS NULL
+       |                       OR ts_ns - LAG(ts_ns) OVER w
+       |                          > 1800000000000
+       |                     THEN 1 ELSE 0 END AS brk
+       |      FROM e WINDOW w AS (PARTITION BY user_id
+       |                          ORDER BY ts_ns, event_id)),
+       |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+       |        ORDER BY ts_ns, event_id ROWS UNBOUNDED PRECEDING)
+       |        AS sess FROM l),
+       |fe AS (SELECT *, FIRST_VALUE(event_type) OVER (
+       |         PARTITION BY user_id, sess
+       |         ORDER BY ts_ns, event_id) AS entry FROM s),
+       |g AS (SELECT user_id, sess, MAX(entry) AS entry,
+       |        MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+       |            END) AS conv
+       |      FROM fe GROUP BY 1, 2)
+       |SELECT entry, COUNT(*) AS n_sessions,
+       |       CAST(SUM(conv) AS BIGINT) AS n_conv,
+       |       ${sqlE6("SUM(conv)::DOUBLE / COUNT(*)::DOUBLE")} AS conv_e6
+       |FROM g GROUP BY 1 ORDER BY entry""".stripMargin
+
+  /** q272 oracle: lines-per-order histogram vs Poisson expectation,
+    * factorial() on both engines. */
+  private val q272Sql: String =
+    s"""WITH k AS (SELECT l_orderkey, COUNT(*) AS k FROM lineitem
+       |           GROUP BY 1),
+       |h AS (SELECT k, COUNT(*) AS n_orders FROM k GROUP BY 1),
+       |m AS (SELECT COUNT(*) AS nn, AVG(k) AS lam,
+       |             AVG(k::DOUBLE * k::DOUBLE) AS m2 FROM k)
+       |SELECT h.k AS k, h.n_orders,
+       |  ${sqlE6("nn::DOUBLE * EXP(-lam) * POW(lam, k::DOUBLE) / factorial(k::INTEGER)::DOUBLE")} AS expected_e6,
+       |  ${sqlE6("lam")} AS lambda_e6,
+       |  ${sqlE6("(m2 - lam * lam) * nn::DOUBLE / (nn::DOUBLE - 1.0) / lam")} AS dispersion_e6
+       |FROM h, m ORDER BY k""".stripMargin
+
+  /** q273 oracle: integer band projection + per-cell mean net
+    * revenue. */
+  private val q273Sql: String =
+    s"""WITH b AS (SELECT
+       |         (CAST(l_quantity AS BIGINT) - 1) // 10 AS q_band,
+       |         CAST(ROUND(l_discount * 100) AS BIGINT) // 2 AS d_band,
+       |         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+       |              AS BIGINT) AS c
+       |       FROM lineitem)
+       |SELECT q_band, d_band, COUNT(*) AS n,
+       |       ${sqlE6("AVG(c::DOUBLE) / 100.0")} AS avg_net_e6
+       |FROM b GROUP BY 1, 2 ORDER BY q_band, d_band""".stripMargin
+
+  /** q274 oracle: collapsed score histogram + midrank AUC identity. */
+  private val q274Sql: String =
+    s"""WITH per AS (SELECT user_id,
+       |         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |           AS score,
+       |         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+       |             END) >= 13 AS pos
+       |       FROM events GROUP BY 1),
+       |h AS (SELECT score,
+       |        CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS np,
+       |        CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT)
+       |          AS nn
+       |      FROM per GROUP BY 1),
+       |c AS (SELECT np, nn,
+       |        CAST(SUM(nn) OVER (ORDER BY score
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_nn
+       |      FROM h),
+       |a AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+       |             CAST(SUM(nn) AS BIGINT) AS n_neg,
+       |             SUM(np::DOUBLE * ((cum_nn - nn)::DOUBLE
+       |                 + nn::DOUBLE / 2.0)) AS num
+       |      FROM c)
+       |SELECT n_pos, n_neg,
+       |  ${sqlE6("num / (n_pos::DOUBLE * n_neg::DOUBLE)")} AS auc_e6,
+       |  ${sqlE6("2.0 * num / (n_pos::DOUBLE * n_neg::DOUBLE) - 1.0")} AS gini_e6
+       |FROM a ORDER BY n_pos""".stripMargin
+
+  /** q275 oracle: zero-filled spine, identical exact-BIGINT MA-7,
+    * UNION ALL of the three methods. */
+  private val q275Sql: String =
+    s"""WITH daily AS (SELECT
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |           AS day,
+       |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+       |              AS BIGINT) AS rev
+       |       FROM orders GROUP BY 1),
+       |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |spine AS (SELECT unnest(range(b.d0, b.d1 + 1)) AS day FROM b),
+       |z AS (SELECT s.day, COALESCE(d.rev, 0) AS rev
+       |      FROM spine s LEFT JOIN daily d ON s.day = d.day),
+       |f AS (SELECT day, rev,
+       |        ROW_NUMBER() OVER w AS rn,
+       |        LAG(rev, 1) OVER w AS naive,
+       |        LAG(rev, 7) OVER w AS snaive,
+       |        CAST(SUM(rev) OVER (ORDER BY day ROWS BETWEEN 7
+       |          PRECEDING AND 1 PRECEDING) AS BIGINT)::DOUBLE / 7.0
+       |          AS ma7
+       |      FROM z WINDOW w AS (ORDER BY day)),
+       |e AS (SELECT method, rev, fc - rev::DOUBLE AS err FROM (
+       |        SELECT 'naive' AS method, rev, naive::DOUBLE AS fc
+       |        FROM f WHERE rn > 7
+       |        UNION ALL
+       |        SELECT 'snaive', rev, snaive::DOUBLE FROM f WHERE rn > 7
+       |        UNION ALL
+       |        SELECT 'ma7', rev, ma7 FROM f WHERE rn > 7))
+       |SELECT method, COUNT(*) AS n_days,
+       |  ${sqlE6("AVG(ABS(err)) / 100.0")} AS mae_e6,
+       |  ${sqlE6("SQRT(AVG(err * err)) / 100.0")} AS rmse_e6,
+       |  ${sqlE6("AVG(CASE WHEN rev > 0 THEN ABS(err) / rev::DOUBLE END)")} AS mape_e6
+       |FROM e GROUP BY 1 ORDER BY method""".stripMargin
+
+  /** q276 oracle: distinct edges, degree window [2, 30], wedge
+    * self-join, 1/ln(deg) sum. */
+  private val q276Sql: String =
+    s"""WITH edges AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+       |               FROM lineitem),
+       |deg AS (SELECT p, COUNT(*) AS d FROM edges GROUP BY 1
+       |        HAVING COUNT(*) BETWEEN 2 AND 30),
+       |e AS (SELECT edges.p, edges.s, deg.d FROM edges
+       |      JOIN deg ON edges.p = deg.p)
+       |SELECT a.s AS s1, b.s AS s2, COUNT(*) AS n_common,
+       |       ${sqlE6("SUM(1.0 / LN(a.d::DOUBLE))")} AS aa_e6
+       |FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       |ORDER BY s1, s2""".stripMargin
+
+  /** q277 oracle: (customer, $100 band) blocking, within-45-day
+    * pairs. */
+  private val q277Sql: String =
+    s"""WITH o AS (SELECT o_custkey AS cust, o_orderkey AS k,
+       |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |           AS day,
+       |         CAST(ROUND(o_totalprice * 100) AS BIGINT) // 10000
+       |           AS band
+       |       FROM orders)
+       |SELECT a.cust AS cust, a.k AS k1, b.k AS k2, a.c AS c1,
+       |       b.c AS c2, CAST(ABS(a.day - b.day) AS BIGINT) AS day_gap
+       |FROM o a JOIN o b ON a.cust = b.cust AND a.band = b.band
+       |WHERE a.k < b.k AND ABS(a.day - b.day) <= 45
+       |ORDER BY cust, k1, k2""".stripMargin
+
+  /** q278 oracle: $100-bin histogram, same grid/bandwidth doubles,
+    * Gaussian kernel sum. */
+  private val q278Sql: String =
+    s"""WITH cents AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)
+       |                 AS c FROM orders),
+       |hist AS (SELECT c // 10000 AS bin, COUNT(*) AS nb FROM cents
+       |         GROUP BY 1),
+       |st AS (SELECT COUNT(*) AS n, MIN(c) AS mn, MAX(c) AS mx
+       |       FROM cents),
+       |grid AS (SELECT n, mn, mx, unnest(range(0, 25)) AS i FROM st),
+       |g2 AS (SELECT i, n,
+       |         mn::DOUBLE / 100.0 + i::DOUBLE *
+       |           ((mx - mn)::DOUBLE / 100.0) / 24.0 AS g,
+       |         ((mx - mn)::DOUBLE / 100.0) / 20.0 AS h
+       |       FROM grid),
+       |k AS (SELECT i, g, h, n,
+       |        SUM(nb::DOUBLE * EXP(((g - (bin::DOUBLE * 100.0 + 50.0))
+       |          / h) * ((g - (bin::DOUBLE * 100.0 + 50.0)) / h)
+       |          * -0.5)) AS ksum
+       |      FROM g2, hist GROUP BY 1, 2, 3, 4)
+       |SELECT i, ${sqlE6("g")} AS g_e6,
+       |  ${sqlE6(s"ksum / (h * ${math.sqrt(2.0 * math.Pi)}) * 1000.0")} AS exp_per_1k_e6
+       |FROM k ORDER BY i""".stripMargin
+
+  /** q279 oracle: identical integer power sums, identical score
+    * expression, argmax by (score DESC, class). */
+  private val q279Sql: String =
+    s"""WITH f AS (SELECT doc_id, lang AS label,
+       |         CAST(LENGTH(text) AS BIGINT) AS x1,
+       |         CAST(LENGTH(text) - LENGTH(regexp_replace(text,
+       |           '[0-9]', '', 'g')) AS BIGINT) AS x2,
+       |         CAST(LENGTH(text) - LENGTH(regexp_replace(text,
+       |           ' ', '', 'g')) AS BIGINT) AS x3
+       |       FROM documents),
+       |st AS (SELECT label AS cl, COUNT(*) AS nc,
+       |         CAST(SUM(x1) AS BIGINT) AS s1a,
+       |         CAST(SUM(x1 * x1) AS BIGINT) AS s2a,
+       |         CAST(SUM(x2) AS BIGINT) AS s1b,
+       |         CAST(SUM(x2 * x2) AS BIGINT) AS s2b,
+       |         CAST(SUM(x3) AS BIGINT) AS s1c,
+       |         CAST(SUM(x3 * x3) AS BIGINT) AS s2c
+       |       FROM f GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS nt FROM f),
+       |sc AS (SELECT f.doc_id, f.label, st.cl,
+       |         (-0.5 * LN(GREATEST((st.nc * st.s2a - st.s1a * st.s1a)::DOUBLE / (st.nc * st.nc)::DOUBLE, 0.5))
+       |          - (f.x1::DOUBLE - st.s1a::DOUBLE / st.nc::DOUBLE) * (f.x1::DOUBLE - st.s1a::DOUBLE / st.nc::DOUBLE)
+       |            / (GREATEST((st.nc * st.s2a - st.s1a * st.s1a)::DOUBLE / (st.nc * st.nc)::DOUBLE, 0.5) * 2.0))
+       |         + (-0.5 * LN(GREATEST((st.nc * st.s2b - st.s1b * st.s1b)::DOUBLE / (st.nc * st.nc)::DOUBLE, 0.5))
+       |          - (f.x2::DOUBLE - st.s1b::DOUBLE / st.nc::DOUBLE) * (f.x2::DOUBLE - st.s1b::DOUBLE / st.nc::DOUBLE)
+       |            / (GREATEST((st.nc * st.s2b - st.s1b * st.s1b)::DOUBLE / (st.nc * st.nc)::DOUBLE, 0.5) * 2.0))
+       |         + (-0.5 * LN(GREATEST((st.nc * st.s2c - st.s1c * st.s1c)::DOUBLE / (st.nc * st.nc)::DOUBLE, 0.5))
+       |          - (f.x3::DOUBLE - st.s1c::DOUBLE / st.nc::DOUBLE) * (f.x3::DOUBLE - st.s1c::DOUBLE / st.nc::DOUBLE)
+       |            / (GREATEST((st.nc * st.s2c - st.s1c * st.s1c)::DOUBLE / (st.nc * st.nc)::DOUBLE, 0.5) * 2.0))
+       |         + LN(st.nc::DOUBLE / tot.nt::DOUBLE) AS score
+       |       FROM f, st, tot),
+       |p AS (SELECT doc_id, label, cl,
+       |        ROW_NUMBER() OVER (PARTITION BY doc_id
+       |          ORDER BY score DESC, cl) AS rk
+       |      FROM sc)
+       |SELECT label, cl AS pred, COUNT(*) AS n FROM p WHERE rk = 1
+       |GROUP BY 1, 2 ORDER BY label, pred""".stripMargin
+
+  /** q280 oracle: identical md5 -> integer-threshold Poisson(1)
+    * weights, exact BIGINT replicate sums. */
+  private val q280Sql: String = {
+    val thr = Seq(1580030169L, 3160060337L, 3950075422L, 4213413783L,
+      4279248374L, 4292415292L, 4294609778L, 4294923276L)
+    val wExpr = thr.map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH o AS (SELECT o_orderkey AS k,
+       |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+       |       FROM orders),
+       |x AS (SELECT b, c,
+       |        ${sqlHex32("md5('boot:' || b::VARCHAR || ':' || k::VARCHAR)")} AS u
+       |      FROM o, (SELECT unnest(range(1, 65)) AS b) bs),
+       |ww AS (SELECT b, c, CAST($wExpr AS BIGINT) AS w FROM x),
+       |reps AS (SELECT CAST(SUM(w * c) AS BIGINT)::DOUBLE /
+       |           CAST(SUM(w) AS BIGINT)::DOUBLE / 100.0 AS m
+       |         FROM ww GROUP BY b),
+       |base AS (SELECT COUNT(*) AS n_orders, AVG(c::DOUBLE) AS mean_c
+       |         FROM o)
+       |SELECT base.n_orders, (SELECT COUNT(*) FROM reps) AS n_reps,
+       |  ${sqlE6("base.mean_c / 100.0")} AS mean_e6,
+       |  (SELECT ${sqlE6("AVG(m)")} FROM reps) AS boot_mean_e6,
+       |  (SELECT ${sqlE6("STDDEV_SAMP(m)")} FROM reps) AS boot_se_e6,
+       |  (SELECT ${sqlE6("MIN(m)")} FROM reps) AS boot_min_e6,
+       |  (SELECT ${sqlE6("MAX(m)")} FROM reps) AS boot_max_e6
+       |FROM base ORDER BY n_orders""".stripMargin
+  }
+
+  /** q281 oracle: exact p99 threshold from the cents histogram
+    * cumulative scan, per-month whale share. */
+  private val q281Sql: String =
+    s"""WITH o AS (SELECT
+       |         year(o_orderdate) * 12 + month(o_orderdate) AS m,
+       |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+       |       FROM orders),
+       |hist AS (SELECT c, COUNT(*) AS n FROM o GROUP BY 1),
+       |cum AS (SELECT c, CAST(SUM(n) OVER (ORDER BY c
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |        FROM hist),
+       |nt AS (SELECT COUNT(*) AS nt FROM o),
+       |thr AS (SELECT MIN(c) AS thr FROM cum, nt
+       |        WHERE cum::DOUBLE >= nt::DOUBLE * 0.99)
+       |SELECT m, COUNT(*) AS n_orders,
+       |  CAST(SUM(CASE WHEN c >= thr THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_whale,
+       |  CAST(SUM(c) AS BIGINT) AS rev,
+       |  CAST(SUM(CASE WHEN c >= thr THEN c ELSE 0 END) AS BIGINT)
+       |    AS whale_rev,
+       |  MAX(thr) AS thr,
+       |  ${sqlE6("SUM(CASE WHEN c >= thr THEN c ELSE 0 END)::DOUBLE / SUM(c)::DOUBLE")} AS share_e6
+       |FROM o, thr GROUP BY 1 ORDER BY m""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q281_whale_share" -> q281Sql,
+    "q280_poisson_bootstrap" -> q280Sql,
+    "q279_gaussian_nb" -> q279Sql,
+    "q278_kde_profile" -> q278Sql,
+    "q277_dup_invoices" -> q277Sql,
+    "q276_adamic_adar" -> q276Sql,
+    "q275_backtest" -> q275Sql,
+    "q274_auc_rank" -> q274Sql,
+    "q273_price_heatmap" -> q273Sql,
+    "q272_order_size_dispersion" -> q272Sql,
+    "q271_entry_conversion" -> q271Sql,
+    "q270_two_way_anova" -> q270Sql,
+    "q269_weighted_median" -> q269Sql,
+    "q268_late_lines" -> q268Sql,
+    "q267_nb_confusion" -> q267Sql,
+    "q266_new_vs_repeat" -> q266Sql,
     "q265_migration_matrix" -> q265Sql,
     "q264_volatility" -> q264Sql,
     "q263_pattern_sessions" -> q263Sql,

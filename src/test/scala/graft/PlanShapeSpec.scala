@@ -395,8 +395,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     "q252_jsd_drift",     // 1-row corpus-half totals vs vocab rows
     "q254_stump_split",   // 9-row threshold grid + 1-row parent
                           // bracket vs the collapsed per-value table
-    "q261_integrity_audit") // 1-row orphan-count bracket vs the 1-row
+    "q261_integrity_audit", // 1-row orphan-count bracket vs the 1-row
                           // reconciliation aggregate
+    "q270_two_way_anova", // 1-row grand/SS brackets vs the bounded
+                          // 35-cell table
+    "q272_order_size_dispersion", // 1-row moment bracket vs the
+                          // <=7-row histogram
+    "q278_kde_profile",   // 25-row grid broadcast vs the $100-bin
+                          // histogram (grid x bins kernel sum)
+    "q279_gaussian_nb",   // 5-class stats table broadcast vs docs
+    "q280_poisson_bootstrap", // 1-row base-mean bracket vs the 1-row
+                          // replicate aggregate
+    "q281_whale_share")   // 1-row p99-threshold bracket vs orders
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
