@@ -113,6 +113,24 @@ object CurationOps {
     df.filter(hash32 < floor(rate * 4294967296.0).cast("long"))
   }
 
+  /** Stratified k-fold assignment: rows are ordered within each
+    * stratum by (md5(salt:id), id) — a reproducible shuffle with a
+    * total-order tiebreak — and dealt round-robin into `k` folds, so
+    * every fold holds floor/ceil(n_stratum / k) rows of each stratum
+    * (exact stratification, unlike independent-hash splits whose
+    * per-stratum fold sizes are binomial). One window partitioned by
+    * the stratum — scales with strata count, no global sort. Adds a
+    * `fold` column in [0, k). */
+  def stratifiedKFold(df: DataFrame, stratumCol: String, idCol: String,
+                      k: Int, salt: String): DataFrame = {
+    require(k > 1, s"k must be > 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))),
+        col(idCol))
+    df.withColumn("fold", ((row_number().over(w) - 1) % k).cast("long"))
+  }
+
   /** Weighted sample WITHOUT replacement, n rows per group, via
     * priority sampling (Duffield–Lund–Thorup, JACM 54(6) 2007): each
     * row draws priority w/u with u a uniform integer in [1, 2^32],

@@ -1104,6 +1104,65 @@ object StatsOps {
           (d(col("tp")) * d(col("tn")) - d(col("fp")) * d(col("fn"))) /
             sqrt(mccDen)).otherwise(0.0).as("mcc"))
   }
+
+  /** Holt–Winters additive triple exponential smoothing over a
+    * BOUNDED series (a daily/hourly grid — NOT raw events; the series
+    * is collected into one array row, so its length must be
+    * calendar-bounded). Initialization: level = mean of the first
+    * period, trend = (mean of second period − mean of first) / period,
+    * seasonals = first-period deviations; the recursion then folds
+    * over observations [2·period, n) with a SQL `aggregate` lambda —
+    * one pass, no driver loop, and the heavy part (building the daily
+    * grid) stays a distributed aggregation upstream. Emits one row:
+    * final `level`, `trend`, `seasonal` array (slot i = day index
+    * ≡ i mod period), `n_fit`, and in-sample one-step `mae`.
+    * Returns nulls for series shorter than 2·period + 1. */
+  def holtWinters(daily: DataFrame, dayCol: String, valueCol: String,
+                  alpha: Double, beta: Double, gamma: Double,
+                  period: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val p = period
+    // Textual double literals: the DuckDB oracle interpolates the SAME
+    // Scala-computed values, so both engines parse identical constants.
+    val (a1, a2) = (s"${alpha}D", s"${1 - alpha}D")
+    val (b1, b2) = (s"${beta}D", s"${1 - beta}D")
+    val (g1, g2) = (s"${gamma}D", s"${1 - gamma}D")
+    val slot = s"(CAST(element_at(acc, 4) AS INT) % $p)"
+    val sEl = s"element_at(acc, 5 + $slot)"
+    val lNew = s"($a1 * (x - $sEl) + $a2 * (element_at(acc, 1) + element_at(acc, 2)))"
+    daily
+      .agg(expr(s"transform(sort_array(collect_list(struct(" +
+        s"$dayCol AS d, CAST($valueCol AS DOUBLE) AS v))), e -> e.v)")
+        .as("a"))
+      .withColumn("l0", expr(
+        s"aggregate(slice(a, 1, $p), 0D, (s, x) -> s + x) / ${p}D"))
+      .withColumn("t0", (expr(
+        s"aggregate(slice(a, ${p + 1}, $p), 0D, (s, x) -> s + x) / ${p}D")
+        - col("l0")) / lit(p.toDouble))
+      .withColumn("state0", expr(
+        s"concat(array(l0, t0, 0D, 0D), " +
+          s"transform(slice(a, 1, $p), x -> x - l0))"))
+      .withColumn("st", expr(
+        s"""aggregate(slice(a, ${2 * p + 1}, greatest(0, size(a) - ${2 * p})), state0,
+           |  (acc, x) -> transform(sequence(0, ${p + 3}), i -> CASE
+           |    WHEN i = 0 THEN $lNew
+           |    WHEN i = 1 THEN $b1 * ($lNew - element_at(acc, 1))
+           |      + $b2 * element_at(acc, 2)
+           |    WHEN i = 2 THEN element_at(acc, 3) + abs(x -
+           |      (element_at(acc, 1) + element_at(acc, 2) + $sEl))
+           |    WHEN i = 3 THEN element_at(acc, 4) + 1D
+           |    WHEN i - 4 = $slot THEN $g1 * (x - $lNew) + $g2 * $sEl
+           |    ELSE element_at(acc, i + 1) END))""".stripMargin))
+      .select(
+        when(expr(s"size(a) > ${2 * p}"), expr("element_at(st, 1)"))
+          .as("level"),
+        when(expr(s"size(a) > ${2 * p}"), expr("element_at(st, 2)"))
+          .as("trend"),
+        when(expr(s"size(a) > ${2 * p}"),
+          expr("element_at(st, 3) / element_at(st, 4)")).as("mae"),
+        expr("CAST(element_at(st, 4) AS BIGINT)").as("n_fit"),
+        expr(s"slice(st, 5, $p)").as("seasonal"))
+  }
 }
 
 /** Pure-Scala special functions for the t-distribution CDF — needed for
@@ -1206,6 +1265,4 @@ object SpecialFns {
       case _         => 2.0 * (1.0 - studentTCdf(math.abs(t), df))
     }
   }
-
-
 }

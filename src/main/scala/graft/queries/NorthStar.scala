@@ -4461,7 +4461,255 @@ object NorthStar {
       .ordered(col("m"))
   }
 
+  // q282 — distribution-shape profile per event type: skewness,
+  // excess kurtosis, and the bimodality coefficient from one pass of
+  // raw power sums (map-side combinable; central moments derived
+  // algebraically, identical expressions on both engines).
+  private val q282: Q = (s, dir) => {
+    val d = t(s, dir, "events")
+      .select(col("event_type"), col("value").as("x"))
+    d.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("s1"), sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+      .withColumn("mu", col("s1") / col("n"))
+      .withColumn("m2", col("s2") / col("n") - col("mu") * col("mu"))
+      .withColumn("m3", col("s3") / col("n") -
+        lit(3.0) * col("mu") * col("s2") / col("n") +
+        lit(2.0) * col("mu") * col("mu") * col("mu"))
+      .withColumn("m4", col("s4") / col("n") -
+        lit(4.0) * col("mu") * col("s3") / col("n") +
+        lit(6.0) * col("mu") * col("mu") * col("s2") / col("n") -
+        lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
+      .withColumn("g1", col("m3") / pow(col("m2"), 1.5))
+      .withColumn("g2", col("m4") / (col("m2") * col("m2")) - 3.0)
+      .select(col("event_type"), col("n").cast("long").as("n"),
+        e6(col("mu")).as("mean_e6"),
+        e6(sqrt(col("m2") * col("n") / (col("n") - 1.0))).as("sd_e6"),
+        e6(col("g1")).as("skew_e6"), e6(col("g2")).as("kurt_e6"),
+        e6((col("g1") * col("g1") + 1.0) /
+          (col("g2") + lit(3.0) * (col("n") - 1.0) * (col("n") - 1.0) /
+            ((col("n") - 2.0) * (col("n") - 3.0)))).as("bimodality_e6"))
+      .ordered(col("event_type"))
+  }
+
+  // q283 — gains table (CAP curve) for the click-score -> heavy-
+  // purchaser task: users collapse to the ~20-value score histogram,
+  // each distinct score maps wholly to the decile of its first
+  // cumulative position (exact integer math — no global row sort),
+  // conversion rate and cumulative capture per decile.
+  private val q283: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val per = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("score"),
+        (sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          >= 13L).as("conv"))
+    val hist = per.groupBy(col("score"))
+      .agg(count(lit(1)).as("nu"),
+        sum(when(col("conv"), 1L).otherwise(0L)).as("nc"))
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = hist.agg(sum(col("nu")).as("tu"), sum(col("nc")).as("tc"))
+    val dec = hist
+      .withColumn("cumb", coalesce(sum(col("nu")).over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("decile", expr("(10 * cumb) div tu"))
+      .groupBy(col("decile"))
+      .agg(sum(col("nu")).as("n_users"), sum(col("nc")).as("n_conv"),
+        max(col("tc")).as("tc"))
+    val w2 = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec.withColumn("cum_conv", sum(col("n_conv")).over(w2))
+      .select(col("decile"), col("n_users"), col("n_conv"),
+        e6(col("n_conv").cast("double") / col("n_users").cast("double"))
+          .as("rate_e6"),
+        e6(col("cum_conv").cast("double") / col("tc").cast("double"))
+          .as("capture_e6"))
+      .ordered(col("decile"))
+  }
+
+  // q284 — activity-streak histogram: per-user longest run of
+  // consecutive active days via the gaps-and-islands day-minus-
+  // row_number key (window partitioned by user — scales with users),
+  // rolled up into a streak-length distribution.
+  private val q284: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val days = t(s, dir, "events")
+      .select(col("user_id"), expr(s"ts_ns div $DayNs").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val streaks = days
+      .withColumn("isl", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id")).agg(max(col("len")).as("best"))
+    streaks.groupBy(col("best").as("streak_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .ordered(col("streak_days"))
+  }
+
+  // q285 — readability scorecard per source: words (space-run count),
+  // sentences ([.!?] count, floored at 1), syllable proxy (vowel-group
+  // count) summed as exact BIGINTs per source, Flesch reading ease on
+  // the aggregate ratios. The fluency cut of the q118/q92 quality
+  // family.
+  private val q285: Q = (s, dir) => {
+    val lt = lower(col("text"))
+    val f = t(s, dir, "documents").select(col("source"),
+      (length(regexp_replace(col("text"), " +", "S")) -
+        length(regexp_replace(col("text"), " +", "")) + 1)
+        .cast("long").as("w"),
+      greatest(lit(1L), (length(col("text")) -
+        length(regexp_replace(col("text"), "[.!?]", "")))
+        .cast("long")).as("sn"),
+      (length(regexp_replace(lt, "[aeiouy]+", "V")) -
+        length(regexp_replace(lt, "[aeiouy]+", "")))
+        .cast("long").as("y"))
+    f.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("ws"),
+        sum(col("sn")).as("ss"), sum(col("y")).as("ys"))
+      .select(col("source"), col("n_docs"),
+        e6(col("ws").cast("double") / col("ss").cast("double"))
+          .as("words_per_sent_e6"),
+        e6(col("ys").cast("double") / col("ws").cast("double"))
+          .as("syll_per_word_e6"),
+        e6(lit(206.835) -
+          lit(1.015) * col("ws").cast("double") / col("ss").cast("double") -
+          lit(84.6) * col("ys").cast("double") / col("ws").cast("double"))
+          .as("flesch_e6"))
+      .ordered(col("source"))
+  }
+
+  // q286 — stratified 5-fold assignment audit
+  // (CurationOps.stratifiedKFold): md5-ordered round-robin within each
+  // language gives exact floor/ceil fold sizes per stratum; the audit
+  // reports per-(lang, fold) counts, within-lang share, and mean doc
+  // length (fold balance in one glance).
+  private val q286: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val folded = CurationOps.stratifiedKFold(
+      t(s, dir, "documents"), "lang", "doc_id", 5, "kf")
+    val wl = Window.partitionBy(col("lang"))
+    folded.groupBy(col("lang"), col("fold"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("cs"))
+      .withColumn("lang_total", sum(col("n_docs")).over(wl))
+      .select(col("lang"), col("fold"), col("n_docs"),
+        e6(col("n_docs").cast("double") /
+          col("lang_total").cast("double")).as("share_e6"),
+        e6(col("cs").cast("double") / col("n_docs").cast("double"))
+          .as("mean_chars_e6"))
+      .ordered(col("lang"), col("fold"))
+  }
+
+  // q287 — open-order aging buckets: non-final orders aged against
+  // the corpus as-of day (1-row broadcast bracket), bucketed on the
+  // standard 30/60/90/180/365 grid, counts and exact cents per
+  // (status, bucket). The AR aging report.
+  private val q287: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderstatus").as("status"),
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+          .cast("long").as("day"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("c"))
+    val asof = o.agg(max(col("day")).as("asof"))
+    o.filter(col("status") =!= "F")
+      .crossJoin(broadcast(asof))
+      .withColumn("age", col("asof") - col("day"))
+      .withColumn("bucket",
+        when(col("age") <= 30L, "a_0_30")
+          .when(col("age") <= 60L, "b_31_60")
+          .when(col("age") <= 90L, "c_61_90")
+          .when(col("age") <= 180L, "d_91_180")
+          .when(col("age") <= 365L, "e_181_365")
+          .otherwise("f_365_plus"))
+      .groupBy(col("status"), col("bucket"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("c")).as("cents"))
+      .ordered(col("status"), col("bucket"))
+  }
+
+  // Holt-Winters constants shared by q288's Spark side and oracle —
+  // both interpolate the SAME Scala doubles, so the engines parse
+  // identical literals.
+  private val HwA = 0.3; private val HwB = 0.05; private val HwG = 0.2
+
+  // q288 — Holt-Winters additive (alpha .3, beta .05, gamma .2,
+  // season 7) on the zero-filled daily revenue spine
+  // (StatsOps.holtWinters): one distributed aggregation builds the
+  // bounded daily grid, one array fold runs the recursion — no driver
+  // loop. Final level/trend/seasonals + in-sample one-step MAE.
+  private val q288: Q = (s, dir) => {
+    val daily = t(s, dir, "orders")
+      .select(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+        .cast("long").as("day"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("rev"))
+    val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    // v = CENTS as double: integer-valued doubles sum exactly, so the
+    // init-period means are identical cross-engine; pins are /100.
+    val z = spine.join(daily, Seq("day"), "left")
+      .withColumn("v", coalesce(col("rev"), lit(0L)).cast("double"))
+    graft.operators.StatsOps.holtWinters(z, "day", "v", HwA, HwB, HwG, 7)
+      .select(col("n_fit"), e6(col("level") / 100.0).as("level_e6"),
+        e6(col("trend") / 100.0).as("trend_e6"),
+        e6(col("mae") / 100.0).as("mae_e6"),
+        e6(expr("element_at(seasonal, 1)") / 100.0).as("s1_e6"),
+        e6(expr("element_at(seasonal, 2)") / 100.0).as("s2_e6"),
+        e6(expr("element_at(seasonal, 3)") / 100.0).as("s3_e6"),
+        e6(expr("element_at(seasonal, 4)") / 100.0).as("s4_e6"),
+        e6(expr("element_at(seasonal, 5)") / 100.0).as("s5_e6"),
+        e6(expr("element_at(seasonal, 6)") / 100.0).as("s6_e6"),
+        e6(expr("element_at(seasonal, 7)") / 100.0).as("s7_e6"))
+      .ordered(col("n_fit"))
+  }
+
+  // q289 — SMA crossover signals on daily revenue: 7-day vs 28-day
+  // moving averages compared as exact integers (4*S7 vs S28 — zero
+  // floating point in the signal), golden/death cross counts and the
+  // last state. The trend-shift detector of the q275 family.
+  private val q289: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .select(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+        .cast("long").as("day"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("rev"))
+    val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.orderBy(col("day"))
+    val sig = spine.join(daily, Seq("day"), "left")
+      .withColumn("rev", coalesce(col("rev"), lit(0L)))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("s7", sum(col("rev")).over(w.rowsBetween(-6, 0)))
+      .withColumn("s28", sum(col("rev")).over(w.rowsBetween(-27, 0)))
+      .filter(col("rn") >= 28)
+      .withColumn("sig",
+        when(col("s7") * 4L > col("s28"), 1L)
+          .when(col("s7") * 4L < col("s28"), -1L).otherwise(0L))
+      .withColumn("prev", lag(col("sig"), 1).over(w))
+    sig.agg(count(lit(1)).as("n_days"),
+        sum(when(col("sig") === 1L && col("prev") === -1L, 1L)
+          .otherwise(0L)).as("n_golden"),
+        sum(when(col("sig") === -1L && col("prev") === 1L, 1L)
+          .otherwise(0L)).as("n_death"),
+        max(when(col("sig") =!= col("prev") &&
+          col("sig") =!= 0L && col("prev") =!= 0L, col("day")))
+          .as("last_cross_day"),
+        expr("max_by(sig, day)").as("last_sig"))
+      .ordered(col("n_days"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q289_sma_crossover" -> q289,
+    "q288_holt_winters" -> q288,
+    "q287_aging_buckets" -> q287,
+    "q286_kfold_assign" -> q286,
+    "q285_readability" -> q285,
+    "q284_streak_hist" -> q284,
+    "q283_gains_table" -> q283,
+    "q282_bimodality" -> q282,
     "q281_whale_share" -> q281,
     "q280_poisson_bootstrap" -> q280,
     "q279_gaussian_nb" -> q279,
@@ -10867,7 +11115,243 @@ object NorthStar {
        |  ${sqlE6("SUM(CASE WHEN c >= thr THEN c ELSE 0 END)::DOUBLE / SUM(c)::DOUBLE")} AS share_e6
        |FROM o, thr GROUP BY 1 ORDER BY m""".stripMargin
 
+  /** q282 oracle: identical raw-power-sum central-moment algebra. */
+  private val q282Sql: String =
+    s"""WITH a AS (SELECT event_type, COUNT(*)::DOUBLE AS n,
+       |         SUM(value) AS s1, SUM(value * value) AS s2,
+       |         SUM(value * value * value) AS s3,
+       |         SUM(value * value * value * value) AS s4
+       |       FROM events GROUP BY 1),
+       |m AS (SELECT event_type, n, s1 / n AS mu,
+       |        s2 / n - (s1 / n) * (s1 / n) AS m2,
+       |        s3 / n - 3.0 * (s1 / n) * s2 / n
+       |          + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+       |        s4 / n - 4.0 * (s1 / n) * s3 / n
+       |          + 6.0 * (s1 / n) * (s1 / n) * s2 / n
+       |          - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)
+       |          AS m4
+       |      FROM a),
+       |g AS (SELECT event_type, n, mu, m2,
+       |        m3 / POW(m2, 1.5) AS g1,
+       |        m4 / (m2 * m2) - 3.0 AS g2
+       |      FROM m)
+       |SELECT event_type, CAST(n AS BIGINT) AS n,
+       |  ${sqlE6("mu")} AS mean_e6,
+       |  ${sqlE6("SQRT(m2 * n / (n - 1.0))")} AS sd_e6,
+       |  ${sqlE6("g1")} AS skew_e6, ${sqlE6("g2")} AS kurt_e6,
+       |  ${sqlE6("(g1 * g1 + 1.0) / (g2 + 3.0 * (n - 1.0) * (n - 1.0) / ((n - 2.0) * (n - 3.0)))")} AS bimodality_e6
+       |FROM g ORDER BY event_type""".stripMargin
+
+  /** q283 oracle: score histogram, integer decile mapping, cumulative
+    * capture. */
+  private val q283Sql: String =
+    s"""WITH per AS (SELECT user_id,
+       |         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |           AS score,
+       |         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+       |             END) >= 13 AS conv
+       |       FROM events GROUP BY 1),
+       |h AS (SELECT score, COUNT(*) AS nu,
+       |        CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS nc
+       |      FROM per GROUP BY 1),
+       |t AS (SELECT CAST(SUM(nu) AS BIGINT) AS tu,
+       |             CAST(SUM(nc) AS BIGINT) AS tc FROM h),
+       |c AS (SELECT score, nu, nc,
+       |        CAST(COALESCE(SUM(nu) OVER (ORDER BY score DESC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS BIGINT) AS cumb
+       |      FROM h),
+       |d AS (SELECT (10 * cumb) // tu AS decile,
+       |        CAST(SUM(nu) AS BIGINT) AS n_users,
+       |        CAST(SUM(nc) AS BIGINT) AS n_conv, MAX(tc) AS tc
+       |      FROM c, t GROUP BY 1),
+       |e AS (SELECT decile, n_users, n_conv, tc,
+       |        CAST(SUM(n_conv) OVER (ORDER BY decile
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_conv
+       |      FROM d)
+       |SELECT decile, n_users, n_conv,
+       |  ${sqlE6("n_conv::DOUBLE / n_users::DOUBLE")} AS rate_e6,
+       |  ${sqlE6("cum_conv::DOUBLE / tc::DOUBLE")} AS capture_e6
+       |FROM e ORDER BY decile""".stripMargin
+
+  /** q284 oracle: gaps-and-islands longest streak, streak histogram. */
+  private val q284Sql: String =
+    s"""WITH days AS (SELECT DISTINCT user_id,
+       |         epoch_us(ts) * 1000 // $DayNs AS day FROM events),
+       |i AS (SELECT user_id,
+       |        day - ROW_NUMBER() OVER (PARTITION BY user_id
+       |          ORDER BY day) AS isl
+       |      FROM days),
+       |runs AS (SELECT user_id, isl, COUNT(*) AS len FROM i
+       |         GROUP BY 1, 2),
+       |best AS (SELECT user_id, CAST(MAX(len) AS BIGINT) AS best
+       |         FROM runs GROUP BY 1)
+       |SELECT best AS streak_days, COUNT(*) AS n_users
+       |FROM best GROUP BY 1 ORDER BY streak_days""".stripMargin
+
+  /** q285 oracle: identical regexp counting (global flag), exact
+    * BIGINT sums, Flesch on aggregate ratios. */
+  private val q285Sql: String =
+    s"""WITH f AS (SELECT source,
+       |         CAST(LENGTH(regexp_replace(text, ' +', 'S', 'g'))
+       |           - LENGTH(regexp_replace(text, ' +', '', 'g')) + 1
+       |           AS BIGINT) AS w,
+       |         GREATEST(1, CAST(LENGTH(text)
+       |           - LENGTH(regexp_replace(text, '[.!?]', '', 'g'))
+       |           AS BIGINT)) AS sn,
+       |         CAST(LENGTH(regexp_replace(LOWER(text), '[aeiouy]+',
+       |             'V', 'g'))
+       |           - LENGTH(regexp_replace(LOWER(text), '[aeiouy]+',
+       |             '', 'g')) AS BIGINT) AS y
+       |       FROM documents)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  ${sqlE6("SUM(w)::DOUBLE / SUM(sn)::DOUBLE")} AS words_per_sent_e6,
+       |  ${sqlE6("SUM(y)::DOUBLE / SUM(w)::DOUBLE")} AS syll_per_word_e6,
+       |  ${sqlE6("206.835 - 1.015 * SUM(w)::DOUBLE / SUM(sn)::DOUBLE - 84.6 * SUM(y)::DOUBLE / SUM(w)::DOUBLE")} AS flesch_e6
+       |FROM f GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** q286 oracle: identical md5-ordered round-robin fold dealing. */
+  private val q286Sql: String =
+    s"""WITH folded AS (SELECT lang, n_chars,
+       |         (ROW_NUMBER() OVER (PARTITION BY lang
+       |            ORDER BY md5('kf:' || doc_id::VARCHAR), doc_id)
+       |          - 1) % 5 AS fold
+       |       FROM documents),
+       |g AS (SELECT lang, fold, COUNT(*) AS n_docs,
+       |        CAST(SUM(n_chars) AS BIGINT) AS cs
+       |      FROM folded GROUP BY 1, 2),
+       |l AS (SELECT lang, fold, n_docs, cs,
+       |        CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+       |          AS lang_total
+       |      FROM g)
+       |SELECT lang, CAST(fold AS BIGINT) AS fold, n_docs,
+       |  ${sqlE6("n_docs::DOUBLE / lang_total::DOUBLE")} AS share_e6,
+       |  ${sqlE6("cs::DOUBLE / n_docs::DOUBLE")} AS mean_chars_e6
+       |FROM l ORDER BY lang, fold""".stripMargin
+
+  /** q287 oracle: as-of bracket, same bucket grid. */
+  private val q287Sql: String =
+    s"""WITH o AS (SELECT o_orderstatus AS status,
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |           AS day,
+       |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+       |       FROM orders),
+       |ao AS (SELECT MAX(day) AS aday FROM o),
+       |b AS (SELECT status, c, aday - day AS age,
+       |        CASE WHEN aday - day <= 30 THEN 'a_0_30'
+       |             WHEN aday - day <= 60 THEN 'b_31_60'
+       |             WHEN aday - day <= 90 THEN 'c_61_90'
+       |             WHEN aday - day <= 180 THEN 'd_91_180'
+       |             WHEN aday - day <= 365 THEN 'e_181_365'
+       |             ELSE 'f_365_plus' END AS bucket
+       |      FROM o, ao WHERE status <> 'F')
+       |SELECT status, bucket, COUNT(*) AS n_orders,
+       |       CAST(SUM(c) AS BIGINT) AS cents
+       |FROM b GROUP BY 1, 2 ORDER BY status, bucket""".stripMargin
+
+  /** q288 oracle: the identical Holt-Winters fold as a DuckDB
+    * list_reduce (list-typed accumulator via the list_prepend trick;
+    * constants interpolate the same Scala doubles as the Spark
+    * side). */
+  private val q288Sql: String = {
+    val (a1, a2) = (s"$HwA", s"${1 - HwA}")
+    val (b1, b2) = (s"$HwB", s"${1 - HwB}")
+    val (g1, g2) = (s"$HwG", s"${1 - HwG}")
+    val slot = "CAST(list_extract(acc, 4) AS INT) % 7"
+    val sEl = s"list_extract(acc, 5 + $slot)"
+    val x = "list_extract(xe, 1)"
+    val lNew = s"($a1 * ($x - $sEl) + $a2 * (list_extract(acc, 1) + list_extract(acc, 2)))"
+    s"""WITH daily AS (SELECT
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |           AS day,
+       |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+       |              AS BIGINT) AS rev
+       |       FROM orders GROUP BY 1),
+       |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |spine AS (SELECT unnest(range(b.d0, b.d1 + 1)) AS day FROM b),
+       |z AS (SELECT s.day, COALESCE(d.rev, 0)::DOUBLE AS v
+       |      FROM spine s LEFT JOIN daily d ON s.day = d.day),
+       |arr AS (SELECT list(v ORDER BY day) AS a FROM z),
+       |init AS (SELECT a,
+       |    list_aggregate(list_slice(a, 1, 7), 'sum') / 7.0 AS l0,
+       |    (list_aggregate(list_slice(a, 8, 14), 'sum') / 7.0
+       |     - list_aggregate(list_slice(a, 1, 7), 'sum') / 7.0) / 7.0
+       |      AS t0
+       |  FROM arr),
+       |st0 AS (SELECT a, list_concat([l0, t0, 0.0, 0.0],
+       |    list_transform(list_slice(a, 1, 7), x -> x - l0)) AS s0
+       |  FROM init),
+       |f AS (SELECT list_reduce(
+       |    list_prepend(s0, list_transform(
+       |      list_slice(a, 15, length(a)), x -> [x])),
+       |    (acc, xe) -> list_transform(range(0, 11), i -> CASE
+       |      WHEN i = 0 THEN $lNew
+       |      WHEN i = 1 THEN $b1 * ($lNew - list_extract(acc, 1))
+       |        + $b2 * list_extract(acc, 2)
+       |      WHEN i = 2 THEN list_extract(acc, 3) + abs($x -
+       |        (list_extract(acc, 1) + list_extract(acc, 2) + $sEl))
+       |      WHEN i = 3 THEN list_extract(acc, 4) + 1.0
+       |      WHEN i - 4 = $slot THEN $g1 * ($x - $lNew) + $g2 * $sEl
+       |      ELSE list_extract(acc, i + 1) END)) AS st
+       |  FROM st0)
+       |SELECT CAST(list_extract(st, 4) AS BIGINT) AS n_fit,
+       |  ${sqlE6("list_extract(st, 1) / 100.0")} AS level_e6,
+       |  ${sqlE6("list_extract(st, 2) / 100.0")} AS trend_e6,
+       |  ${sqlE6("list_extract(st, 3) / list_extract(st, 4) / 100.0")} AS mae_e6,
+       |  ${sqlE6("list_extract(st, 5) / 100.0")} AS s1_e6,
+       |  ${sqlE6("list_extract(st, 6) / 100.0")} AS s2_e6,
+       |  ${sqlE6("list_extract(st, 7) / 100.0")} AS s3_e6,
+       |  ${sqlE6("list_extract(st, 8) / 100.0")} AS s4_e6,
+       |  ${sqlE6("list_extract(st, 9) / 100.0")} AS s5_e6,
+       |  ${sqlE6("list_extract(st, 10) / 100.0")} AS s6_e6,
+       |  ${sqlE6("list_extract(st, 11) / 100.0")} AS s7_e6
+       |FROM f ORDER BY n_fit""".stripMargin
+  }
+
+  /** q289 oracle: integer 4*S7 vs S28 signal, crossing counts. */
+  private val q289Sql: String =
+    s"""WITH daily AS (SELECT
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |           AS day,
+       |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+       |              AS BIGINT) AS rev
+       |       FROM orders GROUP BY 1),
+       |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |spine AS (SELECT unnest(range(b.d0, b.d1 + 1)) AS day FROM b),
+       |z AS (SELECT s.day, COALESCE(d.rev, 0) AS rev
+       |      FROM spine s LEFT JOIN daily d ON s.day = d.day),
+       |w AS (SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rn,
+       |        CAST(SUM(rev) OVER (ORDER BY day ROWS BETWEEN 6
+       |          PRECEDING AND CURRENT ROW) AS BIGINT) AS s7,
+       |        CAST(SUM(rev) OVER (ORDER BY day ROWS BETWEEN 27
+       |          PRECEDING AND CURRENT ROW) AS BIGINT) AS s28
+       |      FROM z),
+       |sig AS (SELECT day,
+       |          CASE WHEN s7 * 4 > s28 THEN 1
+       |               WHEN s7 * 4 < s28 THEN -1 ELSE 0 END AS sig
+       |        FROM w WHERE rn >= 28),
+       |l AS (SELECT day, sig, LAG(sig, 1) OVER (ORDER BY day) AS prev
+       |      FROM sig)
+       |SELECT COUNT(*) AS n_days,
+       |  CAST(SUM(CASE WHEN sig = 1 AND prev = -1 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_golden,
+       |  CAST(SUM(CASE WHEN sig = -1 AND prev = 1 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_death,
+       |  MAX(CASE WHEN sig <> prev AND sig <> 0 AND prev <> 0
+       |      THEN day END) AS last_cross_day,
+       |  CAST(max_by(sig, day) AS BIGINT) AS last_sig
+       |FROM l ORDER BY n_days""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q289_sma_crossover" -> q289Sql,
+    "q288_holt_winters" -> q288Sql,
+    "q287_aging_buckets" -> q287Sql,
+    "q286_kfold_assign" -> q286Sql,
+    "q285_readability" -> q285Sql,
+    "q284_streak_hist" -> q284Sql,
+    "q283_gains_table" -> q283Sql,
+    "q282_bimodality" -> q282Sql,
     "q281_whale_share" -> q281Sql,
     "q280_poisson_bootstrap" -> q280Sql,
     "q279_gaussian_nb" -> q279Sql,

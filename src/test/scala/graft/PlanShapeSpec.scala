@@ -406,7 +406,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     "q279_gaussian_nb",   // 5-class stats table broadcast vs docs
     "q280_poisson_bootstrap", // 1-row base-mean bracket vs the 1-row
                           // replicate aggregate
-    "q281_whale_share")   // 1-row p99-threshold bracket vs orders
+    "q281_whale_share",   // 1-row p99-threshold bracket vs orders
+    "q283_gains_table",   // 1-row user/conv totals vs the ~20-row
+                          // score histogram
+    "q287_aging_buckets", // 1-row as-of-day bracket vs orders
+    "q288_holt_winters")  // 1-row d0/d1 spine bracket feeding the
+                          // single-row array fold
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {

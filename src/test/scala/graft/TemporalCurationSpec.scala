@@ -1033,4 +1033,68 @@ class TemporalCurationSpec extends AnyFunSuite with SparkTestBase {
       assert(gp == lab)
     }
   }
+
+  test("stratifiedKFold deals exact floor/ceil fold sizes per stratum " +
+      "and is deterministic") {
+    val folded = CurationOps.stratifiedKFold(docs, "lang", "doc_id",
+      5, "kf")
+    val sizes = folded.groupBy(col("lang"), col("fold")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val perLang = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, n) =>
+      val fs = (0 until 5).map(f => sizes.getOrElse((lang, f.toLong), 0L))
+      assert(fs.sum == n)
+      // round-robin dealing: every fold holds floor or ceil(n/5)
+      assert(fs.max - fs.min <= 1, s"$lang fold sizes $fs")
+    }
+    // determinism: same salt -> identical assignment
+    val again = CurationOps.stratifiedKFold(docs, "lang", "doc_id",
+      5, "kf").select(col("doc_id"), col("fold")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val first = folded.select(col("doc_id"), col("fold")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(first == again)
+  }
+
+  test("holtWinters matches the hand-rolled recursion on a toy " +
+      "3-season series") {
+    import spark.implicits._
+    val series = Seq(10.0, 12, 14, 16, 18, 20, 22, 11, 13, 15, 17, 19,
+      21, 23, 12, 14, 16, 18, 20, 22, 24)
+    val df = series.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("day", "v")
+    val row = graft.operators.StatsOps
+      .holtWinters(df, "day", "v", 0.3, 0.05, 0.2, 7)
+      .collect().head
+    // reference recursion (independently hand-rolled)
+    val p = 7
+    val l0 = series.take(p).sum / p
+    var l = l0
+    var t = (series.slice(p, 2 * p).sum / p - l0) / p
+    val s = series.take(p).map(_ - l0).toArray
+    var sae = 0.0; var n = 0
+    series.drop(2 * p).foreach { x =>
+      val i = n % p
+      sae += math.abs(x - (l + t + s(i)))
+      val lp = 0.3 * (x - s(i)) + 0.7 * (l + t)
+      t = 0.05 * (lp - l) + 0.95 * t
+      s(i) = 0.2 * (x - lp) + 0.8 * s(i)
+      l = lp; n += 1
+    }
+    assert(math.abs(row.getDouble(0) - l) < 1e-12, s"level ${row.getDouble(0)} vs $l")
+    assert(math.abs(row.getDouble(1) - t) < 1e-12)
+    assert(math.abs(row.getDouble(2) - sae / n) < 1e-12)
+    assert(row.getLong(3) == n)
+    val gotS = row.getSeq[Double](4)
+    (0 until p).foreach(i => assert(math.abs(gotS(i) - s(i)) < 1e-12))
+    // degenerate short series: null outputs, zero fitted points
+    val short = Seq.tabulate(10)(i => (i.toLong, i.toDouble))
+      .toDF("day", "v")
+    val sr = graft.operators.StatsOps
+      .holtWinters(short, "day", "v", 0.3, 0.05, 0.2, 7)
+      .collect().head
+    assert(sr.isNullAt(0) && sr.getLong(3) == 0L)
+  }
 }
