@@ -4701,7 +4701,322 @@ object NorthStar {
       .ordered(col("n_days"))
   }
 
+  // q290 — split-conformal prediction interval for order value per
+  // priority: md5-parity calibration/test halves, per-priority
+  // calibration mean, and the conformal residual quantile selected by
+  // EXACT integer arithmetic — residuals compare as |c·n − S| (cents
+  // times calib count minus calib sum), so the rank-ceil(0.9(m+1))
+  // cut point is engine-exact. Coverage is then audited on the held-
+  // out half. Distribution-free intervals, zero floating-point in the
+  // selection.
+  private val q290: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("prio"), col("o_orderkey").as("k"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("c"))
+      .withColumn("calib", CurationOps.md5Hash32(
+        concat(lit("conf:"), col("k").cast("string"))) < 2147483648L)
+    val st = o.filter(col("calib")).groupBy(col("prio"))
+      .agg(count(lit(1)).as("m"), sum(col("c")).as("sc"))
+    val res = o.filter(col("calib")).join(st, Seq("prio"))
+      .select(col("prio"), col("m"), col("sc"),
+        abs(col("c") * col("m") - col("sc")).as("r"))
+      .groupBy(col("prio"), col("m"), col("sc"), col("r"))
+      .agg(count(lit(1)).as("nr"))
+    val w = Window.partitionBy(col("prio")).orderBy(col("r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qhat = res.withColumn("cum", sum(col("nr")).over(w))
+      .filter(col("cum").cast("double") >=
+        ceil((col("m") + 1).cast("double") * 0.9))
+      .groupBy(col("prio"), col("m"), col("sc"))
+      .agg(min(col("r")).as("rstar"))
+    o.filter(!col("calib")).join(qhat, Seq("prio"))
+      .groupBy(col("prio"))
+      .agg(max(col("m")).as("n_calib"), count(lit(1)).as("n_test"),
+        e6(max(col("rstar")).cast("double") /
+          max(col("m")).cast("double") / 100.0).as("qhat_e6"),
+        e6(avg(when(abs(col("c") * col("m") - col("sc")) <=
+          col("rstar"), 1.0).otherwise(0.0))).as("cover_e6"))
+      .ordered(col("prio"))
+  }
+
+  // q291 — freshness-weighted popularity: per-type event counts
+  // decayed by exp(-0.1 · age_days) against the corpus max day. The
+  // big table collapses to the bounded (type, day) grid BEFORE any
+  // exp() is evaluated, so the decay math runs on ~150 rows.
+  private val q291: Q = (s, dir) => {
+    val grid = t(s, dir, "events")
+      .groupBy(col("event_type"), expr(s"ts_ns div $DayNs").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val mx = grid.agg(max(col("day")).as("mxd"))
+    val sc = grid.crossJoin(broadcast(mx))
+      .withColumn("w", exp((col("day") - col("mxd")).cast("double")
+        * 0.1))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("n").cast("double") * col("w")).as("score"))
+    val tot = sc.agg(sum(col("score")).as("ts"))
+    sc.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_events"),
+        e6(col("score")).as("score_e6"),
+        e6(col("score") / col("ts")).as("share_e6"))
+      .ordered(col("event_type"))
+  }
+
+  // q292 — active-learning uncertainty audit: the q279 Gaussian-NB
+  // per-class score table ranked per doc, margin = best minus
+  // runner-up log-score, docs under the margin threshold flagged as
+  // the next labeling batch, counted per true language.
+  private val q292: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val f = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang").as("label"),
+        length(col("text")).cast("long").as("x1"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("long").as("x2"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), " ", "")))
+          .cast("long").as("x3"))
+    val st = f.groupBy(col("label").as("cl"))
+      .agg(count(lit(1)).as("nc"),
+        sum(col("x1")).as("s1a"), sum(col("x1") * col("x1")).as("s2a"),
+        sum(col("x2")).as("s1b"), sum(col("x2") * col("x2")).as("s2b"),
+        sum(col("x3")).as("s1c"), sum(col("x3") * col("x3")).as("s2c"))
+    val tot = f.agg(count(lit(1)).as("nt"))
+    def mu(s1: String): Column =
+      col(s1).cast("double") / col("nc").cast("double")
+    def va(s1: String, s2: String): Column = greatest(
+      (col("nc") * col(s2) - col(s1) * col(s1)).cast("double") /
+        (col("nc") * col("nc")).cast("double"), lit(0.5))
+    def term(x: String, s1: String, s2: String): Column = {
+      val m = mu(s1); val v = va(s1, s2)
+      log(v) * -0.5 - (col(x).cast("double") - m) *
+        (col(x).cast("double") - m) / (v * 2.0)
+    }
+    val scored = f.crossJoin(broadcast(st.crossJoin(tot)))
+      .withColumn("score",
+        term("x1", "s1a", "s2a") + term("x2", "s1b", "s2b") +
+          term("x3", "s1c", "s2c") +
+          log(col("nc").cast("double") / col("nt").cast("double")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cl"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .groupBy(col("doc_id"), col("label"))
+      .agg((max(when(col("rk") === 1, col("score"))) -
+        max(when(col("rk") === 2, col("score")))).as("margin"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("margin") < 5.0, 1L).otherwise(0L))
+          .as("n_uncertain"),
+        e6(avg(col("margin"))).as("mean_margin_e6"))
+      .ordered(col("label"))
+  }
+
+  // q293 — weekly growth accounting: every (user, week) activity cell
+  // classified new / retained / resurrected against the previous week
+  // and the user's first week; churned(w) = active w-1, absent w. The
+  // MAU-accounting identity every growth team reports.
+  private val q293: Q = (s, dir) => {
+    val uw = t(s, dir, "events")
+      .select(col("user_id"), expr(s"(ts_ns div $DayNs) div 7").as("w"))
+      .distinct()
+    val first = uw.groupBy(col("user_id")).agg(min(col("w")).as("w0"))
+    val prev = uw.select(col("user_id"), (col("w") + 1L).as("w"),
+      lit(1L).as("was_active"))
+    val cur = uw.join(first, Seq("user_id"))
+      .join(prev, Seq("user_id", "w"), "full_outer")
+    cur.groupBy(col("w"))
+      .agg(sum(when(col("w0") === col("w"), 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when(col("w0") < col("w") && col("was_active").isNotNull
+          && col("w0").isNotNull, 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("w0") < col("w") && col("was_active").isNull,
+          1L).otherwise(0L)).as("n_resurrected"),
+        sum(when(col("w0").isNull && col("was_active").isNotNull, 1L)
+          .otherwise(0L)).as("n_churned"))
+      .ordered(col("w"))
+  }
+
+  // q294 — coverage/completeness audit of the daily order feed: the
+  // dense (priority × day) expectation grid vs observed days, missing
+  // share and the longest consecutive missing-day run per priority
+  // (gaps-and-islands on the missing cells of the bounded grid).
+  private val q294: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val od = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("prio"),
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+          .cast("long").as("day"))
+      .distinct()
+    val span = od.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = od.select(col("prio")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("prio"), explode(sequence(col("d0"), col("d1")))
+        .as("day"))
+    val missing = grid.join(od, Seq("prio", "day"), "left_anti")
+    val w = Window.partitionBy(col("prio")).orderBy(col("day"))
+    val runs = missing
+      .withColumn("isl", col("day") - row_number().over(w))
+      .groupBy(col("prio"), col("isl")).agg(count(lit(1)).as("len"))
+      .groupBy(col("prio")).agg(max(col("len")).as("longest_gap"))
+    grid.groupBy(col("prio")).agg(count(lit(1)).as("n_expected"))
+      .join(missing.groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_missing")), Seq("prio"), "left")
+      .join(runs, Seq("prio"), "left")
+      .select(col("prio"), col("n_expected"),
+        coalesce(col("n_missing"), lit(0L)).as("n_missing"),
+        e6(lit(1.0) - coalesce(col("n_missing"), lit(0L))
+          .cast("double") / col("n_expected").cast("double"))
+          .as("fill_e6"),
+        coalesce(col("longest_gap"), lit(0L)).as("longest_gap"))
+      .ordered(col("prio"))
+  }
+
+  // q295 — brand-switching matrix: each order's dominant brand
+  // (highest net cents, brand tiebreak — deterministic rank, no
+  // argmax on ties), per-customer consecutive-order transitions
+  // (date+orderkey total order), counted per (from, to) pair.
+  private val q295: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ob = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey").as("k"), col("p_brand").as("brand"))
+      .agg(sum(expr(
+        "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        .as("c"))
+    val wd = Window.partitionBy(col("k"))
+      .orderBy(col("c").desc, col("brand").desc)
+    val dom = ob.withColumn("rk", row_number().over(wd))
+      .filter(col("rk") === 1).select(col("k"), col("brand"))
+    val seq0 = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+          .cast("long").as("day"))
+      .join(dom, Seq("k"))
+    val ws = Window.partitionBy(col("cust"))
+      .orderBy(col("day"), col("k"))
+    seq0.withColumn("from_brand", lag(col("brand"), 1).over(ws))
+      .filter(col("from_brand").isNotNull)
+      .groupBy(col("from_brand"), col("brand").as("to_brand"))
+      .agg(count(lit(1)).as("n"))
+      .ordered(col("from_brand"), col("to_brand"))
+  }
+
+  // q296 — customer-revenue Lorenz deciles + exact Gini: per-customer
+  // cents collapse to a value histogram, deciles assigned by integer
+  // cumulative-count mapping (the q283 discipline), Gini via the
+  // midrank identity on the histogram — no per-row rank window.
+  private val q296: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val pc = t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .as("c"))
+    val h = pc.groupBy(col("c")).agg(count(lit(1)).as("nu"))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = h.agg(sum(col("nu")).as("n"),
+      sum(col("nu") * col("c")).as("tc"))
+    val cum = h.withColumn("cumb", coalesce(sum(col("nu")).over(w),
+      lit(0L))).crossJoin(broadcast(tot))
+    val gini = cum
+      .agg(max(col("n")).as("n"), max(col("tc")).as("tc"),
+        sum((lit(2.0) * (col("cumb").cast("double") +
+          (col("nu").cast("double") + 1.0) / 2.0) -
+          col("n").cast("double") - 1.0) *
+          col("nu").cast("double") * col("c").cast("double"))
+          .as("gnum"))
+      .select((col("gnum") / (col("n").cast("double") *
+        col("tc").cast("double"))).as("gini"))
+    val dec = cum.withColumn("decile", expr("(10 * cumb) div n"))
+      .groupBy(col("decile"))
+      .agg(sum(col("nu")).as("n_cust"),
+        sum(col("nu") * col("c")).as("rev"), max(col("tc")).as("tc"))
+    val w2 = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec.withColumn("cum_rev", sum(col("rev")).over(w2))
+      .crossJoin(broadcast(gini))
+      .select(col("decile"), col("n_cust"),
+        e6(col("rev").cast("double") / col("tc").cast("double"))
+          .as("rev_share_e6"),
+        e6(col("cum_rev").cast("double") / col("tc").cast("double"))
+          .as("cum_share_e6"),
+        e6(col("gini")).as("gini_e6"))
+      .ordered(col("decile"))
+  }
+
+  // q297 — Hurst exponent of daily revenue by rescaled-range (R/S)
+  // analysis: block sizes 32/64/128/256 over the zero-filled spine,
+  // per-block cumulative deviations as EXACT integers (s·cum − t·S),
+  // mean R/S per size, and the log-log OLS slope across the four
+  // sizes. Long-memory diagnostics for capacity planning.
+  private val q297: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .select(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+        .cast("long").as("day"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("rev"))
+    val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val z = spine.join(daily, Seq("day"), "left")
+      .withColumn("rev", coalesce(col("rev"), lit(0L)))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("day"))).cast("long"))
+    val sized = z.withColumn("sz",
+        explode(array(lit(32L), lit(64L), lit(128L), lit(256L))))
+      .withColumn("blk", expr("(rn - 1) div sz"))
+    // bs2 in double: Σ rev² overflows BIGINT at 10× (rev/day ~1e9
+    // cents squared × 2400 days); per-term products round identically
+    // in both engines, only the tiny fold-order tail differs.
+    val bst = sized.groupBy(col("sz"), col("blk"))
+      .agg(count(lit(1)).as("bn"), sum(col("rev")).as("bs"),
+        sum(col("rev").cast("double") * col("rev").cast("double"))
+          .as("bs2"))
+      .filter(col("bn") === col("sz"))
+    val wb = Window.partitionBy(col("sz"), col("blk"))
+      .orderBy(col("rn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val devs = sized.join(bst, Seq("sz", "blk"))
+      .withColumn("cum", sum(col("rev")).over(wb))
+      .withColumn("t", col("rn") - col("blk") * col("sz"))
+      .withColumn("dev", col("sz") * col("cum") - col("t") * col("bs"))
+    val rs = devs.groupBy(col("sz"), col("blk"), col("bs"), col("bs2"))
+      .agg(((max(col("dev")) - min(col("dev"))).cast("double") /
+        col("sz").cast("double")).as("r"))
+      .withColumn("sd", sqrt(col("bs2").cast("double") /
+        col("sz").cast("double") -
+        (col("bs").cast("double") / col("sz").cast("double")) *
+        (col("bs").cast("double") / col("sz").cast("double"))))
+      .filter(col("sd") > 0.0)
+      .groupBy(col("sz"))
+      .agg(count(lit(1)).as("nb"), avg(col("r") / col("sd")).as("mrs"))
+    val ols = rs.agg(count(lit(1)).cast("double").as("k"),
+        sum(log(col("sz").cast("double"))).as("sx"),
+        sum(log(col("mrs"))).as("sy"),
+        sum(log(col("sz").cast("double")) * log(col("mrs"))).as("sxy"),
+        sum(log(col("sz").cast("double")) *
+          log(col("sz").cast("double"))).as("sxx"))
+      .select(((col("sxy") - col("sx") * col("sy") / col("k")) /
+        (col("sxx") - col("sx") * col("sx") / col("k"))).as("hurst"))
+    rs.crossJoin(broadcast(ols))
+      .select(col("sz"), col("nb"), e6(col("mrs")).as("mean_rs_e6"),
+        e6(col("hurst")).as("hurst_e6"))
+      .ordered(col("sz"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q297_hurst_exponent" -> q297,
+    "q296_lorenz_gini" -> q296,
+    "q295_brand_switching" -> q295,
+    "q294_completeness_audit" -> q294,
+    "q293_growth_accounting" -> q293,
+    "q292_uncertainty_audit" -> q292,
+    "q291_decay_popularity" -> q291,
+    "q290_conformal_interval" -> q290,
     "q289_sma_crossover" -> q289,
     "q288_holt_winters" -> q288,
     "q287_aging_buckets" -> q287,
@@ -11343,7 +11658,263 @@ object NorthStar {
        |  CAST(max_by(sig, day) AS BIGINT) AS last_sig
        |FROM l ORDER BY n_days""".stripMargin
 
+  /** q290 oracle: identical md5-parity split and exact integer
+    * residual-rank selection. */
+  private val q290Sql: String =
+    s"""WITH o AS (SELECT o_orderpriority AS prio, o_orderkey AS k,
+       |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+       |         ${sqlHex32("md5('conf:' || o_orderkey::VARCHAR)")}
+       |           < 2147483648 AS calib
+       |       FROM orders),
+       |st AS (SELECT prio, COUNT(*) AS m,
+       |         CAST(SUM(c) AS BIGINT) AS sc
+       |       FROM o WHERE calib GROUP BY 1),
+       |res AS (SELECT o.prio, st.m, st.sc, ABS(c * st.m - st.sc) AS r,
+       |          COUNT(*) AS nr
+       |        FROM o JOIN st ON o.prio = st.prio WHERE calib
+       |        GROUP BY 1, 2, 3, 4),
+       |cum AS (SELECT prio, m, sc, r,
+       |          CAST(SUM(nr) OVER (PARTITION BY prio ORDER BY r
+       |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |        FROM res),
+       |qh AS (SELECT prio, m, sc, MIN(r) AS rstar FROM cum
+       |       WHERE cum::DOUBLE >= CEIL((m + 1)::DOUBLE * 0.9)
+       |       GROUP BY 1, 2, 3)
+       |SELECT o.prio AS prio, MAX(qh.m) AS n_calib,
+       |  COUNT(*) AS n_test,
+       |  ${sqlE6("MAX(qh.rstar)::DOUBLE / MAX(qh.m)::DOUBLE / 100.0")} AS qhat_e6,
+       |  ${sqlE6("AVG(CASE WHEN ABS(c * qh.m - qh.sc) <= qh.rstar THEN 1.0 ELSE 0.0 END)")} AS cover_e6
+       |FROM o JOIN qh ON o.prio = qh.prio WHERE NOT calib
+       |GROUP BY 1 ORDER BY prio""".stripMargin
+
+  /** q291 oracle: bounded (type, day) grid, same decay constant. */
+  private val q291Sql: String =
+    s"""WITH grid AS (SELECT event_type,
+       |         epoch_us(ts) * 1000 // $DayNs AS day, COUNT(*) AS n
+       |       FROM events GROUP BY 1, 2),
+       |mx AS (SELECT MAX(day) AS mxd FROM grid),
+       |sc AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_events,
+       |         SUM(n::DOUBLE * EXP((day - mxd)::DOUBLE * 0.1))
+       |           AS score
+       |       FROM grid, mx GROUP BY 1),
+       |tot AS (SELECT SUM(score) AS ts FROM sc)
+       |SELECT event_type, n_events, ${sqlE6("score")} AS score_e6,
+       |       ${sqlE6("score / ts")} AS share_e6
+       |FROM sc, tot ORDER BY event_type""".stripMargin
+
+  /** q292 oracle: the q279 score CTE extended with top-2 ranks and
+    * the margin threshold. */
+  private val q292Sql: String =
+    s"""WITH f AS (SELECT doc_id, lang AS label,
+       |         CAST(LENGTH(text) AS BIGINT) AS x1,
+       |         CAST(LENGTH(text) - LENGTH(regexp_replace(text,
+       |           '[0-9]', '', 'g')) AS BIGINT) AS x2,
+       |         CAST(LENGTH(text) - LENGTH(regexp_replace(text,
+       |           ' ', '', 'g')) AS BIGINT) AS x3
+       |       FROM documents),
+       |st AS (SELECT label AS cl, COUNT(*) AS nc,
+       |         CAST(SUM(x1) AS BIGINT) AS s1a,
+       |         CAST(SUM(x1 * x1) AS BIGINT) AS s2a,
+       |         CAST(SUM(x2) AS BIGINT) AS s1b,
+       |         CAST(SUM(x2 * x2) AS BIGINT) AS s2b,
+       |         CAST(SUM(x3) AS BIGINT) AS s1c,
+       |         CAST(SUM(x3 * x3) AS BIGINT) AS s2c
+       |       FROM f GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS nt FROM f),
+       |sc AS (SELECT f.doc_id, f.label, st.cl,
+       |         (-0.5 * LN(GREATEST((st.nc * st.s2a - st.s1a * st.s1a)::DOUBLE / (st.nc * st.nc)::DOUBLE, 0.5))
+       |          - (f.x1::DOUBLE - st.s1a::DOUBLE / st.nc::DOUBLE) * (f.x1::DOUBLE - st.s1a::DOUBLE / st.nc::DOUBLE)
+       |            / (GREATEST((st.nc * st.s2a - st.s1a * st.s1a)::DOUBLE / (st.nc * st.nc)::DOUBLE, 0.5) * 2.0))
+       |         + (-0.5 * LN(GREATEST((st.nc * st.s2b - st.s1b * st.s1b)::DOUBLE / (st.nc * st.nc)::DOUBLE, 0.5))
+       |          - (f.x2::DOUBLE - st.s1b::DOUBLE / st.nc::DOUBLE) * (f.x2::DOUBLE - st.s1b::DOUBLE / st.nc::DOUBLE)
+       |            / (GREATEST((st.nc * st.s2b - st.s1b * st.s1b)::DOUBLE / (st.nc * st.nc)::DOUBLE, 0.5) * 2.0))
+       |         + (-0.5 * LN(GREATEST((st.nc * st.s2c - st.s1c * st.s1c)::DOUBLE / (st.nc * st.nc)::DOUBLE, 0.5))
+       |          - (f.x3::DOUBLE - st.s1c::DOUBLE / st.nc::DOUBLE) * (f.x3::DOUBLE - st.s1c::DOUBLE / st.nc::DOUBLE)
+       |            / (GREATEST((st.nc * st.s2c - st.s1c * st.s1c)::DOUBLE / (st.nc * st.nc)::DOUBLE, 0.5) * 2.0))
+       |         + LN(st.nc::DOUBLE / tot.nt::DOUBLE) AS score
+       |       FROM f, st, tot),
+       |p AS (SELECT doc_id, label, score,
+       |        ROW_NUMBER() OVER (PARTITION BY doc_id
+       |          ORDER BY score DESC, cl) AS rk
+       |      FROM sc),
+       |m AS (SELECT doc_id, label,
+       |        MAX(CASE WHEN rk = 1 THEN score END)
+       |        - MAX(CASE WHEN rk = 2 THEN score END) AS margin
+       |      FROM p WHERE rk <= 2 GROUP BY 1, 2)
+       |SELECT label, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN margin < 5.0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_uncertain,
+       |  ${sqlE6("AVG(margin)")} AS mean_margin_e6
+       |FROM m GROUP BY 1 ORDER BY label""".stripMargin
+
+  /** q293 oracle: full-outer of current vs shifted week activity. */
+  private val q293Sql: String =
+    s"""WITH uw AS (SELECT DISTINCT user_id,
+       |         (epoch_us(ts) * 1000 // $DayNs) // 7 AS w FROM events),
+       |f AS (SELECT user_id, MIN(w) AS w0 FROM uw GROUP BY 1),
+       |prev AS (SELECT user_id, w + 1 AS w, 1 AS was_active FROM uw),
+       |cur AS (SELECT COALESCE(l.user_id, prev.user_id) AS user_id,
+       |          COALESCE(l.w, prev.w) AS w, l.w0, prev.was_active
+       |        FROM (SELECT uw.user_id, uw.w, f.w0 FROM uw
+       |              JOIN f ON uw.user_id = f.user_id) l
+       |        FULL OUTER JOIN prev
+       |          ON l.user_id = prev.user_id AND l.w = prev.w)
+       |SELECT w,
+       |  CAST(SUM(CASE WHEN w0 = w THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_new,
+       |  CAST(SUM(CASE WHEN w0 < w AND was_active IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+       |  CAST(SUM(CASE WHEN w0 < w AND was_active IS NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+       |  CAST(SUM(CASE WHEN w0 IS NULL AND was_active IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+       |FROM cur GROUP BY 1 ORDER BY w""".stripMargin
+
+  /** q294 oracle: dense grid anti-join + gaps-and-islands on missing
+    * cells. */
+  private val q294Sql: String =
+    s"""WITH od AS (SELECT DISTINCT o_orderpriority AS prio,
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |           AS day
+       |       FROM orders),
+       |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM od),
+       |grid AS (SELECT prio, unnest(range(d0, d1 + 1)) AS day
+       |         FROM (SELECT DISTINCT prio FROM od), span),
+       |miss AS (SELECT g.prio, g.day FROM grid g
+       |         LEFT JOIN od ON g.prio = od.prio AND g.day = od.day
+       |         WHERE od.prio IS NULL),
+       |runs AS (SELECT prio, CAST(MAX(len) AS BIGINT) AS longest_gap
+       |         FROM (SELECT prio, isl, COUNT(*) AS len
+       |               FROM (SELECT prio, day,
+       |                       day - ROW_NUMBER() OVER (
+       |                         PARTITION BY prio ORDER BY day) AS isl
+       |                     FROM miss)
+       |               GROUP BY 1, 2)
+       |         GROUP BY 1),
+       |mt AS (SELECT prio, COUNT(*) AS n_missing FROM miss GROUP BY 1),
+       |et AS (SELECT prio, COUNT(*) AS n_expected FROM grid GROUP BY 1)
+       |SELECT et.prio AS prio, et.n_expected,
+       |  COALESCE(mt.n_missing, 0) AS n_missing,
+       |  ${sqlE6("1.0 - COALESCE(mt.n_missing, 0)::DOUBLE / et.n_expected::DOUBLE")} AS fill_e6,
+       |  COALESCE(runs.longest_gap, 0) AS longest_gap
+       |FROM et LEFT JOIN mt ON et.prio = mt.prio
+       |LEFT JOIN runs ON et.prio = runs.prio
+       |ORDER BY prio""".stripMargin
+
+  /** q295 oracle: identical dominant-brand rank and consecutive-order
+    * lag. */
+  private val q295Sql: String =
+    s"""WITH ob AS (SELECT l_orderkey AS k, p_brand AS brand,
+       |         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+       |              * 100) AS BIGINT)) AS BIGINT) AS c
+       |       FROM lineitem JOIN part ON l_partkey = p_partkey
+       |       GROUP BY 1, 2),
+       |dom AS (SELECT k, brand FROM (SELECT k, brand,
+       |          ROW_NUMBER() OVER (PARTITION BY k
+       |            ORDER BY c DESC, brand DESC) AS rk
+       |        FROM ob) WHERE rk = 1),
+       |sq AS (SELECT o.o_custkey AS cust,
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o.o_orderdate)
+       |           AS day,
+       |         o.o_orderkey AS k, dom.brand
+       |       FROM orders o JOIN dom ON o.o_orderkey = dom.k),
+       |tr AS (SELECT LAG(brand, 1) OVER (PARTITION BY cust
+       |         ORDER BY day, k) AS from_brand, brand AS to_brand
+       |       FROM sq)
+       |SELECT from_brand, to_brand, COUNT(*) AS n FROM tr
+       |WHERE from_brand IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY from_brand, to_brand""".stripMargin
+
+  /** q296 oracle: histogram midrank Gini + integer decile mapping. */
+  private val q296Sql: String =
+    s"""WITH pc AS (SELECT o_custkey,
+       |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+       |              AS BIGINT) AS c
+       |       FROM orders GROUP BY 1),
+       |h AS (SELECT c, COUNT(*) AS nu FROM pc GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(nu) AS BIGINT) AS n,
+       |               CAST(SUM(nu * c) AS BIGINT) AS tc FROM h),
+       |cum AS (SELECT c, nu,
+       |          CAST(COALESCE(SUM(nu) OVER (ORDER BY c
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |            0) AS BIGINT) AS cumb, n, tc
+       |        FROM h, tot),
+       |gini AS (SELECT SUM((2.0 * (cumb::DOUBLE
+       |             + (nu::DOUBLE + 1.0) / 2.0)
+       |             - n::DOUBLE - 1.0) * nu::DOUBLE * c::DOUBLE)
+       |           / (MAX(n)::DOUBLE * MAX(tc)::DOUBLE) AS gini
+       |         FROM cum),
+       |dec AS (SELECT (10 * cumb) // n AS decile,
+       |          CAST(SUM(nu) AS BIGINT) AS n_cust,
+       |          CAST(SUM(nu * c) AS BIGINT) AS rev, MAX(tc) AS tc
+       |        FROM cum GROUP BY 1),
+       |e AS (SELECT decile, n_cust, rev, tc,
+       |        CAST(SUM(rev) OVER (ORDER BY decile
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev
+       |      FROM dec)
+       |SELECT decile, n_cust,
+       |  ${sqlE6("rev::DOUBLE / tc::DOUBLE")} AS rev_share_e6,
+       |  ${sqlE6("cum_rev::DOUBLE / tc::DOUBLE")} AS cum_share_e6,
+       |  ${sqlE6("(SELECT gini FROM gini)")} AS gini_e6
+       |FROM e ORDER BY decile""".stripMargin
+
+  /** q297 oracle: identical exact-integer cumulative deviations and
+    * double bs2 power sum, same four block sizes. */
+  private val q297Sql: String =
+    s"""WITH daily AS (SELECT
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |           AS day,
+       |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+       |              AS BIGINT) AS rev
+       |       FROM orders GROUP BY 1),
+       |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |spine AS (SELECT unnest(range(b.d0, b.d1 + 1)) AS day FROM b),
+       |z AS (SELECT s.day, COALESCE(d.rev, 0) AS rev,
+       |        ROW_NUMBER() OVER (ORDER BY s.day) AS rn
+       |      FROM spine s LEFT JOIN daily d ON s.day = d.day),
+       |sized AS (SELECT z.*, sz.sz, (rn - 1) // sz.sz AS blk
+       |          FROM z, (SELECT unnest([32, 64, 128, 256]) AS sz) sz),
+       |bst AS (SELECT sz, blk, COUNT(*) AS bn,
+       |          CAST(SUM(rev) AS BIGINT) AS bs,
+       |          SUM(rev::DOUBLE * rev::DOUBLE) AS bs2
+       |        FROM sized GROUP BY 1, 2 HAVING COUNT(*) = sz),
+       |devs AS (SELECT s.sz, s.blk, bst.bs, bst.bs2,
+       |           s.sz * (CAST(SUM(s.rev) OVER (PARTITION BY s.sz,
+       |             s.blk ORDER BY s.rn ROWS UNBOUNDED PRECEDING)
+       |             AS BIGINT)) - (s.rn - s.blk * s.sz) * bst.bs
+       |             AS dev
+       |         FROM sized s JOIN bst
+       |           ON s.sz = bst.sz AND s.blk = bst.blk),
+       |rsb AS (SELECT sz, blk, bs, bs2,
+       |          (MAX(dev) - MIN(dev))::DOUBLE / sz::DOUBLE AS r
+       |        FROM devs GROUP BY 1, 2, 3, 4),
+       |rs AS (SELECT sz, COUNT(*) AS nb, AVG(r / sd) AS mrs
+       |       FROM (SELECT sz, r, SQRT(bs2 / sz::DOUBLE
+       |               - (bs::DOUBLE / sz::DOUBLE)
+       |                 * (bs::DOUBLE / sz::DOUBLE)) AS sd
+       |             FROM rsb) WHERE sd > 0.0
+       |       GROUP BY 1),
+       |ols AS (SELECT ((SUM(LN(sz::DOUBLE) * LN(mrs))
+       |          - SUM(LN(sz::DOUBLE)) * SUM(LN(mrs))
+       |            / COUNT(*)::DOUBLE)
+       |          / (SUM(LN(sz::DOUBLE) * LN(sz::DOUBLE))
+       |          - SUM(LN(sz::DOUBLE)) * SUM(LN(sz::DOUBLE))
+       |            / COUNT(*)::DOUBLE)) AS hurst
+       |        FROM rs)
+       |SELECT CAST(sz AS BIGINT) AS sz, nb,
+       |  ${sqlE6("mrs")} AS mean_rs_e6,
+       |  ${sqlE6("(SELECT hurst FROM ols)")} AS hurst_e6
+       |FROM rs ORDER BY sz""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q297_hurst_exponent" -> q297Sql,
+    "q296_lorenz_gini" -> q296Sql,
+    "q295_brand_switching" -> q295Sql,
+    "q294_completeness_audit" -> q294Sql,
+    "q293_growth_accounting" -> q293Sql,
+    "q292_uncertainty_audit" -> q292Sql,
+    "q291_decay_popularity" -> q291Sql,
+    "q290_conformal_interval" -> q290Sql,
     "q289_sma_crossover" -> q289Sql,
     "q288_holt_winters" -> q288Sql,
     "q287_aging_buckets" -> q287Sql,

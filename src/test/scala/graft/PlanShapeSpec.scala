@@ -410,8 +410,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     "q283_gains_table",   // 1-row user/conv totals vs the ~20-row
                           // score histogram
     "q287_aging_buckets", // 1-row as-of-day bracket vs orders
-    "q288_holt_winters")  // 1-row d0/d1 spine bracket feeding the
+    "q288_holt_winters",  // 1-row d0/d1 spine bracket feeding the
                           // single-row array fold
+    "q291_decay_popularity", // 1-row max-day + score-total brackets
+                          // vs the bounded (type, day) grid
+    "q292_uncertainty_audit", // 5-class stats table broadcast vs docs
+                          // (the q279 scoring shape)
+    "q294_completeness_audit", // 1-row span bracket x the 5-priority
+                          // spine expansion
+    "q296_lorenz_gini",   // 1-row total/Gini brackets vs the value
+                          // histogram
+    "q297_hurst_exponent") // 1-row spine + OLS-slope brackets vs the
+                          // 4-size R/S table
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
