@@ -5008,7 +5008,346 @@ object NorthStar {
       .ordered(col("sz"))
   }
 
+  // q298 — structural-break finder (one-split binary segmentation) on
+  // daily revenue: the between-group sum of squares of every split
+  // point from exact BIGINT prefix sums — identical double expressions
+  // on identical integers, so the argmax (gain DESC, day ASC) is
+  // engine-stable. The changepoint the q208 CUSUM family localizes,
+  // found by direct SSE decomposition.
+  private val q298: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .select(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+        .cast("long").as("day"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("rev"))
+    val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.orderBy(col("day"))
+    val z = spine.join(daily, Seq("day"), "left")
+      .withColumn("rev", coalesce(col("rev"), lit(0L)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cs", sum(col("rev")).over(w.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)))
+    val tot = z.agg(max(col("rn")).as("n"), max(col("cs")).as("s"),
+      sum(col("rev").cast("double") * col("rev").cast("double"))
+        .as("s2"))
+    val gains = z.crossJoin(broadcast(tot))
+      .filter(col("rn") < col("n"))
+      .withColumn("gain",
+        col("cs").cast("double") * col("cs").cast("double") /
+          col("rn").cast("double") +
+        (col("s") - col("cs")).cast("double") *
+          (col("s") - col("cs")).cast("double") /
+          (col("n") - col("rn")).cast("double") -
+        col("s").cast("double") * col("s").cast("double") /
+          col("n").cast("double"))
+    val w2 = Window.orderBy(col("gain").desc, col("day"))
+    gains.withColumn("rk", row_number().over(w2)).filter(col("rk") === 1)
+      .select(col("day").as("split_day"), col("rn").as("n_left"),
+        (col("n") - col("rn")).as("n_right"),
+        e6(col("cs").cast("double") / col("rn").cast("double") / 100.0)
+          .as("mean_left_e6"),
+        e6((col("s") - col("cs")).cast("double") /
+          (col("n") - col("rn")).cast("double") / 100.0)
+          .as("mean_right_e6"),
+        e6(col("gain") / (col("s2") -
+          col("s").cast("double") * col("s").cast("double") /
+            col("n").cast("double"))).as("gain_share_e6"))
+      .ordered(col("split_day"))
+  }
+
+  // q299 — quantile treatment effects: md5-free user-parity arms (the
+  // q251 assignment), exact type-lower deciles of event value per arm
+  // from the cents histogram, per-quantile A-minus-B differences. The
+  // distributional readout a mean-only A/B test misses.
+  private val q299: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val v = t(s, dir, "events")
+      .select((col("user_id") % 2 === 0).as("armA"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("c"))
+    val h = v.groupBy(col("armA"), col("c")).agg(count(lit(1)).as("n"))
+    val tot = h.groupBy(col("armA")).agg(sum(col("n")).as("nt"))
+    val w = Window.partitionBy(col("armA")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.withColumn("cumn", sum(col("n")).over(w))
+      .join(tot, Seq("armA"))
+    val qs = cum.crossJoin(broadcast(
+        spark_grid(s)))
+      .filter(col("cumn").cast("double") >=
+        ceil(col("nt").cast("double") * col("q") / 100.0))
+      .groupBy(col("q"), col("armA")).agg(min(col("c")).as("qc"))
+    qs.groupBy(col("q"))
+      .agg(max(when(col("armA"), col("qc"))).as("qa"),
+        max(when(!col("armA"), col("qc"))).as("qb"))
+      .select(col("q"), e6(col("qa").cast("double") / 100.0).as("a_e6"),
+        e6(col("qb").cast("double") / 100.0).as("b_e6"),
+        e6((col("qa") - col("qb")).cast("double") / 100.0)
+          .as("qte_e6"))
+      .ordered(col("q"))
+  }
+  /** 9-row decile grid (10..90) broadcast by q299. */
+  private def spark_grid(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (1 to 9).map(i => i * 10L).toDF("q")
+  }
+
+  // q300 — deterministic negative sampling for contrastive training:
+  // 4 md5-derived candidate ids per anchor (modulo the dense vec_id
+  // space — a 1-row count bracket), resolved against the embedding
+  // table by equi-join, label-collision candidates dropped, and the
+  // kept pair set fingerprinted. The negative-pair generator is one
+  // map-side expansion + one key-partitioned join — no RNG, no
+  // shuffle beyond the candidate resolve.
+  private val q300: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val n = e.agg(count(lit(1)).as("nv"))
+    val cand = e.crossJoin(broadcast(n))
+      .withColumn("j", explode(sequence(lit(1), lit(4))))
+      .withColumn("cand", CurationOps.md5Hash32(
+        concat(lit("neg:"), col("vec_id").cast("string"), lit(":"),
+          col("j").cast("string"))) % col("nv"))
+    val resolved = cand.join(
+      e.select(col("vec_id").as("cand"), col("label").as("cl")),
+      Seq("cand"))
+    resolved.groupBy(col("label"))
+      .agg(countDistinct(col("vec_id")).as("n_anchors"),
+        count(lit(1)).as("n_cand"),
+        sum(when(col("cl") =!= col("label"), 1L).otherwise(0L))
+          .as("n_kept"),
+        e6(sum(when(col("cl") =!= col("label"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double"))
+          .as("keep_e6"),
+        sum(when(col("cl") =!= col("label"), CurationOps.md5Hash32(
+          concat(col("vec_id").cast("string"), lit(":"),
+            col("cand").cast("string")))).otherwise(0L))
+          .as("fingerprint"))
+      .ordered(col("label"))
+  }
+
+  // q301 — Fleiss' kappa agreement between three heuristic quality
+  // raters (length >= 500, space-ratio in [0.1, 0.25], digit-ratio
+  // < 0.05): per-doc category counts -> P-bar / P-e -> kappa. The
+  // inter-rater reliability check before trusting a labeling rubric.
+  private val q301: Q = (s, dir) => {
+    val f = t(s, dir, "documents").select(
+      (length(col("text")) >= 500).cast("long").as("r1"),
+      ((length(col("text")) -
+        length(regexp_replace(col("text"), " ", ""))).cast("double") /
+        greatest(length(col("text")), lit(1)).cast("double"))
+        .between(0.1, 0.25).cast("long").as("r2"),
+      ((length(col("text")) -
+        length(regexp_replace(col("text"), "[0-9]", "")))
+        .cast("double") /
+        greatest(length(col("text")), lit(1)).cast("double") < 0.05)
+        .cast("long").as("r3"))
+      .withColumn("pos", col("r1") + col("r2") + col("r3"))
+    // per-doc agreement: (pos*(pos-1) + neg*(neg-1)) / (3*2)
+    f.agg(count(lit(1)).cast("double").as("n"),
+        avg((col("pos") * (col("pos") - 1L) +
+          (lit(3L) - col("pos")) * (lit(2L) - col("pos")))
+          .cast("double") / 6.0).as("pbar"),
+        avg(col("pos").cast("double") / 3.0).as("ppos"))
+      .select(col("n").cast("long").as("n_docs"),
+        e6(col("pbar")).as("p_bar_e6"),
+        e6(col("ppos") * col("ppos") +
+          (lit(1.0) - col("ppos")) * (lit(1.0) - col("ppos")))
+          .as("p_e_e6"),
+        e6((col("pbar") - (col("ppos") * col("ppos") +
+          (lit(1.0) - col("ppos")) * (lit(1.0) - col("ppos")))) /
+          (lit(1.0) - (col("ppos") * col("ppos") +
+            (lit(1.0) - col("ppos")) * (lit(1.0) - col("ppos")))))
+          .as("kappa_e6"))
+      .ordered(col("n_docs"))
+  }
+
+  // q302 — expected calibration error of the q279 Gaussian NB: stable
+  // softmax confidence of the argmax class (exp(s - s_max) folding),
+  // 10 confidence bins, per-bin accuracy vs mean confidence and the
+  // weighted ECE. Does the classifier's confidence mean anything?
+  private val q302: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val f = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang").as("label"),
+        length(col("text")).cast("long").as("x1"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("long").as("x2"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), " ", "")))
+          .cast("long").as("x3"))
+    val st = f.groupBy(col("label").as("cl"))
+      .agg(count(lit(1)).as("nc"),
+        sum(col("x1")).as("s1a"), sum(col("x1") * col("x1")).as("s2a"),
+        sum(col("x2")).as("s1b"), sum(col("x2") * col("x2")).as("s2b"),
+        sum(col("x3")).as("s1c"), sum(col("x3") * col("x3")).as("s2c"))
+    val tot = f.agg(count(lit(1)).as("nt"))
+    def mu(s1: String): Column =
+      col(s1).cast("double") / col("nc").cast("double")
+    def va(s1: String, s2: String): Column = greatest(
+      (col("nc") * col(s2) - col(s1) * col(s1)).cast("double") /
+        (col("nc") * col("nc")).cast("double"), lit(0.5))
+    def term(x: String, s1: String, s2: String): Column = {
+      val m = mu(s1); val v = va(s1, s2)
+      log(v) * -0.5 - (col(x).cast("double") - m) *
+        (col(x).cast("double") - m) / (v * 2.0)
+    }
+    val scored = f.crossJoin(broadcast(st.crossJoin(tot)))
+      .withColumn("score",
+        term("x1", "s1a", "s2a") + term("x2", "s1b", "s2b") +
+          term("x3", "s1c", "s2c") +
+          log(col("nc").cast("double") / col("nt").cast("double")))
+    val wd = Window.partitionBy(col("doc_id"))
+    val agg = scored.withColumn("smax", max(col("score")).over(wd))
+      .withColumn("es", exp(col("score") - col("smax")))
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(col("es")).as("z"),
+        // deterministic argmax: smallest class name among max-score
+        // ties (the q279 "score DESC, cl ASC" rank-1 contract)
+        min(when(col("score") === col("smax"), col("cl"))).as("pred"))
+    agg.withColumn("conf", lit(1.0) / col("z"))
+      .withColumn("bin", least(floor(col("conf") * 10.0).cast("long"),
+        lit(9L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), avg(col("conf")).as("mconf"),
+        avg(when(col("pred") === col("label"), 1.0).otherwise(0.0))
+          .as("acc"))
+      .withColumn("w_gap", col("n").cast("double") *
+        abs(col("acc") - col("mconf")))
+      .withColumn("ece", sum(col("w_gap")).over(
+        Window.partitionBy()) /
+        sum(col("n")).over(Window.partitionBy()).cast("double"))
+      .select(col("bin"), col("n"), e6(col("mconf")).as("conf_e6"),
+        e6(col("acc")).as("acc_e6"), e6(col("ece")).as("ece_e6"))
+      .ordered(col("bin"))
+  }
+
+  // q303 — Simpson's-paradox audit: quantity-vs-discount correlation
+  // pooled and per supplier nation (exact integer power sums; one
+  // broadcast dim hop), flagging segments whose sign contradicts the
+  // pooled sign. The aggregation-bias tripwire.
+  private val q303: Q = (s, dir) => {
+    val base = t(s, dir, "lineitem")
+      .select(col("l_suppkey"),
+        col("l_quantity").cast("long").as("x"),
+        expr("CAST(ROUND(l_discount * 100) AS BIGINT)").as("y"))
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+    def corrCols(g: DataFrame): DataFrame = g
+      .withColumn("corr",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+             .cast("double"))))
+    val per = corrCols(base.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy")))
+    val pooled = corrCols(base.groupBy()
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy")))
+      .select(col("corr").as("pooled_corr"))
+    per.crossJoin(broadcast(pooled))
+      .select(col("n_name"), col("n"), e6(col("corr")).as("corr_e6"),
+        e6(col("pooled_corr")).as("pooled_e6"),
+        (signum(col("corr")) =!= signum(col("pooled_corr")))
+          .cast("long").as("sign_flip"))
+      .ordered(col("n_name"))
+  }
+
+  // q304 — Levene's variance-homogeneity test across event types:
+  // |x - group mean| deviations (two passes: exact group means from
+  // cents sums, then one deviation aggregate), W statistic with its
+  // (k-1, N-k) degrees of freedom. Guards every pooled-variance
+  // assumption the t-test queries make.
+  private val q304: Q = (s, dir) => {
+    val v = t(s, dir, "events")
+      .select(col("event_type").as("g"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("c"))
+    val means = v.groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("c")).as("sg"))
+    val z = v.join(broadcast(means), Seq("g"))
+      .withColumn("z", abs(col("c").cast("double") -
+        col("sg").cast("double") / col("ng").cast("double")) / 100.0)
+    val zg = z.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("z")).as("sz"),
+        sum(col("z") * col("z")).as("sz2"))
+    val gt = zg.agg(sum(col("n")).as("nn"), sum(col("sz")).as("szt"),
+      count(lit(1)).as("k"))
+    val parts = zg.crossJoin(broadcast(gt))
+      .agg(max(col("nn")).as("nn"), max(col("k")).as("k"),
+        sum(col("n").cast("double") *
+          (col("sz") / col("n").cast("double") -
+            col("szt") / col("nn").cast("double")) *
+          (col("sz") / col("n").cast("double") -
+            col("szt") / col("nn").cast("double"))).as("ssb"),
+        sum(col("sz2") - col("sz") * col("sz") /
+          col("n").cast("double")).as("ssw"))
+    parts.select(col("nn").as("n_total"), col("k").as("n_groups"),
+        e6((col("nn") - col("k")).cast("double") /
+          (col("k") - 1L).cast("double") *
+          col("ssb") / col("ssw")).as("levene_w_e6"),
+        (col("k") - 1L).as("df1"), (col("nn") - col("k")).as("df2"))
+      .ordered(col("n_total"))
+  }
+
+  // q305 — daily SPRT sequential A/B monitor: user-parity arms, daily
+  // conversion counts folded into the cumulative log-likelihood ratio
+  // of H1 (lift to 0.35) vs H0 (rate 0.30) — increments are exact
+  // integer multiples of two log constants — with the ln(19) decision
+  // boundaries (alpha = beta = 0.05). Reports the verdict and first
+  // crossing day. Peeking-safe sequential testing.
+  private val q305: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val (p0, p1) = (0.30, 0.35)
+    val la = math.log(p1 / p0); val lb = math.log((1 - p1) / (1 - p0))
+    val bound = math.log(19.0)
+    val per = t(s, dir, "events")
+      .groupBy(col("user_id"), expr(s"ts_ns div $DayNs").as("day"))
+      .agg(max(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).as("conv"))
+    val dayAgg = per.filter(col("user_id") % 2 === 0)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("nc"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val llr = dayAgg
+      .withColumn("cum_c", sum(col("nc")).over(w))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("llr", col("cum_c").cast("double") * la +
+        (col("cum_n") - col("cum_c")).cast("double") * lb)
+    llr.agg(max(col("cum_n")).as("n_units"),
+        max(col("cum_c")).as("n_conv"),
+        min(when(col("llr") >= bound, col("day"))).as("accept_h1_day"),
+        min(when(col("llr") <= -bound, col("day"))).as("accept_h0_day"),
+        e6(max_by(col("llr"), col("day"))).as("final_llr_e6"))
+      .withColumn("verdict",
+        when(col("accept_h1_day").isNotNull &&
+          (col("accept_h0_day").isNull ||
+            col("accept_h1_day") <= col("accept_h0_day")), "accept_h1")
+        .when(col("accept_h0_day").isNotNull, "accept_h0")
+        .otherwise("continue"))
+      .ordered(col("n_units"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q305_sprt_monitor" -> q305,
+    "q304_levene_test" -> q304,
+    "q303_simpson_audit" -> q303,
+    "q302_ece_calibration" -> q302,
+    "q301_fleiss_kappa" -> q301,
+    "q300_negative_sampling" -> q300,
+    "q299_qte_deciles" -> q299,
+    "q298_binseg_break" -> q298,
     "q297_hurst_exponent" -> q297,
     "q296_lorenz_gini" -> q296,
     "q295_brand_switching" -> q295,
@@ -11906,7 +12245,269 @@ object NorthStar {
        |  ${sqlE6("(SELECT hurst FROM ols)")} AS hurst_e6
        |FROM rs ORDER BY sz""".stripMargin
 
+  /** q298 oracle: identical prefix-sum gain algebra, rank-1 pick. */
+  private val q298Sql: String =
+    s"""WITH daily AS (SELECT
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |           AS day,
+       |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+       |              AS BIGINT) AS rev
+       |       FROM orders GROUP BY 1),
+       |bb AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |spine AS (SELECT unnest(range(bb.d0, bb.d1 + 1)) AS day FROM bb),
+       |z AS (SELECT s.day, COALESCE(d.rev, 0) AS rev,
+       |        ROW_NUMBER() OVER (ORDER BY s.day) AS rn,
+       |        CAST(SUM(COALESCE(d.rev, 0)) OVER (ORDER BY s.day
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+       |      FROM spine s LEFT JOIN daily d ON s.day = d.day),
+       |tot AS (SELECT MAX(rn) AS n, MAX(cs) AS s,
+       |          SUM(rev::DOUBLE * rev::DOUBLE) AS s2 FROM z),
+       |g AS (SELECT day, rn, cs, n, s, s2,
+       |        cs::DOUBLE * cs::DOUBLE / rn::DOUBLE
+       |        + (s - cs)::DOUBLE * (s - cs)::DOUBLE
+       |          / (n - rn)::DOUBLE
+       |        - s::DOUBLE * s::DOUBLE / n::DOUBLE AS gain
+       |      FROM z, tot WHERE rn < n),
+       |pick AS (SELECT * FROM (SELECT g.*,
+       |          ROW_NUMBER() OVER (ORDER BY gain DESC, day) AS rk
+       |        FROM g) WHERE rk = 1)
+       |SELECT day AS split_day, CAST(rn AS BIGINT) AS n_left,
+       |  CAST(n - rn AS BIGINT) AS n_right,
+       |  ${sqlE6("cs::DOUBLE / rn::DOUBLE / 100.0")} AS mean_left_e6,
+       |  ${sqlE6("(s - cs)::DOUBLE / (n - rn)::DOUBLE / 100.0")} AS mean_right_e6,
+       |  ${sqlE6("gain / (s2 - s::DOUBLE * s::DOUBLE / n::DOUBLE)")} AS gain_share_e6
+       |FROM pick ORDER BY split_day""".stripMargin
+
+  /** q299 oracle: per-arm cents histogram, exact type-lower deciles
+    * on the shared grid. */
+  private val q299Sql: String =
+    s"""WITH v AS (SELECT user_id % 2 = 0 AS armA,
+       |         CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+       |h AS (SELECT armA, c, COUNT(*) AS n FROM v GROUP BY 1, 2),
+       |tot AS (SELECT armA, CAST(SUM(n) AS BIGINT) AS nt FROM h
+       |        GROUP BY 1),
+       |cum AS (SELECT h.armA, h.c,
+       |          CAST(SUM(h.n) OVER (PARTITION BY h.armA ORDER BY h.c
+       |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumn,
+       |          tot.nt
+       |        FROM h JOIN tot ON h.armA = tot.armA),
+       |qs AS (SELECT q, armA, MIN(c) AS qc
+       |       FROM cum, (SELECT unnest([10, 20, 30, 40, 50, 60, 70,
+       |                    80, 90]) AS q) grid
+       |       WHERE cumn::DOUBLE >= CEIL(nt::DOUBLE * q / 100.0)
+       |       GROUP BY 1, 2)
+       |SELECT CAST(q AS BIGINT) AS q,
+       |  ${sqlE6("MAX(CASE WHEN armA THEN qc END)::DOUBLE / 100.0")} AS a_e6,
+       |  ${sqlE6("MAX(CASE WHEN NOT armA THEN qc END)::DOUBLE / 100.0")} AS b_e6,
+       |  ${sqlE6("(MAX(CASE WHEN armA THEN qc END) - MAX(CASE WHEN NOT armA THEN qc END))::DOUBLE / 100.0")} AS qte_e6
+       |FROM qs GROUP BY 1 ORDER BY q""".stripMargin
+
+  /** q300 oracle: identical md5 candidate ids modulo the table count,
+    * identical fingerprint hash. */
+  private val q300Sql: String =
+    s"""WITH e AS (SELECT vec_id, label FROM embeddings),
+       |n AS (SELECT COUNT(*) AS nv FROM e),
+       |cand AS (SELECT e.vec_id, e.label,
+       |           ${sqlHex32("md5('neg:' || e.vec_id::VARCHAR || ':' || jj::VARCHAR)")} % n.nv AS cand
+       |         FROM e, n,
+       |           (SELECT unnest(range(1, 5)) AS jj) js),
+       |r AS (SELECT cand.vec_id, cand.label, cand.cand, e2.label AS cl
+       |      FROM cand JOIN e e2 ON cand.cand = e2.vec_id)
+       |SELECT label,
+       |  CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_anchors,
+       |  COUNT(*) AS n_cand,
+       |  CAST(SUM(CASE WHEN cl <> label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  ${sqlE6("SUM(CASE WHEN cl <> label THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE")} AS keep_e6,
+       |  CAST(SUM(CASE WHEN cl <> label THEN
+       |      ${sqlHex32("md5(vec_id::VARCHAR || ':' || cand::VARCHAR)")}
+       |    ELSE 0 END) AS BIGINT) AS fingerprint
+       |FROM r GROUP BY 1 ORDER BY label""".stripMargin
+
+  /** q301 oracle: identical three raters and kappa algebra. */
+  private val q301Sql: String =
+    s"""WITH f AS (SELECT
+       |         CASE WHEN LENGTH(text) >= 500 THEN 1 ELSE 0 END
+       |         + CASE WHEN (LENGTH(text) - LENGTH(regexp_replace(
+       |             text, ' ', '', 'g')))::DOUBLE
+       |             / GREATEST(LENGTH(text), 1)::DOUBLE
+       |             BETWEEN 0.1 AND 0.25 THEN 1 ELSE 0 END
+       |         + CASE WHEN (LENGTH(text) - LENGTH(regexp_replace(
+       |             text, '[0-9]', '', 'g')))::DOUBLE
+       |             / GREATEST(LENGTH(text), 1)::DOUBLE < 0.05
+       |             THEN 1 ELSE 0 END AS pos
+       |       FROM documents),
+       |a AS (SELECT COUNT(*)::DOUBLE AS n,
+       |        AVG((pos * (pos - 1) + (3 - pos) * (2 - pos))::DOUBLE
+       |            / 6.0) AS pbar,
+       |        AVG(pos::DOUBLE / 3.0) AS ppos
+       |      FROM f)
+       |SELECT CAST(n AS BIGINT) AS n_docs, ${sqlE6("pbar")} AS p_bar_e6,
+       |  ${sqlE6("ppos * ppos + (1.0 - ppos) * (1.0 - ppos)")} AS p_e_e6,
+       |  ${sqlE6("(pbar - (ppos * ppos + (1.0 - ppos) * (1.0 - ppos))) / (1.0 - (ppos * ppos + (1.0 - ppos) * (1.0 - ppos)))")} AS kappa_e6
+       |FROM a ORDER BY n_docs""".stripMargin
+
+  /** q302 oracle: the q279/q292 score CTE with stable softmax
+    * confidence, same binning and ECE fold. */
+  private val q302Sql: String =
+    s"""WITH f AS (SELECT doc_id, lang AS label,
+       |         CAST(LENGTH(text) AS BIGINT) AS x1,
+       |         CAST(LENGTH(text) - LENGTH(regexp_replace(text,
+       |           '[0-9]', '', 'g')) AS BIGINT) AS x2,
+       |         CAST(LENGTH(text) - LENGTH(regexp_replace(text,
+       |           ' ', '', 'g')) AS BIGINT) AS x3
+       |       FROM documents),
+       |st AS (SELECT label AS cl, COUNT(*) AS nc,
+       |         CAST(SUM(x1) AS BIGINT) AS s1a,
+       |         CAST(SUM(x1 * x1) AS BIGINT) AS s2a,
+       |         CAST(SUM(x2) AS BIGINT) AS s1b,
+       |         CAST(SUM(x2 * x2) AS BIGINT) AS s2b,
+       |         CAST(SUM(x3) AS BIGINT) AS s1c,
+       |         CAST(SUM(x3 * x3) AS BIGINT) AS s2c
+       |       FROM f GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS nt FROM f),
+       |sc AS (SELECT f.doc_id, f.label, st.cl,
+       |         (-0.5 * LN(GREATEST((st.nc * st.s2a - st.s1a * st.s1a)::DOUBLE / (st.nc * st.nc)::DOUBLE, 0.5))
+       |          - (f.x1::DOUBLE - st.s1a::DOUBLE / st.nc::DOUBLE) * (f.x1::DOUBLE - st.s1a::DOUBLE / st.nc::DOUBLE)
+       |            / (GREATEST((st.nc * st.s2a - st.s1a * st.s1a)::DOUBLE / (st.nc * st.nc)::DOUBLE, 0.5) * 2.0))
+       |         + (-0.5 * LN(GREATEST((st.nc * st.s2b - st.s1b * st.s1b)::DOUBLE / (st.nc * st.nc)::DOUBLE, 0.5))
+       |          - (f.x2::DOUBLE - st.s1b::DOUBLE / st.nc::DOUBLE) * (f.x2::DOUBLE - st.s1b::DOUBLE / st.nc::DOUBLE)
+       |            / (GREATEST((st.nc * st.s2b - st.s1b * st.s1b)::DOUBLE / (st.nc * st.nc)::DOUBLE, 0.5) * 2.0))
+       |         + (-0.5 * LN(GREATEST((st.nc * st.s2c - st.s1c * st.s1c)::DOUBLE / (st.nc * st.nc)::DOUBLE, 0.5))
+       |          - (f.x3::DOUBLE - st.s1c::DOUBLE / st.nc::DOUBLE) * (f.x3::DOUBLE - st.s1c::DOUBLE / st.nc::DOUBLE)
+       |            / (GREATEST((st.nc * st.s2c - st.s1c * st.s1c)::DOUBLE / (st.nc * st.nc)::DOUBLE, 0.5) * 2.0))
+       |         + LN(st.nc::DOUBLE / tot.nt::DOUBLE) AS score
+       |       FROM f, st, tot),
+       |mx AS (SELECT doc_id, label, cl, score,
+       |         MAX(score) OVER (PARTITION BY doc_id) AS smax
+       |       FROM sc),
+       |agg AS (SELECT doc_id, label, SUM(EXP(score - smax)) AS z,
+       |          MIN(CASE WHEN score = smax THEN cl END) AS pred
+       |        FROM mx GROUP BY 1, 2),
+       |binned AS (SELECT LEAST(CAST(FLOOR((1.0 / z) * 10.0) AS BIGINT),
+       |             9) AS bin,
+       |           1.0 / z AS conf,
+       |           CASE WHEN pred = label THEN 1.0 ELSE 0.0 END AS hit
+       |         FROM agg),
+       |pb AS (SELECT bin, COUNT(*) AS n, AVG(conf) AS mconf,
+       |         AVG(hit) AS acc
+       |       FROM binned GROUP BY 1),
+       |ec AS (SELECT SUM(n::DOUBLE * ABS(acc - mconf)) / SUM(n)::DOUBLE
+       |         AS ece FROM pb)
+       |SELECT bin, n, ${sqlE6("mconf")} AS conf_e6,
+       |  ${sqlE6("acc")} AS acc_e6,
+       |  ${sqlE6("(SELECT ece FROM ec)")} AS ece_e6
+       |FROM pb ORDER BY bin""".stripMargin
+
+  /** q303 oracle: identical integer power-sum correlations. */
+  private val q303Sql: String =
+    s"""WITH base AS (SELECT n_name,
+       |         CAST(l_quantity AS BIGINT) AS x,
+       |         CAST(ROUND(l_discount * 100) AS BIGINT) AS y
+       |       FROM lineitem
+       |       JOIN supplier ON l_suppkey = s_suppkey
+       |       JOIN nation ON s_nationkey = n_nationkey),
+       |per AS (SELECT n_name, COUNT(*) AS n,
+       |          CAST(SUM(x) AS BIGINT) AS sx,
+       |          CAST(SUM(y) AS BIGINT) AS sy,
+       |          CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |          CAST(SUM(y * y) AS BIGINT) AS syy,
+       |          CAST(SUM(x * y) AS BIGINT) AS sxy
+       |        FROM base GROUP BY 1),
+       |pc AS (SELECT n_name, n,
+       |         (n * sxy - sx * sy)::DOUBLE /
+       |         (SQRT((n * sxx - sx * sx)::DOUBLE) *
+       |          SQRT((n * syy - sy * sy)::DOUBLE)) AS corr
+       |       FROM per),
+       |pooled AS (SELECT (n * sxy - sx * sy)::DOUBLE /
+       |             (SQRT((n * sxx - sx * sx)::DOUBLE) *
+       |              SQRT((n * syy - sy * sy)::DOUBLE)) AS pooled_corr
+       |           FROM (SELECT COUNT(*) AS n,
+       |                   CAST(SUM(x) AS BIGINT) AS sx,
+       |                   CAST(SUM(y) AS BIGINT) AS sy,
+       |                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |                   CAST(SUM(y * y) AS BIGINT) AS syy,
+       |                   CAST(SUM(x * y) AS BIGINT) AS sxy
+       |                 FROM base))
+       |SELECT n_name, n, ${sqlE6("corr")} AS corr_e6,
+       |  ${sqlE6("pooled_corr")} AS pooled_e6,
+       |  CAST(CASE WHEN SIGN(corr) <> SIGN(pooled_corr) THEN 1 ELSE 0
+       |       END AS BIGINT) AS sign_flip
+       |FROM pc, pooled ORDER BY n_name""".stripMargin
+
+  /** q304 oracle: identical two-pass Levene deviations. */
+  private val q304Sql: String =
+    s"""WITH v AS (SELECT event_type AS g,
+       |         CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+       |means AS (SELECT g, COUNT(*) AS ng,
+       |            CAST(SUM(c) AS BIGINT) AS sg
+       |          FROM v GROUP BY 1),
+       |z AS (SELECT v.g, ABS(v.c::DOUBLE
+       |          - means.sg::DOUBLE / means.ng::DOUBLE) / 100.0 AS z
+       |      FROM v JOIN means ON v.g = means.g),
+       |zg AS (SELECT g, COUNT(*) AS n, SUM(z) AS sz,
+       |         SUM(z * z) AS sz2 FROM z GROUP BY 1),
+       |gt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, SUM(sz) AS szt,
+       |         COUNT(*) AS k FROM zg),
+       |parts AS (SELECT MAX(nn) AS nn, MAX(k) AS k,
+       |            SUM(n::DOUBLE * (sz / n::DOUBLE - szt / nn::DOUBLE)
+       |              * (sz / n::DOUBLE - szt / nn::DOUBLE)) AS ssb,
+       |            SUM(sz2 - sz * sz / n::DOUBLE) AS ssw
+       |          FROM zg, gt)
+       |SELECT nn AS n_total, CAST(k AS BIGINT) AS n_groups,
+       |  ${sqlE6("(nn - k)::DOUBLE / (k - 1)::DOUBLE * ssb / ssw")} AS levene_w_e6,
+       |  CAST(k - 1 AS BIGINT) AS df1, CAST(nn - k AS BIGINT) AS df2
+       |FROM parts ORDER BY n_total""".stripMargin
+
+  /** q305 oracle: identical day-level SPRT fold; the two log
+    * constants interpolate the same Scala doubles. */
+  private val q305Sql: String = {
+    val (p0, p1) = (0.30, 0.35)
+    val la = math.log(p1 / p0); val lb = math.log((1 - p1) / (1 - p0))
+    val bound = math.log(19.0)
+    s"""WITH per AS (SELECT user_id,
+       |         epoch_us(ts) * 1000 // $DayNs AS day,
+       |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+       |             END) AS conv
+       |       FROM events GROUP BY 1, 2),
+       |d AS (SELECT day, COUNT(*) AS n,
+       |        CAST(SUM(conv) AS BIGINT) AS nc
+       |      FROM per WHERE user_id % 2 = 0 GROUP BY 1),
+       |l AS (SELECT day,
+       |        CAST(SUM(nc) OVER w AS BIGINT) AS cum_c,
+       |        CAST(SUM(n) OVER w AS BIGINT) AS cum_n
+       |      FROM d WINDOW w AS (ORDER BY day
+       |        ROWS UNBOUNDED PRECEDING)),
+       |r AS (SELECT day, cum_n, cum_c,
+       |        cum_c::DOUBLE * $la + (cum_n - cum_c)::DOUBLE * $lb
+       |          AS llr
+       |      FROM l),
+       |a AS (SELECT MAX(cum_n) AS n_units, MAX(cum_c) AS n_conv,
+       |        MIN(CASE WHEN llr >= $bound THEN day END)
+       |          AS accept_h1_day,
+       |        MIN(CASE WHEN llr <= ${-bound} THEN day END)
+       |          AS accept_h0_day,
+       |        ${sqlE6("max_by(llr, day)")} AS final_llr_e6
+       |      FROM r)
+       |SELECT n_units, n_conv, accept_h1_day, accept_h0_day,
+       |  final_llr_e6,
+       |  CASE WHEN accept_h1_day IS NOT NULL AND (accept_h0_day IS
+       |         NULL OR accept_h1_day <= accept_h0_day)
+       |       THEN 'accept_h1'
+       |       WHEN accept_h0_day IS NOT NULL THEN 'accept_h0'
+       |       ELSE 'continue' END AS verdict
+       |FROM a ORDER BY n_units""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q305_sprt_monitor" -> q305Sql,
+    "q304_levene_test" -> q304Sql,
+    "q303_simpson_audit" -> q303Sql,
+    "q302_ece_calibration" -> q302Sql,
+    "q301_fleiss_kappa" -> q301Sql,
+    "q300_negative_sampling" -> q300Sql,
+    "q299_qte_deciles" -> q299Sql,
+    "q298_binseg_break" -> q298Sql,
     "q297_hurst_exponent" -> q297Sql,
     "q296_lorenz_gini" -> q296Sql,
     "q295_brand_switching" -> q295Sql,

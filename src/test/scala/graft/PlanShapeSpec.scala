@@ -420,8 +420,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
                           // spine expansion
     "q296_lorenz_gini",   // 1-row total/Gini brackets vs the value
                           // histogram
-    "q297_hurst_exponent") // 1-row spine + OLS-slope brackets vs the
+    "q297_hurst_exponent", // 1-row spine + OLS-slope brackets vs the
                           // 4-size R/S table
+    "q298_binseg_break",  // 1-row (n, S, SST) bracket vs the day spine
+    "q299_qte_deciles",   // 9-row decile grid broadcast vs the per-arm
+                          // cents histogram
+    "q300_negative_sampling", // 1-row table-count bracket (the modulo
+                          // base) vs anchors
+    "q302_ece_calibration", // 5-class stats broadcast (q279 shape)
+    "q303_simpson_audit", // 1-row pooled-corr bracket vs nation rows
+    "q304_levene_test")   // 1-row grand-total bracket vs the 5-group
+                          // deviation table
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
