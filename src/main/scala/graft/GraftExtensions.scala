@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{Abs, Cast, Expression,
   ExpressionInfo, If, LessThanOrEqual, Literal, Multiply, Signum, Subtract}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{CharEntropy, CharNgrams, ExactMedian, JaroWinkler,
-  MaxTokenRun, RollingHash, TokenNgrams, TopKRows, VectorDot, VectorMomentGram}
+import graft.functions.{CharClassCount, CharEntropy, CharNgrams,
+  ExactMedian, JaroWinkler, MaxTokenRun, RollingHash, TokenNgrams,
+  TopKRows, VectorDot, VectorMomentGram}
 
 /** SQL surface for the engine's custom expressions: registers them in
   * the session function registry so `spark.sql` users call them like
@@ -96,6 +97,18 @@ object GraftFunctions {
         "max_token_run(text) - longest run of a repeated whitespace token" +
           " (input is tokenized as split(text, '\\\\s+', -1))"),
       arity("max_token_run", 1)(es => MaxTokenRun(es(0)))),
+    (FunctionIdentifier("char_class_count"),
+      info("char_class_count",
+        "char_class_count(text, mode) - single-pass ASCII class stats:" +
+          " 0=digits 1=spaces 2=space-runs 3=[.!?] 4=vowel-runs"),
+      arity("char_class_count", 2)(es => {
+        val m = es(1) match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case _ => throw new IllegalArgumentException(
+            "char_class_count: mode must be an integer literal")
+        }
+        CharClassCount(es(0), m)
+      })),
     (FunctionIdentifier("char_ngrams"),
       info("char_ngrams",
         "char_ngrams(text, n) - space-joined code-point n-grams"),

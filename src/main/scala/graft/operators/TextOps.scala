@@ -547,6 +547,18 @@ object TextOps {
       GraftExprBridge.expression(lower(trim(text)))))
   }
 
+  /** Single-pass ASCII character-class count / run-count
+    * ([[graft.functions.CharClassCount]] modes): the codegen'd
+    * replacement for the `length(x) - length(regexp_replace(x, cls,
+    * ''))` idiom — no rewritten-string allocation per class. Counts
+    * are integer-identical to the regexp form (classes are pure
+    * ASCII), so DuckDB oracles keep the regexp derivation. */
+  def charClassCount(text: Column, mode: Int): Column = {
+    import org.apache.spark.sql.GraftExprBridge
+    GraftExprBridge.column(graft.functions.CharClassCount(
+      GraftExprBridge.expression(text), mode))
+  }
+
   /** The aggregate-HOF reference implementation of [[maxTokenRun]]
     * (state machine (mx, cur, prev)); kept as the cross-check the
     * codegen equivalence spec runs against. */

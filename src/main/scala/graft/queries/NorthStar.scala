@@ -4348,12 +4348,8 @@ object NorthStar {
     val f = t(s, dir, "documents")
       .select(col("doc_id"), col("lang").as("label"),
         length(col("text")).cast("long").as("x1"),
-        (length(col("text")) -
-          length(regexp_replace(col("text"), "[0-9]", "")))
-          .cast("long").as("x2"),
-        (length(col("text")) -
-          length(regexp_replace(col("text"), " ", "")))
-          .cast("long").as("x3"))
+        TextOps.charClassCount(col("text"), 0).as("x2"),
+        TextOps.charClassCount(col("text"), 1).as("x3"))
     val st = f.groupBy(col("label").as("cl"))
       .agg(count(lit(1)).as("nc"),
         sum(col("x1")).as("s1a"), sum(col("x1") * col("x1")).as("s2a"),
@@ -4556,17 +4552,11 @@ object NorthStar {
   // the aggregate ratios. The fluency cut of the q118/q92 quality
   // family.
   private val q285: Q = (s, dir) => {
-    val lt = lower(col("text"))
     val f = t(s, dir, "documents").select(col("source"),
-      (length(regexp_replace(col("text"), " +", "S")) -
-        length(regexp_replace(col("text"), " +", "")) + 1)
-        .cast("long").as("w"),
-      greatest(lit(1L), (length(col("text")) -
-        length(regexp_replace(col("text"), "[.!?]", "")))
-        .cast("long")).as("sn"),
-      (length(regexp_replace(lt, "[aeiouy]+", "V")) -
-        length(regexp_replace(lt, "[aeiouy]+", "")))
-        .cast("long").as("y"))
+      (TextOps.charClassCount(col("text"), 2) + 1L).as("w"),
+      greatest(lit(1L), TextOps.charClassCount(col("text"), 3))
+        .as("sn"),
+      TextOps.charClassCount(lower(col("text")), 4).as("y"))
     f.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("ws"),
         sum(col("sn")).as("ss"), sum(col("y")).as("ys"))
@@ -4772,12 +4762,8 @@ object NorthStar {
     val f = t(s, dir, "documents")
       .select(col("doc_id"), col("lang").as("label"),
         length(col("text")).cast("long").as("x1"),
-        (length(col("text")) -
-          length(regexp_replace(col("text"), "[0-9]", "")))
-          .cast("long").as("x2"),
-        (length(col("text")) -
-          length(regexp_replace(col("text"), " ", "")))
-          .cast("long").as("x3"))
+        TextOps.charClassCount(col("text"), 0).as("x2"),
+        TextOps.charClassCount(col("text"), 1).as("x3"))
     val st = f.groupBy(col("label").as("cl"))
       .agg(count(lit(1)).as("nc"),
         sum(col("x1")).as("s1a"), sum(col("x1") * col("x1")).as("s2a"),
@@ -5133,13 +5119,10 @@ object NorthStar {
   private val q301: Q = (s, dir) => {
     val f = t(s, dir, "documents").select(
       (length(col("text")) >= 500).cast("long").as("r1"),
-      ((length(col("text")) -
-        length(regexp_replace(col("text"), " ", ""))).cast("double") /
+      (TextOps.charClassCount(col("text"), 1).cast("double") /
         greatest(length(col("text")), lit(1)).cast("double"))
         .between(0.1, 0.25).cast("long").as("r2"),
-      ((length(col("text")) -
-        length(regexp_replace(col("text"), "[0-9]", "")))
-        .cast("double") /
+      (TextOps.charClassCount(col("text"), 0).cast("double") /
         greatest(length(col("text")), lit(1)).cast("double") < 0.05)
         .cast("long").as("r3"))
       .withColumn("pos", col("r1") + col("r2") + col("r3"))
@@ -5171,12 +5154,8 @@ object NorthStar {
     val f = t(s, dir, "documents")
       .select(col("doc_id"), col("lang").as("label"),
         length(col("text")).cast("long").as("x1"),
-        (length(col("text")) -
-          length(regexp_replace(col("text"), "[0-9]", "")))
-          .cast("long").as("x2"),
-        (length(col("text")) -
-          length(regexp_replace(col("text"), " ", "")))
-          .cast("long").as("x3"))
+        TextOps.charClassCount(col("text"), 0).as("x2"),
+        TextOps.charClassCount(col("text"), 1).as("x3"))
     val st = f.groupBy(col("label").as("cl"))
       .agg(count(lit(1)).as("nc"),
         sum(col("x1")).as("s1a"), sum(col("x1") * col("x1")).as("s2a"),

@@ -78,9 +78,52 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(names == Set("vector_dot", "exact_median", "deadband",
       "rolling_hash", "char_entropy", "max_token_run", "char_ngrams",
       "token_ngrams", "vector_moment_gram", "top_k_rows",
-      "jaro_winkler"))
+      "jaro_winkler", "char_class_count"))
     val ext = new GraftExtensions
     val sse = new org.apache.spark.sql.SparkSessionExtensions
     ext(sse) // must not throw; builder wiring exercised above
+  }
+
+  test("CharClassCount codegen equals the regexp_replace derivation " +
+      "over a range-based plan (all 5 modes)") {
+    import org.apache.spark.sql.functions._
+    // range-based source so the expression exercises doGenCode (local
+    // Seq.toDF plans constant-fold through interpreted eval)
+    val df = spark.range(0, 500).select(
+      concat(lit("Ab 9 .x!  y?"), col("id").cast("string"),
+        lit("  ou3.7 Einstein? "),
+        when(col("id") % 3 === 0, "aeiou AEIOU").otherwise("zz 12"))
+        .as("text"))
+    val got = df.select(
+      graft.operators.TextOps.charClassCount(col("text"), 0).as("m0"),
+      graft.operators.TextOps.charClassCount(col("text"), 1).as("m1"),
+      graft.operators.TextOps.charClassCount(col("text"), 2).as("m2"),
+      graft.operators.TextOps.charClassCount(col("text"), 3).as("m3"),
+      graft.operators.TextOps.charClassCount(lower(col("text")), 4)
+        .as("m4"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[0-9]", ""))).as("r0"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), " ", ""))).as("r1"),
+      (length(regexp_replace(col("text"), " +", "S")) -
+        length(regexp_replace(col("text"), " +", ""))).as("r2"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[.!?]", ""))).as("r3"),
+      (length(regexp_replace(lower(col("text")), "[aeiouy]+", "V")) -
+        length(regexp_replace(lower(col("text")), "[aeiouy]+", "")))
+        .as("r4")).collect()
+    got.foreach { r =>
+      (0 to 4).foreach { m =>
+        assert(r.getLong(m) == r.getInt(5 + m).toLong,
+          s"mode $m: native ${r.getLong(m)} vs regexp ${r.getInt(5 + m)}")
+      }
+    }
+    // direct interpreted-path pins (multi-byte chars break runs)
+    import graft.functions.CharClassCount
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(CharClassCount.compute(
+      UTF8String.fromString("a  bée yy"), 4) == 3L)
+    assert(CharClassCount.compute(
+      UTF8String.fromString("a  bée yy"), 2) == 2L)
   }
 }
