@@ -5318,7 +5318,302 @@ object NorthStar {
       .ordered(col("n_units"))
   }
 
+  // q306 — difference-in-differences: user-parity arms, pre/post at
+  // the corpus midpoint day (1-row bracket), per-user period means
+  // first (exact integer ratios), then unweighted 4-cell group means,
+  // DiD point estimate and its 4-cell pooled SE. The panel-data
+  // causal readout.
+  private val q306: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), expr(s"ts_ns div $DayNs").as("day"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("c"))
+    val mid = ev.agg(((min(col("day")) + max(col("day"))) / 2)
+      .cast("long").as("mid"))
+    val userPeriod = ev.crossJoin(broadcast(mid))
+      .withColumn("treat", col("user_id") % 2 === 0)
+      .withColumn("post", col("day") >= col("mid"))
+      .groupBy(col("user_id"), col("treat"), col("post"))
+      .agg((sum(col("c")).cast("double") /
+        count(lit(1)).cast("double") / 100.0).as("y"))
+    val cells = userPeriod.groupBy(col("treat"), col("post"))
+      .agg(count(lit(1)).as("n"), avg(col("y")).as("m"),
+        (sum(col("y") * col("y")) - sum(col("y")) * sum(col("y")) /
+          count(lit(1)).cast("double")).as("ss"))
+      .withColumn("v", col("ss") / (col("n") - 1L).cast("double") /
+        col("n").cast("double"))
+    cells.agg(
+        sum(col("n")).as("n_user_periods"),
+        e6(max(when(col("treat") && col("post"), col("m")))).as("tp_e6"),
+        e6(max(when(col("treat") && !col("post"), col("m")))).as("tq_e6"),
+        e6(max(when(!col("treat") && col("post"), col("m")))).as("cp_e6"),
+        e6(max(when(!col("treat") && !col("post"), col("m")))).as("cq_e6"),
+        e6(max(when(col("treat") && col("post"), col("m"))) -
+          max(when(col("treat") && !col("post"), col("m"))) -
+          (max(when(!col("treat") && col("post"), col("m"))) -
+            max(when(!col("treat") && !col("post"), col("m")))))
+          .as("did_e6"),
+        e6(sqrt(sum(col("v")))).as("se_e6"))
+      .ordered(col("n_user_periods"))
+  }
+
+  // q307 — one deterministic EM step for a 2-component Gaussian
+  // mixture on ln(value): fixed literal initialization, exact E-step
+  // responsibilities, M-step parameter updates from one weighted
+  // aggregation. The building block of distribution-aware curation,
+  // pinned at a reproducible single step.
+  private val q307: Q = (s, dir) => {
+    val (m1, m2, sd, pi) = (1.0, 5.0, 1.5, 0.5)
+    val x = log(col("value"))
+    def phi(m: Double): Column =
+      exp((x - m) * (x - m) / (-2.0 * sd * sd))
+    val r = t(s, dir, "events")
+      .select(x.as("x"),
+        (phi(m2) * pi / (phi(m2) * pi + phi(m1) * (1 - pi))).as("r2"))
+    r.agg(count(lit(1)).cast("double").as("n"), sum(col("r2")).as("w2"),
+        sum(col("r2") * col("x")).as("s2"),
+        sum((lit(1.0) - col("r2")) * col("x")).as("s1"),
+        sum(col("r2") * col("x") * col("x")).as("ss2"),
+        sum((lit(1.0) - col("r2")) * col("x") * col("x")).as("ss1"))
+      .select(col("n").cast("long").as("n"),
+        e6(col("w2") / col("n")).as("pi2_e6"),
+        e6(col("s1") / (col("n") - col("w2"))).as("mu1_e6"),
+        e6(col("s2") / col("w2")).as("mu2_e6"),
+        e6(sqrt(col("ss1") / (col("n") - col("w2")) -
+          (col("s1") / (col("n") - col("w2"))) *
+          (col("s1") / (col("n") - col("w2"))))).as("sd1_e6"),
+        e6(sqrt(col("ss2") / col("w2") -
+          (col("s2") / col("w2")) * (col("s2") / col("w2"))))
+          .as("sd2_e6"))
+      .ordered(col("n"))
+  }
+
+  // q308 — revenue peak days: strictly above the prior 3 days, at
+  // least the next 3 (deterministic tie rule), and more than two
+  // global sigmas above the mean (1-row bracket). Windows are
+  // fixed-width — no unbounded state.
+  private val q308: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .select(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+        .cast("long").as("day"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("rev"))
+    val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.orderBy(col("day"))
+    val z = spine.join(daily, Seq("day"), "left")
+      .withColumn("rev", coalesce(col("rev"), lit(0L)))
+      .withColumn("pmax", max(col("rev")).over(w.rowsBetween(-3, -1)))
+      .withColumn("nmax", max(col("rev")).over(w.rowsBetween(1, 3)))
+    val st = z.agg(avg(col("rev").cast("double")).as("mu"),
+      stddev_samp(col("rev").cast("double")).as("sd"))
+    z.crossJoin(broadcast(st))
+      .filter(col("pmax").isNotNull && col("nmax").isNotNull &&
+        col("rev") > col("pmax") && col("rev") >= col("nmax") &&
+        col("rev").cast("double") > col("mu") + lit(2.0) * col("sd"))
+      .select(col("day"), col("rev"),
+        e6((col("rev").cast("double") - col("mu")) / col("sd"))
+          .as("z_e6"))
+      .ordered(col("day"))
+  }
+
+  // q309 — ADF-style unit-root quick check on daily revenue:
+  // delta(y_t) regressed on y_(t-1) (intercept model), slope and
+  // t-statistic from one pass of power sums (double sums of exact
+  // integer products — identical per-term rounding cross-engine).
+  // beta near 0 => random walk; strongly negative => mean-reverting.
+  private val q309: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .select(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+        .cast("long").as("day"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("rev"))
+    val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.orderBy(col("day"))
+    val p = spine.join(daily, Seq("day"), "left")
+      .withColumn("rev", coalesce(col("rev"), lit(0L)))
+      .withColumn("xl", lag(col("rev"), 1).over(w))
+      .filter(col("xl").isNotNull)
+      .select((col("xl").cast("double") / 100.0).as("xd"),
+        ((col("rev") - col("xl")).cast("double") / 100.0).as("yd"))
+    p.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("xd")).as("sx"), sum(col("yd")).as("sy"),
+        sum(col("xd") * col("xd")).as("sxx"),
+        sum(col("yd") * col("yd")).as("syy"),
+        sum(col("xd") * col("yd")).as("sxy"))
+      .withColumn("sxxc", col("sxx") - col("sx") * col("sx") / col("n"))
+      .withColumn("beta",
+        (col("sxy") - col("sx") * col("sy") / col("n")) / col("sxxc"))
+      .withColumn("sse", col("syy") - col("sy") * col("sy") / col("n")
+        - col("beta") * col("beta") * col("sxxc"))
+      .select(col("n").cast("long").as("n_days"),
+        e6(col("beta")).as("beta_e6"),
+        e6(col("beta") / sqrt(col("sse") / (col("n") - 2.0) /
+          col("sxxc"))).as("t_e6"))
+      .ordered(col("n_days"))
+  }
+
+  // Shared normal-quantile literals for q310 — interpolated into both
+  // engines' texts.
+  private val Zq: Seq[(Int, Double)] = Seq(
+    5 -> -1.6448536269514722, 10 -> -1.2815515655446004,
+    15 -> -1.0364333894937898, 20 -> -0.8416212335729143,
+    25 -> -0.6744897501960817, 30 -> -0.5244005127080409,
+    35 -> -0.38532046640756773, 40 -> -0.2533471031357997,
+    45 -> -0.12566134685507402, 50 -> 0.0,
+    55 -> 0.12566134685507402, 60 -> 0.2533471031357997,
+    65 -> 0.38532046640756773, 70 -> 0.5244005127080409,
+    75 -> 0.6744897501960817, 80 -> 0.8416212335729143,
+    85 -> 1.0364333894937898, 90 -> 1.2815515655446004,
+    95 -> 1.6448536269514722)
+
+  // q310 — lognormality QQ audit of order value: exact type-lower
+  // sample quantiles of ln(cents) from the cents histogram at 19
+  // probes vs the fitted-normal line (moment estimates), per-probe
+  // gap. The distributional-assumption check behind every lognormal
+  // pricing model.
+  private val q310: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val cents = t(s, dir, "orders")
+      .select(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("c"))
+    val h = cents.groupBy(col("c")).agg(count(lit(1)).as("n"))
+    val tot = h.agg(sum(col("n")).as("nt"))
+    val mom = cents.agg(avg(log(col("c").cast("double"))).as("mu"),
+      stddev_samp(log(col("c").cast("double"))).as("sd"))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.withColumn("cum", sum(col("n")).over(w))
+      .crossJoin(broadcast(tot))
+    val grid = {
+      import s.implicits._
+      Zq.map { case (q, z) => (q.toLong, z) }.toDF("q", "z")
+    }
+    val qs = cum.crossJoin(broadcast(grid))
+      .filter(col("cum").cast("double") >=
+        ceil(col("nt").cast("double") * col("q") / 100.0))
+      .groupBy(col("q"), col("z")).agg(min(col("c")).as("qc"))
+    qs.crossJoin(broadcast(mom))
+      .select(col("q"),
+        e6(log(col("qc").cast("double"))).as("sample_e6"),
+        e6(col("mu") + col("z") * col("sd")).as("theo_e6"),
+        e6(log(col("qc").cast("double")) -
+          (col("mu") + col("z") * col("sd"))).as("gap_e6"))
+      .ordered(col("q"))
+  }
+  // q311 — Pareto frontier (skyline) of brands on (revenue max,
+  // return-rate min): the non-dominated set via a bounded dominance
+  // anti-join over the 25-brand stats table. The SKYLINE operator in
+  // relational form.
+  private val q311: Q = (s, dir) => {
+    val b = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(expr(
+        "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        .as("rev"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_ret"))
+      .withColumn("ret_e6", e6(col("n_ret").cast("double") /
+        col("n_lines").cast("double")))
+    val dominated = b.as("a").join(b.as("d"),
+      (col("d.rev") >= col("a.rev")) &&
+        (col("d.ret_e6") <= col("a.ret_e6")) &&
+        ((col("d.rev") > col("a.rev")) ||
+          (col("d.ret_e6") < col("a.ret_e6"))),
+      "left_semi")
+    b.join(dominated.select(col("brand")), Seq("brand"), "left_anti")
+      .select(col("brand"), col("rev"), col("n_lines"), col("ret_e6"))
+      .ordered(col("brand"))
+  }
+
+  // q312 — robust shape profile per event type: exact type-lower
+  // quartiles from the cents histogram, Bowley (quartile) skewness,
+  // and 1.5-IQR fence outlier counts — integer fence compares, no
+  // float membership. The robust companion to q282's moment profile.
+  private val q312: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val v = t(s, dir, "events")
+      .select(col("event_type").as("g"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("c"))
+    val h = v.groupBy(col("g"), col("c")).agg(count(lit(1)).as("n"))
+    val tot = h.groupBy(col("g")).agg(sum(col("n")).as("nt"))
+    val w = Window.partitionBy(col("g")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.withColumn("cum", sum(col("n")).over(w))
+      .join(tot, Seq("g"))
+    def qAt(p: Double, name: String): DataFrame = cum
+      .filter(col("cum").cast("double") >=
+        ceil(col("nt").cast("double") * p))
+      .groupBy(col("g")).agg(min(col("c")).as(name))
+    val qs = qAt(0.25, "q1").join(qAt(0.5, "q2"), Seq("g"))
+      .join(qAt(0.75, "q3"), Seq("g"))
+    // integer fences: c outside [4*q1 - 6*(q3-q1), 4*q3 + 6*(q3-q1)]
+    // (the 1.5*IQR rule scaled by 4 to stay integral)
+    v.join(broadcast(qs), Seq("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), max(col("q1")).as("q1"),
+        max(col("q2")).as("q2"), max(col("q3")).as("q3"),
+        sum(when(col("c") * 4L < col("q1") * 4L -
+          (col("q3") - col("q1")) * 6L, 1L).otherwise(0L))
+          .as("n_low_out"),
+        sum(when(col("c") * 4L > col("q3") * 4L +
+          (col("q3") - col("q1")) * 6L, 1L).otherwise(0L))
+          .as("n_high_out"))
+      .select(col("g").as("event_type"), col("n"), col("q1"),
+        col("q2"), col("q3"),
+        e6((col("q3") + col("q1") - lit(2L) * col("q2")).cast("double") /
+          (col("q3") - col("q1")).cast("double")).as("bowley_e6"),
+        col("n_low_out"), col("n_high_out"))
+      .ordered(col("event_type"))
+  }
+
+  // q313 — lead-lag cross-correlation between event types: daily
+  // count series per type (bounded grid), all ordered type pairs at
+  // lags 0-3 via a day-shifted equi-join inside the grid, Pearson
+  // from exact integer power sums over the overlap.
+  private val q313: Q = (s, dir) => {
+    val g = t(s, dir, "events")
+      .groupBy(col("event_type").as("ty"),
+        expr(s"ts_ns div $DayNs").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val lags = g.withColumn("lag", explode(array(
+      lit(0L), lit(1L), lit(2L), lit(3L))))
+      .withColumn("jday", col("day") + col("lag"))
+    val joined = g.select(col("ty").as("a"), col("day"),
+        col("n").as("xa"))
+      .join(lags.select(col("ty").as("b"), col("jday").as("day"),
+        col("lag"), col("n").as("xb")), Seq("day"))
+      .filter(col("a") < col("b"))
+    joined.groupBy(col("a"), col("b"), col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
+        sum(col("xa") * col("xa")).as("sxx"),
+        sum(col("xb") * col("xb")).as("syy"),
+        sum(col("xa") * col("xb")).as("sxy"))
+      .select(col("a"), col("b"), col("lag"), col("n_days"),
+        e6((col("n_days") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (sqrt((col("n_days") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("n_days") * col("syy") - col("sy") * col("sy"))
+             .cast("double")))).as("corr_e6"))
+      .ordered(col("a"), col("b"), col("lag"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q313_lag_xcorr" -> q313,
+    "q312_bowley_iqr" -> q312,
+    "q311_pareto_frontier" -> q311,
+    "q310_qq_normality" -> q310,
+    "q309_adf_quickcheck" -> q309,
+    "q308_peak_days" -> q308,
+    "q307_em_step" -> q307,
+    "q306_did_estimate" -> q306,
     "q305_sprt_monitor" -> q305,
     "q304_levene_test" -> q304,
     "q303_simpson_audit" -> q303,
@@ -12478,7 +12773,194 @@ object NorthStar {
        |FROM a ORDER BY n_units""".stripMargin
   }
 
+  /** q306 oracle: identical midpoint bracket, user-period means,
+    * 4-cell DiD algebra. */
+  private val q306Sql: String =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) * 1000 // $DayNs
+       |         AS day, CAST(ROUND(value * 100) AS BIGINT) AS c
+       |       FROM events),
+       |mid AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM ev),
+       |up AS (SELECT user_id, user_id % 2 = 0 AS treat,
+       |         day >= mid AS post,
+       |         CAST(SUM(c) AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE
+       |           / 100.0 AS y
+       |       FROM ev, mid GROUP BY 1, 2, 3),
+       |cells AS (SELECT treat, post, COUNT(*) AS n, AVG(y) AS m,
+       |            (SUM(y * y) - SUM(y) * SUM(y) / COUNT(*)::DOUBLE)
+       |              / (COUNT(*) - 1)::DOUBLE / COUNT(*)::DOUBLE AS v
+       |          FROM up GROUP BY 1, 2)
+       |SELECT CAST(SUM(n) AS BIGINT) AS n_user_periods,
+       |  ${sqlE6("MAX(CASE WHEN treat AND post THEN m END)")} AS tp_e6,
+       |  ${sqlE6("MAX(CASE WHEN treat AND NOT post THEN m END)")} AS tq_e6,
+       |  ${sqlE6("MAX(CASE WHEN NOT treat AND post THEN m END)")} AS cp_e6,
+       |  ${sqlE6("MAX(CASE WHEN NOT treat AND NOT post THEN m END)")} AS cq_e6,
+       |  ${sqlE6("MAX(CASE WHEN treat AND post THEN m END) - MAX(CASE WHEN treat AND NOT post THEN m END) - (MAX(CASE WHEN NOT treat AND post THEN m END) - MAX(CASE WHEN NOT treat AND NOT post THEN m END))")} AS did_e6,
+       |  ${sqlE6("SQRT(SUM(v))")} AS se_e6
+       |FROM cells ORDER BY n_user_periods""".stripMargin
+
+  /** q307 oracle: identical fixed-init E-step and M-step sums. */
+  private val q307Sql: String =
+    s"""WITH r AS (SELECT LN(value) AS x,
+       |         EXP((LN(value) - 5.0) * (LN(value) - 5.0)
+       |             / (-2.0 * 1.5 * 1.5)) * 0.5 /
+       |         (EXP((LN(value) - 5.0) * (LN(value) - 5.0)
+       |              / (-2.0 * 1.5 * 1.5)) * 0.5
+       |          + EXP((LN(value) - 1.0) * (LN(value) - 1.0)
+       |                / (-2.0 * 1.5 * 1.5)) * 0.5) AS r2
+       |       FROM events),
+       |a AS (SELECT COUNT(*)::DOUBLE AS n, SUM(r2) AS w2,
+       |        SUM(r2 * x) AS s2, SUM((1.0 - r2) * x) AS s1,
+       |        SUM(r2 * x * x) AS ss2, SUM((1.0 - r2) * x * x) AS ss1
+       |      FROM r)
+       |SELECT CAST(n AS BIGINT) AS n, ${sqlE6("w2 / n")} AS pi2_e6,
+       |  ${sqlE6("s1 / (n - w2)")} AS mu1_e6,
+       |  ${sqlE6("s2 / w2")} AS mu2_e6,
+       |  ${sqlE6("SQRT(ss1 / (n - w2) - (s1 / (n - w2)) * (s1 / (n - w2)))")} AS sd1_e6,
+       |  ${sqlE6("SQRT(ss2 / w2 - (s2 / w2) * (s2 / w2))")} AS sd2_e6
+       |FROM a ORDER BY n""".stripMargin
+
+  /** q308 oracle: identical fixed windows and 2-sigma bracket. */
+  private val q308Sql: String =
+    s"""WITH daily AS (SELECT
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |           AS day,
+       |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+       |              AS BIGINT) AS rev
+       |       FROM orders GROUP BY 1),
+       |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |spine AS (SELECT unnest(range(b.d0, b.d1 + 1)) AS day FROM b),
+       |z AS (SELECT s.day, COALESCE(d.rev, 0) AS rev,
+       |        MAX(COALESCE(d.rev, 0)) OVER (ORDER BY s.day
+       |          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS pmax,
+       |        MAX(COALESCE(d.rev, 0)) OVER (ORDER BY s.day
+       |          ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS nmax
+       |      FROM spine s LEFT JOIN daily d ON s.day = d.day),
+       |st AS (SELECT AVG(rev::DOUBLE) AS mu,
+       |         STDDEV_SAMP(rev::DOUBLE) AS sd FROM z)
+       |SELECT day, rev, ${sqlE6("(rev::DOUBLE - mu) / sd")} AS z_e6
+       |FROM z, st
+       |WHERE pmax IS NOT NULL AND nmax IS NOT NULL AND rev > pmax
+       |  AND rev >= nmax AND rev::DOUBLE > mu + 2.0 * sd
+       |ORDER BY day""".stripMargin
+
+  /** q309 oracle: identical delta-on-lag power-sum regression. */
+  private val q309Sql: String =
+    s"""WITH daily AS (SELECT
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |           AS day,
+       |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+       |              AS BIGINT) AS rev
+       |       FROM orders GROUP BY 1),
+       |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |spine AS (SELECT unnest(range(b.d0, b.d1 + 1)) AS day FROM b),
+       |z AS (SELECT s.day, COALESCE(d.rev, 0) AS rev,
+       |        LAG(COALESCE(d.rev, 0)) OVER (ORDER BY s.day) AS xl
+       |      FROM spine s LEFT JOIN daily d ON s.day = d.day),
+       |p AS (SELECT xl::DOUBLE / 100.0 AS xd,
+       |        (rev - xl)::DOUBLE / 100.0 AS yd
+       |      FROM z WHERE xl IS NOT NULL),
+       |a AS (SELECT COUNT(*)::DOUBLE AS n, SUM(xd) AS sx,
+       |        SUM(yd) AS sy, SUM(xd * xd) AS sxx, SUM(yd * yd) AS syy,
+       |        SUM(xd * yd) AS sxy
+       |      FROM p),
+       |r AS (SELECT n, (sxy - sx * sy / n) / (sxx - sx * sx / n)
+       |        AS beta, sxx - sx * sx / n AS sxxc,
+       |        syy - sy * sy / n AS syyc
+       |      FROM a)
+       |SELECT CAST(n AS BIGINT) AS n_days, ${sqlE6("beta")} AS beta_e6,
+       |  ${sqlE6("beta / SQRT((syyc - beta * beta * sxxc) / (n - 2.0) / sxxc)")} AS t_e6
+       |FROM r ORDER BY n_days""".stripMargin
+
+  /** q310 oracle: same 19 z literals, exact type-lower quantiles,
+    * moment line. */
+  private val q310Sql: String = {
+    val gridSql = Zq.map { case (q, z) => s"($q, $z)" }.mkString(", ")
+    s"""WITH cents AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)
+       |         AS c FROM orders),
+       |h AS (SELECT c, COUNT(*) AS n FROM cents GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM h),
+       |mom AS (SELECT AVG(LN(c::DOUBLE)) AS mu,
+       |          STDDEV_SAMP(LN(c::DOUBLE)) AS sd FROM cents),
+       |cum AS (SELECT c, CAST(SUM(n) OVER (ORDER BY c
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, nt
+       |        FROM h, tot),
+       |grid AS (SELECT * FROM (VALUES $gridSql) AS g(q, z)),
+       |qs AS (SELECT q, z, MIN(c) AS qc FROM cum, grid
+       |       WHERE cum::DOUBLE >= CEIL(nt::DOUBLE * q / 100.0)
+       |       GROUP BY 1, 2)
+       |SELECT CAST(q AS BIGINT) AS q,
+       |  ${sqlE6("LN(qc::DOUBLE)")} AS sample_e6,
+       |  ${sqlE6("mu + z * sd")} AS theo_e6,
+       |  ${sqlE6("LN(qc::DOUBLE) - (mu + z * sd)")} AS gap_e6
+       |FROM qs, mom ORDER BY q""".stripMargin
+  }
+
+  /** q311 oracle: identical dominance anti-join skyline. */
+  private val q311Sql: String =
+    s"""WITH b AS (SELECT p_brand AS brand,
+       |         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+       |              * 100) AS BIGINT)) AS BIGINT) AS rev,
+       |         COUNT(*) AS n_lines,
+       |         ${sqlE6("SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE")} AS ret_e6
+       |       FROM lineitem JOIN part ON l_partkey = p_partkey
+       |       GROUP BY 1)
+       |SELECT brand, rev, n_lines, ret_e6 FROM b a
+       |WHERE NOT EXISTS (SELECT 1 FROM b d
+       |  WHERE d.rev >= a.rev AND d.ret_e6 <= a.ret_e6
+       |    AND (d.rev > a.rev OR d.ret_e6 < a.ret_e6))
+       |ORDER BY brand""".stripMargin
+
+  /** q312 oracle: exact quartiles, Bowley, scaled-integer fences. */
+  private val q312Sql: String =
+    s"""WITH v AS (SELECT event_type AS g,
+       |         CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+       |h AS (SELECT g, c, COUNT(*) AS n FROM v GROUP BY 1, 2),
+       |tot AS (SELECT g, CAST(SUM(n) AS BIGINT) AS nt FROM h
+       |        GROUP BY 1),
+       |cum AS (SELECT h.g, h.c,
+       |          CAST(SUM(h.n) OVER (PARTITION BY h.g ORDER BY h.c
+       |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, tot.nt
+       |        FROM h JOIN tot ON h.g = tot.g),
+       |q1 AS (SELECT g, MIN(c) AS q1 FROM cum
+       |       WHERE cum::DOUBLE >= CEIL(nt::DOUBLE * 0.25) GROUP BY 1),
+       |q2 AS (SELECT g, MIN(c) AS q2 FROM cum
+       |       WHERE cum::DOUBLE >= CEIL(nt::DOUBLE * 0.5) GROUP BY 1),
+       |q3 AS (SELECT g, MIN(c) AS q3 FROM cum
+       |       WHERE cum::DOUBLE >= CEIL(nt::DOUBLE * 0.75) GROUP BY 1),
+       |qs AS (SELECT q1.g, q1.q1, q2.q2, q3.q3 FROM q1
+       |       JOIN q2 ON q1.g = q2.g JOIN q3 ON q1.g = q3.g)
+       |SELECT v.g AS event_type, COUNT(*) AS n, MAX(qs.q1) AS q1,
+       |  MAX(qs.q2) AS q2, MAX(qs.q3) AS q3,
+       |  ${sqlE6("(MAX(qs.q3) + MAX(qs.q1) - 2 * MAX(qs.q2))::DOUBLE / (MAX(qs.q3) - MAX(qs.q1))::DOUBLE")} AS bowley_e6,
+       |  CAST(SUM(CASE WHEN v.c * 4 < qs.q1 * 4 - (qs.q3 - qs.q1) * 6
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_low_out,
+       |  CAST(SUM(CASE WHEN v.c * 4 > qs.q3 * 4 + (qs.q3 - qs.q1) * 6
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_high_out
+       |FROM v JOIN qs ON v.g = qs.g
+       |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** q313 oracle: identical shifted-day pair join and power sums. */
+  private val q313Sql: String =
+    s"""WITH g AS (SELECT event_type AS ty,
+       |         epoch_us(ts) * 1000 // $DayNs AS day, COUNT(*) AS n
+       |       FROM events GROUP BY 1, 2),
+       |j AS (SELECT a.ty AS a, b.ty AS b, lg.lag, a.n AS xa, b.n AS xb
+       |      FROM g a
+       |      JOIN (SELECT unnest([0, 1, 2, 3]) AS lag) lg ON TRUE
+       |      JOIN g b ON b.day + lg.lag = a.day AND a.ty < b.ty)
+       |SELECT a, b, CAST(lag AS BIGINT) AS lag, COUNT(*) AS n_days,
+       |  ${sqlE6("(COUNT(*) * SUM(xa * xb) - SUM(xa) * SUM(xb))::DOUBLE / (SQRT((COUNT(*) * SUM(xa * xa) - SUM(xa) * SUM(xa))::DOUBLE) * SQRT((COUNT(*) * SUM(xb * xb) - SUM(xb) * SUM(xb))::DOUBLE))")} AS corr_e6
+       |FROM j GROUP BY 1, 2, 3 ORDER BY a, b, lag""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q313_lag_xcorr" -> q313Sql,
+    "q312_bowley_iqr" -> q312Sql,
+    "q311_pareto_frontier" -> q311Sql,
+    "q310_qq_normality" -> q310Sql,
+    "q309_adf_quickcheck" -> q309Sql,
+    "q308_peak_days" -> q308Sql,
+    "q307_em_step" -> q307Sql,
+    "q306_did_estimate" -> q306Sql,
     "q305_sprt_monitor" -> q305Sql,
     "q304_levene_test" -> q304Sql,
     "q303_simpson_audit" -> q303Sql,

@@ -429,8 +429,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
                           // base) vs anchors
     "q302_ece_calibration", // 5-class stats broadcast (q279 shape)
     "q303_simpson_audit", // 1-row pooled-corr bracket vs nation rows
-    "q304_levene_test")   // 1-row grand-total bracket vs the 5-group
+    "q304_levene_test",   // 1-row grand-total bracket vs the 5-group
                           // deviation table
+    "q306_did_estimate",  // 1-row midpoint-day bracket vs events
+    "q308_peak_days",     // 1-row mean/sigma bracket vs the day spine
+    "q310_qq_normality",  // 19-row z-grid + 1-row moment brackets vs
+                          // the cents histogram
+    "q311_pareto_frontier") // 25x25 dominance inequality self-join
+                          // (broadcast skyline)
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
