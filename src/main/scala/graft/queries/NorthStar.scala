@@ -5367,6 +5367,7 @@ object NorthStar {
     def phi(m: Double): Column =
       exp((x - m) * (x - m) / (-2.0 * sd * sd))
     val r = t(s, dir, "events")
+      .filter(col("value") > 0.0) // ln-domain guard (sf0.1 has zeros)
       .select(x.as("x"),
         (phi(m2) * pi / (phi(m2) * pi + phi(m1) * (1 - pi))).as("r2"))
     r.agg(count(lit(1)).cast("double").as("n"), sum(col("r2")).as("w2"),
@@ -12807,7 +12808,7 @@ object NorthStar {
        |              / (-2.0 * 1.5 * 1.5)) * 0.5
        |          + EXP((LN(value) - 1.0) * (LN(value) - 1.0)
        |                / (-2.0 * 1.5 * 1.5)) * 0.5) AS r2
-       |       FROM events),
+       |       FROM events WHERE value > 0),
        |a AS (SELECT COUNT(*)::DOUBLE AS n, SUM(r2) AS w2,
        |        SUM(r2 * x) AS s2, SUM((1.0 - r2) * x) AS s1,
        |        SUM(r2 * x * x) AS ss2, SUM((1.0 - r2) * x * x) AS ss1
