@@ -5606,7 +5606,317 @@ object NorthStar {
       .ordered(col("a"), col("b"), col("lag"))
   }
 
+  // q314 — discrete-time churn hazard by tenure week: per-user first/
+  // last active week, censoring at the corpus horizon (1-row
+  // bracket), life-table at-risk / churned counts per tenure and the
+  // cumulative survival via exp(sum(ln(1 - h))) over the bounded
+  // tenure grid. The hazard companion to the q217 Kaplan-Meier.
+  private val q314: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val uw = t(s, dir, "events")
+      .select(col("user_id"), expr(s"(ts_ns div $DayNs) div 7").as("w"))
+      .distinct()
+    val per = uw.groupBy(col("user_id"))
+      .agg(min(col("w")).as("w0"), max(col("w")).as("wl"))
+    val horizon = uw.agg(max(col("w")).as("wmax"))
+    val life = per.crossJoin(broadcast(horizon))
+      .withColumn("tenure", col("wl") - col("w0") + 1L)
+      .withColumn("censored", col("wl") === col("wmax"))
+    val byTenure = life.groupBy(col("tenure"))
+      .agg(count(lit(1)).as("n_ending"),
+        sum(when(!col("censored"), 1L).otherwise(0L)).as("n_churned"))
+    val w = Window.orderBy(col("tenure").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w2 = Window.orderBy(col("tenure"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byTenure.withColumn("at_risk", sum(col("n_ending")).over(w))
+      .withColumn("h", col("n_churned").cast("double") /
+        col("at_risk").cast("double"))
+      .withColumn("surv", exp(sum(log(lit(1.0) - col("h") +
+        lit(1e-300))).over(w2)))
+      .select(col("tenure"), col("at_risk"), col("n_churned"),
+        e6(col("h")).as("hazard_e6"), e6(col("surv")).as("surv_e6"))
+      .ordered(col("tenure"))
+  }
+
+  // q315 — position-based (40/20/40) attribution: purchases joined to
+  // their 7-day click/view touch window (the bucketed
+  // rangeJoinLookback — no per-key cartesian), per-conversion touch
+  // ranks, U-shaped credit split, channel rollup. The fractional-
+  // credit complement of q199/q200.
+  private val q315: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events").select(col("user_id"),
+      col("ts_ns"), col("event_id"), col("event_type"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns").as("cts"),
+        col("event_id").as("cid"))
+    val touch = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts_ns").as("tts"),
+        col("event_id").as("tid"), col("event_type").as("channel"))
+    val joined = TemporalJoinOps.rangeJoinLookback(conv, touch,
+        "user_id", "cts", "tts", 7L * DayNs)
+      .filter(col("tts") < col("cts"))
+    val wA = Window.partitionBy(col("cid"))
+      .orderBy(col("tts"), col("tid"))
+    val wD = Window.partitionBy(col("cid"))
+      .orderBy(col("tts").desc, col("tid").desc)
+    val credited = joined
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy(col("cid"))))
+      .withColumn("ra", row_number().over(wA))
+      .withColumn("rd", row_number().over(wD))
+      .withColumn("credit",
+        when(col("m") === 1L, 1.0)
+          .when(col("m") === 2L, 0.5)
+          .when(col("ra") === 1 || col("rd") === 1, 0.4)
+          .otherwise(lit(0.2) / (col("m") - 2L).cast("double")))
+    credited.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("cid")).as("n_convs_touched"),
+        e6(sum(col("credit"))).as("credit_e6"))
+      .ordered(col("channel"))
+  }
+
+  // q316 — basket brand diversity per market segment: per-customer
+  // brand revenue shares -> Shannon entropy (exact integer share
+  // ratios), single-brand share and mean entropy per segment. The
+  // assortment-breadth profile.
+  private val q316: Q = (s, dir) => {
+    val cb = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("cust"), col("p_brand"))
+      .agg(sum(expr(
+        "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        .as("c"))
+    val perCust = cb.groupBy(col("cust"))
+      .agg(count(lit(1)).as("n_brands"), sum(col("c")).as("tc"),
+        sum(col("c").cast("double") *
+          log(col("c").cast("double"))).as("slc"))
+      // H = ln(tc) - sum(c ln c)/tc  (shares = c/tc)
+      .withColumn("h", log(col("tc").cast("double")) -
+        col("slc") / col("tc").cast("double"))
+    perCust.join(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("cust") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_cust"),
+        e6(avg(col("h"))).as("avg_entropy_e6"),
+        e6(avg(when(col("n_brands") === 1L, 1.0).otherwise(0.0)))
+          .as("single_brand_share_e6"),
+        e6(avg(col("n_brands").cast("double"))).as("avg_brands_e6"))
+      .ordered(col("segment"))
+  }
+
+  // q317 — Theil-Sen robust trend of daily revenue: 100k
+  // md5-deterministic day-index pairs (no RNG, no O(n^2) pair
+  // blowup), per-pair slopes resolved by two equi-joins into the
+  // spine, exact type-lower median from the slope histogram, OLS
+  // slope alongside for the robustness gap.
+  private val q317: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .select(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+        .cast("long").as("day"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("rev"))
+    val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val z = spine.join(daily, Seq("day"), "left")
+      .withColumn("rev", coalesce(col("rev"), lit(0L)))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("day"))).cast("long"))
+    val n = z.agg(max(col("rn")).as("n"))
+    val pairs = n.select(col("n"),
+        explode(sequence(lit(1L), lit(100000L))).as("k"))
+      .withColumn("i", CurationOps.md5Hash32(
+        concat(lit("ts:a:"), col("k").cast("string"))) % col("n") + 1L)
+      .withColumn("j", CurationOps.md5Hash32(
+        concat(lit("ts:b:"), col("k").cast("string"))) % col("n") + 1L)
+      .filter(col("i") < col("j"))
+    val slopes = pairs
+      .join(z.select(col("rn").as("i"), col("rev").as("yi")), Seq("i"))
+      .join(z.select(col("rn").as("j"), col("rev").as("yj")), Seq("j"))
+      .select(((col("yj") - col("yi")).cast("double") /
+        (col("j") - col("i")).cast("double") / 100.0).as("slope"))
+    val hist = slopes.groupBy(col("slope")).agg(count(lit(1)).as("m"))
+    val tot = hist.agg(sum(col("m")).as("mt"))
+    val wc = Window.orderBy(col("slope"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = hist.withColumn("cum", sum(col("m")).over(wc))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum").cast("double") >=
+        ceil(col("mt").cast("double") * 0.5))
+      .agg(max(col("mt")).as("n_pairs"), min(col("slope")).as("ts"))
+    val ols = z.agg(count(lit(1)).cast("double").as("nn"),
+        sum(col("rn")).cast("double").as("sx"),
+        sum(col("rev").cast("double") / 100.0).as("sy"),
+        sum(col("rn") * col("rn")).cast("double").as("sxx"),
+        sum(col("rn").cast("double") *
+          (col("rev").cast("double") / 100.0)).as("sxy"))
+      .select(((col("sxy") - col("sx") * col("sy") / col("nn")) /
+        (col("sxx") - col("sx") * col("sx") / col("nn"))).as("ols"))
+    med.crossJoin(broadcast(ols))
+      .select(col("n_pairs"), e6(col("ts")).as("theil_sen_e6"),
+        e6(col("ols")).as("ols_e6"))
+      .ordered(col("n_pairs"))
+  }
+
+  // q318 — ABC x XYZ inventory matrix: brands classed A/B/C by
+  // cumulative revenue share (integer threshold compares on exact
+  // cents) and X/Y/Z by weekly-demand coefficient of variation,
+  // cross-tabulated. The planner's two-axis segmentation.
+  private val q318: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("p_brand").as("brand"),
+        (datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+          .cast("long") / 7L).cast("long").as("w"),
+        expr("CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+          .as("c"),
+        col("l_quantity").cast("long").as("q"))
+    val bw = li.groupBy(col("brand"), col("w"))
+      .agg(sum(col("q")).as("qw"))
+    val xyz = bw.groupBy(col("brand"))
+      .agg(count(lit(1)).as("nw"), sum(col("qw")).as("sq"),
+        sum(col("qw") * col("qw")).as("sq2"))
+      .withColumn("cv", sqrt(
+        (col("nw") * col("sq2") - col("sq") * col("sq")).cast("double") /
+          (col("nw") * col("nw")).cast("double")) /
+        (col("sq").cast("double") / col("nw").cast("double")))
+      .withColumn("xyz", when(col("cv") < 0.5, "X")
+        .when(col("cv") < 1.0, "Y").otherwise("Z"))
+    val rev = li.groupBy(col("brand")).agg(sum(col("c")).as("rev"))
+    val tot = rev.agg(sum(col("rev")).as("tr"))
+    val wr = Window.orderBy(col("rev").desc, col("brand"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val abc = rev.withColumn("cum", sum(col("rev")).over(wr))
+      .crossJoin(broadcast(tot))
+      // integer thresholds: cum*100 <= tr*80 / tr*95
+      .withColumn("abc",
+        when(col("cum") * 100L <= col("tr") * 80L, "A")
+          .when(col("cum") * 100L <= col("tr") * 95L, "B")
+          .otherwise("C"))
+    abc.join(xyz.select(col("brand"), col("xyz")), Seq("brand"))
+      .groupBy(col("abc"), col("xyz"))
+      .agg(count(lit(1)).as("n_brands"), sum(col("rev")).as("rev"))
+      .ordered(col("abc"), col("xyz"))
+  }
+
+  // q319 — knee/elbow of the brand revenue concentration curve: the
+  // point of maximum gap between cumulative share and the diagonal,
+  // selected by EXACT integer comparison (cum*n - i*total), with the
+  // full bounded curve emitted. Where "the top brands" objectively
+  // ends.
+  private val q319: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val rev = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(expr(
+        "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        .as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("brand"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = rev.agg(sum(col("rev")).as("tr"), count(lit(1)).as("nb"))
+    val curve = rev
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("rev").desc, col("brand"))).cast("long"))
+      .withColumn("cum", sum(col("rev")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("gap_int", col("cum") * col("nb") -
+        col("i") * col("tr"))
+    val knee = curve.agg(max(struct(col("gap_int"),
+      (col("i") * -1L).as("negi"))).as("mx"))
+      .select(col("mx.gap_int").as("kg"),
+        (col("mx.negi") * -1L).as("ki"))
+    curve.crossJoin(broadcast(knee))
+      .select(col("i"), col("brand"), col("rev"),
+        e6(col("cum").cast("double") / col("tr").cast("double"))
+          .as("cum_share_e6"),
+        e6(col("gap_int").cast("double") /
+          (col("nb") * col("tr")).cast("double")).as("gap_e6"),
+        (col("i") === col("ki")).cast("long").as("is_knee"))
+      .ordered(col("i"))
+  }
+
+  // q320 — audience overlap matrix: distinct user sets per event
+  // type, pairwise intersection via one (user, type) self-join,
+  // Jaccard and containment per ordered pair. Which behaviors share
+  // an audience.
+  private val q320: Q = (s, dir) => {
+    val ut = t(s, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val inter = ut.select(col("user_id"), col("event_type").as("a"))
+      .join(ut.select(col("user_id"), col("event_type").as("b")),
+        Seq("user_id"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_both"))
+    inter
+      .join(broadcast(sizes.select(col("event_type").as("a"),
+        col("n").as("na"))), Seq("a"))
+      .join(broadcast(sizes.select(col("event_type").as("b"),
+        col("n").as("nb"))), Seq("b"))
+      .select(col("a"), col("b"), col("na"), col("nb"), col("n_both"),
+        e6(col("n_both").cast("double") /
+          (col("na") + col("nb") - col("n_both")).cast("double"))
+          .as("jaccard_e6"),
+        e6(col("n_both").cast("double") /
+          least(col("na"), col("nb")).cast("double"))
+          .as("containment_e6"))
+      .ordered(col("a"), col("b"))
+  }
+
+  // q321 — price-stickiness audit per brand: distinct price points
+  // per part, modal-price share (deterministic rank: count desc,
+  // price asc), rolled up per brand. Catalog hygiene — how uniform is
+  // pricing within a part.
+  private val q321: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val pp = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("pk"),
+        expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("price"))
+      .agg(count(lit(1)).as("n"))
+    val wm = Window.partitionBy(col("pk"))
+      .orderBy(col("n").desc, col("price"))
+    val per = pp.withColumn("rk", row_number().over(wm))
+      .groupBy(col("pk"))
+      .agg(sum(col("n")).as("n_lines"), count(lit(1)).as("n_prices"),
+        max(when(col("rk") === 1, col("n"))).as("mode_n"))
+    per.join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("pk") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        e6(avg(col("n_prices").cast("double"))).as("avg_prices_e6"),
+        e6(avg(col("mode_n").cast("double") /
+          col("n_lines").cast("double"))).as("avg_mode_share_e6"))
+      .ordered(col("brand"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q321_price_stickiness" -> q321,
+    "q320_audience_overlap" -> q320,
+    "q319_knee_detection" -> q319,
+    "q318_abc_xyz" -> q318,
+    "q317_theil_sen" -> q317,
+    "q316_basket_diversity" -> q316,
+    "q315_position_attribution" -> q315,
+    "q314_churn_hazard" -> q314,
     "q313_lag_xcorr" -> q313,
     "q312_bowley_iqr" -> q312,
     "q311_pareto_frontier" -> q311,
@@ -12953,7 +13263,236 @@ object NorthStar {
        |  ${sqlE6("(COUNT(*) * SUM(xa * xb) - SUM(xa) * SUM(xb))::DOUBLE / (SQRT((COUNT(*) * SUM(xa * xa) - SUM(xa) * SUM(xa))::DOUBLE) * SQRT((COUNT(*) * SUM(xb * xb) - SUM(xb) * SUM(xb))::DOUBLE))")} AS corr_e6
        |FROM j GROUP BY 1, 2, 3 ORDER BY a, b, lag""".stripMargin
 
+  /** q314 oracle: identical life table and guarded log-survival
+    * fold. */
+  private val q314Sql: String =
+    s"""WITH uw AS (SELECT DISTINCT user_id,
+       |         (epoch_us(ts) * 1000 // $DayNs) // 7 AS w FROM events),
+       |per AS (SELECT user_id, MIN(w) AS w0, MAX(w) AS wl FROM uw
+       |        GROUP BY 1),
+       |hz AS (SELECT MAX(w) AS wmax FROM uw),
+       |life AS (SELECT wl - w0 + 1 AS tenure, wl = wmax AS censored
+       |         FROM per, hz),
+       |bt AS (SELECT tenure, COUNT(*) AS n_ending,
+       |         CAST(SUM(CASE WHEN censored THEN 0 ELSE 1 END)
+       |              AS BIGINT) AS n_churned
+       |       FROM life GROUP BY 1),
+       |r AS (SELECT tenure, n_ending, n_churned,
+       |        CAST(SUM(n_ending) OVER (ORDER BY tenure DESC
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS at_risk
+       |      FROM bt),
+       |h AS (SELECT tenure, at_risk, n_churned,
+       |        n_churned::DOUBLE / at_risk::DOUBLE AS h
+       |      FROM r),
+       |sv AS (SELECT tenure, at_risk, n_churned, h,
+       |         EXP(SUM(LN(1.0 - h + 1e-300)) OVER (ORDER BY tenure
+       |           ROWS UNBOUNDED PRECEDING)) AS surv
+       |       FROM h)
+       |SELECT tenure, at_risk, n_churned, ${sqlE6("h")} AS hazard_e6,
+       |       ${sqlE6("surv")} AS surv_e6
+       |FROM sv ORDER BY tenure""".stripMargin
+
+  /** q315 oracle: plain 7-day window join (the bucketed join is
+    * result-identical), identical rank credit split. */
+  private val q315Sql: String =
+    s"""WITH ev AS (SELECT user_id, event_id, event_type,
+       |                  epoch_us(ts) * 1000 AS ts_ns FROM events),
+       |conv AS (SELECT user_id, ts_ns AS cts, event_id AS cid
+       |         FROM ev WHERE event_type = 'purchase'),
+       |touch AS (SELECT user_id, ts_ns AS tts, event_id AS tid,
+       |            event_type AS channel
+       |          FROM ev WHERE event_type IN ('click', 'view')),
+       |j AS (SELECT conv.cid, touch.tts, touch.tid, touch.channel
+       |      FROM conv JOIN touch ON conv.user_id = touch.user_id
+       |      WHERE touch.tts < conv.cts
+       |        AND touch.tts >= conv.cts - ${7L * DayNs}),
+       |rk AS (SELECT cid, channel,
+       |         COUNT(*) OVER (PARTITION BY cid) AS m,
+       |         ROW_NUMBER() OVER (PARTITION BY cid
+       |           ORDER BY tts, tid) AS ra,
+       |         ROW_NUMBER() OVER (PARTITION BY cid
+       |           ORDER BY tts DESC, tid DESC) AS rd
+       |       FROM j),
+       |cr AS (SELECT cid, channel,
+       |         CASE WHEN m = 1 THEN 1.0 WHEN m = 2 THEN 0.5
+       |              WHEN ra = 1 OR rd = 1 THEN 0.4
+       |              ELSE 0.2 / (m - 2)::DOUBLE END AS credit
+       |       FROM rk)
+       |SELECT channel, COUNT(*) AS n_touches,
+       |  CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_convs_touched,
+       |  ${sqlE6("SUM(credit)")} AS credit_e6
+       |FROM cr GROUP BY 1 ORDER BY channel""".stripMargin
+
+  /** q316 oracle: identical entropy identity on exact cents. */
+  private val q316Sql: String =
+    s"""WITH cb AS (SELECT o_custkey AS cust, p_brand,
+       |         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+       |              * 100) AS BIGINT)) AS BIGINT) AS c
+       |       FROM lineitem
+       |       JOIN part ON l_partkey = p_partkey
+       |       JOIN orders ON l_orderkey = o_orderkey
+       |       GROUP BY 1, 2),
+       |pc AS (SELECT cust, COUNT(*) AS n_brands,
+       |         CAST(SUM(c) AS BIGINT) AS tc,
+       |         SUM(c::DOUBLE * LN(c::DOUBLE)) AS slc
+       |       FROM cb GROUP BY 1),
+       |h AS (SELECT cust, n_brands,
+       |        LN(tc::DOUBLE) - slc / tc::DOUBLE AS h FROM pc)
+       |SELECT c_mktsegment AS segment, COUNT(*) AS n_cust,
+       |  ${sqlE6("AVG(h)")} AS avg_entropy_e6,
+       |  ${sqlE6("AVG(CASE WHEN n_brands = 1 THEN 1.0 ELSE 0.0 END)")} AS single_brand_share_e6,
+       |  ${sqlE6("AVG(n_brands::DOUBLE)")} AS avg_brands_e6
+       |FROM h JOIN customer ON cust = c_custkey
+       |GROUP BY 1 ORDER BY segment""".stripMargin
+
+  /** q317 oracle: identical md5 pair sample, slope histogram median,
+    * OLS comparison. */
+  private val q317Sql: String =
+    s"""WITH daily AS (SELECT
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |           AS day,
+       |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+       |              AS BIGINT) AS rev
+       |       FROM orders GROUP BY 1),
+       |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |spine AS (SELECT unnest(range(b.d0, b.d1 + 1)) AS day FROM b),
+       |z AS (SELECT s.day, COALESCE(d.rev, 0) AS rev,
+       |        ROW_NUMBER() OVER (ORDER BY s.day) AS rn
+       |      FROM spine s LEFT JOIN daily d ON s.day = d.day),
+       |n AS (SELECT MAX(rn) AS n FROM z),
+       |pairs AS (SELECT
+       |    ${sqlHex32("md5('ts:a:' || k::VARCHAR)")} % n.n + 1 AS i,
+       |    ${sqlHex32("md5('ts:b:' || k::VARCHAR)")} % n.n + 1 AS j
+       |  FROM (SELECT unnest(range(1, 100001)) AS k) ks, n),
+       |sl AS (SELECT (zj.rev - zi.rev)::DOUBLE
+       |         / (p.j - p.i)::DOUBLE / 100.0 AS slope
+       |       FROM pairs p JOIN z zi ON p.i = zi.rn
+       |       JOIN z zj ON p.j = zj.rn
+       |       WHERE p.i < p.j),
+       |hist AS (SELECT slope, COUNT(*) AS m FROM sl GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(m) AS BIGINT) AS mt FROM hist),
+       |med AS (SELECT MAX(mt) AS n_pairs, MIN(slope) AS ts
+       |        FROM (SELECT slope, mt,
+       |                CAST(SUM(m) OVER (ORDER BY slope
+       |                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |              FROM hist, tot)
+       |        WHERE cum::DOUBLE >= CEIL(mt::DOUBLE * 0.5)),
+       |ols AS (SELECT ((SUM(rn::DOUBLE * (rev::DOUBLE / 100.0))
+       |          - SUM(rn::DOUBLE) * SUM(rev::DOUBLE / 100.0)
+       |            / COUNT(*)::DOUBLE)
+       |          / (SUM(rn::DOUBLE * rn::DOUBLE)
+       |          - SUM(rn::DOUBLE) * SUM(rn::DOUBLE)
+       |            / COUNT(*)::DOUBLE)) AS ols
+       |        FROM z)
+       |SELECT n_pairs, ${sqlE6("ts")} AS theil_sen_e6,
+       |       ${sqlE6("(SELECT ols FROM ols)")} AS ols_e6
+       |FROM med ORDER BY n_pairs""".stripMargin
+
+  /** q318 oracle: identical integer ABC thresholds and CV classes. */
+  private val q318Sql: String =
+    s"""WITH li AS (SELECT p_brand AS brand,
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |           // 7 AS w,
+       |         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+       |              AS BIGINT) AS c,
+       |         CAST(l_quantity AS BIGINT) AS q
+       |       FROM lineitem
+       |       JOIN part ON l_partkey = p_partkey
+       |       JOIN orders ON l_orderkey = o_orderkey),
+       |bw AS (SELECT brand, w, CAST(SUM(q) AS BIGINT) AS qw FROM li
+       |       GROUP BY 1, 2),
+       |xyz AS (SELECT brand,
+       |          CASE WHEN cv < 0.5 THEN 'X' WHEN cv < 1.0 THEN 'Y'
+       |               ELSE 'Z' END AS xyz
+       |        FROM (SELECT brand,
+       |                SQRT((COUNT(*) * SUM(qw * qw)
+       |                  - SUM(qw) * SUM(qw))::DOUBLE
+       |                  / (COUNT(*) * COUNT(*))::DOUBLE)
+       |                / (SUM(qw)::DOUBLE / COUNT(*)::DOUBLE) AS cv
+       |              FROM bw GROUP BY 1)),
+       |rev AS (SELECT brand, CAST(SUM(c) AS BIGINT) AS rev FROM li
+       |        GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(rev) AS BIGINT) AS tr FROM rev),
+       |abc AS (SELECT brand, rev,
+       |          CASE WHEN cum * 100 <= tr * 80 THEN 'A'
+       |               WHEN cum * 100 <= tr * 95 THEN 'B'
+       |               ELSE 'C' END AS abc
+       |        FROM (SELECT brand, rev, tr,
+       |                CAST(SUM(rev) OVER (ORDER BY rev DESC, brand
+       |                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |              FROM rev, tot))
+       |SELECT abc.abc, xyz.xyz, COUNT(*) AS n_brands,
+       |       CAST(SUM(abc.rev) AS BIGINT) AS rev
+       |FROM abc JOIN xyz ON abc.brand = xyz.brand
+       |GROUP BY 1, 2 ORDER BY abc, xyz""".stripMargin
+
+  /** q319 oracle: identical exact-integer knee selection. */
+  private val q319Sql: String =
+    s"""WITH rev AS (SELECT p_brand AS brand,
+       |         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+       |              * 100) AS BIGINT)) AS BIGINT) AS rev
+       |       FROM lineitem JOIN part ON l_partkey = p_partkey
+       |       GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(rev) AS BIGINT) AS tr,
+       |               COUNT(*) AS nb FROM rev),
+       |curve AS (SELECT brand, rev, tr, nb,
+       |            ROW_NUMBER() OVER (ORDER BY rev DESC, brand) AS i,
+       |            CAST(SUM(rev) OVER (ORDER BY rev DESC, brand
+       |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |          FROM rev, tot),
+       |g AS (SELECT *, cum * nb - i * tr AS gap_int FROM curve),
+       |knee AS (SELECT i AS ki FROM g
+       |         ORDER BY gap_int DESC, i LIMIT 1)
+       |SELECT CAST(i AS BIGINT) AS i, brand, rev,
+       |  ${sqlE6("cum::DOUBLE / tr::DOUBLE")} AS cum_share_e6,
+       |  ${sqlE6("gap_int::DOUBLE / (nb * tr)::DOUBLE")} AS gap_e6,
+       |  CAST(CASE WHEN i = (SELECT ki FROM knee) THEN 1 ELSE 0 END
+       |       AS BIGINT) AS is_knee
+       |FROM g ORDER BY i""".stripMargin
+
+  /** q320 oracle: identical distinct (user, type) self-join. */
+  private val q320Sql: String =
+    s"""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+       |sz AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+       |inter AS (SELECT a.event_type AS a, b.event_type AS b,
+       |            COUNT(*) AS n_both
+       |          FROM ut a JOIN ut b ON a.user_id = b.user_id
+       |          WHERE a.event_type < b.event_type GROUP BY 1, 2)
+       |SELECT inter.a, inter.b, sa.n AS na, sb.n AS nb, n_both,
+       |  ${sqlE6("n_both::DOUBLE / (sa.n + sb.n - n_both)::DOUBLE")} AS jaccard_e6,
+       |  ${sqlE6("n_both::DOUBLE / LEAST(sa.n, sb.n)::DOUBLE")} AS containment_e6
+       |FROM inter JOIN sz sa ON inter.a = sa.event_type
+       |JOIN sz sb ON inter.b = sb.event_type
+       |ORDER BY a, b""".stripMargin
+
+  /** q321 oracle: identical modal-price rank and brand rollup. */
+  private val q321Sql: String =
+    s"""WITH pp AS (SELECT l_partkey AS pk,
+       |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price,
+       |         COUNT(*) AS n
+       |       FROM lineitem GROUP BY 1, 2),
+       |per AS (SELECT pk, CAST(SUM(n) AS BIGINT) AS n_lines,
+       |          COUNT(*) AS n_prices,
+       |          CAST(MAX(CASE WHEN rk = 1 THEN n END) AS BIGINT)
+       |            AS mode_n
+       |        FROM (SELECT pp.*, ROW_NUMBER() OVER (PARTITION BY pk
+       |                ORDER BY n DESC, price) AS rk FROM pp)
+       |        GROUP BY 1)
+       |SELECT p_brand AS brand, COUNT(*) AS n_parts,
+       |  ${sqlE6("AVG(n_prices::DOUBLE)")} AS avg_prices_e6,
+       |  ${sqlE6("AVG(mode_n::DOUBLE / n_lines::DOUBLE)")} AS avg_mode_share_e6
+       |FROM per JOIN part ON pk = p_partkey
+       |GROUP BY 1 ORDER BY brand""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q321_price_stickiness" -> q321Sql,
+    "q320_audience_overlap" -> q320Sql,
+    "q319_knee_detection" -> q319Sql,
+    "q318_abc_xyz" -> q318Sql,
+    "q317_theil_sen" -> q317Sql,
+    "q316_basket_diversity" -> q316Sql,
+    "q315_position_attribution" -> q315Sql,
+    "q314_churn_hazard" -> q314Sql,
     "q313_lag_xcorr" -> q313Sql,
     "q312_bowley_iqr" -> q312Sql,
     "q311_pareto_frontier" -> q311Sql,

@@ -435,8 +435,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     "q308_peak_days",     // 1-row mean/sigma bracket vs the day spine
     "q310_qq_normality",  // 19-row z-grid + 1-row moment brackets vs
                           // the cents histogram
-    "q311_pareto_frontier") // 25x25 dominance inequality self-join
+    "q311_pareto_frontier", // 25x25 dominance inequality self-join
                           // (broadcast skyline)
+    "q314_churn_hazard",  // 1-row horizon-week bracket vs users
+    "q317_theil_sen",     // 1-row n/median/OLS brackets vs the slope
+                          // histogram
+    "q318_abc_xyz",       // 1-row revenue grand-total bracket vs the
+                          // 25-brand table
+    "q319_knee_detection") // 1-row total + knee brackets vs the
+                          // bounded curve
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
