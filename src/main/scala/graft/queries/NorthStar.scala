@@ -5908,7 +5908,295 @@ object NorthStar {
       .ordered(col("brand"))
   }
 
+  // q322 — newsvendor stocking level per brand: the 0.8 critical
+  // fractile of weekly demand as an exact type-lower quantile from
+  // the demand histogram, plus expected weekly overage/underage units
+  // at that stock — all integer ratios. The inventory-policy readout.
+  private val q322: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val bw = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("p_brand").as("brand"),
+        expr("CAST(DATEDIFF(o_orderdate, DATE'1970-01-01') AS BIGINT) div 7")
+          .as("w"))
+      .agg(sum(col("l_quantity").cast("long")).as("d"))
+    val h = bw.groupBy(col("brand"), col("d")).agg(count(lit(1)).as("n"))
+    val tot = h.groupBy(col("brand")).agg(sum(col("n")).as("nt"))
+    val wc = Window.partitionBy(col("brand")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.withColumn("cumn", sum(col("n")).over(wc))
+      .join(tot, Seq("brand"))
+    val stock = cum.filter(col("cumn").cast("double") >=
+        ceil(col("nt").cast("double") * 0.8))
+      .groupBy(col("brand")).agg(min(col("d")).as("s"))
+    h.join(stock, Seq("brand")).join(tot, Seq("brand"))
+      .groupBy(col("brand"))
+      .agg(max(col("nt")).as("n_weeks"), max(col("s")).as("stock_q80"),
+        e6(sum(when(col("d") < col("s"),
+          (col("s") - col("d")) * col("n")).otherwise(0L))
+          .cast("double") / max(col("nt")).cast("double"))
+          .as("exp_overage_e6"),
+        e6(sum(when(col("d") > col("s"),
+          (col("d") - col("s")) * col("n")).otherwise(0L))
+          .cast("double") / max(col("nt")).cast("double"))
+          .as("exp_underage_e6"))
+      .ordered(col("brand"))
+  }
+
+  // q323 — standardized effect sizes, click vs view event values:
+  // Cohen's d and Hedges' g from exact cents power sums, Cliff's
+  // delta from the same midrank machinery as q274 (no row sort). The
+  // practical-significance companion to the q251/q215 tests.
+  private val q323: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val v = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .select((col("event_type") === "click").as("isA"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("c"))
+    val mom = v.groupBy(col("isA"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("sc2"))
+    val h = v.groupBy(col("c"))
+      .agg(sum(when(col("isA"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("isA"), 1L).otherwise(0L)).as("nb"))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = h.withColumn("cum_nb", sum(col("nb")).over(w))
+      .agg(sum(col("na").cast("double") *
+        ((col("cum_nb") - col("nb")).cast("double") +
+          col("nb").cast("double") / 2.0)).as("uA"))
+    val flat = mom.agg(
+      max(when(col("isA"), col("n"))).as("n1"),
+      max(when(col("isA"), col("sc"))).as("s1"),
+      max(when(col("isA"), col("sc2"))).as("ss1"),
+      max(when(!col("isA"), col("n"))).as("n2"),
+      max(when(!col("isA"), col("sc"))).as("s2"),
+      max(when(!col("isA"), col("sc2"))).as("ss2"))
+    def dn(c: Column): Column = c.cast("double")
+    flat.crossJoin(broadcast(u))
+      .withColumn("m1", dn(col("s1")) / dn(col("n1")) / 100.0)
+      .withColumn("m2", dn(col("s2")) / dn(col("n2")) / 100.0)
+      .withColumn("v1", (dn(col("n1")) * dn(col("ss1")) -
+        dn(col("s1")) * dn(col("s1"))) /
+        (dn(col("n1")) * (dn(col("n1")) - 1.0)) / 10000.0)
+      .withColumn("v2", (dn(col("n2")) * dn(col("ss2")) -
+        dn(col("s2")) * dn(col("s2"))) /
+        (dn(col("n2")) * (dn(col("n2")) - 1.0)) / 10000.0)
+      .withColumn("sp", sqrt(((dn(col("n1")) - 1.0) * col("v1") +
+        (dn(col("n2")) - 1.0) * col("v2")) /
+        (dn(col("n1")) + dn(col("n2")) - 2.0)))
+      .withColumn("d", (col("m1") - col("m2")) / col("sp"))
+      .select(col("n1"), col("n2"), e6(col("d")).as("cohen_d_e6"),
+        e6(col("d") * (lit(1.0) - lit(3.0) /
+          (lit(4.0) * (dn(col("n1")) + dn(col("n2"))) - 9.0)))
+          .as("hedges_g_e6"),
+        e6(lit(2.0) * col("uA") / (dn(col("n1")) * dn(col("n2")))
+          - 1.0).as("cliffs_delta_e6"))
+      .ordered(col("n1"))
+  }
+
+  // q324 — mutual information between quantity band and discount
+  // band: the bounded q273 grid turned into MI / entropies /
+  // normalized MI, every probability an exact integer ratio. The
+  // feature-relevance measure a correlation can't see.
+  private val q324: Q = (s, dir) => {
+    val g = t(s, dir, "lineitem")
+      .select(expr("(CAST(l_quantity AS BIGINT) - 1) div 10").as("x"),
+        expr("CAST(ROUND(l_discount * 100) AS BIGINT) div 2").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+    val mx = g.groupBy(col("x")).agg(sum(col("n")).as("nx"))
+    val my = g.groupBy(col("y")).agg(sum(col("n")).as("ny"))
+    val nt = g.agg(sum(col("n")).as("nt"))
+    def dn(c: Column): Column = c.cast("double")
+    val parts = g.join(mx, Seq("x")).join(my, Seq("y"))
+      .crossJoin(broadcast(nt))
+      .agg(max(col("nt")).as("n"),
+        sum(dn(col("n")) / dn(col("nt")) *
+          log(dn(col("n")) * dn(col("nt")) /
+            (dn(col("nx")) * dn(col("ny"))))).as("mi"))
+    val hx = mx.crossJoin(broadcast(nt))
+      .agg(sum(dn(col("nx")) / dn(col("nt")) * lit(-1.0) *
+        log(dn(col("nx")) / dn(col("nt")))).as("hx"))
+    val hy = my.crossJoin(broadcast(nt))
+      .agg(sum(dn(col("ny")) / dn(col("nt")) * lit(-1.0) *
+        log(dn(col("ny")) / dn(col("nt")))).as("hy"))
+    parts.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select(col("n"), e6(col("mi")).as("mi_e6"),
+        e6(col("hx")).as("hx_e6"), e6(col("hy")).as("hy_e6"),
+        e6(col("mi") / sqrt(col("hx") * col("hy"))).as("nmi_e6"))
+      .ordered(col("n"))
+  }
+
+  // q325 — extreme-value (Gumbel) fit of monthly-max daily revenue by
+  // the method of moments (beta = sd·sqrt(6)/pi, mu = mean − gamma·
+  // beta), with 12- and 120-month return levels. Capacity planning
+  // for the worst day.
+  private val q325: Q = (s, dir) => {
+    val EulerGamma = 0.5772156649015329
+    val daily = t(s, dir, "orders")
+      .select(expr("CAST(DATEDIFF(o_orderdate, DATE'1970-01-01') AS BIGINT)")
+        .as("day"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("rev"))
+    val maxima = daily.groupBy(expr("day div 30").as("m"))
+      .agg(max(col("rev")).as("mx"))
+    maxima.agg(count(lit(1)).as("n_months"),
+        avg(col("mx").cast("double") / 100.0).as("mean"),
+        stddev_samp(col("mx").cast("double") / 100.0).as("sd"))
+      .withColumn("beta", col("sd") * math.sqrt(6.0) / math.Pi)
+      .withColumn("mu", col("mean") - lit(EulerGamma) * col("beta"))
+      .select(col("n_months"), e6(col("mu")).as("mu_e6"),
+        e6(col("beta")).as("beta_e6"),
+        e6(col("mu") - col("beta") *
+          log(lit(-1.0) * log(lit(1.0) - 1.0 / 12.0)))
+          .as("rl_12m_e6"),
+        e6(col("mu") - col("beta") *
+          log(lit(-1.0) * log(lit(1.0) - 1.0 / 120.0)))
+          .as("rl_120m_e6"))
+      .ordered(col("n_months"))
+  }
+
+  // q326 — capture-recapture population audit: two independent
+  // md5-derived "samples" of active customers, Chapman estimator vs
+  // the exact count. Validates the estimation machinery the warehouse
+  // would use when a full scan is too expensive.
+  private val q326: Q = (s, dir) => {
+    val cust = t(s, dir, "orders").select(col("o_custkey")).distinct()
+      .withColumn("inA", CurationOps.md5Hash32(
+        concat(lit("crA:"), col("o_custkey").cast("string")))
+        < 2147483648L)
+      .withColumn("inB", CurationOps.md5Hash32(
+        concat(lit("crB:"), col("o_custkey").cast("string")))
+        < 2147483648L)
+    cust.agg(count(lit(1)).as("n_true"),
+        sum(when(col("inA"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("inB"), 1L).otherwise(0L)).as("nb"),
+        sum(when(col("inA") && col("inB"), 1L).otherwise(0L))
+          .as("nab"))
+      .withColumn("chapman",
+        (col("na") + 1L).cast("double") *
+          (col("nb") + 1L).cast("double") /
+          (col("nab") + 1L).cast("double") - 1.0)
+      .select(col("n_true"), col("na"), col("nb"), col("nab"),
+        e6(col("chapman")).as("chapman_e6"),
+        e6((col("chapman") - col("n_true").cast("double")) /
+          col("n_true").cast("double")).as("rel_err_e6"))
+      .ordered(col("n_true"))
+  }
+
+  // q327 — Kendall tau-b between quantity and discount: concordant/
+  // discordant pair counts from the bounded (50 x 11) contingency
+  // grid self-join — exact BIGINTs end to end, tie corrections from
+  // the marginals, one final double sqrt. The third rank statistic
+  // alongside q256/q257.
+  private val q327: Q = (s, dir) => {
+    val g = t(s, dir, "lineitem")
+      .select(col("l_quantity").cast("long").as("x"),
+        expr("CAST(ROUND(l_discount * 100) AS BIGINT)").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+    val pairs = g.select(col("x").as("x1"), col("y").as("y1"),
+        col("n").as("n1"))
+      .join(g.select(col("x").as("x2"), col("y").as("y2"),
+        col("n").as("n2")),
+        col("x1") < col("x2"))
+    val cd = pairs.agg(
+      sum(when(col("y1") < col("y2"), col("n1") * col("n2"))
+        .otherwise(0L)).as("cc"),
+      sum(when(col("y1") > col("y2"), col("n1") * col("n2"))
+        .otherwise(0L)).as("dd"))
+    val nt = g.agg(sum(col("n")).as("n"))
+    val tx = g.groupBy(col("x")).agg(sum(col("n")).as("t"))
+      .agg(sum(col("t") * (col("t") - 1L) / 2L).as("n1"))
+    val ty = g.groupBy(col("y")).agg(sum(col("n")).as("t"))
+      .agg(sum(col("t") * (col("t") - 1L) / 2L).as("n2"))
+    cd.crossJoin(broadcast(nt)).crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      .withColumn("n0", col("n") * (col("n") - 1L) / 2L)
+      .select(col("n"), col("cc"), col("dd"),
+        e6((col("cc") - col("dd")).cast("double") /
+          sqrt((col("n0") - col("n1")).cast("double") *
+            (col("n0") - col("n2")).cast("double")))
+          .as("tau_b_e6"))
+      .ordered(col("n"))
+  }
+
+  // q328 — maximum drawdown of the 7-day revenue total: running peak
+  // of the exact-integer S7 series, trough picked by a deterministic
+  // (drawdown DESC, day) rank. The resilience metric of the q289
+  // signal family.
+  private val q328: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .select(expr("CAST(DATEDIFF(o_orderdate, DATE'1970-01-01') AS BIGINT)")
+        .as("day"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("rev"))
+    val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.orderBy(col("day"))
+    val z = spine.join(daily, Seq("day"), "left")
+      .withColumn("rev", coalesce(col("rev"), lit(0L)))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("s7", sum(col("rev")).over(w.rowsBetween(-6, 0)))
+      .filter(col("rn") >= 7)
+      .withColumn("peak", max(col("s7")).over(w.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("dd", (col("peak") - col("s7")).cast("double") /
+        col("peak").cast("double"))
+    z.withColumn("rk", row_number().over(
+        Window.orderBy(col("dd").desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("day").as("trough_day"), col("peak").as("peak_s7"),
+        col("s7").as("trough_s7"), e6(col("dd")).as("max_dd_e6"))
+      .ordered(col("trough_day"))
+  }
+
+  // q329 — cluster-sampling design effect: one-way ANOVA of order
+  // value with customers as clusters, ANOVA-estimator ICC and
+  // DEFF = 1 + (m0 - 1)·ICC. How much a customer-clustered sample
+  // really buys you.
+  private val q329: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey").as("cl"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("c"))
+    val per = o.groupBy(col("cl"))
+      .agg(count(lit(1)).as("m"), sum(col("c")).as("sc"))
+    def dn(c: Column): Column = c.cast("double")
+    val gt = o.agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+      sum(dn(col("c")) * dn(col("c"))).as("ss"))
+    val k = per.agg(count(lit(1)).as("k"),
+      sum(col("m") * col("m")).as("sm2"),
+      sum(dn(col("sc")) * dn(col("sc")) / dn(col("m"))).as("ssb_raw"))
+    gt.crossJoin(broadcast(k))
+      .withColumn("ssb", col("ssb_raw") -
+        dn(col("s")) * dn(col("s")) / dn(col("n")))
+      .withColumn("ssw", col("ss") - col("ssb_raw"))
+      .withColumn("msb", col("ssb") / (dn(col("k")) - 1.0))
+      .withColumn("msw", col("ssw") / (dn(col("n")) - dn(col("k"))))
+      .withColumn("m0", (dn(col("n")) -
+        dn(col("sm2")) / dn(col("n"))) / (dn(col("k")) - 1.0))
+      .withColumn("icc", (col("msb") - col("msw")) /
+        (col("msb") + (col("m0") - 1.0) * col("msw")))
+      .select(col("n").as("n_orders"), col("k").as("n_clusters"),
+        e6(col("m0")).as("m0_e6"), e6(col("icc")).as("icc_e6"),
+        e6(lit(1.0) + (col("m0") - 1.0) * col("icc")).as("deff_e6"))
+      .ordered(col("n_orders"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q329_design_effect" -> q329,
+    "q328_max_drawdown" -> q328,
+    "q327_kendall_tau" -> q327,
+    "q326_capture_recapture" -> q326,
+    "q325_gumbel_maxima" -> q325,
+    "q324_mutual_information" -> q324,
+    "q323_effect_sizes" -> q323,
+    "q322_newsvendor" -> q322,
     "q321_price_stickiness" -> q321,
     "q320_audience_overlap" -> q320,
     "q319_knee_detection" -> q319,
@@ -13484,7 +13772,241 @@ object NorthStar {
        |FROM per JOIN part ON pk = p_partkey
        |GROUP BY 1 ORDER BY brand""".stripMargin
 
+  /** q322 oracle: same weekly-demand histogram, 0.8 fractile,
+    * expected overage/underage. */
+  private val q322Sql: String =
+    s"""WITH bw AS (SELECT p_brand AS brand,
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |           // 7 AS w,
+       |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d
+       |       FROM lineitem
+       |       JOIN part ON l_partkey = p_partkey
+       |       JOIN orders ON l_orderkey = o_orderkey
+       |       GROUP BY 1, 2),
+       |h AS (SELECT brand, d, COUNT(*) AS n FROM bw GROUP BY 1, 2),
+       |tot AS (SELECT brand, CAST(SUM(n) AS BIGINT) AS nt FROM h
+       |        GROUP BY 1),
+       |cum AS (SELECT h.brand, h.d, h.n,
+       |          CAST(SUM(h.n) OVER (PARTITION BY h.brand
+       |            ORDER BY h.d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |            AS cumn, tot.nt
+       |        FROM h JOIN tot ON h.brand = tot.brand),
+       |st AS (SELECT brand, MIN(d) AS s FROM cum
+       |       WHERE cumn::DOUBLE >= CEIL(nt::DOUBLE * 0.8)
+       |       GROUP BY 1)
+       |SELECT h.brand AS brand, MAX(tot.nt) AS n_weeks,
+       |  MAX(st.s) AS stock_q80,
+       |  ${sqlE6("SUM(CASE WHEN h.d < st.s THEN (st.s - h.d) * h.n ELSE 0 END)::DOUBLE / MAX(tot.nt)::DOUBLE")} AS exp_overage_e6,
+       |  ${sqlE6("SUM(CASE WHEN h.d > st.s THEN (h.d - st.s) * h.n ELSE 0 END)::DOUBLE / MAX(tot.nt)::DOUBLE")} AS exp_underage_e6
+       |FROM h JOIN st ON h.brand = st.brand
+       |JOIN tot ON h.brand = tot.brand
+       |GROUP BY 1 ORDER BY brand""".stripMargin
+
+  /** q323 oracle: identical power sums, pooled SD, midrank U. */
+  private val q323Sql: String =
+    s"""WITH v AS (SELECT event_type = 'click' AS isA,
+       |         CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+       |       WHERE event_type IN ('click', 'view')),
+       |mom AS (SELECT
+       |    CAST(MAX(CASE WHEN isA THEN n END) AS BIGINT) AS n1,
+       |    CAST(MAX(CASE WHEN isA THEN sc END) AS BIGINT) AS s1,
+       |    CAST(MAX(CASE WHEN isA THEN sc2 END) AS BIGINT) AS ss1,
+       |    CAST(MAX(CASE WHEN NOT isA THEN n END) AS BIGINT) AS n2,
+       |    CAST(MAX(CASE WHEN NOT isA THEN sc END) AS BIGINT) AS s2,
+       |    CAST(MAX(CASE WHEN NOT isA THEN sc2 END) AS BIGINT) AS ss2
+       |  FROM (SELECT isA, COUNT(*) AS n, SUM(c) AS sc,
+       |          SUM(c * c) AS sc2 FROM v GROUP BY 1)),
+       |h AS (SELECT c,
+       |        CAST(SUM(CASE WHEN isA THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS na,
+       |        CAST(SUM(CASE WHEN isA THEN 0 ELSE 1 END) AS BIGINT)
+       |          AS nb
+       |      FROM v GROUP BY 1),
+       |u AS (SELECT SUM(na::DOUBLE * ((cum_nb - nb)::DOUBLE
+       |          + nb::DOUBLE / 2.0)) AS uA
+       |      FROM (SELECT na, nb, CAST(SUM(nb) OVER (ORDER BY c
+       |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_nb
+       |            FROM h)),
+       |d AS (SELECT n1, n2,
+       |        ((s1::DOUBLE / n1::DOUBLE / 100.0)
+       |         - (s2::DOUBLE / n2::DOUBLE / 100.0)) /
+       |        SQRT((((n1::DOUBLE * ss1::DOUBLE - s1::DOUBLE * s1::DOUBLE)
+       |            / (n1::DOUBLE * (n1::DOUBLE - 1.0)) / 10000.0)
+       |            * (n1::DOUBLE - 1.0)
+       |          + ((n2::DOUBLE * ss2::DOUBLE - s2::DOUBLE * s2::DOUBLE)
+       |            / (n2::DOUBLE * (n2::DOUBLE - 1.0)) / 10000.0)
+       |            * (n2::DOUBLE - 1.0))
+       |          / (n1::DOUBLE + n2::DOUBLE - 2.0)) AS d,
+       |        uA
+       |      FROM mom, u)
+       |SELECT n1, n2, ${sqlE6("d")} AS cohen_d_e6,
+       |  ${sqlE6("d * (1.0 - 3.0 / (4.0 * (n1::DOUBLE + n2::DOUBLE) - 9.0))")} AS hedges_g_e6,
+       |  ${sqlE6("2.0 * uA / (n1::DOUBLE * n2::DOUBLE) - 1.0")} AS cliffs_delta_e6
+       |FROM d ORDER BY n1""".stripMargin
+
+  /** q324 oracle: identical grid MI / entropy ratios. */
+  private val q324Sql: String =
+    s"""WITH g AS (SELECT (CAST(l_quantity AS BIGINT) - 1) // 10 AS x,
+       |         CAST(ROUND(l_discount * 100) AS BIGINT) // 2 AS y,
+       |         COUNT(*) AS n
+       |       FROM lineitem GROUP BY 1, 2),
+       |mx AS (SELECT x, CAST(SUM(n) AS BIGINT) AS nx FROM g
+       |       GROUP BY 1),
+       |my AS (SELECT y, CAST(SUM(n) AS BIGINT) AS ny FROM g
+       |       GROUP BY 1),
+       |nt AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM g),
+       |mi AS (SELECT MAX(nt) AS n,
+       |         SUM(g.n::DOUBLE / nt::DOUBLE *
+       |           LN(g.n::DOUBLE * nt::DOUBLE
+       |              / (nx::DOUBLE * ny::DOUBLE))) AS mi
+       |       FROM g JOIN mx ON g.x = mx.x JOIN my ON g.y = my.y,
+       |            nt),
+       |hx AS (SELECT SUM(nx::DOUBLE / nt::DOUBLE * -1.0 *
+       |         LN(nx::DOUBLE / nt::DOUBLE)) AS hx FROM mx, nt),
+       |hy AS (SELECT SUM(ny::DOUBLE / nt::DOUBLE * -1.0 *
+       |         LN(ny::DOUBLE / nt::DOUBLE)) AS hy FROM my, nt)
+       |SELECT n, ${sqlE6("mi")} AS mi_e6, ${sqlE6("hx")} AS hx_e6,
+       |  ${sqlE6("hy")} AS hy_e6,
+       |  ${sqlE6("mi / SQRT(hx * hy)")} AS nmi_e6
+       |FROM mi, hx, hy ORDER BY n""".stripMargin
+
+  /** q325 oracle: same moments estimator and return levels. */
+  private val q325Sql: String =
+    s"""WITH daily AS (SELECT
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |           AS day,
+       |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+       |              AS BIGINT) AS rev
+       |       FROM orders GROUP BY 1),
+       |mxm AS (SELECT day // 30 AS m, CAST(MAX(rev) AS BIGINT) AS mx
+       |        FROM daily GROUP BY 1),
+       |a AS (SELECT COUNT(*) AS n_months, AVG(mx::DOUBLE / 100.0)
+       |        AS mean, STDDEV_SAMP(mx::DOUBLE / 100.0) AS sd
+       |      FROM mxm),
+       |p AS (SELECT n_months, sd * SQRT(6.0) / PI() AS beta,
+       |        mean - 0.5772156649015329 * (sd * SQRT(6.0) / PI())
+       |          AS mu
+       |      FROM a)
+       |SELECT n_months, ${sqlE6("mu")} AS mu_e6,
+       |  ${sqlE6("beta")} AS beta_e6,
+       |  ${sqlE6("mu - beta * LN(-1.0 * LN(1.0 - 1.0 / 12.0))")} AS rl_12m_e6,
+       |  ${sqlE6("mu - beta * LN(-1.0 * LN(1.0 - 1.0 / 120.0))")} AS rl_120m_e6
+       |FROM p ORDER BY n_months""".stripMargin
+
+  /** q326 oracle: identical md5 sample membership and Chapman
+    * estimator. */
+  private val q326Sql: String =
+    s"""WITH cust AS (SELECT DISTINCT o_custkey FROM orders),
+       |f AS (SELECT o_custkey,
+       |        ${sqlHex32("md5('crA:' || o_custkey::VARCHAR)")}
+       |          < 2147483648 AS inA,
+       |        ${sqlHex32("md5('crB:' || o_custkey::VARCHAR)")}
+       |          < 2147483648 AS inB
+       |      FROM cust),
+       |a AS (SELECT COUNT(*) AS n_true,
+       |        CAST(SUM(CASE WHEN inA THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS na,
+       |        CAST(SUM(CASE WHEN inB THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS nb,
+       |        CAST(SUM(CASE WHEN inA AND inB THEN 1 ELSE 0 END)
+       |             AS BIGINT) AS nab
+       |      FROM f),
+       |c AS (SELECT *, (na + 1)::DOUBLE * (nb + 1)::DOUBLE
+       |        / (nab + 1)::DOUBLE - 1.0 AS chapman FROM a)
+       |SELECT n_true, na, nb, nab, ${sqlE6("chapman")} AS chapman_e6,
+       |  ${sqlE6("(chapman - n_true::DOUBLE) / n_true::DOUBLE")} AS rel_err_e6
+       |FROM c ORDER BY n_true""".stripMargin
+
+  /** q327 oracle: identical grid-pair concordance counts and tau-b. */
+  private val q327Sql: String =
+    s"""WITH g AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+       |         CAST(ROUND(l_discount * 100) AS BIGINT) AS y,
+       |         COUNT(*) AS n
+       |       FROM lineitem GROUP BY 1, 2),
+       |cd AS (SELECT
+       |    CAST(SUM(CASE WHEN a.y < b.y THEN a.n * b.n ELSE 0 END)
+       |         AS BIGINT) AS cc,
+       |    CAST(SUM(CASE WHEN a.y > b.y THEN a.n * b.n ELSE 0 END)
+       |         AS BIGINT) AS dd
+       |  FROM g a JOIN g b ON a.x < b.x),
+       |nt AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM g),
+       |tx AS (SELECT CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS n1
+       |       FROM (SELECT CAST(SUM(n) AS BIGINT) AS t FROM g
+       |             GROUP BY x)),
+       |ty AS (SELECT CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS n2
+       |       FROM (SELECT CAST(SUM(n) AS BIGINT) AS t FROM g
+       |             GROUP BY y))
+       |SELECT n, cc, dd,
+       |  ${sqlE6("(cc - dd)::DOUBLE / SQRT((n * (n - 1) / 2 - n1)::DOUBLE * (n * (n - 1) / 2 - n2)::DOUBLE)")} AS tau_b_e6
+       |FROM cd, nt, tx, ty ORDER BY n""".stripMargin
+
+  /** q328 oracle: identical integer S7 running peak, rank-1 trough. */
+  private val q328Sql: String =
+    s"""WITH daily AS (SELECT
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |           AS day,
+       |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+       |              AS BIGINT) AS rev
+       |       FROM orders GROUP BY 1),
+       |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |spine AS (SELECT unnest(range(b.d0, b.d1 + 1)) AS day FROM b),
+       |z AS (SELECT s.day,
+       |        ROW_NUMBER() OVER (ORDER BY s.day) AS rn,
+       |        CAST(SUM(COALESCE(d.rev, 0)) OVER (ORDER BY s.day
+       |          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+       |          AS s7
+       |      FROM spine s LEFT JOIN daily d ON s.day = d.day),
+       |p AS (SELECT day, s7,
+       |        CAST(MAX(s7) OVER (ORDER BY day
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+       |      FROM z WHERE rn >= 7),
+       |dd AS (SELECT day, s7, peak,
+       |         (peak - s7)::DOUBLE / peak::DOUBLE AS dd,
+       |         ROW_NUMBER() OVER (ORDER BY (peak - s7)::DOUBLE
+       |           / peak::DOUBLE DESC, day) AS rk
+       |       FROM p)
+       |SELECT day AS trough_day, peak AS peak_s7, s7 AS trough_s7,
+       |  ${sqlE6("dd")} AS max_dd_e6
+       |FROM dd WHERE rk = 1 ORDER BY trough_day""".stripMargin
+
+  /** q329 oracle: identical ANOVA components, m0, ICC, DEFF. */
+  private val q329Sql: String =
+    s"""WITH o AS (SELECT o_custkey AS cl,
+       |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+       |       FROM orders),
+       |gt AS (SELECT COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS s,
+       |         SUM(c::DOUBLE * c::DOUBLE) AS ss FROM o),
+       |k AS (SELECT COUNT(*) AS k,
+       |        CAST(SUM(m * m) AS BIGINT) AS sm2,
+       |        SUM(sc::DOUBLE * sc::DOUBLE / m::DOUBLE) AS ssb_raw
+       |      FROM (SELECT cl, COUNT(*) AS m,
+       |              CAST(SUM(c) AS BIGINT) AS sc
+       |            FROM o GROUP BY 1)),
+       |d AS (SELECT n, k,
+       |        (ssb_raw - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+       |          / (k::DOUBLE - 1.0) AS msb,
+       |        (ss - ssb_raw) / (n::DOUBLE - k::DOUBLE) AS msw,
+       |        (n::DOUBLE - sm2::DOUBLE / n::DOUBLE)
+       |          / (k::DOUBLE - 1.0) AS m0
+       |      FROM gt, k),
+       |r AS (SELECT n, k, m0,
+       |        (msb - msw) / (msb + (m0 - 1.0) * msw) AS icc
+       |      FROM d)
+       |SELECT CAST(n AS BIGINT) AS n_orders,
+       |  CAST(k AS BIGINT) AS n_clusters, ${sqlE6("m0")} AS m0_e6,
+       |  ${sqlE6("icc")} AS icc_e6,
+       |  ${sqlE6("1.0 + (m0 - 1.0) * icc")} AS deff_e6
+       |FROM r ORDER BY n_orders""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q329_design_effect" -> q329Sql,
+    "q328_max_drawdown" -> q328Sql,
+    "q327_kendall_tau" -> q327Sql,
+    "q326_capture_recapture" -> q326Sql,
+    "q325_gumbel_maxima" -> q325Sql,
+    "q324_mutual_information" -> q324Sql,
+    "q323_effect_sizes" -> q323Sql,
+    "q322_newsvendor" -> q322Sql,
     "q321_price_stickiness" -> q321Sql,
     "q320_audience_overlap" -> q320Sql,
     "q319_knee_detection" -> q319Sql,

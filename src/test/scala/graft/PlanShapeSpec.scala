@@ -442,8 +442,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
                           // histogram
     "q318_abc_xyz",       // 1-row revenue grand-total bracket vs the
                           // 25-brand table
-    "q319_knee_detection") // 1-row total + knee brackets vs the
+    "q319_knee_detection", // 1-row total + knee brackets vs the
                           // bounded curve
+    "q323_effect_sizes",  // 1-row moment + midrank-U brackets
+    "q324_mutual_information", // 1-row total/entropy brackets vs the
+                          // 30-cell grid
+    "q327_kendall_tau",   // bounded 550-cell grid inequality
+                          // self-join + 1-row tie brackets
+    "q329_design_effect") // 1-row grand-total x cluster brackets
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
