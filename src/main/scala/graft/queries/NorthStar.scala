@@ -6188,7 +6188,297 @@ object NorthStar {
       .ordered(col("n_orders"))
   }
 
+  // q330 — Laspeyres / Paasche / Fisher price indices 1996 -> 1997
+  // over the brand basket: per-(brand, year) unit prices as exact
+  // cents/quantity ratios, index sums over the 25-brand table. The
+  // inflation decomposition of the q248 revenue bridge.
+  private val q330: Q = (s, dir) => {
+    val by = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("yr")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("yr").isin(1996, 1997))
+      .groupBy(col("p_brand").as("brand"), col("yr"))
+      .agg(sum(expr(
+        "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        .as("c"), sum(col("l_quantity").cast("long")).as("q"))
+    val wide = by.groupBy(col("brand"))
+      .agg(max(when(col("yr") === 1996, col("c"))).as("c0"),
+        max(when(col("yr") === 1996, col("q"))).as("q0"),
+        max(when(col("yr") === 1997, col("c"))).as("c1"),
+        max(when(col("yr") === 1997, col("q"))).as("q1"))
+      .filter(col("c0").isNotNull && col("c1").isNotNull)
+      .withColumn("p0", col("c0").cast("double") / col("q0").cast("double"))
+      .withColumn("p1", col("c1").cast("double") / col("q1").cast("double"))
+    wide.agg(count(lit(1)).as("n_brands"),
+        (sum(col("p1") * col("q0").cast("double")) /
+          sum(col("p0") * col("q0").cast("double"))).as("lasp"),
+        (sum(col("p1") * col("q1").cast("double")) /
+          sum(col("p0") * col("q1").cast("double"))).as("paas"))
+      .select(col("n_brands"), e6(col("lasp")).as("laspeyres_e6"),
+        e6(col("paas")).as("paasche_e6"),
+        e6(sqrt(col("lasp") * col("paas"))).as("fisher_e6"))
+      .ordered(col("n_brands"))
+  }
+
+  // q331 — Mann-Kendall monotone-trend test on monthly revenue: the
+  // S statistic from pairwise signs over the bounded ~80-month
+  // grid self-join (exact integers), tie-corrected variance, and the
+  // continuity-corrected z. The nonparametric companion to q317.
+  private val q331: Q = (s, dir) => {
+    val m = t(s, dir, "orders")
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("m"))
+      .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .as("x"))
+    val sStat = m.select(col("m").as("m1"), col("x").as("x1"))
+      .join(m.select(col("m").as("m2"), col("x").as("x2")),
+        col("m1") < col("m2"))
+      .agg(sum(when(col("x2") > col("x1"), 1L)
+        .when(col("x2") < col("x1"), -1L).otherwise(0L)).as("s"))
+    val ties = m.groupBy(col("x")).agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+        .as("tc"))
+    val n = m.agg(count(lit(1)).as("n"))
+    sStat.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+      .withColumn("v", (col("n") * (col("n") - 1L) *
+        (lit(2L) * col("n") + 5L) - col("tc")).cast("double") / 18.0)
+      .select(col("n").as("n_months"), col("s"),
+        e6((col("s").cast("double") - signum(col("s").cast("double")))
+          / sqrt(col("v"))).as("z_e6"))
+      .ordered(col("n_months"))
+  }
+
+  // q332 — Wald-Wolfowitz runs test of daily revenue vs its exact
+  // median: above/below sequence over the spine, run count by
+  // lag-change sum, expectation/variance from the two exact counts.
+  // Is the series random around its center?
+  private val q332: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .select(expr("CAST(DATEDIFF(o_orderdate, DATE'1970-01-01') AS BIGINT)")
+        .as("day"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("rev"))
+    val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val z = spine.join(daily, Seq("day"), "left")
+      .withColumn("rev", coalesce(col("rev"), lit(0L)))
+    val h = z.groupBy(col("rev")).agg(count(lit(1)).as("n"))
+    val tot = h.agg(sum(col("n")).as("nt"))
+    val wmed = Window.orderBy(col("rev"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = h.withColumn("cum", sum(col("n")).over(wmed))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum").cast("double") >=
+        ceil(col("nt").cast("double") * 0.5))
+      .agg(min(col("rev")).as("med"))
+    val w = Window.orderBy(col("day"))
+    val runs = z.crossJoin(broadcast(med))
+      .withColumn("ab", (col("rev") > col("med")).cast("long"))
+      .withColumn("chg", when(lag(col("ab"), 1).over(w).isNull ||
+        lag(col("ab"), 1).over(w) =!= col("ab"), 1L).otherwise(0L))
+      .agg(sum(col("chg")).as("r"),
+        sum(col("ab")).as("n1"),
+        sum(lit(1L) - col("ab")).as("n2"))
+    runs.withColumn("er", lit(2.0) * col("n1") * col("n2") /
+        (col("n1") + col("n2")).cast("double") + 1.0)
+      .withColumn("vr", lit(2.0) * col("n1") * col("n2") *
+        (lit(2.0) * col("n1") * col("n2") - col("n1") - col("n2")) /
+        ((col("n1") + col("n2")).cast("double") *
+          (col("n1") + col("n2")).cast("double") *
+          (col("n1") + col("n2") - 1L).cast("double")))
+      .select(col("n1"), col("n2"), col("r").as("n_runs"),
+        e6(col("er")).as("expected_runs_e6"),
+        e6((col("r").cast("double") - col("er")) / sqrt(col("vr")))
+          .as("z_e6"))
+      .ordered(col("n1"))
+  }
+
+  // q333 — Jarque-Bera normality statistic of ln(order value): one
+  // pass of ln power sums (identical per-row ln both engines),
+  // JB = n/6 (g1^2 + g2^2/4). The formal test behind the q310 QQ
+  // picture.
+  private val q333: Q = (s, dir) => {
+    val x = log(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+      .cast("double"))
+    t(s, dir, "orders")
+      .select(x.as("x"))
+      .agg(count(lit(1)).cast("double").as("n"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+      .withColumn("mu", col("s1") / col("n"))
+      .withColumn("m2", col("s2") / col("n") - col("mu") * col("mu"))
+      .withColumn("m3", col("s3") / col("n") -
+        lit(3.0) * col("mu") * col("s2") / col("n") +
+        lit(2.0) * col("mu") * col("mu") * col("mu"))
+      .withColumn("m4", col("s4") / col("n") -
+        lit(4.0) * col("mu") * col("s3") / col("n") +
+        lit(6.0) * col("mu") * col("mu") * col("s2") / col("n") -
+        lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
+      .withColumn("g1", col("m3") / pow(col("m2"), 1.5))
+      .withColumn("g2", col("m4") / (col("m2") * col("m2")) - 3.0)
+      .select(col("n").cast("long").as("n"),
+        e6(col("g1")).as("skew_e6"), e6(col("g2")).as("kurt_e6"),
+        e6(col("n") / 6.0 * (col("g1") * col("g1") +
+          col("g2") * col("g2") / 4.0)).as("jb_e6"))
+      .ordered(col("n"))
+  }
+
+  // q334 — concordance index of the click score predicting purchase
+  // COUNT (not a binary cut): C / D / tied-score pairs from the
+  // bounded (score, buys) grid self-join, c = (C + T/2) / (C+D+T).
+  // The ordinal-outcome generalization of q274's AUC.
+  private val q334: Q = (s, dir) => {
+    val g = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("s"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("b"))
+      .groupBy(col("s"), col("b")).agg(count(lit(1)).as("n"))
+    val pairs = g.select(col("s").as("s1"), col("b").as("b1"),
+        col("n").as("n1"))
+      .join(g.select(col("s").as("s2"), col("b").as("b2"),
+        col("n").as("n2")), col("b1") < col("b2"))
+    pairs.agg(
+        sum(when(col("s1") < col("s2"), col("n1") * col("n2"))
+          .otherwise(0L)).as("cc"),
+        sum(when(col("s1") > col("s2"), col("n1") * col("n2"))
+          .otherwise(0L)).as("dd"),
+        sum(when(col("s1") === col("s2"), col("n1") * col("n2"))
+          .otherwise(0L)).as("tt"))
+      .select(col("cc"), col("dd"), col("tt"),
+        e6((col("cc").cast("double") + col("tt").cast("double") / 2.0)
+          / (col("cc") + col("dd") + col("tt")).cast("double"))
+          .as("c_index_e6"))
+      .ordered(col("cc"))
+  }
+
+  // q335 — TOPSIS multi-criteria brand ranking on (revenue benefit,
+  // return-rate cost, price-dispersion cost): vector normalization,
+  // equal weights, closeness to the ideal point, deterministic rank.
+  // Decision analytics over the bounded brand table.
+  private val q335: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val b = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(expr(
+        "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        .cast("double").as("rev"),
+        (sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double")).as("ret"),
+        (countDistinct(expr(
+          "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
+          .cast("double") / count(lit(1)).cast("double")).as("disp"))
+    val norms = b.agg(sqrt(sum(col("rev") * col("rev"))).as("nr"),
+      sqrt(sum(col("ret") * col("ret"))).as("nt"),
+      sqrt(sum(col("disp") * col("disp"))).as("nd"))
+    val v = b.crossJoin(broadcast(norms))
+      .withColumn("vr", col("rev") / col("nr") / 3.0)
+      .withColumn("vt", col("ret") / col("nt") / 3.0)
+      .withColumn("vd", col("disp") / col("nd") / 3.0)
+    val ideal = v.agg(max(col("vr")).as("ir"), min(col("vt")).as("it"),
+      min(col("vd")).as("id2"), min(col("vr")).as("ar"),
+      max(col("vt")).as("at"), max(col("vd")).as("ad"))
+    val scored = v.crossJoin(broadcast(ideal))
+      .withColumn("dp", sqrt((col("vr") - col("ir")) * (col("vr") - col("ir"))
+        + (col("vt") - col("it")) * (col("vt") - col("it"))
+        + (col("vd") - col("id2")) * (col("vd") - col("id2"))))
+      .withColumn("dm", sqrt((col("vr") - col("ar")) * (col("vr") - col("ar"))
+        + (col("vt") - col("at")) * (col("vt") - col("at"))
+        + (col("vd") - col("ad")) * (col("vd") - col("ad"))))
+      .withColumn("close", col("dm") / (col("dp") + col("dm")))
+    scored.withColumn("rank", row_number().over(
+        Window.orderBy(col("close").desc, col("brand"))).cast("long"))
+      .select(col("brand"), e6(col("close")).as("closeness_e6"),
+        col("rank"))
+      .ordered(col("brand"))
+  }
+
+  // q336 — Breusch-Pagan-style heteroscedasticity check of net price
+  // on quantity: OLS betas from one pass of exact power sums (1-row
+  // bracket), squared residuals regressed on x in a second pass,
+  // LM = n * R-squared. Does error variance grow with order size?
+  private val q336: Q = (s, dir) => {
+    val d = t(s, dir, "lineitem")
+      .select(col("l_quantity").cast("double").as("x"),
+        (expr("CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+          .cast("double") / 100.0).as("y"))
+    val p1 = d.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+      .withColumn("beta", (col("sxy") - col("sx") * col("sy") / col("n"))
+        / (col("sxx") - col("sx") * col("sx") / col("n")))
+      .withColumn("alpha", col("sy") / col("n") -
+        col("beta") * col("sx") / col("n"))
+    val res = d.crossJoin(broadcast(p1))
+      .withColumn("e2", (col("y") - col("alpha") - col("beta") * col("x"))
+        * (col("y") - col("alpha") - col("beta") * col("x")))
+    res.agg(max(col("n")).as("n"), max(col("beta")).as("beta"),
+        sum(col("x")).as("gx"), sum(col("e2")).as("ge"),
+        sum(col("x") * col("x")).as("gxx"),
+        sum(col("e2") * col("e2")).as("gee"),
+        sum(col("x") * col("e2")).as("gxe"))
+      .withColumn("r", (col("n") * col("gxe") - col("gx") * col("ge")) /
+        (sqrt(col("n") * col("gxx") - col("gx") * col("gx")) *
+          sqrt(col("n") * col("gee") - col("ge") * col("ge"))))
+      .select(col("n").cast("long").as("n"), e6(col("beta")).as("beta_e6"),
+        e6(col("r") * col("r")).as("aux_r2_e6"),
+        e6(col("n") * col("r") * col("r")).as("lm_e6"))
+      .ordered(col("n"))
+  }
+
+  // q337 — shift-share decomposition of 1996 -> 1997 revenue by
+  // customer nation: actual change split into the national-growth
+  // component and the local competitive shift (exact cents inputs,
+  // 1-row national bracket). Which geographies beat the tide.
+  private val q337: Q = (s, dir) => {
+    val ny = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .join(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(when(year(col("o_orderdate")) === 1996,
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .otherwise(0L)).as("r0"),
+        sum(when(year(col("o_orderdate")) === 1997,
+          expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+          .otherwise(0L)).as("r1"))
+    val natl = ny.agg(sum(col("r0")).as("t0"), sum(col("r1")).as("t1"))
+    ny.crossJoin(broadcast(natl))
+      .withColumn("g", col("t1").cast("double") /
+        col("t0").cast("double") - 1.0)
+      .select(col("n_name"), col("r0"), col("r1"),
+        e6(col("g")).as("natl_growth_e6"),
+        e6(col("r0").cast("double") * col("g") / 100.0)
+          .as("natl_effect_e6"),
+        e6(((col("r1") - col("r0")).cast("double") -
+          col("r0").cast("double") * col("g")) / 100.0)
+          .as("shift_e6"))
+      .ordered(col("n_name"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q337_shift_share" -> q337,
+    "q336_het_test" -> q336,
+    "q335_topsis_rank" -> q335,
+    "q334_score_cindex" -> q334,
+    "q333_jarque_bera" -> q333,
+    "q332_runs_test" -> q332,
+    "q331_mann_kendall" -> q331,
+    "q330_price_index" -> q330,
     "q329_design_effect" -> q329,
     "q328_max_drawdown" -> q328,
     "q327_kendall_tau" -> q327,
@@ -13998,7 +14288,238 @@ object NorthStar {
        |  ${sqlE6("1.0 + (m0 - 1.0) * icc")} AS deff_e6
        |FROM r ORDER BY n_orders""".stripMargin
 
+  /** q330 oracle: identical per-brand-year unit prices and index
+    * sums. */
+  private val q330Sql: String =
+    s"""WITH by AS (SELECT p_brand AS brand, year(o_orderdate) AS yr,
+       |         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+       |              * 100) AS BIGINT)) AS BIGINT) AS c,
+       |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+       |       FROM lineitem
+       |       JOIN part ON l_partkey = p_partkey
+       |       JOIN orders ON l_orderkey = o_orderkey
+       |       WHERE year(o_orderdate) IN (1996, 1997)
+       |       GROUP BY 1, 2),
+       |w AS (SELECT brand,
+       |        MAX(CASE WHEN yr = 1996 THEN c END) AS c0,
+       |        MAX(CASE WHEN yr = 1996 THEN q END) AS q0,
+       |        MAX(CASE WHEN yr = 1997 THEN c END) AS c1,
+       |        MAX(CASE WHEN yr = 1997 THEN q END) AS q1
+       |      FROM by GROUP BY 1),
+       |p AS (SELECT c0::DOUBLE / q0::DOUBLE AS p0,
+       |        c1::DOUBLE / q1::DOUBLE AS p1, q0, q1
+       |      FROM w WHERE c0 IS NOT NULL AND c1 IS NOT NULL),
+       |a AS (SELECT COUNT(*) AS n_brands,
+       |        SUM(p1 * q0::DOUBLE) / SUM(p0 * q0::DOUBLE) AS lasp,
+       |        SUM(p1 * q1::DOUBLE) / SUM(p0 * q1::DOUBLE) AS paas
+       |      FROM p)
+       |SELECT n_brands, ${sqlE6("lasp")} AS laspeyres_e6,
+       |  ${sqlE6("paas")} AS paasche_e6,
+       |  ${sqlE6("SQRT(lasp * paas)")} AS fisher_e6
+       |FROM a ORDER BY n_brands""".stripMargin
+
+  /** q331 oracle: identical pairwise signs, tie-corrected variance,
+    * continuity correction. */
+  private val q331Sql: String =
+    s"""WITH m AS (SELECT year(o_orderdate) * 12 + month(o_orderdate)
+       |         AS m,
+       |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+       |              AS BIGINT) AS x
+       |       FROM orders GROUP BY 1),
+       |ss AS (SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+       |           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+       |       FROM m a JOIN m b ON a.m < b.m),
+       |ties AS (SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+       |           AS tc
+       |         FROM (SELECT COUNT(*) AS t FROM m GROUP BY x)),
+       |n AS (SELECT COUNT(*) AS n FROM m),
+       |v AS (SELECT s, n, (n * (n - 1) * (2 * n + 5) - tc)::DOUBLE
+       |        / 18.0 AS v
+       |      FROM ss, ties, n)
+       |SELECT CAST(n AS BIGINT) AS n_months, s,
+       |  ${sqlE6("(s::DOUBLE - SIGN(s::DOUBLE)) / SQRT(v)")} AS z_e6
+       |FROM v ORDER BY n_months""".stripMargin
+
+  /** q332 oracle: identical exact median, run-change sum,
+    * expectation/variance. */
+  private val q332Sql: String =
+    s"""WITH daily AS (SELECT
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |           AS day,
+       |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+       |              AS BIGINT) AS rev
+       |       FROM orders GROUP BY 1),
+       |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |spine AS (SELECT unnest(range(b.d0, b.d1 + 1)) AS day FROM b),
+       |z AS (SELECT s.day, COALESCE(d.rev, 0) AS rev
+       |      FROM spine s LEFT JOIN daily d ON s.day = d.day),
+       |h AS (SELECT rev, COUNT(*) AS n FROM z GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM h),
+       |med AS (SELECT MIN(rev) AS med FROM (SELECT rev,
+       |          CAST(SUM(n) OVER (ORDER BY rev
+       |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |        FROM h), tot
+       |        WHERE cum::DOUBLE >= CEIL(nt::DOUBLE * 0.5)),
+       |ab AS (SELECT day, CASE WHEN rev > med THEN 1 ELSE 0 END AS ab
+       |       FROM z, med),
+       |ch AS (SELECT CAST(SUM(CASE WHEN prev IS NULL OR prev <> ab
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS r,
+       |         CAST(SUM(ab) AS BIGINT) AS n1,
+       |         CAST(SUM(1 - ab) AS BIGINT) AS n2
+       |       FROM (SELECT ab, LAG(ab) OVER (ORDER BY day) AS prev
+       |             FROM ab)),
+       |e AS (SELECT n1, n2, r,
+       |        2.0 * n1 * n2 / (n1 + n2)::DOUBLE + 1.0 AS er,
+       |        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) /
+       |          ((n1 + n2)::DOUBLE * (n1 + n2)::DOUBLE
+       |           * (n1 + n2 - 1)::DOUBLE) AS vr
+       |      FROM ch)
+       |SELECT n1, n2, r AS n_runs, ${sqlE6("er")} AS expected_runs_e6,
+       |  ${sqlE6("(r::DOUBLE - er) / SQRT(vr)")} AS z_e6
+       |FROM e ORDER BY n1""".stripMargin
+
+  /** q333 oracle: identical ln power sums and JB. */
+  private val q333Sql: String =
+    s"""WITH a AS (SELECT COUNT(*)::DOUBLE AS n,
+       |         SUM(x) AS s1, SUM(x * x) AS s2,
+       |         SUM(x * x * x) AS s3, SUM(x * x * x * x) AS s4
+       |       FROM (SELECT LN(CAST(ROUND(o_totalprice * 100)
+       |               AS BIGINT)::DOUBLE) AS x FROM orders)),
+       |m AS (SELECT n, s1 / n AS mu,
+       |        s2 / n - (s1 / n) * (s1 / n) AS m2,
+       |        s3 / n - 3.0 * (s1 / n) * s2 / n
+       |          + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+       |        s4 / n - 4.0 * (s1 / n) * s3 / n
+       |          + 6.0 * (s1 / n) * (s1 / n) * s2 / n
+       |          - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)
+       |          AS m4
+       |      FROM a),
+       |g AS (SELECT n, m3 / POW(m2, 1.5) AS g1,
+       |        m4 / (m2 * m2) - 3.0 AS g2
+       |      FROM m)
+       |SELECT CAST(n AS BIGINT) AS n, ${sqlE6("g1")} AS skew_e6,
+       |  ${sqlE6("g2")} AS kurt_e6,
+       |  ${sqlE6("n / 6.0 * (g1 * g1 + g2 * g2 / 4.0)")} AS jb_e6
+       |FROM g ORDER BY n""".stripMargin
+
+  /** q334 oracle: identical grid concordance over outcome pairs. */
+  private val q334Sql: String =
+    s"""WITH g AS (SELECT s, b, COUNT(*) AS n FROM (
+       |         SELECT user_id,
+       |           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+       |               END) AS s,
+       |           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+       |               END) AS b
+       |         FROM events GROUP BY 1) GROUP BY 1, 2),
+       |p AS (SELECT
+       |    CAST(SUM(CASE WHEN a.s < c.s THEN a.n * c.n ELSE 0 END)
+       |         AS BIGINT) AS cc,
+       |    CAST(SUM(CASE WHEN a.s > c.s THEN a.n * c.n ELSE 0 END)
+       |         AS BIGINT) AS dd,
+       |    CAST(SUM(CASE WHEN a.s = c.s THEN a.n * c.n ELSE 0 END)
+       |         AS BIGINT) AS tt
+       |  FROM g a JOIN g c ON a.b < c.b)
+       |SELECT cc, dd, tt,
+       |  ${sqlE6("(cc::DOUBLE + tt::DOUBLE / 2.0) / (cc + dd + tt)::DOUBLE")} AS c_index_e6
+       |FROM p ORDER BY cc""".stripMargin
+
+  /** q335 oracle: identical vector normalization, weights, ideal
+    * distances, rank. */
+  private val q335Sql: String =
+    s"""WITH b AS (SELECT p_brand AS brand,
+       |         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+       |              * 100) AS BIGINT)) AS BIGINT)::DOUBLE AS rev,
+       |         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+       |             END)::DOUBLE / COUNT(*)::DOUBLE AS ret,
+       |         COUNT(DISTINCT CAST(ROUND(l_extendedprice * 100)
+       |           AS BIGINT))::DOUBLE / COUNT(*)::DOUBLE AS disp
+       |       FROM lineitem JOIN part ON l_partkey = p_partkey
+       |       GROUP BY 1),
+       |nm AS (SELECT SQRT(SUM(rev * rev)) AS nr,
+       |         SQRT(SUM(ret * ret)) AS nt,
+       |         SQRT(SUM(disp * disp)) AS nd FROM b),
+       |v AS (SELECT brand, rev / nr / 3.0 AS vr, ret / nt / 3.0 AS vt,
+       |        disp / nd / 3.0 AS vd FROM b, nm),
+       |ideal AS (SELECT MAX(vr) AS ir, MIN(vt) AS it, MIN(vd) AS id2,
+       |            MIN(vr) AS ar, MAX(vt) AS at2, MAX(vd) AS ad
+       |          FROM v),
+       |s AS (SELECT brand,
+       |        SQRT((vr - ir) * (vr - ir) + (vt - it) * (vt - it)
+       |          + (vd - id2) * (vd - id2)) AS dp,
+       |        SQRT((vr - ar) * (vr - ar) + (vt - at2) * (vt - at2)
+       |          + (vd - ad) * (vd - ad)) AS dm
+       |      FROM v, ideal),
+       |c AS (SELECT brand, dm / (dp + dm) AS close FROM s)
+       |SELECT brand, ${sqlE6("close")} AS closeness_e6,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY close DESC, brand)
+       |       AS BIGINT) AS rank
+       |FROM c ORDER BY brand""".stripMargin
+
+  /** q336 oracle: identical two-pass OLS + auxiliary correlation. */
+  private val q336Sql: String =
+    s"""WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+       |         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+       |              AS BIGINT)::DOUBLE / 100.0 AS y
+       |       FROM lineitem),
+       |p1 AS (SELECT COUNT(*)::DOUBLE AS n, SUM(x) AS sx,
+       |         SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy
+       |       FROM d),
+       |ab AS (SELECT n,
+       |         (sxy - sx * sy / n) / (sxx - sx * sx / n) AS beta,
+       |         sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+       |           * sx / n AS alpha
+       |       FROM p1),
+       |r AS (SELECT MAX(n) AS n, MAX(beta) AS beta,
+       |        SUM(x) AS gx,
+       |        SUM((y - alpha - beta * x) * (y - alpha - beta * x))
+       |          AS ge,
+       |        SUM(x * x) AS gxx,
+       |        SUM((y - alpha - beta * x) * (y - alpha - beta * x)
+       |          * (y - alpha - beta * x) * (y - alpha - beta * x))
+       |          AS gee,
+       |        SUM(x * (y - alpha - beta * x)
+       |          * (y - alpha - beta * x)) AS gxe
+       |      FROM d, ab),
+       |q AS (SELECT n, beta,
+       |        (n * gxe - gx * ge) / (SQRT(n * gxx - gx * gx)
+       |          * SQRT(n * gee - ge * ge)) AS r
+       |      FROM r)
+       |SELECT CAST(n AS BIGINT) AS n, ${sqlE6("beta")} AS beta_e6,
+       |  ${sqlE6("r * r")} AS aux_r2_e6,
+       |  ${sqlE6("n * r * r")} AS lm_e6
+       |FROM q ORDER BY n""".stripMargin
+
+  /** q337 oracle: identical national bracket and shift split. */
+  private val q337Sql: String =
+    s"""WITH ny AS (SELECT n_name,
+       |         CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN
+       |             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+       |           ELSE 0 END) AS BIGINT) AS r0,
+       |         CAST(SUM(CASE WHEN year(o_orderdate) = 1997 THEN
+       |             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+       |           ELSE 0 END) AS BIGINT) AS r1
+       |       FROM orders
+       |       JOIN customer ON o_custkey = c_custkey
+       |       JOIN nation ON c_nationkey = n_nationkey
+       |       WHERE year(o_orderdate) IN (1996, 1997)
+       |       GROUP BY 1),
+       |natl AS (SELECT CAST(SUM(r0) AS BIGINT) AS t0,
+       |                CAST(SUM(r1) AS BIGINT) AS t1 FROM ny)
+       |SELECT n_name, r0, r1,
+       |  ${sqlE6("t1::DOUBLE / t0::DOUBLE - 1.0")} AS natl_growth_e6,
+       |  ${sqlE6("r0::DOUBLE * (t1::DOUBLE / t0::DOUBLE - 1.0) / 100.0")} AS natl_effect_e6,
+       |  ${sqlE6("((r1 - r0)::DOUBLE - r0::DOUBLE * (t1::DOUBLE / t0::DOUBLE - 1.0)) / 100.0")} AS shift_e6
+       |FROM ny, natl ORDER BY n_name""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q337_shift_share" -> q337Sql,
+    "q336_het_test" -> q336Sql,
+    "q335_topsis_rank" -> q335Sql,
+    "q334_score_cindex" -> q334Sql,
+    "q333_jarque_bera" -> q333Sql,
+    "q332_runs_test" -> q332Sql,
+    "q331_mann_kendall" -> q331Sql,
+    "q330_price_index" -> q330Sql,
     "q329_design_effect" -> q329Sql,
     "q328_max_drawdown" -> q328Sql,
     "q327_kendall_tau" -> q327Sql,

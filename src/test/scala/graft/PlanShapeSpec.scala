@@ -449,7 +449,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
                           // 30-cell grid
     "q327_kendall_tau",   // bounded 550-cell grid inequality
                           // self-join + 1-row tie brackets
-    "q329_design_effect") // 1-row grand-total x cluster brackets
+    "q329_design_effect", // 1-row grand-total x cluster brackets
+    "q331_mann_kendall",  // ~80-month grid inequality self-join +
+                          // 1-row tie/count brackets
+    "q332_runs_test",     // 1-row exact-median bracket vs the spine
+    "q334_score_cindex",  // bounded (score, buys) grid inequality
+                          // self-join
+    "q335_topsis_rank",   // 1-row norm/ideal brackets vs 25 brands
+    "q336_het_test",      // 1-row OLS-beta bracket vs lineitem
+    "q337_shift_share")   // 1-row national-total bracket vs nations
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
