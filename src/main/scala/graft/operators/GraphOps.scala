@@ -592,8 +592,15 @@ object GraphOps {
                           dstCol: String): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
-    val deg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg"))
+    // degree from BOTH endpoint columns: on a symmetrized graph this
+    // doubles every degree — r is invariant (Pearson under exact
+    // power-of-2 scaling, bit-for-bit); on an unsymmetrized list it
+    // is the correct total degree, and no edge is silently dropped
+    // for having a dst with no out-edges (r6 ADVICE — the old
+    // out-degree inner join did exactly that)
+    val deg = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     e.join(deg.select(col("node").as("src"), col("deg").as("dx")),
         Seq("src"))
       .join(deg.select(col("node").as("dst"), col("deg").as("dy")),

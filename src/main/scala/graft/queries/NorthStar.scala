@@ -4086,18 +4086,31 @@ object NorthStar {
       .agg(sum(col("n")).as("nb"), sum(col("sv")).as("sb"))
     def cc(c: Column): Column = c.cast("double")
     val gm = cc(col("gs")) / cc(col("nn"))
-    val ssa = ac.crossJoin(broadcast(grand))
-      .agg(sum(cc(col("na")) *
+    // SS folds in PINNED key order (array_sort + left fold, the
+    // chi2/holtWinters discipline) — a plain SUM over double terms
+    // has plan/engine-dependent partial order, and the whole-unit
+    // ss pins round at 1e4 granularity (r6 ADVICE: a term landing
+    // near .5 could flip the integer between fold orders).
+    def foldSum(df: DataFrame, key: Column, term: Column,
+                out: String): DataFrame =
+      df.select(key.as("__k"), term.as("__t"))
+        .agg(array_sort(collect_list(struct(col("__k"), col("__t"))))
+          .as("__arr"))
+        .select(aggregate(col("__arr"), lit(0.0d),
+          (acc, x) => acc + x.getField("__t")).as(out))
+    val ssa = foldSum(ac.crossJoin(broadcast(grand)), col("a"),
+      cc(col("na")) *
         (cc(col("sa")) / cc(col("na")) - gm) *
-        (cc(col("sa")) / cc(col("na")) - gm)).as("ss_a"))
-    val ssb = bc.crossJoin(broadcast(grand))
-      .agg(sum(cc(col("nb")) *
+        (cc(col("sa")) / cc(col("na")) - gm), "ss_a")
+    val ssb = foldSum(bc.crossJoin(broadcast(grand)), col("b"),
+      cc(col("nb")) *
         (cc(col("sb")) / cc(col("nb")) - gm) *
-        (cc(col("sb")) / cc(col("nb")) - gm)).as("ss_b"))
-    val ssc = cells.crossJoin(broadcast(grand))
-      .agg(sum(cc(col("n")) *
+        (cc(col("sb")) / cc(col("nb")) - gm), "ss_b")
+    val ssc = foldSum(cells.crossJoin(broadcast(grand)),
+      struct(col("a"), col("b")),
+      cc(col("n")) *
         (cc(col("sv")) / cc(col("n")) - gm) *
-        (cc(col("sv")) / cc(col("n")) - gm)).as("ss_cells"))
+        (cc(col("sv")) / cc(col("n")) - gm), "ss_cells")
     val sst = grand.select(col("nn"),
       (cc(col("gs2")) - cc(col("nn")) *
         (cc(col("gs")) / cc(col("nn"))) *
@@ -6395,10 +6408,15 @@ object NorthStar {
         + (col("vt") - col("at")) * (col("vt") - col("at"))
         + (col("vd") - col("ad")) * (col("vd") - col("ad"))))
       .withColumn("close", col("dm") / (col("dp") + col("dm")))
-    scored.withColumn("rank", row_number().over(
-        Window.orderBy(col("close").desc, col("brand"))).cast("long"))
-      .select(col("brand"), e6(col("close")).as("closeness_e6"),
-        col("rank"))
+    // rank over the E6-PINNED closeness, not the raw double: the
+    // brand tiebreak only breaks exact ties, so a last-ulp
+    // cross-engine difference between near-equal raw doubles would
+    // swap adjacent ranks (r6 ADVICE; the LIMIT-by-raw-double class)
+    scored.withColumn("closeness_e6", e6(col("close")))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("closeness_e6").desc, col("brand")))
+        .cast("long"))
+      .select(col("brand"), col("closeness_e6"), col("rank"))
       .ordered(col("brand"))
   }
 
@@ -11324,8 +11342,8 @@ object NorthStar {
        |       FROM c a JOIN c b ON a.t = b.t AND a.g < b.g
        |       GROUP BY 1, 2)
        |SELECT x.g AS src_a, y.g AS src_b,
-       |       COALESCE(sh.inter, 0) AS inter,
-       |       x.tot AS tot_a, y.tot AS tot_b,
+       |       CAST(COALESCE(sh.inter, 0) AS BIGINT) AS inter,
+       |       CAST(x.tot AS BIGINT) AS tot_a, CAST(y.tot AS BIGINT) AS tot_b,
        |       ${sqlE6("COALESCE(sh.inter, 0)::DOUBLE / (x.tot + y.tot - COALESCE(sh.inter, 0))::DOUBLE")} AS wjacc_e6
        |FROM tt x JOIN tt y ON x.g < y.g
        |LEFT JOIN sh ON sh.src_a = x.g AND sh.src_b = y.g
@@ -11757,7 +11775,8 @@ object NorthStar {
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |          AS cum_cents
        |      FROM rev, tt)
-       |SELECT brand, rev_cents, CAST(cum_cents AS BIGINT) AS cum_cents,
+       |SELECT brand, CAST(rev_cents AS BIGINT) AS rev_cents,
+       |       CAST(cum_cents AS BIGINT) AS cum_cents,
        |       CASE WHEN cum_cents * 100 <= tot * 80 THEN 'A'
        |            WHEN cum_cents * 100 <= tot * 95 THEN 'B'
        |            ELSE 'C' END AS cls,
@@ -11948,11 +11967,11 @@ object NorthStar {
   /** q238 oracle: broadcast-dim rollup with exact returned cents. */
   private val q238Sql: String =
     s"""SELECT p_brand AS brand, COUNT(*) AS n_lines,
-       |       SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
-       |         AS n_returned,
-       |       SUM(CASE WHEN l_returnflag = 'R'
+       |       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_returned,
+       |       CAST(SUM(CASE WHEN l_returnflag = 'R'
        |           THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
-       |                AS BIGINT) ELSE 0 END) AS ret_cents,
+       |                AS BIGINT) ELSE 0 END) AS BIGINT) AS ret_cents,
        |       ${sqlE6("SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE")} AS ret_rate_e6
        |FROM lineitem JOIN part ON l_partkey = p_partkey
        |GROUP BY 1 ORDER BY brand""".stripMargin
@@ -11963,14 +11982,16 @@ object NorthStar {
     * replay bit-for-bit). */
   private val q239Sql: String =
     s"""WITH ${nearDupEdgesSqlAt(200, "0.05")},
-       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |deg AS (SELECT node, COUNT(*) AS deg FROM (
+       |          SELECT src AS node FROM e
+       |          UNION ALL SELECT dst AS node FROM e) GROUP BY node),
        |mo AS (SELECT COUNT(*) AS n_edges,
        |              AVG(a.deg::DOUBLE) AS mx, AVG(b.deg::DOUBLE) AS my,
        |              AVG(a.deg::DOUBLE * b.deg::DOUBLE) AS mxy,
        |              AVG(a.deg::DOUBLE * a.deg::DOUBLE) AS mxx,
        |              AVG(b.deg::DOUBLE * b.deg::DOUBLE) AS myy
-       |       FROM e JOIN deg a ON e.src = a.src
-       |              JOIN deg b ON e.dst = b.src)
+       |       FROM e JOIN deg a ON e.src = a.node
+       |              JOIN deg b ON e.dst = b.node)
        |SELECT n_edges,
        |       CASE WHEN mxx - mx * mx > 0 AND myy - my * my > 0
        |            THEN ${sqlE6("(mxy - mx * my) / SQRT((mxx - mx * mx) * (myy - my * my))")}
@@ -12026,8 +12047,8 @@ object NorthStar {
        |       FROM events GROUP BY 1),
        |mx AS (SELECT MAX(dl) AS dmax FROM per)
        |SELECT d0 // 7 AS cohort_week, COUNT(*) AS n_users,
-       |       SUM(CASE WHEN dl < dmax - 7 THEN 1 ELSE 0 END)
-       |         AS n_churned,
+       |       CAST(SUM(CASE WHEN dl < dmax - 7 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_churned,
        |       ${sqlE6("SUM(CASE WHEN dl < dmax - 7 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE")} AS churn_e6
        |FROM per, mx GROUP BY d0 // 7
        |ORDER BY cohort_week""".stripMargin
@@ -12641,20 +12662,23 @@ object NorthStar {
        |bc AS (SELECT b, CAST(SUM(n) AS BIGINT) AS nb,
        |              CAST(SUM(sv) AS BIGINT) AS sb
        |       FROM cells GROUP BY 1),
-       |sa AS (SELECT SUM(na::DOUBLE *
+       |sa AS (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+       |         list(na::DOUBLE *
        |         (sa::DOUBLE / na::DOUBLE - gs::DOUBLE / nn::DOUBLE) *
-       |         (sa::DOUBLE / na::DOUBLE - gs::DOUBLE / nn::DOUBLE))
-       |         AS ss_a
+       |         (sa::DOUBLE / na::DOUBLE - gs::DOUBLE / nn::DOUBLE)
+       |         ORDER BY a)), (x, y) -> x + y) AS ss_a
        |       FROM ac, grand),
-       |sb AS (SELECT SUM(nb::DOUBLE *
+       |sb AS (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+       |         list(nb::DOUBLE *
        |         (sb::DOUBLE / nb::DOUBLE - gs::DOUBLE / nn::DOUBLE) *
-       |         (sb::DOUBLE / nb::DOUBLE - gs::DOUBLE / nn::DOUBLE))
-       |         AS ss_b
+       |         (sb::DOUBLE / nb::DOUBLE - gs::DOUBLE / nn::DOUBLE)
+       |         ORDER BY b)), (x, y) -> x + y) AS ss_b
        |       FROM bc, grand),
-       |sc AS (SELECT SUM(n::DOUBLE *
+       |sc AS (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+       |         list(n::DOUBLE *
        |         (sv::DOUBLE / n::DOUBLE - gs::DOUBLE / nn::DOUBLE) *
-       |         (sv::DOUBLE / n::DOUBLE - gs::DOUBLE / nn::DOUBLE))
-       |         AS ss_cells
+       |         (sv::DOUBLE / n::DOUBLE - gs::DOUBLE / nn::DOUBLE)
+       |         ORDER BY a, b)), (x, y) -> x + y) AS ss_cells
        |       FROM cells, grand),
        |st AS (SELECT nn, gs2::DOUBLE - nn::DOUBLE *
        |         (gs::DOUBLE / nn::DOUBLE) * (gs::DOUBLE / nn::DOUBLE)
@@ -14449,9 +14473,10 @@ object NorthStar {
        |        SQRT((vr - ar) * (vr - ar) + (vt - at2) * (vt - at2)
        |          + (vd - ad) * (vd - ad)) AS dm
        |      FROM v, ideal),
-       |c AS (SELECT brand, dm / (dp + dm) AS close FROM s)
-       |SELECT brand, ${sqlE6("close")} AS closeness_e6,
-       |  CAST(ROW_NUMBER() OVER (ORDER BY close DESC, brand)
+       |c AS (SELECT brand, ${sqlE6("dm / (dp + dm)")} AS closeness_e6
+       |      FROM s)
+       |SELECT brand, closeness_e6,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY closeness_e6 DESC, brand)
        |       AS BIGINT) AS rank
        |FROM c ORDER BY brand""".stripMargin
 

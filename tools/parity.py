@@ -28,7 +28,20 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            want = con.execute(sql).fetchdf()
+            rel = con.sql(sql)
+            # Driver fetchdf renders HUGEINT (bare SUM of BIGINT) and
+            # DECIMAL as float64 -> hash diverges from Spark's int64 even
+            # when values are identical (r6 q207/q226/q238/q243). Fail
+            # loudly on the TYPE, not just the values.
+            bad_types = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                         if "HUGEINT" in str(t).upper()
+                         or "DECIMAL" in str(t).upper()]
+            if bad_types:
+                print(f"FAIL {name}: oracle emits HUGEINT/DECIMAL columns "
+                      f"{bad_types} — CAST them to BIGINT in the SQL")
+                n_fail += 1
+                continue
+            want = rel.fetchdf()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
