@@ -179,4 +179,33 @@ object WindowOps {
         when(col("trail_std") > 0,
           (col(valueCol) - col("trail_avg")) / col("trail_std")))
   }
+
+  /** Completed revolutions per run from a WRAPPED heading series —
+    * the "Corner Completed Revolutions" metric of the reference's
+    * result summary (ORC Result Summary.pdf: 30.9 vs 5.5 average,
+    * one-sided p 0.0166). The firmware logs heading wrapped to
+    * (-180, 180] (Fusion AHRS yaw / compass output, see
+    * state/Ahrs.scala M10 and GyroOffset M14); the field tally is the
+    * NET angle swept: unwrap each step by snapping the raw delta to
+    * its nearest-revolution branch (delta - 360*round(delta/360) —
+    * exact while true per-sample motion stays under 180 deg, i.e.
+    * any plausible sample rate), sum per run, divide by 360.
+    *
+    * One window (the same (group, order) sort every W-family op
+    * shares) + one aggregate. Output: groupCols, n, net_deg,
+    * revolutions = |net_deg| / 360 (direction-agnostic, like the
+    * tally). */
+  def yawRevolutions(df: DataFrame, groupCols: Seq[String],
+                     orderCol: String, yawCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(orderCol))
+    val d = col(yawCol) - lag(col(yawCol), 1).over(w)
+    val wrapped = d - lit(360.0) * round(d / lit(360.0))
+    df.withColumn("__wd",
+        when(lag(col(yawCol), 1).over(w).isNull, lit(0.0))
+          .otherwise(wrapped))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__wd")).as("net_deg"))
+      .withColumn("revolutions", abs(col("net_deg")) / lit(360.0))
+  }
 }

@@ -122,6 +122,72 @@ object OfflineAnalytics {
              derivative: Boolean = false)
       : (DataFrame, DataFrame, Seq[WelchResult]) =
     analyze(SessionizedCsvReader.read(spark, csvPath), measure, derivative)
+
+  /** The tidy counterpart of the reference pipeline's TERMINAL stage —
+    * the matplotlib render (Python Plotting/main.py:106,135). Every
+    * number that reaches the figure is emitted as a long-format row,
+    * so a chart front-end (or a diff) can reproduce the artifact
+    * without the engine knowing about pixels:
+    *
+    *  - `series`: the one plotted line per arm — the reference plots
+    *    only each arm's THIRD sample (main.py:106, `first_3_count ==
+    *    2`), as (time_s, value) of the median-filtered (optionally
+    *    differentiated) measure, ordered by sample_idx;
+    *  - `run_stat`: rms/min/max per (arm, run) — the populations;
+    *  - `arm_avg`: the per-arm averages in the stats text box
+    *    (main.py:112);
+    *  - `t_test`: the three one-sided Welch tests (main.py:113-115),
+    *    as `<stat>_t` / `<stat>_p` rows.
+    *
+    * Schema: (element, arm, run_id, stat, sample_idx, time_s, value).
+    * Unused coordinates are null per element. The series rows are the
+    * only O(samples) part; everything else is run-count-sized. */
+  def plotArtifact(samples: DataFrame, measure: String,
+                   derivative: Boolean = false, kernel: Int = 15,
+                   plottedRank: Int = 3): DataFrame = {
+    val spark = samples.sparkSession
+    val w = Window.partitionBy(col("file"), col("arm"), col("run_id"))
+      .orderBy(col("sample_idx"))
+    val filtered = samples.withColumn("filtered",
+      WindowOps.medianFilterZeroPadded(col(measure), w, kernel))
+    val valued =
+      if (derivative)
+        filtered.withColumn("v", WindowOps.gradient(col("filtered"), w))
+      else filtered.withColumn("v", col("filtered"))
+    // the arm's plottedRank-th run in file order (dense: all samples
+    // of one run share one rank)
+    val series = valued.withColumn("__rk", dense_rank().over(
+        Window.partitionBy(col("arm")).orderBy(col("file"), col("run_id"))))
+      .filter(col("__rk") === plottedRank)
+      .select(lit("series").as("element"), col("arm"),
+        col("run_id").cast("long").as("run_id"),
+        lit(null).cast("string").as("stat"),
+        col("sample_idx").cast("long").as("sample_idx"),
+        col("t_s").cast("double").as("time_s"), col("v").as("value"))
+    val rs = runStats(samples, measure, derivative, kernel)
+    val runRows = rs.selectExpr("arm", "CAST(run_id AS LONG) AS run_id",
+        "stack(3, 'rms', rms, 'min', min, 'max', max) AS (stat, value)")
+      .select(lit("run_stat").as("element"), col("arm"), col("run_id"),
+        col("stat"), lit(null).cast("long").as("sample_idx"),
+        lit(null).cast("double").as("time_s"), col("value"))
+    val summary = armSummary(rs)
+    val armRows = summary.selectExpr("arm",
+        "stack(3, 'rms', avg_rms, 'min', avg_min, 'max', avg_max) AS (stat, value)")
+      .select(lit("arm_avg").as("element"), col("arm"),
+        lit(null).cast("long").as("run_id"), col("stat"),
+        lit(null).cast("long").as("sample_idx"),
+        lit(null).cast("double").as("time_s"), col("value"))
+    import spark.implicits._
+    val tRows = welchTests(summary)
+      .flatMap(r => Seq((s"${r.stat}_t", r.t), (s"${r.stat}_p", r.p)))
+      .toDF("stat", "value")
+      .select(lit("t_test").as("element"),
+        lit(null).cast("string").as("arm"),
+        lit(null).cast("long").as("run_id"), col("stat"),
+        lit(null).cast("long").as("sample_idx"),
+        lit(null).cast("double").as("time_s"), col("value"))
+    series.unionByName(runRows).unionByName(armRows).unionByName(tRows)
+  }
 }
 
 /** Command-line golden replay: runs the four reference analyses

@@ -15,15 +15,20 @@ import org.apache.spark.sql.types._
   *     every contiguous file segment it contains, the last header
   *     values seen, the run-opener count, and the trailing data-row
   *     count of the open run.
-  *  2. **Prefix combine** (driver, one row per segment — thousands, not
-  *     billions): segments are scanned in (partition, position) order
-  *     while chaining state PER FILE — Spark bin-packs splits of
-  *     several files into one partition and can interleave a large
-  *     file's tail behind smaller whole files, so chaining by partition
-  *     adjacency alone would lose state; per-file chaining is correct
-  *     for any packing as long as each file's chunks appear in offset
-  *     order across partition ids (they do: splits are generated in
-  *     offset order and the length-descending packing sort is stable).
+  *  2. **Prefix combine** (two-level scan): each partition first FOLDS
+  *     its own segments per file with the associative [[compose]]
+  *     monoid, so the driver receives one composed summary per
+  *     (partition, file) — O(partitions x files touched), independent
+  *     of split count — and only chains those across partitions, PER
+  *     FILE: Spark bin-packs splits of several files into one
+  *     partition and can interleave a large file's tail behind smaller
+  *     whole files, so chaining by partition adjacency alone would
+  *     lose state; per-file chaining is correct for any packing as
+  *     long as each file's chunks appear in offset order across
+  *     partition ids (they do: splits are generated in offset order
+  *     and the length-descending packing sort is stable). The
+  *     within-partition per-segment prefixes are re-derived locally in
+  *     phase 3 (resume map), never materialized on the driver.
   *  3. **Emit** (parallel): each split re-parses its lines, loading the
   *     incoming state for each of its segments — embarrassingly
   *     parallel, no shuffle at all for the parse itself.
@@ -34,7 +39,7 @@ import org.apache.spark.sql.types._
   */
 object ScalableSessionReader {
 
-  private final case class HeaderState(
+  private[sources] final case class HeaderState(
       logId: Option[Int], arm: Option[String], interval: Option[Double])
 
   /** What one contiguous file segment of one split contributes.
@@ -48,7 +53,7 @@ object ScalableSessionReader {
     * situation, keeping sample_idx chaining identical to
     * [[SessionizedCsvReader]] even for malformed files whose data rows
     * precede their headers across a split boundary. */
-  private final case class SegmentSummary(
+  private[sources] final case class SegmentSummary(
       partition: Int, seq: Int, file: String,
       lastLogId: Option[Int], lastArm: Option[String],
       lastInterval: Option[Double],
@@ -66,6 +71,37 @@ object ScalableSessionReader {
 
   private final case class Incoming(state: HeaderState, runBase: Long,
       openRunRows: Long)
+
+  /** Associative composition of two summaries of the SAME file where
+    * `s2` follows `s1`: header fields latest-wins, opener counts add,
+    * and s2's tail categories resolve against what s1 already knows
+    * (rows s1 cannot resolve stay in their unknown buckets for deeper
+    * incoming state). This is the monoid that lets the prefix combine
+    * run as a two-level scan instead of a driver fold over every
+    * split (r6 verdict item: no O(#splits) driver array). */
+  private[sources] def compose(s1: SegmentSummary, s2: SegmentSummary)
+      : SegmentSummary = {
+    val logK = s1.lastLogId.isDefined
+    val armK = s1.lastArm.isDefined
+    val r00 = s2.tailBothKnown +
+      (if (logK) s2.tailLogUnknown else 0L) +
+      (if (armK) s2.tailArmUnknown else 0L) +
+      (if (logK && armK) s2.tailBothUnknown else 0L)
+    val rLog = (if (!logK) s2.tailLogUnknown else 0L) +
+      (if (!logK && armK) s2.tailBothUnknown else 0L)
+    val rArm = (if (!armK) s2.tailArmUnknown else 0L) +
+      (if (logK && !armK) s2.tailBothUnknown else 0L)
+    val rBoth = if (!logK && !armK) s2.tailBothUnknown else 0L
+    val (t00, tLog, tArm, tBoth) =
+      if (s2.runOpeners > 0) (r00, rLog, rArm, rBoth)
+      else (s1.tailBothKnown + r00, s1.tailLogUnknown + rLog,
+        s1.tailArmUnknown + rArm, s1.tailBothUnknown + rBoth)
+    SegmentSummary(s1.partition, s1.seq, s1.file,
+      s2.lastLogId.orElse(s1.lastLogId),
+      s2.lastArm.orElse(s1.lastArm),
+      s2.lastInterval.orElse(s1.lastInterval),
+      s1.runOpeners + s2.runOpeners, t00, tLog, tArm, tBoth)
+  }
 
   private val HeaderRe = "Log #:\\s*(\\d+)".r
 
@@ -107,9 +143,14 @@ object ScalableSessionReader {
     val lines = spark.read.textFile(path)
       .select(input_file_name().as("file"), col("value").as("line"))
 
-    // Phase 1: one summary per contiguous file segment per split.
+    // Phase 1: one summary per contiguous file segment per split,
+    // FOLDED per file within the partition (the level-1 half of the
+    // two-level scan). The driver sees one composed summary per
+    // (partition, file) — O(partitions x files touched), never one
+    // row per split segment.
     val summaries = lines.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val out = scala.collection.mutable.ArrayBuffer.empty[SegmentSummary]
+      val composed = scala.collection.mutable.LinkedHashMap
+        .empty[String, SegmentSummary]
       var file: String = null
       var seq = -1
       var lastLog: Option[Int] = None
@@ -118,9 +159,14 @@ object ScalableSessionReader {
       var openers = 0L
       var t00 = 0L; var tLog = 0L; var tArm = 0L; var tBoth = 0L
       def resetTail(): Unit = { t00 = 0L; tLog = 0L; tArm = 0L; tBoth = 0L }
-      def flush(): Unit = if (seq >= 0)
-        out += SegmentSummary(pid, seq, file, lastLog, lastArm,
+      def flush(): Unit = if (seq >= 0) {
+        val s = SegmentSummary(pid, seq, file, lastLog, lastArm,
           lastInterval, openers, t00, tLog, tArm, tBoth)
+        composed(file) = composed.get(file) match {
+          case Some(prev) => compose(prev, s)
+          case None => s
+        }
+      }
       it.foreach { row =>
         val f = row.getString(0)
         if (f != file) {
@@ -147,16 +193,19 @@ object ScalableSessionReader {
         }
       }
       flush()
-      out.iterator
+      composed.valuesIterator
     }.collect().sortBy(s => (s.partition, s.seq))
 
-    // Phase 2: chain state per FILE in global (partition, seq) order.
+    // Phase 2: chain state per FILE across partitions (level-2 of the
+    // scan; one composed summary per (partition, file) — the
+    // within-partition per-segment prefixes are re-derived locally in
+    // phase 3, so they never reach the driver).
     val perFile = scala.collection.mutable.Map[String, Incoming]()
-    val incoming = scala.collection.mutable.Map[(Int, Int), Incoming]()
+    val incoming = scala.collection.mutable.Map[(Int, String), Incoming]()
     summaries.foreach { s =>
       val cur = perFile.getOrElse(s.file,
         Incoming(HeaderState(None, None, None), 0L, 0L))
-      incoming((s.partition, s.seq)) = cur
+      incoming((s.partition, s.file)) = cur
       perFile(s.file) = Incoming(
         HeaderState(
           s.lastLogId.orElse(cur.state.logId),
@@ -168,28 +217,40 @@ object ScalableSessionReader {
     }
     val incomingB = spark.sparkContext.broadcast(incoming.toMap)
 
-    // Phase 3: parallel emit; each segment starts from its own incoming
-    // state. Rows before an Interval header carry null interval_s/t_s,
+    // Phase 3: parallel emit. The FIRST segment of each file in this
+    // partition seeds from the broadcast cross-partition state; a
+    // re-encountered file (splits of two files interleaved by the
+    // packer) resumes from its saved local state — exactly the
+    // per-segment prefix the old design shipped from the driver.
+    // Rows before an Interval header carry null interval_s/t_s,
     // matching the windowed reader's LOCF semantics.
     val rows = lines.rdd.mapPartitionsWithIndex { (pid, it) =>
       var curFile: String = null
-      var seq = -1
       var logId: Option[Int] = None
       var arm: Option[String] = None
       var interval: Option[Double] = None
       var run = 0L
       var idx = 0L
+      val resume = scala.collection.mutable.Map
+        .empty[String, (Option[Int], Option[String], Option[Double], Long, Long)]
       it.flatMap { row =>
         val file = row.getString(0)
         if (file != curFile) {
-          curFile = file; seq += 1
-          val inc = incomingB.value.getOrElse((pid, seq),
-            Incoming(HeaderState(None, None, None), 0L, 0L))
-          logId = inc.state.logId
-          arm = inc.state.arm
-          interval = inc.state.interval
-          run = inc.runBase
-          idx = inc.openRunRows
+          if (curFile != null)
+            resume(curFile) = (logId, arm, interval, run, idx)
+          curFile = file
+          resume.get(file) match {
+            case Some((l, a, iv, r, ix)) =>
+              logId = l; arm = a; interval = iv; run = r; idx = ix
+            case None =>
+              val inc = incomingB.value.getOrElse((pid, file),
+                Incoming(HeaderState(None, None, None), 0L, 0L))
+              logId = inc.state.logId
+              arm = inc.state.arm
+              interval = inc.state.interval
+              run = inc.runBase
+              idx = inc.openRunRows
+          }
         }
         val line = row.getString(1)
         classify(line) match {
