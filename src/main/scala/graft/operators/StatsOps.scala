@@ -573,8 +573,8 @@ object StatsOps {
             col("__N")
           acc + (o - e) * (o - e) / e
         }))
-      .select(col("group"), col("n"), size(col("__gb")).as("n_bins"),
-        col("chi2"))
+      .select(col("group"), col("n"),
+        size(col("__gb")).cast("long").as("n_bins"), col("chi2"))
   }
 
   /** Per-group Population Stability Index against the global

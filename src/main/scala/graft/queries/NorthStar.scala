@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.operators.{CurationOps, DedupOps, FunnelOps, GraphOps,
-  MultimodalOps, ScaleOps, SimilarityOps, TemporalJoinOps, TextOps,
-  WindowOps}
+  MultimodalOps, ScaleOps, SequenceOps, SimilarityOps, TemporalJoinOps,
+  TextOps, WindowOps}
 import graft.sources.{InvertedIndexStore, IvfVectorStore}
 
 /** North-star training-data-pipeline queries (BASELINE.json): dedup,
@@ -6488,7 +6488,250 @@ object NorthStar {
       .ordered(col("n_name"))
   }
 
+  // q338 — first-order Markov transition matrix of the per-user
+  // event-type sequence (ts + event_id tiebreak for deterministic
+  // order): pair counts, row totals over the bounded |types|^2 grid,
+  // row-normalized probabilities. One hash shuffle on user_id; the
+  // totals window runs over the 25-cell grid, never the raw events.
+  private val q338: Q = (s, dir) => {
+    val ev = t(s, dir, "events").withColumn("tus", expr("ts_ns div 1000"))
+    SequenceOps.markovTransitions(ev, "user_id", "event_type",
+        Seq(col("tus"), col("event_id")))
+      .select(col("from_state"), col("to_state"), col("n"),
+        col("n_from"), e6(col("prob")).as("prob_e6"))
+      .ordered(col("from_state"), col("to_state"))
+  }
+
+  // q339 — Durbin-Watson first-order autocorrelation check on the
+  // daily-revenue trend residuals: pass 1 exact integer sums (day /
+  // cents BIGINTs) -> means, pass 2 centered power sums (no
+  // catastrophic cancellation of near-equal 1e14 magnitudes), then
+  // DW = sum((e_t - e_{t-1})^2) / sum(e_t^2) over the day-ordered
+  // bounded residual series (lag window on the aggregated table).
+  private val q339: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d0 = t(s, dir, "orders")
+      .select(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+        .cast("long").as("day"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("cents"))
+    val m = d0.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("day")).as("sd"), sum(col("cents")).as("sc"))
+      .select(col("n"), (col("sd").cast("double") / col("n")).as("mx"),
+        (col("sc").cast("double") / 100.0 / col("n")).as("my"))
+    val c = d0.crossJoin(broadcast(m))
+      .select(col("day"), (col("day").cast("double") - col("mx")).as("dx"),
+        (col("cents").cast("double") / 100.0 - col("my")).as("dy"))
+    val b = c.agg((sum(col("dx") * col("dy")) / sum(col("dx") * col("dx")))
+      .as("beta"))
+    val e = c.crossJoin(broadcast(b))
+      .withColumn("e", col("dy") - col("beta") * col("dx"))
+      .withColumn("el", lag(col("e"), 1).over(Window.orderBy(col("day"))))
+    e.agg(count(lit(1)).as("n_days"), max(col("beta")).as("beta"),
+        sum(col("e") * col("e")).as("see"),
+        sum(when(col("el").isNotNull,
+          (col("e") - col("el")) * (col("e") - col("el")))
+          .otherwise(lit(0.0))).as("sdd"))
+      .select(col("n_days"), e6(col("beta")).as("beta_e6"),
+        e6(col("sdd") / col("see")).as("dw_e6"),
+        e6(lit(1.0) - col("sdd") / col("see") / 2.0).as("rho1_e6"))
+      .ordered(col("n_days"))
+  }
+
+  // q340 — episode mining: ordered event-type trigram frequencies
+  // within each user's sequence (two lag windows inside the user
+  // partition), support over the bounded |types|^3 grid.
+  private val q340: Q = (s, dir) => {
+    val ev = t(s, dir, "events").withColumn("tus", expr("ts_ns div 1000"))
+    SequenceOps.episodeTrigrams(ev, "user_id", "event_type",
+        Seq(col("tus"), col("event_id")))
+      .select(col("t1"), col("t2"), col("t3"), col("n"),
+        e6(col("support")).as("support_e6"))
+      .ordered(col("t1"), col("t2"), col("t3"))
+  }
+
+  // q341 — Page-Hinkley drift score over the daily mean event value:
+  // running mean (explicit cumulative sum/count so both engines fold
+  // in the same order), cumulative deviation m_t, PH_t = m_t - min
+  // m_i. Emits the peak-PH day (ranked over the E6-pinned score, not
+  // the raw double — the LIMIT-by-raw-double convention).
+  private val q341: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "events")
+      .groupBy(expr(s"ts_ns div $DayNs").as("day"))
+      .agg((sum(col("value")) / count(lit(1)).cast("double")).as("m"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ph = daily
+      .withColumn("mbar", sum(col("m")).over(w) /
+        count(lit(1)).over(w).cast("double"))
+      .withColumn("dev", col("m") - col("mbar"))
+      .withColumn("mt", sum(col("dev")).over(w))
+      .withColumn("mmin", min(col("mt")).over(w))
+      .withColumn("ph_e6", e6(col("mt") - col("mmin")))
+    ph.withColumn("n_days",
+        count(lit(1)).over(Window.partitionBy()))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("ph_e6").desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("day"), col("ph_e6"), col("n_days"))
+      .ordered(col("day"))
+  }
+
+  // q342 — McNemar paired test of purchase behavior, first half vs
+  // second half of the corpus timeline (integer midpoint bracket):
+  // per-user early/late indicators, discordant-pair counts, and the
+  // continuity-corrected chi-square — exact integers until the final
+  // pinned ratio.
+  private val q342: Q = (s, dir) => {
+    val ev = t(s, dir, "events").withColumn("tus", expr("ts_ns div 1000"))
+    val br = ev.agg(expr("(min(tus) + max(tus)) div 2").as("mid"))
+    val per = ev.crossJoin(broadcast(br))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+          col("tus") <= col("mid"), 1L).otherwise(0L)).as("early"),
+        max(when(col("event_type") === "purchase" &&
+          col("tus") > col("mid"), 1L).otherwise(0L)).as("late"))
+    per.agg(
+        sum(when(col("early") === 0 && col("late") === 0, 1L)
+          .otherwise(0L)).as("n00"),
+        sum(when(col("early") === 0 && col("late") === 1, 1L)
+          .otherwise(0L)).as("n01"),
+        sum(when(col("early") === 1 && col("late") === 0, 1L)
+          .otherwise(0L)).as("n10"),
+        sum(when(col("early") === 1 && col("late") === 1, 1L)
+          .otherwise(0L)).as("n11"))
+      .select(col("n00"), col("n01"), col("n10"), col("n11"),
+        e6(((abs(col("n01") - col("n10")) - 1) *
+          (abs(col("n01") - col("n10")) - 1)).cast("double") /
+          (col("n01") + col("n10")).cast("double")).as("chi2_e6"))
+      .ordered(col("n00"))
+  }
+
+  // q343 — Benjamini-Hochberg FDR over 25 per-brand Welch z-tests
+  // (returned vs kept item price): two-sided p from the Abramowitz-
+  // Stegun 26.2.17 normal-tail polynomial (identical arithmetic both
+  // engines), ranks over the E6-pinned p (cross-engine-stable order),
+  // and the BH step-up adjustment as a reverse running min over the
+  // bounded 25-row grid.
+  private val q343: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        (col("l_returnflag") === "R").as("ret"),
+        (expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")
+          .cast("double") / 100.0).as("y"))
+    val g = d.groupBy(col("brand"))
+      .agg(sum(when(col("ret"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("ret"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("ret"), col("y")).otherwise(lit(0.0))).as("s1"),
+        sum(when(!col("ret"), col("y")).otherwise(lit(0.0))).as("s2"),
+        sum(when(col("ret"), col("y") * col("y")).otherwise(lit(0.0)))
+          .as("q1"),
+        sum(when(!col("ret"), col("y") * col("y")).otherwise(lit(0.0)))
+          .as("q2"))
+      .withColumn("tstat",
+        (col("s1") / col("n1") - col("s2") / col("n2")) /
+        sqrt(((col("q1") - col("s1") * col("s1") / col("n1")) /
+          (col("n1") - 1)) / col("n1") +
+          ((col("q2") - col("s2") * col("s2") / col("n2")) /
+            (col("n2") - 1)) / col("n2")))
+      .withColumn("k", lit(1.0) / (lit(1.0) + lit(0.2316419) *
+        abs(col("tstat"))))
+      .withColumn("phi", exp(-abs(col("tstat")) * abs(col("tstat")) /
+        lit(2.0)) / sqrt(lit(2.0) * lit(math.Pi)))
+      .withColumn("p", least(lit(1.0), lit(2.0) * col("phi") *
+        (lit(0.319381530) * col("k") -
+          lit(0.356563782) * col("k") * col("k") +
+          lit(1.781477937) * col("k") * col("k") * col("k") -
+          lit(1.821255978) * col("k") * col("k") * col("k") * col("k") +
+          lit(1.330274429) * col("k") * col("k") * col("k") * col("k") *
+            col("k"))))
+    val r = g.select(col("brand"), col("n1"), col("n2"),
+        e6(col("tstat")).as("t_e6"), e6(col("p")).as("p_e6"))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("p_e6"), col("brand"))).cast("long"))
+    r.withColumn("padj", least(lit(1.0),
+        min(col("p_e6").cast("double") / lit(1e6) *
+          col("m").cast("double") / col("rank").cast("double"))
+          .over(Window.orderBy(col("rank").desc)
+            .rowsBetween(Window.unboundedPreceding, 0))))
+      .select(col("brand"), col("n1"), col("n2"), col("t_e6"),
+        col("p_e6"), col("rank"), e6(col("padj")).as("padj_e6"),
+        when(e6(col("padj")) <= 50000L, 1L).otherwise(0L).as("sig"))
+      .ordered(col("brand"))
+  }
+
+  // q344 — dwell time from each view to the user's next click /
+  // purchase (forward-frame min inside the user partition), exact
+  // integer micros end to end.
+  private val q344: Q = (s, dir) => {
+    val ev = t(s, dir, "events").withColumn("tus", expr("ts_ns div 1000"))
+    SequenceOps.dwellToNext(ev, "user_id", "event_type", col("tus"),
+        Seq(col("tus"), col("event_id")), "view",
+        Seq("click", "purchase"))
+      .withColumn("avg_us", expr("sum_us div n"))
+      .select(col("target"), col("n"), col("sum_us"), col("max_us"),
+        col("avg_us"))
+      .ordered(col("target"))
+  }
+
+  // q345 — order-priority x return-flag contingency: chi-square from
+  // window margins over the bounded 15-cell grid, Cramer's V, and
+  // the Bergsma bias-corrected V.
+  private val q345: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val g = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority").as("pr"),
+        col("l_returnflag").as("rf"))
+      .agg(count(lit(1)).as("n"))
+    val m = g
+      .withColumn("rp", sum(col("n")).over(Window.partitionBy(col("pr"))))
+      .withColumn("cf", sum(col("n")).over(Window.partitionBy(col("rf"))))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("ex", col("rp").cast("double") * col("cf").cast("double")
+        / col("tot").cast("double"))
+    val x = m.agg(max(col("tot")).as("nn"),
+        countDistinct(col("pr")).as("r"),
+        countDistinct(col("rf")).as("c"),
+        sum((col("n").cast("double") - col("ex")) *
+          (col("n").cast("double") - col("ex")) / col("ex")).as("chi2"))
+      .withColumn("phi2c", greatest(lit(0.0),
+        col("chi2") / col("nn").cast("double") -
+          (col("r") - 1).cast("double") * (col("c") - 1).cast("double") /
+          (col("nn") - 1).cast("double")))
+      .withColumn("rc", col("r").cast("double") -
+        (col("r") - 1).cast("double") * (col("r") - 1).cast("double") /
+        (col("nn") - 1).cast("double"))
+      .withColumn("cc2", col("c").cast("double") -
+        (col("c") - 1).cast("double") * (col("c") - 1).cast("double") /
+        (col("nn") - 1).cast("double"))
+    x.select(col("nn").as("n"), col("r"), col("c"),
+        e6(col("chi2")).as("chi2_e6"),
+        e6(sqrt(col("chi2") / (col("nn").cast("double") *
+          least(col("r") - 1, col("c") - 1).cast("double")))).as("v_e6"),
+        e6(sqrt(col("phi2c") / least(col("rc") - lit(1.0),
+          col("cc2") - lit(1.0)))).as("vc_e6"))
+      .ordered(col("n"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q345_cramers_v" -> q345,
+    "q344_dwell_time" -> q344,
+    "q343_bh_fdr" -> q343,
+    "q342_mcnemar" -> q342,
+    "q341_page_hinkley" -> q341,
+    "q340_episode_trigrams" -> q340,
+    "q339_durbin_watson" -> q339,
+    "q338_markov_chain" -> q338,
     "q337_shift_share" -> q337,
     "q336_het_test" -> q336,
     "q335_topsis_rank" -> q335,
@@ -14536,7 +14779,244 @@ object NorthStar {
        |  ${sqlE6("((r1 - r0)::DOUBLE - r0::DOUBLE * (t1::DOUBLE / t0::DOUBLE - 1.0)) / 100.0")} AS shift_e6
        |FROM ny, natl ORDER BY n_name""".stripMargin
 
+  /** q338 oracle: identical lag pairs, grid totals, normalization. */
+  private val q338Sql: String =
+    s"""WITH s AS (SELECT user_id, event_type,
+       |        LAG(event_type) OVER (PARTITION BY user_id
+       |          ORDER BY ts, event_id) AS f
+       |      FROM events),
+       |p AS (SELECT f AS from_state, event_type AS to_state,
+       |        CAST(COUNT(*) AS BIGINT) AS n
+       |      FROM s WHERE f IS NOT NULL GROUP BY 1, 2),
+       |q AS (SELECT from_state, to_state, n,
+       |        CAST(SUM(n) OVER (PARTITION BY from_state) AS BIGINT)
+       |          AS n_from
+       |      FROM p)
+       |SELECT from_state, to_state, n, n_from,
+       |  ${sqlE6("n::DOUBLE / n_from::DOUBLE")} AS prob_e6
+       |FROM q ORDER BY from_state, to_state""".stripMargin
+
+  /** q339 oracle: identical exact-sum means, centered OLS, and
+    * day-ordered lag residual fold. */
+  private val q339Sql: String =
+    s"""WITH d0 AS (SELECT
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |           AS day,
+       |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+       |              AS BIGINT) AS cents
+       |       FROM orders GROUP BY 1),
+       |m AS (SELECT COUNT(*)::DOUBLE AS n,
+       |        SUM(day)::DOUBLE / COUNT(*)::DOUBLE AS mx,
+       |        SUM(cents)::DOUBLE / 100.0 / COUNT(*)::DOUBLE AS my
+       |      FROM d0),
+       |c AS (SELECT day, day::DOUBLE - mx AS dx,
+       |        cents::DOUBLE / 100.0 - my AS dy
+       |      FROM d0, m),
+       |b AS (SELECT SUM(dx * dy) / SUM(dx * dx) AS beta FROM c),
+       |e AS (SELECT day, beta, dy - beta * dx AS e,
+       |        LAG(dy - beta * dx) OVER (ORDER BY day) AS el
+       |      FROM c, b)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       |  ${sqlE6("MAX(beta)")} AS beta_e6,
+       |  ${sqlE6("SUM(CASE WHEN el IS NULL THEN 0.0 ELSE (e - el) * (e - el) END) / SUM(e * e)")} AS dw_e6,
+       |  ${sqlE6("1.0 - SUM(CASE WHEN el IS NULL THEN 0.0 ELSE (e - el) * (e - el) END) / SUM(e * e) / 2.0")} AS rho1_e6
+       |FROM e ORDER BY n_days""".stripMargin
+
+  /** q340 oracle: identical double-lag trigram grid and support. */
+  private val q340Sql: String =
+    s"""WITH s AS (SELECT user_id, event_type,
+       |        LAG(event_type, 2) OVER (PARTITION BY user_id
+       |          ORDER BY ts, event_id) AS t1,
+       |        LAG(event_type, 1) OVER (PARTITION BY user_id
+       |          ORDER BY ts, event_id) AS t2
+       |      FROM events),
+       |g AS (SELECT t1, t2, event_type AS t3,
+       |        CAST(COUNT(*) AS BIGINT) AS n
+       |      FROM s WHERE t1 IS NOT NULL GROUP BY 1, 2, 3),
+       |q AS (SELECT t1, t2, t3, n,
+       |        CAST(SUM(n) OVER () AS BIGINT) AS total FROM g)
+       |SELECT t1, t2, t3, n,
+       |  ${sqlE6("n::DOUBLE / total::DOUBLE")} AS support_e6
+       |FROM q ORDER BY t1, t2, t3""".stripMargin
+
+  /** q341 oracle: identical explicit cumulative mean/sum/min windows
+    * and E6-ranked peak selection. */
+  private val q341Sql: String =
+    s"""WITH daily AS (SELECT epoch_us(ts) * 1000 // $DayNs AS day,
+       |        SUM(value) / COUNT(*)::DOUBLE AS m
+       |      FROM events GROUP BY 1),
+       |c AS (SELECT day, m,
+       |        SUM(m) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) /
+       |          (COUNT(*) OVER (ORDER BY day ROWS UNBOUNDED
+       |            PRECEDING))::DOUBLE AS mbar
+       |      FROM daily),
+       |d AS (SELECT day, m - mbar AS dev FROM c),
+       |t AS (SELECT day,
+       |        SUM(dev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+       |          AS mt
+       |      FROM d),
+       |p AS (SELECT day,
+       |        ${sqlE6("mt - MIN(mt) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)")}
+       |          AS ph_e6
+       |      FROM t),
+       |r AS (SELECT day, ph_e6,
+       |        CAST(COUNT(*) OVER () AS BIGINT) AS n_days,
+       |        ROW_NUMBER() OVER (ORDER BY ph_e6 DESC, day) AS rk
+       |      FROM p)
+       |SELECT day, ph_e6, n_days FROM r WHERE rk = 1
+       |ORDER BY day""".stripMargin
+
+  /** q342 oracle: identical integer midpoint bracket, per-user
+    * indicators, and continuity-corrected chi-square. */
+  private val q342Sql: String =
+    s"""WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
+       |             AS mid FROM events),
+       |per AS (SELECT user_id,
+       |        MAX(CASE WHEN event_type = 'purchase'
+       |              AND epoch_us(ts) <= mid THEN 1 ELSE 0 END)
+       |          AS early,
+       |        MAX(CASE WHEN event_type = 'purchase'
+       |              AND epoch_us(ts) > mid THEN 1 ELSE 0 END) AS late
+       |      FROM events, b GROUP BY 1),
+       |ct AS (SELECT
+       |    CAST(SUM(CASE WHEN early = 0 AND late = 0 THEN 1 ELSE 0
+       |      END) AS BIGINT) AS n00,
+       |    CAST(SUM(CASE WHEN early = 0 AND late = 1 THEN 1 ELSE 0
+       |      END) AS BIGINT) AS n01,
+       |    CAST(SUM(CASE WHEN early = 1 AND late = 0 THEN 1 ELSE 0
+       |      END) AS BIGINT) AS n10,
+       |    CAST(SUM(CASE WHEN early = 1 AND late = 1 THEN 1 ELSE 0
+       |      END) AS BIGINT) AS n11
+       |  FROM per)
+       |SELECT n00, n01, n10, n11,
+       |  ${sqlE6("((ABS(n01 - n10) - 1) * (ABS(n01 - n10) - 1))::DOUBLE / (n01 + n10)::DOUBLE")} AS chi2_e6
+       |FROM ct ORDER BY n00""".stripMargin
+
+  /** q343 oracle: identical Welch power sums, A&S 26.2.17 tail
+    * polynomial, E6-pinned rank order, and BH reverse running min. */
+  private val q343Sql: String =
+    s"""WITH d AS (SELECT p_brand AS brand, l_returnflag = 'R' AS ret,
+       |        CAST(ROUND(l_extendedprice * 100) AS BIGINT)::DOUBLE
+       |          / 100.0 AS y
+       |      FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |g AS (SELECT brand,
+       |        CAST(SUM(CASE WHEN ret THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS n1,
+       |        CAST(SUM(CASE WHEN NOT ret THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS n2,
+       |        SUM(CASE WHEN ret THEN y ELSE 0.0 END) AS s1,
+       |        SUM(CASE WHEN NOT ret THEN y ELSE 0.0 END) AS s2,
+       |        SUM(CASE WHEN ret THEN y * y ELSE 0.0 END) AS q1,
+       |        SUM(CASE WHEN NOT ret THEN y * y ELSE 0.0 END) AS q2
+       |      FROM d GROUP BY 1),
+       |w AS (SELECT brand, n1, n2,
+       |        (s1 / n1 - s2 / n2) /
+       |          SQRT(((q1 - s1 * s1 / n1) / (n1 - 1)) / n1 +
+       |               ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2) AS tstat
+       |      FROM g),
+       |k AS (SELECT brand, n1, n2, tstat,
+       |        1.0 / (1.0 + 0.2316419 * ABS(tstat)) AS k,
+       |        EXP(-ABS(tstat) * ABS(tstat) / 2.0) / SQRT(2.0 * PI())
+       |          AS phi
+       |      FROM w),
+       |pv AS (SELECT brand, n1, n2, tstat,
+       |        LEAST(1.0, 2.0 * phi * (0.319381530 * k
+       |          - 0.356563782 * k * k + 1.781477937 * k * k * k
+       |          - 1.821255978 * k * k * k * k
+       |          + 1.330274429 * k * k * k * k * k)) AS p
+       |      FROM k),
+       |r AS (SELECT brand, n1, n2, ${sqlE6("tstat")} AS t_e6,
+       |        ${sqlE6("p")} AS p_e6,
+       |        CAST(COUNT(*) OVER () AS BIGINT) AS m
+       |      FROM pv),
+       |rk AS (SELECT brand, n1, n2, t_e6, p_e6, m,
+       |        CAST(ROW_NUMBER() OVER (ORDER BY p_e6, brand)
+       |          AS BIGINT) AS rank
+       |      FROM r),
+       |adj AS (SELECT brand, n1, n2, t_e6, p_e6, rank,
+       |        LEAST(1.0, MIN(p_e6::DOUBLE / 1e6 * m::DOUBLE
+       |            / rank::DOUBLE)
+       |          OVER (ORDER BY rank DESC ROWS UNBOUNDED PRECEDING))
+       |          AS padj
+       |      FROM rk)
+       |SELECT brand, n1, n2, t_e6, p_e6, rank,
+       |  ${sqlE6("padj")} AS padj_e6,
+       |  CAST(CASE WHEN ${sqlE6("padj")} <= 50000 THEN 1 ELSE 0 END
+       |       AS BIGINT) AS sig
+       |FROM adj ORDER BY brand""".stripMargin
+
+  /** q344 oracle: identical forward-frame next-event windows and
+    * exact integer micros aggregates. */
+  private val q344Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |        epoch_us(ts) AS tus FROM events),
+       |nx AS (SELECT user_id, event_type, tus,
+       |        MIN(CASE WHEN event_type = 'click' THEN tus END) OVER
+       |          (PARTITION BY user_id ORDER BY tus, event_id
+       |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+       |          AS ncl,
+       |        MIN(CASE WHEN event_type = 'purchase' THEN tus END)
+       |          OVER (PARTITION BY user_id ORDER BY tus, event_id
+       |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+       |          AS npu
+       |      FROM e),
+       |v AS (SELECT * FROM nx WHERE event_type = 'view'),
+       |u AS (SELECT 'click' AS target, CAST(COUNT(*) AS BIGINT) AS n,
+       |        CAST(SUM(ncl - tus) AS BIGINT) AS sum_us,
+       |        CAST(MAX(ncl - tus) AS BIGINT) AS max_us
+       |      FROM v WHERE ncl IS NOT NULL
+       |      UNION ALL
+       |      SELECT 'purchase', CAST(COUNT(*) AS BIGINT),
+       |        CAST(SUM(npu - tus) AS BIGINT),
+       |        CAST(MAX(npu - tus) AS BIGINT)
+       |      FROM v WHERE npu IS NOT NULL)
+       |SELECT target, n, sum_us, max_us,
+       |  CAST(sum_us // n AS BIGINT) AS avg_us
+       |FROM u ORDER BY target""".stripMargin
+
+  /** q345 oracle: identical grid margins, chi-square, V, and Bergsma
+    * corrected V. */
+  private val q345Sql: String =
+    s"""WITH g AS (SELECT o_orderpriority AS pr, l_returnflag AS rf,
+       |        CAST(COUNT(*) AS BIGINT) AS n
+       |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |      GROUP BY 1, 2),
+       |m AS (SELECT pr, rf, n,
+       |        CAST(SUM(n) OVER (PARTITION BY pr) AS BIGINT) AS rp,
+       |        CAST(SUM(n) OVER (PARTITION BY rf) AS BIGINT) AS cf,
+       |        CAST(SUM(n) OVER () AS BIGINT) AS tot
+       |      FROM g),
+       |x AS (SELECT MAX(tot) AS nn,
+       |        CAST(COUNT(DISTINCT pr) AS BIGINT) AS r,
+       |        CAST(COUNT(DISTINCT rf) AS BIGINT) AS c,
+       |        SUM((n::DOUBLE - rp::DOUBLE * cf::DOUBLE / tot::DOUBLE)
+       |          * (n::DOUBLE - rp::DOUBLE * cf::DOUBLE / tot::DOUBLE)
+       |          / (rp::DOUBLE * cf::DOUBLE / tot::DOUBLE)) AS chi2
+       |      FROM m),
+       |f AS (SELECT nn, r, c, chi2,
+       |        GREATEST(0.0, chi2 / nn::DOUBLE
+       |          - (r - 1)::DOUBLE * (c - 1)::DOUBLE
+       |            / (nn - 1)::DOUBLE) AS phi2c,
+       |        r::DOUBLE - (r - 1)::DOUBLE * (r - 1)::DOUBLE
+       |          / (nn - 1)::DOUBLE AS rc,
+       |        c::DOUBLE - (c - 1)::DOUBLE * (c - 1)::DOUBLE
+       |          / (nn - 1)::DOUBLE AS cc2
+       |      FROM x)
+       |SELECT CAST(nn AS BIGINT) AS n, r, c,
+       |  ${sqlE6("chi2")} AS chi2_e6,
+       |  ${sqlE6("SQRT(chi2 / (nn::DOUBLE * LEAST(r - 1, c - 1)::DOUBLE))")} AS v_e6,
+       |  ${sqlE6("SQRT(phi2c / LEAST(rc - 1.0, cc2 - 1.0))")} AS vc_e6
+       |FROM f ORDER BY n""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q345_cramers_v" -> q345Sql,
+    "q344_dwell_time" -> q344Sql,
+    "q343_bh_fdr" -> q343Sql,
+    "q342_mcnemar" -> q342Sql,
+    "q341_page_hinkley" -> q341Sql,
+    "q340_episode_trigrams" -> q340Sql,
+    "q339_durbin_watson" -> q339Sql,
+    "q338_markov_chain" -> q338Sql,
     "q337_shift_share" -> q337Sql,
     "q336_het_test" -> q336Sql,
     "q335_topsis_rank" -> q335Sql,
