@@ -737,6 +737,46 @@ object TextOps {
         col("clipped").cast("double") / col("total2"))
   }
 
+  /** Pair-level ROUGE-N core: modified n-gram precision AND recall
+    * (plus F1) for candidate pairs, treating id1 as the reference and
+    * id2 as the candidate. Same join discipline as
+    * [[pairNgramPrecision]] — per-doc gram count table built once
+    * (localCheckpoint, three consumers), pair-restricted equi-joins,
+    * never all-pairs. recall = clipped / total grams of the REFERENCE
+    * (id1), precision = clipped / total grams of the candidate (id2). */
+  def pairNgramRouge(df: DataFrame, idCol: String, textCol: String,
+                     pairs: DataFrame, n: Int): DataFrame = {
+    val g = df.select(col(idCol).cast("long").as("__id"),
+        explode(wordShingles(col(textCol), n)).as("g"))
+      .groupBy(col("__id"), col("g")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val tot = g.groupBy(col("__id")).agg(sum(col("c")).as("tot"))
+    val p = pairs.select(col("id1").cast("long").as("id1"),
+      col("id2").cast("long").as("id2"))
+    val g2 = g.join(p.select(col("id2").as("__id")).distinct(), "__id")
+    val g1 = g.join(p.select(col("id1").as("__id")).distinct(), "__id")
+    p.join(g2.select(col("__id").as("id2"), col("g"), col("c").as("c2")),
+        "id2")
+      .join(g1.select(col("__id").as("__i1"), col("g").as("g1"),
+        col("c").as("c1")),
+        col("id1") === col("__i1") && col("g") === col("g1"), "left")
+      .groupBy(col("id1"), col("id2"))
+      .agg(sum(least(col("c2"), coalesce(col("c1"), lit(0L))))
+        .as("clipped"))
+      .join(tot.select(col("__id").as("id1"), col("tot").as("total1")),
+        "id1")
+      .join(tot.select(col("__id").as("id2"), col("tot").as("total2")),
+        "id2")
+      .withColumn("precision",
+        col("clipped").cast("double") / col("total2"))
+      .withColumn("recall",
+        col("clipped").cast("double") / col("total1"))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0.0,
+          lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))).otherwise(lit(0.0)))
+  }
+
   /** Jaro-Winkler similarity column — the native codegen'd
     * [[graft.functions.JaroWinkler]] expression (rapidfuzz byte
     * semantics: 0.7 boost threshold, 4-byte prefix cap, empty side

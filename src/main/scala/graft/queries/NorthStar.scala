@@ -4068,8 +4068,8 @@ object NorthStar {
   // q270 — two-way ANOVA of event value on type x weekday: sum-of-
   // squares decomposition (main effects, interaction, residual) and
   // eta-squared shares, all from the exact-cents 35-cell table.
-  // Absolute SS are pinned as whole-unit BIGINTs (the 35-term double
-  // folds agree far inside 0.5); shares are e6 ratios.
+  // ss_tot is pinned whole-unit (closed-form over exact BIGINTs);
+  // the order-fold component SS are pinned as e6 shares only.
   private val q270: Q = (s, dir) => {
     val cells = t(s, dir, "events")
       .select(col("event_type").as("a"),
@@ -4115,19 +4115,22 @@ object NorthStar {
       (cc(col("gs2")) - cc(col("nn")) *
         (cc(col("gs")) / cc(col("nn"))) *
         (cc(col("gs")) / cc(col("nn")))).as("ss_tot"))
+    // Pins: ss_tot is a CLOSED-FORM function of exact BIGINTs (gs2,
+    // gs, nn) — no fold order, safe to pin whole-unit. The component
+    // SS come from ~35-term double folds: even order-pinned, their
+    // absolute 1e14-magnitude values could land a .5 boundary at 1e4
+    // granularity, so they are pinned ONLY as e6 shares of ss_tot
+    // (r7 VERDICT item 5).
     sst.crossJoin(broadcast(ssa)).crossJoin(broadcast(ssb))
       .crossJoin(broadcast(ssc))
       .select(col("nn").as("n"),
-        round(col("ss_a") / 1e4, 0).cast("long").as("ss_a"),
-        round(col("ss_b") / 1e4, 0).cast("long").as("ss_b"),
-        round((col("ss_cells") - col("ss_a") - col("ss_b")) / 1e4, 0)
-          .cast("long").as("ss_ab"),
-        round((col("ss_tot") - col("ss_cells")) / 1e4, 0)
-          .cast("long").as("ss_resid"),
+        round(col("ss_tot") / 1e4, 0).cast("long").as("ss_tot"),
         e6(col("ss_a") / col("ss_tot")).as("eta2_a_e6"),
         e6(col("ss_b") / col("ss_tot")).as("eta2_b_e6"),
         e6((col("ss_cells") - col("ss_a") - col("ss_b")) /
-          col("ss_tot")).as("eta2_ab_e6"))
+          col("ss_tot")).as("eta2_ab_e6"),
+        e6((col("ss_tot") - col("ss_cells")) /
+          col("ss_tot")).as("eta2_resid_e6"))
       .ordered(col("n"))
   }
 
@@ -6602,9 +6605,13 @@ object NorthStar {
         sum(when(col("early") === 1 && col("late") === 1, 1L)
           .otherwise(0L)).as("n11"))
       .select(col("n00"), col("n01"), col("n10"), col("n11"),
-        e6(((abs(col("n01") - col("n10")) - 1) *
-          (abs(col("n01") - col("n10")) - 1)).cast("double") /
-          (col("n01") + col("n10")).cast("double")).as("chi2_e6"))
+        // zero-discordant guard: Spark double x/0 is Infinity while
+        // DuckDB errors — emit 0 identically (the LN(0) footgun class)
+        e6(when(col("n01") + col("n10") > 0,
+          ((abs(col("n01") - col("n10")) - 1) *
+            (abs(col("n01") - col("n10")) - 1)).cast("double") /
+            (col("n01") + col("n10")).cast("double"))
+          .otherwise(lit(0.0))).as("chi2_e6"))
       .ordered(col("n00"))
   }
 
@@ -6723,7 +6730,382 @@ object NorthStar {
       .ordered(col("n"))
   }
 
+  // q346 — second-order Markov log-likelihood grid: add-one-smoothed
+  // P(t3 | t1, t2) over each user's event-type sequence with the
+  // per-cell corpus log-likelihood contribution n * ln(p). The model
+  // and the scored grid are the same bounded |types|^3 relation; the
+  // vocab size arrives as a 1-row broadcast bracket. Smoothing keeps
+  // every ln argument strictly positive (the LN(0) footgun class).
+  private val q346: Q = (s, dir) => {
+    val ev = t(s, dir, "events").withColumn("tus", expr("ts_ns div 1000"))
+    SequenceOps.markovLogLik(ev, "user_id", "event_type",
+        Seq(col("tus"), col("event_id")), alpha = 1.0)
+      .select(col("t1"), col("t2"), col("t3"), col("n"), col("n12"),
+        col("v"), e6(col("p")).as("p_e6"), e6(col("ll")).as("ll_e6"))
+      .ordered(col("t1"), col("t2"), col("t3"))
+  }
+
+  // q347 — gap-constrained episode support: of each observed type
+  // trigram, how many instances had BOTH consecutive gaps <= 30 min
+  // (the "one session" reading) — real sequences vs coincidental
+  // order. One window sort, bounded output grid.
+  private val q347: Q = (s, dir) => {
+    val ev = t(s, dir, "events").withColumn("tus", expr("ts_ns div 1000"))
+    SequenceOps.gapConstrainedTrigrams(ev, "user_id", "event_type",
+        col("tus"), Seq(col("tus"), col("event_id")),
+        maxGapUs = 1800000000L)
+      .select(col("t1"), col("t2"), col("t3"), col("n"), col("n_fast"),
+        e6(col("fast_share")).as("fast_e6"))
+      .ordered(col("t1"), col("t2"), col("t3"))
+  }
+
+  // q348 — Chapman-Kolmogorov consistency check: the empirical 2-step
+  // transition matrix (lag-2 pairs) vs the chained 1-step matrix
+  // (P^2 via a bounded grid self-join on the mid state). FULL OUTER
+  // over the two bounded grids so a cell observed only one way still
+  // reports (the mixtureReweight discipline).
+  private val q348: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val base = t(s, dir, "events")
+      .withColumn("tus", expr("ts_ns div 1000"))
+      .withColumn("p1", lag(col("event_type"), 1).over(w))
+      .withColumn("p2", lag(col("event_type"), 2).over(w))
+    val t1 = base.filter(col("p1").isNotNull)
+      .groupBy(col("p1").as("a"), col("event_type").as("b"))
+      .agg(count(lit(1)).as("n1"))
+      .withColumn("p", col("n1").cast("double") /
+        sum(col("n1")).over(Window.partitionBy(col("a"))).cast("double"))
+    val emp = base.filter(col("p2").isNotNull)
+      .groupBy(col("p2").as("a"), col("event_type").as("c"))
+      .agg(count(lit(1)).as("n2"))
+      .withColumn("pemp", col("n2").cast("double") /
+        sum(col("n2")).over(Window.partitionBy(col("a"))).cast("double"))
+    val chain = t1.select(col("a"), col("b"), col("p"))
+      .join(t1.select(col("a").as("b2"), col("b").as("c"),
+        col("p").as("q")), col("b") === col("b2"))
+      .groupBy(col("a"), col("c")).agg(sum(col("p") * col("q")).as("pch"))
+    emp.select(col("a"), col("c"), col("n2"), col("pemp"))
+      .join(chain, Seq("a", "c"), "full_outer")
+      .select(col("a"), col("c"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        e6(coalesce(col("pemp"), lit(0.0))).as("p2emp_e6"),
+        e6(coalesce(col("pch"), lit(0.0))).as("p2chain_e6"),
+        e6(abs(coalesce(col("pemp"), lit(0.0)) -
+          coalesce(col("pch"), lit(0.0)))).as("diff_e6"))
+      .ordered(col("a"), col("c"))
+  }
+
+  // q349 — Markov time-homogeneity: per from-state chi-square of the
+  // to-state distribution, first half vs second half of the corpus
+  // timeline (a transition belongs to the half its TARGET event lands
+  // in; integer midpoint bracket as q342). Expected counts from the
+  // within-from-state margins over the bounded grid; cells guard
+  // e > 0 identically on both engines.
+  private val q349: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val ev = t(s, dir, "events").withColumn("tus", expr("ts_ns div 1000"))
+    val br = ev.agg(expr("(min(tus) + max(tus)) div 2").as("mid"))
+    val pairs = ev
+      .withColumn("p1", lag(col("event_type"), 1).over(w))
+      .filter(col("p1").isNotNull)
+      .crossJoin(broadcast(br))
+      .groupBy(col("p1").as("a"), col("event_type").as("b"))
+      .agg(sum(when(col("tus") <= col("mid"), 1L).otherwise(0L)).as("oe"),
+        sum(when(col("tus") > col("mid"), 1L).otherwise(0L)).as("ol"))
+    val m = pairs
+      .withColumn("ce", sum(col("oe")).over(Window.partitionBy(col("a"))))
+      .withColumn("cl", sum(col("ol")).over(Window.partitionBy(col("a"))))
+      .withColumn("rb", col("oe") + col("ol"))
+      .withColumn("tot", col("ce") + col("cl"))
+      .withColumn("ee", col("rb").cast("double") * col("ce").cast("double")
+        / col("tot").cast("double"))
+      .withColumn("el", col("rb").cast("double") * col("cl").cast("double")
+        / col("tot").cast("double"))
+      .withColumn("term",
+        when(col("ee") > 0.0, (col("oe").cast("double") - col("ee")) *
+          (col("oe").cast("double") - col("ee")) / col("ee"))
+          .otherwise(lit(0.0)) +
+        when(col("el") > 0.0, (col("ol").cast("double") - col("el")) *
+          (col("ol").cast("double") - col("el")) / col("el"))
+          .otherwise(lit(0.0)))
+    m.groupBy(col("a"))
+      .agg(max(col("ce")).as("n_early"), max(col("cl")).as("n_late"),
+        (count(lit(1)) - 1).as("df"), sum(col("term")).as("chi2"))
+      .select(col("a"), col("n_early"), col("n_late"), col("df"),
+        e6(col("chi2")).as("chi2_e6"))
+      .ordered(col("a"))
+  }
+
+  // q350 — Cronbach's alpha treating the event types as scale items
+  // and per-user type counts as item scores: population variances
+  // from exact BIGINT power sums over the per-(user, type) counts
+  // (zeros enter via the global user count, never a user x type
+  // grid), item variances summed over the bounded item set.
+  private val q350: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val nu = ev.agg(countDistinct(col("user_id")).as("nu"))
+    val item = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"))
+      .crossJoin(broadcast(nu))
+      .withColumn("vi", col("s2").cast("double") / col("nu") -
+        (col("s1").cast("double") / col("nu")) *
+        (col("s1").cast("double") / col("nu")))
+    val iv = item.agg(count(lit(1)).as("k"), sum(col("vi")).as("siv"))
+    val tot = ev.groupBy(col("user_id")).agg(count(lit(1)).as("tc"))
+      .agg(count(lit(1)).as("n"), sum(col("tc")).as("t1"),
+        sum(col("tc") * col("tc")).as("t2"))
+      .withColumn("vt", col("t2").cast("double") / col("n") -
+        (col("t1").cast("double") / col("n")) *
+        (col("t1").cast("double") / col("n")))
+    iv.crossJoin(broadcast(tot.select(col("n"), col("vt"))))
+      .select(col("k"), col("n").as("n_users"),
+        e6(col("siv")).as("sum_item_var_e6"),
+        e6(col("vt")).as("total_var_e6"),
+        e6(col("k").cast("double") / (col("k") - 1).cast("double") *
+          (lit(1.0) - col("siv") / col("vt"))).as("alpha_e6"))
+      .ordered(col("k"))
+  }
+
+  // q351 — Atkinson inequality index (epsilon = 1) of order totals:
+  // 1 - geometric mean / arithmetic mean over exact positive cents
+  // (the > 0 guard is the LN-domain discipline; arithmetic mean from
+  // the exact BIGINT cents sum).
+  private val q351: Q = (s, dir) => {
+    t(s, dir, "orders")
+      .select(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .filter(col("cents") > 0L)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+        sum(log(col("cents").cast("double") / lit(100.0))).as("sl"))
+      .select(col("n"),
+        e6(col("sc").cast("double") / 100.0 / col("n").cast("double"))
+          .as("mean_e6"),
+        e6(exp(col("sl") / col("n").cast("double"))).as("geomean_e6"),
+        e6(lit(1.0) - exp(col("sl") / col("n").cast("double")) /
+          (col("sc").cast("double") / 100.0 / col("n").cast("double")))
+          .as("atkinson_e6"))
+      .ordered(col("n"))
+  }
+
+  // q352 — Chow structural-break F-test on the daily-revenue trend at
+  // the integer midpoint day: per-segment OLS SSR from closed-form
+  // centered power sums (per-day sums stay exact BIGINT dollars; the
+  // squared sums go double BEFORE squaring so a 10x corpus cannot
+  // silently wrap a BIGINT), F = ((SSR_f - SSR_p)/k) / (SSR_p/(n-2k)).
+  private val q352: Q = (s, dir) => {
+    val d0 = t(s, dir, "orders")
+      .select(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+        .cast("long").as("day"),
+        expr("CAST(ROUND(o_totalprice) AS BIGINT)").as("usd"))
+      .groupBy(col("day")).agg(sum(col("usd")).as("y"))
+    val br = d0.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+    val seg = d0.crossJoin(broadcast(br))
+      .withColumn("h", when(col("day") <= col("mid"), 0).otherwise(1))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("day")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("day") * col("day")).cast("double").as("sxx"),
+        sum(col("day") * col("y")).cast("double").as("sxy"),
+        sum(col("y").cast("double") * col("y").cast("double")).as("syy"))
+      .withColumn("ssr", (col("syy") - col("sy") * col("sy") / col("n")) -
+        (col("sxy") - col("sx") * col("sy") / col("n")) *
+        (col("sxy") - col("sx") * col("sy") / col("n")) /
+        (col("sxx") - col("sx") * col("sx") / col("n")))
+    val both = seg.agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+        sum(col("sy")).as("sy"), sum(col("sxx")).as("sxx"),
+        sum(col("sxy")).as("sxy"), sum(col("syy")).as("syy"),
+        sum(col("ssr")).as("ssr_p"),
+        sum(when(col("h") === 0, col("n")).otherwise(lit(0.0))).as("n1"))
+      .withColumn("ssr_f", (col("syy") - col("sy") * col("sy") / col("n")) -
+        (col("sxy") - col("sx") * col("sy") / col("n")) *
+        (col("sxy") - col("sx") * col("sy") / col("n")) /
+        (col("sxx") - col("sx") * col("sx") / col("n")))
+    both.select(col("n").cast("long").as("n_days"),
+        col("n1").cast("long").as("n_first"),
+        e6((col("ssr_f") - col("ssr_p")) / lit(2.0) /
+          (col("ssr_p") / (col("n") - lit(4.0)))).as("f_e6"),
+        e6(col("ssr_p") / col("ssr_f")).as("ssr_ratio_e6"))
+      .ordered(col("n_days"))
+  }
+
+  // q353 — negative-binomial method-of-moments fit of per-user event
+  // counts: mean/variance from exact BIGINT power sums, r = m^2/(v-m)
+  // and p = m/v under an explicit overdispersion guard mirrored on
+  // both engines.
+  private val q353: Q = (s, dir) => {
+    t(s, dir, "events").groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+      .withColumn("m", col("s1").cast("double") / col("n").cast("double"))
+      .withColumn("v", col("s2").cast("double") / col("n").cast("double") -
+        col("m") * col("m"))
+      .select(col("n").as("n_users"), e6(col("m")).as("mean_e6"),
+        e6(col("v")).as("var_e6"),
+        e6(when(col("v") > col("m"),
+          col("m") * col("m") / (col("v") - col("m")))
+          .otherwise(lit(0.0))).as("r_e6"),
+        e6(when(col("v") > col("m"), col("m") / col("v"))
+          .otherwise(lit(0.0))).as("p_e6"))
+      .ordered(col("n_users"))
+  }
+
+  // q354 — Grubbs outlier test on daily revenue: G = max |x - mean| /
+  // sd over the day spine (sample sd from closed-form power sums; the
+  // squared sum goes double before squaring — q352 discipline), the
+  // arg-max day selected by E6-pinned rank (the LIMIT-by-raw-double
+  // convention).
+  private val q354: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d0 = t(s, dir, "orders")
+      .select(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+        .cast("long").as("day"),
+        expr("CAST(ROUND(o_totalprice) AS BIGINT)").as("usd"))
+      .groupBy(col("day")).agg(sum(col("usd")).as("y"))
+    val st = d0.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("y")).cast("double").as("s1"),
+        sum(col("y").cast("double") * col("y").cast("double")).as("s2"))
+      .select(col("n"), (col("s1") / col("n")).as("mean"),
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+          (col("n") - 1.0)).as("sd"))
+    d0.crossJoin(broadcast(st))
+      .withColumn("dev_e6", e6(abs(col("y").cast("double") - col("mean"))
+        / col("sd")))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("dev_e6").desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("day"), col("n").cast("long").as("n_days"),
+        col("dev_e6").as("g_e6"))
+      .ordered(col("day"))
+  }
+
+  // q355 — Yuen's trimmed-mean t-test (20% trim) of returned vs kept
+  // line prices: per-group row_number over exact cents (orderkey /
+  // linenumber tiebreaks), g = n div 5 trimmed each side, winsorized
+  // variance from boundary-clamped cents, Welch-style df. The trim
+  // boundaries come from a bounded 2-row bracket equi-joined back.
+  private val q355: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "lineitem")
+      .select((col("l_returnflag") === "R").as("ret"),
+        expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(col("ret"))
+      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+    val wp = Window.partitionBy(col("ret"))
+    val r = d.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wp))
+      .withColumn("g", expr("n div 5"))
+    // trim boundaries as same-partition window aggs — no second pass
+    // over the sorted partition, no self-join
+    val stats = r
+      .withColumn("lo",
+        min(when(col("rn") === col("g") + 1, col("cents"))).over(wp))
+      .withColumn("hi",
+        min(when(col("rn") === col("n") - col("g"), col("cents"))).over(wp))
+      .withColumn("wc", when(col("rn") <= col("g"), col("lo"))
+        .when(col("rn") > col("n") - col("g"), col("hi"))
+        .otherwise(col("cents")))
+      .groupBy(col("ret"))
+      .agg(max(col("n")).as("n"), max(col("g")).as("g"),
+        sum(when(col("rn") > col("g") && col("rn") <= col("n") - col("g"),
+          col("cents")).otherwise(lit(0L))).as("tsum"),
+        sum(col("wc")).as("wsum"),
+        sum((col("wc").cast("double") / 100.0) *
+          (col("wc").cast("double") / 100.0)).as("wsq"))
+      .withColumn("h", col("n") - lit(2L) * col("g"))
+      .withColumn("mt", col("tsum").cast("double") / 100.0 /
+        col("h").cast("double"))
+      .withColumn("sw2", (col("wsq") -
+        (col("wsum").cast("double") / 100.0) *
+        (col("wsum").cast("double") / 100.0) / col("n").cast("double")) /
+        (col("n").cast("double") - 1.0))
+      .withColumn("dj", (col("n").cast("double") - 1.0) * col("sw2") /
+        (col("h").cast("double") * (col("h").cast("double") - 1.0)))
+    stats.agg(
+        max(when(col("ret"), col("h"))).as("h1"),
+        max(when(!col("ret"), col("h"))).as("h2"),
+        max(when(col("ret"), col("mt"))).as("m1"),
+        max(when(!col("ret"), col("mt"))).as("m2"),
+        max(when(col("ret"), col("dj"))).as("d1"),
+        max(when(!col("ret"), col("dj"))).as("d2"))
+      .select(col("h1"), col("h2"), e6(col("m1")).as("m1_e6"),
+        e6(col("m2")).as("m2_e6"),
+        e6((col("m1") - col("m2")) / sqrt(col("d1") + col("d2")))
+          .as("t_e6"),
+        e6((col("d1") + col("d2")) * (col("d1") + col("d2")) /
+          (col("d1") * col("d1") / (col("h1").cast("double") - 1.0) +
+           col("d2") * col("d2") / (col("h2").cast("double") - 1.0)))
+          .as("df_e6"))
+      .ordered(col("h1"))
+  }
+
+  // q356 — empirical-Bayes beta-binomial shrinkage of per-brand
+  // return rates: method-of-moments alpha/beta from the bounded
+  // 25-rate grid (1-row broadcast bracket), posterior-mean shrunken
+  // rates per brand.
+  private val q356: Q = (s, dir) => {
+    val g = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+        .as("k"), count(lit(1)).as("n"))
+      .withColumn("r", col("k").cast("double") / col("n").cast("double"))
+    val mom = g.agg(count(lit(1)).cast("double").as("nb"),
+        sum(col("r")).as("sr"), sum(col("r") * col("r")).as("sr2"))
+      .select((col("sr") / col("nb")).as("m"),
+        (col("sr2") / col("nb") - (col("sr") / col("nb")) *
+          (col("sr") / col("nb"))).as("s2"))
+      .withColumn("common", when(col("s2") > 0.0,
+        col("m") * (lit(1.0) - col("m")) / col("s2") - lit(1.0))
+        .otherwise(lit(0.0)))
+      .select((col("m") * col("common")).as("alpha"),
+        ((lit(1.0) - col("m")) * col("common")).as("beta"))
+    g.crossJoin(broadcast(mom))
+      .select(col("brand"), col("n"), col("k"), e6(col("r")).as("raw_e6"),
+        e6((col("k").cast("double") + col("alpha")) /
+          (col("n").cast("double") + col("alpha") + col("beta")))
+          .as("shrunk_e6"),
+        e6(col("alpha")).as("alpha_e6"), e6(col("beta")).as("beta_e6"))
+      .ordered(col("brand"))
+  }
+
+  // q357 — pair-level ROUGE-1 (modified unigram precision AND recall
+  // + F1) over the q186 candidate pairs: the recall-oriented
+  // counterpart of the BLEU core, id1 as reference.
+  private val q357: Q = (s, dir) => {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 100)
+    val pairs = DedupOps.ngramJaccardPairs(d, "doc_id", "text",
+        n = 2, threshold = 0.1)
+      .select(col("id1"), col("id2"))
+    TextOps.pairNgramRouge(d, "doc_id", "text", pairs, n = 1)
+      .select(col("id1"), col("id2"), col("total1"), col("total2"),
+        col("clipped"), e6(col("precision")).as("prec_e6"),
+        e6(col("recall")).as("rec_e6"), e6(col("f1")).as("f1_e6"))
+      .ordered(col("id1"), col("id2"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q357_pair_rouge" -> q357,
+    "q356_beta_binomial" -> q356,
+    "q355_yuen_trimmed_t" -> q355,
+    "q354_grubbs_test" -> q354,
+    "q353_negbin_fit" -> q353,
+    "q352_chow_test" -> q352,
+    "q351_atkinson_index" -> q351,
+    "q350_cronbach_alpha" -> q350,
+    "q349_markov_homogeneity" -> q349,
+    "q348_chapman_kolmogorov" -> q348,
+    "q347_gap_episodes" -> q347,
+    "q346_markov_loglik" -> q346,
     "q345_cramers_v" -> q345,
     "q344_dwell_time" -> q344,
     "q343_bh_fdr" -> q343,
@@ -12928,15 +13310,11 @@ object NorthStar {
        |         AS ss_tot
        |       FROM grand)
        |SELECT nn AS n,
-       |  CAST(ROUND(ss_a / 1e4, 0) AS BIGINT) AS ss_a,
-       |  CAST(ROUND(ss_b / 1e4, 0) AS BIGINT) AS ss_b,
-       |  CAST(ROUND((ss_cells - ss_a - ss_b) / 1e4, 0) AS BIGINT)
-       |    AS ss_ab,
-       |  CAST(ROUND((ss_tot - ss_cells) / 1e4, 0) AS BIGINT)
-       |    AS ss_resid,
+       |  CAST(ROUND(ss_tot / 1e4, 0) AS BIGINT) AS ss_tot,
        |  ${sqlE6("ss_a / ss_tot")} AS eta2_a_e6,
        |  ${sqlE6("ss_b / ss_tot")} AS eta2_b_e6,
-       |  ${sqlE6("(ss_cells - ss_a - ss_b) / ss_tot")} AS eta2_ab_e6
+       |  ${sqlE6("(ss_cells - ss_a - ss_b) / ss_tot")} AS eta2_ab_e6,
+       |  ${sqlE6("(ss_tot - ss_cells) / ss_tot")} AS eta2_resid_e6
        |FROM st, sa, sb, sc ORDER BY n""".stripMargin
 
   /** q271 oracle: session ids as q263, FIRST_VALUE entry type,
@@ -14783,7 +15161,7 @@ object NorthStar {
   private val q338Sql: String =
     s"""WITH s AS (SELECT user_id, event_type,
        |        LAG(event_type) OVER (PARTITION BY user_id
-       |          ORDER BY ts, event_id) AS f
+       |          ORDER BY epoch_us(ts), event_id) AS f
        |      FROM events),
        |p AS (SELECT f AS from_state, event_type AS to_state,
        |        CAST(COUNT(*) AS BIGINT) AS n
@@ -14826,9 +15204,9 @@ object NorthStar {
   private val q340Sql: String =
     s"""WITH s AS (SELECT user_id, event_type,
        |        LAG(event_type, 2) OVER (PARTITION BY user_id
-       |          ORDER BY ts, event_id) AS t1,
+       |          ORDER BY epoch_us(ts), event_id) AS t1,
        |        LAG(event_type, 1) OVER (PARTITION BY user_id
-       |          ORDER BY ts, event_id) AS t2
+       |          ORDER BY epoch_us(ts), event_id) AS t2
        |      FROM events),
        |g AS (SELECT t1, t2, event_type AS t3,
        |        CAST(COUNT(*) AS BIGINT) AS n
@@ -14889,7 +15267,7 @@ object NorthStar {
        |      END) AS BIGINT) AS n11
        |  FROM per)
        |SELECT n00, n01, n10, n11,
-       |  ${sqlE6("((ABS(n01 - n10) - 1) * (ABS(n01 - n10) - 1))::DOUBLE / (n01 + n10)::DOUBLE")} AS chi2_e6
+       |  ${sqlE6("CASE WHEN (n01 + n10) > 0 THEN ((ABS(n01 - n10) - 1) * (ABS(n01 - n10) - 1))::DOUBLE / (n01 + n10)::DOUBLE ELSE 0.0 END")} AS chi2_e6
        |FROM ct ORDER BY n00""".stripMargin
 
   /** q343 oracle: identical Welch power sums, A&S 26.2.17 tail
@@ -15008,7 +15386,387 @@ object NorthStar {
        |  ${sqlE6("SQRT(phi2c / LEAST(rc - 1.0, cc2 - 1.0))")} AS vc_e6
        |FROM f ORDER BY n""".stripMargin
 
+  /** q346 oracle: identical smoothed trigram grid, vocab bracket,
+    * and per-cell log-likelihood contribution. */
+  private val q346Sql: String =
+    s"""WITH s AS (SELECT user_id, event_type,
+       |        LAG(event_type, 2) OVER (PARTITION BY user_id
+       |          ORDER BY epoch_us(ts), event_id) AS t1,
+       |        LAG(event_type, 1) OVER (PARTITION BY user_id
+       |          ORDER BY epoch_us(ts), event_id) AS t2
+       |      FROM events),
+       |g AS (SELECT t1, t2, event_type AS t3,
+       |        CAST(COUNT(*) AS BIGINT) AS n
+       |      FROM s WHERE t1 IS NOT NULL GROUP BY 1, 2, 3),
+       |vv AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS v
+       |       FROM events),
+       |q AS (SELECT t1, t2, t3, n,
+       |        CAST(SUM(n) OVER (PARTITION BY t1, t2) AS BIGINT)
+       |          AS n12
+       |      FROM g)
+       |SELECT t1, t2, t3, n, n12, v,
+       |  ${sqlE6("(n::DOUBLE + 1.0) / (n12::DOUBLE + 1.0 * v::DOUBLE)")} AS p_e6,
+       |  ${sqlE6("n::DOUBLE * LN((n::DOUBLE + 1.0) / (n12::DOUBLE + 1.0 * v::DOUBLE))")} AS ll_e6
+       |FROM q, vv ORDER BY t1, t2, t3""".stripMargin
+
+  /** q347 oracle: identical double-lag trigram grid with both
+    * consecutive gaps window-computed in micros. */
+  private val q347Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |        epoch_us(ts) AS tus FROM events),
+       |s AS (SELECT user_id, event_type,
+       |        LAG(event_type, 2) OVER w AS t1,
+       |        LAG(event_type, 1) OVER w AS t2,
+       |        tus - LAG(tus, 1) OVER w AS g2,
+       |        LAG(tus, 1) OVER w - LAG(tus, 2) OVER w AS g1
+       |      FROM e WINDOW w AS (PARTITION BY user_id
+       |        ORDER BY tus, event_id)),
+       |g AS (SELECT t1, t2, event_type AS t3,
+       |        CAST(COUNT(*) AS BIGINT) AS n,
+       |        CAST(SUM(CASE WHEN g1 <= 1800000000 AND
+       |          g2 <= 1800000000 THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS n_fast
+       |      FROM s WHERE t1 IS NOT NULL GROUP BY 1, 2, 3)
+       |SELECT t1, t2, t3, n, n_fast,
+       |  ${sqlE6("n_fast::DOUBLE / n::DOUBLE")} AS fast_e6
+       |FROM g ORDER BY t1, t2, t3""".stripMargin
+
+  /** q348 oracle: identical 1-step/2-step grids, bounded mid-state
+    * self-join, FULL OUTER cell union. */
+  private val q348Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |        epoch_us(ts) AS tus FROM events),
+       |s AS (SELECT user_id, event_type,
+       |        LAG(event_type, 1) OVER w AS p1,
+       |        LAG(event_type, 2) OVER w AS p2
+       |      FROM e WINDOW w AS (PARTITION BY user_id
+       |        ORDER BY tus, event_id)),
+       |g1 AS (SELECT p1 AS a, event_type AS b,
+       |         CAST(COUNT(*) AS BIGINT) AS n1
+       |       FROM s WHERE p1 IS NOT NULL GROUP BY 1, 2),
+       |t1 AS (SELECT a, b, n1::DOUBLE /
+       |         (SUM(n1) OVER (PARTITION BY a))::DOUBLE AS p
+       |       FROM g1),
+       |g2 AS (SELECT p2 AS a, event_type AS c,
+       |         CAST(COUNT(*) AS BIGINT) AS n2
+       |       FROM s WHERE p2 IS NOT NULL GROUP BY 1, 2),
+       |t2 AS (SELECT a, c, n2, n2::DOUBLE /
+       |         (SUM(n2) OVER (PARTITION BY a))::DOUBLE AS pemp
+       |       FROM g2),
+       |ch AS (SELECT x.a AS a, y.b AS c, SUM(x.p * y.p) AS pch
+       |       FROM t1 x JOIN t1 y ON x.b = y.a GROUP BY 1, 2)
+       |SELECT COALESCE(t2.a, ch.a) AS a, COALESCE(t2.c, ch.c) AS c,
+       |  CAST(COALESCE(n2, 0) AS BIGINT) AS n2,
+       |  ${sqlE6("COALESCE(pemp, 0.0)")} AS p2emp_e6,
+       |  ${sqlE6("COALESCE(pch, 0.0)")} AS p2chain_e6,
+       |  ${sqlE6("ABS(COALESCE(pemp, 0.0) - COALESCE(pch, 0.0))")} AS diff_e6
+       |FROM t2 FULL OUTER JOIN ch ON t2.a = ch.a AND t2.c = ch.c
+       |ORDER BY a, c""".stripMargin
+
+  /** q349 oracle: identical target-time half split, within-from-state
+    * margins, e > 0 guarded cell terms. */
+  private val q349Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |        epoch_us(ts) AS tus FROM events),
+       |b AS (SELECT (MIN(tus) + MAX(tus)) // 2 AS mid FROM e),
+       |s AS (SELECT user_id, event_type, tus,
+       |        LAG(event_type, 1) OVER (PARTITION BY user_id
+       |          ORDER BY tus, event_id) AS p1
+       |      FROM e),
+       |g AS (SELECT p1 AS a, event_type AS bb,
+       |        CAST(SUM(CASE WHEN tus <= mid THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS oe,
+       |        CAST(SUM(CASE WHEN tus > mid THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS ol
+       |      FROM s, b WHERE p1 IS NOT NULL GROUP BY 1, 2),
+       |m AS (SELECT a, oe, ol,
+       |        CAST(SUM(oe) OVER (PARTITION BY a) AS BIGINT) AS ce,
+       |        CAST(SUM(ol) OVER (PARTITION BY a) AS BIGINT) AS cl
+       |      FROM g),
+       |x AS (SELECT a, ce, cl,
+       |        (oe + ol)::DOUBLE * ce::DOUBLE / (ce + cl)::DOUBLE
+       |          AS ee,
+       |        (oe + ol)::DOUBLE * cl::DOUBLE / (ce + cl)::DOUBLE
+       |          AS el,
+       |        oe, ol
+       |      FROM m),
+       |t AS (SELECT a, ce, cl,
+       |        (CASE WHEN ee > 0.0 THEN (oe::DOUBLE - ee) *
+       |           (oe::DOUBLE - ee) / ee ELSE 0.0 END) +
+       |        (CASE WHEN el > 0.0 THEN (ol::DOUBLE - el) *
+       |           (ol::DOUBLE - el) / el ELSE 0.0 END) AS term
+       |      FROM x)
+       |SELECT a, MAX(ce) AS n_early, MAX(cl) AS n_late,
+       |  CAST(COUNT(*) - 1 AS BIGINT) AS df,
+       |  ${sqlE6("SUM(term)")} AS chi2_e6
+       |FROM t GROUP BY a ORDER BY a""".stripMargin
+
+  /** q350 oracle: identical exact-integer power sums, population
+    * variances over the global user count. */
+  private val q350Sql: String =
+    s"""WITH nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+       |              AS nu FROM events),
+       |pc AS (SELECT user_id, event_type,
+       |         CAST(COUNT(*) AS BIGINT) AS c
+       |       FROM events GROUP BY 1, 2),
+       |item AS (SELECT event_type,
+       |           CAST(SUM(c) AS BIGINT) AS s1,
+       |           CAST(SUM(c * c) AS BIGINT) AS s2
+       |         FROM pc GROUP BY 1),
+       |iv AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+       |         SUM(s2::DOUBLE / nu - (s1::DOUBLE / nu) *
+       |           (s1::DOUBLE / nu)) AS siv
+       |       FROM item, nu),
+       |tc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS tc
+       |       FROM events GROUP BY 1),
+       |tv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |         SUM(tc::DOUBLE * tc::DOUBLE) / COUNT(*) -
+       |           (SUM(tc::DOUBLE) / COUNT(*)) *
+       |           (SUM(tc::DOUBLE) / COUNT(*)) AS vt
+       |       FROM tc)
+       |SELECT k, n AS n_users, ${sqlE6("siv")} AS sum_item_var_e6,
+       |  ${sqlE6("vt")} AS total_var_e6,
+       |  ${sqlE6("k::DOUBLE / (k - 1)::DOUBLE * (1.0 - siv / vt)")} AS alpha_e6
+       |FROM iv, tv ORDER BY k""".stripMargin
+
+  /** q351 oracle: identical positive-cents guard, exact arithmetic
+    * mean, ln-sum geometric mean. */
+  private val q351Sql: String =
+    s"""WITH x AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)
+       |             AS cents FROM orders
+       |           WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) > 0),
+       |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |        CAST(SUM(cents) AS BIGINT) AS sc,
+       |        SUM(LN(cents::DOUBLE / 100.0)) AS sl
+       |      FROM x)
+       |SELECT n, ${sqlE6("sc::DOUBLE / 100.0 / n::DOUBLE")} AS mean_e6,
+       |  ${sqlE6("EXP(sl / n::DOUBLE)")} AS geomean_e6,
+       |  ${sqlE6("1.0 - EXP(sl / n::DOUBLE) / (sc::DOUBLE / 100.0 / n::DOUBLE)")} AS atkinson_e6
+       |FROM a ORDER BY n""".stripMargin
+
+  /** q352 oracle: identical integer day/dollar sums, midpoint
+    * bracket, per-segment centered OLS SSR, Chow F. */
+  private val q352Sql: String =
+    s"""WITH d0 AS (SELECT
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |           AS day,
+       |         CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT))
+       |           AS BIGINT) AS y
+       |       FROM orders GROUP BY 1),
+       |b AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM d0),
+       |seg AS (SELECT CASE WHEN day <= mid THEN 0 ELSE 1 END AS h,
+       |          COUNT(*)::DOUBLE AS n,
+       |          SUM(day)::DOUBLE AS sx, SUM(y)::DOUBLE AS sy,
+       |          SUM(day * day)::DOUBLE AS sxx,
+       |          SUM(day * y)::DOUBLE AS sxy,
+       |          SUM(y::DOUBLE * y::DOUBLE) AS syy
+       |        FROM d0, b GROUP BY 1),
+       |sr AS (SELECT h, n, sx, sy, sxx, sxy, syy,
+       |         (syy - sy * sy / n) -
+       |         (sxy - sx * sy / n) * (sxy - sx * sy / n) /
+       |         (sxx - sx * sx / n) AS ssr
+       |       FROM seg),
+       |tots AS (SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+       |           SUM(sxx) AS sxx, SUM(sxy) AS sxy, SUM(syy) AS syy,
+       |           SUM(ssr) AS ssr_p,
+       |           SUM(CASE WHEN h = 0 THEN n ELSE 0.0 END) AS n1
+       |         FROM sr),
+       |f AS (SELECT n, n1, ssr_p,
+       |        (syy - sy * sy / n) -
+       |        (sxy - sx * sy / n) * (sxy - sx * sy / n) /
+       |        (sxx - sx * sx / n) AS ssr_f
+       |      FROM tots)
+       |SELECT CAST(n AS BIGINT) AS n_days, CAST(n1 AS BIGINT)
+       |    AS n_first,
+       |  ${sqlE6("(ssr_f - ssr_p) / 2.0 / (ssr_p / (n - 4.0))")} AS f_e6,
+       |  ${sqlE6("ssr_p / ssr_f")} AS ssr_ratio_e6
+       |FROM f ORDER BY n_days""".stripMargin
+
+  /** q353 oracle: identical per-user counts, exact power sums, MoM
+    * under the same overdispersion guard. */
+  private val q353Sql: String =
+    s"""WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+       |           FROM events GROUP BY 1),
+       |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |        CAST(SUM(c) AS BIGINT) AS s1,
+       |        CAST(SUM(c * c) AS BIGINT) AS s2
+       |      FROM c),
+       |m AS (SELECT n, s1::DOUBLE / n::DOUBLE AS m,
+       |        s2::DOUBLE / n::DOUBLE -
+       |          (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)
+       |          AS v
+       |      FROM a)
+       |SELECT n AS n_users, ${sqlE6("m")} AS mean_e6,
+       |  ${sqlE6("v")} AS var_e6,
+       |  ${sqlE6("CASE WHEN v > m THEN m * m / (v - m) ELSE 0.0 END")} AS r_e6,
+       |  ${sqlE6("CASE WHEN v > m THEN m / v ELSE 0.0 END")} AS p_e6
+       |FROM m ORDER BY n_users""".stripMargin
+
+  /** q354 oracle: identical day spine, sample sd from power sums,
+    * E6-pinned arg-max selection. */
+  private val q354Sql: String =
+    s"""WITH d0 AS (SELECT
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |           AS day,
+       |         CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT))
+       |           AS BIGINT) AS y
+       |       FROM orders GROUP BY 1),
+       |st AS (SELECT COUNT(*)::DOUBLE AS n,
+       |         SUM(y)::DOUBLE / COUNT(*)::DOUBLE AS mean,
+       |         SQRT((SUM(y::DOUBLE * y::DOUBLE) -
+       |           SUM(y)::DOUBLE * SUM(y)::DOUBLE /
+       |             COUNT(*)::DOUBLE) / (COUNT(*)::DOUBLE - 1.0))
+       |           AS sd
+       |       FROM d0),
+       |r AS (SELECT day, CAST(n AS BIGINT) AS n_days,
+       |        ${sqlE6("ABS(y::DOUBLE - mean) / sd")} AS dev_e6
+       |      FROM d0, st),
+       |rk AS (SELECT day, n_days, dev_e6,
+       |         ROW_NUMBER() OVER (ORDER BY dev_e6 DESC, day) AS rk
+       |       FROM r)
+       |SELECT day, n_days, dev_e6 AS g_e6 FROM rk WHERE rk = 1
+       |ORDER BY day""".stripMargin
+
+  /** q355 oracle: identical rank/trim/winsorize arithmetic — exact
+    * cents ranks, n div 5 trim, boundary-clamped variance. */
+  private val q355Sql: String =
+    s"""WITH d AS (SELECT l_returnflag = 'R' AS ret,
+       |        CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+       |        l_orderkey, l_linenumber
+       |      FROM lineitem),
+       |r AS (SELECT ret, cents,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY ret
+       |          ORDER BY cents, l_orderkey, l_linenumber) AS BIGINT)
+       |          AS rn,
+       |        CAST(COUNT(*) OVER (PARTITION BY ret) AS BIGINT) AS n
+       |      FROM d),
+       |r2 AS (SELECT *, n // 5 AS g,
+       |         MIN(CASE WHEN rn = n // 5 + 1 THEN cents END)
+       |           OVER (PARTITION BY ret) AS lo,
+       |         MIN(CASE WHEN rn = n - n // 5 THEN cents END)
+       |           OVER (PARTITION BY ret) AS hi
+       |       FROM r),
+       |w AS (SELECT ret, n, g,
+       |        CASE WHEN rn <= g THEN lo
+       |             WHEN rn > n - g THEN hi ELSE cents END AS wc,
+       |        CASE WHEN rn > g AND rn <= n - g THEN cents
+       |             ELSE 0 END AS kc
+       |      FROM r2),
+       |st AS (SELECT ret, MAX(n) AS n, MAX(g) AS g,
+       |         CAST(SUM(kc) AS BIGINT) AS tsum,
+       |         CAST(SUM(wc) AS BIGINT) AS wsum,
+       |         SUM((wc::DOUBLE / 100.0) * (wc::DOUBLE / 100.0))
+       |           AS wsq
+       |       FROM w GROUP BY 1),
+       |y AS (SELECT ret, n, n - 2 * g AS h,
+       |        tsum::DOUBLE / 100.0 / (n - 2 * g)::DOUBLE AS mt,
+       |        ((wsq - (wsum::DOUBLE / 100.0) * (wsum::DOUBLE / 100.0)
+       |            / n::DOUBLE) / (n::DOUBLE - 1.0)) AS sw2
+       |      FROM st),
+       |dj AS (SELECT ret, h, mt,
+       |         (n::DOUBLE - 1.0) * sw2 /
+       |           (h::DOUBLE * (h::DOUBLE - 1.0)) AS dj
+       |       FROM y),
+       |p AS (SELECT
+       |        MAX(CASE WHEN ret THEN h END) AS h1,
+       |        MAX(CASE WHEN NOT ret THEN h END) AS h2,
+       |        MAX(CASE WHEN ret THEN mt END) AS m1,
+       |        MAX(CASE WHEN NOT ret THEN mt END) AS m2,
+       |        MAX(CASE WHEN ret THEN dj END) AS d1,
+       |        MAX(CASE WHEN NOT ret THEN dj END) AS d2
+       |      FROM dj)
+       |SELECT CAST(h1 AS BIGINT) AS h1, CAST(h2 AS BIGINT) AS h2,
+       |  ${sqlE6("m1")} AS m1_e6, ${sqlE6("m2")} AS m2_e6,
+       |  ${sqlE6("(m1 - m2) / SQRT(d1 + d2)")} AS t_e6,
+       |  ${sqlE6("(d1 + d2) * (d1 + d2) / (d1 * d1 / (h1::DOUBLE - 1.0) + d2 * d2 / (h2::DOUBLE - 1.0))")} AS df_e6
+       |FROM p ORDER BY h1""".stripMargin
+
+  /** q356 oracle: identical per-brand rates, MoM alpha/beta over the
+    * bounded grid, posterior-mean shrinkage. */
+  private val q356Sql: String =
+    s"""WITH g AS (SELECT p_brand AS brand,
+       |        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+       |          END) AS BIGINT) AS k,
+       |        CAST(COUNT(*) AS BIGINT) AS n
+       |      FROM lineitem JOIN part ON l_partkey = p_partkey
+       |      GROUP BY 1),
+       |rr AS (SELECT brand, k, n, k::DOUBLE / n::DOUBLE AS r FROM g),
+       |mm AS (SELECT COUNT(*)::DOUBLE AS nb, SUM(r) AS sr,
+       |         SUM(r * r) AS sr2
+       |       FROM rr),
+       |ab AS (SELECT m, s2,
+       |         CASE WHEN s2 > 0.0
+       |           THEN m * (1.0 - m) / s2 - 1.0 ELSE 0.0 END AS c
+       |       FROM (SELECT sr / nb AS m,
+       |               sr2 / nb - (sr / nb) * (sr / nb) AS s2
+       |             FROM mm)),
+       |mom AS (SELECT m * c AS alpha, (1.0 - m) * c AS beta FROM ab)
+       |SELECT brand, n, k, ${sqlE6("r")} AS raw_e6,
+       |  ${sqlE6("(k::DOUBLE + alpha) / (n::DOUBLE + alpha + beta)")} AS shrunk_e6,
+       |  ${sqlE6("alpha")} AS alpha_e6, ${sqlE6("beta")} AS beta_e6
+       |FROM rr, mom ORDER BY brand""".stripMargin
+
+  /** q357 oracle: q186's pair machinery with unigram counts plus
+    * per-doc totals for the recall denominator. */
+  private val q357Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents WHERE doc_id < 100),
+       |s AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(toks) >= 2
+       |              THEN list_distinct(list_transform(range(1, len(toks)),
+       |                     i -> array_to_string(toks[i:i+1], ' ')))
+       |              ELSE [] END AS sh
+       |  FROM d),
+       |inv AS (SELECT doc_id, unnest(sh) AS s1 FROM s),
+       |pp AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+       |  FROM inv a JOIN inv b ON a.s1 = b.s1 AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+       |fil AS (
+       |  SELECT id1, id2 FROM pp
+       |  JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+       |  WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.1),
+       |gm AS (SELECT doc_id, unnest(toks) AS g FROM d),
+       |gc AS (SELECT doc_id, g, COUNT(*) AS c FROM gm GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tot
+       |        FROM gc GROUP BY 1),
+       |j AS (
+       |  SELECT fil.id1, fil.id2, g2.c AS c2, COALESCE(g1.c, 0) AS c1
+       |  FROM fil JOIN gc g2 ON g2.doc_id = fil.id2
+       |  LEFT JOIN gc g1 ON g1.doc_id = fil.id1 AND g1.g = g2.g),
+       |agg AS (
+       |  SELECT id1, id2,
+       |         CAST(SUM(LEAST(c2, c1)) AS BIGINT) AS clipped
+       |  FROM j GROUP BY 1, 2),
+       |fin AS (
+       |  SELECT agg.id1, agg.id2, x.tot AS total1, y.tot AS total2,
+       |         clipped,
+       |         clipped::DOUBLE / y.tot AS precision,
+       |         clipped::DOUBLE / x.tot AS recall
+       |  FROM agg JOIN tot x ON agg.id1 = x.doc_id
+       |  JOIN tot y ON agg.id2 = y.doc_id)
+       |SELECT id1, id2, total1, total2, clipped,
+       |  ${sqlE6("precision")} AS prec_e6,
+       |  ${sqlE6("recall")} AS rec_e6,
+       |  ${sqlE6("CASE WHEN precision + recall > 0.0 THEN 2.0 * precision * recall / (precision + recall) ELSE 0.0 END")} AS f1_e6
+       |FROM fin ORDER BY id1, id2""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q357_pair_rouge" -> q357Sql,
+    "q356_beta_binomial" -> q356Sql,
+    "q355_yuen_trimmed_t" -> q355Sql,
+    "q354_grubbs_test" -> q354Sql,
+    "q353_negbin_fit" -> q353Sql,
+    "q352_chow_test" -> q352Sql,
+    "q351_atkinson_index" -> q351Sql,
+    "q350_cronbach_alpha" -> q350Sql,
+    "q349_markov_homogeneity" -> q349Sql,
+    "q348_chapman_kolmogorov" -> q348Sql,
+    "q347_gap_episodes" -> q347Sql,
+    "q346_markov_loglik" -> q346Sql,
     "q345_cramers_v" -> q345Sql,
     "q344_dwell_time" -> q344Sql,
     "q343_bh_fdr" -> q343Sql,

@@ -457,7 +457,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
                           // self-join
     "q335_topsis_rank",   // 1-row norm/ideal brackets vs 25 brands
     "q336_het_test",      // 1-row OLS-beta bracket vs lineitem
-    "q337_shift_share")   // 1-row national-total bracket vs nations
+    "q337_shift_share",   // 1-row national-total bracket vs nations
+    "q339_durbin_watson", // 1-row residual sum-of-squares bracket vs
+                          // the daily revenue spine
+    "q342_mcnemar",       // 1-row discordant-count bracket vs the
+                          // paired-period user grid
+    "q346_markov_loglik", // 1-row vocab-size bracket vs the bounded
+                          // trigram grid
+    "q349_markov_homogeneity", // 1-row midpoint bracket vs events
+    "q350_cronbach_alpha", // 1-row user-count + total-var brackets
+    "q352_chow_test",     // 1-row midpoint bracket vs the day spine
+    "q354_grubbs_test",   // 1-row mean/sd bracket vs the day spine
+    "q356_beta_binomial") // 1-row MoM alpha/beta bracket vs 25 brands
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
