@@ -869,11 +869,11 @@ object DedupOps {
     val edges = e0.flatMap { case (s, d) => Iterator((s, d), (d, s)) }
       .distinct(nPart)
       .partitionBy(part)
-    edges.persist(StorageLevel.DISK_ONLY)
+    edges.persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges
       .mapPartitions(_.map { case (k, _) => (k, k) }.distinct,
         preservesPartitioning = true)
-    labels.persist(StorageLevel.DISK_ONLY)
+    labels.persist(StorageLevel.MEMORY_AND_DISK)
     var converged = labels.isEmpty() // no edges at all
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -887,7 +887,7 @@ object DedupOps {
           if (nl < lab) changed.add(1L)
           nl
         }
-      next.persist(StorageLevel.DISK_ONLY)
+      next.persist(StorageLevel.MEMORY_AND_DISK)
       next.count() // the round's one job; populates `changed`
       labels.unpersist(false)
       labels = next

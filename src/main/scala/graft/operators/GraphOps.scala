@@ -20,8 +20,9 @@ import org.apache.spark.storage.StorageLevel
   * edge table — see [[triangleStatsBucketed]] for the pattern).
   *
   * Iteration-state durability: every round's state is persisted at
-  * DISK_ONLY with lineage RETAINED and the previous round explicitly
-  * unpersisted — storage held is one round's vector, and an executor
+  * MEMORY_AND_DISK with lineage RETAINED and the previous round
+  * explicitly unpersisted — storage held is one round's vector
+  * (small: per-node, not per-edge), and an executor
   * loss recomputes the lost blocks from lineage instead of killing the
   * job (`localCheckpoint` would discard lineage, making lost blocks
   * unrecoverable; reliable `checkpoint` needs a caller-owned
@@ -38,14 +39,17 @@ import org.apache.spark.storage.StorageLevel
 object GraphOps {
 
   /** Materialize one iteration's state durably: persist the rows at
-    * DISK_ONLY (lineage retained — recoverable after executor loss),
+    * MEMORY_AND_DISK (lineage retained — recoverable after executor
+    * loss; memory-first because the r7 driver bench showed DISK_ONLY
+    * round state amplifying host disk contention 23x on q174 where
+    * other queries saw 3-15x),
     * force computation, drop round n-1's blocks, and re-root the
     * DataFrame on the persisted RDD so the logical plan doesn't grow
     * with the round count. Returns (round DataFrame, its RDD handle —
     * pass it back as `prev` next round). */
   private def materializeRound(df: DataFrame, prev: Option[RDD[Row]])
       : (DataFrame, RDD[Row]) = {
-    val rdd = df.rdd.persist(StorageLevel.DISK_ONLY)
+    val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
     rdd.count() // compute round n BEFORE releasing round n-1
     prev.foreach(_.unpersist(false))
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
@@ -67,13 +71,13 @@ object GraphOps {
       col(dstCol).cast("long").as("dst"))
     val nodesRdd = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct().rdd.persist(StorageLevel.DISK_ONLY)
+      .distinct().rdd.persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.sparkSession.createDataFrame(nodesRdd,
       e.select(col("src").as("node")).schema)
     val n = nodes.count().toDouble
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // (src, dst, deg) scanned once per iteration
-    val edRdd = e.join(deg, "src").rdd.persist(StorageLevel.DISK_ONLY)
+    val edRdd = e.join(deg, "src").rdd.persist(StorageLevel.MEMORY_AND_DISK)
     val ed = e.sparkSession.createDataFrame(edRdd, e.join(deg, "src").schema)
     var p = nodes.withColumn("pr", lit(1.0) / lit(n))
     var prev: Option[RDD[Row]] = None
@@ -112,7 +116,7 @@ object GraphOps {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iters: Int): DataFrame = {
     val eRdd = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).rdd.persist(StorageLevel.DISK_ONLY)
+      col(dstCol).cast("long").as("dst")).rdd.persist(StorageLevel.MEMORY_AND_DISK)
     val e = edges.sparkSession.createDataFrame(eRdd,
       edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst")).schema)
@@ -217,13 +221,13 @@ object GraphOps {
       col(weightCol).cast("long").as("w"))
     val nodesRdd = sel.select(col("src").as("node"))
       .union(sel.select(col("dst").as("node")))
-      .distinct().rdd.persist(StorageLevel.DISK_ONLY)
+      .distinct().rdd.persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = sel.sparkSession.createDataFrame(nodesRdd,
       sel.select(col("src").as("node")).schema)
     val n = nodes.count().toDouble
     val wsum = sel.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
     val edRdd = sel.join(wsum, "src").filter(col("wsum") > 0)
-      .rdd.persist(StorageLevel.DISK_ONLY)
+      .rdd.persist(StorageLevel.MEMORY_AND_DISK)
     val ed = sel.sparkSession.createDataFrame(edRdd,
       sel.join(wsum, "src").schema)
     var p = nodes.withColumn("pr", lit(1.0) / lit(n))
@@ -316,7 +320,7 @@ object GraphOps {
     // persist the edge list once — the upstream derivation (often an
     // expensive similarity-pair job) must not recompute 2x per round
     val eRdd = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).rdd.persist(StorageLevel.DISK_ONLY)
+      col(dstCol).cast("long").as("dst")).rdd.persist(StorageLevel.MEMORY_AND_DISK)
     val e = edges.sparkSession.createDataFrame(eRdd,
       edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst")).schema)
@@ -408,7 +412,7 @@ object GraphOps {
       col(dstCol).cast("long").as("dst"))
     val nodesRdd = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct().rdd.persist(StorageLevel.DISK_ONLY)
+      .distinct().rdd.persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.sparkSession.createDataFrame(nodesRdd,
       e.select(col("src").as("node")).schema)
     val seedSet = col("node").isInCollection(seeds)
@@ -416,7 +420,7 @@ object GraphOps {
     require(nSeeds > 0, "no seed id is present in the graph")
     val tele = when(seedSet, lit(1.0) / lit(nSeeds)).otherwise(lit(0.0))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val edRdd = e.join(deg, "src").rdd.persist(StorageLevel.DISK_ONLY)
+    val edRdd = e.join(deg, "src").rdd.persist(StorageLevel.MEMORY_AND_DISK)
     val ed = e.sparkSession.createDataFrame(edRdd, e.join(deg, "src").schema)
     var p = nodes.withColumn("pr", tele)
     var prev: Option[RDD[Row]] = None
