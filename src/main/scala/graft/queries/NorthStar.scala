@@ -6986,39 +6986,52 @@ object NorthStar {
   }
 
   // q355 — Yuen's trimmed-mean t-test (20% trim) of returned vs kept
-  // line prices: per-group row_number over exact cents (orderkey /
-  // linenumber tiebreaks), g = n div 5 trimmed each side, winsorized
-  // variance from boundary-clamped cents, Welch-style df. The trim
-  // boundaries come from a bounded 2-row bracket equi-joined back.
+  // line prices. Rank-based trims of SUMS are tiebreak-independent
+  // (reordering equal values among themselves cannot change which
+  // values occupy the kept ranks), so the trimmed and winsorized
+  // sums come EXACTLY from the (group, cents) value histogram: the
+  // window sort runs over distinct prices, not rows — the 100 TB
+  // shape (a row-level 2-partition rank window was the one scale
+  // cliff in this batch's 10x stress). g = n div 5 each side,
+  // winsorized variance from boundary-clamped cents, Welch-style df.
   private val q355: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val d = t(s, dir, "lineitem")
+    val h0 = t(s, dir, "lineitem")
       .select((col("l_returnflag") === "R").as("ret"),
-        expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"),
-        col("l_orderkey"), col("l_linenumber"))
-    val w = Window.partitionBy(col("ret"))
-      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+        expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("ret"), col("cents"))
+      .agg(count(lit(1)).as("c"))
     val wp = Window.partitionBy(col("ret"))
-    val r = d.withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(wp))
+    val wo = Window.partitionBy(col("ret")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val r = h0
+      .withColumn("n", sum(col("c")).over(wp))
       .withColumn("g", expr("n div 5"))
-    // trim boundaries as same-partition window aggs — no second pass
-    // over the sorted partition, no self-join
+      .withColumn("cum", sum(col("c")).over(wo))
+      .withColumn("prev", col("cum") - col("c"))
+      // kept ranks are (g, n-g]; this value covers ranks (prev, cum]
+      .withColumn("kept",
+        greatest(lit(0L), least(col("cum"), col("n") - col("g")) -
+          greatest(col("prev"), col("g"))))
     val stats = r
-      .withColumn("lo",
-        min(when(col("rn") === col("g") + 1, col("cents"))).over(wp))
-      .withColumn("hi",
-        min(when(col("rn") === col("n") - col("g"), col("cents"))).over(wp))
-      .withColumn("wc", when(col("rn") <= col("g"), col("lo"))
-        .when(col("rn") > col("n") - col("g"), col("hi"))
-        .otherwise(col("cents")))
       .groupBy(col("ret"))
       .agg(max(col("n")).as("n"), max(col("g")).as("g"),
-        sum(when(col("rn") > col("g") && col("rn") <= col("n") - col("g"),
-          col("cents")).otherwise(lit(0L))).as("tsum"),
-        sum(col("wc")).as("wsum"),
-        sum((col("wc").cast("double") / 100.0) *
-          (col("wc").cast("double") / 100.0)).as("wsq"))
+        // the values holding rank g+1 / rank n-g — the winsorize
+        // boundaries (prev < r <= cum membership tests)
+        min(when(col("prev") <= col("g") && col("cum") >= col("g") + 1,
+          col("cents"))).as("lo"),
+        min(when(col("prev") <= col("n") - col("g") - 1 &&
+          col("cum") >= col("n") - col("g"), col("cents"))).as("hi"),
+        sum(col("kept") * col("cents")).as("tsum"),
+        sum(col("kept") * (col("cents").cast("double") / 100.0) *
+          (col("cents").cast("double") / 100.0)).as("ksq"))
+      .withColumn("wsum", col("tsum") + col("g") * col("lo") +
+        col("g") * col("hi"))
+      .withColumn("wsq", col("ksq") +
+        col("g").cast("double") * (col("lo").cast("double") / 100.0) *
+          (col("lo").cast("double") / 100.0) +
+        col("g").cast("double") * (col("hi").cast("double") / 100.0) *
+          (col("hi").cast("double") / 100.0))
       .withColumn("h", col("n") - lit(2L) * col("g"))
       .withColumn("mt", col("tsum").cast("double") / 100.0 /
         col("h").cast("double"))
@@ -15627,37 +15640,41 @@ object NorthStar {
        |SELECT day, n_days, dev_e6 AS g_e6 FROM rk WHERE rk = 1
        |ORDER BY day""".stripMargin
 
-  /** q355 oracle: identical rank/trim/winsorize arithmetic — exact
-    * cents ranks, n div 5 trim, boundary-clamped variance. */
+  /** q355 oracle: identical value-histogram trim arithmetic — exact
+    * cents histogram, rank-interval overlap kept counts, n div 5
+    * trim, boundary-clamped variance. */
   private val q355Sql: String =
     s"""WITH d AS (SELECT l_returnflag = 'R' AS ret,
-       |        CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
-       |        l_orderkey, l_linenumber
+       |        CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
        |      FROM lineitem),
-       |r AS (SELECT ret, cents,
-       |        CAST(ROW_NUMBER() OVER (PARTITION BY ret
-       |          ORDER BY cents, l_orderkey, l_linenumber) AS BIGINT)
-       |          AS rn,
-       |        CAST(COUNT(*) OVER (PARTITION BY ret) AS BIGINT) AS n
-       |      FROM d),
-       |r2 AS (SELECT *, n // 5 AS g,
-       |         MIN(CASE WHEN rn = n // 5 + 1 THEN cents END)
-       |           OVER (PARTITION BY ret) AS lo,
-       |         MIN(CASE WHEN rn = n - n // 5 THEN cents END)
-       |           OVER (PARTITION BY ret) AS hi
+       |h0 AS (SELECT ret, cents, CAST(COUNT(*) AS BIGINT) AS c
+       |       FROM d GROUP BY 1, 2),
+       |r AS (SELECT ret, cents, c,
+       |        CAST(SUM(c) OVER (PARTITION BY ret) AS BIGINT) AS n,
+       |        CAST(SUM(c) OVER (PARTITION BY ret ORDER BY cents
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |      FROM h0),
+       |r2 AS (SELECT *, n // 5 AS g, cum - c AS prev,
+       |         GREATEST(0, LEAST(cum, n - n // 5) -
+       |           GREATEST(cum - c, n // 5)) AS kept
        |       FROM r),
-       |w AS (SELECT ret, n, g,
-       |        CASE WHEN rn <= g THEN lo
-       |             WHEN rn > n - g THEN hi ELSE cents END AS wc,
-       |        CASE WHEN rn > g AND rn <= n - g THEN cents
-       |             ELSE 0 END AS kc
-       |      FROM r2),
-       |st AS (SELECT ret, MAX(n) AS n, MAX(g) AS g,
-       |         CAST(SUM(kc) AS BIGINT) AS tsum,
-       |         CAST(SUM(wc) AS BIGINT) AS wsum,
-       |         SUM((wc::DOUBLE / 100.0) * (wc::DOUBLE / 100.0))
-       |           AS wsq
-       |       FROM w GROUP BY 1),
+       |st0 AS (SELECT ret, MAX(n) AS n, MAX(g) AS g,
+       |         MIN(CASE WHEN prev <= g AND cum >= g + 1
+       |           THEN cents END) AS lo,
+       |         MIN(CASE WHEN prev <= n - g - 1 AND cum >= n - g
+       |           THEN cents END) AS hi,
+       |         CAST(SUM(kept * cents) AS BIGINT) AS tsum,
+       |         SUM(kept * (cents::DOUBLE / 100.0) *
+       |           (cents::DOUBLE / 100.0)) AS ksq
+       |       FROM r2 GROUP BY 1),
+       |st AS (SELECT ret, n, g,
+       |         tsum,
+       |         CAST(tsum + g * lo + g * hi AS BIGINT) AS wsum,
+       |         ksq + g::DOUBLE * (lo::DOUBLE / 100.0) *
+       |             (lo::DOUBLE / 100.0)
+       |           + g::DOUBLE * (hi::DOUBLE / 100.0) *
+       |             (hi::DOUBLE / 100.0) AS wsq
+       |       FROM st0),
        |y AS (SELECT ret, n, n - 2 * g AS h,
        |        tsum::DOUBLE / 100.0 / (n - 2 * g)::DOUBLE AS mt,
        |        ((wsq - (wsum::DOUBLE / 100.0) * (wsum::DOUBLE / 100.0)
