@@ -7106,7 +7106,295 @@ object NorthStar {
       .ordered(col("id1"), col("id2"))
   }
 
+  // q358 — cross-source near-dup contamination matrix: the lossless
+  // prefix-filtered exact-Jaccard pairs (q189 machinery, t = 0.4)
+  // aggregated by unordered source pair — which corpora bleed into
+  // each other, and how hard. Oracle is the plain exact derivation.
+  private val q358: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    val pairs = DedupOps.prefixFilteredJaccardPairs(docs, "doc_id",
+        "text", n = 3, threshold = 0.4)
+    pairs
+      .join(src.select(col("doc_id").as("id1"), col("source").as("sa")),
+        "id1")
+      .join(src.select(col("doc_id").as("id2"), col("source").as("sb")),
+        "id2")
+      .select(least(col("sa"), col("sb")).as("s_lo"),
+        greatest(col("sa"), col("sb")).as("s_hi"), col("jaccard"))
+      .groupBy(col("s_lo"), col("s_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        e6(sum(col("jaccard")) / count(lit(1)).cast("double"))
+          .as("avg_jacc_e6"))
+      .ordered(col("s_lo"), col("s_hi"))
+  }
+
+  // q359 — MASE backtest of an SMA-7 forecast on daily revenue: the
+  // model's MAE scaled by the seasonal-naive (lag-7) MAE over the
+  // observed day-ordered spine. Exact integer dollars per day; lag /
+  // moving-average frames over the bounded spine.
+  private val q359: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d0 = t(s, dir, "orders")
+      .select(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+        .cast("long").as("day"),
+        expr("CAST(ROUND(o_totalprice) AS BIGINT)").as("usd"))
+      .groupBy(col("day")).agg(sum(col("usd")).as("y"))
+    val wl = Window.orderBy(col("day"))
+    val f = d0
+      .withColumn("yhat", avg(col("y")).over(
+        wl.rowsBetween(-7, -1)))
+      .withColumn("ynaive", lag(col("y"), 7).over(wl))
+      .withColumn("rn", row_number().over(wl))
+      .filter(col("rn") > 7)
+    f.agg(count(lit(1)).as("n_eval"),
+        (sum(abs(col("y").cast("double") - col("yhat"))) /
+          count(lit(1)).cast("double")).as("mae_model"),
+        (sum(abs(col("y") - col("ynaive")).cast("double")) /
+          count(lit(1)).cast("double")).as("mae_naive"))
+      .select(col("n_eval"), e6(col("mae_model") / 1000.0)
+          .as("mae_model_k_e6"),
+        e6(col("mae_naive") / 1000.0).as("mae_naive_k_e6"),
+        e6(col("mae_model") / col("mae_naive")).as("mase_e6"))
+      .ordered(col("n_eval"))
+  }
+
+  // q360 — Cox-Stuart trend sign test on daily revenue: pair day
+  // rank i with rank i + n div 2 (middle dropped when odd), count
+  // strict rises/falls (exact integers), normal-approximation z.
+  private val q360: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d0 = t(s, dir, "orders")
+      .select(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+        .cast("long").as("day"),
+        expr("CAST(ROUND(o_totalprice) AS BIGINT)").as("usd"))
+      .groupBy(col("day")).agg(sum(col("usd")).as("y"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("day"))).cast("long"))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("m", expr("nn div 2"))
+    val a = d0.filter(col("rn") <= col("m"))
+      .select(col("rn").as("i"), col("y").as("y1"), col("m"))
+    val b = d0.filter(col("rn") > col("nn") - col("m"))
+      .select((col("rn") - (col("nn") - col("m"))).as("i"),
+        col("y").as("y2"))
+    a.join(b, "i")
+      .agg(sum(when(col("y2") > col("y1"), 1L).otherwise(0L))
+          .as("n_plus"),
+        sum(when(col("y2") < col("y1"), 1L).otherwise(0L)).as("n_minus"))
+      .withColumn("np", col("n_plus") + col("n_minus"))
+      .select(col("np").as("n_pairs"), col("n_plus"), col("n_minus"),
+        e6((col("n_plus").cast("double") -
+          col("np").cast("double") / 2.0) /
+          sqrt(col("np").cast("double") / 4.0)).as("z_e6"))
+      .ordered(col("n_pairs"))
+  }
+
+  // q361 — Brier score decomposition (reliability / resolution /
+  // uncertainty) of a per-brand base-rate forecaster: first-half
+  // return rates (integer midpoint of l_shipdate) predict second-half
+  // returns; the 25 brands are the forecast bins, so every component
+  // is a closed form over exact integer counts.
+  private val q361: Q = (s, dir) => {
+    val d = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        (col("l_returnflag") === "R").as("ret"),
+        datediff(col("l_shipdate"), to_date(lit("1970-01-01")))
+          .cast("long").as("sd"))
+    val br = d.agg(expr("(min(sd) + max(sd)) div 2").as("mid"))
+    val g = d.crossJoin(broadcast(br))
+      .groupBy(col("brand"))
+      .agg(sum(when(col("sd") <= col("mid") && col("ret"), 1L)
+          .otherwise(0L)).as("k1"),
+        sum(when(col("sd") <= col("mid"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("sd") > col("mid") && col("ret"), 1L)
+          .otherwise(0L)).as("k2"),
+        sum(when(col("sd") > col("mid"), 1L).otherwise(0L)).as("n2"))
+      // a brand absent from either half would put 0/0 in the grid —
+      // engines disagree on NaN; require both halves populated
+      .filter(col("n1") > 0L && col("n2") > 0L)
+      .withColumn("p", col("k1").cast("double") / col("n1").cast("double"))
+      .withColumn("ob", col("k2").cast("double") / col("n2").cast("double"))
+    val tot = g.agg(sum(col("n2")).as("nn"), sum(col("k2")).as("kk"))
+      .select(col("nn"), (col("kk").cast("double") /
+        col("nn").cast("double")).as("obar"))
+    g.crossJoin(broadcast(tot))
+      .agg(max(col("nn")).as("n_eval"), max(col("obar")).as("obar"),
+        (sum(col("n2").cast("double") * (col("p") - col("ob")) *
+          (col("p") - col("ob"))) / max(col("nn")).cast("double"))
+          .as("rel"),
+        (sum(col("n2").cast("double") * (col("ob") - col("obar")) *
+          (col("ob") - col("obar"))) / max(col("nn")).cast("double"))
+          .as("res"))
+      .select(col("n_eval"), e6(col("obar")).as("obar_e6"),
+        e6(col("rel")).as("reliability_e6"),
+        e6(col("res")).as("resolution_e6"),
+        e6(col("obar") * (lit(1.0) - col("obar"))).as("uncertainty_e6"),
+        e6(col("rel") - col("res") +
+          col("obar") * (lit(1.0) - col("obar"))).as("brier_e6"))
+      .ordered(col("n_eval"))
+  }
+
+  // q362 — Cochran-Armitage trend test: does the return rate trend
+  // with line quantity? Scores are the integer quantities; T and its
+  // variance are closed forms over the bounded 50-cell dose grid's
+  // exact integer sums.
+  private val q362: Q = (s, dir) => {
+    val g = t(s, dir, "lineitem")
+      .select(col("l_quantity").cast("long").as("x"),
+        (col("l_returnflag") === "R").as("ret"))
+      .groupBy(col("x"))
+      .agg(count(lit(1)).as("ni"),
+        sum(when(col("ret"), 1L).otherwise(0L)).as("ki"))
+    g.agg(sum(col("ni")).as("nn"), sum(col("ki")).as("kk"),
+        sum(col("x") * col("ki")).as("sxk"),
+        sum(col("x") * col("ni")).as("sxn"),
+        sum(col("x") * col("x") * col("ni")).as("sxxn"))
+      .withColumn("p", col("kk").cast("double") / col("nn").cast("double"))
+      .withColumn("tstat", col("sxk").cast("double") -
+        col("p") * col("sxn").cast("double"))
+      .withColumn("vart", col("p") * (lit(1.0) - col("p")) *
+        (col("sxxn").cast("double") -
+          col("sxn").cast("double") * col("sxn").cast("double") /
+          col("nn").cast("double")))
+      .select(col("nn").as("n"), col("kk").as("k"),
+        e6(col("tstat") / 1000.0).as("t_k_e6"),
+        e6(col("tstat") / sqrt(col("vart"))).as("z_e6"))
+      .ordered(col("n"))
+  }
+
+  // q363 — partial autocorrelation at lag 2 (Durbin-Levinson) of the
+  // daily mean event value: r1, r2 from the centered day spine, then
+  // pacf2 = (r2 - r1^2) / (1 - r1^2).
+  private val q363: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "events")
+      .groupBy(expr(s"ts_ns div $DayNs").as("day"))
+      .agg((sum(col("value")) / count(lit(1)).cast("double")).as("m"))
+    val mm = daily.agg(count(lit(1)).cast("double").as("n"),
+      (sum(col("m")) / count(lit(1)).cast("double")).as("mu"))
+    val c = daily.crossJoin(broadcast(mm))
+      .withColumn("d", col("m") - col("mu"))
+      .withColumn("d1", lag(col("d"), 1).over(Window.orderBy(col("day"))))
+      .withColumn("d2", lag(col("d"), 2).over(Window.orderBy(col("day"))))
+    c.agg(max(col("n")).as("nd"), sum(col("d") * col("d")).as("c0"),
+        sum(when(col("d1").isNotNull, col("d") * col("d1"))
+          .otherwise(lit(0.0))).as("c1"),
+        sum(when(col("d2").isNotNull, col("d") * col("d2"))
+          .otherwise(lit(0.0))).as("c2"))
+      .withColumn("r1", col("c1") / col("c0"))
+      .withColumn("r2", col("c2") / col("c0"))
+      .select(col("nd").cast("long").as("n_days"),
+        e6(col("r1")).as("r1_e6"), e6(col("r2")).as("r2_e6"),
+        e6((col("r2") - col("r1") * col("r1")) /
+          (lit(1.0) - col("r1") * col("r1"))).as("pacf2_e6"))
+      .ordered(col("n_days"))
+  }
+
+  // q364 — probability of reaching 'purchase' within k steps (k = 1,
+  // 2, 3) from each event-type state, purchase absorbing: backward
+  // induction on the bounded 1-step transition grid — two grid
+  // self-joins, never the raw events.
+  private val q364: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val p = t(s, dir, "events")
+      .withColumn("tus", expr("ts_ns div 1000"))
+      .withColumn("p1", lag(col("event_type"), 1).over(w))
+      .filter(col("p1").isNotNull)
+      .groupBy(col("p1").as("a"), col("event_type").as("b"))
+      .agg(count(lit(1)).as("n1"))
+      .withColumn("p", col("n1").cast("double") /
+        sum(col("n1")).over(Window.partitionBy(col("a"))).cast("double"))
+      .select(col("a"), col("b"), col("p"))
+      .localCheckpoint(false)
+    val states = p.select(col("a")).distinct()
+    def step(prev: DataFrame): DataFrame = {
+      // R_{k+1}(a) = P(a->purchase) + sum_{b != purchase} P(a->b) R_k(b)
+      val contrib = p.filter(col("b") =!= "purchase")
+        .join(prev.select(col("a").as("b"), col("r").as("rb")), "b")
+        .groupBy(col("a")).agg(sum(col("p") * col("rb")).as("s"))
+      states
+        .join(p.filter(col("b") === "purchase")
+          .select(col("a"), col("p").as("r1")), Seq("a"), "left")
+        .join(contrib, Seq("a"), "left")
+        .select(col("a"), (coalesce(col("r1"), lit(0.0)) +
+          coalesce(col("s"), lit(0.0))).as("r"))
+    }
+    val k1 = states.join(p.filter(col("b") === "purchase")
+        .select(col("a"), col("p").as("r")), Seq("a"), "left")
+      .select(col("a"), coalesce(col("r"), lit(0.0)).as("r"))
+    val k2 = step(k1)
+    val k3 = step(k2)
+    k1.select(col("a"), col("r").as("x1"))
+      .join(k2.select(col("a"), col("r").as("x2")), "a")
+      .join(k3.select(col("a"), col("r").as("x3")), "a")
+      .select(col("a"), e6(col("x1")).as("reach1_e6"),
+        e6(col("x2")).as("reach2_e6"), e6(col("x3")).as("reach3_e6"))
+      .ordered(col("a"))
+  }
+
+  // q365 — winsorization sweep: the q355 value-histogram discipline
+  // over order totals at trim levels 1% / 5% / 10% — the outlier-
+  // clipping decision table. One histogram + one cumulative window,
+  // levels exploded per histogram row (no per-level re-scan).
+  private val q365: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val h0 = t(s, dir, "orders")
+      .select(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+        .as("cents"))
+      .groupBy(col("cents")).agg(count(lit(1)).as("c"))
+    val r = h0
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("prev", col("cum") - col("c"))
+    val lv = r.select(col("cents"), col("c"), col("n"), col("cum"),
+        col("prev"),
+        explode(array(lit(1L), lit(5L), lit(10L))).as("pct"))
+      .withColumn("g", expr("(n * pct) div 100"))
+      .withColumn("kept",
+        greatest(lit(0L), least(col("cum"), col("n") - col("g")) -
+          greatest(col("prev"), col("g"))))
+    lv.groupBy(col("pct"))
+      .agg(max(col("n")).as("n"), max(col("g")).as("g"),
+        min(when(col("prev") <= col("g") && col("cum") >= col("g") + 1,
+          col("cents"))).as("lo"),
+        min(when(col("prev") <= col("n") - col("g") - 1 &&
+          col("cum") >= col("n") - col("g"), col("cents"))).as("hi"),
+        sum(col("kept") * col("cents")).as("ksum"),
+        sum(col("kept") * (col("cents").cast("double") / 100.0) *
+          (col("cents").cast("double") / 100.0)).as("ksq"))
+      .withColumn("wsum", col("ksum") + col("g") * col("lo") +
+        col("g") * col("hi"))
+      .withColumn("wsq", col("ksq") +
+        col("g").cast("double") * (col("lo").cast("double") / 100.0) *
+          (col("lo").cast("double") / 100.0) +
+        col("g").cast("double") * (col("hi").cast("double") / 100.0) *
+          (col("hi").cast("double") / 100.0))
+      .select(col("pct"), col("n"), col("g"),
+        e6(col("wsum").cast("double") / 100.0 / col("n").cast("double"))
+          .as("wmean_e6"),
+        e6(sqrt((col("wsq") -
+          (col("wsum").cast("double") / 100.0) *
+          (col("wsum").cast("double") / 100.0) / col("n").cast("double")) /
+          (col("n").cast("double") - 1.0))).as("wsd_e6"))
+      .ordered(col("pct"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q365_winsor_sweep" -> q365,
+    "q364_purchase_reach" -> q364,
+    "q363_pacf_check" -> q363,
+    "q362_cochran_armitage" -> q362,
+    "q361_brier_decomp" -> q361,
+    "q360_cox_stuart" -> q360,
+    "q359_mase_eval" -> q359,
+    "q358_source_dedup_matrix" -> q358,
     "q357_pair_rouge" -> q357,
     "q356_beta_binomial" -> q356,
     "q355_yuen_trimmed_t" -> q355,
@@ -15771,7 +16059,273 @@ object NorthStar {
        |  ${sqlE6("CASE WHEN precision + recall > 0.0 THEN 2.0 * precision * recall / (precision + recall) ELSE 0.0 END")} AS f1_e6
        |FROM fin ORDER BY id1, id2""".stripMargin
 
+  /** q358 oracle: the q189 plain exact-Jaccard derivation aggregated
+    * by unordered source pair. */
+  private val q358Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(tk) >= 3
+       |              THEN list_distinct(list_transform(range(1, len(tk) - 1),
+       |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+       |              ELSE [] END AS sh
+       |  FROM d),
+       |inv AS (SELECT doc_id, unnest(sh) AS s1 FROM s),
+       |pp AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+       |  FROM inv a JOIN inv b ON a.s1 = b.s1 AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+       |pr AS (
+       |  SELECT id1, id2, shared * 1.0 / (x.n + y.n - shared) AS j
+       |  FROM pp JOIN sz x ON id1 = x.doc_id
+       |  JOIN sz y ON id2 = y.doc_id
+       |  WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.4),
+       |m AS (
+       |  SELECT LEAST(a.source, b.source) AS s_lo,
+       |         GREATEST(a.source, b.source) AS s_hi, j
+       |  FROM pr JOIN documents a ON id1 = a.doc_id
+       |  JOIN documents b ON id2 = b.doc_id)
+       |SELECT s_lo, s_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  ${sqlE6("SUM(j) / COUNT(*)::DOUBLE")} AS avg_jacc_e6
+       |FROM m GROUP BY 1, 2 ORDER BY s_lo, s_hi""".stripMargin
+
+  /** q359 oracle: identical SMA-7 / lag-7 frames over the day spine,
+    * full-history rows only. */
+  private val q359Sql: String =
+    s"""WITH d0 AS (SELECT
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |           AS day,
+       |         CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT))
+       |           AS BIGINT) AS y
+       |       FROM orders GROUP BY 1),
+       |f AS (SELECT day, y,
+       |        AVG(y) OVER (ORDER BY day
+       |          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS yhat,
+       |        LAG(y, 7) OVER (ORDER BY day) AS ynaive,
+       |        ROW_NUMBER() OVER (ORDER BY day) AS rn
+       |      FROM d0),
+       |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+       |        SUM(ABS(y::DOUBLE - yhat)) / COUNT(*)::DOUBLE
+       |          AS mae_model,
+       |        SUM(ABS(y - ynaive)::DOUBLE) / COUNT(*)::DOUBLE
+       |          AS mae_naive
+       |      FROM f WHERE rn > 7)
+       |SELECT n_eval, ${sqlE6("mae_model / 1000.0")} AS mae_model_k_e6,
+       |  ${sqlE6("mae_naive / 1000.0")} AS mae_naive_k_e6,
+       |  ${sqlE6("mae_model / mae_naive")} AS mase_e6
+       |FROM a ORDER BY n_eval""".stripMargin
+
+  /** q360 oracle: identical rank pairing (middle dropped when odd),
+    * strict sign counts, normal z. */
+  private val q360Sql: String =
+    s"""WITH d0 AS (SELECT
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |           AS day,
+       |         CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT))
+       |           AS BIGINT) AS y
+       |       FROM orders GROUP BY 1),
+       |r AS (SELECT y,
+       |        CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn,
+       |        CAST(COUNT(*) OVER () AS BIGINT) AS nn
+       |      FROM d0),
+       |r2 AS (SELECT *, nn // 2 AS m FROM r),
+       |a AS (SELECT rn AS i, y AS y1 FROM r2 WHERE rn <= m),
+       |b AS (SELECT rn - (nn - m) AS i, y AS y2 FROM r2
+       |      WHERE rn > nn - m),
+       |c AS (SELECT
+       |        CAST(SUM(CASE WHEN y2 > y1 THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS n_plus,
+       |        CAST(SUM(CASE WHEN y2 < y1 THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS n_minus
+       |      FROM a JOIN b USING (i))
+       |SELECT n_plus + n_minus AS n_pairs, n_plus, n_minus,
+       |  ${sqlE6("(n_plus::DOUBLE - (n_plus + n_minus)::DOUBLE / 2.0) / SQRT((n_plus + n_minus)::DOUBLE / 4.0)")} AS z_e6
+       |FROM c ORDER BY n_pairs""".stripMargin
+
+  /** q361 oracle: identical shipdate midpoint halves, per-brand
+    * rates, Murphy decomposition over the brand bins. */
+  private val q361Sql: String =
+    s"""WITH d AS (SELECT p_brand AS brand, l_returnflag = 'R' AS ret,
+       |        DATE_DIFF('day', TIMESTAMP '1970-01-01', l_shipdate)
+       |          AS sd
+       |      FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |br AS (SELECT (MIN(sd) + MAX(sd)) // 2 AS mid FROM d),
+       |g0 AS (SELECT brand,
+       |        CAST(SUM(CASE WHEN sd <= mid AND ret THEN 1 ELSE 0
+       |          END) AS BIGINT) AS k1,
+       |        CAST(SUM(CASE WHEN sd <= mid THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS n1,
+       |        CAST(SUM(CASE WHEN sd > mid AND ret THEN 1 ELSE 0
+       |          END) AS BIGINT) AS k2,
+       |        CAST(SUM(CASE WHEN sd > mid THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS n2
+       |      FROM d, br GROUP BY 1),
+       |g AS (SELECT brand, k1, n1, k2, n2,
+       |        k1::DOUBLE / n1::DOUBLE AS p,
+       |        k2::DOUBLE / n2::DOUBLE AS ob
+       |      FROM g0 WHERE n1 > 0 AND n2 > 0),
+       |tt AS (SELECT CAST(SUM(n2) AS BIGINT) AS nn,
+       |         SUM(k2)::DOUBLE / SUM(n2)::DOUBLE AS obar
+       |       FROM g),
+       |x AS (SELECT MAX(nn) AS n_eval, MAX(obar) AS obar,
+       |        SUM(n2::DOUBLE * (p - ob) * (p - ob)) /
+       |          MAX(nn)::DOUBLE AS rel,
+       |        SUM(n2::DOUBLE * (ob - obar) * (ob - obar)) /
+       |          MAX(nn)::DOUBLE AS res
+       |      FROM g, tt)
+       |SELECT CAST(n_eval AS BIGINT) AS n_eval,
+       |  ${sqlE6("obar")} AS obar_e6,
+       |  ${sqlE6("rel")} AS reliability_e6,
+       |  ${sqlE6("res")} AS resolution_e6,
+       |  ${sqlE6("obar * (1.0 - obar)")} AS uncertainty_e6,
+       |  ${sqlE6("rel - res + obar * (1.0 - obar)")} AS brier_e6
+       |FROM x ORDER BY n_eval""".stripMargin
+
+  /** q362 oracle: identical dose-grid integer sums and closed-form
+    * T / Var(T). */
+  private val q362Sql: String =
+    s"""WITH g AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+       |        CAST(COUNT(*) AS BIGINT) AS ni,
+       |        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+       |          END) AS BIGINT) AS ki
+       |      FROM lineitem GROUP BY 1),
+       |a AS (SELECT CAST(SUM(ni) AS BIGINT) AS nn,
+       |        CAST(SUM(ki) AS BIGINT) AS kk,
+       |        CAST(SUM(x * ki) AS BIGINT) AS sxk,
+       |        CAST(SUM(x * ni) AS BIGINT) AS sxn,
+       |        CAST(SUM(x * x * ni) AS BIGINT) AS sxxn
+       |      FROM g),
+       |t AS (SELECT nn, kk,
+       |        sxk::DOUBLE - (kk::DOUBLE / nn::DOUBLE) * sxn::DOUBLE
+       |          AS tstat,
+       |        (kk::DOUBLE / nn::DOUBLE) *
+       |          (1.0 - kk::DOUBLE / nn::DOUBLE) *
+       |          (sxxn::DOUBLE - sxn::DOUBLE * sxn::DOUBLE /
+       |            nn::DOUBLE) AS vart
+       |      FROM a)
+       |SELECT nn AS n, kk AS k, ${sqlE6("tstat / 1000.0")} AS t_k_e6,
+       |  ${sqlE6("tstat / SQRT(vart)")} AS z_e6
+       |FROM t ORDER BY n""".stripMargin
+
+  /** q363 oracle: identical centered spine, lag products, and
+    * Durbin-Levinson pacf2. */
+  private val q363Sql: String =
+    s"""WITH daily AS (SELECT epoch_us(ts) * 1000 // $DayNs AS day,
+       |        SUM(value) / COUNT(*)::DOUBLE AS m
+       |      FROM events GROUP BY 1),
+       |mm AS (SELECT COUNT(*)::DOUBLE AS n,
+       |         SUM(m) / COUNT(*)::DOUBLE AS mu
+       |       FROM daily),
+       |c AS (SELECT day, m - mu AS d,
+       |        LAG(m - mu, 1) OVER (ORDER BY day) AS d1,
+       |        LAG(m - mu, 2) OVER (ORDER BY day) AS d2, n
+       |      FROM daily, mm),
+       |a AS (SELECT MAX(n) AS nd, SUM(d * d) AS c0,
+       |        SUM(CASE WHEN d1 IS NOT NULL THEN d * d1 ELSE 0.0
+       |          END) AS c1,
+       |        SUM(CASE WHEN d2 IS NOT NULL THEN d * d2 ELSE 0.0
+       |          END) AS c2
+       |      FROM c),
+       |r AS (SELECT nd, c1 / c0 AS r1, c2 / c0 AS r2 FROM a)
+       |SELECT CAST(nd AS BIGINT) AS n_days, ${sqlE6("r1")} AS r1_e6,
+       |  ${sqlE6("r2")} AS r2_e6,
+       |  ${sqlE6("(r2 - r1 * r1) / (1.0 - r1 * r1)")} AS pacf2_e6
+       |FROM r ORDER BY n_days""".stripMargin
+
+  /** q364 oracle: identical 1-step grid and two backward-induction
+    * steps with purchase absorbing. */
+  private val q364Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |        epoch_us(ts) AS tus FROM events),
+       |s AS (SELECT user_id, event_type,
+       |        LAG(event_type, 1) OVER (PARTITION BY user_id
+       |          ORDER BY tus, event_id) AS p1
+       |      FROM e),
+       |g1 AS (SELECT p1 AS a, event_type AS b,
+       |         CAST(COUNT(*) AS BIGINT) AS n1
+       |       FROM s WHERE p1 IS NOT NULL GROUP BY 1, 2),
+       |p AS (SELECT a, b, n1::DOUBLE /
+       |        (SUM(n1) OVER (PARTITION BY a))::DOUBLE AS p
+       |      FROM g1),
+       |st AS (SELECT DISTINCT a FROM p),
+       |k1 AS (SELECT st.a,
+       |         COALESCE(pp.p, 0.0) AS r
+       |       FROM st LEFT JOIN
+       |         (SELECT a, p FROM p WHERE b = 'purchase') pp
+       |         ON st.a = pp.a),
+       |k2 AS (SELECT st.a,
+       |         COALESCE(pp.p, 0.0) + COALESCE(cc.s, 0.0) AS r
+       |       FROM st
+       |       LEFT JOIN (SELECT a, p FROM p WHERE b = 'purchase') pp
+       |         ON st.a = pp.a
+       |       LEFT JOIN (SELECT p.a, SUM(p.p * k1.r) AS s
+       |                  FROM p JOIN k1 ON p.b = k1.a
+       |                  WHERE p.b <> 'purchase' GROUP BY 1) cc
+       |         ON st.a = cc.a),
+       |k3 AS (SELECT st.a,
+       |         COALESCE(pp.p, 0.0) + COALESCE(cc.s, 0.0) AS r
+       |       FROM st
+       |       LEFT JOIN (SELECT a, p FROM p WHERE b = 'purchase') pp
+       |         ON st.a = pp.a
+       |       LEFT JOIN (SELECT p.a, SUM(p.p * k2.r) AS s
+       |                  FROM p JOIN k2 ON p.b = k2.a
+       |                  WHERE p.b <> 'purchase' GROUP BY 1) cc
+       |         ON st.a = cc.a)
+       |SELECT k1.a, ${sqlE6("k1.r")} AS reach1_e6,
+       |  ${sqlE6("k2.r")} AS reach2_e6, ${sqlE6("k3.r")} AS reach3_e6
+       |FROM k1 JOIN k2 ON k1.a = k2.a JOIN k3 ON k1.a = k3.a
+       |ORDER BY k1.a""".stripMargin
+
+  /** q365 oracle: the q355 histogram discipline per trim level,
+    * identical kept-interval arithmetic. */
+  private val q365Sql: String =
+    s"""WITH h0 AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)
+       |         AS cents, CAST(COUNT(*) AS BIGINT) AS c
+       |       FROM orders GROUP BY 1),
+       |r AS (SELECT cents, c,
+       |        CAST(SUM(c) OVER () AS BIGINT) AS n,
+       |        CAST(SUM(c) OVER (ORDER BY cents
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |      FROM h0),
+       |lv AS (SELECT r.*, cum - c AS prev, pct,
+       |         (n * pct) // 100 AS g
+       |       FROM r, (SELECT UNNEST([1, 5, 10]::BIGINT[]) AS pct)),
+       |k AS (SELECT *, GREATEST(0, LEAST(cum, n - g) -
+       |        GREATEST(prev, g)) AS kept
+       |      FROM lv),
+       |st AS (SELECT pct, MAX(n) AS n, MAX(g) AS g,
+       |         MIN(CASE WHEN prev <= g AND cum >= g + 1
+       |           THEN cents END) AS lo,
+       |         MIN(CASE WHEN prev <= n - g - 1 AND cum >= n - g
+       |           THEN cents END) AS hi,
+       |         CAST(SUM(kept * cents) AS BIGINT) AS ksum,
+       |         SUM(kept * (cents::DOUBLE / 100.0) *
+       |           (cents::DOUBLE / 100.0)) AS ksq
+       |       FROM k GROUP BY 1),
+       |w AS (SELECT pct, n, g,
+       |        CAST(ksum + g * lo + g * hi AS BIGINT) AS wsum,
+       |        ksq + g::DOUBLE * (lo::DOUBLE / 100.0) *
+       |            (lo::DOUBLE / 100.0)
+       |          + g::DOUBLE * (hi::DOUBLE / 100.0) *
+       |            (hi::DOUBLE / 100.0) AS wsq
+       |      FROM st)
+       |SELECT pct, n, g,
+       |  ${sqlE6("wsum::DOUBLE / 100.0 / n::DOUBLE")} AS wmean_e6,
+       |  ${sqlE6("SQRT((wsq - (wsum::DOUBLE / 100.0) * (wsum::DOUBLE / 100.0) / n::DOUBLE) / (n::DOUBLE - 1.0))")} AS wsd_e6
+       |FROM w ORDER BY pct""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q365_winsor_sweep" -> q365Sql,
+    "q364_purchase_reach" -> q364Sql,
+    "q363_pacf_check" -> q363Sql,
+    "q362_cochran_armitage" -> q362Sql,
+    "q361_brier_decomp" -> q361Sql,
+    "q360_cox_stuart" -> q360Sql,
+    "q359_mase_eval" -> q359Sql,
+    "q358_source_dedup_matrix" -> q358Sql,
     "q357_pair_rouge" -> q357Sql,
     "q356_beta_binomial" -> q356Sql,
     "q355_yuen_trimmed_t" -> q355Sql,

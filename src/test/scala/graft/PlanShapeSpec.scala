@@ -468,7 +468,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     "q350_cronbach_alpha", // 1-row user-count + total-var brackets
     "q352_chow_test",     // 1-row midpoint bracket vs the day spine
     "q354_grubbs_test",   // 1-row mean/sd bracket vs the day spine
-    "q356_beta_binomial") // 1-row MoM alpha/beta bracket vs 25 brands
+    "q356_beta_binomial", // 1-row MoM alpha/beta bracket vs 25 brands
+    "q361_brier_decomp",  // 1-row shipdate-midpoint + base-rate
+                          // brackets vs the brand grid
+    "q363_pacf_check")    // 1-row grand-mean bracket vs the day spine
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
