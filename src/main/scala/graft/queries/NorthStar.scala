@@ -6393,6 +6393,10 @@ object NorthStar {
         (countDistinct(expr(
           "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
           .cast("double") / count(lit(1)).cast("double")).as("disp"))
+      // 25-row decision table with FOUR downstream consumers (norms,
+      // v, ideal, scored) — materialize once so the lineitem scan +
+      // join + agg doesn't re-execute per bracket (tfidfKnn precedent)
+      .localCheckpoint(false)
     val norms = b.agg(sqrt(sum(col("rev") * col("rev"))).as("nr"),
       sqrt(sum(col("ret") * col("ret"))).as("nt"),
       sqrt(sum(col("disp") * col("disp"))).as("nd"))
