@@ -7390,7 +7390,226 @@ object NorthStar {
       .ordered(col("pct"))
   }
 
+  // q366 — dedup-threshold decision table: from ONE lossless exact-
+  // Jaccard pair computation (t = 0.3 floor), the candidate-pair
+  // count and greedy keep-first removable-doc count at thresholds
+  // 30/50/70/90% — the "pick the dedup threshold" sweep. A literal
+  // threshold spine keeps empty bands present.
+  private val q366: Q = (s, dir) => {
+    import org.apache.spark.sql.Encoders
+    val pairs = DedupOps.prefixFilteredJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", n = 3,
+        threshold = 0.3)
+      .localCheckpoint(false)
+    val agg = pairs
+      .select(col("id2"), col("jaccard"),
+        explode(array(lit(30L), lit(50L), lit(70L), lit(90L))).as("pct"))
+      .filter(col("jaccard") >= col("pct").cast("double") / 100.0)
+      .groupBy(col("pct"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id2")).as("n_removable"))
+    val spine = s.createDataset(Seq(30L, 50L, 70L, 90L))(Encoders.scalaLong)
+      .toDF("pct")
+    spine.join(agg, Seq("pct"), "left")
+      .select(col("pct"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_removable"), lit(0L)).as("n_removable"))
+      .ordered(col("pct"))
+  }
+
+  // q367 — context-window fit: for windows 512 / 2048 / 8192 tokens,
+  // how many documents fit whole, and what token share truncation
+  // loses — the context-length budget decision, from one token-count
+  // scan with the windows exploded per doc.
+  private val q367: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .select(TextOps.tokenCount(col("text")).cast("long").as("nt"))
+      .select(col("nt"), explode(array(lit(512L), lit(2048L),
+        lit(8192L))).as("win"))
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nt") <= col("win"), 1L).otherwise(0L)).as("n_fit"),
+        sum(col("nt")).as("tok_total"),
+        sum(least(col("nt"), col("win"))).as("tok_kept"))
+      .select(col("win"), col("n_docs"), col("n_fit"), col("tok_total"),
+        col("tok_kept"),
+        e6(lit(1.0) - col("tok_kept").cast("double") /
+          col("tok_total").cast("double")).as("loss_e6"))
+      .ordered(col("win"))
+  }
+
+  // q368 — near-dup transitivity audit: the exact t = 0.4 pair graph
+  // vs its connected-component closure — how many implied pairs the
+  // clusters add beyond the verified ones (large gaps mean chained
+  // merges of non-similar docs). Direct pairs from the lossless
+  // PPJoin; closure sizes from the label-propagation components.
+  private val q368: Q = (s, dir) => {
+    val pairs = DedupOps.prefixFilteredJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", n = 3,
+        threshold = 0.4)
+      .select(col("id1"), col("id2"))
+      .localCheckpoint(false)
+    val sizes = DedupOps.connectedComponents(pairs, "id1", "id2")
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("m"))
+    val cl = sizes.agg(count(lit(1)).as("n_clusters"),
+      (sum(col("m") * (col("m") - 1L)) / lit(2L)).cast("long")
+        .as("n_closure_pairs"))
+    val dp = pairs.agg(count(lit(1)).as("n_direct_pairs"))
+    dp.crossJoin(broadcast(cl))
+      .select(col("n_direct_pairs"), col("n_clusters"),
+        col("n_closure_pairs"),
+        e6(lit(1.0) - col("n_direct_pairs").cast("double") /
+          col("n_closure_pairs").cast("double")).as("gap_e6"))
+      .ordered(col("n_direct_pairs"))
+  }
+
+  // q369 — sampled dup-rate estimator audit: exact-dup rate measured
+  // on a deterministic md5 20% doc sample vs the full corpus — can
+  // the cheap sample stand in for the full scan at 100 TB?
+  private val q369: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("inS", CurationOps.md5Hash32(
+        concat(lit("ds:"), col("doc_id").cast("string"))) < 858993459L)
+    d.agg(count(lit(1)).as("n_full"),
+        countDistinct(col("text")).as("u_full"),
+        sum(when(col("inS"), 1L).otherwise(0L)).as("n_samp"),
+        countDistinct(when(col("inS"), col("text"))).as("u_samp"))
+      .select(col("n_full"), col("n_samp"),
+        e6(lit(1.0) - col("u_full").cast("double") /
+          col("n_full").cast("double")).as("rate_full_e6"),
+        e6(lit(1.0) - col("u_samp").cast("double") /
+          col("n_samp").cast("double")).as("rate_samp_e6"),
+        e6(abs((lit(1.0) - col("u_samp").cast("double") /
+          col("n_samp").cast("double")) -
+          (lit(1.0) - col("u_full").cast("double") /
+            col("n_full").cast("double")))).as("abs_err_e6"))
+      .ordered(col("n_full"))
+  }
+
+  // q370 — dedup keep-policy sensitivity: within the q368 near-dup
+  // clusters, keep-first (min doc id) vs keep-longest (max length,
+  // min-id tiebreak) — how often the choices differ and what byte
+  // budgets each keeps. Exact-dup groups cannot differ (identical
+  // text), so this runs on the near-dup closure.
+  private val q370: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val pairs = DedupOps.prefixFilteredJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", n = 3,
+        threshold = 0.4)
+      .select(col("id1"), col("id2"))
+    val members = DedupOps.connectedComponents(pairs, "id1", "id2")
+      .join(docs, col("id") === col("doc_id"))
+    val choices = members.groupBy(col("cluster_id"))
+      .agg(min(col("id")).as("keep_first"),
+        max(struct(col("len"), (-col("id")).as("nid"))).as("kl"),
+        count(lit(1)).as("m"))
+      .select(col("cluster_id"), col("keep_first"),
+        (-col("kl.nid")).as("keep_longest"), col("m"))
+    val kf = choices.join(docs,
+        col("keep_first") === col("doc_id"))
+      .agg(sum(col("len")).as("bytes_first"))
+    val kl2 = choices.join(docs,
+        col("keep_longest") === col("doc_id"))
+      .agg(sum(col("len")).as("bytes_longest"))
+    val diff = choices.agg(count(lit(1)).as("n_clusters"),
+      sum(when(col("keep_first") =!= col("keep_longest"), 1L)
+        .otherwise(0L)).as("n_diff"))
+    diff.crossJoin(broadcast(kf)).crossJoin(broadcast(kl2))
+      .select(col("n_clusters"), col("n_diff"), col("bytes_first"),
+        col("bytes_longest"))
+      .ordered(col("n_clusters"))
+  }
+
+  // q371 — minhash k sensitivity: on the md5-parity candidate pairs
+  // (doc_id < 250 slice, no threshold), the mean |estimated - exact|
+  // Jaccard of signature prefixes k = 2 / 4 / 8 — the "how many
+  // hashes do we pay for" calibration table.
+  private val q371: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 250)
+    val withJ = DedupOps.minhashLshDedupParity(docs, "doc_id", "text",
+        shingleN = 2, k = 8, bands = 4, threshold = 0.0)
+      .select(col("id1"), col("id2"), col("jaccard"))
+    val sig = DedupOps.minhashSignatureTable(docs, "doc_id", "text",
+        shingleN = 2, k = 8)
+      .select(col("doc_id"), col("sig"))
+    val joined = withJ
+      .join(sig.select(col("doc_id").as("id1"), col("sig").as("sa")),
+        "id1")
+      .join(sig.select(col("doc_id").as("id2"), col("sig").as("sb")),
+        "id2")
+    def est(k: Int): Column =
+      aggregate(zip_with(slice(col("sa"), 1, k), slice(col("sb"), 1, k),
+        (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / k.toDouble
+    joined
+      .select(col("jaccard"), explode(array(
+        struct(lit(2L).as("k"), est(2).as("e")),
+        struct(lit(4L).as("k"), est(4).as("e")),
+        struct(lit(8L).as("k"), est(8).as("e")))).as("p"))
+      .groupBy(col("p.k").as("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        e6(sum(abs(col("p.e") - col("jaccard"))) /
+          count(lit(1)).cast("double")).as("mae_e6"))
+      .ordered(col("k"))
+  }
+
+  // q372 — rare-shingle cross-source leakage: trigram shingles whose
+  // document frequency is exactly 2, split by whether the two
+  // documents share a source — df-2 shingles bridging different
+  // sources are the contamination tell (token-level df never reaches
+  // 2 on this corpus's 31-word vocabulary). Bounded output per
+  // unordered source pair.
+  private val q372: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val df2 = docs
+      .select(col("doc_id"), explode(array_distinct(
+        TextOps.wordShingles(col("text"), 3))).as("tk"))
+      .groupBy(col("tk"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("d1"),
+        max(col("doc_id")).as("d2"))
+      .filter(col("df") === 2L)
+    val src = docs.select(col("doc_id"), col("source"))
+    df2
+      .join(src.select(col("doc_id").as("d1"), col("source").as("sa")),
+        "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("sb")),
+        "d2")
+      .groupBy(least(col("sa"), col("sb")).as("s_lo"),
+        greatest(col("sa"), col("sb")).as("s_hi"))
+      .agg(count(lit(1)).as("n_tokens"))
+      .ordered(col("s_lo"), col("s_hi"))
+  }
+
+  // q373 — shingle document-frequency tail: the inverted-index cost
+  // model. Per df band (1, 2, 3-10, >10): distinct-shingle count and
+  // the candidate-pair mass sum df*(df-1)/2 a banding join would
+  // verify — what the posting-list tail costs BEFORE paying for it.
+  private val q373: Q = (s, dir) => {
+    val dft = t(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(
+        TextOps.wordShingles(col("text"), 3))).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    dft
+      .withColumn("band", when(col("df") === 1L, 1L)
+        .when(col("df") === 2L, 2L)
+        .when(col("df") <= 10L, 3L).otherwise(4L))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_shingles"),
+        (sum(col("df") * (col("df") - 1L)) / lit(2L)).cast("long")
+          .as("pair_mass"))
+      .ordered(col("band"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q373_shingle_df_tail" -> q373,
+    "q372_rare_shingle_leakage" -> q372,
+    "q371_minhash_k_sensitivity" -> q371,
+    "q370_keep_policy" -> q370,
+    "q369_sampled_dup_rate" -> q369,
+    "q368_transitivity_audit" -> q368,
+    "q367_context_window_fit" -> q367,
+    "q366_dedup_threshold_sweep" -> q366,
     "q365_winsor_sweep" -> q365,
     "q364_purchase_reach" -> q364,
     "q363_pacf_check" -> q363,
@@ -16321,7 +16540,221 @@ object NorthStar {
        |  ${sqlE6("SQRT((wsq - (wsum::DOUBLE / 100.0) * (wsum::DOUBLE / 100.0) / n::DOUBLE) / (n::DOUBLE - 1.0))")} AS wsd_e6
        |FROM w ORDER BY pct""".stripMargin
 
+  /** Shared q189-style plain exact-trigram-Jaccard pair derivation
+    * (CTE chain ending in `pr`: id1, id2, j >= the given floor). */
+  private def exactTrigramPairCtes(thr: String): String =
+    s"""d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(tk) >= 3
+       |              THEN list_distinct(list_transform(range(1, len(tk) - 1),
+       |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+       |              ELSE [] END AS sh
+       |  FROM d),
+       |inv AS (SELECT doc_id, unnest(sh) AS s1 FROM s),
+       |pp AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+       |  FROM inv a JOIN inv b ON a.s1 = b.s1 AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+       |pr AS (
+       |  SELECT id1, id2, shared * 1.0 / (x.n + y.n - shared) AS j
+       |  FROM pp JOIN sz x ON id1 = x.doc_id
+       |  JOIN sz y ON id2 = y.doc_id
+       |  WHERE shared * 1.0 / (x.n + y.n - shared) >= $thr)""".stripMargin
+
+  /** q366 oracle: one exact pair derivation, threshold spine LEFT
+    * JOIN so empty bands stay present. */
+  private val q366Sql: String =
+    s"""WITH ${exactTrigramPairCtes("0.3")},
+       |th AS (SELECT UNNEST([30, 50, 70, 90]::BIGINT[]) AS pct),
+       |a AS (SELECT pct, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |        CAST(COUNT(DISTINCT id2) AS BIGINT) AS n_removable
+       |      FROM pr JOIN th ON j >= pct::DOUBLE / 100.0 GROUP BY 1)
+       |SELECT th.pct, COALESCE(n_pairs, 0) AS n_pairs,
+       |  COALESCE(n_removable, 0) AS n_removable
+       |FROM th LEFT JOIN a USING (pct) ORDER BY pct""".stripMargin
+
+  /** q367 oracle: identical token counts, windows exploded. */
+  private val q367Sql: String =
+    s"""WITH d AS (SELECT len(regexp_split_to_array(lower(trim(text)),
+       |             '\\s+')) AS nt FROM documents),
+       |w AS (SELECT nt, UNNEST([512, 2048, 8192]::BIGINT[]) AS win
+       |      FROM d),
+       |a AS (SELECT win, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |        CAST(SUM(CASE WHEN nt <= win THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS n_fit,
+       |        CAST(SUM(nt) AS BIGINT) AS tok_total,
+       |        CAST(SUM(LEAST(nt, win)) AS BIGINT) AS tok_kept
+       |      FROM w GROUP BY 1)
+       |SELECT win, n_docs, n_fit, tok_total, tok_kept,
+       |  ${sqlE6("1.0 - tok_kept::DOUBLE / tok_total::DOUBLE")} AS loss_e6
+       |FROM a ORDER BY win""".stripMargin
+
+  /** q368 oracle: exact t=0.4 pairs + recursive reachability closure
+    * (the q54 pattern), cluster-size pair mass. */
+  private val q368Sql: String =
+    s"""WITH RECURSIVE ${exactTrigramPairCtes("0.4")},
+       |edges AS (SELECT id1 AS s, id2 AS dd FROM pr
+       |          UNION SELECT id2, id1 FROM pr),
+       |nodes AS (SELECT DISTINCT s AS id FROM edges),
+       |reach(id, lab) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dd, r.lab FROM reach r JOIN edges e ON e.s = r.id),
+       |labs AS (SELECT id, MIN(lab) AS cluster_id FROM reach
+       |         GROUP BY id),
+       |sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS m
+       |          FROM labs GROUP BY 1),
+       |cl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |         CAST(SUM(m * (m - 1) // 2) AS BIGINT)
+       |           AS n_closure_pairs
+       |       FROM sizes),
+       |dp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_direct_pairs
+       |       FROM pr)
+       |SELECT n_direct_pairs, n_clusters, n_closure_pairs,
+       |  ${sqlE6("1.0 - n_direct_pairs::DOUBLE / n_closure_pairs::DOUBLE")} AS gap_e6
+       |FROM dp, cl ORDER BY n_direct_pairs""".stripMargin
+
+  /** q369 oracle: identical md5 20% sample and distinct-text rates. */
+  private val q369Sql: String =
+    s"""WITH d AS (SELECT doc_id, text,
+       |        ${sqlHex32("md5('ds:' || doc_id::VARCHAR)")}
+       |          < 858993459 AS inS
+       |      FROM documents),
+       |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_full,
+       |        CAST(COUNT(DISTINCT text) AS BIGINT) AS u_full,
+       |        CAST(SUM(CASE WHEN inS THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS n_samp,
+       |        CAST(COUNT(DISTINCT CASE WHEN inS THEN text END)
+       |          AS BIGINT) AS u_samp
+       |      FROM d)
+       |SELECT n_full, n_samp,
+       |  ${sqlE6("1.0 - u_full::DOUBLE / n_full::DOUBLE")} AS rate_full_e6,
+       |  ${sqlE6("1.0 - u_samp::DOUBLE / n_samp::DOUBLE")} AS rate_samp_e6,
+       |  ${sqlE6("ABS((1.0 - u_samp::DOUBLE / n_samp::DOUBLE) - (1.0 - u_full::DOUBLE / n_full::DOUBLE))")} AS abs_err_e6
+       |FROM a ORDER BY n_full""".stripMargin
+
+  /** q370 oracle: q368's closure, per-cluster keep-first vs
+    * struct-max keep-longest, byte budgets from the same lengths. */
+  private val q370Sql: String =
+    s"""WITH RECURSIVE ${exactTrigramPairCtes("0.4")},
+       |edges AS (SELECT id1 AS s, id2 AS dd FROM pr
+       |          UNION SELECT id2, id1 FROM pr),
+       |nodes AS (SELECT DISTINCT s AS id FROM edges),
+       |reach(id, lab) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dd, r.lab FROM reach r JOIN edges e ON e.s = r.id),
+       |labs AS (SELECT id, MIN(lab) AS cluster_id FROM reach
+       |         GROUP BY id),
+       |dl AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len
+       |       FROM documents),
+       |mem AS (SELECT labs.id, labs.cluster_id, dl.len
+       |        FROM labs JOIN dl ON labs.id = dl.doc_id),
+       |ch AS (SELECT cluster_id, MIN(id) AS keep_first,
+       |         -((MAX(struct_pack(len := len, nid := -id))).nid)
+       |           AS keep_longest,
+       |         CAST(COUNT(*) AS BIGINT) AS m
+       |       FROM mem GROUP BY 1),
+       |kf AS (SELECT CAST(SUM(dl.len) AS BIGINT) AS bytes_first
+       |       FROM ch JOIN dl ON ch.keep_first = dl.doc_id),
+       |kl AS (SELECT CAST(SUM(dl.len) AS BIGINT) AS bytes_longest
+       |       FROM ch JOIN dl ON ch.keep_longest = dl.doc_id),
+       |df AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |         CAST(SUM(CASE WHEN keep_first <> keep_longest THEN 1
+       |           ELSE 0 END) AS BIGINT) AS n_diff
+       |       FROM ch)
+       |SELECT n_clusters, n_diff, bytes_first, bytes_longest
+       |FROM df, kf, kl ORDER BY n_clusters""".stripMargin
+
+  /** q371 oracle: the q47 md5-parity pairs + signature prefixes,
+    * per-k agreement rates vs the exact Jaccard. */
+  private val q371Sql: String =
+    s"""WITH $minhashParityCtes,
+       |jj AS (SELECT ver.id1, ver.id2, ver.jaccard,
+       |         x.sig AS sa, y.sig AS sb
+       |       FROM ver JOIN g x ON ver.id1 = x.doc_id
+       |       JOIN g y ON ver.id2 = y.doc_id),
+       |u AS (
+       |  SELECT 2 AS k, jaccard,
+       |    len(list_filter(range(1, 3), q -> sa[q] = sb[q]))::DOUBLE
+       |      / 2.0 AS e
+       |  FROM jj
+       |  UNION ALL
+       |  SELECT 4, jaccard,
+       |    len(list_filter(range(1, 5), q -> sa[q] = sb[q]))::DOUBLE
+       |      / 4.0
+       |  FROM jj
+       |  UNION ALL
+       |  SELECT 8, jaccard,
+       |    len(list_filter(range(1, 9), q -> sa[q] = sb[q]))::DOUBLE
+       |      / 8.0
+       |  FROM jj)
+       |SELECT CAST(k AS BIGINT) AS k,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  ${sqlE6("SUM(ABS(e - jaccard)) / COUNT(*)::DOUBLE")} AS mae_e6
+       |FROM u GROUP BY k ORDER BY k""".stripMargin
+
+  /** q372 oracle: identical distinct-trigram df grid, df = 2 bridge
+    * endpoints, unordered source pair counts. */
+  private val q372Sql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |        regexp_split_to_array(lower(trim(text)), '\\s+') AS tk2
+       |      FROM documents),
+       |sgl AS (SELECT doc_id,
+       |         CASE WHEN len(tk2) >= 3
+       |              THEN list_distinct(list_transform(range(1, len(tk2) - 1),
+       |                     i -> tk2[i] || ' ' || tk2[i+1] || ' ' || tk2[i+2]))
+       |              ELSE [] END AS sh
+       |       FROM d),
+       |u AS (SELECT doc_id, unnest(sh) AS tk FROM sgl),
+       |g AS (SELECT tk, COUNT(*) AS df, MIN(doc_id) AS d1,
+       |        MAX(doc_id) AS d2
+       |      FROM u GROUP BY 1),
+       |f AS (SELECT * FROM g WHERE df = 2),
+       |m AS (SELECT LEAST(a.source, b.source) AS s_lo,
+       |        GREATEST(a.source, b.source) AS s_hi
+       |      FROM f JOIN documents a ON f.d1 = a.doc_id
+       |      JOIN documents b ON f.d2 = b.doc_id)
+       |SELECT s_lo, s_hi, CAST(COUNT(*) AS BIGINT) AS n_tokens
+       |FROM m GROUP BY 1, 2 ORDER BY s_lo, s_hi""".stripMargin
+
+  /** q373 oracle: identical distinct-trigram df grid and band pair
+    * mass. */
+  private val q373Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(tk) >= 3
+       |              THEN list_distinct(list_transform(range(1, len(tk) - 1),
+       |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+       |              ELSE [] END AS sh
+       |  FROM d),
+       |inv AS (SELECT doc_id, unnest(sh) AS s1 FROM s),
+       |g AS (SELECT s1, CAST(COUNT(*) AS BIGINT) AS df
+       |      FROM inv GROUP BY 1),
+       |b AS (SELECT CASE WHEN df = 1 THEN 1 WHEN df = 2 THEN 2
+       |        WHEN df <= 10 THEN 3 ELSE 4 END AS band, df
+       |      FROM g)
+       |SELECT CAST(band AS BIGINT) AS band,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |  CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS pair_mass
+       |FROM b GROUP BY 1 ORDER BY band""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q373_shingle_df_tail" -> q373Sql,
+    "q372_rare_shingle_leakage" -> q372Sql,
+    "q371_minhash_k_sensitivity" -> q371Sql,
+    "q370_keep_policy" -> q370Sql,
+    "q369_sampled_dup_rate" -> q369Sql,
+    "q368_transitivity_audit" -> q368Sql,
+    "q367_context_window_fit" -> q367Sql,
+    "q366_dedup_threshold_sweep" -> q366Sql,
     "q365_winsor_sweep" -> q365Sql,
     "q364_purchase_reach" -> q364Sql,
     "q363_pacf_check" -> q363Sql,

@@ -471,7 +471,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     "q356_beta_binomial", // 1-row MoM alpha/beta bracket vs 25 brands
     "q361_brier_decomp",  // 1-row shipdate-midpoint + base-rate
                           // brackets vs the brand grid
-    "q363_pacf_check")    // 1-row grand-mean bracket vs the day spine
+    "q363_pacf_check",    // 1-row grand-mean bracket vs the day spine
+    "q368_transitivity_audit", // 1-row closure-stats bracket vs the
+                          // direct-pair count
+    "q370_keep_policy")   // 1-row byte-budget brackets vs the
+                          // cluster choice table
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
