@@ -7601,7 +7601,203 @@ object NorthStar {
       .ordered(col("band"))
   }
 
+  // q374 — brand co-purchase harmonic centrality (<= 2 hops): the
+  // 25-node same-order co-purchase graph, per brand its direct degree
+  // and strict two-hop reach, harmonic centrality as the EXACT
+  // integer 2*degree + twohop (distances 1 and 1/2, doubled).
+  private val q374: Q = (s, dir) => {
+    val ob = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+      .distinct()
+    val pairs = ob.join(ob.select(col("ok"), col("b").as("b2")), "ok")
+      .filter(col("b") < col("b2"))
+      .select(col("b").as("x"), col("b2").as("y")).distinct()
+      .localCheckpoint(false)
+    val edges = pairs.unionByName(
+      pairs.select(col("y").as("x"), col("x").as("y")))
+    val deg = edges.groupBy(col("x").as("brand"))
+      .agg(count(lit(1)).as("degree"))
+    val two = edges.select(col("x").as("a"), col("y").as("mid"))
+      .join(edges.select(col("x").as("mid"), col("y").as("c")), "mid")
+      .filter(col("a") =!= col("c"))
+      .select(col("a"), col("c")).distinct()
+      .join(edges.select(col("x").as("a"), col("y").as("c"),
+        lit(1).as("direct")), Seq("a", "c"), "left_anti")
+      .groupBy(col("a").as("brand")).agg(count(lit(1)).as("twohop"))
+    deg.join(two, Seq("brand"), "left")
+      .select(col("brand"), col("degree"),
+        coalesce(col("twohop"), lit(0L)).as("twohop"),
+        (col("degree") * 2L + coalesce(col("twohop"), lit(0L)))
+          .as("harmonic2x"))
+      .ordered(col("brand"))
+  }
+
+  // q375 — binding-gate attribution for a 4-gate quality filter:
+  // which gate actually drops the corpus (total fails and
+  // UNIQUE-binding fails per gate). All gate predicates are exact
+  // integer comparisons, so the table is engine-exact. Gate config
+  // is this query's own (q55's families): g1 tokens in [20, 1e5],
+  // g2 mean token length in [3, 10], g3 top-token share <= 10%,
+  // g4 duplicate-bigram share <= 50%.
+  private val q375: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val tf = d.select(col("doc_id"), explode(col("toks")).as("tk2"))
+      .groupBy(col("doc_id"), col("tk2")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("nt"), max(col("c")).as("topc"),
+        sum(length(col("tk2")) * col("c")).as("lensum"))
+    val bg = d.select(col("doc_id"),
+        explode(TextOps.shinglesFromTokens(col("toks"), 2)).as("g2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n2"), countDistinct(col("g2")).as("n2d"))
+    val gates = tf.join(bg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("nt") >= 20L && col("nt") <= 100000L).as("g1"),
+        (col("lensum") >= col("nt") * 3L &&
+          col("lensum") <= col("nt") * 10L).as("g2"),
+        (col("topc") * 10L <= col("nt")).as("g3"),
+        (coalesce(col("n2"), lit(0L)) === 0L ||
+          (coalesce(col("n2"), lit(0L)) -
+            coalesce(col("n2d"), lit(0L))) * 2L <=
+            coalesce(col("n2"), lit(0L))).as("g4"))
+      .withColumn("nfail",
+        (when(col("g1"), 0).otherwise(1) + when(col("g2"), 0).otherwise(1)
+          + when(col("g3"), 0).otherwise(1)
+          + when(col("g4"), 0).otherwise(1)).cast("long"))
+      .localCheckpoint(false)
+    val per = Seq("g1", "g2", "g3", "g4").map { g =>
+      gates.agg(
+          sum(when(!col(g), 1L).otherwise(0L)).as("n_fail"),
+          sum(when(!col(g) && col("nfail") === 1L, 1L).otherwise(0L))
+            .as("n_unique"))
+        .select(lit(g).as("gate"), col("n_fail"), col("n_unique"))
+    }
+    val tot = gates.agg(count(lit(1)).as("n_docs"),
+      sum(when(col("nfail") === 0L, 1L).otherwise(0L)).as("n_pass"))
+    per.reduce(_.unionByName(_))
+      .crossJoin(broadcast(tot))
+      .select(col("gate"), col("n_fail"), col("n_unique"),
+        col("n_docs"), col("n_pass"))
+      .ordered(col("gate"))
+  }
+
+  // q376 — margin by market segment: exact-cents revenue, pseudo-cost
+  // (retail-price cents x quantity), and tax-inclusive revenue per
+  // c_mktsegment — the first query exercising l_tax, p_retailprice
+  // and c_mktsegment together.
+  private val q376: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"),
+        expr("CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+          .as("rev_c"),
+        expr("CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)")
+          .as("revtax_c"))
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"),
+          expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)").as("ret_c"))),
+        col("l_partkey") === col("p_partkey"))
+    val oc = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"))
+    li.join(oc, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("rev_c")).as("rev_c"),
+        sum(col("revtax_c")).as("revtax_c"),
+        sum(col("ret_c") * col("qty")).as("cost_c"))
+      .select(col("segment"), col("n_lines"), col("rev_c"),
+        col("revtax_c"), col("cost_c"),
+        e6(lit(1.0) - col("cost_c").cast("double") /
+          col("rev_c").cast("double")).as("margin_e6"))
+      .ordered(col("segment"))
+  }
+
+  // q377 — supplier concentration per brand: how many suppliers serve
+  // each brand and the HHI of their line-count shares — exact integer
+  // numerator/denominator, single e6 pin.
+  private val q377: Q = (s, dir) => {
+    val g = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"), col("l_suppkey"))
+      .agg(count(lit(1)).as("c"))
+    g.groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_suppliers"), sum(col("c")).as("n_lines"),
+        sum(col("c") * col("c")).as("c2"))
+      .select(col("brand"), col("n_suppliers"), col("n_lines"),
+        e6(col("c2").cast("double") /
+          (col("n_lines").cast("double") * col("n_lines").cast("double")))
+          .as("hhi_e6"))
+      .ordered(col("brand"))
+  }
+
+  // q378 — order-status x line-status consistency grid: cell counts,
+  // within-order-status shares, and each order status's majority line
+  // status (deterministic rank over the bounded grid).
+  private val q378: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val g = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linestatus"))
+      .join(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus").as("os"), col("l_linestatus").as("ls"))
+      .agg(count(lit(1)).as("n"))
+    g.withColumn("tot", sum(col("n")).over(Window.partitionBy(col("os"))))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("os"))
+        .orderBy(col("n").desc, col("ls"))))
+      .select(col("os"), col("ls"), col("n"),
+        e6(col("n").cast("double") / col("tot").cast("double"))
+          .as("share_e6"),
+        (col("rk") === 1).as("is_majority"))
+      .ordered(col("os"), col("ls"))
+  }
+
+  // q379 — label-centroid separation matrix: cosine between every
+  // unordered pair of per-label embedding centroids — are the labels
+  // separable at the centroid level? Bounded |labels|^2 join over the
+  // exploded (label, dim) centroid relation.
+  private val q379: Q = (s, dir) => {
+    val cent = SimilarityOps.labelCentroids(t(s, dir, "embeddings"),
+        "label", "embedding")
+      .select(col("label"), col("n"),
+        posexplode(col("centroid")).as(Seq("dim", "v")))
+      .localCheckpoint(false)
+    val norms = cent.groupBy(col("label"), col("n"))
+      .agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
+    val dots = cent.select(col("label").as("l1"), col("dim"),
+        col("v").as("v1"))
+      .join(cent.select(col("label").as("l2"), col("dim"),
+        col("v").as("v2")), "dim")
+      .filter(col("l1") < col("l2"))
+      .groupBy(col("l1"), col("l2")).agg(sum(col("v1") * col("v2"))
+        .as("dot"))
+    dots
+      .join(norms.select(col("label").as("l1"), col("n").as("n1"),
+        col("nrm").as("nrm1")), "l1")
+      .join(norms.select(col("label").as("l2"), col("n").as("n2"),
+        col("nrm").as("nrm2")), "l2")
+      .select(col("l1"), col("l2"), col("n1"), col("n2"),
+        e6(col("dot") / (col("nrm1") * col("nrm2"))).as("cos_e6"))
+      .ordered(col("l1"), col("l2"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q379_label_separation" -> q379,
+    "q378_status_grid" -> q378,
+    "q377_supplier_hhi" -> q377,
+    "q376_segment_margin" -> q376,
+    "q375_gate_attribution" -> q375,
+    "q374_copurchase_centrality" -> q374,
     "q373_shingle_df_tail" -> q373,
     "q372_rare_shingle_leakage" -> q372,
     "q371_minhash_k_sensitivity" -> q371,
@@ -16746,7 +16942,169 @@ object NorthStar {
        |  CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS pair_mass
        |FROM b GROUP BY 1 ORDER BY band""".stripMargin
 
+  /** q374 oracle: identical distinct co-purchase pairs, symmetric
+    * edges, strict two-hop anti-join, integer harmonic2x. */
+  private val q374Sql: String =
+    s"""WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+       |            FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |pr AS (SELECT DISTINCT a.b AS x, c.b AS y
+       |       FROM ob a JOIN ob c ON a.ok = c.ok AND a.b < c.b),
+       |ed AS (SELECT x, y FROM pr UNION ALL SELECT y, x FROM pr),
+       |deg AS (SELECT x AS brand, CAST(COUNT(*) AS BIGINT) AS degree
+       |        FROM ed GROUP BY 1),
+       |th AS (SELECT DISTINCT e1.x AS a, e2.y AS c
+       |       FROM ed e1 JOIN ed e2 ON e1.y = e2.x AND e1.x <> e2.y),
+       |two AS (SELECT a AS brand, CAST(COUNT(*) AS BIGINT) AS twohop
+       |        FROM th WHERE NOT EXISTS (
+       |          SELECT 1 FROM ed WHERE ed.x = th.a AND ed.y = th.c)
+       |        GROUP BY 1)
+       |SELECT deg.brand, degree,
+       |  CAST(COALESCE(twohop, 0) AS BIGINT) AS twohop,
+       |  CAST(degree * 2 + COALESCE(twohop, 0) AS BIGINT)
+       |    AS harmonic2x
+       |FROM deg LEFT JOIN two ON deg.brand = two.brand
+       |ORDER BY deg.brand""".stripMargin
+
+  /** q375 oracle: identical integer gate predicates, per-gate fail /
+    * unique-binding counts. */
+  private val q375Sql: String = {
+    val perGate = Seq("g1", "g2", "g3", "g4").map { g =>
+      s"""SELECT '$g' AS gate,
+         |    CAST(SUM(CASE WHEN NOT $g THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_fail,
+         |    CAST(SUM(CASE WHEN NOT $g AND nfail = 1 THEN 1 ELSE 0
+         |      END) AS BIGINT) AS n_unique
+         |  FROM gn""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH d AS (SELECT doc_id,
+       |        regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |      FROM documents),
+       |tf0 AS (SELECT doc_id, unnest(toks) AS tk2 FROM d),
+       |tfc AS (SELECT doc_id, tk2, COUNT(*) AS c FROM tf0
+       |        GROUP BY 1, 2),
+       |tf AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nt,
+       |         CAST(MAX(c) AS BIGINT) AS topc,
+       |         CAST(SUM(length(tk2) * c) AS BIGINT) AS lensum
+       |       FROM tfc GROUP BY 1),
+       |bgr AS (SELECT doc_id,
+       |         unnest(CASE WHEN len(toks) >= 2
+       |                THEN list_transform(range(1, len(toks)),
+       |                       i -> array_to_string(toks[i:i+1], ' '))
+       |                ELSE [] END) AS g2g
+       |       FROM d),
+       |bg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n2,
+       |         CAST(COUNT(DISTINCT g2g) AS BIGINT) AS n2d
+       |       FROM bgr GROUP BY 1),
+       |gt AS (SELECT tf.doc_id,
+       |         nt >= 20 AND nt <= 100000 AS g1,
+       |         lensum >= nt * 3 AND lensum <= nt * 10 AS g2,
+       |         topc * 10 <= nt AS g3,
+       |         COALESCE(n2, 0) = 0 OR
+       |           (COALESCE(n2, 0) - COALESCE(n2d, 0)) * 2
+       |             <= COALESCE(n2, 0) AS g4
+       |       FROM tf LEFT JOIN bg ON tf.doc_id = bg.doc_id),
+       |gn AS (SELECT *,
+       |         (CASE WHEN g1 THEN 0 ELSE 1 END +
+       |          CASE WHEN g2 THEN 0 ELSE 1 END +
+       |          CASE WHEN g3 THEN 0 ELSE 1 END +
+       |          CASE WHEN g4 THEN 0 ELSE 1 END) AS nfail
+       |       FROM gt),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |          CAST(SUM(CASE WHEN nfail = 0 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_pass
+       |        FROM gn),
+       |per AS (
+       |  $perGate)
+       |SELECT gate, n_fail, n_unique, n_docs, n_pass
+       |FROM per, tot ORDER BY gate""".stripMargin
+  }
+
+  /** q376 oracle: identical exact-cents revenue / tax-inclusive /
+    * pseudo-cost sums per segment. */
+  private val q376Sql: String =
+    s"""WITH li AS (SELECT l_orderkey,
+       |         CAST(l_quantity AS BIGINT) AS qty,
+       |         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+       |           AS BIGINT) AS rev_c,
+       |         CAST(ROUND(l_extendedprice * (1 - l_discount) *
+       |           (1 + l_tax) * 100) AS BIGINT) AS revtax_c,
+       |         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS ret_c
+       |       FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |oc AS (SELECT o_orderkey, c_mktsegment
+       |       FROM orders JOIN customer ON o_custkey = c_custkey)
+       |SELECT c_mktsegment AS segment,
+       |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(SUM(rev_c) AS BIGINT) AS rev_c,
+       |  CAST(SUM(revtax_c) AS BIGINT) AS revtax_c,
+       |  CAST(SUM(ret_c * qty) AS BIGINT) AS cost_c,
+       |  ${sqlE6("1.0 - SUM(ret_c * qty)::DOUBLE / SUM(rev_c)::DOUBLE")} AS margin_e6
+       |FROM li JOIN oc ON l_orderkey = o_orderkey
+       |GROUP BY 1 ORDER BY segment""".stripMargin
+
+  /** q377 oracle: identical per-(brand, supplier) counts and exact
+    * HHI ratio. */
+  private val q377Sql: String =
+    s"""WITH g AS (SELECT p_brand AS brand, l_suppkey,
+       |        CAST(COUNT(*) AS BIGINT) AS c
+       |      FROM lineitem JOIN part ON l_partkey = p_partkey
+       |      GROUP BY 1, 2),
+       |a AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       |        CAST(SUM(c) AS BIGINT) AS n_lines,
+       |        CAST(SUM(c * c) AS BIGINT) AS c2
+       |      FROM g GROUP BY 1)
+       |SELECT brand, n_suppliers, n_lines,
+       |  ${sqlE6("c2::DOUBLE / (n_lines::DOUBLE * n_lines::DOUBLE)")} AS hhi_e6
+       |FROM a ORDER BY brand""".stripMargin
+
+  /** q378 oracle: identical status grid, within-order-status shares,
+    * deterministic majority rank. */
+  private val q378Sql: String =
+    s"""WITH g AS (SELECT o_orderstatus AS os, l_linestatus AS ls,
+       |        CAST(COUNT(*) AS BIGINT) AS n
+       |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |      GROUP BY 1, 2),
+       |m AS (SELECT os, ls, n,
+       |        CAST(SUM(n) OVER (PARTITION BY os) AS BIGINT) AS tot,
+       |        ROW_NUMBER() OVER (PARTITION BY os
+       |          ORDER BY n DESC, ls) AS rk
+       |      FROM g)
+       |SELECT os, ls, n,
+       |  ${sqlE6("n::DOUBLE / tot::DOUBLE")} AS share_e6,
+       |  rk = 1 AS is_majority
+       |FROM m ORDER BY os, ls""".stripMargin
+
+  /** q379 oracle: identical per-(label, dim) centroid averages,
+    * norms, and pair dot products. */
+  private val q379Sql: String =
+    s"""WITH e AS (SELECT label, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |u AS (SELECT label, unnest(v) AS val,
+       |        generate_subscripts(v, 1) AS dim
+       |      FROM e),
+       |cent AS (SELECT label, dim, AVG(val) AS m FROM u
+       |         GROUP BY 1, 2),
+       |nn AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM e
+       |       GROUP BY 1),
+       |nrm AS (SELECT label, SQRT(SUM(m * m)) AS nrm FROM cent
+       |        GROUP BY 1),
+       |dots AS (SELECT a.label AS l1, b.label AS l2,
+       |           SUM(a.m * b.m) AS dot
+       |         FROM cent a JOIN cent b
+       |         ON a.dim = b.dim AND a.label < b.label
+       |         GROUP BY 1, 2)
+       |SELECT l1, l2, x.n AS n1, y.n AS n2,
+       |  ${sqlE6("dot / (nx.nrm * ny.nrm)")} AS cos_e6
+       |FROM dots JOIN nn x ON l1 = x.label JOIN nn y ON l2 = y.label
+       |JOIN nrm nx ON l1 = nx.label JOIN nrm ny ON l2 = ny.label
+       |ORDER BY l1, l2""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q379_label_separation" -> q379Sql,
+    "q378_status_grid" -> q378Sql,
+    "q377_supplier_hhi" -> q377Sql,
+    "q376_segment_margin" -> q376Sql,
+    "q375_gate_attribution" -> q375Sql,
+    "q374_copurchase_centrality" -> q374Sql,
     "q373_shingle_df_tail" -> q373Sql,
     "q372_rare_shingle_leakage" -> q372Sql,
     "q371_minhash_k_sensitivity" -> q371Sql,

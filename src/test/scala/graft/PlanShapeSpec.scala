@@ -474,8 +474,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     "q363_pacf_check",    // 1-row grand-mean bracket vs the day spine
     "q368_transitivity_audit", // 1-row closure-stats bracket vs the
                           // direct-pair count
-    "q370_keep_policy")   // 1-row byte-budget brackets vs the
+    "q370_keep_policy",   // 1-row byte-budget brackets vs the
                           // cluster choice table
+    "q375_gate_attribution") // 1-row corpus-totals bracket vs the
+                          // 4-row gate table
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
