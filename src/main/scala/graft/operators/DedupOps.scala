@@ -196,16 +196,97 @@ object DedupOps {
     * Jaccard op sequence as [[ngramJaccardPairs]]; results are
     * identical by the prefix-filter theorem (the equivalence is
     * spec-pinned, and the ORACLE is the plain exact derivation).
+    *
+    * VERBATIM-DUPLICATE COLLAPSE (the duplicate-group C(g,2) fix):
+    * real crawl corpora are duplicate-heavy, and a group of g
+    * byte-identical texts shares every shingle, so every one of its
+    * C(g,2) pairs survives the prefix filter and pays a full
+    * array_intersect verify at J=1 — a QUADRATIC verify cost per
+    * duplicate group. Identical texts are interchangeable, so the
+    * prefix join + verify here run over DISTINCT texts only
+    * ([[collapseVerbatimTexts]]) and the per-doc pairs are expanded
+    * afterwards from the membership table (within-group pairs at
+    * J = 1, cross-group pairs inheriting the representative pair's
+    * jaccard) — the expansion is a cheap hash join that is linear in
+    * the OUTPUT size, which no pair-listing can avoid. Lossless:
+    * J(a, b) depends only on the two texts, and a group emits
+    * within-group pairs exactly when its shingle set is non-empty —
+    * the same condition under which shingle-less docs never reach
+    * the inverted index in the expanded derivation.
     * Returns (id1, id2, jaccard) with jaccard >= threshold. */
   def prefixFilteredJaccardPairs(df: DataFrame, idCol: String,
                                  textCol: String, n: Int,
                                  threshold: Double): DataFrame = {
+    val (reps, members) = collapseVerbatimTexts(df, idCol, textCol)
+    val gp = prefixFilteredJaccardGroupPairsFromReps(reps, n, threshold)
+    // expand group-level pairs to doc-level: a self row (rid,rid)
+    // yields the group's a < b pairs; a cross row (rid1 < rid2) one
+    // pair per member combination, normalized to id1 < id2
+    val m1 = members.select(col("rep_id").as("rid1"), col("doc_id").as("a"))
+    val m2 = members.select(col("rep_id").as("rid2"), col("doc_id").as("b"))
+    gp.join(m1, "rid1").join(m2, "rid2")
+      .filter(col("rid1") =!= col("rid2") || col("a") < col("b"))
+      .select(least(col("a"), col("b")).as("id1"),
+        greatest(col("a"), col("b")).as("id2"), col("jaccard"))
+  }
+
+  /** Verbatim-duplicate collapse feeding the PPJoin family: one
+    * content-hash aggregation keyed on the RAW text (only identical
+    * raw texts collapse, so no tokenization choice can make a
+    * downstream consumer lossy). Returns (reps, members):
+    * reps = (doc_id [min-id representative], text, g [group size]),
+    * one row per distinct text; members = (rep_id, doc_id), one row
+    * per input doc. Both are LAZY localCheckpoints — a caller that
+    * never touches `members` never pays for it, and multi-consumer
+    * callers re-read rows instead of re-running the collapse. */
+  def collapseVerbatimTexts(df: DataFrame, idCol: String,
+                            textCol: String): (DataFrame, DataFrame) = {
+    val withH = df.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"), md5(col(textCol)).as("h"))
+    val groups = withH.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("g"),
+        first(col("text")).as("text"))
+      .localCheckpoint(false)
+    val reps = groups.select(col("rep_id").as("doc_id"), col("text"),
+      col("g"))
+    val members = withH.select(col("h"), col("doc_id"))
+      .join(groups.select(col("h"), col("rep_id")), "h")
+      .select(col("rep_id"), col("doc_id"))
+      .localCheckpoint(false)
+    (reps, members)
+  }
+
+  /** Group-level lossless near-dup pairs over the verbatim-collapsed
+    * corpus: (rid1, rid2, jaccard, g1, g2). A rid1 < rid2 row is a
+    * DISTINCT-text pair found by the prefix-filtered join (expanding
+    * to g1 x g2 doc pairs, all at the same jaccard); a rid1 == rid2
+    * row encodes one duplicate group's C(g, 2) verbatim pairs at
+    * jaccard 1.0 (emitted only when g >= 2 and the group's shingle
+    * set is non-empty). Audit/counting queries consume THIS shape and
+    * expand counts combinatorially — the expanded pair table never
+    * materializes, which is what keeps threshold sweeps and closure
+    * audits linear on duplicate-heavy corpora. */
+  def prefixFilteredJaccardGroupPairs(df: DataFrame, idCol: String,
+                                      textCol: String, n: Int,
+                                      threshold: Double): DataFrame = {
+    val (reps, _) = collapseVerbatimTexts(df, idCol, textCol)
+    prefixFilteredJaccardGroupPairsFromReps(reps, n, threshold)
+  }
+
+  /** [[prefixFilteredJaccardGroupPairs]] when the caller already holds
+    * the collapsed reps table (doc_id, text, g) — the PPJoin core:
+    * prefix-filtered candidate join + exact array_intersect verify
+    * over distinct texts, plus the self rows for duplicate groups. */
+  def prefixFilteredJaccardGroupPairsFromReps(reps: DataFrame, n: Int,
+                                              threshold: Double)
+      : DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
     import org.apache.spark.sql.expressions.Window
     // the shingle table feeds the index derivation AND both verify
     // sides — cut lineage once (the tfidfKnn checkpoint pattern)
-    val sh = stagedShingles(df, idCol, textCol, n).localCheckpoint(false)
+    val sh = stagedShingles(reps, "doc_id", "text", n)
+      .localCheckpoint(false)
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val dfc = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val pref = inv.join(dfc, "s")
@@ -226,7 +307,8 @@ object DedupOps {
           col("a.nsh") >= ceil(lit(threshold) * col("b.nsh")))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    cand
+    val gsz = reps.select(col("doc_id"), col("g"))
+    val cross = cand
       .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")),
         "id1")
       .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")),
@@ -236,6 +318,20 @@ object DedupOps {
         (size(col("sh1")) + size(col("sh2")) - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
+      .join(gsz.select(col("doc_id").as("id1"), col("g").as("g1")), "id1")
+      .join(gsz.select(col("doc_id").as("id2"), col("g").as("g2")), "id2")
+      .select(col("id1").as("rid1"), col("id2").as("rid2"),
+        col("jaccard"), col("g1"), col("g2"))
+    // duplicate-group self rows: J = 1 between identical texts, but
+    // only when the group actually has shingles — a shingle-less doc
+    // never enters the inverted index in the expanded derivation
+    val self = reps.filter(col("g") >= 2L)
+      .join(sh.filter(size(col("sh")) >= 1)
+          .select(col("doc_id").as("__shd")),
+        col("doc_id") === col("__shd"), "left_semi")
+      .select(col("doc_id").as("rid1"), col("doc_id").as("rid2"),
+        lit(1.0).as("jaccard"), col("g").as("g1"), col("g").as("g2"))
+    cross.unionByName(self)
   }
 
   /** Per-document duplicated-n-gram span coverage — the exact-substring
@@ -824,7 +920,7 @@ object DedupOps {
     * partial aggregation. Labels only ever decrease, so the label sum
     * is a strictly decreasing convergence witness: one cheap aggregate
     * per round replaces a change-count self-join. Every round's result
-    * is eagerly persisted (DISK_ONLY, lineage RETAINED) and round n-1
+    * is eagerly persisted (MEMORY_AND_DISK, lineage RETAINED) and round n-1
     * explicitly unpersisted — bounded storage, and an executor loss
     * recomputes lost blocks from lineage instead of killing the run
     * (the r4 localCheckpoint formulation discarded lineage, which a
@@ -853,7 +949,7 @@ object DedupOps {
     // fold-to-zero accumulator inside the same job (retry-safe: a
     // re-run task can only inflate a nonzero count — it adds 0 when
     // nothing changed — costing at worst one extra round, never a
-    // premature exit), and DISK_ONLY persists keep each round's blocks
+    // premature exit), and MEMORY_AND_DISK persists keep each round's blocks
     // durable-with-lineage. This is the same reason GraphX sits on
     // RDDs. (For multi-hour runs a reliable checkpoint() every ~10
     // rounds additionally caps recompute depth after repeated losses.)

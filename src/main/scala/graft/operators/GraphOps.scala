@@ -360,7 +360,7 @@ object GraphOps {
     *
     * Per round: one degree aggregation + two semi joins (both ends
     * must survive) — all key-partitioned; surviving-edge state is
-    * persisted DISK_ONLY and re-rooted per round like every GraphOps
+    * persisted MEMORY_AND_DISK and re-rooted per round like every GraphOps
     * iteration (lineage kept, round n-1 released). Returns the nodes
     * still standing after the last peel with their residual degrees:
     * (node, deg). */
@@ -380,7 +380,7 @@ object GraphOps {
       e = em; prev = Some(rdd)
     }
     // the result reads from the last persisted round's RDD; it stays
-    // pinned (DISK_ONLY) until the session drops it — same contract as
+    // pinned (MEMORY_AND_DISK) until the session drops it — same contract as
     // the other GraphOps iterations' final round
     e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
@@ -396,7 +396,7 @@ object GraphOps {
     * these" without an embedding model.
     *
     * Same iterative sparse mat-vec shuffle shape, durability contract
-    * (DISK_ONLY + re-root + release n-1), and multigraph edge
+    * (MEMORY_AND_DISK + re-root + release n-1), and multigraph edge
     * contract as [[pageRank]]. Arithmetic (mirror in oracles): tele(v)
     * = 1/|S| for seed nodes (|S| counts only seeds PRESENT in the
     * graph; absent seed ids are ignored), else 0.0; init pr = tele;
@@ -554,7 +554,7 @@ object GraphOps {
     * ONE frontier-edge join + one distinct + one anti-join against the
     * settled set — the textbook frontier relaxation as relational
     * algebra, with round state made durable exactly like [[pageRank]]
-    * (DISK_ONLY persist, round n-1 released, plan re-rooted so
+    * (MEMORY_AND_DISK persist, round n-1 released, plan re-rooted so
     * analysis cost stays one round deep). Early-exits when a frontier
     * empties (the count is the same action that forces the round).
     * Returns (node, dist) for every node within `maxHops` of a seed;

@@ -6871,8 +6871,10 @@ object NorthStar {
       .select(col("k"), col("n").as("n_users"),
         e6(col("siv")).as("sum_item_var_e6"),
         e6(col("vt")).as("total_var_e6"),
-        e6(col("k").cast("double") / (col("k") - 1).cast("double") *
-          (lit(1.0) - col("siv") / col("vt"))).as("alpha_e6"))
+        e6(when(col("vt") > 0.0,
+          col("k").cast("double") / (col("k") - 1).cast("double") *
+            (lit(1.0) - col("siv") / col("vt"))).otherwise(0.0))
+          .as("alpha_e6"))
       .ordered(col("k"))
   }
 
@@ -7392,9 +7394,12 @@ object NorthStar {
 
   // q366 — dedup-threshold decision table: from ONE lossless exact-
   // Jaccard pair computation (t = 0.3 floor), the candidate-pair
-  // count and greedy keep-first removable-doc count at thresholds
-  // 30/50/70/90% — the "pick the dedup threshold" sweep. A literal
-  // threshold spine keeps empty bands present.
+  // count and the count of docs with a smaller-id similar neighbor
+  // (an UPPER BOUND on greedy keep-first removals — on a chain
+  // 1-2, 2-3 similar but 1-3 not, greedy removes only doc 2 while
+  // this counts docs 2 and 3) at thresholds 30/50/70/90% — the
+  // "pick the dedup threshold" sweep. A literal threshold spine
+  // keeps empty bands present.
   private val q366: Q = (s, dir) => {
     import org.apache.spark.sql.Encoders
     val pairs = DedupOps.prefixFilteredJaccardPairs(
@@ -7477,12 +7482,16 @@ object NorthStar {
       .select(col("n_full"), col("n_samp"),
         e6(lit(1.0) - col("u_full").cast("double") /
           col("n_full").cast("double")).as("rate_full_e6"),
-        e6(lit(1.0) - col("u_samp").cast("double") /
-          col("n_samp").cast("double")).as("rate_samp_e6"),
-        e6(abs((lit(1.0) - col("u_samp").cast("double") /
-          col("n_samp").cast("double")) -
-          (lit(1.0) - col("u_full").cast("double") /
-            col("n_full").cast("double")))).as("abs_err_e6"))
+        e6(when(col("n_samp") > 0L,
+          lit(1.0) - col("u_samp").cast("double") /
+            col("n_samp").cast("double")).otherwise(0.0))
+          .as("rate_samp_e6"),
+        e6(when(col("n_samp") > 0L,
+          abs((lit(1.0) - col("u_samp").cast("double") /
+            col("n_samp").cast("double")) -
+            (lit(1.0) - col("u_full").cast("double") /
+              col("n_full").cast("double")))).otherwise(0.0))
+          .as("abs_err_e6"))
       .ordered(col("n_full"))
   }
 
@@ -7668,20 +7677,23 @@ object NorthStar {
         (when(col("g1"), 0).otherwise(1) + when(col("g2"), 0).otherwise(1)
           + when(col("g3"), 0).otherwise(1)
           + when(col("g4"), 0).otherwise(1)).cast("long"))
-      .localCheckpoint(false)
-    val per = Seq("g1", "g2", "g3", "g4").map { g =>
-      gates.agg(
-          sum(when(!col(g), 1L).otherwise(0L)).as("n_fail"),
-          sum(when(!col(g) && col("nfail") === 1L, 1L).otherwise(0L))
-            .as("n_unique"))
-        .select(lit(g).as("gate"), col("n_fail"), col("n_unique"))
-    }
-    val tot = gates.agg(count(lit(1)).as("n_docs"),
-      sum(when(col("nfail") === 0L, 1L).otherwise(0L)).as("n_pass"))
-    per.reduce(_.unionByName(_))
-      .crossJoin(broadcast(tot))
-      .select(col("gate"), col("n_fail"), col("n_unique"),
-        col("n_docs"), col("n_pass"))
+    // single scan: unpivot the 4 gate booleans (the dwellToNext
+    // struct-unpivot shape) so ONE aggregation job yields per-gate
+    // fails, unique-binding fails, and the global doc/pass totals —
+    // each doc contributes exactly one row per gate, so count(*)
+    // inside a gate group IS n_docs and the checkpoint (which only
+    // served the 4 re-scans) drops
+    gates.select(col("nfail"), explode(array(
+        struct(lit("g1").as("gate"), col("g1").as("ok")),
+        struct(lit("g2").as("gate"), col("g2").as("ok")),
+        struct(lit("g3").as("gate"), col("g3").as("ok")),
+        struct(lit("g4").as("gate"), col("g4").as("ok")))).as("p"))
+      .groupBy(col("p.gate").as("gate"))
+      .agg(sum(when(!col("p.ok"), 1L).otherwise(0L)).as("n_fail"),
+        sum(when(!col("p.ok") && col("nfail") === 1L, 1L).otherwise(0L))
+          .as("n_unique"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("nfail") === 0L, 1L).otherwise(0L)).as("n_pass"))
       .ordered(col("gate"))
   }
 
@@ -16246,7 +16258,7 @@ object NorthStar {
        |       FROM tc)
        |SELECT k, n AS n_users, ${sqlE6("siv")} AS sum_item_var_e6,
        |  ${sqlE6("vt")} AS total_var_e6,
-       |  ${sqlE6("k::DOUBLE / (k - 1)::DOUBLE * (1.0 - siv / vt)")} AS alpha_e6
+       |  ${sqlE6("CASE WHEN vt > 0.0 THEN k::DOUBLE / (k - 1)::DOUBLE * (1.0 - siv / vt) ELSE 0.0 END")} AS alpha_e6
        |FROM iv, tv ORDER BY k""".stripMargin
 
   /** q351 oracle: identical positive-cents guard, exact arithmetic
@@ -16829,8 +16841,8 @@ object NorthStar {
        |      FROM d)
        |SELECT n_full, n_samp,
        |  ${sqlE6("1.0 - u_full::DOUBLE / n_full::DOUBLE")} AS rate_full_e6,
-       |  ${sqlE6("1.0 - u_samp::DOUBLE / n_samp::DOUBLE")} AS rate_samp_e6,
-       |  ${sqlE6("ABS((1.0 - u_samp::DOUBLE / n_samp::DOUBLE) - (1.0 - u_full::DOUBLE / n_full::DOUBLE))")} AS abs_err_e6
+       |  ${sqlE6("CASE WHEN n_samp > 0 THEN 1.0 - u_samp::DOUBLE / n_samp::DOUBLE ELSE 0.0 END")} AS rate_samp_e6,
+       |  ${sqlE6("CASE WHEN n_samp > 0 THEN ABS((1.0 - u_samp::DOUBLE / n_samp::DOUBLE) - (1.0 - u_full::DOUBLE / n_full::DOUBLE)) ELSE 0.0 END")} AS abs_err_e6
        |FROM a ORDER BY n_full""".stripMargin
 
   /** q370 oracle: q368's closure, per-cluster keep-first vs

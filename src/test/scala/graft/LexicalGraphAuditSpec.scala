@@ -281,6 +281,45 @@ class LexicalGraphAuditSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("prefixFilteredJaccardPairs: verbatim-duplicate groups collapse " +
+      "losslessly — within-group J=1, cross-group inheritance, " +
+      "shingle-less groups silent") {
+    // A x3 (ids 1,5,9) and B x2 (ids 2,4) share 6 of 10 trigrams
+    // (J = 0.6); C (id 7) shares none; D x2 (ids 3,6) has < 3 tokens,
+    // so its shingle set is EMPTY and it must produce no pairs even
+    // though the texts are verbatim identical
+    val a = "the quick brown fox jumps over the lazy dog today"
+    val b = "the quick brown fox jumps over the lazy cat today"
+    val c = "completely different words appear in this document here now"
+    val d = "too short"
+    val docs = Seq((1L, a), (5L, a), (9L, a), (2L, b), (4L, b),
+      (7L, c), (3L, d), (6L, d)).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        math.round(r.getDouble(2) * 1e6)).toMap
+    val exact = norm(DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.3))
+    val pp = norm(DedupOps.prefixFilteredJaccardPairs(docs, "doc_id",
+      "text", n = 3, threshold = 0.3))
+    assert(pp == exact, "collapse+expand must equal the plain derivation")
+    assert(pp.size == 10, s"3 within-A + 1 within-B + 6 cross, got $pp")
+    assert(pp((1L, 5L)) == 1000000L && pp((5L, 9L)) == 1000000L &&
+      pp((2L, 4L)) == 1000000L)
+    assert(pp((1L, 2L)) == 600000L && pp((4L, 9L)) == 600000L)
+    assert(!pp.keySet.exists { case (x, y) =>
+      Set(x, y).exists(Set(3L, 6L, 7L))
+    }, "shingle-less dups and the unique doc must stay silent")
+    // group-level shape: one self row per shingled dup group, one
+    // cross row per distinct-text pair, sizes attached
+    val gp = DedupOps.prefixFilteredJaccardGroupPairs(docs, "doc_id",
+        "text", n = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(gp == Set((1L, 1L, 1000000L, 3L, 3L),
+      (2L, 2L, 1000000L, 2L, 2L), (1L, 2L, 600000L, 3L, 2L)))
+  }
+
   test("pairNgramPrecision: hand-traced clipped counts") {
     // ref 1: "a b a b c" bigrams: ab, ba, ab, bc -> {ab:2, ba:1, bc:1}
     // cand 2: "a b a b a b"      -> {ab:3, ba:2}, total2 = 5
