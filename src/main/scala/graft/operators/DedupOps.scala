@@ -26,8 +26,8 @@ object DedupOps {
 
   /** Tokenize -> shingle -> distinct, each stage its own projection so
     * nothing is re-evaluated inside downstream lambdas. */
-  private def stagedShingles(df: DataFrame, idCol: String, textCol: String,
-                             n: Int): DataFrame =
+  private[graft] def stagedShingles(df: DataFrame, idCol: String,
+                                    textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"),
         TextOps.shinglesFromTokens(col("toks"), n).as("sh0"))
@@ -280,44 +280,12 @@ object DedupOps {
   def prefixFilteredJaccardGroupPairsFromReps(reps: DataFrame, n: Int,
                                               threshold: Double)
       : DataFrame = {
-    require(threshold > 0 && threshold <= 1,
-      s"threshold must be in (0, 1], got $threshold")
-    import org.apache.spark.sql.expressions.Window
     // the shingle table feeds the index derivation AND both verify
     // sides — cut lineage once (the tfidfKnn checkpoint pattern)
     val sh = stagedShingles(reps, "doc_id", "text", n)
       .localCheckpoint(false)
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val dfc = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val pref = inv.join(dfc, "s")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id"))
-          .orderBy(col("df"), col("s"))))
-      .join(sh.select(col("doc_id"), size(col("sh")).as("nsh")),
-        "doc_id")
-      .filter(col("rn") <=
-        col("nsh") - ceil(lit(threshold) * col("nsh")) + 1)
-      .select(col("doc_id"), col("s"), col("nsh"))
-    // length filter (also lossless): J(A,B) >= t forces
-    // t·|A| <= |B| <= |A|/t — prunes cross-length candidates inside
-    // shared-prefix buckets before the distinct/verify
-    val cand = pref.as("a").join(pref.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          col("b.nsh") >= ceil(lit(threshold) * col("a.nsh")) &&
-          col("a.nsh") >= ceil(lit(threshold) * col("b.nsh")))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .distinct()
     val gsz = reps.select(col("doc_id"), col("g"))
-    val cross = cand
-      .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")),
-        "id1")
-      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")),
-        "id2")
-      .withColumn("shared", size(array_intersect(col("sh1"), col("sh2"))))
-      .withColumn("jaccard", col("shared").cast("double") /
-        (size(col("sh1")) + size(col("sh2")) - col("shared")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
+    val cross = prefixFilteredJaccardCrossPairsFromSets(sh, threshold)
       .join(gsz.select(col("doc_id").as("id1"), col("g").as("g1")), "id1")
       .join(gsz.select(col("doc_id").as("id2"), col("g").as("g2")), "id2")
       .select(col("id1").as("rid1"), col("id2").as("rid2"),
@@ -332,6 +300,92 @@ object DedupOps {
       .select(col("doc_id").as("rid1"), col("doc_id").as("rid2"),
         lit(1.0).as("jaccard"), col("g").as("g1"), col("g").as("g2"))
     cross.unionByName(self)
+  }
+
+  /** The PPJoin core over an ALREADY-SHINGLED set table — the
+    * text-free kernel shared by [[prefixFilteredJaccardGroupPairsFromReps]]
+    * and the incremental [[graft.sources.NearDupGraphStore]] (whose
+    * `append` reads persisted shingle arrays and must never
+    * re-tokenize old texts). Input `sets` is (doc_id, sh) with an
+    * optional boolean `newFlag` column; with the flag set, candidate
+    * pairs must touch at least one flagged row — the delta×all join
+    * of an incremental ingest, skipping the already-stored old×old
+    * pairs. Prefix positions come from a df-ordering computed over
+    * THIS input; jaccard itself is ordering-independent, so delta
+    * runs emit exactly the rows a full rebuild would (the prefix
+    * theorem holds under any total order, and the lossless length
+    * filter is order-free). Callers pass a checkpointed frame or a
+    * file-backed scan — the kernel reads `sets` three times (index
+    * derivation + both verify sides) and does not checkpoint.
+    * Returns cross rows only: (id1 < id2, jaccard >= threshold). */
+  def prefixFilteredJaccardCrossPairsFromSets(sets: DataFrame,
+      threshold: Double, newFlag: Option[String] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val inv = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+    val dfc = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val newCol = newFlag.map(f => col(f)).getOrElse(lit(true))
+    val pref = inv.join(dfc, "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("s"))))
+      .join(sets.select(col("doc_id"), size(col("sh")).as("nsh"),
+        newCol.as("isnew")), "doc_id")
+      .filter(col("rn") <=
+        col("nsh") - ceil(lit(threshold) * col("nsh")) + 1)
+      .select(col("doc_id"), col("s"), col("nsh"), col("isnew"))
+    // length filter (also lossless): J(A,B) >= t forces
+    // t·|A| <= |B| <= |A|/t — prunes cross-length candidates inside
+    // shared-prefix buckets before the distinct/verify
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          (col("a.isnew") || col("b.isnew")) &&
+          col("b.nsh") >= ceil(lit(threshold) * col("a.nsh")) &&
+          col("a.nsh") >= ceil(lit(threshold) * col("b.nsh")))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")),
+        "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")),
+        "id2")
+      .withColumn("shared", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** Connected components of the verbatim-collapsed GROUP graph — the
+    * closure counterpart of [[prefixFilteredJaccardGroupPairs]]: one
+    * row (rep_id, cluster_id, g) per group that is a node of the
+    * doc-level pair graph (incident to a cross-group edge, or a
+    * duplicate group whose C(g,2) verbatim pairs make its docs
+    * mutual neighbors). Doc-level and group-level components are in
+    * exact bijection — every doc of a group shares its text, so a
+    * group's docs always land in one doc-cluster, and a doc-cluster's
+    * size is the sum of its groups' g. Closure audits (cluster
+    * counts/sizes, keep-policy choices, implied-pair gaps) therefore
+    * run on THIS output plus the membership table, never on the
+    * expanded doc pair graph — the label-propagation input stays
+    * distinct-text-sized on duplicate-heavy corpora instead of
+    * inheriting the C(g,2) edge blowup the pair collapse just
+    * removed. Reads `gp` three times (both node-union sides + the
+    * edge list) — pass a checkpointed frame or a file-backed scan,
+    * never a raw PPJoin pipeline. */
+  def groupComponents(gp: DataFrame): DataFrame = {
+    val nodes = gp.select(col("rid1").as("rep_id"), col("g1").as("g"))
+      .unionByName(gp.select(col("rid2").as("rep_id"),
+        col("g2").as("g")))
+      .distinct()
+    val cross = gp.filter(col("rid1") =!= col("rid2"))
+      .select(col("rid1"), col("rid2"))
+    val cc = connectedComponents(cross, "rid1", "rid2")
+    nodes.join(cc, nodes("rep_id") === cc("id"), "left")
+      .select(col("rep_id"),
+        coalesce(col("cluster_id"), col("rep_id")).as("cluster_id"),
+        col("g"))
   }
 
   /** Per-document duplicated-n-gram span coverage — the exact-substring

@@ -141,6 +141,50 @@ object ScaleOps {
       .join(small, col(bigKey) === col(smallKey))
   }
 
+  /** Bloom-pruned equi-join past the driver-literal ceiling: same
+    * contract as [[bloomPrunedJoin]] (result IDENTICAL to the plain
+    * inner join — false positives erased by the real join, false
+    * negatives impossible) but the filter is built with Spark's
+    * native `BloomFilterAggregate` inside a SCALAR SUBQUERY, so the
+    * bitset never becomes a driver-collected literal array in the
+    * builder: the sketch is aggregated distributively (partial
+    * filters OR-merged executor-side), flows to the probe as the
+    * subquery's one binary value, and `might_contain` probes it at
+    * scan speed before the big side's shuffle. This is exactly the
+    * plan shape Spark's own runtime row-level filtering
+    * (`InjectRuntimeFilter`) emits — made explicit so it fires
+    * regardless of the optimizer's selectivity heuristics. The
+    * md5-literal path ([[bloomPrunedJoin]]) stays preferable for tiny
+    * filters (<= ~2^17 bits): a literal probe is pure projection with
+    * no subquery stage. Here the sketch size is bounded by `numBits`
+    * (a 2^26-bit filter is 8 MiB — one driver object independent of
+    * key cardinality, vs the literal path's plan-embedded array), so
+    * billions of keys need only `expectedKeys`/`numBits` sized to the
+    * standard 10-16 bits/key; at cluster scale raise
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits`
+    * alongside. Keys hash through `xxhash64` on BOTH sides — the same
+    * hash family Spark's runtime filter uses. */
+  def bloomPrunedJoinAgg(big: DataFrame, small: DataFrame,
+                         bigKey: String, smallKey: String,
+                         expectedKeys: Long = 1000000L,
+                         numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.GraftExprBridge.{column => toCol, expression => toExpr}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(expectedKeys > 0 && numBits >= 64,
+      s"bad bloom sizing: expectedKeys=$expectedKeys numBits=$numBits")
+    val agg = new BloomFilterAggregate(
+      toExpr(xxhash64(col(smallKey))),
+      Literal(expectedKeys), Literal(numBits)).toAggregateExpression()
+    val bloomDf = small.na.drop(Seq(smallKey))
+      .agg(toCol(agg).as("bf"))
+    val sketch = ScalarSubquery(
+      bloomDf.queryExecution.analyzed)
+    val probe = toCol(BloomFilterMightContain(
+      sketch, toExpr(xxhash64(col(bigKey)))))
+    big.filter(probe).join(small, col(bigKey) === col(smallKey))
+  }
+
   /** Salted skew JOIN: an inner equi-join where a few hot keys would
     * overflow their shuffle partition (one key's rows all hash to one
     * reducer — the classic 100 TB fact-join stall). Each big-side row

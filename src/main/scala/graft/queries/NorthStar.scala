@@ -7,7 +7,7 @@ import graft.core.Tables
 import graft.operators.{CurationOps, DedupOps, FunnelOps, GraphOps,
   MultimodalOps, ScaleOps, SequenceOps, SimilarityOps, TemporalJoinOps,
   TextOps, WindowOps}
-import graft.sources.{InvertedIndexStore, IvfVectorStore}
+import graft.sources.{InvertedIndexStore, IvfVectorStore, NearDupGraphStore}
 
 /** North-star training-data-pipeline queries (BASELINE.json): dedup,
   * similarity search, text analysis, multimodal, temporal joins,
@@ -7402,20 +7402,58 @@ object NorthStar {
   // keeps empty bands present.
   private val q366: Q = (s, dir) => {
     import org.apache.spark.sql.Encoders
-    val pairs = DedupOps.prefixFilteredJaccardPairs(
-        t(s, dir, "documents"), "doc_id", "text", n = 3,
-        threshold = 0.3)
-      .localCheckpoint(false)
-    val agg = pairs
-      .select(col("id2"), col("jaccard"),
+    // group-level formulation: pair counts expand combinatorially
+    // (self rows C(g,2), cross rows g1*g2) and the removable-doc
+    // count uses the PER-GROUP LOWER BOUND trick — a doc is the
+    // larger side of some surviving pair iff it exceeds the smallest
+    // id reachable through its group's incident rows (its own rep for
+    // a self row — every non-rep member pairs below itself — or the
+    // OTHER group's rep for a cross row, the smallest doc it expands
+    // against). Groups partition docs, so per-group member counts
+    // need no distinct. The doc-level pair table never materializes.
+    val (reps, members) = DedupOps.collapseVerbatimTexts(
+      t(s, dir, "documents"), "doc_id", "text")
+    dedupSweepFromGroupGraph(s,
+      DedupOps.prefixFilteredJaccardGroupPairsFromReps(
+        reps, n = 3, threshold = 0.3), members)
+  }
+
+  /** The q366/q381 sweep body over any GROUP-level pair graph (the
+    * scan-derived one or the NearDupGraphStore read): pair counts
+    * expand combinatorially; the removable bound per group is the
+    * smallest MEMBER id reachable through incident rows (min members,
+    * not rep ids — a store rep appended after an older twin ingest
+    * need not be its group's minimum). */
+  private def dedupSweepFromGroupGraph(s: SparkSession, gp: DataFrame,
+                                       members: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val minm = members.groupBy(col("rep_id"))
+      .agg(min(col("doc_id")).as("minm"))
+    val expl = gp
+      .select(col("rid1"), col("rid2"), col("jaccard"), col("g1"),
+        col("g2"),
         explode(array(lit(30L), lit(50L), lit(70L), lit(90L))).as("pct"))
       .filter(col("jaccard") >= col("pct").cast("double") / 100.0)
-      .groupBy(col("pct"))
-      .agg(count(lit(1)).as("n_pairs"),
-        countDistinct(col("id2")).as("n_removable"))
+      .localCheckpoint(false)
+    val nPairs = expl.groupBy(col("pct"))
+      .agg(sum(when(col("rid1") === col("rid2"),
+          col("g1") * (col("g1") - 1L) / lit(2L))
+        .otherwise(col("g1") * col("g2"))).cast("long").as("n_pairs"))
+    val bounds = expl.select(col("pct"), col("rid1").as("rep_id"),
+        col("rid2").as("other"))
+      .unionByName(expl.select(col("pct"), col("rid2").as("rep_id"),
+        col("rid1").as("other")))
+      .join(minm.select(col("rep_id").as("other"),
+        col("minm").as("ob")), "other")
+      .groupBy(col("pct"), col("rep_id"))
+      .agg(min(col("ob")).as("bound"))
+    val nRem = bounds.join(members, "rep_id")
+      .filter(col("doc_id") > col("bound"))
+      .groupBy(col("pct")).agg(count(lit(1)).as("n_removable"))
     val spine = s.createDataset(Seq(30L, 50L, 70L, 90L))(Encoders.scalaLong)
       .toDF("pct")
-    spine.join(agg, Seq("pct"), "left")
+    spine.join(nPairs, Seq("pct"), "left")
+      .join(nRem, Seq("pct"), "left")
       .select(col("pct"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_removable"), lit(0L)).as("n_removable"))
       .ordered(col("pct"))
@@ -7448,17 +7486,26 @@ object NorthStar {
   // merges of non-similar docs). Direct pairs from the lossless
   // PPJoin; closure sizes from the label-propagation components.
   private val q368: Q = (s, dir) => {
-    val pairs = DedupOps.prefixFilteredJaccardPairs(
-        t(s, dir, "documents"), "doc_id", "text", n = 3,
-        threshold = 0.4)
-      .select(col("id1"), col("id2"))
+    val (reps, _) = DedupOps.collapseVerbatimTexts(
+      t(s, dir, "documents"), "doc_id", "text")
+    // group-level graph + group-level closure: the doc-level pair
+    // table (and the doc-level label-propagation input) never
+    // materializes — direct pairs expand combinatorially (self rows
+    // C(g,2), cross rows g1*g2) and cluster sizes are sums of g over
+    // the group components, which are in exact bijection with the
+    // doc components (groupComponents scaladoc)
+    val gp = DedupOps.prefixFilteredJaccardGroupPairsFromReps(
+        reps, n = 3, threshold = 0.4)
       .localCheckpoint(false)
-    val sizes = DedupOps.connectedComponents(pairs, "id1", "id2")
-      .groupBy(col("cluster_id")).agg(count(lit(1)).as("m"))
+    val sizes = DedupOps.groupComponents(gp)
+      .groupBy(col("cluster_id")).agg(sum(col("g")).as("m"))
     val cl = sizes.agg(count(lit(1)).as("n_clusters"),
       (sum(col("m") * (col("m") - 1L)) / lit(2L)).cast("long")
         .as("n_closure_pairs"))
-    val dp = pairs.agg(count(lit(1)).as("n_direct_pairs"))
+    val dp = gp.agg(sum(when(col("rid1") === col("rid2"),
+        col("g1") * (col("g1") - 1L) / lit(2L))
+      .otherwise(col("g1") * col("g2"))).cast("long")
+      .as("n_direct_pairs"))
     dp.crossJoin(broadcast(cl))
       .select(col("n_direct_pairs"), col("n_clusters"),
         col("n_closure_pairs"),
@@ -7501,25 +7548,34 @@ object NorthStar {
   // budgets each keeps. Exact-dup groups cannot differ (identical
   // text), so this runs on the near-dup closure.
   private val q370: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
-    val pairs = DedupOps.prefixFilteredJaccardPairs(
-        t(s, dir, "documents"), "doc_id", "text", n = 3,
-        threshold = 0.4)
-      .select(col("id1"), col("id2"))
-    val members = DedupOps.connectedComponents(pairs, "id1", "id2")
-      .join(docs, col("id") === col("doc_id"))
+    // group-level formulation (the q368 discipline): docs in a
+    // verbatim group share text — so the group's min-id doc is its
+    // representative, keep-first = min rep over the cluster's groups,
+    // and keep-longest's (len, min-id) argmax over docs is the argmax
+    // over reps. The doc-level pair expansion and doc-level
+    // connected components never materialize.
+    val (reps, _) = DedupOps.collapseVerbatimTexts(
+      t(s, dir, "documents"), "doc_id", "text")
+    val lens = reps.select(col("doc_id").as("rid"),
+      length(col("text")).cast("long").as("len"))
+    // groupComponents reads gp three times (node union + edges) —
+    // cut lineage once or the PPJoin kernel re-runs per read
+    val gp = DedupOps.prefixFilteredJaccardGroupPairsFromReps(
+        reps, n = 3, threshold = 0.4)
+      .localCheckpoint(false)
+    val members = DedupOps.groupComponents(gp)
+      .join(lens, col("rep_id") === col("rid"))
     val choices = members.groupBy(col("cluster_id"))
-      .agg(min(col("id")).as("keep_first"),
-        max(struct(col("len"), (-col("id")).as("nid"))).as("kl"),
-        count(lit(1)).as("m"))
+      .agg(min(col("rep_id")).as("keep_first"),
+        max(struct(col("len"), (-col("rep_id")).as("nid"))).as("kl"),
+        sum(col("g")).as("m"))
       .select(col("cluster_id"), col("keep_first"),
         (-col("kl.nid")).as("keep_longest"), col("m"))
-    val kf = choices.join(docs,
-        col("keep_first") === col("doc_id"))
+    val kf = choices.join(lens,
+        col("keep_first") === col("rid"))
       .agg(sum(col("len")).as("bytes_first"))
-    val kl2 = choices.join(docs,
-        col("keep_longest") === col("doc_id"))
+    val kl2 = choices.join(lens,
+        col("keep_longest") === col("rid"))
       .agg(sum(col("len")).as("bytes_longest"))
     val diff = choices.agg(count(lit(1)).as("n_clusters"),
       sum(when(col("keep_first") =!= col("keep_longest"), 1L)
@@ -7803,7 +7859,100 @@ object NorthStar {
       .ordered(col("l1"), col("l2"))
   }
 
+  // q380 — bloom-pruned fact-dim join through the SCALAR-SUBQUERY
+  // aggregate path (ScaleOps.bloomPrunedJoinAgg): the filter is built
+  // by Spark's native BloomFilterAggregate (distributive OR-merge of
+  // partial sketches, no driver-collected literal bitset in the
+  // builder) and probed with might_contain before lineitem's shuffle.
+  // Same exact-join-preserving contract as q101 — false positives die
+  // in the real join — so the oracle is the plain join; the subquery
+  // plan shape (no literal array, might_contain present) is pinned by
+  // ScaleOpsSpec/PlanShapeSpec.
+  private val q380: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "2-HIGH" &&
+        pmod(col("o_custkey"), lit(7L)) === 0)
+    ScaleOps.bloomPrunedJoinAgg(li, ord, "l_orderkey", "o_orderkey",
+        expectedKeys = 1L << 16, numBits = 1L << 20)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).cast("long").as("qty_sum"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .ordered(col("l_returnflag"))
+  }
+
+  // q381 — STORE-BACKED dedup-threshold sweep: the q366 decision
+  // table read from the persisted NearDupGraphStore instead of a
+  // fresh text derivation — build once, audit from the jband-pruned
+  // pair partitions + derived group sizes. The oracle is q366's
+  // plain full-corpus derivation, which IS the store-vs-scan
+  // equality pin.
+  private val q381: Q = (s, dir) => {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-ndg-q381"
+    NearDupGraphStore.write(s, t(s, dir, "documents"), "doc_id",
+      "text", n = 3, baseT = 0.3, componentThresholds = Seq(0.4), path)
+    dedupSweepFromGroupGraph(s,
+      NearDupGraphStore.groupPairs(s, path, 0.3),
+      NearDupGraphStore.membersTable(s, path))
+  }
+
+  // q382 — store-backed cluster-size histogram: the materialized
+  // t=0.4 component labels (one t_e2 partition read, zero text
+  // rescans) expanded to doc counts per cluster size — the "how big
+  // do near-dup clusters get" audit every keep-policy decision
+  // starts from.
+  private val q382: Q = (s, dir) => {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-ndg-q382"
+    NearDupGraphStore.write(s, t(s, dir, "documents"), "doc_id",
+      "text", n = 3, baseT = 0.3, componentThresholds = Seq(0.4), path)
+    NearDupGraphStore.components(s, path, 0.4)
+      .groupBy(col("cluster_id")).agg(sum(col("g")).as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("m"), col("n_clusters"),
+        (col("m") * col("n_clusters")).cast("long").as("n_docs"))
+      .ordered(col("m"))
+  }
+
+  // q383 — incremental store ingest == full rebuild: build the store
+  // on 2/3 of the corpus, APPEND the rest (old texts never
+  // re-shingled — the delta joins the persisted shingle arrays),
+  // then read q368's transitivity metrics from the store. The oracle
+  // is q368's one-shot full-corpus derivation, so a green row proves
+  // write+append converges to the rebuild graph.
+  private val q383: Q = (s, dir) => {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-ndg-q383"
+    val docs = t(s, dir, "documents")
+    NearDupGraphStore.write(s,
+      docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0L), "doc_id",
+      "text", n = 3, baseT = 0.3, componentThresholds = Seq(0.4), path)
+    NearDupGraphStore.append(s,
+      docs.filter(pmod(col("doc_id"), lit(3L)) === 0L), "doc_id",
+      "text", componentThresholds = Seq(0.4), path)
+    val gp = NearDupGraphStore.groupPairs(s, path, 0.4)
+      .localCheckpoint(false)
+    val sizes = NearDupGraphStore.components(s, path, 0.4)
+      .groupBy(col("cluster_id")).agg(sum(col("g")).as("m"))
+    val cl = sizes.agg(count(lit(1)).as("n_clusters"),
+      (sum(col("m") * (col("m") - 1L)) / lit(2L)).cast("long")
+        .as("n_closure_pairs"))
+    val dp = gp.agg(sum(when(col("rid1") === col("rid2"),
+        col("g1") * (col("g1") - 1L) / lit(2L))
+      .otherwise(col("g1") * col("g2"))).cast("long")
+      .as("n_direct_pairs"))
+    dp.crossJoin(broadcast(cl))
+      .select(col("n_direct_pairs"), col("n_clusters"),
+        col("n_closure_pairs"),
+        e6(lit(1.0) - col("n_direct_pairs").cast("double") /
+          col("n_closure_pairs").cast("double")).as("gap_e6"))
+      .ordered(col("n_direct_pairs"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q383_store_append" -> q383,
+    "q382_store_clusters" -> q382,
+    "q381_store_sweep" -> q381,
+    "q380_bloom_agg_join" -> q380,
     "q379_label_separation" -> q379,
     "q378_status_grid" -> q378,
     "q377_supplier_hhi" -> q377,
@@ -17110,7 +17259,44 @@ object NorthStar {
        |JOIN nrm nx ON l1 = nx.label JOIN nrm ny ON l2 = ny.label
        |ORDER BY l1, l2""".stripMargin
 
+  // q380 oracle: the plain join (the bloom prune is exact-join-
+  // preserving; the aggregate-path plan shape is spec-pinned).
+  private val q380Sql: String =
+    """SELECT l_returnflag,
+      |       COUNT(*) AS n_rows,
+      |       CAST(SUM(l_quantity) AS BIGINT) AS qty_sum,
+      |       COUNT(DISTINCT o_orderkey) AS n_orders
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderpriority = '2-HIGH' AND o.o_custkey % 7 = 0
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q382 oracle: the q368 recursive closure at t=0.4, cluster sizes
+    * folded into a per-size histogram. */
+  private val q382Sql: String =
+    s"""WITH RECURSIVE ${exactTrigramPairCtes("0.4")},
+       |edges AS (SELECT id1 AS s, id2 AS dd FROM pr
+       |          UNION SELECT id2, id1 FROM pr),
+       |nodes AS (SELECT DISTINCT s AS id FROM edges),
+       |reach(id, lab) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dd, r.lab FROM reach r JOIN edges e ON e.s = r.id),
+       |labs AS (SELECT id, MIN(lab) AS cluster_id FROM reach
+       |         GROUP BY id),
+       |sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS m
+       |          FROM labs GROUP BY 1)
+       |SELECT m, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |  CAST(m * COUNT(*) AS BIGINT) AS n_docs
+       |FROM sizes GROUP BY m ORDER BY m""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // store-backed audits: the oracle is the PLAIN full-corpus
+    // derivation — a green row IS the store-vs-scan equality pin
+    // (q383 additionally pins write+append == one-shot rebuild)
+    "q383_store_append" -> q368Sql,
+    "q382_store_clusters" -> q382Sql,
+    "q381_store_sweep" -> q366Sql,
+    "q380_bloom_agg_join" -> q380Sql,
     "q379_label_separation" -> q379Sql,
     "q378_status_grid" -> q378Sql,
     "q377_supplier_hhi" -> q377Sql,

@@ -1,0 +1,208 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupOps
+
+/** Persisted, incrementally-maintained near-duplicate PAIR-GRAPH store
+  * — the curation counterpart of [[InvertedIndexStore]]: at 100 TB
+  * nobody re-derives the Jaccard pair graph from raw text for every
+  * dedup audit (threshold sweeps, transitivity gaps, keep-policy
+  * sensitivity all consume the SAME graph); the graph is computed
+  * once, kept verbatim-collapsed (group-level — the C(g,2)
+  * duplicate-group blowup never touches disk), and audit queries read
+  * it back with partition pruning. Layout under `path`:
+  *
+  *  - `groups/`: (rep_id, h [md5 text hash], len, n_shingles) — one
+  *    row per DISTINCT text, append-only. `h` is what lets a later
+  *    ingest recognize a verbatim duplicate of an old text without
+  *    reading the text itself.
+  *  - `members/`: (rep_id, doc_id) — one row per ingested doc,
+  *    append-only. Group sizes are derived by COUNT at read time, so
+  *    a group growing across ingests never rewrites old rows (the
+  *    mergeable-counters contract of the CMS/stats stores).
+  *  - `repsets/`: (rep_id, sh [distinct shingle array]) — append-only;
+  *    the delta path shingles ONLY new distinct texts and joins
+  *    against these stored arrays, never re-tokenizing old docs.
+  *  - `pairs/`: (rid1 < rid2, jaccard) CROSS-group rows, written
+  *    `partitionBy("jband")` with jband = min(floor(jaccard·10), 9) —
+  *    an audit at threshold t scans only the jband >= floor(t·10)
+  *    directories (PartitionFilters, asserted in PlanShapeSpec).
+  *    Append-only: a delta ingest contributes exactly the
+  *    (new×old) ∪ (new×new) rows, disjoint from the stored old×old.
+  *  - `components/`: (rep_id, cluster_id, g) per named threshold,
+  *    `partitionBy("t_e2")` — the ONE non-append-only subdir: labels
+  *    are a global property, recomputed after each ingest FROM THE
+  *    STORED GRAPH (groups + pairs — linear in graph size, zero text
+  *    rescans) and rewritten.
+  *  - `meta/`: (n, base_t_e2) per ingest — the shingle width and the
+  *    base threshold every reader inherits (append must match).
+  *
+  * Jaccard values are text-pair properties, independent of corpus
+  * composition and of the df-ordering the prefix filter uses — so the
+  * pair set after any write+append sequence equals a one-shot full
+  * rebuild, which is exactly what the store-backed queries' oracles
+  * (plain exact derivations over the full corpus) pin.
+  */
+object NearDupGraphStore {
+
+  private def jband(j: org.apache.spark.sql.Column) =
+    least(floor(j * 10.0).cast("int"), lit(9)).as("jband")
+
+  /** Build the store from scratch: one corpus scan (collapse +
+    * shingle + prefix-filtered pair join), then the partitioned
+    * layout above. `componentThresholds` names the thresholds whose
+    * component labels are materialized (each must be >= baseT). */
+  def write(spark: SparkSession, docs: DataFrame, idCol: String,
+            textCol: String, n: Int, baseT: Double,
+            componentThresholds: Seq[Double], path: String): Unit = {
+    require(componentThresholds.forall(_ >= baseT),
+      s"component thresholds must be >= base $baseT")
+    val (reps, members) = DedupOps.collapseVerbatimTexts(
+      docs, idCol, textCol)
+    val sets = DedupOps.stagedShingles(reps, "doc_id", "text", n)
+      .localCheckpoint(false)
+    reps.select(col("doc_id").as("rep_id"), md5(col("text")).as("h"),
+        length(col("text")).cast("long").as("len"))
+      .join(sets.select(col("doc_id").as("rep_id"),
+        size(col("sh")).cast("long").as("n_shingles")), "rep_id")
+      .write.mode("overwrite").parquet(s"$path/groups")
+    members.write.mode("overwrite").parquet(s"$path/members")
+    sets.select(col("doc_id").as("rep_id"), col("sh"))
+      .write.mode("overwrite").parquet(s"$path/repsets")
+    val pairs = DedupOps.prefixFilteredJaccardCrossPairsFromSets(
+      sets, baseT)
+    pairs.select(col("id1").as("rid1"), col("id2").as("rid2"),
+        col("jaccard"), jband(col("jaccard")))
+      .repartition(col("jband"))
+      .write.mode("overwrite").partitionBy("jband")
+      .parquet(s"$path/pairs")
+    spark.range(1).select(lit(n).as("n"),
+        lit(math.round(baseT * 100)).as("base_t_e2"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    rebuildComponents(spark, path, componentThresholds)
+  }
+
+  /** Incremental ingest: verbatim duplicates of stored texts append
+    * members rows under the OLD rep (recognized by hash, text never
+    * re-read); genuinely new texts shingle once and prefix-join
+    * against the STORED shingle arrays — the already-persisted
+    * old×old pairs are never re-verified (the kernel's newFlag
+    * candidate gate). Doc ids must be globally unique across ingests
+    * (the [[IvfVectorStore]] contract). Components are recomputed
+    * from the stored graph and rewritten. */
+  def append(spark: SparkSession, delta: DataFrame, idCol: String,
+             textCol: String,
+             componentThresholds: Seq[Double], path: String): Unit = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val n = meta.getAs[Int]("n")
+    val baseT = meta.getAs[Long]("base_t_e2").toDouble / 100.0
+    val old = spark.read.parquet(s"$path/groups")
+      .select(col("rep_id").as("old_rep"), col("h"))
+    val (dreps, dmembers) = DedupOps.collapseVerbatimTexts(
+      delta, idCol, textCol)
+    val drepsH = dreps.select(col("doc_id").as("d_rep"), col("text"),
+        md5(col("text")).as("h"))
+      .join(old, Seq("h"), "left")
+      .localCheckpoint(false)
+    // members: delta docs of a known text ride the old rep id
+    dmembers.join(drepsH.select(col("d_rep").as("rep_id"),
+        col("old_rep")), "rep_id")
+      .select(coalesce(col("old_rep"), col("rep_id")).as("rep_id"),
+        col("doc_id"))
+      .write.mode("append").parquet(s"$path/members")
+    val fresh = drepsH.filter(col("old_rep").isNull)
+      .select(col("d_rep").as("doc_id"), col("text"))
+    val freshSets = DedupOps.stagedShingles(fresh, "doc_id", "text", n)
+      .localCheckpoint(false)
+    fresh.select(col("doc_id").as("rep_id"), md5(col("text")).as("h"),
+        length(col("text")).cast("long").as("len"))
+      .join(freshSets.select(col("doc_id").as("rep_id"),
+        size(col("sh")).cast("long").as("n_shingles")), "rep_id")
+      .write.mode("append").parquet(s"$path/groups")
+    freshSets.select(col("doc_id").as("rep_id"), col("sh"))
+      .write.mode("append").parquet(s"$path/repsets")
+    // delta pairs: stored sets are old, fresh sets are new — the
+    // kernel enumerates only candidates touching >= 1 new row. The
+    // repsets read happens after the append above, so the fresh ids
+    // are anti-joined out of the "old" side rather than double-read.
+    val unionSets = spark.read.parquet(s"$path/repsets")
+      .join(freshSets.select(col("doc_id")),
+        col("rep_id") === col("doc_id"), "left_anti")
+      .select(col("rep_id").as("doc_id"), col("sh"),
+        lit(false).as("isnew"))
+      .unionByName(freshSets.select(col("doc_id"), col("sh"),
+        lit(true).as("isnew")))
+    DedupOps.prefixFilteredJaccardCrossPairsFromSets(
+        unionSets, baseT, newFlag = Some("isnew"))
+      .select(col("id1").as("rid1"), col("id2").as("rid2"),
+        col("jaccard"), jband(col("jaccard")))
+      .repartition(col("jband"))
+      .write.mode("append").partitionBy("jband")
+      .parquet(s"$path/pairs")
+    spark.range(1).select(lit(n).as("n"),
+        lit(math.round(baseT * 100)).as("base_t_e2"))
+      .coalesce(1).write.mode("append").parquet(s"$path/meta")
+    rebuildComponents(spark, path, componentThresholds)
+  }
+
+  /** Recompute component labels for each threshold from the STORED
+    * graph (group sizes + pruned pair partitions — no text, linear in
+    * graph size) and rewrite `components/`. */
+  private def rebuildComponents(spark: SparkSession, path: String,
+                                thresholds: Seq[Double]): Unit = {
+    require(thresholds.nonEmpty, "need at least one component threshold")
+    val perT = thresholds.map { t =>
+      DedupOps.groupComponents(groupPairs(spark, path, t))
+        .withColumn("t_e2", lit(math.round(t * 100)))
+    }
+    perT.reduce(_ unionByName _)
+      .repartition(col("t_e2"))
+      .write.mode("overwrite").partitionBy("t_e2")
+      .parquet(s"$path/components")
+  }
+
+  /** Derived group sizes: one COUNT over the append-only membership. */
+  def groupSizes(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/members")
+      .groupBy(col("rep_id")).agg(count(lit(1)).as("g"))
+
+  /** The group-level pair graph at threshold `t` (>= the store's base)
+    * — same shape and contract as
+    * [[DedupOps.prefixFilteredJaccardGroupPairs]]: cross rows from the
+    * jband-PRUNED pair partitions with derived sizes attached, plus
+    * the self rows (g >= 2, shingled) reconstructed from groups —
+    * so every group-level audit runs unchanged against the store. */
+  def groupPairs(spark: SparkSession, path: String, t: Double)
+      : DataFrame = {
+    val sizes = groupSizes(spark, path).localCheckpoint(false)
+    val cross = spark.read.parquet(s"$path/pairs")
+      .filter(col("jband") >= math.floor(t * 10).toInt &&
+        col("jaccard") >= t)
+      .join(sizes.select(col("rep_id").as("rid1"), col("g").as("g1")),
+        "rid1")
+      .join(sizes.select(col("rep_id").as("rid2"), col("g").as("g2")),
+        "rid2")
+      .select(col("rid1"), col("rid2"), col("jaccard"), col("g1"),
+        col("g2"))
+    val self = spark.read.parquet(s"$path/groups")
+      .filter(col("n_shingles") >= 1L)
+      .join(sizes.filter(col("g") >= 2L), "rep_id")
+      .select(col("rep_id").as("rid1"), col("rep_id").as("rid2"),
+        lit(1.0).as("jaccard"), col("g").as("g1"), col("g").as("g2"))
+    cross.unionByName(self)
+  }
+
+  /** Stored component labels at a materialized threshold: (rep_id,
+    * cluster_id, g), read from the single t_e2 partition. */
+  def components(spark: SparkSession, path: String, t: Double)
+      : DataFrame =
+    spark.read.parquet(s"$path/components")
+      .filter(col("t_e2") === math.round(t * 100))
+      .select(col("rep_id"), col("cluster_id"), col("g"))
+
+  /** The append-only membership table: (rep_id, doc_id). */
+  def membersTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/members")
+}

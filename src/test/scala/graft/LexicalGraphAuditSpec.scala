@@ -320,6 +320,120 @@ class LexicalGraphAuditSpec extends AnyFunSuite with SparkTestBase {
       (2L, 2L, 1000000L, 2L, 2L), (1L, 2L, 600000L, 3L, 2L)))
   }
 
+  test("groupComponents: group-level closure is in exact bijection " +
+      "with doc-level connected components") {
+    // A x3 and B x2 similar (one cross edge -> one merged cluster);
+    // E x2 verbatim-identical but dissimilar to everything (a self
+    // row only -> its own cluster); C unique and D shingle-less
+    // (no pairs -> no nodes)
+    val a = "the quick brown fox jumps over the lazy dog today"
+    val b = "the quick brown fox jumps over the lazy cat today"
+    val c = "completely different words appear in this document here now"
+    val d = "too short"
+    val e = "isolated twin sentences live in their own tiny island colony"
+    val docs = Seq((1L, a), (5L, a), (9L, a), (2L, b), (4L, b),
+      (7L, c), (3L, d), (6L, d), (8L, e), (10L, e))
+      .toDF("doc_id", "text")
+    val (reps, members) = DedupOps.collapseVerbatimTexts(
+      docs, "doc_id", "text")
+    val gp = DedupOps.prefixFilteredJaccardGroupPairsFromReps(
+      reps, n = 3, threshold = 0.3)
+    val gc = DedupOps.groupComponents(gp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(gc == Set((1L, 1L, 3L), (2L, 1L, 2L), (8L, 8L, 2L)),
+      s"got $gc")
+    // doc-level cross-check: expanding groups reproduces exactly the
+    // connectedComponents labels over the expanded pair table
+    val docLevel = DedupOps.connectedComponents(
+        DedupOps.prefixFilteredJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.3).select(col("id1"), col("id2")),
+        "id1", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expanded = DedupOps.groupComponents(gp)
+      .join(members, "rep_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("cluster_id")).toMap
+    assert(expanded == docLevel, s"$expanded vs $docLevel")
+  }
+
+  test("NearDupGraphStore: write+append == one-shot scan graph; " +
+      "pair scan partition-pruned on jband; components pruned on t") {
+    import graft.sources.NearDupGraphStore
+    val a = "the quick brown fox jumps over the lazy dog today"
+    val b = "the quick brown fox jumps over the lazy cat today"
+    val c = "completely different words appear in this document here now"
+    val e = "isolated twin sentences live in their own tiny island colony"
+    val docs = Seq((1L, a), (5L, a), (9L, a), (2L, b), (4L, b),
+      (7L, c), (8L, e), (10L, e)).toDF("doc_id", "text")
+    def gpSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6), r.getLong(3), r.getLong(4)))
+      .toSet
+    val scan = gpSet(DedupOps.prefixFilteredJaccardGroupPairs(
+      docs, "doc_id", "text", n = 3, threshold = 0.3))
+    // full build
+    val full = java.nio.file.Files.createTempDirectory("ndg-full")
+      .toString
+    NearDupGraphStore.write(spark, docs, "doc_id", "text", n = 3,
+      baseT = 0.3, componentThresholds = Seq(0.3, 0.9), full)
+    assert(gpSet(NearDupGraphStore.groupPairs(spark, full, 0.3)) == scan,
+      "store groupPairs must equal the scan derivation")
+    // incremental: doc 1 (a twin of an already-stored text) arrives
+    // late and must ride the old rep; doc 10's twin likewise; B's
+    // second copy and the unique C arrive late too
+    val inc = java.nio.file.Files.createTempDirectory("ndg-inc")
+      .toString
+    NearDupGraphStore.write(spark,
+      docs.filter(col("doc_id").isin(5L, 9L, 2L, 8L)),
+      "doc_id", "text", n = 3, baseT = 0.3,
+      componentThresholds = Seq(0.3, 0.9), inc)
+    NearDupGraphStore.append(spark,
+      docs.filter(col("doc_id").isin(1L, 4L, 7L, 10L)),
+      "doc_id", "text", componentThresholds = Seq(0.3, 0.9), inc)
+    // pair SETS match up to rep naming: compare (jaccard, g1, g2)
+    // multisets and the derived group sizes
+    def sizes(path: String) = NearDupGraphStore
+      .groupSizes(spark, path).collect()
+      .map(r => r.getLong(1)).sorted.toSeq
+    assert(sizes(inc) == sizes(full))
+    // rep ids are naming, not structure (the inc store keeps the
+    // first-ingested doc as rep) — compare (self?, jaccard,
+    // unordered size pair) multisets
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0) == r.getLong(1),
+        math.round(r.getDouble(2) * 1e6),
+        math.min(r.getLong(3), r.getLong(4)),
+        math.max(r.getLong(3), r.getLong(4))))
+      .sorted.toSeq
+    assert(shape(NearDupGraphStore.groupPairs(spark, inc, 0.3)) ==
+      shape(NearDupGraphStore.groupPairs(spark, full, 0.3)),
+      "append path must converge to the rebuild graph")
+    // components at both thresholds: same cluster-size multisets
+    def comp(path: String, t: Double) = NearDupGraphStore
+      .components(spark, path, t)
+      .groupBy(col("cluster_id")).agg(sum(col("g")).as("m"))
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(comp(inc, 0.3) == comp(full, 0.3))
+    assert(comp(inc, 0.9) == comp(full, 0.9))
+    // at t=0.3 A+B merge (5 docs) and E self-clusters (2); at t=0.9
+    // only the verbatim groups remain
+    assert(comp(full, 0.3) == Seq(2L, 5L))
+    assert(comp(full, 0.9) == Seq(2L, 2L, 3L))
+    // physical shape: the pairs read is partition-pruned on jband,
+    // the components read on t_e2
+    val pairPlan = NearDupGraphStore.groupPairs(spark, full, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(pairPlan.contains("PartitionFilters") &&
+      pairPlan.contains("jband"),
+      s"expected jband partition filter on the pairs scan:\n$pairPlan")
+    val compPlan = NearDupGraphStore.components(spark, full, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(compPlan.contains("PartitionFilters") &&
+      compPlan.contains("t_e2"),
+      s"expected t_e2 partition filter on the components scan:\n$compPlan")
+  }
+
   test("pairNgramPrecision: hand-traced clipped counts") {
     // ref 1: "a b a b c" bigrams: ab, ba, ab, bc -> {ab:2, ba:1, bc:1}
     // cand 2: "a b a b a b"      -> {ab:3, ba:2}, total2 = 5

@@ -472,6 +472,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     "q361_brier_decomp",  // 1-row shipdate-midpoint + base-rate
                           // brackets vs the brand grid
     "q363_pacf_check",    // 1-row grand-mean bracket vs the day spine
+    "q383_store_append", // 1-row closure-stats bracket (the q368
+                         // shape) read from the NearDupGraphStore
     "q368_transitivity_audit", // 1-row closure-stats bracket vs the
                           // direct-pair count
     "q370_keep_policy",   // 1-row byte-budget brackets vs the

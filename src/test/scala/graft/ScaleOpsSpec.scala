@@ -84,6 +84,34 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(pruned == plain)
   }
 
+  test("bloom aggregate path: pruned join equals plain join and the " +
+      "plan probes a scalar-subquery sketch, not a literal bitset") {
+    val dir = sf("sf0.001")
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "2-HIGH" &&
+        pmod(col("o_custkey"), lit(7L)) === 0)
+    val pruned = ScaleOps.bloomPrunedJoinAgg(li, ord,
+      "l_orderkey", "o_orderkey",
+      expectedKeys = 1L << 16, numBits = 1L << 20)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected a might_contain probe:\n$plan")
+    assert(plan.toLowerCase.contains("subquery"),
+      s"expected the sketch to arrive via a scalar subquery:\n$plan")
+    // the builder never collects a bitset: the filter side of the
+    // probe is the subquery result, not a plan-embedded literal array
+    assert(!plan.contains("element_at"),
+      s"literal-array probe leaked into the aggregate path:\n$plan")
+    val key = pruned
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(key == plain)
+  }
+
   test("salted join equals plain join on skewed data and spreads " +
       "the hot key") {
     import spark.implicits._
