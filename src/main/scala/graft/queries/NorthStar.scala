@@ -7571,16 +7571,21 @@ object NorthStar {
         sum(col("g")).as("m"))
       .select(col("cluster_id"), col("keep_first"),
         (-col("kl.nid")).as("keep_longest"), col("m"))
-    val kf = choices.join(lens,
-        col("keep_first") === col("rid"))
-      .agg(sum(col("len")).as("bytes_first"))
-    val kl2 = choices.join(lens,
-        col("keep_longest") === col("rid"))
-      .agg(sum(col("len")).as("bytes_longest"))
-    val diff = choices.agg(count(lit(1)).as("n_clusters"),
-      sum(when(col("keep_first") =!= col("keep_longest"), 1L)
-        .otherwise(0L)).as("n_diff"))
-    diff.crossJoin(broadcast(kf)).crossJoin(broadcast(kl2))
+    // one aggregation pass: joining both keep choices to the (small)
+    // rep-length table keeps the connected-components chain upstream
+    // of exactly ONE job — the previous three separate scalar aggs
+    // (bytes_first / bytes_longest / diff counts) each re-ran the
+    // iterative CC (measured: 100 s of the 10x stress run was this)
+    choices
+      .join(lens.select(col("rid").as("kf_rid"),
+        col("len").as("len_f")), col("keep_first") === col("kf_rid"))
+      .join(lens.select(col("rid").as("kl_rid"),
+        col("len").as("len_l")), col("keep_longest") === col("kl_rid"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(when(col("keep_first") =!= col("keep_longest"), 1L)
+          .otherwise(0L)).as("n_diff"),
+        sum(col("len_f")).as("bytes_first"),
+        sum(col("len_l")).as("bytes_longest"))
       .select(col("n_clusters"), col("n_diff"), col("bytes_first"),
         col("bytes_longest"))
       .ordered(col("n_clusters"))

@@ -1,0 +1,708 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Round-9 query surface: the classical rank/nonparametric test
+  * family (Kruskal-Wallis, Wilcoxon signed-rank, Mood's median,
+  * Cochran's Q, Friedman + Page trend, two-group log-rank,
+  * Ljung-Box, and an integer-exact seasonal spectrum).
+  *
+  * Design notes shared by the batch:
+  *   - Every rank statistic is computed on the VALUE-HISTOGRAM spine
+  *     (SCALING.md "Value-histogram spine"): ranks of cents values
+  *     come from one `(value)` histogram + one cumulative window over
+  *     DISTINCT values — never a row-level rank window. Average ranks
+  *     are .5-granular, so they are carried as exact `2x` BIGINTs.
+  *   - Ratios of exact integers are pinned with the e6 micro-unit
+  *     convention; zero denominators are guarded identically on both
+  *     engines (the documented LN(0)/divide-by-zero footgun class).
+  *   - Day-series tests run on the zero-filled day spine (bounded by
+  *     the date DOMAIN, not the row count) with exact integer
+  *     centering (`z_d = D*y_d - T`), so the autocorrelation
+  *     numerators are sums of integer products — order-independent
+  *     cross-engine as long as they stay below 2^53.
+  */
+object RoundNine {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def e6(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+
+  private def sqlE6(expr: String): String =
+    s"CAST(ROUND(($expr) * 1e6, 0) AS BIGINT)"
+
+  /** Exact event-value cents (the house integer pin for `value`). */
+  private def cents: Column = expr("CAST(ROUND(value * 100) AS BIGINT)")
+
+  // ---------------------------------------------------------------
+  // q384 — Kruskal-Wallis H across the five event types: average
+  // ranks from the global cents histogram (2x-integer mid-ranks),
+  // per-group rank sums, tie-corrected H. The one-way "ANOVA on
+  // ranks" that complements q270's parametric two-way table.
+  private val q384: Q = (s, dir) => {
+    val v = t(s, dir, "events")
+      .select(col("event_type").as("g"), cents.as("c"))
+    val h = v.groupBy(col("g"), col("c")).agg(count(lit(1)).as("n"))
+    val gh = h.groupBy(col("c")).agg(sum(col("n")).as("nc"))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = gh
+      .withColumn("cumlt", coalesce(sum(col("nc")).over(w), lit(0L)))
+      .select(col("c"),
+        (lit(2L) * col("cumlt") + col("nc") + lit(1L)).as("ar2"))
+    val rg = h.join(r, "c")
+      .groupBy(col("g"))
+      .agg(sum(col("n") * col("ar2")).as("r2s"), sum(col("n")).as("ng"))
+    val tot = gh.agg(sum(col("nc")).as("nn"),
+      sum(col("nc") * col("nc") * col("nc") - col("nc")).as("tsum"))
+    val hh = rg.crossJoin(broadcast(tot))
+      .groupBy(col("nn"), col("tsum"))
+      .agg(sum((col("r2s").cast("double") / 2.0)
+        * (col("r2s").cast("double") / 2.0)
+        / col("ng").cast("double")).as("srq"))
+      .select(col("nn"), col("tsum"),
+        (lit(12.0) / (col("nn").cast("double")
+          * (col("nn") + 1L).cast("double")) * col("srq")
+          - lit(3.0) * (col("nn") + 1L).cast("double")).as("hstat"))
+    rg.crossJoin(broadcast(hh))
+      .select(col("g").as("event_type"), col("ng"),
+        e6(col("r2s").cast("double")
+          / (lit(2.0) * col("ng").cast("double"))).as("mean_rank_e6"),
+        e6(col("hstat")).as("h_e6"),
+        // all-tied degenerate corpus makes the correction factor 0 —
+        // guard the division identically on both engines
+        e6(when(col("tsum") < col("nn") * col("nn") * col("nn")
+            - col("nn"),
+          col("hstat") / (lit(1.0) - col("tsum").cast("double")
+            / (col("nn").cast("double") * col("nn").cast("double")
+              * col("nn").cast("double") - col("nn").cast("double"))))
+          .otherwise(0.0)).as("h_adj_e6"))
+      .ordered(col("event_type"))
+  }
+
+  private val q384Sql: String =
+    s"""WITH v AS (SELECT event_type AS g,
+       |        CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+       |h AS (SELECT g, c, CAST(COUNT(*) AS BIGINT) AS n
+       |      FROM v GROUP BY 1, 2),
+       |gh AS (SELECT c, CAST(SUM(n) AS BIGINT) AS nc FROM h GROUP BY 1),
+       |r AS (SELECT c, 2 * COALESCE(CAST(SUM(nc) OVER (ORDER BY c
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |          AS BIGINT), 0) + nc + 1 AS ar2
+       |      FROM gh),
+       |rg AS (SELECT g, CAST(SUM(n * ar2) AS BIGINT) AS r2s,
+       |         CAST(SUM(n) AS BIGINT) AS ng
+       |       FROM h JOIN r USING (c) GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(nc) AS BIGINT) AS nn,
+       |          CAST(SUM(nc * nc * nc - nc) AS BIGINT) AS tsum
+       |        FROM gh),
+       |hh AS (SELECT nn, tsum,
+       |         12.0 / (nn::DOUBLE * (nn + 1)::DOUBLE)
+       |           * SUM((r2s::DOUBLE / 2.0) * (r2s::DOUBLE / 2.0)
+       |               / ng::DOUBLE)
+       |           - 3.0 * (nn + 1)::DOUBLE AS hstat
+       |       FROM rg, tot GROUP BY 1, 2)
+       |SELECT g AS event_type, ng,
+       |  ${sqlE6("r2s::DOUBLE / (2.0 * ng::DOUBLE)")} AS mean_rank_e6,
+       |  ${sqlE6("hstat")} AS h_e6,
+       |  ${sqlE6("CASE WHEN tsum < nn * nn * nn - nn THEN " +
+            "hstat / (1.0 - tsum::DOUBLE / " +
+            "(nn::DOUBLE * nn::DOUBLE * nn::DOUBLE - nn::DOUBLE)) " +
+            "ELSE 0.0 END")}
+       |    AS h_adj_e6
+       |FROM rg, hh ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q385 — Wilcoxon signed-rank on paired per-user activity: each
+  // user's cents total in the second half of the time range minus
+  // the first half (split at the midpoint epoch), zero differences
+  // dropped, |d| mid-ranks from the histogram spine, tie-corrected
+  // normal approximation. W+ is carried as the exact 2x BIGINT; the
+  // z numerator (W+ - n(n+1)/4) as the exact 4x BIGINT.
+  private val q385: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), expr("ts_ns div 1000").as("tus"), cents.as("c"))
+    val mid = ev.agg(((min(col("tus")) + max(col("tus"))) / lit(2L))
+      .cast("long").as("mid"))
+    val d = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("tus") > col("mid"), col("c")).otherwise(0L))
+        - sum(when(col("tus") <= col("mid"), col("c")).otherwise(0L)))
+        .as("d"))
+      .filter(col("d") =!= 0L)
+      .select(abs(col("d")).as("a"), (col("d") > 0L).as("pos"))
+    val gh = d.groupBy(col("a")).agg(count(lit(1)).as("na"),
+      sum(when(col("pos"), 1L).otherwise(0L)).as("npos"))
+    val w = Window.orderBy(col("a"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = gh
+      .withColumn("cumlt", coalesce(sum(col("na")).over(w), lit(0L)))
+      .select(col("na"), col("npos"),
+        (lit(2L) * col("cumlt") + col("na") + lit(1L)).as("ar2"))
+    r.agg(sum(col("na")).as("n"),
+        sum(col("npos") * col("ar2")).as("w2x"),
+        sum(col("na") * col("na") * col("na") - col("na")).as("tsum"))
+      .select(col("n"), col("w2x"),
+        e6(when(col("n") > 0L &&
+            lit(2L) * col("n") * (col("n") + 1L)
+              * (lit(2L) * col("n") + 1L) - col("tsum") > 0L,
+          (lit(2L) * col("w2x") - col("n") * (col("n") + 1L))
+            .cast("double") / lit(4.0)
+            / sqrt((lit(2L) * col("n") * (col("n") + 1L)
+              * (lit(2L) * col("n") + 1L) - col("tsum"))
+              .cast("double") / lit(48.0))).otherwise(0.0)).as("z_e6"))
+      .ordered(col("n"))
+  }
+
+  private val q385Sql: String =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus,
+       |        CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+       |mid AS (SELECT CAST((MIN(tus) + MAX(tus)) / 2 AS BIGINT) AS mid
+       |        FROM ev),
+       |d0 AS (SELECT user_id,
+       |         CAST(SUM(CASE WHEN tus > mid THEN c ELSE 0 END)
+       |           - SUM(CASE WHEN tus <= mid THEN c ELSE 0 END)
+       |           AS BIGINT) AS d
+       |       FROM ev, mid GROUP BY 1),
+       |d AS (SELECT ABS(d) AS a, d > 0 AS pos FROM d0 WHERE d <> 0),
+       |gh AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS na,
+       |         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS npos
+       |       FROM d GROUP BY 1),
+       |r AS (SELECT na, npos, 2 * COALESCE(CAST(SUM(na) OVER (
+       |          ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |          1 PRECEDING) AS BIGINT), 0) + na + 1 AS ar2
+       |      FROM gh),
+       |agg AS (SELECT CAST(SUM(na) AS BIGINT) AS n,
+       |          CAST(SUM(npos * ar2) AS BIGINT) AS w2x,
+       |          CAST(SUM(na * na * na - na) AS BIGINT) AS tsum
+       |        FROM r)
+       |SELECT n, w2x,
+       |  ${sqlE6("CASE WHEN n > 0 AND 2*n*(n+1)*(2*n+1) - tsum > 0 " +
+            "THEN (2*w2x - n*(n+1))::DOUBLE / 4.0 / " +
+            "SQRT((2*n*(n+1)*(2*n+1) - tsum)::DOUBLE / 48.0) " +
+            "ELSE 0.0 END")} AS z_e6
+       |FROM agg ORDER BY n""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q386 — Mood's median test: type-lower grand median of cents from
+  // the histogram spine (the q299 selection), 2xk above/at-or-below
+  // contingency counts, chi-square over cells with positive
+  // expectation. Exact integer cells; only the final statistic is a
+  // pinned double.
+  private val q386: Q = (s, dir) => {
+    val v = t(s, dir, "events")
+      .select(col("event_type").as("g"), cents.as("c"))
+    val gh = v.groupBy(col("c")).agg(count(lit(1)).as("nc"))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = gh.agg(sum(col("nc")).as("nn"))
+    val med = gh.withColumn("cum", sum(col("nc")).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum").cast("double") >=
+        ceil(col("nn").cast("double") / 2.0))
+      .agg(min(col("c")).as("med"))
+    val cellsG = v.crossJoin(broadcast(med))
+      .groupBy(col("g"))
+      .agg(sum(when(col("c") > col("med"), 1L).otherwise(0L)).as("oa"),
+        sum(when(col("c") <= col("med"), 1L).otherwise(0L)).as("ob"))
+    val marg = cellsG.agg(sum(col("oa")).as("ta"), sum(col("ob")).as("tb"))
+    val chi = cellsG.crossJoin(broadcast(marg))
+      .select(col("g"), col("oa"), col("ob"), col("ta"), col("tb"),
+        (((col("oa") + col("ob")) * col("ta")).cast("double")
+          / (col("ta") + col("tb")).cast("double")).as("ea"),
+        (((col("oa") + col("ob")) * col("tb")).cast("double")
+          / (col("ta") + col("tb")).cast("double")).as("eb"))
+      .select(col("g"), col("oa"), col("ob"),
+        (when(col("ea") > 0.0,
+          (col("oa").cast("double") - col("ea"))
+            * (col("oa").cast("double") - col("ea")) / col("ea"))
+          .otherwise(0.0)
+          + when(col("eb") > 0.0,
+            (col("ob").cast("double") - col("eb"))
+              * (col("ob").cast("double") - col("eb")) / col("eb"))
+            .otherwise(0.0)).as("cell"))
+    val stat = chi.agg(sum(col("cell")).as("chi2"))
+    chi.crossJoin(broadcast(stat))
+      .select(col("g").as("event_type"), col("oa").as("n_above"),
+        col("ob").as("n_le"), e6(col("chi2")).as("chi2_e6"))
+      .ordered(col("event_type"))
+  }
+
+  private val q386Sql: String =
+    s"""WITH v AS (SELECT event_type AS g,
+       |        CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+       |gh AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS nc FROM v GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(nc) AS BIGINT) AS nn FROM gh),
+       |med AS (SELECT MIN(c) AS med FROM (
+       |          SELECT c, CAST(SUM(nc) OVER (ORDER BY c
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            AS BIGINT) AS cum FROM gh), tot
+       |        WHERE cum::DOUBLE >= CEIL(nn::DOUBLE / 2.0)),
+       |cg AS (SELECT g,
+       |         CAST(SUM(CASE WHEN c > med THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS oa,
+       |         CAST(SUM(CASE WHEN c <= med THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS ob
+       |       FROM v, med GROUP BY 1),
+       |marg AS (SELECT CAST(SUM(oa) AS BIGINT) AS ta,
+       |           CAST(SUM(ob) AS BIGINT) AS tb FROM cg),
+       |cells AS (SELECT g, oa, ob,
+       |            ((oa + ob) * ta)::DOUBLE / (ta + tb)::DOUBLE AS ea,
+       |            ((oa + ob) * tb)::DOUBLE / (ta + tb)::DOUBLE AS eb
+       |          FROM cg, marg),
+       |chi AS (SELECT g, oa, ob,
+       |          (CASE WHEN ea > 0.0
+       |             THEN (oa::DOUBLE - ea) * (oa::DOUBLE - ea) / ea
+       |             ELSE 0.0 END)
+       |          + (CASE WHEN eb > 0.0
+       |             THEN (ob::DOUBLE - eb) * (ob::DOUBLE - eb) / eb
+       |             ELSE 0.0 END) AS cell
+       |        FROM cells),
+       |stat AS (SELECT SUM(cell) AS chi2 FROM chi)
+       |SELECT g AS event_type, oa AS n_above, ob AS n_le,
+       |  ${sqlE6("chi2")} AS chi2_e6
+       |FROM chi, stat ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q387 — Cochran's Q over the user x event-type presence matrix:
+  // did the k "treatments" (event types) reach significantly
+  // different shares of users? Exact integer row/column totals;
+  // Q = (k-1)(k*sum(C^2) - N^2) / (k*sum(R) - sum(R^2)); the zero
+  // denominator (every user saw every type) is guarded identically
+  // on both engines.
+  private val q387: Q = (s, dir) => {
+    val x = t(s, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    val rows = x.groupBy(col("user_id")).agg(count(lit(1)).as("r"))
+    val k = x.select(col("event_type")).distinct().count()
+    val cols_ = x.groupBy(col("event_type")).agg(count(lit(1)).as("ct"))
+    val colAgg = cols_.agg(sum(col("ct")).as("nn"),
+      sum(col("ct") * col("ct")).as("c2"))
+    val rowAgg = rows.agg(sum(col("r")).as("rsum"),
+      sum(col("r") * col("r")).as("r2sum"), count(lit(1)).as("nu"))
+    val stat = colAgg.crossJoin(broadcast(rowAgg))
+      .select(col("nu").as("n_users"),
+        e6(when(lit(k) * col("rsum") - col("r2sum") > 0L,
+          ((lit(k) - 1L) * (lit(k) * col("c2") - col("nn") * col("nn")))
+            .cast("double")
+            / (lit(k) * col("rsum") - col("r2sum")).cast("double"))
+          .otherwise(0.0)).as("q_e6"))
+    cols_.crossJoin(broadcast(stat))
+      .select(col("event_type"), col("ct").as("n_users_with"),
+        col("n_users"), col("q_e6"))
+      .ordered(col("event_type"))
+  }
+
+  private val q387Sql: String =
+    s"""WITH x AS (SELECT DISTINCT user_id, event_type FROM events),
+       |k AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+       |      FROM x),
+       |rows_ AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS r
+       |          FROM x GROUP BY 1),
+       |cols_ AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ct
+       |          FROM x GROUP BY 1),
+       |ca AS (SELECT CAST(SUM(ct) AS BIGINT) AS nn,
+       |         CAST(SUM(ct * ct) AS BIGINT) AS c2 FROM cols_),
+       |ra AS (SELECT CAST(SUM(r) AS BIGINT) AS rsum,
+       |         CAST(SUM(r * r) AS BIGINT) AS r2sum,
+       |         CAST(COUNT(*) AS BIGINT) AS nu FROM rows_),
+       |stat AS (SELECT nu AS n_users,
+       |  ${sqlE6("CASE WHEN k * rsum - r2sum > 0 THEN " +
+            "((k - 1) * (k * c2 - nn * nn))::DOUBLE / " +
+            "(k * rsum - r2sum)::DOUBLE ELSE 0.0 END")} AS q_e6
+       |  FROM ca, ra, k)
+       |SELECT event_type, ct AS n_users_with, n_users, q_e6
+       |FROM cols_, stat ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q388 — Friedman test + Page trend statistic: blocks = users,
+  // treatments = event types, observation = the user's event count
+  // of that type (zero-filled via the bounded type spine). Within-
+  // block average ranks are 2x-integer (min-rank window + tie
+  // count over the k-row per-user partition); the tie-corrected
+  // chi-square is a ratio of exact integers; Page's L (treatments
+  // in alphabetical order) is an exact 2x BIGINT.
+  private val q388: Q = (s, dir) => {
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_type"))
+    val types = ev.select(col("event_type")).distinct()
+    val users = ev.select(col("user_id")).distinct()
+    val counts = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = users.crossJoin(broadcast(types))
+      .join(counts, Seq("user_id", "event_type"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("cnt"))
+    val wTie = Window.partitionBy(col("user_id"), col("cnt"))
+    val ranked = grid
+      .withColumn("rmin", rank().over(wU))
+      .withColumn("ties", count(lit(1)).over(wTie))
+      .select(col("user_id"), col("event_type"),
+        (lit(2L) * col("rmin") + col("ties") - 1L).as("r2"))
+    val k = types.count()
+    val byT = ranked.groupBy(col("event_type"))
+      .agg(sum(col("r2")).as("r2x"))
+    val wOrd = Window.orderBy(col("event_type"))
+    val byTOrd = byT.withColumn("ord", row_number().over(wOrd))
+    val nU = ranked.agg((count(lit(1)) / lit(k)).cast("long").as("n"),
+      sum(col("r2") * col("r2")).as("sr22"))
+    val stat = byTOrd.crossJoin(broadcast(nU))
+      .groupBy(col("n"), col("sr22"))
+      .agg(sum((col("r2x") - col("n") * (lit(k) + 1L))
+          * (col("r2x") - col("n") * (lit(k) + 1L))).as("num"),
+        sum(col("ord") * col("r2x")).as("page_l2x"))
+      .select(col("n"), col("page_l2x"),
+        e6(when(col("sr22") - col("n") * lit(k) * (lit(k) + 1L)
+            * (lit(k) + 1L) > 0L,
+          ((lit(k) - 1L) * col("num")).cast("double")
+            / (col("sr22") - col("n") * lit(k) * (lit(k) + 1L)
+              * (lit(k) + 1L)).cast("double")).otherwise(0.0))
+          .as("chi2_e6"))
+    byTOrd.crossJoin(broadcast(stat))
+      .select(col("event_type"), col("r2x"), col("n").as("n_users"),
+        col("chi2_e6"), col("page_l2x"))
+      .ordered(col("event_type"))
+  }
+
+  private val q388Sql: String =
+    s"""WITH ev AS (SELECT user_id, event_type FROM events),
+       |types AS (SELECT DISTINCT event_type FROM ev),
+       |users AS (SELECT DISTINCT user_id FROM ev),
+       |k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM types),
+       |counts AS (SELECT user_id, event_type,
+       |             CAST(COUNT(*) AS BIGINT) AS cnt
+       |           FROM ev GROUP BY 1, 2),
+       |grid AS (SELECT u.user_id, ty.event_type,
+       |           COALESCE(c.cnt, 0) AS cnt
+       |         FROM users u CROSS JOIN types ty
+       |         LEFT JOIN counts c ON u.user_id = c.user_id
+       |           AND ty.event_type = c.event_type),
+       |ranked AS (SELECT user_id, event_type,
+       |             2 * RANK() OVER (PARTITION BY user_id ORDER BY cnt)
+       |               + CAST(COUNT(*) OVER (PARTITION BY user_id, cnt)
+       |                 AS BIGINT) - 1 AS r2
+       |           FROM grid),
+       |byt AS (SELECT event_type, CAST(SUM(r2) AS BIGINT) AS r2x,
+       |          ROW_NUMBER() OVER (ORDER BY event_type) AS ord
+       |        FROM ranked GROUP BY event_type),
+       |nu AS (SELECT CAST(COUNT(*) / k AS BIGINT) AS n,
+       |         CAST(SUM(r2 * r2) AS BIGINT) AS sr22
+       |       FROM ranked, k GROUP BY k),
+       |stat AS (SELECT n, CAST(SUM(ord * r2x) AS BIGINT) AS page_l2x,
+       |  ${sqlE6("CASE WHEN sr22 - n * k * (k + 1) * (k + 1) > 0 THEN " +
+            "((k - 1) * SUM((r2x - n * (k + 1)) * (r2x - n * (k + 1))))" +
+            "::DOUBLE / (sr22 - n * k * (k + 1) * (k + 1))::DOUBLE " +
+            "ELSE 0.0 END")} AS chi2_e6
+       |  FROM byt, nu, k GROUP BY n, sr22, k)
+       |SELECT event_type, r2x, n AS n_users, chi2_e6, page_l2x
+       |FROM byt, stat ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q389 — two-group log-rank test on customer order lifetimes:
+  // duration = days between first and last order, event = last order
+  // more than 90 days before the corpus horizon (churn), groups =
+  // custkey parity. At-risk counts are reverse-cumulative sums over
+  // the per-group duration histogram (domain-bounded spine, never a
+  // per-subject window); O-E and the hypergeometric variance sum to
+  // the one-row chi-square.
+  private val q389: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey").as("cust"),
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+          .cast("long").as("day"))
+    val per = o.groupBy(col("cust"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val mx = per.agg(max(col("d1")).as("dmax"))
+    val subj = per.crossJoin(broadcast(mx))
+      .select((col("cust") % 2L === 0L).as("ga"),
+        (col("d1") - col("d0")).as("tt"),
+        (col("d1") < col("dmax") - 90L).as("ev"))
+    val hist = subj.groupBy(col("tt"), col("ga"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ev"), 1L).otherwise(0L)).as("d"))
+    val times = hist.select(col("tt")).distinct()
+    val grid = times
+      .crossJoin(broadcast(spineB(s)))
+      .join(hist, Seq("tt", "ga"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("d", coalesce(col("d"), lit(0L)))
+    val wRev = Window.partitionBy(col("ga")).orderBy(col("tt").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = grid.withColumn("nr", sum(col("n")).over(wRev))
+    val perT = risk.groupBy(col("tt"))
+      .agg(max(when(col("ga"), col("nr"))).as("n1"),
+        max(when(!col("ga"), col("nr"))).as("n2"),
+        max(when(col("ga"), col("d"))).as("d1"),
+        max(when(!col("ga"), col("d"))).as("d2"))
+      .filter(col("d1") + col("d2") > 0L)
+      .select(col("d1"), (col("d1") + col("d2")).as("d"),
+        col("n1"), (col("n1") + col("n2")).as("n"), col("n2"))
+    perT.agg(sum(col("d1")).as("o1"),
+        sum(col("d").cast("double") * col("n1").cast("double")
+          / col("n").cast("double")).as("e1"),
+        sum(when(col("n") > 1L,
+          col("d").cast("double") * col("n1").cast("double")
+            * col("n2").cast("double")
+            * (col("n") - col("d")).cast("double")
+            / (col("n").cast("double") * col("n").cast("double")
+              * (col("n") - 1L).cast("double"))).otherwise(0.0))
+          .as("v"))
+      .select(col("o1"), e6(col("e1")).as("e1_e6"),
+        e6(when(col("v") > 0.0,
+          (col("o1").cast("double") - col("e1"))
+            * (col("o1").cast("double") - col("e1")) / col("v"))
+          .otherwise(0.0)).as("chi2_e6"))
+      .ordered(col("o1"))
+  }
+
+  private val q389Sql: String =
+    s"""WITH o AS (SELECT o_custkey AS cust,
+       |        DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |          AS day FROM orders),
+       |per AS (SELECT cust, MIN(day) AS d0, MAX(day) AS d1
+       |        FROM o GROUP BY 1),
+       |mx AS (SELECT MAX(d1) AS dmax FROM per),
+       |subj AS (SELECT cust % 2 = 0 AS ga, d1 - d0 AS tt,
+       |           d1 < dmax - 90 AS ev
+       |         FROM per, mx),
+       |hist AS (SELECT tt, ga, CAST(COUNT(*) AS BIGINT) AS n,
+       |           CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+       |             AS d
+       |         FROM subj GROUP BY 1, 2),
+       |times AS (SELECT DISTINCT tt FROM hist),
+       |grid AS (SELECT t.tt, g.ga, COALESCE(h.n, 0) AS n,
+       |           COALESCE(h.d, 0) AS d
+       |         FROM times t CROSS JOIN
+       |           (SELECT unnest([true, false]) AS ga) g
+       |         LEFT JOIN hist h ON t.tt = h.tt AND g.ga = h.ga),
+       |risk AS (SELECT tt, ga, d, CAST(SUM(n) OVER (PARTITION BY ga
+       |           ORDER BY tt DESC ROWS BETWEEN UNBOUNDED PRECEDING
+       |           AND CURRENT ROW) AS BIGINT) AS nr
+       |         FROM grid),
+       |pert AS (SELECT tt,
+       |           MAX(CASE WHEN ga THEN nr END) AS n1,
+       |           MAX(CASE WHEN NOT ga THEN nr END) AS n2,
+       |           MAX(CASE WHEN ga THEN d END) AS d1,
+       |           MAX(CASE WHEN NOT ga THEN d END) AS d2
+       |         FROM risk GROUP BY 1),
+       |f AS (SELECT d1, d1 + d2 AS d, n1, n1 + n2 AS n, n2
+       |      FROM pert WHERE d1 + d2 > 0),
+       |agg AS (SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+       |          SUM(d::DOUBLE * n1::DOUBLE / n::DOUBLE) AS e1,
+       |          SUM(CASE WHEN n > 1 THEN d::DOUBLE * n1::DOUBLE
+       |            * n2::DOUBLE * (n - d)::DOUBLE
+       |            / (n::DOUBLE * n::DOUBLE * (n - 1)::DOUBLE)
+       |            ELSE 0.0 END) AS v
+       |        FROM f)
+       |SELECT o1, ${sqlE6("e1")} AS e1_e6,
+       |  ${sqlE6("CASE WHEN v > 0.0 THEN (o1::DOUBLE - e1) " +
+            "* (o1::DOUBLE - e1) / v ELSE 0.0 END")} AS chi2_e6
+       |FROM agg ORDER BY o1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q390 — Ljung-Box portmanteau (lags 1..7) on the zero-filled
+  // daily order-count series. Exact integer centering z_d = D*y_d - T
+  // keeps every autocovariance a sum of integer products (the D^2
+  // scale cancels in rho), so the per-lag correlations are exact
+  // integer ratios; only the final Q fold is a pinned double.
+  private val q390: Q = (s, dir) => {
+    val daily = t(s, dir, "orders")
+      .select(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+        .cast("long").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("y"))
+    val b = daily.agg(min(col("day")).as("dlo"), max(col("day")).as("dhi"),
+      sum(col("y")).as("tot"))
+    val spine = b.select(explode(sequence(col("dlo"), col("dhi")))
+      .as("day"), col("tot"), (col("dhi") - col("dlo") + 1L).as("dd"))
+    val z = spine.join(daily, Seq("day"), "left")
+      .select(col("day"), col("tot"), col("dd"),
+        (col("dd") * coalesce(col("y"), lit(0L)) - col("tot")).as("z"))
+    val den = z.agg(sum(col("z") * col("z")).as("s0"),
+      max(col("dd")).as("dd"))
+    // lag spine 1..7 via a small literal explode, all seven lag
+    // self-joins folded into ONE equi-join on the shifted day key
+    val kspine = spineK(s)
+    val pairs = z.select(col("day"), col("z"))
+      .crossJoin(broadcast(kspine))
+      .select((col("day") - col("k")).as("day"), col("k"),
+        col("z").as("zlag"))
+      .join(z.select(col("day"), col("z")), Seq("day"))
+      .groupBy(col("k")).agg(sum(col("z") * col("zlag")).as("sk"))
+    val rho = pairs.crossJoin(broadcast(den))
+      .select(col("k"),
+        (col("sk").cast("double") / col("s0").cast("double")).as("rho"),
+        col("dd"))
+    val qlb = rho.groupBy(col("dd"))
+      .agg(sum(col("rho") * col("rho")
+        / (col("dd") - col("k")).cast("double")).as("srho"))
+      .select((col("dd").cast("double") * (col("dd") + 2L).cast("double")
+        * col("srho")).as("qstat"))
+    rho.crossJoin(broadcast(qlb))
+      .select(col("k"), e6(col("rho")).as("rho_e6"),
+        e6(col("qstat")).as("q_lb_e6"))
+      .ordered(col("k"))
+  }
+
+  /** Lag spine 1..7 for q390. */
+  private def spineK(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (1L to 7L).toDF("k")
+  }
+
+  /** Boolean group spine {true, false} for q389. */
+  private def spineB(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(true, false).toDF("ga")
+  }
+
+  private val q390Sql: String =
+    s"""WITH daily AS (SELECT
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |           AS day, CAST(COUNT(*) AS BIGINT) AS y
+       |       FROM orders GROUP BY 1),
+       |b AS (SELECT MIN(day) AS dlo, MAX(day) AS dhi,
+       |        CAST(SUM(y) AS BIGINT) AS tot,
+       |        MAX(day) - MIN(day) + 1 AS dd FROM daily),
+       |spine AS (SELECT unnest(range(dlo, dhi + 1)) AS day FROM b),
+       |z AS (SELECT s.day, b.dd, b.tot,
+       |        b.dd * COALESCE(d.y, 0) - b.tot AS z
+       |      FROM spine s CROSS JOIN b
+       |      LEFT JOIN daily d ON s.day = d.day),
+       |den AS (SELECT CAST(SUM(z * z) AS BIGINT) AS s0, MAX(dd) AS dd
+       |        FROM z),
+       |ks AS (SELECT unnest(range(1, 8)) AS k),
+       |pairs AS (SELECT ks.k,
+       |            CAST(SUM(a.z * c.z) AS BIGINT) AS sk
+       |          FROM z a JOIN ks ON true
+       |          JOIN z c ON c.day = a.day - ks.k
+       |          GROUP BY 1),
+       |rho AS (SELECT k, sk::DOUBLE / s0::DOUBLE AS rho, dd
+       |        FROM pairs, den),
+       |qlb AS (SELECT dd::DOUBLE * (dd + 2)::DOUBLE
+       |          * SUM(rho * rho / (dd - k)::DOUBLE) AS qstat
+       |        FROM rho GROUP BY dd)
+       |SELECT k, ${sqlE6("rho")} AS rho_e6,
+       |  ${sqlE6("qstat")} AS q_lb_e6
+       |FROM rho, qlb ORDER BY k""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q391 — integer-exact seasonal spectrum of daily order counts at
+  // periods 2/3/4/6: residue-class sums s_m = sum of counts with
+  // day % p = m, and 4x the spectral power expressed EXACTLY in
+  // BIGINTs via the half-integer cosine tables (cos in {±1, ±1/2, 0},
+  // sin^2 in {0, 3/4} at these periods — no floating trig anywhere,
+  // so both engines produce bit-identical integers).
+  //   4*P(2) = 4*(s0-s1)^2
+  //   4*P(3) = (2*s0-s1-s2)^2 + 3*(s1-s2)^2
+  //   4*P(4) = 4*((s0-s2)^2 + (s1-s3)^2)
+  //   4*P(6) = (2*(s0-s3)+(s1-s2-s4+s5))^2 + 3*(s1+s2-s4-s5)^2
+  private val q391: Q = (s, dir) => {
+    val daily = t(s, dir, "orders")
+      .select(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+        .cast("long").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("y"))
+    val res = daily
+      .crossJoin(broadcast(spineP(s)))
+      .groupBy(col("p"), (col("day") % col("p")).as("m"))
+      .agg(sum(col("y")).as("sm"))
+    val sCols = res.groupBy(col("p"))
+      .agg(sum(when(col("m") === 0L, col("sm")).otherwise(0L)).as("s0"),
+        sum(when(col("m") === 1L, col("sm")).otherwise(0L)).as("s1"),
+        sum(when(col("m") === 2L, col("sm")).otherwise(0L)).as("s2"),
+        sum(when(col("m") === 3L, col("sm")).otherwise(0L)).as("s3"),
+        sum(when(col("m") === 4L, col("sm")).otherwise(0L)).as("s4"),
+        sum(when(col("m") === 5L, col("sm")).otherwise(0L)).as("s5"))
+    val p4 = sCols.select(col("p"),
+      when(col("p") === 2L,
+        lit(4L) * (col("s0") - col("s1")) * (col("s0") - col("s1")))
+      .when(col("p") === 3L,
+        (lit(2L) * col("s0") - col("s1") - col("s2"))
+          * (lit(2L) * col("s0") - col("s1") - col("s2"))
+          + lit(3L) * (col("s1") - col("s2")) * (col("s1") - col("s2")))
+      .when(col("p") === 4L,
+        lit(4L) * ((col("s0") - col("s2")) * (col("s0") - col("s2"))
+          + (col("s1") - col("s3")) * (col("s1") - col("s3"))))
+      .otherwise(
+        (lit(2L) * (col("s0") - col("s3"))
+          + (col("s1") - col("s2") - col("s4") + col("s5")))
+          * (lit(2L) * (col("s0") - col("s3"))
+            + (col("s1") - col("s2") - col("s4") + col("s5")))
+          + lit(3L) * (col("s1") + col("s2") - col("s4") - col("s5"))
+            * (col("s1") + col("s2") - col("s4") - col("s5")))
+        .as("p4x"))
+    val tot = p4.agg(sum(col("p4x")).as("ptot"))
+    p4.crossJoin(broadcast(tot))
+      .select(col("p"), col("p4x"),
+        e6(when(col("ptot") > 0L,
+          col("p4x").cast("double") / col("ptot").cast("double"))
+          .otherwise(0.0)).as("share_e6"))
+      .ordered(col("p"))
+  }
+
+  /** Period spine {2,3,4,6} for q391. */
+  private def spineP(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(2L, 3L, 4L, 6L).toDF("p")
+  }
+
+  private val q391Sql: String =
+    s"""WITH daily AS (SELECT
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |           AS day, CAST(COUNT(*) AS BIGINT) AS y
+       |       FROM orders GROUP BY 1),
+       |ps AS (SELECT unnest([2, 3, 4, 6]) AS p),
+       |res AS (SELECT p, day % p AS m, CAST(SUM(y) AS BIGINT) AS sm
+       |        FROM daily, ps GROUP BY 1, 2),
+       |sc AS (SELECT p,
+       |         CAST(SUM(CASE WHEN m = 0 THEN sm ELSE 0 END) AS BIGINT) AS s0,
+       |         CAST(SUM(CASE WHEN m = 1 THEN sm ELSE 0 END) AS BIGINT) AS s1,
+       |         CAST(SUM(CASE WHEN m = 2 THEN sm ELSE 0 END) AS BIGINT) AS s2,
+       |         CAST(SUM(CASE WHEN m = 3 THEN sm ELSE 0 END) AS BIGINT) AS s3,
+       |         CAST(SUM(CASE WHEN m = 4 THEN sm ELSE 0 END) AS BIGINT) AS s4,
+       |         CAST(SUM(CASE WHEN m = 5 THEN sm ELSE 0 END) AS BIGINT) AS s5
+       |       FROM res GROUP BY 1),
+       |p4 AS (SELECT p, CAST(CASE
+       |         WHEN p = 2 THEN 4 * (s0 - s1) * (s0 - s1)
+       |         WHEN p = 3 THEN (2 * s0 - s1 - s2) * (2 * s0 - s1 - s2)
+       |           + 3 * (s1 - s2) * (s1 - s2)
+       |         WHEN p = 4 THEN 4 * ((s0 - s2) * (s0 - s2)
+       |           + (s1 - s3) * (s1 - s3))
+       |         ELSE (2 * (s0 - s3) + (s1 - s2 - s4 + s5))
+       |           * (2 * (s0 - s3) + (s1 - s2 - s4 + s5))
+       |           + 3 * (s1 + s2 - s4 - s5) * (s1 + s2 - s4 - s5)
+       |         END AS BIGINT) AS p4x
+       |       FROM sc),
+       |tot AS (SELECT CAST(SUM(p4x) AS BIGINT) AS ptot FROM p4)
+       |SELECT p, p4x,
+       |  ${sqlE6("CASE WHEN ptot > 0 THEN p4x::DOUBLE / ptot::DOUBLE " +
+            "ELSE 0.0 END")} AS share_e6
+       |FROM p4, tot ORDER BY p""".stripMargin
+
+  // ---------------------------------------------------------------
+
+  val all: Map[String, Q] = Map(
+    "q384_kruskal_wallis" -> q384,
+    "q385_wilcoxon_signed" -> q385,
+    "q386_mood_median" -> q386,
+    "q387_cochran_q" -> q387,
+    "q388_friedman_page" -> q388,
+    "q389_logrank" -> q389,
+    "q390_ljung_box" -> q390,
+    "q391_seasonal_spectrum" -> q391)
+
+  val oracle: Map[String, String] = Map(
+    "q384_kruskal_wallis" -> q384Sql,
+    "q385_wilcoxon_signed" -> q385Sql,
+    "q386_mood_median" -> q386Sql,
+    "q387_cochran_q" -> q387Sql,
+    "q388_friedman_page" -> q388Sql,
+    "q389_logrank" -> q389Sql,
+    "q390_ljung_box" -> q390Sql,
+    "q391_seasonal_spectrum" -> q391Sql)
+}

@@ -478,8 +478,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
                           // direct-pair count
     "q370_keep_policy",   // 1-row byte-budget brackets vs the
                           // cluster choice table
-    "q375_gate_attribution") // 1-row corpus-totals bracket vs the
+    "q375_gate_attribution", // 1-row corpus-totals bracket vs the
                           // 4-row gate table
+    "q384_kruskal_wallis", // 1-row N/tie-sum + H brackets vs the
+                          // 5-row group rank table
+    "q385_wilcoxon_signed", // 1-row midpoint-epoch bracket vs events
+    "q386_mood_median",   // 1-row grand-median + margin brackets vs
+                          // the event rows / 5-row cell table
+    "q387_cochran_q",     // 1-row row/column-total brackets
+    "q388_friedman_page", // 1-row n/tie brackets vs the 5-row rank
+                          // sums; bounded type-spine cross join
+    "q389_logrank",       // 1-row horizon bracket vs per-customer
+                          // durations; 2-row group spine
+    "q390_ljung_box",     // 1-row denominator bracket + 7-row lag
+                          // spine vs the day series
+    "q391_seasonal_spectrum") // 4-row period spine vs daily counts;
+                          // 1-row total-power bracket
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
