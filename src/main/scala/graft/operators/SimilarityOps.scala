@@ -1341,4 +1341,80 @@ object SimilarityOps {
           lit(1.0) / col("__rk1").cast("double")).otherwise(lit(0.0)))
       .drop("__rk1")
   }
+
+  /** Squared Euclidean distance between two vector columns as ONE
+    * left-to-right fold (same accumulation order as [[dot]] /
+    * the DuckDB list_reduce oracles — bit-identical doubles). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, v) => acc + v)
+
+  /** Greedy k-center coreset (Gonzalez): start from the min-id
+    * vector, then k-1 times pick the point FARTHEST from the chosen
+    * set (max min-distance, min-id tiebreak). The classic diverse-
+    * sample selector for training-data curation — k scan rounds,
+    * each one distance projection + one 1-row argmax aggregate; the
+    * only driver state is the k chosen (id, radius) scalars, so the
+    * loop is bounded by k, never by data size (the q67 kmeans
+    * contract). Returns (iter, center_id, radius) — radius = the
+    * max-min Euclidean distance at selection time (0 for the seed). */
+  def kCenterCoreset(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint(false)
+    def centerVec(cid: Long) = base.filter(col("id") === cid)
+      .select(col("v").as("cv"))
+    var chosen = List((1, base.agg(min(col("id"))).head().getLong(0), 0.0))
+    var mind: DataFrame = base.crossJoin(broadcast(centerVec(chosen.head._2)))
+      .select(col("id"), col("v"), sqrt(sqDist(col("v"), col("cv"))).as("d"))
+      .localCheckpoint(false)
+    for (i <- 2 to k) {
+      val far = mind.filter(!col("id").isInCollection(chosen.map(_._2)))
+        .agg(max(struct(col("d"), (-col("id")).as("nid")))).head()
+        .getStruct(0)
+      val (cid, rad) = (-far.getLong(1), far.getDouble(0))
+      chosen = (i, cid, rad) :: chosen
+      if (i < k)
+        mind = mind.crossJoin(broadcast(centerVec(cid)))
+          .select(col("id"), col("v"),
+            least(col("d"), sqrt(sqDist(col("v"), col("cv")))).as("d"))
+          .localCheckpoint(false)
+    }
+    chosen.reverse.toDF("iter", "center_id", "radius")
+  }
+
+  /** TwoNN intrinsic-dimension estimate (Facco et al. 2017): for each
+    * query point, the ratio mu = d2/d1 of its two nearest Euclidean
+    * neighbors; ID = n / sum(ln mu). Queries with d1 = 0 (verbatim-
+    * duplicate vectors) are excluded — their ratio is undefined.
+    * Brute-force top-2 over the bounded query sample (the q28
+    * contract; IVF/LSH are the scale path for the neighbor search). */
+  def twoNNIntrinsicDim(queries: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val d = q.join(c, col("qid") =!= col("nid"))
+      .select(col("qid"),
+        sqrt(sqDist(col("qv"), col("nv"))).as("d"), col("nid"))
+    val top2 = d.withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("d"), col("nid"))))
+      .filter(col("rk") <= 2)
+      .groupBy(col("qid"))
+      .agg(min(when(col("rk") === 1, col("d"))).as("d1"),
+        min(when(col("rk") === 2, col("d"))).as("d2"))
+    top2.filter(col("d1") > 0.0)
+      .agg(count(lit(1)).as("n_used"),
+        sum(log(col("d2") / col("d1"))).as("slog"))
+      .select(col("n_used"),
+        when(col("slog") > 0.0,
+          col("n_used").cast("double") / col("slog")).otherwise(0.0)
+          .as("id_hat"))
+  }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.operators.{CurationOps, SimilarityOps}
 
 /** Round-9 query surface: the classical rank/nonparametric test
   * family (Kruskal-Wallis, Wilcoxon signed-rank, Mood's median,
@@ -685,6 +686,514 @@ object RoundNine {
        |FROM p4, tot ORDER BY p""".stripMargin
 
   // ---------------------------------------------------------------
+  // q392 — pass@k estimator: tasks = users, samples = the user's
+  // first 20 events (deterministic (ts, event_id) order), "correct"
+  // = value > 250. The unbiased estimator 1 - C(n-c,k)/C(n,k) is an
+  // EXACT integer rational per task (numerator/denominator products
+  // folded over the bounded k-spine, n <= 20 so both fit BIGINT);
+  // only the cross-task mean is a pinned double. The evaluator every
+  // sampled-generation benchmark (HumanEval-style) reports.
+  private val q392: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), expr("ts_ns div 1000").as("tus"),
+        col("event_id"), (cents > 25000L).as("ok"))
+    val first20 = ev.withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))))
+      .filter(col("rn") <= 20)
+    val tasks = first20.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("c"))
+    val ks = spineKs(s)
+    val perTask = tasks.crossJoin(broadcast(ks))
+      .filter(col("n") >= col("k"))
+      .select(col("k"),
+        when(col("n") - col("c") < col("k"), lit(1.0)).otherwise(
+          lit(1.0) -
+            aggregate(sequence(lit(0L), col("k") - 1L), lit(1L),
+              (acc, j) => acc * (col("n") - col("c") - j))
+              .cast("double") /
+            aggregate(sequence(lit(0L), col("k") - 1L), lit(1L),
+              (acc, j) => acc * (col("n") - j)).cast("double"))
+          .as("pk"))
+    perTask.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_tasks"), e6(avg(col("pk")))
+        .as("mean_pass_e6"))
+      .ordered(col("k"))
+  }
+
+  /** k spine {1, 5, 10} for q392. */
+  private def spineKs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(1L, 5L, 10L).toDF("k")
+  }
+
+  private val q392Sql: String =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+       |        CAST(ROUND(value * 100) AS BIGINT) > 25000 AS ok
+       |      FROM events),
+       |f20 AS (SELECT user_id, ok FROM (
+       |          SELECT user_id, ok, ROW_NUMBER() OVER (
+       |            PARTITION BY user_id ORDER BY tus, event_id) AS rn
+       |          FROM ev) WHERE rn <= 20),
+       |tasks AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+       |            CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+       |              AS c
+       |          FROM f20 GROUP BY 1),
+       |ks AS (SELECT unnest([1, 5, 10]) AS k),
+       |pt AS (SELECT k,
+       |         CASE WHEN n - c < k THEN 1.0
+       |           ELSE 1.0 -
+       |             list_reduce(list_prepend(CAST(1 AS BIGINT),
+       |               list_transform(range(0, k),
+       |                 jj -> (n - c - jj)::BIGINT)),
+       |               (a, x) -> a * x)::DOUBLE /
+       |             list_reduce(list_prepend(CAST(1 AS BIGINT),
+       |               list_transform(range(0, k),
+       |                 jj -> (n - jj)::BIGINT)),
+       |               (a, x) -> a * x)::DOUBLE
+       |           END AS pk
+       |       FROM tasks CROSS JOIN ks WHERE n >= k)
+       |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_tasks,
+       |  ${sqlE6("AVG(pk)")} AS mean_pass_e6
+       |FROM pt GROUP BY k ORDER BY k""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q393 — Bradley-Terry strength ratings from within-order brand
+  // "contests": brand a beats brand b inside an order when its
+  // quantity is strictly larger (ties skipped). Two MM iterations
+  // from the uniform start — p1_i = W_i / (N_i/2), then
+  // p2_i = W_i / sum_j n_ij/(p1_i + p1_j) — over the bounded 25-brand
+  // pair table; exact integer win/contest counts.
+  private val q393: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"), col("p_brand"))
+      .agg(sum(col("l_quantity")).cast("long").as("q"))
+    val pair = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.p_brand") < col("b.p_brand"))
+      .filter(col("a.q") =!= col("b.q"))
+      .groupBy(col("a.p_brand").as("ba"), col("b.p_brand").as("bb"))
+      .agg(sum(when(col("a.q") > col("b.q"), 1L).otherwise(0L)).as("wa"),
+        count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val sym = pair.select(col("ba").as("i"), col("bb").as("j2"),
+        col("wa").as("w"), col("n"))
+      .unionByName(pair.select(col("bb").as("i"), col("ba").as("j2"),
+        (col("n") - col("wa")).as("w"), col("n")))
+    val items = sym.groupBy(col("i"))
+      .agg(sum(col("w")).as("wt"), sum(col("n")).as("nt"))
+      .select(col("i"), col("wt"), col("nt"),
+        (lit(2.0) * col("wt").cast("double")
+          / col("nt").cast("double")).as("p1"))
+      .localCheckpoint(false)
+    val denom2 = sym
+      .join(items.select(col("i"), col("p1")), "i")
+      .join(items.select(col("i").as("j2"), col("p1").as("p1j")), "j2")
+      .groupBy(col("i"))
+      .agg(sum(when(col("p1") + col("p1j") > 0.0,
+        col("n").cast("double") / (col("p1") + col("p1j")))
+        .otherwise(0.0)).as("den"))
+    items.join(denom2, "i")
+      .select(col("i").as("brand"), col("wt"), col("nt"),
+        e6(col("p1")).as("p1_e6"),
+        e6(when(col("den") > 0.0,
+          col("wt").cast("double") / col("den")).otherwise(0.0))
+          .as("p2_e6"))
+      .ordered(col("brand"))
+  }
+
+  private val q393Sql: String =
+    s"""WITH li AS (SELECT l_orderkey, p_brand,
+       |        CAST(SUM(l_quantity) AS BIGINT) AS q
+       |      FROM lineitem JOIN part ON l_partkey = p_partkey
+       |      GROUP BY 1, 2),
+       |pair AS (SELECT a.p_brand AS ba, b.p_brand AS bb,
+       |           CAST(SUM(CASE WHEN a.q > b.q THEN 1 ELSE 0 END)
+       |             AS BIGINT) AS wa,
+       |           CAST(COUNT(*) AS BIGINT) AS n
+       |         FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |           AND a.p_brand < b.p_brand AND a.q <> b.q
+       |         GROUP BY 1, 2),
+       |sym AS (SELECT ba AS i, bb AS j2, wa AS w, n FROM pair
+       |        UNION ALL
+       |        SELECT bb AS i, ba AS j2, n - wa AS w, n FROM pair),
+       |items AS (SELECT i, CAST(SUM(w) AS BIGINT) AS wt,
+       |            CAST(SUM(n) AS BIGINT) AS nt,
+       |            2.0 * SUM(w)::DOUBLE / SUM(n)::DOUBLE AS p1
+       |          FROM sym GROUP BY 1),
+       |d2 AS (SELECT s.i,
+       |         SUM(CASE WHEN a.p1 + b.p1 > 0.0
+       |           THEN s.n::DOUBLE / (a.p1 + b.p1) ELSE 0.0 END) AS den
+       |       FROM sym s JOIN items a ON s.i = a.i
+       |       JOIN items b ON s.j2 = b.i
+       |       GROUP BY 1)
+       |SELECT items.i AS brand, wt, nt, ${sqlE6("p1")} AS p1_e6,
+       |  ${sqlE6("CASE WHEN den > 0.0 THEN wt::DOUBLE / den " +
+            "ELSE 0.0 END")} AS p2_e6
+       |FROM items JOIN d2 ON items.i = d2.i ORDER BY brand""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q394 — AMS F2 sketch vs the exact second frequency moment of the
+  // user_id stream: 8 independent ±1 md5-sign sketches, Z_r =
+  // sum(count_x * s_r(x)) — every quantity an exact BIGINT (Z, Z^2,
+  // the 8-sketch sum, and exact F2 = sum(count^2)), so the sketch
+  // audit hashes identically everywhere. The mergeable two-level
+  // shape (per-key counts -> per-sketch signed sums) is the 100 TB
+  // layout: partials combine by addition.
+  private val q394: Q = (s, dir) => {
+    val cnt = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val f2 = cnt.agg(sum(col("cnt") * col("cnt")).as("f2"))
+    val z = cnt.crossJoin(broadcast(spineR(s)))
+      .select(col("r"), col("cnt"),
+        when(CurationOps.md5Hash32(concat(lit("ams"),
+          col("r").cast("string"), lit(":"),
+          col("user_id").cast("string"))) % 2L === 0L, 1L)
+          .otherwise(-1L).as("sgn"))
+      .groupBy(col("r")).agg(sum(col("cnt") * col("sgn")).as("z"))
+    val est = z.agg(sum(col("z") * col("z")).as("est8"))
+    z.crossJoin(broadcast(f2)).crossJoin(broadcast(est))
+      .select(col("r"), col("z"), (col("z") * col("z")).as("z2"),
+        col("f2"),
+        e6(abs(col("est8").cast("double") / 8.0
+          / col("f2").cast("double") - 1.0)).as("rel_err_e6"))
+      .ordered(col("r"))
+  }
+
+  /** Sketch-index spine 0..7 for q394. */
+  private def spineR(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0L to 7L).toDF("r")
+  }
+
+  private val q394Sql: String =
+    s"""WITH cnt AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+       |      FROM events GROUP BY 1),
+       |f2 AS (SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS f2 FROM cnt),
+       |rs AS (SELECT unnest(range(0, 8)) AS r),
+       |z AS (SELECT r, CAST(SUM(cnt * (CASE WHEN
+       |        ${OracleSql.hex32("md5('ams' || r::VARCHAR || ':' || user_id::VARCHAR)")} % 2 = 0
+       |        THEN 1 ELSE -1 END)) AS BIGINT) AS z
+       |      FROM cnt CROSS JOIN rs GROUP BY 1),
+       |est AS (SELECT CAST(SUM(z * z) AS BIGINT) AS est8 FROM z)
+       |SELECT r, z, CAST(z * z AS BIGINT) AS z2, f2,
+       |  ${sqlE6("ABS(est8::DOUBLE / 8.0 / f2::DOUBLE - 1.0)")}
+       |    AS rel_err_e6
+       |FROM z, f2, est ORDER BY r""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q395 — TwoNN intrinsic-dimension estimate of the embedding table
+  // (Facco et al. 2017): mu = d2/d1 over the two nearest Euclidean
+  // neighbors of each sampled query point (vec_id % 37 = 0), ID =
+  // n / sum(ln mu). Distances are the bit-identical left-to-right
+  // folds of the q28 family; d1 = 0 (verbatim-duplicate vectors) is
+  // excluded on both engines.
+  private val q395: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    SimilarityOps.twoNNIntrinsicDim(
+        emb.filter(col("vec_id") % 37L === 0L), emb,
+        "vec_id", "embedding")
+      .select(col("n_used"), e6(col("id_hat")).as("id_e6"))
+      .ordered(col("n_used"))
+  }
+
+  private val q395Sql: String = {
+    val dist = "sqrt(" + OracleSql.foldSum(
+      "list_transform(range(1, 65), i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))") + ")"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |d AS (SELECT q.vec_id AS qid, c.vec_id AS nid, $dist AS d
+       |      FROM e q JOIN e c ON q.vec_id <> c.vec_id
+       |      WHERE q.vec_id % 37 = 0),
+       |t2 AS (SELECT qid,
+       |         MIN(CASE WHEN rk = 1 THEN d END) AS d1,
+       |         MIN(CASE WHEN rk = 2 THEN d END) AS d2
+       |       FROM (SELECT qid, d, ROW_NUMBER() OVER (
+       |               PARTITION BY qid ORDER BY d, nid) AS rk FROM d)
+       |       WHERE rk <= 2 GROUP BY 1),
+       |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+       |          SUM(LN(d2 / d1)) AS slog
+       |        FROM t2 WHERE d1 > 0.0)
+       |SELECT n_used,
+       |  ${sqlE6("CASE WHEN slog > 0.0 THEN n_used::DOUBLE / slog " +
+            "ELSE 0.0 END")} AS id_e6
+       |FROM agg ORDER BY n_used""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q396 — pinball (quantile) loss of a trailing-7-day empirical-
+  // quantile forecast of daily order counts, at q = 0.1 / 0.5 / 0.9:
+  // forecast = the ceil(7q)-th smallest of the previous 7 days
+  // (sorted bounded array), loss x10 = q10*(y-f) or (10-q10)*(f-y) —
+  // every loss an exact BIGINT on the zero-filled day spine.
+  private val q396: Q = (s, dir) => {
+    val daily = t(s, dir, "orders")
+      .select(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+        .cast("long").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("y"))
+    val b = daily.agg(min(col("day")).as("dlo"), max(col("day")).as("dhi"))
+    val spine = b.select(explode(sequence(col("dlo"), col("dhi")))
+      .as("day"))
+    val z = spine.join(daily, Seq("day"), "left")
+      .withColumn("y", coalesce(col("y"), lit(0L)))
+    val w = Window.orderBy(col("day")).rowsBetween(-7, -1)
+    val fc = z.withColumn("trail", collect_list(col("y")).over(w))
+      .filter(size(col("trail")) === 7)
+      .withColumn("sorted", array_sort(col("trail")))
+    val qs = fc.crossJoin(broadcast(spineQ(s)))
+      .select(col("q10"), col("y"),
+        element_at(col("sorted"), col("kq").cast("int")).as("f"))
+      .select(col("q10"),
+        when(col("y") >= col("f"), col("q10") * (col("y") - col("f")))
+          .otherwise((lit(10L) - col("q10")) * (col("f") - col("y")))
+          .as("loss10"))
+    qs.groupBy(col("q10"))
+      .agg(count(lit(1)).as("n_days"), sum(col("loss10")).as("loss10x"))
+      .select(col("q10"), col("n_days"), col("loss10x"),
+        e6(col("loss10x").cast("double") / 10.0
+          / col("n_days").cast("double")).as("mean_loss_e6"))
+      .ordered(col("q10"))
+  }
+
+  /** (q x 10, order statistic index) spine for q396: ceil(7q)-th
+    * smallest of 7 -> (1,1), (5,4), (9,7). */
+  private def spineQ(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((1L, 1L), (5L, 4L), (9L, 7L)).toDF("q10", "kq")
+  }
+
+  private val q396Sql: String =
+    s"""WITH daily AS (SELECT
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |           AS day, CAST(COUNT(*) AS BIGINT) AS y
+       |       FROM orders GROUP BY 1),
+       |b AS (SELECT MIN(day) AS dlo, MAX(day) AS dhi FROM daily),
+       |spine AS (SELECT unnest(range(dlo, dhi + 1)) AS day FROM b),
+       |z AS (SELECT s.day, COALESCE(d.y, 0) AS y
+       |      FROM spine s LEFT JOIN daily d ON s.day = d.day),
+       |fc AS (SELECT day, y, list_sort(trail) AS sorted FROM (
+       |         SELECT day, y, list(y) OVER (ORDER BY day
+       |           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail
+       |         FROM z)
+       |       WHERE len(trail) = 7),
+       |qs AS (SELECT q10, CASE WHEN y >= sorted[kq]
+       |           THEN q10 * (y - sorted[kq])
+       |           ELSE (10 - q10) * (sorted[kq] - y) END AS loss10
+       |       FROM fc CROSS JOIN (SELECT unnest([1, 5, 9]) AS q10,
+       |         unnest([1, 4, 7]) AS kq))
+       |SELECT q10, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |  CAST(SUM(loss10) AS BIGINT) AS loss10x,
+       |  ${sqlE6("SUM(loss10)::DOUBLE / 10.0 / COUNT(*)::DOUBLE")}
+       |    AS mean_loss_e6
+       |FROM qs GROUP BY q10 ORDER BY q10""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q397 — EWMA control chart (lambda = 0.2) on daily order counts:
+  // the smoothed series is ONE sequential array fold (identical fp
+  // op order on both engines — the holt_winters discipline), control
+  // limits from exact integer power sums (at lambda = 0.2 the
+  // asymptotic 3-sigma EWMA band is exactly sigma: 3*sqrt(1/9)).
+  // Output = violation days only.
+  private val q397: Q = (s, dir) => {
+    val daily = t(s, dir, "orders")
+      .select(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+        .cast("long").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("y"))
+    val b = daily.agg(min(col("day")).as("dlo"), max(col("day")).as("dhi"))
+    val z = b.select(explode(sequence(col("dlo"), col("dhi"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .withColumn("y", coalesce(col("y"), lit(0L)))
+    val folded = z
+      .agg(expr("sort_array(collect_list(struct(day AS d, y AS v)))")
+        .as("a"),
+        sum(col("y")).as("s1"), sum(col("y") * col("y")).as("s2"),
+        count(lit(1)).as("dd"), min(col("day")).as("d0"))
+      .withColumn("ys", expr("transform(a, e -> CAST(e.v AS DOUBLE))"))
+      .withColumn("zs", expr(
+        """aggregate(slice(ys, 2, size(ys) - 1),
+          |  array(element_at(ys, 1)),
+          |  (acc, x) -> concat(acc,
+          |    array(element_at(acc, -1)
+          |      + 0.2D * (x - element_at(acc, -1)))))""".stripMargin))
+      .withColumn("mu", col("s1").cast("double") / col("dd").cast("double"))
+      .withColumn("band", sqrt(
+        (col("s2").cast("double") - col("s1").cast("double")
+          * col("s1").cast("double") / col("dd").cast("double"))
+        / (col("dd") - 1L).cast("double")))
+    folded.select(col("d0"), col("mu"), col("band"),
+        posexplode(col("zs")).as(Seq("pos", "zv")))
+      .filter(abs(col("zv") - col("mu")) > col("band"))
+      .select((col("d0") + col("pos")).as("day"), e6(col("zv")).as("z_e6"),
+        e6(col("zv") - col("mu")).as("dev_e6"))
+      .ordered(col("day"))
+  }
+
+  private val q397Sql: String =
+    s"""WITH daily AS (SELECT
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |           AS day, CAST(COUNT(*) AS BIGINT) AS y
+       |       FROM orders GROUP BY 1),
+       |b AS (SELECT MIN(day) AS dlo, MAX(day) AS dhi FROM daily),
+       |spine AS (SELECT unnest(range(dlo, dhi + 1)) AS day FROM b),
+       |z AS (SELECT s.day, COALESCE(d.y, 0) AS y
+       |      FROM spine s LEFT JOIN daily d ON s.day = d.day),
+       |folded AS (SELECT MIN(day) AS d0,
+       |         CAST(SUM(y) AS BIGINT) AS s1,
+       |         CAST(SUM(y * y) AS BIGINT) AS s2,
+       |         CAST(COUNT(*) AS BIGINT) AS dd,
+       |         list(y ORDER BY day) AS ys
+       |       FROM z),
+       |st AS (SELECT d0, s1, s2, dd,
+       |         list_reduce(
+       |           [[ys[1]::DOUBLE]] ||
+       |             list_transform(ys[2:], v -> [v::DOUBLE]),
+       |           (acc, x) -> list_append(acc,
+       |             acc[-1] + 0.2 * (x[1] - acc[-1]))) AS zs,
+       |         s1::DOUBLE / dd::DOUBLE AS mu,
+       |         SQRT((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / dd::DOUBLE)
+       |           / (dd - 1)::DOUBLE) AS band
+       |       FROM folded)
+       |SELECT d0 + pos - 1 AS day, ${sqlE6("zv")} AS z_e6,
+       |  ${sqlE6("zv - mu")} AS dev_e6
+       |FROM (SELECT d0, mu, band,
+       |        unnest(zs) AS zv,
+       |        generate_subscripts(zs, 1) AS pos
+       |      FROM st)
+       |WHERE ABS(zv - mu) > band
+       |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q398 — Jonckheere-Terpstra trend test across the alphabetically
+  // ordered event types: per ordered group pair, the Mann-Whitney
+  // count U (with half-credit ties) computed from the zero-filled
+  // (group x cents) histogram grid — 2x-integer exact per pair; the
+  // z uses the standard no-tie null variance (documented).
+  private val q398: Q = (s, dir) => {
+    val v = t(s, dir, "events")
+      .select(col("event_type").as("g"), cents.as("c"))
+    val h = v.groupBy(col("g"), col("c")).agg(count(lit(1)).as("n"))
+    val cs = h.select(col("c")).distinct()
+    val gs = h.select(col("g")).distinct()
+      .withColumn("go", row_number().over(Window.orderBy(col("g"))))
+    val grid = cs.crossJoin(broadcast(gs))
+      .join(h, Seq("g", "c"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val wG = Window.partitionBy(col("g")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = grid
+      .withColumn("cumlt", coalesce(sum(col("n")).over(wG), lit(0L)))
+    val pairs = cum.as("a").join(cum.as("b"),
+        col("a.c") === col("b.c") && col("a.go") < col("b.go"))
+      .groupBy(col("a.g").as("ga"), col("b.g").as("gb"))
+      .agg(sum(col("b.n") * (lit(2L) * col("a.cumlt") + col("a.n")))
+        .as("u2x"))
+    val sizes = h.groupBy(col("g")).agg(sum(col("n")).as("ng"))
+    val mv = sizes.agg(sum(col("ng")).as("nn"),
+        sum(col("ng") * col("ng")).as("sn2"),
+        sum(col("ng") * col("ng") * (lit(2L) * col("ng") + 3L))
+          .as("sn23"))
+      .select(col("nn"), col("sn2"), col("sn23"),
+        ((col("nn") * col("nn") - col("sn2")).cast("double") / 4.0)
+          .as("ej"),
+        ((col("nn").cast("double") * col("nn").cast("double")
+          * (lit(2L) * col("nn") + 3L).cast("double")
+          - col("sn23").cast("double")) / 72.0).as("vj"))
+    val j2 = pairs.agg(sum(col("u2x")).as("j2x"))
+    pairs.crossJoin(broadcast(j2)).crossJoin(broadcast(mv))
+      .select(col("ga"), col("gb"), col("u2x"), col("j2x"),
+        e6(when(col("vj") > 0.0,
+          (col("j2x").cast("double") / 2.0 - col("ej"))
+            / sqrt(col("vj"))).otherwise(0.0)).as("z_e6"))
+      .ordered(col("ga"), col("gb"))
+  }
+
+  private val q398Sql: String =
+    s"""WITH v AS (SELECT event_type AS g,
+       |        CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+       |h AS (SELECT g, c, CAST(COUNT(*) AS BIGINT) AS n
+       |      FROM v GROUP BY 1, 2),
+       |cs AS (SELECT DISTINCT c FROM h),
+       |gs AS (SELECT g, ROW_NUMBER() OVER (ORDER BY g) AS go
+       |       FROM (SELECT DISTINCT g FROM h)),
+       |grid AS (SELECT cs.c, gs.g, gs.go, COALESCE(h.n, 0) AS n
+       |         FROM cs CROSS JOIN gs
+       |         LEFT JOIN h ON cs.c = h.c AND gs.g = h.g),
+       |cum AS (SELECT c, g, go, n,
+       |          COALESCE(CAST(SUM(n) OVER (PARTITION BY g ORDER BY c
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |            AS BIGINT), 0) AS cumlt
+       |        FROM grid),
+       |pairs AS (SELECT a.g AS ga, b.g AS gb,
+       |            CAST(SUM(b.n * (2 * a.cumlt + a.n)) AS BIGINT)
+       |              AS u2x
+       |          FROM cum a JOIN cum b ON a.c = b.c AND a.go < b.go
+       |          GROUP BY 1, 2),
+       |sizes AS (SELECT g, CAST(SUM(n) AS BIGINT) AS ng
+       |          FROM h GROUP BY 1),
+       |mv AS (SELECT CAST(SUM(ng) AS BIGINT) AS nn,
+       |         CAST(SUM(ng * ng) AS BIGINT) AS sn2,
+       |         CAST(SUM(ng * ng * (2 * ng + 3)) AS BIGINT) AS sn23
+       |       FROM sizes),
+       |mv2 AS (SELECT nn, sn2, sn23,
+       |          (nn * nn - sn2)::DOUBLE / 4.0 AS ej,
+       |          (nn::DOUBLE * nn::DOUBLE * (2 * nn + 3)::DOUBLE
+       |            - sn23::DOUBLE) / 72.0 AS vj
+       |        FROM mv),
+       |j2 AS (SELECT CAST(SUM(u2x) AS BIGINT) AS j2x FROM pairs)
+       |SELECT ga, gb, u2x, j2x,
+       |  ${sqlE6("CASE WHEN vj > 0.0 THEN (j2x::DOUBLE / 2.0 - ej) " +
+            "/ SQRT(vj) ELSE 0.0 END")} AS z_e6
+       |FROM pairs, j2, mv2 ORDER BY ga, gb""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q399 — greedy k-center coreset over the embedding table
+  // (SimilarityOps.kCenterCoreset, k = 4): the diverse-sample
+  // selector for curation — k bounded scan rounds, 1-row argmax
+  // driver state only, bit-identical left-to-right distance folds.
+  private val q399: Q = (s, dir) => {
+    SimilarityOps.kCenterCoreset(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 4)
+      .select(col("iter").cast("long").as("iter"), col("center_id"),
+        e6(col("radius")).as("radius_e6"))
+      .ordered(col("iter"))
+  }
+
+  private val q399Sql: String = {
+    def dist(a: String, b: String) = "sqrt(" + OracleSql.foldSum(
+      s"list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))") + ")"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |c1 AS (SELECT MIN(vec_id) AS id FROM e),
+       |d1 AS (SELECT a.vec_id, a.v, ${dist("a.v", "b.v")} AS d
+       |       FROM e a CROSS JOIN c1 JOIN e b ON b.vec_id = c1.id),
+       |c2 AS (SELECT vec_id AS id, d AS r FROM d1, c1
+       |       WHERE vec_id <> c1.id ORDER BY d DESC, vec_id LIMIT 1),
+       |d2 AS (SELECT a.vec_id, a.v, LEAST(a.d, ${dist("a.v", "b.v")})
+       |           AS d
+       |       FROM d1 a CROSS JOIN c2 JOIN e b ON b.vec_id = c2.id),
+       |c3 AS (SELECT vec_id AS id, d AS r FROM d2, c1, c2
+       |       WHERE vec_id <> c1.id AND vec_id <> c2.id
+       |       ORDER BY d DESC, vec_id LIMIT 1),
+       |d3 AS (SELECT a.vec_id, a.v, LEAST(a.d, ${dist("a.v", "b.v")})
+       |           AS d
+       |       FROM d2 a CROSS JOIN c3 JOIN e b ON b.vec_id = c3.id),
+       |c4 AS (SELECT vec_id AS id, d AS r FROM d3, c1, c2, c3
+       |       WHERE vec_id <> c1.id AND vec_id <> c2.id
+       |         AND vec_id <> c3.id
+       |       ORDER BY d DESC, vec_id LIMIT 1)
+       |SELECT CAST(1 AS BIGINT) AS iter, c1.id AS center_id,
+       |    CAST(0 AS BIGINT) AS radius_e6 FROM c1
+       |UNION ALL SELECT CAST(2 AS BIGINT), id, ${sqlE6("r")} FROM c2
+       |UNION ALL SELECT CAST(3 AS BIGINT), id, ${sqlE6("r")} FROM c3
+       |UNION ALL SELECT CAST(4 AS BIGINT), id, ${sqlE6("r")} FROM c4
+       |ORDER BY iter""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q384_kruskal_wallis" -> q384,
@@ -694,7 +1203,15 @@ object RoundNine {
     "q388_friedman_page" -> q388,
     "q389_logrank" -> q389,
     "q390_ljung_box" -> q390,
-    "q391_seasonal_spectrum" -> q391)
+    "q391_seasonal_spectrum" -> q391,
+    "q392_pass_at_k" -> q392,
+    "q393_bradley_terry" -> q393,
+    "q394_ams_f2" -> q394,
+    "q395_twonn_id" -> q395,
+    "q396_pinball_loss" -> q396,
+    "q397_ewma_chart" -> q397,
+    "q398_jonckheere" -> q398,
+    "q399_kcenter_coreset" -> q399)
 
   val oracle: Map[String, String] = Map(
     "q384_kruskal_wallis" -> q384Sql,
@@ -704,5 +1221,13 @@ object RoundNine {
     "q388_friedman_page" -> q388Sql,
     "q389_logrank" -> q389Sql,
     "q390_ljung_box" -> q390Sql,
-    "q391_seasonal_spectrum" -> q391Sql)
+    "q391_seasonal_spectrum" -> q391Sql,
+    "q392_pass_at_k" -> q392Sql,
+    "q393_bradley_terry" -> q393Sql,
+    "q394_ams_f2" -> q394Sql,
+    "q395_twonn_id" -> q395Sql,
+    "q396_pinball_loss" -> q396Sql,
+    "q397_ewma_chart" -> q397Sql,
+    "q398_jonckheere" -> q398Sql,
+    "q399_kcenter_coreset" -> q399Sql)
 }

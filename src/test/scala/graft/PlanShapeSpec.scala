@@ -492,8 +492,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
                           // durations; 2-row group spine
     "q390_ljung_box",     // 1-row denominator bracket + 7-row lag
                           // spine vs the day series
-    "q391_seasonal_spectrum") // 4-row period spine vs daily counts;
+    "q391_seasonal_spectrum", // 4-row period spine vs daily counts;
                           // 1-row total-power bracket
+    "q392_pass_at_k",     // 3-row k spine vs the per-user task table
+    "q394_ams_f2",        // 8-row sketch spine vs per-user counts;
+                          // 1-row F2/est brackets
+    "q395_twonn_id",      // deliberate brute-force query-vs-corpus
+                          // inequality join (the q28 ANN baseline)
+    "q396_pinball_loss",  // 3-row quantile spine vs the day series
+    "q398_jonckheere")    // 5-row group spine vs the cents histogram;
+                          // 1-row J/variance brackets
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
