@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{CurationOps, SimilarityOps}
+import graft.operators.{CurationOps, SimilarityOps, TextOps}
 
 /** Round-9 query surface: the classical rank/nonparametric test
   * family (Kruskal-Wallis, Wilcoxon signed-rank, Mood's median,
@@ -1194,6 +1194,573 @@ object RoundNine {
   }
 
   // ---------------------------------------------------------------
+  // q400 — on-time shipment share per order priority: an order is
+  // on time when its SLOWEST line shipped within 60 days of the
+  // order date. Exact integer lag maxima; the per-priority share and
+  // mean worst-lag are pinned rationals.
+  private val q400: Q = (s, dir) => {
+    val lag = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(max(datediff(col("l_shipdate"), col("o_orderdate"))
+        .cast("long")).as("lag_max"))
+    lag.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("lag_max") <= 60L, 1L).otherwise(0L))
+          .as("n_ontime"),
+        sum(col("lag_max")).as("lag_sum"))
+      .select(col("o_orderpriority"), col("n_orders"), col("n_ontime"),
+        e6(col("n_ontime").cast("double")
+          / col("n_orders").cast("double")).as("ontime_share_e6"),
+        e6(col("lag_sum").cast("double")
+          / col("n_orders").cast("double")).as("mean_worst_lag_e6"))
+      .ordered(col("o_orderpriority"))
+  }
+
+  private val q400Sql: String =
+    s"""WITH lag AS (SELECT o_orderkey, o_orderpriority,
+       |        CAST(MAX(DATE_DIFF('day', o_orderdate, l_shipdate))
+       |          AS BIGINT) AS lag_max
+       |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |      GROUP BY 1, 2),
+       |a AS (SELECT o_orderpriority,
+       |        CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |        CAST(SUM(CASE WHEN lag_max <= 60 THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS n_ontime,
+       |        CAST(SUM(lag_max) AS BIGINT) AS lag_sum
+       |      FROM lag GROUP BY 1)
+       |SELECT o_orderpriority, n_orders, n_ontime,
+       |  ${sqlE6("n_ontime::DOUBLE / n_orders::DOUBLE")}
+       |    AS ontime_share_e6,
+       |  ${sqlE6("lag_sum::DOUBLE / n_orders::DOUBLE")}
+       |    AS mean_worst_lag_e6
+       |FROM a ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q401 — Croston's method for intermittent demand, per brand:
+  // demand epochs = ship days with any quantity, EWMA (alpha = 0.1)
+  // of demand sizes and inter-demand gaps, forecast = z/p. The
+  // smoothing recursion is ONE sequential array fold over the
+  // day-ordered (day, qty) pairs — identical fp op order on both
+  // engines (the holt_winters discipline; state = [z, p, prev_day,
+  // i] with the first two epochs initializing z and the raw first
+  // gap). Demand series are day-domain-bounded per brand.
+  private val q401: Q = (s, dir) => {
+    val daily = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"),
+        datediff(col("l_shipdate"), to_date(lit("1970-01-01")))
+          .cast("long").as("day"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty"))
+    val folded = daily.groupBy(col("brand"))
+      .agg(expr("sort_array(collect_list(struct(day AS d, qty AS q)))")
+        .as("a"), count(lit(1)).as("m"))
+      .withColumn("st", expr(
+        """aggregate(a, array(0D, 0D, 0D, 0D), (acc, e) -> CASE
+          |  WHEN element_at(acc, 4) = 0D THEN
+          |    array(CAST(e.q AS DOUBLE), 0D, CAST(e.d AS DOUBLE), 1D)
+          |  WHEN element_at(acc, 4) = 1D THEN array(
+          |    element_at(acc, 1)
+          |      + 0.1D * (CAST(e.q AS DOUBLE) - element_at(acc, 1)),
+          |    CAST(e.d AS DOUBLE) - element_at(acc, 3),
+          |    CAST(e.d AS DOUBLE), 2D)
+          |  ELSE array(
+          |    element_at(acc, 1)
+          |      + 0.1D * (CAST(e.q AS DOUBLE) - element_at(acc, 1)),
+          |    element_at(acc, 2) + 0.1D * ((CAST(e.d AS DOUBLE)
+          |      - element_at(acc, 3)) - element_at(acc, 2)),
+          |    CAST(e.d AS DOUBLE), element_at(acc, 4) + 1D)
+          |  END)""".stripMargin))
+    folded.select(col("brand"), col("m"),
+        e6(expr("element_at(st, 1)")).as("z_e6"),
+        e6(expr("element_at(st, 2)")).as("p_e6"),
+        e6(when(expr("element_at(st, 2)") > 0.0,
+          expr("element_at(st, 1) / element_at(st, 2)"))
+          .otherwise(0.0)).as("croston_e6"))
+      .ordered(col("brand"))
+  }
+
+  private val q401Sql: String =
+    s"""WITH daily AS (SELECT p_brand AS brand,
+       |        DATE_DIFF('day', TIMESTAMP '1970-01-01', l_shipdate)
+       |          AS day,
+       |        CAST(SUM(l_quantity) AS BIGINT) AS qty
+       |      FROM lineitem JOIN part ON l_partkey = p_partkey
+       |      GROUP BY 1, 2),
+       |arrs AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS m,
+       |           list(day ORDER BY day) AS ds,
+       |           list(qty ORDER BY day) AS qs
+       |         FROM daily GROUP BY 1),
+       |folded AS (SELECT brand, m,
+       |         list_reduce(
+       |           list_prepend([0.0, 0.0, 0.0, 0.0],
+       |             list_transform(range(1, len(ds) + 1),
+       |               ii -> [ds[ii]::DOUBLE, qs[ii]::DOUBLE])),
+       |           (acc, x) -> CASE
+       |             WHEN acc[4] = 0.0 THEN [x[2], 0.0, x[1], 1.0]
+       |             WHEN acc[4] = 1.0 THEN [
+       |               acc[1] + 0.1 * (x[2] - acc[1]),
+       |               x[1] - acc[3], x[1], 2.0]
+       |             ELSE [
+       |               acc[1] + 0.1 * (x[2] - acc[1]),
+       |               acc[2] + 0.1 * ((x[1] - acc[3]) - acc[2]),
+       |               x[1], acc[4] + 1.0]
+       |             END) AS st
+       |       FROM arrs)
+       |SELECT brand, m, ${sqlE6("st[1]")} AS z_e6,
+       |  ${sqlE6("st[2]")} AS p_e6,
+       |  ${sqlE6("CASE WHEN st[2] > 0.0 THEN st[1] / st[2] " +
+            "ELSE 0.0 END")} AS croston_e6
+       |FROM folded ORDER BY brand""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q402 — curriculum phase assignment by quality quartile: the q22
+  // quality score pinned to micro-units, type-lower quartile
+  // boundaries from the qe6 histogram (the q299 selection), docs
+  // binned into 4 training phases with per-phase doc counts, token
+  // budgets, and mean quality. The "easy-to-hard" data schedule a
+  // curriculum trainer consumes.
+  private val q402: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        e6(TextOps.qualityScoreRaw(col("text"), NorthStar.Stopwords))
+          .as("qe6"),
+        TextOps.tokenCount(col("text")).cast("long").as("toks"))
+      .localCheckpoint(false)
+    val gh = d.groupBy(col("qe6")).agg(count(lit(1)).as("nc"))
+    val w = Window.orderBy(col("qe6"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = gh.agg(sum(col("nc")).as("nn"))
+    val cum = gh.withColumn("cum", sum(col("nc")).over(w))
+      .crossJoin(broadcast(tot))
+    def bnd(j: Int) = cum
+      .filter(col("cum").cast("double") >=
+        ceil(col("nn").cast("double") * lit(j) / 4.0))
+      .agg(min(col("qe6")).as(s"b$j"))
+    val phased = d.crossJoin(broadcast(bnd(1)))
+      .crossJoin(broadcast(bnd(2))).crossJoin(broadcast(bnd(3)))
+      .select(col("qe6"), col("toks"),
+        (lit(1L) + when(col("qe6") > col("b1"), 1L).otherwise(0L)
+          + when(col("qe6") > col("b2"), 1L).otherwise(0L)
+          + when(col("qe6") > col("b3"), 1L).otherwise(0L))
+          .as("phase"))
+    phased.groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tok_budget"),
+        sum(col("qe6")).as("qsum"))
+      .select(col("phase"), col("n_docs"), col("tok_budget"),
+        round(col("qsum").cast("double") / col("n_docs").cast("double"),
+          0).cast("long").as("mean_q_micro"))
+      .ordered(col("phase"))
+  }
+
+  private val q402Sql: String =
+    s"""WITH d0 AS (
+       |  SELECT doc_id, text,
+       |         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, len(toks) AS toks_n,
+       |         len(list_filter(toks, t -> list_contains(
+       |           ['a','the','and','of','to','data'], t)))
+       |           * 1.0 / GREATEST(len(toks), 1) AS stop_ratio,
+       |         (length(text) - length(regexp_replace(text,
+       |           '[.,!?;:]', '', 'g')))
+       |           * 1.0 / GREATEST(length(text), 1) AS punct_ratio,
+       |         length(text) * 1.0 / GREATEST(len(toks), 1) AS mean_len
+       |  FROM d0),
+       |d AS (
+       |  SELECT doc_id, CAST(toks_n AS BIGINT) AS toks,
+       |         CAST(ROUND((LEAST(mean_len / 8.0, 1.0)
+       |           + (1.0 - stop_ratio)
+       |           + (1.0 - LEAST(punct_ratio * 5.0, 1.0))) / 3.0 * 1e6,
+       |           0) AS BIGINT) AS qe6
+       |  FROM m),
+       |gh AS (SELECT qe6, CAST(COUNT(*) AS BIGINT) AS nc
+       |       FROM d GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(nc) AS BIGINT) AS nn FROM gh),
+       |cum AS (SELECT qe6, CAST(SUM(nc) OVER (ORDER BY qe6
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          AS BIGINT) AS cum
+       |        FROM gh),
+       |b1 AS (SELECT MIN(qe6) AS b1 FROM cum, tot
+       |       WHERE cum::DOUBLE >= CEIL(nn::DOUBLE * 1 / 4.0)),
+       |b2 AS (SELECT MIN(qe6) AS b2 FROM cum, tot
+       |       WHERE cum::DOUBLE >= CEIL(nn::DOUBLE * 2 / 4.0)),
+       |b3 AS (SELECT MIN(qe6) AS b3 FROM cum, tot
+       |       WHERE cum::DOUBLE >= CEIL(nn::DOUBLE * 3 / 4.0)),
+       |ph AS (SELECT qe6, toks,
+       |         1 + (CASE WHEN qe6 > b1 THEN 1 ELSE 0 END)
+       |           + (CASE WHEN qe6 > b2 THEN 1 ELSE 0 END)
+       |           + (CASE WHEN qe6 > b3 THEN 1 ELSE 0 END) AS phase
+       |       FROM d, b1, b2, b3)
+       |SELECT CAST(phase AS BIGINT) AS phase,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(toks) AS BIGINT) AS tok_budget,
+       |  CAST(ROUND(SUM(qe6)::DOUBLE / COUNT(*)::DOUBLE, 0) AS BIGINT)
+       |    AS mean_q_micro
+       |FROM ph GROUP BY 1 ORDER BY phase""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q403 — Neyman optimal allocation of a 1000-doc sample across
+  // sources vs proportional: n_h ~ N_h * S_h (S from exact integer
+  // power sums of n_chars), integerized by the deterministic
+  // largest-remainder method (floor + remainder rank, source
+  // tiebreak), and the design-variance ratio of the two allocations.
+  private val q403: Q = (s, dir) => {
+    val st = t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("nh"), sum(col("n_chars")).as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("s2"))
+      .select(col("source"), col("nh"),
+        sqrt((col("s2").cast("double") - col("s1").cast("double")
+          * col("s1").cast("double") / col("nh").cast("double"))
+          / (col("nh") - 1L).cast("double")).as("sh"))
+    val tots = st.agg(sum(col("nh").cast("double")).as("wprop_tot"),
+      sum(col("nh").cast("double") * col("sh")).as("wney_tot"))
+    def apportion(df: DataFrame, wCol: Column, totCol: Column,
+                  out: String): DataFrame = {
+      val withShare = df.withColumn("__sh", wCol / totCol * lit(1000.0))
+        .withColumn("__base", floor(col("__sh")).cast("long"))
+        .withColumn("__rem", col("__sh") - col("__base").cast("double"))
+      val left = withShare.agg((lit(1000L) - sum(col("__base")))
+        .as("__left"))
+      withShare.crossJoin(broadcast(left))
+        .withColumn("__rk", row_number().over(
+          Window.orderBy(col("__rem").desc, col("source"))))
+        .withColumn(out, col("__base") +
+          when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+        .drop("__sh", "__base", "__rem", "__rk", "__left")
+    }
+    val both = apportion(
+      apportion(st.crossJoin(broadcast(tots)),
+        col("nh").cast("double"), col("wprop_tot"), "n_prop"),
+      col("nh").cast("double") * col("sh"), col("wney_tot"), "n_ney")
+      .localCheckpoint(false)
+    val vr = both.agg(
+        sum(when(col("n_ney") > 0L, col("nh").cast("double")
+          * col("nh").cast("double") * col("sh") * col("sh")
+          / col("n_ney").cast("double")).otherwise(0.0)).as("vn"),
+        sum(when(col("n_prop") > 0L, col("nh").cast("double")
+          * col("nh").cast("double") * col("sh") * col("sh")
+          / col("n_prop").cast("double")).otherwise(0.0)).as("vp"))
+      .select(e6(when(col("vp") > 0.0, col("vn") / col("vp"))
+        .otherwise(0.0)).as("var_ratio_e6"))
+    both.crossJoin(broadcast(vr))
+      .select(col("source"), col("nh"), e6(col("sh")).as("sh_e6"),
+        col("n_prop"), col("n_ney"), col("var_ratio_e6"))
+      .ordered(col("source"))
+  }
+
+  private val q403Sql: String =
+    s"""WITH st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nh,
+       |        SQRT((SUM(n_chars * n_chars)::DOUBLE
+       |          - SUM(n_chars)::DOUBLE * SUM(n_chars)::DOUBLE
+       |            / COUNT(*)::DOUBLE)
+       |          / (COUNT(*) - 1)::DOUBLE) AS sh
+       |      FROM documents GROUP BY 1),
+       |tots AS (SELECT SUM(nh::DOUBLE) AS wprop_tot,
+       |           SUM(nh::DOUBLE * sh) AS wney_tot FROM st),
+       |p1 AS (SELECT source, nh, sh,
+       |         nh::DOUBLE / wprop_tot * 1000.0 AS shp
+       |       FROM st, tots),
+       |p2 AS (SELECT source, nh, sh, CAST(FLOOR(shp) AS BIGINT)
+       |           AS basep, shp - FLOOR(shp) AS remp
+       |       FROM p1),
+       |pl AS (SELECT 1000 - CAST(SUM(basep) AS BIGINT) AS leftp
+       |       FROM p2),
+       |pr AS (SELECT source, nh, sh, basep +
+       |         (CASE WHEN ROW_NUMBER() OVER (ORDER BY remp DESC,
+       |            source) <= leftp THEN 1 ELSE 0 END) AS n_prop
+       |       FROM p2, pl),
+       |n1 AS (SELECT source, nh, sh, n_prop,
+       |         nh::DOUBLE * sh / wney_tot * 1000.0 AS shn
+       |       FROM pr, tots),
+       |n2 AS (SELECT source, nh, sh, n_prop,
+       |         CAST(FLOOR(shn) AS BIGINT) AS basen,
+       |         shn - FLOOR(shn) AS remn
+       |       FROM n1),
+       |nl AS (SELECT 1000 - CAST(SUM(basen) AS BIGINT) AS leftn
+       |       FROM n2),
+       |nr AS (SELECT source, nh, sh, n_prop, basen +
+       |         (CASE WHEN ROW_NUMBER() OVER (ORDER BY remn DESC,
+       |            source) <= leftn THEN 1 ELSE 0 END) AS n_ney
+       |       FROM n2, nl),
+       |vr AS (SELECT
+       |         SUM(CASE WHEN n_ney > 0 THEN nh::DOUBLE * nh::DOUBLE
+       |           * sh * sh / n_ney::DOUBLE ELSE 0.0 END) AS vn,
+       |         SUM(CASE WHEN n_prop > 0 THEN nh::DOUBLE * nh::DOUBLE
+       |           * sh * sh / n_prop::DOUBLE ELSE 0.0 END) AS vp
+       |       FROM nr)
+       |SELECT source, nh, ${sqlE6("sh")} AS sh_e6,
+       |  CAST(n_prop AS BIGINT) AS n_prop, CAST(n_ney AS BIGINT) AS n_ney,
+       |  ${sqlE6("CASE WHEN vp > 0.0 THEN vn / vp ELSE 0.0 END")}
+       |    AS var_ratio_e6
+       |FROM nr, vr ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q404 — exact Shapley attribution over the 3-channel exposure
+  // game (click / view / signup; conversion = purchase): users are
+  // bucketed by exact exposure subset (8 masks, zero-filled),
+  // v(S) = conversion rate of that bucket, and each channel's
+  // Shapley value is the weighted marginal sum over the 4 subsets
+  // excluding it — |S|!(3-|S|-1)!/3! with the exact integer weights
+  // {2, 1, 1, 2}/6. The game-theoretic counterpart of the q199/q200
+  // touch heuristics.
+  private val q404: Q = (s, dir) => {
+    val pres = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("hc"),
+        max(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("hv"),
+        max(when(col("event_type") === "signup", 1L).otherwise(0L))
+          .as("hs"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+    val sub = pres
+      .groupBy((col("hc") + lit(2L) * col("hv") + lit(4L) * col("hs"))
+        .as("mask"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("nc"))
+    val masks = spineMask(s).join(sub, Seq("mask"), "left")
+      .select(col("mask"),
+        when(coalesce(col("n"), lit(0L)) > 0L,
+          col("nc").cast("double") / col("n").cast("double"))
+          .otherwise(0.0).as("v"))
+      .localCheckpoint(false)
+    val phi = spineChan(s)
+      .join(masks.select(col("mask").as("smask"), col("v")),
+        col("smask").bitwiseAND(col("bit")) === 0L)
+      .join(masks.select(col("mask").as("smaski"), col("v").as("vi")),
+        col("smaski") === col("smask") + col("bit"))
+      .withColumn("w", when(col("smask") === 0L, 2.0)
+        .when(col("smask").isin(3L, 5L, 6L), 2.0).otherwise(1.0))
+      .groupBy(col("channel"))
+      .agg(sum(col("w") * (col("vi") - col("v"))).as("phi6"))
+    phi.select(col("channel"), e6(col("phi6") / 6.0).as("phi_e6"))
+      .ordered(col("channel"))
+  }
+
+  /** 8-row exposure-mask spine for q404. */
+  private def spineMask(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0L to 7L).toDF("mask")
+  }
+
+  /** Channel bit spine for q404 (click=1, view=2, signup=4). */
+  private def spineChan(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("click", 1L), ("view", 2L), ("signup", 4L))
+      .toDF("channel", "bit")
+  }
+
+  private val q404Sql: String =
+    s"""WITH pres AS (SELECT user_id,
+       |        MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |          AS hc,
+       |        MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       |          AS hv,
+       |        MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+       |          AS hs,
+       |        MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |          AS conv
+       |      FROM events GROUP BY 1),
+       |sub AS (SELECT hc + 2 * hv + 4 * hs AS mask,
+       |          CAST(COUNT(*) AS BIGINT) AS n,
+       |          CAST(SUM(conv) AS BIGINT) AS nc
+       |        FROM pres GROUP BY 1),
+       |masks AS (SELECT ms.mask,
+       |            CASE WHEN COALESCE(sub.n, 0) > 0
+       |              THEN sub.nc::DOUBLE / sub.n::DOUBLE
+       |              ELSE 0.0 END AS v
+       |          FROM (SELECT unnest(range(0, 8)) AS mask) ms
+       |          LEFT JOIN sub ON ms.mask = sub.mask),
+       |chan AS (SELECT unnest(['click', 'signup', 'view']) AS channel,
+       |           unnest([1, 4, 2]) AS bit),
+       |phi AS (SELECT channel,
+       |          SUM((CASE WHEN a.mask IN (0) THEN 2.0
+       |               WHEN a.mask IN (3, 5, 6) THEN 2.0
+       |               ELSE 1.0 END) * (b.v - a.v)) AS phi6
+       |        FROM chan JOIN masks a ON (a.mask & bit) = 0
+       |        JOIN masks b ON b.mask = a.mask + bit
+       |        GROUP BY 1)
+       |SELECT channel, ${sqlE6("phi6 / 6.0")} AS phi_e6
+       |FROM phi ORDER BY channel""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q405 — two-model uplift by market segment: treatment = customer-
+  // key parity (the q389 assignment), outcome = repeat purchase
+  // (>= 2 orders), uplift = treatment minus control repeat rate per
+  // c_mktsegment — all exact integer counts, pinned rationals.
+  private val q405: Q = (s, dir) => {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (col("c_custkey") % 2L === 0L).as("treat"))
+    val ords = t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("no"))
+    val j = cust.join(ords, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment"), col("treat"),
+        (coalesce(col("no"), lit(0L)) >= 2L).as("rep"))
+    j.groupBy(col("c_mktsegment"))
+      .agg(sum(when(col("treat"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("treat") && col("rep"), 1L).otherwise(0L))
+          .as("r_t"),
+        sum(when(!col("treat"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(!col("treat") && col("rep"), 1L).otherwise(0L))
+          .as("r_c"))
+      .select(col("c_mktsegment"), col("n_t"), col("r_t"), col("n_c"),
+        col("r_c"),
+        e6(when(col("n_t") > 0L && col("n_c") > 0L,
+          col("r_t").cast("double") / col("n_t").cast("double")
+            - col("r_c").cast("double") / col("n_c").cast("double"))
+          .otherwise(0.0)).as("uplift_e6"))
+      .ordered(col("c_mktsegment"))
+  }
+
+  private val q405Sql: String =
+    s"""WITH cust AS (SELECT c_custkey, c_mktsegment,
+       |        c_custkey % 2 = 0 AS treat FROM customer),
+       |ords AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS no
+       |         FROM orders GROUP BY 1),
+       |j AS (SELECT c_mktsegment, treat,
+       |        COALESCE(no, 0) >= 2 AS rep
+       |      FROM cust LEFT JOIN ords ON c_custkey = o_custkey),
+       |a AS (SELECT c_mktsegment,
+       |        CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS n_t,
+       |        CAST(SUM(CASE WHEN treat AND rep THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS r_t,
+       |        CAST(SUM(CASE WHEN NOT treat THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS n_c,
+       |        CAST(SUM(CASE WHEN NOT treat AND rep THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS r_c
+       |      FROM j GROUP BY 1)
+       |SELECT c_mktsegment, n_t, r_t, n_c, r_c,
+       |  ${sqlE6("CASE WHEN n_t > 0 AND n_c > 0 THEN " +
+            "r_t::DOUBLE / n_t::DOUBLE - r_c::DOUBLE / n_c::DOUBLE " +
+            "ELSE 0.0 END")} AS uplift_e6
+       |FROM a ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q406 — kNN density audit of the embedding space: for a sampled
+  // query set (vec_id % 17 = 0), the 4th-nearest-neighbor radius
+  // (micro-pinned), per-label mean radius, and the count of "core"
+  // points (radius <= the global type-lower median radius) — the
+  // density screen a DBSCAN-style curation pass starts from.
+  private val q406: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") % 17L === 0L)
+      .select(col("vec_id").as("qid"), col("label").as("qlab"),
+        col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+    val r4 = q.join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("qlab"),
+        sqrt(SimilarityOps.sqDist(col("qv"), col("nv"))).as("d"),
+        col("nid"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d"), col("nid"))))
+      .filter(col("rk") === 4)
+      .select(col("qid"), col("qlab"), e6(col("d")).as("re6"))
+      .localCheckpoint(false)
+    val gh = r4.groupBy(col("re6")).agg(count(lit(1)).as("nc"))
+    val tot = gh.agg(sum(col("nc")).as("nn"))
+    val med = gh.withColumn("cum", sum(col("nc")).over(
+        Window.orderBy(col("re6"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum").cast("double") >=
+        ceil(col("nn").cast("double") / 2.0))
+      .agg(min(col("re6")).as("med"))
+    r4.crossJoin(broadcast(med))
+      .groupBy(col("qlab").as("label"))
+      .agg(count(lit(1)).as("n_q"),
+        round(avg(col("re6").cast("double")), 0).cast("long")
+          .as("mean_r4_micro"),
+        sum(when(col("re6") <= col("med"), 1L).otherwise(0L))
+          .as("n_core"))
+      .ordered(col("label"))
+  }
+
+  private val q406Sql: String = {
+    val dist = "sqrt(" + OracleSql.foldSum(
+      "list_transform(range(1, 65), i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))") + ")"
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |r4 AS (SELECT qid, qlab, CAST(ROUND(d * 1e6, 0) AS BIGINT)
+       |           AS re6
+       |       FROM (SELECT q.vec_id AS qid, q.label AS qlab, $dist AS d,
+       |               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |                 ORDER BY $dist, c.vec_id) AS rk
+       |             FROM e q JOIN e c ON q.vec_id <> c.vec_id
+       |             WHERE q.vec_id % 17 = 0)
+       |       WHERE rk = 4),
+       |gh AS (SELECT re6, CAST(COUNT(*) AS BIGINT) AS nc
+       |       FROM r4 GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(nc) AS BIGINT) AS nn FROM gh),
+       |med AS (SELECT MIN(re6) AS med FROM (
+       |          SELECT re6, CAST(SUM(nc) OVER (ORDER BY re6
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            AS BIGINT) AS cum FROM gh), tot
+       |        WHERE cum::DOUBLE >= CEIL(nn::DOUBLE / 2.0))
+       |SELECT qlab AS label, CAST(COUNT(*) AS BIGINT) AS n_q,
+       |  CAST(ROUND(AVG(re6::DOUBLE), 0) AS BIGINT) AS mean_r4_micro,
+       |  CAST(SUM(CASE WHEN re6 <= med THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_core
+       |FROM r4, med GROUP BY 1 ORDER BY label""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q407 — heavy-hitter drift between the two halves of the event
+  // stream: top-20 users by activity in each half (count-desc,
+  // id tiebreak), overlap count and the implied top-set Jaccard —
+  // the cheap "did the head of the distribution move" monitor.
+  private val q407: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), expr("ts_ns div 1000").as("tus"))
+    val mid = ev.agg(((min(col("tus")) + max(col("tus"))) / lit(2L))
+      .cast("long").as("mid"))
+    val marked = ev.crossJoin(broadcast(mid))
+      .select(col("user_id"), (col("tus") > col("mid")).as("h2"))
+    def top20(h2: Boolean) = marked.filter(col("h2") === h2)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n").desc, col("user_id"))))
+      .filter(col("rk") <= 20).select(col("user_id"))
+    val common = top20(false).join(top20(true), "user_id")
+      .agg(count(lit(1)).as("n_common"))
+    common.select(col("n_common"),
+        e6(col("n_common").cast("double")
+          / (lit(40L) - col("n_common")).cast("double"))
+          .as("jaccard_e6"))
+      .ordered(col("n_common"))
+  }
+
+  private val q407Sql: String =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+       |mid AS (SELECT CAST((MIN(tus) + MAX(tus)) / 2 AS BIGINT) AS mid
+       |        FROM ev),
+       |t1 AS (SELECT user_id FROM (
+       |         SELECT user_id, ROW_NUMBER() OVER (
+       |           ORDER BY COUNT(*) DESC, user_id) AS rk
+       |         FROM ev, mid WHERE tus <= mid GROUP BY user_id, mid.mid)
+       |       WHERE rk <= 20),
+       |t2 AS (SELECT user_id FROM (
+       |         SELECT user_id, ROW_NUMBER() OVER (
+       |           ORDER BY COUNT(*) DESC, user_id) AS rk
+       |         FROM ev, mid WHERE tus > mid GROUP BY user_id, mid.mid)
+       |       WHERE rk <= 20),
+       |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+       |      FROM t1 JOIN t2 USING (user_id))
+       |SELECT n_common,
+       |  ${sqlE6("n_common::DOUBLE / (40 - n_common)::DOUBLE")}
+       |    AS jaccard_e6
+       |FROM c ORDER BY n_common""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q384_kruskal_wallis" -> q384,
@@ -1211,7 +1778,15 @@ object RoundNine {
     "q396_pinball_loss" -> q396,
     "q397_ewma_chart" -> q397,
     "q398_jonckheere" -> q398,
-    "q399_kcenter_coreset" -> q399)
+    "q399_kcenter_coreset" -> q399,
+    "q400_otif_priority" -> q400,
+    "q401_croston" -> q401,
+    "q402_curriculum_phases" -> q402,
+    "q403_neyman_alloc" -> q403,
+    "q404_shapley_attribution" -> q404,
+    "q405_uplift_segment" -> q405,
+    "q406_knn_density" -> q406,
+    "q407_hitter_drift" -> q407)
 
   val oracle: Map[String, String] = Map(
     "q384_kruskal_wallis" -> q384Sql,
@@ -1229,5 +1804,13 @@ object RoundNine {
     "q396_pinball_loss" -> q396Sql,
     "q397_ewma_chart" -> q397Sql,
     "q398_jonckheere" -> q398Sql,
-    "q399_kcenter_coreset" -> q399Sql)
+    "q399_kcenter_coreset" -> q399Sql,
+    "q400_otif_priority" -> q400Sql,
+    "q401_croston" -> q401Sql,
+    "q402_curriculum_phases" -> q402Sql,
+    "q403_neyman_alloc" -> q403Sql,
+    "q404_shapley_attribution" -> q404Sql,
+    "q405_uplift_segment" -> q405Sql,
+    "q406_knn_density" -> q406Sql,
+    "q407_hitter_drift" -> q407Sql)
 }

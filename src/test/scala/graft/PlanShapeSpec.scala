@@ -500,8 +500,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     "q395_twonn_id",      // deliberate brute-force query-vs-corpus
                           // inequality join (the q28 ANN baseline)
     "q396_pinball_loss",  // 3-row quantile spine vs the day series
-    "q398_jonckheere")    // 5-row group spine vs the cents histogram;
+    "q398_jonckheere",    // 5-row group spine vs the cents histogram;
                           // 1-row J/variance brackets
+    "q402_curriculum_phases", // 1-row quartile-boundary brackets vs
+                          // the per-doc quality table
+    "q403_neyman_alloc",  // 1-row weight-total/leftover brackets vs
+                          // the 5-source allocation table
+    "q404_shapley_attribution", // bitmask-condition join over the
+                          // 8-row subset spine (bounded game table)
+    "q406_knn_density",   // brute-force query-vs-corpus inequality
+                          // join (q28 baseline) + 1-row median bracket
+    "q407_hitter_drift")  // 1-row midpoint-epoch bracket vs events
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
