@@ -1761,6 +1761,529 @@ object RoundNine {
        |FROM c ORDER BY n_common""".stripMargin
 
   // ---------------------------------------------------------------
+  // q408 — T5-style span-corruption masking plan: deterministic
+  // md5-seeded span starts (~5% of token positions), each start
+  // masking a 3-token window; mask coverage and merged-island span
+  // counts aggregated per source. The masking schedule a
+  // denoising-objective data loader materializes — reproducible
+  // across engines, workers, and re-runs because the seed is
+  // (doc_id, position), not an RNG.
+  private val q408: Q = (s, dir) => {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("p0", "tok")))
+      .select(col("doc_id"), col("source"), (col("p0") + 1L).as("pos"))
+    val started = toks.withColumn("st",
+      when(CurationOps.md5Hash32(concat(lit("sc:"),
+        col("doc_id").cast("string"), lit(":"),
+        col("pos").cast("string"))) < 214748364L, 1L).otherwise(0L))
+    val wSpan = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-2, 0)
+    val wLag = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val masked = started
+      .withColumn("mk", max(col("st")).over(wSpan))
+      .withColumn("isl", when(col("mk") === 1L &&
+        coalesce(lag(col("mk"), 1).over(wLag), lit(0L)) === 0L, 1L)
+        .otherwise(0L))
+    masked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("mk")).as("n_masked"),
+        sum(col("isl")).as("n_spans"))
+      .select(col("source"), col("n_tokens"), col("n_masked"),
+        col("n_spans"),
+        e6(col("n_masked").cast("double")
+          / col("n_tokens").cast("double")).as("mask_ratio_e6"))
+      .ordered(col("source"))
+  }
+
+  private val q408Sql: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |        regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |      FROM documents),
+       |pos AS (SELECT doc_id, source,
+       |          unnest(range(1, len(toks) + 1)) AS pos
+       |        FROM d),
+       |st AS (SELECT doc_id, source, pos,
+       |         CASE WHEN ${OracleSql.hex32("md5('sc:' || doc_id::VARCHAR || ':' || pos::VARCHAR)")} < 214748364
+       |           THEN 1 ELSE 0 END AS st
+       |       FROM pos),
+       |mk AS (SELECT doc_id, source, pos, st,
+       |         MAX(st) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mk
+       |       FROM st),
+       |isl AS (SELECT source, mk,
+       |          CASE WHEN mk = 1 AND COALESCE(LAG(mk, 1) OVER (
+       |            PARTITION BY doc_id ORDER BY pos), 0) = 0
+       |            THEN 1 ELSE 0 END AS isl
+       |        FROM mk)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(mk) AS BIGINT) AS n_masked,
+       |  CAST(SUM(isl) AS BIGINT) AS n_spans,
+       |  ${sqlE6("SUM(mk)::DOUBLE / COUNT(*)::DOUBLE")}
+       |    AS mask_ratio_e6
+       |FROM isl GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q409 — interpolated Kneser-Ney bigram probabilities (d = 0.75)
+  // for the 20 most frequent bigrams: discounted ML term plus the
+  // continuation-probability backoff — all counts exact integers
+  // (pair counts, context totals, follow/precede type counts, the
+  // global bigram-type total), only the final probability is a
+  // pinned double. The smoothing every n-gram LM data prep runs.
+  private val q409: Q = (s, dir) => {
+    val toks = TextOps.tokens(col("text"))
+    val big = t(s, dir, "documents")
+      .select(explode(TextOps.shinglesFromTokens(toks, 2)).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c12"))
+      .select(substring_index(col("b"), " ", 1).as("w1"),
+        substring_index(col("b"), " ", -1).as("w2"), col("c12"))
+      .localCheckpoint(false)
+    val ctx = big.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nfollow"))
+    val pre = big.groupBy(col("w2")).agg(count(lit(1)).as("nprec"))
+    val tt = big.agg(count(lit(1)).as("tt"))
+    val top = big.withColumn("rk", row_number().over(
+        Window.orderBy(col("c12").desc, col("w1"), col("w2"))))
+      .filter(col("rk") <= 20)
+    top.join(ctx, "w1").join(pre, "w2").crossJoin(broadcast(tt))
+      .select(col("w1"), col("w2"), col("c12"),
+        e6((greatest(col("c12").cast("double") - 0.75, lit(0.0))
+          / col("c1").cast("double"))
+          + (lit(0.75) * col("nfollow").cast("double")
+            / col("c1").cast("double"))
+          * (col("nprec").cast("double") / col("tt").cast("double")))
+          .as("pkn_e6"))
+      .ordered(col("c12").desc, col("w1"), col("w2"))
+  }
+
+  private val q409Sql: String =
+    s"""WITH d AS (SELECT
+       |        regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |      FROM documents),
+       |bg AS (SELECT toks[i] || ' ' || toks[i + 1] AS b
+       |       FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+       |             FROM d)),
+       |big AS (SELECT string_split(b, ' ')[1] AS w1,
+       |          string_split(b, ' ')[2] AS w2,
+       |          CAST(COUNT(*) AS BIGINT) AS c12
+       |        FROM bg GROUP BY b),
+       |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+       |          CAST(COUNT(*) AS BIGINT) AS nfollow
+       |        FROM big GROUP BY 1),
+       |pre AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nprec
+       |        FROM big GROUP BY 1),
+       |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM big),
+       |top AS (SELECT w1, w2, c12 FROM (
+       |          SELECT w1, w2, c12, ROW_NUMBER() OVER (
+       |            ORDER BY c12 DESC, w1, w2) AS rk FROM big)
+       |        WHERE rk <= 20)
+       |SELECT top.w1, top.w2, c12,
+       |  ${sqlE6("(GREATEST(c12::DOUBLE - 0.75, 0.0) / c1::DOUBLE) " +
+            "+ (0.75 * nfollow::DOUBLE / c1::DOUBLE) " +
+            "* (nprec::DOUBLE / tt::DOUBLE)")} AS pkn_e6
+       |FROM top JOIN ctx ON top.w1 = ctx.w1
+       |JOIN pre ON top.w2 = pre.w2 CROSS JOIN tt
+       |ORDER BY c12 DESC, top.w1, top.w2""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q410 — importance-weight health per source: effective sample
+  // size (sum w)^2 / sum w^2, max-weight share, and coefficient of
+  // variation of the micro-pinned quality weights — the diagnostics
+  // that decide whether a DSIR-style reweighting is usable or
+  // degenerate. All power sums exact BIGINTs.
+  private val q410: Q = (s, dir) => {
+    val w = t(s, dir, "documents")
+      .select(col("source"),
+        (e6(TextOps.qualityScoreRaw(col("text"), NorthStar.Stopwords))
+          + 1L).as("w"))
+    w.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("s1"),
+        sum(col("w") * col("w")).as("s2"), max(col("w")).as("wmax"))
+      .select(col("source"), col("n"),
+        e6(col("s1").cast("double") * col("s1").cast("double")
+          / col("s2").cast("double")
+          / col("n").cast("double")).as("ess_frac_e6"),
+        e6(col("wmax").cast("double") / col("s1").cast("double"))
+          .as("max_share_e6"),
+        e6(sqrt(col("n").cast("double") * col("s2").cast("double")
+          / (col("s1").cast("double") * col("s1").cast("double"))
+          - 1.0)).as("cv_e6"))
+      .ordered(col("source"))
+  }
+
+  private val q410Sql: String =
+    s"""WITH d0 AS (
+       |  SELECT source, text,
+       |         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT source,
+       |         len(list_filter(toks, t -> list_contains(
+       |           ['a','the','and','of','to','data'], t)))
+       |           * 1.0 / GREATEST(len(toks), 1) AS stop_ratio,
+       |         (length(text) - length(regexp_replace(text,
+       |           '[.,!?;:]', '', 'g')))
+       |           * 1.0 / GREATEST(length(text), 1) AS punct_ratio,
+       |         length(text) * 1.0 / GREATEST(len(toks), 1) AS mean_len
+       |  FROM d0),
+       |w AS (
+       |  SELECT source,
+       |         CAST(ROUND((LEAST(mean_len / 8.0, 1.0)
+       |           + (1.0 - stop_ratio)
+       |           + (1.0 - LEAST(punct_ratio * 5.0, 1.0))) / 3.0 * 1e6,
+       |           0) AS BIGINT) + 1 AS w
+       |  FROM m),
+       |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+       |        CAST(SUM(w) AS BIGINT) AS s1,
+       |        CAST(SUM(w * w) AS BIGINT) AS s2,
+       |        CAST(MAX(w) AS BIGINT) AS wmax
+       |      FROM w GROUP BY 1)
+       |SELECT source, n,
+       |  ${sqlE6("s1::DOUBLE * s1::DOUBLE / s2::DOUBLE / n::DOUBLE")}
+       |    AS ess_frac_e6,
+       |  ${sqlE6("wmax::DOUBLE / s1::DOUBLE")} AS max_share_e6,
+       |  ${sqlE6("SQRT(n::DOUBLE * s2::DOUBLE / " +
+            "(s1::DOUBLE * s1::DOUBLE) - 1.0)")} AS cv_e6
+       |FROM a ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q411 — OCR/garble screen per (source, lang) via the native
+  // single-pass CharClassCount expression (digits, space runs, vowel
+  // runs — no regexp_replace copies): vowel-runs-per-word and digit
+  // density, with docs flagged when the vowel density collapses or
+  // digits dominate. The cheap "is this extraction garbage" gate.
+  private val q411: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .select(col("source"), col("lang"),
+        length(col("text")).cast("long").as("len"),
+        TextOps.charClassCount(col("text"), 0).as("digits"),
+        (TextOps.charClassCount(col("text"), 2) + 1L).as("words"),
+        TextOps.charClassCount(col("text"), 4).as("vruns"))
+      .select(col("source"), col("lang"),
+        (col("vruns").cast("double") / col("words").cast("double"))
+          .as("vpw"),
+        (col("digits").cast("double")
+          / greatest(col("len"), lit(1L)).cast("double")).as("dr"))
+    d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("vpw") < 0.8 || col("dr") > 0.3, 1L)
+          .otherwise(0L)).as("n_flagged"),
+        e6(avg(col("vpw"))).as("mean_vpw_e6"),
+        e6(avg(col("dr"))).as("mean_digit_ratio_e6"))
+      .ordered(col("source"), col("lang"))
+  }
+
+  private val q411Sql: String =
+    s"""WITH d AS (SELECT source, lang,
+       |        CAST(length(text) AS BIGINT) AS len,
+       |        CAST(length(text) - length(regexp_replace(text,
+       |          '[0-9]', '', 'g')) AS BIGINT) AS digits,
+       |        CAST(len(regexp_extract_all(text, ' +')) AS BIGINT) + 1
+       |          AS words,
+       |        CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+       |          AS BIGINT) AS vruns
+       |      FROM documents),
+       |r AS (SELECT source, lang,
+       |        vruns::DOUBLE / words::DOUBLE AS vpw,
+       |        digits::DOUBLE / GREATEST(len, 1)::DOUBLE AS dr
+       |      FROM d)
+       |SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN vpw < 0.8 OR dr > 0.3 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_flagged,
+       |  ${sqlE6("AVG(vpw)")} AS mean_vpw_e6,
+       |  ${sqlE6("AVG(dr)")} AS mean_digit_ratio_e6
+       |FROM r GROUP BY 1, 2 ORDER BY source, lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q412 — net revenue retention by first-order cohort: customers
+  // cohorted by first order year, exact cents revenue per cohort
+  // year, NDR(age) = cohort revenue at age / at age 0 for ages 0..3.
+  // The dollar-weighted counterpart of the q113 count retention.
+  private val q412: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey").as("cust"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val coh = o.groupBy(col("cust")).agg(min(col("yr")).as("cyr"))
+    val j = o.join(coh, "cust")
+      .withColumn("age", col("yr") - col("cyr"))
+      .filter(col("age") <= 3L)
+    val cell = j.groupBy(col("cyr"), col("age"))
+      .agg(countDistinct(col("cust")).as("n_cust"),
+        sum(col("cents")).as("rev"))
+      .localCheckpoint(false)
+    val base = cell.filter(col("age") === 0L)
+      .select(col("cyr"), col("rev").as("rev0"))
+    cell.join(base, "cyr")
+      .select(col("cyr").as("cohort_year"), col("age"), col("n_cust"),
+        col("rev"),
+        e6(col("rev").cast("double") / col("rev0").cast("double"))
+          .as("ndr_e6"))
+      .ordered(col("cohort_year"), col("age"))
+  }
+
+  private val q412Sql: String =
+    s"""WITH o AS (SELECT o_custkey AS cust,
+       |        CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+       |        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+       |      FROM orders),
+       |coh AS (SELECT cust, MIN(yr) AS cyr FROM o GROUP BY 1),
+       |j AS (SELECT o.cust, cyr, yr - cyr AS age, cents
+       |      FROM o JOIN coh ON o.cust = coh.cust
+       |      WHERE yr - cyr <= 3),
+       |cell AS (SELECT cyr, age,
+       |           CAST(COUNT(DISTINCT cust) AS BIGINT) AS n_cust,
+       |           CAST(SUM(cents) AS BIGINT) AS rev
+       |         FROM j GROUP BY 1, 2),
+       |base AS (SELECT cyr, rev AS rev0 FROM cell WHERE age = 0)
+       |SELECT cell.cyr AS cohort_year, age, n_cust, rev,
+       |  ${sqlE6("rev::DOUBLE / rev0::DOUBLE")} AS ndr_e6
+       |FROM cell JOIN base ON cell.cyr = base.cyr
+       |ORDER BY cohort_year, age""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q413 — top brand TRIPLE itemsets by within-order support, with
+  // exact triple lift against the independence baseline — the 3-way
+  // extension of the q216 pair lift, canonicalized b1 < b2 < b3 so
+  // each triple is enumerated once (wedge-join discipline).
+  private val q413: Q = (s, dir) => {
+    val ob = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+      .distinct()
+      .localCheckpoint(false)
+    val nOrd = ob.select(col("ok")).distinct().count()
+    val singles = ob.groupBy(col("b")).agg(count(lit(1)).as("cs"))
+    val triples = ob.as("x").join(ob.as("y"),
+        col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
+      .join(ob.as("z"),
+        col("y.ok") === col("z.ok") && col("y.b") < col("z.b"))
+      .groupBy(col("x.b").as("b1"), col("y.b").as("b2"),
+        col("z.b").as("b3"))
+      .agg(count(lit(1)).as("supp"))
+    val top = triples.withColumn("rk", row_number().over(
+        Window.orderBy(col("supp").desc, col("b1"), col("b2"),
+          col("b3"))))
+      .filter(col("rk") <= 10)
+    top
+      .join(singles.select(col("b").as("b1"), col("cs").as("c1")), "b1")
+      .join(singles.select(col("b").as("b2"), col("cs").as("c2")), "b2")
+      .join(singles.select(col("b").as("b3"), col("cs").as("c3")), "b3")
+      .select(col("b1"), col("b2"), col("b3"), col("supp"),
+        e6(col("supp").cast("double") * lit(nOrd.toDouble)
+          * lit(nOrd.toDouble)
+          / (col("c1").cast("double") * col("c2").cast("double")
+            * col("c3").cast("double"))).as("lift_e6"))
+      .ordered(col("supp").desc, col("b1"), col("b2"), col("b3"))
+  }
+
+  private val q413Sql: String =
+    s"""WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+       |      FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_ord
+       |      FROM ob),
+       |singles AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cs
+       |            FROM ob GROUP BY 1),
+       |triples AS (SELECT x.b AS b1, y.b AS b2, z.b AS b3,
+       |              CAST(COUNT(*) AS BIGINT) AS supp
+       |            FROM ob x JOIN ob y ON x.ok = y.ok AND x.b < y.b
+       |            JOIN ob z ON y.ok = z.ok AND y.b < z.b
+       |            GROUP BY 1, 2, 3),
+       |top AS (SELECT b1, b2, b3, supp FROM (
+       |          SELECT b1, b2, b3, supp, ROW_NUMBER() OVER (
+       |            ORDER BY supp DESC, b1, b2, b3) AS rk FROM triples)
+       |        WHERE rk <= 10)
+       |SELECT b1, b2, b3, supp,
+       |  ${sqlE6("supp::DOUBLE * n_ord::DOUBLE * n_ord::DOUBLE / " +
+            "(s1.cs::DOUBLE * s2.cs::DOUBLE * s3.cs::DOUBLE)")}
+       |    AS lift_e6
+       |FROM top JOIN singles s1 ON b1 = s1.b
+       |JOIN singles s2 ON b2 = s2.b JOIN singles s3 ON b3 = s3.b
+       |CROSS JOIN n
+       |ORDER BY supp DESC, b1, b2, b3""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q414 — Gumbel-top-k weighted sampling without replacement
+  // (k = 100) against the exact top-k by weight: keys g = ln(w) -
+  // ln(-ln(u)) with md5-derived uniforms u = (h + 0.5)/2^32 — the
+  // one-pass distributed WOR sampler (Efraimidis-Spirakis via
+  // Gumbel) every weighted data mix uses; the audit reports the
+  // per-source composition of both samples and their overlap.
+  private val q414: Q = (s, dir) => {
+    val w = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        (e6(TextOps.qualityScoreRaw(col("text"), NorthStar.Stopwords))
+          + 1L).as("w"))
+      .withColumn("u",
+        (CurationOps.md5Hash32(concat(lit("gk:"),
+          col("doc_id").cast("string"))).cast("double") + 0.5)
+          / 4294967296.0)
+      .withColumn("g", log(col("w").cast("double")) - log(-log(col("u"))))
+      .localCheckpoint(false)
+    val topG = w.withColumn("rk", row_number().over(
+        Window.orderBy(col("g").desc, col("doc_id"))))
+      .filter(col("rk") <= 100).select(col("doc_id"), col("source"))
+    val topW = w.withColumn("rk", row_number().over(
+        Window.orderBy(col("w").desc, col("doc_id"))))
+      .filter(col("rk") <= 100).select(col("doc_id").as("doc_id2"),
+        col("source").as("source2"))
+    val ov = topG.join(topW, col("doc_id") === col("doc_id2"))
+      .agg(count(lit(1)).as("n_overlap"))
+    val gSrc = topG.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_gumbel"))
+    val wSrc = topW.groupBy(col("source2").as("source"))
+      .agg(count(lit(1)).as("n_exact"))
+    gSrc.join(wSrc, Seq("source"), "full_outer")
+      .crossJoin(broadcast(ov))
+      .select(col("source"),
+        coalesce(col("n_gumbel"), lit(0L)).as("n_gumbel"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        col("n_overlap"))
+      .ordered(col("source"))
+  }
+
+  private val q414Sql: String =
+    s"""WITH d0 AS (
+       |  SELECT doc_id, source, text,
+       |         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, source,
+       |         len(list_filter(toks, t -> list_contains(
+       |           ['a','the','and','of','to','data'], t)))
+       |           * 1.0 / GREATEST(len(toks), 1) AS stop_ratio,
+       |         (length(text) - length(regexp_replace(text,
+       |           '[.,!?;:]', '', 'g')))
+       |           * 1.0 / GREATEST(length(text), 1) AS punct_ratio,
+       |         length(text) * 1.0 / GREATEST(len(toks), 1) AS mean_len
+       |  FROM d0),
+       |w AS (
+       |  SELECT doc_id, source,
+       |         CAST(ROUND((LEAST(mean_len / 8.0, 1.0)
+       |           + (1.0 - stop_ratio)
+       |           + (1.0 - LEAST(punct_ratio * 5.0, 1.0))) / 3.0 * 1e6,
+       |           0) AS BIGINT) + 1 AS w,
+       |         (${OracleSql.hex32("md5('gk:' || doc_id::VARCHAR)")}::DOUBLE + 0.5)
+       |           / 4294967296.0 AS u
+       |  FROM m),
+       |g AS (SELECT doc_id, source, w,
+       |        LN(w::DOUBLE) - LN(-LN(u)) AS g
+       |      FROM w),
+       |tg AS (SELECT doc_id, source FROM (
+       |         SELECT doc_id, source, ROW_NUMBER() OVER (
+       |           ORDER BY g DESC, doc_id) AS rk FROM g)
+       |       WHERE rk <= 100),
+       |tw AS (SELECT doc_id, source FROM (
+       |         SELECT doc_id, source, ROW_NUMBER() OVER (
+       |           ORDER BY w DESC, doc_id) AS rk FROM g)
+       |       WHERE rk <= 100),
+       |ov AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap
+       |       FROM tg JOIN tw USING (doc_id)),
+       |gs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_gumbel
+       |       FROM tg GROUP BY 1),
+       |ws AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+       |       FROM tw GROUP BY 1)
+       |SELECT COALESCE(gs.source, ws.source) AS source,
+       |  COALESCE(n_gumbel, 0) AS n_gumbel,
+       |  COALESCE(n_exact, 0) AS n_exact, n_overlap
+       |FROM gs FULL OUTER JOIN ws ON gs.source = ws.source
+       |CROSS JOIN ov
+       |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q415 — successive-halving brand tournament on shipped revenue:
+  // round 1 ranks all 25 brands on first-tercile mean line revenue
+  // (exact cents), keeps the top 13; round 2 re-ranks survivors on
+  // the first two terciles, keeps 7; round 3 ranks the finalists on
+  // the full horizon. The deterministic multi-armed "explore only
+  // the promising arms" schedule, expressed as three conditional
+  // aggregations over ONE scan.
+  private val q415: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        datediff(col("l_shipdate"), to_date(lit("1970-01-01")))
+          .cast("long").as("day"),
+        expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("c"))
+    val b = li.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("d0"), col("d1"),
+        (col("d0") + (col("d1") - col("d0")) / lit(3L)).as("t1"),
+        (col("d0") + lit(2L) * (col("d1") - col("d0")) / lit(3L))
+          .as("t2"))
+    val stats = li.crossJoin(broadcast(b))
+      .groupBy(col("brand"))
+      .agg(sum(when(col("day") <= col("t1"), col("c")).otherwise(0L))
+        .as("s1"),
+        sum(when(col("day") <= col("t1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("day") <= col("t2"), col("c")).otherwise(0L))
+          .as("s2"),
+        sum(when(col("day") <= col("t2"), 1L).otherwise(0L)).as("n2"),
+        sum(col("c")).as("s3"), count(lit(1)).as("n3"))
+      .select(col("brand"),
+        when(col("n1") > 0L, col("s1").cast("double")
+          / col("n1").cast("double")).otherwise(-1.0).as("m1"),
+        when(col("n2") > 0L, col("s2").cast("double")
+          / col("n2").cast("double")).otherwise(-1.0).as("m2"),
+        (col("s3").cast("double") / col("n3").cast("double")).as("m3"))
+      .localCheckpoint(false)
+    val r1 = stats.withColumn("rk1", row_number().over(
+      Window.orderBy(col("m1").desc, col("brand"))))
+    val r2 = r1.filter(col("rk1") <= 13).withColumn("rk2",
+      row_number().over(Window.orderBy(col("m2").desc, col("brand"))))
+    val r3 = r2.filter(col("rk2") <= 7).withColumn("rk3",
+      row_number().over(Window.orderBy(col("m3").desc, col("brand"))))
+      .select(col("brand"), col("rk3"))
+    r1.join(r2.select(col("brand"), col("rk2")), Seq("brand"), "left")
+      .join(r3, Seq("brand"), "left")
+      .select(col("brand"),
+        when(col("rk2").isNull, 1L)
+          .when(col("rk3").isNull, 2L).otherwise(3L)
+          .as("round_reached"),
+        coalesce(col("rk3").cast("long"), lit(0L)).as("final_rank"))
+      .ordered(col("brand"))
+  }
+
+  private val q415Sql: String =
+    s"""WITH li AS (SELECT p_brand AS brand,
+       |        DATE_DIFF('day', TIMESTAMP '1970-01-01', l_shipdate)
+       |          AS day,
+       |        CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+       |      FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |b AS (SELECT MIN(day) + (MAX(day) - MIN(day)) // 3 AS t1,
+       |        MIN(day) + 2 * (MAX(day) - MIN(day)) // 3 AS t2
+       |      FROM li),
+       |stats AS (SELECT brand,
+       |      CASE WHEN SUM(CASE WHEN day <= t1 THEN 1 ELSE 0 END) > 0
+       |        THEN SUM(CASE WHEN day <= t1 THEN c ELSE 0 END)::DOUBLE
+       |          / SUM(CASE WHEN day <= t1 THEN 1 ELSE 0 END)::DOUBLE
+       |        ELSE -1.0 END AS m1,
+       |      CASE WHEN SUM(CASE WHEN day <= t2 THEN 1 ELSE 0 END) > 0
+       |        THEN SUM(CASE WHEN day <= t2 THEN c ELSE 0 END)::DOUBLE
+       |          / SUM(CASE WHEN day <= t2 THEN 1 ELSE 0 END)::DOUBLE
+       |        ELSE -1.0 END AS m2,
+       |      SUM(c)::DOUBLE / COUNT(*)::DOUBLE AS m3
+       |    FROM li, b GROUP BY brand, t1, t2),
+       |r1 AS (SELECT brand, m2, m3, ROW_NUMBER() OVER (
+       |         ORDER BY m1 DESC, brand) AS rk1 FROM stats),
+       |r2 AS (SELECT brand, m3, ROW_NUMBER() OVER (
+       |         ORDER BY m2 DESC, brand) AS rk2
+       |       FROM r1 WHERE rk1 <= 13),
+       |r3 AS (SELECT brand, ROW_NUMBER() OVER (
+       |         ORDER BY m3 DESC, brand) AS rk3
+       |       FROM r2 WHERE rk2 <= 7)
+       |SELECT r1.brand,
+       |  CAST(CASE WHEN r2.brand IS NULL THEN 1
+       |    WHEN r3.brand IS NULL THEN 2 ELSE 3 END AS BIGINT)
+       |    AS round_reached,
+       |  CAST(COALESCE(rk3, 0) AS BIGINT) AS final_rank
+       |FROM r1 LEFT JOIN r2 ON r1.brand = r2.brand
+       |LEFT JOIN r3 ON r1.brand = r3.brand
+       |ORDER BY r1.brand""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q384_kruskal_wallis" -> q384,
@@ -1786,7 +2309,15 @@ object RoundNine {
     "q404_shapley_attribution" -> q404,
     "q405_uplift_segment" -> q405,
     "q406_knn_density" -> q406,
-    "q407_hitter_drift" -> q407)
+    "q407_hitter_drift" -> q407,
+    "q408_span_corruption" -> q408,
+    "q409_kneser_ney" -> q409,
+    "q410_weight_ess" -> q410,
+    "q411_garble_audit" -> q411,
+    "q412_revenue_ndr" -> q412,
+    "q413_triple_itemsets" -> q413,
+    "q414_gumbel_topk" -> q414,
+    "q415_successive_halving" -> q415)
 
   val oracle: Map[String, String] = Map(
     "q384_kruskal_wallis" -> q384Sql,
@@ -1812,5 +2343,13 @@ object RoundNine {
     "q404_shapley_attribution" -> q404Sql,
     "q405_uplift_segment" -> q405Sql,
     "q406_knn_density" -> q406Sql,
-    "q407_hitter_drift" -> q407Sql)
+    "q407_hitter_drift" -> q407Sql,
+    "q408_span_corruption" -> q408Sql,
+    "q409_kneser_ney" -> q409Sql,
+    "q410_weight_ess" -> q410Sql,
+    "q411_garble_audit" -> q411Sql,
+    "q412_revenue_ndr" -> q412Sql,
+    "q413_triple_itemsets" -> q413Sql,
+    "q414_gumbel_topk" -> q414Sql,
+    "q415_successive_halving" -> q415Sql)
 }

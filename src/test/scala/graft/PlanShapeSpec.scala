@@ -510,7 +510,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
                           // 8-row subset spine (bounded game table)
     "q406_knn_density",   // brute-force query-vs-corpus inequality
                           // join (q28 baseline) + 1-row median bracket
-    "q407_hitter_drift")  // 1-row midpoint-epoch bracket vs events
+    "q407_hitter_drift",  // 1-row midpoint-epoch bracket vs events
+    "q409_kneser_ney",    // 1-row bigram-type-total bracket vs the
+                          // top-20 bigram table
+    "q414_gumbel_topk")   // 1-row overlap-count bracket vs the
+                          // per-source sample composition
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
