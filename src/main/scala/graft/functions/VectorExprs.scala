@@ -55,9 +55,64 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared Euclidean distance over two double arrays — the native
+  * codegen twin of [[VectorDot]] for the brute-force kNN family
+  * (TwoNN, kNN-density, k-center). Accumulates `(x-y)*(x-y)` left to
+  * right, the EXACT op order of the HOF form
+  * `aggregate(zip_with(a,b,(x,y)->(x-y)*(x-y)),0,+)` and of the
+  * DuckDB list_reduce oracles — so swapping it in is bit-neutral for
+  * parity while removing the interpreted-lambda fallback from the
+  * hottest pairwise loops. Null/length semantics match [[VectorDot]]. */
+case class VectorSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_sq_dist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = xs.getDouble(i) - ys.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorSqDist =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Dot product of two array<double> columns (cast yours first). */
   def vectorDot(a: Column, b: Column): Column =
     GraftExprBridge.column(VectorDot(
+      GraftExprBridge.expression(a), GraftExprBridge.expression(b)))
+
+  /** Squared Euclidean distance of two array<double> columns. */
+  def vectorSqDist(a: Column, b: Column): Column =
+    GraftExprBridge.column(VectorSqDist(
       GraftExprBridge.expression(a), GraftExprBridge.expression(b)))
 }

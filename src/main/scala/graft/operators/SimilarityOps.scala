@@ -1342,10 +1342,18 @@ object SimilarityOps {
       .drop("__rk1")
   }
 
-  /** Squared Euclidean distance between two vector columns as ONE
-    * left-to-right fold (same accumulation order as [[dot]] /
-    * the DuckDB list_reduce oracles — bit-identical doubles). */
+  /** Squared Euclidean distance between two vector columns via the
+    * codegen'd [[graft.functions.VectorSqDist]] expression — same
+    * left-to-right accumulation order as the HOF fold (kept below as
+    * [[sqDistHof]] for the codegen-equivalence spec) and as the
+    * DuckDB list_reduce oracles, so the doubles are bit-identical. */
   def sqDist(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.vectorSqDist(
+      a.cast("array<double>"), b.cast("array<double>"))
+
+  /** The interpreted HOF reference form of [[sqDist]] — the
+    * cross-check the codegen equivalence spec runs against. */
+  def sqDistHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a.cast("array<double>"), b.cast("array<double>"),
         (x, y) => (x - y) * (x - y)),

@@ -126,4 +126,28 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(CharClassCount.compute(
       UTF8String.fromString("a  bée yy"), 2) == 2L)
   }
+
+  test("VectorSqDist codegen is bit-identical to the HOF fold over a " +
+      "range-based plan") {
+    import org.apache.spark.sql.functions._
+    // range-based source so the expression exercises doGenCode (local
+    // Seq.toDF plans constant-fold through interpreted eval); values
+    // are irregular doubles so any accumulation-order difference
+    // would show up bit-wise
+    val df = spark.range(0, 1000).select(
+      transform(sequence(lit(0), lit(63)),
+        i => sin(col("id") * i + 1).cast("double")).as("a"),
+      transform(sequence(lit(0), lit(63)),
+        i => cos(col("id") - i * 3).cast("double")).as("b"))
+    val rows = df.select(
+      graft.operators.SimilarityOps.sqDist(col("a"), col("b"))
+        .as("native"),
+      graft.operators.SimilarityOps.sqDistHof(col("a"), col("b"))
+        .as("hof")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"native ${r.getDouble(0)} != hof ${r.getDouble(1)}")
+    }
+  }
 }
