@@ -8517,7 +8517,7 @@ object NorthStar {
     * (doc_id, text) relation `src` — ends at `ver(id1, id2, jaccard)`.
     * Shared by q47/q63 (fixed corpus slice) and q73 (the curated
     * survivor set). */
-  private def minhashParityCtesFrom(src: String): String = {
+  private[queries] def minhashParityCtesFrom(src: String): String = {
     val sigList = (0 until 8)
       .map(i => s"list_min(list_transform(sh, x -> md5('$i:' || x)))")
       .mkString("[", ", ", "]")
@@ -8550,7 +8550,7 @@ object NorthStar {
        |        FROM pairs JOIN s x ON id1 = x.doc_id JOIN s y ON id2 = y.doc_id)""".stripMargin
   }
 
-  private val minhashParityCtes: String =
+  private[queries] val minhashParityCtes: String =
     minhashParityCtesFrom("documents WHERE doc_id < 250")
 
   private val q47Sql: String =

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{CurationOps, SimilarityOps, TextOps}
+import graft.operators.{CurationOps, DedupOps, SimilarityOps, TextOps}
 
 /** Round-9 query surface: the classical rank/nonparametric test
   * family (Kruskal-Wallis, Wilcoxon signed-rank, Mood's median,
@@ -2284,6 +2284,530 @@ object RoundNine {
        |ORDER BY r1.brand""".stripMargin
 
   // ---------------------------------------------------------------
+  // q416 — SAX symbolization of the daily order-count series: global
+  // z-parameters from exact integer power sums (counts are domain-
+  // small, so sum(y^2) never leaves BIGINT-exact range at any
+  // replication factor — the revenue-cents variant overflows at 10x),
+  // 32 PAA segments (integer-division spine — exact BIGINT segment
+  // sums), each mapped to a 4-letter alphabet at the standard
+  // Gaussian breakpoints +-0.6745 / 0. The symbolic compression
+  // indexing and motif search run on at 100 TB — day-DOMAIN bounded,
+  // so the output is constant-size regardless of row count.
+  private val q416: Q = (s, dir) => {
+    val daily = t(s, dir, "orders")
+      .select(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+        .cast("long").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("rev"))
+    val b = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val z = b.select(explode(sequence(col("d0"), col("d1"))).as("day"),
+        col("d0"), (col("d1") - col("d0") + 1L).as("dd"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), col("d0"), col("dd"),
+        coalesce(col("rev"), lit(0L)).as("rev"))
+    val st = z.agg(sum(col("rev")).as("s1"),
+      sum(col("rev") * col("rev")).as("s2"), max(col("dd")).as("dd"))
+      .select(
+        (col("s1").cast("double") / col("dd").cast("double")).as("mu"),
+        sqrt(col("s2").cast("double") / col("dd").cast("double")
+          - (col("s1").cast("double") / col("dd").cast("double"))
+          * (col("s1").cast("double") / col("dd").cast("double")))
+          .as("sd"))
+    val segs = z.groupBy(expr("(day - d0) * 32 div dd").as("seg"))
+      .agg(count(lit(1)).as("n_days"), sum(col("rev")).as("srev"))
+    segs.crossJoin(broadcast(st))
+      .select(col("seg"), col("n_days"),
+        ((col("srev").cast("double") / col("n_days").cast("double")
+          - col("mu")) / col("sd")).as("paa"))
+      .select(col("seg"), col("n_days"), e6(col("paa")).as("paa_e6"),
+        when(col("paa") < -0.6745, "a")
+          .when(col("paa") < 0.0, "b")
+          .when(col("paa") < 0.6745, "c").otherwise("d").as("symbol"))
+      .ordered(col("seg"))
+  }
+
+  private val q416Sql: String =
+    s"""WITH daily AS (SELECT
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |           AS day,
+       |         CAST(COUNT(*) AS BIGINT) AS rev
+       |       FROM orders GROUP BY 1),
+       |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1,
+       |        MAX(day) - MIN(day) + 1 AS dd FROM daily),
+       |spine AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM b),
+       |z AS (SELECT s.day, b.d0, b.dd, COALESCE(d.rev, 0) AS rev
+       |      FROM spine s CROSS JOIN b
+       |      LEFT JOIN daily d ON s.day = d.day),
+       |st AS (SELECT
+       |         SUM(rev)::DOUBLE / MAX(dd)::DOUBLE AS mu,
+       |         SQRT(SUM(rev * rev)::DOUBLE / MAX(dd)::DOUBLE
+       |           - (SUM(rev)::DOUBLE / MAX(dd)::DOUBLE)
+       |           * (SUM(rev)::DOUBLE / MAX(dd)::DOUBLE)) AS sd
+       |       FROM z),
+       |segs AS (SELECT (day - d0) * 32 // dd AS seg,
+       |           CAST(COUNT(*) AS BIGINT) AS n_days,
+       |           CAST(SUM(rev) AS BIGINT) AS srev
+       |         FROM z GROUP BY 1),
+       |paa AS (SELECT seg, n_days,
+       |          (srev::DOUBLE / n_days::DOUBLE - mu) / sd AS paa
+       |        FROM segs, st)
+       |SELECT seg, n_days, ${sqlE6("paa")} AS paa_e6,
+       |  CASE WHEN paa < -0.6745 THEN 'a' WHEN paa < 0.0 THEN 'b'
+       |    WHEN paa < 0.6745 THEN 'c' ELSE 'd' END AS symbol
+       |FROM paa ORDER BY seg""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q417 — matrix-profile-style motif discovery on daily order
+  // counts: all non-overlapping pairs of z-normalized 7-day windows,
+  // top-5 closest by squared Euclidean distance (native VectorSqDist
+  // codegen over the materialized normalized arrays). Window count
+  // is bounded by the day DOMAIN, so the all-pairs join is constant
+  // work at ANY corpus scale — the rare brute force that is
+  // legitimately scale-free. Two-layer top-k: both engines rank by
+  // the bit-identical raw distance with full (i, j) tiebreak.
+  private val q417: Q = (s, dir) => {
+    val daily = t(s, dir, "orders")
+      .select(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+        .cast("long").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("y"))
+    val b = daily.agg(min(col("day")).as("dlo"), max(col("day")).as("dhi"))
+    val z = b.select(explode(sequence(col("dlo"), col("dhi"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("y"), lit(0L)).cast("double")
+        .as("y"))
+    val wWin = Window.orderBy(col("day")).rowsBetween(0, 6)
+    val wins = z.withColumn("w", collect_list(col("y")).over(wWin))
+      .filter(size(col("w")) === 7)
+      .withColumn("mu", expr(
+        "aggregate(w, 0D, (a, x) -> a + x) / 7.0D"))
+      .withColumn("sd", sqrt(
+        expr("aggregate(w, 0D, (a, x) -> a + x * x) / 7.0D")
+          - col("mu") * col("mu")))
+      .filter(col("sd") > 0.0)
+      .select(col("day").as("i"),
+        expr("transform(w, x -> (x - mu) / sd)").as("zn"))
+      .localCheckpoint(false)
+    val pairs = wins.select(col("i"), col("zn").as("zna"))
+      .join(wins.select(col("i").as("j"), col("zn").as("znb")),
+        col("j") >= col("i") + 7L)
+      .select(col("i"), col("j"),
+        SimilarityOps.sqDist(col("zna"), col("znb")).as("d2"))
+    pairs.orderBy(col("d2"), col("i"), col("j")).limit(5)
+      .select(col("i"), col("j"), e6(col("d2")).as("d2_e6"))
+      .ordered(col("d2_e6"), col("i"), col("j"))
+  }
+
+  private val q417Sql: String = {
+    val dist = OracleSql.foldSum(
+      "list_transform(range(1, 8), q -> (a.zn[q] - c.zn[q]) * (a.zn[q] - c.zn[q]))")
+    s"""WITH daily AS (SELECT
+       |         DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |           AS day, CAST(COUNT(*) AS BIGINT) AS y
+       |       FROM orders GROUP BY 1),
+       |b AS (SELECT MIN(day) AS dlo, MAX(day) AS dhi FROM daily),
+       |spine AS (SELECT unnest(range(dlo, dhi + 1)) AS day FROM b),
+       |z AS (SELECT s.day, COALESCE(d.y, 0)::DOUBLE AS y
+       |      FROM spine s LEFT JOIN daily d ON s.day = d.day),
+       |w0 AS (SELECT day, list(y) OVER (ORDER BY day
+       |         ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING) AS w
+       |       FROM z),
+       |w1 AS (SELECT day, w,
+       |         ${OracleSql.foldSum("w")} / 7.0 AS mu,
+       |         SQRT(${OracleSql.foldSum(
+              "list_transform(w, x -> x * x)")} / 7.0
+       |           - (${OracleSql.foldSum("w")} / 7.0)
+       |           * (${OracleSql.foldSum("w")} / 7.0)) AS sd
+       |       FROM w0 WHERE len(w) = 7),
+       |wins AS (SELECT day AS i,
+       |           list_transform(w, x -> (x - mu) / sd) AS zn
+       |         FROM w1 WHERE sd > 0.0),
+       |pairs AS (SELECT a.i AS i, c.i AS j, $dist AS d2
+       |          FROM wins a JOIN wins c ON c.i >= a.i + 7),
+       |top AS (SELECT i, j, d2 FROM pairs
+       |        ORDER BY d2, i, j LIMIT 5)
+       |SELECT i, j, ${sqlE6("d2")} AS d2_e6
+       |FROM top ORDER BY d2_e6, i, j""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q418 — broadcast-join advisor over the dimension tables: exact
+  // estimated in-memory bytes (string lengths + 8 bytes per numeric
+  // column + 16 per-row overhead) against the classic 10 MB
+  // autoBroadcastJoinThreshold — the planning decision every
+  // fact-dim join starts from, expressed as an auditable query.
+  private val q418: Q = (s, dir) => {
+    def est(name: String, strCols: Seq[String], numCols: Int)
+        : DataFrame = {
+      val d = t(s, dir, name)
+      val strBytes = strCols.map(c => sum(length(col(c)).cast("long")))
+        .reduceOption(_ + _).getOrElse(lit(0L))
+      d.agg(count(lit(1)).as("n_rows"),
+          (strBytes + count(lit(1)) * lit(8L * numCols + 16L))
+            .as("est_bytes"))
+        .select(lit(name).as("tbl"), col("n_rows"), col("est_bytes"))
+    }
+    est("region", Seq("r_name"), 1)
+      .unionByName(est("nation", Seq("n_name"), 2))
+      .unionByName(est("supplier", Seq("s_name"), 3))
+      .unionByName(est("customer", Seq("c_name", "c_mktsegment"), 3))
+      .unionByName(est("part", Seq("p_name", "p_brand", "p_type"), 3))
+      .select(col("tbl"), col("n_rows"), col("est_bytes"),
+        (col("est_bytes") <= 10485760L).as("broadcastable"))
+      .ordered(col("tbl"))
+  }
+
+  private val q418Sql: String =
+    s"""WITH u AS (
+       |  SELECT 'region' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(SUM(length(r_name)) + COUNT(*) * 24 AS BIGINT)
+       |      AS est_bytes FROM region
+       |  UNION ALL
+       |  SELECT 'nation', CAST(COUNT(*) AS BIGINT),
+       |    CAST(SUM(length(n_name)) + COUNT(*) * 32 AS BIGINT)
+       |    FROM nation
+       |  UNION ALL
+       |  SELECT 'supplier', CAST(COUNT(*) AS BIGINT),
+       |    CAST(SUM(length(s_name)) + COUNT(*) * 40 AS BIGINT)
+       |    FROM supplier
+       |  UNION ALL
+       |  SELECT 'customer', CAST(COUNT(*) AS BIGINT),
+       |    CAST(SUM(length(c_name) + length(c_mktsegment))
+       |      + COUNT(*) * 40 AS BIGINT) FROM customer
+       |  UNION ALL
+       |  SELECT 'part', CAST(COUNT(*) AS BIGINT),
+       |    CAST(SUM(length(p_name) + length(p_brand) + length(p_type))
+       |      + COUNT(*) * 40 AS BIGINT) FROM part)
+       |SELECT tbl, n_rows, est_bytes,
+       |  est_bytes <= 10485760 AS broadcastable
+       |FROM u ORDER BY tbl""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q419 — language diversity per source: Simpson index 1 - sum p^2,
+  // effective number of languages n^2 / sum n_l^2, and the dominant
+  // language (count-desc, lang tiebreak) — exact integer counts, the
+  // mix snapshot a multilingual data card reports.
+  private val q419: Q = (s, dir) => {
+    val lc = t(s, dir, "documents")
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("nl"))
+    val dom = lc.withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("nl").desc, col("lang"))))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("dominant"))
+    lc.groupBy(col("source"))
+      .agg(sum(col("nl")).as("n"), count(lit(1)).as("n_langs"),
+        sum(col("nl") * col("nl")).as("sq"))
+      .join(dom, "source")
+      .select(col("source"), col("n"), col("n_langs"), col("dominant"),
+        e6(lit(1.0) - col("sq").cast("double")
+          / (col("n").cast("double") * col("n").cast("double")))
+          .as("simpson_e6"),
+        e6(col("n").cast("double") * col("n").cast("double")
+          / col("sq").cast("double")).as("enl_e6"))
+      .ordered(col("source"))
+  }
+
+  private val q419Sql: String =
+    s"""WITH lc AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS nl
+       |      FROM documents GROUP BY 1, 2),
+       |dom AS (SELECT source, lang AS dominant FROM (
+       |          SELECT source, lang, ROW_NUMBER() OVER (
+       |            PARTITION BY source ORDER BY nl DESC, lang) AS rk
+       |          FROM lc) WHERE rk = 1),
+       |a AS (SELECT source, CAST(SUM(nl) AS BIGINT) AS n,
+       |        CAST(COUNT(*) AS BIGINT) AS n_langs,
+       |        CAST(SUM(nl * nl) AS BIGINT) AS sq
+       |      FROM lc GROUP BY 1)
+       |SELECT a.source, n, n_langs, dominant,
+       |  ${sqlE6("1.0 - sq::DOUBLE / (n::DOUBLE * n::DOUBLE)")}
+       |    AS simpson_e6,
+       |  ${sqlE6("n::DOUBLE * n::DOUBLE / sq::DOUBLE")} AS enl_e6
+       |FROM a JOIN dom ON a.source = dom.source
+       |ORDER BY a.source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q420 — Qini curve of the q405 uplift policy at spend deciles:
+  // customers ranked by exact total spend, decile boundaries from
+  // the cents histogram (the q299 type-lower selection — never a
+  // row-level rank window), cumulative treated/control conversions
+  // from the top, Qini(k) = Rt - Rc * Nt/Nc. The uplift-targeting
+  // evaluation curve.
+  private val q420: Q = (s, dir) => {
+    val spend = t(s, dir, "customer")
+      .select(col("c_custkey").as("cust"),
+        (col("c_custkey") % 2L === 0L).as("treat"))
+      .join(t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("no"),
+          sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .as("cents")),
+        col("cust") === col("o_custkey"), "left")
+      .select(col("cust"), col("treat"),
+        coalesce(col("cents"), lit(0L)).as("c"),
+        (coalesce(col("no"), lit(0L)) >= 2L).as("rep"))
+      .localCheckpoint(false)
+    val gh = spend.groupBy(col("c")).agg(count(lit(1)).as("nc"))
+    val tot = gh.agg(sum(col("nc")).as("nn"))
+    val cum = gh.withColumn("cum", sum(col("nc")).over(
+        Window.orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+    def bnd(k: Int) = cum
+      .filter(col("cum").cast("double") >=
+        ceil(col("nn").cast("double") * lit(k) / 10.0))
+      .agg(min(col("c")).as(s"b$k"))
+    val withB = (1 to 9).foldLeft(spend)((df, k) =>
+      df.crossJoin(broadcast(bnd(k))))
+    val dec = withB.select(col("treat"), col("rep"),
+      (lit(1L) + (1 to 9).map(k =>
+        when(col("c") > col(s"b$k"), 1L).otherwise(0L))
+        .reduce(_ + _)).as("d"))
+    val dt = dec.groupBy(col("d"))
+      .agg(sum(when(col("treat"), 1L).otherwise(0L)).as("nt"),
+        sum(when(col("treat") && col("rep"), 1L).otherwise(0L))
+          .as("rt"),
+        sum(when(!col("treat"), 1L).otherwise(0L)).as("nc2"),
+        sum(when(!col("treat") && col("rep"), 1L).otherwise(0L))
+          .as("rc"))
+      .localCheckpoint(false)
+    spineK10(s).join(dt, col("d") >= lit(11L) - col("k"))
+      .groupBy(col("k"))
+      .agg(sum(col("nt")).as("n_t"), sum(col("rt")).as("r_t"),
+        sum(col("nc2")).as("n_c"), sum(col("rc")).as("r_c"))
+      .select(col("k"), col("n_t"), col("r_t"), col("n_c"), col("r_c"),
+        e6(when(col("n_c") > 0L, col("r_t").cast("double")
+          - col("r_c").cast("double") * col("n_t").cast("double")
+          / col("n_c").cast("double")).otherwise(0.0)).as("qini_e6"))
+      .ordered(col("k"))
+  }
+
+  /** Top-k-decile spine 1..10 for q420. */
+  private def spineK10(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (1L to 10L).toDF("k")
+  }
+
+  private val q420Sql: String = {
+    val bnds = (1 to 9).map(k =>
+      s"b$k AS (SELECT MIN(c) AS b$k FROM cum, tot " +
+        s"WHERE cum::DOUBLE >= CEIL(nn::DOUBLE * $k / 10.0))")
+      .mkString(",\n")
+    val dsum = (1 to 9).map(k =>
+      s"(CASE WHEN c > b$k THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH spend AS (SELECT c_custkey AS cust,
+       |        c_custkey % 2 = 0 AS treat,
+       |        COALESCE(o.cents, 0) AS c,
+       |        COALESCE(o.no, 0) >= 2 AS rep
+       |      FROM customer LEFT JOIN (
+       |        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS no,
+       |          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+       |            AS BIGINT) AS cents
+       |        FROM orders GROUP BY 1) o ON c_custkey = o_custkey),
+       |gh AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS nc
+       |       FROM spend GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(nc) AS BIGINT) AS nn FROM gh),
+       |cum AS (SELECT c, CAST(SUM(nc) OVER (ORDER BY c
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          AS BIGINT) AS cum FROM gh),
+       |$bnds,
+       |dec AS (SELECT treat, rep, 1 + $dsum AS d
+       |        FROM spend, b1, b2, b3, b4, b5, b6, b7, b8, b9),
+       |dt AS (SELECT d,
+       |         CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS nt,
+       |         CAST(SUM(CASE WHEN treat AND rep THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS rt,
+       |         CAST(SUM(CASE WHEN NOT treat THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS nc2,
+       |         CAST(SUM(CASE WHEN NOT treat AND rep THEN 1 ELSE 0
+       |           END) AS BIGINT) AS rc
+       |       FROM dec GROUP BY 1),
+       |ks AS (SELECT unnest(range(1, 11)) AS k)
+       |SELECT k, CAST(SUM(nt) AS BIGINT) AS n_t,
+       |  CAST(SUM(rt) AS BIGINT) AS r_t,
+       |  CAST(SUM(nc2) AS BIGINT) AS n_c,
+       |  CAST(SUM(rc) AS BIGINT) AS r_c,
+       |  ${sqlE6("CASE WHEN SUM(nc2) > 0 THEN SUM(rt)::DOUBLE " +
+            "- SUM(rc)::DOUBLE * SUM(nt)::DOUBLE / SUM(nc2)::DOUBLE " +
+            "ELSE 0.0 END")} AS qini_e6
+       |FROM ks JOIN dt ON d >= 11 - k
+       |GROUP BY k ORDER BY k""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q421 — bloom-filter sizing planner for the four join keys: exact
+  // distinct cardinalities, optimal bits m = ceil(n * ln(1/p)/ln^2 2)
+  // at p = 1% (the constant inlined as ONE shared double literal so
+  // both engines ceil the identical product), k = round(m/n * ln 2),
+  // and the resulting megabytes. The q101/q380 sizing decision as an
+  // auditable query.
+  private val q421: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val keys = li.agg(countDistinct(col("l_orderkey")).as("nd"))
+      .select(lit("l_orderkey").as("key"), col("nd"))
+      .unionByName(li.agg(countDistinct(col("l_partkey")).as("nd"))
+        .select(lit("l_partkey").as("key"), col("nd")))
+      .unionByName(li.agg(countDistinct(col("l_suppkey")).as("nd"))
+        .select(lit("l_suppkey").as("key"), col("nd")))
+      .unionByName(t(s, dir, "orders")
+        .agg(countDistinct(col("o_custkey")).as("nd"))
+        .select(lit("o_custkey").as("key"), col("nd")))
+    keys.select(col("key"), col("nd"),
+        ceil(col("nd").cast("double") * lit(9.585962623247995))
+          .cast("long").as("m_bits"))
+      .select(col("key"), col("nd"), col("m_bits"),
+        round(col("m_bits").cast("double") / col("nd").cast("double")
+          * lit(0.6931471805599453), 0).cast("long").as("k_hash"),
+        e6(col("m_bits").cast("double") / 8.0 / 1048576.0)
+          .as("mbytes_e6"))
+      .ordered(col("key"))
+  }
+
+  private val q421Sql: String =
+    s"""WITH keys AS (
+       |  SELECT 'l_orderkey' AS key,
+       |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nd
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT 'l_partkey', CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT 'l_suppkey', CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT 'o_custkey', CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+       |  FROM orders),
+       |m AS (SELECT key, nd,
+       |        CAST(CEIL(nd::DOUBLE * 9.585962623247995) AS BIGINT)
+       |          AS m_bits
+       |      FROM keys)
+       |SELECT key, nd, m_bits,
+       |  CAST(ROUND(m_bits::DOUBLE / nd::DOUBLE
+       |    * 0.6931471805599453, 0) AS BIGINT) AS k_hash,
+       |  ${sqlE6("m_bits::DOUBLE / 8.0 / 1048576.0")} AS mbytes_e6
+       |FROM m ORDER BY key""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q422 — 1-bit (b-bit) minhash audit on the md5-parity candidate
+  // pairs: keep only the low bit of each of the 8 signature hashes,
+  // estimate J = 2*(agreement - 1/2), and report MAE and signed bias
+  // against the exact Jaccard — the memory/accuracy trade Li &
+  // Konig's b-bit minwise hashing formalized, measured on this
+  // corpus.
+  private val q422: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 250)
+    val withJ = DedupOps.minhashLshDedupParity(docs, "doc_id", "text",
+        shingleN = 2, k = 8, bands = 4, threshold = 0.0)
+      .select(col("id1"), col("id2"), col("jaccard"))
+    val sig = DedupOps.minhashSignatureTable(docs, "doc_id", "text",
+        shingleN = 2, k = 8)
+      .select(col("doc_id"),
+        transform(col("sig"),
+          h => conv(substring(h, 1, 1), 16, 10).cast("long") % 2L)
+          .as("bits"))
+    val est = withJ
+      .join(sig.select(col("doc_id").as("id1"), col("bits").as("ba")),
+        "id1")
+      .join(sig.select(col("doc_id").as("id2"), col("bits").as("bb")),
+        "id2")
+      .select(col("jaccard"),
+        (lit(2.0) * (aggregate(zip_with(col("ba"), col("bb"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (a, v) => a + v).cast("double") / 8.0 - 0.5))
+          .as("est"))
+    est.agg(count(lit(1)).as("n_pairs"),
+        e6(sum(abs(col("est") - col("jaccard")))
+          / count(lit(1)).cast("double")).as("mae_e6"),
+        e6(sum(col("est") - col("jaccard"))
+          / count(lit(1)).cast("double")).as("bias_e6"))
+      .ordered(col("n_pairs"))
+  }
+
+  private val q422Sql: String =
+    s"""WITH ${NorthStar.minhashParityCtes},
+       |bits AS (SELECT doc_id,
+       |           list_transform(sig, h ->
+       |             (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+       |               % 2) AS bits
+       |         FROM g),
+       |est AS (SELECT ver.jaccard,
+       |          2.0 * (len(list_filter(range(1, 9),
+       |            q -> x.bits[q] = y.bits[q]))::DOUBLE / 8.0 - 0.5)
+       |            AS est
+       |        FROM ver JOIN bits x ON ver.id1 = x.doc_id
+       |        JOIN bits y ON ver.id2 = y.doc_id)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  ${sqlE6("SUM(ABS(est - jaccard)) / COUNT(*)::DOUBLE")}
+       |    AS mae_e6,
+       |  ${sqlE6("SUM(est - jaccard) / COUNT(*)::DOUBLE")} AS bias_e6
+       |FROM est ORDER BY n_pairs""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q423 — 5-NN label classifier evaluation on the embedding table:
+  // sampled queries (vec_id % 23 = 0), neighbors by the native
+  // squared-distance codegen, majority vote with (count-desc, label)
+  // tiebreak, and the resulting confusion grid + overall accuracy.
+  // The "are these labels learnable from geometry" sanity eval.
+  private val q423: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") % 23L === 0L)
+      .select(col("vec_id").as("qid"), col("label").as("tl"),
+        col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("nid"), col("label").as("nl"),
+      col("embedding").as("nv"))
+    val top5 = q.join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("tl"), col("nl"),
+        SimilarityOps.sqDist(col("qv"), col("nv")).as("d"), col("nid"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d"), col("nid"))))
+      .filter(col("rk") <= 5)
+    val pred = top5.groupBy(col("qid"), col("tl"), col("nl"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vrk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("votes").desc, col("nl"))))
+      .filter(col("vrk") === 1)
+      .select(col("qid"), col("tl"), col("nl").as("pl"))
+      .localCheckpoint(false)
+    val acc = pred.agg(
+      e6(sum(when(col("tl") === col("pl"), 1L).otherwise(0L))
+        .cast("double") / count(lit(1)).cast("double")).as("acc_e6"))
+    pred.groupBy(col("tl"), col("pl")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(acc))
+      .select(col("tl").cast("long").as("true_label"),
+        col("pl").cast("long").as("pred_label"), col("n"),
+        col("acc_e6"))
+      .ordered(col("true_label"), col("pred_label"))
+  }
+
+  private val q423Sql: String = {
+    val dist = OracleSql.foldSum(
+      "list_transform(range(1, 65), i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))")
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |top5 AS (SELECT qid, tl, nl FROM (
+       |           SELECT q.vec_id AS qid, q.label AS tl,
+       |             c.label AS nl, $dist AS d,
+       |             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |               ORDER BY $dist, c.vec_id) AS rk
+       |           FROM e q JOIN e c ON q.vec_id <> c.vec_id
+       |           WHERE q.vec_id % 23 = 0)
+       |         WHERE rk <= 5),
+       |pred AS (SELECT qid, tl, nl AS pl FROM (
+       |           SELECT qid, tl, nl, ROW_NUMBER() OVER (
+       |             PARTITION BY qid
+       |             ORDER BY COUNT(*) DESC, nl) AS vrk
+       |           FROM top5 GROUP BY qid, tl, nl)
+       |         WHERE vrk = 1),
+       |acc AS (SELECT ${sqlE6("SUM(CASE WHEN tl = pl THEN 1 ELSE 0 " +
+            "END)::DOUBLE / COUNT(*)::DOUBLE")} AS acc_e6 FROM pred)
+       |SELECT CAST(tl AS BIGINT) AS true_label,
+       |  CAST(pl AS BIGINT) AS pred_label,
+       |  CAST(COUNT(*) AS BIGINT) AS n, acc_e6
+       |FROM pred, acc GROUP BY 1, 2, acc_e6
+       |ORDER BY true_label, pred_label""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q384_kruskal_wallis" -> q384,
@@ -2317,7 +2841,15 @@ object RoundNine {
     "q412_revenue_ndr" -> q412,
     "q413_triple_itemsets" -> q413,
     "q414_gumbel_topk" -> q414,
-    "q415_successive_halving" -> q415)
+    "q415_successive_halving" -> q415,
+    "q416_sax_symbols" -> q416,
+    "q417_motif_discovery" -> q417,
+    "q418_broadcast_advisor" -> q418,
+    "q419_lang_diversity" -> q419,
+    "q420_qini_curve" -> q420,
+    "q421_bloom_planner" -> q421,
+    "q422_bbit_minhash" -> q422,
+    "q423_knn_label_eval" -> q423)
 
   val oracle: Map[String, String] = Map(
     "q384_kruskal_wallis" -> q384Sql,
@@ -2351,5 +2883,13 @@ object RoundNine {
     "q412_revenue_ndr" -> q412Sql,
     "q413_triple_itemsets" -> q413Sql,
     "q414_gumbel_topk" -> q414Sql,
-    "q415_successive_halving" -> q415Sql)
+    "q415_successive_halving" -> q415Sql,
+    "q416_sax_symbols" -> q416Sql,
+    "q417_motif_discovery" -> q417Sql,
+    "q418_broadcast_advisor" -> q418Sql,
+    "q419_lang_diversity" -> q419Sql,
+    "q420_qini_curve" -> q420Sql,
+    "q421_bloom_planner" -> q421Sql,
+    "q422_bbit_minhash" -> q422Sql,
+    "q423_knn_label_eval" -> q423Sql)
 }

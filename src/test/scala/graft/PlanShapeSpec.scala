@@ -513,8 +513,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     "q407_hitter_drift",  // 1-row midpoint-epoch bracket vs events
     "q409_kneser_ney",    // 1-row bigram-type-total bracket vs the
                           // top-20 bigram table
-    "q414_gumbel_topk")   // 1-row overlap-count bracket vs the
+    "q414_gumbel_topk",   // 1-row overlap-count bracket vs the
                           // per-source sample composition
+    "q416_sax_symbols",   // 1-row z-parameter bracket vs the 32-seg
+                          // PAA table
+    "q417_motif_discovery", // deliberate all-pairs window join — the
+                          // day-DOMAIN-bounded (constant-size) motif
+                          // search, never data-sized
+    "q420_qini_curve",    // 1-row decile-boundary brackets + 10-row
+                          // top-k spine over the decile table
+    "q423_knn_label_eval") // brute-force query-vs-corpus inequality
+                          // join (q28 baseline) + 1-row accuracy
+                          // bracket
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
