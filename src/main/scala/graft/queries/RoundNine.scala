@@ -49,7 +49,11 @@ object RoundNine {
   private val q384: Q = (s, dir) => {
     val v = t(s, dir, "events")
       .select(col("event_type").as("g"), cents.as("c"))
+    // the (group, cents) histogram feeds the global spine AND the
+    // per-group rank sums — cut lineage once or events re-scans per
+    // consumer (the tfidfKnn checkpoint pattern)
     val h = v.groupBy(col("g"), col("c")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
     val gh = h.groupBy(col("c")).agg(sum(col("n")).as("nc"))
     val w = Window.orderBy(col("c"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -198,9 +202,13 @@ object RoundNine {
   // expectation. Exact integer cells; only the final statistic is a
   // pinned double.
   private val q386: Q = (s, dir) => {
-    val v = t(s, dir, "events")
+    // per-(group, cents) histogram once — the median bracket and the
+    // contingency cells both derive from it without re-scanning events
+    val gc = t(s, dir, "events")
       .select(col("event_type").as("g"), cents.as("c"))
-    val gh = v.groupBy(col("c")).agg(count(lit(1)).as("nc"))
+      .groupBy(col("g"), col("c")).agg(count(lit(1)).as("ngc"))
+      .localCheckpoint(false)
+    val gh = gc.groupBy(col("c")).agg(sum(col("ngc")).as("nc"))
     val w = Window.orderBy(col("c"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = gh.agg(sum(col("nc")).as("nn"))
@@ -209,10 +217,12 @@ object RoundNine {
       .filter(col("cum").cast("double") >=
         ceil(col("nn").cast("double") / 2.0))
       .agg(min(col("c")).as("med"))
-    val cellsG = v.crossJoin(broadcast(med))
+    val cellsG = gc.crossJoin(broadcast(med))
       .groupBy(col("g"))
-      .agg(sum(when(col("c") > col("med"), 1L).otherwise(0L)).as("oa"),
-        sum(when(col("c") <= col("med"), 1L).otherwise(0L)).as("ob"))
+      .agg(sum(when(col("c") > col("med"), col("ngc")).otherwise(0L))
+        .as("oa"),
+        sum(when(col("c") <= col("med"), col("ngc")).otherwise(0L))
+          .as("ob"))
     val marg = cellsG.agg(sum(col("oa")).as("ta"), sum(col("ob")).as("tb"))
     val chi = cellsG.crossJoin(broadcast(marg))
       .select(col("g"), col("oa"), col("ob"), col("ta"), col("tb"),
@@ -279,8 +289,11 @@ object RoundNine {
   // denominator (every user saw every type) is guarded identically
   // on both engines.
   private val q387: Q = (s, dir) => {
+    // presence matrix once: the row totals, column totals, and the
+    // distinct-type count all derive from the checkpointed distinct
     val x = t(s, dir, "events")
       .select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint(false)
     val rows = x.groupBy(col("user_id")).agg(count(lit(1)).as("r"))
     val k = x.select(col("event_type")).distinct().count()
     val cols_ = x.groupBy(col("event_type")).agg(count(lit(1)).as("ct"))
@@ -331,11 +344,15 @@ object RoundNine {
   // chi-square is a ratio of exact integers; Page's L (treatments
   // in alphabetical order) is an exact 2x BIGINT.
   private val q388: Q = (s, dir) => {
-    val ev = t(s, dir, "events").select(col("user_id"), col("event_type"))
-    val types = ev.select(col("event_type")).distinct()
-    val users = ev.select(col("user_id")).distinct()
-    val counts = ev.groupBy(col("user_id"), col("event_type"))
+    // ONE events aggregation; users/types spines and the ranked grid
+    // all derive from the checkpointed counts (events was re-scanned
+    // per consumer before — 4+ scans at 10x)
+    val counts = t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val types = counts.select(col("event_type")).distinct()
+    val users = counts.select(col("user_id")).distinct()
     val grid = users.crossJoin(broadcast(types))
       .join(counts, Seq("user_id", "event_type"), "left")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
@@ -346,6 +363,7 @@ object RoundNine {
       .withColumn("ties", count(lit(1)).over(wTie))
       .select(col("user_id"), col("event_type"),
         (lit(2L) * col("rmin") + col("ties") - 1L).as("r2"))
+      .localCheckpoint(false)
     val k = types.count()
     val byT = ranked.groupBy(col("event_type"))
       .agg(sum(col("r2")).as("r2x"))
@@ -1075,7 +1093,10 @@ object RoundNine {
   private val q398: Q = (s, dir) => {
     val v = t(s, dir, "events")
       .select(col("event_type").as("g"), cents.as("c"))
+    // histogram once — value spine, group spine, zero-filled grid and
+    // group sizes all derive from it (4 events scans before)
     val h = v.groupBy(col("g"), col("c")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
     val cs = h.select(col("c")).distinct()
     val gs = h.select(col("g")).distinct()
       .withColumn("go", row_number().over(Window.orderBy(col("g"))))
