@@ -2829,6 +2829,511 @@ object RoundNine {
   }
 
   // ---------------------------------------------------------------
+  // q424 — equi-depth histogram selectivity audit: 16 type-lower
+  // bucket boundaries from the order-total cents histogram, 10 fixed
+  // domain ranges estimated by uniform-within-bucket interpolation
+  // vs their exact counts, reported as q-error. The optimizer-
+  // statistics quality check an engine's cardinality estimation
+  // stands on.
+  private val q424: Q = (s, dir) => {
+    val v = t(s, dir, "orders")
+      .select(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("c"))
+    val gh = v.groupBy(col("c")).agg(count(lit(1)).as("nc"))
+      .localCheckpoint(false)
+    val tot = gh.agg(sum(col("nc")).as("nn"), min(col("c")).as("cmin"),
+      max(col("c")).as("cmax"))
+    val cum = gh.withColumn("cum", sum(col("nc")).over(
+        Window.orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+    // bucket upper bounds b_1..b_16 (type-lower 1/16 quantiles)
+    val bnds = cum
+      .crossJoin(broadcast(spineSeg(s, 16)))
+      .filter(col("cum").cast("double") >=
+        ceil(col("nn").cast("double") * col("sk") / 16.0))
+      .groupBy(col("sk")).agg(min(col("c")).as("ub"),
+        max(col("cmin")).as("cmin"))
+    val buckets = bnds
+      .withColumn("lb", coalesce(lag(col("ub"), 1).over(
+        Window.orderBy(col("sk"))), col("cmin")))
+      .localCheckpoint(false)
+    // buckets with (lb, ub]: counts by boundary comparison
+    val bcnt = v.crossJoin(broadcast(buckets
+        .select(col("sk"), col("lb"), col("ub"))))
+      .filter((col("sk") === 1L && col("c") <= col("ub")) ||
+        (col("sk") > 1L && col("c") > col("lb") &&
+          col("c") <= col("ub")))
+      .groupBy(col("sk"), col("lb"), col("ub"))
+      .agg(count(lit(1)).as("bn"))
+      .localCheckpoint(false)
+    // 10 fixed ranges [rlo, rhi) over the raw domain twelfths
+    val ranges = tot.crossJoin(broadcast(spineSeg(s, 10)))
+      .select(col("sk").as("j"),
+        expr("cmin + (sk - 1) * (cmax - cmin) div 12").as("rlo"),
+        expr("cmin + (sk + 1) * (cmax - cmin) div 12").as("rhi"))
+      .localCheckpoint(false)
+    val exact = v.crossJoin(broadcast(ranges))
+      .filter(col("c") >= col("rlo") && col("c") < col("rhi"))
+      .groupBy(col("j")).agg(count(lit(1)).as("exact"))
+    // uniform-within-bucket overlap estimate; bucket value span is
+    // (lb, ub] with width ub - lb (>= 1 by construction)
+    val est = bcnt.crossJoin(broadcast(ranges))
+      .select(col("j"),
+        (greatest(lit(0.0),
+          (least(col("rhi").cast("double") - 0.5,
+            col("ub").cast("double") + 0.5)
+            - greatest(col("rlo").cast("double") - 0.5,
+              col("lb").cast("double") + 0.5))
+          / (col("ub").cast("double") - col("lb").cast("double")))
+          * col("bn").cast("double")).as("part"))
+      .groupBy(col("j")).agg(sum(col("part")).as("est"))
+    ranges.select(col("j"))
+      .join(exact, Seq("j"), "left")
+      .join(est, Seq("j"), "left")
+      .select(col("j"), coalesce(col("exact"), lit(0L)).as("exact"),
+        e6(coalesce(col("est"), lit(0.0))).as("est_e6"),
+        e6(when(coalesce(col("exact"), lit(0L)) > 0L &&
+            coalesce(col("est"), lit(0.0)) > 0.0,
+          greatest(col("est") / col("exact").cast("double"),
+            col("exact").cast("double") / col("est")))
+          .otherwise(0.0)).as("qerr_e6"))
+      .ordered(col("j"))
+  }
+
+  /** 1..n spine (shared by the bucket/range grids). */
+  private def spineSeg(s: SparkSession, n: Int): DataFrame = {
+    import s.implicits._
+    (1L to n.toLong).toDF("sk")
+  }
+
+  private val q424Sql: String =
+    s"""WITH v AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)
+       |        AS c FROM orders),
+       |gh AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS nc
+       |       FROM v GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(nc) AS BIGINT) AS nn,
+       |          MIN(c) AS cmin, MAX(c) AS cmax FROM gh),
+       |cum AS (SELECT c, CAST(SUM(nc) OVER (ORDER BY c
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          AS BIGINT) AS cum FROM gh),
+       |sk16 AS (SELECT unnest(range(1, 17)) AS sk),
+       |bnds AS (SELECT sk, MIN(c) AS ub FROM cum, tot, sk16
+       |         WHERE cum::DOUBLE >= CEIL(nn::DOUBLE * sk / 16.0)
+       |         GROUP BY 1),
+       |bkts AS (SELECT sk, ub, COALESCE(LAG(ub, 1) OVER (
+       |           ORDER BY sk), (SELECT cmin FROM tot)) AS lb
+       |         FROM bnds),
+       |bcnt AS (SELECT b.sk, b.lb, b.ub, CAST(COUNT(*) AS BIGINT)
+       |           AS bn
+       |         FROM v JOIN bkts b ON
+       |           (b.sk = 1 AND v.c <= b.ub) OR
+       |           (b.sk > 1 AND v.c > b.lb AND v.c <= b.ub)
+       |         GROUP BY 1, 2, 3),
+       |sk10 AS (SELECT unnest(range(1, 11)) AS j),
+       |ranges AS (SELECT j,
+       |             cmin + (j - 1) * (cmax - cmin) // 12 AS rlo,
+       |             cmin + (j + 1) * (cmax - cmin) // 12 AS rhi
+       |           FROM tot, sk10),
+       |ex AS (SELECT j, CAST(COUNT(*) AS BIGINT) AS exact
+       |       FROM v JOIN ranges ON v.c >= rlo AND v.c < rhi
+       |       GROUP BY 1),
+       |est AS (SELECT j, SUM(GREATEST(0.0,
+       |          (LEAST(rhi::DOUBLE - 0.5, ub::DOUBLE + 0.5)
+       |            - GREATEST(rlo::DOUBLE - 0.5, lb::DOUBLE + 0.5))
+       |          / (ub::DOUBLE - lb::DOUBLE)) * bn::DOUBLE) AS est
+       |        FROM bcnt CROSS JOIN ranges GROUP BY 1)
+       |SELECT r.j, COALESCE(exact, 0) AS exact,
+       |  ${sqlE6("COALESCE(est, 0.0)")} AS est_e6,
+       |  ${sqlE6("CASE WHEN COALESCE(exact, 0) > 0 AND " +
+            "COALESCE(est, 0.0) > 0.0 THEN " +
+            "GREATEST(est / exact::DOUBLE, exact::DOUBLE / est) " +
+            "ELSE 0.0 END")} AS qerr_e6
+       |FROM ranges r LEFT JOIN ex ON r.j = ex.j
+       |LEFT JOIN est ON r.j = est.j
+       |ORDER BY r.j""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q425 — join cardinality estimator audit: the textbook
+  // |A||B|/max(dA,dB) equi-join estimate vs the exact join count for
+  // the four fact-dim keys. The estimate every cost-based join
+  // reorder starts from, graded against truth.
+  private val q425: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").localCheckpoint(false)
+    val ords = t(s, dir, "orders")
+    def audit(name: String, a: DataFrame, ak: String, b: DataFrame,
+              bk: String): DataFrame = {
+      val st = a.agg(count(lit(1)).as("na"),
+          countDistinct(col(ak)).as("da"))
+        .crossJoin(broadcast(b.agg(count(lit(1)).as("nb"),
+          countDistinct(col(bk)).as("db"))))
+      val ex = a.select(col(ak).as("k")).join(
+        b.select(col(bk).as("k")), "k").agg(count(lit(1)).as("exact"))
+      st.crossJoin(broadcast(ex))
+        .select(lit(name).as("join_key"), col("na"), col("nb"),
+          col("exact"),
+          round(col("na").cast("double") * col("nb").cast("double")
+            / greatest(col("da"), col("db")).cast("double"), 0)
+            .cast("long").as("est"))
+    }
+    audit("l_orderkey=o_orderkey", li, "l_orderkey", ords, "o_orderkey")
+      .unionByName(audit("l_partkey=p_partkey", li, "l_partkey",
+        t(s, dir, "part"), "p_partkey"))
+      .unionByName(audit("l_suppkey=s_suppkey", li, "l_suppkey",
+        t(s, dir, "supplier"), "s_suppkey"))
+      .unionByName(audit("o_custkey=c_custkey", ords, "o_custkey",
+        t(s, dir, "customer"), "c_custkey"))
+      .select(col("join_key"), col("na"), col("nb"), col("exact"),
+        col("est"),
+        e6(when(col("exact") > 0L, greatest(
+          col("est").cast("double") / col("exact").cast("double"),
+          col("exact").cast("double") / col("est").cast("double")))
+          .otherwise(0.0)).as("qerr_e6"))
+      .ordered(col("join_key"))
+  }
+
+  private val q425Sql: String = {
+    def one(name: String, a: String, ak: String, b: String, bk: String) =
+      s"""SELECT '$name' AS join_key,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $a) AS na,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $b) AS nb,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $a JOIN $b
+         |     ON $ak = $bk) AS exact,
+         |  CAST(ROUND((SELECT COUNT(*) FROM $a)::DOUBLE
+         |    * (SELECT COUNT(*) FROM $b)::DOUBLE
+         |    / GREATEST((SELECT COUNT(DISTINCT $ak) FROM $a),
+         |        (SELECT COUNT(DISTINCT $bk) FROM $b))::DOUBLE, 0)
+         |    AS BIGINT) AS est""".stripMargin
+    s"""WITH u AS (
+       |${one("l_orderkey=o_orderkey", "lineitem", "l_orderkey",
+          "orders", "o_orderkey")}
+       |UNION ALL
+       |${one("l_partkey=p_partkey", "lineitem", "l_partkey",
+          "part", "p_partkey")}
+       |UNION ALL
+       |${one("l_suppkey=s_suppkey", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey")}
+       |UNION ALL
+       |${one("o_custkey=c_custkey", "orders", "o_custkey",
+          "customer", "c_custkey")})
+       |SELECT join_key, na, nb, exact, est,
+       |  ${sqlE6("CASE WHEN exact > 0 THEN GREATEST(est::DOUBLE / " +
+            "exact::DOUBLE, exact::DOUBLE / est::DOUBLE) " +
+            "ELSE 0.0 END")} AS qerr_e6
+       |FROM u ORDER BY join_key""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q426 — foreign-key discovery audit: distinct-value containment
+  // of the child column in the parent plus parent-key uniqueness for
+  // the four true FKs and one deliberate negative control — the
+  // constraint-inference pass a catalog-less lakehouse runs before
+  // trusting join paths.
+  private val q426: Q = (s, dir) => {
+    def audit(name: String, child: DataFrame, ck: String,
+              parent: DataFrame, pk: String): DataFrame = {
+      val cd = child.select(col(ck).as("k")).distinct()
+        .localCheckpoint(false)
+      val pd = parent.select(col(pk).as("k"))
+      val stats = cd.agg(count(lit(1)).as("d_child"))
+        .crossJoin(broadcast(
+          cd.join(pd.distinct(), Seq("k"), "left_semi")
+            .agg(count(lit(1)).as("d_contained"))))
+        .crossJoin(broadcast(pd.agg(count(lit(1)).as("n_parent"),
+          countDistinct(col("k")).as("d_parent"))))
+      stats.select(lit(name).as("candidate"), col("d_child"),
+        col("d_contained"),
+        e6(col("d_contained").cast("double")
+          / col("d_child").cast("double")).as("containment_e6"),
+        e6(col("d_parent").cast("double")
+          / col("n_parent").cast("double")).as("parent_unique_e6"),
+        (col("d_contained") === col("d_child") &&
+          col("d_parent") === col("n_parent")).as("is_fk"))
+    }
+    audit("lineitem.l_partkey->part.p_partkey",
+        t(s, dir, "lineitem"), "l_partkey", t(s, dir, "part"),
+        "p_partkey")
+      .unionByName(audit("lineitem.l_suppkey->supplier.s_suppkey",
+        t(s, dir, "lineitem"), "l_suppkey", t(s, dir, "supplier"),
+        "s_suppkey"))
+      .unionByName(audit("orders.o_custkey->customer.c_custkey",
+        t(s, dir, "orders"), "o_custkey", t(s, dir, "customer"),
+        "c_custkey"))
+      .unionByName(audit("lineitem.l_orderkey->orders.o_orderkey",
+        t(s, dir, "lineitem"), "l_orderkey", t(s, dir, "orders"),
+        "o_orderkey"))
+      .unionByName(audit("lineitem.l_suppkey->part.p_partkey",
+        t(s, dir, "lineitem"), "l_suppkey", t(s, dir, "part"),
+        "p_partkey"))
+      .ordered(col("candidate"))
+  }
+
+  private val q426Sql: String = {
+    def one(name: String, c: String, ck: String, p: String, pk: String) =
+      s"""SELECT '$name' AS candidate,
+         |  (SELECT CAST(COUNT(DISTINCT $ck) AS BIGINT) FROM $c)
+         |    AS d_child,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+         |     (SELECT DISTINCT $ck FROM $c) cc
+         |     WHERE $ck IN (SELECT $pk FROM $p)) AS d_contained,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $p) AS n_parent,
+         |  (SELECT CAST(COUNT(DISTINCT $pk) AS BIGINT) FROM $p)
+         |    AS d_parent""".stripMargin
+    s"""WITH u AS (
+       |${one("lineitem.l_orderkey->orders.o_orderkey", "lineitem",
+          "l_orderkey", "orders", "o_orderkey")}
+       |UNION ALL
+       |${one("lineitem.l_partkey->part.p_partkey", "lineitem",
+          "l_partkey", "part", "p_partkey")}
+       |UNION ALL
+       |${one("lineitem.l_suppkey->part.p_partkey", "lineitem",
+          "l_suppkey", "part", "p_partkey")}
+       |UNION ALL
+       |${one("lineitem.l_suppkey->supplier.s_suppkey", "lineitem",
+          "l_suppkey", "supplier", "s_suppkey")}
+       |UNION ALL
+       |${one("orders.o_custkey->customer.c_custkey", "orders",
+          "o_custkey", "customer", "c_custkey")})
+       |SELECT candidate, d_child, d_contained,
+       |  ${sqlE6("d_contained::DOUBLE / d_child::DOUBLE")}
+       |    AS containment_e6,
+       |  ${sqlE6("d_parent::DOUBLE / n_parent::DOUBLE")}
+       |    AS parent_unique_e6,
+       |  d_contained = d_child AND d_parent = n_parent AS is_fk
+       |FROM u ORDER BY candidate""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q427 — incremental view maintenance pin: per-brand (count, qty
+  // sum, min/max price cents) computed as TWO partial aggregates
+  // (base = 2/3 of lineitem, delta = 1/3) MERGED by the mergeable-
+  // aggregate algebra (+, +, least, greatest). The oracle computes
+  // the direct full aggregation, so a green row proves base+delta
+  // maintenance converges to recompute — the IVM contract.
+  private val q427: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"), col("l_orderkey"),
+        col("l_quantity").cast("long").as("q"),
+        expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("c"))
+    def part(f: DataFrame) = f.groupBy(col("brand"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+        min(col("c")).as("mn"), max(col("c")).as("mx"))
+    val base = part(li.filter(pmod(col("l_orderkey"), lit(3L)) =!= 0L))
+    val delta = part(li.filter(pmod(col("l_orderkey"), lit(3L)) === 0L))
+    base.select(col("brand"), col("n"), col("sq"), col("mn"), col("mx"))
+      .unionByName(delta.select(col("brand"), col("n"), col("sq"),
+        col("mn"), col("mx")))
+      .groupBy(col("brand"))
+      .agg(sum(col("n")).as("n_lines"), sum(col("sq")).as("qty_sum"),
+        min(col("mn")).as("min_cents"), max(col("mx")).as("max_cents"))
+      .ordered(col("brand"))
+  }
+
+  private val q427Sql: String =
+    """SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+      |  CAST(MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+      |    AS BIGINT) AS min_cents,
+      |  CAST(MAX(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+      |    AS BIGINT) AS max_cents
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1 ORDER BY brand""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q428 — penny-ledger reconciliation: per-line half-up rounding of
+  // extendedprice*(1-discount)*(1+tax) vs rounding the order total
+  // once — the distribution of per-order cent discrepancies plus the
+  // net drift. The financial-exactness audit that decides where the
+  // rounding boundary must live.
+  private val q428: Q = (s, dir) => {
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("amt"))
+    val per = l.groupBy(col("l_orderkey"))
+      .agg(sum(round(col("amt") * 100.0, 0).cast("long"))
+        .as("line_cents"),
+        round(sum(col("amt")) * 100.0, 0).cast("long")
+          .as("order_cents"))
+      .select((col("line_cents") - col("order_cents")).as("diff"))
+    val tot = per.agg(sum(col("diff")).as("net_drift"),
+      count(lit(1)).as("n_orders"))
+    per.groupBy(col("diff")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("diff"), col("n"), col("n_orders"), col("net_drift"))
+      .ordered(col("diff"))
+  }
+
+  private val q428Sql: String =
+    s"""WITH l AS (SELECT l_orderkey,
+       |        l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+       |          AS amt
+       |      FROM lineitem),
+       |per AS (SELECT
+       |          CAST(SUM(CAST(ROUND(amt * 100.0, 0) AS BIGINT))
+       |            AS BIGINT)
+       |          - CAST(ROUND(SUM(amt) * 100.0, 0) AS BIGINT) AS diff
+       |        FROM l GROUP BY l_orderkey),
+       |tot AS (SELECT CAST(SUM(diff) AS BIGINT) AS net_drift,
+       |          CAST(COUNT(*) AS BIGINT) AS n_orders FROM per)
+       |SELECT diff, CAST(COUNT(*) AS BIGINT) AS n, n_orders, net_drift
+       |FROM per, tot GROUP BY 1, 3, 4 ORDER BY diff""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q429 — watermark lateness profile: with arrival order = event_id
+  // and event time = ts, how far behind the per-user running-max
+  // event time do events arrive? Bucketed lateness counts — the
+  // measurement that sizes a streaming watermark delay.
+  private val q429: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("tus"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = ev.withColumn("wm", max(col("tus")).over(w))
+      .select(when(col("wm").isNull || col("tus") >= col("wm"), 0L)
+        .otherwise(col("wm") - col("tus")).as("late_us"))
+    late.select(when(col("late_us") === 0L, "a_on_time")
+        .when(col("late_us") <= 60000000L, "b_within_1m")
+        .when(col("late_us") <= 3600000000L, "c_within_1h")
+        .otherwise("d_over_1h").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .ordered(col("bucket"))
+  }
+
+  private val q429Sql: String =
+    s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus
+       |      FROM events),
+       |late AS (SELECT CASE WHEN wm IS NULL OR tus >= wm THEN 0
+       |           ELSE wm - tus END AS late_us
+       |         FROM (SELECT tus, MAX(tus) OVER (
+       |                 PARTITION BY user_id ORDER BY event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |                 1 PRECEDING) AS wm
+       |               FROM ev))
+       |SELECT CASE WHEN late_us = 0 THEN 'a_on_time'
+       |    WHEN late_us <= 60000000 THEN 'b_within_1m'
+       |    WHEN late_us <= 3600000000 THEN 'c_within_1h'
+       |    ELSE 'd_over_1h' END AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n
+       |FROM late GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q430 — session-gap threshold sweep: session counts and mean
+  // session size at inactivity thresholds 60 s / 10 min / 1 h from
+  // ONE per-user gap computation (thresholds are a literal spine
+  // against the gap rows — the q57 single-threshold operator swept
+  // the way a pipeline actually tunes it).
+  private val q430: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), expr("ts_ns div 1000").as("tus"),
+        col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val gaps = ev.withColumn("gap",
+        col("tus") - lag(col("tus"), 1).over(w))
+      .localCheckpoint(false)
+    val tot = gaps.agg(count(lit(1)).as("n_events"),
+      countDistinct(col("user_id")).as("n_users"))
+    gaps.crossJoin(broadcast(spineT(s)))
+      .groupBy(col("t_us"))
+      .agg(sum(when(col("gap").isNull || col("gap") > col("t_us"), 1L)
+        .otherwise(0L)).as("n_sessions"))
+      .crossJoin(broadcast(tot))
+      .select(col("t_us"), col("n_sessions"),
+        e6(col("n_events").cast("double")
+          / col("n_sessions").cast("double")).as("mean_events_e6"))
+      .ordered(col("t_us"))
+  }
+
+  /** Inactivity thresholds (micros) for q430. */
+  private def spineT(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(60000000L, 600000000L, 3600000000L).toDF("t_us")
+  }
+
+  private val q430Sql: String =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, event_id
+       |      FROM events),
+       |gaps AS (SELECT user_id, tus - LAG(tus, 1) OVER (
+       |           PARTITION BY user_id ORDER BY tus, event_id)
+       |           AS gap
+       |         FROM ev),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       |          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       |        FROM gaps),
+       |ts AS (SELECT unnest([60000000, 600000000, 3600000000])
+       |         AS t_us),
+       |a AS (SELECT t_us, CAST(SUM(CASE WHEN gap IS NULL OR
+       |          gap > t_us THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS n_sessions
+       |      FROM gaps CROSS JOIN ts GROUP BY 1)
+       |SELECT a.t_us, n_sessions,
+       |  ${sqlE6("n_events::DOUBLE / n_sessions::DOUBLE")}
+       |    AS mean_events_e6
+       |FROM a, tot ORDER BY a.t_us""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q431 — exact-integer Kolmogorov-Smirnov distance between the
+  // deterministic md5 20% sample and the full corpus on event-value
+  // cents: D's numerator max|cumS*nF - cumF*nS| is an exact BIGINT
+  // over the value histogram, so the sampling-bias audit hashes
+  // identically everywhere — no sup-over-doubles ambiguity.
+  private val q431: Q = (s, dir) => {
+    val v = t(s, dir, "events")
+      .select(cents.as("c"),
+        (CurationOps.md5Hash32(concat(lit("ks:"),
+          col("event_id").cast("string"))) < 858993459L).as("inS"))
+    val gh = v.groupBy(col("c"))
+      .agg(count(lit(1)).as("nf"),
+        sum(when(col("inS"), 1L).otherwise(0L)).as("ns"))
+      .localCheckpoint(false)
+    val tot = gh.agg(sum(col("nf")).as("tf"), sum(col("ns")).as("ts2"))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gh.withColumn("cf", sum(col("nf")).over(w))
+      .withColumn("cs", sum(col("ns")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("tf"), col("ts2"),
+        abs(col("cs") * col("tf") - col("cf") * col("ts2")).as("num"))
+      .groupBy(col("tf"), col("ts2")).agg(max(col("num")).as("ks_num"))
+      .select(col("tf").as("n_full"), col("ts2").as("n_samp"),
+        col("ks_num"),
+        e6(when(col("ts2") > 0L, col("ks_num").cast("double")
+          / (col("tf").cast("double") * col("ts2").cast("double")))
+          .otherwise(0.0)).as("ks_e6"))
+      .ordered(col("n_full"))
+  }
+
+  private val q431Sql: String =
+    s"""WITH v AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,
+       |        ${OracleSql.hex32("md5('ks:' || event_id::VARCHAR)")}
+       |          < 858993459 AS inS
+       |      FROM events),
+       |gh AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS nf,
+       |         CAST(SUM(CASE WHEN inS THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS ns
+       |       FROM v GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(nf) AS BIGINT) AS tf,
+       |          CAST(SUM(ns) AS BIGINT) AS ts2 FROM gh),
+       |cum AS (SELECT c,
+       |          CAST(SUM(nf) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED
+       |            PRECEDING AND CURRENT ROW) AS BIGINT) AS cf,
+       |          CAST(SUM(ns) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED
+       |            PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
+       |        FROM gh),
+       |agg AS (SELECT tf, ts2,
+       |          CAST(MAX(ABS(cs * tf - cf * ts2)) AS BIGINT)
+       |            AS ks_num
+       |        FROM cum, tot GROUP BY 1, 2)
+       |SELECT tf AS n_full, ts2 AS n_samp, ks_num,
+       |  ${sqlE6("CASE WHEN ts2 > 0 THEN ks_num::DOUBLE / " +
+            "(tf::DOUBLE * ts2::DOUBLE) ELSE 0.0 END")} AS ks_e6
+       |FROM agg ORDER BY n_full""".stripMargin
+
+  // ---------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q384_kruskal_wallis" -> q384,
@@ -2870,7 +3375,15 @@ object RoundNine {
     "q420_qini_curve" -> q420,
     "q421_bloom_planner" -> q421,
     "q422_bbit_minhash" -> q422,
-    "q423_knn_label_eval" -> q423)
+    "q423_knn_label_eval" -> q423,
+    "q424_equidepth_est" -> q424,
+    "q425_join_card_est" -> q425,
+    "q426_fk_discovery" -> q426,
+    "q427_ivm_merge" -> q427,
+    "q428_penny_ledger" -> q428,
+    "q429_lateness_profile" -> q429,
+    "q430_gap_sweep" -> q430,
+    "q431_sampling_ks" -> q431)
 
   val oracle: Map[String, String] = Map(
     "q384_kruskal_wallis" -> q384Sql,
@@ -2912,5 +3425,13 @@ object RoundNine {
     "q420_qini_curve" -> q420Sql,
     "q421_bloom_planner" -> q421Sql,
     "q422_bbit_minhash" -> q422Sql,
-    "q423_knn_label_eval" -> q423Sql)
+    "q423_knn_label_eval" -> q423Sql,
+    "q424_equidepth_est" -> q424Sql,
+    "q425_join_card_est" -> q425Sql,
+    "q426_fk_discovery" -> q426Sql,
+    "q427_ivm_merge" -> q427Sql,
+    "q428_penny_ledger" -> q428Sql,
+    "q429_lateness_profile" -> q429Sql,
+    "q430_gap_sweep" -> q430Sql,
+    "q431_sampling_ks" -> q431Sql)
 }

@@ -522,9 +522,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
                           // search, never data-sized
     "q420_qini_curve",    // 1-row decile-boundary brackets + 10-row
                           // top-k spine over the decile table
-    "q423_knn_label_eval") // brute-force query-vs-corpus inequality
+    "q423_knn_label_eval", // brute-force query-vs-corpus inequality
                           // join (q28 baseline) + 1-row accuracy
                           // bracket
+    "q424_equidepth_est", // 16-row bucket / 10-row range spines with
+                          // boundary-comparison predicates
+    "q425_join_card_est", // 1-row count/distinct stat brackets per
+                          // audited join
+    "q426_fk_discovery",  // 1-row containment/uniqueness brackets
+    "q428_penny_ledger",  // 1-row net-drift bracket vs the diff
+                          // histogram
+    "q430_gap_sweep",     // 3-row threshold spine vs per-user gaps
+    "q431_sampling_ks")   // 1-row total-counts bracket vs the value
+                          // histogram
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
