@@ -3334,6 +3334,348 @@ object RoundNine {
        |FROM agg ORDER BY n_full""".stripMargin
 
   // ---------------------------------------------------------------
+  // q432 — chi-square keyword selection per source: for every
+  // (source, token) presence pair the exact 2x2 contingency chi2
+  // (N(ad-bc)^2 / marginal product), top-5 tokens per source by
+  // (chi2 desc, token). The supervised feature-selection pass a
+  // source classifier (or a contamination hunt) starts from — all
+  // cells exact BIGINTs.
+  private val q432: Q = (s, dir) => {
+    val dt = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(TextOps.tokens(col("text"))))
+          .as("tok"))
+      .localCheckpoint(false)
+    val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("nn"))
+    val nSrc = t(s, dir, "documents").groupBy(col("source"))
+      .agg(count(lit(1)).as("ns"))
+    val dfAll = dt.groupBy(col("tok")).agg(countDistinct(col("doc_id"))
+      .as("dfa"))
+    val a = dt.groupBy(col("source"), col("tok"))
+      .agg(countDistinct(col("doc_id")).as("a"))
+    val chi = a.join(dfAll, "tok").join(nSrc, "source")
+      .crossJoin(broadcast(nDocs))
+      .select(col("source"), col("tok"), col("a"),
+        (col("dfa") - col("a")).as("b"), (col("ns") - col("a")).as("c"),
+        (col("nn") - col("ns") - col("dfa") + col("a")).as("d"),
+        col("nn"))
+      .select(col("source"), col("tok"), col("a"),
+        when((col("a") + col("b")) * (col("c") + col("d"))
+          * (col("a") + col("c")) * (col("b") + col("d")) > 0L,
+          col("nn").cast("double")
+            * (col("a") * col("d") - col("b") * col("c")).cast("double")
+            * (col("a") * col("d") - col("b") * col("c")).cast("double")
+            / ((col("a") + col("b")) * (col("c") + col("d"))).cast("double")
+            / ((col("a") + col("c")) * (col("b") + col("d"))).cast("double"))
+          .otherwise(0.0).as("chi2"))
+    chi.withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("chi2").desc, col("tok"))))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("tok"), col("a").as("df_in_source"),
+        e6(col("chi2")).as("chi2_e6"))
+      .ordered(col("source"), col("rk"))
+  }
+
+  private val q432Sql: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |        regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |      FROM documents),
+       |dt AS (SELECT DISTINCT doc_id, source, unnest(toks) AS tok
+       |       FROM d),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+       |ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+       |       FROM documents GROUP BY 1),
+       |dfa AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+       |          AS dfa FROM dt GROUP BY 1),
+       |a AS (SELECT source, tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+       |        AS a FROM dt GROUP BY 1, 2),
+       |cells AS (SELECT a.source, a.tok, a.a, dfa - a.a AS b,
+       |            ns - a.a AS c, nn - ns - dfa + a.a AS d, nn
+       |          FROM a JOIN dfa USING (tok) JOIN ns USING (source),
+       |            nn),
+       |chi AS (SELECT source, tok, a,
+       |          CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) > 0
+       |            THEN nn::DOUBLE * (a * d - b * c)::DOUBLE
+       |              * (a * d - b * c)::DOUBLE
+       |              / ((a + b) * (c + d))::DOUBLE
+       |              / ((a + c) * (b + d))::DOUBLE
+       |            ELSE 0.0 END AS chi2
+       |        FROM cells)
+       |SELECT source, CAST(rk AS BIGINT) AS rk, tok,
+       |  a AS df_in_source, ${sqlE6("chi2")} AS chi2_e6
+       |FROM (SELECT source, tok, a, chi2, ROW_NUMBER() OVER (
+       |        PARTITION BY source ORDER BY chi2 DESC, tok) AS rk
+       |      FROM chi)
+       |WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q433 — near-zero-variance feature screen (the caret NZV rule):
+  // for four numeric columns, the top-1/top-2 frequency ratio and
+  // the unique-value fraction from exact value histograms; a column
+  // is flagged when freq_ratio > 19 and unique fraction < 10%.
+  private val q433: Q = (s, dir) => {
+    def screen(name: String, v: DataFrame): DataFrame = {
+      val gh = v.groupBy(col("x")).agg(count(lit(1)).as("nc"))
+      val top2 = gh.orderBy(col("nc").desc, col("x")).limit(2)
+        .agg(max(col("nc")).as("f1"), min(col("nc")).as("f2"),
+          count(lit(1)).as("ntop"))
+      gh.agg(sum(col("nc")).as("n"), count(lit(1)).as("d"))
+        .crossJoin(broadcast(top2))
+        .select(lit(name).as("col_name"), col("n"), col("d"),
+          e6(when(col("ntop") >= 2L && col("f2") > 0L,
+            col("f1").cast("double") / col("f2").cast("double"))
+            .otherwise(0.0)).as("freq_ratio_e6"),
+          e6(col("d").cast("double") / col("n").cast("double"))
+            .as("unique_frac_e6"),
+          (col("ntop") >= 2L &&
+            col("f1").cast("double") > lit(19.0) * col("f2").cast("double") &&
+            col("d").cast("double") * 10.0 < col("n").cast("double"))
+            .as("nzv"))
+    }
+    val li = t(s, dir, "lineitem")
+    screen("l_quantity", li.select(col("l_quantity").cast("long").as("x")))
+      .unionByName(screen("l_discount_e2",
+        li.select(expr("CAST(ROUND(l_discount * 100) AS BIGINT)").as("x"))))
+      .unionByName(screen("l_tax_e2",
+        li.select(expr("CAST(ROUND(l_tax * 100) AS BIGINT)").as("x"))))
+      .unionByName(screen("event_value_cents",
+        t(s, dir, "events").select(cents.as("x"))))
+      .ordered(col("col_name"))
+  }
+
+  private val q433Sql: String = {
+    def one(name: String, src: String, ex: String) =
+      s"""SELECT '$name' AS col_name, n, d, freq_ratio_e6,
+         |  unique_frac_e6, nzv FROM (
+         |  WITH gh AS (SELECT $ex AS x, CAST(COUNT(*) AS BIGINT) AS nc
+         |              FROM $src GROUP BY 1),
+         |  t2 AS (SELECT MAX(nc) AS f1, MIN(nc) AS f2,
+         |           CAST(COUNT(*) AS BIGINT) AS ntop FROM (
+         |           SELECT nc FROM gh ORDER BY nc DESC, x LIMIT 2)),
+         |  ag AS (SELECT CAST(SUM(nc) AS BIGINT) AS n,
+         |           CAST(COUNT(*) AS BIGINT) AS d FROM gh)
+         |  SELECT n, d,
+         |    ${sqlE6("CASE WHEN ntop >= 2 AND f2 > 0 THEN " +
+              "f1::DOUBLE / f2::DOUBLE ELSE 0.0 END")} AS freq_ratio_e6,
+         |    ${sqlE6("d::DOUBLE / n::DOUBLE")} AS unique_frac_e6,
+         |    ntop >= 2 AND f1::DOUBLE > 19.0 * f2::DOUBLE
+         |      AND d::DOUBLE * 10.0 < n::DOUBLE AS nzv
+         |  FROM ag, t2)""".stripMargin
+    s"""WITH u AS (
+       |${one("l_quantity", "lineitem", "CAST(l_quantity AS BIGINT)")}
+       |UNION ALL
+       |${one("l_discount_e2", "lineitem",
+          "CAST(ROUND(l_discount * 100) AS BIGINT)")}
+       |UNION ALL
+       |${one("l_tax_e2", "lineitem",
+          "CAST(ROUND(l_tax * 100) AS BIGINT)")}
+       |UNION ALL
+       |${one("event_value_cents", "events",
+          "CAST(ROUND(value * 100) AS BIGINT)")})
+       |SELECT * FROM u ORDER BY col_name""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q434 — leave-one-out target-encoding diagnostics per brand
+  // (target = returnflag 'R'): the LOO mean collapses to the plain
+  // rate algebraically, and the LOO variance has the closed binary
+  // form s(n-s)/(n*(n-1)^2) — both exact rationals from (n, s),
+  // no per-row encoding pass. Encoder health without the leakage.
+  private val q434: Q = (s, dir) => {
+    val y = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    y.groupBy(col("brand"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s2"))
+      .select(col("brand"), col("n"), col("s2").as("s"),
+        e6(col("s2").cast("double") / col("n").cast("double"))
+          .as("mean_e6"),
+        e6(when(col("n") > 1L,
+          col("s2").cast("double")
+            * (col("n") - col("s2")).cast("double")
+            / (col("n").cast("double")
+              * (col("n") - 1L).cast("double")
+              * (col("n") - 1L).cast("double"))).otherwise(0.0))
+          .as("loo_var_e6"))
+      .ordered(col("brand"))
+  }
+
+  private val q434Sql: String =
+    s"""WITH y AS (SELECT p_brand AS brand,
+       |        CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+       |      FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |a AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+       |        CAST(SUM(y) AS BIGINT) AS s
+       |      FROM y GROUP BY 1)
+       |SELECT brand, n, s,
+       |  ${sqlE6("s::DOUBLE / n::DOUBLE")} AS mean_e6,
+       |  ${sqlE6("CASE WHEN n > 1 THEN s::DOUBLE * (n - s)::DOUBLE " +
+            "/ (n::DOUBLE * (n - 1)::DOUBLE * (n - 1)::DOUBLE) " +
+            "ELSE 0.0 END")} AS loo_var_e6
+       |FROM a ORDER BY brand""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q435 — sample-ratio-mismatch guardrail for the custkey-parity
+  // assignment: per market segment (and the pooled total), the
+  // 50/50 chi-square (nA-nB)^2/(nA+nB) with the 3.84 (p=0.05, 1 dof)
+  // flag — the first sanity check every A/B readout must pass.
+  private val q435: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+      .select(col("c_mktsegment").as("seg"),
+        (col("c_custkey") % 2L === 0L).as("ga"))
+    val per = c.groupBy(col("seg"))
+      .agg(sum(when(col("ga"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("ga"), 1L).otherwise(0L)).as("nb"))
+    val all2 = per.agg(sum(col("na")).as("na"), sum(col("nb")).as("nb"))
+      .select(lit("__all").as("seg"), col("na"), col("nb"))
+    per.unionByName(all2)
+      .select(col("seg"), col("na"), col("nb"),
+        e6(when(col("na") + col("nb") > 0L,
+          (col("na") - col("nb")).cast("double")
+            * (col("na") - col("nb")).cast("double")
+            / (col("na") + col("nb")).cast("double")).otherwise(0.0))
+          .as("chi2_e6"),
+        ((col("na") - col("nb")).cast("double")
+          * (col("na") - col("nb")).cast("double")
+          > lit(3.84) * (col("na") + col("nb")).cast("double"))
+          .as("srm_flag"))
+      .ordered(col("seg"))
+  }
+
+  private val q435Sql: String =
+    s"""WITH c AS (SELECT c_mktsegment AS seg,
+       |        c_custkey % 2 = 0 AS ga FROM customer),
+       |per AS (SELECT seg,
+       |          CAST(SUM(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT)
+       |            AS na,
+       |          CAST(SUM(CASE WHEN NOT ga THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS nb
+       |        FROM c GROUP BY 1),
+       |u AS (SELECT seg, na, nb FROM per
+       |      UNION ALL
+       |      SELECT '__all', CAST(SUM(na) AS BIGINT),
+       |        CAST(SUM(nb) AS BIGINT) FROM per)
+       |SELECT seg, na, nb,
+       |  ${sqlE6("CASE WHEN na + nb > 0 THEN (na - nb)::DOUBLE " +
+            "* (na - nb)::DOUBLE / (na + nb)::DOUBLE ELSE 0.0 END")}
+       |    AS chi2_e6,
+       |  (na - nb)::DOUBLE * (na - nb)::DOUBLE
+       |    > 3.84 * (na + nb)::DOUBLE AS srm_flag
+       |FROM u ORDER BY seg""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q436 — order-stream outage audit per year: the largest gap
+  // between consecutive active days and the count of gaps over 3
+  // days, from the per-year distinct-day sequence — the data-
+  // freshness check a pipeline SLA dashboard runs.
+  private val q436: Q = (s, dir) => {
+    val days = t(s, dir, "orders")
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+          .cast("long").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("yr")).orderBy(col("day"))
+    days.withColumn("gap", col("day") - lag(col("day"), 1).over(w))
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_active_days"),
+        coalesce(max(col("gap")), lit(0L)).as("max_gap"),
+        sum(when(col("gap") > 3L, 1L).otherwise(0L)).as("n_outages"))
+      .ordered(col("yr"))
+  }
+
+  private val q436Sql: String =
+    s"""WITH days AS (SELECT DISTINCT
+       |        CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+       |        DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+       |          AS day
+       |      FROM orders),
+       |g AS (SELECT yr, day - LAG(day, 1) OVER (
+       |        PARTITION BY yr ORDER BY day) AS gap
+       |      FROM days)
+       |SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_active_days,
+       |  CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap,
+       |  CAST(SUM(CASE WHEN gap > 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_outages
+       |FROM g GROUP BY 1 ORDER BY yr""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q437 — dictionary-encoding advisor: per categorical column the
+  // exact value entropy (bits) and raw-vs-dictionary byte estimates
+  // (1-byte codes — every audited column has < 256 distinct values).
+  // The encoding decision a columnar writer makes, as an auditable
+  // query.
+  private val q437: Q = (s, dir) => {
+    def profile(name: String, v: DataFrame): DataFrame = {
+      val gh = v.groupBy(col("x")).agg(count(lit(1)).as("nc"),
+        max(length(col("x"))).cast("long").as("len"))
+      val tot = gh.agg(sum(col("nc")).as("n"), count(lit(1)).as("d"),
+        sum(col("len")).as("dict_str"),
+        sum(col("nc") * col("len")).as("raw_bytes"))
+      val ent = gh.crossJoin(broadcast(tot))
+        .select((col("nc").cast("double") / col("n").cast("double"))
+          .as("p"))
+        .agg(sum(-col("p") * log(col("p")) / math.log(2.0)).as("h"))
+      tot.crossJoin(broadcast(ent))
+        .select(lit(name).as("col_name"), col("n"), col("d"),
+          e6(col("h")).as("entropy_e6"), col("raw_bytes"),
+          (col("dict_str") + col("n")).as("dict_bytes"))
+    }
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    profile("l_returnflag", li.select(col("l_returnflag").as("x")))
+      .unionByName(profile("l_linestatus",
+        li.select(col("l_linestatus").as("x"))))
+      .unionByName(profile("o_orderstatus",
+        o.select(col("o_orderstatus").as("x"))))
+      .unionByName(profile("o_orderpriority",
+        o.select(col("o_orderpriority").as("x"))))
+      .unionByName(profile("p_brand",
+        t(s, dir, "part").select(col("p_brand").as("x"))))
+      .unionByName(profile("c_mktsegment",
+        t(s, dir, "customer").select(col("c_mktsegment").as("x"))))
+      .ordered(col("col_name"))
+  }
+
+  private val q437Sql: String = {
+    def one(name: String, src: String, ex: String) =
+      s"""SELECT '$name' AS col_name, n, d, entropy_e6, raw_bytes,
+         |  dict_bytes FROM (
+         |  WITH gh AS (SELECT $ex AS x, CAST(COUNT(*) AS BIGINT) AS nc,
+         |                CAST(MAX(length($ex)) AS BIGINT) AS len
+         |              FROM $src GROUP BY 1),
+         |  tot AS (SELECT CAST(SUM(nc) AS BIGINT) AS n,
+         |            CAST(COUNT(*) AS BIGINT) AS d,
+         |            CAST(SUM(len) AS BIGINT) AS dict_str,
+         |            CAST(SUM(nc * len) AS BIGINT) AS raw_bytes
+         |          FROM gh),
+         |  ent AS (SELECT SUM(-(nc::DOUBLE / n::DOUBLE)
+         |            * LN(nc::DOUBLE / n::DOUBLE)
+         |            / ${math.log(2.0)}) AS h
+         |          FROM gh, tot)
+         |  SELECT n, d, ${sqlE6("h")} AS entropy_e6, raw_bytes,
+         |    dict_str + n AS dict_bytes
+         |  FROM tot, ent)""".stripMargin
+    s"""WITH u AS (
+       |${one("l_returnflag", "lineitem", "l_returnflag")}
+       |UNION ALL
+       |${one("l_linestatus", "lineitem", "l_linestatus")}
+       |UNION ALL
+       |${one("o_orderstatus", "orders", "o_orderstatus")}
+       |UNION ALL
+       |${one("o_orderpriority", "orders", "o_orderpriority")}
+       |UNION ALL
+       |${one("p_brand", "part", "p_brand")}
+       |UNION ALL
+       |${one("c_mktsegment", "customer", "c_mktsegment")})
+       |SELECT * FROM u ORDER BY col_name""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q384_kruskal_wallis" -> q384,
@@ -3383,7 +3725,13 @@ object RoundNine {
     "q428_penny_ledger" -> q428,
     "q429_lateness_profile" -> q429,
     "q430_gap_sweep" -> q430,
-    "q431_sampling_ks" -> q431)
+    "q431_sampling_ks" -> q431,
+    "q432_chi2_keywords" -> q432,
+    "q433_nzv_screen" -> q433,
+    "q434_loo_encode" -> q434,
+    "q435_srm_check" -> q435,
+    "q436_outage_gaps" -> q436,
+    "q437_dict_advisor" -> q437)
 
   val oracle: Map[String, String] = Map(
     "q384_kruskal_wallis" -> q384Sql,
@@ -3433,5 +3781,11 @@ object RoundNine {
     "q428_penny_ledger" -> q428Sql,
     "q429_lateness_profile" -> q429Sql,
     "q430_gap_sweep" -> q430Sql,
-    "q431_sampling_ks" -> q431Sql)
+    "q431_sampling_ks" -> q431Sql,
+    "q432_chi2_keywords" -> q432Sql,
+    "q433_nzv_screen" -> q433Sql,
+    "q434_loo_encode" -> q434Sql,
+    "q435_srm_check" -> q435Sql,
+    "q436_outage_gaps" -> q436Sql,
+    "q437_dict_advisor" -> q437Sql)
 }

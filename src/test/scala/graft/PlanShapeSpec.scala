@@ -533,8 +533,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     "q428_penny_ledger",  // 1-row net-drift bracket vs the diff
                           // histogram
     "q430_gap_sweep",     // 3-row threshold spine vs per-user gaps
-    "q431_sampling_ks")   // 1-row total-counts bracket vs the value
+    "q431_sampling_ks",   // 1-row total-counts bracket vs the value
                           // histogram
+    "q432_chi2_keywords", // 1-row corpus-size bracket vs the
+                          // (source, token) contingency cells
+    "q433_nzv_screen",    // 1-row top-2-frequency brackets per
+                          // audited column
+    "q437_dict_advisor")  // 1-row totals/entropy brackets per
+                          // audited column
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
