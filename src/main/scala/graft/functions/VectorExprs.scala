@@ -62,7 +62,17 @@ case class VectorDot(left: Expression, right: Expression)
   * `aggregate(zip_with(a,b,(x,y)->(x-y)*(x-y)),0,+)` and of the
   * DuckDB list_reduce oracles — so swapping it in is bit-neutral for
   * parity while removing the interpreted-lambda fallback from the
-  * hottest pairwise loops. Null/length semantics match [[VectorDot]]. */
+  * hottest pairwise loops.
+  *
+  * PRECONDITION (like [[VectorDot]]): both arrays EQUAL LENGTH with
+  * NON-NULL elements — the fixed-dimension embedding-column contract
+  * every call site satisfies. Outside it the semantics diverge from
+  * the HOF form by design of the primitive loop: mismatched lengths
+  * truncate to the shorter array and null elements read as 0.0,
+  * whereas `zip_with` pads with null and the fold returns NULL.
+  * VectorExprsSpec pins both divergences so a future caller on
+  * ragged or nullable vectors hits a documented behavior, not a
+  * silent one. Null top-level array → NULL (nullSafeEval). */
 case class VectorSqDist(left: Expression, right: Expression)
     extends BinaryExpression {
 

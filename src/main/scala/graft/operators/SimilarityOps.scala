@@ -1376,23 +1376,33 @@ object SimilarityOps {
     val base = df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .localCheckpoint(false)
+    val seedRow = base.agg(min(col("id"))).head()
+    require(!seedRow.isNullAt(0),
+      "kCenterCoreset: input has no rows — need at least one vector")
     def centerVec(cid: Long) = base.filter(col("id") === cid)
       .select(col("v").as("cv"))
-    var chosen = List((1, base.agg(min(col("id"))).head().getLong(0), 0.0))
+    var chosen = List((1, seedRow.getLong(0), 0.0))
     var mind: DataFrame = base.crossJoin(broadcast(centerVec(chosen.head._2)))
       .select(col("id"), col("v"), sqrt(sqDist(col("v"), col("cv"))).as("d"))
       .localCheckpoint(false)
-    for (i <- 2 to k) {
+    var exhausted = false
+    for (i <- 2 to k if !exhausted) {
       val far = mind.filter(!col("id").isInCollection(chosen.map(_._2)))
         .agg(max(struct(col("d"), (-col("id")).as("nid")))).head()
-        .getStruct(0)
-      val (cid, rad) = (-far.getLong(1), far.getDouble(0))
-      chosen = (i, cid, rad) :: chosen
-      if (i < k)
-        mind = mind.crossJoin(broadcast(centerVec(cid)))
-          .select(col("id"), col("v"),
-            least(col("d"), sqrt(sqDist(col("v"), col("cv")))).as("d"))
-          .localCheckpoint(false)
+      if (far.isNullAt(0)) {
+        // fewer than k distinct points — every point is already a
+        // center; degrade to the |points|-sized coreset, no NPE
+        exhausted = true
+      } else {
+        val fs = far.getStruct(0)
+        val (cid, rad) = (-fs.getLong(1), fs.getDouble(0))
+        chosen = (i, cid, rad) :: chosen
+        if (i < k)
+          mind = mind.crossJoin(broadcast(centerVec(cid)))
+            .select(col("id"), col("v"),
+              least(col("d"), sqrt(sqDist(col("v"), col("cv")))).as("d"))
+            .localCheckpoint(false)
+      }
     }
     chosen.reverse.toDF("iter", "center_id", "radius")
   }

@@ -41,6 +41,23 @@ object RoundNine {
   /** Exact event-value cents (the house integer pin for `value`). */
   private def cents: Column = expr("CAST(ROUND(value * 100) AS BIGINT)")
 
+  /** Absolute md5-rank probe cap for the ground-truth eval family
+    * (q395/q406/q423): the `cap` vectors with smallest
+    * md5(salt:vec_id), vec_id tiebreak — deterministic, engine-
+    * neutral, and ABSOLUTE, so the brute-force query-vs-corpus join
+    * is O(n * cap) = linear in corpus size at any scale (a
+    * proportional `vec_id % k` sample kept it O(n^2/k)). Spark plans
+    * orderBy+limit as a distributed TakeOrderedAndProject — no
+    * global single-task sort. Mirrored by [[sqlProbeCap]]. */
+  private def probeCap(df: DataFrame, cap: Int, salt: String): DataFrame =
+    df.orderBy(md5(concat(lit(s"$salt:"), col("vec_id").cast("string"))),
+        col("vec_id"))
+      .limit(cap)
+
+  /** DuckDB mirror of [[probeCap]] — tail of a `SELECT ... FROM e`. */
+  private def sqlProbeCap(cap: Int, salt: String): String =
+    s"ORDER BY md5('$salt:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $cap"
+
   // ---------------------------------------------------------------
   // q384 — Kruskal-Wallis H across the five event types: average
   // ranks from the global cents histogram (2x-integer mid-ranks),
@@ -133,8 +150,10 @@ object RoundNine {
   private val q385: Q = (s, dir) => {
     val ev = t(s, dir, "events")
       .select(col("user_id"), expr("ts_ns div 1000").as("tus"), cents.as("c"))
-    val mid = ev.agg(((min(col("tus")) + max(col("tus"))) / lit(2L))
-      .cast("long").as("mid"))
+    // integer floor division on both engines (Spark `/` on longs is
+    // double division and cast-to-long truncates while DuckDB's CAST
+    // rounds — `div` / `//` keeps the boundary microsecond exact)
+    val mid = ev.agg(expr("(min(tus) + max(tus)) div 2").as("mid"))
     val d = ev.crossJoin(broadcast(mid))
       .groupBy(col("user_id"))
       .agg((sum(when(col("tus") > col("mid"), col("c")).otherwise(0L))
@@ -168,8 +187,7 @@ object RoundNine {
   private val q385Sql: String =
     s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus,
        |        CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
-       |mid AS (SELECT CAST((MIN(tus) + MAX(tus)) / 2 AS BIGINT) AS mid
-       |        FROM ev),
+       |mid AS (SELECT (MIN(tus) + MAX(tus)) // 2 AS mid FROM ev),
        |d0 AS (SELECT user_id,
        |         CAST(SUM(CASE WHEN tus > mid THEN c ELSE 0 END)
        |           - SUM(CASE WHEN tus <= mid THEN c ELSE 0 END)
@@ -906,14 +924,15 @@ object RoundNine {
   // ---------------------------------------------------------------
   // q395 — TwoNN intrinsic-dimension estimate of the embedding table
   // (Facco et al. 2017): mu = d2/d1 over the two nearest Euclidean
-  // neighbors of each sampled query point (vec_id % 37 = 0), ID =
-  // n / sum(ln mu). Distances are the bit-identical left-to-right
-  // folds of the q28 family; d1 = 0 (verbatim-duplicate vectors) is
-  // excluded on both engines.
+  // neighbors of each probe point (ABSOLUTE md5-rank cap of 128 —
+  // see probeCap: the exact eval stays O(n * 128), linear at any
+  // corpus size), ID = n / sum(ln mu). Distances are the
+  // bit-identical left-to-right folds of the q28 family; d1 = 0
+  // (verbatim-duplicate vectors) is excluded on both engines.
   private val q395: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     SimilarityOps.twoNNIntrinsicDim(
-        emb.filter(col("vec_id") % 37L === 0L), emb,
+        probeCap(emb, 128, "p395"), emb,
         "vec_id", "embedding")
       .select(col("n_used"), e6(col("id_hat")).as("id_e6"))
       .ordered(col("n_used"))
@@ -924,9 +943,9 @@ object RoundNine {
       "list_transform(range(1, 65), i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))") + ")"
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
        |           FROM embeddings),
+       |qs AS (SELECT * FROM e ${sqlProbeCap(128, "p395")}),
        |d AS (SELECT q.vec_id AS qid, c.vec_id AS nid, $dist AS d
-       |      FROM e q JOIN e c ON q.vec_id <> c.vec_id
-       |      WHERE q.vec_id % 37 = 0),
+       |      FROM qs q JOIN e c ON q.vec_id <> c.vec_id),
        |t2 AS (SELECT qid,
        |         MIN(CASE WHEN rk = 1 THEN d END) AS d1,
        |         MIN(CASE WHEN rk = 2 THEN d END) AS d2
@@ -1668,13 +1687,15 @@ object RoundNine {
 
   // ---------------------------------------------------------------
   // q406 — kNN density audit of the embedding space: for a sampled
-  // query set (vec_id % 17 = 0), the 4th-nearest-neighbor radius
+  // query set (absolute 128-probe md5-rank cap), the 4th-NN radius
   // (micro-pinned), per-label mean radius, and the count of "core"
   // points (radius <= the global type-lower median radius) — the
   // density screen a DBSCAN-style curation pass starts from.
   private val q406: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
-    val q = emb.filter(col("vec_id") % 17L === 0L)
+    // ABSOLUTE md5-rank probe cap (see probeCap): exact eval at
+    // O(n * 128), linear in corpus size
+    val q = probeCap(emb, 128, "p406")
       .select(col("vec_id").as("qid"), col("label").as("qlab"),
         col("embedding").as("qv"))
     val c = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
@@ -1711,13 +1732,13 @@ object RoundNine {
       "list_transform(range(1, 65), i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))") + ")"
     s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
        |           FROM embeddings),
+       |qs AS (SELECT * FROM e ${sqlProbeCap(128, "p406")}),
        |r4 AS (SELECT qid, qlab, CAST(ROUND(d * 1e6, 0) AS BIGINT)
        |           AS re6
        |       FROM (SELECT q.vec_id AS qid, q.label AS qlab, $dist AS d,
        |               ROW_NUMBER() OVER (PARTITION BY q.vec_id
        |                 ORDER BY $dist, c.vec_id) AS rk
-       |             FROM e q JOIN e c ON q.vec_id <> c.vec_id
-       |             WHERE q.vec_id % 17 = 0)
+       |             FROM qs q JOIN e c ON q.vec_id <> c.vec_id)
        |       WHERE rk = 4),
        |gh AS (SELECT re6, CAST(COUNT(*) AS BIGINT) AS nc
        |       FROM r4 GROUP BY 1),
@@ -1742,8 +1763,8 @@ object RoundNine {
   private val q407: Q = (s, dir) => {
     val ev = t(s, dir, "events")
       .select(col("user_id"), expr("ts_ns div 1000").as("tus"))
-    val mid = ev.agg(((min(col("tus")) + max(col("tus"))) / lit(2L))
-      .cast("long").as("mid"))
+    // integer floor division on both engines (see q385)
+    val mid = ev.agg(expr("(min(tus) + max(tus)) div 2").as("mid"))
     val marked = ev.crossJoin(broadcast(mid))
       .select(col("user_id"), (col("tus") > col("mid")).as("h2"))
     def top20(h2: Boolean) = marked.filter(col("h2") === h2)
@@ -1762,8 +1783,7 @@ object RoundNine {
 
   private val q407Sql: String =
     s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
-       |mid AS (SELECT CAST((MIN(tus) + MAX(tus)) / 2 AS BIGINT) AS mid
-       |        FROM ev),
+       |mid AS (SELECT (MIN(tus) + MAX(tus)) // 2 AS mid FROM ev),
        |t1 AS (SELECT user_id FROM (
        |         SELECT user_id, ROW_NUMBER() OVER (
        |           ORDER BY COUNT(*) DESC, user_id) AS rk
@@ -2074,7 +2094,9 @@ object RoundNine {
       .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
       .distinct()
       .localCheckpoint(false)
-    val nOrd = ob.select(col("ok")).distinct().count()
+    // 1-row broadcast aggregate, folded into the plan — not a
+    // driver-side .count() action (one job fewer, same value)
+    val nOrd = ob.agg(countDistinct(col("ok")).as("n_ord"))
     val singles = ob.groupBy(col("b")).agg(count(lit(1)).as("cs"))
     val triples = ob.as("x").join(ob.as("y"),
         col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
@@ -2091,9 +2113,10 @@ object RoundNine {
       .join(singles.select(col("b").as("b1"), col("cs").as("c1")), "b1")
       .join(singles.select(col("b").as("b2"), col("cs").as("c2")), "b2")
       .join(singles.select(col("b").as("b3"), col("cs").as("c3")), "b3")
+      .crossJoin(broadcast(nOrd))
       .select(col("b1"), col("b2"), col("b3"), col("supp"),
-        e6(col("supp").cast("double") * lit(nOrd.toDouble)
-          * lit(nOrd.toDouble)
+        e6(col("supp").cast("double") * col("n_ord").cast("double")
+          * col("n_ord").cast("double")
           / (col("c1").cast("double") * col("c2").cast("double")
             * col("c3").cast("double"))).as("lift_e6"))
       .ordered(col("supp").desc, col("b1"), col("b2"), col("b3"))
@@ -2764,13 +2787,15 @@ object RoundNine {
 
   // ---------------------------------------------------------------
   // q423 — 5-NN label classifier evaluation on the embedding table:
-  // sampled queries (vec_id % 23 = 0), neighbors by the native
+  // probe queries (absolute 128-probe md5-rank cap), neighbors by the native
   // squared-distance codegen, majority vote with (count-desc, label)
   // tiebreak, and the resulting confusion grid + overall accuracy.
   // The "are these labels learnable from geometry" sanity eval.
   private val q423: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
-    val q = emb.filter(col("vec_id") % 23L === 0L)
+    // ABSOLUTE md5-rank probe cap (see probeCap): exact eval at
+    // O(n * 128), linear in corpus size
+    val q = probeCap(emb, 128, "p423")
       .select(col("vec_id").as("qid"), col("label").as("tl"),
         col("embedding").as("qv"))
     val c = emb.select(col("vec_id").as("nid"), col("label").as("nl"),
@@ -2805,13 +2830,13 @@ object RoundNine {
       "list_transform(range(1, 65), i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))")
     s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
        |           FROM embeddings),
+       |qs AS (SELECT * FROM e ${sqlProbeCap(128, "p423")}),
        |top5 AS (SELECT qid, tl, nl FROM (
        |           SELECT q.vec_id AS qid, q.label AS tl,
        |             c.label AS nl, $dist AS d,
        |             ROW_NUMBER() OVER (PARTITION BY q.vec_id
        |               ORDER BY $dist, c.vec_id) AS rk
-       |           FROM e q JOIN e c ON q.vec_id <> c.vec_id
-       |           WHERE q.vec_id % 23 = 0)
+       |           FROM qs q JOIN e c ON q.vec_id <> c.vec_id)
        |         WHERE rk <= 5),
        |pred AS (SELECT qid, tl, nl AS pl FROM (
        |           SELECT qid, tl, nl, ROW_NUMBER() OVER (
@@ -3148,15 +3173,20 @@ object RoundNine {
   // net drift. The financial-exactness audit that decides where the
   // rounding boundary must live.
   private val q428: Q = (s, dir) => {
+    // exact integer micro-units end to end: u = ext_cents *
+    // (100 - discount_pct) * (100 + tax_pct) is an exact BIGINT on
+    // both engines (<= ~4e11 per line), so per-line and per-order
+    // half-up cent rounding are integer (u + 5000) div 10000 — no
+    // cross-engine double-SUM fold-order dependence anywhere.
     val l = t(s, dir, "lineitem")
       .select(col("l_orderkey"),
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-          * (lit(1.0) + col("l_tax"))).as("amt"))
+        (round(col("l_extendedprice") * 100.0, 0).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100.0, 0).cast("long"))
+          * (lit(100L) + round(col("l_tax") * 100.0, 0).cast("long")))
+          .as("u"))
     val per = l.groupBy(col("l_orderkey"))
-      .agg(sum(round(col("amt") * 100.0, 0).cast("long"))
-        .as("line_cents"),
-        round(sum(col("amt")) * 100.0, 0).cast("long")
-          .as("order_cents"))
+      .agg(sum(expr("(u + 5000) div 10000")).as("line_cents"),
+        expr("(sum(u) + 5000) div 10000").as("order_cents"))
       .select((col("line_cents") - col("order_cents")).as("diff"))
     val tot = per.agg(sum(col("diff")).as("net_drift"),
       count(lit(1)).as("n_orders"))
@@ -3168,13 +3198,14 @@ object RoundNine {
 
   private val q428Sql: String =
     s"""WITH l AS (SELECT l_orderkey,
-       |        l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
-       |          AS amt
+       |        CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)
+       |          * (100 - CAST(ROUND(l_discount * 100.0, 0) AS BIGINT))
+       |          * (100 + CAST(ROUND(l_tax * 100.0, 0) AS BIGINT)) AS u
        |      FROM lineitem),
        |per AS (SELECT
-       |          CAST(SUM(CAST(ROUND(amt * 100.0, 0) AS BIGINT))
-       |            AS BIGINT)
-       |          - CAST(ROUND(SUM(amt) * 100.0, 0) AS BIGINT) AS diff
+       |          CAST(SUM((u + 5000) // 10000) AS BIGINT)
+       |          - CAST((CAST(SUM(u) AS BIGINT) + 5000) // 10000
+       |              AS BIGINT) AS diff
        |        FROM l GROUP BY l_orderkey),
        |tot AS (SELECT CAST(SUM(diff) AS BIGINT) AS net_drift,
        |          CAST(COUNT(*) AS BIGINT) AS n_orders FROM per)

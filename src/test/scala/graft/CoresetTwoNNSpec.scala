@@ -39,6 +39,23 @@ class CoresetTwoNNSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1).getLong(1) == 2L && out(1).getDouble(2) == 5.0)
   }
 
+  test("kCenterCoreset: k larger than the point count degrades to " +
+      "the |points|-sized coreset instead of NPE-ing") {
+    val df = vecs(1L -> Seq(0.0), 2L -> Seq(3.0))
+    val out = SimilarityOps.kCenterCoreset(df, "vec_id", "embedding", 5)
+      .orderBy("iter").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1, 1L, 0.0), (2, 2L, 3.0)))
+  }
+
+  test("kCenterCoreset: empty input fails with a clear message") {
+    val df = vecs().filter(lit(false))
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.kCenterCoreset(df, "vec_id", "embedding", 3)
+    }
+    assert(e.getMessage.contains("no rows"))
+  }
+
   test("twoNN: single query on a line gives ID = 1 / ln(d2/d1)") {
     // query id 10 at 0; neighbors at 1 and 3 -> mu = 3, one query.
     val corpus = vecs(10L -> Seq(0.0), 11L -> Seq(1.0), 12L -> Seq(3.0))

@@ -150,4 +150,36 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
         s"native ${r.getDouble(0)} != hof ${r.getDouble(1)}")
     }
   }
+
+  test("VectorSqDist outside the equal-length non-null precondition: " +
+      "documented divergence from the HOF form is pinned") {
+    import org.apache.spark.sql.functions._
+    // range-based so codegen runs; the precondition (equal-length,
+    // non-null elements) is what every call site satisfies — OUTSIDE
+    // it the native loop truncates to the shorter array / reads null
+    // elements as 0.0 while zip_with+aggregate returns NULL. Pin both
+    // so a future ragged/nullable caller hits documented behavior.
+    val df = spark.range(0, 4).select(
+      // a = [1.0, 3.0], b = [1.0] (shorter) — native: 0.0, HOF: NULL
+      array(lit(1.0), lit(3.0)).as("a"),
+      array(lit(1.0)).as("b"),
+      // c has a null element — native reads it as 0.0, HOF: NULL
+      array(lit(2.0), lit(null).cast("double")).as("c"),
+      array(lit(2.0), lit(5.0)).as("d"),
+      // null top-level array — BOTH return NULL
+      lit(null).cast("array<double>").as("e"))
+    val r = df.select(
+      graft.operators.SimilarityOps.sqDist(col("a"), col("b")).as("n_len"),
+      graft.operators.SimilarityOps.sqDistHof(col("a"), col("b")).as("h_len"),
+      graft.operators.SimilarityOps.sqDist(col("c"), col("d")).as("n_nul"),
+      graft.operators.SimilarityOps.sqDistHof(col("c"), col("d")).as("h_nul"),
+      graft.operators.SimilarityOps.sqDist(col("e"), col("d")).as("n_top"),
+      graft.operators.SimilarityOps.sqDistHof(col("e"), col("d")).as("h_top"))
+      .head()
+    assert(r.getDouble(0) == 0.0)           // truncated to min length
+    assert(r.isNullAt(1))                   // HOF: zip_with pads null
+    assert(r.getDouble(2) == 25.0)          // null element read as 0.0
+    assert(r.isNullAt(3))                   // HOF: null poisons fold
+    assert(r.isNullAt(4) && r.isNullAt(5))  // null array: both NULL
+  }
 }

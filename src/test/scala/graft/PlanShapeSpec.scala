@@ -513,6 +513,9 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     "q407_hitter_drift",  // 1-row midpoint-epoch bracket vs events
     "q409_kneser_ney",    // 1-row bigram-type-total bracket vs the
                           // top-20 bigram table
+    "q413_triple_itemsets", // 1-row order-count bracket vs the
+                          // top-10 triple table (folded the former
+                          // driver-side .count() into the plan)
     "q414_gumbel_topk",   // 1-row overlap-count bracket vs the
                           // per-source sample composition
     "q416_sax_symbols",   // 1-row z-parameter bracket vs the 32-seg
