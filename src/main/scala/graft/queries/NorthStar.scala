@@ -7887,16 +7887,32 @@ object NorthStar {
       .ordered(col("l_returnflag"))
   }
 
+  /** The ONE shared NearDupGraphStore for this corpus dir + the
+    * canonical parameters (n=3, baseT=0.3, components at 0.4): every
+    * store-backed audit (q381/q382 and the round-10 read-path
+    * queries) calls [[NearDupGraphStore.ensure]] against it, so the
+    * first consumer in a run pays construction and every later one is
+    * a pure partition-pruned READ — the 100 TB amortization shape,
+    * and what lets the bench report the read latency a user actually
+    * pays. Path keyed by the corpus dir so SF runs can't collide. */
+  private def sharedNdgStore(s: SparkSession, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft-ndg-shared-$key"
+    NearDupGraphStore.ensure(s, t(s, dir, "documents"), "doc_id",
+      "text", n = 3, baseT = 0.3, componentThresholds = Seq(0.4), path)
+    path
+  }
+
   // q381 — STORE-BACKED dedup-threshold sweep: the q366 decision
   // table read from the persisted NearDupGraphStore instead of a
-  // fresh text derivation — build once, audit from the jband-pruned
-  // pair partitions + derived group sizes. The oracle is q366's
-  // plain full-corpus derivation, which IS the store-vs-scan
-  // equality pin.
+  // fresh text derivation — build once (ensure: shared with q382 and
+  // the read-path audits), audit from the jband-pruned pair
+  // partitions + derived group sizes. The oracle is q366's plain
+  // full-corpus derivation, which IS the store-vs-scan equality pin.
   private val q381: Q = (s, dir) => {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft-ndg-q381"
-    NearDupGraphStore.write(s, t(s, dir, "documents"), "doc_id",
-      "text", n = 3, baseT = 0.3, componentThresholds = Seq(0.4), path)
+    val path = sharedNdgStore(s, dir)
     dedupSweepFromGroupGraph(s,
       NearDupGraphStore.groupPairs(s, path, 0.3),
       NearDupGraphStore.membersTable(s, path))
@@ -7906,11 +7922,9 @@ object NorthStar {
   // t=0.4 component labels (one t_e2 partition read, zero text
   // rescans) expanded to doc counts per cluster size — the "how big
   // do near-dup clusters get" audit every keep-policy decision
-  // starts from.
+  // starts from. Shares the ensured store with q381.
   private val q382: Q = (s, dir) => {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft-ndg-q382"
-    NearDupGraphStore.write(s, t(s, dir, "documents"), "doc_id",
-      "text", n = 3, baseT = 0.3, componentThresholds = Seq(0.4), path)
+    val path = sharedNdgStore(s, dir)
     NearDupGraphStore.components(s, path, 0.4)
       .groupBy(col("cluster_id")).agg(sum(col("g")).as("m"))
       .groupBy(col("m")).agg(count(lit(1)).as("n_clusters"))

@@ -94,6 +94,33 @@ object InvertedIndexStore {
       path, "append")
   }
 
+  /** Small-file compaction: rewrite the per-ingest delta files into
+    * one file per shard directory (postings keep the term-pruning
+    * layout), `nFiles` doclens files, and ONE pre-folded stats row —
+    * equivalent under the read-time SUM/MAX fold, so the mergeable-
+    * counters contract survives and later appends keep working.
+    * Pure physical reorganization (round-trip spec pins searchBm25
+    * equality before/after plus the file-count drop). */
+  def compact(spark: SparkSession, path: String, nFiles: Int = 1)
+      : Unit = {
+    StoreCompaction.rewrite(spark, s"$path/postings") { tmp =>
+      spark.read.parquet(s"$path/postings")
+        .repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+    }
+    StoreCompaction.rewrite(spark, s"$path/doclens") { tmp =>
+      spark.read.parquet(s"$path/doclens").repartition(nFiles)
+        .write.mode("overwrite").parquet(tmp)
+    }
+    StoreCompaction.rewrite(spark, s"$path/stats") { tmp =>
+      spark.read.parquet(s"$path/stats")
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("total_tokens")).as("total_tokens"),
+          max(col("n_shards")).as("n_shards"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+  }
+
   /** (n_docs, total_tokens, n_shards) folded across ingests. */
   private def foldedStats(spark: SparkSession, path: String)
       : (Long, Long, Int) = {

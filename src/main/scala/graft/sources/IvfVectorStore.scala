@@ -22,6 +22,10 @@ import graft.operators.SimilarityOps.Centroid
   *    directory per coarse cell, so a search that probes p of k
   *    cells is a PARTITION-PRUNED scan reading p/k of the corpus
   *    bytes from disk, not a full scan with a filter.
+  *  - `cellstats/`: (cell, rmax) angular cell radii, one row set per
+  *    ingest, folded by MAX at read time (mergeable, append-only) —
+  *    the triangle-inequality input [[searchTopKExact]]'s ring bound
+  *    needs to prune cells PROVABLY.
   *
   * [[append]] tokenizes/assigns ONLY the delta (a pure projection
   * against the stored centroid literals) and appends new files into
@@ -51,9 +55,11 @@ object IvfVectorStore {
       .map(r => Centroid(r.getLong(0), r.getSeq[Double](1).toArray,
         r.getDouble(2)))
 
-  /** (id, v, nm, cell) for `df` against the FROZEN centroid set —
-    * a pure projection (centroid literals inlined below the plan-size
-    * budget; a one-row broadcast relation above it), zero shuffle. */
+  /** (id, v, nm, cell, __ccos) for `df` against the FROZEN centroid
+    * set — a pure projection (centroid literals inlined below the
+    * plan-size budget; a one-row broadcast relation above it), zero
+    * shuffle. `__ccos` is the cosine to the ASSIGNED centroid — the
+    * input to the per-cell angular radius `cellstats/` maintains. */
   private def assigned(df: DataFrame, idCol: String, vecCol: String,
                        cents: Array[Centroid]): DataFrame =
     SimilarityOps.withCellScores(
@@ -62,7 +68,19 @@ object IvfVectorStore {
           .withColumn("nm", sqrt(SimilarityOps.dot(col("v"), col("v")))),
         cents, "v", "nm", "__sc")
       .withColumn("cell", array_min(col("__sc")).getField("cent_id"))
+      .withColumn("__ccos", -array_min(col("__sc")).getField("negcos"))
       .drop("__sc")
+
+  /** Per-cell ANGULAR radius rows for one ingest: rmax = the max
+    * normalized-Euclidean distance ||v^ - c^|| = sqrt(2 - 2 cos) from
+    * a member to its assigned centroid. Mergeable by MAX at read time
+    * (the stats-fold contract), so appends only add rows. This is
+    * what makes [[searchTopKExact]]'s ring bound sound: for any query
+    * q^ and any member of the cell, d(q^, v^) >= d(q^, c^) - rmax. */
+  private def cellStats(adf: DataFrame): DataFrame =
+    adf.groupBy(col("cell"))
+      .agg(max(sqrt(greatest(lit(0.0),
+        lit(2.0) - lit(2.0) * col("__ccos")))).as("rmax"))
 
   /** Cluster rows by their cell before the dynamic-partition write:
     * without this every input task appends a file into every cell
@@ -83,20 +101,29 @@ object IvfVectorStore {
       nCentroids)
     centroidRows(spark, cents).coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
-    clusteredByCell(assigned(corpus, idCol, vecCol, cents))
+    val adf = assigned(corpus, idCol, vecCol, cents)
+      .localCheckpoint(false)
+    clusteredByCell(adf.drop("__ccos"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/vectors")
+    cellStats(adf).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/cellstats")
   }
 
   /** Delta ingest: assign ONLY the new vectors against the stored
-    * quantizer and append into the cell directories. The old corpus
-    * is not read, not rescanned, not re-assigned. */
+    * quantizer and append into the cell directories (+ a mergeable
+    * cellstats row set). The old corpus is not read, not rescanned,
+    * not re-assigned. */
   def append(spark: SparkSession, delta: DataFrame,
              idCol: String, vecCol: String, path: String): Unit = {
     val cents = readCentroids(spark, path)
-    clusteredByCell(assigned(delta, idCol, vecCol, cents))
+    val adf = assigned(delta, idCol, vecCol, cents)
+      .localCheckpoint(false)
+    clusteredByCell(adf.drop("__ccos"))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$path/vectors")
+    cellStats(adf).coalesce(1)
+      .write.mode("append").parquet(s"$path/cellstats")
   }
 
   /** IVF top-k over the persisted index: per query, probe the
@@ -131,6 +158,98 @@ object IvfVectorStore {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid"))
     scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("cos"))
+  }
+
+  /** PROVABLY EXACT top-k through the store, still partition-pruned
+    * — the linear exact path for ground-truth evals with large probe
+    * sets (the brute-force alternative reads the whole corpus per
+    * query batch):
+    *
+    *  1. probe pass: the plain [[searchTopK]] heuristic over the
+    *     `nProbes` nearest cells gives each query a candidate kth-best
+    *     cosine;
+    *  2. ring bound: for every UNPROBED cell, the triangle inequality
+    *     on normalized vectors (cos = 1 - d^2/2 for unit vectors,
+    *     d(q^,v^) >= d(q^,c^) - rmax with rmax the stored angular cell
+    *     radius) upper-bounds the best cosine any member can reach;
+    *     only cells whose bound beats the kth-best (minus `eps` float
+    *     slack, and all cells when fewer than k candidates were found)
+    *     are read in a second partition-pruned scan;
+    *  3. exact rerank over the union.
+    *
+    * Queries with >= k in-cell near neighbors prune almost every
+    * extra cell; adversarial queries degrade to reading more cells —
+    * never to a wrong answer. Query side is the bounded probe-set
+    * contract (it is scored once and localCheckpointed). Output and
+    * ordering contracts match [[searchTopK]]. */
+  def searchTopKExact(spark: SparkSession, path: String,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      k: Int, nProbes: Int, eps: Double = 1e-9)
+      : DataFrame = {
+    val cents = readCentroids(spark, path)
+    val q0 = SimilarityOps.withCellScores(
+        queries
+          .select(col(idCol).cast("long").as("qid"),
+            col(vecCol).cast("array<double>").as("qv"))
+          .withColumn("qn", sqrt(SimilarityOps.dot(col("qv"), col("qv")))),
+        cents, "qv", "qn", "__sc")
+      .localCheckpoint(false)
+    def scoredIn(qcells: DataFrame): DataFrame = {
+      val cellsList = qcells.select(col("cell")).distinct()
+        .collect().map(_.getLong(0))
+      spark.read.parquet(s"$path/vectors")
+        .filter(col("cell").isin(cellsList: _*))
+        .select(col("id").as("nid"), col("v").as("cv"),
+          col("nm").as("cn"), col("cell"))
+        .join(broadcast(qcells), Seq("cell"))
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("cos",
+          SimilarityOps.dot(col("qv"), col("cv")) /
+            (col("qn") * col("cn")))
+        .select(col("qid"), col("nid"), col("cos"))
+    }
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    // pass 1 — the searchTopK probe set, scored from q0
+    val probes1 = q0.withColumn("probe",
+        explode(slice(sort_array(col("__sc")), 1, nProbes)))
+      .select(col("qid"), col("qv"), col("qn"),
+        col("probe.cent_id").as("cell"))
+    val first = scoredIn(probes1)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("cos"))
+      .localCheckpoint(false)
+    val kth = first.groupBy(col("qid"))
+      .agg(count(lit(1)).as("nres"), min(col("cos")).as("kthcos"))
+    // pass 2 — ring-bound-eligible unprobed cells only
+    val radii = spark.read.parquet(s"$path/cellstats")
+      .groupBy(col("cell")).agg(max(col("rmax")).as("rmax"))
+    val allCells = q0
+      .select(col("qid"),
+        posexplode(sort_array(col("__sc"))).as(Seq("pr", "s")))
+      .select(col("qid"), (col("pr") + 1).as("prank"),
+        col("s").getField("cent_id").as("cell"),
+        (-col("s").getField("negcos")).as("qccos"))
+    val extraQCells = allCells.filter(col("prank") > nProbes)
+      .join(broadcast(radii), Seq("cell"))
+      .join(broadcast(kth), Seq("qid"), "left")
+      .withColumn("dqc",
+        sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("qccos"))))
+      .withColumn("ub", lit(1.0) -
+        pow(greatest(lit(0.0), col("dqc") - col("rmax")), 2) / lit(2.0))
+      .filter(col("kthcos").isNull || col("nres") < k ||
+        col("ub") >= col("kthcos") - eps)
+      .join(q0.select(col("qid"), col("qv"), col("qn")), Seq("qid"))
+      .select(col("qid"), col("qv"), col("qn"), col("cell"))
+      .localCheckpoint(false)
+    val extra =
+      if (extraQCells.isEmpty) first.limit(0)
+      else scoredIn(extraQCells)
+    first.unionByName(extra)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("qid"), col("nid"), col("cos"))

@@ -50,6 +50,53 @@ object NearDupGraphStore {
   private def jband(j: org.apache.spark.sql.Column) =
     least(floor(j * 10.0).cast("int"), lit(9)).as("jband")
 
+  private val ensureLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Order-independent corpus+params fingerprint: row count plus a
+    * SUM of per-doc crc32(id:md5(text)) — one projection scan, no
+    * pair join. Param changes and any doc add/remove/edit change it;
+    * the SUM is commutative so partitioning/order can't. */
+  private def fingerprint(docs: DataFrame, idCol: String,
+                          textCol: String, n: Int, baseT: Double,
+                          thresholds: Seq[Double]): String = {
+    val r = docs.agg(count(lit(1)),
+      sum(crc32(concat_ws(":", col(idCol).cast("string"),
+        md5(col(textCol)))))).head()
+    val h = if (r.isNullAt(1)) 0L else r.getLong(1)
+    s"v1:n=$n:t=${math.round(baseT * 100)}:" +
+      s"cts=${thresholds.map(t => math.round(t * 100)).mkString("_")}:" +
+      s"cnt=${r.getLong(0)}:h=$h"
+  }
+
+  /** Build-once shared store: several audits of the same corpus with
+    * the same parameters (threshold sweep, cluster histogram, band
+    * profile) consume ONE store — at 100 TB construction amortizes
+    * across every reader, and the bench then reports the pruned-READ
+    * latency a user actually pays instead of re-paying construction
+    * per query. Rebuilds only when the corpus/params fingerprint on
+    * disk differs (one projection scan to check — no pair join);
+    * per-path JVM lock so concurrent query threads (Verify runs 16)
+    * can't double-build. */
+  def ensure(spark: SparkSession, docs: DataFrame, idCol: String,
+             textCol: String, n: Int, baseT: Double,
+             componentThresholds: Seq[Double], path: String): Unit = {
+    val lock = ensureLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      val fpNow = fingerprint(docs, idCol, textCol, n, baseT,
+        componentThresholds)
+      val fresh =
+        try spark.read.parquet(s"$path/fp").head().getString(0) == fpNow
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (!fresh) {
+        write(spark, docs, idCol, textCol, n, baseT,
+          componentThresholds, path)
+        spark.range(1).select(lit(fpNow).as("fp")).coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/fp")
+      }
+    }
+  }
+
   /** Build the store from scratch: one corpus scan (collapse +
     * shingle + prefix-filtered pair join), then the partitioned
     * layout above. `componentThresholds` names the thresholds whose
@@ -161,6 +208,42 @@ object NearDupGraphStore {
       .repartition(col("t_e2"))
       .write.mode("overwrite").partitionBy("t_e2")
       .parquet(s"$path/components")
+  }
+
+  /** Small-file compaction: rewrite each subdirectory's accumulated
+    * per-ingest delta files into one file per partition directory
+    * (pairs/components keep their pruning layout; groups/members/
+    * repsets become `nFiles` files; meta collapses to its ONE
+    * distinct row — every ingest writes the same (n, base_t_e2) by
+    * the append contract). Pure physical reorganization: groupPairs/
+    * components/membersTable read identically before and after
+    * (round-trip spec), and later appends keep working — compaction
+    * preserves the append-only contract, it just resets the file
+    * count. Run it after every ~N delta ingests at scale.
+    * `nFiles = 1` suits local stores; a 100 TB caller sizes it to
+    * ~128 MB output files. */
+  def compact(spark: SparkSession, path: String, nFiles: Int = 1)
+      : Unit = {
+    StoreCompaction.rewrite(spark, s"$path/pairs") { tmp =>
+      spark.read.parquet(s"$path/pairs")
+        .repartition(col("jband"))
+        .write.mode("overwrite").partitionBy("jband").parquet(tmp)
+    }
+    Seq("groups", "members", "repsets").foreach { sub =>
+      StoreCompaction.rewrite(spark, s"$path/$sub") { tmp =>
+        spark.read.parquet(s"$path/$sub").repartition(nFiles)
+          .write.mode("overwrite").parquet(tmp)
+      }
+    }
+    StoreCompaction.rewrite(spark, s"$path/meta") { tmp =>
+      spark.read.parquet(s"$path/meta").distinct().coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+    }
+    StoreCompaction.rewrite(spark, s"$path/components") { tmp =>
+      spark.read.parquet(s"$path/components")
+        .repartition(col("t_e2"))
+        .write.mode("overwrite").partitionBy("t_e2").parquet(tmp)
+    }
   }
 
   /** Derived group sizes: one COUNT over the append-only membership. */

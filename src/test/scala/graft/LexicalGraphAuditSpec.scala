@@ -557,6 +557,82 @@ class LexicalGraphAuditSpec extends AnyFunSuite with SparkTestBase {
         "(otherwise pruning proves nothing)")
   }
 
+  test("store compaction: reads identical before/after, data file " +
+      "count drops, and appends after compaction still work") {
+    import graft.sources.{InvertedIndexStore, NearDupGraphStore,
+      StoreCompaction}
+    val a = "the quick brown fox jumps over the lazy dog today"
+    val b = "the quick brown fox jumps over the lazy cat today"
+    val c = "completely different words appear in this document here now"
+    val docs = Seq((1L, a), (5L, a), (2L, b), (7L, c))
+      .toDF("doc_id", "text")
+    // --- NearDupGraphStore: write + append accumulate delta files
+    val ndg = java.nio.file.Files
+      .createTempDirectory("ndg-compact").toString
+    NearDupGraphStore.write(spark,
+      docs.filter(col("doc_id").isin(1L, 2L)), "doc_id", "text",
+      n = 3, baseT = 0.3, componentThresholds = Seq(0.4), ndg)
+    NearDupGraphStore.append(spark,
+      docs.filter(col("doc_id").isin(5L, 7L)), "doc_id", "text",
+      componentThresholds = Seq(0.4), ndg)
+    def ndgView = (
+      NearDupGraphStore.groupPairs(spark, ndg, 0.3).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e6), r.getLong(3),
+          r.getLong(4))).toSet,
+      NearDupGraphStore.membersTable(spark, ndg).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet,
+      NearDupGraphStore.components(spark, ndg, 0.4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    val beforeView = ndgView
+    val beforeFiles = StoreCompaction.dataFileCount(spark, ndg)
+    NearDupGraphStore.compact(spark, ndg)
+    assert(ndgView == beforeView,
+      "compaction must not change what the store reads back")
+    val afterFiles = StoreCompaction.dataFileCount(spark, ndg)
+    assert(afterFiles < beforeFiles,
+      s"expected fewer data files after compaction " +
+        s"($beforeFiles -> $afterFiles)")
+    // a post-compaction delta ingest still applies cleanly
+    NearDupGraphStore.append(spark,
+      Seq((9L, a)).toDF("doc_id", "text"), "doc_id", "text",
+      componentThresholds = Seq(0.4), ndg)
+    val sizesAfter = NearDupGraphStore.groupSizes(spark, ndg)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(sizesAfter == Seq(1L, 1L, 3L),
+      s"post-compaction append must land: $sizesAfter")
+    // --- InvertedIndexStore: same contract
+    val inv = java.nio.file.Files
+      .createTempDirectory("inv-compact").toString
+    InvertedIndexStore.write(spark,
+      docs.filter(col("doc_id") <= 2L), "doc_id", "text",
+      nShards = 8, inv)
+    InvertedIndexStore.append(spark,
+      docs.filter(col("doc_id") > 2L), "doc_id", "text", inv)
+    val terms = Seq("quick", "document")
+    def bm25View = InvertedIndexStore
+      .searchBm25(spark, inv, terms, k = 100).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9)))
+      .toSet
+    val beforeBm25 = bm25View
+    val beforeInvFiles = StoreCompaction.dataFileCount(spark, inv)
+    InvertedIndexStore.compact(spark, inv)
+    assert(bm25View == beforeBm25,
+      "compaction must not change BM25 results")
+    assert(StoreCompaction.dataFileCount(spark, inv) < beforeInvFiles)
+    // stats collapsed to ONE pre-folded row, same fold result
+    val st = spark.read.parquet(s"$inv/stats")
+    assert(st.count() == 1L)
+    assert(st.head().getLong(0) == 4L)
+    // post-compaction append still folds
+    InvertedIndexStore.append(spark,
+      Seq((20L, "quick extra doc")).toDF("doc_id", "text"),
+      "doc_id", "text", inv)
+    val st2 = spark.read.parquet(s"$inv/stats")
+      .agg(sum("n_docs")).head()
+    assert(st2.getLong(0) == 5L)
+  }
+
   test("recallEval: hand-traced recall@k and MRR") {
     // truth q1: n1 (rank1), n2, n3; approx q1: n2, n9, n1
     // hits = 2 of 3; true top-1 (n1) sits at approx rank 3 -> rr 1/3

@@ -364,6 +364,60 @@ class NorthStarSpec extends AnyFunSuite with SparkTestBase {
     assert(stored.select("cell").distinct().count() == 16)
   }
 
+  test("IVF exact search: searchTopKExact == brute force at a " +
+      "deliberately low nProbes; scans stay partition-pruned") {
+    import graft.sources.IvfVectorStore
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-exact-spec").toString
+    IvfVectorStore.write(spark, emb.filter(col("vec_id") < 400),
+      "vec_id", "embedding", 16, path)
+    IvfVectorStore.append(spark, emb.filter(col("vec_id") >= 400),
+      "vec_id", "embedding", path)
+    val queries = emb.filter(col("vec_id") < 20)
+    // nProbes = 2 of 16: the heuristic pass alone WOULD miss true
+    // neighbors (that's the point — the ring bound must recover them)
+    val got = IvfVectorStore.searchTopKExact(spark, path, queries,
+        "vec_id", "embedding", k = 5, nProbes = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    // brute-force exact ground truth, same scoring expression
+    val q = queries.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qv"))
+    val c = emb.select(col("vec_id").as("nid"),
+      col("embedding").cast("array<double>").as("cv"))
+    val bf = q.join(c, col("qid") =!= col("nid"))
+      .withColumn("cos", SimilarityOps.dot(col("qv"), col("cv")) /
+        (sqrt(SimilarityOps.dot(col("qv"), col("qv"))) *
+          sqrt(SimilarityOps.dot(col("cv"), col("cv")))))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("nid"), col("cos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    assert(got == bf,
+      s"exact search must equal brute force; diff = ${got diff bf} " +
+        s"/ ${bf diff got}")
+    // the heuristic pass at nProbes=2 really was insufficient
+    // (otherwise this test proves nothing about the ring bound)
+    val heur = IvfVectorStore.searchTopK(spark, path, queries,
+        "vec_id", "embedding", k = 5, nProbes = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    assert(heur != bf,
+      "fixture degenerate: 2-probe heuristic already exact")
+    // the exact path's scans stay partition-pruned on cell
+    val plan = IvfVectorStore.searchTopKExact(spark, path, queries,
+        "vec_id", "embedding", k = 5, nProbes = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected cell partition filters on the exact-search scans:\n$plan")
+  }
+
   test("int8 k-means: deterministic, all clusters live, coherent") {
     val a1 = SimilarityOps.kmeansInt8(emb, "vec_id", "embedding", k = 8, iters = 3)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
