@@ -7895,7 +7895,7 @@ object NorthStar {
     * a pure partition-pruned READ — the 100 TB amortization shape,
     * and what lets the bench report the read latency a user actually
     * pays. Path keyed by the corpus dir so SF runs can't collide. */
-  private def sharedNdgStore(s: SparkSession, dir: String): String = {
+  private[queries] def sharedNdgStore(s: SparkSession, dir: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
     val path =
@@ -16918,7 +16918,7 @@ object NorthStar {
 
   /** Shared q189-style plain exact-trigram-Jaccard pair derivation
     * (CTE chain ending in `pr`: id1, id2, j >= the given floor). */
-  private def exactTrigramPairCtes(thr: String): String =
+  private[queries] def exactTrigramPairCtes(thr: String): String =
     s"""d AS (
        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
        |  FROM documents),

@@ -1,0 +1,655 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.TextOps
+import graft.sources.{IvfVectorStore, NearDupGraphStore}
+
+/** Round-10 query surface: store read-path audits (the build-once
+  * NearDupGraphStore / exact IVF search), storage & optimizer audits
+  * (zone maps, correlated selectivity, RLE runs), and the missing
+  * members of the nonparametric two-sample family (Wasserstein-1,
+  * Ansari-Bradley, Cramér–von Mises) plus rater-agreement and
+  * sampling-bias guardrails. Every query follows the house exactness
+  * discipline: integer counts/sums end to end, per-row e6 rounding
+  * BEFORE integer aggregation where a double is unavoidable, and
+  * ratios of integers under the final e6 pin. */
+object RoundTen {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def e6(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+
+  private def sqlE6(expr: String): String =
+    s"CAST(ROUND(($expr) * 1e6, 0) AS BIGINT)"
+
+  /** Exact event-value cents (the house integer pin for `value`). */
+  private def cents: Column = expr("CAST(ROUND(value * 100) AS BIGINT)")
+
+  // ---------------------------------------------------------------
+  // q438 — store READ-path band profile: per-jband doc-pair counts
+  // and exact integer jaccard mass, read from the SHARED ensured
+  // NearDupGraphStore (one jband-pruned pairs scan + derived group
+  // sizes — zero text rescans; construction amortized across q381/
+  // q382/q438 by NearDupGraphStore.ensure). This is the bench entry
+  // for the pruned-read latency a 100 TB user actually pays. The
+  // oracle is the plain full-corpus trigram-pair derivation — the
+  // store-vs-scan equality pin at doc-pair granularity.
+  private val q438: Q = (s, dir) => {
+    val path = NorthStar.sharedNdgStore(s, dir)
+    NearDupGraphStore.groupPairs(s, path, 0.3)
+      .select(
+        least(floor(col("jaccard") * 10.0), lit(9.0)).cast("long")
+          .as("jband"),
+        when(col("rid1") === col("rid2"),
+          expr("g1 * (g1 - 1) div 2"))
+          .otherwise(col("g1") * col("g2")).as("npairs"),
+        round(col("jaccard") * 1e6, 0).cast("long").as("je6"))
+      .groupBy(col("jband"))
+      .agg(sum(col("npairs")).as("n_doc_pairs"),
+        sum(col("npairs") * col("je6")).as("j_e6_sum"))
+      .ordered(col("jband"))
+  }
+
+  private val q438Sql: String =
+    s"""WITH ${NorthStar.exactTrigramPairCtes("0.3")},
+       |b AS (SELECT LEAST(CAST(FLOOR(j * 10) AS BIGINT), 9) AS jband,
+       |        CAST(ROUND(j * 1e6, 0) AS BIGINT) AS je6 FROM pr)
+       |SELECT jband, CAST(COUNT(*) AS BIGINT) AS n_doc_pairs,
+       |  CAST(SUM(je6) AS BIGINT) AS j_e6_sum
+       |FROM b GROUP BY 1 ORDER BY jband""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q439 — PROVABLY EXACT IVF top-k through the persisted store
+  // (IvfVectorStore.searchTopKExact): probe pass at a deliberately
+  // low nProbes=2 of 16 cells, then the triangle-inequality ring
+  // bound (stored angular cell radii) admits only unprobed cells
+  // that could still beat the kth-best cosine — partition-pruned in
+  // both passes. The oracle is centroid-free BRUTE FORCE: a green
+  // row IS the exactness proof. Selection ties break on raw cos
+  // (bit-identical folds both sides); output order pins on the e6.
+  private val q439: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft-ivf-exact-q439"
+    IvfVectorStore.write(s, emb, "vec_id", "embedding",
+      nCentroids = 16, path)
+    IvfVectorStore.searchTopKExact(s, path,
+        emb.filter(col("vec_id") < 16), "vec_id", "embedding",
+        k = 5, nProbes = 2)
+      .select(col("qid"), col("nid"), e6(col("cos")).as("cos_e6"))
+      .ordered(col("qid"), col("cos_e6").desc, col("nid"))
+  }
+
+  private val q439Sql: String = {
+    val dot = OracleSql.foldSum(
+      "list_transform(range(1, 65), i -> q.v[i] * c.v[i])")
+    val nrm = "sqrt(" + OracleSql.foldSum(
+      "list_transform(range(1, 65), i -> v[i] * v[i])") + ")"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |n AS (SELECT vec_id, v, $nrm AS nm FROM e),
+       |d AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |        ($dot) / (q.nm * c.nm) AS cos
+       |      FROM n q JOIN n c ON q.vec_id <> c.vec_id
+       |      WHERE q.vec_id < 16),
+       |r AS (SELECT qid, nid, cos, ROW_NUMBER() OVER (
+       |        PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM d)
+       |SELECT qid, nid, ${sqlE6("cos")} AS cos_e6
+       |FROM r WHERE rk <= 5
+       |ORDER BY qid, cos_e6 DESC, nid""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q440 — zone-map (min/max pruning) effectiveness audit: orders
+  // clustered into ~32 key-range "row groups", per-group min/max of
+  // the total-price cents, then 8 fixed probe ranges scored by how
+  // many groups their zone maps skip vs the rows a pruned scan still
+  // reads vs the rows that actually match. The storage-layout
+  // statistic that decides whether sorting/clustering a 100 TB table
+  // by this column pays for itself.
+  private val q440: Q = (s, dir) => {
+    val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+      expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("c"))
+    val mx = o.agg(max(col("k")).as("kmax"))
+    val zones = o.crossJoin(broadcast(mx))
+      .select(expr("k div (kmax div 32 + 1)").as("grp"), col("c"))
+      .groupBy(col("grp"))
+      .agg(min(col("c")).as("zmin"), max(col("c")).as("zmax"),
+        count(lit(1)).as("zrows"))
+      .localCheckpoint(false)
+    val spine = rangeSpine(s)
+    val byZone = zones.crossJoin(broadcast(spine))
+      .groupBy(col("range_id"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("zmax") < col("lo") || col("zmin") >= col("hi"),
+          1L).otherwise(0L)).as("n_skippable"),
+        sum(when(col("zmax") < col("lo") || col("zmin") >= col("hi"),
+          0L).otherwise(col("zrows"))).as("rows_scanned"))
+    val matched = o.crossJoin(broadcast(spine))
+      .filter(col("c") >= col("lo") && col("c") < col("hi"))
+      .groupBy(col("range_id")).agg(count(lit(1)).as("rows_matched"))
+    byZone.join(matched, Seq("range_id"), "left")
+      .select(col("range_id"), col("n_groups"), col("n_skippable"),
+        coalesce(col("rows_matched"), lit(0L)).as("rows_matched"),
+        col("rows_scanned"),
+        e6(col("n_skippable").cast("double")
+          / col("n_groups").cast("double")).as("skip_e6"))
+      .ordered(col("range_id"))
+  }
+
+  /** 8 probe ranges of 6.25M cents over the order-total domain. */
+  private def rangeSpine(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0L to 7L).map(r => (r, r * 6250000L, (r + 1) * 6250000L))
+      .toDF("range_id", "lo", "hi")
+  }
+
+  private val q440Sql: String =
+    s"""WITH o AS (SELECT o_orderkey AS k,
+       |        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+       |      FROM orders),
+       |mx AS (SELECT MAX(k) AS kmax FROM o),
+       |zones AS (SELECT k // (kmax // 32 + 1) AS grp, MIN(c) AS zmin,
+       |            MAX(c) AS zmax, CAST(COUNT(*) AS BIGINT) AS zrows
+       |          FROM o, mx GROUP BY 1),
+       |spine AS (SELECT r AS range_id, r * 6250000 AS lo,
+       |            (r + 1) * 6250000 AS hi FROM range(0, 8) t(r)),
+       |bz AS (SELECT range_id, lo, hi,
+       |         CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |         CAST(SUM(CASE WHEN zmax < lo OR zmin >= hi
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable,
+       |         CAST(SUM(CASE WHEN zmax < lo OR zmin >= hi
+       |           THEN 0 ELSE zrows END) AS BIGINT) AS rows_scanned
+       |       FROM zones CROSS JOIN spine GROUP BY 1, 2, 3),
+       |m AS (SELECT range_id, CAST(COUNT(*) AS BIGINT) AS rows_matched
+       |      FROM o CROSS JOIN spine
+       |      WHERE c >= lo AND c < hi GROUP BY 1)
+       |SELECT bz.range_id, n_groups, n_skippable,
+       |  COALESCE(rows_matched, 0) AS rows_matched, rows_scanned,
+       |  ${sqlE6("n_skippable::DOUBLE / n_groups::DOUBLE")} AS skip_e6
+       |FROM bz LEFT JOIN m USING (range_id)
+       |ORDER BY range_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q441 — correlated-predicate selectivity audit: for a 3x3 grid of
+  // (quantity floor, discount-pct floor) conjunctions on lineitem,
+  // the actual conjunction count vs the attribute-independence
+  // estimate sel(A)*sel(B)*n, reported as q-error. The statistic
+  // that tells an optimizer where its independence assumption (the
+  // q424/q425 machinery) breaks. All-integer counts; the q-error is
+  // a ratio of exact BIGINT products.
+  private val q441: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(
+      expr("CAST(ROUND(l_quantity) AS BIGINT)").as("q"),
+      expr("CAST(ROUND(l_discount * 100) AS BIGINT)").as("dpct"))
+    val spine = predGrid(s)
+    li.crossJoin(broadcast(spine))
+      .groupBy(col("qmin"), col("dmin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("q") >= col("qmin"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("dpct") >= col("dmin"), 1L).otherwise(0L))
+          .as("n_b"),
+        sum(when(col("q") >= col("qmin") &&
+          col("dpct") >= col("dmin"), 1L).otherwise(0L)).as("n_ab"))
+      .select(col("qmin"), col("dmin"), col("n_a"), col("n_b"),
+        col("n_ab"),
+        when(col("n_ab") > 0L && col("n_a") > 0L && col("n_b") > 0L,
+          e6(greatest(
+            (col("n_a") * col("n_b")).cast("double")
+              / (col("n") * col("n_ab")).cast("double"),
+            (col("n") * col("n_ab")).cast("double")
+              / (col("n_a") * col("n_b")).cast("double"))))
+          .otherwise(lit(0L)).as("qerr_e6"))
+      .ordered(col("qmin"), col("dmin"))
+  }
+
+  /** (quantity floor, discount-pct floor) 3x3 predicate grid. */
+  private def predGrid(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for (q <- Seq(10L, 25L, 40L); d <- Seq(2L, 5L, 8L)) yield (q, d))
+      .toDF("qmin", "dmin")
+  }
+
+  private val q441Sql: String =
+    s"""WITH li AS (SELECT CAST(ROUND(l_quantity) AS BIGINT) AS q,
+       |        CAST(ROUND(l_discount * 100) AS BIGINT) AS dpct
+       |      FROM lineitem),
+       |spine AS (SELECT qmin, dmin
+       |          FROM (SELECT UNNEST([10, 25, 40]::BIGINT[]) AS qmin)
+       |          CROSS JOIN
+       |            (SELECT UNNEST([2, 5, 8]::BIGINT[]) AS dmin)),
+       |a AS (SELECT qmin, dmin, CAST(COUNT(*) AS BIGINT) AS n,
+       |        CAST(SUM(CASE WHEN q >= qmin THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS n_a,
+       |        CAST(SUM(CASE WHEN dpct >= dmin THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS n_b,
+       |        CAST(SUM(CASE WHEN q >= qmin AND dpct >= dmin
+       |          THEN 1 ELSE 0 END) AS BIGINT) AS n_ab
+       |      FROM li CROSS JOIN spine GROUP BY 1, 2)
+       |SELECT qmin, dmin, n_a, n_b, n_ab,
+       |  CASE WHEN n_ab > 0 AND n_a > 0 AND n_b > 0 THEN
+       |    ${sqlE6("GREATEST(" +
+          "(n_a * n_b)::DOUBLE / (n * n_ab)::DOUBLE, " +
+          "(n * n_ab)::DOUBLE / (n_a * n_b)::DOUBLE)")}
+       |  ELSE 0 END AS qerr_e6
+       |FROM a ORDER BY qmin, dmin""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q442 — pairwise Wasserstein-1 (earth mover's) distance between
+  // the event-type cents distributions, EXACT: W1 = sum over the
+  // merged value spine of |F1 - F2| * gap, carried as the integer
+  // cross-product |cumA*nB - cumB*nA| * gap (exact BIGINT — the
+  // value domain is bounded, so the grid is types x distinct-cents
+  // and never corpus-sized; 10x headroom ~4e15 of 9.2e18). The
+  // distribution-shift distance PSI (q185) and KS approximate.
+  private val q442: Q = (s, dir) => {
+    val gh = t(s, dir, "events")
+      .select(col("event_type").as("g"), cents.as("c"))
+      .groupBy(col("g"), col("c")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val types = gh.groupBy(col("g")).agg(sum(col("n")).as("ng"))
+    val vals = gh.select(col("c")).distinct()
+    val grid = vals.crossJoin(broadcast(types))
+      .join(gh, Seq("g", "c"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("c"))
+    val wGap = Window.orderBy(col("c"))
+    val cum = grid
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("gap",
+        coalesce(lead(col("c"), 1).over(
+          Window.partitionBy(col("g")).orderBy(col("c"))) - col("c"),
+          lit(0L)))
+    val pairs = cum.as("x").join(cum.as("y"),
+        col("x.c") === col("y.c") && col("x.g") < col("y.g"))
+      .select(col("x.g").as("g1"), col("y.g").as("g2"),
+        col("x.ng").as("n1"), col("y.ng").as("n2"),
+        (abs(col("x.cum") * col("y.ng") - col("y.cum") * col("x.ng"))
+          * col("x.gap")).as("contrib"))
+    pairs.groupBy(col("g1"), col("g2"), col("n1"), col("n2"))
+      .agg(sum(col("contrib")).as("w1_num"))
+      .select(col("g1"), col("g2"), col("w1_num"),
+        e6(col("w1_num").cast("double")
+          / (col("n1") * col("n2")).cast("double")).as("w1_e6"))
+      .ordered(col("g1"), col("g2"))
+  }
+
+  private val q442Sql: String =
+    s"""WITH gh AS (SELECT event_type AS g,
+       |        CAST(ROUND(value * 100) AS BIGINT) AS c,
+       |        CAST(COUNT(*) AS BIGINT) AS n
+       |      FROM events GROUP BY 1, 2),
+       |types AS (SELECT g, CAST(SUM(n) AS BIGINT) AS ng
+       |          FROM gh GROUP BY 1),
+       |vals AS (SELECT DISTINCT c FROM gh),
+       |grid AS (SELECT t.g, v.c, t.ng, COALESCE(gh.n, 0) AS n
+       |         FROM vals v CROSS JOIN types t
+       |         LEFT JOIN gh ON gh.g = t.g AND gh.c = v.c),
+       |cum AS (SELECT g, c, ng,
+       |          CAST(SUM(n) OVER (PARTITION BY g ORDER BY c)
+       |            AS BIGINT) AS cum,
+       |          COALESCE(LEAD(c, 1) OVER (PARTITION BY g ORDER BY c)
+       |            - c, 0) AS gap
+       |        FROM grid),
+       |pairs AS (SELECT x.g AS g1, y.g AS g2, x.ng AS n1, y.ng AS n2,
+       |            ABS(x.cum * y.ng - y.cum * x.ng) * x.gap AS contrib
+       |          FROM cum x JOIN cum y
+       |            ON x.c = y.c AND x.g < y.g)
+       |SELECT g1, g2, CAST(SUM(contrib) AS BIGINT) AS w1_num,
+       |  ${sqlE6("SUM(contrib)::DOUBLE / (n1 * n2)::DOUBLE")} AS w1_e6
+       |FROM pairs GROUP BY g1, g2, n1, n2 ORDER BY g1, g2""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q443 — Ansari-Bradley scale test between the 'click' and 'error'
+  // value distributions: 2x mid-rank scores s2x = min(r2x,
+  // 2(N+1) - r2x) from the combined cents histogram (the q384/q385
+  // rank-spine discipline — the convention is scores AT the
+  // mid-rank), AB = group-1 score sum as an exact 2x BIGINT, and the
+  // z-statistic from the without-replacement sampling variance of a
+  // sum over the score multiset (valid for ANY score assignment —
+  // no closed-form tie tables needed). Only z is a final double.
+  private val q443: Q = (s, dir) => {
+    val gh = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("event_type").as("g"), cents.as("c"))
+      .groupBy(col("c"))
+      .agg(sum(when(col("g") === "click", 1L).otherwise(0L)).as("n1c"),
+        count(lit(1)).as("nc"))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = gh.agg(sum(col("nc")).as("nn"), sum(col("n1c")).as("n1"))
+    val scored = gh
+      .withColumn("cumlt", coalesce(sum(col("nc")).over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("n1c"), col("nc"), col("nn"), col("n1"),
+        least(lit(2L) * col("cumlt") + col("nc") + 1L,
+          lit(2L) * (col("nn") + 1L)
+            - (lit(2L) * col("cumlt") + col("nc") + 1L)).as("s2x"))
+    scored.groupBy(col("nn"), col("n1"))
+      .agg(sum(col("n1c") * col("s2x")).as("ab2x"),
+        sum(col("nc") * col("s2x")).as("ss"),
+        sum(col("nc") * col("s2x") * col("s2x")).as("ss2"))
+      .select(col("n1"), (col("nn") - col("n1")).as("n2"), col("ab2x"),
+        e6((col("ab2x").cast("double")
+          - col("n1").cast("double") * col("ss").cast("double")
+            / col("nn").cast("double"))
+          / sqrt(col("n1").cast("double")
+            * (col("nn") - col("n1")).cast("double")
+            / (col("nn") - 1L).cast("double")
+            * (col("ss2").cast("double") / col("nn").cast("double")
+              - (col("ss").cast("double") / col("nn").cast("double"))
+                * (col("ss").cast("double") / col("nn").cast("double")))))
+          .as("z_e6"))
+      .ordered(col("n1"))
+  }
+
+  private val q443Sql: String =
+    s"""WITH ev AS (SELECT event_type AS g,
+       |        CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+       |      WHERE event_type IN ('click', 'error')),
+       |gh AS (SELECT c,
+       |         CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n1c,
+       |         CAST(COUNT(*) AS BIGINT) AS nc
+       |       FROM ev GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(nc) AS BIGINT) AS nn,
+       |          CAST(SUM(n1c) AS BIGINT) AS n1 FROM gh),
+       |sc AS (SELECT n1c, nc, nn, n1,
+       |         LEAST(2 * cumlt + nc + 1,
+       |           2 * (nn + 1) - (2 * cumlt + nc + 1)) AS s2x
+       |       FROM (SELECT n1c, nc, COALESCE(CAST(SUM(nc) OVER (
+       |               ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+       |               AND 1 PRECEDING) AS BIGINT), 0) AS cumlt
+       |             FROM gh), tot),
+       |agg AS (SELECT nn, n1, CAST(SUM(n1c * s2x) AS BIGINT) AS ab2x,
+       |          CAST(SUM(nc * s2x) AS BIGINT) AS ss,
+       |          CAST(SUM(nc * s2x * s2x) AS BIGINT) AS ss2
+       |        FROM sc GROUP BY 1, 2)
+       |SELECT n1, CAST(nn - n1 AS BIGINT) AS n2, ab2x,
+       |  ${sqlE6("(ab2x::DOUBLE - n1::DOUBLE * ss::DOUBLE / " +
+          "nn::DOUBLE) / SQRT(n1::DOUBLE * (nn - n1)::DOUBLE / " +
+          "(nn - 1)::DOUBLE * (ss2::DOUBLE / nn::DOUBLE - " +
+          "(ss::DOUBLE / nn::DOUBLE) * (ss::DOUBLE / nn::DOUBLE)))")}
+       |    AS z_e6
+       |FROM agg ORDER BY n1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q444 — RLE encoding advisor: run counts of the low-cardinality
+  // lineitem columns in (l_orderkey, l_linenumber, value) order —
+  // computed per 4096-key block so no global single-task window
+  // exists (block boundaries break runs identically on both
+  // engines). run_ratio ~ 0 means run-length encoding wins; the
+  // storage-advisor sibling of the q437 dictionary audit.
+  private val q444: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_linenumber").as("ln"),
+        col("l_returnflag"), col("l_linestatus"))
+    val long = li.select(col("k"), col("ln"),
+        expr("stack(2, 'l_returnflag', l_returnflag, " +
+          "'l_linestatus', l_linestatus) AS (col_name, val)"))
+      .withColumn("blk", expr("k div 4096"))
+    val w = Window.partitionBy(col("col_name"), col("blk"))
+      .orderBy(col("k"), col("ln"), col("val"))
+    long
+      .withColumn("prev", lag(col("val"), 1).over(w))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("prev").isNull || col("val") =!= col("prev"), 1L)
+          .otherwise(0L)).as("n_runs"),
+        countDistinct(col("val")).as("n_distinct"))
+      .select(col("col_name"), col("n_rows"), col("n_runs"),
+        col("n_distinct"),
+        e6(col("n_runs").cast("double") / col("n_rows").cast("double"))
+          .as("run_ratio_e6"),
+        when(col("n_runs") * 10L < col("n_rows"), "rle")
+          .otherwise("dict").as("advice"))
+      .ordered(col("col_name"))
+  }
+
+  private val q444Sql: String =
+    s"""WITH long AS (
+       |  SELECT l_orderkey AS k, l_linenumber AS ln,
+       |    'l_returnflag' AS col_name, l_returnflag AS val
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT l_orderkey, l_linenumber, 'l_linestatus', l_linestatus
+       |  FROM lineitem),
+       |r AS (SELECT col_name, val,
+       |        LAG(val, 1) OVER (PARTITION BY col_name, k // 4096
+       |          ORDER BY k, ln, val) AS prev
+       |      FROM long),
+       |a AS (SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |        CAST(SUM(CASE WHEN prev IS NULL OR val <> prev
+       |          THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+       |        CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct
+       |      FROM r GROUP BY 1)
+       |SELECT col_name, n_rows, n_runs, n_distinct,
+       |  ${sqlE6("n_runs::DOUBLE / n_rows::DOUBLE")} AS run_ratio_e6,
+       |  CASE WHEN n_runs * 10 < n_rows THEN 'rle' ELSE 'dict' END
+       |    AS advice
+       |FROM a ORDER BY col_name""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q445 — two-rater agreement (Cohen's kappa + Matthews phi) between
+  // two deterministic document quality gates: A = token count >= 28,
+  // B = type-token ratio >= 0.5 (pinned as 2*distinct >= tokens —
+  // integer, no division). The "do two cheap curation heuristics
+  // agree beyond chance" audit; all four cells exact BIGINTs, kappa
+  // and phi ratios of integer products under the e6 pin.
+  private val q445: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .select(size(TextOps.tokens(col("text"))).cast("long").as("nt"),
+        size(array_distinct(TextOps.tokens(col("text")))).cast("long")
+          .as("nd"))
+      .select((col("nt") >= 28L).as("a"),
+        (lit(2L) * col("nd") >= col("nt")).as("b"))
+    d.agg(
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+      .select(col("n11"), col("n10"), col("n01"), col("n00"),
+        e6(kappaExpr).as("kappa_e6"), e6(phiExpr).as("phi_e6"))
+      .ordered(col("n11"))
+  }
+
+  /** kappa = (po - pe) / (1 - pe) on the 2x2 integer cells — carried
+    * as the equivalent N²-cross-multiplied integer ratio. */
+  private def kappaExpr: Column = {
+    val n = col("n11") + col("n10") + col("n01") + col("n00")
+    val po2 = (col("n11") + col("n00")) * n
+    val pe2 = (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+      (col("n01") + col("n00")) * (col("n10") + col("n00"))
+    when(n * n =!= pe2,
+      (po2 - pe2).cast("double") / (n * n - pe2).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** phi / Matthews correlation from the same cells. */
+  private def phiExpr: Column = {
+    val num = col("n11") * col("n00") - col("n10") * col("n01")
+    val den = (col("n11") + col("n10")) * (col("n01") + col("n00")) *
+      (col("n11") + col("n01")) * (col("n10") + col("n00"))
+    when(col("n11") + col("n10") > 0L &&
+      col("n01") + col("n00") > 0L &&
+      col("n11") + col("n01") > 0L &&
+      col("n10") + col("n00") > 0L,
+      num.cast("double") / sqrt(den.cast("double")))
+      .otherwise(lit(0.0))
+  }
+
+  private val q445Sql: String =
+    s"""WITH d AS (SELECT
+       |        len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+       |          AS nt,
+       |        len(list_distinct(regexp_split_to_array(
+       |          lower(trim(text)), '\\s+'))) AS nd
+       |      FROM documents),
+       |g AS (SELECT nt >= 28 AS a, 2 * nd >= nt AS b FROM d),
+       |c AS (SELECT
+       |        CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS n11,
+       |        CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS n10,
+       |        CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS n01,
+       |        CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS n00
+       |      FROM g),
+       |k AS (SELECT *, n11 + n10 + n01 + n00 AS n,
+       |        (n11 + n00) * (n11 + n10 + n01 + n00) AS po2,
+       |        (n11 + n10) * (n11 + n01)
+       |          + (n01 + n00) * (n10 + n00) AS pe2
+       |      FROM c)
+       |SELECT n11, n10, n01, n00,
+       |  ${sqlE6("CASE WHEN n * n <> pe2 THEN (po2 - pe2)::DOUBLE / " +
+          "(n * n - pe2)::DOUBLE ELSE 0.0 END")} AS kappa_e6,
+       |  ${sqlE6("CASE WHEN n11 + n10 > 0 AND n01 + n00 > 0 AND " +
+          "n11 + n01 > 0 AND n10 + n00 > 0 THEN " +
+          "(n11 * n00 - n10 * n01)::DOUBLE / SQRT(((n11 + n10) * " +
+          "(n01 + n00) * (n11 + n01) * (n10 + n00))::DOUBLE) " +
+          "ELSE 0.0 END")} AS phi_e6
+       |FROM k ORDER BY n11""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q446 — two-sample Cramér–von Mises between 'click' and 'view':
+  // T = (n1*n2/N^2) * sum over the combined sample of (F1 - F2)^2.
+  // Per-value contributions are ncomb * (D/(n1*n2))^2 with D the
+  // exact integer CDF cross-product — D^2 would overflow BIGINT, so
+  // each per-value double (bit-identical on both engines: exact
+  // integer inputs, correctly-rounded division/square) is e6-rounded
+  // FIRST and the integer sum hashes exactly (the house per-row-e6
+  // discipline).
+  private val q446: Q = (s, dir) => {
+    val gh = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type").as("g"), cents.as("c"))
+      .groupBy(col("c"))
+      .agg(sum(when(col("g") === "click", 1L).otherwise(0L)).as("na"),
+        sum(when(col("g") === "view", 1L).otherwise(0L)).as("nb"))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = gh.agg(sum(col("na")).as("n1"), sum(col("nb")).as("n2"))
+    val contrib = gh
+      .withColumn("cuma", sum(col("na")).over(w))
+      .withColumn("cumb", sum(col("nb")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        round((col("na") + col("nb")).cast("double")
+          * pow((col("cuma") * col("n2") - col("cumb") * col("n1"))
+              .cast("double")
+            / (col("n1") * col("n2")).cast("double"), 2.0) * 1e6, 0)
+          .cast("long").as("ce6"))
+    contrib.groupBy(col("n1"), col("n2"))
+      .agg(sum(col("ce6")).as("sum_e6"))
+      .select(col("n1"), col("n2"), col("sum_e6"),
+        e6((col("n1") * col("n2")).cast("double")
+          / ((col("n1") + col("n2")) * (col("n1") + col("n2")))
+            .cast("double")
+          * col("sum_e6").cast("double") / lit(1e6)).as("t_e6"))
+      .ordered(col("n1"))
+  }
+
+  private val q446Sql: String =
+    s"""WITH ev AS (SELECT event_type AS g,
+       |        CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+       |      WHERE event_type IN ('click', 'view')),
+       |gh AS (SELECT c,
+       |         CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS na,
+       |         CAST(SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS nb
+       |       FROM ev GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(na) AS BIGINT) AS n1,
+       |          CAST(SUM(nb) AS BIGINT) AS n2 FROM gh),
+       |cu AS (SELECT na, nb,
+       |         CAST(SUM(na) OVER (ORDER BY c) AS BIGINT) AS cuma,
+       |         CAST(SUM(nb) OVER (ORDER BY c) AS BIGINT) AS cumb
+       |       FROM gh),
+       |co AS (SELECT n1, n2,
+       |         CAST(ROUND((na + nb)::DOUBLE *
+       |           ((cuma * n2 - cumb * n1)::DOUBLE /
+       |             (n1 * n2)::DOUBLE) ^ 2 * 1e6, 0) AS BIGINT) AS ce6
+       |       FROM cu, tot),
+       |agg AS (SELECT n1, n2, CAST(SUM(ce6) AS BIGINT) AS sum_e6
+       |        FROM co GROUP BY 1, 2)
+       |SELECT n1, n2, sum_e6,
+       |  ${sqlE6("(n1 * n2)::DOUBLE / ((n1 + n2) * (n1 + n2))::DOUBLE" +
+          " * sum_e6::DOUBLE / 1e6")} AS t_e6
+       |FROM agg ORDER BY n1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q447 — systematic-sampling bias audit: the every-17th-event
+  // sample (event_id % 17 — arrival-order systematic, the cheapest
+  // production sampler) vs the full population, per event type:
+  // counts and truncated integer micro-cent means on BOTH sides plus
+  // the bias. Exact integer division (div / //) everywhere — the
+  // audit that decides whether the cheap sampler is safe for a
+  // monitoring dashboard.
+  private val q447: Q = (s, dir) => {
+    t(s, dir, "events")
+      .select(col("event_type"), cents.as("c"),
+        (col("event_id") % 17L === 0L).as("inS"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pop"),
+        sum(col("c")).as("sum_pop"),
+        sum(when(col("inS"), 1L).otherwise(0L)).as("n_samp"),
+        sum(when(col("inS"), col("c")).otherwise(0L)).as("sum_samp"))
+      .select(col("event_type"), col("n_pop"), col("n_samp"),
+        expr("sum_pop * 1000000 div n_pop").as("mean_pop_micro"),
+        expr("sum_samp * 1000000 div n_samp").as("mean_samp_micro"),
+        expr("sum_samp * 1000000 div n_samp" +
+          " - sum_pop * 1000000 div n_pop").as("bias_micro"))
+      .ordered(col("event_type"))
+  }
+
+  private val q447Sql: String =
+    s"""WITH ev AS (SELECT event_type,
+       |        CAST(ROUND(value * 100) AS BIGINT) AS c,
+       |        event_id % 17 = 0 AS inS
+       |      FROM events),
+       |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pop,
+       |        CAST(SUM(c) AS BIGINT) AS sum_pop,
+       |        CAST(SUM(CASE WHEN inS THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS n_samp,
+       |        CAST(SUM(CASE WHEN inS THEN c ELSE 0 END) AS BIGINT)
+       |          AS sum_samp
+       |      FROM ev GROUP BY 1)
+       |SELECT event_type, n_pop, n_samp,
+       |  CAST(sum_pop * 1000000 // n_pop AS BIGINT) AS mean_pop_micro,
+       |  CAST(sum_samp * 1000000 // n_samp AS BIGINT)
+       |    AS mean_samp_micro,
+       |  CAST(sum_samp * 1000000 // n_samp
+       |    - sum_pop * 1000000 // n_pop AS BIGINT) AS bias_micro
+       |FROM a ORDER BY event_type""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q438_store_band_profile" -> q438,
+    "q439_ivf_exact_topk" -> q439,
+    "q440_zone_map_audit" -> q440,
+    "q441_corr_selectivity" -> q441,
+    "q442_wasserstein_pairs" -> q442,
+    "q443_ansari_bradley" -> q443,
+    "q444_rle_advisor" -> q444,
+    "q445_rater_kappa" -> q445,
+    "q446_cvm_two_sample" -> q446,
+    "q447_sampling_bias" -> q447)
+
+  val oracle: Map[String, String] = Map(
+    "q438_store_band_profile" -> q438Sql,
+    "q439_ivf_exact_topk" -> q439Sql,
+    "q440_zone_map_audit" -> q440Sql,
+    "q441_corr_selectivity" -> q441Sql,
+    "q442_wasserstein_pairs" -> q442Sql,
+    "q443_ansari_bradley" -> q443Sql,
+    "q444_rle_advisor" -> q444Sql,
+    "q445_rater_kappa" -> q445Sql,
+    "q446_cvm_two_sample" -> q446Sql,
+    "q447_sampling_bias" -> q447Sql)
+}

@@ -542,8 +542,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
                           // (source, token) contingency cells
     "q433_nzv_screen",    // 1-row top-2-frequency brackets per
                           // audited column
-    "q437_dict_advisor")  // 1-row totals/entropy brackets per
+    "q437_dict_advisor",  // 1-row totals/entropy brackets per
                           // audited column
+    "q440_zone_map_audit", // 1-row kmax bracket + 8-row probe-range
+                          // spine vs the 32-row zone table / orders
+    "q441_corr_selectivity", // 9-row predicate-grid spine vs lineitem
+    "q442_wasserstein_pairs", // 5-row type spine vs the bounded
+                          // distinct-cents value spine
+    "q443_ansari_bradley", // 1-row N/n1 bracket vs the score histogram
+    "q446_cvm_two_sample") // 1-row n1/n2 bracket vs the value
+                          // histogram
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
