@@ -629,7 +629,220 @@ object RoundTen {
        |    - sum_pop * 1000000 // n_pop AS BIGINT) AS bias_micro
        |FROM a ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q448 — cross-sectional partial correlation per return flag:
+  // r(quantity, price-dollars | discount-pct) — does the qty-price
+  // relation survive controlling for discount? All three pairwise
+  // Pearson r from EXACT 128-bit integer moment sums: the
+  // first-moment SQUARE (sum y)^2 overflows BIGINT at any real scale,
+  // so the moments ride Spark DECIMAL(12,0) inputs (exact decimal
+  // sums/products) mirrored by DuckDB's HUGEINT SUM — identical exact
+  // integers on both engines, and only the final r/partial-r step is
+  // a double. Complements the q256 correlation matrix (marginal) and
+  // q363 pacf (temporal) with the conditional cross-sectional member.
+  private val q448: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+      expr("CAST(ROUND(l_quantity) AS DECIMAL(12,0))").as("x"),
+      expr("CAST(ROUND(l_extendedprice) AS DECIMAL(12,0))").as("y"),
+      expr("CAST(ROUND(l_discount * 100) AS DECIMAL(12,0))").as("z"))
+    def r(sxy: Column, sx: Column, sy: Column,
+          sx2: Column, sy2: Column, n: Column): Column = {
+      val num = (n * sxy - sx * sy).cast("double")
+      val den = sqrt((n * sx2 - sx * sx).cast("double")
+        * (n * sy2 - sy * sy).cast("double"))
+      when(den > 0.0, num / den).otherwise(lit(0.0))
+    }
+    li.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("z")).as("sz"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("y") * col("y")).as("sy2"),
+        sum(col("z") * col("z")).as("sz2"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("z")).as("sxz"),
+        sum(col("y") * col("z")).as("syz"))
+      .select(col("g"), col("n"),
+        e6(r(col("sxy"), col("sx"), col("sy"), col("sx2"), col("sy2"),
+          col("n"))).as("rxy_e6"),
+        e6 {
+          val rxy = r(col("sxy"), col("sx"), col("sy"), col("sx2"),
+            col("sy2"), col("n"))
+          val rxz = r(col("sxz"), col("sx"), col("sz"), col("sx2"),
+            col("sz2"), col("n"))
+          val rzy = r(col("syz"), col("sz"), col("sy"), col("sz2"),
+            col("sy2"), col("n"))
+          val den = sqrt((lit(1.0) - rxz * rxz)
+            * (lit(1.0) - rzy * rzy))
+          when(den > 0.0, (rxy - rxz * rzy) / den).otherwise(lit(0.0))
+        }.as("partial_e6"))
+      .ordered(col("g"))
+  }
+
+  private val q448Sql: String = {
+    def r(sxy: String, sx: String, sy: String, sx2: String,
+          sy2: String): String =
+      s"(CASE WHEN (n * $sx2 - $sx * $sx) > 0 AND " +
+        s"(n * $sy2 - $sy * $sy) > 0 THEN " +
+        s"(n * $sxy - $sx * $sy)::DOUBLE / SQRT(" +
+        s"((n * $sx2 - $sx * $sx) * (n * $sy2 - $sy * $sy))::DOUBLE) " +
+        "ELSE 0.0 END)"
+    val rxy = r("sxy", "sx", "sy", "sx2", "sy2")
+    val rxz = r("sxz", "sx", "sz", "sx2", "sz2")
+    val rzy = r("syz", "sz", "sy", "sz2", "sy2")
+    s"""WITH li AS (SELECT l_returnflag AS g,
+       |        CAST(ROUND(l_quantity) AS BIGINT) AS x,
+       |        CAST(ROUND(l_extendedprice) AS BIGINT) AS y,
+       |        CAST(ROUND(l_discount * 100) AS BIGINT) AS z
+       |      FROM lineitem),
+       |a AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+       |        SUM(CAST(x AS HUGEINT)) AS sx,
+       |        SUM(CAST(y AS HUGEINT)) AS sy,
+       |        SUM(CAST(z AS HUGEINT)) AS sz,
+       |        SUM(CAST(x AS HUGEINT) * x) AS sx2,
+       |        SUM(CAST(y AS HUGEINT) * y) AS sy2,
+       |        SUM(CAST(z AS HUGEINT) * z) AS sz2,
+       |        SUM(CAST(x AS HUGEINT) * y) AS sxy,
+       |        SUM(CAST(x AS HUGEINT) * z) AS sxz,
+       |        SUM(CAST(y AS HUGEINT) * z) AS syz
+       |      FROM li GROUP BY 1)
+       |SELECT g, CAST(n AS BIGINT) AS n, ${sqlE6(rxy)} AS rxy_e6,
+       |  ${sqlE6(s"CASE WHEN (1.0 - $rxz * $rxz) * (1.0 - $rzy * " +
+          s"$rzy) > 0.0 THEN ($rxy - $rxz * $rzy) / SQRT((1.0 - " +
+          s"$rxz * $rxz) * (1.0 - $rzy * $rzy)) ELSE 0.0 END")}
+       |    AS partial_e6
+       |FROM a ORDER BY g""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q449 — substring-match vs token-match selectivity: for a fixed
+  // keyword spine, how many documents a LIKE '%kw%' scan matches vs
+  // an exact-token (inverted-index) lookup. The divergence is the
+  // recall an index-backed retrieval path (InvertedIndexStore) gives
+  // up vs a full-scan substring search — the audit that decides
+  // whether the 100 TB query pattern can live on the index.
+  private val q449: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .select(lower(col("text")).as("txt"),
+        TextOps.tokens(col("text")).as("toks"))
+    val kws = kwSpine(s)
+    d.crossJoin(broadcast(kws))
+      .groupBy(col("kw"))
+      .agg(sum(when(array_contains(col("toks"), col("kw")), 1L)
+          .otherwise(0L)).as("n_token"),
+        sum(when(instr(col("txt"), col("kw")) > 0, 1L).otherwise(0L))
+          .as("n_substr"))
+      .select(col("kw"), col("n_token"), col("n_substr"),
+        (col("n_substr") - col("n_token")).as("n_lost"),
+        when(col("n_substr") > 0L,
+          e6(col("n_token").cast("double")
+            / col("n_substr").cast("double"))).otherwise(lit(0L))
+          .as("index_recall_e6"))
+      .ordered(col("kw"))
+  }
+
+  /** Fixed keyword spine for q449 — stems that also occur inside
+    * longer tokens, so the two match modes genuinely diverge. */
+  private def kwSpine(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq("key", "row", "scan", "sort", "a").toDF("kw")
+  }
+
+  private val q449Sql: String =
+    s"""WITH d AS (SELECT lower(text) AS txt,
+       |        regexp_split_to_array(lower(trim(text)), '\\s+')
+       |          AS toks
+       |      FROM documents),
+       |kws AS (SELECT UNNEST(['key', 'row', 'scan', 'sort', 'a'])
+       |          AS kw),
+       |a AS (SELECT kw,
+       |        CAST(SUM(CASE WHEN list_contains(toks, kw)
+       |          THEN 1 ELSE 0 END) AS BIGINT) AS n_token,
+       |        CAST(SUM(CASE WHEN strpos(txt, kw) > 0
+       |          THEN 1 ELSE 0 END) AS BIGINT) AS n_substr
+       |      FROM d CROSS JOIN kws GROUP BY 1)
+       |SELECT kw, n_token, n_substr,
+       |  CAST(n_substr - n_token AS BIGINT) AS n_lost,
+       |  CASE WHEN n_substr > 0 THEN
+       |    ${sqlE6("n_token::DOUBLE / n_substr::DOUBLE")}
+       |  ELSE 0 END AS index_recall_e6
+       |FROM a ORDER BY kw""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q450 — join-order cost audit: the ACTUAL intermediate
+  // cardinalities of the three left-deep orders of
+  // customer ⋈ orders(filtered) ⋈ lineitem(filtered) — the ground
+  // truth a cost-based join reorderer tries to predict (q425 audits
+  // the estimator; this measures what it should have estimated).
+  // Reports each order's max intermediate size and the ratio of the
+  // worst to the best plan — the "how much does join order matter
+  // here" number.
+  private val q450: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = t(s, dir, "lineitem")
+      .filter(expr("CAST(ROUND(l_quantity) AS BIGINT)") >= 40L)
+      .select(col("l_orderkey"))
+    val co = c.join(o, col("c_custkey") === col("o_custkey"))
+      .agg(count(lit(1)).as("n_co"))
+    val ol = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("n_ol"))
+    val fin = c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("n_final"))
+    val sizes = c.agg(count(lit(1)).as("n_c"))
+      .crossJoin(broadcast(o.agg(count(lit(1)).as("n_o"))))
+      .crossJoin(broadcast(l.agg(count(lit(1)).as("n_l"))))
+      .crossJoin(broadcast(co)).crossJoin(broadcast(ol))
+      .crossJoin(broadcast(fin))
+    // left-deep orders: (C⋈O)⋈L peaks at n_co, (O⋈L)⋈C at n_ol;
+    // inputs count toward the peak too
+    sizes.select(col("n_c"), col("n_o"), col("n_l"), col("n_co"),
+        col("n_ol"), col("n_final"),
+        greatest(col("n_co"), col("n_ol")).as("worst_mid"),
+        least(col("n_co"), col("n_ol")).as("best_mid"),
+        when(least(col("n_co"), col("n_ol")) > 0L,
+          e6(greatest(col("n_co"), col("n_ol")).cast("double")
+            / least(col("n_co"), col("n_ol")).cast("double")))
+          .otherwise(lit(0L)).as("order_benefit_e6"))
+      .ordered(col("n_final"))
+  }
+
+  private val q450Sql: String =
+    s"""WITH c AS (SELECT c_custkey FROM customer
+       |      WHERE c_mktsegment = 'BUILDING'),
+       |o AS (SELECT o_orderkey, o_custkey FROM orders
+       |      WHERE o_orderpriority = '1-URGENT'),
+       |l AS (SELECT l_orderkey FROM lineitem
+       |      WHERE CAST(ROUND(l_quantity) AS BIGINT) >= 40),
+       |s AS (SELECT
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_c,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM o) AS n_o,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM l) AS n_l,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM c
+       |       JOIN o ON c_custkey = o_custkey) AS n_co,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM o
+       |       JOIN l ON o_orderkey = l_orderkey) AS n_ol,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM c
+       |       JOIN o ON c_custkey = o_custkey
+       |       JOIN l ON o_orderkey = l_orderkey) AS n_final)
+       |SELECT n_c, n_o, n_l, n_co, n_ol, n_final,
+       |  GREATEST(n_co, n_ol) AS worst_mid,
+       |  LEAST(n_co, n_ol) AS best_mid,
+       |  CASE WHEN LEAST(n_co, n_ol) > 0 THEN
+       |    ${sqlE6("GREATEST(n_co, n_ol)::DOUBLE / " +
+          "LEAST(n_co, n_ol)::DOUBLE")}
+       |  ELSE 0 END AS order_benefit_e6
+       |FROM s ORDER BY n_final""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q448_partial_corr" -> q448,
+    "q449_substring_vs_token" -> q449,
+    "q450_join_order_audit" -> q450,
     "q438_store_band_profile" -> q438,
     "q439_ivf_exact_topk" -> q439,
     "q440_zone_map_audit" -> q440,
@@ -642,6 +855,9 @@ object RoundTen {
     "q447_sampling_bias" -> q447)
 
   val oracle: Map[String, String] = Map(
+    "q448_partial_corr" -> q448Sql,
+    "q449_substring_vs_token" -> q449Sql,
+    "q450_join_order_audit" -> q450Sql,
     "q438_store_band_profile" -> q438Sql,
     "q439_ivf_exact_topk" -> q439Sql,
     "q440_zone_map_audit" -> q440Sql,

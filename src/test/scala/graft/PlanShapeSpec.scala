@@ -550,8 +550,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     "q442_wasserstein_pairs", // 5-row type spine vs the bounded
                           // distinct-cents value spine
     "q443_ansari_bradley", // 1-row N/n1 bracket vs the score histogram
-    "q446_cvm_two_sample") // 1-row n1/n2 bracket vs the value
+    "q446_cvm_two_sample", // 1-row n1/n2 bracket vs the value
                           // histogram
+    "q449_substring_vs_token", // 5-row keyword spine vs documents
+    "q450_join_order_audit") // six 1-row cardinality brackets
+                          // combined into the single output row
 
   test("full declared-query sweep: every plan builds, zero cartesian " +
       "products, BNLJ only where deliberate") {
