@@ -839,7 +839,184 @@ object RoundTen {
        |  ELSE 0 END AS order_benefit_e6
        |FROM s ORDER BY n_final""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q451 — safety-stock / reorder-point advisor per brand: daily
+  // shipped demand on the zero-filled (brand x day) spine, demand
+  // sigma from exact integer sums, safety stock z*sigma*sqrt(LT) at
+  // z = 1.645 (one shared double literal, the q421 bloom-constant
+  // discipline) and lead time 7 days. The inventory-planning output
+  // a replenishment pipeline computes per SKU at scale; the grid is
+  // brands x day-domain — bounded, never lineitem-sized.
+  private val q451: Q = (s, dir) => {
+    val d = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        datediff(col("l_shipdate"), to_date(lit("1970-01-01")))
+          .cast("long").as("day"),
+        expr("CAST(ROUND(l_quantity) AS BIGINT)").as("q"))
+    val daily = d.groupBy(col("brand"), col("day"))
+      .agg(sum(col("q")).as("y"))
+    val b = daily.agg(min(col("day")).as("dlo"),
+      max(col("day")).as("dhi"))
+    val spine = b.select(explode(sequence(col("dlo"), col("dhi")))
+      .as("day"))
+    val brands = daily.select(col("brand")).distinct()
+    val z = spine.crossJoin(broadcast(brands))
+      .join(daily, Seq("brand", "day"), "left")
+      .withColumn("y", coalesce(col("y"), lit(0L)))
+    def variance: Column = greatest(lit(0.0),
+      (col("n_days") * col("sq2") - col("sq") * col("sq"))
+        .cast("double")
+        / (col("n_days") * (col("n_days") - 1L)).cast("double"))
+    z.groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).as("sq"),
+        sum(col("y") * col("y")).as("sq2"))
+      .select(col("brand"), col("n_days"),
+        expr("sq * 1000000 div n_days").as("mean_daily_micro"),
+        e6(sqrt(variance)).as("sd_e6"),
+        e6(lit(1.645) * sqrt(lit(7.0)) * sqrt(variance))
+          .as("safety_stock_e6"))
+      .ordered(col("brand"))
+  }
+
+  private val q451Sql: String =
+    s"""WITH d AS (SELECT p_brand AS brand,
+       |        DATE_DIFF('day', TIMESTAMP '1970-01-01', l_shipdate)
+       |          AS day,
+       |        CAST(ROUND(l_quantity) AS BIGINT) AS q
+       |      FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |daily AS (SELECT brand, day, CAST(SUM(q) AS BIGINT) AS y
+       |          FROM d GROUP BY 1, 2),
+       |b AS (SELECT MIN(day) AS dlo, MAX(day) AS dhi FROM daily),
+       |spine AS (SELECT unnest(range(dlo, dhi + 1)) AS day FROM b),
+       |brands AS (SELECT DISTINCT brand FROM daily),
+       |z AS (SELECT br.brand, s.day, COALESCE(da.y, 0) AS y
+       |      FROM spine s CROSS JOIN brands br
+       |      LEFT JOIN daily da
+       |        ON da.brand = br.brand AND da.day = s.day),
+       |a AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |        CAST(SUM(y) AS BIGINT) AS sq,
+       |        CAST(SUM(y * y) AS BIGINT) AS sq2
+       |      FROM z GROUP BY 1)
+       |SELECT brand, n_days,
+       |  CAST(sq * 1000000 // n_days AS BIGINT) AS mean_daily_micro,
+       |  ${sqlE6("SQRT(GREATEST(0.0, (n_days * sq2 - sq * sq)" +
+          "::DOUBLE / (n_days * (n_days - 1))::DOUBLE))")} AS sd_e6,
+       |  ${sqlE6("1.645 * SQRT(7.0) * SQRT(GREATEST(0.0, " +
+          "(n_days * sq2 - sq * sq)::DOUBLE / " +
+          "(n_days * (n_days - 1))::DOUBLE))")} AS safety_stock_e6
+       |FROM a ORDER BY brand""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q452 — price-ending (psychological pricing) audit: the cents
+  // ending (mod 100) distribution of order totals, top-10 endings
+  // and the closed-form uniformity chi-square
+  // chi2 = 100*sum(obs^2)/n - n (exact BIGINT inputs — no per-cell
+  // expected-count doubles at all). The pricing-integrity screen a
+  // retail warehouse runs alongside Benford (q209).
+  private val q452: Q = (s, dir) => {
+    val end = t(s, dir, "orders")
+      .select(pmod(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"),
+        lit(100L)).as("ending"))
+      .groupBy(col("ending")).agg(count(lit(1)).as("n_obs"))
+      .localCheckpoint(false)
+    val tot = end.agg(sum(col("n_obs")).as("n"),
+      sum(col("n_obs") * col("n_obs")).as("ssq"))
+    end.crossJoin(broadcast(tot))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_obs").desc, col("ending"))))
+      .filter(col("rk") <= 10)
+      .select(col("ending"), col("n_obs"),
+        e6((lit(100L) * col("ssq")).cast("double")
+          / col("n").cast("double") - col("n").cast("double"))
+          .as("chi2_e6"))
+      .ordered(col("n_obs").desc, col("ending"))
+  }
+
+  private val q452Sql: String =
+    s"""WITH e AS (SELECT
+       |        CAST(ROUND(o_totalprice * 100) AS BIGINT) % 100
+       |          AS ending,
+       |        CAST(COUNT(*) AS BIGINT) AS n_obs
+       |      FROM orders GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n,
+       |          CAST(SUM(n_obs * n_obs) AS BIGINT) AS ssq FROM e),
+       |r AS (SELECT ending, n_obs, n, ssq, ROW_NUMBER() OVER (
+       |        ORDER BY n_obs DESC, ending) AS rk FROM e, tot)
+       |SELECT ending, n_obs,
+       |  ${sqlE6("(100 * ssq)::DOUBLE / n::DOUBLE - n::DOUBLE")}
+       |    AS chi2_e6
+       |FROM r WHERE rk <= 10
+       |ORDER BY n_obs DESC, ending""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q453 — compaction preserves the store: write (doc_id % 4 = 0) +
+  // append (doc_id % 4 = 2) a NearDupGraphStore on the even-id half
+  // corpus, COMPACT it, then read the q438 band profile from the
+  // compacted files. The oracle is the plain text derivation over
+  // the same half corpus — a green row pins write+append+compact ==
+  // scan end to end in the driver-checked surface (the spec pins the
+  // file-count drop; this pins the data).
+  private val q453: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").filter(col("doc_id") % 2L === 0L)
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft-ndg-compact-q453"
+    NearDupGraphStore.write(s,
+      docs.filter(col("doc_id") % 4L === 0L), "doc_id", "text",
+      n = 3, baseT = 0.3, componentThresholds = Seq(0.4), path)
+    NearDupGraphStore.append(s,
+      docs.filter(col("doc_id") % 4L =!= 0L), "doc_id", "text",
+      componentThresholds = Seq(0.4), path)
+    NearDupGraphStore.compact(s, path)
+    NearDupGraphStore.groupPairs(s, path, 0.3)
+      .select(
+        least(floor(col("jaccard") * 10.0), lit(9.0)).cast("long")
+          .as("jband"),
+        when(col("rid1") === col("rid2"),
+          expr("g1 * (g1 - 1) div 2"))
+          .otherwise(col("g1") * col("g2")).as("npairs"),
+        round(col("jaccard") * 1e6, 0).cast("long").as("je6"))
+      .groupBy(col("jband"))
+      .agg(sum(col("npairs")).as("n_doc_pairs"),
+        sum(col("npairs") * col("je6")).as("j_e6_sum"))
+      .ordered(col("jband"))
+  }
+
+  private val q453Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |s AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tk) >= 3
+       |      THEN list_distinct(list_transform(range(1, len(tk) - 1),
+       |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+       |      ELSE [] END AS sh
+       |  FROM d),
+       |inv AS (SELECT doc_id, unnest(sh) AS s1 FROM s),
+       |pp AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+       |  FROM inv a JOIN inv b ON a.s1 = b.s1 AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+       |pr AS (
+       |  SELECT id1, id2, shared * 1.0 / (x.n + y.n - shared) AS j
+       |  FROM pp JOIN sz x ON id1 = x.doc_id
+       |  JOIN sz y ON id2 = y.doc_id
+       |  WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.3),
+       |b AS (SELECT LEAST(CAST(FLOOR(j * 10) AS BIGINT), 9) AS jband,
+       |        CAST(ROUND(j * 1e6, 0) AS BIGINT) AS je6 FROM pr)
+       |SELECT jband, CAST(COUNT(*) AS BIGINT) AS n_doc_pairs,
+       |  CAST(SUM(je6) AS BIGINT) AS j_e6_sum
+       |FROM b GROUP BY 1 ORDER BY jband""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q451_safety_stock" -> q451,
+    "q452_price_endings" -> q452,
+    "q453_store_compaction" -> q453,
     "q448_partial_corr" -> q448,
     "q449_substring_vs_token" -> q449,
     "q450_join_order_audit" -> q450,
@@ -855,6 +1032,9 @@ object RoundTen {
     "q447_sampling_bias" -> q447)
 
   val oracle: Map[String, String] = Map(
+    "q451_safety_stock" -> q451Sql,
+    "q452_price_endings" -> q452Sql,
+    "q453_store_compaction" -> q453Sql,
     "q448_partial_corr" -> q448Sql,
     "q449_substring_vs_token" -> q449Sql,
     "q450_join_order_audit" -> q450Sql,

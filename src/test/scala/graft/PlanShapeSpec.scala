@@ -553,6 +553,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     "q446_cvm_two_sample", // 1-row n1/n2 bracket vs the value
                           // histogram
     "q449_substring_vs_token", // 5-row keyword spine vs documents
+    "q451_safety_stock",  // 25-row brand spine vs the day-domain
+                          // spine (bounded grid, never lineitem-sized)
+    "q452_price_endings", // 1-row n/sum-sq bracket vs the 100-row
+                          // ending histogram
     "q450_join_order_audit") // six 1-row cardinality brackets
                           // combined into the single output row
 
