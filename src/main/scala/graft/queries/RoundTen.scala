@@ -1013,7 +1013,171 @@ object RoundTen {
        |  CAST(SUM(je6) AS BIGINT) AS j_e6_sum
        |FROM b GROUP BY 1 ORDER BY jband""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q454 — shuffle-partition sizing advisor: per table, estimated
+  // in-flight bytes (declared fixed per-row overheads + the ACTUAL
+  // variable text/props byte sums) and the recommended
+  // spark.sql.shuffle.partitions at the 128 MiB-per-partition rule,
+  // floored at 32. The sizing arithmetic this repo's own
+  // SessionBuilder applies, made auditable: all integer (ceil by
+  // (b + m - 1) div m).
+  private val q454: Q = (s, dir) => {
+    def row(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("tbl"), col("n_rows"), col("est_bytes"),
+        greatest(lit(32L),
+          expr("(est_bytes + 134217727) div 134217728"))
+          .as("rec_partitions"))
+    val li = t(s, dir, "lineitem")
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) * 82L).as("est_bytes"))
+    val or = t(s, dir, "orders")
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) * 64L).as("est_bytes"))
+    val ev = t(s, dir, "events")
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) * 48L
+          + sum(length(col("props")).cast("long"))).as("est_bytes"))
+    val dc = t(s, dir, "documents")
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) * 24L
+          + sum(length(col("text")).cast("long"))).as("est_bytes"))
+    val em = t(s, dir, "embeddings")
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) * 528L).as("est_bytes"))
+    row("lineitem", li)
+      .unionByName(row("orders", or))
+      .unionByName(row("events", ev))
+      .unionByName(row("documents", dc))
+      .unionByName(row("embeddings", em))
+      .ordered(col("tbl"))
+  }
+
+  private val q454Sql: String =
+    s"""WITH a AS (
+       |  SELECT 'lineitem' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(COUNT(*) * 82 AS BIGINT) AS est_bytes FROM lineitem
+       |  UNION ALL
+       |  SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(*) * 64 AS BIGINT) FROM orders
+       |  UNION ALL
+       |  SELECT 'events', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(*) * 48 + SUM(length(props)) AS BIGINT)
+       |  FROM events
+       |  UNION ALL
+       |  SELECT 'documents', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(*) * 24 + SUM(length(text)) AS BIGINT)
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT 'embeddings', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(*) * 528 AS BIGINT) FROM embeddings)
+       |SELECT tbl, n_rows, est_bytes,
+       |  CAST(GREATEST(32, (est_bytes + 134217727) // 134217728)
+       |    AS BIGINT) AS rec_partitions
+       |FROM a ORDER BY tbl""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q455 — hash-partition skew audit: orders routed to 32 buckets by
+  // pmod(o_custkey, 32) (the declared engine-neutral partitioner —
+  // the audit shape, not murmur3), per-bucket row counts vs the
+  // bucket median (exact 2x: the 16th+17th of 32), flagged at the
+  // 5x-median AQE skew threshold. The partition-level companion of
+  // the q223 per-key skew advisor: q223 says WHICH keys are heavy,
+  // this says whether the default hash layout needs AQE/salting at
+  // all.
+  private val q455: Q = (s, dir) => {
+    val b = t(s, dir, "orders")
+      .select(pmod(col("o_custkey"), lit(32L)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint(false)
+    val ranked = b.withColumn("rk", row_number().over(
+      Window.orderBy(col("n_rows"), col("bucket"))))
+    val stats = ranked.agg(max(col("n_rows")).as("max_n"),
+      sum(col("n_rows")).as("n_total"),
+      sum(when(col("rk").isin(16, 17), col("n_rows")).otherwise(0L))
+        .as("med2x"))
+    b.crossJoin(broadcast(stats))
+      .select(col("bucket"), col("n_rows"),
+        e6(col("n_rows").cast("double") / col("n_total").cast("double"))
+          .as("share_e6"),
+        col("max_n"), col("med2x"),
+        (col("n_rows") * 2L > col("med2x") * 5L).as("skewed"))
+      .ordered(col("bucket"))
+  }
+
+  private val q455Sql: String =
+    s"""WITH b AS (SELECT o_custkey % 32 AS bucket,
+       |        CAST(COUNT(*) AS BIGINT) AS n_rows
+       |      FROM orders GROUP BY 1),
+       |r AS (SELECT bucket, n_rows, ROW_NUMBER() OVER (
+       |        ORDER BY n_rows, bucket) AS rk FROM b),
+       |st AS (SELECT CAST(MAX(n_rows) AS BIGINT) AS max_n,
+       |         CAST(SUM(n_rows) AS BIGINT) AS n_total,
+       |         CAST(SUM(CASE WHEN rk IN (16, 17) THEN n_rows
+       |           ELSE 0 END) AS BIGINT) AS med2x
+       |       FROM r)
+       |SELECT bucket, n_rows,
+       |  ${sqlE6("n_rows::DOUBLE / n_total::DOUBLE")} AS share_e6,
+       |  max_n, med2x, n_rows * 2 > med2x * 5 AS skewed
+       |FROM b, st ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q456 — frame-of-reference (FOR/delta) encoding advisor: for each
+  // candidate lineitem column, block the table by its natural sort
+  // key (l_orderkey div 2048 — the storage-page proxy), measure the
+  // per-block value span, and estimate FOR-encoded bits
+  // (n*bitlen(span) + 64 frame base per block) vs raw 64-bit. Bit
+  // widths via length(bin(span)) — identical string semantics on
+  // both engines, no log2 ulp edge at powers of two. Completes the
+  // encoding-advisor trio: dictionary (q437), RLE (q444), FOR.
+  private val q456: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(
+      expr("l_orderkey div 2048").as("blk"),
+      expr("stack(3, 'l_partkey', l_partkey, 'l_suppkey', l_suppkey," +
+        " 'l_extprice_cents', CAST(ROUND(l_extendedprice * 100)" +
+        " AS BIGINT)) AS (col_name, val)"))
+    li.groupBy(col("col_name"), col("blk"))
+      .agg(count(lit(1)).as("n"),
+        (max(col("val")) - min(col("val"))).as("span"))
+      .groupBy(col("col_name"))
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_blocks"),
+        sum(col("n") * length(bin(col("span"))).cast("long") + 64L)
+          .as("for_bits"))
+      .select(col("col_name"), col("n_rows"), col("n_blocks"),
+        col("for_bits"),
+        e6(col("for_bits").cast("double")
+          / (col("n_rows") * 64L).cast("double")).as("ratio_e6"))
+      .ordered(col("col_name"))
+  }
+
+  private val q456Sql: String =
+    s"""WITH long AS (
+       |  SELECT l_orderkey // 2048 AS blk, 'l_partkey' AS col_name,
+       |    l_partkey AS val FROM lineitem
+       |  UNION ALL
+       |  SELECT l_orderkey // 2048, 'l_suppkey', l_suppkey
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT l_orderkey // 2048, 'l_extprice_cents',
+       |    CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+       |  FROM lineitem),
+       |blk AS (SELECT col_name, blk, CAST(COUNT(*) AS BIGINT) AS n,
+       |          CAST(MAX(val) - MIN(val) AS BIGINT) AS span
+       |        FROM long GROUP BY 1, 2),
+       |a AS (SELECT col_name, CAST(SUM(n) AS BIGINT) AS n_rows,
+       |        CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       |        CAST(SUM(n * length(bin(span)) + 64) AS BIGINT)
+       |          AS for_bits
+       |      FROM blk GROUP BY 1)
+       |SELECT col_name, n_rows, n_blocks, for_bits,
+       |  ${sqlE6("for_bits::DOUBLE / (n_rows * 64)::DOUBLE")}
+       |    AS ratio_e6
+       |FROM a ORDER BY col_name""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q454_shuffle_sizing" -> q454,
+    "q455_skew_bucket_audit" -> q455,
+    "q456_for_encoding_advisor" -> q456,
     "q451_safety_stock" -> q451,
     "q452_price_endings" -> q452,
     "q453_store_compaction" -> q453,
@@ -1032,6 +1196,9 @@ object RoundTen {
     "q447_sampling_bias" -> q447)
 
   val oracle: Map[String, String] = Map(
+    "q454_shuffle_sizing" -> q454Sql,
+    "q455_skew_bucket_audit" -> q455Sql,
+    "q456_for_encoding_advisor" -> q456Sql,
     "q451_safety_stock" -> q451Sql,
     "q452_price_endings" -> q452Sql,
     "q453_store_compaction" -> q453Sql,

@@ -557,6 +557,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
                           // spine (bounded grid, never lineitem-sized)
     "q452_price_endings", // 1-row n/sum-sq bracket vs the 100-row
                           // ending histogram
+    "q455_skew_bucket_audit", // 1-row max/median bracket vs the
+                          // 32-row bucket histogram
     "q450_join_order_audit") // six 1-row cardinality brackets
                           // combined into the single output row
 
