@@ -536,15 +536,19 @@ object RoundTen {
     val w = Window.orderBy(col("c"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = gh.agg(sum(col("na")).as("n1"), sum(col("nb")).as("n2"))
+    // explicit d*d, not pow(d, 2): pow is only 1-ulp accurate and
+    // not guaranteed identical across engines; multiplication is
     val contrib = gh
       .withColumn("cuma", sum(col("na")).over(w))
       .withColumn("cumb", sum(col("nb")).over(w))
       .crossJoin(broadcast(tot))
+      .withColumn("fd",
+        (col("cuma") * col("n2") - col("cumb") * col("n1"))
+          .cast("double")
+          / (col("n1") * col("n2")).cast("double"))
       .select(col("n1"), col("n2"),
         round((col("na") + col("nb")).cast("double")
-          * pow((col("cuma") * col("n2") - col("cumb") * col("n1"))
-              .cast("double")
-            / (col("n1") * col("n2")).cast("double"), 2.0) * 1e6, 0)
+          * col("fd") * col("fd") * 1e6, 0)
           .cast("long").as("ce6"))
     contrib.groupBy(col("n1"), col("n2"))
       .agg(sum(col("ce6")).as("sum_e6"))
@@ -573,10 +577,12 @@ object RoundTen {
        |         CAST(SUM(nb) OVER (ORDER BY c) AS BIGINT) AS cumb
        |       FROM gh),
        |co AS (SELECT n1, n2,
-       |         CAST(ROUND((na + nb)::DOUBLE *
-       |           ((cuma * n2 - cumb * n1)::DOUBLE /
-       |             (n1 * n2)::DOUBLE) ^ 2 * 1e6, 0) AS BIGINT) AS ce6
-       |       FROM cu, tot),
+       |         CAST(ROUND((na + nb)::DOUBLE * fd * fd * 1e6, 0)
+       |           AS BIGINT) AS ce6
+       |       FROM (SELECT na, nb, n1, n2,
+       |               (cuma * n2 - cumb * n1)::DOUBLE /
+       |                 (n1 * n2)::DOUBLE AS fd
+       |             FROM cu, tot)),
        |agg AS (SELECT n1, n2, CAST(SUM(ce6) AS BIGINT) AS sum_e6
        |        FROM co GROUP BY 1, 2)
        |SELECT n1, n2, sum_e6,
