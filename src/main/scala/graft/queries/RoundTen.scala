@@ -1180,7 +1180,53 @@ object RoundTen {
        |    AS ratio_e6
        |FROM a ORDER BY col_name""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q457 — streaming state-store sizing audit: per 10-minute
+  // event-time tumbling window, events and DISTINCT active users
+  // (the state rows a streaming dedup/session operator holds before
+  // the watermark closes the window), top-10 windows by state size
+  // plus the peak / window-count bracket. The number that sizes
+  // executor memory for the Structured Streaming deployment of the
+  // q429-q430 family; 64 bytes/key is the declared state-row
+  // estimate (key + two timestamps + overhead).
+  private val q457: Q = (s, dir) => {
+    val w = t(s, dir, "events")
+      .select(expr("(ts_ns div 1000) div 600000000").as("win"),
+        col("user_id"))
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .localCheckpoint(false)
+    val tot = w.agg(count(lit(1)).as("n_windows"),
+      max(col("n_users")).as("peak_users"))
+    w.crossJoin(broadcast(tot))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_users").desc, col("win"))))
+      .filter(col("rk") <= 10)
+      .select(col("win"), col("n_events"), col("n_users"),
+        (col("n_users") * 64L).as("state_bytes_est"),
+        col("n_windows"), col("peak_users"))
+      .ordered(col("n_users").desc, col("win"))
+  }
+
+  private val q457Sql: String =
+    s"""WITH w AS (SELECT epoch_us(ts) // 600000000 AS win,
+       |        CAST(COUNT(*) AS BIGINT) AS n_events,
+       |        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       |      FROM events GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |          CAST(MAX(n_users) AS BIGINT) AS peak_users FROM w),
+       |r AS (SELECT win, n_events, n_users, n_windows, peak_users,
+       |        ROW_NUMBER() OVER (ORDER BY n_users DESC, win) AS rk
+       |      FROM w, tot)
+       |SELECT win, n_events, n_users,
+       |  CAST(n_users * 64 AS BIGINT) AS state_bytes_est,
+       |  n_windows, peak_users
+       |FROM r WHERE rk <= 10
+       |ORDER BY n_users DESC, win""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "q457_state_sizing" -> q457,
     "q454_shuffle_sizing" -> q454,
     "q455_skew_bucket_audit" -> q455,
     "q456_for_encoding_advisor" -> q456,
@@ -1202,6 +1248,7 @@ object RoundTen {
     "q447_sampling_bias" -> q447)
 
   val oracle: Map[String, String] = Map(
+    "q457_state_sizing" -> q457Sql,
     "q454_shuffle_sizing" -> q454Sql,
     "q455_skew_bucket_audit" -> q455Sql,
     "q456_for_encoding_advisor" -> q456Sql,

@@ -559,6 +559,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
                           // ending histogram
     "q455_skew_bucket_audit", // 1-row max/median bracket vs the
                           // 32-row bucket histogram
+    "q457_state_sizing",  // 1-row peak/window-count bracket vs the
+                          // bounded window table
     "q450_join_order_audit") // six 1-row cardinality brackets
                           // combined into the single output row
 
