@@ -31,6 +31,16 @@ object RoundTen {
   /** Exact event-value cents (the house integer pin for `value`). */
   private def cents: Column = expr("CAST(ROUND(value * 100) AS BIGINT)")
 
+  /** Corpus-keyed tmp store path (the sharedNdgStore keying idiom):
+    * two runs against different scale factors — or Verify concurrent
+    * with Bench — must never interleave write/append/compact on the
+    * same store directory. */
+  private def tmpStorePath(tag: String, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    s"${System.getProperty("java.io.tmpdir")}/$tag-$key"
+  }
+
   // ---------------------------------------------------------------
   // q438 — store READ-path band profile: per-jband doc-pair counts
   // and exact integer jaccard mass, read from the SHARED ensured
@@ -75,8 +85,7 @@ object RoundTen {
   // (bit-identical folds both sides); output order pins on the e6.
   private val q439: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
-    val path =
-      s"${System.getProperty("java.io.tmpdir")}/graft-ivf-exact-q439"
+    val path = tmpStorePath("graft-ivf-exact-q439", dir)
     IvfVectorStore.write(s, emb, "vec_id", "embedding",
       nCentroids = 16, path)
     IvfVectorStore.searchTopKExact(s, path,
@@ -259,7 +268,6 @@ object RoundTen {
       .join(gh, Seq("g", "c"), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))
     val wCum = Window.partitionBy(col("g")).orderBy(col("c"))
-    val wGap = Window.orderBy(col("c"))
     val cum = grid
       .withColumn("cum", sum(col("n")).over(wCum))
       .withColumn("gap",
@@ -609,9 +617,10 @@ object RoundTen {
         sum(when(col("inS"), col("c")).otherwise(0L)).as("sum_samp"))
       .select(col("event_type"), col("n_pop"), col("n_samp"),
         expr("sum_pop * 1000000 div n_pop").as("mean_pop_micro"),
-        expr("sum_samp * 1000000 div n_samp").as("mean_samp_micro"),
-        expr("sum_samp * 1000000 div n_samp" +
-          " - sum_pop * 1000000 div n_pop").as("bias_micro"))
+        expr("CASE WHEN n_samp > 0 THEN sum_samp * 1000000 div n_samp" +
+          " ELSE 0 END").as("mean_samp_micro"),
+        expr("CASE WHEN n_samp > 0 THEN sum_samp * 1000000 div n_samp" +
+          " - sum_pop * 1000000 div n_pop ELSE 0 END").as("bias_micro"))
       .ordered(col("event_type"))
   }
 
@@ -629,10 +638,11 @@ object RoundTen {
        |      FROM ev GROUP BY 1)
        |SELECT event_type, n_pop, n_samp,
        |  CAST(sum_pop * 1000000 // n_pop AS BIGINT) AS mean_pop_micro,
-       |  CAST(sum_samp * 1000000 // n_samp AS BIGINT)
-       |    AS mean_samp_micro,
-       |  CAST(sum_samp * 1000000 // n_samp
-       |    - sum_pop * 1000000 // n_pop AS BIGINT) AS bias_micro
+       |  CAST(CASE WHEN n_samp > 0 THEN sum_samp * 1000000 // n_samp
+       |    ELSE 0 END AS BIGINT) AS mean_samp_micro,
+       |  CAST(CASE WHEN n_samp > 0 THEN sum_samp * 1000000 // n_samp
+       |    - sum_pop * 1000000 // n_pop ELSE 0 END AS BIGINT)
+       |    AS bias_micro
        |FROM a ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------
@@ -691,7 +701,8 @@ object RoundTen {
       s"(CASE WHEN (n * $sx2 - $sx * $sx) > 0 AND " +
         s"(n * $sy2 - $sy * $sy) > 0 THEN " +
         s"(n * $sxy - $sx * $sy)::DOUBLE / SQRT(" +
-        s"((n * $sx2 - $sx * $sx) * (n * $sy2 - $sy * $sy))::DOUBLE) " +
+        s"(n * $sx2 - $sx * $sx)::DOUBLE * " +
+        s"(n * $sy2 - $sy * $sy)::DOUBLE) " +
         "ELSE 0.0 END)"
     val rxy = r("sxy", "sx", "sy", "sx2", "sy2")
     val rxz = r("sxz", "sx", "sz", "sx2", "sz2")
@@ -967,8 +978,7 @@ object RoundTen {
   // file-count drop; this pins the data).
   private val q453: Q = (s, dir) => {
     val docs = t(s, dir, "documents").filter(col("doc_id") % 2L === 0L)
-    val path =
-      s"${System.getProperty("java.io.tmpdir")}/graft-ndg-compact-q453"
+    val path = tmpStorePath("graft-ndg-compact-q453", dir)
     NearDupGraphStore.write(s,
       docs.filter(col("doc_id") % 4L === 0L), "doc_id", "text",
       n = 3, baseT = 0.3, componentThresholds = Seq(0.4), path)
@@ -1095,12 +1105,19 @@ object RoundTen {
       .select(pmod(col("o_custkey"), lit(32L)).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
       .localCheckpoint(false)
+    // median ranks derived from the ACTUAL populated-bucket count
+    // (a tiny fixture may populate < 32 buckets; hardcoded 16/17
+    // would then read med2x = 0 and flag every bucket)
+    val nb = b.agg(count(lit(1)).as("nb"))
     val ranked = b.withColumn("rk", row_number().over(
-      Window.orderBy(col("n_rows"), col("bucket"))))
+        Window.orderBy(col("n_rows"), col("bucket"))))
+      .crossJoin(broadcast(nb))
     val stats = ranked.agg(max(col("n_rows")).as("max_n"),
       sum(col("n_rows")).as("n_total"),
-      sum(when(col("rk").isin(16, 17), col("n_rows")).otherwise(0L))
-        .as("med2x"))
+      sum(when(col("rk") === expr("(nb + 1) div 2"), col("n_rows"))
+          .otherwise(0L)
+        + when(col("rk") === expr("(nb + 2) div 2"), col("n_rows"))
+          .otherwise(0L)).as("med2x"))
     b.crossJoin(broadcast(stats))
       .select(col("bucket"), col("n_rows"),
         e6(col("n_rows").cast("double") / col("n_total").cast("double"))
@@ -1114,12 +1131,15 @@ object RoundTen {
     s"""WITH b AS (SELECT o_custkey % 32 AS bucket,
        |        CAST(COUNT(*) AS BIGINT) AS n_rows
        |      FROM orders GROUP BY 1),
-       |r AS (SELECT bucket, n_rows, ROW_NUMBER() OVER (
-       |        ORDER BY n_rows, bucket) AS rk FROM b),
+       |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM b),
+       |r AS (SELECT bucket, n_rows, nb, ROW_NUMBER() OVER (
+       |        ORDER BY n_rows, bucket) AS rk FROM b, cnt),
        |st AS (SELECT CAST(MAX(n_rows) AS BIGINT) AS max_n,
        |         CAST(SUM(n_rows) AS BIGINT) AS n_total,
-       |         CAST(SUM(CASE WHEN rk IN (16, 17) THEN n_rows
-       |           ELSE 0 END) AS BIGINT) AS med2x
+       |         CAST(SUM(CASE WHEN rk = (nb + 1) // 2 THEN n_rows
+       |             ELSE 0 END
+       |           + CASE WHEN rk = (nb + 2) // 2 THEN n_rows
+       |             ELSE 0 END) AS BIGINT) AS med2x
        |       FROM r)
        |SELECT bucket, n_rows,
        |  ${sqlE6("n_rows::DOUBLE / n_total::DOUBLE")} AS share_e6,

@@ -633,6 +633,63 @@ class LexicalGraphAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(st2.getLong(0) == 5L)
   }
 
+  test("store compaction swap: a crash at either rename window never " +
+      "loses the store, and recovery adopts the completed copy") {
+    import graft.sources.StoreCompaction
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/tmp").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def freshStore(): String = {
+      val d = java.nio.file.Files
+        .createTempDirectory("swap-crash").toString + "/sub"
+      // 4 one-row files: a store subdir with compactable small files
+      spark.range(4).selectExpr("id", "id * 10 AS v")
+        .repartition(4).write.parquet(d)
+      d
+    }
+    def rows(d: String): Set[(Long, Long)] =
+      spark.read.parquet(d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (0L until 4L).map(i => (i, i * 10)).toSet
+    def compactTo1(d: String, onStep: Int => Unit): Unit =
+      StoreCompaction.rewrite(spark, d, onStep) { tmp =>
+        spark.read.parquet(d).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+      }
+    // crash BETWEEN the two renames: dest briefly absent, but the
+    // COMPLETE compacted copy survives in __compacting; recover()
+    // adopts it and the data reads back identical
+    val d1 = freshStore()
+    val boom = intercept[RuntimeException] {
+      compactTo1(d1, step => if (step == 1) sys.error("crash@1"))
+    }
+    assert(boom.getMessage == "crash@1")
+    assert(!fs.exists(new Path(d1)) &&
+      fs.exists(new Path(d1 + "__compacting")),
+      "crash@1 state: dest renamed away, tmp complete")
+    StoreCompaction.recover(spark, d1)
+    assert(rows(d1) == expect, "recovery must adopt the compacted copy")
+    assert(StoreCompaction.dataFileCount(spark, d1) == 1L)
+    assert(!fs.exists(new Path(d1 + "__compacting")) &&
+      !fs.exists(new Path(d1 + "__old")), "no leftovers after recovery")
+    // crash AFTER the swap (before __old cleanup): dest already holds
+    // the new copy; the next rewrite clears the stale __old
+    val d2 = freshStore()
+    intercept[RuntimeException] {
+      compactTo1(d2, step => if (step == 2) sys.error("crash@2"))
+    }
+    assert(rows(d2) == expect, "dest holds the new copy after crash@2")
+    assert(fs.exists(new Path(d2 + "__old")), "stale __old left behind")
+    compactTo1(d2, _ => ())
+    assert(rows(d2) == expect)
+    assert(!fs.exists(new Path(d2 + "__old")) &&
+      !fs.exists(new Path(d2 + "__compacting")),
+      "second rewrite clears the stale __old")
+    // recover() on a healthy store is a no-op
+    StoreCompaction.recover(spark, d2)
+    assert(rows(d2) == expect)
+  }
+
   test("recallEval: hand-traced recall@k and MRR") {
     // truth q1: n1 (rank1), n2, n3; approx q1: n2, n9, n1
     // hits = 2 of 3; true top-1 (n1) sits at approx rank 3 -> rr 1/3
