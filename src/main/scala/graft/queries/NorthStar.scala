@@ -7894,7 +7894,9 @@ object NorthStar {
     * first consumer in a run pays construction and every later one is
     * a pure partition-pruned READ — the 100 TB amortization shape,
     * and what lets the bench report the read latency a user actually
-    * pays. Path keyed by the corpus dir so SF runs can't collide. */
+    * pays. Path keyed by the corpus dir so SF runs can't collide;
+    * ensure() returns the committed version dir (the cross-process
+    * versioned-commit protocol), which is what readers consume. */
   private[queries] def sharedNdgStore(s: SparkSession, dir: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
@@ -7902,7 +7904,6 @@ object NorthStar {
       s"${System.getProperty("java.io.tmpdir")}/graft-ndg-shared-$key"
     NearDupGraphStore.ensure(s, t(s, dir, "documents"), "doc_id",
       "text", n = 3, baseT = 0.3, componentThresholds = Seq(0.4), path)
-    path
   }
 
   // q381 — STORE-BACKED dedup-threshold sweep: the q366 decision

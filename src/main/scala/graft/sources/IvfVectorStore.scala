@@ -126,6 +126,32 @@ object IvfVectorStore {
       .write.mode("append").parquet(s"$path/cellstats")
   }
 
+  /** Small-file compaction — the [[NearDupGraphStore.compact]] /
+    * [[InvertedIndexStore.compact]] contract for the third store:
+    * every delta [[append]] lands one file set per cell directory
+    * plus one cellstats row set, so N ingests accumulate N files per
+    * partition AND N rows per cell in the radii table every exact
+    * search reads. Compaction rewrites `vectors/` to one file per
+    * cell directory (pruning layout preserved) and PRE-FOLDS
+    * `cellstats/` to its one MAX row per cell — a pure physical
+    * reorganization: the read-time MAX fold is associative, so
+    * searchTopK/searchTopKExact return identically before and after
+    * (round-trip spec), and later appends keep landing (append-only
+    * contract preserved). `centroids/` is frozen write-once single
+    * file — nothing to compact. Crash-safe via
+    * [[StoreCompaction.rewrite]]'s rename-first swap. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    StoreCompaction.rewrite(spark, s"$path/vectors") { tmp =>
+      clusteredByCell(spark.read.parquet(s"$path/vectors"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    }
+    StoreCompaction.rewrite(spark, s"$path/cellstats") { tmp =>
+      spark.read.parquet(s"$path/cellstats")
+        .groupBy(col("cell")).agg(max(col("rmax")).as("rmax"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+  }
+
   /** IVF top-k over the persisted index: per query, probe the
     * `nProbes` nearest stored cells; the scan of `vectors/` carries a
     * partition filter on the probed cell set, so only those

@@ -138,6 +138,116 @@ class StorageStreamingSpec extends AnyFunSuite with SparkTestBase {
       "streamed store must hold identical cell assignments")
   }
 
+  test("streaming near-dup ingest equals one-shot batch store build " +
+      "under shuffled 3-batch replay (group-pair granularity)") {
+    import spark.implicits._
+    import graft.sources.NearDupGraphStore
+    import graft.streaming.NearDupStreamIngest
+    val docs = Tables.load(spark, sf("sf0.01"), "documents")
+      .filter(col("doc_id") < 240)
+      .select(col("doc_id"), col("text"))
+    val mkPath = () => java.nio.file.Files
+      .createTempDirectory("graft-ndg-stream").toString
+    val (batchPath, streamPath, ckpt) = (mkPath(), mkPath(), mkPath())
+    NearDupGraphStore.write(spark, docs, "doc_id", "text",
+      n = 3, baseT = 0.3, componentThresholds = Seq(0.4), batchPath)
+    // rep ids are ingest-order-dependent (a verbatim group's first
+    // arrival becomes its rep), so equality is pinned at GROUP-PAIR
+    // granularity: the (jaccard, size, size) pair multiset, the
+    // group-size histogram, and the cluster-size histogram
+    def graphView(path: String) = {
+      val pairs = NearDupGraphStore.groupPairs(spark, path, 0.3)
+        .collect()
+        .map { r =>
+          val (g1, g2) = (r.getLong(3), r.getLong(4))
+          (math.round(r.getDouble(2) * 1e6),
+            math.min(g1, g2), math.max(g1, g2))
+        }.sorted.toSeq
+      val sizes = NearDupGraphStore.groupSizes(spark, path)
+        .collect().map(_.getLong(1)).sorted.toSeq
+      val clusters = NearDupGraphStore.components(spark, path, 0.4)
+        .groupBy(col("cluster_id")).agg(sum(col("g")).as("m"))
+        .collect().map(_.getLong(1)).sorted.toSeq
+      (pairs, sizes, clusters)
+    }
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val slices = (0L to 2L).map { i =>
+      docs.filter(col("doc_id") % 3L === i)
+        .as[(Long, String)].collect().toSeq.map(r => (r._1, r._2, ts))
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = NearDupStreamIngest.start(
+      input.toDF().toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", "10 minutes", n = 3, baseT = 0.3,
+      componentThresholds = Seq(0.4), streamPath, ckpt)
+    try {
+      slices.foreach { g =>
+        input.addData(g)
+        q.processAllAvailable()
+      }
+      // at-least-once replay: slice 1 arrives again, plus an exact
+      // duplicate id inside the replayed batch — all three
+      // idempotency layers together must land ZERO new rows
+      input.addData(slices(1) ++ slices(1).take(1))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(NearDupGraphStore.membersTable(spark, streamPath).count() ==
+      docs.count(), "replay must not inflate membership")
+    assert(graphView(streamPath) == graphView(batchPath),
+      "streamed shuffled-replay ingest must equal the one-shot batch " +
+        "build at group-pair granularity")
+  }
+
+  test("IVF store compaction: searches identical before/after, data " +
+      "file count drops, cellstats pre-folded, appends still land") {
+    import graft.sources.{IvfVectorStore, StoreCompaction}
+    val emb = Tables.load(spark, sf("sf0.01"), "embeddings")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-compact").toString
+    IvfVectorStore.write(spark, emb.filter(col("vec_id") < 300),
+      "vec_id", "embedding", 16, path)
+    // two delta ingests: one file set per cell dir + one cellstats
+    // row set EACH — the small-files accumulation compact() resets
+    IvfVectorStore.append(spark,
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 400),
+      "vec_id", "embedding", path)
+    IvfVectorStore.append(spark,
+      emb.filter(col("vec_id") >= 400 && col("vec_id") < 480),
+      "vec_id", "embedding", path)
+    val queries = emb.filter(col("vec_id") < 8)
+    def heur = IvfVectorStore.searchTopK(spark, path, queries,
+        "vec_id", "embedding", k = 5, nProbes = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    def exact = IvfVectorStore.searchTopKExact(spark, path, queries,
+        "vec_id", "embedding", k = 5, nProbes = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val (heurBefore, exactBefore) = (heur, exact)
+    val filesBefore = StoreCompaction.dataFileCount(spark, path)
+    val statRowsBefore = spark.read.parquet(s"$path/cellstats").count()
+    IvfVectorStore.compact(spark, path)
+    assert(heur == heurBefore,
+      "compaction must not change heuristic search results")
+    assert(exact == exactBefore,
+      "compaction must not change exact search results")
+    val filesAfter = StoreCompaction.dataFileCount(spark, path)
+    assert(filesAfter < filesBefore,
+      s"expected fewer data files ($filesBefore -> $filesAfter)")
+    val stats = spark.read.parquet(s"$path/cellstats")
+    val nCells = stats.select("cell").distinct().count()
+    assert(stats.count() == nCells && stats.count() < statRowsBefore,
+      "cellstats must collapse to ONE pre-folded row per cell")
+    // the append-only contract survives compaction (the sf0.01
+    // embeddings fixture has exactly 500 rows — use its tail)
+    IvfVectorStore.append(spark,
+      emb.filter(col("vec_id") >= 480 && col("vec_id") < 500),
+      "vec_id", "embedding", path)
+    assert(spark.read.parquet(s"$path/vectors").count() == 500L,
+      "post-compaction delta ingest must land")
+  }
+
   test("streaming HLL register-store maintenance equals the one-shot " +
       "batch sketch") {
     import spark.implicits._
