@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.queries.{NorthStar, RoundNine, RoundTen, TierA}
+import graft.queries.{NorthStar, RoundEleven, RoundNine, RoundTen, TierA}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,11 +24,12 @@ object SparkEntry {
     * north-star training-data-pipeline ops (dedup / similarity / text /
     * multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TierA.all ++ NorthStar.all ++ RoundNine.all ++ RoundTen.all
+    TierA.all ++ NorthStar.all ++ RoundNine.all ++ RoundTen.all ++
+      RoundEleven.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     TierA.oracle ++ NorthStar.oracle ++ RoundNine.oracle ++
-      RoundTen.oracle
+      RoundTen.oracle ++ RoundEleven.oracle
 }

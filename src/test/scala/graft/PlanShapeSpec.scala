@@ -326,6 +326,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
   // (1x1 scalar pairs, the brute-force ANN baseline, scalar min/max
   // brackets). Growing this list is a design decision, not a tweak.
   private val DeliberateBnlj = Set(
+    "q460_cliffs_delta",  // 5-row type-totals broadcast vs the value
+                          // grid (the q442 dense-spine shape)
+    "q463_benford_audit", // 1-row grand total vs the 9-digit table
+    "q464_vocab_coverage", // 1-row totals + 3-row threshold spine vs
+                           // the vocabulary-bounded rank walk
+    "q466_brand_lift",    // 1-row distinct-order total vs the <=300
+                          // brand-pair grid
+    "q470_join_strategy_advisor", // four 1-row x 1-row table-count
+                                  // brackets combined
+    "q471_aqe_coalesce_advisor", // 1-row total-bytes bracket vs the
+                                 // 32-bucket histogram
+    "q474_quantile_drift", // 1-row max-id bracket + 9-row decile
+                           // spine vs the per-half value histogram
     "q03_welch_t",        // 1x1 per-arm scalar pair
     "q28_cosine_topk",    // brute-force ANN: query side broadcast
     "q60_histogram",      // global min/max scalar bracket
