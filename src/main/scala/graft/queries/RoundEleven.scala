@@ -52,9 +52,13 @@ object RoundEleven {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     val slices = (0L to 2L).map(i =>
       docs.filter(col("doc_id") % 3L === i))
+    // empty componentThresholds = the continuous-ingest cadence
+    // policy: no per-batch iterative-CC label rebuild (this audit
+    // reads only the pair graph; a label consumer calls
+    // rebuildComponents on its own cadence)
     (slices :+ slices(1)).foreach { b =>
       NearDupStreamIngest.ingestBatch(b, "doc_id", "text",
-        n = 3, baseT = 0.3, componentThresholds = Seq(0.4), path)
+        n = 3, baseT = 0.3, componentThresholds = Seq(), path)
     }
     NearDupGraphStore.groupPairs(s, path, 0.3)
       .select(

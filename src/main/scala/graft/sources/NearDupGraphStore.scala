@@ -64,9 +64,21 @@ object NearDupGraphStore {
   private def readPairs(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(pairsSchema).parquet(s"$path/pairs")
 
+  // components/ may not exist at all on a label-free store (empty
+  // componentThresholds — the continuous-ingest cadence policy), so
+  // a missing directory reads as a typed empty frame, not an error.
   private def readComponents(spark: SparkSession, path: String)
-      : DataFrame =
-    spark.read.schema(componentsSchema).parquet(s"$path/components")
+      : DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/components")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(componentsSchema))
+    } else {
+      spark.read.schema(componentsSchema).parquet(s"$path/components")
+    }
+  }
 
   private val ensureLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -175,7 +187,14 @@ object NearDupGraphStore {
   /** Build the store from scratch: one corpus scan (collapse +
     * shingle + prefix-filtered pair join), then the partitioned
     * layout above. `componentThresholds` names the thresholds whose
-    * component labels are materialized (each must be >= baseT). */
+    * component labels are materialized (each must be >= baseT).
+    * EMPTY thresholds skip the component rebuild entirely — the
+    * continuous-ingest cadence policy: labels are a global property
+    * recomputed from the stored graph, so a streaming caller ingests
+    * every micro-batch label-free and runs one rebuild per
+    * cadence tick instead of one iterative-CC pass per batch
+    * (components() on a label-free store reads empty by the declared
+    * schema, never errors). */
   def write(spark: SparkSession, docs: DataFrame, idCol: String,
             textCol: String, n: Int, baseT: Double,
             componentThresholds: Seq[Double], path: String): Unit = {
@@ -203,7 +222,9 @@ object NearDupGraphStore {
     spark.range(1).select(lit(n).as("n"),
         lit(math.round(baseT * 100)).as("base_t_e2"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    rebuildComponents(spark, path, componentThresholds)
+    if (componentThresholds.nonEmpty) {
+      rebuildComponents(spark, path, componentThresholds)
+    }
   }
 
   /** Incremental ingest: verbatim duplicates of stored texts append
@@ -266,14 +287,17 @@ object NearDupGraphStore {
     spark.range(1).select(lit(n).as("n"),
         lit(math.round(baseT * 100)).as("base_t_e2"))
       .coalesce(1).write.mode("append").parquet(s"$path/meta")
-    rebuildComponents(spark, path, componentThresholds)
+    if (componentThresholds.nonEmpty) {
+      rebuildComponents(spark, path, componentThresholds)
+    }
   }
 
   /** Recompute component labels for each threshold from the STORED
     * graph (group sizes + pruned pair partitions — no text, linear in
-    * graph size) and rewrite `components/`. */
-  private def rebuildComponents(spark: SparkSession, path: String,
-                                thresholds: Seq[Double]): Unit = {
+    * graph size) and rewrite `components/`. Public so a continuous
+    * ingest (empty-threshold appends) can rebuild on its own cadence. */
+  def rebuildComponents(spark: SparkSession, path: String,
+                        thresholds: Seq[Double]): Unit = {
     require(thresholds.nonEmpty, "need at least one component threshold")
     val perT = thresholds.map { t =>
       DedupOps.groupComponents(groupPairs(spark, path, t))
@@ -314,10 +338,15 @@ object NearDupGraphStore {
       spark.read.parquet(s"$path/meta").distinct().coalesce(1)
         .write.mode("overwrite").parquet(tmp)
     }
-    StoreCompaction.rewrite(spark, s"$path/components") { tmp =>
-      readComponents(spark, path)
-        .repartition(col("t_e2"))
-        .write.mode("overwrite").partitionBy("t_e2").parquet(tmp)
+    val compP = new org.apache.hadoop.fs.Path(s"$path/components")
+    val compFs = compP.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (compFs.exists(compP)) {
+      StoreCompaction.rewrite(spark, s"$path/components") { tmp =>
+        readComponents(spark, path)
+          .repartition(col("t_e2"))
+          .write.mode("overwrite").partitionBy("t_e2").parquet(tmp)
+      }
     }
   }
 

@@ -197,6 +197,25 @@ class StorageStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(graphView(streamPath) == graphView(batchPath),
       "streamed shuffled-replay ingest must equal the one-shot batch " +
         "build at group-pair granularity")
+    // cadence policy: label-free ingest (empty componentThresholds —
+    // no per-batch iterative CC) + ONE deferred rebuild reads the
+    // same graph and the same labels
+    val lazyPath = mkPath()
+    slices.zipWithIndex.foreach { case (g, i) =>
+      NearDupStreamIngest.ingestBatch(
+        g.toDF("doc_id", "text", "ts"),
+        "doc_id", "text", n = 3, baseT = 0.3,
+        componentThresholds = Seq(), lazyPath)
+      if (i == 0) {
+        assert(NearDupGraphStore
+          .components(spark, lazyPath, 0.4).isEmpty,
+          "label-free store must read empty components, not error")
+      }
+    }
+    NearDupGraphStore.rebuildComponents(spark, lazyPath, Seq(0.4))
+    assert(graphView(lazyPath) == graphView(batchPath),
+      "label-free ingest + one deferred rebuild must equal the " +
+        "per-batch-labeled build")
   }
 
   test("IVF store compaction: searches identical before/after, data " +
