@@ -1075,6 +1075,363 @@ object RoundEleven {
        |  ON f.decile = s.decile AND f.half = 0 AND s.half = 1
        |ORDER BY f.decile""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q475 — date-partition layout advisor: if orders were partitioned
+  // by calendar month, how would six canonical probe ranges fare —
+  // partitions read (month-key intersection), rows read (pruned scan)
+  // vs rows actually matched (read amplification), and the prune
+  // ratio. The partition-layout counterpart of the q440 zone-map
+  // audit: zone maps assume clustering, this audits the directory
+  // layout itself. Month keys are integers (year·12+month); probe
+  // bounds are timestamp literals identical on both engines.
+  private val q475: Q = (s, dir) => {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+      .select(col("o_orderdate").as("d"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("mkey"))
+      .localCheckpoint(false)
+    val months = o.groupBy(col("mkey")).agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint(false)
+    val tot = months.agg(count(lit(1)).as("parts_total"),
+      sum(col("n_rows")).as("rows_total"))
+    val probes = Seq(
+      ("p1_q1_1995", "1995-01-01", "1995-04-01"),
+      ("p2_year_1996", "1996-01-01", "1997-01-01"),
+      ("p3_cross_month", "1995-03-15", "1995-04-15"),
+      ("p4_single_day", "2000-06-15", "2000-06-16"),
+      ("p5_tail_2001", "2001-01-01", "2002-01-01"),
+      ("p6_full_range", "1995-01-01", "2002-01-01"))
+      .toDF("probe", "lo", "hi")
+      .select(col("probe"), to_timestamp(col("lo")).as("lo_ts"),
+        to_timestamp(col("hi")).as("hi_ts"))
+      .withColumn("mk_lo",
+        (year(col("lo_ts")) * 12 + month(col("lo_ts"))).cast("long"))
+      .withColumn("mk_hi", (year(expr("hi_ts - INTERVAL 1 DAY")) * 12
+        + month(expr("hi_ts - INTERVAL 1 DAY"))).cast("long"))
+    val read = months.crossJoin(broadcast(probes))
+      .filter(col("mkey") >= col("mk_lo") && col("mkey") <= col("mk_hi"))
+      .groupBy(col("probe"))
+      .agg(count(lit(1)).as("parts_read"), sum(col("n_rows")).as("rows_read"))
+    val matched = o.crossJoin(broadcast(probes))
+      .filter(col("d") >= col("lo_ts") && col("d") < col("hi_ts"))
+      .groupBy(col("probe")).agg(count(lit(1)).as("rows_match"))
+    read.join(matched, Seq("probe"), "left")
+      .withColumn("rows_match", coalesce(col("rows_match"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("probe"), col("parts_read"), col("parts_total"),
+        col("rows_read"), col("rows_match"),
+        e6(lit(1.0) - col("parts_read").cast("double")
+          / col("parts_total").cast("double")).as("prune_e6"),
+        when(col("rows_match") > 0L,
+          e6(col("rows_read").cast("double")
+            / col("rows_match").cast("double"))).otherwise(lit(0L))
+          .as("read_amp_e6"))
+      .ordered(col("probe"))
+  }
+
+  private val q475Sql: String =
+    s"""WITH o AS (SELECT o_orderdate AS d,
+       |        CAST(year(o_orderdate) * 12 + month(o_orderdate)
+       |          AS BIGINT) AS mkey
+       |      FROM orders),
+       |months AS (SELECT mkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+       |           FROM o GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS parts_total,
+       |          CAST(SUM(n_rows) AS BIGINT) AS rows_total
+       |        FROM months),
+       |probes AS (SELECT probe, CAST(lo AS TIMESTAMP) AS lo_ts,
+       |             CAST(hi AS TIMESTAMP) AS hi_ts,
+       |             CAST(year(CAST(lo AS TIMESTAMP)) * 12
+       |               + month(CAST(lo AS TIMESTAMP)) AS BIGINT)
+       |               AS mk_lo,
+       |             CAST(year(CAST(hi AS TIMESTAMP)
+       |                 - INTERVAL 1 DAY) * 12
+       |               + month(CAST(hi AS TIMESTAMP)
+       |                 - INTERVAL 1 DAY) AS BIGINT) AS mk_hi
+       |           FROM (VALUES
+       |             ('p1_q1_1995', '1995-01-01', '1995-04-01'),
+       |             ('p2_year_1996', '1996-01-01', '1997-01-01'),
+       |             ('p3_cross_month', '1995-03-15', '1995-04-15'),
+       |             ('p4_single_day', '2000-06-15', '2000-06-16'),
+       |             ('p5_tail_2001', '2001-01-01', '2002-01-01'),
+       |             ('p6_full_range', '1995-01-01', '2002-01-01'))
+       |             v(probe, lo, hi)),
+       |rd AS (SELECT probe, CAST(COUNT(*) AS BIGINT) AS parts_read,
+       |         CAST(SUM(n_rows) AS BIGINT) AS rows_read
+       |       FROM months CROSS JOIN probes
+       |       WHERE mkey >= mk_lo AND mkey <= mk_hi
+       |       GROUP BY 1),
+       |mt AS (SELECT probe, CAST(COUNT(*) AS BIGINT) AS rows_match
+       |       FROM o CROSS JOIN probes
+       |       WHERE d >= lo_ts AND d < hi_ts
+       |       GROUP BY 1)
+       |SELECT rd.probe, parts_read, parts_total, rows_read,
+       |  COALESCE(rows_match, 0) AS rows_match,
+       |  ${sqlE6("1.0 - parts_read::DOUBLE / parts_total::DOUBLE")}
+       |    AS prune_e6,
+       |  CASE WHEN COALESCE(rows_match, 0) > 0 THEN
+       |    ${sqlE6("rows_read::DOUBLE / rows_match::DOUBLE")}
+       |  ELSE 0 END AS read_amp_e6
+       |FROM rd LEFT JOIN mt ON rd.probe = mt.probe CROSS JOIN tot
+       |ORDER BY rd.probe""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q476 — cohort LTV curve (daily): users bucketed by first-seen
+  // day, cumulative purchase cents per (cohort, days-since) cell —
+  // the classic LTV triangle, all integers (day keys via epoch_us
+  // div 86400000000, cumulative sums over the age-ordered window
+  // partitioned by cohort). Complements the retention grid with the
+  // value dimension.
+  private val q476: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("(ts_ns div 1000) div 86400000000").as("day"),
+        when(col("event_type") === "purchase", cents).otherwise(0L)
+          .as("pc"))
+      .localCheckpoint(false)
+    val minDay = ev.agg(min(col("day")).as("d0"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cd"))
+    val cells = ev.join(cohort, Seq("user_id"))
+      .crossJoin(broadcast(minDay))
+      .select((col("cd") - col("d0")).as("cohort_day"),
+        (col("day") - col("cd")).as("age"), col("pc"), col("user_id"))
+      .groupBy(col("cohort_day"), col("age"))
+      .agg(sum(col("pc")).as("cents"),
+        countDistinct(col("user_id")).as("n_active"))
+    val sizes = ev.join(cohort, Seq("user_id"))
+      .crossJoin(broadcast(minDay))
+      .groupBy((col("cd") - col("d0")).as("cohort_day"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val wCum = Window.partitionBy(col("cohort_day")).orderBy(col("age"))
+    cells.join(sizes, Seq("cohort_day"))
+      .withColumn("cum_cents", sum(col("cents")).over(wCum))
+      .select(col("cohort_day"), col("age"), col("n_users"),
+        col("n_active"), col("cum_cents"),
+        e6(col("cum_cents").cast("double")
+          / col("n_users").cast("double")).as("ltv_cents_e6"))
+      .ordered(col("cohort_day"), col("age"))
+  }
+
+  private val q476Sql: String =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+       |        CASE WHEN event_type = 'purchase'
+       |          THEN CAST(ROUND(value * 100) AS BIGINT)
+       |          ELSE 0 END AS pc
+       |      FROM events),
+       |d0 AS (SELECT MIN(day) AS d0 FROM ev),
+       |cohort AS (SELECT user_id, MIN(day) AS cd FROM ev GROUP BY 1),
+       |cells AS (SELECT cd - d0.d0 AS cohort_day, day - cd AS age,
+       |            CAST(SUM(pc) AS BIGINT) AS cents,
+       |            CAST(COUNT(DISTINCT ev.user_id) AS BIGINT)
+       |              AS n_active
+       |          FROM ev JOIN cohort ON ev.user_id = cohort.user_id
+       |          CROSS JOIN d0
+       |          GROUP BY 1, 2),
+       |sizes AS (SELECT cd - d0.d0 AS cohort_day,
+       |            CAST(COUNT(DISTINCT ev.user_id) AS BIGINT)
+       |              AS n_users
+       |          FROM ev JOIN cohort ON ev.user_id = cohort.user_id
+       |          CROSS JOIN d0
+       |          GROUP BY 1),
+       |cum AS (SELECT c.cohort_day, age, n_users, n_active,
+       |          CAST(SUM(cents) OVER (PARTITION BY c.cohort_day
+       |            ORDER BY age) AS BIGINT) AS cum_cents
+       |        FROM cells c JOIN sizes s
+       |          ON c.cohort_day = s.cohort_day)
+       |SELECT cohort_day, age, n_users, n_active, cum_cents,
+       |  ${sqlE6("cum_cents::DOUBLE / n_users::DOUBLE")}
+       |    AS ltv_cents_e6
+       |FROM cum ORDER BY cohort_day, age""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q477 — mediation decomposition per return flag: total effect of
+  // discount on line revenue split into the direct path and the
+  // indirect path through quantity (product-of-paths). All five
+  // centered moment terms (n·sxy − sx·sy, …) are exact 128-bit
+  // DECIMAL/HUGEINT integers cast to double ONCE; the OLS identity
+  // total = direct + indirect then holds to double rounding — a
+  // built-in self-check the e6 pins expose. Extends the causal
+  // family (DiD, QTE, uplift) with path decomposition.
+  private val q477: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+      expr("CAST(CAST(ROUND(l_discount * 100) AS BIGINT)" +
+        " AS DECIMAL(12,0))").as("x"),
+      expr("CAST(CAST(ROUND(l_quantity) AS BIGINT)" +
+        " AS DECIMAL(12,0))").as("m"),
+      expr("CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)" +
+        " AS DECIMAL(12,0))").as("y"))
+    li.groupBy(col("g"))
+      .agg(count(lit(1)).cast("decimal(12,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("m")).as("sm"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("m") * col("m")).as("smm"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("m")).as("sxm"),
+        sum(col("m") * col("y")).as("smy"))
+      .select(col("g"), col("n").cast("long").as("n_rows"), {
+        val cxx = (col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("double")
+        val cmm = (col("n") * col("smm") - col("sm") * col("sm"))
+          .cast("double")
+        val cxy = (col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double")
+        val cxm = (col("n") * col("sxm") - col("sx") * col("sm"))
+          .cast("double")
+        val cmy = (col("n") * col("smy") - col("sm") * col("sy"))
+          .cast("double")
+        val den2 = cxx * cmm - cxm * cxm
+        struct(
+          e6(when(cxx > 0.0, cxy / cxx).otherwise(lit(0.0)))
+            .as("total_e6"),
+          e6(when(den2 > 0.0,
+            (cxy * cmm - cmy * cxm) / den2).otherwise(lit(0.0)))
+            .as("direct_e6"),
+          e6(when(cxx > 0.0 && den2 > 0.0,
+            (cxm / cxx) * ((cmy * cxx - cxy * cxm) / den2))
+            .otherwise(lit(0.0))).as("indirect_e6"))
+      }.as("r"))
+      .select(col("g"), col("n_rows"), col("r.total_e6"),
+        col("r.direct_e6"), col("r.indirect_e6"))
+      .ordered(col("g"))
+  }
+
+  private val q477Sql: String = {
+    val cxx = "(n * sxx - sx * sx)::DOUBLE"
+    val cmm = "(n * smm - sm * sm)::DOUBLE"
+    val cxy = "(n * sxy - sx * sy)::DOUBLE"
+    val cxm = "(n * sxm - sx * sm)::DOUBLE"
+    val cmy = "(n * smy - sm * sy)::DOUBLE"
+    val den2 = s"($cxx * $cmm - $cxm * $cxm)"
+    s"""WITH li AS (SELECT l_returnflag AS g,
+       |        CAST(CAST(ROUND(l_discount * 100) AS BIGINT)
+       |          AS HUGEINT) AS x,
+       |        CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT)
+       |          AS m,
+       |        CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+       |          AS HUGEINT) AS y
+       |      FROM lineitem),
+       |a AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+       |        SUM(x) AS sx, SUM(m) AS sm, SUM(y) AS sy,
+       |        SUM(x * x) AS sxx, SUM(m * m) AS smm,
+       |        SUM(x * y) AS sxy, SUM(x * m) AS sxm,
+       |        SUM(m * y) AS smy
+       |      FROM li GROUP BY 1)
+       |SELECT g, CAST(n AS BIGINT) AS n_rows,
+       |  ${sqlE6(s"CASE WHEN $cxx > 0.0 THEN $cxy / $cxx" +
+          " ELSE 0.0 END")} AS total_e6,
+       |  ${sqlE6(s"CASE WHEN $den2 > 0.0 THEN" +
+          s" ($cxy * $cmm - $cmy * $cxm) / $den2 ELSE 0.0 END")}
+       |    AS direct_e6,
+       |  ${sqlE6(s"CASE WHEN $cxx > 0.0 AND $den2 > 0.0 THEN" +
+          s" ($cxm / $cxx) * (($cmy * $cxx - $cxy * $cxm) / $den2)" +
+          " ELSE 0.0 END")} AS indirect_e6
+       |FROM a ORDER BY g""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q478 — IPF raking (2 fixed iterations): calibrate the
+  // (returnflag, linestatus) cell weights to UNIFORM row and column
+  // margins — the survey-weighting primitive. Stage weights follow
+  // the per-cell e6-before-integer-aggregation discipline: w1_e6 is
+  // rounded from an exact integer ratio, column sums of w1_e6 are
+  // exact BIGINT (no double summation order anywhere), and w2_e6 is
+  // one identical double expression of those integers on both
+  // engines.
+  private val q478: Q = (s, dir) => {
+    val cells = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("a"), col("l_linestatus").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint(false)
+    val tot = cells.agg(sum(col("n_ab")).as("n"),
+      countDistinct(col("a")).as("r"), countDistinct(col("b")).as("c"))
+    val rs = cells.groupBy(col("a")).agg(sum(col("n_ab")).as("rs"))
+    val w1 = cells.join(rs, Seq("a")).crossJoin(broadcast(tot))
+      .withColumn("w1_e6",
+        round(col("n_ab").cast("double") * col("n").cast("double")
+          * lit(1e6)
+          / (col("r") * col("rs")).cast("double"), 0).cast("long"))
+    val cs = w1.groupBy(col("b")).agg(sum(col("w1_e6")).as("cs"))
+    w1.join(cs, Seq("b"))
+      .withColumn("w2_e6",
+        round(col("w1_e6").cast("double") * col("n").cast("double")
+          * lit(1e6)
+          / (col("c") * col("cs")).cast("double"), 0).cast("long"))
+      .select(col("a"), col("b"), col("n_ab"), col("w1_e6"),
+        col("w2_e6"))
+      .ordered(col("a"), col("b"))
+  }
+
+  private val q478Sql: String =
+    s"""WITH cells AS (SELECT l_returnflag AS a, l_linestatus AS b,
+       |        CAST(COUNT(*) AS BIGINT) AS n_ab
+       |      FROM lineitem GROUP BY 1, 2),
+       |tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n,
+       |          CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+       |          CAST(COUNT(DISTINCT b) AS BIGINT) AS c
+       |        FROM cells),
+       |rs AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS rs
+       |       FROM cells GROUP BY 1),
+       |w1 AS (SELECT cells.a, b, n_ab, n, c,
+       |         CAST(ROUND(n_ab::DOUBLE * n::DOUBLE * 1e6
+       |           / (r * rs.rs)::DOUBLE, 0) AS BIGINT) AS w1_e6
+       |       FROM cells JOIN rs ON cells.a = rs.a CROSS JOIN tot),
+       |cs AS (SELECT b, CAST(SUM(w1_e6) AS BIGINT) AS cs
+       |       FROM w1 GROUP BY 1)
+       |SELECT a, w1.b AS b, n_ab, w1_e6,
+       |  CAST(ROUND(w1_e6::DOUBLE * n::DOUBLE * 1e6
+       |    / (c * cs.cs)::DOUBLE, 0) AS BIGINT) AS w2_e6
+       |FROM w1 JOIN cs ON w1.b = cs.b
+       |ORDER BY a, b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q479 — Wilson score intervals for the per-type high-value rate
+  // (cents >= 500): the bootstrap-free exact-count confidence bound
+  // a monitoring dashboard should use instead of the normal
+  // approximation at small n. z = 1.959964 as ONE shared double
+  // literal; everything else is exact counts in one identical
+  // double expression per bound.
+  private val q479: Q = (s, dir) => {
+    val z = 1.959964
+    val agg = t(s, dir, "events")
+      .select(col("event_type"), (cents >= 500L).as("hv"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("hv"), 1L).otherwise(0L)).as("k"))
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = p + z2 / (lit(2.0) * nD)
+    val margin = lit(z) * sqrt(p * (lit(1.0) - p) / nD
+      + z2 / (lit(4.0) * nD * nD))
+    agg.select(col("event_type"), col("n"), col("k"),
+        e6(p).as("rate_e6"),
+        e6((center - margin) / denom).as("wilson_lo_e6"),
+        e6((center + margin) / denom).as("wilson_hi_e6"))
+      .ordered(col("event_type"))
+  }
+
+  private val q479Sql: String = {
+    val p = "(k::DOUBLE / n::DOUBLE)"
+    val z = "1.959964"
+    val z2 = s"($z * $z)"
+    val denom = s"(1.0 + $z2 / n::DOUBLE)"
+    val center = s"($p + $z2 / (2.0 * n::DOUBLE))"
+    val margin = s"($z * SQRT($p * (1.0 - $p) / n::DOUBLE" +
+      s" + $z2 / (4.0 * n::DOUBLE * n::DOUBLE)))"
+    s"""WITH a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |        CAST(SUM(CASE WHEN CAST(ROUND(value * 100) AS BIGINT)
+       |          >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS k
+       |      FROM events GROUP BY 1)
+       |SELECT event_type, n, k,
+       |  ${sqlE6(p)} AS rate_e6,
+       |  ${sqlE6(s"($center - $margin) / $denom")} AS wilson_lo_e6,
+       |  ${sqlE6(s"($center + $margin) / $denom")} AS wilson_hi_e6
+       |FROM a ORDER BY event_type""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q458_stream_ingest_pin" -> q458,
     "q459_encoding_decision" -> q459,
@@ -1092,7 +1449,12 @@ object RoundEleven {
     "q471_aqe_coalesce_advisor" -> q471,
     "q472_revenue_waterfall" -> q472,
     "q473_segment_concentration" -> q473,
-    "q474_quantile_drift" -> q474)
+    "q474_quantile_drift" -> q474,
+    "q475_partition_layout_advisor" -> q475,
+    "q476_cohort_ltv" -> q476,
+    "q477_mediation_paths" -> q477,
+    "q478_ipf_raking" -> q478,
+    "q479_wilson_intervals" -> q479)
 
   val oracle: Map[String, String] = Map(
     "q458_stream_ingest_pin" -> q458Sql,
@@ -1111,5 +1473,10 @@ object RoundEleven {
     "q471_aqe_coalesce_advisor" -> q471Sql,
     "q472_revenue_waterfall" -> q472Sql,
     "q473_segment_concentration" -> q473Sql,
-    "q474_quantile_drift" -> q474Sql)
+    "q474_quantile_drift" -> q474Sql,
+    "q475_partition_layout_advisor" -> q475Sql,
+    "q476_cohort_ltv" -> q476Sql,
+    "q477_mediation_paths" -> q477Sql,
+    "q478_ipf_raking" -> q478Sql,
+    "q479_wilson_intervals" -> q479Sql)
 }

@@ -339,6 +339,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
                                  // 32-bucket histogram
     "q474_quantile_drift", // 1-row max-id bracket + 9-row decile
                            // spine vs the per-half value histogram
+    "q475_partition_layout_advisor", // 6-row probe spine (range
+                          // intersection) vs the month table + rows
+    "q476_cohort_ltv",    // 1-row min-day bracket vs the event rows
+    "q478_ipf_raking",    // 1-row margin-target bracket vs the
+                          // 6-cell contingency table
     "q03_welch_t",        // 1x1 per-arm scalar pair
     "q28_cosine_topk",    // brute-force ANN: query side broadcast
     "q60_histogram",      // global min/max scalar bracket
