@@ -55,11 +55,22 @@ object RoundEleven {
     // empty componentThresholds = the continuous-ingest cadence
     // policy: no per-batch iterative-CC label rebuild (this audit
     // reads only the pair graph; a label consumer calls
-    // rebuildComponents on its own cadence)
-    (slices :+ slices(1)).foreach { b =>
+    // rebuildComponents on its own cadence). The replay arrives
+    // under BOTH replay shapes the epoch protocol distinguishes:
+    // same-epoch (engine retry — short-circuits on the commit
+    // marker) and new-epoch (beyond-watermark duplicate — lands
+    // zero rows via the members anti-join).
+    slices.zipWithIndex.foreach { case (b, i) =>
       NearDupStreamIngest.ingestBatch(b, "doc_id", "text",
-        n = 3, baseT = 0.3, componentThresholds = Seq(), path)
+        n = 3, baseT = 0.3, componentThresholds = Seq(), path,
+        epoch = i.toLong)
     }
+    NearDupStreamIngest.ingestBatch(slices(1), "doc_id", "text",
+      n = 3, baseT = 0.3, componentThresholds = Seq(), path,
+      epoch = 1L)
+    NearDupStreamIngest.ingestBatch(slices(1), "doc_id", "text",
+      n = 3, baseT = 0.3, componentThresholds = Seq(), path,
+      epoch = 3L)
     NearDupGraphStore.groupPairs(s, path, 0.3)
       .select(
         least(floor(col("jaccard") * 10.0), lit(9.0)).cast("long")

@@ -92,6 +92,47 @@ object IvfVectorStore {
   private def clusteredByCell(df: DataFrame): DataFrame =
     df.repartition(col("cell"))
 
+  /** Order-independent corpus+params fingerprint: row count plus a
+    * commutative SUM of per-row crc32(id:vector-literal) — one
+    * projection scan ([[NearDupGraphStore]]'s fingerprint contract
+    * for the vector corpus). */
+  private def fingerprint(corpus: DataFrame, idCol: String,
+                          vecCol: String, nCentroids: Int): String = {
+    val r = corpus.agg(count(lit(1)),
+      sum(crc32(concat_ws(":", col(idCol).cast("string"),
+        concat_ws(",", col(vecCol).cast("array<string>")))))).head()
+    val h = if (r.isNullAt(1)) 0L else r.getLong(1)
+    s"ivf1:k=$nCentroids:cnt=${r.getLong(0)}:h=$h"
+  }
+
+  /** Build-once shared index with the [[VersionedStore]]
+    * cross-process commit protocol (the r11 NearDupGraphStore
+    * design, symmetric for the vector store): each distinct
+    * corpus+params fingerprint builds into a unique scratch dir and
+    * commits by ONE atomic rename to `<path>/v=<fpHash>/` — two
+    * driver JVMs sharing an index path can never interleave
+    * overwrites the in-place [[write]] layout allows, and readers
+    * only ever observe fully-built versions. Returns the resolved
+    * index directory (what [[searchTopK]]/[[searchTopKExact]]
+    * consume). Old versions persist for concurrent readers until
+    * [[prune]] collects them. */
+  def ensure(spark: SparkSession, corpus: DataFrame, idCol: String,
+             vecCol: String, nCentroids: Int, path: String): String = {
+    val fp = fingerprint(corpus, idCol, vecCol, nCentroids)
+    VersionedStore.ensure(spark, path, fp) { scratch =>
+      write(spark, corpus, idCol, vecCol, nCentroids, scratch)
+      spark.range(1).select(lit(fp).as("fp")).coalesce(1)
+        .write.mode("overwrite").parquet(s"$scratch/fp")
+    }
+  }
+
+  /** Retention GC over the versioned index root —
+    * [[VersionedStore.prune]] semantics (keep latest K + protected
+    * dirs, sweep abandoned scratch); returns the deleted dirs. */
+  def prune(spark: SparkSession, path: String, keepLatest: Int,
+            protect: Seq[String] = Seq.empty): Seq[String] =
+    VersionedStore.prune(spark, path, keepLatest, protect)
+
   /** Build the index from scratch: derive + persist the quantizer,
     * write the corpus cell-partitioned. One corpus scan. */
   def write(spark: SparkSession, corpus: DataFrame,

@@ -80,9 +80,6 @@ object NearDupGraphStore {
     }
   }
 
-  private val ensureLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
   /** Order-independent corpus+params fingerprint: row count plus a
     * SUM of per-doc crc32(id:md5(text)) — one projection scan, no
     * pair join. Param changes and any doc add/remove/edit change it;
@@ -117,14 +114,13 @@ object NearDupGraphStore {
     * Freshness is a directory-existence probe (plus the one
     * projection scan computing the fingerprint — no pair join). A
     * corpus/params change lands a NEW version dir; old versions are
-    * left in place (a reader in another JVM may still hold one) —
-    * pruning them is caller retention policy.
+    * left in place (a reader in another JVM may still hold one) until
+    * [[prune]] collects them.
     * Returns the resolved store directory. */
   def ensure(spark: SparkSession, docs: DataFrame, idCol: String,
              textCol: String, n: Int, baseT: Double,
-             componentThresholds: Seq[Double], path: String): String = {
-    val lock = ensureLocks.computeIfAbsent(path, _ => new Object)
-    lock.synchronized {
+             componentThresholds: Seq[Double], path: String): String =
+    VersionedStore.lockFor(path).synchronized {
       val fpNow = fingerprint(docs, idCol, textCol, n, baseT,
         componentThresholds)
       val versioned = versionDir(path, fpNow)
@@ -138,15 +134,10 @@ object NearDupGraphStore {
       }
       versioned
     }
-  }
-
-  private def fpHash(fp: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(fp.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
 
   /** The version dir a given fingerprint commits to. */
   private[graft] def versionDir(path: String, fp: String): String =
-    s"$path/v=${fpHash(fp)}"
+    VersionedStore.versionDir(path, fp)
 
   /** Build a full store (fp record last) into a unique scratch dir
     * under `path`; returns the scratch dir. Separated from
@@ -156,8 +147,7 @@ object NearDupGraphStore {
                                   n: Int, baseT: Double,
                                   componentThresholds: Seq[Double],
                                   path: String, fp: String): String = {
-    val scratch = s"$path/__build-${fpHash(fp)}-" +
-      java.util.UUID.randomUUID.toString.take(8)
+    val scratch = VersionedStore.scratchDir(path, fp)
     write(spark, docs, idCol, textCol, n, baseT,
       componentThresholds, scratch)
     spark.range(1).select(lit(fp).as("fp")).coalesce(1)
@@ -165,24 +155,21 @@ object NearDupGraphStore {
     scratch
   }
 
-  /** Atomic commit: rename the complete scratch dir to `versioned`.
-    * If another builder already committed (exists-probe or rename
-    * failure), the scratch dir is discarded — same fingerprint, same
-    * content, so losing the race is benign. */
+  /** Atomic commit — [[VersionedStore.commit]] (TOCTOU-verified
+    * rename; racing losers discard their scratch). */
   private[graft] def commitVersion(spark: SparkSession, scratch: String,
-                                   versioned: String): String = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val vp = new org.apache.hadoop.fs.Path(versioned)
-    val sp = new org.apache.hadoop.fs.Path(scratch)
-    val fs = vp.getFileSystem(conf)
-    if (fs.exists(vp) || !fs.rename(sp, vp)) {
-      require(fs.exists(vp),
-        s"store commit failed and no committed version found: " +
-          s"$scratch -> $versioned")
-      fs.delete(sp, true)
-    }
-    versioned
-  }
+                                   versioned: String): String =
+    VersionedStore.commit(spark, scratch, versioned)
+
+  /** Retention GC over the versioned store root — keep the
+    * `keepLatest` most recently committed versions plus any
+    * `protect` dirs (versions live readers hold), delete the rest,
+    * sweep abandoned scratch. [[VersionedStore.prune]] semantics;
+    * returns the deleted version dirs. A pruned corpus's next
+    * `ensure` simply rebuilds it. */
+  def prune(spark: SparkSession, path: String, keepLatest: Int,
+            protect: Seq[String] = Seq.empty): Seq[String] =
+    VersionedStore.prune(spark, path, keepLatest, protect)
 
   /** Build the store from scratch: one corpus scan (collapse +
     * shingle + prefix-filtered pair join), then the partitioned
@@ -290,6 +277,67 @@ object NearDupGraphStore {
     if (componentThresholds.nonEmpty) {
       rebuildComponents(spark, path, componentThresholds)
     }
+  }
+
+  /** [[append]] re-expressed for [[EpochCommitLog]]'s stage phase:
+    * identical delta derivation (verbatim-hash collapse against the
+    * stored groups, fresh texts shingled once and prefix-joined
+    * against the STORED shingle arrays), but every output lands in
+    * `stagePath` mirroring the live layout instead of appending in
+    * place — the commit log then moves the staged files into the
+    * live dirs file-atomically with replay idempotence. Reads come
+    * from `livePath`, which under the single-writer epoch contract
+    * holds only fully committed epochs (so unlike [[append]] no
+    * self-anti-join of the fresh sets is needed). Components are NOT
+    * staged: labels are a global derived cache, rebuilt from the
+    * live graph post-commit on the caller's cadence
+    * ([[rebuildComponents]]). */
+  private[graft] def appendStaged(spark: SparkSession, delta: DataFrame,
+                                  idCol: String, textCol: String,
+                                  livePath: String,
+                                  stagePath: String): Unit = {
+    val meta = spark.read.parquet(s"$livePath/meta").head()
+    val n = meta.getAs[Int]("n")
+    val baseT = meta.getAs[Long]("base_t_e2").toDouble / 100.0
+    val old = spark.read.parquet(s"$livePath/groups")
+      .select(col("rep_id").as("old_rep"), col("h"))
+    val (dreps, dmembers) = DedupOps.collapseVerbatimTexts(
+      delta, idCol, textCol)
+    val drepsH = dreps.select(col("doc_id").as("d_rep"), col("text"),
+        md5(col("text")).as("h"))
+      .join(old, Seq("h"), "left")
+      .localCheckpoint(false)
+    dmembers.join(drepsH.select(col("d_rep").as("rep_id"),
+        col("old_rep")), "rep_id")
+      .select(coalesce(col("old_rep"), col("rep_id")).as("rep_id"),
+        col("doc_id"))
+      .write.mode("overwrite").parquet(s"$stagePath/members")
+    val fresh = drepsH.filter(col("old_rep").isNull)
+      .select(col("d_rep").as("doc_id"), col("text"))
+    val freshSets = DedupOps.stagedShingles(fresh, "doc_id", "text", n)
+      .localCheckpoint(false)
+    fresh.select(col("doc_id").as("rep_id"), md5(col("text")).as("h"),
+        length(col("text")).cast("long").as("len"))
+      .join(freshSets.select(col("doc_id").as("rep_id"),
+        size(col("sh")).cast("long").as("n_shingles")), "rep_id")
+      .write.mode("overwrite").parquet(s"$stagePath/groups")
+    freshSets.select(col("doc_id").as("rep_id"), col("sh"))
+      .write.mode("overwrite").parquet(s"$stagePath/repsets")
+    val unionSets = spark.read.parquet(s"$livePath/repsets")
+      .select(col("rep_id").as("doc_id"), col("sh"),
+        lit(false).as("isnew"))
+      .unionByName(freshSets.select(col("doc_id"), col("sh"),
+        lit(true).as("isnew")))
+    DedupOps.prefixFilteredJaccardCrossPairsFromSets(
+        unionSets, baseT, newFlag = Some("isnew"))
+      .select(col("id1").as("rid1"), col("id2").as("rid2"),
+        col("jaccard"), jband(col("jaccard")))
+      .repartition(col("jband"))
+      .write.mode("overwrite").partitionBy("jband")
+      .parquet(s"$stagePath/pairs")
+    spark.range(1).select(lit(n).as("n"),
+        lit(math.round(baseT * 100)).as("base_t_e2"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$stagePath/meta")
   }
 
   /** Recompute component labels for each threshold from the STORED

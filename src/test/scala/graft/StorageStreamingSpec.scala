@@ -205,7 +205,7 @@ class StorageStreamingSpec extends AnyFunSuite with SparkTestBase {
       NearDupStreamIngest.ingestBatch(
         g.toDF("doc_id", "text", "ts"),
         "doc_id", "text", n = 3, baseT = 0.3,
-        componentThresholds = Seq(), lazyPath)
+        componentThresholds = Seq(), lazyPath, epoch = i.toLong)
       if (i == 0) {
         assert(NearDupGraphStore
           .components(spark, lazyPath, 0.4).isEmpty,
