@@ -447,29 +447,52 @@ object RoundEleven {
   // total order) whose cumulative mass reaches 50/90/99% of all
   // token occurrences. The tokenizer-budget planning number (how big
   // a vocab do we need) next to Heaps (q15x) and Zipf; all integer
-  // ranks/counts. The global window is vocabulary-DOMAIN-bounded,
-  // not corpus-sized.
+  // ranks/counts. Scale shape = the q122 distinct-frequency closed
+  // form (TextOps.vocabCoverage): NO per-term global window — a
+  // 100 TB web corpus's distinct vocabulary is 1e8-1e9 rows and one
+  // task must never sort it. Terms aggregate once (term-keyed), then
+  // collapse to the distinct-FREQUENCY table (n, g_terms — ~n^0.5
+  // rows on Zipfian corpora); the cumulative walk runs on that tiny
+  // table, and within the crossing frequency group the minimal rank
+  // is closed-form: every term there contributes exactly f tokens,
+  // so j = ceil((pct*t_total - 100*cum_before) / (100*f)) terms
+  // close the gap — rank order inside the group (tok asc) cannot
+  // matter. Exactly the original row_number semantics, integer
+  // arithmetic end to end, <=1 single-partition exchange
+  // (PlanShapeSpec-pinned).
   private val q464: Q = (s, dir) => {
     import s.implicits._
     val freq = t(s, dir, "documents")
       .select(explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("f"))
-    val w = Window.orderBy(col("f").desc, col("tok"))
-    val ranked = freq
-      .withColumn("rk", row_number().over(w))
-      .withColumn("cum", sum(col("f")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val tot = freq.agg(sum(col("f")).as("t_total"),
-      count(lit(1)).as("vocab_n"))
+    val gc = freq.groupBy(col("f"))
+      .agg(count(lit(1)).as("g_terms"))
+      .withColumn("toks", col("f") * col("g_terms"))
+    val byFreq = Window.orderBy(col("f").desc)
+    val walk = gc
+      .withColumn("cum_end", sum(col("toks")).over(
+        byFreq.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_before", col("cum_end") - col("toks"))
+      .withColumn("terms_before",
+        coalesce(sum(col("g_terms")).over(
+          byFreq.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("t_total", sum(col("toks")).over(byFreq.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("vocab_n", sum(col("g_terms")).over(
+        byFreq.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
     val th = Seq(50L, 90L, 99L).toDF("pct")
-    ranked.crossJoin(broadcast(tot)).crossJoin(broadcast(th))
-      .filter(col("cum") * 100L >= col("pct") * col("t_total"))
-      .groupBy(col("pct"), col("t_total"), col("vocab_n"))
-      .agg(min(struct(col("rk"), col("cum"))).as("m"))
-      .select(col("pct"), col("m.rk").as("vocab_rank"),
-        col("m.cum").as("cum_tokens"), col("t_total"), col("vocab_n"),
-        e6(col("m.rk").cast("double") / col("vocab_n").cast("double"))
-          .as("rank_share_e6"))
+    walk.crossJoin(broadcast(th))
+      .filter(col("cum_end") * 100L >= col("pct") * col("t_total") &&
+        col("cum_before") * 100L < col("pct") * col("t_total"))
+      .withColumn("j", expr(
+        "(pct * t_total - 100 * cum_before + 100 * f - 1) DIV (100 * f)"))
+      .select(col("pct"),
+        (col("terms_before") + col("j")).as("vocab_rank"),
+        (col("cum_before") + col("j") * col("f")).as("cum_tokens"),
+        col("t_total"), col("vocab_n"),
+        e6((col("terms_before") + col("j")).cast("double") /
+          col("vocab_n").cast("double")).as("rank_share_e6"))
       .ordered(col("pct"))
   }
 

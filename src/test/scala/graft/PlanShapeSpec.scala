@@ -329,8 +329,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     "q460_cliffs_delta",  // 5-row type-totals broadcast vs the value
                           // grid (the q442 dense-spine shape)
     "q463_benford_audit", // 1-row grand total vs the 9-digit table
-    "q464_vocab_coverage", // 1-row totals + 3-row threshold spine vs
-                           // the vocabulary-bounded rank walk
+    "q464_vocab_coverage", // 3-row threshold spine vs the
+                           // distinct-frequency walk (q122 shape)
     "q466_brand_lift",    // 1-row distinct-order total vs the <=300
                           // brand-pair grid
     "q470_join_strategy_advisor", // four 1-row x 1-row table-count
@@ -636,6 +636,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       docs, "text", Seq(95)))
     assert("Exchange SinglePartition".r.findAllIn(p).size <= 1,
       s"per-term global sort detected:\n$p")
+    assert(!p.contains("CartesianProduct"), s"bad join shape:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final term-frequency aggregation:\n$p")
+  }
+
+  test("q464 coverage curve: rebuilt on the distinct-frequency " +
+      "closed form — no vocabulary-wide global window") {
+    // the r11 shape ranked the whole distinct-token table through one
+    // single-partition row_number/running-sum window (1e8-1e9 rows at
+    // 100 TB); the rebuild walks the distinct-frequency table instead,
+    // so the only single-partition work is that tiny walk plus the
+    // ordered 3-row output — and no ranking window over per-term rows
+    // may survive anywhere
+    val p = plan(graft.queries.RoundEleven.all("q464_vocab_coverage")(
+      spark, dir))
+    assert(!p.contains("row_number"),
+      s"per-term ranking window detected in q464:\n$p")
+    assert("windowspecdefinition\\([^)]*tok".r.findFirstIn(p).isEmpty,
+      s"window keyed on the raw token column detected in q464:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 2,
+      s"more single-partition work than the frequency walk + the " +
+        s"3-row output sort:\n$p")
     assert(!p.contains("CartesianProduct"), s"bad join shape:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"expected partial+final term-frequency aggregation:\n$p")
