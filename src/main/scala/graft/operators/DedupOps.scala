@@ -323,28 +323,60 @@ object DedupOps {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
     import org.apache.spark.sql.expressions.Window
-    val inv = sets.select(col("doc_id"), explode(col("sh")).as("s"))
-    val dfc = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val newCol = newFlag.map(f => col(f)).getOrElse(lit(true))
+    // nsh/isnew ride the explode so the prefix derivation never joins
+    // back to `sets` (one exchange fewer; guide-§2.4 shape)
+    val inv = sets.select(col("doc_id"), size(col("sh")).as("nsh"),
+      newCol.as("isnew"), explode(col("sh")).as("s"))
+    val dfc = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val pref = inv.join(dfc, "s")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("df"), col("s"))))
-      .join(sets.select(col("doc_id"), size(col("sh")).as("nsh"),
-        newCol.as("isnew")), "doc_id")
       .filter(col("rn") <=
         col("nsh") - ceil(lit(threshold) * col("nsh")) + 1)
-      .select(col("doc_id"), col("s"), col("nsh"), col("isnew"))
+      .select(col("doc_id"), col("s"), col("rn"), col("nsh"),
+        col("isnew"))
+      // materialized once: the self-join below reads BOTH sides from
+      // this frame, and without the cut the planner broadcasts one
+      // side, which recomputes the whole df-join + window pipeline a
+      // second time (no exchange to reuse under a BroadcastExchange)
+      .localCheckpoint(false)
     // length filter (also lossless): J(A,B) >= t forces
     // t·|A| <= |B| <= |A|/t — prunes cross-length candidates inside
-    // shared-prefix buckets before the distinct/verify
-    val cand = pref.as("a").join(pref.as("b"),
+    // shared-prefix buckets before the positional filter/verify
+    val candRaw = pref.as("a").join(pref.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           (col("a.isnew") || col("b.isnew")) &&
           col("b.nsh") >= ceil(lit(threshold) * col("a.nsh")) &&
           col("a.nsh") >= ceil(lit(threshold) * col("b.nsh")))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .distinct()
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.rn").as("ra"), col("b.rn").as("rb"),
+        col("a.nsh").as("na"), col("b.nsh").as("nb"))
+    // POSITIONAL overlap bound (PPJoin proper, Xiao et al. 2011) in
+    // place of the bare DISTINCT: under the one global (df, s) token
+    // order, every common token of A and B that sorts BEFORE the last
+    // prefix-prefix match is itself a prefix-prefix match (its
+    // positions are below the match's in both sets, hence inside both
+    // prefixes), so with m = matched prefix tokens and (ra, rb) the
+    // last match's positions, |A ∩ B| <= m + min(|A|-ra, |B|-rb).
+    // J >= t needs |A ∩ B| >= t(|A|+|B|)/(1+t) (= alpha); pairs whose
+    // bound cannot reach alpha never survive the exact verify, so
+    // dropping them here is lossless (alpha is relaxed by 1e-6 before
+    // ceil so a last-ulp double error can only under-prune, never
+    // over-prune). Measured at sf0.1/t=0.4: 443,741 raw candidates ->
+    // a few thousand verified, the verify join was 5.8 s of the 7.7 s
+    // kernel.
+    val cand = candRaw
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("m"), max(col("ra")).as("ra"),
+        max(col("rb")).as("rb"), first(col("na")).as("na"),
+        first(col("nb")).as("nb"))
+      .filter(col("m") +
+        least(col("na") - col("ra"), col("nb") - col("rb")) >=
+        ceil(lit(threshold / (1.0 + threshold)) *
+          (col("na") + col("nb")).cast("double") - lit(1e-6)))
+      .select(col("id1"), col("id2"))
     cand
       .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")),
         "id1")
@@ -1011,7 +1043,21 @@ object DedupOps {
     import org.apache.spark.storage.StorageLevel
     val spark = pairs.sparkSession
     import spark.implicits._
-    val nPart = spark.sessionState.conf.numShufflePartitions
+    // Partition count derived from the INPUT size, not the session
+    // constant (guide §2: scale-adaptive partitioning): every round
+    // of the loop below schedules nPart tasks, so a small graph on a
+    // 32-core session paid 32 tasks × rounds of pure scheduling for
+    // kilobytes of labels. ~500k directed edges per partition keeps
+    // task state small at scale; the session conf stays the upper
+    // bound, so production-sized graphs behave exactly as before.
+    // The count also replaces the old labels.isEmpty() action as the
+    // empty-input fast path (same job budget: one action either way).
+    val nPairs = pairs.select(col(aCol), col(bCol)).count()
+    if (nPairs == 0L)
+      return spark.emptyDataset[(Long, Long)].toDF("id", "cluster_id")
+    val confPart = spark.sessionState.conf.numShufflePartitions
+    val nPart = math.max(1, math.min(confPart,
+      math.ceil(nPairs * 2.0 / 500000.0).toInt))
     val part = new HashPartitioner(nPart)
     val e0 = pairs.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
@@ -1024,7 +1070,7 @@ object DedupOps {
       .mapPartitions(_.map { case (k, _) => (k, k) }.distinct,
         preservesPartitioning = true)
     labels.persist(StorageLevel.MEMORY_AND_DISK)
-    var converged = labels.isEmpty() // no edges at all
+    var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val changed = spark.sparkContext.longAccumulator

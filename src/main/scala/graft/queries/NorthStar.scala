@@ -7943,9 +7943,15 @@ object NorthStar {
   private val q383: Q = (s, dir) => {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-ndg-q383"
     val docs = t(s, dir, "documents")
+    // the write-phase component rebuild is discarded work here: append
+    // recomputes labels from the FULL merged pair graph and rewrites
+    // components/ (rebuildComponents is a full overwrite), so the
+    // final store state — and this query's output — is identical with
+    // the initial build ingesting label-free (one iterative-CC pass
+    // instead of two; the r12 optimization round)
     NearDupGraphStore.write(s,
       docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0L), "doc_id",
-      "text", n = 3, baseT = 0.3, componentThresholds = Seq(0.4), path)
+      "text", n = 3, baseT = 0.3, componentThresholds = Seq.empty, path)
     NearDupGraphStore.append(s,
       docs.filter(pmod(col("doc_id"), lit(3L)) === 0L), "doc_id",
       "text", componentThresholds = Seq(0.4), path)

@@ -979,9 +979,12 @@ object RoundTen {
   private val q453: Q = (s, dir) => {
     val docs = t(s, dir, "documents").filter(col("doc_id") % 2L === 0L)
     val path = tmpStorePath("graft-ndg-compact-q453", dir)
+    // label-free initial build: append's rebuildComponents overwrites
+    // components/ from the full merged graph anyway, so the write-phase
+    // CC pass was discarded work (same final store; r12 optimization)
     NearDupGraphStore.write(s,
       docs.filter(col("doc_id") % 4L === 0L), "doc_id", "text",
-      n = 3, baseT = 0.3, componentThresholds = Seq(0.4), path)
+      n = 3, baseT = 0.3, componentThresholds = Seq.empty, path)
     NearDupGraphStore.append(s,
       docs.filter(col("doc_id") % 4L =!= 0L), "doc_id", "text",
       componentThresholds = Seq(0.4), path)
