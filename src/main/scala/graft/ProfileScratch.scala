@@ -140,6 +140,31 @@ object ProfileScratch {
         .agg(count(lit(1)).as("n_clusters"),
           sum(col("len_f")).as("bytes_first")))
     }
+    // ---- store build phases (q383 shape) ----
+    locally {
+      import graft.sources.NearDupGraphStore
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-prof-ndg"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      time("store: write 2/3 (no labels)") {
+        NearDupGraphStore.write(spark,
+          docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0L), "doc_id",
+          "text", n = 3, baseT = 0.3,
+          componentThresholds = Seq.empty, path)
+      }
+      time("store: append 1/3 (labels 0.4)") {
+        NearDupGraphStore.append(spark,
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 0L), "doc_id",
+          "text", componentThresholds = Seq(0.4), path)
+      }
+      time("store: groupPairs read+agg") {
+        NearDupGraphStore.groupPairs(spark, path, 0.4).count()
+      }
+      time("store: components read") {
+        NearDupGraphStore.components(spark, path, 0.4).count()
+      }
+    }
     spark.stop()
   }
 }
