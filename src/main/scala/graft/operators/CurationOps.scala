@@ -84,9 +84,15 @@ object CurationOps {
     * in a long — THE cross-engine hash idiom of this library (mirrored
     * by the DuckDB oracle generator's sqlHex32). Every consumer of a
     * deterministic uniform hash must go through this one definition so
-    * the Spark and oracle sides cannot drift apart. */
+    * the Spark and oracle sides cannot drift apart. Native codegen
+    * expression ([[graft.functions.Md5Hash32]]), bit-identical to the
+    * previous `conv(substring(md5(s), 1, 8), 16, 10)` composition but
+    * without the per-row hex-string alloc + radix parse (spec-pinned
+    * equal in GraftFunctionsSpec, interpreted AND codegen paths). */
   def md5Hash32(s: Column): Column =
-    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+    org.apache.spark.sql.GraftExprBridge.column(
+      graft.functions.Md5Hash32(
+        org.apache.spark.sql.GraftExprBridge.expression(s)))
 
   /** Deterministic inclusion predicate: keep a row iff
     * md5Hash32(salt + ":" + id) falls below rate * 2^32. Cross-engine

@@ -127,6 +127,30 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
       UTF8String.fromString("a  bée yy"), 2) == 2L)
   }
 
+  test("Md5Hash32 codegen is bit-identical to the conv(substring(md5))" +
+      " composition over a range-based plan") {
+    import org.apache.spark.sql.functions._
+    // range-based source so the expression exercises doGenCode; inputs
+    // cover empty string, multi-byte UTF-8, and the salt:id shapes
+    // every hashKeep caller builds. NULL row pins null-propagation.
+    val df = spark.range(0, 2000).select(
+      when(col("id") === 0, lit(null).cast("string"))
+        .when(col("id") === 1, lit(""))
+        .otherwise(concat(lit("salt:"), col("id").cast("string"),
+          lit(" é€"))).as("s"))
+    val got = df.select(
+      graft.operators.CurationOps.md5Hash32(col("s")).as("native"),
+      conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long")
+        .as("composed")).collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0))
+        assert(r.getLong(0) == r.getLong(1),
+          s"native ${r.getLong(0)} vs composed ${r.getLong(1)}")
+    }
+    assert(got.count(_.isNullAt(0)) == 1)
+  }
+
   test("VectorSqDist codegen is bit-identical to the HOF fold over a " +
       "range-based plan") {
     import org.apache.spark.sql.functions._
