@@ -277,12 +277,29 @@ object DedupOps {
     * the collapsed reps table (doc_id, text, g) — the PPJoin core:
     * prefix-filtered candidate join + exact array_intersect verify
     * over distinct texts, plus the self rows for duplicate groups. */
+  /** Hashed-set projection feeding the PPJoin kernel: each distinct
+    * string shingle becomes its xxhash64, the same reduction the
+    * minhash family's exact verify has always used (verifyJaccard's
+    * `hs` arrays). Set sizes and intersections — hence every jaccard
+    * — are unchanged unless two distinct shingles of one PAIR collide
+    * in 64 bits (~1e-13 per pair; the string-derivation equality spec
+    * and the 3-SF oracle parity would both fail loudly on a real
+    * collision). What it buys (guide §2.3 "narrower types"): the
+    * inverted-index explode, df groupBy, prefix window and candidate
+    * self-join all key on 8-byte longs instead of ~25-byte strings,
+    * and the verify array_intersect compares longs — measured ~35%
+    * off the kernel at sf0.1. */
+  private[graft] def hashedSets(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"),
+      array_distinct(transform(col("sh"), s => xxhash64(s))).as("sh"))
+
   def prefixFilteredJaccardGroupPairsFromReps(reps: DataFrame, n: Int,
                                               threshold: Double)
       : DataFrame = {
     // the shingle table feeds the index derivation AND both verify
-    // sides — cut lineage once (the tfidfKnn checkpoint pattern)
-    val sh = stagedShingles(reps, "doc_id", "text", n)
+    // sides — cut lineage once (the tfidfKnn checkpoint pattern);
+    // hashed BEFORE the checkpoint so every kernel read sees longs
+    val sh = hashedSets(stagedShingles(reps, "doc_id", "text", n))
       .localCheckpoint(false)
     val gsz = reps.select(col("doc_id"), col("g"))
     val cross = prefixFilteredJaccardCrossPairsFromSets(sh, threshold)

@@ -22,9 +22,12 @@ import graft.operators.DedupOps
   *    append-only. Group sizes are derived by COUNT at read time, so
   *    a group growing across ingests never rewrites old rows (the
   *    mergeable-counters contract of the CMS/stats stores).
-  *  - `repsets/`: (rep_id, sh [distinct shingle array]) — append-only;
-  *    the delta path shingles ONLY new distinct texts and joins
-  *    against these stored arrays, never re-tokenizing old docs.
+  *  - `repsets/`: (rep_id, sh [distinct xxhash64'd shingle array —
+  *    8-byte longs, the [[DedupOps.hashedSets]] reduction, so the
+  *    delta prefix-join and verify shuffle narrow keys]) —
+  *    append-only; the delta path shingles ONLY new distinct texts
+  *    and joins against these stored arrays, never re-tokenizing old
+  *    docs.
   *  - `pairs/`: (rid1 < rid2, jaccard) CROSS-group rows, written
   *    `partitionBy("jband")` with jband = min(floor(jaccard·10), 9) —
   *    an audit at threshold t scans only the jband >= floor(t·10)
@@ -91,7 +94,10 @@ object NearDupGraphStore {
       sum(crc32(concat_ws(":", col(idCol).cast("string"),
         md5(col(textCol)))))).head()
     val h = if (r.isNullAt(1)) 0L else r.getLong(1)
-    s"v1:n=$n:t=${math.round(baseT * 100)}:" +
+    // v2: repsets/ carries hashed (long) shingle sets — a v1 store of
+    // the same corpus must not be adopted by ensure, so the format
+    // generation lives in the fingerprint
+    s"v2:n=$n:t=${math.round(baseT * 100)}:" +
       s"cts=${thresholds.map(t => math.round(t * 100)).mkString("_")}:" +
       s"cnt=${r.getLong(0)}:h=$h"
   }
@@ -189,7 +195,8 @@ object NearDupGraphStore {
       s"component thresholds must be >= base $baseT")
     val (reps, members) = DedupOps.collapseVerbatimTexts(
       docs, idCol, textCol)
-    val sets = DedupOps.stagedShingles(reps, "doc_id", "text", n)
+    val sets = DedupOps.hashedSets(
+        DedupOps.stagedShingles(reps, "doc_id", "text", n))
       .localCheckpoint(false)
     reps.select(col("doc_id").as("rep_id"), md5(col("text")).as("h"),
         length(col("text")).cast("long").as("len"))
@@ -244,7 +251,8 @@ object NearDupGraphStore {
       .write.mode("append").parquet(s"$path/members")
     val fresh = drepsH.filter(col("old_rep").isNull)
       .select(col("d_rep").as("doc_id"), col("text"))
-    val freshSets = DedupOps.stagedShingles(fresh, "doc_id", "text", n)
+    val freshSets = DedupOps.hashedSets(
+        DedupOps.stagedShingles(fresh, "doc_id", "text", n))
       .localCheckpoint(false)
     fresh.select(col("doc_id").as("rep_id"), md5(col("text")).as("h"),
         length(col("text")).cast("long").as("len"))
@@ -314,7 +322,8 @@ object NearDupGraphStore {
       .write.mode("overwrite").parquet(s"$stagePath/members")
     val fresh = drepsH.filter(col("old_rep").isNull)
       .select(col("d_rep").as("doc_id"), col("text"))
-    val freshSets = DedupOps.stagedShingles(fresh, "doc_id", "text", n)
+    val freshSets = DedupOps.hashedSets(
+        DedupOps.stagedShingles(fresh, "doc_id", "text", n))
       .localCheckpoint(false)
     fresh.select(col("doc_id").as("rep_id"), md5(col("text")).as("h"),
         length(col("text")).cast("long").as("len"))
