@@ -59,8 +59,15 @@ object DedupOps {
     * Returns (id1, id2, jaccard) for pairs with jaccard >= threshold. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
-    val sh = stagedShingles(df, idCol, textCol, n)
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("nsh"))
+    // tokenize+shingle feeds FOUR consumers (both inverted-index join
+    // sides + both size joins) — materialize once; hintBySize keeps
+    // the size-table broadcast the checkpoint's erased stats would
+    // otherwise lose
+    val shPre = stagedShingles(df, idCol, textCol, n)
+    val sh = shPre.localCheckpoint(false)
+    val sizes = hintBySize(
+      sh.select(col("doc_id"), size(col("sh")).as("nsh")),
+      shPre.select(col("doc_id"), size(col("sh")).as("nsh")))
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val shared = inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

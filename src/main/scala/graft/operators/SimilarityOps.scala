@@ -794,7 +794,10 @@ object SimilarityOps {
     require(bands > 0 && planesPerBand > 0 && maxBucketSize > 1,
       s"bad LSH config ($bands, $planesPerBand, $maxBucketSize)")
     val base = withNorm(df, idCol, vecCol, "id", "v", "nm")
+    // materialized once for the same three-consumer reason as
+    // [[knnGraph]]'s banded table
     val banded = bandedSignatures(base, bands, planesPerBand, dims)
+      .localCheckpoint(false)
     // Pair expansion as an equi-join on (band, bucket) with the
     // bucket-size cap as a semi-filter — same r5 rewrite as the
     // simhash tail (DedupOps.simhashBandVerify): the former
@@ -844,7 +847,12 @@ object SimilarityOps {
     require(k > 0 && bands > 0 && planesPerBand > 0 && maxBucketSize > 1,
       s"bad kNN-graph config ($k, $bands, $planesPerBand, $maxBucketSize)")
     val base = withNorm(df, idCol, vecCol, "id", "v", "nm")
+    // signatures cost bands x planesPerBand dim-`dims` dot products
+    // per vector and feed THREE consumers (the bucket-size agg + both
+    // candidate join sides, whose column renames defeat exchange
+    // reuse) — materialize once (id, band, bucket: 24 bytes/row)
     val banded = bandedSignatures(base, bands, planesPerBand, dims)
+      .localCheckpoint(false)
     val ok = banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz").between(2, maxBucketSize))
