@@ -144,11 +144,15 @@ object IvfVectorStore {
       .write.mode("overwrite").parquet(s"$path/centroids")
     val adf = assigned(corpus, idCol, vecCol, cents)
       .localCheckpoint(false)
-    clusteredByCell(adf.drop("__ccos"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/vectors")
-    cellStats(adf).coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/cellstats")
+    // adf feeds both writers — materialize before the fork
+    // (StoreCompaction.inParallel's contract), then overlap them
+    adf.count()
+    StoreCompaction.inParallel(
+      () => clusteredByCell(adf.drop("__ccos"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$path/vectors"),
+      () => cellStats(adf).coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/cellstats"))
   }
 
   /** Delta ingest: assign ONLY the new vectors against the stored
@@ -160,11 +164,13 @@ object IvfVectorStore {
     val cents = readCentroids(spark, path)
     val adf = assigned(delta, idCol, vecCol, cents)
       .localCheckpoint(false)
-    clusteredByCell(adf.drop("__ccos"))
-      .write.mode("append").partitionBy("cell")
-      .parquet(s"$path/vectors")
-    cellStats(adf).coalesce(1)
-      .write.mode("append").parquet(s"$path/cellstats")
+    adf.count()
+    StoreCompaction.inParallel(
+      () => clusteredByCell(adf.drop("__ccos"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$path/vectors"),
+      () => cellStats(adf).coalesce(1)
+        .write.mode("append").parquet(s"$path/cellstats"))
   }
 
   /** Small-file compaction — the [[NearDupGraphStore.compact]] /
@@ -181,17 +187,18 @@ object IvfVectorStore {
     * contract preserved). `centroids/` is frozen write-once single
     * file — nothing to compact. Crash-safe via
     * [[StoreCompaction.rewrite]]'s rename-first swap. */
-  def compact(spark: SparkSession, path: String): Unit = {
-    StoreCompaction.rewrite(spark, s"$path/vectors") { tmp =>
-      clusteredByCell(spark.read.parquet(s"$path/vectors"))
-        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    }
-    StoreCompaction.rewrite(spark, s"$path/cellstats") { tmp =>
-      spark.read.parquet(s"$path/cellstats")
-        .groupBy(col("cell")).agg(max(col("rmax")).as("rmax"))
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-    }
-  }
+  def compact(spark: SparkSession, path: String): Unit =
+    // independent per-directory rewrites — overlapped (guide §2.6)
+    StoreCompaction.inParallel(
+      () => StoreCompaction.rewrite(spark, s"$path/vectors") { tmp =>
+        clusteredByCell(spark.read.parquet(s"$path/vectors"))
+          .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      },
+      () => StoreCompaction.rewrite(spark, s"$path/cellstats") { tmp =>
+        spark.read.parquet(s"$path/cellstats")
+          .groupBy(col("cell")).agg(max(col("rmax")).as("rmax"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+      })
 
   /** IVF top-k over the persisted index: per query, probe the
     * `nProbes` nearest stored cells; the scan of `vectors/` carries a

@@ -53,6 +53,12 @@ object NearDupGraphStore {
   private def jband(j: org.apache.spark.sql.Column) =
     least(floor(j * 10.0).cast("int"), lit(9)).as("jband")
 
+  // overlapped independent writes — [[StoreCompaction.inParallel]]
+  // (shared with IvfVectorStore); see its scaladoc for the
+  // shared-checkpoint pre-materialization contract
+  private def inParallel(tasks: (() => Unit)*): Unit =
+    StoreCompaction.inParallel(tasks: _*)
+
   // pairs/ and components/ are dynamic-partition layouts, and a
   // VALID store can have zero rows in either (a corpus with no pair
   // >= baseT writes no partition dirs at all — normal at any scale).
@@ -198,21 +204,28 @@ object NearDupGraphStore {
     val sets = DedupOps.hashedSets(
         DedupOps.stagedShingles(reps, "doc_id", "text", n))
       .localCheckpoint(false)
-    reps.select(col("doc_id").as("rep_id"), md5(col("text")).as("h"),
-        length(col("text")).cast("long").as("len"))
-      .join(sets.select(col("doc_id").as("rep_id"),
-        size(col("sh")).cast("long").as("n_shingles")), "rep_id")
-      .write.mode("overwrite").parquet(s"$path/groups")
-    members.write.mode("overwrite").parquet(s"$path/members")
-    sets.select(col("doc_id").as("rep_id"), col("sh"))
-      .write.mode("overwrite").parquet(s"$path/repsets")
-    val pairs = DedupOps.prefixFilteredJaccardCrossPairsFromSets(
-      sets, baseT)
-    pairs.select(col("id1").as("rid1"), col("id2").as("rid2"),
-        col("jaccard"), jband(col("jaccard")))
-      .repartition(col("jband"))
-      .write.mode("overwrite").partitionBy("jband")
-      .parquet(s"$path/pairs")
+    // sets (and, upstream, the collapse checkpoint reps derives from)
+    // feeds the groups/repsets/pairs writers below — materialize once
+    // BEFORE the fork (see inParallel's contract)
+    sets.count()
+    // the four subdir writes are mutually independent — overlap them
+    // so one writer's task tail back-fills with the next's tasks
+    inParallel(
+      () => reps.select(col("doc_id").as("rep_id"),
+          md5(col("text")).as("h"),
+          length(col("text")).cast("long").as("len"))
+        .join(sets.select(col("doc_id").as("rep_id"),
+          size(col("sh")).cast("long").as("n_shingles")), "rep_id")
+        .write.mode("overwrite").parquet(s"$path/groups"),
+      () => members.write.mode("overwrite").parquet(s"$path/members"),
+      () => sets.select(col("doc_id").as("rep_id"), col("sh"))
+        .write.mode("overwrite").parquet(s"$path/repsets"),
+      () => DedupOps.prefixFilteredJaccardCrossPairsFromSets(sets, baseT)
+        .select(col("id1").as("rid1"), col("id2").as("rid2"),
+          col("jaccard"), jband(col("jaccard")))
+        .repartition(col("jband"))
+        .write.mode("overwrite").partitionBy("jband")
+        .parquet(s"$path/pairs"))
     spark.range(1).select(lit(n).as("n"),
         lit(math.round(baseT * 100)).as("base_t_e2"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -243,42 +256,49 @@ object NearDupGraphStore {
         md5(col("text")).as("h"))
       .join(old, Seq("h"), "left")
       .localCheckpoint(false)
-    // members: delta docs of a known text ride the old rep id
-    dmembers.join(drepsH.select(col("d_rep").as("rep_id"),
-        col("old_rep")), "rep_id")
-      .select(coalesce(col("old_rep"), col("rep_id")).as("rep_id"),
-        col("doc_id"))
-      .write.mode("append").parquet(s"$path/members")
     val fresh = drepsH.filter(col("old_rep").isNull)
       .select(col("d_rep").as("doc_id"), col("text"))
     val freshSets = DedupOps.hashedSets(
         DedupOps.stagedShingles(fresh, "doc_id", "text", n))
       .localCheckpoint(false)
-    fresh.select(col("doc_id").as("rep_id"), md5(col("text")).as("h"),
-        length(col("text")).cast("long").as("len"))
-      .join(freshSets.select(col("doc_id").as("rep_id"),
-        size(col("sh")).cast("long").as("n_shingles")), "rep_id")
-      .write.mode("append").parquet(s"$path/groups")
-    freshSets.select(col("doc_id").as("rep_id"), col("sh"))
-      .write.mode("append").parquet(s"$path/repsets")
-    // delta pairs: stored sets are old, fresh sets are new — the
-    // kernel enumerates only candidates touching >= 1 new row. The
-    // repsets read happens after the append above, so the fresh ids
-    // are anti-joined out of the "old" side rather than double-read.
+    // delta pairs input: stored sets are old, fresh sets are new —
+    // the kernel enumerates only candidates touching >= 1 new row.
+    // The stored-side scan is PINNED to the pre-append file set (a
+    // parquet read lists its files at read() time and never sees
+    // later-appended ones), so the fresh rows appended below can't
+    // double-read and no anti-join is needed — which is also what
+    // lets the repsets append and the pair kernel run concurrently.
     val unionSets = spark.read.parquet(s"$path/repsets")
-      .join(freshSets.select(col("doc_id")),
-        col("rep_id") === col("doc_id"), "left_anti")
       .select(col("rep_id").as("doc_id"), col("sh"),
         lit(false).as("isnew"))
       .unionByName(freshSets.select(col("doc_id"), col("sh"),
         lit(true).as("isnew")))
-    DedupOps.prefixFilteredJaccardCrossPairsFromSets(
-        unionSets, baseT, newFlag = Some("isnew"))
-      .select(col("id1").as("rid1"), col("id2").as("rid2"),
-        col("jaccard"), jband(col("jaccard")))
-      .repartition(col("jband"))
-      .write.mode("append").partitionBy("jband")
-      .parquet(s"$path/pairs")
+    // freshSets.count() cascades the drepsH materialization — both
+    // checkpoints are shared across the forked writers (inParallel's
+    // pre-materialization contract)
+    freshSets.count()
+    inParallel(
+      // members: delta docs of a known text ride the old rep id
+      () => dmembers.join(drepsH.select(col("d_rep").as("rep_id"),
+          col("old_rep")), "rep_id")
+        .select(coalesce(col("old_rep"), col("rep_id")).as("rep_id"),
+          col("doc_id"))
+        .write.mode("append").parquet(s"$path/members"),
+      () => fresh.select(col("doc_id").as("rep_id"),
+          md5(col("text")).as("h"),
+          length(col("text")).cast("long").as("len"))
+        .join(freshSets.select(col("doc_id").as("rep_id"),
+          size(col("sh")).cast("long").as("n_shingles")), "rep_id")
+        .write.mode("append").parquet(s"$path/groups"),
+      () => freshSets.select(col("doc_id").as("rep_id"), col("sh"))
+        .write.mode("append").parquet(s"$path/repsets"),
+      () => DedupOps.prefixFilteredJaccardCrossPairsFromSets(
+          unionSets, baseT, newFlag = Some("isnew"))
+        .select(col("id1").as("rid1"), col("id2").as("rid2"),
+          col("jaccard"), jband(col("jaccard")))
+        .repartition(col("jband"))
+        .write.mode("append").partitionBy("jband")
+        .parquet(s"$path/pairs"))
     spark.range(1).select(lit(n).as("n"),
         lit(math.round(baseT * 100)).as("base_t_e2"))
       .coalesce(1).write.mode("append").parquet(s"$path/meta")
@@ -315,35 +335,40 @@ object NearDupGraphStore {
         md5(col("text")).as("h"))
       .join(old, Seq("h"), "left")
       .localCheckpoint(false)
-    dmembers.join(drepsH.select(col("d_rep").as("rep_id"),
-        col("old_rep")), "rep_id")
-      .select(coalesce(col("old_rep"), col("rep_id")).as("rep_id"),
-        col("doc_id"))
-      .write.mode("overwrite").parquet(s"$stagePath/members")
     val fresh = drepsH.filter(col("old_rep").isNull)
       .select(col("d_rep").as("doc_id"), col("text"))
     val freshSets = DedupOps.hashedSets(
         DedupOps.stagedShingles(fresh, "doc_id", "text", n))
       .localCheckpoint(false)
-    fresh.select(col("doc_id").as("rep_id"), md5(col("text")).as("h"),
-        length(col("text")).cast("long").as("len"))
-      .join(freshSets.select(col("doc_id").as("rep_id"),
-        size(col("sh")).cast("long").as("n_shingles")), "rep_id")
-      .write.mode("overwrite").parquet(s"$stagePath/groups")
-    freshSets.select(col("doc_id").as("rep_id"), col("sh"))
-      .write.mode("overwrite").parquet(s"$stagePath/repsets")
     val unionSets = spark.read.parquet(s"$livePath/repsets")
       .select(col("rep_id").as("doc_id"), col("sh"),
         lit(false).as("isnew"))
       .unionByName(freshSets.select(col("doc_id"), col("sh"),
         lit(true).as("isnew")))
-    DedupOps.prefixFilteredJaccardCrossPairsFromSets(
-        unionSets, baseT, newFlag = Some("isnew"))
-      .select(col("id1").as("rid1"), col("id2").as("rid2"),
-        col("jaccard"), jband(col("jaccard")))
-      .repartition(col("jband"))
-      .write.mode("overwrite").partitionBy("jband")
-      .parquet(s"$stagePath/pairs")
+    // shared-checkpoint pre-materialization + overlapped independent
+    // stage writes — same shape as [[append]]
+    freshSets.count()
+    inParallel(
+      () => dmembers.join(drepsH.select(col("d_rep").as("rep_id"),
+          col("old_rep")), "rep_id")
+        .select(coalesce(col("old_rep"), col("rep_id")).as("rep_id"),
+          col("doc_id"))
+        .write.mode("overwrite").parquet(s"$stagePath/members"),
+      () => fresh.select(col("doc_id").as("rep_id"),
+          md5(col("text")).as("h"),
+          length(col("text")).cast("long").as("len"))
+        .join(freshSets.select(col("doc_id").as("rep_id"),
+          size(col("sh")).cast("long").as("n_shingles")), "rep_id")
+        .write.mode("overwrite").parquet(s"$stagePath/groups"),
+      () => freshSets.select(col("doc_id").as("rep_id"), col("sh"))
+        .write.mode("overwrite").parquet(s"$stagePath/repsets"),
+      () => DedupOps.prefixFilteredJaccardCrossPairsFromSets(
+          unionSets, baseT, newFlag = Some("isnew"))
+        .select(col("id1").as("rid1"), col("id2").as("rid2"),
+          col("jaccard"), jband(col("jaccard")))
+        .repartition(col("jband"))
+        .write.mode("overwrite").partitionBy("jband")
+        .parquet(s"$stagePath/pairs"))
     spark.range(1).select(lit(n).as("n"),
         lit(math.round(baseT * 100)).as("base_t_e2"))
       .coalesce(1).write.mode("overwrite").parquet(s"$stagePath/meta")
@@ -380,31 +405,39 @@ object NearDupGraphStore {
     * ~128 MB output files. */
   def compact(spark: SparkSession, path: String, nFiles: Int = 1)
       : Unit = {
-    StoreCompaction.rewrite(spark, s"$path/pairs") { tmp =>
-      readPairs(spark, path)
-        .repartition(col("jband"))
-        .write.mode("overwrite").partitionBy("jband").parquet(tmp)
-    }
-    Seq("groups", "members", "repsets").foreach { sub =>
-      StoreCompaction.rewrite(spark, s"$path/$sub") { tmp =>
-        spark.read.parquet(s"$path/$sub").repartition(nFiles)
+    // each subdir rewrite is an independent read->tmp->swap on its own
+    // directory (StoreCompaction's tmp/old names are per-dest), so the
+    // six rewrites overlap (guide §2.6) instead of serializing six
+    // job tails
+    val subs = Seq[() => Unit](
+      () => StoreCompaction.rewrite(spark, s"$path/pairs") { tmp =>
+        readPairs(spark, path)
+          .repartition(col("jband"))
+          .write.mode("overwrite").partitionBy("jband").parquet(tmp)
+      },
+      () => StoreCompaction.rewrite(spark, s"$path/meta") { tmp =>
+        spark.read.parquet(s"$path/meta").distinct().coalesce(1)
           .write.mode("overwrite").parquet(tmp)
+      }) ++
+      Seq("groups", "members", "repsets").map { sub =>
+        () => StoreCompaction.rewrite(spark, s"$path/$sub") { tmp =>
+          spark.read.parquet(s"$path/$sub").repartition(nFiles)
+            .write.mode("overwrite").parquet(tmp)
+        }
+      } ++ {
+        val compP = new org.apache.hadoop.fs.Path(s"$path/components")
+        val compFs = compP.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        if (compFs.exists(compP)) Seq[() => Unit](
+          () => StoreCompaction.rewrite(spark, s"$path/components") {
+            tmp =>
+              readComponents(spark, path)
+                .repartition(col("t_e2"))
+                .write.mode("overwrite").partitionBy("t_e2").parquet(tmp)
+          })
+        else Seq.empty
       }
-    }
-    StoreCompaction.rewrite(spark, s"$path/meta") { tmp =>
-      spark.read.parquet(s"$path/meta").distinct().coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-    }
-    val compP = new org.apache.hadoop.fs.Path(s"$path/components")
-    val compFs = compP.getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    if (compFs.exists(compP)) {
-      StoreCompaction.rewrite(spark, s"$path/components") { tmp =>
-        readComponents(spark, path)
-          .repartition(col("t_e2"))
-          .write.mode("overwrite").partitionBy("t_e2").parquet(tmp)
-      }
-    }
+    inParallel(subs: _*)
   }
 
   /** Derived group sizes: one COUNT over the append-only membership. */

@@ -27,6 +27,33 @@ import org.apache.spark.sql.SparkSession
   */
 private[graft] object StoreCompaction {
 
+  /** Run independent Spark write jobs concurrently (guide §2.6): a
+    * store's subdirectory writes/rewrites are sequential only because
+    * driver code calls them sequentially, and each leaves most of the
+    * cluster idle through its task tail + file commit. Callers MUST
+    * pre-materialize any lazily-localCheckpointed frame shared by two
+    * tasks (one count() before the fork) — concurrent first
+    * materialization of one checkpoint is the r11 deadlock class.
+    * Failures rethrow their original exception. */
+  def inParallel(tasks: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      tasks.size)
+    try {
+      val futures = tasks.map { t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = t()
+        })
+      }
+      futures.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      }
+    } finally pool.shutdown()
+  }
+
   /** Swap-step markers for the fault-injection seam (`onSwapStep`):
     * called with 1 after dest -> __old and 2 after tmp -> dest, so a
     * spec can simulate a crash at either window and assert recovery. */
