@@ -937,8 +937,12 @@ object StatsOps {
     * confidence (P(b|a)), lift (doubles — pin at the call site). */
   def pairLift(df: DataFrame, basketCol: String, itemCol: String,
                minPairs: Long = 1L): DataFrame = {
+    // the distinct basket-item table feeds FOUR consumers (basket
+    // count, item counts, both self-join sides) — materialize the
+    // scan+distinct once
     val bi = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .distinct()
+      .localCheckpoint(false)
     val nBaskets = bi.agg(countDistinct(col("__b")).as("n_baskets"))
     val itemN = bi.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
     val pairs = bi.join(

@@ -64,17 +64,22 @@ object InvertedIndexStore {
     val tf = toks.select(col("doc_id"), explode(col("toks")).as("t"))
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
       .withColumn("shard", shardOf(col("t"), nShards))
-    // cluster rows by shard before the dynamic-partition write (the
-    // IvfVectorStore discipline): one file per shard per ingest, not
-    // tasks x shards
-    tf.repartition(col("shard"))
-      .write.mode(mode).partitionBy("shard")
-      .parquet(s"$path/postings")
-    lens.write.mode(mode).parquet(s"$path/doclens")
-    lens.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl").cast("long")).as("total_tokens"),
-        lit(nShards.toLong).as("n_shards"))
-      .coalesce(1).write.mode(mode).parquet(s"$path/stats")
+    // lens feeds the doclens AND stats writers below — materialize
+    // before the fork (StoreCompaction.inParallel's contract), then
+    // overlap the three independent subdir writes (guide §2.6)
+    lens.count()
+    StoreCompaction.inParallel(
+      // cluster rows by shard before the dynamic-partition write (the
+      // IvfVectorStore discipline): one file per shard per ingest, not
+      // tasks x shards
+      () => tf.repartition(col("shard"))
+        .write.mode(mode).partitionBy("shard")
+        .parquet(s"$path/postings"),
+      () => lens.write.mode(mode).parquet(s"$path/doclens"),
+      () => lens.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl").cast("long")).as("total_tokens"),
+          lit(nShards.toLong).as("n_shards"))
+        .coalesce(1).write.mode(mode).parquet(s"$path/stats"))
   }
 
   /** Build the index from scratch: one corpus scan. */
@@ -102,24 +107,25 @@ object InvertedIndexStore {
     * Pure physical reorganization (round-trip spec pins searchBm25
     * equality before/after plus the file-count drop). */
   def compact(spark: SparkSession, path: String, nFiles: Int = 1)
-      : Unit = {
-    StoreCompaction.rewrite(spark, s"$path/postings") { tmp =>
-      spark.read.parquet(s"$path/postings")
-        .repartition(col("shard"))
-        .write.mode("overwrite").partitionBy("shard").parquet(tmp)
-    }
-    StoreCompaction.rewrite(spark, s"$path/doclens") { tmp =>
-      spark.read.parquet(s"$path/doclens").repartition(nFiles)
-        .write.mode("overwrite").parquet(tmp)
-    }
-    StoreCompaction.rewrite(spark, s"$path/stats") { tmp =>
-      spark.read.parquet(s"$path/stats")
-        .agg(sum(col("n_docs")).as("n_docs"),
-          sum(col("total_tokens")).as("total_tokens"),
-          max(col("n_shards")).as("n_shards"))
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-    }
-  }
+      : Unit =
+    // independent per-directory rewrites — overlapped (guide §2.6)
+    StoreCompaction.inParallel(
+      () => StoreCompaction.rewrite(spark, s"$path/postings") { tmp =>
+        spark.read.parquet(s"$path/postings")
+          .repartition(col("shard"))
+          .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+      },
+      () => StoreCompaction.rewrite(spark, s"$path/doclens") { tmp =>
+        spark.read.parquet(s"$path/doclens").repartition(nFiles)
+          .write.mode("overwrite").parquet(tmp)
+      },
+      () => StoreCompaction.rewrite(spark, s"$path/stats") { tmp =>
+        spark.read.parquet(s"$path/stats")
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("total_tokens")).as("total_tokens"),
+            max(col("n_shards")).as("n_shards"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+      })
 
   /** (n_docs, total_tokens, n_shards) folded across ingests. */
   private def foldedStats(spark: SparkSession, path: String)
